@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** SparkSession factory with the engine's recommended scale-oriented conf.
+  *
+  * These settings are chosen for cluster execution and only *tested* on
+  * local[32]:
+  *  - AQE on (default in Spark 4) with skew-join handling: at 100 TB the
+  *    static plan is always wrong somewhere; AQE re-plans shuffle partition
+  *    counts and splits skewed partitions at runtime.
+  *  - `autoBroadcastJoinThreshold` left at default (10 MB): dimension tables
+  *    (region/nation/supplier/part at any SF a dimension stays a dimension)
+  *    broadcast; fact-fact joins shuffle on their keys.
+  *  - shuffle partitions default to the local core count here; on a real
+  *    cluster this should be ~2-3x total executor cores — AQE coalesces
+  *    down so erring high is safe.
+  */
+object GraftSession {
+  def builder(appName: String, master: Option[String] = None): SparkSession.Builder = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val b = SparkSession.builder()
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+    master.orElse(sys.env.get("SPARK_GRAFT_MASTER").orElse(Some(s"local[$cpus]")))
+      .foldLeft(b)(_ master _)
+  }
+
+  def local(appName: String): SparkSession = {
+    val s = builder(appName).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
