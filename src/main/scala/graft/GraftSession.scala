@@ -28,6 +28,10 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      // events.ts is TIMESTAMP(NANOS) parquet; Spark 4 only maps it with this
+      // legacy conf. Set once at session build (a loader mutating session conf
+      // as a side effect silently changes other reads).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     master.orElse(sys.env.get("SPARK_GRAFT_MASTER").orElse(Some(s"local[$cpus]")))
       .foldLeft(b)(_ master _)
   }

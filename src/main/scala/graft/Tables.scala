@@ -26,15 +26,15 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
   /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark 4 refuses to map
-    * to TimestampType. Read it as a long (legacy conf) and truncate to a
-    * microsecond timestamp with integer arithmetic (`DIV`, not `/` — ns since
-    * epoch exceeds double's 53-bit mantissa).
+    * to TimestampType. It is read as a long (requires
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, set at session build by
+    * [[GraftSession]]) and truncated to a microsecond timestamp with integer
+    * arithmetic (`DIV`, not `/` — ns since epoch exceeds double's 53-bit
+    * mantissa).
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(s: SparkSession, d: String): DataFrame =
     load(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
-  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

@@ -5,12 +5,21 @@ import scala.util.hashing.MurmurHash3
 
 /** Run-invariant (stable across JVMs) hashing for state identity.
   *
-  * The reference derives a state key from a murmur3 hash of the query
-  * representation plus a byte-swap hash of the initial state (tamer
-  * `core/src/main/scala/tamer/Hashable.scala:28-47`). We reproduce the same
-  * public algorithms — scala-library MurmurHash3 for strings,
-  * Knuth multiplicative byteswap for 64-bit values — so checkpoint identity is
-  * deterministic across runs and machines.
+  * Same *role* as the reference's `Hashable` (tamer
+  * `core/src/main/scala/tamer/Hashable.scala:28-47`): derive a deterministic
+  * state key from the query representation and the initial state so restarted
+  * pipelines resume their own checkpoints. The *scheme* is intentionally
+  * different — not checkpoint-compatible with the reference's format:
+  *  - `Instant` hashes by epoch millis (the reference uses epoch seconds,
+  *    which collides all sub-second-distinct instants);
+  *  - the state key is two concatenated zero-padded `%08x` words (the
+  *    reference sums the two hashes and prints an unpadded hex string, so
+  *    distinct (query, state) pairs can collide by addition);
+  *  - cursor hashes mix all fields multiplicatively/rotated (the reference's
+  *    `Offset` hash `offset * nextIndex` collapses to 0 whenever
+  *    `nextIndex == 0`, i.e. for every fresh page).
+  * The primitives themselves are the same public algorithms: scala-library
+  * MurmurHash3 for strings, Knuth multiplicative byteswap for 64-bit values.
   */
 trait Hashable[A] extends Serializable { self =>
   def hash(a: A): Int

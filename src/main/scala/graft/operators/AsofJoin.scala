@@ -47,6 +47,9 @@ object AsofJoin {
       rightCols: Seq[String]
   ): DataFrame = {
     require(leftKeys.length == rightKeys.length, "key arity mismatch")
+    require(
+      rightCols.toSet.intersect(left.columns.toSet).isEmpty,
+      s"rightCols ${rightCols.toSet.intersect(left.columns.toSet).mkString(", ")} collide with left columns; rename before joining")
     val keyNames = leftKeys.indices.map(i => s"__asof_k$i")
 
     val lTagged = left

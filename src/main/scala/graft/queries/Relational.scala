@@ -134,16 +134,16 @@ object Relational extends QueryPack {
         .orderBy($"orderstatus", $"orderpriority")
     }),
 
-    // GROUPING SETS (via SQL — identical syntax on the oracle side).
+    // GROUPING SETS via the Dataset API (no shared temp-view mutation).
     "q12_grouping_sets" -> ((s, d) => {
-      Tables.events(s, d).createOrReplaceTempView("events")
-      s.sql("""
-        SELECT coalesce(event_type, 'ALL') AS etype,
-               coalesce(cast(user_id AS STRING), 'ALL') AS uid,
-               count(*) AS cnt
-        FROM events
-        GROUP BY GROUPING SETS ((event_type), (user_id))
-        ORDER BY etype, uid""")
+      Tables.events(s, d)
+        .groupingSets(Seq(Seq($"event_type"), Seq($"user_id")), $"event_type", $"user_id")
+        .agg(count(lit(1)).as("cnt"))
+        .select(
+          coalesce($"event_type", lit("ALL")).as("etype"),
+          coalesce($"user_id".cast("string"), lit("ALL")).as("uid"),
+          $"cnt")
+        .orderBy($"etype", $"uid")
     }),
 
     // distinct aggregation (exact; shuffles on (flag, partkey) then re-aggs).
@@ -379,8 +379,8 @@ object Relational extends QueryPack {
       SELECT l_orderkey, l_linenumber,
              CASE WHEN l_discount > 0.05 THEN 'HI' ELSE 'LO' END AS disc_band,
              round(l_tax * 100, 0) AS tax_pct,
-             floor(l_extendedprice) AS price_floor,
-             ceil(l_quantity) AS qty_ceil
+             CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+             CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil
       FROM lineitem ORDER BY l_orderkey, l_linenumber""",
 
     "q19_array_funcs" -> """
@@ -392,7 +392,7 @@ object Relational extends QueryPack {
 
     "q20_json_funcs" -> """
       SELECT event_type,
-             sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+             CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
              count(*) AS cnt
       FROM events GROUP BY event_type ORDER BY event_type""",
 
