@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale document corpora.
+  *
+  * Everything here is pure DataFrame algebra — shuffles are keyed so the
+  * plans survive 100 TB:
+  *  - exact dedup: ONE hash shuffle on the dedup key (map-side partial agg);
+  *  - MinHash-LSH near-dup: shuffle on (band, bandHash) — candidate pairs
+  *    are generated per LSH bucket, NEVER via an all-pairs cross join; the
+  *    exact-Jaccard verification then touches only the candidates;
+  *  - SimHash near-dup: 64-bit signature, bucketed by 16-bit chunks
+  *    (pigeonhole: hamming distance <= 3 implies at least one of the 4
+  *    chunks is identical), verified with bit_count.
+  *
+  * (The reference has no dedup operators — this is part of the
+  * training-data-pipeline surface the engine adds; see SURVEY.md §2.2.)
+  */
+object Dedup {
+
+  /** Exact duplicate grouping: one row per distinct `keyCol` value with the
+    * lowest `idCol` as the keeper and the group size. Scalable shape: a
+    * single hash shuffle on the key with partial aggregation — NOT a window
+    * over the key (a window serializes hot keys; min/count aggregate
+    * pre-combines map-side).
+    */
+  def exactGroups(df: DataFrame, keyCol: String, idCol: String): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("copies"))
+
+  /** Exact dedup: keep exactly the keeper row per duplicate group. */
+  def exactKeepFirst(df: DataFrame, keyCol: String, idCol: String): DataFrame =
+    df.join(
+      exactGroups(df, keyCol, idCol).select(col("keep_id").as(idCol)),
+      Seq(idCol),
+      "left_semi")
+
+  /** Distinct word n-gram shingles of a text column; documents shorter than
+    * `n` tokens fall back to the whole text as a single shingle.
+    */
+  def shingles(textCol: Column, n: Int = 3): Column = {
+    val toks = split(textCol, " ")
+    val starts = sequence(lit(0), size(toks) - n)
+    val sh = transform(starts, i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))
+    when(size(toks) >= n, array_distinct(sh)).otherwise(array(textCol))
+  }
+
+  /** MinHash signature columns `h0..h{numHashes-1}`: per document, the min
+    * xxhash64 of each (shingle, seed) pair. One explode + one keyed shuffle
+    * with map-side partial min.
+    */
+  def minHashSignatures(
+      df: DataFrame,
+      idCol: String,
+      shinglesCol: Column,
+      numHashes: Int = 128
+  ): DataFrame = {
+    val ex = df.select(col(idCol), explode(shinglesCol).as("__shingle"))
+    val aggs = (0 until numHashes).map(s => min(xxhash64(col("__shingle"), lit(s))).as(s"h$s"))
+    ex.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH candidate pairs from a signature frame: band the signature
+    * (`bands` x `rowsPerBand` = numHashes), hash each band, and self-join on
+    * (band index, band hash). Output: (`id_a`, `id_b`) with id_a < id_b,
+    * distinct. The join shuffles on the band hash — bucket-local work only.
+    */
+  def lshCandidatePairs(
+      signatures: DataFrame,
+      idCol: String,
+      bands: Int,
+      rowsPerBand: Int
+  ): DataFrame = {
+    val bandHashes = (0 until bands).map { b =>
+      xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i")): _*)
+    }
+    val banded = signatures
+      .select(col(idCol), posexplode(array(bandHashes: _*)).as(Seq("__band", "__bh")))
+    val a = banded.select(col("__band"), col("__bh"), col(idCol).as("id_a"))
+    val b = banded.select(col("__band"), col("__bh"), col(idCol).as("id_b"))
+    a.join(b, Seq("__band", "__bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** Near-duplicate pairs: MinHash-LSH candidates verified by EXACT Jaccard
+    * over the shingle sets, emitted as integer intersection/union sizes with
+    * the threshold applied as a rational comparison
+    * (`tauDen * |A∩B| >= tauNum * |A∪B|`) — no float in the result, so the
+    * output is engine-exact and oracle-checkable.
+    *
+    * Defaults: 128 hashes as 32 bands x 4 rows, tau = 1/2. For J >= 0.9 true
+    * pairs the miss probability is (1 - 0.9^4)^32 ≈ 1.5e-15 — the LSH
+    * output equals the exact all-pairs answer in any realistic run, at
+    * bucket-join cost instead of O(n²).
+    */
+  def nearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      tauNum: Int = 1,
+      tauDen: Int = 2
+  ): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val withShingles = df.select(col(idCol), shingles(col(textCol), shingleN).as("__shingles"))
+    val sigs = minHashSignatures(withShingles, idCol, col("__shingles"), numHashes)
+    val cands = lshCandidatePairs(sigs, idCol, bands, numHashes / bands)
+    val sh = withShingles.select(col(idCol), col("__shingles"))
+    cands
+      .join(sh.select(col(idCol).as("id_a"), col("__shingles").as("__sa")), Seq("id_a"))
+      .join(sh.select(col(idCol).as("id_b"), col("__shingles").as("__sb")), Seq("id_b"))
+      .withColumn("inter_cnt", size(array_intersect(col("__sa"), col("__sb"))))
+      .withColumn("union_cnt", size(col("__sa")) + size(col("__sb")) - col("inter_cnt"))
+      .filter(col("inter_cnt") * tauDen >= col("union_cnt") * tauNum)
+      .select("id_a", "id_b", "inter_cnt", "union_cnt")
+  }
+
+  /** 64-bit SimHash signature per document: per token-hash bit, majority
+    * vote across tokens. Returns (`idCol`, `simhash`).
+    */
+  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ex = df.select(col(idCol), explode(split(col(textCol), " ")).as("__tok"))
+      .withColumn("__h", xxhash64(col("__tok")))
+    val voteAggs = (0 until 64).map { i =>
+      sum(when(shiftright(col("__h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$i")
+    }
+    val votes = ex.groupBy(col(idCol)).agg(voteAggs.head, voteAggs.tail: _*)
+    val sig = (0 until 64)
+      .map(i => when(col(s"v$i") >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+      .reduce(_.bitwiseOR(_))
+    votes.select(col(idCol), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with hamming distance <= maxHamming (<= 3 for
+    * the 4x16-bit chunk bucketing to be exhaustive by pigeonhole). Candidate
+    * generation shuffles on 16-bit chunk values — never all-pairs.
+    */
+  def simHashNearDupPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-chunk bucketing is only exhaustive for hamming <= 3")
+    val sig = simHash(df, idCol, textCol)
+    val chunks = (0 until 4).map(i => shiftright(col("simhash"), i * 16).bitwiseAND(0xffffL))
+    val banded = sig.select(col(idCol), col("simhash"), posexplode(array(chunks: _*)).as(Seq("__chunk", "__cv")))
+    val a = banded.select(col("__chunk"), col("__cv"), col(idCol).as("id_a"), col("simhash").as("__ha"))
+    val b = banded.select(col("__chunk"), col("__cv"), col(idCol).as("id_b"), col("simhash").as("__hb"))
+    a.join(b, Seq("__chunk", "__cv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), bit_count(col("__ha").bitwiseXOR(col("__hb"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

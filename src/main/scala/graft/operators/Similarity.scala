@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Two tiers, as a 100 TB pipeline needs:
+  *  - [[bruteForceTopK]] — the exact baseline: broadcast the (small) probe
+  *    set against the full vector table. Embarrassingly parallel scan, one
+  *    small shuffle for the per-probe top-k. Exact, oracle-checkable.
+  *  - [[lshTopK]] — the scale path: random-hyperplane LSH buckets the table
+  *    so each probe only scores vectors sharing its signature bucket.
+  *    Approximate (recall < 1), sub-linear per probe.
+  *
+  * All arithmetic runs in double precision via codegen'd higher-order
+  * functions (`zip_with` + `aggregate`) — no UDFs, no collect.
+  */
+object Similarity {
+
+  /** Cast an array<float> column to array<double> (all similarity math runs
+    * in doubles so results are stable and engine-comparable). */
+  def asDouble(v: Column): Column = transform(v, _.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k cosine neighbors for every probe row.
+    *
+    * @param vectors  (id, vec float array) table — arbitrarily large
+    * @param probes   (id, vec) — small enough to broadcast
+    * @return (probe_id, nbr_id, rnk, cos_sim) with rnk 1..k by descending
+    *         similarity, id-tiebroken
+    */
+  def bruteForceTopK(
+      vectors: DataFrame,
+      vectorId: String,
+      vectorCol: String,
+      probes: DataFrame,
+      probeId: String,
+      probeCol: String,
+      k: Int
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = vectors.select(col(vectorId).as("nbr_id"), asDouble(col(vectorCol)).as("__v"))
+    val p = probes.select(col(probeId).as("probe_id"), asDouble(col(probeCol)).as("__p"))
+    val scored = v
+      .crossJoin(broadcast(p))
+      .filter(col("nbr_id") =!= col("probe_id"))
+      .withColumn("__sim", cosine(col("__p"), col("__v")))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("__sim").desc, col("nbr_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("rnk"), col("nbr_id"), round(col("__sim"), 4).as("cos_sim"))
+  }
+
+  /** Deterministic pseudo-random unit-ish hyperplanes for sign-LSH: plane
+    * `j` component `d` is a fixed hash-derived value in [-1, 1). Stable
+    * across JVMs/machines (no RNG state).
+    */
+  private def planeComponent(j: Int, d: Int): Double = {
+    // splitmix64-style mix of (j, d) — public-domain constant mixing
+    var z = j.toLong * 0x9e3779b97f4a7c15L + d.toLong * 0xbf58476d1ce4e5b9L + 0x94d049bb133111ebL
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z = z ^ (z >>> 31)
+    (z >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+  }
+
+  /** Sign-LSH bucket signature: bit j = sign(v · plane_j). */
+  def lshSignature(vec: Column, dim: Int, nBits: Int): Column = {
+    val bits = (0 until nBits).map { j =>
+      val d = (0 until dim)
+        .map(i => element_at(vec, i + 1) * lit(planeComponent(j, i)))
+        .reduce(_ + _)
+      when(d >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }
+    bits.reduce(_.bitwiseOR(_))
+  }
+
+  /** Approximate top-k: score only vectors in the probe's LSH bucket.
+    * Shuffles on the bucket signature — per-probe work is bucket-sized, not
+    * table-sized. Recall improves with fewer bits (bigger buckets); this is
+    * the knob a 100 TB deployment tunes. Falls back to fewer than k results
+    * for probes in sparse buckets (standard ANN behavior).
+    */
+  def lshTopK(
+      vectors: DataFrame,
+      vectorId: String,
+      vectorCol: String,
+      probes: DataFrame,
+      probeId: String,
+      probeCol: String,
+      k: Int,
+      dim: Int,
+      nBits: Int = 12
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = vectors.select(col(vectorId).as("nbr_id"), asDouble(col(vectorCol)).as("__v"))
+      .withColumn("__bucket", lshSignature(col("__v"), dim, nBits))
+    val p = probes.select(col(probeId).as("probe_id"), asDouble(col(probeCol)).as("__p"))
+      .withColumn("__bucket", lshSignature(col("__p"), dim, nBits))
+    val scored = v
+      .join(broadcast(p), Seq("__bucket"))
+      .filter(col("nbr_id") =!= col("probe_id"))
+      .withColumn("__sim", cosine(col("__p"), col("__v")))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("__sim").desc, col("nbr_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("rnk"), col("nbr_id"), round(col("__sim"), 4).as("cos_sim"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a similarity threshold.
+    * Exact over all pairs below `maxIdForExact` table sizes it is meant for
+    * oracle checking; the scale path is the same computation restricted to
+    * LSH buckets (see [[lshTopK]]).
+    */
+  def cosineNearDupPairs(
+      vectors: DataFrame,
+      vectorId: String,
+      vectorCol: String,
+      threshold: Double
+  ): DataFrame = {
+    val v = vectors.select(col(vectorId), asDouble(col(vectorCol)).as("__v"))
+    val a = v.select(col(vectorId).as("id_a"), col("__v").as("__va"))
+    val b = v.select(col(vectorId).as("id_b"), col("__v").as("__vb"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("__sim", cosine(col("__va"), col("__vb")))
+      .filter(round(col("__sim"), 6) >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("__sim"), 4).as("cos_sim"))
+  }
+}

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: token statistics,
+  * quality scoring, stopword-profile language scoring, and document
+  * fingerprinting. All pure, codegen'd column expressions — no UDFs — so
+  * they run at scan speed and their results are engine-exact (integer and
+  * exactly-representable arithmetic wherever a ratio is emitted).
+  */
+object TextAnalysis {
+
+  def tokens(textCol: Column): Column = split(textCol, " ")
+
+  /** Language stopword profiles for the heuristic scorer. Tiny on purpose —
+    * profiles broadcast as literals into the expression. */
+  val stopwordProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "de", "y", "es")
+  )
+
+  private def hitCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => words.map(w => t === w).reduce(_ || _)))
+
+  /** Per-document quality metrics:
+    * token_cnt, distinct_cnt, avg_token_len, stop_ratio, distinct_ratio.
+    * Ratios are double divisions of small exact integers — bit-identical in
+    * any IEEE engine.
+    */
+  def qualityMetrics(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val cnt = size(toks)
+    val charSum = aggregate(transform(toks, t => length(t)), lit(0), _ + _)
+    val stops = hitCount(toks, stopwordProfiles("en"))
+    df.select(
+      col(idCol),
+      cnt.as("token_cnt"),
+      size(array_distinct(toks)).as("distinct_cnt"),
+      (charSum.cast("double") / cnt.cast("double")).as("avg_token_len"),
+      (stops.cast("double") / cnt.cast("double")).as("stop_ratio"),
+      (size(array_distinct(toks)).cast("double") / cnt.cast("double")).as("distinct_ratio"))
+  }
+
+  /** Stopword-profile language scores + argmax (alphabetical tiebreak on
+    * equal hit counts — deterministic). Emits integer hit counts so the
+    * result is engine-exact.
+    */
+  def languageScores(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val hits = stopwordProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+      lang -> hitCount(toks, words)
+    }
+    val detected = hits.foldLeft((lit(""), lit(-1))) { case ((bestLang, bestHits), (lang, h)) =>
+      (when(h > bestHits, lit(lang)).otherwise(bestLang), when(h > bestHits, h).otherwise(bestHits))
+    }._1
+    df.select(
+      Seq(col(idCol)) ++ hits.map { case (lang, h) => h.as(s"${lang}_hits") } :+ detected.as("detected"): _*)
+  }
+
+  /** Token counting two ways: whitespace tokens and BPE-ish subword chunks
+    * (runs of 1-4 letters / digits via regexp) — the standard cheap proxy
+    * for LLM token budgeting.
+    */
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      size(tokens(col(textCol))).as("ws_tokens"),
+      size(regexp_extract_all(col(textCol), lit("[a-z]{1,4}|[0-9]{1,4}"), lit(0))).as("subword_tokens"))
+
+  /** Document fingerprints:
+    *  - `fp_rolling`: order-sensitive polynomial rolling hash over tokens,
+    *    mod 1e9+7 (token -> 24-bit md5 prefix; acc*131+h — bounded, never
+    *    overflows, portable integer arithmetic);
+    *  - `fp_md5`: exact content fingerprint.
+    */
+  def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val tokHash = (t: Column) => conv(substring(md5(t), 1, 6), 16, 10).cast("long")
+    val rolling = aggregate(toks, lit(0L), (acc, t) => (acc * 131L + tokHash(t)) % 1000000007L)
+    df.select(
+      col(idCol),
+      rolling.as("fp_rolling"),
+      md5(col(textCol)).as("fp_md5"))
+  }
+}

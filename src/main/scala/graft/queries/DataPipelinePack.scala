@@ -1,0 +1,174 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline operators over `documents` and `embeddings`:
+  * dedup (exact, MinHash-LSH, SimHash), similarity search (exact brute-force
+  * + LSH-bucketed ANN), and text analysis. Oracle-checkable entries emit
+  * integer counts or exactly-representable doubles; the intrinsically
+  * approximate ops (SimHash pairs, LSH ANN) have no SQL oracle and take the
+  * driver's rows-only check.
+  */
+object DataPipelinePack extends QueryPack {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup via ONE hash shuffle (groupBy key, min/count partial aggs).
+    "q24_dedup_exact" -> ((s, d) => {
+      Dedup.exactGroups(Tables.documents(s, d), "text", "doc_id")
+        .select(col("keep_id"), col("copies"))
+        .orderBy(col("keep_id"))
+    }),
+
+    // MinHash(128) -> LSH(32x4) -> exact-Jaccard verify; integer counts out.
+    "q25_dedup_near" -> ((s, d) => {
+      Dedup.nearDupPairs(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Exact ANN baseline: top-5 cosine neighbors of probes vec_id < 10.
+    "q26_ann_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(
+        vectors = e, vectorId = "vec_id", vectorCol = "embedding",
+        probes = e.filter(col("vec_id") < 10), probeId = "vec_id", probeCol = "embedding",
+        k = 5)
+        .orderBy(col("probe_id"), col("rnk"))
+    }),
+
+    // Per-document quality metrics (integer counts + exact ratios).
+    "q27_text_quality" -> ((s, d) => {
+      TextAnalysis.qualityMetrics(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Stopword-profile language scoring with deterministic argmax.
+    "q28_lang_id" -> ((s, d) => {
+      TextAnalysis.languageScores(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Whitespace + BPE-ish subword token counting.
+    "q29_token_counts" -> ((s, d) => {
+      TextAnalysis.tokenCounts(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Order-sensitive rolling-hash + md5 content fingerprints.
+    "q30_fingerprint" -> ((s, d) => {
+      TextAnalysis.fingerprints(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Embedding-cosine near-dup pairs (exact; low threshold — the corpus has
+    // no high-cosine planted pairs).
+    "q31_cosine_pairs" -> ((s, d) => {
+      Similarity.cosineNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding", 0.3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // SimHash near-dup (approximate family; rows-only check).
+    "q32_dedup_simhash" -> ((s, d) => {
+      Dedup.simHashNearDupPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // LSH-bucketed ANN (approximate scale path; rows-only check).
+    "q33_ann_lsh" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.lshTopK(
+        vectors = e, vectorId = "vec_id", vectorCol = "embedding",
+        probes = e.filter(col("vec_id") < 10), probeId = "vec_id", probeCol = "embedding",
+        k = 5, dim = 64, nBits = 8)
+        .orderBy(col("probe_id"), col("rnk"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q24_dedup_exact" -> """
+      SELECT min(doc_id) AS keep_id, count(*) AS copies
+      FROM documents GROUP BY text ORDER BY keep_id""",
+
+    // Exact all-pairs Jaccard over distinct 3-gram shingles: feasible at
+    // sf0.01 (500 docs); the Spark side must produce the identical set via
+    // LSH bucketing + verification.
+    "q25_dedup_near" -> """
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      sh AS (
+        SELECT doc_id,
+               CASE WHEN len(w) >= 3
+                    THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])
+                    ELSE [array_to_string(w, ' ')] END AS s
+        FROM toks),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               len(list_intersect(a.s, b.s)) AS inter_cnt,
+               len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS union_cnt
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      SELECT id_a, id_b,
+             CAST(inter_cnt AS INTEGER) AS inter_cnt,
+             CAST(union_cnt AS INTEGER) AS union_cnt
+      FROM pairs WHERE 2 * inter_cnt >= union_cnt
+      ORDER BY id_a, id_b""",
+
+    "q26_ann_topk" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 10),
+      s AS (SELECT probe_id, e.vec_id AS nbr_id, list_cosine_similarity(pv, e.v) AS sim
+            FROM p CROSS JOIN e WHERE e.vec_id != probe_id),
+      r AS (SELECT probe_id, nbr_id, sim,
+                   row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, nbr_id) AS rnk
+            FROM s)
+      SELECT probe_id, CAST(rnk AS INTEGER) AS rnk, nbr_id, round(sim, 4) AS cos_sim
+      FROM r WHERE rnk <= 5 ORDER BY probe_id, rnk""",
+
+    "q27_text_quality" -> """
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      SELECT doc_id,
+             CAST(len(w) AS INTEGER) AS token_cnt,
+             CAST(len(list_distinct(w)) AS INTEGER) AS distinct_cnt,
+             CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS avg_token_len,
+             CAST(len(list_filter(w, x -> x IN ('the','a','of','and','is'))) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS stop_ratio,
+             CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS distinct_ratio
+      FROM t ORDER BY doc_id""",
+
+    "q28_lang_id" -> """
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      h AS (SELECT doc_id,
+                   CAST(len(list_filter(w, x -> x IN ('der','die','das','und','ist'))) AS INTEGER) AS de_hits,
+                   CAST(len(list_filter(w, x -> x IN ('the','a','of','and','is'))) AS INTEGER) AS en_hits,
+                   CAST(len(list_filter(w, x -> x IN ('el','la','de','y','es'))) AS INTEGER) AS es_hits
+            FROM t)
+      SELECT doc_id, de_hits, en_hits, es_hits,
+             CASE WHEN de_hits >= en_hits AND de_hits >= es_hits THEN 'de'
+                  WHEN en_hits >= es_hits THEN 'en'
+                  ELSE 'es' END AS detected
+      FROM h ORDER BY doc_id""",
+
+    "q29_token_counts" -> """
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+             CAST(len(regexp_extract_all(text, '[a-z]{1,4}|[0-9]{1,4}')) AS INTEGER) AS subword_tokens
+      FROM documents ORDER BY doc_id""",
+
+    "q30_fingerprint" -> """
+      WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+      SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(w, x -> CAST(concat('0x', substring(md5(x), 1, 6)) AS BIGINT))),
+               (acc, h) -> (acc * 131 + h) % 1000000007) AS fp_rolling,
+             md5(text) AS fp_md5
+      FROM t ORDER BY doc_id""",
+
+    "q31_cosine_pairs" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.3
+      ORDER BY id_a, id_b"""
+  )
+}

@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    (3L, "completely different content entirely here now"),
+    (4L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (5L, "hi")                                           // shorter than shingle n
+  ).toDF("doc_id", "text")
+
+  test("exactGroups keeps lowest id and counts copies") {
+    val g = Dedup.exactGroups(docs, "text", "doc_id")
+      .orderBy("keep_id").select("keep_id", "copies").as[(Long, Long)].collect()
+    assert(g.toSeq == Seq((1L, 2L), (2L, 1L), (3L, 1L), (5L, 1L)))
+  }
+
+  test("exactKeepFirst drops only the non-keeper duplicates") {
+    val kept = Dedup.exactKeepFirst(docs, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 2L, 3L, 5L))
+  }
+
+  test("shingles: n-gram sets, whole-text fallback for short docs") {
+    val sh = docs.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("s"))
+      .orderBy("doc_id").as[(Long, Seq[String])].collect().toMap
+    assert(sh(1L).contains("the quick brown"))
+    assert(sh(1L).size == 7) // 9 tokens -> 7 trigrams, all distinct
+    assert(sh(5L) == Seq("hi"))
+  }
+
+  test("nearDupPairs finds the near-dup and the exact dup, not the unrelated doc") {
+    val pairs = Dedup.nearDupPairs(docs, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L))) // exact dup: jaccard 1
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 4L))) // near-dup
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("simHash is deterministic and identical for identical text") {
+    val s1 = Dedup.simHash(docs, "doc_id", "text").orderBy("doc_id").as[(Long, Long)].collect()
+    val s2 = Dedup.simHash(docs, "doc_id", "text").orderBy("doc_id").as[(Long, Long)].collect()
+    assert(s1.toSeq == s2.toSeq)
+    val m = s1.toMap
+    assert(m(1L) == m(4L)) // identical text, identical signature
+  }
+
+  test("simHashNearDupPairs: identical docs at hamming 0; respects threshold") {
+    val pairs = Dedup.simHashNearDupPairs(docs, "doc_id", "text", maxHamming = 3)
+      .as[(Long, Long, Int)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs((1L, 4L)) == 0)
+  }
+
+  private lazy val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)),
+    (2L, Array(0.0f, 1.0f, 0.0f)),
+    (3L, Array(-1.0f, 0.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("bruteForceTopK ranks by cosine with id tiebreak") {
+    val res = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+      vecs.filter(col("vec_id") === 0), "vec_id", "embedding", k = 3)
+      .orderBy("rnk").select("nbr_id").as[Long].collect()
+    assert(res.toSeq == Seq(1L, 2L, 3L)) // 0.994, 0.0, -1.0
+  }
+
+  test("cosine of identical vectors is 1, opposite is -1") {
+    val row = vecs.filter(col("vec_id") === 0)
+      .select(
+        Similarity.cosine(Similarity.asDouble(col("embedding")), Similarity.asDouble(col("embedding"))).as("same"))
+      .as[Double].head()
+    assert(math.abs(row - 1.0) < 1e-12)
+  }
+
+  test("lshTopK results are a subset of brute-force rankings for the same probe") {
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val probes = e.filter(col("vec_id") < 3)
+    val brute = Similarity.bruteForceTopK(e, "vec_id", "embedding", probes, "vec_id", "embedding", 1000)
+      .select("probe_id", "nbr_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(e, "vec_id", "embedding", probes, "vec_id", "embedding", 5, dim = 64, nBits = 4)
+      .select("probe_id", "nbr_id").as[(Long, Long)].collect().toSet
+    assert(lsh.nonEmpty)
+    assert(lsh.subsetOf(brute))
+  }
+}
