@@ -1,0 +1,98 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** The Structured Streaming surface: watermarked event-time windows, late
+  * data handling, streaming dedup, and arbitrary keyed state.
+  *
+  * The reference's streaming constructs map onto these directly
+  * (SURVEY.md §2.2): its `lag` clamp = `withWatermark` delay, its tumbling
+  * source windows = `window()`, its user `stateFold` = the keyed-state
+  * update function in [[runningAggregate]]. All aggregations here are
+  * partial-then-final over the watermark-bounded state store — the shape
+  * that scales: state per (key, window), pruned as the watermark passes.
+  */
+object Streams {
+
+  /** Tumbling event-time counts with late-data tolerance `watermarkDelay`:
+    * rows later than the watermark are dropped, windows finalize (and in
+    * Append mode emit) once the watermark passes their end.
+    */
+  def tumblingCounts(
+      df: DataFrame,
+      tsCol: String,
+      windowLength: String,
+      watermarkDelay: String,
+      keyCols: Column*
+  ): DataFrame =
+    df.withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowLength) +: keyCols: _*)
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("bucket") +: keyCols :+ col("cnt"): _*)
+
+  /** Sliding-window variant (windowLength, slide). */
+  def slidingCounts(
+      df: DataFrame,
+      tsCol: String,
+      windowLength: String,
+      slide: String,
+      watermarkDelay: String,
+      keyCols: Column*
+  ): DataFrame =
+    df.withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowLength, slide) +: keyCols: _*)
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("bucket") +: keyCols :+ col("cnt"): _*)
+
+  /** Session windows with a dynamic gap: a session closes after `gap` of
+    * key-silence; watermark bounds the state. */
+  def sessionCounts(
+      df: DataFrame,
+      tsCol: String,
+      gap: String,
+      watermarkDelay: String,
+      keyCols: Column*
+  ): DataFrame =
+    df.withWatermark(tsCol, watermarkDelay)
+      .groupBy(session_window(col(tsCol), gap) +: keyCols: _*)
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("session_window.start").as("session_start") +: keyCols :+ col("cnt"): _*)
+
+  /** Streaming dedup bounded by the watermark: duplicates arriving within
+    * the watermark horizon are dropped; state for keys older than the
+    * watermark is pruned (the only dedup that survives an unbounded
+    * stream). */
+  def dedupWithinWatermark(
+      df: DataFrame,
+      tsCol: String,
+      watermarkDelay: String,
+      keyCols: String*
+  ): DataFrame =
+    df.withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols.toSeq)
+
+  /** Arbitrary keyed running state — the streaming form of the reference's
+    * user `stateFold` (tamer `db/.../DbSetup.scala:39`): per key, fold each
+    * micro-batch's values into carried state with `mapGroupsWithState`.
+    * Emits (key, runningCount, runningSum) per update.
+    */
+  def runningAggregate(ds: Dataset[(String, Long)]): Dataset[(String, Long, Long)] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long), (String, Long, Long)](GroupStateTimeout.NoTimeout) {
+        case (key, values, state: GroupState[(Long, Long)]) =>
+          val (prevCnt, prevSum) = state.getOption.getOrElse((0L, 0L))
+          val batch = values.map(_._2).toSeq
+          val next = (prevCnt + batch.size, prevSum + batch.sum)
+          state.update(next)
+          (key, next._1, next._2)
+      }
+  }
+
+  /** Output mode guidance: Append for finalized-window sinks (files),
+    * Update for upsert-capable sinks. */
+  val appendMode: OutputMode = OutputMode.Append()
+  val updateMode: OutputMode = OutputMode.Update()
+}

@@ -1,0 +1,115 @@
+package graft.streaming
+
+import graft.TestSpark
+import graft.sinks.ExactlyOnceParquetWriter
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structured-streaming semantics through real StreamingQuery executions
+  * over MemoryStream: watermark window finalization, late-data drop,
+  * streaming dedup, keyed running state, and exactly-once foreachBatch.
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("tumbling watermark windows finalize in append mode and drop late rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val counts = Streams.tumblingCounts(
+      input.toDF.toDF("ts", "k"), "ts", "10 minutes", "5 minutes", col("k"))
+    val q = counts.writeStream.format("memory").queryName("tumbling_sink")
+      .outputMode("append").start()
+    try {
+      input.addData((ts("2026-01-01 10:01:00"), "a"), (ts("2026-01-01 10:02:00"), "a"))
+      q.processAllAvailable()
+      // window [10:00,10:10) not finalized yet -> nothing emitted
+      assert(spark.table("tumbling_sink").count() == 0)
+      // advance watermark beyond 10:10 + 5m delay
+      input.addData((ts("2026-01-01 10:20:00"), "b"))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling_sink").as[(Timestamp, String, Long)].collect().toSet
+      assert(rows == Set((ts("2026-01-01 10:00:00"), "a", 2L)))
+      // a late row behind the watermark must NOT resurrect the closed window
+      input.addData((ts("2026-01-01 10:03:00"), "a"))
+      input.addData((ts("2026-01-01 10:40:00"), "c")) // push watermark further
+      q.processAllAvailable()
+      val after = spark.table("tumbling_sink").as[(Timestamp, String, Long)].collect().toSet
+      assert(!after.exists { case (b, k, c) => b == ts("2026-01-01 10:00:00") && k == "a" && c != 2L })
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark removes in-horizon duplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val dedup = Streams.dedupWithinWatermark(
+      input.toDF.toDF("ts", "id"), "ts", "10 minutes", "id")
+    val q = dedup.writeStream.format("memory").queryName("dedup_sink")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (ts("2026-01-01 10:00:00"), "x"),
+        (ts("2026-01-01 10:01:00"), "x"), // dup within horizon
+        (ts("2026-01-01 10:02:00"), "y"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_sink").select("id").as[String].collect().toSeq
+      assert(ids.sorted == Seq("x", "y"))
+    } finally q.stop()
+  }
+
+  test("runningAggregate carries keyed state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val agg = Streams.runningAggregate(input.toDS())
+    val q = agg.toDF("k", "cnt", "sum").writeStream.format("memory")
+      .queryName("state_sink").outputMode("update").start()
+    try {
+      input.addData(("u1", 10L), ("u1", 5L), ("u2", 1L))
+      q.processAllAvailable()
+      input.addData(("u1", 1L))
+      q.processAllAvailable()
+      val latest = spark.table("state_sink").as[(String, Long, Long)].collect()
+        .groupBy(_._1).map { case (k, rows) => k -> rows.maxBy(_._2) }
+      assert(latest("u1") == (("u1", 3L, 16L))) // state carried: 2+1 rows, 15+1 sum
+      assert(latest("u2") == (("u2", 1L, 1L)))
+    } finally q.stop()
+  }
+
+  test("exactly-once writer: replayed batch id is skipped, partial write is overwritten") {
+    val dir = Files.createTempDirectory("graft-eo").toString
+    val w = new ExactlyOnceParquetWriter(dir)
+    val a = Seq(1, 2, 3).toDF("n")
+    val b = Seq(99).toDF("n")
+    w.write(a, 0)
+    w.write(b, 0) // replay with different data: must be ignored
+    assert(spark.read.parquet(s"$dir/batch=0").as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
+    // crash-before-commit: data present, no marker -> rewrite wins
+    b.write.mode("overwrite").parquet(s"$dir/batch=1")
+    w.write(a, 1)
+    assert(spark.read.parquet(s"$dir/batch=1").as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
+  }
+
+  test("exactly-once writer behind a real foreachBatch streaming query") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-eo-stream").toString
+    val w = new ExactlyOnceParquetWriter(dir)
+    val input = MemoryStream[Int]
+    val q = input.toDF.writeStream
+      .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) => w.write(df, id))
+      .option("checkpointLocation", s"$dir/_ckpt")
+      .start()
+    try {
+      input.addData(1, 2, 3)
+      q.processAllAvailable()
+      input.addData(4, 5)
+      q.processAllAvailable()
+      val all = spark.read.parquet(s"$dir/batch=*").as[Int].collect().sorted.toSeq
+      assert(all == Seq(1, 2, 3, 4, 5))
+    } finally q.stop()
+  }
+}
