@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column operators: image/audio/video travel as opaque `binary`
+  * columns with typed metadata, processed per-partition so content bytes
+  * stream executor-side and never visit the driver.
+  *
+  * The actual media codecs are STUBBED (this container ships no image/audio
+  * libraries): every `decode*` below derives a deterministic fake from the
+  * bytes. The Spark-side contract — schema, per-partition batch shape,
+  * partition preservation, explode semantics — is real and tested; swapping
+  * the stub body for an actual decoder (JavaCV, TwelveMonkeys, ...) changes
+  * no plumbing.
+  *
+  * Pattern parity: this is the JVM analog of PySpark `mapInPandas` — batch
+  * iterator in, batch iterator out, schema declared up front.
+  */
+object Multimodal {
+
+  /** Canonical media schema: id + mime + opaque bytes + typed metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("mime", StringType, nullable = false),
+    StructField("content", BinaryType, nullable = false),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("duration_ms", LongType, nullable = true))), nullable = true)
+  ))
+
+  // ----- STUB decode kernels (deterministic fakes of the codec calls) -------
+
+  /** STUB: a real implementation decodes the image and runs a vision
+    * encoder. The fake derives `dim` floats in [-1,1) from rolling FNV-1a
+    * over the bytes — deterministic, content-sensitive, shape-correct. */
+  private def fakeEmbed(bytes: Array[Byte], dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) { h = (h ^ (bytes(i) & 0xffL)) * 0x100000001b3L; i += 1 }
+    var d = 0
+    while (d < dim) {
+      h = (h ^ (h >>> 27)) * 0x94d049bb133111ebL + d
+      out(d) = ((h >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0).toFloat
+      d += 1
+    }
+    out
+  }
+
+  /** STUB: a real implementation re-encodes pixels; the fake truncates /
+    * cycles bytes to a size proportional to the target box. */
+  private def fakeResize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val target = math.max(1, math.min(bytes.length, w * h / 64))
+    java.util.Arrays.copyOf(bytes, target)
+  }
+
+  // ----- Spark-side plumbing (real) -----------------------------------------
+
+  /** Per-row feature extraction over the binary column, batch-shaped via
+    * `mapPartitions`: one iterator per partition, no driver round-trip, no
+    * shuffle (narrow dependency — partitioning is preserved).
+    * Output: (media_id, features array<float>).
+    */
+  def extractFeatures(media: DataFrame, dim: Int = 64): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    media.select(col("media_id"), col("content"))
+      .mapPartitions { rows =>
+        rows.map { r => Row(r.getLong(0), fakeEmbed(r.getAs[Array[Byte]](1), dim).toSeq) }
+      }(enc)
+  }
+
+  /** Resize: new content bytes + updated metadata, per partition. Keeps the
+    * full media schema so resize composes with further ops. */
+  def resize(media: DataFrame, width: Int, height: Int): DataFrame = {
+    val enc = RowEncoder.encoderFor(mediaSchema)
+    media.select(col("media_id"), col("mime"), col("content"), col("meta"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val resized = fakeResize(r.getAs[Array[Byte]](2), width, height)
+          val oldMeta = r.getAs[Row](3)
+          val duration = if (oldMeta == null) null else oldMeta.get(2)
+          Row(r.getLong(0), r.getString(1), resized, Row(width, height, duration))
+        }
+      }(enc)
+  }
+
+  /** Frame sampling: one row per sampled frame (media_id, frame_idx,
+    * frame binary). STUB slices the byte stream into `n` even chunks; a real
+    * implementation seeks keyframes. flatMap-shaped explode — rows fan out
+    * executor-side. */
+  def sampleFrames(media: DataFrame, n: Int): DataFrame = {
+    require(n > 0, "frame count must be positive")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("frame", BinaryType, nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    media.select(col("media_id"), col("content"))
+      .flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        val stride = math.max(1, bytes.length / n)
+        (0 until n).iterator.map { i =>
+          val from = math.min(i * stride, bytes.length)
+          val until = if (i == n - 1) bytes.length else math.min((i + 1) * stride, bytes.length)
+          Row(r.getLong(0), i, java.util.Arrays.copyOfRange(bytes, from, until))
+        }
+      }(enc)
+  }
+
+  /** Features straight into the similarity operators: media -> embedding
+    * table ready for [[Similarity.bruteForceTopK]] / [[Similarity.lshTopK]].
+    */
+  def asEmbeddingTable(media: DataFrame, dim: Int = 64): DataFrame =
+    extractFeatures(media, dim).withColumnRenamed("media_id", "vec_id").withColumnRenamed("features", "embedding")
+}

@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def mediaDF = {
+    val rows = Seq(
+      Row(1L, "image/png", Array.tabulate[Byte](256)(_.toByte), Row(16, 16, null)),
+      Row(2L, "image/png", Array.tabulate[Byte](64)(i => (i * 3).toByte), Row(8, 8, null)),
+      Row(3L, "video/mp4", Array.tabulate[Byte](1000)(i => (i % 251).toByte), Row(64, 48, 2000L)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), Multimodal.mediaSchema)
+  }
+
+  test("extractFeatures: declared schema, fixed dim, deterministic, content-sensitive") {
+    val f1 = Multimodal.extractFeatures(mediaDF, dim = 32).orderBy("media_id").collect()
+    val f2 = Multimodal.extractFeatures(mediaDF, dim = 32).orderBy("media_id").collect()
+    assert(f1.map(_.getSeq[Float](1)).forall(_.size == 32))
+    assert(f1.map(_.getSeq[Float](1).toList).toSeq == f2.map(_.getSeq[Float](1).toList).toSeq) // deterministic
+    assert(f1(0).getSeq[Float](1) != f1(1).getSeq[Float](1)) // different content -> different features
+    assert(f1.map(_.getSeq[Float](1)).flatten.forall(v => v >= -1f && v < 1f))
+  }
+
+  test("extractFeatures is a narrow transform: partitioning preserved, no shuffle") {
+    val plan = Multimodal.extractFeatures(mediaDF, 8).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+  }
+
+  test("resize keeps the media schema and stamps the new box in meta") {
+    val out = Multimodal.resize(mediaDF, 4, 4).orderBy("media_id").collect()
+    assert(out.map(_.schema).forall(_ == Multimodal.mediaSchema))
+    assert(out.forall(r => r.getAs[Row]("meta").getInt(0) == 4 && r.getAs[Row]("meta").getInt(1) == 4))
+    assert(out.forall(r => r.getAs[Array[Byte]]("content").nonEmpty))
+    // duration carried through for the video row
+    assert(out.find(_.getLong(0) == 3L).get.getAs[Row]("meta").getLong(2) == 2000L)
+  }
+
+  test("sampleFrames explodes to exactly n frames covering all bytes in order") {
+    val frames = Multimodal.sampleFrames(mediaDF.filter(col("media_id") === 3L), 4).orderBy("frame_idx").collect()
+    assert(frames.length == 4)
+    assert(frames.map(_.getInt(1)).toSeq == Seq(0, 1, 2, 3))
+    val rejoined = frames.flatMap(_.getAs[Array[Byte]](2))
+    val original = mediaDF.filter(col("media_id") === 3L).head.getAs[Array[Byte]]("content")
+    assert(rejoined.toSeq == original.toSeq) // lossless chunking
+  }
+
+  test("asEmbeddingTable feeds the similarity operators end-to-end") {
+    val emb = Multimodal.asEmbeddingTable(mediaDF, dim = 16)
+    assert(emb.columns.toSeq == Seq("vec_id", "embedding"))
+    val topk = Similarity.bruteForceTopK(
+      emb, "vec_id", "embedding",
+      emb.filter(col("vec_id") === 1L), "vec_id", "embedding", k = 2)
+      .collect()
+    assert(topk.length == 2)
+    assert(topk.map(_.getAs[Long]("nbr_id")).toSet == Set(2L, 3L))
+  }
+}
