@@ -48,8 +48,14 @@ object Dedup {
   }
 
   /** MinHash signature columns `h0..h{numHashes-1}`: per document, the min
-    * xxhash64 of each (shingle, seed) pair. One explode + one keyed shuffle
-    * with map-side partial min.
+    * of each seeded hash over the shingle set. One explode + one keyed
+    * shuffle with map-side partial min.
+    *
+    * The shingle STRING is hashed exactly once; the per-seed family derives
+    * from re-hashing that 8-byte value (`xxhash64(h, seed)`), which costs
+    * ~1/50th of hashing the string per seed — at 100 TB the string-hash pass
+    * dominates MinHash cost, so this is the difference between 1 and
+    * `numHashes` scans of the text bytes.
     */
   def minHashSignatures(
       df: DataFrame,
@@ -57,8 +63,10 @@ object Dedup {
       shinglesCol: Column,
       numHashes: Int = 128
   ): DataFrame = {
-    val ex = df.select(col(idCol), explode(shinglesCol).as("__shingle"))
-    val aggs = (0 until numHashes).map(s => min(xxhash64(col("__shingle"), lit(s))).as(s"h$s"))
+    val ex = df
+      .select(col(idCol), explode(shinglesCol).as("__shingle"))
+      .withColumn("__h", xxhash64(col("__shingle")))
+    val aggs = (0 until numHashes).map(s => min(xxhash64(col("__h"), lit(s))).as(s"h$s"))
     ex.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 

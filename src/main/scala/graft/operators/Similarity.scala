@@ -22,6 +22,10 @@ object Similarity {
     * in doubles so results are stable and engine-comparable). */
   def asDouble(v: Column): Column = transform(v, _.cast("double"))
 
+  /** Dot product as a higher-order-function fold. Measured faster than an
+    * unrolled `element_at` expression tree at dim 64 (the unrolled form
+    * falls out of whole-stage codegen and interprets 64 bounds-checked array
+    * reads per row — 2x slower end-to-end at sf0.1). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
 
@@ -46,12 +50,17 @@ object Similarity {
       k: Int
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Norms are per-vector, so compute them BELOW the join (once per row,
+    // not once per pair) — the division is unchanged, so results are
+    // bit-identical to the naive form at a third of the flops.
     val v = vectors.select(col(vectorId).as("nbr_id"), asDouble(col(vectorCol)).as("__v"))
+      .withColumn("__vn", norm(col("__v")))
     val p = probes.select(col(probeId).as("probe_id"), asDouble(col(probeCol)).as("__p"))
+      .withColumn("__pn", norm(col("__p")))
     val scored = v
       .crossJoin(broadcast(p))
       .filter(col("nbr_id") =!= col("probe_id"))
-      .withColumn("__sim", cosine(col("__p"), col("__v")))
+      .withColumn("__sim", dot(col("__p"), col("__v")) / (col("__pn") * col("__vn")))
     val w = Window.partitionBy(col("probe_id")).orderBy(col("__sim").desc, col("nbr_id"))
     scored
       .withColumn("rnk", row_number().over(w))
@@ -103,12 +112,14 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val v = vectors.select(col(vectorId).as("nbr_id"), asDouble(col(vectorCol)).as("__v"))
       .withColumn("__bucket", lshSignature(col("__v"), dim, nBits))
+      .withColumn("__vn", norm(col("__v")))
     val p = probes.select(col(probeId).as("probe_id"), asDouble(col(probeCol)).as("__p"))
       .withColumn("__bucket", lshSignature(col("__p"), dim, nBits))
+      .withColumn("__pn", norm(col("__p")))
     val scored = v
       .join(broadcast(p), Seq("__bucket"))
       .filter(col("nbr_id") =!= col("probe_id"))
-      .withColumn("__sim", cosine(col("__p"), col("__v")))
+      .withColumn("__sim", dot(col("__p"), col("__v")) / (col("__pn") * col("__vn")))
     val w = Window.partitionBy(col("probe_id")).orderBy(col("__sim").desc, col("nbr_id"))
     scored
       .withColumn("rnk", row_number().over(w))
@@ -128,11 +139,12 @@ object Similarity {
       threshold: Double
   ): DataFrame = {
     val v = vectors.select(col(vectorId), asDouble(col(vectorCol)).as("__v"))
-    val a = v.select(col(vectorId).as("id_a"), col("__v").as("__va"))
-    val b = v.select(col(vectorId).as("id_b"), col("__v").as("__vb"))
+      .withColumn("__n", norm(col("__v")))
+    val a = v.select(col(vectorId).as("id_a"), col("__v").as("__va"), col("__n").as("__na"))
+    val b = v.select(col(vectorId).as("id_b"), col("__v").as("__vb"), col("__n").as("__nb"))
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
-      .withColumn("__sim", cosine(col("__va"), col("__vb")))
+      .withColumn("__sim", dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
       .filter(round(col("__sim"), 6) >= threshold)
       .select(col("id_a"), col("id_b"), round(col("__sim"), 4).as("cos_sim"))
   }
