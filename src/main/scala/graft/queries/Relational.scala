@@ -252,6 +252,24 @@ object Relational extends QueryPack {
         rightCols = Seq("o_orderkey"))
         .select($"event_id", $"user_id", $"o_orderkey".as("last_orderkey"))
         .orderBy($"event_id")
+    }),
+
+    // Same as-of semantics through the hot-key-safe bucketed variant
+    // (window partitions by (key, 7-day bucket), never by key alone) —
+    // identical oracle as q22 proves the rewrite exact.
+    "q34_asof_bucketed" -> ((s, d) => {
+      val ev = Tables.events(s, d).select($"event_id", $"user_id", $"ts")
+      val ord = Tables.orders(s, d)
+        .groupBy($"o_custkey", $"o_orderdate")
+        .agg(max($"o_orderkey").as("o_orderkey"))
+      AsofJoin.leftAsofBucketed(
+        left = ev, right = ord,
+        leftKeys = Seq("user_id"), rightKeys = Seq("o_custkey"),
+        leftTime = "ts", rightTime = "o_orderdate",
+        rightCols = Seq("o_orderkey"),
+        bucketMicros = 7L * 86400 * 1000000)
+        .select($"event_id", $"user_id", $"o_orderkey".as("last_orderkey"))
+        .orderBy($"event_id")
     })
   )
 
@@ -403,6 +421,14 @@ object Relational extends QueryPack {
       FROM events GROUP BY bucket, event_type ORDER BY bucket, event_type""",
 
     "q22_asof_join" -> """
+      SELECT e.event_id, e.user_id, o.o_orderkey AS last_orderkey
+      FROM events e ASOF LEFT JOIN
+           (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+            FROM orders GROUP BY o_custkey, o_orderdate) o
+        ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+      ORDER BY e.event_id""",
+
+    "q34_asof_bucketed" -> """
       SELECT e.event_id, e.user_id, o.o_orderkey AS last_orderkey
       FROM events e ASOF LEFT JOIN
            (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
