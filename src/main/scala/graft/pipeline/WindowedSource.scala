@@ -57,6 +57,40 @@ object TumblingWindow {
   */
 object WindowedSource {
 
+  /** The reference's flagship source: an incremental tumbling-window pull
+    * over a JDBC table (tamer `db/src/main/scala/tamer/db/DbSetup.scala:
+    * 35-118`, example `example/.../DatabaseSimple.scala:35-39`). The window
+    * predicate is appended to the lazy JDBC relation, so Catalyst ships
+    * `tsCol > ? AND tsCol <= ?` inside the generated WHERE clause — exactly
+    * the windowed SQL the reference interpolates by hand — and `fetchsize`
+    * maps the reference's `fetchChunkSize` (`db/.../config.scala:27`).
+    */
+  def jdbc(
+      name: String,
+      url: String,
+      table: String,
+      tsCol: String,
+      from: Instant,
+      step: Duration,
+      lag: Duration = Duration.ZERO,
+      connectionProperties: java.util.Properties = new java.util.Properties(),
+      fetchSize: Int = 5000,
+      now: () => Instant = () => Instant.now()
+  ): GraftPipeline[Window] = {
+    tumbling(
+      name,
+      relation = { spark =>
+        connectionProperties.setProperty("fetchsize", fetchSize.toString)
+        spark.read.jdbc(url, table, connectionProperties)
+      },
+      tsCol = tsCol,
+      from = from,
+      step = step,
+      lag = lag,
+      now = now,
+      relationRepr = s"jdbc:$url:$table")
+  }
+
   def tumbling(
       name: String,
       relation: SparkSession => DataFrame,
