@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation utilities.
+  *
+  * AQE's skew-join splitting covers joins, but a skewed *aggregation* key
+  * still funnels a hot key's pre-aggregated partials into one reducer. For
+  * decomposable aggregates the classic fix is salting: aggregate on
+  * (key, salt) first — spreading each hot key over `saltBuckets` reducers —
+  * then merge the partials on the key alone. Stage-1 output is
+  * `saltBuckets x |keys|` rows, so stage 2 is trivially small.
+  *
+  * Exactness: partial sums run in DECIMAL, and decimal addition is
+  * associative — the salted plan is bit-equal to the direct aggregation
+  * (verified by q36 sharing its oracle with the unsalted form).
+  */
+object Skew {
+
+  /** Salted exact sum/count aggregation.
+    *
+    * @param keys        grouping key columns
+    * @param sumCols     (alias -> numeric column) exact decimal sums,
+    *                    emitted as double
+    * @param saltSource  high-cardinality column whose hash spreads rows
+    * @param saltBuckets reducers per hot key
+    */
+  def saltedSumCount(
+      df: DataFrame,
+      keys: Seq[Column],
+      sumCols: Seq[(String, Column)],
+      saltSource: Column,
+      saltBuckets: Int = 16
+  ): DataFrame = {
+    require(saltBuckets > 0, "saltBuckets must be positive")
+    val salted = df.withColumn("__salt", pmod(xxhash64(saltSource), lit(saltBuckets)))
+    val partial = salted
+      .groupBy(keys :+ col("__salt"): _*)
+      .agg(
+        count(lit(1)).as("__cnt"),
+        sumCols.map { case (alias, c) => sum(c.cast("decimal(28,4)")).as(s"__sum_$alias") }: _*)
+    partial
+      .groupBy(keys: _*)
+      .agg(
+        sum(col("__cnt")).as("cnt"),
+        sumCols.map { case (alias, _) => sum(col(s"__sum_$alias")).cast("double").as(alias) }: _*)
+  }
+}

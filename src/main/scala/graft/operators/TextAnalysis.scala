@@ -69,6 +69,23 @@ object TextAnalysis {
       size(tokens(col(textCol))).as("ws_tokens"),
       size(regexp_extract_all(col(textCol), lit("[a-z]{1,4}|[0-9]{1,4}"), lit(0))).as("subword_tokens"))
 
+  /** TF-IDF over whitespace tokens: term frequency per (doc, term), document
+    * frequency per term, `tfidf = tf * ln(N / df)`. Two keyed aggregations
+    * and one broadcast-able join on term — no all-pairs anything; at 100 TB
+    * the df table is vocabulary-sized and broadcasts.
+    *
+    * @param totalDocs corpus size N (pass a precomputed count so the plan
+    *                  stays a pure function of its inputs)
+    */
+  def tfidf(df: DataFrame, idCol: String, textCol: String, totalDocs: Long): DataFrame = {
+    val terms = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "term")
+      .withColumn("tfidf", col("tf") * log(lit(totalDocs).cast("double") / col("df").cast("double")))
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("tfidf"))
+  }
+
   /** Document fingerprints:
     *  - `fp_rolling`: order-sensitive polynomial rolling hash over tokens,
     *    mod 1e9+7 (token -> 24-bit md5 prefix; acc*131+h — bounded, never

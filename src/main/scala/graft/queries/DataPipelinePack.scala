@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Similarity, Skew, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -83,6 +83,44 @@ object DataPipelinePack extends QueryPack {
         probes = e.filter(col("vec_id") < 10), probeId = "vec_id", probeCol = "embedding",
         k = 5, dim = 64, nBits = 8)
         .orderBy(col("probe_id"), col("rnk"))
+    }),
+
+    // TF-IDF: top-3 most characteristic terms per document.
+    "q35_tfidf" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val n = docs.count()
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
+      TextAnalysis.tfidf(docs, "doc_id", "text", n)
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("rnk"), col("term"), col("tf"), col("df"),
+          round(col("tfidf"), 4).as("tfidf"))
+        .orderBy(col("doc_id"), col("rnk"))
+    }),
+
+    // Salted aggregation: the skew-proof two-phase plan must be value-equal
+    // to the direct aggregation (the oracle aggregates directly).
+    "q36_salted_agg" -> ((s, d) => {
+      Skew.saltedSumCount(
+        Tables.lineitem(s, d),
+        keys = Seq(col("l_returnflag")),
+        sumCols = Seq("sum_qty" -> col("l_quantity"), "sum_price" -> col("l_extendedprice")),
+        saltSource = col("l_orderkey"),
+        saltBuckets = 16)
+        .select(col("l_returnflag"), col("cnt"), col("sum_qty"), col("sum_price"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Exact interpolated percentiles per group.
+    "q37_percentile" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
+          round(expr("percentile(l_quantity, 0.9)"), 4).as("p90_qty"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50_price"))
+        .orderBy(col("l_returnflag"))
     })
   )
 
@@ -169,6 +207,35 @@ object DataPipelinePack extends QueryPack {
              round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
       FROM e a JOIN e b ON a.vec_id < b.vec_id
       WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.3
-      ORDER BY id_a, id_b"""
+      ORDER BY id_a, id_b""",
+
+    "q35_tfidf" -> """
+      WITH terms AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+      dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+               tf.tf * ln(CAST((SELECT count(*) FROM documents) AS DOUBLE) / CAST(dfreq.df AS DOUBLE)) AS tfidf
+        FROM tf JOIN dfreq USING (term)),
+      ranked AS (
+        SELECT doc_id, term, tf, df, tfidf,
+               row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+        FROM scored)
+      SELECT doc_id, CAST(rnk AS INTEGER) AS rnk, term, tf, df, round(tfidf, 4) AS tfidf
+      FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""",
+
+    "q36_salted_agg" -> """
+      SELECT l_returnflag, count(*) AS cnt,
+             CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sum_price
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q37_percentile" -> """
+      SELECT l_returnflag,
+             round(CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE), 4) AS p50_qty,
+             round(CAST(quantile_cont(l_quantity, 0.9) AS DOUBLE), 4) AS p90_qty,
+             round(CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE), 4) AS p50_price
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
   )
 }
