@@ -32,6 +32,10 @@ object GraftSession {
       // legacy conf. Set once at session build (a loader mutating session conf
       // as a side effect silently changes other reads).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // MinHash signatures are 128-column aggregates; the default
+      // codegen.maxFields=100 would silently drop such stages out of
+      // whole-stage codegen into interpreted row processing.
+      .config("spark.sql.codegen.maxFields", "256")
     master.orElse(sys.env.get("SPARK_GRAFT_MASTER").orElse(Some(s"local[$cpus]")))
       .foldLeft(b)(_ master _)
   }
