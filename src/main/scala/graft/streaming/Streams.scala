@@ -73,6 +73,32 @@ object Streams {
     df.withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols.toSeq)
 
+  /** Stream-stream inner join on a key within an event-time interval:
+    * right rows match left rows with `rightTs` in
+    * `[leftTs - lookback, leftTs]`. Both sides are watermarked so the join
+    * state store is pruned as event time advances — the only stream-stream
+    * join shape that runs unbounded.
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTs: String,
+      rightTs: String,
+      lookback: String,
+      watermarkDelay: String
+  ): DataFrame = {
+    val l = left.withWatermark(leftTs, watermarkDelay)
+    val r = right.withWatermark(rightTs, watermarkDelay)
+    l.join(
+      r,
+      l(keyCol) === r(keyCol) &&
+        r(rightTs) >= l(leftTs) - expr(s"INTERVAL $lookback") &&
+        r(rightTs) <= l(leftTs),
+      "inner")
+      .drop(r(keyCol))
+  }
+
   /** Arbitrary keyed running state — the streaming form of the reference's
     * user `stateFold` (tamer `db/.../DbSetup.scala:39`): per key, fold each
     * micro-batch's values into carried state with `mapGroupsWithState`.

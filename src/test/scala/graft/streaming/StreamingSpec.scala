@@ -80,6 +80,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches within the lookback and prunes state via watermarks") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, String, String)]
+    val imps = MemoryStream[(Timestamp, String, String)]
+    val joined = Streams.intervalJoin(
+      clicks.toDF.toDF("cts", "k", "click"),
+      imps.toDF.toDF("its", "k", "imp"),
+      keyCol = "k", leftTs = "cts", rightTs = "its",
+      lookback = "10 minutes", watermarkDelay = "5 minutes")
+    val q = joined.select("click", "imp").writeStream
+      .format("memory").queryName("join_sink").outputMode("append").start()
+    try {
+      imps.addData((ts("2026-01-01 10:00:00"), "u1", "i1"))
+      imps.addData((ts("2026-01-01 09:40:00"), "u1", "i0")) // outside 10m lookback of the click
+      clicks.addData((ts("2026-01-01 10:05:00"), "u1", "c1"))
+      q.processAllAvailable()
+      // advance both watermarks so the pair finalizes
+      imps.addData((ts("2026-01-01 11:00:00"), "zz", "iz"))
+      clicks.addData((ts("2026-01-01 11:00:00"), "zz", "cz"))
+      q.processAllAvailable()
+      val rows = spark.table("join_sink").as[(String, String)].collect().toSet
+      assert(rows.contains(("c1", "i1")))
+      assert(!rows.contains(("c1", "i0"))) // outside the interval
+    } finally q.stop()
+  }
+
   test("exactly-once writer: replayed batch id is skipped, partial write is overwritten") {
     val dir = Files.createTempDirectory("graft-eo").toString
     val w = new ExactlyOnceParquetWriter(dir)
