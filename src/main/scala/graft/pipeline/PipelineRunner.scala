@@ -120,16 +120,59 @@ final class PipelineRunner(spark: SparkSession, checkpointRoot: String) {
       throw GraftError(s"failed to commit state for ${p.name} epoch $epoch (rename to $target failed)")
   }
 
+  /** Single-writer fencing — the role the reference's `transactional.id`
+    * plays (tamer `Tamer.scala:365`: a second producer with the same id
+    * fences the first). Acquisition is an atomic create-without-overwrite of
+    * a lock file; a pipeline whose lock is already held refuses to run
+    * rather than interleave commits.
+    */
+  private def lockPath[SV](p: GraftPipeline[SV]): Path =
+    new Path(s"$checkpointRoot/${p.name}-${p.stateKey}/_lock")
+
+  private def acquireLock[SV](p: GraftPipeline[SV]): Unit = {
+    val lock = lockPath(p)
+    val filesystem = fs(lock)
+    if (!filesystem.exists(lock.getParent)) filesystem.mkdirs(lock.getParent)
+    val out =
+      try filesystem.create(lock, false) // overwrite=false: atomic acquire
+      catch {
+        case _: java.io.IOException =>
+          throw GraftError(
+            s"pipeline ${p.name} is already running (lock at $lock); a second concurrent runner would " +
+              "interleave commits — stop the other runner or remove a stale lock manually")
+      }
+    try out.write(java.lang.management.ManagementFactory.getRuntimeMXBean.getName.getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def releaseLock[SV](p: GraftPipeline[SV]): Unit = {
+    val lock = lockPath(p)
+    fs(lock).delete(lock, false)
+    ()
+  }
+
   /** Run the pipeline until `stopWhen(state)`, `Iteration.done`, or
     * `maxIterations` pulls in this process — whichever comes first.
     * Unbounded ingestion is `maxIterations = Int.MaxValue` with a never-true
-    * `stopWhen` (the reference's perpetual loop).
+    * `stopWhen` (the reference's perpetual loop). Holds the single-writer
+    * lock for the duration.
     */
   def run[SV](
       p: GraftPipeline[SV],
       sink: BatchSink,
       maxIterations: Int = Int.MaxValue,
       stopWhen: SV => Boolean = (_: SV) => false
+  ): RunResult[SV] = {
+    acquireLock(p)
+    try runLocked(p, sink, maxIterations, stopWhen)
+    finally releaseLock(p)
+  }
+
+  private def runLocked[SV](
+      p: GraftPipeline[SV],
+      sink: BatchSink,
+      maxIterations: Int,
+      stopWhen: SV => Boolean
   ): RunResult[SV] = {
     val decision = decide(p)
     var (state, epoch) = decision match {

@@ -104,6 +104,23 @@ class PipelineRunnerSpec extends AnyFunSuite {
     assert(sink.values == (1 to 10)) // epoch 4 replayed into the same slot
   }
 
+  test("a second concurrent runner is fenced out; the lock releases on completion") {
+    val ckpt = freshDir()
+    val p = counterPipeline(10)
+    // simulate a holder that died without releasing? No — the lock must fence
+    // while held. Hold it by pre-creating the lock file as a live runner would.
+    val lock = Paths.get(s"$ckpt/${p.name}-${p.stateKey}/_lock")
+    Files.createDirectories(lock.getParent)
+    Files.writeString(lock, "other-runner")
+    val err = intercept[GraftError](new PipelineRunner(spark, ckpt).run(p, new CollectSink))
+    assert(err.getMessage.contains("already running"))
+    // holder releases -> run proceeds and releases its own lock afterwards
+    Files.delete(lock)
+    val res = new PipelineRunner(spark, ckpt).run(p, new CollectSink)
+    assert(res.visited == (1 to 10))
+    assert(!Files.exists(lock))
+  }
+
   test("stateKey is stable for the same definition and differs across definitions") {
     val a = counterPipeline(10)
     val b = counterPipeline(10)
