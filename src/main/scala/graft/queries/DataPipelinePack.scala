@@ -117,6 +117,17 @@ object DataPipelinePack extends QueryPack {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Typed UDAF (Aggregator) surface: price-weighted mean quantity; exact
+    // decimal partials make the custom aggregate engine- and
+    // partitioning-independent (oracle = plain SQL decimal aggregate).
+    "q38_weighted_mean" -> ((s, d) => {
+      val wm = graft.functions.WeightedMean.udaf
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(wm(col("l_quantity"), col("l_extendedprice")).as("wmean_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Exact interpolated percentiles per group.
     "q37_percentile" -> ((s, d) => {
       Tables.lineitem(s, d)
@@ -241,6 +252,12 @@ object DataPipelinePack extends QueryPack {
              round(CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE), 4) AS p50_qty,
              round(CAST(quantile_cont(l_quantity, 0.9) AS DOUBLE), 4) AS p90_qty,
              round(CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE), 4) AS p50_price
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q38_weighted_mean" -> """
+      SELECT l_returnflag,
+             CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) /
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS wmean_qty
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
   )
 }
