@@ -328,8 +328,8 @@ object Relational extends QueryPack {
 
     "q09_window_lag" -> """
       SELECT event_id, user_id, value,
-             lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
-             lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+             lag(value, 1) OVER (PARTITION BY user_id ORDER BY date_trunc('microseconds', ts), event_id) AS prev_value,
+             lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY date_trunc('microseconds', ts), event_id) AS next_type
       FROM events ORDER BY event_id""",
 
     "q10_rollup" -> """
