@@ -70,8 +70,17 @@ final case class RunResult[SV](
   */
 final class PipelineRunner(spark: SparkSession, checkpointRoot: String) {
 
-  private def commitsDir[SV](p: GraftPipeline[SV]): Path =
-    new Path(s"$checkpointRoot/${p.name}-${p.stateKey}/commits")
+  /** Checkpoint identity of a pipeline: the stable state key + the group
+    * (pipeline name) — the same pair the reference keys its compacted state
+    * topic with (`StateKey(stateKey, groupId)`, tamer `Tamer.scala:56,103`).
+    */
+  def stateKeyOf[SV](p: GraftPipeline[SV]): graft.core.StateKey =
+    graft.core.StateKey(p.stateKey, p.name)
+
+  private def commitsDir[SV](p: GraftPipeline[SV]): Path = {
+    val key = stateKeyOf(p)
+    new Path(s"$checkpointRoot/${key.groupId}-${key.stateKey}/commits")
+  }
 
   private def fs(path: Path): FileSystem =
     path.getFileSystem(spark.sparkContext.hadoopConfiguration)
