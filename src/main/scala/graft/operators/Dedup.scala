@@ -71,9 +71,17 @@ object Dedup {
   }
 
   /** LSH candidate pairs from a signature frame: band the signature
-    * (`bands` x `rowsPerBand` = numHashes), hash each band, and self-join on
-    * (band index, band hash). Output: (`id_a`, `id_b`) with id_a < id_b,
-    * distinct. The join shuffles on the band hash — bucket-local work only.
+    * (`bands` x `rowsPerBand` = numHashes), hash each band, group ids per
+    * (band index, band hash) bucket and expand pairs bucket-locally.
+    * Output: (`id_a`, `id_b`) with id_a < id_b, distinct.
+    *
+    * Grouping + in-bucket expansion instead of a self-join matters twice at
+    * scale: the signature aggregation upstream is computed ONCE (a
+    * self-join's differently-projected sides defeat exchange reuse, doubling
+    * the most expensive stage), and pair generation is bucket-local after a
+    * single shuffle on the band hash. Bucket width — and therefore the
+    * per-row expansion — is bounded by the near-dup cluster size plus hash
+    * collisions, the same bound any LSH bucket join has.
     */
   def lshCandidatePairs(
       signatures: DataFrame,
@@ -84,13 +92,14 @@ object Dedup {
     val bandHashes = (0 until bands).map { b =>
       xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i")): _*)
     }
-    val banded = signatures
+    signatures
       .select(col(idCol), posexplode(array(bandHashes: _*)).as(Seq("__band", "__bh")))
-    val a = banded.select(col("__band"), col("__bh"), col(idCol).as("id_a"))
-    val b = banded.select(col("__band"), col("__bh"), col(idCol).as("id_b"))
-    a.join(b, Seq("__band", "__bh"))
+      .groupBy(col("__band"), col("__bh"))
+      .agg(collect_list(col(idCol)).as("__ids"))
+      .filter(size(col("__ids")) > 1)
+      .select(explode(col("__ids")).as("id_a"), col("__ids"))
+      .select(col("id_a"), explode(col("__ids")).as("id_b"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
       .distinct()
   }
 

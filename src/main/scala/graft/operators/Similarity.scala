@@ -13,8 +13,10 @@ import org.apache.spark.sql.functions._
   *    so each probe only scores vectors sharing its signature bucket.
   *    Approximate (recall < 1), sub-linear per probe.
   *
-  * All arithmetic runs in double precision via codegen'd higher-order
-  * functions (`zip_with` + `aggregate`) — no UDFs, no collect.
+  * All arithmetic runs in double precision through the native codegen'd
+  * dot-product expression ([[graft.functions.DotProductDouble]]) — no UDFs,
+  * no collect; the stock higher-order form is kept as the bit-identical
+  * reference implementation.
   */
 object Similarity {
 
@@ -36,7 +38,7 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(fastDot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosine(a: Column, b: Column): Column = fastDot(a, b) / (norm(a) * norm(b))
 
   /** Exact top-k cosine neighbors for every probe row.
     *
