@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextAnalysisSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("shingle count is max(1, tokens - n + 1) and shingles are distinct") {
+    val genWords = Gen.choose(1, 30).flatMap(n => Gen.listOfN(n, Gen.oneOf("a", "b", "c", "dd", "ee")))
+    val prop = Prop.forAll(genWords) { words =>
+      val text = words.mkString(" ")
+      val sh = Seq(text).toDF("text")
+        .select(Dedup.shingles(col("text"), 3).as("s"))
+        .as[Seq[String]].head()
+      val expectedMax = math.max(1, words.length - 2)
+      sh.nonEmpty && sh.size <= expectedMax && sh.distinct.size == sh.size
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("language argmax tie-break is deterministic (first profile in sorted order wins)") {
+    // no stopwords at all -> every profile scores 0 -> 'de' (alphabetical first)
+    val out = TextAnalysis.languageScores(Seq((1L, "xyzzy qwerty")).toDF("doc_id", "text"), "doc_id", "text")
+      .select("detected").as[String].head()
+    assert(out == "de")
+    // an English stopword flips it
+    val en = TextAnalysis.languageScores(Seq((1L, "the xyzzy")).toDF("doc_id", "text"), "doc_id", "text")
+      .select("detected").as[String].head()
+    assert(en == "en")
+  }
+
+  test("quality metric ratios are exact small-integer divisions") {
+    val m = TextAnalysis.qualityMetrics(Seq((1L, "the the bb")).toDF("doc_id", "text"), "doc_id", "text")
+      .head()
+    assert(m.getAs[Int]("token_cnt") == 3)
+    assert(m.getAs[Int]("distinct_cnt") == 2)
+    assert(m.getAs[Double]("stop_ratio") == 2.0 / 3.0)
+    assert(m.getAs[Double]("avg_token_len") == 8.0 / 3.0)
+  }
+
+  test("rolling fingerprint is order-sensitive, md5 fingerprint is content-exact") {
+    val fp = TextAnalysis.fingerprints(
+      Seq((1L, "alpha beta"), (2L, "beta alpha"), (3L, "alpha beta")).toDF("doc_id", "text"),
+      "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(fp(0).getLong(1) != fp(1).getLong(1)) // order matters
+    assert(fp(0).getLong(1) == fp(2).getLong(1)) // same content, same fp
+    assert(fp(0).getString(2) == fp(2).getString(2))
+  }
+
+  test("windowed source terminates via maxIterations on a never-filling window") {
+    import graft.pipeline._
+    val empty = spark.range(0).selectExpr("CAST(id AS TIMESTAMP) AS ts", "id AS v")
+    val p = WindowedSource.tumbling(
+      "empty", _ => empty, "ts",
+      from = java.time.Instant.parse("2026-01-01T00:00:00Z"),
+      step = java.time.Duration.ofHours(1),
+      now = () => java.time.Instant.parse("2026-01-02T00:00:00Z"))
+    val res = new PipelineRunner(spark, java.nio.file.Files.createTempDirectory("graft-empty").toString)
+      .run(p, (_: org.apache.spark.sql.DataFrame, _: Long) => (), maxIterations = 5)
+    assert(res.epochsRun == 5)
+    // every pull was empty: from never moved, to widened each epoch
+    assert(res.finalState.from == java.time.Instant.parse("2026-01-01T00:00:00Z"))
+  }
+}
