@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output goes straight to this process's stdout/stderr instead
+// of through sbt's logger: the logger prefixes every line with `[info] `,
+// which breaks anything that parses the one-line JSON that Bench/Verify
+// print (BENCH_r02 recorded "parsed": null for exactly this reason).
+outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -29,7 +29,11 @@ object Bench {
     // shuffle machinery) once; not reported.
     exec("q01_agg_pricing")
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // Optional args restrict the run to the named queries (local iteration);
+    // the driver invokes with no args and gets the full sorted suite.
+    val names =
+      if (args.nonEmpty) SparkEntry.queries.keys.toSeq.sorted.filter(args.contains)
+      else SparkEntry.queries.keys.toSeq.sorted
     val results = names.map(n => n -> exec(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

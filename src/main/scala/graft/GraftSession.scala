@@ -36,6 +36,16 @@ object GraftSession {
       // codegen.maxFields=100 would silently drop such stages out of
       // whole-stage codegen into interpreted row processing.
       .config("spark.sql.codegen.maxFields", "256")
+      // InferFiltersFromGenerate copies the generator's input expression into
+      // a `size(e) > 0 AND isnotnull(e)` filter that predicate pushdown then
+      // substitutes all the way to the scan. For explodes over CONSTRUCTED
+      // arrays (shingles, LSH band hashes, token splits — every explode in
+      // this engine, none of which can be empty) that evaluates an expensive
+      // expression 2 extra times per row below its projection — measured 10x
+      // on the MinHash stage. The rule only helps when exploding STORED
+      // columns with many empty arrays, which we never do.
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
     master.orElse(sys.env.get("SPARK_GRAFT_MASTER").orElse(Some(s"local[$cpus]")))
       .foldLeft(b)(_ master _)
   }

@@ -20,6 +20,18 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Repartition compute-heavy per-row pipelines up to cluster parallelism
+    * when the scan planned too few tasks: a single small parquet file plans
+    * as ONE input partition, which serializes shingling/hashing on one core.
+    * At real scale inputs already carry thousands of partitions and this is
+    * a no-op (the guard never triggers), so the extra exchange exists only
+    * in exactly the case where it is cheap.
+    */
+  private[operators] def withComputeParallelism(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < math.max(2, target / 2)) df.repartition(target) else df
+  }
+
   /** Exact duplicate grouping: one row per distinct `keyCol` value with the
     * lowest `idCol` as the keeper and the group size. Scalable shape: a
     * single hash shuffle on the key with partial aggregation — NOT a window
@@ -37,15 +49,31 @@ object Dedup {
       Seq(idCol),
       "left_semi")
 
-  /** Distinct word n-gram shingles of a text column; documents shorter than
-    * `n` tokens fall back to the whole text as a single shingle.
+  /** Distinct word n-gram shingles from a PRE-PROJECTED token-array column;
+    * documents shorter than `n` tokens fall back to the whole (reconstructed)
+    * text as a single shingle.
+    *
+    * `toks` must be a bound column (project `split(text, " ")` first), not
+    * the split expression itself: higher-order-function lambdas evaluate
+    * interpreted and outside subexpression elimination, so an expression
+    * referenced inside the lambda re-evaluates once PER ELEMENT — measured
+    * 10x+ on this exact operator (re-tokenizing every document ~144 times).
     */
-  def shingles(textCol: Column, n: Int = 3): Column = {
-    val toks = split(textCol, " ")
+  def shinglesOfTokens(toks: Column, n: Int = 3): Column = {
     val starts = sequence(lit(0), size(toks) - n)
     val sh = transform(starts, i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))
-    when(size(toks) >= n, array_distinct(sh)).otherwise(array(textCol))
+    when(size(toks) >= n, array_distinct(sh))
+      // concat_ws over the tokens reconstructs the text exactly (split on a
+      // single-space delimiter keeps empty tokens, so the join inverts it).
+      .otherwise(array(concat_ws(" ", toks)))
   }
+
+  /** Expression-API convenience over [[shinglesOfTokens]]. Only safe where
+    * the surrounding plan evaluates it once per row (a plain projection);
+    * operators in this file always go through the projected-tokens form.
+    */
+  def shingles(textCol: Column, n: Int = 3): Column =
+    shinglesOfTokens(split(textCol, " "), n)
 
   /** MinHash signature columns `h0..h{numHashes-1}`: per document, the min
     * of each seeded hash over the shingle set. One explode + one keyed
@@ -125,7 +153,9 @@ object Dedup {
       tauDen: Int = 2
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val withShingles = df.select(col(idCol), shingles(col(textCol), shingleN).as("__shingles"))
+    val withShingles = withComputeParallelism(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), split(col(textCol), " ").as("__toks"))
+      .select(col(idCol), shinglesOfTokens(col("__toks"), shingleN).as("__shingles"))
     val sigs = minHashSignatures(withShingles, idCol, col("__shingles"), numHashes)
     val cands = lshCandidatePairs(sigs, idCol, bands, numHashes / bands)
     val sh = withShingles.select(col(idCol), col("__shingles"))
@@ -142,7 +172,8 @@ object Dedup {
     * vote across tokens. Returns (`idCol`, `simhash`).
     */
   def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val ex = df.select(col(idCol), explode(split(col(textCol), " ")).as("__tok"))
+    val ex = withComputeParallelism(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), explode(split(col(textCol), " ")).as("__tok"))
       .withColumn("__h", xxhash64(col("__tok")))
     val voteAggs = (0 until 64).map { i =>
       sum(when(shiftright(col("__h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$i")

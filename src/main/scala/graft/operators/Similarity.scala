@@ -60,7 +60,8 @@ object Similarity {
     // Norms are per-vector, so compute them BELOW the join (once per row,
     // not once per pair) — the division is unchanged, so results are
     // bit-identical to the naive form at a third of the flops.
-    val v = vectors.select(col(vectorId).as("nbr_id"), asDouble(col(vectorCol)).as("__v"))
+    val v = Dedup.withComputeParallelism(
+        vectors.select(col(vectorId).as("nbr_id"), asDouble(col(vectorCol)).as("__v")))
       .withColumn("__vn", norm(col("__v")))
     val p = probes.select(col(probeId).as("probe_id"), asDouble(col(probeCol)).as("__p"))
       .withColumn("__pn", norm(col("__p")))
@@ -117,7 +118,8 @@ object Similarity {
       nBits: Int = 12
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val v = vectors.select(col(vectorId).as("nbr_id"), asDouble(col(vectorCol)).as("__v"))
+    val v = Dedup.withComputeParallelism(
+        vectors.select(col(vectorId).as("nbr_id"), asDouble(col(vectorCol)).as("__v")))
       .withColumn("__bucket", lshSignature(col("__v"), dim, nBits))
       .withColumn("__vn", norm(col("__v")))
     val p = probes.select(col(probeId).as("probe_id"), asDouble(col(probeCol)).as("__p"))
@@ -145,7 +147,8 @@ object Similarity {
       vectorCol: String,
       threshold: Double
   ): DataFrame = {
-    val v = vectors.select(col(vectorId), asDouble(col(vectorCol)).as("__v"))
+    val v = Dedup.withComputeParallelism(
+        vectors.select(col(vectorId), asDouble(col(vectorCol)).as("__v")))
       .withColumn("__n", norm(col("__v")))
     val a = v.select(col(vectorId).as("id_a"), col("__v").as("__va"), col("__n").as("__na"))
     val b = v.select(col(vectorId).as("id_b"), col("__v").as("__vb"), col("__n").as("__nb"))
