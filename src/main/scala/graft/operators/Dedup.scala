@@ -168,6 +168,56 @@ object Dedup {
       .select("id_a", "id_b", "inter_cnt", "union_cnt")
   }
 
+  /** Exact n-gram Jaccard similar pairs via an INVERTED SHINGLE INDEX — the
+    * direct (non-LSH) member of the dedup family: every pair sharing at least
+    * one shingle is counted exactly, so for any tau > 0 the output equals the
+    * all-pairs answer without ever forming the O(n²) cross join.
+    *
+    * Shape: explode shingles -> group by shingle (ONE keyed shuffle) ->
+    * expand each posting list locally -> count shared shingles per pair
+    * (second keyed shuffle, map-side combine) -> join the two per-doc set
+    * sizes to derive the union. Work is sum over shingles of |postings|²,
+    * i.e. driven by shingle document-frequency, not corpus size.
+    *
+    * `maxDocFreq` drops shingles whose posting list exceeds the cap — the
+    * standard skew guard for web-scale corpora where a boilerplate n-gram
+    * appears in millions of documents. It trades exactness for a bound on
+    * per-key work (a dropped shingle can only lower inter/union counts);
+    * None (default) keeps the operator exact and oracle-checkable.
+    */
+  def jaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      tauNum: Int = 1,
+      tauDen: Int = 2,
+      maxDocFreq: Option[Int] = None
+  ): DataFrame = {
+    val withShingles = withComputeParallelism(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), split(col(textCol), " ").as("__toks"))
+      .select(col(idCol), shinglesOfTokens(col("__toks"), shingleN).as("__shingles"))
+    val sizes = withShingles.select(col(idCol), size(col("__shingles")).as("__sz"))
+    val postings = withShingles
+      .select(col(idCol), explode(col("__shingles")).as("__sh"))
+      .groupBy(col("__sh"))
+      .agg(collect_list(col(idCol)).as("__ids"))
+      .filter(size(col("__ids")) > 1)
+    val capped = maxDocFreq.fold(postings)(cap => postings.filter(size(col("__ids")) <= cap))
+    val inter = capped
+      .select(explode(col("__ids")).as("id_a"), col("__ids"))
+      .select(col("id_a"), explode(col("__ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).cast("int").as("inter_cnt"))
+    inter
+      .join(sizes.select(col(idCol).as("id_a"), col("__sz").as("__sza")), Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("__sz").as("__szb")), Seq("id_b"))
+      .withColumn("union_cnt", col("__sza") + col("__szb") - col("inter_cnt"))
+      .filter(col("inter_cnt") * tauDen >= col("union_cnt") * tauNum)
+      .select("id_a", "id_b", "inter_cnt", "union_cnt")
+  }
+
   /** 64-bit SimHash signature per document: per token-hash bit, majority
     * vote across tokens. Returns (`idCol`, `simhash`).
     */

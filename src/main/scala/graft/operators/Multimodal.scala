@@ -114,6 +114,35 @@ object Multimodal {
       }(enc)
   }
 
+  /** Metadata probe over the binary column, via the same per-partition batch
+    * shape the codec stubs use — but bit-exact and engine-independent (byte
+    * length, MD5, leading-bytes hex), so the multimodal PLUMBING itself sits
+    * under the relational correctness gate rather than only spec assertions:
+    * (media_id, n_bytes, fp_md5 lowercase-hex, head_hex uppercase-hex of the
+    * first `headLen` bytes).
+    */
+  def probeBytes(media: DataFrame, headLen: Int = 8): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("n_bytes", IntegerType, nullable = false),
+      StructField("fp_md5", StringType, nullable = false),
+      StructField("head_hex", StringType, nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    media.select(col("media_id"), col("content"))
+      .mapPartitions { rows =>
+        // One digest instance per partition, reset per row — the batch shape
+        // a real decoder needs for any per-partition init cost.
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { r =>
+          val bytes = r.getAs[Array[Byte]](1)
+          md.reset()
+          val fp = md.digest(bytes).map("%02x".format(_)).mkString
+          val head = bytes.take(headLen).map("%02X".format(_)).mkString
+          Row(r.getLong(0), bytes.length, fp, head)
+        }
+      }(enc)
+  }
+
   /** Features straight into the similarity operators: media -> embedding
     * table ready for [[Similarity.bruteForceTopK]] / [[Similarity.lshTopK]].
     */

@@ -136,6 +136,85 @@ object Similarity {
       .select(col("probe_id"), col("rnk"), col("nbr_id"), round(col("__sim"), 4).as("cos_sim"))
   }
 
+  /** IVF (inverted-file) approximate nearest neighbor — the second scale
+    * path next to [[lshTopK]], with a knob ANN deployments actually tune
+    * (`nprobe`): coarse-quantize every vector to its nearest centroid's cell,
+    * then score each probe only against the `nprobe` cells nearest to it.
+    *
+    * Scale shape: centroids are collected driver-side ONCE (a k-means-sized
+    * list — the "trained" quantizer; centroid choice is pluggable) and folded
+    * into a literal argmax expression, so cell assignment of the big vector
+    * table is a pure map — no join, no shuffle, whole-stage codegen'd. The
+    * only shuffles are the broadcast-join of the (tiny) probe×cell fan-out
+    * and the per-probe top-k window over candidate rows.
+    *
+    * Fully deterministic (argmax tie-breaks on the lowest centroid id), so
+    * unlike sign-LSH the output is oracle-checkable end to end.
+    *
+    * @param centroids (id, vector) quantizer table — nlist rows, collected
+    * @param nprobe    cells searched per probe; recall knob (nprobe = nlist
+    *                  degenerates to exact brute force)
+    */
+  def ivfTopK(
+      vectors: DataFrame,
+      vectorId: String,
+      vectorCol: String,
+      centroids: DataFrame,
+      centroidId: String,
+      centroidCol: String,
+      probes: DataFrame,
+      probeId: String,
+      probeCol: String,
+      k: Int,
+      nprobe: Int
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents: Seq[(Long, Array[Double], Double)] = centroids
+      .select(col(centroidId).cast("long"), asDouble(col(centroidCol)))
+      .collect()
+      .map(r => {
+        val arr = r.getSeq[Double](1).toArray
+        (r.getLong(0), arr, math.sqrt(arr.map(x => x * x).sum))
+      })
+      .sortBy(_._1)
+      .toSeq
+    require(cents.nonEmpty, "centroid table is empty")
+
+    // Cells ranked by cosine(x, c_i): one dot expression per centroid into a
+    // flat struct array, lexicographically sorted on (-sim, cid) — the
+    // default struct ordering — so ascending sort = descending similarity
+    // with the LOWEST centroid id winning exact ties (matches a
+    // `row_number() OVER (ORDER BY sim DESC, cid)` oracle). Linear-size
+    // expression tree; a folded `when` argmax would duplicate the running
+    // best struct per level and blow up exponentially.
+    def cellsByDistance(x: Column, xNorm: Column): Column =
+      array_sort(array(cents.map { case (cid, arr, cn) =>
+        struct((-(fastDot(x, lit(arr)) / (xNorm * lit(cn)))).as("ns"), lit(cid).as("c"))
+      }: _*))
+
+    val v = Dedup.withComputeParallelism(
+        vectors.select(col(vectorId).as("nbr_id"), asDouble(col(vectorCol)).as("__v")))
+      .withColumn("__vn", norm(col("__v")))
+      .withColumn("__cell", cellsByDistance(col("__v"), col("__vn")).getItem(0).getField("c"))
+
+    // Probe side fans out to its nprobe nearest cells (probe set is small).
+    val p = probes.select(col(probeId).as("probe_id"), asDouble(col(probeCol)).as("__p"))
+      .withColumn("__pn", norm(col("__p")))
+      .withColumn("__cell",
+        explode(transform(slice(cellsByDistance(col("__p"), col("__pn")), 1, nprobe),
+          e => e.getField("c"))))
+
+    val scored = v
+      .join(broadcast(p), Seq("__cell"))
+      .filter(col("nbr_id") =!= col("probe_id"))
+      .withColumn("__sim", fastDot(col("__p"), col("__v")) / (col("__pn") * col("__vn")))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("__sim").desc, col("nbr_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("rnk"), col("nbr_id"), round(col("__sim"), 4).as("cos_sim"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a similarity threshold.
     * Exact over all pairs below `maxIdForExact` table sizes it is meant for
     * oracle checking; the scale path is the same computation restricted to

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Dedup, Similarity, Skew, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Similarity, Skew, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -128,6 +128,39 @@ object DataPipelinePack extends QueryPack {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Exact n-gram Jaccard pairs via the inverted shingle index (the direct,
+    // non-LSH dedup family member) — must equal q25's LSH+verify output AND
+    // the same all-pairs oracle.
+    "q39_ngram_jaccard" -> ((s, d) => {
+      Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // IVF ANN (deterministic quantizer: centroids = vec_id < 16, nprobe = 4)
+    // — approximate by construction yet fully oracle-checkable because cell
+    // assignment and probe fan-out are deterministic.
+    "q40_ann_ivf" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.ivfTopK(
+        vectors = e, vectorId = "vec_id", vectorCol = "embedding",
+        centroids = e.filter(col("vec_id") < 16), centroidId = "vec_id", centroidCol = "embedding",
+        probes = e.filter(col("vec_id") < 10), probeId = "vec_id", probeCol = "embedding",
+        k = 5, nprobe = 4)
+        .orderBy(col("probe_id"), col("rnk"))
+    }),
+
+    // Multimodal binary plumbing under the oracle gate: text bytes as the
+    // opaque media column, per-partition probe (length/md5/head) over it.
+    "q41_multimodal_probe" -> ((s, d) => {
+      val media = Tables.documents(s, d).select(
+        col("doc_id").as("media_id"),
+        lit("text/plain").as("mime"),
+        encode(col("text"), "UTF-8").as("content"),
+        lit(null).cast("struct<width:int,height:int,duration_ms:bigint>").as("meta"))
+      Multimodal.probeBytes(media, headLen = 8)
+        .orderBy(col("media_id"))
+    }),
+
     // Exact interpolated percentiles per group.
     "q37_percentile" -> ((s, d) => {
       Tables.lineitem(s, d)
@@ -246,6 +279,61 @@ object DataPipelinePack extends QueryPack {
              CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty,
              CAST(sum(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sum_price
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    // Same all-pairs oracle as q25 — the LSH path and the inverted-index
+    // path must both reproduce the exact answer.
+    "q39_ngram_jaccard" -> """
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      sh AS (
+        SELECT doc_id,
+               CASE WHEN len(w) >= 3
+                    THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])
+                    ELSE [array_to_string(w, ' ')] END AS s
+        FROM toks),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               len(list_intersect(a.s, b.s)) AS inter_cnt,
+               len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS union_cnt
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      SELECT id_a, id_b,
+             CAST(inter_cnt AS INTEGER) AS inter_cnt,
+             CAST(union_cnt AS INTEGER) AS union_cnt
+      FROM pairs WHERE 2 * inter_cnt >= union_cnt
+      ORDER BY id_a, id_b""",
+
+    "q40_ann_ivf" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+      asgn AS (
+        SELECT e.vec_id, e.v, cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY list_cosine_similarity(e.v, cv) DESC, cid) AS rn
+        FROM e CROSS JOIN c),
+      cell AS (SELECT vec_id, v, cid AS cell FROM asgn WHERE rn = 1),
+      p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 10),
+      pcell AS (
+        SELECT probe_id, pv, cid AS cell,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY list_cosine_similarity(pv, cv) DESC, cid) AS rn
+        FROM p CROSS JOIN c),
+      cand AS (
+        SELECT probe_id, pv, vec_id AS nbr_id, v
+        FROM (SELECT probe_id, pv, cell FROM pcell WHERE rn <= 4) pc
+        JOIN cell USING (cell)
+        WHERE vec_id != probe_id),
+      scored AS (
+        SELECT probe_id, nbr_id, list_cosine_similarity(pv, v) AS sim,
+               row_number() OVER (PARTITION BY probe_id ORDER BY list_cosine_similarity(pv, v) DESC, nbr_id) AS rnk
+        FROM cand)
+      SELECT probe_id, CAST(rnk AS INTEGER) AS rnk, nbr_id, round(sim, 4) AS cos_sim
+      FROM scored WHERE rnk <= 5 ORDER BY probe_id, rnk""",
+
+    "q41_multimodal_probe" -> """
+      SELECT doc_id AS media_id,
+             CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+             md5(text) AS fp_md5,
+             hex(encode(substring(text, 1, 8))) AS head_hex
+      FROM documents ORDER BY media_id""",
 
     "q37_percentile" -> """
       SELECT l_returnflag,

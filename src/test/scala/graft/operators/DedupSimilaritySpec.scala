@@ -45,6 +45,23 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
   }
 
+  test("jaccardPairs (inverted index) equals nearDupPairs (LSH+verify) exactly") {
+    val viaIndex = Dedup.jaccardPairs(docs, "doc_id", "text")
+      .as[(Long, Long, Int, Int)].collect().toSet
+    val viaLsh = Dedup.nearDupPairs(docs, "doc_id", "text")
+      .as[(Long, Long, Int, Int)].collect().toSet
+    assert(viaIndex == viaLsh)
+    assert(viaIndex.contains((1L, 4L, 7, 7))) // exact dup: identical shingle sets
+  }
+
+  test("jaccardPairs maxDocFreq drops hot shingles but never invents pairs") {
+    val capped = Dedup.jaccardPairs(docs, "doc_id", "text", maxDocFreq = Some(2))
+      .as[(Long, Long, Int, Int)].collect().toSet
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text")
+      .as[(Long, Long, Int, Int)].collect().toSet
+    assert(capped.map(p => (p._1, p._2)).subsetOf(exact.map(p => (p._1, p._2))))
+  }
+
   test("simHash is deterministic and identical for identical text") {
     val s1 = Dedup.simHash(docs, "doc_id", "text").orderBy("doc_id").as[(Long, Long)].collect()
     val s2 = Dedup.simHash(docs, "doc_id", "text").orderBy("doc_id").as[(Long, Long)].collect()
@@ -90,5 +107,32 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .select("probe_id", "nbr_id").as[(Long, Long)].collect().toSet
     assert(lsh.nonEmpty)
     assert(lsh.subsetOf(brute))
+  }
+
+  test("ivfTopK with nprobe = nlist degenerates to exact brute force") {
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val probes = e.filter(col("vec_id") < 3)
+    val cents = e.filter(col("vec_id") < 8)
+    val ivf = Similarity.ivfTopK(e, "vec_id", "embedding",
+      cents, "vec_id", "embedding", probes, "vec_id", "embedding", k = 5, nprobe = 8)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    val brute = Similarity.bruteForceTopK(e, "vec_id", "embedding",
+      probes, "vec_id", "embedding", k = 5)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(ivf.sorted == brute.sorted)
+  }
+
+  test("ivfTopK with nprobe < nlist returns a ranked subset of brute force") {
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val probes = e.filter(col("vec_id") < 3)
+    val cents = e.filter(col("vec_id") < 8)
+    val ivf = Similarity.ivfTopK(e, "vec_id", "embedding",
+      cents, "vec_id", "embedding", probes, "vec_id", "embedding", k = 5, nprobe = 2)
+      .select("probe_id", "nbr_id").as[(Long, Long)].collect().toSet
+    val bruteAll = Similarity.bruteForceTopK(e, "vec_id", "embedding",
+      probes, "vec_id", "embedding", k = 1000)
+      .select("probe_id", "nbr_id").as[(Long, Long)].collect().toSet
+    assert(ivf.nonEmpty)
+    assert(ivf.subsetOf(bruteAll))
   }
 }

@@ -49,6 +49,19 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rejoined.toSeq == original.toSeq) // lossless chunking
   }
 
+  test("probeBytes: known MD5 vector, byte length, head hex, no shuffle") {
+    val abc = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, "text/plain", "abc".getBytes("UTF-8"), null)), 1),
+      Multimodal.mediaSchema)
+    val r = Multimodal.probeBytes(abc, headLen = 2).head
+    assert(r.getInt(1) == 3)
+    assert(r.getString(2) == "900150983cd24fb0d6963f7d28e17f72") // md5("abc")
+    assert(r.getString(3) == "6162") // "ab"
+    val plan = Multimodal.probeBytes(mediaDF).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+  }
+
   test("asEmbeddingTable feeds the similarity operators end-to-end") {
     val emb = Multimodal.asEmbeddingTable(mediaDF, dim = 16)
     assert(emb.columns.toSeq == Seq("vec_id", "embedding"))
