@@ -218,6 +218,47 @@ object Dedup {
       .select("id_a", "id_b", "inter_cnt", "union_cnt")
   }
 
+  /** Connected components over a pair list by iterative min-label
+    * propagation — turns near-dup PAIRS (any of the family above) into dedup
+    * CLUSTERS: every vertex gets the smallest vertex id reachable from it.
+    *
+    * Each round is fully distributed (symmetrized-edge join + min aggregate,
+    * both keyed shuffles); only the loop control runs on the driver, which is
+    * how iterative graph algorithms on Spark always terminate. Labels only
+    * ever decrease, so convergence is checked with an `isEmpty` on the
+    * changed set, and `localCheckpoint` truncates the growing lineage each
+    * round (at cluster scale: reliable checkpoint dir instead). Near-dup
+    * components are shallow (near-cliques), so rounds ~ 2-3 in practice;
+    * `maxIter` bounds the worst case (a path graph needs O(diameter)).
+    */
+  def connectedComponents(
+      vertices: DataFrame,
+      idCol: String,
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxIter: Int = 20
+  ): DataFrame = {
+    val sym = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .union(edges.select(col(dstCol).as("__src"), col(srcCol).as("__dst")))
+    var labels = vertices.select(col(idCol).as("__id"), col(idCol).as("__label"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = sym.join(labels, col("__src") === col("__id"))
+        .groupBy(col("__dst")).agg(min(col("__label")).as("__nbr"))
+      val stepped = labels.join(nbrMin, col("__id") === col("__dst"), "left")
+        .select(col("__id"), col("__label").as("__old"),
+          least(col("__label"), coalesce(col("__nbr"), col("__label"))).as("__label"))
+        .localCheckpoint()
+      converged = stepped.filter(col("__label") < col("__old")).isEmpty
+      labels = stepped.select(col("__id"), col("__label"))
+      iter += 1
+    }
+    labels.select(col("__id").as(idCol), col("__label").as("cluster_id"))
+  }
+
   /** 64-bit SimHash signature per document: per token-hash bit, majority
     * vote across tokens. Returns (`idCol`, `simhash`).
     */

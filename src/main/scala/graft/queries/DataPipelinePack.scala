@@ -161,6 +161,23 @@ object DataPipelinePack extends QueryPack {
         .orderBy(col("media_id"))
     }),
 
+    // Batch sessionization through the native session_window operator (the
+    // same operator the streaming surface uses): 3-hour inactivity gap.
+    "q42_sessionize" -> ((s, d) => {
+      graft.streaming.Streams.sessionAggregate(
+        Tables.events(s, d), keyCol = "user_id", tsCol = "ts", valueCol = "value", gap = "3 hours")
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
+    // Near-dup pairs -> dedup clusters: connected components by min-label
+    // propagation over the exact Jaccard pair graph.
+    "q43_dedup_clusters" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val edges = Dedup.jaccardPairs(docs, "doc_id", "text").select("id_a", "id_b")
+      Dedup.connectedComponents(docs.select(col("doc_id")), "doc_id", edges, "id_a", "id_b")
+        .orderBy(col("doc_id"))
+    }),
+
     // Exact interpolated percentiles per group.
     "q37_percentile" -> ((s, d) => {
       Tables.lineitem(s, d)
@@ -334,6 +351,55 @@ object DataPipelinePack extends QueryPack {
              md5(text) AS fp_md5,
              hex(encode(substring(text, 1, 8))) AS head_hex
       FROM documents ORDER BY media_id""",
+
+    // Gaps-and-islands formulation of session_window semantics: a new
+    // session starts only when the gap since the previous event STRICTLY
+    // exceeds 3 h — Spark merges adjacent windows, so an event at exactly
+    // last + gap still joins the session; session_end = last event + gap.
+    "q42_sessionize" -> """
+      WITH g AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                      OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 3 HOUR
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events),
+      i AS (
+        SELECT user_id, ts, value,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM g)
+      SELECT user_id,
+             min(ts) AS session_start,
+             max(ts) + INTERVAL 3 HOUR AS session_end,
+             CAST(count(*) AS INTEGER) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM i GROUP BY user_id, sid ORDER BY user_id, session_start""",
+
+    // Connected components of the exact-Jaccard near-dup graph via a
+    // recursive CTE: `walk` enumerates (vertex, reachable-vertex) pairs and
+    // the min over reachable ids is the component label.
+    "q43_dedup_clusters" -> """
+      WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      sh AS (
+        SELECT doc_id,
+               CASE WHEN len(w) >= 3
+                    THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])
+                    ELSE [array_to_string(w, ' ')] END AS s
+        FROM toks),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE 2 * len(list_intersect(a.s, b.s)) >= len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL
+        SELECT id_b, id_a FROM pairs),
+      walk(id, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, w.label FROM walk w JOIN edges e ON w.id = e.src)
+      SELECT id AS doc_id, min(label) AS cluster_id
+      FROM walk GROUP BY id ORDER BY doc_id""",
 
     "q37_percentile" -> """
       SELECT l_returnflag,

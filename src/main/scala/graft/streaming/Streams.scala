@@ -60,6 +60,33 @@ object Streams {
       .agg(count(lit(1)).as("cnt"))
       .select(col("session_window.start").as("session_start") +: keyCols :+ col("cnt"): _*)
 
+  /** Full session aggregate — same `session_window` operator as
+    * [[sessionCounts]] (so it runs batch OR streaming), keeping both session
+    * bounds: start = first event, end = last event + gap. Note Spark merges
+    * ADJACENT windows: an event at exactly `last + gap` still joins the
+    * session (a new session needs a gap strictly greater). Also emits
+    * the event count and an EXACT decimal sum of `valueCol` (double
+    * summation order differs across engines/partitionings; decimal partials
+    * make the result engine- and partitioning-independent).
+    */
+  def sessionAggregate(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String,
+      gap: String
+  ): DataFrame =
+    df.groupBy(col(keyCol), session_window(col(tsCol), gap))
+      .agg(
+        count(lit(1)).cast("int").as("n_events"),
+        sum(col(valueCol).cast("decimal(18,2)")).as("__sv"))
+      .select(
+        col(keyCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"),
+        col("__sv").cast("double").as("sum_value"))
+
   /** Streaming dedup bounded by the watermark: duplicates arriving within
     * the watermark horizon are dropped; state for keys older than the
     * watermark is pruned (the only dedup that survives an unbounded

@@ -62,6 +62,23 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(capped.map(p => (p._1, p._2)).subsetOf(exact.map(p => (p._1, p._2))))
   }
 
+  test("connectedComponents labels every vertex with the component min") {
+    val verts = (1L to 7L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L), (6L, 7L)).toDF("a", "b")
+    val cc = Dedup.connectedComponents(verts, "id", edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L, 7L -> 5L))
+  }
+
+  test("connectedComponents converges on a path graph (multi-round propagation)") {
+    val verts = (1L to 6L).toDF("id")
+    // path 6-5-4-3-2-1: the min label must walk the whole chain
+    val edges = Seq((6L, 5L), (5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L)).toDF("a", "b")
+    val cc = Dedup.connectedComponents(verts, "id", edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(cc.values.toSet == Set(1L))
+  }
+
   test("simHash is deterministic and identical for identical text") {
     val s1 = Dedup.simHash(docs, "doc_id", "text").orderBy("doc_id").as[(Long, Long)].collect()
     val s2 = Dedup.simHash(docs, "doc_id", "text").orderBy("doc_id").as[(Long, Long)].collect()

@@ -106,6 +106,23 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionAggregate: gap semantics, bounds, exact sums (batch mode)") {
+    val df = Seq(
+      ("u1", ts("2026-01-01 10:00:00"), 1.5),
+      ("u1", ts("2026-01-01 10:30:00"), 2.5),  // within 1h gap -> same session
+      ("u1", ts("2026-01-01 11:30:00"), 4.0),  // exactly 1h after previous -> adjacent windows MERGE
+      ("u1", ts("2026-01-01 12:30:01"), 0.5),  // 1h + 1s after previous -> new session
+      ("u2", ts("2026-01-01 09:00:00"), 10.0)
+    ).toDF("user_id", "ts", "value")
+    val out = Streams.sessionAggregate(df, "user_id", "ts", "value", "1 hour")
+      .orderBy("user_id", "session_start")
+      .as[(String, Timestamp, Timestamp, Int, Double)].collect().toSeq
+    assert(out == Seq(
+      ("u1", ts("2026-01-01 10:00:00"), ts("2026-01-01 12:30:00"), 3, 8.0),
+      ("u1", ts("2026-01-01 12:30:01"), ts("2026-01-01 13:30:01"), 1, 0.5),
+      ("u2", ts("2026-01-01 09:00:00"), ts("2026-01-01 10:00:00"), 1, 10.0)))
+  }
+
   test("exactly-once writer: replayed batch id is skipped, partial write is overwritten") {
     val dir = Files.createTempDirectory("graft-eo").toString
     val w = new ExactlyOnceParquetWriter(dir)
