@@ -57,6 +57,41 @@ object PipelinePack extends QueryPack {
           count(lit(1)).as("cnt"),
           sum(col("value").cast("decimal(28,4)")).cast("double").as("sum_value"))
         .orderBy(col("event_type"))
+    }),
+
+    // The DSv2 paginated streaming source driven end-to-end: the registered
+    // fetcher plays the REMOTE ENDPOINT (the reference's REST server),
+    // serving `documents` in fixed 64-element pages; the real readStream ->
+    // memory-sink query drains all pages including the partial tail. The
+    // drained rows must reproduce the whole table bit-for-bit (id + content
+    // md5) — any dropped page, duplicated partial-page element, or
+    // truncated value fails the hash compare against the plain-scan oracle.
+    // (The collect below builds the fixture SERVER's data, not the
+    // pipeline's: the pipeline itself is readStream -> parse -> sink.)
+    "q44_paginated_ingest" -> ((s, d) => {
+      import graft.sources.{PageFetcher, PageFetchers}
+      val pageSize = 64
+      val serverData: IndexedSeq[String] = Tables.documents(s, d)
+        .select(col("doc_id"), col("text")).orderBy(col("doc_id")).collect()
+        .map(r => s"${r.getLong(0)}|${r.getString(1)}").toIndexedSeq
+      PageFetchers.register("q44-server", new PageFetcher {
+        def fetch(page: Int): Seq[String] =
+          serverData.slice(page * pageSize, (page + 1) * pageSize)
+      })
+      val sinkName = s"q44_sink_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
+      val q = s.readStream
+        .format("graft.sources.PaginatedTableProvider")
+        .option("fetcher", "q44-server")
+        .option("pageSize", pageSize.toString)
+        .load()
+        .writeStream.format("memory").queryName(sinkName).outputMode("append")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sinkName)
+        .select(
+          substring_index(col("value"), "|", 1).cast("long").as("doc_id"),
+          md5(expr("substring(value, instr(value, '|') + 1)")).as("fp_md5"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -64,6 +99,10 @@ object PipelinePack extends QueryPack {
     "q23_incremental_window" -> """
       SELECT event_type, count(*) AS cnt,
              CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
-      FROM events GROUP BY event_type ORDER BY event_type"""
+      FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q44_paginated_ingest" -> """
+      SELECT doc_id, md5(text) AS fp_md5
+      FROM documents ORDER BY doc_id"""
   )
 }

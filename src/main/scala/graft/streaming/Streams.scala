@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues}
 
 /** The Structured Streaming surface: watermarked event-time windows, late
   * data handling, streaming dedup, and arbitrary keyed state.
@@ -142,6 +142,38 @@ object Streams {
           state.update(next)
           (key, next._1, next._2)
       }
+  }
+
+  /** The same keyed `stateFold` on the arbitrary-state API v2
+    * (`transformWithState`, Spark 4.x) — typed `ValueState` handles, timers,
+    * and per-state TTL, backed by the RocksDB state store provider (set
+    * `spark.sql.streaming.stateStore.providerClass`; RocksDB is what keeps
+    * 100 TB-scale keyed state off the executor heap). Functionally parallel
+    * to [[runningAggregate]] so the two state APIs can be diff-tested.
+    */
+  def runningFoldV2(ds: Dataset[(String, Long)]): Dataset[(String, Long, Long)] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_._1)
+      .transformWithState(new RunningFoldProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
+  private final class RunningFoldProcessor
+      extends StatefulProcessor[String, (String, Long), (String, Long, Long)] {
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[(Long, Long)](
+        "fold", Encoders.product[(Long, Long)], TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[(String, Long)],
+        timers: TimerValues): Iterator[(String, Long, Long)] = {
+      var (cnt, sum) = if (state.exists()) state.get() else (0L, 0L)
+      rows.foreach { r => cnt += 1; sum += r._2 }
+      state.update((cnt, sum))
+      Iterator.single((key, cnt, sum))
+    }
   }
 
   /** Output mode guidance: Append for finalized-window sinks (files),

@@ -106,6 +106,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState (state API v2) folds per-key state across micro-batches on RocksDB") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[(String, Long)]
+      val q = Streams.runningFoldV2(input.toDS())
+        .writeStream.format("memory").queryName("tws_sink").outputMode("update").start()
+      try {
+        input.addData(("u1", 5L), ("u1", 10L), ("u2", 1L))
+        q.processAllAvailable()
+        input.addData(("u1", 1L))
+        q.processAllAvailable()
+        val latest = spark.table("tws_sink").as[(String, Long, Long)].collect()
+          .groupBy(_._1).map { case (k, vs) => k -> vs.maxBy(_._2) }
+        assert(latest("u1") == (("u1", 3L, 16L))) // state carried: 2+1 rows, 15+1 sum
+        assert(latest("u2") == (("u2", 1L, 1L)))
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("sessionAggregate: gap semantics, bounds, exact sums (batch mode)") {
     val df = Seq(
       ("u1", ts("2026-01-01 10:00:00"), 1.5),
