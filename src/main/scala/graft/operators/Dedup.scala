@@ -239,8 +239,12 @@ object Dedup {
       dstCol: String,
       maxIter: Int = 20
   ): DataFrame = {
+    // Materialize the (tiny relative to the corpus) edge list once: it is
+    // re-joined EVERY round, and without this the whole upstream pair
+    // computation re-executes per iteration — measured 3x on q43.
     val sym = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
       .union(edges.select(col(dstCol).as("__src"), col(srcCol).as("__dst")))
+      .localCheckpoint()
     var labels = vertices.select(col(idCol).as("__id"), col(idCol).as("__label"))
       .localCheckpoint()
     var iter = 0

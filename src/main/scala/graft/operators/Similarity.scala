@@ -89,12 +89,21 @@ object Similarity {
     (z >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
   }
 
-  /** Sign-LSH bucket signature: bit j = sign(v · plane_j). */
+  /** The deterministic sign-LSH planes, exposed so an INDEPENDENT engine can
+    * reproduce the bucketing exactly — the q33 oracle embeds these values as
+    * SQL literals (Double.toString round-trips, so the re-parsed constants
+    * are bit-identical). */
+  def hyperplanes(dim: Int, nBits: Int): Seq[Array[Double]] =
+    (0 until nBits).map(j => Array.tabulate(dim)(i => planeComponent(j, i)))
+
+  /** Sign-LSH bucket signature: bit j = sign(v · plane_j). Each plane is a
+    * literal double array dotted through the codegen'd native expression —
+    * nBits dot calls instead of nBits×dim `element_at` nodes (same
+    * left-to-right summation order, so results are bit-identical to the
+    * unrolled form; the expression tree is ~dim× smaller). */
   def lshSignature(vec: Column, dim: Int, nBits: Int): Column = {
-    val bits = (0 until nBits).map { j =>
-      val d = (0 until dim)
-        .map(i => element_at(vec, i + 1) * lit(planeComponent(j, i)))
-        .reduce(_ + _)
+    val bits = hyperplanes(dim, nBits).zipWithIndex.map { case (plane, j) =>
+      val d = fastDot(vec, lit(plane))
       when(d >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
     }
     bits.reduce(_.bitwiseOR(_))

@@ -80,7 +80,9 @@ object DataPipelinePack extends QueryPack {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // LSH-bucketed ANN (approximate scale path; rows-only check).
+    // LSH-bucketed ANN (approximate scale path). The sign-LSH planes are
+    // deterministic, so even this "approximate" op is oracle-checked: the
+    // oracle SQL reproduces the bucketing from the same plane constants.
     "q33_ann_lsh" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       Similarity.lshTopK(
@@ -190,7 +192,37 @@ object DataPipelinePack extends QueryPack {
     })
   )
 
+  /** q33's oracle is GENERATED: the sign-LSH bucketing is deterministic
+    * (fixed splitmix-derived hyperplanes), so the oracle SQL re-derives the
+    * buckets in DuckDB from the same plane constants, embedded as literals.
+    * `Double.toString` round-trips, so the re-parsed planes are
+    * bit-identical and both engines dot them in the same element order.
+    */
+  private def lshAnnOracle: String = {
+    val sig = graft.operators.Similarity.hyperplanes(dim = 64, nBits = 8)
+      .zipWithIndex
+      .map { case (p, j) =>
+        s"(CASE WHEN list_inner_product(v, [${p.mkString(", ")}]) >= 0 THEN ${1L << j} ELSE 0 END)"
+      }
+      .mkString(" + ")
+    s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      s AS (SELECT vec_id, v, $sig AS bucket FROM e),
+      p AS (SELECT vec_id AS probe_id, v AS pv, bucket FROM s WHERE vec_id < 10),
+      cand AS (
+        SELECT probe_id, pv, s.vec_id AS nbr_id, s.v
+        FROM p JOIN s USING (bucket) WHERE s.vec_id != probe_id),
+      scored AS (
+        SELECT probe_id, nbr_id, list_cosine_similarity(pv, v) AS sim,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY list_cosine_similarity(pv, v) DESC, nbr_id) AS rnk
+        FROM cand)
+      SELECT probe_id, CAST(rnk AS INTEGER) AS rnk, nbr_id, round(sim, 4) AS cos_sim
+      FROM scored WHERE rnk <= 5 ORDER BY probe_id, rnk"""
+  }
+
   def oracles: Map[String, String] = Map(
+    "q33_ann_lsh" -> lshAnnOracle,
     "q24_dedup_exact" -> """
       SELECT min(doc_id) AS keep_id, count(*) AS copies
       FROM documents GROUP BY text ORDER BY keep_id""",
