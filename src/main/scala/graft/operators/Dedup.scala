@@ -263,31 +263,44 @@ object Dedup {
     labels.select(col("__id").as(idCol), col("__label").as("cluster_id"))
   }
 
-  /** 64-bit SimHash signature per document: per token-hash bit, majority
-    * vote across tokens. Returns (`idCol`, `simhash`).
+  /** SimHash signature width. 60 bits, not 64: the per-token hash is the
+    * 15-hex-char (60-bit) prefix of md5 — a hash every engine computes
+    * identically, which is what lets the SimHash pipeline be oracle-checked
+    * bit-for-bit against an independent SQL engine (q32). 60 bits keeps the
+    * value positive in a signed BIGINT on both sides; the 4-bit loss is
+    * irrelevant to SimHash quality. (xxhash64 would hash ~3x faster, but
+    * token hashing is a small slice of the signature aggregation and
+    * portability buys the exactness gate.)
+    */
+  val SimHashBits = 60
+
+  /** SimHash signature per document: per token-hash bit, majority vote
+    * across tokens (term-frequency weighted — duplicate tokens vote once
+    * each). Returns (`idCol`, `simhash`).
     */
   def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val ex = withComputeParallelism(df.select(col(idCol), col(textCol)))
       .select(col(idCol), explode(split(col(textCol), " ")).as("__tok"))
-      .withColumn("__h", xxhash64(col("__tok")))
-    val voteAggs = (0 until 64).map { i =>
+      .withColumn("__h", conv(substring(md5(col("__tok")), 1, SimHashBits / 4), 16, 10).cast("long"))
+    val voteAggs = (0 until SimHashBits).map { i =>
       sum(when(shiftright(col("__h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$i")
     }
     val votes = ex.groupBy(col(idCol)).agg(voteAggs.head, voteAggs.tail: _*)
-    val sig = (0 until 64)
+    val sig = (0 until SimHashBits)
       .map(i => when(col(s"v$i") >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
       .reduce(_.bitwiseOR(_))
     votes.select(col(idCol), sig.as("simhash"))
   }
 
   /** SimHash near-dup pairs with hamming distance <= maxHamming (<= 3 for
-    * the 4x16-bit chunk bucketing to be exhaustive by pigeonhole). Candidate
-    * generation shuffles on 16-bit chunk values — never all-pairs.
+    * the 4x15-bit chunk bucketing to be exhaustive by pigeonhole). Candidate
+    * generation shuffles on 15-bit chunk values — never all-pairs.
     */
   def simHashNearDupPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-chunk bucketing is only exhaustive for hamming <= 3")
     val sig = simHash(df, idCol, textCol)
-    val chunks = (0 until 4).map(i => shiftright(col("simhash"), i * 16).bitwiseAND(0xffffL))
+    val chunkBits = SimHashBits / 4
+    val chunks = (0 until 4).map(i => shiftright(col("simhash"), i * chunkBits).bitwiseAND((1L << chunkBits) - 1))
     val banded = sig.select(col(idCol), col("simhash"), posexplode(array(chunks: _*)).as(Seq("__chunk", "__cv")))
     val a = banded.select(col("__chunk"), col("__cv"), col(idCol).as("id_a"), col("simhash").as("__ha"))
     val b = banded.select(col("__chunk"), col("__cv"), col(idCol).as("id_b"), col("simhash").as("__hb"))

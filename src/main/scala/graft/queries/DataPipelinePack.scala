@@ -74,7 +74,9 @@ object DataPipelinePack extends QueryPack {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // SimHash near-dup (approximate family; rows-only check).
+    // SimHash near-dup. The token hash is an md5 prefix, so even this
+    // signature scheme is oracle-checked: the oracle SQL rebuilds the
+    // majority-vote signature per document from the same hash.
     "q32_dedup_simhash" -> ((s, d) => {
       Dedup.simHashNearDupPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))
@@ -221,7 +223,41 @@ object DataPipelinePack extends QueryPack {
       FROM scored WHERE rnk <= 5 ORDER BY probe_id, rnk"""
   }
 
+  /** q32's oracle is GENERATED like q33's: the SimHash token hash is a
+    * 60-bit md5 prefix both engines compute identically, so the oracle
+    * rebuilds the per-bit majority vote, the signature, and the
+    * hamming-<=-3 pairs in SQL (all-pairs is fine at oracle scale; the
+    * Spark side buckets by 15-bit chunks and must find the same pairs).
+    */
+  private def simhashOracle: String = {
+    val bits = graft.operators.Dedup.SimHashBits
+    val votes = (0 until bits)
+      .map(i => s"sum(CASE WHEN (th >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS v$i")
+      .mkString(",\n               ")
+    val sig = (0 until bits)
+      .map(i => s"(CASE WHEN v$i >= 0 THEN ${1L << i} ELSE 0 END)")
+      .mkString(" + ")
+    s"""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      h AS (
+        SELECT doc_id,
+               CAST(concat('0x', substring(md5(tok), 1, ${bits / 4})) AS BIGINT) AS th
+        FROM toks),
+      votes AS (
+        SELECT doc_id,
+               $votes
+        FROM h GROUP BY doc_id),
+      sig AS (SELECT doc_id, $sig AS s FROM votes)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(bit_count(xor(a.s, b.s)) AS INTEGER) AS hamming
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.s, b.s)) <= 3
+      ORDER BY id_a, id_b"""
+  }
+
   def oracles: Map[String, String] = Map(
+    "q32_dedup_simhash" -> simhashOracle,
     "q33_ann_lsh" -> lshAnnOracle,
     "q24_dedup_exact" -> """
       SELECT min(doc_id) AS keep_id, count(*) AS copies
