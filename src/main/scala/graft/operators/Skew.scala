@@ -46,4 +46,32 @@ object Skew {
         sum(col("__cnt")).as("cnt"),
         sumCols.map { case (alias, _) => sum(col(s"__sum_$alias")).cast("double").as(alias) }: _*)
   }
+
+  /** Salted shuffle equi-join for hot join keys: the big side is salted by a
+    * high-cardinality column, the small side is replicated once per salt
+    * bucket, and the join runs on (keys..., salt) — each hot key spreads
+    * over `saltBuckets` reducers instead of funneling into one.
+    *
+    * Exact: every big-side row carries exactly ONE salt value and the small
+    * side has exactly one replica per (key, salt), so the matched pairs are
+    * 1:1 with the unsalted join — no loss, no duplication (q45 shares its
+    * oracle with the plain join).
+    *
+    * AQE's skew-join split is the first resort; this explicit form covers
+    * what it cannot reach (skew under a required distribution, non-AQE
+    * engines, deterministic partition sizing) and costs only the small
+    * side's `saltBuckets`x replication.
+    */
+  def saltedEquiJoin(
+      big: DataFrame,
+      small: DataFrame,
+      keys: Seq[String],
+      saltSource: Column,
+      saltBuckets: Int = 16
+  ): DataFrame = {
+    require(saltBuckets > 0, "saltBuckets must be positive")
+    val b = big.withColumn("__salt", pmod(xxhash64(saltSource), lit(saltBuckets)).cast("int"))
+    val s = small.withColumn("__salt", explode(array((0 until saltBuckets).map(i => lit(i)): _*)))
+    b.join(s, keys :+ "__salt").drop("__salt")
+  }
 }

@@ -182,6 +182,25 @@ object DataPipelinePack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Salted shuffle join on a 3-value (maximally hot) key: the skew-proof
+    // two-phase join must be row-for-row equal to the plain join (the oracle
+    // joins directly).
+    "q45_salted_join" -> ((s, d) => {
+      import s.implicits._
+      val dim = Seq(("A", "returned"), ("N", "normal"), ("R", "refunded"))
+        .toDF("l_returnflag", "flag_label")
+      Skew.saltedEquiJoin(
+        Tables.lineitem(s, d), dim,
+        keys = Seq("l_returnflag"),
+        saltSource = col("l_orderkey"),
+        saltBuckets = 16)
+        .groupBy(col("l_returnflag"), col("flag_label"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(col("l_extendedprice").cast("decimal(28,4)")).cast("double").as("sum_price"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Exact interpolated percentiles per group.
     "q37_percentile" -> ((s, d) => {
       Tables.lineitem(s, d)
@@ -468,6 +487,15 @@ object DataPipelinePack extends QueryPack {
         SELECT e.dst, w.label FROM walk w JOIN edges e ON w.id = e.src)
       SELECT id AS doc_id, min(label) AS cluster_id
       FROM walk GROUP BY id ORDER BY doc_id""",
+
+    "q45_salted_join" -> """
+      WITH dim(l_returnflag, flag_label) AS (
+        VALUES ('A', 'returned'), ('N', 'normal'), ('R', 'refunded'))
+      SELECT l.l_returnflag, d.flag_label, count(*) AS cnt,
+             CAST(sum(CAST(l.l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sum_price
+      FROM lineitem l JOIN dim d USING (l_returnflag)
+      GROUP BY l.l_returnflag, d.flag_label
+      ORDER BY l.l_returnflag""",
 
     "q37_percentile" -> """
       SELECT l_returnflag,
