@@ -173,11 +173,12 @@ object Dedup {
     * one shingle is counted exactly, so for any tau > 0 the output equals the
     * all-pairs answer without ever forming the O(n²) cross join.
     *
-    * Shape: explode shingles -> group by shingle (ONE keyed shuffle) ->
-    * expand each posting list locally -> count shared shingles per pair
-    * (second keyed shuffle, map-side combine) -> join the two per-doc set
-    * sizes to derive the union. Work is sum over shingles of |postings|²,
-    * i.e. driven by shingle document-frequency, not corpus size.
+    * Shape: explode shingles (per-doc set size riding along as a column) ->
+    * group by shingle (ONE keyed shuffle) -> expand each posting list
+    * locally, pairs carrying both set sizes -> count shared shingles per
+    * pair (second keyed shuffle, map-side combine); the union size is then
+    * arithmetic, no join. Work is sum over shingles of |postings|², i.e.
+    * driven by shingle document-frequency, not corpus size.
     *
     * `maxDocFreq` drops shingles whose posting list exceeds the cap — the
     * standard skew guard for web-scale corpora where a boilerplate n-gram
@@ -197,22 +198,29 @@ object Dedup {
     val withShingles = withComputeParallelism(df.select(col(idCol), col(textCol)))
       .select(col(idCol), split(col(textCol), " ").as("__toks"))
       .select(col(idCol), shinglesOfTokens(col("__toks"), shingleN).as("__shingles"))
-    val sizes = withShingles.select(col(idCol), size(col("__shingles")).as("__sz"))
-    val postings = withShingles
-      .select(col(idCol), explode(col("__shingles")).as("__sh"))
+    // The per-doc set size RIDES THROUGH the explode as a column, so the
+    // union size falls out of the pair expansion directly — no join of the
+    // (much larger) pair table back against a sizes table. The whole
+    // operator is exactly two keyed shuffles: group-by-shingle, then
+    // group-by-pair. (sz is functionally dependent on the id, so grouping
+    // by (id, sz) pairs is grouping by the ids.)
+    val ex = withShingles.select(
+      col(idCol),
+      size(col("__shingles")).cast("int").as("__sz"),
+      explode(col("__shingles")).as("__sh"))
+    val postings = ex
       .groupBy(col("__sh"))
-      .agg(collect_list(col(idCol)).as("__ids"))
+      .agg(collect_list(struct(col(idCol).as("id"), col("__sz").as("sz"))).as("__ids"))
       .filter(size(col("__ids")) > 1)
     val capped = maxDocFreq.fold(postings)(cap => postings.filter(size(col("__ids")) <= cap))
-    val inter = capped
-      .select(explode(col("__ids")).as("id_a"), col("__ids"))
-      .select(col("id_a"), explode(col("__ids")).as("id_b"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
+    capped
+      .select(explode(col("__ids")).as("__a"), col("__ids"))
+      .select(col("__a"), explode(col("__ids")).as("__b"))
+      .filter(col("__a.id") < col("__b.id"))
+      .groupBy(
+        col("__a.id").as("id_a"), col("__b.id").as("id_b"),
+        col("__a.sz").as("__sza"), col("__b.sz").as("__szb"))
       .agg(count(lit(1)).cast("int").as("inter_cnt"))
-    inter
-      .join(sizes.select(col(idCol).as("id_a"), col("__sz").as("__sza")), Seq("id_a"))
-      .join(sizes.select(col(idCol).as("id_b"), col("__sz").as("__szb")), Seq("id_b"))
       .withColumn("union_cnt", col("__sza") + col("__szb") - col("inter_cnt"))
       .filter(col("inter_cnt") * tauDen >= col("union_cnt") * tauNum)
       .select("id_a", "id_b", "inter_cnt", "union_cnt")

@@ -72,6 +72,20 @@ object ProfileDedup {
     time("full nearDupPairs (again)")(
       Dedup.nearDupPairs(docs, "doc_id", "text", numHashes = 64, bands = 16))
 
+    // q39 stage decomposition (inverted-index Jaccard)
+    val ws = par
+    val postings = ws.select(col("doc_id"), explode(col("__shingles")).as("__sh"))
+      .groupBy(col("__sh")).agg(collect_list(col("doc_id")).as("__ids"))
+      .filter(size(col("__ids")) > 1)
+    time("j39: postings")(postings)
+    val interPairs = postings
+      .select(explode(col("__ids")).as("id_a"), col("__ids"))
+      .select(col("id_a"), explode(col("__ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).cast("int").as("inter_cnt"))
+    time("j39: postings+paircount")(interPairs)
+    time("j39: full jaccardPairs")(Dedup.jaccardPairs(docs, "doc_id", "text"))
+
     spark.stop()
   }
 }
