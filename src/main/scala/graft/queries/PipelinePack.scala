@@ -85,8 +85,13 @@ object PipelinePack extends QueryPack {
         .option("pageSize", pageSize.toString)
         .load()
         .writeStream.format("memory").queryName(sinkName).outputMode("append")
+        // bounded backfill drain: capture what is available, process it
+        // (in maxPagesPerTrigger-bounded batches), terminate on its own
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      try q.processAllAvailable() finally q.stop()
+      try {
+        if (!q.awaitTermination(300000)) throw graft.core.GraftError("q44 drain timed out")
+      } finally q.stop()
       s.table(sinkName)
         .select(
           substring_index(col("value"), "|", 1).cast("long").as("doc_id"),

@@ -100,7 +100,8 @@ private[sources] final class PaginatedMicroBatchStream(
     fetcherKey: String,
     pageSize: Int,
     maxPagesPerTrigger: Int
-) extends MicroBatchStream {
+) extends MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   private def fetcher = PageFetchers.get(fetcherKey)
 
@@ -109,18 +110,47 @@ private[sources] final class PaginatedMicroBatchStream(
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
-  /** Walk forward from the last committed point through complete pages
-    * (bounded), park on the partial tail — the streaming form of
-    * `PageCursor.nextPageOrNextIndexIfPageNotComplete`. */
-  override def latestOffset(): Offset = {
-    // The engine calls latestOffset after restoring the last offset from the
-    // checkpoint; we track it via the last planInputPartitions/initial call.
-    val start = lastKnown
+  /** `Trigger.AvailableNow` support: capture the end of the CURRENTLY
+    * available data once, up front; subsequent micro-batches (still bounded
+    * by `maxPagesPerTrigger` each) walk up to exactly that point and the
+    * query then terminates on its own — the standard bounded-backfill drain.
+    * Data appearing after the capture is left for the next run, by design.
+    */
+  @volatile private var availableNowCap: Option[PageStreamOffset] = None
+  // "all available" still needs a finite page bound so a pathological
+  // endpoint serving endless exactly-full pages cannot hang the capture.
+  private val AvailableNowMaxPages = 1000000
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(walk(lastKnown, AvailableNowMaxPages))
+  override def reportLatestOffset(): Offset = walk(lastKnown, AvailableNowMaxPages)
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is called on SupportsAdmissionControl sources")
+
+  override def getDefaultReadLimit: org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  /** Walk forward from the committed point through complete pages (bounded
+    * per trigger), park on the partial tail — the streaming form of
+    * `PageCursor.nextPageOrNextIndexIfPageNotComplete`. Under AvailableNow
+    * the walk additionally never passes the captured cap. */
+  override def latestOffset(
+      start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val walked = walk(start.asInstanceOf[PageStreamOffset], maxPagesPerTrigger)
+    availableNowCap.fold(walked) { cap =>
+      if (walked.page > cap.page || (walked.page == cap.page && walked.idx > cap.idx)) cap
+      else walked
+    }
+  }
+
+  private def walk(start: PageStreamOffset, maxPages: Int): PageStreamOffset = {
     var page = start.page
     var idx = start.idx
     var walked = 0
     var done = false
-    while (!done && walked < maxPagesPerTrigger) {
+    while (!done && walked < maxPages) {
       val count = fetcher.fetch(page).length
       if (count >= pageSize) { page += 1; idx = 0; walked += 1 }
       else { idx = count; done = true }

@@ -41,6 +41,27 @@ class PaginatedStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow drains everything available and self-terminates") {
+    val pages: Map[Int, Seq[String]] = Map(
+      0 -> Seq("a", "b", "c"), 1 -> Seq("d", "e", "f"), 2 -> Seq("g"))
+    PageFetchers.register("avnow", new PageFetcher {
+      def fetch(page: Int): Seq[String] = pages.getOrElse(page, Nil)
+    })
+    val q = spark.readStream
+      .format("graft.sources.PaginatedTableProvider")
+      .option("fetcher", "avnow")
+      .option("pageSize", "3")
+      .option("maxPagesPerTrigger", "1") // force several micro-batches to the cap
+      .load()
+      .writeStream.format("memory").queryName("avnow_sink").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(60000), "AvailableNow query must self-terminate")
+    import spark.implicits._
+    val seen = spark.table("avnow_sink").select("value").as[String].collect().sorted.toSeq
+    assert(seen == Seq("a", "b", "c", "d", "e", "f", "g"))
+  }
+
   test("offset json round-trips and rejects corruption") {
     val off = PageStreamOffset(7, 2)
     assert(PageStreamOffset.fromJson(off.json()) == off)
