@@ -201,6 +201,26 @@ object DataPipelinePack extends QueryPack {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Confluent wire-format serde end to end under the oracle gate:
+    // documents -> framed avro binary (magic ‖ id ‖ body, per partition) ->
+    // expression-level header checks -> avro decode back. The oracle is the
+    // identity, so any framing offset error, schema-id corruption, or avro
+    // field mix-up fails the hash compare.
+    "q46_confluent_roundtrip" -> ((s, d) => {
+      import graft.serde.{ConfluentAvroFrames, ConfluentWireColumns}
+      val schemaJson =
+        """{"type":"record","name":"Doc","namespace":"graft",
+           |"fields":[{"name":"doc_id","type":"long"},{"name":"text","type":"string"}]}""".stripMargin
+      val wire = ConfluentAvroFrames.serialize(
+        Tables.documents(s, d), topic = "docs", isKey = false, schemaJson = schemaJson)
+        .withColumn("schema_id", ConfluentWireColumns.wireSchemaId(col("wire")))
+        .withColumn("magic_ok", ConfluentWireColumns.hasWireMagic(col("wire")))
+      ConfluentAvroFrames.deserialize(
+          wire, wireCol = "wire", topic = "docs", isKey = false, schemaJson = schemaJson)
+        .select(col("doc_id"), col("text"), col("schema_id"), col("magic_ok"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Exact interpolated percentiles per group.
     "q37_percentile" -> ((s, d) => {
       Tables.lineitem(s, d)
@@ -496,6 +516,12 @@ object DataPipelinePack extends QueryPack {
       FROM lineitem l JOIN dim d USING (l_returnflag)
       GROUP BY l.l_returnflag, d.flag_label
       ORDER BY l.l_returnflag""",
+
+    // Round-trip identity: the wire id is deterministically 1 (first
+    // registration in a fresh registry) and the magic byte must be present.
+    "q46_confluent_roundtrip" -> """
+      SELECT doc_id, text, CAST(1 AS INTEGER) AS schema_id, true AS magic_ok
+      FROM documents ORDER BY doc_id""",
 
     "q37_percentile" -> """
       SELECT l_returnflag,

@@ -8,6 +8,7 @@ import org.apache.avro.generic.{GenericDatumReader, GenericDatumWriter, GenericR
 import org.apache.avro.io.{DecoderFactory, EncoderFactory}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** The Confluent Schema Registry wire format
   * (ref: tamer `core/src/main/scala/tamer/Serde.scala:31-87`):
@@ -65,6 +66,90 @@ final class ConfluentAvroSerde(registry: SchemaRegistry) {
     val writer = registry.getSchemaById(id)
     val decoder = DecoderFactory.get().binaryDecoder(payload, null)
     new GenericDatumReader[GenericRecord](writer, reader).read(null, decoder)
+  }
+}
+
+/** DataFrame-level Confluent-Avro serde for FLAT record schemas (the
+  * reference's observed usage is flat records of primitives — SURVEY.md
+  * §1.2): serialize the named fields of every row into a framed
+  * `magic ‖ id ‖ avro-binary` column, and decode such a column back into
+  * typed fields. Runs per-partition (serde + registry instantiated once per
+  * partition from the serializable schema JSON), so record bytes never
+  * visit the driver — the exact shape a Kafka-bound `foreachBatch` uses.
+  *
+  * Supported field types: boolean, int, long, float, double, string.
+  */
+object ConfluentAvroFrames {
+  import org.apache.spark.sql.{DataFrame, Row}
+  import org.apache.spark.sql.catalyst.encoders.RowEncoder
+  import org.apache.spark.sql.types._
+
+  private def sparkType(f: Schema.Field): DataType = f.schema().getType match {
+    case Schema.Type.BOOLEAN => BooleanType
+    case Schema.Type.INT     => IntegerType
+    case Schema.Type.LONG    => LongType
+    case Schema.Type.FLOAT   => FloatType
+    case Schema.Type.DOUBLE  => DoubleType
+    case Schema.Type.STRING  => StringType
+    case t => throw GraftError(s"unsupported flat-record avro field type: $t")
+  }
+
+  /** (df's columns matching the schema's field names) -> one `wire` binary
+    * column. */
+  def serialize(df: DataFrame, topic: String, isKey: Boolean, schemaJson: String): DataFrame = {
+    val fieldNames = new Schema.Parser().parse(schemaJson).getFields.asScala.map(_.name).toSeq
+    val out = StructType(Seq(StructField("wire", BinaryType, nullable = false)))
+    val enc = RowEncoder.encoderFor(out)
+    df.select(fieldNames.map(col): _*).mapPartitions { rows =>
+      val schema = new Schema.Parser().parse(schemaJson)
+      val serde = new ConfluentAvroSerde(new InMemorySchemaRegistry)
+      rows.map { r =>
+        val rec = new org.apache.avro.generic.GenericData.Record(schema)
+        fieldNames.zipWithIndex.foreach { case (n, i) => rec.put(n, r.get(i)) }
+        Row(serde.serialize(topic, isKey, rec))
+      }
+    }(enc)
+  }
+
+  /** Framed binary column -> the input columns with one typed column PER
+    * reader-schema field appended. Verifies magic + reader compatibility per
+    * record, with full Avro writer->reader schema resolution — pass
+    * `writerSchemaJson` when the wire was written with an OLDER schema
+    * version (added-with-default / reordered fields resolve per Avro rules).
+    */
+  def deserialize(
+      df: DataFrame,
+      wireCol: String,
+      topic: String,
+      isKey: Boolean,
+      schemaJson: String,
+      writerSchemaJson: Option[String] = None
+  ): DataFrame = {
+    val reader = new Schema.Parser().parse(schemaJson)
+    val out = StructType(
+      df.schema.fields ++ reader.getFields.asScala.map(f => StructField(f.name, sparkType(f))))
+    val enc = RowEncoder.encoderFor(out)
+    val nFields = reader.getFields.size
+    val wireIdx = df.schema.fieldIndex(wireCol)
+    val writerJson = writerSchemaJson.getOrElse(schemaJson)
+    df.mapPartitions { rows =>
+      val readerSchema = new Schema.Parser().parse(schemaJson)
+      val registry = new InMemorySchemaRegistry
+      // The wire's embedded id must resolve to the WRITER schema; a shared
+      // deployment passes a shared registry instead of re-registering.
+      registry.getOrRegisterId(ConfluentWire.subject(topic, isKey),
+        new Schema.Parser().parse(writerJson))
+      val serde = new ConfluentAvroSerde(registry)
+      rows.map { r =>
+        val rec = serde.deserialize(r.getAs[Array[Byte]](wireIdx), readerSchema)
+        Row.fromSeq(r.toSeq ++ (0 until nFields).map { i =>
+          rec.get(i) match {
+            case u: org.apache.avro.util.Utf8 => u.toString
+            case v                            => v
+          }
+        })
+      }
+    }(enc)
   }
 }
 

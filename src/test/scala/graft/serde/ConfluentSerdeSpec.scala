@@ -101,4 +101,31 @@ class ConfluentSerdeSpec extends AnyFunSuite {
     assert(back.forall(_.getBoolean(2)))
     assert(back.map(_.getAs[Array[Byte]](1).toSeq).toSet == Set(Seq[Byte](1, 2, 3), Seq[Byte](4, 5)))
   }
+
+  test("DataFrame avro serde round-trips flat records per partition") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    val schemaJson =
+      """{"type":"record","name":"U","fields":[
+        |{"name":"id","type":"long"},{"name":"name","type":"string"},{"name":"score","type":"double"}]}""".stripMargin
+    val df = Seq((1L, "ann", 0.5), (2L, "bob", 1.25)).toDF("id", "name", "score")
+    val wire = ConfluentAvroFrames.serialize(df, "users", isKey = false, schemaJson)
+    val back = ConfluentAvroFrames.deserialize(wire, "wire", "users", isKey = false, schemaJson)
+      .select("id", "name", "score").as[(Long, String, Double)].collect().sorted.toSeq
+    assert(back == Seq((1L, "ann", 0.5), (2L, "bob", 1.25)))
+  }
+
+  test("DataFrame avro serde: v2 reader over v1 wire gets the added default") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    val v1Json = """{"type":"record","name":"U","fields":[{"name":"id","type":"long"}]}"""
+    val v2Json =
+      """{"type":"record","name":"U","fields":[
+        |{"name":"id","type":"long"},{"name":"tag","type":"string","default":"dflt"}]}""".stripMargin
+    val wire = ConfluentAvroFrames.serialize(Seq(7L).toDF("id"), "users", isKey = false, v1Json)
+    val back = ConfluentAvroFrames.deserialize(
+        wire, "wire", "users", isKey = false, v2Json, writerSchemaJson = Some(v1Json))
+      .select("id", "tag").as[(Long, String)].collect().toSeq
+    assert(back == Seq((7L, "dflt")))
+  }
 }
