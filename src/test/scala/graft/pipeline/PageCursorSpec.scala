@@ -117,4 +117,37 @@ class PageCursorSpec extends AnyFunSuite {
     assert(second.decision == StartupDecision.Resume(PageOffset(2, 0), 2))
     assert(seen.values.flatten.toSeq == (1 to 7))
   }
+
+  test("periodic source re-reads the mutated server in the next period (runner e2e)") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    // period 1: pages [10,20],[30]; period 2: values mutated in place
+    @volatile var server: Map[Int, List[Int]] = Map(0 -> List(10, 20), 1 -> List(30))
+    @volatile var clock: Instant = t0
+    val p = PaginatedSource.periodicallyPaginated[Int](
+      name = "periodic-pages",
+      fetchPage = off => DecodedPage(server.getOrElse(off.offset, Nil), None),
+      toRows = (s, vs) => { vs.toDF("n") },
+      periodStart = t0,
+      minPeriod = min,
+      maxPeriod = max,
+      now = () => clock)
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[Seq[Int]]
+    val sink = new BatchSink {
+      def write(df: org.apache.spark.sql.DataFrame, epoch: Long): Unit =
+        emitted += df.collect().map(_.getInt(0)).toSeq
+    }
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-periodic").toString
+    // period 1: drain pages 0,1; the empty page 2 schedules the next period
+    // and further pulls PARK (not due -> no batch, no state change)
+    val r1 = new PipelineRunner(spark, ckpt).run(p, sink, maxIterations = 5)
+    assert(emitted.toSeq == Seq(Seq(10, 20), Seq(30)))
+    assert(r1.finalState == PeriodicOffset(0, t0.plus(min)), "parked at the next period start")
+    // the server mutates; once the clock passes the period start, a RESUMED
+    // runner re-paginates from page 0 and observes the mutation
+    server = Map(0 -> List(11, 21), 1 -> List(31))
+    clock = t0.plus(min).plusSeconds(1)
+    new PipelineRunner(spark, ckpt).run(p, sink, maxIterations = 3)
+    assert(emitted.toSeq == Seq(Seq(10, 20), Seq(30), Seq(11, 21), Seq(31)))
+  }
 }
