@@ -30,7 +30,15 @@ object Bench {
     exec("q01_agg_pricing")
 
     // Optional args restrict the run to the named queries (local iteration);
-    // the driver invokes with no args and gets the full sorted suite.
+    // the driver invokes with no args and gets the full sorted suite. A
+    // typo'd name must fail loudly, not silently measure nothing.
+    val unknown = args.filterNot(SparkEntry.queries.contains)
+    if (unknown.nonEmpty) {
+      System.err.println(
+        s"[bench] unknown queries: ${unknown.mkString(", ")}; valid: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
+      spark.stop()
+      sys.exit(2)
+    }
     val names =
       if (args.nonEmpty) SparkEntry.queries.keys.toSeq.sorted.filter(args.contains)
       else SparkEntry.queries.keys.toSeq.sorted

@@ -28,9 +28,32 @@ object Dedup {
     * in exactly the case where it is cheap.
     */
   private[operators] def withComputeParallelism(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < math.max(2, target / 2)) df.repartition(target) else df
+    // A plan that already contains an exchange outputs shuffle-partition-
+    // count partitions (i.e. is already parallel) — and probing `.rdd` on
+    // such a plan under AQE would EXECUTE the upstream stages just to read
+    // a number. Only narrow scan-shaped plans are probed (where `.rdd` is
+    // free) — exactly the case the guard exists for.
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ShuffleExchangeLike}
+    val hasExchange = df.queryExecution.sparkPlan.exists {
+      case _: ShuffleExchangeLike | _: BroadcastExchangeLike => true
+      case _                                                 => false
+    }
+    if (hasExchange) df
+    else {
+      val target = df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions < math.max(2, target / 2)) df.repartition(target) else df
+    }
   }
+
+  /** Shared prelude for every shingle-based operator: the parallelism guard
+    * plus token projection BEFORE the shingle lambda (see
+    * [[shinglesOfTokens]] for why the projection is load-bearing). Output:
+    * (`idCol`, `__shingles`).
+    */
+  private def projectedShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    withComputeParallelism(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), split(col(textCol), " ").as("__toks"))
+      .select(col(idCol), shinglesOfTokens(col("__toks"), n).as("__shingles"))
 
   /** Exact duplicate grouping: one row per distinct `keyCol` value with the
     * lowest `idCol` as the keeper and the group size. Scalable shape: a
@@ -153,9 +176,7 @@ object Dedup {
       tauDen: Int = 2
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val withShingles = withComputeParallelism(df.select(col(idCol), col(textCol)))
-      .select(col(idCol), split(col(textCol), " ").as("__toks"))
-      .select(col(idCol), shinglesOfTokens(col("__toks"), shingleN).as("__shingles"))
+    val withShingles = projectedShingles(df, idCol, textCol, shingleN)
     val sigs = minHashSignatures(withShingles, idCol, col("__shingles"), numHashes)
     val cands = lshCandidatePairs(sigs, idCol, bands, numHashes / bands)
     val sh = withShingles.select(col(idCol), col("__shingles"))
@@ -195,9 +216,7 @@ object Dedup {
       tauDen: Int = 2,
       maxDocFreq: Option[Int] = None
   ): DataFrame = {
-    val withShingles = withComputeParallelism(df.select(col(idCol), col(textCol)))
-      .select(col(idCol), split(col(textCol), " ").as("__toks"))
-      .select(col(idCol), shinglesOfTokens(col("__toks"), shingleN).as("__shingles"))
+    val withShingles = projectedShingles(df, idCol, textCol, shingleN)
     // The per-doc set size RIDES THROUGH the explode as a column, so the
     // union size falls out of the pair expansion directly — no join of the
     // (much larger) pair table back against a sizes table. The whole
@@ -268,6 +287,12 @@ object Dedup {
       labels = stepped.select(col("__id"), col("__label"))
       iter += 1
     }
+    // A truncated propagation would silently emit non-minimal labels (a
+    // diameter-(maxIter+1) chain still moves labels on round maxIter) —
+    // wrong answers must be loud.
+    if (!converged)
+      throw graft.core.GraftError(
+        s"connectedComponents did not converge within $maxIter rounds; raise maxIter (graph diameter exceeds it)")
     labels.select(col("__id").as(idCol), col("__label").as("cluster_id"))
   }
 

@@ -456,7 +456,7 @@ object DataPipelinePack extends QueryPack {
       SELECT doc_id AS media_id,
              CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
              md5(text) AS fp_md5,
-             hex(encode(substring(text, 1, 8))) AS head_hex
+             substring(hex(encode(text)), 1, 16) AS head_hex
       FROM documents ORDER BY media_id""",
 
     // Gaps-and-islands formulation of session_window semantics: a new

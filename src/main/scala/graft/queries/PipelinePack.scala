@@ -78,7 +78,10 @@ object PipelinePack extends QueryPack {
         def fetch(page: Int): Seq[String] =
           serverData.slice(page * pageSize, (page + 1) * pageSize)
       })
-      val sinkName = s"q44_sink_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
+      // fixed sink name: a fresh UUID per call would leak one full-corpus
+      // memory-sink copy per invocation in long-lived JVMs
+      val sinkName = "q44_sink"
+      try s.catalog.dropTempView(sinkName) catch { case _: Exception => () }
       val q = s.readStream
         .format("graft.sources.PaginatedTableProvider")
         .option("fetcher", "q44-server")

@@ -94,15 +94,31 @@ object ConfluentAvroFrames {
     case t => throw GraftError(s"unsupported flat-record avro field type: $t")
   }
 
+  /** Per-partition registry: executors cannot share a driver-side client
+    * object, so implementations travel as a serializable FACTORY — the
+    * default builds a fresh in-memory registry (self-contained wires, ids
+    * start at 1); a deployment passes `() => new MySrRestRegistry(url)`
+    * and the embedded ids then come from the shared service. */
+  type RegistryFactory = () => SchemaRegistry
+
   /** (df's columns matching the schema's field names) -> one `wire` binary
-    * column. */
-  def serialize(df: DataFrame, topic: String, isKey: Boolean, schemaJson: String): DataFrame = {
-    val fieldNames = new Schema.Parser().parse(schemaJson).getFields.asScala.map(_.name).toSeq
+    * column. Columns are CAST to the schema's types up front, so a type
+    * mismatch fails analysis with the field name — not as a per-row
+    * ClassCastException inside the avro writer. */
+  def serialize(
+      df: DataFrame,
+      topic: String,
+      isKey: Boolean,
+      schemaJson: String,
+      registryFactory: RegistryFactory = () => new InMemorySchemaRegistry
+  ): DataFrame = {
+    val fields = new Schema.Parser().parse(schemaJson).getFields.asScala.toSeq
+    val fieldNames = fields.map(_.name)
     val out = StructType(Seq(StructField("wire", BinaryType, nullable = false)))
     val enc = RowEncoder.encoderFor(out)
-    df.select(fieldNames.map(col): _*).mapPartitions { rows =>
+    df.select(fields.map(f => col(f.name).cast(sparkType(f))): _*).mapPartitions { rows =>
       val schema = new Schema.Parser().parse(schemaJson)
-      val serde = new ConfluentAvroSerde(new InMemorySchemaRegistry)
+      val serde = new ConfluentAvroSerde(registryFactory())
       rows.map { r =>
         val rec = new org.apache.avro.generic.GenericData.Record(schema)
         fieldNames.zipWithIndex.foreach { case (n, i) => rec.put(n, r.get(i)) }
@@ -123,7 +139,8 @@ object ConfluentAvroFrames {
       topic: String,
       isKey: Boolean,
       schemaJson: String,
-      writerSchemaJson: Option[String] = None
+      writerSchemaJson: Option[String] = None,
+      registryFactory: Option[RegistryFactory] = None
   ): DataFrame = {
     val reader = new Schema.Parser().parse(schemaJson)
     val out = StructType(
@@ -134,11 +151,17 @@ object ConfluentAvroFrames {
     val writerJson = writerSchemaJson.getOrElse(schemaJson)
     df.mapPartitions { rows =>
       val readerSchema = new Schema.Parser().parse(schemaJson)
-      val registry = new InMemorySchemaRegistry
-      // The wire's embedded id must resolve to the WRITER schema; a shared
-      // deployment passes a shared registry instead of re-registering.
-      registry.getOrRegisterId(ConfluentWire.subject(topic, isKey),
-        new Schema.Parser().parse(writerJson))
+      val registry = registryFactory match {
+        // shared registry: the wire's embedded ids already resolve there
+        case Some(factory) => factory()
+        // self-contained wire (written by the default serialize above):
+        // pre-register the writer schema so the embedded id 1 resolves
+        case None =>
+          val r = new InMemorySchemaRegistry
+          r.getOrRegisterId(ConfluentWire.subject(topic, isKey),
+            new Schema.Parser().parse(writerJson))
+          r
+      }
       val serde = new ConfluentAvroSerde(registry)
       rows.map { r =>
         val rec = serde.deserialize(r.getAs[Array[Byte]](wireIdx), readerSchema)

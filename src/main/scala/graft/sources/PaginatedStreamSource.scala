@@ -106,7 +106,18 @@ private[sources] final class PaginatedMicroBatchStream(
   private def fetcher = PageFetchers.get(fetcherKey)
 
   override def initialOffset(): Offset = PageStreamOffset(0, 0)
-  override def deserializeOffset(json: String): Offset = PageStreamOffset.fromJson(json)
+
+  /** Restored checkpoint offsets seed the walk start, so a restarted query
+    * never re-fetches committed pages just to count them. (Any committed
+    * offset is a valid seed — the walk parks at the same tail regardless —
+    * so taking the max over whatever the engine restores is safe.) */
+  override def deserializeOffset(json: String): Offset = {
+    val off = PageStreamOffset.fromJson(json)
+    val seen = lastKnown
+    if (off.page > seen.page || (off.page == seen.page && off.idx > seen.idx)) lastKnown = off
+    off
+  }
+
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
@@ -122,7 +133,14 @@ private[sources] final class PaginatedMicroBatchStream(
   private val AvailableNowMaxPages = 1000000
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowCap = Some(walk(lastKnown, AvailableNowMaxPages))
-  override def reportLatestOffset(): Offset = walk(lastKnown, AvailableNowMaxPages)
+
+  /** Progress reporting must not hammer the endpoint: the engine calls this
+    * every trigger, and a full walk re-fetches every remaining page just to
+    * count it. Under AvailableNow the captured cap IS the latest relevant
+    * offset; otherwise report the committed frontier (progress metrics may
+    * lag the true remote tail — a fetch-free answer is the right trade). */
+  override def reportLatestOffset(): Offset =
+    availableNowCap.getOrElse(lastKnown)
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
