@@ -100,6 +100,59 @@ object PipelinePack extends QueryPack {
           substring_index(col("value"), "|", 1).cast("long").as("doc_id"),
           md5(expr("substring(value, instr(value, '|') + 1)")).as("fp_md5"))
         .orderBy(col("doc_id"))
+    }),
+
+    // The same drain as q44, but over REAL HTTP: an in-process fixture server
+    // (JDK HttpServer, port of the reference's RESTServer semantics) serves
+    // `documents` in fixed pages behind a bearer token that rotates ONCE,
+    // mid-way through the driver's sequential AvailableNow capture walk —
+    // the HttpPageFetcher's 403 → token-refresh → replay-once machine must
+    // fire for the drain to proceed, and the rotation then pins (maxEpoch=1)
+    // so the parallel partition readers can never race a fresh rotation.
+    // Elements are base64'd server-side (document text may contain the line
+    // delimiter) and decoded in the plan. Oracle = plain scan; any dropped/
+    // duplicated page element or auth-replay duplicate fails the hash
+    // compare.
+    "q47_http_ingest" -> ((s, d) => {
+      import graft.sources.HttpFixtureServer
+      import java.nio.charset.StandardCharsets.UTF_8
+      val pageSize = 64
+      val serverData: IndexedSeq[String] = Tables.documents(s, d)
+        .select(col("doc_id"), col("text")).orderBy(col("doc_id")).collect()
+        .map(r => java.util.Base64.getEncoder.encodeToString(
+          s"${r.getLong(0)}|${r.getString(1)}".getBytes(UTF_8))).toIndexedSeq
+      val numPages = (serverData.size + pageSize - 1) / pageSize
+      val server = new HttpFixtureServer(
+        serverData, pageSize,
+        rotateEvery = math.max(1, numPages / 2), maxEpoch = 1).start()
+      try {
+        val sinkName = "q47_sink"
+        try s.catalog.dropTempView(sinkName) catch { case _: Exception => () }
+        val q = s.readStream
+          .format("graft.sources.PaginatedTableProvider")
+          .option("url", server.docsUrl)
+          .option("pageSize", pageSize.toString)
+          .option("maxPagesPerTrigger", "256")
+          .option("auth", "bearer")
+          .option("tokenUrl", server.authUrl)
+          .option("authUser", "user").option("authPass", "pass")
+          .load()
+          .writeStream.format("memory").queryName(sinkName).outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try {
+          if (!q.awaitTermination(300000)) throw graft.core.GraftError("q47 drain timed out")
+        } finally q.stop()
+        if (server.authCallCount < 2)
+          throw graft.core.GraftError(
+            s"q47 expected the rotating token to force a refresh; auth calls = ${server.authCallCount}")
+        s.table(sinkName)
+          .withColumn("decoded", unbase64(col("value")).cast("string"))
+          .select(
+            substring_index(col("decoded"), "|", 1).cast("long").as("doc_id"),
+            md5(expr("substring(decoded, instr(decoded, '|') + 1)")).as("fp_md5"))
+          .orderBy(col("doc_id"))
+      } finally server.stop()
     })
   )
 
@@ -110,6 +163,10 @@ object PipelinePack extends QueryPack {
       FROM events GROUP BY event_type ORDER BY event_type""",
 
     "q44_paginated_ingest" -> """
+      SELECT doc_id, md5(text) AS fp_md5
+      FROM documents ORDER BY doc_id""",
+
+    "q47_http_ingest" -> """
       SELECT doc_id, md5(text) AS fp_md5
       FROM documents ORDER BY doc_id"""
   )

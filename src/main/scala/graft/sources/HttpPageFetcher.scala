@@ -1,0 +1,133 @@
+package graft.sources
+
+import graft.core.GraftError
+import graft.pipeline.{AuthStrategy, AuthenticatedFetch, FetchResponse, SecretCache}
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.time.Duration
+import java.util.Base64
+
+/** Shared JVM-wide HTTP plumbing. One `HttpClient` per JVM (it is
+  * thread-safe and pools connections), and one [[SecretCache]] per
+  * (tokenUrl, dataUrl) pair so every partition reader on an executor shares
+  * the same bearer token instead of re-acquiring per task — the Spark analog
+  * of the reference's single `EphemeralSecretCache` per pipeline
+  * (tamer `rest/src/main/scala/tamer/rest/package.scala:32`).
+  */
+object GraftHttp {
+  lazy val client: HttpClient = HttpClient.newBuilder()
+    .connectTimeout(Duration.ofSeconds(30))
+    .build()
+
+  def basicHeader(user: String, pass: String): String =
+    "Basic " + Base64.getEncoder.encodeToString(s"$user:$pass".getBytes(UTF_8))
+
+  private val caches = new java.util.concurrent.ConcurrentHashMap[String, SecretCache]()
+  def secretCache(key: String): SecretCache =
+    caches.computeIfAbsent(key, _ => new SecretCache)
+}
+
+/** Everything needed to construct an [[HttpPageFetcher]] from DSv2 string
+  * options, on the driver or any executor — no registry, no closure capture.
+  *
+  *  - `url`: page endpoint; a literal `{page}` placeholder is substituted,
+  *    otherwise `?<pageParam>=N` is appended.
+  *  - `delimiter`: element separator in the response body (default `\n`);
+  *    an empty body is an empty page.
+  *  - `auth`: `none` | `basic` | `bearer`. `basic` decorates every request
+  *    with `authUser:authPass`; `bearer` acquires a token from `tokenUrl`
+  *    (itself basic-authed) and refresh-replays once on 401/403/404 — the
+  *    reference's token dance (tamer `rest/.../RESTSetup.scala:64-108`).
+  */
+final case class HttpFetcherConfig(
+    url: String,
+    pageParam: String = "page",
+    delimiter: String = "\n",
+    auth: String = "none",
+    authUser: String = "",
+    authPass: String = "",
+    tokenUrl: String = "") {
+  require(url.nonEmpty, "url is required")
+  require(Set("none", "basic", "bearer").contains(auth), s"unknown auth mode '$auth'")
+  if (auth == "bearer") require(tokenUrl.nonEmpty, "auth=bearer requires tokenUrl")
+}
+
+object HttpFetcherConfig {
+  /** Build from a DSv2 option getter (case-insensitive map lookups). */
+  def fromOptions(get: String => Option[String]): HttpFetcherConfig =
+    HttpFetcherConfig(
+      url = get("url").getOrElse(throw GraftError("url option is required for the HTTP fetcher")),
+      pageParam = get("pageParam").getOrElse("page"),
+      delimiter = get("delimiter").getOrElse("\n"),
+      auth = get("auth").getOrElse("none"),
+      authUser = get("authUser").getOrElse(""),
+      authPass = get("authPass").getOrElse(""),
+      tokenUrl = get("tokenUrl").getOrElse(""))
+}
+
+/** Basic-auth strategy over JDK HttpRequest builders: same static header on
+  * every request, no ephemeral secret. */
+private final class HttpBasicAuth(user: String, pass: String) extends AuthStrategy[HttpRequest.Builder] {
+  def decorate(b: HttpRequest.Builder, secret: Option[String]): HttpRequest.Builder =
+    b.setHeader("Authorization", GraftHttp.basicHeader(user, pass))
+  def acquireSecret(): Option[String] = None
+}
+
+/** Bearer-token strategy: acquire/refresh by GETting `tokenUrl` with basic
+  * auth; the response body (trimmed) IS the token. Mirrors the reference's
+  * example auth flow (its fixture server's `/auth` route returns the current
+  * `validToken<N>` under basic auth). */
+private final class HttpBearerAuth(tokenUrl: String, user: String, pass: String) extends AuthStrategy[HttpRequest.Builder] {
+  def decorate(b: HttpRequest.Builder, secret: Option[String]): HttpRequest.Builder = {
+    secret.foreach(s => b.setHeader("Authorization", s"Bearer $s"))
+    b
+  }
+  def acquireSecret(): Option[String] = {
+    val req = HttpRequest.newBuilder(URI.create(tokenUrl))
+      .setHeader("Authorization", GraftHttp.basicHeader(user, pass))
+      .GET().build()
+    val resp = GraftHttp.client.send(req, HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() / 100 == 2) Some(resp.body().trim)
+    else throw GraftError(s"token acquisition failed: HTTP ${resp.statusCode()} from $tokenUrl")
+  }
+}
+
+/** A real HTTP [[PageFetcher]]: one GET per page over `java.net.http`, with
+  * the [[AuthenticatedFetch]] 401/403/404 → refresh-token → replay-once
+  * state machine in front (ref: tamer `rest/src/main/scala/tamer/rest/
+  * RESTSetup.scala:64-108`). Serializable by construction — only the config
+  * case class crosses the wire; client, auth strategy, and token cache are
+  * rebuilt (or JVM-shared) on whichever node runs the fetch.
+  */
+final class HttpPageFetcher(config: HttpFetcherConfig) extends PageFetcher {
+
+  @transient private lazy val strategy: Option[AuthStrategy[HttpRequest.Builder]] = config.auth match {
+    case "none"   => None
+    case "basic"  => Some(new HttpBasicAuth(config.authUser, config.authPass))
+    case "bearer" => Some(new HttpBearerAuth(config.tokenUrl, config.authUser, config.authPass))
+  }
+
+  @transient private lazy val cache: SecretCache =
+    GraftHttp.secretCache(s"${config.tokenUrl}@${config.url}")
+
+  private def pageUri(page: Int): URI =
+    if (config.url.contains("{page}")) URI.create(config.url.replace("{page}", page.toString))
+    else {
+      val sep = if (config.url.contains("?")) "&" else "?"
+      URI.create(s"${config.url}$sep${config.pageParam}=$page")
+    }
+
+  private def send(b: HttpRequest.Builder): FetchResponse = {
+    val resp = GraftHttp.client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+    val code = resp.statusCode()
+    FetchResponse(code, if (code / 100 == 2) Right(resp.body()) else Left(s"HTTP $code from ${resp.request().uri()}"))
+  }
+
+  def fetch(page: Int): Seq[String] = {
+    val builder = HttpRequest.newBuilder(pageUri(page)).GET()
+    val body = AuthenticatedFetch.fetch[HttpRequest.Builder](builder, send, strategy, cache)
+    if (body.isEmpty) Nil
+    else body.split(java.util.regex.Pattern.quote(config.delimiter), -1).toSeq
+  }
+}

@@ -24,13 +24,69 @@ trait PageFetcher extends Serializable {
 /** Fetcher registry: DSv2 options are string-only, so tests (and in-JVM
   * fetchers generally) register here and pass the key as an option. An HTTP
   * implementation instead constructs itself from its options (url, auth)
-  * in both driver and executors.
+  * in both driver and executors — see [[HttpPageFetcher]].
   */
 object PageFetchers {
   private val registry = new java.util.concurrent.ConcurrentHashMap[String, PageFetcher]()
   def register(key: String, fetcher: PageFetcher): Unit = registry.put(key, fetcher)
   def get(key: String): PageFetcher =
     Option(registry.get(key)).getOrElse(throw graft.core.GraftError(s"no PageFetcher registered under '$key'"))
+}
+
+/** How a partition reader (possibly on a remote executor) obtains its
+  * [[PageFetcher]]. The spec — not the fetcher — is what the driver plans
+  * into [[PagePartition]]s, so each variant states its cluster story:
+  *
+  *  - [[FetcherSpec.Http]] rebuilds from pure config anywhere — the
+  *    production path;
+  *  - [[FetcherSpec.Embedded]] java-serializes the instance into the task —
+  *    works on a real cluster for any genuinely-Serializable fetcher;
+  *  - [[FetcherSpec.Registry]] resolves in-JVM and is therefore LOCAL-MODE
+  *    ONLY; the driver auto-upgrades it to Embedded when the registered
+  *    instance proves serializable, so only non-serializable test fetchers
+  *    keep the restriction.
+  */
+sealed trait FetcherSpec extends Serializable {
+  def resolve(): PageFetcher
+  def label: String
+}
+object FetcherSpec {
+  final case class Registry(key: String) extends FetcherSpec {
+    def resolve(): PageFetcher = PageFetchers.get(key)
+    def label: String = key
+  }
+  final case class Embedded(fetcher: PageFetcher, label: String) extends FetcherSpec {
+    def resolve(): PageFetcher = fetcher
+  }
+  final case class Http(config: HttpFetcherConfig) extends FetcherSpec {
+    def resolve(): PageFetcher = new HttpPageFetcher(config)
+    def label: String = config.url
+  }
+
+  /** DSv2 options → spec: `url` selects the HTTP fetcher, otherwise
+    * `fetcher` names a registry entry. */
+  def fromOptions(get: String => Option[String]): FetcherSpec =
+    get("url") match {
+      case Some(_) => Http(HttpFetcherConfig.fromOptions(get))
+      case None =>
+        Registry(get("fetcher").getOrElse(
+          throw graft.core.GraftError("either 'url' or 'fetcher' option is required")))
+    }
+
+  private def javaSerializable(x: AnyRef): Boolean =
+    try {
+      val out = new java.io.ObjectOutputStream(java.io.OutputStream.nullOutputStream())
+      out.writeObject(x); out.close(); true
+    } catch { case _: java.io.NotSerializableException => false }
+
+  /** The form planned into partitions: registry fetchers that actually
+    * serialize are embedded so executors don't need the driver's registry. */
+  def planForm(spec: FetcherSpec): FetcherSpec = spec match {
+    case Registry(key) =>
+      val f = PageFetchers.get(key)
+      if (javaSerializable(f)) Embedded(f, key) else spec
+    case other => other
+  }
 }
 
 /** Real Structured Streaming integration of the paginated cursor
@@ -68,7 +124,8 @@ private[sources] object PaginatedStream {
 }
 
 private[sources] final class PaginatedTable(properties: Map[String, String]) extends Table with SupportsRead {
-  override def name(): String = s"graft-pages(${properties.getOrElse("fetcher", "?")})"
+  override def name(): String =
+    s"graft-pages(${properties.getOrElse("url", properties.getOrElse("fetcher", "?"))})"
   override def schema(): StructType = PaginatedStream.Schema
   override def capabilities(): util.Set[TableCapability] = Set(TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = new ScanBuilder {
@@ -76,7 +133,7 @@ private[sources] final class PaginatedTable(properties: Map[String, String]) ext
       override def readSchema(): StructType = PaginatedStream.Schema
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
         new PaginatedMicroBatchStream(
-          fetcherKey = options.get("fetcher"),
+          spec = FetcherSpec.fromOptions(k => Option(options.get(k))),
           pageSize = Option(options.get("pageSize")).map(_.toInt)
             .getOrElse(throw graft.core.GraftError("pageSize option is required")),
           maxPagesPerTrigger = Option(options.get("maxPagesPerTrigger")).map(_.toInt).getOrElse(100))
@@ -97,13 +154,13 @@ private[sources] object PageStreamOffset {
 }
 
 private[sources] final class PaginatedMicroBatchStream(
-    fetcherKey: String,
+    spec: FetcherSpec,
     pageSize: Int,
     maxPagesPerTrigger: Int
 ) extends MicroBatchStream
   with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
-  private def fetcher = PageFetchers.get(fetcherKey)
+  private def fetcher = spec.resolve()
 
   override def initialOffset(): Offset = PageStreamOffset(0, 0)
 
@@ -152,24 +209,39 @@ private[sources] final class PaginatedMicroBatchStream(
   /** Walk forward from the committed point through complete pages (bounded
     * per trigger), park on the partial tail — the streaming form of
     * `PageCursor.nextPageOrNextIndexIfPageNotComplete`. Under AvailableNow
-    * the walk additionally never passes the captured cap. */
+    * the capture walk already PROVED every page below the cap complete, so
+    * the per-trigger advance is pure arithmetic — no re-fetching of pages
+    * just to count them (the endpoint is hit once to capture and once per
+    * page to read, never a third time). */
   override def latestOffset(
       start: Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
-    val walked = walk(start.asInstanceOf[PageStreamOffset], maxPagesPerTrigger)
-    availableNowCap.fold(walked) { cap =>
-      if (walked.page > cap.page || (walked.page == cap.page && walked.idx > cap.idx)) cap
-      else walked
+    val s = start.asInstanceOf[PageStreamOffset]
+    availableNowCap match {
+      case Some(cap) =>
+        val targetPage = s.page.toLong + maxPagesPerTrigger // Long: no overflow near Int.MaxValue
+        if (targetPage >= cap.page) cap else PageStreamOffset(targetPage.toInt, 0)
+      case None => walk(s, maxPagesPerTrigger)
     }
   }
 
   private def walk(start: PageStreamOffset, maxPages: Int): PageStreamOffset = {
+    val f = fetcher
     var page = start.page
     var idx = start.idx
     var walked = 0
     var done = false
     while (!done && walked < maxPages) {
-      val count = fetcher.fetch(page).length
+      val count = f.fetch(page).length
+      // Committed-prefix determinism contract: a page the offset log already
+      // points INTO may grow or stay, never shrink below the committed index.
+      // A shrink would walk the offset BEHIND `start`, and a later re-growth
+      // would re-emit rows in [count, start.idx) as duplicates — fail loudly
+      // instead of corrupting the offset log.
+      if (page == start.page && count < start.idx)
+        throw graft.core.GraftError(
+          s"paginated source contract violation: committed offset (page=${start.page}, idx=${start.idx}) " +
+            s"but page $page now has only $count elements — committed prefixes must be stable")
       if (count >= pageSize) { page += 1; idx = 0; walked += 1 }
       else { idx = count; done = true }
     }
@@ -178,6 +250,11 @@ private[sources] final class PaginatedMicroBatchStream(
 
   @volatile private var lastKnown: PageStreamOffset = PageStreamOffset(0, 0)
 
+  // Resolved once per plan: registry fetchers that java-serialize are
+  // embedded into the partitions so executors never consult the driver-side
+  // registry (a real-cluster correctness requirement, not just hygiene).
+  private lazy val partitionSpec: FetcherSpec = FetcherSpec.planForm(spec)
+
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[PageStreamOffset]
     val e = end.asInstanceOf[PageStreamOffset]
@@ -185,7 +262,7 @@ private[sources] final class PaginatedMicroBatchStream(
     (s.page to e.page).flatMap { page =>
       val fromIdx = if (page == s.page) s.idx else 0
       val untilIdx = if (page == e.page) e.idx else pageSize
-      if (untilIdx > fromIdx) Some(PagePartition(fetcherKey, page, fromIdx, untilIdx): InputPartition) else None
+      if (untilIdx > fromIdx) Some(PagePartition(partitionSpec, page, fromIdx, untilIdx): InputPartition) else None
     }.toArray
   }
 
@@ -193,7 +270,7 @@ private[sources] final class PaginatedMicroBatchStream(
     override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
       val p = partition.asInstanceOf[PagePartition]
       new PartitionReader[InternalRow] {
-        private val rows = PageFetchers.get(p.fetcherKey).fetch(p.page)
+        private val rows = p.spec.resolve().fetch(p.page)
           .slice(p.fromIdx, p.untilIdx).zipWithIndex.iterator
         private var current: InternalRow = _
         override def next(): Boolean =
@@ -209,5 +286,5 @@ private[sources] final class PaginatedMicroBatchStream(
   }
 }
 
-private[sources] final case class PagePartition(fetcherKey: String, page: Int, fromIdx: Int, untilIdx: Int)
+private[sources] final case class PagePartition(spec: FetcherSpec, page: Int, fromIdx: Int, untilIdx: Int)
   extends InputPartition
