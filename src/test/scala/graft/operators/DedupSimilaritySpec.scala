@@ -126,6 +126,50 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(lsh.subsetOf(brute))
   }
 
+  // Planted near-dup corpus for the banded-LSH pairs operator: random base
+  // vectors (seeded — deterministic) plus clones with small noise, so the
+  // only pairs above tau = 0.9 are the planted clone pairs.
+  private lazy val plantedVecs = {
+    val rnd = new scala.util.Random(42)
+    val dim = 32
+    val base = (0 until 80).map(i => i.toLong -> Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val clones = (0 until 20).map { i =>
+      val src = base(i)._2
+      (100 + i).toLong -> src.map(x => x + (rnd.nextGaussian() * 0.02).toFloat)
+    }
+    (base ++ clones).toDF("vec_id", "embedding")
+  }
+
+  test("cosineNearDupPairsLsh equals exact all-pairs on planted near-dups at aggressive bands") {
+    val exact = Similarity.cosineNearDupPairs(plantedVecs, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.cosineNearDupPairsLsh(plantedVecs, "vec_id", "embedding",
+      threshold = 0.9, dim = 32, bandBits = 6, bands = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.size == 20) // exactly the planted clone pairs
+    assert(lsh == exact)     // recall 1 at these bands, precision 1 by verification
+  }
+
+  test("cosineCandidatePairs prunes the pair space but keeps every planted pair") {
+    val n = plantedVecs.count()
+    val allPairs = n * (n - 1) / 2
+    val cands = Similarity.cosineCandidatePairs(plantedVecs, "vec_id", "embedding",
+      dim = 32, bandBits = 6, bands = 16)
+      .as[(Long, Long)].collect()
+    assert(cands.length == cands.toSet.size) // distinct across bands
+    assert(cands.length < allPairs / 2)      // genuine pruning (measured ~25%)
+    val planted = (0 until 20).map(i => (i.toLong, (100 + i).toLong)).toSet
+    assert(planted.subsetOf(cands.toSet))
+  }
+
+  test("cosineNearDupPairsLsh plans a bucket join, never a nested-loop cross join") {
+    val plan = Similarity.cosineNearDupPairsLsh(plantedVecs, "vec_id", "embedding",
+      threshold = 0.9, dim = 32, bandBits = 6, bands = 16)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("ivfTopK with nprobe = nlist degenerates to exact brute force") {
     val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val probes = e.filter(col("vec_id") < 3)
