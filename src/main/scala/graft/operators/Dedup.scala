@@ -216,6 +216,13 @@ object Dedup {
       tauDen: Int = 2,
       maxDocFreq: Option[Int] = None
   ): DataFrame = {
+    // The inverted index only ever enumerates pairs sharing >= 1 shingle, so
+    // tau = 0 (which zero-intersection pairs would satisfy) cannot be served
+    // exactly — enforce the documented precondition instead of silently
+    // dropping those pairs.
+    require(tauNum > 0, s"jaccardPairs requires tauNum > 0 (got $tauNum): " +
+      "zero-intersection pairs never share a posting list and would be missing")
+    require(tauDen > 0, s"jaccardPairs requires tauDen > 0 (got $tauDen)")
     val withShingles = projectedShingles(df, idCol, textCol, shingleN)
     // The per-doc set size RIDES THROUGH the explode as a column, so the
     // union size falls out of the pair expansion directly — no join of the

@@ -501,7 +501,7 @@ object DataPipelinePack extends QueryPack {
              min(ts) AS session_start,
              max(ts) + INTERVAL 3 HOUR AS session_end,
              CAST(count(*) AS INTEGER) AS n_events,
-             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
       FROM i GROUP BY user_id, sid ORDER BY user_id, session_start""",
 
     // Connected components of the exact-Jaccard near-dup graph via a

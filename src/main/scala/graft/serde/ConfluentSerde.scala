@@ -104,7 +104,10 @@ object ConfluentAvroFrames {
   /** (df's columns matching the schema's field names) -> one `wire` binary
     * column. Columns are CAST to the schema's types up front, so a type
     * mismatch fails analysis with the field name — not as a per-row
-    * ClassCastException inside the avro writer. */
+    * ClassCastException inside the avro writer. Null values are rejected
+    * per-field BY NAME: flat schemas have no null union, so letting a null
+    * reach the avro writer would NPE deep inside GenericDatumWriter with no
+    * hint of which column was at fault. */
   def serialize(
       df: DataFrame,
       topic: String,
@@ -121,7 +124,11 @@ object ConfluentAvroFrames {
       val serde = new ConfluentAvroSerde(registryFactory())
       rows.map { r =>
         val rec = new org.apache.avro.generic.GenericData.Record(schema)
-        fieldNames.zipWithIndex.foreach { case (n, i) => rec.put(n, r.get(i)) }
+        fieldNames.zipWithIndex.foreach { case (n, i) =>
+          if (r.isNullAt(i))
+            throw GraftError(s"Serialization failed: null value in field '$n' (schema has no null union)")
+          rec.put(n, r.get(i))
+        }
         Row(serde.serialize(topic, isKey, rec))
       }
     }(enc)

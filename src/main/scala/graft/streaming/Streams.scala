@@ -65,9 +65,12 @@ object Streams {
     * bounds: start = first event, end = last event + gap. Note Spark merges
     * ADJACENT windows: an event at exactly `last + gap` still joins the
     * session (a new session needs a gap strictly greater). Also emits
-    * the event count and an EXACT decimal sum of `valueCol` (double
-    * summation order differs across engines/partitionings; decimal partials
-    * make the result engine- and partitioning-independent).
+    * the event count and a decimal sum of `valueCol` (double summation
+    * order differs across engines/partitionings; decimal partials make the
+    * result engine- and partitioning-independent). Rounding contract: each
+    * input is rounded HALF_UP to scale 4 before summing (decimal(28,4) —
+    * 24 integer digits of headroom), so the sum is exact whenever values
+    * carry at most 4 fractional digits.
     */
   def sessionAggregate(
       df: DataFrame,
@@ -79,7 +82,7 @@ object Streams {
     df.groupBy(col(keyCol), session_window(col(tsCol), gap))
       .agg(
         count(lit(1)).cast("int").as("n_events"),
-        sum(col(valueCol).cast("decimal(18,2)")).as("__sv"))
+        sum(col(valueCol).cast("decimal(28,4)")).as("__sv"))
       .select(
         col(keyCol),
         col("session_window.start").as("session_start"),

@@ -54,6 +54,13 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(viaIndex.contains((1L, 4L, 7, 7))) // exact dup: identical shingle sets
   }
 
+  test("jaccardPairs rejects tau = 0 (zero-intersection pairs are unobservable)") {
+    val e = intercept[IllegalArgumentException] {
+      Dedup.jaccardPairs(docs, "doc_id", "text", tauNum = 0)
+    }
+    assert(e.getMessage.contains("tauNum > 0"))
+  }
+
   test("jaccardPairs maxDocFreq drops hot shingles but never invents pairs") {
     val capped = Dedup.jaccardPairs(docs, "doc_id", "text", maxDocFreq = Some(2))
       .as[(Long, Long, Int, Int)].collect().toSet

@@ -115,6 +115,19 @@ class ConfluentSerdeSpec extends AnyFunSuite {
     assert(back == Seq((1L, "ann", 0.5), (2L, "bob", 1.25)))
   }
 
+  test("DataFrame avro serde names the null field instead of NPEing in the writer") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    val schemaJson =
+      """{"type":"record","name":"U","fields":[
+        |{"name":"id","type":"long"},{"name":"name","type":"string"}]}""".stripMargin
+    val df = Seq((1L, "ann"), (2L, null: String)).toDF("id", "name")
+    val e = intercept[org.apache.spark.SparkException] {
+      ConfluentAvroFrames.serialize(df, "users", isKey = false, schemaJson).collect()
+    }
+    assert(e.getMessage.contains("'name'") || Option(e.getCause).exists(_.getMessage.contains("'name'")))
+  }
+
   test("DataFrame avro serde: v2 reader over v1 wire gets the added default") {
     val spark = graft.TestSpark.spark
     import spark.implicits._
