@@ -102,6 +102,76 @@ object PipelinePack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // The flagship JDBC windowed pull as a REAL MicroBatchStream (SURVEY
+    // §7.2: offset = Window in the checkpoint offset log): `events` is
+    // loaded into an embedded Derby database (playing the production RDBMS),
+    // then drained by readStream over the DSv2 windowed source with
+    // Trigger.AvailableNow — window fold per micro-batch, range-sliced
+    // parallel executor-side scans — and aggregated to the exact q23 oracle
+    // shape. Any skipped/duplicated window row changes cnt/sum_value and
+    // fails the hash compare against the plain full-scan oracle.
+    "q49_jdbc_stream_window" -> ((s, d) => {
+      val url = "jdbc:derby:memory:graftq49;create=true"
+      System.setProperty("derby.stream.error.file", "/tmp/derby.log")
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        val st = conn.createStatement()
+        try st.execute("DROP TABLE EVENTS") catch { case _: java.sql.SQLException => () }
+        st.execute(
+          "CREATE TABLE EVENTS (EVENT_ID BIGINT, TS TIMESTAMP, EVENT_TYPE VARCHAR(64), VALUE DOUBLE)")
+        val ps = conn.prepareStatement("INSERT INTO EVENTS VALUES (?, ?, ?, ?)")
+        // collect builds the FIXTURE DATABASE (the remote system a real
+        // deployment already has), not the pipeline's data path
+        Tables.events(s, d).select("event_id", "ts", "event_type", "value").collect()
+          .grouped(1000).foreach { chunk =>
+            chunk.foreach { r =>
+              ps.setLong(1, r.getLong(0))
+              ps.setTimestamp(2, r.getTimestamp(1))
+              ps.setString(3, r.getString(2))
+              ps.setDouble(4, r.getDouble(3))
+              ps.addBatch()
+            }
+            ps.executeBatch()
+          }
+      } finally conn.close()
+
+      // anchor the window walk off values read back through JDBC itself
+      // (timezone-shift-proof, same as the epoch-runner derby spec)
+      val probe = java.sql.DriverManager.getConnection(url)
+      val (minTs, maxTs) =
+        try {
+          val rs = probe.createStatement().executeQuery("SELECT MIN(TS), MAX(TS) FROM EVENTS")
+          rs.next()
+          (rs.getTimestamp(1).toInstant, rs.getTimestamp(2).toInstant)
+        } finally probe.close()
+      val stepMs = math.max(1L, Duration.between(minTs, maxTs).toMillis / 7)
+
+      val sinkName = "q49_sink"
+      try s.catalog.dropTempView(sinkName) catch { case _: Exception => () }
+      val q = s.readStream
+        .format("graft.sources.JdbcWindowedTableProvider")
+        .option("url", url)
+        .option("table", "EVENTS")
+        .option("tsCol", "TS")
+        .option("from", minTs.minusSeconds(1).toString)
+        .option("stepMs", stepMs.toString)
+        .option("numPartitions", "4")
+        .option("now", maxTs.plusSeconds(86400).toString)
+        .load()
+        .writeStream.format("memory").queryName(sinkName).outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try {
+        if (!q.awaitTermination(300000)) throw graft.core.GraftError("q49 drain timed out")
+      } finally q.stop()
+      s.table(sinkName)
+        .groupBy(col("EVENT_TYPE").as("event_type"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(col("VALUE").cast("decimal(28,4)")).cast("double").as("sum_value"))
+        .orderBy(col("event_type"))
+    }),
+
     // The same drain as q44, but over REAL HTTP: an in-process fixture server
     // (JDK HttpServer, port of the reference's RESTServer semantics) serves
     // `documents` in fixed pages behind a bearer token that rotates ONCE,
@@ -168,6 +238,13 @@ object PipelinePack extends QueryPack {
 
     "q47_http_ingest" -> """
       SELECT doc_id, md5(text) AS fp_md5
-      FROM documents ORDER BY doc_id"""
+      FROM documents ORDER BY doc_id""",
+
+    // identical to q23's oracle: the DSv2 windowed stream must reproduce the
+    // full table regardless of how the window walk tiled it
+    "q49_jdbc_stream_window" -> """
+      SELECT event_type, count(*) AS cnt,
+             CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY event_type ORDER BY event_type"""
   )
 }
