@@ -143,6 +143,22 @@ object Multimodal {
       }(enc)
   }
 
+  /** The same byte probe as [[probeBytes]] in pure EXPRESSION form —
+    * `length`/`md5`/`hex(substring)` are built-in, codegen'd, vectorizable
+    * column functions, so this version stays inside WholeStageCodegen with
+    * no object serialization boundary. Prefer it whenever the computation
+    * needs no per-partition initialization; [[probeBytes]] remains the
+    * batch-shaped template for real codecs (per-partition decoder init).
+    * The two are value-identical (spec-pinned).
+    */
+  def probeBytesExpr(media: DataFrame, headLen: Int = 8): DataFrame =
+    media.select(
+      col("media_id"),
+      length(col("content")).as("n_bytes"),
+      md5(col("content")).as("fp_md5"),
+      // Spark's hex() of binary is uppercase, matching probeBytes's %02X
+      hex(substring(col("content"), 1, headLen)).as("head_hex"))
+
   /** Features straight into the similarity operators: media -> embedding
     * table ready for [[Similarity.bruteForceTopK]] / [[Similarity.lshTopK]].
     */

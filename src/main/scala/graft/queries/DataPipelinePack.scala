@@ -165,14 +165,16 @@ object DataPipelinePack extends QueryPack {
     }),
 
     // Multimodal binary plumbing under the oracle gate: text bytes as the
-    // opaque media column, per-partition probe (length/md5/head) over it.
+    // opaque media column, probed in the vectorized EXPRESSION form
+    // (length/md5/hex stay inside WholeStageCodegen; the batch-shaped
+    // mapPartitions sibling is value-identical and spec-pinned against it).
     "q41_multimodal_probe" -> ((s, d) => {
       val media = Tables.documents(s, d).select(
         col("doc_id").as("media_id"),
         lit("text/plain").as("mime"),
         encode(col("text"), "UTF-8").as("content"),
         lit(null).cast("struct<width:int,height:int,duration_ms:bigint>").as("meta"))
-      Multimodal.probeBytes(media, headLen = 8)
+      Multimodal.probeBytesExpr(media, headLen = 8)
         .orderBy(col("media_id"))
     }),
 

@@ -62,6 +62,21 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
   }
 
+  test("probeBytesExpr is value-identical to probeBytes and stays in codegen") {
+    val expr = Multimodal.probeBytesExpr(mediaDF, headLen = 8).orderBy("media_id").collect()
+    val part = Multimodal.probeBytes(mediaDF, headLen = 8).orderBy("media_id").collect()
+    assert(expr.map(_.toSeq).toSeq == part.map(_.toSeq).toSeq)
+    // head shorter than headLen: substring clamps exactly like bytes.take
+    val tiny = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, "text/plain", "ab".getBytes("UTF-8"), null)), 1),
+      Multimodal.mediaSchema)
+    assert(Multimodal.probeBytesExpr(tiny, headLen = 8).head.getString(3) == "6162")
+    val plan = Multimodal.probeBytesExpr(mediaDF).queryExecution.executedPlan.toString
+    // `*(n)` prefixes mark WholeStageCodegen stages in the compact plan string
+    assert(plan.contains("*(1) Project"), s"expression probe must be codegen'd:\n$plan")
+    assert(!plan.contains("SerializeFromObject"), s"no object boundary expected:\n$plan")
+  }
+
   test("asEmbeddingTable feeds the similarity operators end-to-end") {
     val emb = Multimodal.asEmbeddingTable(mediaDF, dim = 16)
     assert(emb.columns.toSeq == Seq("vec_id", "embedding"))
