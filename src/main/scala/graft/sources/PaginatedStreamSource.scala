@@ -288,3 +288,187 @@ private[sources] final class PaginatedMicroBatchStream(
 
 private[sources] final case class PagePartition(spec: FetcherSpec, page: Int, fromIdx: Int, untilIdx: Int)
   extends InputPartition
+
+// ---------------------------------------------------------------------------
+// Periodic re-pagination (the reference's `periodicallyPaginated` family) as
+// a streaming source: the period lives in the checkpoint offset log.
+// ---------------------------------------------------------------------------
+
+/** Injectable driver-side clock for the periodic source: period-roll
+  * decisions happen ONLY in `latestOffset` (driver), so a registry works on
+  * a real cluster — executors never consult it. Tests register a manual
+  * clock; production omits the option and gets the system clock. */
+object PageClocks {
+  private val registry = new java.util.concurrent.ConcurrentHashMap[String, () => java.time.Instant]()
+  def register(key: String, clock: () => java.time.Instant): Unit = registry.put(key, clock)
+  def get(key: String): () => java.time.Instant =
+    Option(registry.get(key)).getOrElse(throw graft.core.GraftError(s"no clock registered under '$key'"))
+}
+
+/** Periodic re-pagination as a real Structured Streaming source (reference:
+  * tamer `rest/src/main/scala/tamer/rest/RESTSetup.scala:250-267` —
+  * `periodicallyPaginated`): pages advance while data flows; on an empty
+  * page the PERIOD rolls (immediately if `minPeriod` has elapsed, else
+  * scheduled at `periodStart + minPeriod`), and a roll re-reads from page 0
+  * — re-reading is how this family observes source mutations, so re-emitted
+  * rows are the contract, not a bug (each row is stamped with its period).
+  * `maxPeriod` bounds a period even mid-pagination, exactly like the
+  * reference's overrun clause.
+  *
+  * Offsets are [[PeriodicPageStreamOffset]]s — `(period, page,
+  * periodStartMs)` in the checkpoint offset log, the streaming form of
+  * [[graft.core.PeriodicOffset]] (the roll count makes offsets totally
+  * ordered even though pages reset). A roll is an offset transition with an
+  * EMPTY batch; a "not due yet" poll returns the same offset (no batch, no
+  * state change — the trigger cadence supplies the reference's sleep,
+  * SURVEY.md §7.4).
+  *
+  * Replay caveat (same trade the reference makes): a page re-fetched for an
+  * uncommitted replayed batch may observe source mutations; committed
+  * batches are never re-read. Mutation visibility is bounded by the period.
+  *
+  * Options: `fetcher`/`url` (+auth) as the fixed source; `minPeriodMs`,
+  * `maxPeriodMs`; `periodStart` (ISO-8601, default = first `now()`);
+  * `maxPagesPerTrigger` (default 100); `clock` (test-clock registry key).
+  */
+class PeriodicPaginatedTableProvider extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = PeriodicPaginatedStream.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform], properties: util.Map[String, String]): Table =
+    new PeriodicPaginatedTable(properties.asScala.toMap)
+}
+
+private[sources] object PeriodicPaginatedStream {
+  val Schema: StructType = StructType(Seq(
+    StructField("value", StringType, nullable = false),
+    StructField("period", LongType, nullable = false),
+    StructField("page", IntegerType, nullable = false),
+    StructField("idx", IntegerType, nullable = false)))
+}
+
+private[sources] final class PeriodicPaginatedTable(properties: Map[String, String]) extends Table with SupportsRead {
+  override def name(): String =
+    s"graft-periodic-pages(${properties.getOrElse("url", properties.getOrElse("fetcher", "?"))})"
+  override def schema(): StructType = PeriodicPaginatedStream.Schema
+  override def capabilities(): util.Set[TableCapability] = Set(TableCapability.MICRO_BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = new ScanBuilder {
+    override def build(): Scan = new Scan {
+      override def readSchema(): StructType = PeriodicPaginatedStream.Schema
+      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        new PeriodicPaginatedMicroBatchStream(
+          spec = FetcherSpec.fromOptions(k => properties.get(k)),
+          minPeriodMs = properties.getOrElse("minPeriodMs",
+            throw graft.core.GraftError("minPeriodMs option is required")).toLong,
+          maxPeriodMs = properties.getOrElse("maxPeriodMs",
+            throw graft.core.GraftError("maxPeriodMs option is required")).toLong,
+          explicitPeriodStartMs = properties.get("periodStart").map(java.time.Instant.parse(_).toEpochMilli),
+          maxPagesPerTrigger = properties.get("maxPagesPerTrigger").map(_.toInt).getOrElse(100),
+          clock = properties.get("clock").map(PageClocks.get)
+            .getOrElse(() => java.time.Instant.now()))
+    }
+  }
+}
+
+/** `(period, page, periodStartMs)` — totally ordered by (period, page);
+  * `periodStartMs` rides along for the min/max-period arithmetic (it may sit
+  * in the future: a scheduled not-yet-due period, the reference's
+  * "sleep until next read" made non-blocking). */
+private[sources] final case class PeriodicPageStreamOffset(period: Long, page: Int, periodStartMs: Long) extends Offset {
+  override def json(): String = s"""{"period":$period,"page":$page,"periodStartMs":$periodStartMs}"""
+  def isAfter(o: PeriodicPageStreamOffset): Boolean =
+    period > o.period || (period == o.period && page > o.page)
+}
+private[sources] object PeriodicPageStreamOffset {
+  private val Pattern = """\{"period":(\d+),"page":(\d+),"periodStartMs":(-?\d+)\}""".r
+  def fromJson(json: String): PeriodicPageStreamOffset = json.trim match {
+    case Pattern(k, p, m) => PeriodicPageStreamOffset(k.toLong, p.toInt, m.toLong)
+    case other            => throw graft.core.GraftError(s"corrupt periodic page offset: '$other'")
+  }
+}
+
+private[sources] final class PeriodicPaginatedMicroBatchStream(
+    spec: FetcherSpec,
+    minPeriodMs: Long,
+    maxPeriodMs: Long,
+    explicitPeriodStartMs: Option[Long],
+    maxPagesPerTrigger: Int,
+    clock: () => java.time.Instant
+) extends MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+
+  private def fetcher = spec.resolve()
+
+  override def initialOffset(): Offset =
+    PeriodicPageStreamOffset(0L, 0, explicitPeriodStartMs.getOrElse(clock().toEpochMilli))
+
+  override def deserializeOffset(json: String): Offset = PeriodicPageStreamOffset.fromJson(json)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is called on SupportsAdmissionControl sources")
+
+  override def getDefaultReadLimit: org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  /** One admission decision per trigger, the streaming form of
+    * `PageCursor.nextPeriodicState`:
+    *  1. scheduled period still in the future → park (same offset);
+    *  2. `maxPeriod` overrun (even mid-pagination) → roll now;
+    *  3. walk non-empty pages forward (bounded) → data offset;
+    *  4. empty page: roll now if past `minPeriod`, else roll scheduled at
+    *     `periodStart + minPeriod`. */
+  override def latestOffset(
+      start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val s = start.asInstanceOf[PeriodicPageStreamOffset]
+    val now = clock().toEpochMilli
+    if (s.periodStartMs > now) s
+    else if (now > s.periodStartMs + maxPeriodMs)
+      PeriodicPageStreamOffset(s.period + 1, 0, now)
+    else {
+      val f = fetcher
+      var page = s.page
+      var walked = 0
+      while (walked < maxPagesPerTrigger && f.fetch(page).nonEmpty) { page += 1; walked += 1 }
+      if (page > s.page) PeriodicPageStreamOffset(s.period, page, s.periodStartMs)
+      else if (now > s.periodStartMs + minPeriodMs)
+        PeriodicPageStreamOffset(s.period + 1, 0, now)
+      else
+        PeriodicPageStreamOffset(s.period + 1, 0, s.periodStartMs + minPeriodMs)
+    }
+  }
+
+  /** Pages `[start.page, end.page)` of start's period, one partition each.
+    * A period roll (`end.period > start.period`) carries no rows — the roll
+    * itself is the (empty) batch. */
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[PeriodicPageStreamOffset]
+    val e = end.asInstanceOf[PeriodicPageStreamOffset]
+    val lastPage = if (e.period == s.period) e.page else s.page
+    val partitionSpec = FetcherSpec.planForm(spec)
+    (s.page until lastPage)
+      .map(p => PeriodicPagePartition(partitionSpec, s.period, p): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = new PartitionReaderFactory {
+    override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+      val p = partition.asInstanceOf[PeriodicPagePartition]
+      new PartitionReader[InternalRow] {
+        private val rows = p.spec.resolve().fetch(p.page).zipWithIndex.iterator
+        private var current: InternalRow = _
+        override def next(): Boolean =
+          if (rows.hasNext) {
+            val (v, i) = rows.next()
+            current = InternalRow(UTF8String.fromString(v), p.period, p.page, i)
+            true
+          } else false
+        override def get(): InternalRow = current
+        override def close(): Unit = ()
+      }
+    }
+  }
+}
+
+private[sources] final case class PeriodicPagePartition(spec: FetcherSpec, period: Long, page: Int)
+  extends InputPartition
