@@ -260,10 +260,18 @@ object Dedup {
     * both keyed shuffles); only the loop control runs on the driver, which is
     * how iterative graph algorithms on Spark always terminate. Labels only
     * ever decrease, so convergence is checked with an `isEmpty` on the
-    * changed set, and `localCheckpoint` truncates the growing lineage each
-    * round (at cluster scale: reliable checkpoint dir instead). Near-dup
+    * changed set, and lineage is truncated each round: `localCheckpoint` by
+    * default (executor-memory blocks — fine in local mode and on
+    * static clusters), or a RELIABLE checkpoint when `checkpointDir` is
+    * given, which is what a 1000-executor run wants — localCheckpoint blocks
+    * die with a lost executor and are unrecoverable mid-loop, whereas
+    * reliable checkpoints live in the shared filesystem. Near-dup
     * components are shallow (near-cliques), so rounds ~ 2-3 in practice;
     * `maxIter` bounds the worst case (a path graph needs O(diameter)).
+    *
+    * `checkpointDir` is set on the SparkContext (session-wide, Spark has no
+    * per-job checkpoint dir); per-round files are reclaimed on GC when
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true`.
     */
   def connectedComponents(
       vertices: DataFrame,
@@ -271,25 +279,30 @@ object Dedup {
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
-      maxIter: Int = 20
+      maxIter: Int = 20,
+      checkpointDir: Option[String] = None
   ): DataFrame = {
+    val truncate: DataFrame => DataFrame = checkpointDir match {
+      case Some(dir) =>
+        vertices.sparkSession.sparkContext.setCheckpointDir(dir)
+        df => df.checkpoint()
+      case None => df => df.localCheckpoint()
+    }
     // Materialize the (tiny relative to the corpus) edge list once: it is
     // re-joined EVERY round, and without this the whole upstream pair
     // computation re-executes per iteration — measured 3x on q43.
-    val sym = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
-      .union(edges.select(col(dstCol).as("__src"), col(srcCol).as("__dst")))
-      .localCheckpoint()
-    var labels = vertices.select(col(idCol).as("__id"), col(idCol).as("__label"))
-      .localCheckpoint()
+    val sym = truncate(edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .union(edges.select(col(dstCol).as("__src"), col(srcCol).as("__dst"))))
+    var labels = truncate(
+      vertices.select(col(idCol).as("__id"), col(idCol).as("__label")))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       val nbrMin = sym.join(labels, col("__src") === col("__id"))
         .groupBy(col("__dst")).agg(min(col("__label")).as("__nbr"))
-      val stepped = labels.join(nbrMin, col("__id") === col("__dst"), "left")
+      val stepped = truncate(labels.join(nbrMin, col("__id") === col("__dst"), "left")
         .select(col("__id"), col("__label").as("__old"),
-          least(col("__label"), coalesce(col("__nbr"), col("__label"))).as("__label"))
-        .localCheckpoint()
+          least(col("__label"), coalesce(col("__nbr"), col("__label"))).as("__label")))
       converged = stepped.filter(col("__label") < col("__old")).isEmpty
       labels = stepped.select(col("__id"), col("__label"))
       iter += 1

@@ -3,6 +3,7 @@ package graft.operators
 import graft.TestSpark
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
+import scala.jdk.CollectionConverters._
 
 class DedupSimilaritySpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -84,6 +85,38 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val cc = Dedup.connectedComponents(verts, "id", edges, "a", "b")
       .as[(Long, Long)].collect().toMap
     assert(cc.values.toSet == Set(1L))
+  }
+
+  test("connectedComponents maxIter boundary is exact on path graphs") {
+    // A path of n vertices has diameter n-1: the min label reaches the far
+    // end on round n-1 and convergence is OBSERVED on round n. So maxIter=n
+    // must succeed and maxIter=n-1 must throw (never silently emit
+    // non-minimal labels) — exhaustively at the boundary for several sizes.
+    for (n <- Seq(2, 4, 6)) {
+      val verts = (1L to n.toLong).toDF("id")
+      val edges = (1L until n.toLong).map(i => (i + 1, i)).toDF("a", "b")
+      val ok = Dedup.connectedComponents(verts, "id", edges, "a", "b", maxIter = n)
+        .as[(Long, Long)].collect().toMap
+      assert(ok.values.toSet == Set(1L), s"n=$n")
+      val e = intercept[graft.core.GraftError] {
+        Dedup.connectedComponents(verts, "id", edges, "a", "b", maxIter = n - 1)
+          .as[(Long, Long)].collect()
+      }
+      assert(e.getMessage.contains("did not converge"), s"n=$n")
+    }
+  }
+
+  test("connectedComponents with a reliable checkpoint dir writes there and agrees") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt")
+    val verts = (1L to 7L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L), (6L, 7L)).toDF("a", "b")
+    val cc = Dedup.connectedComponents(verts, "id", edges, "a", "b",
+      checkpointDir = Some(dir.toString)).as[(Long, Long)].collect().toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L, 7L -> 5L))
+    // the lineage truncation actually went through the reliable dir
+    val rddDirs = java.nio.file.Files.walk(dir).iterator().asScala
+      .count(p => p.getFileName.toString.startsWith("rdd-"))
+    assert(rddDirs >= 2, s"expected reliable checkpoints under $dir, found $rddDirs")
   }
 
   test("simHash is deterministic and identical for identical text") {
