@@ -6,6 +6,14 @@ import java.nio.file.{Files, Paths}
   * parquet row-count, which benchmarks nothing). One warm-up query first so
   * JVM/Spark startup isn't billed to whichever query happens to run first.
   *
+  * Each query runs TWICE and the min is reported: single-shot numbers on a
+  * shared box swing ±30%+ on GC/JIT pauses (round 3 recorded three phantom
+  * 4-6x "regressions" that a re-run erased), and the min of two is the
+  * cheapest estimator that discards a one-off pause while still measuring
+  * a full cold execution of the plan. Every query body is re-entrant: the
+  * stateful pipelines (q23/q44/q47/q49) create fresh checkpoint dirs /
+  * fixture servers per invocation.
+  *
   * Output: one JSON line on stdout AND the same JSON written to
   * `$SPARK_GRAFT_BENCH_OUT` (default `bench_out.json` in the CWD) so the
   * driver can parse it without scraping sbt log tails.
@@ -42,7 +50,8 @@ object Bench {
     val names =
       if (args.nonEmpty) SparkEntry.queries.keys.toSeq.sorted.filter(args.contains)
       else SparkEntry.queries.keys.toSeq.sorted
-    val results = names.map(n => n -> exec(n))
+    // min-of-two; a failed run (-1) wins the min, keeping the failure marker
+    val results = names.map { n => n -> math.min(exec(n), exec(n)) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
