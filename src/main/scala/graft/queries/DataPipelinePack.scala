@@ -234,6 +234,26 @@ object DataPipelinePack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Schemaless JSON serde end to end under the oracle gate (the
+    // reference's Circe/Jsoniter/ZIO-Json codec family): documents ->
+    // one JSON object per row in a binary wire column -> an INDEPENDENT
+    // json-path probe of the raw bytes (get_json_object exercises the
+    // syntax without from_json) -> FAILFAST parse back to typed columns.
+    // Identity oracle: any escaping error, field mix-up, or type coercion
+    // slip fails the hash compare. Both directions are pure expressions —
+    // the whole round trip stays inside whole-stage codegen.
+    "q50_json_roundtrip" -> ((s, d) => {
+      import graft.serde.JsonFrames
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val wire = JsonFrames.serialize(Tables.documents(s, d), Seq("doc_id", "text"))
+        .withColumn("jpath_id",
+          get_json_object(col("wire").cast("string"), "$.doc_id").cast("long"))
+      JsonFrames.deserialize(wire, "wire",
+          StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+        .select(col("doc_id"), col("text"), col("jpath_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Exact interpolated percentiles per group.
     "q37_percentile" -> ((s, d) => {
       Tables.lineitem(s, d)
@@ -545,6 +565,12 @@ object DataPipelinePack extends QueryPack {
     // registration in a fresh registry) and the magic byte must be present.
     "q46_confluent_roundtrip" -> """
       SELECT doc_id, text, CAST(1 AS INTEGER) AS schema_id, true AS magic_ok
+      FROM documents ORDER BY doc_id""",
+
+    // Round-trip identity; the json-path probe must recover the id from
+    // the serialized bytes themselves.
+    "q50_json_roundtrip" -> """
+      SELECT doc_id, text, doc_id AS jpath_id
       FROM documents ORDER BY doc_id""",
 
     "q37_percentile" -> """

@@ -1,0 +1,54 @@
+package graft.serde
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Schemaless JSON record serde — the Spark re-expression of the reference's
+  * JSON codec family (tamer `core/src/main/scala/tamer/Codec.scala:174-204`:
+  * Circe, Jsoniter-Scala and ZIO-Json backends, all `maybeSchema = None` —
+  * plain JSON bytes on the wire, no registry, no framing header).
+  *
+  * Where the Avro path ([[ConfluentAvroFrames]]) must drop to
+  * `mapPartitions` for the per-partition registry client, schemaless JSON
+  * needs no registry at all, so BOTH directions stay pure Catalyst
+  * expressions (`to_json`/`from_json`) inside whole-stage codegen — at
+  * 100 TB that is the difference between a fused scan-project stage and a
+  * per-record codec call on every row.
+  *
+  * Parity notes vs the reference's codecs:
+  *  - decode failure is loud: `from_json` runs in FAILFAST mode, so a
+  *    malformed document aborts the task like the reference's
+  *    `Codec.decode` error path (lenient null-filling would silently
+  *    corrupt a pipeline);
+  *  - null FIELD values are legal (JSON is schemaless; the reference
+  *    expresses them as `Option` fields) — only syntax errors throw;
+  *  - the `wire` output is a BINARY column, directly usable as the
+  *    key/value of [[graft.sinks.KafkaSinkFormat.fromColumns]].
+  */
+object JsonFrames {
+
+  /** The named columns rendered as one UTF-8 JSON object per row in a
+    * binary `wire` column (schemaless analog of
+    * [[ConfluentAvroFrames.serialize]]). Field order in the JSON follows
+    * `cols` — deterministic, so identical rows produce identical bytes and
+    * the wire is safe to hash/dedup on.
+    */
+  def serialize(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.select(wireColumn(cols.map(col)).as("wire"))
+
+  /** Expression form: JSON-render arbitrary columns (structs nest). */
+  def wireColumn(cols: Seq[Column]): Column =
+    to_json(struct(cols: _*)).cast("binary")
+
+  /** The typed fields of `schema` parsed out of a JSON `wire` column and
+    * APPENDED to the input columns (same shape as
+    * [[ConfluentAvroFrames.deserialize]]). Malformed JSON fails the task
+    * (FAILFAST), missing fields decode as null.
+    */
+  def deserialize(df: DataFrame, wireCol: String, schema: StructType): DataFrame = {
+    val parsed = from_json(col(wireCol).cast("string"), schema, Map("mode" -> "FAILFAST"))
+    df.withColumn("__parsed", parsed)
+      .select(df.columns.map(col) ++ schema.fieldNames.map(f => col(s"__parsed.$f")): _*)
+  }
+}

@@ -1,0 +1,64 @@
+package graft.serde
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Schemaless JSON serde parity
+  * (ref: tamer `core/src/main/scala/tamer/Codec.scala:174-204` — the JSON
+  * codec family: plain bytes, loud decode failures, Option-style nulls).
+  */
+class JsonSerdeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("text", StringType)))
+
+  test("round-trips hostile strings: quotes, newlines, unicode, backslashes") {
+    val rows = Seq(
+      (1L, """he said "hi" and left"""),
+      (2L, "line one\nline two\ttabbed"),
+      (3L, "caf\u00e9 \u4e2d\u6587 \ud83d\ude00"),
+      (4L, """c:\path\to\file"""))
+    val wire = JsonFrames.serialize(rows.toDF("id", "text"), Seq("id", "text"))
+    val back = JsonFrames.deserialize(wire, "wire", schema)
+      .select("id", "text").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(back == rows)
+  }
+
+  test("wire is a real JSON object: fields addressable by json path") {
+    val wire = JsonFrames.serialize(Seq((42L, "t")).toDF("id", "text"), Seq("id", "text"))
+    val probed = wire.select(
+      get_json_object(col("wire").cast("string"), "$.id").cast("long"),
+      get_json_object(col("wire").cast("string"), "$.text")).as[(Long, String)].head()
+    assert(probed == ((42L, "t")))
+  }
+
+  test("identical rows serialize to identical bytes (wire is dedup-safe)") {
+    val df = Seq((1L, "same"), (1L, "same")).toDF("id", "text")
+    val wires = JsonFrames.serialize(df, Seq("id", "text"))
+      .select(col("wire")).as[Array[Byte]].collect()
+    assert(wires(0).sameElements(wires(1)))
+  }
+
+  test("null field values are legal (Option-field parity), missing fields decode null") {
+    val wire = JsonFrames.serialize(
+      Seq((1L, Option.empty[String]), (2L, Some("x"))).toDF("id", "text"), Seq("id", "text"))
+    val back = JsonFrames.deserialize(wire, "wire", schema)
+      .select("id", "text").as[(Long, Option[String])].collect().sortBy(_._1).toSeq
+    assert(back == Seq((1L, None), (2L, Some("x"))))
+  }
+
+  test("malformed JSON fails the task loudly (FAILFAST), not null-filled") {
+    val corrupt = Seq("{\"id\": 1, \"text\": \"ok\"}", "{not json at all")
+      .toDF("s").select(col("s").cast("binary").as("wire"))
+    val e = intercept[Exception] {
+      JsonFrames.deserialize(corrupt, "wire", schema).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(m => m.contains("FAILFAST") || m.contains("Malformed")))
+  }
+}
