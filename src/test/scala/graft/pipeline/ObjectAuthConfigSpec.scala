@@ -133,6 +133,43 @@ class ObjectAuthConfigSpec extends AnyFunSuite {
       .getMessage.contains("not a graft sink"))
   }
 
+  test("sink bootstrap refuses a partition-layout change (partition-count parity)") {
+    val spark = graft.TestSpark.spark
+    val p = java.nio.file.Files.createTempDirectory("graft-boot-part").toString + "/out"
+    SinkBootstrap.verifyOrCreate(spark, p, "pipe-a", partitionCols = Seq("dt", "hour"))
+    SinkBootstrap.verifyOrCreate(spark, p, "pipe-a", partitionCols = Seq("dt", "hour")) // same layout ok
+    val err = intercept[GraftError] {
+      SinkBootstrap.verifyOrCreate(spark, p, "pipe-a", partitionCols = Seq("dt"))
+    }
+    assert(err.getMessage.contains("refusing to mix layouts"))
+    // a pre-layout marker (owner line only) means unpartitioned — still verifies
+    val legacy = java.nio.file.Files.createTempDirectory("graft-boot-legacy").toString + "/out"
+    SinkBootstrap.verifyOrCreate(spark, legacy, "pipe-a")
+    SinkBootstrap.verifyOrCreate(spark, legacy, "pipe-a", partitionCols = Nil)
+  }
+
+  test("sink bootstrap refuses on missing access bits (ACL parity)") {
+    val spark = graft.TestSpark.spark
+    val root = java.nio.file.Files.createTempDirectory("graft-boot-acl")
+    val p = root.toString + "/out"
+    SinkBootstrap.verifyOrCreate(spark, p, "pipe-a")
+    val posix = java.nio.file.Paths.get(p)
+    import java.nio.file.attribute.PosixFilePermissions
+    try {
+      // read-only dir: WRITE must be refused for the sink case
+      java.nio.file.Files.setPosixFilePermissions(posix, PosixFilePermissions.fromString("r-xr-xr-x"))
+      val err = intercept[GraftError](SinkBootstrap.verifyOrCreate(spark, p, "pipe-a"))
+      assert(err.getMessage.contains("denies"))
+      // write-only dir: the state-sink case needs READ+WRITE
+      java.nio.file.Files.setPosixFilePermissions(posix, PosixFilePermissions.fromString("-wx-wx-wx"))
+      val err2 = intercept[GraftError] {
+        SinkBootstrap.verifyOrCreate(spark, p, "pipe-a", requireRead = true)
+      }
+      assert(err2.getMessage.contains("denies"))
+    } finally
+      java.nio.file.Files.setPosixFilePermissions(posix, PosixFilePermissions.fromString("rwxr-xr-x"))
+  }
+
   // --- config loading (ref: config.scala:98-184) ----------------------------
 
   test("config loads with defaults and typed overrides; errors name the variable") {
