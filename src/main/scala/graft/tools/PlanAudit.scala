@@ -1,0 +1,58 @@
+package graft.tools
+
+import graft.{GraftSession, SparkEntry}
+
+/** Dev helper: sweep every SparkEntry query's PHYSICAL plan for
+  * scale-killers and print one line per query —
+  * `sbt "runMain graft.tools.PlanAudit /root/testdata/sf0.001"`.
+  *
+  * Flags:
+  *  - CARTESIAN / BNLJ — O(n^2) join strategies (only q31 is allowed one,
+  *    as the documented exact baseline);
+  *  - EXCH=n — number of shuffle exchanges (eyeball against the operator's
+  *    expected shape; a jump means a lost partitioning);
+  *  - SORT=n — full sorts (top-k should plan TakeOrdered instead; the
+  *    trailing output orderBy each oracle query carries accounts for 1).
+  *
+  * WholeStageCodegen is NOT flagged: under AQE codegen is applied per query
+  * stage at runtime, so the pre-execution plan never shows the spans.
+  *
+  * Not part of the driver contract.
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val only = args.drop(1).toSet
+    val spark = GraftSession.local("graft-planaudit")
+    try {
+      val names = SparkEntry.queries.keys.toSeq.sorted
+        .filter(n => only.isEmpty || only(n))
+      names.foreach { name =>
+        try {
+          val df = SparkEntry.queries(name)(spark, sfDir)
+          var cartesian, bnlj, exch, sort = 0
+          // AdaptiveSparkPlanExec is a leaf to TreeNode.foreach — unwrap it
+          // (pre-execution: audit the initial plan AQE starts from)
+          def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = p.foreach {
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              walk(a.initialPlan)
+            case _: org.apache.spark.sql.execution.joins.CartesianProductExec => cartesian += 1
+            case _: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => bnlj += 1
+            case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => exch += 1
+            case _: org.apache.spark.sql.execution.SortExec => sort += 1
+            case _ => ()
+          }
+          walk(df.queryExecution.executedPlan)
+          val flags = Seq(
+            if (cartesian > 0) s"CARTESIAN=$cartesian" else "",
+            if (bnlj > 0) s"BNLJ=$bnlj" else "",
+            s"EXCH=$exch", s"SORT=$sort"
+          ).filter(_.nonEmpty).mkString(" ")
+          println(s"[audit] $name $flags")
+        } catch {
+          case e: Exception => println(s"[audit] $name ERROR ${e.getMessage.take(120)}")
+        }
+      }
+    } finally spark.stop()
+  }
+}
