@@ -32,7 +32,10 @@ final class HttpFixtureServer(
     rotateEvery: Int = 0,
     maxEpoch: Int = Int.MaxValue,
     user: String = "user",
-    pass: String = "pass") {
+    pass: String = "pass",
+    // transient-failure injection: the first N /docs requests 503 with
+    // Retry-After: 0 (exercises the client's retry schedule deterministically)
+    failFirst: Int = 0) {
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
   // sized for a full local[32] parallel-reader phase
@@ -40,6 +43,10 @@ final class HttpFixtureServer(
   private val served = new AtomicInteger(0)
   private val authAcquisitions = new AtomicInteger(0)
   private val authRejections = new AtomicInteger(0)
+  private val failures = new AtomicInteger(0)
+
+  /** Total 503s injected so far (to assert the retry path actually ran). */
+  def injectedFailureCount: Int = math.min(failures.get(), failFirst)
 
   def port: Int = server.getAddress.getPort
   def docsUrl: String = s"http://127.0.0.1:$port/docs"
@@ -75,7 +82,10 @@ final class HttpFixtureServer(
     // rotateEvery <= 0 → open endpoint (plain pagination fixtures);
     // otherwise STRICT: only the current epoch's token is accepted.
     val accepted = rotateEvery <= 0 || header == s"Bearer ${tokenFor(epoch)}"
-    if (!accepted) {
+    if (failures.getAndIncrement() < failFirst) {
+      ex.getResponseHeaders.set("Retry-After", "0")
+      respond(ex, 503, "")
+    } else if (!accepted) {
       authRejections.incrementAndGet()
       respond(ex, 403, "")
     } else {

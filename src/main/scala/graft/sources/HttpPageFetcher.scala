@@ -39,6 +39,13 @@ object GraftHttp {
   *    with `authUser:authPass`; `bearer` acquires a token from `tokenUrl`
   *    (itself basic-authed) and refresh-replays once on 401/403/404 — the
   *    reference's token dance (tamer `rest/.../RESTSetup.scala:64-108`).
+  *  - `maxRetries`/`retryBaseMillis`: transient-failure policy — connect
+  *    errors, 429 and 5xx retry with exponential backoff (a `Retry-After`
+  *    seconds header, the 429 convention, overrides the computed delay).
+  *    The analog of the reference's pluggable `retrySchedule`
+  *    (tamer `rest/.../RESTSetup.scala:43-45,68-71`). Auth-failure codes
+  *    (401/403/404) are NOT retried here — they belong to the
+  *    refresh-replay state machine above.
   */
 final case class HttpFetcherConfig(
     url: String,
@@ -47,10 +54,13 @@ final case class HttpFetcherConfig(
     auth: String = "none",
     authUser: String = "",
     authPass: String = "",
-    tokenUrl: String = "") {
+    tokenUrl: String = "",
+    maxRetries: Int = 5,
+    retryBaseMillis: Long = 100) {
   require(url.nonEmpty, "url is required")
   require(Set("none", "basic", "bearer").contains(auth), s"unknown auth mode '$auth'")
   if (auth == "bearer") require(tokenUrl.nonEmpty, "auth=bearer requires tokenUrl")
+  require(maxRetries >= 0, "maxRetries must be >= 0")
 }
 
 object HttpFetcherConfig {
@@ -63,7 +73,9 @@ object HttpFetcherConfig {
       auth = get("auth").getOrElse("none"),
       authUser = get("authUser").getOrElse(""),
       authPass = get("authPass").getOrElse(""),
-      tokenUrl = get("tokenUrl").getOrElse(""))
+      tokenUrl = get("tokenUrl").getOrElse(""),
+      maxRetries = get("maxRetries").map(_.toInt).getOrElse(5),
+      retryBaseMillis = get("retryBaseMillis").map(_.toLong).getOrElse(100L))
 }
 
 /** Basic-auth strategy over JDK HttpRequest builders: same static header on
@@ -118,11 +130,43 @@ final class HttpPageFetcher(config: HttpFetcherConfig) extends PageFetcher {
       URI.create(s"${config.url}$sep${config.pageParam}=$page")
     }
 
-  private def send(b: HttpRequest.Builder): FetchResponse = {
-    val resp = GraftHttp.client.send(b.build(), HttpResponse.BodyHandlers.ofString())
-    val code = resp.statusCode()
-    FetchResponse(code, if (code / 100 == 2) Right(resp.body()) else Left(s"HTTP $code from ${resp.request().uri()}"))
+  /** Statuses retried below the auth layer: rate limits and server-side
+    * transients. 401/403/404 pass straight through to the refresh-replay
+    * machine; other 4xx are caller bugs and fail immediately. */
+  private val RetryableCodes = Set(429, 500, 502, 503, 504)
+
+  @annotation.tailrec
+  private def sendWithRetry(b: HttpRequest.Builder, attempt: Int): FetchResponse = {
+    val outcome: Either[java.io.IOException, HttpResponse[String]] =
+      try Right(GraftHttp.client.send(b.build(), HttpResponse.BodyHandlers.ofString()))
+      catch { case e: java.io.IOException => Left(e) }
+    val retryable = outcome.fold(_ => true, r => RetryableCodes(r.statusCode()))
+    if (!retryable)
+      outcome.toOption.map { resp =>
+        val code = resp.statusCode()
+        FetchResponse(code,
+          if (code / 100 == 2) Right(resp.body()) else Left(s"HTTP $code from ${resp.request().uri()}"))
+      }.get
+    else if (attempt >= config.maxRetries)
+      outcome match {
+        case Left(e) =>
+          throw GraftError(s"HTTP request failed after ${config.maxRetries} retries", e)
+        case Right(resp) =>
+          FetchResponse(resp.statusCode(),
+            Left(s"HTTP ${resp.statusCode()} from ${resp.request().uri()} after ${config.maxRetries} retries"))
+      }
+    else {
+      // Retry-After (seconds — the 429/503 convention) overrides backoff
+      val delayMs = outcome.toOption
+        .flatMap(r => Option(r.headers().firstValue("Retry-After").orElse(null)))
+        .flatMap(s => scala.util.Try(s.trim.toLong * 1000L).toOption)
+        .getOrElse(config.retryBaseMillis << attempt)
+      if (delayMs > 0) Thread.sleep(delayMs)
+      sendWithRetry(b, attempt + 1)
+    }
   }
+
+  private def send(b: HttpRequest.Builder): FetchResponse = sendWithRetry(b, 0)
 
   def fetch(page: Int): Seq[String] = {
     val builder = HttpRequest.newBuilder(pageUri(page)).GET()

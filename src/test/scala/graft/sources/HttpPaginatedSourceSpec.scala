@@ -44,6 +44,41 @@ class HttpPaginatedSourceSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("transient 503s are retried through (Retry-After honored); exhaustion fails loudly") {
+    val server = new HttpFixtureServer(corpus(6), pageSize = 3, failFirst = 2).start()
+    try {
+      val fetcher = new HttpPageFetcher(HttpFetcherConfig(
+        url = server.docsUrl, maxRetries = 3, retryBaseMillis = 1))
+      // the two injected 503s land on the first fetch; retries absorb both
+      assert(fetcher.fetch(0) == Seq("doc-0", "doc-1", "doc-2"))
+      assert(server.injectedFailureCount == 2)
+      assert(fetcher.fetch(1) == Seq("doc-3", "doc-4", "doc-5"))
+    } finally server.stop()
+
+    val flaky = new HttpFixtureServer(corpus(3), pageSize = 3, failFirst = 5).start()
+    try {
+      val giveUp = new HttpPageFetcher(HttpFetcherConfig(
+        url = flaky.docsUrl, maxRetries = 1, retryBaseMillis = 1))
+      val e = intercept[GraftError](giveUp.fetch(0))
+      assert(e.getMessage.contains("HTTP 503") && e.getMessage.contains("after 1 retries"))
+    } finally flaky.stop()
+  }
+
+  test("4xx caller errors are NOT retried: the failure surfaces on the first response") {
+    // /auth with wrong credentials 401s; an unauthenticated fetcher pointed at
+    // it must fail once, not burn the retry schedule (401 is an auth code)
+    val server = new HttpFixtureServer(corpus(3), pageSize = 3).start()
+    try {
+      val t0 = System.nanoTime()
+      val anon = new HttpPageFetcher(HttpFetcherConfig(
+        url = server.authUrl, maxRetries = 5, retryBaseMillis = 500))
+      intercept[GraftError](anon.fetch(0))
+      val elapsedMs = (System.nanoTime() - t0) / 1e6
+      // 5 retries at base 500ms would take >= 15s; a pass-through is instant
+      assert(elapsedMs < 5000, s"401 appears to have been retried ($elapsedMs ms)")
+    } finally server.stop()
+  }
+
   test("page URI building: {page} placeholder and append-after-existing-query both hit the right page") {
     val server = new HttpFixtureServer(corpus(6), pageSize = 3).start()
     try {
