@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic hash-based sampling, splitting and stratified mixing — the
+  * reproducibility primitives of a training-data pipeline. `df.sample()` is
+  * seeded per-partition, so its selection changes whenever partitioning
+  * changes (a repartition, a different file split, a cluster resize);
+  * content-hash sampling keys the decision on the ROW, making every
+  * selection stable across runs, engines and layouts — which is what lets a
+  * 100 TB corpus be re-sampled incrementally (new shards sample themselves;
+  * old decisions never flip) and lets train/val/test membership be an
+  * invariant of the datum rather than of the job that assigned it.
+  *
+  * Mechanics: a row's key hashes to a uniform 60-bit integer (md5 prefix —
+  * portable, every engine computes it bit-identically; same technique as
+  * [[Dedup.SimHashBits]]); a rate r admits keys with hash < floor(r·2^60).
+  * Comparisons are INTEGER-exact — thresholds are precomputed literals, so
+  * there is no float-rounding disagreement to chase across engines. All
+  * pure codegen'd expressions: sampling is a filter (no shuffle), splitting
+  * is a projection, stratification is a chained-when lookup (no join for
+  * enum-sized strata).
+  *
+  * (The reference has no sampling operators — this is part of the
+  * training-data-pipeline surface the engine adds; see SURVEY.md §2.2.)
+  */
+object Sampling {
+
+  private val HashHexChars = 15 // 60 bits: positive in a signed 64-bit int everywhere
+
+  /** Uniform 60-bit hash of (salt, key). The salt decorrelates independent
+    * decisions on the same corpus — sampling at 10% and splitting 80/10/10
+    * with different salts are independent events per row. */
+  def keyHash(key: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, HashHexChars), 16, 10)
+      .cast("long")
+
+  /** floor(rate · 2^60): the integer admission threshold for `rate`. */
+  def threshold(rate: Double): Long = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0, 1], got $rate")
+    if (rate >= 1.0) 1L << 60 else math.floor(rate * (1L << 60).toDouble).toLong
+  }
+
+  /** Keep each row iff hash(salt, key) < floor(rate · 2^60). Layout- and
+    * run-independent; at any scale this is a pushdown-friendly filter. */
+  def deterministicSample(df: DataFrame, keyCol: String, rate: Double, salt: String): DataFrame =
+    df.filter(keyHash(col(keyCol), salt) < lit(threshold(rate)))
+
+  /** Cumulative integer boundaries for all but the last label — the ONE
+    * place the float arithmetic happens, shared by [[hashSplit]] and any
+    * independently-generated oracle so both compare against bit-identical
+    * literals (0.8 + 0.1 is 0.9000000000000001 in doubles; two sides doing
+    * their own accumulation would disagree at the boundary ulp). */
+  def splitBoundaries(splits: Seq[(String, Double)]): Seq[(String, Long)] = {
+    require(splits.nonEmpty, "at least one split is required")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got ${splits.map(_._2).sum}")
+    val cumulative = splits.scanLeft(0.0) { case (acc, (_, r)) => acc + r }.tail
+    splits.init.zip(cumulative.init).map { case ((label, _), cum) => label -> threshold(cum) }
+  }
+
+  /** Disjoint exhaustive split assignment (train/val/test and friends):
+    * labels claim cumulative hash ranges in order, the last label absorbing
+    * the remainder so every row lands somewhere regardless of rounding.
+    * Membership is a pure function of (salt, key) — re-running, resharding
+    * or growing the corpus never moves an existing row between splits. */
+  def hashSplit(df: DataFrame, keyCol: String, splits: Seq[(String, Double)], salt: String): DataFrame = {
+    val h = keyHash(col(keyCol), salt)
+    val labeled = splitBoundaries(splits).foldLeft(when(lit(false), lit(""))) {
+      case (c, (label, boundary)) => c.when(h < lit(boundary), lit(label))
+    }.otherwise(lit(splits.last._1))
+    df.withColumn("split", labeled)
+  }
+
+  /** Per-stratum rates (class-balance mixing): a row of stratum s survives
+    * iff hash(salt, key) < floor(rates(s) · 2^60); strata not listed use
+    * `defaultRate`. Rates ride a chained when — no join, no shuffle. */
+  def stratifiedSample(
+      df: DataFrame,
+      keyCol: String,
+      stratumCol: String,
+      rates: Seq[(String, Double)],
+      defaultRate: Double,
+      salt: String
+  ): DataFrame = {
+    val cutoff = rates.foldLeft(when(lit(false), lit(0L))) {
+      case (c, (stratum, r)) => c.when(col(stratumCol) === stratum, lit(threshold(r)))
+    }.otherwise(lit(threshold(defaultRate)))
+    df.filter(keyHash(col(keyCol), salt) < cutoff)
+  }
+}

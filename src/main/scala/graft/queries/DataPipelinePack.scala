@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Dedup, Multimodal, Similarity, Skew, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Sampling, Similarity, Skew, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -254,6 +254,33 @@ object DataPipelinePack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Deterministic hash sampling: selection is a pure function of
+    // (salt, doc_id) — layout/run/engine independent, which is the whole
+    // point — so an independent engine computes the EXACT same subset.
+    "q51_hash_sample" -> ((s, d) =>
+      Sampling.deterministicSample(Tables.documents(s, d), "doc_id", rate = 0.2, salt = "s1")
+        .select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))),
+
+    // Train/val/test assignment as a row invariant: every doc labeled from
+    // cumulative hash ranges (80/10/10). The oracle re-derives the label
+    // from the same md5 arithmetic — any boundary slip moves rows between
+    // splits and fails the hash compare.
+    "q52_hash_split" -> ((s, d) =>
+      Sampling.hashSplit(Tables.documents(s, d), "doc_id",
+          splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "sp")
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id"))),
+
+    // Stratified (class-balance) sampling over the events stream: per-type
+    // admission rates via a chained-when threshold — no join, no shuffle.
+    "q53_stratified_sample" -> ((s, d) =>
+      Sampling.stratifiedSample(Tables.events(s, d), "event_id", "event_type",
+          rates = Seq("error" -> 0.05, "purchase" -> 1.0, "click" -> 0.25),
+          defaultRate = 0.5, salt = "st")
+        .select(col("event_id"), col("event_type"))
+        .orderBy(col("event_id"))),
+
     // Exact interpolated percentiles per group.
     "q37_percentile" -> ((s, d) => {
       Tables.lineitem(s, d)
@@ -328,9 +355,43 @@ object DataPipelinePack extends QueryPack {
       ORDER BY id_a, id_b"""
   }
 
+  /** DuckDB form of [[Sampling.keyHash]]: same md5 60-bit prefix, same
+    * integer threshold literals — the comparison is integer-exact on both
+    * engines, so the oracle is the definition, not an approximation. */
+  private def duckKeyHash(keyExpr: String, salt: String): String =
+    s"CAST(concat('0x', substring(md5('$salt' || CAST($keyExpr AS VARCHAR)), 1, 15)) AS BIGINT)"
+
+  private def hashSampleOracle: String =
+    s"""SELECT doc_id, text FROM documents
+        WHERE ${duckKeyHash("doc_id", "s1")} < ${Sampling.threshold(0.2)}
+        ORDER BY doc_id"""
+
+  private def hashSplitOracle: String = {
+    // identical cumulative boundaries as the implementation (shared float
+    // accumulation — see Sampling.splitBoundaries)
+    val whens = Sampling
+      .splitBoundaries(Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .map { case (label, b) => s"WHEN ${duckKeyHash("doc_id", "sp")} < $b THEN '$label'" }
+      .mkString(" ")
+    s"""SELECT doc_id, CASE $whens ELSE 'test' END AS split
+        FROM documents ORDER BY doc_id"""
+  }
+
+  private def stratifiedSampleOracle: String =
+    s"""SELECT event_id, event_type FROM events
+        WHERE ${duckKeyHash("event_id", "st")} <
+              CASE event_type WHEN 'error' THEN ${Sampling.threshold(0.05)}
+                              WHEN 'purchase' THEN ${Sampling.threshold(1.0)}
+                              WHEN 'click' THEN ${Sampling.threshold(0.25)}
+                              ELSE ${Sampling.threshold(0.5)} END
+        ORDER BY event_id"""
+
   def oracles: Map[String, String] = Map(
     "q32_dedup_simhash" -> simhashOracle,
     "q33_ann_lsh" -> lshAnnOracle,
+    "q51_hash_sample" -> hashSampleOracle,
+    "q52_hash_split" -> hashSplitOracle,
+    "q53_stratified_sample" -> stratifiedSampleOracle,
     "q24_dedup_exact" -> """
       SELECT min(doc_id) AS keep_id, count(*) AS copies
       FROM documents GROUP BY text ORDER BY keep_id""",
