@@ -74,15 +74,32 @@ object TextAnalysis {
     * and one broadcast-able join on term — no all-pairs anything; at 100 TB
     * the df table is vocabulary-sized and broadcasts.
     *
-    * @param totalDocs corpus size N (pass a precomputed count so the plan
-    *                  stays a pure function of its inputs)
+    * Without `totalDocs`, N rides the plan as a broadcast 1-row count
+    * aggregate (a footer-only parquet count) instead of a separate
+    * driver-side `df.count()` job — one plan, one submission, and the whole
+    * computation stays lazy/explainable.
     */
-  def tfidf(df: DataFrame, idCol: String, textCol: String, totalDocs: Long): DataFrame = {
+  def tfidf(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    tfidfWithTotal(df, idCol, textCol, None)
+
+  /** @param totalDocs precomputed corpus size N, when the caller already
+    *                  has it (keeps the plan a pure function of its inputs) */
+  def tfidf(df: DataFrame, idCol: String, textCol: String, totalDocs: Long): DataFrame =
+    tfidfWithTotal(df, idCol, textCol, Some(totalDocs))
+
+  private def tfidfWithTotal(
+      df: DataFrame, idCol: String, textCol: String, totalDocs: Option[Long]): DataFrame = {
     val terms = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
     val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    tf.join(broadcast(dfreq), "term")
-      .withColumn("tfidf", col("tf") * log(lit(totalDocs).cast("double") / col("df").cast("double")))
+    val joined = tf.join(broadcast(dfreq), "term")
+    val withN = totalDocs match {
+      case Some(n) => joined.withColumn("__n", lit(n.toDouble))
+      case None    =>
+        joined.crossJoin(broadcast(df.agg(count(lit(1)).cast("double").as("__n"))))
+    }
+    withN
+      .withColumn("tfidf", col("tf") * log(col("__n") / col("df").cast("double")))
       .select(col(idCol), col("term"), col("tf"), col("df"), col("tfidf"))
   }
 

@@ -109,9 +109,9 @@ object DataPipelinePack extends QueryPack {
     "q35_tfidf" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d)
-      val n = docs.count()
+      // N rides the plan as a broadcast scalar — no separate count() job
       val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
-      TextAnalysis.tfidf(docs, "doc_id", "text", n)
+      TextAnalysis.tfidf(docs, "doc_id", "text")
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 3)
         .select(col("doc_id"), col("rnk"), col("term"), col("tf"), col("df"),
