@@ -26,6 +26,42 @@ object GraftHttp {
   private val caches = new java.util.concurrent.ConcurrentHashMap[String, SecretCache]()
   def secretCache(key: String): SecretCache =
     caches.computeIfAbsent(key, _ => new SecretCache)
+
+  /** Statuses retried by [[sendWithRetry]]: rate limits and server-side
+    * transients. 401/403/404 pass straight through (they belong to the
+    * refresh-replay machine); other 4xx are caller bugs and fail fast. */
+  val RetryableCodes: Set[Int] = Set(429, 500, 502, 503, 504)
+
+  /** One GET with the transient-failure schedule shared by DATA and TOKEN
+    * requests (the reference's pluggable `retrySchedule`, tamer
+    * `rest/.../RESTSetup.scala:43-45,68-71`): connect errors and
+    * [[RetryableCodes]] retry up to `maxRetries` with exponential backoff
+    * from `baseMillis`; a `Retry-After` seconds header (the 429/503
+    * convention) overrides the computed delay. Exhaustion returns the last
+    * response (callers map non-2xx to their own failure); a final connect
+    * error throws. */
+  @annotation.tailrec
+  def sendWithRetry(
+      b: HttpRequest.Builder, maxRetries: Int, baseMillis: Long, attempt: Int = 0): HttpResponse[String] = {
+    val outcome: Either[java.io.IOException, HttpResponse[String]] =
+      try Right(client.send(b.build(), HttpResponse.BodyHandlers.ofString()))
+      catch { case e: java.io.IOException => Left(e) }
+    val retryable = outcome.fold(_ => true, r => RetryableCodes(r.statusCode()))
+    if (!retryable) outcome.toOption.get
+    else if (attempt >= maxRetries)
+      outcome match {
+        case Left(e)     => throw GraftError(s"HTTP request failed after $maxRetries retries", e)
+        case Right(resp) => resp
+      }
+    else {
+      val delayMs = outcome.toOption
+        .flatMap(r => Option(r.headers().firstValue("Retry-After").orElse(null)))
+        .flatMap(s => scala.util.Try(s.trim.toLong * 1000L).toOption)
+        .getOrElse(baseMillis << attempt)
+      if (delayMs > 0) Thread.sleep(delayMs)
+      sendWithRetry(b, maxRetries, baseMillis, attempt + 1)
+    }
+  }
 }
 
 /** Everything needed to construct an [[HttpPageFetcher]] from DSv2 string
@@ -90,16 +126,20 @@ private final class HttpBasicAuth(user: String, pass: String) extends AuthStrate
   * auth; the response body (trimmed) IS the token. Mirrors the reference's
   * example auth flow (its fixture server's `/auth` route returns the current
   * `validToken<N>` under basic auth). */
-private final class HttpBearerAuth(tokenUrl: String, user: String, pass: String) extends AuthStrategy[HttpRequest.Builder] {
+private final class HttpBearerAuth(
+    tokenUrl: String, user: String, pass: String, maxRetries: Int, retryBaseMillis: Long)
+  extends AuthStrategy[HttpRequest.Builder] {
   def decorate(b: HttpRequest.Builder, secret: Option[String]): HttpRequest.Builder = {
     secret.foreach(s => b.setHeader("Authorization", s"Bearer $s"))
     b
   }
+  // token GETs ride the same transient-retry schedule as data requests — a
+  // flaky token endpoint must not kill the pull
   def acquireSecret(): Option[String] = {
     val req = HttpRequest.newBuilder(URI.create(tokenUrl))
       .setHeader("Authorization", GraftHttp.basicHeader(user, pass))
-      .GET().build()
-    val resp = GraftHttp.client.send(req, HttpResponse.BodyHandlers.ofString())
+      .GET()
+    val resp = GraftHttp.sendWithRetry(req, maxRetries, retryBaseMillis)
     if (resp.statusCode() / 100 == 2) Some(resp.body().trim)
     else throw GraftError(s"token acquisition failed: HTTP ${resp.statusCode()} from $tokenUrl")
   }
@@ -117,7 +157,8 @@ final class HttpPageFetcher(config: HttpFetcherConfig) extends PageFetcher {
   @transient private lazy val strategy: Option[AuthStrategy[HttpRequest.Builder]] = config.auth match {
     case "none"   => None
     case "basic"  => Some(new HttpBasicAuth(config.authUser, config.authPass))
-    case "bearer" => Some(new HttpBearerAuth(config.tokenUrl, config.authUser, config.authPass))
+    case "bearer" => Some(new HttpBearerAuth(
+      config.tokenUrl, config.authUser, config.authPass, config.maxRetries, config.retryBaseMillis))
   }
 
   @transient private lazy val cache: SecretCache =
@@ -130,43 +171,14 @@ final class HttpPageFetcher(config: HttpFetcherConfig) extends PageFetcher {
       URI.create(s"${config.url}$sep${config.pageParam}=$page")
     }
 
-  /** Statuses retried below the auth layer: rate limits and server-side
-    * transients. 401/403/404 pass straight through to the refresh-replay
-    * machine; other 4xx are caller bugs and fail immediately. */
-  private val RetryableCodes = Set(429, 500, 502, 503, 504)
-
-  @annotation.tailrec
-  private def sendWithRetry(b: HttpRequest.Builder, attempt: Int): FetchResponse = {
-    val outcome: Either[java.io.IOException, HttpResponse[String]] =
-      try Right(GraftHttp.client.send(b.build(), HttpResponse.BodyHandlers.ofString()))
-      catch { case e: java.io.IOException => Left(e) }
-    val retryable = outcome.fold(_ => true, r => RetryableCodes(r.statusCode()))
-    if (!retryable)
-      outcome.toOption.map { resp =>
-        val code = resp.statusCode()
-        FetchResponse(code,
-          if (code / 100 == 2) Right(resp.body()) else Left(s"HTTP $code from ${resp.request().uri()}"))
-      }.get
-    else if (attempt >= config.maxRetries)
-      outcome match {
-        case Left(e) =>
-          throw GraftError(s"HTTP request failed after ${config.maxRetries} retries", e)
-        case Right(resp) =>
-          FetchResponse(resp.statusCode(),
-            Left(s"HTTP ${resp.statusCode()} from ${resp.request().uri()} after ${config.maxRetries} retries"))
-      }
-    else {
-      // Retry-After (seconds — the 429/503 convention) overrides backoff
-      val delayMs = outcome.toOption
-        .flatMap(r => Option(r.headers().firstValue("Retry-After").orElse(null)))
-        .flatMap(s => scala.util.Try(s.trim.toLong * 1000L).toOption)
-        .getOrElse(config.retryBaseMillis << attempt)
-      if (delayMs > 0) Thread.sleep(delayMs)
-      sendWithRetry(b, attempt + 1)
-    }
+  private def send(b: HttpRequest.Builder): FetchResponse = {
+    val resp = GraftHttp.sendWithRetry(b, config.maxRetries, config.retryBaseMillis)
+    val code = resp.statusCode()
+    FetchResponse(code,
+      if (code / 100 == 2) Right(resp.body())
+      else Left(s"HTTP $code from ${resp.request().uri()}" +
+        (if (GraftHttp.RetryableCodes(code)) s" after ${config.maxRetries} retries" else "")))
   }
-
-  private def send(b: HttpRequest.Builder): FetchResponse = sendWithRetry(b, 0)
 
   def fetch(page: Int): Seq[String] = {
     val builder = HttpRequest.newBuilder(pageUri(page)).GET()
