@@ -281,14 +281,28 @@ object DataPipelinePack extends QueryPack {
         .select(col("event_id"), col("event_type"))
         .orderBy(col("event_id"))),
 
-    // Exact interpolated percentiles per group.
+    // Exact interpolated percentiles per group — via distributed
+    // value-count pre-aggregation. A bare percentile() funnels every
+    // group's raw rows into ONE reduce task (its sort buffer holds the
+    // group — the classic exact-percentile scale-killer); pre-aggregating
+    // (group, value) counts is a map-side-combined shuffle that hands the
+    // weighted percentile only the DISTINCT values per group. Bit-identical
+    // result (percentile's frequency form interpolates the same ranks).
     "q37_percentile" -> ((s, d) => {
-      Tables.lineitem(s, d)
-        .groupBy(col("l_returnflag"))
-        .agg(
-          round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
-          round(expr("percentile(l_quantity, 0.9)"), 4).as("p90_qty"),
-          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50_price"))
+      val base = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+      def weighted(valueCol: String, aggs: (String, Double)*) = {
+        val cols = aggs.map { case (name, p) =>
+          round(expr(s"percentile($valueCol, $p, __f)"), 4).as(name)
+        }
+        base
+          .groupBy(col("l_returnflag"), col(valueCol))
+          .agg(count(lit(1)).as("__f"))
+          .groupBy(col("l_returnflag"))
+          .agg(cols.head, cols.tail: _*)
+      }
+      weighted("l_quantity", "p50_qty" -> 0.5, "p90_qty" -> 0.9)
+        .join(weighted("l_extendedprice", "p50_price" -> 0.5), Seq("l_returnflag"))
         .orderBy(col("l_returnflag"))
     })
   )

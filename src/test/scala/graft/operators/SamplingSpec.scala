@@ -65,6 +65,28 @@ class SamplingSpec extends AnyFunSuite {
     assert(math.abs(kept("odd").toDouble / 4000 - 0.25) < 0.03, s"odd rate: ${kept("odd")}")
   }
 
+  test("sampling ops are stateless expressions: they run unchanged on a stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Long]
+    val sampled = Sampling.deterministicSample(
+      Sampling.hashSplit(in.toDF().withColumnRenamed("value", "id"), "id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "sp"),
+      "id", 0.3, "seed")
+    val q = sampled.writeStream.format("memory").queryName("sampling_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(1L to 2000L)
+      q.processAllAvailable()
+      val streamed = spark.table("sampling_stream")
+        .as[(Long, String)].collect().toMap
+      val batch = Sampling.deterministicSample(
+        Sampling.hashSplit(ids(2000), "id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "sp"),
+        "id", 0.3, "seed").as[(Long, String)].collect().toMap
+      assert(streamed == batch, "stream and batch must select and label identically")
+    } finally q.stop()
+  }
+
   test("split fractions must sum to 1; rates must be in range") {
     intercept[IllegalArgumentException](
       Sampling.hashSplit(ids(1), "id", Seq("a" -> 0.5, "b" -> 0.2), "s"))
