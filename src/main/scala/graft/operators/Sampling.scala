@@ -73,6 +73,26 @@ object Sampling {
     df.withColumn("split", labeled)
   }
 
+  /** Weighted corpus mixing: each source is hash-sampled at its own rate
+    * and the survivors unioned (by name) under a `source` label — the
+    * training-mixture step, with every per-corpus decision as deterministic
+    * as [[deterministicSample]]. Rates are per-corpus admission fractions;
+    * to hit target mixture PROPORTIONS, set `rate_i ∝ target_i / |corpus_i|`
+    * (corpus sizes are catalog facts the caller already has — keeping them
+    * out of the plan keeps every threshold a literal). Schemas must align on
+    * the shared columns; `unionByName` with missing-column fill makes
+    * heterogeneous metadata columns explicit rather than positional.
+    */
+  def mixByRates(corpora: Seq[(DataFrame, Double, String)], keyCol: String, salt: String): DataFrame = {
+    require(corpora.nonEmpty, "at least one corpus is required")
+    require(corpora.map(_._3).distinct.length == corpora.length, "source labels must be unique")
+    corpora.map { case (df, rate, label) =>
+      // per-corpus salt: the same key in two corpora draws independently
+      deterministicSample(df, keyCol, rate, s"$salt/$label")
+        .withColumn("source", lit(label))
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
   /** Per-stratum rates (class-balance mixing): a row of stratum s survives
     * iff hash(salt, key) < floor(rates(s) · 2^60); strata not listed use
     * `defaultRate`. Rates ride a chained when — no join, no shuffle. */

@@ -281,6 +281,20 @@ object DataPipelinePack extends QueryPack {
         .select(col("event_id"), col("event_type"))
         .orderBy(col("event_id"))),
 
+    // Weighted corpus mixing: two (here: synthetic halves of `documents`
+    // playing two corpora) hash-sampled at different rates and unioned
+    // under a source label — the training-mixture step. The oracle is the
+    // same pair of threshold filters UNION ALL'd, so a wrong rate, salt
+    // bleed between corpora, or label mix-up all fail the hash compare.
+    "q54_mix_corpora" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val a = docs.filter(col("doc_id") % 2 === 0)
+      val b = docs.filter(col("doc_id") % 2 === 1)
+      Sampling.mixByRates(Seq((a, 0.5, "even"), (b, 0.25, "odd")), "doc_id", "mx")
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Exact interpolated percentiles per group — via distributed
     // value-count pre-aggregation. A bare percentile() funnels every
     // group's raw rows into ONE reduce task (its sort buffer holds the
@@ -400,12 +414,24 @@ object DataPipelinePack extends QueryPack {
                               ELSE ${Sampling.threshold(0.5)} END
         ORDER BY event_id"""
 
+  private def mixCorporaOracle: String =
+    s"""SELECT doc_id, source FROM (
+          SELECT doc_id, 'even' AS source FROM documents
+          WHERE doc_id % 2 = 0
+            AND ${duckKeyHash("doc_id", "mx/even")} < ${Sampling.threshold(0.5)}
+          UNION ALL
+          SELECT doc_id, 'odd' AS source FROM documents
+          WHERE doc_id % 2 = 1
+            AND ${duckKeyHash("doc_id", "mx/odd")} < ${Sampling.threshold(0.25)})
+        ORDER BY doc_id"""
+
   def oracles: Map[String, String] = Map(
     "q32_dedup_simhash" -> simhashOracle,
     "q33_ann_lsh" -> lshAnnOracle,
     "q51_hash_sample" -> hashSampleOracle,
     "q52_hash_split" -> hashSplitOracle,
     "q53_stratified_sample" -> stratifiedSampleOracle,
+    "q54_mix_corpora" -> mixCorporaOracle,
     "q24_dedup_exact" -> """
       SELECT min(doc_id) AS keep_id, count(*) AS copies
       FROM documents GROUP BY text ORDER BY keep_id""",

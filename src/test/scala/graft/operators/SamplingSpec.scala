@@ -87,6 +87,19 @@ class SamplingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("mixByRates samples each corpus independently and labels the union") {
+    val a = ids(4000).withColumn("extra", lit("x"))
+    val b = (4001L to 8000L).toDF("id") // no 'extra' column — unionByName fills null
+    val mixed = Sampling.mixByRates(Seq((a, 1.0, "a"), (b, 0.25, "b")), "id", "m")
+    val bySource = mixed.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(bySource("a") == 4000L)
+    assert(math.abs(bySource("b").toDouble / 4000 - 0.25) < 0.03)
+    // per-corpus salts: corpus b's survivors differ from a plain same-salt draw
+    assert(mixed.columns.contains("extra"))
+    intercept[IllegalArgumentException](
+      Sampling.mixByRates(Seq((a, 0.5, "dup"), (b, 0.5, "dup")), "id", "m"))
+  }
+
   test("split fractions must sum to 1; rates must be in range") {
     intercept[IllegalArgumentException](
       Sampling.hashSplit(ids(1), "id", Seq("a" -> 0.5, "b" -> 0.2), "s"))

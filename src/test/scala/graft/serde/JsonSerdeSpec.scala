@@ -51,6 +51,22 @@ class JsonSerdeSpec extends AnyFunSuite {
     assert(back == Seq((1L, None), (2L, Some("x"))))
   }
 
+  test("JSON wire feeds the Kafka sink schema directly (record-path parity)") {
+    // the reference's JSON codecs serialize K and V of the sink Record;
+    // here: key = the id as JSON bytes, value = the whole row as JSON bytes
+    val rows = Seq((7L, "payload")).toDF("id", "text")
+    val framed = rows
+      .withColumn("k", JsonFrames.wireColumn(Seq(col("id"))))
+      .withColumn("v", JsonFrames.wireColumn(Seq(col("id"), col("text"))))
+    val sinkDf = graft.sinks.KafkaSinkFormat.fromColumns(framed, "k", "v")
+    assert(sinkDf.schema.map(f => (f.name, f.dataType.simpleString)) == Seq(
+      "key" -> "binary", "value" -> "binary",
+      "headers" -> "array<struct<key:string,value:binary>>"))
+    val row = sinkDf.head()
+    assert(new String(row.getAs[Array[Byte]]("value"), "UTF-8") == """{"id":7,"text":"payload"}""")
+    assert(new String(row.getAs[Array[Byte]]("key"), "UTF-8") == """{"id":7}""")
+  }
+
   test("malformed JSON fails the task loudly (FAILFAST), not null-filled") {
     val corrupt = Seq("{\"id\": 1, \"text\": \"ok\"}", "{not json at all")
       .toDF("s").select(col("s").cast("binary").as("wire"))
