@@ -121,6 +121,32 @@ object Dedup {
     ex.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Per-ROW MinHash signature columns `h0..h{numHashes-1}` — the
+    * shuffle-free form of [[minHashSignatures]], for pipelines that cannot
+    * aggregate (append-mode streams) or that want the signature beside the
+    * row. Values are bit-identical to the aggregate form: same
+    * hash-the-string-once-then-derive-seeds scheme (`xxhash64(shingle)` →
+    * `xxhash64(h, seed)`), with the shingle-hash array BOUND to a real
+    * column first so the per-seed lambdas iterate it instead of re-hashing
+    * the text `numHashes` times (the [[shinglesOfTokens]] HOF caveat).
+    * Input shingle arrays must be non-empty (the [[shinglesOfTokens]]
+    * short-doc fallback guarantees this); an empty array yields null sigs.
+    */
+  def withMinHashColumns(df: DataFrame, shinglesCol: Column, numHashes: Int = 128): DataFrame = {
+    val bound = df.withColumn("__mh_hs", transform(shinglesCol, sh => xxhash64(sh)))
+    val sigs = (0 until numHashes).map(s =>
+      array_min(transform(col("__mh_hs"), h => xxhash64(h, lit(s)))).as(s"h$s"))
+    bound.select(bound.columns.map(col) ++ sigs: _*).drop("__mh_hs")
+  }
+
+  /** The per-band bucket hashes of a `h0..` signature row — the SAME
+    * multi-argument xxhash64 construction [[lshCandidatePairs]] buckets on,
+    * exposed so streaming ingest buckets identically to the batch op. */
+  def bandHashColumns(bands: Int, rowsPerBand: Int): Seq[Column] =
+    (0 until bands).map { b =>
+      xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i")): _*)
+    }
+
   /** LSH candidate pairs from a signature frame: band the signature
     * (`bands` x `rowsPerBand` = numHashes), hash each band, group ids per
     * (band index, band hash) bucket and expand pairs bucket-locally.
@@ -140,11 +166,8 @@ object Dedup {
       bands: Int,
       rowsPerBand: Int
   ): DataFrame = {
-    val bandHashes = (0 until bands).map { b =>
-      xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i")): _*)
-    }
     signatures
-      .select(col(idCol), posexplode(array(bandHashes: _*)).as(Seq("__band", "__bh")))
+      .select(col(idCol), posexplode(array(bandHashColumns(bands, rowsPerBand): _*)).as(Seq("__band", "__bh")))
       .groupBy(col("__band"), col("__bh"))
       .agg(collect_list(col(idCol)).as("__ids"))
       .filter(size(col("__ids")) > 1)

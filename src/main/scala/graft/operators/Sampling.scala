@@ -31,7 +31,13 @@ object Sampling {
 
   /** Uniform 60-bit hash of (salt, key). The salt decorrelates independent
     * decisions on the same corpus — sampling at 10% and splitting 80/10/10
-    * with different salts are independent events per row. */
+    * with different salts are independent events per row.
+    *
+    * NULL keys hash to null: filters ([[deterministicSample]],
+    * [[stratifiedSample]]) DROP such rows and [[hashSplit]] sends them to
+    * the last label — identically in Spark and in any SQL oracle, since
+    * three-valued logic treats a null comparison the same way in both. Key
+    * on a non-null column. */
   def keyHash(key: Column, salt: String): Column =
     conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, HashHexChars), 16, 10)
       .cast("long")
