@@ -1,0 +1,70 @@
+package graft.examples
+
+import graft.GraftSession
+import graft.operators.{Dedup, Sampling, TextAnalysis}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-data curation over a raw document corpus — the whole
+  * library composed the way a real 100 TB pipeline would chain it:
+  *
+  *  1. quality gate   — cheap codegen'd per-row metrics, pushdown-friendly;
+  *  2. language gate  — stopword-profile argmax, keep English;
+  *  3. exact dedup    — one hash shuffle on content;
+  *  4. near-dup dedup — MinHash-LSH candidates → exact-Jaccard verify →
+  *                      connected components → keep each cluster's min id;
+  *  5. split + write  — deterministic 95/5 train/val assignment, partitioned
+  *                      parquet output.
+  *
+  * Every stage is a lazy DataFrame transform; nothing but the final write
+  * and the dedup-cluster loop triggers a job. Run locally:
+  *
+  * {{{
+  * sbt "runMain graft.examples.TrainingDataPipeline /root/testdata/sf0.001 /tmp/curated"
+  * }}}
+  */
+object TrainingDataPipeline {
+
+  /** The curation chain as a reusable transform: documents(doc_id, text) in,
+    * labeled survivors out. */
+  def curate(docs: DataFrame): DataFrame = {
+    // 1-2: metric gates — all pure expressions, they fuse into the scan
+    val quality = TextAnalysis.qualityMetrics(docs, "doc_id", "text")
+      .filter(col("token_cnt") >= 5 && col("distinct_ratio") > 0.2)
+      .select("doc_id")
+    val english = TextAnalysis.languageScores(docs, "doc_id", "text")
+      .filter(col("detected") === "en")
+      .select("doc_id")
+    val gated = docs
+      .join(quality, Seq("doc_id"), "left_semi")
+      .join(english, Seq("doc_id"), "left_semi")
+
+    // 3: exact dedup — keep the lowest id per identical text
+    val exact = Dedup.exactKeepFirst(gated, "text", "doc_id")
+
+    // 4: near-dup clusters at Jaccard >= 0.5; survivors = cluster minima
+    val pairs = Dedup.nearDupPairs(exact, "doc_id", "text", numHashes = 64, bands = 16)
+    val clusters = Dedup.connectedComponents(
+      exact.select(col("doc_id")), "doc_id", pairs, "id_a", "id_b")
+    val keepers = clusters.filter(col("doc_id") === col("cluster_id")).select("doc_id")
+    val deduped = exact.join(keepers, Seq("doc_id"), "left_semi")
+
+    // 5: reproducible split — membership is an invariant of the document
+    Sampling.hashSplit(deduped, "doc_id", Seq("train" -> 0.95, "val" -> 0.05), "curate-v1")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir) = args.take(2)
+    val spark = GraftSession.local("graft-training-pipeline")
+    try {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id").cast("long"), col("text"))
+      val curated = curate(docs)
+      curated.write.mode("overwrite").partitionBy("split").parquet(outDir)
+      val counts = spark.read.parquet(outDir)
+        .groupBy("split").count().collect()
+        .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(", ")
+      println(s"[pipeline] in=${docs.count()} out: $counts -> $outDir")
+    } finally spark.stop()
+  }
+}
