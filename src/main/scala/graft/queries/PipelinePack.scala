@@ -102,6 +102,51 @@ object PipelinePack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // The PERIODIC re-pagination source live under the hash gate: the
+    // fetcher serves `documents`; a manual clock drains period 0, then
+    // jumps past the scheduled roll so the SAME corpus re-reads stamped
+    // period 1 (re-reading is this family's contract — it is how source
+    // mutations are observed). Every doc must appear EXACTLY once per
+    // period: a missed roll, double roll, page skip, or dup across the
+    // roll all change the (doc_id, period) multiset and fail the compare.
+    "q55_periodic_ingest" -> ((s, d) => {
+      import graft.sources.{PageClocks, PageFetcher, PageFetchers}
+      val pageSize = 64
+      val t0 = java.time.Instant.parse("2026-01-01T00:00:00Z")
+      val serverData: IndexedSeq[String] = Tables.documents(s, d)
+        .select(col("doc_id"), col("text")).orderBy(col("doc_id")).collect()
+        .map(r => s"${r.getLong(0)}|${r.getString(1)}").toIndexedSeq
+      PageFetchers.register("q55-server", new PageFetcher {
+        def fetch(page: Int): Seq[String] =
+          serverData.slice(page * pageSize, (page + 1) * pageSize)
+      })
+      @volatile var now = t0
+      PageClocks.register("q55-clock", () => now)
+      val sinkName = "q55_sink"
+      try s.catalog.dropTempView(sinkName) catch { case _: Exception => () }
+      val q = s.readStream
+        .format("graft.sources.PeriodicPaginatedTableProvider")
+        .option("fetcher", "q55-server")
+        .option("minPeriodMs", "60000")
+        .option("maxPeriodMs", "3600000")
+        .option("periodStart", t0.toString)
+        .option("clock", "q55-clock")
+        .load()
+        .writeStream.format("memory").queryName(sinkName).outputMode("append")
+        .start()
+      try {
+        q.processAllAvailable()          // period 0 + parked roll at t0+60s
+        now = t0.plusSeconds(90)         // past the roll, short of period 2
+        q.processAllAvailable()          // period-1 re-read, parks again
+      } finally q.stop()
+      s.table(sinkName)
+        .select(
+          substring_index(col("value"), "|", 1).cast("long").as("doc_id"),
+          col("period"),
+          md5(expr("substring(value, instr(value, '|') + 1)")).as("fp_md5"))
+        .orderBy(col("doc_id"), col("period"))
+    }),
+
     // The flagship JDBC windowed pull as a REAL MicroBatchStream (SURVEY
     // §7.2: offset = Window in the checkpoint offset log): `events` is
     // loaded into an embedded Derby database (playing the production RDBMS),
@@ -245,6 +290,13 @@ object PipelinePack extends QueryPack {
     "q49_jdbc_stream_window" -> """
       SELECT event_type, count(*) AS cnt,
              CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
-      FROM events GROUP BY event_type ORDER BY event_type"""
+      FROM events GROUP BY event_type ORDER BY event_type""",
+
+    // two periods drained → the whole corpus exactly once per period
+    "q55_periodic_ingest" -> """
+      SELECT doc_id, p.period, md5(text) AS fp_md5
+      FROM documents CROSS JOIN (SELECT CAST(0 AS BIGINT) AS period
+                                 UNION ALL SELECT CAST(1 AS BIGINT)) p
+      ORDER BY doc_id, p.period"""
   )
 }
