@@ -269,9 +269,24 @@ object Similarity {
       dim: Int,
       bandBits: Int,
       bands: Int
+  ): DataFrame =
+    candidatePairsFromProjected(
+      Dedup.withComputeParallelism(
+        vectors.select(col(vectorId), asDouble(col(vectorCol)).as("__v"))),
+      vectorId, dim, bandBits, bands)
+
+  /** Candidate stage over an ALREADY-projected `(id, __v double array)`
+    * frame — lets [[cosineNearDupPairsLsh]] share one projection between
+    * candidate generation and verification instead of re-scanning the base
+    * table per stage. */
+  private def candidatePairsFromProjected(
+      projected: DataFrame,
+      vectorId: String,
+      dim: Int,
+      bandBits: Int,
+      bands: Int
   ): DataFrame = {
-    val sigs = Dedup.withComputeParallelism(
-        vectors.select(col(vectorId), asDouble(col(vectorCol)).as("__v")))
+    val sigs = projected
       .select(col(vectorId), bandKeys(col("__v"), dim, bandBits, bands).as("__keys"))
     sigs
       .select(col(vectorId), posexplode(col("__keys")).as(Seq("__band", "__key")))
@@ -311,10 +326,13 @@ object Similarity {
       bandBits: Int = 3,
       bands: Int = 32
   ): DataFrame = {
-    val v = Dedup.withComputeParallelism(
-        vectors.select(col(vectorId), asDouble(col(vectorCol)).as("__v")))
-      .withColumn("__n", norm(col("__v")))
-    val cands = cosineCandidatePairs(vectors, vectorId, vectorCol, dim, bandBits, bands)
+    // ONE projection feeds both stages: candidate generation reuses the
+    // same (id, __v) frame the verification joins against, so the base
+    // table is scanned/projected once, not once per stage
+    val projected = Dedup.withComputeParallelism(
+      vectors.select(col(vectorId), asDouble(col(vectorCol)).as("__v")))
+    val v = projected.withColumn("__n", norm(col("__v")))
+    val cands = candidatePairsFromProjected(projected, vectorId, dim, bandBits, bands)
     cands
       .join(v.select(col(vectorId).as("id_a"), col("__v").as("__va"), col("__n").as("__na")),
         Seq("id_a"))

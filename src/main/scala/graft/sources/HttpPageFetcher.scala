@@ -161,8 +161,15 @@ final class HttpPageFetcher(config: HttpFetcherConfig) extends PageFetcher {
       config.tokenUrl, config.authUser, config.authPass, config.maxRetries, config.retryBaseMillis))
   }
 
-  @transient private lazy val cache: SecretCache =
-    GraftHttp.secretCache(s"${config.tokenUrl}@${config.url}")
+  // cache key includes a digest of the CREDENTIALS: two pipelines hitting
+  // the same endpoints as different identities must not share (or clobber)
+  // each other's bearer token
+  @transient private lazy val cache: SecretCache = {
+    val who = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${config.authUser}:${config.authPass}".getBytes(UTF_8))
+      .map("%02x".format(_)).mkString
+    GraftHttp.secretCache(s"${config.tokenUrl}@${config.url}@$who")
+  }
 
   private def pageUri(page: Int): URI =
     if (config.url.contains("{page}")) URI.create(config.url.replace("{page}", page.toString))
@@ -182,7 +189,13 @@ final class HttpPageFetcher(config: HttpFetcherConfig) extends PageFetcher {
 
   def fetch(page: Int): Seq[String] = {
     val builder = HttpRequest.newBuilder(pageUri(page)).GET()
-    val body = AuthenticatedFetch.fetch[HttpRequest.Builder](builder, send, strategy, cache)
+    val raw = AuthenticatedFetch.fetch[HttpRequest.Builder](builder, send, strategy, cache)
+    // ONE trailing delimiter is a TERMINATOR, not a separator (line-oriented
+    // APIs end bodies with "\n"): without stripping it, a newline-terminated
+    // partial page of pageSize-1 items splits into pageSize elements — the
+    // phantom "" is emitted as a data row and the walk advances past the
+    // page instead of parking on its tail. "a\n\n" still decodes ["a", ""].
+    val body = if (raw.endsWith(config.delimiter)) raw.dropRight(config.delimiter.length) else raw
     if (body.isEmpty) Nil
     else body.split(java.util.regex.Pattern.quote(config.delimiter), -1).toSeq
   }

@@ -61,8 +61,13 @@ class JdbcWindowedTableProvider extends TableProvider {
     val config = JdbcWindowConfig.fromOptions(k => Option(options.get(k)))
     JdbcWindowUtil.schemaOf(config)
   }
-  override def getTable(schema: StructType, partitioning: Array[Transform], properties: util.Map[String, String]): Table =
-    new JdbcWindowedTable(schema, JdbcWindowConfig.fromOptions(k => Option(properties.get(k))))
+  override def getTable(schema: StructType, partitioning: Array[Transform], properties: util.Map[String, String]): Table = {
+    // DSv2 option keys are case-insensitive: inferSchema already resolves
+    // through CaseInsensitiveStringMap, so getTable must too, or an
+    // off-case key passes inference then fails construction
+    val ci = new CaseInsensitiveStringMap(properties)
+    new JdbcWindowedTable(schema, JdbcWindowConfig.fromOptions(k => Option(ci.get(k))))
+  }
 }
 
 private[sources] final case class JdbcWindowConfig(

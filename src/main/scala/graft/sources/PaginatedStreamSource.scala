@@ -144,6 +144,8 @@ private[sources] final class PaginatedTable(properties: Map[String, String]) ext
 private[sources] final case class PageStreamOffset(page: Int, idx: Int) extends Offset {
   override def json(): String = s"""{"page":$page,"idx":$idx}"""
   def toPageOffset: PageOffset = PageOffset(page, idx)
+  def isAfter(o: PageStreamOffset): Boolean =
+    page > o.page || (page == o.page && idx > o.idx)
 }
 private[sources] object PageStreamOffset {
   private val Pattern = """\{"page":(\d+),"idx":(\d+)\}""".r
@@ -218,6 +220,12 @@ private[sources] final class PaginatedMicroBatchStream(
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
     val s = start.asInstanceOf[PageStreamOffset]
     availableNowCap match {
+      // Cap at/behind the committed start: drained — or a capture that
+      // walked from a stale seed (the engine may capture before restoring
+      // checkpoint offsets) and parked early. Either way, NEVER hand back
+      // an offset behind `start`: a regressed offset log re-emits committed
+      // pages as duplicates. (Same guard as JdbcWindowedMicroBatchStream.)
+      case Some(cap) if !cap.isAfter(s) => s
       case Some(cap) =>
         val targetPage = s.page.toLong + maxPagesPerTrigger // Long: no overflow near Int.MaxValue
         if (targetPage >= cap.page) cap else PageStreamOffset(targetPage.toInt, 0)
@@ -350,19 +358,22 @@ private[sources] final class PeriodicPaginatedTable(properties: Map[String, Stri
     s"graft-periodic-pages(${properties.getOrElse("url", properties.getOrElse("fetcher", "?"))})"
   override def schema(): StructType = PeriodicPaginatedStream.Schema
   override def capabilities(): util.Set[TableCapability] = Set(TableCapability.MICRO_BATCH_READ).asJava
+  // options are looked up through the engine's CaseInsensitiveStringMap
+  // (DSv2 option keys are case-insensitive), matching the fixed source
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = new ScanBuilder {
+    private def opt(k: String): Option[String] = Option(options.get(k))
     override def build(): Scan = new Scan {
       override def readSchema(): StructType = PeriodicPaginatedStream.Schema
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
         new PeriodicPaginatedMicroBatchStream(
-          spec = FetcherSpec.fromOptions(k => properties.get(k)),
-          minPeriodMs = properties.getOrElse("minPeriodMs",
-            throw graft.core.GraftError("minPeriodMs option is required")).toLong,
-          maxPeriodMs = properties.getOrElse("maxPeriodMs",
-            throw graft.core.GraftError("maxPeriodMs option is required")).toLong,
-          explicitPeriodStartMs = properties.get("periodStart").map(java.time.Instant.parse(_).toEpochMilli),
-          maxPagesPerTrigger = properties.get("maxPagesPerTrigger").map(_.toInt).getOrElse(100),
-          clock = properties.get("clock").map(PageClocks.get)
+          spec = FetcherSpec.fromOptions(opt),
+          minPeriodMs = opt("minPeriodMs")
+            .getOrElse(throw graft.core.GraftError("minPeriodMs option is required")).toLong,
+          maxPeriodMs = opt("maxPeriodMs")
+            .getOrElse(throw graft.core.GraftError("maxPeriodMs option is required")).toLong,
+          explicitPeriodStartMs = opt("periodStart").map(java.time.Instant.parse(_).toEpochMilli),
+          maxPagesPerTrigger = opt("maxPagesPerTrigger").map(_.toInt).getOrElse(100),
+          clock = opt("clock").map(PageClocks.get)
             .getOrElse(() => java.time.Instant.now()))
     }
   }

@@ -64,6 +64,48 @@ class HttpPaginatedSourceSpec extends AnyFunSuite {
     } finally flaky.stop()
   }
 
+  test("a trailing delimiter is a terminator: no phantom empty element, partial pages stay partial") {
+    // line-oriented endpoints end bodies with "\n" — without stripping one
+    // terminator, a newline-terminated partial page splits into pageSize
+    // elements and the cursor walks past data that later lands on that page
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/raw", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val body = "a\nb\n".getBytes("UTF-8") // 2 items, newline-TERMINATED
+      ex.sendResponseHeaders(200, body.length.toLong)
+      ex.getResponseBody.write(body); ex.close()
+    })
+    server.createContext("/empties", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val body = "a\n\n".getBytes("UTF-8") // ["a", ""] then a terminator? No:
+      // only ONE trailing delimiter strips — this decodes as ["a", ""]
+      ex.sendResponseHeaders(200, body.length.toLong)
+      ex.getResponseBody.write(body); ex.close()
+    })
+    server.start()
+    val port = server.getAddress.getPort
+    try {
+      val f = new HttpPageFetcher(HttpFetcherConfig(url = s"http://127.0.0.1:$port/raw"))
+      assert(f.fetch(0) == Seq("a", "b"))
+      val g = new HttpPageFetcher(HttpFetcherConfig(url = s"http://127.0.0.1:$port/empties"))
+      assert(g.fetch(0) == Seq("a", ""))
+    } finally server.stop(0)
+  }
+
+  test("AvailableNow: a capture cap behind the committed start never regresses the offset") {
+    // the engine may capture before restoring checkpoint offsets; a cap
+    // computed from a stale seed must not move the offset log backwards
+    PageFetchers.register("cap-regress", new PageFetcher {
+      def fetch(page: Int): Seq[String] = if (page == 0) Seq("only") else Nil
+    })
+    val stream = new PaginatedMicroBatchStream(
+      spec = FetcherSpec.Registry("cap-regress"), pageSize = 64, maxPagesPerTrigger = 100)
+    stream.prepareForTriggerAvailableNow() // walks from (0,0): cap = (0,1)
+    val committed = PageStreamOffset(2, 5)
+    val advanced = stream.latestOffset(
+      committed, org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
+    assert(advanced == committed, s"offset regressed to $advanced")
+  }
+
   test("4xx caller errors are NOT retried: the failure surfaces on the first response") {
     // /auth with wrong credentials 401s; an unauthenticated fetcher pointed at
     // it must fail once, not burn the retry schedule (401 is an auth code)
