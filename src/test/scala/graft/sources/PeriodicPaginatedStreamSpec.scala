@@ -106,6 +106,25 @@ class PeriodicPaginatedStreamSpec extends AnyFunSuite {
       ("a", 1, 0, 0), ("B2", 1, 0, 1), ("c", 1, 1, 0), ("d", 1, 1, 1)))
   }
 
+  test("admission is monotone: the returned offset never precedes the committed start") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genPages = Gen.choose(0, 5)
+    val genOffset = for {
+      period <- Gen.choose(0L, 3L)
+      page <- Gen.choose(0, 6)
+      startDelta <- Gen.choose(-7200L, 7200L) // periodStart may sit in the future
+    } yield PeriodicPageStreamOffset(period, page, t0.plusSeconds(startDelta).toEpochMilli)
+    val genClock = Gen.choose(-3600L, 7200L).map(t0.plusSeconds)
+    val prop = Prop.forAll(genOffset, genClock, genPages) { (off, clock, nPages) =>
+      val s = stream(fixed((0 until nPages).map(p => p -> Seq(s"v$p")).toMap), () => clock)
+      val out = s.latestOffset(off, ReadLimit.allAvailable())
+        .asInstanceOf[PeriodicPageStreamOffset]
+      out.period > off.period || (out.period == off.period && out.page >= off.page)
+    }
+    val result = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("offset json round-trips and rejects corruption") {
     val off = PeriodicPageStreamOffset(7, 2, -1234L)
     assert(PeriodicPageStreamOffset.fromJson(off.json()) == off)
