@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Dedup, Multimodal, Sampling, Similarity, Skew, TextAnalysis}
+import graft.operators.{Chunking, Dedup, Multimodal, Sampling, Similarity, Skew, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -295,6 +295,16 @@ object DataPipelinePack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Token-window chunking (training-sequence / RAG prep): 32-token
+    // windows starting every 24 tokens (8 overlap), tail kept. The oracle
+    // re-derives every window with DuckDB list functions — geometry drift
+    // (off-by-one starts, lost tails, wrong overlap) changes the row set
+    // or a chunk string and fails the hash compare.
+    "q56_chunking" -> ((s, d) =>
+      Chunking.chunkByTokens(Tables.documents(s, d), "doc_id", "text",
+          chunkTokens = 32, overlap = 8)
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
     // Exact interpolated percentiles per group — via distributed
     // value-count pre-aggregation. A bare percentile() funnels every
     // group's raw rows into ONE reduce task (its sort buffer holds the
@@ -425,6 +435,23 @@ object DataPipelinePack extends QueryPack {
             AND ${duckKeyHash("doc_id", "mx/odd")} < ${Sampling.threshold(0.25)})
         ORDER BY doc_id"""
 
+  /** Same chunk geometry as the q56 Spark side: stride 24, window 32,
+    * last start = the largest stride multiple strictly below len. */
+  private def chunkingOracle: String = {
+    val (chunk, stride) = (32, 24)
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        st AS (
+          SELECT doc_id, w, len(w) AS n,
+                 unnest(range(0, greatest(0, (len(w) - ${chunk - stride} - 1) // $stride) * $stride + 1, $stride)) AS s
+          FROM toks)
+        SELECT doc_id,
+               CAST(s // $stride AS INTEGER) AS chunk_idx,
+               CAST(greatest(0, (n - ${chunk - stride} - 1) // $stride) + 1 AS INTEGER) AS n_chunks,
+               CAST(least(s + $chunk, n) - s AS INTEGER) AS chunk_tokens,
+               array_to_string(list_slice(w, s + 1, least(s + $chunk, n)), ' ') AS chunk
+        FROM st ORDER BY doc_id, chunk_idx"""
+  }
+
   def oracles: Map[String, String] = Map(
     "q32_dedup_simhash" -> simhashOracle,
     "q33_ann_lsh" -> lshAnnOracle,
@@ -432,6 +459,7 @@ object DataPipelinePack extends QueryPack {
     "q52_hash_split" -> hashSplitOracle,
     "q53_stratified_sample" -> stratifiedSampleOracle,
     "q54_mix_corpora" -> mixCorporaOracle,
+    "q56_chunking" -> chunkingOracle,
     "q24_dedup_exact" -> """
       SELECT min(doc_id) AS keep_id, count(*) AS copies
       FROM documents GROUP BY text ORDER BY keep_id""",

@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ChunkingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def doc(id: Long, n: Int) = (id, (1 to n).map(i => s"t$i").mkString(" "))
+
+  test("geometry: window/stride/tail for assorted lengths") {
+    val df = Seq(doc(1, 10), doc(2, 32), doc(3, 33), doc(4, 80), doc(5, 1)).toDF("doc_id", "text")
+    val out = Chunking.chunkByTokens(df, "doc_id", "text", chunkTokens = 32, overlap = 8)
+      .select("doc_id", "chunk_idx", "chunk_tokens").as[(Long, Int, Int)]
+      .collect().groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(out(1L) == Seq(10))           // shorter than a window: one chunk
+    assert(out(2L) == Seq(32))           // exactly one window, NO redundant tail
+    assert(out(3L) == Seq(32, 9))        // stride 24: tail = tokens 25..33
+    assert(out(4L) == Seq(32, 32, 32))   // starts 0,24,48 — 72 adds no new tokens
+    assert(out(5L) == Seq(1))
+  }
+
+  test("consecutive chunks overlap by exactly `overlap` tokens") {
+    val df = Seq(doc(1, 100)).toDF("doc_id", "text")
+    val chunks = Chunking.chunkByTokens(df, "doc_id", "text", chunkTokens = 32, overlap = 8)
+      .orderBy("chunk_idx").select("chunk").as[String].collect().toSeq.map(_.split(" ").toSeq)
+    chunks.sliding(2).foreach {
+      case Seq(a, b) => assert(a.takeRight(8) == b.take(8), "overlap mismatch")
+      case _         => ()
+    }
+  }
+
+  test("non-overlapping chunks reassemble to the tokenized document") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val rebuilt = Chunking.reassemble(
+      Chunking.chunkByTokens(df, "doc_id", "text", chunkTokens = 32, overlap = 0), "doc_id")
+    val mismatched = rebuilt.join(df, "doc_id")
+      .filter(col("rebuilt") =!= concat_ws(" ", split(col("text"), " ")))
+    assert(mismatched.isEmpty, "reassembly lost or reordered tokens")
+  }
+
+  test("invalid geometry is rejected") {
+    val df = Seq(doc(1, 4)).toDF("doc_id", "text")
+    intercept[IllegalArgumentException](Chunking.chunkByTokens(df, "doc_id", "text", 0))
+    intercept[IllegalArgumentException](Chunking.chunkByTokens(df, "doc_id", "text", 8, overlap = 8))
+  }
+}
