@@ -103,6 +103,34 @@ object TextAnalysis {
       .select(col(idCol), col("term"), col("tf"), col("df"), col("tfidf"))
   }
 
+  /** PII scrubbing — the safety pass every training corpus gets before the
+    * tokenizer sees it. Pure `regexp_replace`/`regexp_count` expressions
+    * (vectorized, pushdown-friendly); patterns are RE2-compatible (no
+    * backreferences or lookaround) so an independent engine applies the
+    * SAME automaton semantics — leftmost match agreement is what makes the
+    * operation oracle-checkable, and engine-portability is a feature for a
+    * redaction pass that must behave identically wherever it reruns.
+    * Emails, IPv4 literals, and xxx-xxx-xxxx phones become typed
+    * placeholder tags; counts ride along for audit.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhonePattern = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+
+  def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(
+      col(idCol),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, EmailPattern, "<EMAIL>"),
+          PhonePattern, "<PHONE>"),
+        Ipv4Pattern, "<IP>").as("redacted"),
+      regexp_count(t, lit(EmailPattern)).as("n_emails"),
+      regexp_count(t, lit(Ipv4Pattern)).as("n_ips"),
+      regexp_count(t, lit(PhonePattern)).as("n_phones"))
+  }
+
   /** Document fingerprints:
     *  - `fp_rolling`: order-sensitive polynomial rolling hash over tokens,
     *    mod 1e9+7 (token -> 24-bit md5 prefix; acc*131+h — bounded, never

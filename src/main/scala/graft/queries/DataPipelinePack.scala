@@ -305,6 +305,21 @@ object DataPipelinePack extends QueryPack {
           chunkTokens = 32, overlap = 8)
         .orderBy(col("doc_id"), col("chunk_idx"))),
 
+    // PII redaction under the hash gate. The corpus is synthetic (no real
+    // PII), so both engines PLANT identical doc_id-derived PII (an email,
+    // an IP, a phone) into the text, then redact: placeholder tags and
+    // audit counts must match byte-for-byte. Regexes are RE2-compatible so
+    // both engines' automata agree on every match boundary.
+    "q57_pii_redaction" -> ((s, d) =>
+      TextAnalysis.redactPii(
+        Tables.documents(s, d).withColumn("text",
+          concat(col("text"),
+            lit(" contact user"), col("doc_id"), lit("@example.com at 10.0."),
+            col("doc_id") % 256, lit(".7 or 555-"),
+            format_string("%03d", col("doc_id") % 1000), lit("-1234"))),
+        "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     // Exact interpolated percentiles per group — via distributed
     // value-count pre-aggregation. A bare percentile() funnels every
     // group's raw rows into ONE reduce task (its sort buffer holds the
@@ -452,7 +467,30 @@ object DataPipelinePack extends QueryPack {
         FROM st ORDER BY doc_id, chunk_idx"""
   }
 
+  /** Same planted PII and the same RE2-compatible patterns as q57's Spark
+    * side; DuckDB needs the explicit 'g' flag for replace-all. */
+  private def piiOracle: String = {
+    val email = graft.operators.TextAnalysis.EmailPattern
+    val ip = graft.operators.TextAnalysis.Ipv4Pattern
+    val phone = graft.operators.TextAnalysis.PhonePattern
+    s"""WITH aug AS (
+          SELECT doc_id,
+                 text || ' contact user' || doc_id || '@example.com at 10.0.' ||
+                 (doc_id % 256) || '.7 or 555-' ||
+                 lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-1234' AS text
+          FROM documents)
+        SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(
+                 text, '$email', '<EMAIL>', 'g'), '$phone', '<PHONE>', 'g'),
+                 '$ip', '<IP>', 'g') AS redacted,
+               CAST(len(regexp_extract_all(text, '$email')) AS INTEGER) AS n_emails,
+               CAST(len(regexp_extract_all(text, '$ip')) AS INTEGER) AS n_ips,
+               CAST(len(regexp_extract_all(text, '$phone')) AS INTEGER) AS n_phones
+        FROM aug ORDER BY doc_id"""
+  }
+
   def oracles: Map[String, String] = Map(
+    "q57_pii_redaction" -> piiOracle,
     "q32_dedup_simhash" -> simhashOracle,
     "q33_ann_lsh" -> lshAnnOracle,
     "q51_hash_sample" -> hashSampleOracle,

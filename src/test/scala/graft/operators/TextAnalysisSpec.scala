@@ -53,6 +53,17 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(fp(0).getString(2) == fp(2).getString(2))
   }
 
+  test("redactPii tags every pattern, counts them, and passes clean text through") {
+    val df = Seq(
+      (1L, "mail a.b+c@test.org and 10.1.2.3 or call 555-123-4567 twice: x@y.io"),
+      (2L, "nothing sensitive here, just 3.14 and 1-2")).toDF("id", "text")
+    val out = TextAnalysis.redactPii(df, "id", "text")
+      .as[(Long, String, Int, Int, Int)].collect().sortBy(_._1).toSeq
+    assert(out(0) == ((1L,
+      "mail <EMAIL> and <IP> or call <PHONE> twice: <EMAIL>", 2, 1, 1)))
+    assert(out(1) == ((2L, "nothing sensitive here, just 3.14 and 1-2", 0, 0, 0)))
+  }
+
   test("windowed source terminates via maxIterations on a never-filling window") {
     import graft.pipeline._
     val empty = spark.range(0).selectExpr("CAST(id AS TIMESTAMP) AS ts", "id AS v")
