@@ -53,10 +53,9 @@ object TrainingDataPipeline {
     val keepers = clusters.filter(col("doc_id") === col("cluster_id")).select("doc_id")
     val deduped = exact.join(keepers, Seq("doc_id"), "left_semi")
 
-    // 5: scrub before tokenization
-    val clean = deduped
-      .join(TextAnalysis.redactPii(deduped, "doc_id", "text")
-        .select(col("doc_id"), col("redacted")), Seq("doc_id"))
+    // 5: scrub before tokenization (redactPii carries doc_id through — no
+    // join back to the expensive dedup subtree needed)
+    val clean = TextAnalysis.redactPii(deduped, "doc_id", "text")
       .select(col("doc_id"), col("redacted").as("text"))
 
     // 6: window into training sequences, split by DOCUMENT (the split is

@@ -43,11 +43,12 @@ object Chunking {
     // contributes tokens BEYOND the previous window's coverage (s + overlap
     // < n); otherwise a one-window document would grow a redundant tail
     // chunk fully contained in chunk 0. The tail window may be short but
-    // always carries new tokens.
-    val starts = sequence(
-      lit(0),
-      greatest(lit(0), floor((col("__n") - overlap - 1) / stride)) * stride,
-      lit(stride))
+    // always carries new tokens. NULL text must yield NO rows (posexplode
+    // of a null array), not a phantom empty chunk — `greatest` skips nulls
+    // in Spark, so null-ness is propagated explicitly.
+    val lastStart = when(col("__n").isNull, lit(null))
+      .otherwise(greatest(lit(0), floor((col("__n") - overlap - 1) / stride)) * stride)
+    val starts = sequence(lit(0), lastStart, lit(stride))
     val chunks = transform(starts, s => slice(col("__toks"), s + 1, lit(chunkTokens)))
     toks
       .withColumn("__chunks", chunks)

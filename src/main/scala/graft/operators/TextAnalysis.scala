@@ -118,17 +118,20 @@ object TextAnalysis {
   val PhonePattern = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
 
   def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // replacements run in sequence, so each audit count is taken on the
+    // text THAT replace actually sees — counts then equal the tags emitted
+    // even when patterns abut (an email consuming "555-...@x.com" must not
+    // also be counted as a phone; a boundary created by an inserted tag
+    // must be counted if the next replace then matches there)
     val t = col(textCol)
+    val afterEmail = regexp_replace(t, EmailPattern, "<EMAIL>")
+    val afterPhone = regexp_replace(afterEmail, PhonePattern, "<PHONE>")
     df.select(
       col(idCol),
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(t, EmailPattern, "<EMAIL>"),
-          PhonePattern, "<PHONE>"),
-        Ipv4Pattern, "<IP>").as("redacted"),
+      regexp_replace(afterPhone, Ipv4Pattern, "<IP>").as("redacted"),
       regexp_count(t, lit(EmailPattern)).as("n_emails"),
-      regexp_count(t, lit(Ipv4Pattern)).as("n_ips"),
-      regexp_count(t, lit(PhonePattern)).as("n_phones"))
+      regexp_count(afterPhone, lit(Ipv4Pattern)).as("n_ips"),
+      regexp_count(afterEmail, lit(PhonePattern)).as("n_phones"))
   }
 
   /** Document fingerprints:

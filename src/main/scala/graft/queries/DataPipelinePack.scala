@@ -479,14 +479,20 @@ object DataPipelinePack extends QueryPack {
                  (doc_id % 256) || '.7 or 555-' ||
                  lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-1234' AS text
           FROM documents)
+        , staged AS (
+          SELECT doc_id, text,
+                 regexp_replace(text, '$email', '<EMAIL>', 'g') AS after_email
+          FROM aug),
+        staged2 AS (
+          SELECT doc_id, text, after_email,
+                 regexp_replace(after_email, '$phone', '<PHONE>', 'g') AS after_phone
+          FROM staged)
         SELECT doc_id,
-               regexp_replace(regexp_replace(regexp_replace(
-                 text, '$email', '<EMAIL>', 'g'), '$phone', '<PHONE>', 'g'),
-                 '$ip', '<IP>', 'g') AS redacted,
+               regexp_replace(after_phone, '$ip', '<IP>', 'g') AS redacted,
                CAST(len(regexp_extract_all(text, '$email')) AS INTEGER) AS n_emails,
-               CAST(len(regexp_extract_all(text, '$ip')) AS INTEGER) AS n_ips,
-               CAST(len(regexp_extract_all(text, '$phone')) AS INTEGER) AS n_phones
-        FROM aug ORDER BY doc_id"""
+               CAST(len(regexp_extract_all(after_phone, '$ip')) AS INTEGER) AS n_ips,
+               CAST(len(regexp_extract_all(after_email, '$phone')) AS INTEGER) AS n_phones
+        FROM staged2 ORDER BY doc_id"""
   }
 
   def oracles: Map[String, String] = Map(

@@ -14,10 +14,14 @@ class TrainingDataPipelineSpec extends AnyFunSuite {
       .select(col("doc_id").cast("long"), col("text"))
     val out = TrainingDataPipeline.curate(docs).cache()
     try {
-      val survivors = out.select("doc_id").distinct().count()
-      assert(survivors > 0 && survivors < 500,
-        s"gates must drop something and keep something, docs=$survivors")
-      // one row per (doc, window); no redacted PII tags missing their source
+      val survivors = out.select("doc_id").distinct()
+      val nSurvivors = survivors.count()
+      assert(nSurvivors > 0 && nSurvivors < 500,
+        s"gates must drop something and keep something, docs=$nSurvivors")
+      // dedup held end to end: no two surviving documents share a text
+      assert(docs.join(survivors, Seq("doc_id"), "left_semi")
+        .groupBy("text").count().filter(col("count") > 1).isEmpty)
+      // exactly one row per (doc, window)
       assert(out.groupBy("doc_id", "chunk_idx").count().filter(col("count") > 1).isEmpty)
       // split decided per DOCUMENT: chunks of one doc never straddle it
       assert(out.groupBy("doc_id").agg(countDistinct("split").as("s"))

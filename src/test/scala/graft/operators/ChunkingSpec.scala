@@ -42,6 +42,13 @@ class ChunkingSpec extends AnyFunSuite {
     assert(mismatched.isEmpty, "reassembly lost or reordered tokens")
   }
 
+  test("null text yields no chunks, not a phantom empty one") {
+    val df = Seq((1L, Option("a b c")), (2L, Option.empty[String])).toDF("doc_id", "text")
+    val out = Chunking.chunkByTokens(df, "doc_id", "text", chunkTokens = 4)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(out == Seq(1L))
+  }
+
   test("invalid geometry is rejected") {
     val df = Seq(doc(1, 4)).toDF("doc_id", "text")
     intercept[IllegalArgumentException](Chunking.chunkByTokens(df, "doc_id", "text", 0))
