@@ -203,9 +203,18 @@ object Dedup {
     val sigs = minHashSignatures(withShingles, idCol, col("__shingles"), numHashes)
     val cands = lshCandidatePairs(sigs, idCol, bands, numHashes / bands)
     val sh = withShingles.select(col(idCol), col("__shingles"))
+    // SHUFFLE_MERGE: the candidate table's static size estimate is garbage
+    // (explode->aggregate chain), so without the hint the planner can pick
+    // BroadcastHashJoin over a candidate set that grows with every duplicate
+    // cluster in the corpus — a driver OOM at scale that AQE cannot undo
+    // once statically planned (see cosineNearDupPairsLsh for the measured
+    // failure). Both verify sides are corpus-sized at 100 TB; merge join is
+    // the right shape there and costs milliseconds at gate SF.
     cands
-      .join(sh.select(col(idCol).as("id_a"), col("__shingles").as("__sa")), Seq("id_a"))
-      .join(sh.select(col(idCol).as("id_b"), col("__shingles").as("__sb")), Seq("id_b"))
+      .join(sh.select(col(idCol).as("id_a"), col("__shingles").as("__sa"))
+        .hint("shuffle_merge"), Seq("id_a"))
+      .join(sh.select(col(idCol).as("id_b"), col("__shingles").as("__sb"))
+        .hint("shuffle_merge"), Seq("id_b"))
       .withColumn("inter_cnt", size(array_intersect(col("__sa"), col("__sb"))))
       .withColumn("union_cnt", size(col("__sa")) + size(col("__sb")) - col("inter_cnt"))
       .filter(col("inter_cnt") * tauDen >= col("union_cnt") * tauNum)
@@ -380,7 +389,10 @@ object Dedup {
     val banded = sig.select(col(idCol), col("simhash"), posexplode(array(chunks: _*)).as(Seq("__chunk", "__cv")))
     val a = banded.select(col("__chunk"), col("__cv"), col(idCol).as("id_a"), col("simhash").as("__ha"))
     val b = banded.select(col("__chunk"), col("__cv"), col(idCol).as("id_b"), col("simhash").as("__hb"))
-    a.join(b, Seq("__chunk", "__cv"))
+    // SHUFFLE_MERGE: both self-join sides are the full banded corpus (4 rows
+    // per doc) — broadcasting either is wrong at scale, and the static size
+    // estimate under the explode is unreliable (see nearDupPairs).
+    a.join(b.hint("shuffle_merge"), Seq("__chunk", "__cv"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), bit_count(col("__ha").bitwiseXOR(col("__hb"))).as("hamming"))
       .distinct()

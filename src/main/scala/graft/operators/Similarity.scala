@@ -302,9 +302,10 @@ object Similarity {
   /** The scale path for [[cosineNearDupPairs]]: banded sign-LSH candidate
     * generation ([[cosineCandidatePairs]]) followed by EXACT cosine
     * verification of only the candidates — precision is always 1; recall is
-    * the banding knob. The verification joins shuffle on id (broadcast at
-    * small scale), the candidate stage is one keyed shuffle — no cross join
-    * anywhere, so the plan contains no BroadcastNestedLoopJoin.
+    * the banding knob. The verification joins are pinned to sort-merge
+    * (shuffle on id; see the body comment for why broadcast is forbidden),
+    * the candidate stage is one keyed shuffle — no cross join anywhere, so
+    * the plan contains no BroadcastNestedLoopJoin.
     *
     * Recall model: a pair at angle θ matches a band with prob
     * `(1 - θ/π)^bandBits` and is a candidate unless ALL `bands` bands miss.
@@ -333,11 +334,21 @@ object Similarity {
       vectors.select(col(vectorId), asDouble(col(vectorCol)).as("__v")))
     val v = projected.withColumn("__n", norm(col("__v")))
     val cands = candidatePairsFromProjected(projected, vectorId, dim, bandBits, bands)
+    // SHUFFLE_MERGE pins the verify joins to sort-merge: the candidate table
+    // comes out of an explode->aggregate chain whose STATIC size estimate is
+    // garbage (Catalyst propagates the pre-explode scan size), so the
+    // planner will happily build a BroadcastHashJoin over a candidate set
+    // that scales O(sum bucket^2) with the corpus — a measured
+    // driver-OOM at 16x the gate SF (36M candidate rows broadcast), and a
+    // statically-planned broadcast is one AQE cannot demote at runtime.
+    // Both verify sides are corpus-sized at production scale, so the merge
+    // join IS the 100 TB shape; at gate SF the forgone broadcast costs
+    // milliseconds.
     cands
-      .join(v.select(col(vectorId).as("id_a"), col("__v").as("__va"), col("__n").as("__na")),
-        Seq("id_a"))
-      .join(v.select(col(vectorId).as("id_b"), col("__v").as("__vb"), col("__n").as("__nb")),
-        Seq("id_b"))
+      .join(v.select(col(vectorId).as("id_a"), col("__v").as("__va"), col("__n").as("__na"))
+        .hint("shuffle_merge"), Seq("id_a"))
+      .join(v.select(col(vectorId).as("id_b"), col("__v").as("__vb"), col("__n").as("__nb"))
+        .hint("shuffle_merge"), Seq("id_b"))
       .withColumn("__sim", fastDot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
       .filter(round(col("__sim"), 6) >= threshold)
       .select(col("id_a"), col("id_b"), round(col("__sim"), 4).as("cos_sim"))

@@ -1,0 +1,56 @@
+package graft.tools
+
+import graft.{GraftSession, Tables}
+import graft.operators.{Chunking, Dedup, Sampling, Similarity}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Scale-stress smoke: the heavy operators over a corpus UNIONED `mult`
+  * times (distinct ids, identical texts/vectors) — `mult`-wide duplicate
+  * clusters are the adversarial case for every bucketed operator (LSH
+  * buckets, posting lists, and CC components all widen by `mult`), so a
+  * clean run here is evidence the plans hold past the gate SF, not just on
+  * it. Wall times print per stage; any stage exploding superlinearly in
+  * `mult` is the finding. `runMain graft.tools.ScaleSmoke [mult] [sfDir]`.
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val mult = args.headOption.map(_.toInt).getOrElse(16)
+    val sfDir = args.drop(1).headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = GraftSession.local("graft-scale-smoke")
+
+    def time(name: String)(df: => DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      println(f"[smoke] $name%-34s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    }
+
+    def widen(df: DataFrame, idCol: String): DataFrame =
+      (0 until mult).map(i =>
+        df.withColumn(idCol, col(idCol) + lit(i.toLong * 100000000L))).reduce(_ union _)
+
+    val docs = widen(Tables.documents(spark, sfDir), "doc_id")
+    val vecs = widen(Tables.embeddings(spark, sfDir), "vec_id")
+    println(s"[smoke] mult=$mult docs=${docs.count()} vecs=${vecs.count()}")
+
+    time("exact dedup groups")(Dedup.exactGroups(docs, "text", "doc_id"))
+    time("minhash-lsh near-dup pairs")(
+      Dedup.nearDupPairs(docs, "doc_id", "text", numHashes = 64, bands = 16))
+    time("simhash near-dup pairs")(
+      Dedup.simHashNearDupPairs(docs, "doc_id", "text", maxHamming = 3))
+    val pairs = Dedup.nearDupPairs(docs, "doc_id", "text", numHashes = 64, bands = 16)
+      .select("id_a", "id_b")
+    time("connected components")(
+      Dedup.connectedComponents(docs.select(col("doc_id")), "doc_id", pairs, "id_a", "id_b",
+        maxIter = 30))
+    time("cosine pairs banded-LSH")(
+      Similarity.cosineNearDupPairsLsh(vecs, "vec_id", "embedding",
+        threshold = 0.8, dim = 64, bandBits = 8, bands = 16))
+    time("hash split + chunk")(
+      Chunking.chunkByTokens(
+        Sampling.hashSplit(docs, "doc_id", Seq("train" -> 0.95, "val" -> 0.05), "smoke"),
+        "doc_id", "text", chunkTokens = 64, overlap = 8))
+
+    spark.stop()
+  }
+}
