@@ -12,7 +12,16 @@ import graft.{GraftSession, SparkEntry}
   *  - EXCH=n — number of shuffle exchanges (eyeball against the operator's
   *    expected shape; a jump means a lost partitioning);
   *  - SORT=n — full sorts (top-k should plan TakeOrdered instead; the
-  *    trailing output orderBy each oracle query carries accounts for 1).
+  *    trailing output orderBy each oracle query carries accounts for 1);
+  *  - BCAST-DERIVED=n — a BroadcastExchange whose subtree contains a
+  *    Generate/aggregate/shuffle, i.e. a broadcast of a COMPUTED relation
+  *    chosen off Catalyst's static estimate, which for explode->aggregate
+  *    chains is the pre-explode scan size and therefore garbage. A scanned
+  *    dimension table broadcasting is fine (file-size estimates are
+  *    accurate and dims stay dims at any SF); a derived broadcast is how
+  *    the LSH verify join OOM'd at 16x the gate SF — each flag here needs
+  *    an explicit justification (scalar counts, trained quantizers, and
+  *    deliberately replicated salt tables qualify; candidate tables never).
   *
   * WholeStageCodegen is NOT flagged: under AQE codegen is applied per query
   * stage at runtime, so the pre-execution plan never shows the spans.
@@ -30,7 +39,17 @@ object PlanAudit {
       names.foreach { name =>
         try {
           val df = SparkEntry.queries(name)(spark, sfDir)
-          var cartesian, bnlj, exch, sort = 0
+          var cartesian, bnlj, exch, sort, bcastDerived = 0
+          def derived(p: org.apache.spark.sql.execution.SparkPlan): Boolean = {
+            var hit = false
+            p.foreach {
+              case _: org.apache.spark.sql.execution.GenerateExec => hit = true
+              case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => hit = true
+              case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => hit = true
+              case _ => ()
+            }
+            hit
+          }
           // AdaptiveSparkPlanExec is a leaf to TreeNode.foreach — unwrap it
           // (pre-execution: audit the initial plan AQE starts from)
           def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = p.foreach {
@@ -38,6 +57,8 @@ object PlanAudit {
               walk(a.initialPlan)
             case _: org.apache.spark.sql.execution.joins.CartesianProductExec => cartesian += 1
             case _: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => bnlj += 1
+            case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeLike =>
+              if (derived(b.child)) bcastDerived += 1
             case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => exch += 1
             case _: org.apache.spark.sql.execution.SortExec => sort += 1
             case _ => ()
@@ -46,6 +67,7 @@ object PlanAudit {
           val flags = Seq(
             if (cartesian > 0) s"CARTESIAN=$cartesian" else "",
             if (bnlj > 0) s"BNLJ=$bnlj" else "",
+            if (bcastDerived > 0) s"BCAST-DERIVED=$bcastDerived" else "",
             s"EXCH=$exch", s"SORT=$sort"
           ).filter(_.nonEmpty).mkString(" ")
           println(s"[audit] $name $flags")

@@ -1,7 +1,7 @@
 package graft.tools
 
 import graft.{GraftSession, Tables}
-import graft.operators.{Chunking, Dedup, Sampling, Similarity}
+import graft.operators.{AsofJoin, Chunking, Dedup, Sampling, Similarity, Skew, TextAnalysis}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -50,6 +50,40 @@ object ScaleSmoke {
       Chunking.chunkByTokens(
         Sampling.hashSplit(docs, "doc_id", Seq("train" -> 0.95, "val" -> 0.05), "smoke"),
         "doc_id", "text", chunkTokens = 64, overlap = 8))
+
+    time("tf-idf")(TextAnalysis.tfidf(docs, "doc_id", "text"))
+
+    // ANN family: probes stay probe-sized (the operators' contract); the
+    // corpus side is what widens. IVF centroids come from the unwidened
+    // originals — a trained quantizer doesn't grow with the corpus.
+    val probes = Tables.embeddings(spark, sfDir).limit(64)
+    val centroids = Tables.embeddings(spark, sfDir).limit(32)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    time("ann brute-force top-k")(
+      Similarity.bruteForceTopK(vecs, "vec_id", "embedding", probes, "vec_id", "embedding", 10))
+    time("ann lsh top-k")(
+      Similarity.lshTopK(vecs, "vec_id", "embedding", probes, "vec_id", "embedding", 10, 64))
+    time("ann ivf top-k")(
+      Similarity.ivfTopK(vecs, "vec_id", "embedding", centroids, "cid", "cvec",
+        probes, "vec_id", "embedding", 10, nprobe = 4))
+
+    // As-of with HOT keys: events widen on event_id but keep user_id, so
+    // every user carries mult x the events — the skew case leftAsofBucketed
+    // exists for. Orders stay dimension-sized.
+    val ev = widen(Tables.events(spark, sfDir).select(col("event_id"), col("user_id"), col("ts")),
+      "event_id")
+    val ord = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+    time("asof bucketed (hot keys)")(
+      AsofJoin.leftAsofBucketed(ev, ord,
+        leftKeys = Seq("user_id"), rightKeys = Seq("o_custkey"),
+        leftTime = "ts", rightTime = "o_orderdate",
+        rightCols = Seq("o_orderkey"), bucketMicros = 86400000000L * 30))
+
+    time("salted agg")(
+      Skew.saltedSumCount(docs, Seq(col("lang")),
+        Seq("total_chars" -> col("n_chars").cast("double")), col("doc_id")))
 
     spark.stop()
   }
