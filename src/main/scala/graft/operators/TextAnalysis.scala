@@ -149,4 +149,83 @@ object TextAnalysis {
       rolling.as("fp_rolling"),
       md5(col(textCol)).as("fp_md5"))
   }
+
+  /** Intra-document repetition — the C4/Gopher-family quality signal that
+    * gates boilerplate and spam: the fraction of a document's word n-grams
+    * that are repeats of an earlier n-gram in the SAME document
+    * (`1 - distinct/total`). Zero means every n-gram is unique; a
+    * template page repeating one paragraph scores near 1.
+    *
+    * Shape: pure per-row array expressions (tokenize, slide, count) — no
+    * shuffle, no state, embarrassingly parallel at any corpus size. Tokens
+    * are projected to a bound column before the n-gram lambda for the same
+    * once-per-row reason as [[graft.operators.Dedup.shinglesOfTokens]].
+    * Documents shorter than `n` tokens count one n-gram (the whole text),
+    * matching the shingle semantics used across the dedup family.
+    */
+  def repetitionMetrics(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    require(n > 0, "n must be positive")
+    val withToks = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+    val starts = sequence(lit(0), size(col("__toks")) - n)
+    val grams = when(size(col("__toks")) >= n,
+        transform(starts, i => concat_ws(" ", (0 until n).map(j => element_at(col("__toks"), i + j + 1)): _*)))
+      .otherwise(array(concat_ws(" ", col("__toks"))))
+    withToks
+      .select(col(idCol), grams.as("__grams"))
+      .select(
+        col(idCol),
+        size(col("__grams")).as("total_ngrams"),
+        size(array_distinct(col("__grams"))).as("distinct_ngrams"))
+      .withColumn("dup_ngram_frac",
+        round((col("total_ngrams") - col("distinct_ngrams")).cast("double") /
+          col("total_ngrams").cast("double"), 4))
+  }
+
+  /** Benchmark decontamination — flag training documents that share word
+    * n-grams with an evaluation/benchmark corpus, the standard leakage
+    * check before a training run. Output: every input doc with the count
+    * of DISTINCT doc n-grams that appear anywhere in the benchmark set,
+    * and a `contaminated` flag at `minMatches`.
+    *
+    * Shape: the benchmark n-gram set is deduplicated and EXPLICITLY
+    * broadcast — eval benchmarks are small by nature (thousands of docs
+    * against a 100 TB corpus), and pinning the broadcast keeps the corpus
+    * side a single scan + per-row semi-probe with a final count aggregate:
+    * one shuffle on `idCol`, nothing corpus-sized ever moves. For an
+    * atypically large benchmark set flip `broadcastBench = false` to
+    * shuffle both sides on the n-gram instead.
+    */
+  def flagContaminated(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      bench: DataFrame,
+      benchTextCol: String,
+      n: Int = 3,
+      minMatches: Int = 1,
+      broadcastBench: Boolean = true
+  ): DataFrame = {
+    require(n > 0, "n must be positive")
+    require(minMatches > 0, "minMatches must be positive")
+    def grams(df: DataFrame, keep: Seq[Column], text: String) = df
+      .select(keep :+ tokens(col(text)).as("__toks"): _*)
+      .select(keep :+ Dedup.shinglesOfTokens(col("__toks"), n).as("__grams"): _*)
+    val benchGrams = grams(bench, Seq.empty, benchTextCol)
+      .select(explode(col("__grams")).as("__g"))
+      .distinct()
+    val benchSide =
+      if (broadcastBench) broadcast(benchGrams)
+      else benchGrams.hint("shuffle_merge")
+    val matched = grams(docs, Seq(col(idCol)), textCol)
+      .select(col(idCol), explode(col("__grams")).as("__g"))
+      .join(benchSide, Seq("__g"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("int").as("matched_ngrams"))
+    docs.select(col(idCol))
+      .join(matched, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("matched_ngrams"), lit(0)).as("matched_ngrams"))
+      .withColumn("contaminated", col("matched_ngrams") >= minMatches)
+  }
 }

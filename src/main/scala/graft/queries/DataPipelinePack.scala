@@ -320,6 +320,24 @@ object DataPipelinePack extends QueryPack {
         "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // Benchmark decontamination: docs sharing any 3-gram with the
+    // "benchmark" slice (every 50th doc stands in for an eval set) are
+    // flagged. The benchmark n-gram set broadcasts; the corpus side is one
+    // scan + a count shuffle on doc_id.
+    "q58_decontamination" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.flagContaminated(
+        docs, "doc_id", "text",
+        bench = docs.filter(col("doc_id") % 50 === 0), benchTextCol = "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Intra-document repetition (C4/Gopher boilerplate signal): fraction of
+    // repeated 3-grams per doc. Pure per-row expressions — zero shuffles.
+    "q59_repetition" -> ((s, d) =>
+      TextAnalysis.repetitionMetrics(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     // Exact interpolated percentiles per group — via distributed
     // value-count pre-aggregation. A bare percentile() funnels every
     // group's raw rows into ONE reduce task (its sort buffer holds the
@@ -497,6 +515,43 @@ object DataPipelinePack extends QueryPack {
 
   def oracles: Map[String, String] = Map(
     "q57_pii_redaction" -> piiOracle,
+
+    // Same n-gram construction as the q39 oracle (3-grams, short docs fall
+    // back to the whole text); benchmark = every 50th doc. The Spark side
+    // counts DISTINCT matched n-grams, so doc grams are list_distinct'd
+    // before the join.
+    "q58_decontamination" -> """
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      sh AS (
+        SELECT doc_id,
+               CASE WHEN len(w) >= 3
+                    THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])
+                    ELSE [array_to_string(w, ' ')] END AS s
+        FROM toks),
+      bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 50 = 0),
+      dg AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      m AS (SELECT dg.doc_id, count(*) AS matched
+            FROM dg JOIN bench USING (g) GROUP BY dg.doc_id)
+      SELECT d.doc_id,
+             CAST(coalesce(m.matched, 0) AS INTEGER) AS matched_ngrams,
+             coalesce(m.matched, 0) >= 1 AS contaminated
+      FROM documents d LEFT JOIN m USING (doc_id)
+      ORDER BY d.doc_id""",
+
+    "q59_repetition" -> """
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      g AS (
+        SELECT doc_id,
+               CASE WHEN len(w) >= 3
+                    THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]
+                    ELSE [array_to_string(w, ' ')] END AS grams
+        FROM toks)
+      SELECT doc_id,
+             CAST(len(grams) AS INTEGER) AS total_ngrams,
+             CAST(len(list_distinct(grams)) AS INTEGER) AS distinct_ngrams,
+             round((len(grams) - len(list_distinct(grams))) / CAST(len(grams) AS DOUBLE), 4)
+               AS dup_ngram_frac
+      FROM g ORDER BY doc_id""",
     "q32_dedup_simhash" -> simhashOracle,
     "q33_ann_lsh" -> lshAnnOracle,
     "q51_hash_sample" -> hashSampleOracle,

@@ -78,4 +78,42 @@ class TextAnalysisSpec extends AnyFunSuite {
     // every pull was empty: from never moved, to widened each epoch
     assert(res.finalState.from == java.time.Instant.parse("2026-01-01T00:00:00Z"))
   }
+
+  test("repetitionMetrics counts duplicate n-grams; short docs are one whole-text gram") {
+    val docs = Seq(
+      (1L, "a b c a b c a b c"), // 7 trigrams, 3 distinct -> 4/7 repeated
+      (2L, "w x y z"),           // 2 trigrams, both unique -> 0
+      (3L, "hi")                 // < n tokens -> single whole-text gram
+    ).toDF("doc_id", "text")
+    val m = TextAnalysis.repetitionMetrics(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(m(0).getAs[Int]("total_ngrams") == 7)
+    assert(m(0).getAs[Int]("distinct_ngrams") == 3)
+    assert(m(0).getAs[Double]("dup_ngram_frac") == math.rint(4.0 / 7.0 * 1e4) / 1e4)
+    assert(m(1).getAs[Double]("dup_ngram_frac") == 0.0)
+    assert(m(2).getAs[Int]("total_ngrams") == 1)
+    assert(m(2).getAs[Double]("dup_ngram_frac") == 0.0)
+  }
+
+  test("flagContaminated counts distinct shared n-grams and keeps zero-match docs") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"), // shares "the quick brown", "quick brown fox"
+      (2L, "totally novel text here"),   // no overlap
+      (3L, "the quick brown the quick brown fox") // duplicate grams count once
+    ).toDF("doc_id", "text")
+    val bench = Seq("the quick brown fox ran away").toDF("btext")
+    val out = TextAnalysis.flagContaminated(docs, "doc_id", "text", bench, "btext")
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Int]("matched_ngrams") == 2)
+    assert(out(0).getAs[Boolean]("contaminated"))
+    assert(out(1).getAs[Int]("matched_ngrams") == 0)
+    assert(!out(1).getAs[Boolean]("contaminated"))
+    // doc 3: distinct grams containing the benchmark's "the quick brown"
+    // and "quick brown fox" — the repeat inside doc 3 must not double-count
+    assert(out(2).getAs[Int]("matched_ngrams") >= 2)
+    assert(out(2).getAs[Int]("matched_ngrams") ==
+      TextAnalysis.flagContaminated(docs, "doc_id", "text", bench, "btext",
+        broadcastBench = false)
+        .filter(col("doc_id") === 3).head().getAs[Int]("matched_ngrams"))
+  }
 }
