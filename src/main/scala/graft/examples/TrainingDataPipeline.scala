@@ -10,9 +10,14 @@ import org.apache.spark.sql.functions._
   *
   *  1. quality gate   — cheap codegen'd per-row metrics, pushdown-friendly;
   *  2. language gate  — stopword-profile argmax, keep English;
+  *  2b. repetition gate — drop boilerplate/template pages by repeated-
+  *                      n-gram fraction (pure per-row expressions, fuses
+  *                      into the same scan as 1-2);
   *  3. exact dedup    — one hash shuffle on content;
   *  4. near-dup dedup — MinHash-LSH candidates → exact-Jaccard verify →
   *                      connected components → keep each cluster's min id;
+  *  4b. decontamination — optional: drop documents sharing n-grams with a
+  *                      supplied benchmark/eval corpus (leakage gate);
   *  5. PII redaction  — engine-portable regex scrub before anything
   *                      tokenizes the text;
   *  6. chunk + split  — overlapping token windows, then a deterministic
@@ -30,18 +35,24 @@ import org.apache.spark.sql.functions._
 object TrainingDataPipeline {
 
   /** The curation chain as a reusable transform: documents(doc_id, text) in,
-    * labeled survivors out. */
-  def curate(docs: DataFrame): DataFrame = {
-    // 1-2: metric gates — all pure expressions, they fuse into the scan
+    * labeled survivors out. Pass `benchmark` (any frame with a `text`
+    * column) to also drop documents overlapping it — the pre-training
+    * leakage gate. */
+  def curate(docs: DataFrame, benchmark: Option[DataFrame] = None): DataFrame = {
+    // 1-2b: metric gates — all pure expressions, they fuse into the scan
     val quality = TextAnalysis.qualityMetrics(docs, "doc_id", "text")
       .filter(col("token_cnt") >= 5 && col("distinct_ratio") > 0.2)
       .select("doc_id")
     val english = TextAnalysis.languageScores(docs, "doc_id", "text")
       .filter(col("detected") === "en")
       .select("doc_id")
+    val lowRepetition = TextAnalysis.repetitionMetrics(docs, "doc_id", "text")
+      .filter(col("dup_ngram_frac") < 0.3)
+      .select("doc_id")
     val gated = docs
       .join(quality, Seq("doc_id"), "left_semi")
       .join(english, Seq("doc_id"), "left_semi")
+      .join(lowRepetition, Seq("doc_id"), "left_semi")
 
     // 3: exact dedup — keep the lowest id per identical text
     val exact = Dedup.exactKeepFirst(gated, "text", "doc_id")
@@ -51,7 +62,17 @@ object TrainingDataPipeline {
     val clusters = Dedup.connectedComponents(
       exact.select(col("doc_id")), "doc_id", pairs, "id_a", "id_b")
     val keepers = clusters.filter(col("doc_id") === col("cluster_id")).select("doc_id")
-    val deduped = exact.join(keepers, Seq("doc_id"), "left_semi")
+    val afterDedup = exact.join(keepers, Seq("doc_id"), "left_semi")
+
+    // 4b: leakage gate — runs AFTER dedup so the n-gram probe scans each
+    // surviving text once, not once per duplicate copy
+    val deduped = benchmark.fold(afterDedup) { bench =>
+      val clean = TextAnalysis.flagContaminated(
+        afterDedup, "doc_id", "text", bench, "text")
+        .filter(!col("contaminated"))
+        .select("doc_id")
+      afterDedup.join(clean, Seq("doc_id"), "left_semi")
+    }
 
     // 5: scrub before tokenization (redactPii carries doc_id through — no
     // join back to the expensive dedup subtree needed)

@@ -43,9 +43,17 @@ object ScaleSmoke {
     time("connected components")(
       Dedup.connectedComponents(docs.select(col("doc_id")), "doc_id", pairs, "id_a", "id_b",
         maxIter = 30))
+    // bandBits sized with the corpus, the way a deployment tunes it: the
+    // bucket count per band must grow with n or bucket occupancy (and the
+    // candidate-pair volume, quadratically) grows instead — at 64k vectors
+    // a fixed bandBits=8 produced ~145M candidates and task OOMs on the
+    // single-JVM heap. Target ~16 vectors per bucket.
+    val nVecs = vecs.count()
+    val bandBits = math.max(8, (math.log(nVecs / 16.0) / math.log(2)).ceil.toInt)
+    println(s"[smoke] cosine LSH bandBits=$bandBits")
     time("cosine pairs banded-LSH")(
       Similarity.cosineNearDupPairsLsh(vecs, "vec_id", "embedding",
-        threshold = 0.8, dim = 64, bandBits = 8, bands = 16))
+        threshold = 0.8, dim = 64, bandBits = bandBits, bands = 16))
     time("hash split + chunk")(
       Chunking.chunkByTokens(
         Sampling.hashSplit(docs, "doc_id", Seq("train" -> 0.95, "val" -> 0.05), "smoke"),

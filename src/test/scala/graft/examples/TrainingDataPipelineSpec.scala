@@ -34,4 +34,20 @@ class TrainingDataPipelineSpec extends AnyFunSuite {
         .as[(Long, Int, String)].collect().toSet)
     } finally out.unpersist()
   }
+
+  test("curate with a benchmark drops overlapping documents and nothing else") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id").cast("long"), col("text"))
+    val base = TrainingDataPipeline.curate(docs)
+      .select("doc_id").distinct().as[Long].collect().toSet
+    // benchmark = the texts of a few surviving documents -> exactly those
+    // docs (and any doc sharing a 3-gram with them) must disappear
+    val benchIds = base.toSeq.sorted.take(3)
+    val bench = docs.filter(col("doc_id").isin(benchIds: _*)).select("text")
+    val decon = TrainingDataPipeline.curate(docs, Some(bench))
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(benchIds.forall(id => !decon.contains(id)),
+      "documents whose full text is in the benchmark must be dropped")
+    assert(decon.subsetOf(base), "decontamination must only remove documents")
+  }
 }
