@@ -62,6 +62,70 @@ object Chunking {
         concat_ws(" ", col("__chunk")).as("chunk"))
   }
 
+  /** Sequence packing — assign every chunk to a fixed-token-budget training
+    * pack: `pack_id = floor(prefix_tokens / capacity)` where `prefix_tokens`
+    * is the running token total over the global (docCol, idxCol) order,
+    * exclusive of the current chunk. Linear token-boundary binning: packs
+    * are contiguous in corpus order, every pack except the last holds at
+    * least `capacity` tokens' worth of boundary, and a chunk straddling a
+    * boundary stays in the earlier pack (so a pack can run over by at most
+    * one chunk — the standard approximation when sample-packing a corpus
+    * whose chunks are much smaller than the context window).
+    *
+    * The naive formulation — one `Window.orderBy` over the whole corpus —
+    * funnels 100 TB through a SINGLE task (a global window has one
+    * partition); this is the distributed two-phase prefix sum instead:
+    *
+    *  1. rows get an ORDER-ALIGNED bucket (contiguous `docCol` ranges, so
+    *     bucket boundaries respect the global order — a hash bucket would
+    *     not); the range width comes from `max(docCol)`, folded into the
+    *     plan as a broadcast scalar, no driver collect;
+    *  2. a per-bucket window (parallel across buckets) computes the
+    *     within-bucket running total;
+    *  3. per-bucket TOTALS — `buckets` rows, bounded by the parameter —
+    *     prefix-sum in a single tiny window and broadcast-join back as each
+    *     bucket's starting offset.
+    *
+    * Output: the input columns plus `pack_id`. Deterministic for any
+    * `buckets` value (the split points only change where the work happens,
+    * never the prefix sums).
+    */
+  def packSequences(
+      chunks: DataFrame,
+      docCol: String,
+      idxCol: String,
+      tokenCol: String,
+      capacity: Int,
+      buckets: Int = 256
+  ): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    require(buckets > 0, "buckets must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val maxDoc = chunks.agg(max(col(docCol)).cast("long").as("__maxdoc"))
+    val bucketed = chunks
+      .crossJoin(broadcast(maxDoc))
+      .withColumn("__bkt",
+        floor(col(docCol).cast("long") / (floor(col("__maxdoc") / buckets) + 1)))
+      .drop("__maxdoc")
+    val inBucket = Window.partitionBy(col("__bkt"))
+      .orderBy(col(docCol), col(idxCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCum = bucketed
+      .withColumn("__cum", sum(col(tokenCol).cast("long")).over(inBucket))
+    val acrossBuckets = Window.orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed
+      .groupBy(col("__bkt"))
+      .agg(sum(col(tokenCol).cast("long")).as("__t"))
+      .withColumn("__off", coalesce(sum(col("__t")).over(acrossBuckets), lit(0L)))
+      .select(col("__bkt"), col("__off"))
+    withCum
+      .join(broadcast(offsets), Seq("__bkt"))
+      .withColumn("pack_id",
+        floor((col("__off") + col("__cum") - col(tokenCol)) / capacity).cast("long"))
+      .select(chunks.columns.map(col) :+ col("pack_id"): _*)
+  }
+
   /** Reassembly check aid: concatenating non-overlapping chunks in
     * chunk_idx order reconstructs the tokenized document. */
   def reassemble(chunked: DataFrame, idCol: String): DataFrame =

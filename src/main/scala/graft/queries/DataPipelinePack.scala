@@ -338,6 +338,18 @@ object DataPipelinePack extends QueryPack {
       TextAnalysis.repetitionMetrics(Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // Sequence packing over the q56 chunk geometry: token-boundary binning
+    // into 512-token packs via the DISTRIBUTED prefix sum (16 order-aligned
+    // buckets here; the oracle's single global cumsum must agree exactly —
+    // bucketing moves work, never results).
+    "q60_packing" -> ((s, d) =>
+      Chunking.packSequences(
+        Chunking.chunkByTokens(Tables.documents(s, d), "doc_id", "text",
+            chunkTokens = 32, overlap = 8)
+          .select(col("doc_id"), col("chunk_idx"), col("chunk_tokens")),
+        "doc_id", "chunk_idx", "chunk_tokens", capacity = 512, buckets = 16)
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
     // Exact interpolated percentiles per group — via distributed
     // value-count pre-aggregation. A bare percentile() funnels every
     // group's raw rows into ONE reduce task (its sort buffer holds the
@@ -485,6 +497,31 @@ object DataPipelinePack extends QueryPack {
         FROM st ORDER BY doc_id, chunk_idx"""
   }
 
+  /** q60: the q56 chunk geometry, then ONE global running token total
+    * (exclusive) and integer division by the pack capacity — the serial
+    * definition the distributed two-phase prefix sum must reproduce. */
+  private def packingOracle: String = {
+    val (chunk, stride, capacity) = (32, 24, 512)
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        st AS (
+          SELECT doc_id, w, len(w) AS n,
+                 unnest(range(0, greatest(0, (len(w) - ${chunk - stride} - 1) // $stride) * $stride + 1, $stride)) AS s
+          FROM toks),
+        ch AS (
+          SELECT doc_id,
+                 CAST(s // $stride AS INTEGER) AS chunk_idx,
+                 CAST(least(s + $chunk, n) - s AS INTEGER) AS chunk_tokens
+          FROM st),
+        cum AS (
+          SELECT doc_id, chunk_idx, chunk_tokens,
+                 sum(chunk_tokens) OVER (ORDER BY doc_id, chunk_idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - chunk_tokens AS prev
+          FROM ch)
+        SELECT doc_id, chunk_idx, chunk_tokens,
+               CAST(prev // $capacity AS BIGINT) AS pack_id
+        FROM cum ORDER BY doc_id, chunk_idx"""
+  }
+
   /** Same planted PII and the same RE2-compatible patterns as q57's Spark
     * side; DuckDB needs the explicit 'g' flag for replace-all. */
   private def piiOracle: String = {
@@ -559,6 +596,7 @@ object DataPipelinePack extends QueryPack {
     "q53_stratified_sample" -> stratifiedSampleOracle,
     "q54_mix_corpora" -> mixCorporaOracle,
     "q56_chunking" -> chunkingOracle,
+    "q60_packing" -> packingOracle,
     "q24_dedup_exact" -> """
       SELECT min(doc_id) AS keep_id, count(*) AS copies
       FROM documents GROUP BY text ORDER BY keep_id""",

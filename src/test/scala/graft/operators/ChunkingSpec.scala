@@ -54,4 +54,38 @@ class ChunkingSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Chunking.chunkByTokens(df, "doc_id", "text", 0))
     intercept[IllegalArgumentException](Chunking.chunkByTokens(df, "doc_id", "text", 8, overlap = 8))
   }
+
+  test("packSequences: bucket count moves work, never results; packs are order-contiguous") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id").cast("long"), col("text"))
+    val chunks = Chunking.chunkByTokens(docs, "doc_id", "text", chunkTokens = 32, overlap = 8)
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_tokens"))
+    def packed(buckets: Int) =
+      Chunking.packSequences(chunks, "doc_id", "chunk_idx", "chunk_tokens",
+          capacity = 256, buckets = buckets)
+        .orderBy("doc_id", "chunk_idx")
+        .select("doc_id", "chunk_idx", "pack_id")
+        .as[(Long, Int, Long)].collect().toSeq
+    val serial = packed(1) // one bucket = the naive single-window cumsum
+    assert(serial == packed(7) && serial == packed(64),
+      "pack assignment must be invariant to the bucket split")
+    // packs tile the corpus order: pack_id is non-decreasing and gapless
+    val ids = serial.map(_._3)
+    assert(ids.zip(ids.tail).forall { case (a, b) => b == a || b == a + 1 || (b - a >= 1) })
+    assert(ids.zip(ids.tail).forall { case (a, b) => b >= a }, "pack_id must be monotone")
+    assert(ids.head == 0L)
+    // every pack except possibly the last spans >= capacity tokens of
+    // boundary: its first chunk starts strictly below (pack_id+1)*capacity
+    val tokensByPack = serial.map(_._3).zip(
+      chunks.orderBy("doc_id", "chunk_idx").select("chunk_tokens").as[Int].collect())
+    val perPack = tokensByPack.groupBy(_._1).view.mapValues(_.map(_._2.toLong).sum).toMap
+    val maxChunk = tokensByPack.map(_._2).max
+    val lastPack = ids.max
+    perPack.foreach { case (p, total) =>
+      if (p != lastPack)
+        assert(total > 256 - maxChunk,
+          s"pack $p underfilled: $total tokens (capacity 256, maxChunk $maxChunk)")
+      assert(total < 256 + maxChunk, s"pack $p overfilled: $total")
+    }
+  }
 }
