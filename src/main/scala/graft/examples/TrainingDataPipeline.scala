@@ -23,7 +23,10 @@ import org.apache.spark.sql.functions._
   *  6. chunk + split  — overlapping token windows, then a deterministic
   *                      95/5 train/val assignment (keyed by DOCUMENT so
   *                      chunks of one document never straddle the split),
-  *                      partitioned parquet output.
+  *                      partitioned parquet output;
+  *  7. sequence packing — each split's chunks binned into fixed-token
+  *                      packs (distributed prefix sum; packed separately
+  *                      per split so no pack straddles train/val).
   *
   * Every stage is a lazy DataFrame transform; nothing but the final write
   * and the dedup-cluster loop triggers a job. Run locally:
@@ -84,7 +87,15 @@ object TrainingDataPipeline {
     // chunk-level splitting would leak near-identical overlapping windows
     // across the train/val boundary)
     val chunked = Chunking.chunkByTokens(clean, "doc_id", "text", chunkTokens = 64, overlap = 8)
-    Sampling.hashSplit(chunked, "doc_id", Seq("train" -> 0.95, "val" -> 0.05), "curate-v1")
+    val split = Sampling.hashSplit(chunked, "doc_id", Seq("train" -> 0.95, "val" -> 0.05), "curate-v1")
+
+    // 7: bin each split's chunks into 512-token training packs — per split,
+    // so a pack can never mix train and val tokens
+    Seq("train", "val")
+      .map(s => Chunking.packSequences(
+        split.filter(col("split") === s),
+        "doc_id", "chunk_idx", "chunk_tokens", capacity = 512))
+      .reduce(_ unionByName _)
   }
 
   def main(args: Array[String]): Unit = {

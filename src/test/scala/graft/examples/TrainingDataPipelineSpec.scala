@@ -27,6 +27,14 @@ class TrainingDataPipelineSpec extends AnyFunSuite {
       assert(out.groupBy("doc_id").agg(countDistinct("split").as("s"))
         .filter(col("s") > 1).isEmpty)
       assert(out.filter(!col("split").isin("train", "val")).isEmpty)
+      // packing runs per split (pack identity = (split, pack_id)): each
+      // split's ids start at 0 and are gapless, so no pack mixes splits
+      out.select("split", "pack_id").distinct().as[(String, Long)].collect()
+        .groupBy(_._1).foreach { case (s, ids) =>
+          val sorted = ids.map(_._2).sorted
+          assert(sorted.head == 0L && sorted.last == sorted.length - 1,
+            s"split $s pack ids not dense: ${sorted.take(5).mkString(",")}...")
+        }
       // determinism: a second run produces the identical chunk set
       val again = TrainingDataPipeline.curate(docs)
         .select("doc_id", "chunk_idx", "split").as[(Long, Int, String)].collect().toSet
