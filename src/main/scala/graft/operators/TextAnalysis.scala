@@ -24,6 +24,53 @@ object TextAnalysis {
   private def hitCount(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => words.map(w => t === w).reduce(_ || _)))
 
+  // ---- column-level metric variants ------------------------------------
+  // Each takes an ALREADY-PROJECTED token (or n-gram) array column and
+  // returns a single metric expression. This is what lets a caller compose
+  // several gates as one `select` + one `filter` over one scan — the
+  // DataFrame forms below delegate to these, so the two shapes are
+  // expression-identical (same oracle hashes).
+
+  /** `size(toks)` — whitespace token count. */
+  def tokenCount(toks: Column): Column = size(toks)
+
+  /** distinct-token / total-token ratio (double division of exact ints). */
+  def distinctRatio(toks: Column): Column =
+    size(array_distinct(toks)).cast("double") / size(toks).cast("double")
+
+  /** Per-language stopword hit counts, alphabetical by language code. */
+  def languageHits(toks: Column): Seq[(String, Column)] =
+    stopwordProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+      lang -> hitCount(toks, words)
+    }
+
+  /** Argmax language over [[languageHits]] (alphabetical tiebreak). */
+  def detectedLanguage(toks: Column): Column =
+    languageHits(toks).foldLeft((lit(""), lit(-1))) {
+      case ((bestLang, bestHits), (lang, h)) =>
+        (when(h > bestHits, lit(lang)).otherwise(bestLang),
+         when(h > bestHits, h).otherwise(bestHits))
+    }._1
+
+  /** Word n-gram array, order-preserving and NON-distinct (repetition
+    * counting needs the repeats; the dedup family's distinct form lives at
+    * [[graft.operators.Dedup.shinglesOfTokens]]). Documents shorter than
+    * `n` tokens yield one n-gram — the whole text. */
+  def wordNgrams(toks: Column, n: Int): Column = {
+    require(n > 0, "n must be positive")
+    val starts = sequence(lit(0), size(toks) - n)
+    when(size(toks) >= n,
+        transform(starts, i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+      .otherwise(array(concat_ws(" ", toks)))
+  }
+
+  /** Repeated-n-gram fraction of a pre-projected [[wordNgrams]] array:
+    * `round(1 - distinct/total, 4)` — same rounding as the DataFrame form
+    * so gate thresholds agree across both shapes. */
+  def dupNgramFrac(grams: Column): Column =
+    round((size(grams) - size(array_distinct(grams))).cast("double") /
+      size(grams).cast("double"), 4)
+
   /** Per-document quality metrics:
     * token_cnt, distinct_cnt, avg_token_len, stop_ratio, distinct_ratio.
     * Ratios are double divisions of small exact integers — bit-identical in
@@ -31,7 +78,7 @@ object TextAnalysis {
     */
   def qualityMetrics(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = tokens(col(textCol))
-    val cnt = size(toks)
+    val cnt = tokenCount(toks)
     val charSum = aggregate(transform(toks, t => length(t)), lit(0), _ + _)
     val stops = hitCount(toks, stopwordProfiles("en"))
     df.select(
@@ -40,7 +87,7 @@ object TextAnalysis {
       size(array_distinct(toks)).as("distinct_cnt"),
       (charSum.cast("double") / cnt.cast("double")).as("avg_token_len"),
       (stops.cast("double") / cnt.cast("double")).as("stop_ratio"),
-      (size(array_distinct(toks)).cast("double") / cnt.cast("double")).as("distinct_ratio"))
+      distinctRatio(toks).as("distinct_ratio"))
   }
 
   /** Stopword-profile language scores + argmax (alphabetical tiebreak on
@@ -49,14 +96,10 @@ object TextAnalysis {
     */
   def languageScores(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = tokens(col(textCol))
-    val hits = stopwordProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
-      lang -> hitCount(toks, words)
-    }
-    val detected = hits.foldLeft((lit(""), lit(-1))) { case ((bestLang, bestHits), (lang, h)) =>
-      (when(h > bestHits, lit(lang)).otherwise(bestLang), when(h > bestHits, h).otherwise(bestHits))
-    }._1
+    val hits = languageHits(toks)
     df.select(
-      Seq(col(idCol)) ++ hits.map { case (lang, h) => h.as(s"${lang}_hits") } :+ detected.as("detected"): _*)
+      Seq(col(idCol)) ++ hits.map { case (lang, h) => h.as(s"${lang}_hits") } :+
+        detectedLanguage(toks).as("detected"): _*)
   }
 
   /** Token counting two ways: whitespace tokens and BPE-ish subword chunks
@@ -166,12 +209,8 @@ object TextAnalysis {
   def repetitionMetrics(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
     require(n > 0, "n must be positive")
     val withToks = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
-    val starts = sequence(lit(0), size(col("__toks")) - n)
-    val grams = when(size(col("__toks")) >= n,
-        transform(starts, i => concat_ws(" ", (0 until n).map(j => element_at(col("__toks"), i + j + 1)): _*)))
-      .otherwise(array(concat_ws(" ", col("__toks"))))
     withToks
-      .select(col(idCol), grams.as("__grams"))
+      .select(col(idCol), wordNgrams(col("__toks"), n).as("__grams"))
       .select(
         col(idCol),
         size(col("__grams")).as("total_ngrams"),
