@@ -8,11 +8,13 @@ import org.apache.spark.sql.functions._
 /** End-to-end training-data curation over a raw document corpus — the whole
   * library composed the way a real 100 TB pipeline would chain it:
   *
-  *  1. quality gate   — cheap codegen'd per-row metrics, pushdown-friendly;
-  *  2. language gate  — stopword-profile argmax, keep English;
-  *  2b. repetition gate — drop boilerplate/template pages by repeated-
-  *                      n-gram fraction (pure per-row expressions, fuses
-  *                      into the same scan as 1-2);
+  *  1-2b. metric gates — quality (token count / distinct ratio), language
+  *                      (stopword-profile argmax, keep English) and
+  *                      repetition (repeated-n-gram fraction): all pure
+  *                      codegen'd per-row expressions composed from ONE
+  *                      tokenization as one `select` + one `filter` —
+  *                      a single scan of the corpus, zero joins, zero
+  *                      exchanges (see [[gates]]);
   *  3. exact dedup    — one hash shuffle on content;
   *  4. near-dup dedup — MinHash-LSH candidates → exact-Jaccard verify →
   *                      connected components → keep each cluster's min id;
@@ -37,25 +39,43 @@ import org.apache.spark.sql.functions._
   */
 object TrainingDataPipeline {
 
+  /** Stages 1-2b as ONE stateless pass: every metric gate — quality,
+    * language, repetition — is computed from a single tokenization inside a
+    * single `select` + `filter`, so the whole gate stage is one scan of the
+    * corpus with zero joins and zero exchanges (plan-asserted in
+    * `TrainingDataPipelineSpec`). The thresholds are the same expressions
+    * the DataFrame metric forms emit, so survivors are identical to
+    * semi-joining the three metric frames — just without re-reading a
+    * 100 TB corpus three extra times.
+    *
+    * Pure per-row expressions also make this the streaming gate: the same
+    * transform applies unchanged to a readStream frame (no aggregation, no
+    * state), exactly like the reference's pure per-page `filterPage`
+    * (reference: rest/src/main/scala/tamer/rest/RESTSetup.scala:181-184).
+    */
+  def gates(docs: DataFrame): DataFrame = {
+    // bind tokens, then n-grams, to projected columns before the metric
+    // lambdas — the once-per-row discipline used across the dedup family
+    val toks = col("__toks")
+    docs
+      .select(col("doc_id"), col("text"), TextAnalysis.tokens(col("text")).as("__toks"))
+      .select(col("doc_id"), col("text"), toks,
+        TextAnalysis.wordNgrams(toks, 3).as("__grams"))
+      .filter(
+        TextAnalysis.tokenCount(toks) >= 5 &&
+          TextAnalysis.distinctRatio(toks) > 0.2 &&
+          TextAnalysis.detectedLanguage(toks) === "en" &&
+          TextAnalysis.dupNgramFrac(col("__grams")) < 0.3)
+      .select(col("doc_id"), col("text"))
+  }
+
   /** The curation chain as a reusable transform: documents(doc_id, text) in,
     * labeled survivors out. Pass `benchmark` (any frame with a `text`
     * column) to also drop documents overlapping it — the pre-training
     * leakage gate. */
   def curate(docs: DataFrame, benchmark: Option[DataFrame] = None): DataFrame = {
-    // 1-2b: metric gates — all pure expressions, they fuse into the scan
-    val quality = TextAnalysis.qualityMetrics(docs, "doc_id", "text")
-      .filter(col("token_cnt") >= 5 && col("distinct_ratio") > 0.2)
-      .select("doc_id")
-    val english = TextAnalysis.languageScores(docs, "doc_id", "text")
-      .filter(col("detected") === "en")
-      .select("doc_id")
-    val lowRepetition = TextAnalysis.repetitionMetrics(docs, "doc_id", "text")
-      .filter(col("dup_ngram_frac") < 0.3)
-      .select("doc_id")
-    val gated = docs
-      .join(quality, Seq("doc_id"), "left_semi")
-      .join(english, Seq("doc_id"), "left_semi")
-      .join(lowRepetition, Seq("doc_id"), "left_semi")
+    // 1-2b: metric gates — one scan, one filter, no joins
+    val gated = gates(docs)
 
     // 3: exact dedup — keep the lowest id per identical text
     val exact = Dedup.exactKeepFirst(gated, "text", "doc_id")

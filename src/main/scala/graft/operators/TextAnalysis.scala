@@ -28,8 +28,10 @@ object TextAnalysis {
   // Each takes an ALREADY-PROJECTED token (or n-gram) array column and
   // returns a single metric expression. This is what lets a caller compose
   // several gates as one `select` + one `filter` over one scan — the
-  // DataFrame forms below delegate to these, so the two shapes are
-  // expression-identical (same oracle hashes).
+  // DataFrame forms below compute the same value expressions (same result
+  // hashes; repetitionMetrics necessarily projects the intermediate counts
+  // as output columns, so its plan differs structurally while its
+  // dup_ngram_frac values are identical).
 
   /** `size(toks)` — whitespace token count. */
   def tokenCount(toks: Column): Column = size(toks)
@@ -65,8 +67,8 @@ object TextAnalysis {
   }
 
   /** Repeated-n-gram fraction of a pre-projected [[wordNgrams]] array:
-    * `round(1 - distinct/total, 4)` — same rounding as the DataFrame form
-    * so gate thresholds agree across both shapes. */
+    * `round((total - distinct) / total, 4)` — the exact IEEE expression the
+    * DataFrame form computes, so gate thresholds agree across both shapes. */
   def dupNgramFrac(grams: Column): Column =
     round((size(grams) - size(array_distinct(grams))).cast("double") /
       size(grams).cast("double"), 4)

@@ -43,6 +43,38 @@ class TrainingDataPipelineSpec extends AnyFunSuite {
     } finally out.unpersist()
   }
 
+  test("gates: one scan, zero exchanges, survivors equal the semi-join formulation") {
+    import graft.operators.TextAnalysis
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id").cast("long"), col("text"))
+    val gated = TrainingDataPipeline.gates(docs)
+
+    // the whole gate stage is per-row: no exchange of any kind may appear
+    // in its physical plan (a join or aggregation would plan one)
+    val plan = gated.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"gate stage must not shuffle:\n$plan")
+    assert(!plan.toLowerCase.contains("join"), s"gate stage must not join:\n$plan")
+
+    // value parity with the pre-round-5 composition: each metric frame
+    // filtered on the same threshold, semi-joined back
+    val quality = TextAnalysis.qualityMetrics(docs, "doc_id", "text")
+      .filter(col("token_cnt") >= 5 && col("distinct_ratio") > 0.2).select("doc_id")
+    val english = TextAnalysis.languageScores(docs, "doc_id", "text")
+      .filter(col("detected") === "en").select("doc_id")
+    val lowRep = TextAnalysis.repetitionMetrics(docs, "doc_id", "text")
+      .filter(col("dup_ngram_frac") < 0.3).select("doc_id")
+    val viaJoins = docs
+      .join(quality, Seq("doc_id"), "left_semi")
+      .join(english, Seq("doc_id"), "left_semi")
+      .join(lowRep, Seq("doc_id"), "left_semi")
+      .select("doc_id").as[Long].collect().toSet
+    val viaScan = gated.select("doc_id").as[Long].collect().toSet
+    assert(viaScan == viaJoins,
+      s"single-scan gates diverge from semi-join gates: " +
+        s"only-scan=${(viaScan -- viaJoins).take(5)} only-join=${(viaJoins -- viaScan).take(5)}")
+    assert(viaScan.nonEmpty && viaScan.size < docs.count())
+  }
+
   test("curate with a benchmark drops overlapping documents and nothing else") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id").cast("long"), col("text"))
