@@ -114,6 +114,50 @@ object Multimodal {
       }(enc)
   }
 
+  /** REAL image decode — not a stub: `javax.imageio.ImageIO` ships PNG, BMP,
+    * GIF and JPEG readers in every JRE, so this decodes actual image bytes
+    * with zero added dependencies. Same batch shape as the stubs (one
+    * `mapPartitions`, per-partition init, no shuffle, no driver round-trip),
+    * proving the plumbing carries a real codec unchanged.
+    *
+    * Output: (media_id, decoded, width, height, argb) — `decoded=false` with
+    * null dims for bytes no installed reader accepts (a real 100 TB corpus
+    * always contains corrupt blobs; they must degrade to a flag, not fail
+    * the stage). `argb` is the packed-int pixel raster row-major, only when
+    * `includePixels` (pixel rasters are ~W*H*4 bytes — at scale you decode,
+    * extract, and DROP pixels inside one partition pass; materializing them
+    * as a column is for tests and small crops).
+    */
+  def decodeImages(media: DataFrame, includePixels: Boolean = false): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("decoded", BooleanType, nullable = false),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("argb", ArrayType(IntegerType, containsNull = false), nullable = true)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    media.select(col("media_id"), col("content"))
+      .mapPartitions { rows =>
+        // per-partition codec init: disk-cache off (executor-local tmp may
+        // not exist; in-memory streams never need it)
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { r =>
+          val bytes = r.getAs[Array[Byte]](1)
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: java.io.IOException => null }
+          if (img == null) Row(r.getLong(0), false, null, null, null)
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            val px =
+              if (!includePixels) null
+              else img.getRGB(0, 0, w, h, null, 0, w).toSeq
+            Row(r.getLong(0), true, w, h, px)
+          }
+        }
+      }(enc)
+  }
+
   /** Metadata probe over the binary column, via the same per-partition batch
     * shape the codec stubs use — but bit-exact and engine-independent (byte
     * length, MD5, leading-bytes hex), so the multimodal PLUMBING itself sits

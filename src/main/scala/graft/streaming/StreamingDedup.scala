@@ -66,15 +66,20 @@ object StreamingDedup {
       .flatMapGroupsWithState[Seq[Long], StreamingDedupCandidate](
         OutputMode.Append, GroupStateTimeout.NoTimeout) { case ((band, bh), rows, state) =>
         var seen = state.getOption.getOrElse(Vector.empty[Long])
+        // membership probes against a Set (the Vector alone makes a hot
+        // bucket O(maxBucket^2) per batch); the Vector stays authoritative
+        // for emission order and is what persists in state
+        var seenSet = seen.toSet
         val out = Seq.newBuilder[StreamingDedupCandidate]
         // deterministic intra-batch order so batch boundaries cannot
         // reorder emissions
         rows.map(_._1).toSeq.distinct.sorted.foreach { id =>
-          if (!seen.contains(id) && seen.size < maxBucket) {
+          if (!seenSet.contains(id) && seen.size < maxBucket) {
             seen.foreach { prior =>
               out += StreamingDedupCandidate(math.min(prior, id), math.max(prior, id), band, bh)
             }
             seen = seen :+ id
+            seenSet = seenSet + id
           }
         }
         state.update(seen)

@@ -1,10 +1,11 @@
 package graft.tools
 
 import graft.{GraftSession, SparkEntry}
+import org.apache.spark.sql.DataFrame
 
-/** Dev helper: sweep every SparkEntry query's PHYSICAL plan for
-  * scale-killers and print one line per query —
-  * `sbt "runMain graft.tools.PlanAudit /root/testdata/sf0.001"`.
+/** Physical-plan scale-killer audit, shared between the dev `main` below and
+  * the regression gate `PlanAuditSpec` (which fails the build when a query
+  * plans a CARTESIAN / BNLJ / BCAST-DERIVED not on its explicit allowlist).
   *
   * Flags:
   *  - CARTESIAN / BNLJ — O(n^2) join strategies (only q31 is allowed one,
@@ -29,6 +30,49 @@ import graft.{GraftSession, SparkEntry}
   * Not part of the driver contract.
   */
 object PlanAudit {
+
+  /** Counters from one physical-plan walk. */
+  final case class Audit(cartesian: Int, bnlj: Int, bcastDerived: Int, exch: Int, sort: Int) {
+    def render: String = Seq(
+      if (cartesian > 0) s"CARTESIAN=$cartesian" else "",
+      if (bnlj > 0) s"BNLJ=$bnlj" else "",
+      if (bcastDerived > 0) s"BCAST-DERIVED=$bcastDerived" else "",
+      s"EXCH=$exch", s"SORT=$sort"
+    ).filter(_.nonEmpty).mkString(" ")
+  }
+
+  /** Walk a frame's pre-execution physical plan (AQE initial plan) and count
+    * the scale-killer shapes. Pure inspection — does not execute the query
+    * beyond what building `executedPlan` requires. */
+  def audit(df: DataFrame): Audit = {
+    var cartesian, bnlj, exch, sort, bcastDerived = 0
+    def derived(p: org.apache.spark.sql.execution.SparkPlan): Boolean = {
+      var hit = false
+      p.foreach {
+        case _: org.apache.spark.sql.execution.GenerateExec => hit = true
+        case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => hit = true
+        case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => hit = true
+        case _ => ()
+      }
+      hit
+    }
+    // AdaptiveSparkPlanExec is a leaf to TreeNode.foreach — unwrap it
+    // (pre-execution: audit the initial plan AQE starts from)
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = p.foreach {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        walk(a.initialPlan)
+      case _: org.apache.spark.sql.execution.joins.CartesianProductExec => cartesian += 1
+      case _: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => bnlj += 1
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeLike =>
+        if (derived(b.child)) bcastDerived += 1
+      case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => exch += 1
+      case _: org.apache.spark.sql.execution.SortExec => sort += 1
+      case _ => ()
+    }
+    walk(df.queryExecution.executedPlan)
+    Audit(cartesian, bnlj, bcastDerived, exch, sort)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val only = args.drop(1).toSet
@@ -39,38 +83,7 @@ object PlanAudit {
       names.foreach { name =>
         try {
           val df = SparkEntry.queries(name)(spark, sfDir)
-          var cartesian, bnlj, exch, sort, bcastDerived = 0
-          def derived(p: org.apache.spark.sql.execution.SparkPlan): Boolean = {
-            var hit = false
-            p.foreach {
-              case _: org.apache.spark.sql.execution.GenerateExec => hit = true
-              case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => hit = true
-              case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => hit = true
-              case _ => ()
-            }
-            hit
-          }
-          // AdaptiveSparkPlanExec is a leaf to TreeNode.foreach — unwrap it
-          // (pre-execution: audit the initial plan AQE starts from)
-          def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = p.foreach {
-            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-              walk(a.initialPlan)
-            case _: org.apache.spark.sql.execution.joins.CartesianProductExec => cartesian += 1
-            case _: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => bnlj += 1
-            case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeLike =>
-              if (derived(b.child)) bcastDerived += 1
-            case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => exch += 1
-            case _: org.apache.spark.sql.execution.SortExec => sort += 1
-            case _ => ()
-          }
-          walk(df.queryExecution.executedPlan)
-          val flags = Seq(
-            if (cartesian > 0) s"CARTESIAN=$cartesian" else "",
-            if (bnlj > 0) s"BNLJ=$bnlj" else "",
-            if (bcastDerived > 0) s"BCAST-DERIVED=$bcastDerived" else "",
-            s"EXCH=$exch", s"SORT=$sort"
-          ).filter(_.nonEmpty).mkString(" ")
-          println(s"[audit] $name $flags")
+          println(s"[audit] $name ${audit(df).render}")
         } catch {
           case e: Exception => println(s"[audit] $name ERROR ${e.getMessage.take(120)}")
         }

@@ -77,6 +77,39 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!plan.contains("SerializeFromObject"), s"no object boundary expected:\n$plan")
   }
 
+  test("decodeImages: real PNG and BMP bytes round-trip dims and exact pixels; garbage degrades to a flag") {
+    // paint a deterministic 5x3 gradient, encode through the actual JDK
+    // writers — what goes into the DataFrame is real codec output
+    def encoded(fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(5, 3, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 3; x <- 0 until 5) img.setRGB(x, y, (x * 50 << 16) | (y * 80 << 8) | 0x33)
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, out), s"JDK lacks a $fmt writer")
+      out.toByteArray
+    }
+    val rows = Seq(
+      Row(1L, "image/png", encoded("png"), null),
+      Row(2L, "image/bmp", encoded("bmp"), null),
+      Row(3L, "image/png", Array.tabulate[Byte](64)(_.toByte), null)) // not an image
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), Multimodal.mediaSchema)
+
+    val got = Multimodal.decodeImages(media, includePixels = true)
+      .orderBy("media_id").collect()
+    val expected = for (y <- 0 until 3; x <- 0 until 5)
+      yield 0xff000000 | (x * 50 << 16) | (y * 80 << 8) | 0x33
+    Seq(0, 1).foreach { i => // png and bmp are both lossless: pixel-exact
+      assert(got(i).getBoolean(1), s"row $i failed to decode")
+      assert((got(i).getInt(2), got(i).getInt(3)) == (5, 3))
+      assert(got(i).getSeq[Int](4) == expected, s"row $i pixels diverge")
+    }
+    assert(!got(2).getBoolean(1) && got(2).isNullAt(2) && got(2).isNullAt(4))
+
+    // same plumbing contract as the stubs: narrow, no shuffle
+    val plan = Multimodal.decodeImages(media).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+  }
+
   test("asEmbeddingTable feeds the similarity operators end-to-end") {
     val emb = Multimodal.asEmbeddingTable(mediaDF, dim = 16)
     assert(emb.columns.toSeq == Seq("vec_id", "embedding"))

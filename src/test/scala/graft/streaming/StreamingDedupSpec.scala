@@ -70,4 +70,36 @@ class StreamingDedupSpec extends AnyFunSuite {
       assert(pairs == 3L, s"expected capped pair set, got $pairs")
     } finally q.stop()
   }
+
+  test("maxBucket boundary: exactly-at-cap admits, one-past-cap drops, replays never emit") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val cap = 4
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingDedup.nearDupCandidates(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text", numHashes = 64, bands = 16,
+      maxBucket = cap)
+      .writeStream.format("memory").queryName("dedup_cap_edge").outputMode("append").start()
+    try {
+      def distinctPairs = spark.table("dedup_cap_edge")
+        .select("id_a", "id_b").distinct().as[(Long, Long)].collect().toSet
+      val doc = (i: Long) => (i, "identical text every time")
+
+      // fill to exactly the cap, one id per batch — each arrival pairs with
+      // every prior: sum over k of (k-1) = C(cap, 2) pairs
+      (1L to cap.toLong).foreach { i => in.addData(doc(i)); q.processAllAvailable() }
+      val full = (1L to cap.toLong).combinations(2).map(p => (p(0), p(1))).toSet
+      assert(distinctPairs == full, s"expected C($cap,2) pairs, got ${distinctPairs.size}")
+
+      // one past the cap: dropped silently — no rows, no failure
+      val rowsAtCap = spark.table("dedup_cap_edge").count()
+      in.addData(doc(cap + 1L)); q.processAllAvailable()
+      assert(spark.table("dedup_cap_edge").count() == rowsAtCap, "past-cap id emitted")
+
+      // replay an ADMITTED id and the DROPPED id together: both no-ops
+      // (idempotence must hold for ids on either side of the boundary)
+      in.addData(Seq(doc(1L), doc(cap + 1L))); q.processAllAvailable()
+      assert(spark.table("dedup_cap_edge").count() == rowsAtCap, "replay emitted")
+      assert(distinctPairs == full, "pair set changed after boundary replays")
+    } finally q.stop()
+  }
 }

@@ -1,0 +1,60 @@
+package graft.tools
+
+import graft.{SparkEntry, TestSpark}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Regression gate over every SparkEntry query's physical plan: a new
+  * CARTESIAN, BroadcastNestedLoopJoin, or derived-table broadcast cannot
+  * land without an explicit allowlist entry here justifying why it is
+  * bounded at 100 TB. The derived-broadcast class is the one that OOM'd the
+  * LSH verify join at x16 scale (SURVEY §8.1 finding 1): Catalyst's static
+  * size estimate for an explode→aggregate chain is the pre-explode scan
+  * size, so AQE can neither see nor demote the mistake.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** (cartesian, bnlj, bcastDerived) ceilings per query, each with the
+    * reason the flagged relation stays small at any corpus size. Absent =
+    * (0, 0, 0). Raising a ceiling requires writing the new justification. */
+  private val allow: Map[String, (Int, Int, Int)] = Map(
+    // q26: probe set is a fixed literal list of query vectors (k probes,
+    // parameter-bounded) broadcast against the corpus — BNLJ over a
+    // constant-size side is the intended brute-force scoring shape.
+    "q26_ann_topk" -> (0, 1, 0),
+    // q31: THE documented exact all-pairs baseline; its bucketed sibling
+    // q48 is hash-equal and is the scale path. Cartesian by design.
+    "q31_cosine_pairs" -> (1, 1, 1),
+    // q34: hot-key bucket table is derived but bounded by the bucket count
+    // knob (<=256 rows) — deliberately replicated to break skew.
+    "q34_asof_bucketed" -> (0, 0, 1),
+    // q35: corpus-count scalar (1 row) crossJoined for N, plus the
+    // vocabulary-sized document-frequency table explicitly broadcast —
+    // vocabulary grows sublinearly and stays dimension-like at 100 TB.
+    "q35_tfidf" -> (0, 1, 2),
+    // q37: percentile boundary table (one row per requested percentile).
+    "q37_percentile" -> (0, 0, 1),
+    // q40: trained IVF quantizer centroids (nlist rows, a model parameter).
+    "q40_ann_ivf" -> (0, 0, 1),
+    // q45: salt replication table (salt-factor rows, a knob).
+    "q45_salted_join" -> (0, 0, 1),
+    // q58: benchmark n-gram set — eval corpora are small by nature; the
+    // documented escape hatch (broadcastBench=false) covers the exception.
+    "q58_decontamination" -> (0, 0, 2),
+    // q60: two-phase distributed prefix sum — per-bucket offset tables
+    // (`buckets` rows, a knob) broadcast back; BNLJ against scalar bounds.
+    "q60_packing" -> (0, 2, 3)
+  )
+
+  test("no query plans an unjustified cartesian / BNLJ / derived broadcast") {
+    val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, q) =>
+      val a = PlanAudit.audit(q(spark, sfDir))
+      val (c, b, d) = allow.getOrElse(name, (0, 0, 0))
+      if (a.cartesian > c || a.bnlj > b || a.bcastDerived > d)
+        Some(s"$name ${a.render} exceeds allowance (cartesian<=$c bnlj<=$b bcastDerived<=$d)")
+      else None
+    }
+    assert(violations.isEmpty, violations.mkString("\n"))
+  }
+}
