@@ -1,0 +1,101 @@
+package graft.examples
+
+import graft.operators.Dedup
+import graft.operators.TextAnalysis
+import graft.streaming.{StreamingDedup, StreamingDedupCandidate}
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** The two live streams a streaming curation run produces: exact-level
+  * survivors (gated, exact-deduped, PII-redacted — ready for the
+  * exactly-once sink) and the near-duplicate candidate pairs surfacing at
+  * ingest (input to the downstream batch [[StreamingCuration.resolveClusters]]
+  * step). */
+final case class StreamingCurationStreams(
+    survivors: DataFrame,
+    candidates: Dataset[StreamingDedupCandidate])
+
+/** [[TrainingDataPipeline.curate]] AT INGEST TIME — processing documents as
+  * they arrive instead of in a nightly batch is the reference's entire
+  * identity (its run loop exists to push records the moment an iteration
+  * produces them, tamer `core/src/main/scala/tamer/Tamer.scala:150-186`).
+  * Composition, all streaming-native:
+  *
+  *  1. metric gates — [[TrainingDataPipeline.gates]] verbatim: pure per-row
+  *     column expressions are the same transform on a readStream frame;
+  *  2. exact dedup — `dropDuplicates` on a text fingerprint: first ARRIVAL
+  *     wins. (The batch form keeps the min doc_id per text — identical when
+  *     arrival order is id order, otherwise a documented representative
+  *     difference; the SET of distinct texts is always equal.)
+  *  3. PII redaction — per-row, so it rides the stream unchanged;
+  *  4. near-dup CANDIDATES at ingest ([[StreamingDedup.nearDupCandidates]]),
+  *     emitted as a side stream the moment the second document of a pair
+  *     arrives.
+  *
+  * What is deliberately NOT in the stream: exact-Jaccard verification and
+  * connected-components clustering. Verification needs both documents'
+  * shingle sets (state would grow corpus-sized) and CC is iterative —
+  * both are the downstream batch step [[resolveClusters]], fed by the
+  * drained candidate stream. Survivors therefore stream at EXACT-dedup
+  * granularity; near-dup losers are removed by the batch resolve, exactly
+  * like the batch pipeline's step 4 (diff-tested in
+  * `StreamingCurationSpec`).
+  *
+  * Sink shape: `result.survivors.writeStream.foreachBatch(
+  * new ExactlyOnceParquetWriter(out).write _)` — batch-id-idempotent
+  * parquet, the engine's parity of the reference's data+state+offset
+  * transaction.
+  */
+object StreamingCuration {
+
+  def curate(
+      stream: DataFrame,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      maxBucket: Int = 1024
+  ): StreamingCurationStreams = {
+    val gated = TrainingDataPipeline.gates(stream)
+    // keyed on the md5 fingerprint, not the text itself: dedup state holds
+    // 32 hex chars per distinct document instead of the document
+    val deduped = gated
+      .withColumn("__fp", md5(col("text")))
+      .dropDuplicates("__fp")
+      .drop("__fp")
+    val survivors = TextAnalysis.redactPii(deduped, "doc_id", "text")
+      .select(col("doc_id"), col("redacted").as("text"))
+    // candidates branch off the GATED stream, not the deduped one: Spark
+    // restricts flatMapGroupsWithState downstream of another stateful
+    // operator, and candidate emission must not depend on dedup state
+    // anyway — pairs involving exact-dup losers are dropped downstream by
+    // [[resolveClusters]]'s verify join against the survivor set
+    val candidates = StreamingDedup.nearDupCandidates(
+      gated, "doc_id", "text", shingleN = 3, numHashes, bands, maxBucket)
+    StreamingCurationStreams(survivors, candidates)
+  }
+
+  /** The batch step downstream of a streaming run: exact-Jaccard-verify the
+    * drained candidate pairs against the survivor texts, cluster with
+    * connected components, keep each cluster's minimum id — the same
+    * verify → CC → keep-min tail as [[TrainingDataPipeline.curate]] step 4.
+    * `survivors`/`candidates` are the DRAINED (batch-read) outputs of
+    * [[curate]], so verification shingles the REDACTED text while the batch
+    * pipeline shingles raw text — a documented approximation: exact-equal
+    * raw texts redact identically (J stays 1), so true duplicate clusters
+    * are unaffected; only a pair already sitting ON the tau boundary whose
+    * PII spans differ could flip. Callers with the raw corpus at hand can
+    * pass it instead for bit-parity with the batch pipeline.
+    */
+  def resolveClusters(
+      survivors: DataFrame,
+      candidates: DataFrame,
+      tauNum: Int = 1,
+      tauDen: Int = 2
+  ): DataFrame = {
+    val verified = Dedup.verifyCandidatePairs(
+      survivors, "doc_id", "text", candidates, shingleN = 3, tauNum = tauNum, tauDen = tauDen)
+    val clusters = Dedup.connectedComponents(
+      survivors.select(col("doc_id")), "doc_id", verified, "id_a", "id_b")
+    val keepers = clusters.filter(col("doc_id") === col("cluster_id")).select("doc_id")
+    survivors.join(keepers, Seq("doc_id"), "left_semi")
+  }
+}

@@ -202,6 +202,38 @@ object Dedup {
     val withShingles = projectedShingles(df, idCol, textCol, shingleN)
     val sigs = minHashSignatures(withShingles, idCol, col("__shingles"), numHashes)
     val cands = lshCandidatePairs(sigs, idCol, bands, numHashes / bands)
+    verifyShingled(withShingles, idCol, cands, tauNum, tauDen)
+  }
+
+  /** EXACT-Jaccard verification of an EXTERNAL candidate-pair table — the
+    * verify stage of [[nearDupPairs]] exposed for candidates produced
+    * elsewhere (the streaming ingest path's
+    * [[graft.streaming.StreamingDedup]] emits candidate pairs whose
+    * verification is deliberately a downstream batch step: it needs both
+    * documents' shingle sets, which would make streaming state
+    * corpus-sized). `candidates` needs `id_a`/`id_b` columns; same output
+    * and threshold semantics as [[nearDupPairs]].
+    */
+  def verifyCandidatePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      candidates: DataFrame,
+      shingleN: Int = 3,
+      tauNum: Int = 1,
+      tauDen: Int = 2
+  ): DataFrame =
+    verifyShingled(
+      projectedShingles(df, idCol, textCol, shingleN), idCol,
+      candidates.select(col("id_a"), col("id_b")), tauNum, tauDen)
+
+  private def verifyShingled(
+      withShingles: DataFrame,
+      idCol: String,
+      cands: DataFrame,
+      tauNum: Int,
+      tauDen: Int
+  ): DataFrame = {
     val sh = withShingles.select(col(idCol), col("__shingles"))
     // SHUFFLE_MERGE: the candidate table's static size estimate is garbage
     // (explode->aggregate chain), so without the hint the planner can pick

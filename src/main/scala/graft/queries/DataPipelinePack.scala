@@ -85,6 +85,53 @@ object DataPipelinePack extends QueryPack {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // q48 at the PRODUCTION configuration (bandBits 8 / 16 bands / tau 0.8
+    // — the docstring's 100 TB sizing, not the recall-1 gate shape), on a
+    // corpus with planted near-threshold twins, reporting MEASURED recall.
+    // Each vec_id % 5 == 0 vector gets a deterministic twin at cosine
+    // ~ 1/sqrt(1+beta^2) ~ 0.86 (relative +/-beta sign-flip perturbation),
+    // straddling the tau = 0.8 band where sign-LSH recall is weakest.
+    // Output: ONE summary row (planted, eligible truth pairs at tau, found,
+    // recall, total LSH pairs). Recall is intrinsically sub-1 here, so no
+    // equality oracle exists (rows-only check); the >= 0.95 floor is pinned
+    // by DedupSimilaritySpec, and the whole computation is deterministic
+    // (fixed planes, fixed perturbation).
+    "q61_cosine_lsh_prod" -> ((s, d) => {
+      val idOffset = 100000000L
+      val beta = 0.6
+      val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val planted = base.filter(pmod(col("vec_id"), lit(5)) === 0)
+        .select((col("vec_id") + idOffset).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            (x * (lit(1.0) + lit(beta) * signum(sin(col("vec_id") * 37 + i))))
+              .cast("float")).as("embedding"))
+      val corpus = base.unionByName(planted)
+      val found = Similarity.cosineNearDupPairsLsh(corpus, "vec_id", "embedding",
+        threshold = 0.8, dim = 64, bandBits = 8, bands = 16)
+      // ground truth costs ONE 1:1 join (n rows, never all-pairs): each
+      // twin's exact cosine, thresholded the same way the operator rounds
+      val dot = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+        aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), _ + _)
+      val truth = base.select(col("vec_id").as("id_a"), col("embedding").as("__ea"))
+        .join(planted.select((col("vec_id") - idOffset).as("id_a"),
+          col("vec_id").as("id_b"), col("embedding").as("__eb")), Seq("id_a"))
+        .withColumn("__cos",
+          dot(col("__ea"), col("__eb")) /
+            (sqrt(dot(col("__ea"), col("__ea"))) * sqrt(dot(col("__eb"), col("__eb")))))
+      val eligible = truth.filter(round(col("__cos"), 6) >= 0.8)
+        .select(col("id_a"), col("id_b"))
+      // found is an explode->aggregate derivative: garbage static size
+      // estimate, same broadcast hazard as the operator's own verify joins
+      val hit = eligible.join(found.hint("shuffle_merge"), Seq("id_a", "id_b"), "left_semi")
+      eligible.agg(count(lit(1)).as("eligible"))
+        .crossJoin(truth.agg(count(lit(1)).as("planted")))
+        .crossJoin(hit.agg(count(lit(1)).as("found")))
+        .crossJoin(found.agg(count(lit(1)).as("lsh_pairs")))
+        .select(col("planted"), col("eligible"), col("found"), col("lsh_pairs"),
+          round(col("found").cast("double") / col("eligible").cast("double"), 4).as("recall"))
+    }),
+
     // SimHash near-dup. The token hash is an md5 prefix, so even this
     // signature scheme is oracle-checked: the oracle SQL rebuilds the
     // majority-vote signature per document from the same hash.

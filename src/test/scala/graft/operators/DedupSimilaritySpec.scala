@@ -210,6 +210,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("q61 production band config (bandBits 8 / 16 bands / tau 0.8): measured recall >= 0.95") {
+    // the bench/verify entry computes its own recall against planted
+    // near-threshold twins — this pins the floor so a banding regression
+    // fails the build rather than silently shipping a low-recall config
+    val r = graft.SparkEntry.queries("q61_cosine_lsh_prod")(spark, "/root/testdata/sf0.001")
+      .collect()(0)
+    val (planted, eligible, found, lshPairs, recall) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+    assert(planted > 0 && eligible == planted,
+      s"all twins must clear tau=0.8 at beta=0.6 (cos~0.857): planted=$planted eligible=$eligible")
+    assert(recall >= 0.95, s"production-config recall $recall below the 0.95 floor ($found/$eligible)")
+    // verification makes precision exactly 1; on this corpus (no true
+    // base-base pairs at 0.8) every emitted pair must be a planted twin
+    assert(lshPairs == found, s"unexpected non-planted pairs: lsh=$lshPairs found=$found")
+  }
+
   test("ivfTopK with nprobe = nlist degenerates to exact brute force") {
     val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val probes = e.filter(col("vec_id") < 3)

@@ -44,7 +44,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "q58_decontamination" -> (0, 0, 2),
     // q60: two-phase distributed prefix sum — per-bucket offset tables
     // (`buckets` rows, a knob) broadcast back; BNLJ against scalar bounds.
-    "q60_packing" -> (0, 2, 3)
+    "q60_packing" -> (0, 2, 3),
+    // q61: recall summary assembles four ONE-ROW count aggregates via
+    // scalar crossJoins; the corpus-sized paths (candidates, verify,
+    // truth semi-probe) are all SMJ-pinned inside the operator/query.
+    "q61_cosine_lsh_prod" -> (0, 3, 3)
   )
 
   test("no query plans an unjustified cartesian / BNLJ / derived broadcast") {
