@@ -72,6 +72,53 @@ object Dedup {
       Seq(idCol),
       "left_semi")
 
+  /** CORPUS-WIDE LINE-LEVEL dedup — the C4/CCNet boilerplate-removal pass:
+    * a repeated line ("subscribe to our newsletter…", nav bars, license
+    * headers) is kept only at its FIRST occurrence (minimum `(idCol, line
+    * position)` lexicographically) and removed from every other document.
+    * Lines shorter than `minTokens` whitespace tokens are exempt (separators
+    * and stubs stay put); documents keep their surviving lines in order.
+    * Output: `(idCol, textCol)` with the deduplicated text.
+    *
+    * Shape at 100 TB: explode to lines, then ONE hash shuffle on the line
+    * with a `min` AGGREGATE (map-side partial combine — a boilerplate line
+    * occurring in millions of documents collapses to one row per map
+    * partition; a window over the line key would serialize exactly those
+    * hot keys), an SMJ join back (both sides corpus-sized and derived —
+    * broadcast is pinned off for the usual garbage-static-estimate reason),
+    * and one shuffle on `idCol` to reassemble documents. No state, no
+    * iteration.
+    */
+  def dedupLines(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      delim: String = "\n",
+      minTokens: Int = 3
+  ): DataFrame = {
+    require(minTokens >= 1, "minTokens must be at least 1")
+    // split on the literal delimiter (quoted — split's pattern arg is a
+    // regex and "\n" happens to be benign but "." or "|" would not be)
+    val lines = withComputeParallelism(df.select(col(idCol), col(textCol)))
+      .select(col(idCol),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(delim)))
+          .as(Seq("__pos", "__line")))
+    val eligible = size(split(col("__line"), " ")) >= minTokens
+    val firsts = lines
+      .filter(eligible)
+      .groupBy(col("__line"))
+      .agg(min(struct(col(idCol), col("__pos"))).as("__first"))
+    lines
+      .join(firsts.hint("shuffle_merge"), Seq("__line"), "left")
+      .filter(!eligible || struct(col(idCol), col("__pos")) === col("__first"))
+      .groupBy(col(idCol))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("__pos"), col("__line")))),
+          s => s.getField("__line")),
+        delim).as(textCol))
+  }
+
   /** Distinct word n-gram shingles from a PRE-PROJECTED token-array column;
     * documents shorter than `n` tokens fall back to the whole (reconstructed)
     * text as a single shingle.

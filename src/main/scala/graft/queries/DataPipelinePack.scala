@@ -132,6 +132,24 @@ object DataPipelinePack extends QueryPack {
           round(col("found").cast("double") / col("eligible").cast("double"), 4).as("recall"))
     }),
 
+    // Corpus-wide LINE-LEVEL dedup (C4/CCNet boilerplate removal): repeated
+    // lines >= 3 tokens survive only at their first (doc_id, pos)
+    // occurrence; short lines are exempt. The corpus is single-line, so
+    // both engines PLANT identical line structure (a per-mod-7 shared
+    // header, the unique body, a global boilerplate line, a 2-token footer
+    // that must survive everywhere), then dedup: the oracle re-derives
+    // keep-first with a window over the same construction.
+    "q62_line_dedup" -> ((s, d) => {
+      val lined = Tables.documents(s, d).select(col("doc_id"),
+        concat_ws("\n",
+          concat(lit("promo "), (col("doc_id") % 7).cast("string"), lit(" header")),
+          col("text"),
+          lit("subscribe to our newsletter today"),
+          lit("-- footer")).as("text"))
+      Dedup.dedupLines(lined, "doc_id", "text", "\n", minTokens = 3)
+        .orderBy(col("doc_id"))
+    }),
+
     // SimHash near-dup. The token hash is an md5 prefix, so even this
     // signature scheme is oracle-checked: the oracle SQL rebuilds the
     // majority-vote signature per document from the same hash.
@@ -621,6 +639,31 @@ object DataPipelinePack extends QueryPack {
              coalesce(m.matched, 0) >= 1 AS contaminated
       FROM documents d LEFT JOIN m USING (doc_id)
       ORDER BY d.doc_id""",
+
+    // Keep-first line dedup over the identical planted construction; the
+    // oracle's row_number window and the operator's min-struct aggregate
+    // select the same (doc_id, pos) representative.
+    "q62_line_dedup" -> """
+      WITH docs AS (
+        SELECT doc_id,
+               'promo ' || CAST(doc_id % 7 AS VARCHAR) || ' header' || chr(10)
+               || text || chr(10)
+               || 'subscribe to our newsletter today' || chr(10)
+               || '-- footer' AS text
+        FROM documents),
+      lines AS (
+        SELECT doc_id,
+               unnest(string_split(text, chr(10))) AS line,
+               unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
+        FROM docs),
+      ranked AS (
+        SELECT doc_id, pos, line,
+               len(string_split(line, ' ')) >= 3 AS eligible,
+               row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+        FROM lines),
+      kept AS (SELECT doc_id, pos, line FROM ranked WHERE NOT eligible OR rn = 1)
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+      FROM kept GROUP BY doc_id ORDER BY doc_id""",
 
     "q59_repetition" -> """
       WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -210,6 +210,34 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("dedupLines: keep-first across docs and within a doc; short lines exempt; all-boilerplate docs vanish") {
+    val docs = Seq(
+      (1L, "one common boilerplate line\nunique body of document one\nshort line"),
+      (2L, "one common boilerplate line\nunique body of document two\none common boilerplate line"),
+      (3L, "one common boilerplate line"), // nothing survives -> no output row
+      (4L, "short line\nunique body of document four")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupLines(docs, "doc_id", "text", "\n", minTokens = 3)
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "one common boilerplate line\nunique body of document one\nshort line")
+    // doc 2 loses BOTH copies (cross-doc and its own second occurrence)
+    assert(out(2L) == "unique body of document two")
+    assert(!out.contains(3L), "a fully-boilerplate document must drop out entirely")
+    // "short line" (2 tokens < 3) is exempt and survives in every doc
+    assert(out(4L) == "short line\nunique body of document four")
+  }
+
+  test("dedupLines quotes the delimiter: regex metachars split literally") {
+    val docs = Seq(
+      (1L, "alpha beta gamma tokens|delta epsilon zeta tokens"),
+      (2L, "alpha beta gamma tokens|eta theta iota tokens")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupLines(docs, "doc_id", "text", "|", minTokens = 3)
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "alpha beta gamma tokens|delta epsilon zeta tokens")
+    assert(out(2L) == "eta theta iota tokens")
+  }
+
   test("q61 production band config (bandBits 8 / 16 bands / tau 0.8): measured recall >= 0.95") {
     // the bench/verify entry computes its own recall against planted
     // near-threshold twins — this pins the floor so a banding regression
