@@ -179,6 +179,53 @@ object TextAnalysis {
       regexp_count(afterEmail, lit(PhonePattern)).as("n_phones"))
   }
 
+  /** URL surface for web-corpus curation (the C4-family URL stage). Both
+    * patterns are RE2-portable (no lookaround/backreferences) for the same
+    * engine-agreement reason as the PII patterns above: extraction must
+    * behave identically wherever it reruns. A URL ends at whitespace; the
+    * domain is capture group 1. */
+  val UrlPattern = "https?://[A-Za-z0-9.-]+(?::[0-9]+)?(?:/[^ ]*)?"
+  val UrlDomainPattern = "https?://([A-Za-z0-9.-]+)"
+
+  /** Per-document URL extraction: the URL list, count, and the SORTED
+    * DISTINCT domain list — pure codegen'd regexp expressions, zero
+    * shuffles. */
+  def urlMetrics(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      regexp_extract_all(col(textCol), lit(UrlPattern), lit(0)).as("urls"),
+      size(regexp_extract_all(col(textCol), lit(UrlPattern), lit(0))).as("n_urls"),
+      array_sort(array_distinct(
+        regexp_extract_all(col(textCol), lit(UrlDomainPattern), lit(1)))).as("domains"))
+
+  /** Drop documents containing a URL whose domain is on the blocklist — the
+    * standard source-quality gate. The blocklist is EXPLICITLY broadcast
+    * (blocklists are domain-count sized against a 100 TB corpus, the same
+    * small-by-nature argument as the decontamination benchmark set); the
+    * corpus side is one scan + per-row extraction + a semi-probe, and only
+    * the matched doc ids shuffle. Returns the surviving rows of `df`
+    * unchanged. */
+  def filterByDomainBlocklist(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blocklist: DataFrame,
+      domainCol: String = "domain"
+  ): DataFrame = {
+    val hit = df
+      .select(col(idCol),
+        explode(array_distinct(
+          regexp_extract_all(col(textCol), lit(UrlDomainPattern), lit(1)))).as("__d"))
+      .join(broadcast(blocklist.select(col(domainCol).as("__d")).distinct()), Seq("__d"), "left_semi")
+      .select(col(idCol)).distinct()
+    // the matched-id set is bounded by how much of the CORPUS hits the
+    // blocklist, not by the blocklist — at 100 TB it can be a double-digit
+    // percentage of all documents, and its static size estimate (an
+    // explode->distinct chain) is garbage, so pin the anti-join to
+    // sort-merge rather than let the planner broadcast it
+    df.join(hit.hint("shuffle_merge"), Seq(idCol), "left_anti")
+  }
+
   /** Document fingerprints:
     *  - `fp_rolling`: order-sensitive polynomial rolling hash over tokens,
     *    mod 1e9+7 (token -> 24-bit md5 prefix; acc*131+h — bounded, never

@@ -150,6 +150,31 @@ object DataPipelinePack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // URL extraction metrics (C4-family web-corpus stage). The corpus has
+    // no URLs, so both engines PLANT them doc_id-derived: a per-mod-20
+    // example.com URL for most docs (doc_id % 11 != 0 — the rest exercise
+    // the empty-extraction path), plus a bad.net URL on every third doc.
+    // Pure RE2-portable regexp expressions; sorted-distinct domains as csv.
+    "q63_url_metrics" -> ((s, d) => {
+      TextAnalysis.urlMetrics(plantUrls(Tables.documents(s, d)), "doc_id", "text")
+        .select(col("doc_id"), col("n_urls"),
+          array_join(col("domains"), ",").as("domains_csv"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Domain-blocklist filtering over the same planted corpus: docs whose
+    // URL domain is on the (broadcast) blocklist are dropped. blocked{0,1,2}
+    // .bad.net are listed, blocked{3,4}.bad.net are not — survivors are the
+    // non-planted docs plus bad-URL docs whose mod-5 variant is unlisted.
+    "q64_domain_blocklist" -> ((s, d) => {
+      import s.implicits._
+      val blocklist = Seq("blocked0.bad.net", "blocked1.bad.net", "blocked2.bad.net")
+        .toDF("domain")
+      TextAnalysis.filterByDomainBlocklist(
+        plantUrls(Tables.documents(s, d)), "doc_id", "text", blocklist)
+        .orderBy(col("doc_id"))
+    }),
+
     // SimHash near-dup. The token hash is an md5 prefix, so even this
     // signature scheme is oracle-checked: the oracle SQL rebuilds the
     // majority-vote signature per document from the same hash.
@@ -615,8 +640,55 @@ object DataPipelinePack extends QueryPack {
         FROM staged2 ORDER BY doc_id"""
   }
 
+  /** doc_id-derived URL planting shared by q63/q64 (mirrored literally in
+    * their oracle SQL): most docs get a mod-20 example.com URL, every third
+    * doc also a mod-5 bad.net URL, every eleventh doc none at all. */
+  private def plantUrls(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 11 === 0, lit(""))
+          .otherwise(concat(
+            lit(" see https://site"), (col("doc_id") % 20).cast("string"),
+            lit(".example.com/p/"), col("doc_id").cast("string"))),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" http://blocked"), (col("doc_id") % 5).cast("string"),
+            lit(".bad.net/x")))
+          .otherwise(lit(""))).as("text"))
+
+  /** The same construction in DuckDB SQL, as a CTE body over `documents`. */
+  private val urlAugSql = """
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 11 = 0 THEN ''
+                     ELSE ' see https://site' || CAST(doc_id % 20 AS VARCHAR)
+                          || '.example.com/p/' || CAST(doc_id AS VARCHAR) END
+             || CASE WHEN doc_id % 3 = 0
+                     THEN ' http://blocked' || CAST(doc_id % 5 AS VARCHAR) || '.bad.net/x'
+                     ELSE '' END AS text
+      FROM documents"""
+
   def oracles: Map[String, String] = Map(
     "q57_pii_redaction" -> piiOracle,
+
+    "q63_url_metrics" -> s"""
+      WITH aug AS ($urlAugSql)
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, 'https?://[A-Za-z0-9.-]+(?::[0-9]+)?(?:/[^ ]*)?')) AS INTEGER) AS n_urls,
+             coalesce(array_to_string(list_sort(list_distinct(
+               regexp_extract_all(text, 'https?://([A-Za-z0-9.-]+)', 1))), ','), '') AS domains_csv
+      FROM aug ORDER BY doc_id""",
+
+    "q64_domain_blocklist" -> s"""
+      WITH aug AS ($urlAugSql),
+      bad AS (
+        SELECT DISTINCT doc_id
+        FROM (SELECT doc_id,
+                     unnest(list_distinct(regexp_extract_all(text, 'https?://([A-Za-z0-9.-]+)', 1))) AS d
+              FROM aug)
+        WHERE d IN ('blocked0.bad.net', 'blocked1.bad.net', 'blocked2.bad.net'))
+      SELECT doc_id, text FROM aug
+      WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+      ORDER BY doc_id""",
 
     // Same n-gram construction as the q39 oracle (3-grams, short docs fall
     // back to the whole text); benchmark = every 50th doc. The Spark side

@@ -95,6 +95,38 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(m(2).getAs[Double]("dup_ngram_frac") == 0.0)
   }
 
+  test("urlMetrics extracts urls with ports/paths, sorted distinct domains, empty on no match") {
+    val docs = Seq(
+      (1L, "read https://a.example.com/x?y=1 and http://b.example.com:8080/p then https://a.example.com again"),
+      (2L, "no links here")).toDF("doc_id", "text")
+    val out = TextAnalysis.urlMetrics(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[scala.collection.Seq[String]]("urls").toSeq == Seq(
+      "https://a.example.com/x?y=1", "http://b.example.com:8080/p", "https://a.example.com"))
+    assert(out(1L).getAs[Int]("n_urls") == 3)
+    assert(out(1L).getAs[scala.collection.Seq[String]]("domains").toSeq ==
+      Seq("a.example.com", "b.example.com"))
+    assert(out(2L).getAs[Int]("n_urls") == 0 &&
+      out(2L).getAs[scala.collection.Seq[String]]("domains").isEmpty)
+  }
+
+  test("filterByDomainBlocklist drops exactly blocked docs and never broadcasts the matched-id side") {
+    val docs = Seq(
+      (1L, "see https://ok.example.com/a"),
+      (2L, "see https://spam.bad.net/b and https://ok.example.com/c"),
+      (3L, "no links"),
+      (4L, "https://SPAM.bad.net case differs — regex is case-sensitive, survives")
+    ).toDF("doc_id", "text")
+    val blocklist = Seq("spam.bad.net").toDF("domain")
+    val kept = TextAnalysis.filterByDomainBlocklist(docs, "doc_id", "text", blocklist)
+    assert(kept.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 3L, 4L))
+    // the anti-join side is corpus-bounded: must plan sort-merge, not broadcast
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin") && plan.toLowerCase.contains("leftanti"),
+      s"anti-join must be SMJ:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin LeftAnti"), s"matched-id set broadcast:\n$plan")
+  }
+
   test("flagContaminated counts distinct shared n-grams and keeps zero-match docs") {
     val docs = Seq(
       (1L, "the quick brown fox jumps"), // shares "the quick brown", "quick brown fox"

@@ -48,7 +48,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // q61: recall summary assembles four ONE-ROW count aggregates via
     // scalar crossJoins; the corpus-sized paths (candidates, verify,
     // truth semi-probe) are all SMJ-pinned inside the operator/query.
-    "q61_cosine_lsh_prod" -> (0, 3, 3)
+    "q61_cosine_lsh_prod" -> (0, 3, 3),
+    // q64: the deliberately-broadcast domain blocklist's distinct()
+    // (blocklists are domain-count sized by nature, like q58's benchmark
+    // set); the corpus-bounded matched-id set is SMJ-pinned in the operator.
+    "q64_domain_blocklist" -> (0, 0, 1)
   )
 
   test("no query plans an unjustified cartesian / BNLJ / derived broadcast") {
