@@ -158,6 +158,65 @@ object Multimodal {
       }(enc)
   }
 
+  /** REAL image features from the ImageIO decode path: decode, box-average
+    * the pixel raster into a `gridW x gridH` luminance grid (Rec. 601
+    * weights, floats in [0,1], row-major) — deterministic features computed
+    * from actual pixels, ready for the [[Similarity]] operators. Bytes no
+    * reader accepts fall back to the byte-level stub embedding with
+    * `decoded = false` (a 100 TB corpus always has a corrupt tail; it must
+    * degrade to a flag, not fail the stage). Same plumbing as everything
+    * here: one `mapPartitions`, per-partition codec init, no shuffle.
+    */
+  def extractImageFeatures(media: DataFrame, gridW: Int = 8, gridH: Int = 8): DataFrame = {
+    require(gridW > 0 && gridH > 0, "grid dims must be positive")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("decoded", BooleanType, nullable = false),
+      StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    media.select(col("media_id"), col("content"))
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { r =>
+          val bytes = r.getAs[Array[Byte]](1)
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: java.io.IOException => null }
+          if (img == null) Row(r.getLong(0), false, fakeEmbed(bytes, gridW * gridH).toSeq)
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            val out = new Array[Float](gridW * gridH)
+            var gy = 0
+            while (gy < gridH) {
+              val y0 = gy * h / gridH
+              val y1 = math.max(y0 + 1, (gy + 1) * h / gridH)
+              var gx = 0
+              while (gx < gridW) {
+                val x0 = gx * w / gridW
+                val x1 = math.max(x0 + 1, (gx + 1) * w / gridW)
+                var sum = 0.0
+                var y = y0
+                while (y < math.min(y1, h)) {
+                  var x = x0
+                  while (x < math.min(x1, w)) {
+                    val px = img.getRGB(x, y)
+                    sum += 0.299 * ((px >> 16) & 0xff) + 0.587 * ((px >> 8) & 0xff) + 0.114 * (px & 0xff)
+                    x += 1
+                  }
+                  y += 1
+                }
+                val n = (math.min(y1, h) - y0).toLong * (math.min(x1, w) - x0)
+                out(gy * gridW + gx) = (sum / (255.0 * math.max(1L, n))).toFloat
+                gx += 1
+              }
+              gy += 1
+            }
+            Row(r.getLong(0), true, out.toSeq)
+          }
+        }
+      }(enc)
+  }
+
   /** Metadata probe over the binary column, via the same per-partition batch
     * shape the codec stubs use — but bit-exact and engine-independent (byte
     * length, MD5, leading-bytes hex), so the multimodal PLUMBING itself sits

@@ -110,6 +110,34 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
   }
 
+  test("extractImageFeatures: real pixel luminance grids; corrupt bytes fall back flagged") {
+    def solidPng(rgb: Int, w: Int = 16, h: Int = 16): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val rows = Seq(
+      Row(1L, "image/png", solidPng(0x808080), null), // mid gray
+      Row(2L, "image/png", solidPng(0xffffff), null), // white
+      Row(3L, "image/png", Array.tabulate[Byte](50)(_.toByte), null)) // corrupt
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), Multimodal.mediaSchema)
+    val got = Multimodal.extractImageFeatures(media, gridW = 4, gridH = 4)
+      .orderBy("media_id").collect()
+    // a solid image's every grid cell is exactly its luminance
+    val gray = (0.299 * 128 + 0.587 * 128 + 0.114 * 128) / 255.0
+    assert(got(0).getBoolean(1))
+    assert(got(0).getSeq[Float](2).size == 16)
+    assert(got(0).getSeq[Float](2).forall(v => math.abs(v - gray) < 1e-6))
+    assert(got(1).getSeq[Float](2).forall(v => math.abs(v - 1.0f) < 1e-6))
+    // corrupt row degrades to the flagged byte-level fallback, same shape
+    assert(!got(2).getBoolean(1) && got(2).getSeq[Float](2).size == 16)
+    val plan = Multimodal.extractImageFeatures(media).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+  }
+
   test("asEmbeddingTable feeds the similarity operators end-to-end") {
     val emb = Multimodal.asEmbeddingTable(mediaDF, dim = 16)
     assert(emb.columns.toSeq == Seq("vec_id", "embedding"))
