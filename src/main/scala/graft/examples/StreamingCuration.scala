@@ -73,6 +73,48 @@ object StreamingCuration {
     StreamingCurationStreams(survivors, candidates)
   }
 
+  /** Runnable form, mirroring [[TrainingDataPipeline.main]]: stream the
+    * corpus parquet file-by-file through [[curate]] into an exactly-once
+    * parquet sink (survivors) and an append parquet sink (candidates), then
+    * run the downstream batch [[resolveClusters]] and report counts.
+    *
+    * {{{
+    * sbt "runMain graft.examples.StreamingCuration /root/testdata/sf0.001 /tmp/scurated"
+    * }}}
+    */
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir) = args.take(2)
+    val spark = graft.GraftSession.local("graft-streaming-curation")
+    try {
+      // the file stream source consumes a DIRECTORY; stage the corpus as
+      // several files so the run is genuinely multi-batch (one file per
+      // trigger), like a landing zone being filled by an upstream ingest
+      val staging = s"$outDir/input"
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        .repartition(4).write.mode("overwrite").parquet(staging)
+      val schema = spark.read.parquet(staging).schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(staging)
+      val streams = curate(stream)
+      val writer = new graft.sinks.ExactlyOnceParquetWriter(s"$outDir/survivors")
+      val qSurv = streams.survivors.writeStream
+        .foreachBatch(writer.write _)
+        .option("checkpointLocation", s"$outDir/ckpt-survivors")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      val qCand = streams.candidates.writeStream
+        .format("parquet").option("path", s"$outDir/candidates")
+        .option("checkpointLocation", s"$outDir/ckpt-candidates")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      qSurv.awaitTermination(); qCand.awaitTermination()
+      val survivors = spark.read.parquet(s"$outDir/survivors").select("doc_id", "text")
+      val cands = spark.read.parquet(s"$outDir/candidates").select("id_a", "id_b").distinct()
+      val resolved = resolveClusters(survivors, cands)
+      println(s"[streaming-curation] survivors=${survivors.count()} " +
+        s"candidates=${cands.count()} after-resolve=${resolved.count()} -> $outDir")
+    } finally spark.stop()
+  }
+
   /** The batch step downstream of a streaming run: exact-Jaccard-verify the
     * drained candidate pairs against the survivor texts, cluster with
     * connected components, keep each cluster's minimum id — the same
