@@ -354,6 +354,32 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("__sim"), 4).as("cos_sim"))
   }
 
+  /** Symmetric per-vector INT8 quantization — the embedding-storage
+    * compression step of a 100 TB ANN deployment (4x smaller at rest, and
+    * integer dot products downstream): `scale = max|x| / 127` (the largest
+    * element maps to ±127 exactly, tie-free), `q_i = round(x_i / scale)`
+    * in [-127, 127]. Pure codegen'd column expressions, zero shuffles;
+    * all-zero vectors quantize to scale 0 with an all-zero qvec.
+    * Output: (vectorId, qvec array<int>, scale double).
+    */
+  def quantizeInt8(vectors: DataFrame, vectorId: String, vectorCol: String): DataFrame = {
+    val projected = vectors.select(col(vectorId), asDouble(col(vectorCol)).as("__v"))
+    val scale = array_max(transform(col("__v"), x => abs(x))) / 127.0
+    projected
+      .select(col(vectorId), col("__v"), scale.as("scale"))
+      .select(
+        col(vectorId),
+        when(col("scale") === 0.0, transform(col("__v"), _ => lit(0)))
+          .otherwise(transform(col("__v"), x => round(x / col("scale")).cast("int")))
+          .as("qvec"),
+        col("scale"))
+  }
+
+  /** Inverse of [[quantizeInt8]] for scoring: `x'_i = q_i * scale`. Exact
+    * reconstruction of the max element; everything else within scale/2. */
+  def dequantize(qvec: Column, scale: Column): Column =
+    transform(qvec, q => q.cast("double") * scale)
+
   /** Embedding-cosine near-duplicate pairs above a similarity threshold.
     * Exact over all pairs below `maxIdForExact` table sizes it is meant for
     * oracle checking; the scale path is the same computation restricted to

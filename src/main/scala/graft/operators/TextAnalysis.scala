@@ -179,6 +179,27 @@ object TextAnalysis {
       regexp_count(afterEmail, lit(PhonePattern)).as("n_phones"))
   }
 
+  /** Corpus-wide heavy-hitter word n-grams — the miner that produces the
+    * boilerplate lists operators like [[Dedup.dedupLines]] and blocklist
+    * curation consume: the `k` most frequent n-grams with exact counts,
+    * ties broken by the gram (deterministic, oracle-checkable).
+    *
+    * Shape: per-row n-gram expressions (NON-distinct — frequency mining
+    * counts every occurrence), one hash shuffle with map-side partial
+    * counts (a boilerplate gram's millions of occurrences pre-combine per
+    * partition), then `orderBy(...).limit(k)` which Spark executes as
+    * TakeOrdered — per-partition top-k heaps, never a global sort.
+    */
+  def topNgrams(df: DataFrame, textCol: String, n: Int = 3, k: Int = 50): DataFrame = {
+    require(k > 0, "k must be positive")
+    df.select(tokens(col(textCol)).as("__toks"))
+      .select(explode(wordNgrams(col("__toks"), n)).as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("gram"))
+      .limit(k)
+  }
+
   /** URL surface for web-corpus curation (the C4-family URL stage). Both
     * patterns are RE2-portable (no lookaround/backreferences) for the same
     * engine-agreement reason as the PII patterns above: extraction must

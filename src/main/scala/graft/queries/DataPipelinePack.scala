@@ -175,6 +175,21 @@ object DataPipelinePack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Per-vector int8 quantization (embedding storage compression): the
+    // max element maps to ±127 exactly; the oracle re-derives every
+    // quantized element with identical double arithmetic.
+    "q66_quantize_int8" -> ((s, d) =>
+      Similarity.quantizeInt8(
+        Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding")
+        .orderBy(col("vec_id"))),
+
+    // Heavy-hitter 3-grams (boilerplate mining): exact counts, top 50,
+    // gram tiebreak — one map-side-combined count shuffle + TakeOrdered
+    // (never a global sort).
+    "q65_top_ngrams" -> ((s, d) =>
+      TextAnalysis.topNgrams(Tables.documents(s, d), "text", n = 3, k = 50)),
+
     // SimHash near-dup. The token hash is an md5 prefix, so even this
     // signature scheme is oracle-checked: the oracle SQL rebuilds the
     // majority-vote signature per document from the same hash.
@@ -736,6 +751,35 @@ object DataPipelinePack extends QueryPack {
       kept AS (SELECT doc_id, pos, line FROM ranked WHERE NOT eligible OR rn = 1)
       SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
       FROM kept GROUP BY doc_id ORDER BY doc_id""",
+
+    // Identical double arithmetic: abs in float is exact, so cast-to-double
+    // before max/divide matches Spark's double-projected vector exactly;
+    // round() is half-away-from-zero in both engines.
+    "q66_quantize_int8" -> """
+      WITH s AS (
+        SELECT vec_id, embedding,
+               list_max([CAST(abs(y) AS DOUBLE) for y in embedding]) / 127.0 AS scale
+        FROM embeddings)
+      SELECT vec_id,
+             CASE WHEN scale = 0
+                  THEN [0 for x in embedding]
+                  ELSE [CAST(round(CAST(x AS DOUBLE) / scale) AS INTEGER) for x in embedding]
+             END AS qvec,
+             scale
+      FROM s ORDER BY vec_id""",
+
+    // Same NON-distinct n-gram derivation as q59's oracle (frequency mining
+    // counts every occurrence; short docs fall back to one whole-text gram).
+    "q65_top_ngrams" -> """
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      g AS (
+        SELECT CASE WHEN len(w) >= 3
+                    THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]
+                    ELSE [array_to_string(w, ' ')] END AS grams
+        FROM toks),
+      e AS (SELECT unnest(grams) AS gram FROM g)
+      SELECT gram, count(*) AS cnt FROM e
+      GROUP BY gram ORDER BY cnt DESC, gram LIMIT 50""",
 
     "q59_repetition" -> """
       WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

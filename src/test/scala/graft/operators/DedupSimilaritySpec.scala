@@ -254,6 +254,38 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(lshPairs == found, s"unexpected non-planted pairs: lsh=$lshPairs found=$found")
   }
 
+  test("quantizeInt8: max element hits ±127 exactly, zero vectors degrade, dequantized ranking holds") {
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding"))
+    val q = Similarity.quantizeInt8(e, "vec_id", "embedding")
+    val rows = q.limit(50).collect()
+    rows.foreach { r =>
+      val qv = r.getAs[scala.collection.Seq[Int]]("qvec")
+      assert(qv.forall(v => v >= -127 && v <= 127))
+      assert(qv.map(math.abs).max == 127, "the max-|x| element must quantize to exactly ±127")
+    }
+    // zero vector: scale 0, all-zero qvec, dequantizes to zeros (no NaN/inf)
+    val z = Similarity.quantizeInt8(
+      Seq((1L, Seq.fill(8)(0.0f))).toDF("vec_id", "embedding"), "vec_id", "embedding")
+    val zr = z.select(col("qvec"), Similarity.dequantize(col("qvec"), col("scale")).as("d")).head()
+    assert(zr.getAs[scala.collection.Seq[Int]]("qvec").forall(_ == 0))
+    assert(zr.getAs[scala.collection.Seq[Double]]("d").forall(_ == 0.0))
+
+    // ANN over dequantized vectors preserves neighborhoods: top-5 by exact
+    // cosine vs top-5 over the int8 reconstruction, same probes
+    val deq = q.select(col("vec_id"),
+      Similarity.dequantize(col("qvec"), col("scale")).as("embedding"))
+    def top5(vecs: org.apache.spark.sql.DataFrame) = Similarity.bruteForceTopK(
+      vecs, "vec_id", "embedding",
+      vecs.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5)
+      .select("probe_id", "nbr_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = top5(e.select(col("vec_id"), Similarity.asDouble(col("embedding")).as("embedding")))
+    val approx = top5(deq)
+    val overlaps = exact.map { case (p, nbrs) => (nbrs intersect approx(p)).size }
+    assert(overlaps.forall(_ >= 4), s"int8 reconstruction distorted neighborhoods: $overlaps")
+  }
+
   test("ivfTopK with nprobe = nlist degenerates to exact brute force") {
     val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val probes = e.filter(col("vec_id") < 3)
