@@ -61,6 +61,18 @@ object ScaleSmoke {
 
     time("tf-idf")(TextAnalysis.tfidf(docs, "doc_id", "text"))
 
+    // Line-level dedup under maximal line heat: the q62-style construction
+    // over the WIDENED corpus means every body line occurs mult times and
+    // the boilerplate lines occur once per document — the hot-line case the
+    // min-aggregate (not a window) shape exists for.
+    val lined = docs.select(col("doc_id"), concat_ws("\n",
+      concat(lit("hdr "), (col("doc_id") % 7).cast("string"), lit(" x")),
+      col("text"),
+      lit("shared boilerplate line here")).as("text"))
+    time("line-level dedup")(Dedup.dedupLines(lined, "doc_id", "text", "\n", minTokens = 3))
+    time("top n-grams")(TextAnalysis.topNgrams(docs, "text", n = 3, k = 50))
+    time("int8 quantize")(Similarity.quantizeInt8(vecs, "vec_id", "embedding"))
+
     // ANN family: probes stay probe-sized (the operators' contract); the
     // corpus side is what widens. IVF centroids come from the unwidened
     // originals — a trained quantizer doesn't grow with the corpus.
