@@ -72,10 +72,17 @@ object TrainingDataPipeline {
   /** The curation chain as a reusable transform: documents(doc_id, text) in,
     * labeled survivors out. Pass `benchmark` (any frame with a `text`
     * column) to also drop documents overlapping it — the pre-training
-    * leakage gate. */
-  def curate(docs: DataFrame, benchmark: Option[DataFrame] = None): DataFrame = {
+    * leakage gate. `lineDedupFirst` prepends corpus-wide line-level dedup
+    * (the C4 order: strip shared boilerplate BEFORE quality metrics see
+    * it); on a single-line corpus this degenerates to exact keep-first
+    * dedup, so the default pipeline's result is unchanged (spec-pinned). */
+  def curate(
+      docs: DataFrame,
+      benchmark: Option[DataFrame] = None,
+      lineDedupFirst: Boolean = false): DataFrame = {
+    val pre = if (lineDedupFirst) Dedup.dedupLines(docs, "doc_id", "text") else docs
     // 1-2b: metric gates — one scan, one filter, no joins
-    val gated = gates(docs)
+    val gated = gates(pre)
 
     // 3: exact dedup — keep the lowest id per identical text
     val exact = Dedup.exactKeepFirst(gated, "text", "doc_id")

@@ -9,6 +9,27 @@ class TrainingDataPipelineSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("curate lineDedupFirst: degenerates to exact dedup on a single-line corpus; strips boilerplate lines on a multi-line one") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id").cast("long"), col("text"))
+    // single-line corpus: line dedup before the gates IS exact keep-first
+    // dedup, which the chain performs anyway — identical output
+    val base = TrainingDataPipeline.curate(docs)
+      .select("doc_id", "chunk_idx", "split").as[(Long, Int, String)].collect().toSet
+    val withLd = TrainingDataPipeline.curate(docs, lineDedupFirst = true)
+      .select("doc_id", "chunk_idx", "split").as[(Long, Int, String)].collect().toSet
+    assert(withLd == base)
+
+    // multi-line: a boilerplate line appended to EVERY doc must reach the
+    // gate stage at most once corpus-wide when the pre-stage is on
+    val boiler = "subscribe to this very fine newsletter today"
+    val multi = docs.select(col("doc_id"),
+      concat(col("text"), lit("\n" + boiler)).as("text"))
+    val gateInput = graft.operators.Dedup.dedupLines(multi, "doc_id", "text")
+    val carriers = gateInput.filter(col("text").contains(boiler)).count()
+    assert(carriers == 1L, s"boilerplate line survived in $carriers docs")
+  }
+
   test("curate: chunks are unique, split is per-document, result is deterministic") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id").cast("long"), col("text"))
