@@ -274,6 +274,41 @@ object Dedup {
       projectedShingles(df, idCol, textCol, shingleN), idCol,
       candidates.select(col("id_a"), col("id_b")), tauNum, tauDen)
 
+  /** Edit-distance (Levenshtein) verification of candidate pairs — the
+    * FUZZY member of the verify family, for near-identical texts where
+    * shingle Jaccard is too coarse (one-word edits in short titles or
+    * boilerplate variants). Cost is O(|a|·|b|) PER PAIR, so candidates must
+    * be bounded upstream (LSH buckets, consecutive keys) — never all-pairs
+    * — and `truncateAt` caps the DP size for long documents (full-document
+    * edit distance is the wrong tool past a few KB; chunk first).
+    * Output: (id_a, id_b, edit_dist, similarity) with
+    * `similarity = round(1 - dist / max(len_a, len_b), 4)` (two empty
+    * texts are identical → 1.0). Verify joins SMJ-pinned like the
+    * Jaccard form.
+    */
+  def editDistanceVerify(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      candidates: DataFrame,
+      truncateAt: Int = 0
+  ): DataFrame = {
+    val t = if (truncateAt > 0) substring(col(textCol), 1, truncateAt) else col(textCol)
+    val side = df.select(col(idCol), t.as("__t"))
+    val dist = levenshtein(col("__ta"), col("__tb"))
+    val maxLen = greatest(length(col("__ta")), length(col("__tb")))
+    candidates.select(col("id_a"), col("id_b"))
+      .join(side.select(col(idCol).as("id_a"), col("__t").as("__ta"))
+        .hint("shuffle_merge"), Seq("id_a"))
+      .join(side.select(col(idCol).as("id_b"), col("__t").as("__tb"))
+        .hint("shuffle_merge"), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        dist.as("edit_dist"),
+        when(maxLen === 0, lit(1.0))
+          .otherwise(round(lit(1.0) - dist.cast("double") / maxLen.cast("double"), 4))
+          .as("similarity"))
+  }
+
   private def verifyShingled(
       withShingles: DataFrame,
       idCol: String,

@@ -179,6 +179,27 @@ object TextAnalysis {
       regexp_count(afterEmail, lit(PhonePattern)).as("n_phones"))
   }
 
+  /** Per-language corpus "data card" — the summary every curated training
+    * set ships with: document counts, total whitespace tokens, and the
+    * corpus-level distinct-token ratio per detected language. Ratios are a
+    * division of two EXACT integer sums (an average of per-document doubles
+    * would depend on summation order and diverge across engines/partitions;
+    * sum-of-ints / sum-of-ints is one deterministic division). One scan +
+    * one |languages|-row aggregate.
+    */
+  def corpusStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(tokens(col(textCol)).as("__toks"))
+      .select(
+        detectedLanguage(col("__toks")).as("lang"),
+        tokenCount(col("__toks")).as("__tc"),
+        size(array_distinct(col("__toks"))).as("__dc"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__tc")).as("total_tokens"),
+        round(sum(col("__dc")).cast("double") / sum(col("__tc")).cast("double"), 4)
+          .as("mean_distinct_ratio"))
+
   /** Corpus-wide heavy-hitter word n-grams — the miner that produces the
     * boilerplate lists operators like [[Dedup.dedupLines]] and blocklist
     * curation consume: the `k` most frequent n-grams with exact counts,

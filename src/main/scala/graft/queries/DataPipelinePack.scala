@@ -175,6 +175,22 @@ object DataPipelinePack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Per-language corpus data card: doc counts, token totals, and the
+    // corpus distinct-token ratio as a division of exact integer sums.
+    "q67_corpus_stats" -> ((s, d) =>
+      TextAnalysis.corpusStats(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("lang"))),
+
+    // Edit-distance fuzzy verification over a deterministic candidate set
+    // (consecutive doc ids — bounded, n pairs); texts truncated to 120
+    // chars to cap the per-pair DP, mirrored exactly in the oracle.
+    "q68_edit_distance" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val cands = docs.select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+      Dedup.editDistanceVerify(docs, "doc_id", "text", cands, truncateAt = 120)
+        .orderBy(col("id_a"))
+    }),
+
     // Per-vector int8 quantization (embedding storage compression): the
     // max element maps to ±127 exactly; the oracle re-derives every
     // quantized element with identical double arithmetic.
@@ -751,6 +767,37 @@ object DataPipelinePack extends QueryPack {
       kept AS (SELECT doc_id, pos, line FROM ranked WHERE NOT eligible OR rn = 1)
       SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
       FROM kept GROUP BY doc_id ORDER BY doc_id""",
+
+    // Same lang-id CASE as q28's oracle; sums cast to BIGINT (DuckDB sums
+    // ints into HUGEINT, Spark into long — the hash compare is dtype-exact).
+    "q67_corpus_stats" -> """
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      h AS (SELECT doc_id, w,
+                   len(list_filter(w, x -> x IN ('der','die','das','und','ist'))) AS de_hits,
+                   len(list_filter(w, x -> x IN ('the','a','of','and','is'))) AS en_hits,
+                   len(list_filter(w, x -> x IN ('el','la','de','y','es'))) AS es_hits
+            FROM t),
+      l AS (SELECT CASE WHEN de_hits >= en_hits AND de_hits >= es_hits THEN 'de'
+                        WHEN en_hits >= es_hits THEN 'en'
+                        ELSE 'es' END AS lang,
+                   len(w) AS tc, len(list_distinct(w)) AS dc
+            FROM h)
+      SELECT lang,
+             count(*) AS n_docs,
+             CAST(sum(tc) AS BIGINT) AS total_tokens,
+             round(CAST(sum(dc) AS DOUBLE) / CAST(sum(tc) AS DOUBLE), 4) AS mean_distinct_ratio
+      FROM l GROUP BY lang ORDER BY lang""",
+
+    // Same 200-char truncation; levenshtein agrees between engines (unit
+    // edit costs) and similarity is one deterministic division.
+    "q68_edit_distance" -> """
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(levenshtein(substring(a.text, 1, 120), substring(b.text, 1, 120)) AS INTEGER) AS edit_dist,
+             round(1.0 - CAST(levenshtein(substring(a.text, 1, 120), substring(b.text, 1, 120)) AS DOUBLE)
+                   / CAST(greatest(len(substring(a.text, 1, 120)), len(substring(b.text, 1, 120))) AS DOUBLE), 4)
+               AS similarity
+      FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      ORDER BY id_a""",
 
     // Identical double arithmetic: abs in float is exact, so cast-to-double
     // before max/divide matches Spark's double-projected vector exactly;
