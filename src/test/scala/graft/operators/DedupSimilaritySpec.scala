@@ -254,6 +254,34 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(lshPairs == found, s"unexpected non-planted pairs: lsh=$lshPairs found=$found")
   }
 
+  test("editDistanceVerify: exact distances over LSH candidates, truncation, empty-pair identity") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog entirely"),
+      (2L, "the quick brown fox jumps over the lazy cat entirely"), // one-word edit
+      (3L, "completely different content with no overlap at all xx"),
+      (4L, ""), (5L, "")
+    ).toDF("doc_id", "text")
+    // LSH candidates catch the near-identical pair; verify scores it
+    val cands = Dedup.nearDupPairs(docs.filter(col("doc_id") <= 3), "doc_id", "text",
+      numHashes = 64, bands = 16).select("id_a", "id_b")
+    val scored = Dedup.editDistanceVerify(docs, "doc_id", "text", cands)
+      .as[(Long, Long, Int, Double)].collect().toSeq
+    assert(scored.map(t => (t._1, t._2)) == Seq((1L, 2L)))
+    assert(scored.head._3 == 3) // dog -> cat
+    // two empty texts: distance 0, similarity defined as 1.0 (no NaN)
+    val empty = Dedup.editDistanceVerify(docs, "doc_id", "text",
+      Seq((4L, 5L)).toDF("id_a", "id_b"))
+      .as[(Long, Long, Int, Double)].head()
+    assert(empty._3 == 0 && empty._4 == 1.0)
+    // truncation bounds the DP: beyond-truncation differences are invisible
+    val far = Seq((1L, "shared prefix here then SOMETHING"), (2L, "shared prefix here then DIFFERENT"))
+      .toDF("doc_id", "text")
+    val trunc = Dedup.editDistanceVerify(far, "doc_id", "text",
+      Seq((1L, 2L)).toDF("id_a", "id_b"), truncateAt = 24)
+      .as[(Long, Long, Int, Double)].head()
+    assert(trunc._3 == 0 && trunc._4 == 1.0)
+  }
+
   test("quantizeInt8: max element hits ±127 exactly, zero vectors degrade, dequantized ranking holds") {
     val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select(col("vec_id"), col("embedding"))

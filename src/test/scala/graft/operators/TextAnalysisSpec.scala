@@ -127,6 +127,32 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastHashJoin LeftAnti"), s"matched-id set broadcast:\n$plan")
   }
 
+  test("topNgrams: exact counts, count-desc then gram-asc tiebreak, limit respected") {
+    val docs = Seq(
+      "a b c a b c a b c", // "a b c" x3 (+ wraps "b c a" x2, "c a b" x2)
+      "z z z z",           // "z z z" x2
+      "a b c"              // +1 -> "a b c" x4
+    ).toDF("text")
+    val top = TextAnalysis.topNgrams(docs, "text", n = 3, k = 3)
+      .as[(String, Long)].collect().toSeq
+    assert(top == Seq(("a b c", 4L), ("b c a", 2L), ("c a b", 2L)),
+      s"got $top") // count desc; at count 2 the gram tiebreak orders b-c-a first
+  }
+
+  test("corpusStats: integer-sum-exact ratios on a hand-computed corpus") {
+    val docs = Seq(
+      (1L, "the a of and is"),        // en, 5 tokens, 5 distinct
+      (2L, "the the the the"),        // en, 4 tokens, 1 distinct
+      (3L, "der und ist das die")     // de, 5 tokens, 5 distinct
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.corpusStats(docs, "doc_id", "text")
+      .orderBy("lang").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("de", "en"))
+    val en = out(1)
+    assert(en.getLong(1) == 2L && en.getLong(2) == 9L)
+    assert(en.getDouble(3) == math.rint((5 + 1) / 9.0 * 10000) / 10000) // 6/9 rounded
+  }
+
   test("flagContaminated counts distinct shared n-grams and keeps zero-match docs") {
     val docs = Seq(
       (1L, "the quick brown fox jumps"), // shares "the quick brown", "quick brown fox"
