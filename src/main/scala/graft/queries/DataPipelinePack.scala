@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Chunking, Dedup, Multimodal, Sampling, Similarity, Skew, TextAnalysis}
+import graft.operators.{Chunking, Dedup, Multimodal, RangeJoin, Sampling, Similarity, Skew, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -189,6 +189,23 @@ object DataPipelinePack extends QueryPack {
       val cands = docs.select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
       Dedup.editDistanceVerify(docs, "doc_id", "text", cands, truncateAt = 120)
         .orderBy(col("id_a"))
+    }),
+
+    // Bucketed range join: every 100th event defines a 1-hour interval;
+    // all events landing inside any interval pair with it — expressed as
+    // the bucket EQUI-join (+ residual filter), never a BNLJ over the
+    // range predicate. Integer-micro timestamps in both engines.
+    "q69_range_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val points = ev.select(col("event_id").as("point_id"), unix_micros(col("ts")).as("t"))
+      val intervals = ev.filter(col("event_id") % 100 === 0)
+        .select(col("event_id").as("interval_id"),
+          unix_micros(col("ts")).as("ival_start"),
+          (unix_micros(col("ts")) + lit(3600000000L)).as("ival_end"))
+      RangeJoin.pointsInIntervals(points, "t", intervals, "ival_start", "ival_end",
+        bucketWidth = 3600000000L)
+        .select(col("interval_id"), col("point_id"))
+        .orderBy(col("interval_id"), col("point_id"))
     }),
 
     // Per-vector int8 quantization (embedding storage compression): the
@@ -767,6 +784,18 @@ object DataPipelinePack extends QueryPack {
       kept AS (SELECT doc_id, pos, line FROM ranked WHERE NOT eligible OR rn = 1)
       SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
       FROM kept GROUP BY doc_id ORDER BY doc_id""",
+
+    // Plain BETWEEN join — DuckDB can afford the naive plan at oracle SF;
+    // epoch micros derived the same way both sides (ns floor-divided).
+    "q69_range_join" -> """
+      WITH p AS (SELECT event_id AS point_id, epoch_ns(ts) // 1000 AS t FROM events),
+      i AS (SELECT event_id AS interval_id,
+                   epoch_ns(ts) // 1000 AS s,
+                   epoch_ns(ts) // 1000 + 3600000000 AS e
+            FROM events WHERE event_id % 100 = 0)
+      SELECT i.interval_id, p.point_id
+      FROM i JOIN p ON p.t BETWEEN i.s AND i.e
+      ORDER BY interval_id, point_id""",
 
     // Same lang-id CASE as q28's oracle; sums cast to BIGINT (DuckDB sums
     // ints into HUGEINT, Spark into long — the hash compare is dtype-exact).

@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class RangeJoinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def join(points: Seq[(Long, Long)], ivals: Seq[(Long, Long, Long)],
+                   w: Long = 10L, maxFanOut: Int = 64) =
+    RangeJoin.pointsInIntervals(
+      points.toDF("point_id", "t"), "t",
+      ivals.toDF("interval_id", "s", "e"), "s", "e",
+      bucketWidth = w, maxFanOut = maxFanOut)
+      .select("interval_id", "point_id").as[(Long, Long)].collect().toSet
+
+  test("inclusive boundaries, bucket-crossing intervals, negatives, non-matches") {
+    val points = Seq((1L, 5L), (2L, 10L), (3L, 20L), (4L, 21L), (5L, -3L), (6L, 100L))
+    val ivals = Seq(
+      (10L, 5L, 20L),   // crosses buckets 0..2; matches t=5,10,20 inclusive
+      (11L, -7L, -1L),  // negative range; matches t=-3
+      (12L, 50L, 60L))  // matches nothing
+    assert(join(points, ivals) == Set((10L, 1L), (10L, 2L), (10L, 3L), (11L, 5L)))
+  }
+
+  test("a pair meets in exactly one bucket: no duplicate output rows") {
+    // interval spans 5 buckets; every inner point must appear exactly once
+    val points = (0L to 49L).map(i => (i, i))
+    val out = RangeJoin.pointsInIntervals(
+      points.toDF("point_id", "t"), "t",
+      Seq((1L, 0L, 49L)).toDF("interval_id", "s", "e"), "s", "e", bucketWidth = 10L)
+    assert(out.count() == 50L)
+    assert(out.select("point_id").distinct().count() == 50L)
+  }
+
+  test("plan is an equi-join: no BNLJ or cartesian from the range predicate") {
+    val df = RangeJoin.pointsInIntervals(
+      Seq((1L, 5L)).toDF("point_id", "t"), "t",
+      Seq((1L, 0L, 9L)).toDF("interval_id", "s", "e"), "s", "e", bucketWidth = 10L)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range predicate leaked into the join strategy:\n$plan")
+  }
+
+  test("over-wide intervals fail loudly instead of exploding the shuffle") {
+    val e = intercept[Exception] {
+      join(Seq((1L, 5L)), Seq((1L, 0L, 1000L)), w = 10L, maxFanOut = 8)
+    }
+    assert(e.getMessage.contains("rangeJoin") || e.getCause != null)
+  }
+
+  test("inverted intervals (start > end) are dropped, not joined") {
+    assert(join(Seq((1L, 5L)), Seq((1L, 9L, 0L))).isEmpty)
+  }
+}
