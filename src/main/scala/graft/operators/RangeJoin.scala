@@ -25,6 +25,48 @@ object RangeJoin {
   private def bucketOf(c: Column, w: Long): Column =
     ((c - pmod(c, lit(w))) / lit(w)).cast("long")
 
+  /** Overlap join between TWO interval sets (`a.start <= b.end AND
+    * b.start <= a.end`, all bounds inclusive) — same bucketization as
+    * [[pointsInIntervals]], but a pair of overlapping intervals shares
+    * potentially MANY buckets, so the residual filter additionally keeps
+    * only the FIRST shared bucket (`max(bucket(a.start), bucket(b.start))`,
+    * which every overlapping pair shares by construction): exactly one
+    * output row per pair with no distinct pass. Both exploded sides fail
+    * loudly past `maxFanOut` and the join stays a pure equi-join.
+    * Column names across `a` and `b` must be disjoint.
+    */
+  def intervalOverlaps(
+      a: DataFrame,
+      aStart: String,
+      aEnd: String,
+      b: DataFrame,
+      bStart: String,
+      bEnd: String,
+      bucketWidth: Long,
+      maxFanOut: Int = 64
+  ): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    require(maxFanOut > 0, "maxFanOut must be positive")
+    def explodeSide(df: DataFrame, s: String, e: String): DataFrame = {
+      val span = bucketOf(col(e), bucketWidth) - bucketOf(col(s), bucketWidth)
+      df.filter(col(s) <= col(e))
+        .filter(when(span >= maxFanOut,
+          raise_error(concat(
+            lit(s"rangeJoin: interval spans >= $maxFanOut buckets of $bucketWidth ("),
+            col(s), lit(".."), col(e),
+            lit("); widen bucketWidth or split the interval"))).cast("boolean"))
+          .otherwise(lit(true)))
+        .withColumn("__b",
+          explode(sequence(bucketOf(col(s), bucketWidth), bucketOf(col(e), bucketWidth))))
+    }
+    explodeSide(a, aStart, aEnd)
+      .join(explodeSide(b, bStart, bEnd).hint("shuffle_merge"), Seq("__b"))
+      .filter(col(aStart) <= col(bEnd) && col(bStart) <= col(aEnd))
+      .filter(col("__b") ===
+        greatest(bucketOf(col(aStart), bucketWidth), bucketOf(col(bStart), bucketWidth)))
+      .drop("__b")
+  }
+
   /** Join `points` (numeric `tsCol`, e.g. `unix_micros(ts)`) into
     * `intervals` (`[startCol, endCol]`, both inclusive). Column names must
     * be disjoint (alias before calling).

@@ -208,6 +208,25 @@ object DataPipelinePack extends QueryPack {
         .orderBy(col("interval_id"), col("point_id"))
     }),
 
+    // Interval-overlap join between two event-derived interval sets (2-hour
+    // windows of every 50th event vs 1-hour windows of every 70th): bucket
+    // equi-join + first-shared-bucket residual, exactly one row per
+    // overlapping pair, no distinct pass, no BNLJ.
+    "q70_interval_overlap" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      def ivals(mod: Int, lenUs: Long, idName: String, sName: String, eName: String) =
+        ev.filter(col("event_id") % mod === 0)
+          .select(col("event_id").as(idName),
+            unix_micros(col("ts")).as(sName),
+            (unix_micros(col("ts")) + lit(lenUs)).as(eName))
+      RangeJoin.intervalOverlaps(
+        ivals(50, 7200000000L, "a_id", "a_start", "a_end"), "a_start", "a_end",
+        ivals(70, 3600000000L, "b_id", "b_start", "b_end"), "b_start", "b_end",
+        bucketWidth = 3600000000L)
+        .select(col("a_id"), col("b_id"))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
     // Per-vector int8 quantization (embedding storage compression): the
     // max element maps to ±127 exactly; the oracle re-derives every
     // quantized element with identical double arithmetic.
@@ -796,6 +815,18 @@ object DataPipelinePack extends QueryPack {
       SELECT i.interval_id, p.point_id
       FROM i JOIN p ON p.t BETWEEN i.s AND i.e
       ORDER BY interval_id, point_id""",
+
+    // Naive overlap join at oracle SF; the same inclusive-bounds predicate.
+    "q70_interval_overlap" -> """
+      WITH a AS (SELECT event_id AS a_id, epoch_ns(ts) // 1000 AS s,
+                        epoch_ns(ts) // 1000 + 7200000000 AS e
+                 FROM events WHERE event_id % 50 = 0),
+      b AS (SELECT event_id AS b_id, epoch_ns(ts) // 1000 AS s2,
+                   epoch_ns(ts) // 1000 + 3600000000 AS e2
+            FROM events WHERE event_id % 70 = 0)
+      SELECT a.a_id, b.b_id
+      FROM a JOIN b ON a.s <= b.e2 AND b.s2 <= a.e
+      ORDER BY a_id, b_id""",
 
     // Same lang-id CASE as q28's oracle; sums cast to BIGINT (DuckDB sums
     // ints into HUGEINT, Spark into long — the hash compare is dtype-exact).

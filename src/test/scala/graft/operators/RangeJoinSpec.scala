@@ -54,4 +54,21 @@ class RangeJoinSpec extends AnyFunSuite {
   test("inverted intervals (start > end) are dropped, not joined") {
     assert(join(Seq((1L, 5L)), Seq((1L, 9L, 0L))).isEmpty)
   }
+
+  test("intervalOverlaps: one row per overlapping pair even across many shared buckets") {
+    val a = Seq((1L, 0L, 100L), (2L, 200L, 210L)).toDF("a_id", "a_s", "a_e")
+    val b = Seq(
+      (10L, 50L, 150L),  // overlaps a1 across shared buckets 5..10
+      (11L, 100L, 120L), // touches a1 exactly at the inclusive boundary
+      (12L, 101L, 110L), // just past a1's end — no overlap
+      (13L, 205L, 206L)) // inside a2
+      .toDF("b_id", "b_s", "b_e")
+    val out = RangeJoin.intervalOverlaps(a, "a_s", "a_e", b, "b_s", "b_e", bucketWidth = 10L)
+    val pairs = out.select("a_id", "b_id").as[(Long, Long)].collect().toSeq
+    // no duplicates despite multi-bucket overlap; exact pair set
+    assert(pairs.size == pairs.toSet.size, s"duplicate pairs in $pairs")
+    assert(pairs.toSet == Set((1L, 10L), (1L, 11L), (2L, 13L)))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+  }
 }
