@@ -279,9 +279,11 @@ object Dedup {
     * shingle Jaccard is too coarse (one-word edits in short titles or
     * boilerplate variants). Cost is O(|a|·|b|) PER PAIR, so candidates must
     * be bounded upstream (LSH buckets, consecutive keys) — never all-pairs
-    * — and `truncateAt` caps the DP size for long documents (full-document
-    * edit distance is the wrong tool past a few KB; chunk first).
-    * Output: (id_a, id_b, edit_dist, similarity) with
+    * — and `truncateAt` caps the DP size per pair. It MUST be positive:
+    * an unbounded default would make one megabyte-document pair a ~10^12
+    * -cell DP (full-document edit distance is the wrong tool past a few
+    * KB; chunk first, or raise `truncateAt` deliberately for a corpus of
+    * known-short texts). Output: (id_a, id_b, edit_dist, similarity) with
     * `similarity = round(1 - dist / max(len_a, len_b), 4)` (two empty
     * texts are identical → 1.0). Verify joins SMJ-pinned like the
     * Jaccard form.
@@ -291,9 +293,13 @@ object Dedup {
       idCol: String,
       textCol: String,
       candidates: DataFrame,
-      truncateAt: Int = 0
+      truncateAt: Int = 1024
   ): DataFrame = {
-    val t = if (truncateAt > 0) substring(col(textCol), 1, truncateAt) else col(textCol)
+    require(truncateAt > 0,
+      s"truncateAt must be positive (got $truncateAt): unbounded Levenshtein is O(|a|*|b|) " +
+        "per pair and a long-document pair can be a trillion-cell DP; chunk long documents " +
+        "upstream or set truncateAt to a deliberate cap")
+    val t = substring(col(textCol), 1, truncateAt)
     val side = df.select(col(idCol), t.as("__t"))
     val dist = levenshtein(col("__ta"), col("__tb"))
     val maxLen = greatest(length(col("__ta")), length(col("__tb")))

@@ -143,9 +143,15 @@ object Multimodal {
         javax.imageio.ImageIO.setUseCache(false)
         rows.map { r =>
           val bytes = r.getAs[Array[Byte]](1)
+          // NonFatal, not just IOException: JDK readers throw unchecked
+          // exceptions (CMMException, ArrayIndexOutOfBounds, NegativeArraySize,
+          // IllegalArgument) on malformed bytes, and a null blob would NPE in
+          // ByteArrayInputStream — all must degrade to the flag, per contract.
           val img =
-            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-            catch { case _: java.io.IOException => null }
+            if (bytes == null) null
+            else
+              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+              catch { case scala.util.control.NonFatal(_) => null }
           if (img == null) Row(r.getLong(0), false, null, null, null)
           else {
             val (w, h) = (img.getWidth, img.getHeight)
@@ -179,10 +185,17 @@ object Multimodal {
         javax.imageio.ImageIO.setUseCache(false)
         rows.map { r =>
           val bytes = r.getAs[Array[Byte]](1)
+          // Same degrade contract as decodeImages: NonFatal (unchecked JDK
+          // reader exceptions on malformed bytes) and null blobs both fall
+          // back to the stub embedding with decoded=false.
           val img =
-            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-            catch { case _: java.io.IOException => null }
-          if (img == null) Row(r.getLong(0), false, fakeEmbed(bytes, gridW * gridH).toSeq)
+            if (bytes == null) null
+            else
+              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+              catch { case scala.util.control.NonFatal(_) => null }
+          if (img == null)
+            Row(r.getLong(0), false,
+              fakeEmbed(if (bytes == null) Array.emptyByteArray else bytes, gridW * gridH).toSeq)
           else {
             val (w, h) = (img.getWidth, img.getHeight)
             val out = new Array[Float](gridW * gridH)

@@ -19,11 +19,17 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
-  /** Floor division that stays in integer arithmetic — `floor(c / w)` via
-    * doubles would lose exactness for epoch-micro magnitudes near 2^53;
-    * `pmod` keeps the result correct for negative values too. */
+  /** Floor division that stays in integer arithmetic end to end: Spark's
+    * Column `/` is double division even on long operands, so
+    * `(c - pmod(c, w)) / w` would round-trip through a double and can be
+    * off by one bucket for |values| > 2^53. Routing through decimal keeps
+    * every digit: after subtracting `pmod` the numerator is an exact
+    * multiple of `w`, the decimal quotient is that exact integer (a long
+    * quotient needs ~19 digits + 6 scale, well under decimal(38)), and the
+    * final cast truncates nothing. Correct for negatives too, since `pmod`
+    * is non-negative. */
   private def bucketOf(c: Column, w: Long): Column =
-    ((c - pmod(c, lit(w))) / lit(w)).cast("long")
+    ((c - pmod(c, lit(w))).cast("decimal(38,0)") / lit(w)).cast("long")
 
   /** Overlap join between TWO interval sets (`a.start <= b.end AND
     * b.start <= a.end`, all bounds inclusive) — same bucketization as

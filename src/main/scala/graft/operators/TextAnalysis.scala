@@ -187,7 +187,7 @@ object TextAnalysis {
     * sum-of-ints / sum-of-ints is one deterministic division). One scan +
     * one |languages|-row aggregate.
     */
-  def corpusStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+  def corpusStats(df: DataFrame, textCol: String): DataFrame =
     df.select(tokens(col(textCol)).as("__toks"))
       .select(
         detectedLanguage(col("__toks")).as("lang"),

@@ -178,7 +178,7 @@ object DataPipelinePack extends QueryPack {
     // Per-language corpus data card: doc counts, token totals, and the
     // corpus distinct-token ratio as a division of exact integer sums.
     "q67_corpus_stats" -> ((s, d) =>
-      TextAnalysis.corpusStats(Tables.documents(s, d), "doc_id", "text")
+      TextAnalysis.corpusStats(Tables.documents(s, d), "text")
         .orderBy(col("lang"))),
 
     // Edit-distance fuzzy verification over a deterministic candidate set
@@ -229,12 +229,18 @@ object DataPipelinePack extends QueryPack {
 
     // Per-vector int8 quantization (embedding storage compression): the
     // max element maps to ±127 exactly; the oracle re-derives every
-    // quantized element with identical double arithmetic.
+    // quantized element with identical double arithmetic. The array output
+    // is exploded to one scalar row per element — the driver's compare
+    // harness sorts/hashes pandas columns, and array-typed cells are
+    // unhashable there (r6 q66 finding), so every oracle-gated entry must
+    // emit scalar-only columns.
     "q66_quantize_int8" -> ((s, d) =>
       Similarity.quantizeInt8(
         Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
         "vec_id", "embedding")
-        .orderBy(col("vec_id"))),
+        .select(col("vec_id"), col("scale"), posexplode(col("qvec")))
+        .select(col("vec_id"), col("pos"), col("col").as("q"), col("scale"))
+        .orderBy(col("vec_id"), col("pos"))),
 
     // Heavy-hitter 3-grams (boilerplate mining): exact counts, top 50,
     // gram tiebreak — one map-side-combined count shuffle + TakeOrdered
@@ -848,8 +854,8 @@ object DataPipelinePack extends QueryPack {
              round(CAST(sum(dc) AS DOUBLE) / CAST(sum(tc) AS DOUBLE), 4) AS mean_distinct_ratio
       FROM l GROUP BY lang ORDER BY lang""",
 
-    // Same 200-char truncation; levenshtein agrees between engines (unit
-    // edit costs) and similarity is one deterministic division.
+    // Same 120-char truncation as the query; levenshtein agrees between
+    // engines (unit edit costs) and similarity is one deterministic division.
     "q68_edit_distance" -> """
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              CAST(levenshtein(substring(a.text, 1, 120), substring(b.text, 1, 120)) AS INTEGER) AS edit_dist,
@@ -861,19 +867,24 @@ object DataPipelinePack extends QueryPack {
 
     // Identical double arithmetic: abs in float is exact, so cast-to-double
     // before max/divide matches Spark's double-projected vector exactly;
-    // round() is half-away-from-zero in both engines.
+    // round() is half-away-from-zero in both engines. Exploded to scalar
+    // rows (no WITH ORDINALITY in DuckDB — zip parallel unnests; Spark's
+    // posexplode pos is 0-based, so range starts at 0).
     "q66_quantize_int8" -> """
       WITH s AS (
         SELECT vec_id, embedding,
                list_max([CAST(abs(y) AS DOUBLE) for y in embedding]) / 127.0 AS scale
-        FROM embeddings)
-      SELECT vec_id,
-             CASE WHEN scale = 0
-                  THEN [0 for x in embedding]
-                  ELSE [CAST(round(CAST(x AS DOUBLE) / scale) AS INTEGER) for x in embedding]
-             END AS qvec,
-             scale
-      FROM s ORDER BY vec_id""",
+        FROM embeddings),
+      e AS (
+        SELECT vec_id, scale,
+               unnest(range(0, len(embedding))) AS pos,
+               unnest(CASE WHEN scale = 0
+                           THEN [0 for x in embedding]
+                           ELSE [CAST(round(CAST(x AS DOUBLE) / scale) AS INTEGER) for x in embedding]
+                      END) AS q
+        FROM s)
+      SELECT vec_id, CAST(pos AS INTEGER) AS pos, q, scale
+      FROM e ORDER BY vec_id, pos""",
 
     // Same NON-distinct n-gram derivation as q59's oracle (frequency mining
     // counts every occurrence; short docs fall back to one whole-text gram).

@@ -282,6 +282,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(trunc._3 == 0 && trunc._4 == 1.0)
   }
 
+  test("editDistanceVerify: default truncation bounds long documents; unbounded is refused") {
+    // two "megabyte-class" documents identical in the first 1024 chars —
+    // the default cap makes the pair O(1024^2) instead of O(L^2), so the
+    // beyond-cap difference is invisible by design
+    val prefix = "x" * 2000
+    val long = Seq((1L, prefix + "AAAA"), (2L, prefix + "BBBB")).toDF("doc_id", "text")
+    val scored = Dedup.editDistanceVerify(long, "doc_id", "text",
+      Seq((1L, 2L)).toDF("id_a", "id_b"))
+      .as[(Long, Long, Int, Double)].head()
+    assert(scored._3 == 0 && scored._4 == 1.0)
+    // the unbounded form is a loud error, not a silent O(L^2) job
+    val err = intercept[IllegalArgumentException] {
+      Dedup.editDistanceVerify(long, "doc_id", "text",
+        Seq((1L, 2L)).toDF("id_a", "id_b"), truncateAt = 0)
+    }
+    assert(err.getMessage.contains("truncateAt"))
+  }
+
   test("quantizeInt8: max element hits ±127 exactly, zero vectors degrade, dequantized ranking holds") {
     val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select(col("vec_id"), col("embedding"))

@@ -3,6 +3,7 @@ package graft.operators
 import graft.TestSpark
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 import org.scalatest.funsuite.AnyFunSuite
 
 class MultimodalSpec extends AnyFunSuite {
@@ -108,6 +109,53 @@ class MultimodalSpec extends AnyFunSuite {
     // same plumbing contract as the stubs: narrow, no shuffle
     val plan = Multimodal.decodeImages(media).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+  }
+
+  test("decodeImages: JPEG through the same JDK path; truncated JPEG and null blobs degrade to the flag") {
+    // JPEG is lossy, so assert dims exactly and pixels within a small
+    // per-channel tolerance (a solid color is DC-only — near-exact)
+    val img = new java.awt.image.BufferedImage(6, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 6) img.setRGB(x, y, 0x6090c0)
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", out), "JDK lacks a JPEG writer")
+    val jpeg = out.toByteArray
+    assert(jpeg.length >= 3 && (jpeg(0) & 0xff) == 0xff && (jpeg(1) & 0xff) == 0xd8,
+      "writer did not emit a real JPEG (SOI marker missing)")
+
+    // content declared nullable so the null-blob degrade path is reachable
+    // (JDK readers also throw UNCHECKED exceptions on malformed bytes —
+    // both must come back flagged, not fail the stage)
+    val schema = StructType(Multimodal.mediaSchema.map {
+      case f if f.name == "content" => f.copy(nullable = true)
+      case f => f
+    })
+    val rows = Seq(
+      Row(1L, "image/jpeg", jpeg, null),
+      Row(2L, "image/jpeg", jpeg.take(jpeg.length / 2), null), // truncated mid-stream
+      Row(3L, "image/jpeg", null, null))
+    val media = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+
+    val got = Multimodal.decodeImages(media, includePixels = true)
+      .orderBy("media_id").collect()
+    assert(got(0).getBoolean(1), "JPEG failed to decode")
+    assert((got(0).getInt(2), got(0).getInt(3)) == (6, 4))
+    got(0).getSeq[Int](4).foreach { px =>
+      assert(math.abs(((px >> 16) & 0xff) - 0x60) <= 3
+        && math.abs(((px >> 8) & 0xff) - 0x90) <= 3
+        && math.abs((px & 0xff) - 0xc0) <= 3,
+        f"JPEG pixel 0x$px%08x too far from 0xff6090c0")
+    }
+    Seq(1, 2).foreach { i =>
+      assert(!got(i).getBoolean(1) && got(i).isNullAt(2) && got(i).isNullAt(4),
+        s"row $i must degrade to decoded=false")
+    }
+    // the feature path shares the degrade contract
+    val feats = Multimodal.extractImageFeatures(media, gridW = 4, gridH = 4)
+      .orderBy("media_id").collect()
+    assert(feats(0).getBoolean(1) && feats(0).getSeq[Float](2).size == 16)
+    Seq(1, 2).foreach { i =>
+      assert(!feats(i).getBoolean(1) && feats(i).getSeq[Float](2).size == 16)
+    }
   }
 
   test("extractImageFeatures: real pixel luminance grids; corrupt bytes fall back flagged") {

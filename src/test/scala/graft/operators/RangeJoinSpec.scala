@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.TestSpark
 import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
 import org.scalatest.funsuite.AnyFunSuite
 
 class RangeJoinSpec extends AnyFunSuite {
@@ -53,6 +54,35 @@ class RangeJoinSpec extends AnyFunSuite {
 
   test("inverted intervals (start > end) are dropped, not joined") {
     assert(join(Seq((1L, 5L)), Seq((1L, 9L, 0L))).isEmpty)
+  }
+
+  test("property: bucketed join ≡ BETWEEN reference across negative/positive/near-2^53 epochs") {
+    // The pmod-floor-division claim (RangeJoin bucketOf): for ANY epoch sign
+    // and magnitude — including the |v| > 2^53 regime where double-division
+    // floor goes off by one bucket — the bucketed equi-join must emit exactly
+    // the BETWEEN pairs. Each sample is one Spark job, so keep the count low
+    // and the collections small; coverage comes from the adversarial bases.
+    val genBase = Gen.oneOf(
+      -(1L << 53) - 12345L, // negative past double-exactness
+      (1L << 53) + 777L,    // positive past double-exactness
+      -1000003L, -17L, 0L, 999999937L)
+    val genCase = for {
+      b <- genBase
+      pts <- Gen.listOfN(25, Gen.choose(-50L, 50L))
+      ivs <- Gen.listOfN(8, Gen.zip(Gen.choose(-50L, 50L), Gen.choose(0L, 35L)))
+    } yield (b, pts, ivs)
+    val prop = Prop.forAll(genCase) { case (b, pts, ivs) =>
+      val points = pts.zipWithIndex.map { case (o, i) => (i.toLong, b + o) }
+      val intervals = ivs.zipWithIndex.map { case ((o, len), i) => (i.toLong, b + o, b + o + len) }
+      val expected = (for {
+        (iid, s, e) <- intervals
+        (pid, t) <- points
+        if s <= t && t <= e
+      } yield (iid, pid)).toSet
+      join(points, intervals) == expected
+    }
+    val result = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(result.passed, result.status.toString)
   }
 
   test("intervalOverlaps: one row per overlapping pair even across many shared buckets") {

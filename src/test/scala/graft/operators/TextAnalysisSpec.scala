@@ -145,7 +145,7 @@ class TextAnalysisSpec extends AnyFunSuite {
       (2L, "the the the the"),        // en, 4 tokens, 1 distinct
       (3L, "der und ist das die")     // de, 5 tokens, 5 distinct
     ).toDF("doc_id", "text")
-    val out = TextAnalysis.corpusStats(docs, "doc_id", "text")
+    val out = TextAnalysis.corpusStats(docs, "text")
       .orderBy("lang").collect()
     assert(out.map(_.getString(0)).toSeq == Seq("de", "en"))
     val en = out(1)
