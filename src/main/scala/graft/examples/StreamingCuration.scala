@@ -15,6 +15,16 @@ final case class StreamingCurationStreams(
     survivors: DataFrame,
     candidates: Dataset[StreamingDedupCandidate])
 
+/** Opt-in BOUNDED-horizon exact dedup for [[StreamingCuration.curate]]:
+  * duplicates arriving within `delay` of each other (by the event-time
+  * column `tsCol`) are dropped and fingerprint state older than the
+  * watermark is PRUNED — for landing-zone deployments where corpus-lifetime
+  * state (~32 B/doc; fine at 1B docs but corpus-lifetime by design) is
+  * unwanted. The trade is explicit: a duplicate re-arriving after the
+  * horizon is re-admitted and must be caught by the downstream batch
+  * resolve, exactly like near-dups. */
+final case class DedupHorizon(tsCol: String, delay: String)
+
 /** [[TrainingDataPipeline.curate]] AT INGEST TIME — processing documents as
   * they arrive instead of in a nightly batch is the reference's entire
   * identity (its run loop exists to push records the moment an iteration
@@ -48,28 +58,53 @@ final case class StreamingCurationStreams(
   */
 object StreamingCuration {
 
+  /** `boilerplateLines` prepends the stream-safe line-strip gate
+    * ([[Dedup.stripKnownLines]] — the list is mined by a batch
+    * [[Dedup.dedupLines]]/topNgrams pass over an earlier snapshot, the C4
+    * order: strip boilerplate BEFORE quality metrics see it). `benchmark`
+    * appends the stream-safe decontamination gate
+    * ([[TextAnalysis.dropContaminatedStateless]]) — both are pure per-row
+    * transforms, so they ride the stream with zero added state.
+    * `dedupHorizon` swaps corpus-lifetime exact-dedup state for
+    * watermark-bounded state (see [[DedupHorizon]] for the trade). */
   def curate(
       stream: DataFrame,
       numHashes: Int = 64,
       bands: Int = 16,
-      maxBucket: Int = 1024
+      maxBucket: Int = 1024,
+      boilerplateLines: Seq[String] = Nil,
+      benchmark: Option[DataFrame] = None,
+      dedupHorizon: Option[DedupHorizon] = None
   ): StreamingCurationStreams = {
-    val gated = TrainingDataPipeline.gates(stream)
+    // withColumn keeps every stream column (e.g. the horizon's event-time
+    // column) riding alongside the stripped text
+    val stripped =
+      if (boilerplateLines.isEmpty) stream
+      else stream.withColumn("text",
+        Dedup.stripKnownLinesExpr(col("text"), boilerplateLines))
+    val gated = TrainingDataPipeline.gates(
+      stripped, keep = dedupHorizon.map(_.tsCol).toSeq)
+    // decontamination is a pure per-row probe (stateless), so it sits
+    // before the stateful dedup and the candidates branch sees it too
+    val decon = benchmark.fold(gated)(b =>
+      TextAnalysis.dropContaminatedStateless(gated, "doc_id", "text", b, "text"))
     // keyed on the md5 fingerprint, not the text itself: dedup state holds
     // 32 hex chars per distinct document instead of the document
-    val deduped = gated
-      .withColumn("__fp", md5(col("text")))
-      .dropDuplicates("__fp")
-      .drop("__fp")
+    val fp = decon.withColumn("__fp", md5(col("text")))
+    val deduped = (dedupHorizon match {
+      case None => fp.dropDuplicates("__fp")
+      case Some(h) =>
+        fp.withWatermark(h.tsCol, h.delay).dropDuplicatesWithinWatermark("__fp")
+    }).drop("__fp")
     val survivors = TextAnalysis.redactPii(deduped, "doc_id", "text")
       .select(col("doc_id"), col("redacted").as("text"))
-    // candidates branch off the GATED stream, not the deduped one: Spark
-    // restricts flatMapGroupsWithState downstream of another stateful
+    // candidates branch off the stateless prefix, not the deduped stream:
+    // Spark restricts flatMapGroupsWithState downstream of another stateful
     // operator, and candidate emission must not depend on dedup state
     // anyway — pairs involving exact-dup losers are dropped downstream by
     // [[resolveClusters]]'s verify join against the survivor set
     val candidates = StreamingDedup.nearDupCandidates(
-      gated, "doc_id", "text", shingleN = 3, numHashes, bands, maxBucket)
+      decon, "doc_id", "text", shingleN = 3, numHashes, bands, maxBucket)
     StreamingCurationStreams(survivors, candidates)
   }
 

@@ -53,20 +53,22 @@ object TrainingDataPipeline {
     * state), exactly like the reference's pure per-page `filterPage`
     * (reference: rest/src/main/scala/tamer/rest/RESTSetup.scala:181-184).
     */
-  def gates(docs: DataFrame): DataFrame = {
+  def gates(docs: DataFrame, keep: Seq[String] = Nil): DataFrame = {
     // bind tokens, then n-grams, to projected columns before the metric
     // lambdas — the once-per-row discipline used across the dedup family
     val toks = col("__toks")
+    val kept = keep.map(col)
     docs
-      .select(col("doc_id"), col("text"), TextAnalysis.tokens(col("text")).as("__toks"))
-      .select(col("doc_id"), col("text"), toks,
-        TextAnalysis.wordNgrams(toks, 3).as("__grams"))
+      .select(Seq(col("doc_id"), col("text")) ++ kept :+
+        TextAnalysis.tokens(col("text")).as("__toks"): _*)
+      .select(Seq(col("doc_id"), col("text")) ++ kept :+ toks :+
+        TextAnalysis.wordNgrams(toks, 3).as("__grams"): _*)
       .filter(
         TextAnalysis.tokenCount(toks) >= 5 &&
           TextAnalysis.distinctRatio(toks) > 0.2 &&
           TextAnalysis.detectedLanguage(toks) === "en" &&
           TextAnalysis.dupNgramFrac(col("__grams")) < 0.3)
-      .select(col("doc_id"), col("text"))
+      .select(Seq(col("doc_id"), col("text")) ++ kept: _*)
   }
 
   /** The curation chain as a reusable transform: documents(doc_id, text) in,

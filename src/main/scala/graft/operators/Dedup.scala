@@ -119,6 +119,47 @@ object Dedup {
         delim).as(textCol))
   }
 
+  /** Strip a KNOWN boilerplate-line list from every document — the
+    * streaming-safe sibling of [[dedupLines]]. The corpus-wide form needs a
+    * line-level aggregate (stateful, so it cannot ride an append stream);
+    * this form takes the line list as data — mined upstream by a batch
+    * [[dedupLines]] / [[graft.operators.TextAnalysis.topNgrams]] pass over
+    * an earlier snapshot, the way C4-style pipelines ship a boilerplate
+    * list — and applies it as a PURE per-row expression: split, drop
+    * listed lines, rejoin. Zero state, zero shuffles, so it applies
+    * unchanged to a readStream frame.
+    *
+    * The list rides the plan as a literal and each line probes it linearly,
+    * so membership cost is `|lines|` per document line — the right trade
+    * for a curated boilerplate list (hundreds of entries); `maxLines` fails
+    * loudly before an unbounded list turns every row into a scan.
+    */
+  def stripKnownLines(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      lines: Seq[String],
+      delim: String = "\n",
+      maxLines: Int = 10000
+  ): DataFrame = {
+    require(lines.size <= maxLines,
+      s"stripKnownLines: ${lines.size} lines exceeds maxLines=$maxLines — a list this " +
+        "large should be a broadcast-join dedupLines pass, not a per-row literal probe")
+    if (lines.isEmpty) df.select(col(idCol), col(textCol))
+    else df.select(col(idCol), stripKnownLinesExpr(col(textCol), lines, delim).as(textCol))
+  }
+
+  /** The [[stripKnownLines]] transform as a bare column expression, for
+    * callers composing it into a wider projection (e.g. a stream with an
+    * event-time column riding alongside). */
+  def stripKnownLinesExpr(text: Column, lines: Seq[String], delim: String = "\n"): Column = {
+    val listed = typedLit(lines.distinct)
+    array_join(
+      filter(split(text, java.util.regex.Pattern.quote(delim)),
+        l => !array_contains(listed, l)),
+      delim)
+  }
+
   /** Distinct word n-gram shingles from a PRE-PROJECTED token-array column;
     * documents shorter than `n` tokens fall back to the whole (reconstructed)
     * text as a single shingle.

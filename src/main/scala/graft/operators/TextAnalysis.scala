@@ -358,4 +358,52 @@ object TextAnalysis {
         coalesce(col("matched_ngrams"), lit(0)).as("matched_ngrams"))
       .withColumn("contaminated", col("matched_ngrams") >= minMatches)
   }
+
+  /** STREAM-SAFE decontamination: drop documents sharing `minMatches`
+    * distinct word n-grams with the benchmark corpus, as a PURE per-row
+    * filter — [[flagContaminated]]'s explode → semi-join → re-aggregate
+    * shape is stateful (an aggregation cannot sit in an append stream),
+    * so the streaming form inverts the data flow: the benchmark's distinct
+    * n-grams are collected ONCE (eval benchmarks are small by nature —
+    * the same argument that lets the batch form broadcast them; `maxBenchGrams`
+    * fails loudly if that assumption breaks) and probed per row through an
+    * executor-broadcast hash set. A deliberate UDF: an O(1) set probe per
+    * gram against a shared broadcast beats any literal-array expression
+    * (linear scan per gram) once the benchmark is non-trivial, and the
+    * surrounding shingle derivation stays the codegen'd expression shared
+    * with the batch form, so both forms drop EXACTLY the same documents
+    * (spec-pinned). Returns surviving rows of `docs` unchanged.
+    */
+  def dropContaminatedStateless(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      bench: DataFrame,
+      benchTextCol: String,
+      n: Int = 3,
+      minMatches: Int = 1,
+      maxBenchGrams: Int = 5000000
+  ): DataFrame = {
+    require(n > 0, "n must be positive")
+    require(minMatches > 0, "minMatches must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val benchGrams = bench
+      .select(tokens(col(benchTextCol)).as("__toks"))
+      .select(explode(Dedup.shinglesOfTokens(col("__toks"), n)).as("__g"))
+      .distinct()
+      .as[String].collect()
+    require(benchGrams.length <= maxBenchGrams,
+      s"dropContaminatedStateless: benchmark has ${benchGrams.length} distinct $n-grams " +
+        s"(> $maxBenchGrams) — that is corpus-sized, not benchmark-sized; use " +
+        "flagContaminated with broadcastBench=false in a batch pass instead")
+    val bc = spark.sparkContext.broadcast(benchGrams.toSet)
+    val matches = udf((grams: scala.collection.Seq[String]) =>
+      if (grams == null) 0 else grams.count(bc.value.contains))
+    docs
+      .withColumn("__toks", tokens(col(textCol)))
+      .withColumn("__m", matches(Dedup.shinglesOfTokens(col("__toks"), n)))
+      .filter(col("__m") < minMatches)
+      .drop("__toks", "__m")
+  }
 }

@@ -1,7 +1,7 @@
 package graft.tools
 
 import graft.{GraftSession, Tables}
-import graft.operators.{AsofJoin, Chunking, Dedup, Sampling, Similarity, Skew, TextAnalysis}
+import graft.operators.{AsofJoin, Chunking, Dedup, RangeJoin, Sampling, Similarity, Skew, TextAnalysis}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -104,6 +104,53 @@ object ScaleSmoke {
     time("salted agg")(
       Skew.saltedSumCount(docs, Seq(col("lang")),
         Seq("total_chars" -> col("n_chars").cast("double")), col("doc_id")))
+
+    // --- round-6 operators under the same widening ------------------------
+
+    // Edit-distance verify over a candidate chain spanning the WIDENED
+    // corpus (every id is a candidate endpoint; cross-replica gaps drop out
+    // in the inner join). Cost model under test: candidate-bounded pair
+    // count x the truncateAt-capped DP, never all-pairs.
+    time("edit-distance verify")(
+      Dedup.editDistanceVerify(docs, "doc_id", "text",
+        docs.select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b")),
+        truncateAt = 120))
+
+    // URL metrics + blocklist gate over the widened corpus: per-row regex
+    // extraction (zero shuffle) and the broadcast-semi + SMJ-pinned
+    // anti-join shape.
+    time("url metrics")(TextAnalysis.urlMetrics(docs, "doc_id", "text"))
+    val blocklist = spark.range(0, 64).select(
+      concat(lit("spam"), col("id"), lit(".example.com")).as("domain"))
+    time("domain blocklist filter")(
+      TextAnalysis.filterByDomainBlocklist(docs, "doc_id", "text", blocklist))
+
+    // Range join with SKEWED interval lengths — the maxFanOut guard's
+    // adversarial regime: most intervals span one bucket, every 97th spans
+    // ~50 of the 64 allowed, so the exploded side mixes 1-row and 51-row
+    // fan-outs (the skew an even-width corpus never shows). Points are the
+    // widened events; intervals widen with them.
+    val hourUs = 3600000000L
+    val evWide = widen(
+      Tables.events(spark, sfDir).select(col("event_id"), col("ts")), "event_id")
+    val points = evWide.select(col("event_id").as("point_id"),
+      unix_micros(col("ts")).as("t"))
+    def skewedIntervals(mod: Int, idName: String, s: String, e: String) =
+      evWide.filter(col("event_id") % mod === 0)
+        .select(col("event_id").as(idName),
+          unix_micros(col("ts")).as(s),
+          (unix_micros(col("ts")) +
+            when(col("event_id") % 97 === 0, lit(50L * hourUs))
+              .otherwise(lit(hourUs) / 2)).as(e))
+    time("range join (skewed intervals)")(
+      RangeJoin.pointsInIntervals(points, "t",
+        skewedIntervals(100, "interval_id", "ival_s", "ival_e"), "ival_s", "ival_e",
+        bucketWidth = hourUs))
+    time("interval overlap (skewed)")(
+      RangeJoin.intervalOverlaps(
+        skewedIntervals(100, "a_id", "a_s", "a_e"), "a_s", "a_e",
+        skewedIntervals(140, "b_id", "b_s", "b_e"), "b_s", "b_e",
+        bucketWidth = hourUs))
 
     spark.stop()
   }

@@ -94,4 +94,93 @@ class StreamingCurationSpec extends AnyFunSuite {
       assert(spark.read.parquet(out).count() == before, "replay wrote survivors")
     } finally { qSurv.stop(); qCand.stop() }
   }
+
+  test("boilerplate-strip and decontamination legs ride the stream; drain equals the batch analog") {
+    val boiler = Seq("subscribe to our newsletter for daily updates now")
+    val docs = Seq(
+      (1L, "the cat and the dog is in the house of the king\n" +
+        "subscribe to our newsletter for daily updates now"),
+      (2L, "subscribe to our newsletter for daily updates now"), // all boilerplate -> empty -> gated out
+      (3L, "the fox and the hen is of the barn and the yard"),
+      (4L, "the spell of the sea is the song of the deep tide"), // contaminated by bench
+      (5L, "the king and the queen of the north and the south"))
+    val bench = Seq("the spell of the sea is old").toDF("text")
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val streams = StreamingCuration.curate(in.toDF().toDF("doc_id", "text"),
+      boilerplateLines = boiler, benchmark = Some(bench))
+    try spark.catalog.dropTempView("scur_legs") catch { case _: Exception => () }
+    val q = streams.survivors.writeStream
+      .format("memory").queryName("scur_legs").outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("graft-scur-legs").toString)
+      .start()
+    try {
+      val (b1, b2) = docs.splitAt(2)
+      Seq(b1, b2).foreach { b => in.addData(b); q.processAllAvailable() }
+      val streamed = spark.table("scur_legs").select("doc_id", "text")
+        .as[(Long, String)].collect().toSet
+
+      // batch analog: strip -> gates -> decontaminate (BATCH form, pinning
+      // the two decontamination shapes against each other end-to-end)
+      // -> min-id exact dedup -> redact
+      val full = docs.toDF("doc_id", "text")
+      val strippedB = Dedup.stripKnownLines(full, "doc_id", "text", boiler)
+      val gatedB = TrainingDataPipeline.gates(strippedB)
+      val cleanIds = TextAnalysis.flagContaminated(gatedB, "doc_id", "text", bench, "text")
+        .filter(!col("contaminated")).select("doc_id")
+      val deconB = gatedB.join(cleanIds, Seq("doc_id"), "left_semi")
+      val batch = TextAnalysis.redactPii(
+        Dedup.exactKeepFirst(deconB, "text", "doc_id"), "doc_id", "text")
+        .select(col("doc_id"), col("redacted").as("text"))
+        .as[(Long, String)].collect().toSet
+      assert(streamed == batch,
+        s"only-stream=${(streamed -- batch).map(_._1)} only-batch=${(batch -- streamed).map(_._1)}")
+      // the legs actually bit: boilerplate doc gone, contaminated doc gone,
+      // doc 1's boilerplate line stripped from its surviving text
+      val ids = streamed.map(_._1)
+      assert(ids == Set(1L, 3L, 5L), s"unexpected survivor ids $ids")
+      assert(streamed.find(_._1 == 1L).get._2 ==
+        "the cat and the dog is in the house of the king")
+    } finally q.stop()
+  }
+
+  test("dedupHorizon bounds dedup state: post-horizon re-arrival re-admits; lifetime mode never does") {
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def ts(h: Int) = new java.sql.Timestamp(base.getTime + h * 3600000L)
+    val dup = "the cat and the dog is in the house of the king"
+    val other = "the fox and the hen is of the barn and the yard"
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    def drain(horizon: Option[DedupHorizon]): Set[Long] = {
+      val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+      val name = s"scur_hz_${horizon.isDefined}"
+      val streams = StreamingCuration.curate(in.toDF().toDF("doc_id", "text", "ts"),
+        dedupHorizon = horizon)
+      try spark.catalog.dropTempView(name) catch { case _: Exception => () }
+      val q = streams.survivors.writeStream
+        .format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation", Files.createTempDirectory("graft-scur-hz").toString)
+        .start()
+      try {
+        // batch 1: first arrival; batch 2: a WITHIN-horizon duplicate
+        // (separate batches so "first arrival" is deterministic — an
+        // in-batch duplicate's survivor is partition-order arbitrary)
+        in.addData(Seq((1L, dup, ts(0)))); q.processAllAvailable()
+        in.addData(Seq((2L, dup, ts(0)))); q.processAllAvailable()
+        // batch 3: unrelated doc 5 hours on — advances the 1-hour watermark
+        // past batch 1, so horizon-mode fingerprint state is pruned
+        in.addData(Seq((3L, other, ts(5)))); q.processAllAvailable()
+        // batch 4: the duplicate text re-arrives AFTER the horizon
+        in.addData(Seq((4L, dup, ts(5)))); q.processAllAvailable()
+        spark.table(name).select("doc_id").as[Long].collect().toSet
+      } finally q.stop()
+    }
+
+    // bounded state: the post-horizon re-arrival is re-admitted (and left
+    // for the downstream batch resolve, the documented trade)
+    assert(drain(Some(DedupHorizon("ts", "1 hour"))) == Set(1L, 3L, 4L))
+    // corpus-lifetime state: the duplicate never comes back
+    assert(drain(None) == Set(1L, 3L))
+  }
 }

@@ -227,6 +227,33 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out(4L) == "short line\nunique body of document four")
   }
 
+  test("stripKnownLines: listed lines vanish everywhere, order holds, stream-safe (no shuffle), unbounded list refused") {
+    val lines = Seq("one common boilerplate line", "subscribe to our newsletter")
+    val docs = Seq(
+      (1L, "one common boilerplate line\nunique body of document one\nsubscribe to our newsletter"),
+      (2L, "unique body of document two\none common boilerplate line\nmore unique body two"),
+      (3L, "one common boilerplate line"), // fully boilerplate -> empty text, row kept
+      (4L, "untouched body of document four")
+    ).toDF("doc_id", "text")
+    val out = Dedup.stripKnownLines(docs, "doc_id", "text", lines)
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "unique body of document one")
+    assert(out(2L) == "unique body of document two\nmore unique body two")
+    assert(out(3L) == "") // unlike dedupLines, the ROW survives (filter gates decide later)
+    assert(out(4L) == "untouched body of document four")
+    // pure per-row expression: zero exchanges, so it can ride a stream
+    val plan = Dedup.stripKnownLines(docs, "doc_id", "text", lines)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+    // empty list is a projection-only no-op
+    assert(Dedup.stripKnownLines(docs, "doc_id", "text", Nil)
+      .as[(Long, String)].collect().toMap == docs.as[(Long, String)].collect().toMap)
+    val err = intercept[IllegalArgumentException] {
+      Dedup.stripKnownLines(docs, "doc_id", "text", (1 to 20000).map("l" + _))
+    }
+    assert(err.getMessage.contains("maxLines"))
+  }
+
   test("dedupLines quotes the delimiter: regex metachars split literally") {
     val docs = Seq(
       (1L, "alpha beta gamma tokens|delta epsilon zeta tokens"),

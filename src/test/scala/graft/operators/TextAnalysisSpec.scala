@@ -174,4 +174,28 @@ class TextAnalysisSpec extends AnyFunSuite {
         broadcastBench = false)
         .filter(col("doc_id") === 3).head().getAs[Int]("matched_ngrams"))
   }
+
+  test("dropContaminatedStateless drops exactly flagContaminated's flagged docs, stateless plan") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    // benchmark = slices of real corpus text, so overlap genuinely exists
+    val bench = docs.filter(col("doc_id") % 37 === 0)
+      .select(substring(col("text"), 1, 60).as("btext"))
+    for (minMatches <- Seq(1, 3)) {
+      val batchSurvivors = TextAnalysis
+        .flagContaminated(docs, "doc_id", "text", bench, "btext", minMatches = minMatches)
+        .filter(!col("contaminated")).select("doc_id").as[Long].collect().toSet
+      val streamSafe = TextAnalysis.dropContaminatedStateless(
+        docs, "doc_id", "text", bench, "btext", minMatches = minMatches)
+      val got = streamSafe.select("doc_id").as[Long].collect().toSet
+      assert(got == batchSurvivors,
+        s"minMatches=$minMatches: only-stateless=${(got -- batchSurvivors).take(3)} " +
+          s"only-batch=${(batchSurvivors -- got).take(3)}")
+      assert(got.size < docs.count(), "no contamination found — vacuous")
+      // per-row filter: no aggregate, no join, no exchange on the doc side
+      val plan = streamSafe.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange") && !plan.contains("Join"),
+        s"stateless form must be a pure per-row filter:\n$plan")
+    }
+  }
 }
