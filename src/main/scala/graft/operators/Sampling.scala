@@ -99,6 +99,63 @@ object Sampling {
     }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
+  /** TOKEN-budget sampling per mixture group: walk each group's documents
+    * in deterministic hash order and keep them while the group's running
+    * token total (exclusive of the current document) is below
+    * `budgetTokens` — the "2T tokens of English, 300B of code" mixture cut,
+    * specified in the unit mixtures are actually specified in. The document
+    * straddling the boundary is kept (pack-style: every budget is filled,
+    * overrun bounded by one document). Hash order makes the cut a uniform
+    * random sample that is stable across runs/layouts AND incremental —
+    * growing the corpus only appends candidates at already-cut hash
+    * positions, it never flips an admitted document.
+    *
+    * Shape at 100 TB: the naive per-group `Window.orderBy(hash)` funnels
+    * each group through one task — and groups here are mixture strata
+    * (a handful of languages/sources), so that is the WHOLE corpus through
+    * |groups| tasks. Same two-phase prefix sum as
+    * [[Chunking.packSequences]], with the hash itself as the order-aligned
+    * bucketizer (its top bits partition the hash ORDER contiguously, and
+    * uniformity balances the buckets): per-(group, bucket) windows run wide,
+    * then |groups|·256 bucket totals prefix-sum in one tiny window and
+    * broadcast back. Group cardinality must be strata-sized (enum-like);
+    * a high-cardinality group column would make the offset table itself
+    * corpus-shaped.
+    */
+  def tokenBudgetSample(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      groupCols: Seq[String],
+      budgetTokens: Long,
+      salt: String
+  ): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val groups = groupCols.map(col)
+    val withH = df
+      .withColumn("__h", keyHash(col(idCol), salt))
+      .withColumn("__tc", size(split(col(textCol), " ")).cast("long"))
+      // top 8 of the 60 hash bits: 256 buckets CONTIGUOUS in hash order
+      .withColumn("__bkt", floor(col("__h") / lit(1L << 52)))
+    val inBucket = Window.partitionBy(groups :+ col("__bkt"): _*)
+      .orderBy(col("__h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCum = withH.withColumn("__cum", sum(col("__tc")).over(inBucket))
+    val acrossBuckets = Window.partitionBy(groups: _*)
+      .orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withH
+      .groupBy(groups :+ col("__bkt"): _*)
+      .agg(sum(col("__tc")).as("__t"))
+      .withColumn("__off", coalesce(sum(col("__t")).over(acrossBuckets), lit(0L)))
+      .select(groups :+ col("__bkt") :+ col("__off"): _*)
+    withCum
+      .join(broadcast(offsets), groupCols :+ "__bkt")
+      .filter(col("__off") + col("__cum") - col("__tc") < budgetTokens)
+      .select(df.columns.map(col): _*)
+  }
+
   /** Per-stratum rates (class-balance mixing): a row of stratum s survives
     * iff hash(salt, key) < floor(rates(s) · 2^60); strata not listed use
     * `defaultRate`. Rates ride a chained when — no join, no shuffle. */

@@ -227,6 +227,42 @@ object DataPipelinePack extends QueryPack {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // Skew-proof per-key row cap (the "at most k docs per domain" gate):
+    // salted two-phase top-k, never a hot-key row_number window; the
+    // kept-pair join is SMJ-pinned. Oracle: the window formulation.
+    "q71_cap_per_key" -> ((s, d) =>
+      Skew.capPerKey(
+        Tables.events(s, d).select(col("user_id"), col("event_id")),
+        Seq("user_id"), "event_id", k = 3)
+        .orderBy(col("user_id"), col("event_id"))),
+
+    // Known-boilerplate line strip (the stream-safe dedupLines sibling):
+    // lines planted deterministically, stripped as a pure per-row
+    // expression; the oracle replays the plant + strip in list functions.
+    "q72_strip_lines" -> ((s, d) => {
+      val planted = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .withColumn("text",
+          when(col("doc_id") % 3 === 0,
+            concat(lit("all rights reserved\n"), col("text"),
+              lit("\nsubscribe to our newsletter today")))
+            .when(col("doc_id") % 5 === 0, concat(col("text"), lit("\nall rights reserved")))
+            .otherwise(col("text")))
+      Dedup.stripKnownLines(planted, "doc_id", "text",
+        Seq("subscribe to our newsletter today", "all rights reserved"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Token-budget mixture cut per language: deterministic hash order,
+    // two-phase distributed prefix sum (never one window task per group),
+    // keep while the exclusive prefix is under budget. The oracle is the
+    // single-window formulation of the same arithmetic.
+    "q73_token_budget" -> ((s, d) =>
+      Sampling.tokenBudgetSample(
+        Tables.documents(s, d).select(col("doc_id"), col("text"), col("lang")),
+        "doc_id", "text", Seq("lang"), budgetTokens = 5000L, salt = "mix-v1")
+        .select(col("lang"), col("doc_id"))
+        .orderBy(col("lang"), col("doc_id"))),
+
     // Per-vector int8 quantization (embedding storage compression): the
     // max element maps to ±127 exactly; the oracle re-derives every
     // quantized element with identical double arithmetic. The array output
@@ -864,6 +900,52 @@ object DataPipelinePack extends QueryPack {
                AS similarity
       FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
       ORDER BY id_a""",
+
+    // The window formulation the skew-proof two-phase form must equal:
+    // event_id is unique, so row_number has no tie ambiguity.
+    "q71_cap_per_key" -> """
+      SELECT user_id, event_id FROM (
+        SELECT user_id, event_id,
+               row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+        FROM events)
+      WHERE rn <= 3
+      ORDER BY user_id, event_id""",
+
+    // Replays the deterministic plant, then strips the two listed lines
+    // with list functions (chr(10) = the Spark-side '\n' literal).
+    "q72_strip_lines" -> """
+      WITH p AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0
+                    THEN 'all rights reserved' || chr(10) || text || chr(10) ||
+                         'subscribe to our newsletter today'
+                    WHEN doc_id % 5 = 0 THEN text || chr(10) || 'all rights reserved'
+                    ELSE text END AS text
+        FROM documents)
+      SELECT doc_id,
+             array_to_string(
+               list_filter(string_split(text, chr(10)),
+                 l -> l <> 'subscribe to our newsletter today'
+                  AND l <> 'all rights reserved'),
+               chr(10)) AS text
+      FROM p ORDER BY doc_id""",
+
+    // Single-window formulation of the same exclusive-prefix arithmetic
+    // (integer token counts, integer sums — no float divergence to chase);
+    // the hash literal is the shared keyHash construction.
+    "q73_token_budget" -> s"""
+      WITH t AS (
+        SELECT lang, doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS tc,
+               ${duckKeyHash("doc_id", "mix-v1")} AS h
+        FROM documents),
+      c AS (
+        SELECT lang, doc_id,
+               coalesce(SUM(tc) OVER (PARTITION BY lang ORDER BY h
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+        FROM t)
+      SELECT lang, doc_id FROM c WHERE prefix < 5000
+      ORDER BY lang, doc_id""",
 
     // Identical double arithmetic: abs in float is exact, so cast-to-double
     // before max/divide matches Spark's double-projected vector exactly;

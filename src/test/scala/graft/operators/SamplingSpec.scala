@@ -87,6 +87,45 @@ class SamplingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("tokenBudgetSample: two-phase form equals the single-window reference; budget holds modulo one straddler") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = (1L to 600L).map { i =>
+      val lang = if (i % 3 == 0) "de" else "en"
+      (i, lang, Seq.fill((i % 17 + 3).toInt)("w").mkString(" "))
+    }.toDF("doc_id", "lang", "text").repartition(16)
+    val budget = 700L
+    val got = Sampling.tokenBudgetSample(docs, "doc_id", "text", Seq("lang"), budget, "mix-t")
+      .select("lang", "doc_id").as[(String, Long)].collect().toSet
+
+    // reference: one window per group over the same hash order
+    val h = Sampling.keyHash(col("doc_id"), "mix-t")
+    val w = Window.partitionBy("lang").orderBy("__h")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ref = docs
+      .withColumn("__h", h)
+      .withColumn("__tc", size(split(col("text"), " ")).cast("long"))
+      .withColumn("__prefix", coalesce(sum(col("__tc")).over(w), lit(0L)))
+      .filter(col("__prefix") < budget)
+      .select("lang", "doc_id").as[(String, Long)].collect().toSet
+    assert(got == ref,
+      s"only-2phase=${(got -- ref).take(3)} only-window=${(ref -- got).take(3)}")
+
+    // every group fills its budget and overruns by at most one document
+    val kept = docs.join(got.toSeq.toDF("lang", "doc_id"), Seq("lang", "doc_id"), "left_semi")
+      .withColumn("__tc", size(split(col("text"), " ")).cast("long"))
+      .groupBy("lang").agg(sum("__tc").as("total"), max("__tc").as("maxdoc"))
+      .as[(String, Long, Long)].collect()
+    kept.foreach { case (lang, total, maxdoc) =>
+      assert(total >= budget, s"$lang under-filled: $total < $budget")
+      assert(total < budget + maxdoc, s"$lang overran by more than one doc: $total")
+    }
+
+    // determinism across layouts: a different partitioning, same selection
+    val again = Sampling.tokenBudgetSample(docs.repartition(3), "doc_id", "text",
+      Seq("lang"), budget, "mix-t").select("lang", "doc_id").as[(String, Long)].collect().toSet
+    assert(again == got)
+  }
+
   test("mixByRates samples each corpus independently and labels the union") {
     val a = ids(4000).withColumn("extra", lit("x"))
     val b = (4001L to 8000L).toDF("id") // no 'extra' column — unionByName fills null

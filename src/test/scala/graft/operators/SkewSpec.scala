@@ -30,4 +30,26 @@ class SkewSpec extends AnyFunSuite {
       assert(salted.count() == big.count(), "inner join on a covering dim keeps every row")
     } finally spark.conf.set(key, prev)
   }
+
+  test("capPerKey equals the row_number window form under forced skew; no per-key window in the plan") {
+    import org.apache.spark.sql.expressions.Window
+    // one pathologically hot key (80% of rows) + a tail of normal keys —
+    // the regime where a partitionBy-key window serializes
+    val rows = (1L to 8000L).map(i => ("hot", i)) ++
+      (1L to 50L).flatMap(k => (1L to 40L).map(i => (s"dom$k", k * 1000000L + i)))
+    val df = rows.toDF("domain", "item_id").repartition(16)
+    for (k <- Seq(1, 5)) {
+      val capped = Skew.capPerKey(df, Seq("domain"), "item_id", k, saltBuckets = 8)
+        .as[(String, Long)].collect().toSet
+      val windowed = df
+        .withColumn("rn", row_number().over(Window.partitionBy("domain").orderBy("item_id")))
+        .filter(col("rn") <= k).drop("rn")
+        .as[(String, Long)].collect().toSet
+      assert(capped == windowed, s"k=$k: " +
+        s"only-capped=${(capped -- windowed).take(3)} only-window=${(windowed -- capped).take(3)}")
+    }
+    // the scale claim itself: no Window over the raw key partition
+    val plan = Skew.capPerKey(df, Seq("domain"), "item_id", 3).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"capPerKey must not plan a per-key window:\n$plan")
+  }
 }

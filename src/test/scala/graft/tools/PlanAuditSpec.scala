@@ -52,7 +52,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // q64: the deliberately-broadcast domain blocklist's distinct()
     // (blocklists are domain-count sized by nature, like q58's benchmark
     // set); the corpus-bounded matched-id set is SMJ-pinned in the operator.
-    "q64_domain_blocklist" -> (0, 0, 1)
+    "q64_domain_blocklist" -> (0, 0, 1),
+    // q73: the two-phase prefix sum's offset table (|groups|·256 rows,
+    // bounded by the enum-sized group cardinality and the bucket knob)
+    // broadcast back — q60's pack-offset class.
+    "q73_token_budget" -> (0, 0, 1)
   )
 
   test("no query plans an unjustified cartesian / BNLJ / derived broadcast") {
