@@ -293,6 +293,80 @@ object Dedup {
     verifyShingled(withShingles, idCol, cands, tauNum, tauDen)
   }
 
+  /** Persistable LSH band index of a corpus: one row per (document, band)
+    * with the band's bucket hash — `(idCol, band, band_hash)`. Built from
+    * the PER-ROW signature form ([[withMinHashColumns]], zero shuffles), so
+    * writing the index is a scan-and-write; bucket hashes are bit-identical
+    * to both the batch [[lshCandidatePairs]] bucketing and the streaming
+    * ingest form. Write it range-clustered on `band_hash` (see
+    * [[graft.sinks.ClusteredWrite]]) and incremental runs prune to the
+    * buckets their newcomers actually touch.
+    */
+  def buildLshIndex(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 128,
+      bands: Int = 32
+  ): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val sigs = withMinHashColumns(
+      projectedShingles(df, idCol, textCol, shingleN), col("__shingles"), numHashes)
+    sigs.select(col(idCol),
+      posexplode(array(bandHashColumns(bands, numHashes / bands): _*)).as(Seq("band", "band_hash")))
+  }
+
+  /** INCREMENTAL near-dup: match a batch of NEWCOMERS against an existing
+    * corpus through its persisted [[buildLshIndex]] — the nightly-ingest
+    * shape where yesterday's 100 TB must not be re-signatured to admit
+    * today's 100 GB. Candidates come from an equi-join of the newcomers'
+    * band hashes (per-row, shuffle-free) against the index — the old corpus
+    * is never scanned for candidate GENERATION; `oldDocs` is consulted only
+    * to verify, and only for the matched ids (the semi-join prunes the
+    * scan). Emits the same exact-Jaccard-verified
+    * `(id_a=new, id_b=old, inter_cnt, union_cnt)` contract as
+    * [[nearDupPairs]]; ids across the two sides must be distinct (they are
+    * different generations of one id space by construction).
+    *
+    * Both candidate-join sides and both verify joins are SMJ-pinned: every
+    * one of them is either corpus-sized or a derived table whose static
+    * size estimate is the measured derived-broadcast OOM class.
+    */
+  def nearDupAgainstIndex(
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      index: DataFrame,
+      oldDocs: DataFrame,
+      shingleN: Int = 3,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      tauNum: Int = 1,
+      tauDen: Int = 2
+  ): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val newShingled = projectedShingles(newDocs, idCol, textCol, shingleN)
+    val newBands = withMinHashColumns(newShingled, col("__shingles"), numHashes)
+      .select(col(idCol).as("id_a"),
+        posexplode(array(bandHashColumns(bands, numHashes / bands): _*)).as(Seq("band", "band_hash")))
+    val cands = newBands
+      .join(index.select(col(idCol).as("id_b"), col("band"), col("band_hash"))
+        .hint("shuffle_merge"), Seq("band", "band_hash"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    cands
+      .join(newShingled.select(col(idCol).as("id_a"), col("__shingles").as("__sa"))
+        .hint("shuffle_merge"), Seq("id_a"))
+      .join(projectedShingles(oldDocs, idCol, textCol, shingleN)
+        .select(col(idCol).as("id_b"), col("__shingles").as("__sb"))
+        .hint("shuffle_merge"), Seq("id_b"))
+      .withColumn("inter_cnt", size(array_intersect(col("__sa"), col("__sb"))))
+      .withColumn("union_cnt", size(col("__sa")) + size(col("__sb")) - col("inter_cnt"))
+      .filter(col("inter_cnt") * tauDen >= col("union_cnt") * tauNum)
+      .select("id_a", "id_b", "inter_cnt", "union_cnt")
+  }
+
   /** EXACT-Jaccard verification of an EXTERNAL candidate-pair table — the
     * verify stage of [[nearDupPairs]] exposed for candidates produced
     * elsewhere (the streaming ingest path's

@@ -227,6 +227,22 @@ object DataPipelinePack extends QueryPack {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // Incremental near-dup against a persisted LSH band index (the
+    // nightly-ingest shape: yesterday's corpus is never re-signatured).
+    // Newcomers are planted twins of every 20th document; the old corpus
+    // is consulted only to verify index-matched ids. At 128 hashes /
+    // 32 bands the candidate recall at J >= 0.5 equals the exact
+    // new-x-old answer on this corpus (q25's argument), so the oracle is
+    // exact pairwise Jaccard restricted to new-x-old.
+    "q74_index_neardup" -> ((s, d) => {
+      val old = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val newcomers = old.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      val index = Dedup.buildLshIndex(old, "doc_id", "text")
+      Dedup.nearDupAgainstIndex(newcomers, "doc_id", "text", index, old)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Skew-proof per-key row cap (the "at most k docs per domain" gate):
     // salted two-phase top-k, never a hot-key row_number window; the
     // kept-pair join is SMJ-pinned. Oracle: the window formulation.
@@ -900,6 +916,28 @@ object DataPipelinePack extends QueryPack {
                AS similarity
       FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
       ORDER BY id_a""",
+
+    // Exact pairwise Jaccard over new-x-old only (the q25/q39 shingle
+    // derivation; the planted +100000 ids replay the query's construction).
+    "q74_index_neardup" -> """
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      sh AS (
+        SELECT doc_id,
+               CASE WHEN len(w) >= 3
+                    THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])
+                    ELSE [array_to_string(w, ' ')] END AS s
+        FROM toks),
+      newc AS (SELECT doc_id + 100000 AS id_a, s FROM sh WHERE doc_id % 20 = 0),
+      pairs AS (
+        SELECT n.id_a, o.doc_id AS id_b,
+               len(list_intersect(n.s, o.s)) AS inter_cnt,
+               len(n.s) + len(o.s) - len(list_intersect(n.s, o.s)) AS union_cnt
+        FROM newc n CROSS JOIN sh o)
+      SELECT id_a, id_b,
+             CAST(inter_cnt AS INTEGER) AS inter_cnt,
+             CAST(union_cnt AS INTEGER) AS union_cnt
+      FROM pairs WHERE 2 * inter_cnt >= union_cnt
+      ORDER BY id_a, id_b""",
 
     // The window formulation the skew-proof two-phase form must equal:
     // event_id is unique, so row_number has no tie ambiguity.

@@ -142,6 +142,15 @@ object ScaleSmoke {
           (unix_micros(col("ts")) +
             when(col("event_id") % 97 === 0, lit(50L * hourUs))
               .otherwise(lit(hourUs) / 2)).as(e))
+    // Per-key cap with PATHOLOGICAL heat: keyed on lang (a handful of
+    // values over the whole widened corpus — every key is a hot key), the
+    // regime the salted two-phase exists for.
+    time("cap per key (all-hot keys)")(
+      Skew.capPerKey(docs.select(col("lang"), col("doc_id")), Seq("lang"), "doc_id", k = 100))
+    time("token-budget cut per lang")(
+      Sampling.tokenBudgetSample(docs.select(col("doc_id"), col("text"), col("lang")),
+        "doc_id", "text", Seq("lang"), budgetTokens = 1000000L, salt = "smoke-mix"))
+
     time("range join (skewed intervals)")(
       RangeJoin.pointsInIntervals(points, "t",
         skewedIntervals(100, "interval_id", "ival_s", "ival_e"), "ival_s", "ival_e",

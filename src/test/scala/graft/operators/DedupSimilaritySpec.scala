@@ -254,6 +254,35 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(err.getMessage.contains("maxLines"))
   }
 
+  test("nearDupAgainstIndex: parquet-persisted index round-trips; pairs equal exact new-x-old Jaccard") {
+    val old = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val newcomers = old.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    // the index survives a write/read cycle — the operator's entire point
+    // is that the old corpus is signatured once and PERSISTED
+    val dir = java.nio.file.Files.createTempDirectory("graft-lsh-index").toString
+    Dedup.buildLshIndex(old, "doc_id", "text").write.mode("overwrite").parquet(dir)
+    val index = spark.read.parquet(dir)
+    val got = Dedup.nearDupAgainstIndex(newcomers, "doc_id", "text", index, old)
+      .as[(Long, Long, Int, Int)].collect().toSet
+
+    // exact reference: verify EVERY new-x-old pair (no LSH)
+    val allPairs = newcomers.select(col("doc_id").as("id_a"))
+      .crossJoin(old.select(col("doc_id").as("id_b")))
+    val exact = Dedup.verifyCandidatePairs(
+      newcomers.unionByName(old), "doc_id", "text", allPairs)
+      .as[(Long, Long, Int, Int)].collect().toSet
+    assert(got == exact,
+      s"only-index=${(got -- exact).take(3)} only-exact=${(exact -- got).take(3)}")
+    // every planted twin found itself (J = 1 pairs can never be missed)
+    val twinPairs = got.filter { case (a, b, _, _) => a == b + 100000L }
+    assert(twinPairs.size == newcomers.count(),
+      s"missing twins: ${twinPairs.size} of ${newcomers.count()}")
+    // index build is deterministic
+    assert(Dedup.buildLshIndex(old, "doc_id", "text").exceptAll(index).isEmpty)
+  }
+
   test("dedupLines quotes the delimiter: regex metachars split literally") {
     val docs = Seq(
       (1L, "alpha beta gamma tokens|delta epsilon zeta tokens"),
