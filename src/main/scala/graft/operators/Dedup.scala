@@ -119,6 +119,33 @@ object Dedup {
         delim).as(textCol))
   }
 
+  /** Persistable EXACT-dedup fingerprint index: the distinct md5
+    * fingerprints of `keyCol` — 16 bytes per distinct document, the
+    * at-rest form of the fingerprint state [[graft.examples.StreamingCuration]]
+    * keeps in memory. Build it from the already-curated corpus, persist,
+    * and every later batch (or stream) dedups against history via
+    * [[dropKnownFingerprints]] without touching the old texts.
+    */
+  def buildFingerprintIndex(df: DataFrame, keyCol: String): DataFrame =
+    df.select(md5(col(keyCol)).as("fp")).distinct()
+
+  /** Drop rows whose `keyCol` fingerprint is already in `index` — the
+    * incremental EXACT-dedup gate (today's landing zone vs yesterday's
+    * curated corpus). A plain left-anti equi-join on the fingerprint:
+    * batch-wise it shuffles both sides on `fp` (SMJ-pinned — the index is
+    * corpus-sized, one fingerprint per distinct historical document, so
+    * broadcasting it is exactly the derived-size mistake this library
+    * pins against); on a STREAMING `newDocs` frame the same call is a
+    * stream-static anti join, Spark's supported shape for
+    * dedup-against-history at ingest (the static side is re-read per
+    * micro-batch, so a newly persisted index generation is picked up
+    * without restarting the query). */
+  def dropKnownFingerprints(newDocs: DataFrame, keyCol: String, index: DataFrame): DataFrame =
+    newDocs.join(
+      index.select(col("fp")).hint("shuffle_merge"),
+      md5(col(keyCol)) === col("fp"),
+      "left_anti")
+
   /** Strip a KNOWN boilerplate-line list from every document — the
     * streaming-safe sibling of [[dedupLines]]. The corpus-wide form needs a
     * line-level aggregate (stateful, so it cannot ride an append stream);

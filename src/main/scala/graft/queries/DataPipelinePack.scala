@@ -243,6 +243,24 @@ object DataPipelinePack extends QueryPack {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Incremental EXACT dedup against a fingerprint index (the corpus has
+    // no natural exact duplicates — q24 finds 1 copy per text — so the
+    // newcomer batch is constructed: every 4th document re-arrives
+    // verbatim (must drop) and every 4th+1 arrives with a suffix edit
+    // (must survive — exact dedup is not fuzzy). Anti-join on md5,
+    // SMJ-pinned against the corpus-sized index.
+    "q75_index_exact_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val index = Dedup.buildFingerprintIndex(docs, "text")
+      val newcomers = docs.filter(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 4 === 1)
+          .select((col("doc_id") + 200000L).as("doc_id"),
+            concat(col("text"), lit(" revised edition")).as("text")))
+      Dedup.dropKnownFingerprints(newcomers, "text", index)
+        .orderBy(col("doc_id"))
+    }),
+
     // Skew-proof per-key row cap (the "at most k docs per domain" gate):
     // salted two-phase top-k, never a hot-key row_number window; the
     // kept-pair join is SMJ-pinned. Oracle: the window formulation.
@@ -938,6 +956,19 @@ object DataPipelinePack extends QueryPack {
              CAST(union_cnt AS INTEGER) AS union_cnt
       FROM pairs WHERE 2 * inter_cnt >= union_cnt
       ORDER BY id_a, id_b""",
+
+    // NOT EXISTS is the anti-join; md5 agrees between engines and text is
+    // non-null, so there is no NOT IN null hazard to dodge.
+    "q75_index_exact_dedup" -> """
+      WITH newc AS (
+        SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 4 = 0
+        UNION ALL
+        SELECT doc_id + 200000 AS doc_id, text || ' revised edition' AS text
+        FROM documents WHERE doc_id % 4 = 1)
+      SELECT doc_id, text FROM newc n
+      WHERE NOT EXISTS (
+        SELECT 1 FROM documents o WHERE md5(o.text) = md5(n.text))
+      ORDER BY doc_id""",
 
     // The window formulation the skew-proof two-phase form must equal:
     // event_id is unique, so row_number has no tie ambiguity.

@@ -283,6 +283,39 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(Dedup.buildLshIndex(old, "doc_id", "text").exceptAll(index).isEmpty)
   }
 
+  test("dropKnownFingerprints: batch anti-join; the SAME call is a stream-static join that drains identically") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val index = Dedup.buildFingerprintIndex(docs, "text")
+    // re-arrivals (verbatim copies, must drop) + genuinely new texts
+    val newcomers = docs.filter(col("doc_id") % 4 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") % 4 === 1)
+        .select((col("doc_id") + 200000L).as("doc_id"),
+          concat(col("text"), lit(" v2")).as("text")))
+    val batch = Dedup.dropKnownFingerprints(newcomers, "text", index)
+      .as[(Long, String)].collect().toSet
+    assert(batch.nonEmpty && batch.forall(_._1 >= 200000L),
+      "exactly the verbatim re-arrivals must drop, the edited texts must survive")
+    assert(batch.size == docs.filter(col("doc_id") % 4 === 1).count())
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val streamed = Dedup.dropKnownFingerprints(in.toDF().toDF("doc_id", "text"), "text", index)
+    try spark.catalog.dropTempView("fp_dedup_stream") catch { case _: Exception => () }
+    val q = streamed.writeStream.format("memory").queryName("fp_dedup_stream")
+      .outputMode("append").start()
+    try {
+      val feed = newcomers.as[(Long, String)].collect().toSeq
+      val (b1, b2) = feed.splitAt(feed.size / 2)
+      Seq(b1, b2).foreach { b => in.addData(b); q.processAllAvailable() }
+      val got = spark.table("fp_dedup_stream").as[(Long, String)].collect().toSet
+      assert(got == batch,
+        s"only-stream=${(got -- batch).map(_._1).take(3)} only-batch=${(batch -- got).map(_._1).take(3)}")
+    } finally q.stop()
+  }
+
   test("dedupLines quotes the delimiter: regex metachars split literally") {
     val docs = Seq(
       (1L, "alpha beta gamma tokens|delta epsilon zeta tokens"),
