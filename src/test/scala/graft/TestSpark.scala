@@ -9,6 +9,9 @@ object TestSpark {
     val s = GraftSession
       .builder("graft-test", Some("local[4]"))
       .config("spark.sql.shuffle.partitions", "4")
+      // saveAsTable (bucketed-layout specs) must not litter the repo cwd
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
