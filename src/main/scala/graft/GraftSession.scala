@@ -51,7 +51,13 @@ object GraftSession {
   }
 
   def local(appName: String): SparkSession = {
-    val s = builder(appName).getOrCreate()
+    val s = builder(appName)
+      // harness sessions park saveAsTable output (bucketed-layout queries)
+      // in a temp warehouse instead of littering the launch cwd; a real
+      // deployment sets its own durable warehouse/catalog
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
+      .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }

@@ -106,9 +106,13 @@ object Sampling {
     * specified in the unit mixtures are actually specified in. The document
     * straddling the boundary is kept (pack-style: every budget is filled,
     * overrun bounded by one document). Hash order makes the cut a uniform
-    * random sample that is stable across runs/layouts AND incremental —
-    * growing the corpus only appends candidates at already-cut hash
-    * positions, it never flips an admitted document.
+    * random sample, stable across runs, layouts, and engines for a GIVEN
+    * corpus. It is NOT stable under corpus growth — a budget is a
+    * corpus-level constraint, so a new document hashing before the cut
+    * displaces the last admitted one; when incremental stability matters
+    * more than an exact token total, use [[deterministicSample]] with
+    * `rate ≈ budget / corpusTokens` instead (per-row decisions never
+    * flip).
     *
     * Shape at 100 TB: the naive per-group `Window.orderBy(hash)` funnels
     * each group through one task — and groups here are mixture strata

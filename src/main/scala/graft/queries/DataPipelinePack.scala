@@ -243,6 +243,24 @@ object DataPipelinePack extends QueryPack {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Fact-fact join THROUGH the bucketed table layout: both sides
+    // written bucketed on the join key, joined and aggregated off the
+    // catalog tables — the zero-exchange co-location path under the value
+    // oracle (the plan assertion lives in BucketedWriteSpec). Re-entrant:
+    // overwrite-mode writes, so bench re-runs are safe.
+    "q76_bucketed_join" -> ((s, d) => {
+      import graft.sinks.BucketedWrite
+      val ev = Tables.events(s, d).select(col("user_id"), col("event_id"))
+      val ord = Tables.orders(s, d)
+        .select(col("o_custkey").as("user_id"), col("o_orderkey"))
+      BucketedWrite.writeBucketed(ev, "g76_events", numBuckets = 8, bucketCols = Seq("user_id"))
+      BucketedWrite.writeBucketed(ord, "g76_orders", numBuckets = 8, bucketCols = Seq("user_id"))
+      s.table("g76_events").join(s.table("g76_orders"), "user_id")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"), max(col("o_orderkey")).as("max_order"))
+        .orderBy(col("user_id"))
+    }),
+
     // Incremental EXACT dedup against a fingerprint index (the corpus has
     // no natural exact duplicates — q24 finds 1 copy per text — so the
     // newcomer batch is constructed: every 4th document re-arrives
@@ -956,6 +974,15 @@ object DataPipelinePack extends QueryPack {
              CAST(union_cnt AS INTEGER) AS union_cnt
       FROM pairs WHERE 2 * inter_cnt >= union_cnt
       ORDER BY id_a, id_b""",
+
+    // Layout changes values not at all: the oracle is the plain join+agg.
+    "q76_bucketed_join" -> """
+      SELECT e.user_id,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             max(o.o_orderkey) AS max_order
+      FROM events e JOIN orders o ON o.o_custkey = e.user_id
+      GROUP BY e.user_id
+      ORDER BY e.user_id""",
 
     // NOT EXISTS is the anti-join; md5 agrees between engines and text is
     // non-null, so there is no NOT IN null hazard to dodge.
