@@ -46,6 +46,10 @@ object GraftSession {
       // columns with many empty arrays, which we never do.
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      // native graft expressions (graft_dot, ...) available to pure SQL in
+      // every session this factory builds — same hook a deployment sets via
+      // --conf spark.sql.extensions=graft.GraftExtensions
+      .config("spark.sql.extensions", "graft.GraftExtensions")
     master.orElse(sys.env.get("SPARK_GRAFT_MASTER").orElse(Some(s"local[$cpus]")))
       .foldLeft(b)(_ master _)
   }

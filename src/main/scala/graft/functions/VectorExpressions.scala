@@ -73,10 +73,16 @@ object VectorExpressions {
   def dot(a: Column, b: Column): Column =
     GraftShims.column(DotProductDouble(GraftShims.expression(a), GraftShims.expression(b)))
 
-  /** Register `graft_dot` for SQL use in this session. */
+  /** Register `graft_dot` for SQL use in this session (the runtime
+    * alternative to the build-time [[graft.GraftExtensions]] hook; both use
+    * the same guarded builder, so a session that sees both registrations
+    * behaves identically). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot",
-      (exprs: Seq[Expression]) => DotProductDouble(exprs(0), exprs(1)),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, s"graft_dot takes 2 arguments, got ${exprs.length}")
+        DotProductDouble(exprs.head, exprs(1))
+      },
       "scala_udf")
 }

@@ -9,12 +9,15 @@ import org.apache.spark.sql.types._
   * columns with typed metadata, processed per-partition so content bytes
   * stream executor-side and never visit the driver.
   *
-  * The actual media codecs are STUBBED (this container ships no image/audio
-  * libraries): every `decode*` below derives a deterministic fake from the
-  * bytes. The Spark-side contract — schema, per-partition batch shape,
-  * partition preservation, explode semantics — is real and tested; swapping
-  * the stub body for an actual decoder (JavaCV, TwelveMonkeys, ...) changes
-  * no plumbing.
+  * IMAGE decode is REAL — [[decodeImages]] / [[extractImageFeatures]] run
+  * `javax.imageio` (PNG/BMP/GIF/WBMP/JPEG ship in every JRE) against
+  * actual bytes, with exact-pixel specs. Codecs the JDK does not ship
+  * (video, audio, JPEG2000) are STUBBED with deterministic fakes derived
+  * from the bytes; the Spark-side contract — schema, per-partition batch
+  * shape, partition preservation, explode semantics — is identical across
+  * both, so swapping a stub body for an actual decoder (JavaCV,
+  * TwelveMonkeys, ...) changes no plumbing, which the real ImageIO path
+  * demonstrates.
   *
   * Pattern parity: this is the JVM analog of PySpark `mapInPandas` — batch
   * iterator in, batch iterator out, schema declared up front.
