@@ -121,13 +121,21 @@ object DataPipelinePack extends QueryPack {
             (sqrt(dot(col("__ea"), col("__ea"))) * sqrt(dot(col("__eb"), col("__eb")))))
       val eligible = truth.filter(round(col("__cos"), 6) >= 0.8)
         .select(col("id_a"), col("id_b"))
-      // found is an explode->aggregate derivative: garbage static size
-      // estimate, same broadcast hazard as the operator's own verify joins
-      val hit = eligible.join(found.hint("shuffle_merge"), Seq("id_a", "id_b"), "left_semi")
-      eligible.agg(count(lit(1)).as("eligible"))
-        .crossJoin(truth.agg(count(lit(1)).as("planted")))
-        .crossJoin(hit.agg(count(lit(1)).as("found")))
-        .crossJoin(found.agg(count(lit(1)).as("lsh_pairs")))
+      // ONE structural pass over the expensive LSH subtree: a left join
+      // against the (unique-pair) truth set makes lsh_pairs a count(*) and
+      // found a flag-count of the same scan. Measured parity with the
+      // earlier semi-join + separate-count form (AQE's exchange reuse was
+      // already deduplicating the shared shuffles); this shape makes the
+      // single-scan guarantee structural instead of optimizer-dependent.
+      // eligible is SMJ-pinned: a join derivative with a garbage static
+      // size estimate.
+      val foundAgg = found
+        .join(eligible.withColumn("__e", lit(1)).hint("shuffle_merge"),
+          Seq("id_a", "id_b"), "left")
+        .agg(count(lit(1)).as("lsh_pairs"), count(col("__e")).as("found"))
+      truth.agg(count(lit(1)).as("planted"),
+          count(when(round(col("__cos"), 6) >= 0.8, 1)).as("eligible"))
+        .crossJoin(foundAgg)
         .select(col("planted"), col("eligible"), col("found"), col("lsh_pairs"),
           round(col("found").cast("double") / col("eligible").cast("double"), 4).as("recall"))
     }),
