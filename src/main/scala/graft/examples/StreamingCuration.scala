@@ -142,11 +142,16 @@ object StreamingCuration {
         .option("checkpointLocation", s"$outDir/ckpt-candidates")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
       qSurv.awaitTermination(); qCand.awaitTermination()
+      // the maintenance pass every streaming sink needs: the per-trigger
+      // files the run just wrote get compacted (writers are quiesced — the
+      // queries above terminated — which is exactly the swap-window fence)
+      val report = graft.sinks.Compaction.compactParquet(spark, s"$outDir/survivors")
       val survivors = spark.read.parquet(s"$outDir/survivors").select("doc_id", "text")
       val cands = spark.read.parquet(s"$outDir/candidates").select("id_a", "id_b").distinct()
       val resolved = resolveClusters(survivors, cands)
       println(s"[streaming-curation] survivors=${survivors.count()} " +
-        s"candidates=${cands.count()} after-resolve=${resolved.count()} -> $outDir")
+        s"candidates=${cands.count()} after-resolve=${resolved.count()} " +
+        s"compacted=${report.filesBefore}->${report.filesAfter} files -> $outDir")
     } finally spark.stop()
   }
 

@@ -38,6 +38,14 @@ object Compaction {
       bytes: Long,
       rows: Long)
 
+  /** Partition subdirectories (`batch=3/`, `split=train/`) are FLATTENED:
+    * their inferred columns ride along as ordinary data columns in the
+    * compacted files — for an epoch-parquet sink that flattening is the
+    * point (per-trigger dirs are accidental layout, and the `batch` column
+    * survives as lineage). Metadata directories (names starting with `_`,
+    * e.g. the exactly-once sink's `_graft_commits` markers) are carried
+    * over to the compacted generation unchanged, so a checkpoint replay
+    * after compaction still sees its batches as committed. */
   def compactParquet(
       spark: SparkSession,
       dir: String,
@@ -48,8 +56,16 @@ object Compaction {
     val path = new Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-    val parquetFiles = fs.listStatus(path)
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    // recursive: a streaming sink's files sit in per-epoch/partition subdirs
+    val parquetFiles = {
+      val it = fs.listFiles(path, true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.LocatedFileStatus]
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.getPath.getName.endsWith(".parquet")) buf += s
+      }
+      buf.toSeq
+    }
     val bytes = parquetFiles.map(_.getLen).sum
     val nOut = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
 
@@ -62,6 +78,18 @@ object Compaction {
     else
       df.repartition(nOut).write.mode("overwrite").parquet(tmp.toString)
 
+    // carry sink metadata dirs (commit markers etc.) into the new
+    // generation BEFORE the swap — a copy, not a move, so every rollback
+    // path leaves the original directory complete
+    fs.listStatus(path)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("_"))
+      .foreach { s =>
+        if (!org.apache.hadoop.fs.FileUtil.copy(fs, s.getPath, fs,
+            new Path(tmp, s.getPath.getName), false, spark.sparkContext.hadoopConfiguration))
+          throw new java.io.IOException(
+            s"compaction failed: could not carry ${s.getPath.getName} over")
+      }
+
     // two-rename swap: readers race against old-or-new, never a mix
     val trash = new Path(dir + ".compacted-old")
     fs.delete(trash, true)
@@ -73,8 +101,12 @@ object Compaction {
     }
     fs.delete(trash, true)
 
-    val after = fs.listStatus(path)
-      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val after = {
+      val it = fs.listFiles(path, true)
+      var n = 0
+      while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      n
+    }
     CompactionReport(parquetFiles.length, after, bytes, rows)
   }
 }

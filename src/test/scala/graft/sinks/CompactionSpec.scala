@@ -29,6 +29,33 @@ class CompactionSpec extends AnyFunSuite {
       s"swap left temp dirs behind: ${leftovers.mkString(",")}")
   }
 
+  test("epoch-parquet layout: nested batch dirs flatten, commit markers survive, replay still skips") {
+    val dir = Files.createTempDirectory("graft-compact-eo").toString + "/t"
+    val writer = new ExactlyOnceParquetWriter(dir)
+    // three committed epochs, each with several files
+    (0L to 2L).foreach { b =>
+      writer.write((1L to 1000L).map(i => (b * 10000 + i, s"r$i")).toDF("id", "v").repartition(4), b)
+    }
+    // collect BEFORE the swap: a plan pinned to the old file listing must
+    // not be reused across it (readers get old-or-new, never a mix)
+    val beforeIds = spark.read.parquet(dir).select("id").as[Long].collect().toSet
+    assert(beforeIds.size == 3000)
+
+    val report = Compaction.compactParquet(spark, dir, targetFileBytes = 1L << 40)
+    assert(report.filesBefore == 12 && report.filesAfter == 1, s"got $report")
+    val after = spark.read.parquet(dir)
+    // the epoch partition column survives as lineage data
+    assert(after.count() == 3000L && after.columns.contains("batch"))
+    assert(after.select("id").as[Long].collect().toSet == beforeIds)
+    // commit markers carried over: a checkpoint replay still sees its
+    // batches as committed and writes nothing
+    (0L to 2L).foreach { b =>
+      assert(writer.isCommitted(after, b), s"batch $b marker lost in compaction")
+      writer.write((1L to 5L).map(i => (i, "dup")).toDF("id", "v"), b)
+    }
+    assert(spark.read.parquet(dir).count() == 3000L, "a replayed epoch wrote after compaction")
+  }
+
   test("clustered compaction yields disjoint file ranges (pruning survives the rewrite)") {
     val dir = Files.createTempDirectory("graft-compact-rc").toString + "/t"
     (1L to 9000L).map(i => (i, i % 7)).toDF("k", "v")
