@@ -164,6 +164,28 @@ object Relational extends QueryPack {
         .limit(10)
     }),
 
+    // PIVOT: long-to-wide with an explicit value list — the values are
+    // DECLARED (not discovered), so the plan is one partial-agg shuffle
+    // like any groupBy; an undeclared pivot would need a distinct-values
+    // job first, a hidden extra pass at 100 TB. Sums (not counts) so an
+    // absent cell is NULL in both engines.
+    "q77_pivot" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy($"l_linestatus")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(dsum($"l_quantity"))
+        .orderBy($"l_linestatus")),
+
+    // UNPIVOT (melt): wide-to-long as a pure projection + generate — zero
+    // shuffles; the inverse of q77's shape.
+    "q78_unpivot" -> ((s, d) =>
+      Tables.part(s, d)
+        .select($"p_partkey",
+          $"p_size".cast("double").as("size"),
+          $"p_retailprice".cast("double").as("retail"))
+        .unpivot(Array($"p_partkey"), Array($"size", $"retail"), "metric", "value")
+        .orderBy($"p_partkey", $"metric")),
+
     // Set operations: nations having customers but no suppliers, etc.
     "q15_set_ops" -> ((s, d) => {
       val custNations = Tables.customer(s, d).select($"c_nationkey".cast("int").as("nationkey"))
@@ -364,6 +386,19 @@ object Relational extends QueryPack {
     "q14_topk" -> """
       SELECT o_orderkey, o_custkey, o_totalprice FROM orders
       ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+
+    "q77_pivot" -> """
+      SELECT l_linestatus,
+             CAST(sum(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(28,4)) END) AS DOUBLE) AS "A",
+             CAST(sum(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(28,4)) END) AS DOUBLE) AS "N",
+             CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(28,4)) END) AS DOUBLE) AS "R"
+      FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""",
+
+    "q78_unpivot" -> """
+      SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+      UNION ALL
+      SELECT p_partkey, 'retail' AS metric, CAST(p_retailprice AS DOUBLE) AS value FROM part
+      ORDER BY p_partkey, metric""",
 
     "q15_set_ops" -> """
       SELECT nationkey FROM (
