@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series regularization: resample irregular per-key events onto a
+  * fixed-width bucket grid and forward-fill the gaps — the step between
+  * raw telemetry/event streams and anything that wants one row per
+  * (key, interval): feature windows, training targets, monitoring rollups.
+  *
+  * Shape at 100 TB: everything is keyed on the series key — the per-bucket
+  * aggregate is one map-side-combined shuffle, the grid is a per-key
+  * `sequence` explode (bounded by span/bucket, a parameter the caller
+  * controls via `bucketWidth`), and the forward fill is a per-key ordered
+  * window. Keys are numerous (users/devices/sensors), so the windows run
+  * wide in parallel; nothing orders globally. A single pathologically long
+  * series is bounded by its span, not its event count — the aggregate has
+  * already collapsed events to one row per bucket.
+  *
+  * (The reference has no time-series operators; training-data-pipeline
+  * surface, SURVEY §2.2.)
+  */
+object TimeSeries {
+
+  /** Integer floor division via decimal — same exactness argument as
+    * [[RangeJoin]]'s bucketizer: Column `/` is double division and loses
+    * bucket exactness past 2^53. */
+  private def bucketOf(c: Column, w: Long): Column =
+    ((c - pmod(c, lit(w))).cast("decimal(38,0)") / lit(w)).cast("long")
+
+  /** One row per (key, bucket) over each key's [min, max] bucket span:
+    * `agg` of the in-bucket values where events exist, the previous
+    * bucket's filled value where they don't (forward fill; leading buckets
+    * before a key's first event cannot occur since the grid starts at the
+    * key's own minimum). `tsCol` is numeric (e.g. `unix_micros(ts)`).
+    * Output: (keyCol, bucket, value).
+    */
+  def resampleForwardFill(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String,
+      bucketWidth: Long,
+      agg: Column => Column = max
+  ): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val perBucket = df
+      .select(col(keyCol), bucketOf(col(tsCol), bucketWidth).as("bucket"), col(valueCol))
+      .groupBy(col(keyCol), col("bucket"))
+      .agg(agg(col(valueCol)).as("__v"))
+    val grid = perBucket
+      .groupBy(col(keyCol))
+      .agg(min(col("bucket")).as("__b0"), max(col("bucket")).as("__b1"))
+      .select(col(keyCol), explode(sequence(col("__b0"), col("__b1"))).as("bucket"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // BOTH join sides are corpus-sized derivatives (the grid IS the output
+    // row count; perBucket is an aggregate) whose static size estimates are
+    // garbage — pin sort-merge so neither gets broadcast (the measured
+    // derived-broadcast OOM class; PlanAudit flagged exactly this join).
+    grid
+      .join(perBucket.hint("shuffle_merge"), Seq(keyCol, "bucket"), "left")
+      .withColumn("value", last(col("__v"), ignoreNulls = true).over(w))
+      .select(col(keyCol), col("bucket"), col("value"))
+  }
+}

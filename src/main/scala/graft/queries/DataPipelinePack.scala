@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Chunking, Dedup, Multimodal, RangeJoin, Sampling, Similarity, Skew, TextAnalysis}
+import graft.operators.{Chunking, Dedup, Multimodal, RangeJoin, Sampling, Similarity, Skew, TextAnalysis, TimeSeries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -249,6 +249,17 @@ object DataPipelinePack extends QueryPack {
       val index = Dedup.buildLshIndex(old, "doc_id", "text")
       Dedup.nearDupAgainstIndex(newcomers, "doc_id", "text", index, old)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Time-series resample + forward fill: irregular per-user events onto
+    // a daily grid, gaps carrying the last observed value — keyed shuffles
+    // and per-key windows only, grid bounded by span/bucket.
+    "q79_resample_ffill" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("t"), col("event_id"))
+      TimeSeries.resampleForwardFill(ev, "user_id", "t", "event_id",
+        bucketWidth = 86400000000L)
+        .orderBy(col("user_id"), col("bucket"))
     }),
 
     // Fact-fact join THROUGH the bucketed table layout: both sides
@@ -982,6 +993,22 @@ object DataPipelinePack extends QueryPack {
              CAST(union_cnt AS INTEGER) AS union_cnt
       FROM pairs WHERE 2 * inter_cnt >= union_cnt
       ORDER BY id_a, id_b""",
+
+    // Grid + left join + IGNORE NULLS running last_value — the window
+    // formulation of the same resample; integer bucket arithmetic agrees.
+    "q79_resample_ffill" -> """
+      WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS t, event_id FROM events),
+      ph AS (SELECT user_id, (t - t % 86400000000) // 86400000000 AS bucket,
+                    max(event_id) AS v
+             FROM e GROUP BY 1, 2),
+      span AS (SELECT user_id, min(bucket) AS b0, max(bucket) AS b1 FROM ph GROUP BY 1),
+      grid AS (SELECT user_id, unnest(range(b0, b1 + 1)) AS bucket FROM span),
+      j AS (SELECT g.user_id, g.bucket, ph.v
+            FROM grid g LEFT JOIN ph ON ph.user_id = g.user_id AND ph.bucket = g.bucket)
+      SELECT user_id, bucket,
+             last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+      FROM j ORDER BY user_id, bucket""",
 
     // Layout changes values not at all: the oracle is the plain join+agg.
     "q76_bucketed_join" -> """
