@@ -3,7 +3,7 @@ package graft
 import graft.functions.DotProductDouble
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
 /** The engine's `SparkSessionExtensions` hook — the deployment-time way to
   * expose graft's native Catalyst expressions to pure-SQL users:
@@ -30,9 +30,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_dot(a, b) - codegen'd dot product of two array<double> columns; " +
           "null on length mismatch or null elements (zip_with/aggregate parity)",
         ""),
-      (exprs: Seq[Expression]) => {
-        require(exprs.length == 2, s"graft_dot takes 2 arguments, got ${exprs.length}")
-        DotProductDouble(exprs.head, exprs(1))
-      }))
+      graft.functions.VectorExpressions.dotBuilder))
   }
 }

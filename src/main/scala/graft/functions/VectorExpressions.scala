@@ -73,16 +73,19 @@ object VectorExpressions {
   def dot(a: Column, b: Column): Column =
     GraftShims.column(DotProductDouble(GraftShims.expression(a), GraftShims.expression(b)))
 
+  /** THE `graft_dot` SQL builder — single definition shared by the
+    * build-time [[graft.GraftExtensions]] hook and the runtime [[register]]
+    * path, so the two registration routes can never desynchronize. */
+  val dotBuilder: Seq[Expression] => Expression = exprs => {
+    require(exprs.length == 2, s"graft_dot takes 2 arguments, got ${exprs.length}")
+    DotProductDouble(exprs.head, exprs(1))
+  }
+
   /** Register `graft_dot` for SQL use in this session (the runtime
     * alternative to the build-time [[graft.GraftExtensions]] hook; both use
-    * the same guarded builder, so a session that sees both registrations
-    * behaves identically). */
+    * [[dotBuilder]], so a session that sees both registrations behaves
+    * identically). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot",
-      (exprs: Seq[Expression]) => {
-        require(exprs.length == 2, s"graft_dot takes 2 arguments, got ${exprs.length}")
-        DotProductDouble(exprs.head, exprs(1))
-      },
-      "scala_udf")
+      "graft_dot", dotBuilder, "scala_udf")
 }

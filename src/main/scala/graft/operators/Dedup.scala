@@ -173,13 +173,24 @@ object Dedup {
       s"stripKnownLines: ${lines.size} lines exceeds maxLines=$maxLines — a list this " +
         "large should be a broadcast-join dedupLines pass, not a per-row literal probe")
     if (lines.isEmpty) df.select(col(idCol), col(textCol))
-    else df.select(col(idCol), stripKnownLinesExpr(col(textCol), lines, delim).as(textCol))
+    else df.select(col(idCol),
+      stripKnownLinesExpr(col(textCol), lines, delim, maxLines).as(textCol))
   }
 
   /** The [[stripKnownLines]] transform as a bare column expression, for
     * callers composing it into a wider projection (e.g. a stream with an
-    * event-time column riding alongside). */
-  def stripKnownLinesExpr(text: Column, lines: Seq[String], delim: String = "\n"): Column = {
+    * event-time column riding alongside). Carries the same `maxLines`
+    * loud-failure guard — every entry point must refuse an unbounded list,
+    * since the literal probe is O(|lines|) per document line. */
+  def stripKnownLinesExpr(
+      text: Column,
+      lines: Seq[String],
+      delim: String = "\n",
+      maxLines: Int = 10000
+  ): Column = {
+    require(lines.size <= maxLines,
+      s"stripKnownLines: ${lines.size} lines exceeds maxLines=$maxLines — a list this " +
+        "large should be a broadcast-join dedupLines pass, not a per-row literal probe")
     val listed = typedLit(lines.distinct)
     array_join(
       filter(split(text, java.util.regex.Pattern.quote(delim)),

@@ -79,41 +79,34 @@ object Skew {
     * rows (the C4-family "at most k documents per domain" curation gate).
     * The textbook `row_number().over(partitionBy(key))` serializes every
     * hot key through ONE task — a celebrity domain with 10^8 documents in a
-    * 100 TB web corpus is exactly the key that matters — so this is the
-    * salted two-phase top-k instead:
+    * 100 TB web corpus is exactly the key that matters — so:
     *
-    *  1. per (key, salt): the k smallest order values as a sorted array —
-    *     `saltBuckets` parallel partials per hot key, each bounded at k
-    *     elements regardless of key heat;
-    *  2. per key: merge the partials (≤ saltBuckets·k values, bounded by
-    *     parameters), keep the global k smallest;
-    *  3. left-semi join the kept (key, order) pairs back — SMJ-pinned, the
+    *  1. per key, a BOUNDED top-k aggregate ([[graft.functions.MinKLongs]]):
+    *     a proper `Aggregator`, so map-side partials, shuffle payloads, and
+    *     reducer buffers are all O(k) PER PARTITION regardless of key heat
+    *     (a `collect_list` + slice formulation buffers the whole group —
+    *     O(group) on exactly the hot key this operator targets);
+    *  2. left-semi join the kept (key, order) pairs back — SMJ-pinned, the
     *     kept side being an aggregate derivative whose static size estimate
     *     Catalyst gets wrong (the measured derived-broadcast OOM class).
     *
-    * `orderCol` values must be distinct within a key (use a unique id as
-    * the tiebreak column) — a tie AT the cap boundary would otherwise admit
-    * more than k rows. Returns the surviving rows of `df` unchanged.
+    * `orderCol` must be LongType (a unique id / timestamp) and distinct
+    * within a key — a tie AT the cap boundary would otherwise admit more
+    * than k rows. Returns the surviving rows of `df` unchanged.
     */
   def capPerKey(
       df: DataFrame,
       keyCols: Seq[String],
       orderCol: String,
-      k: Int,
-      saltBuckets: Int = 16
+      k: Int
   ): DataFrame = {
     require(k > 0, "k must be positive")
-    require(saltBuckets > 0, "saltBuckets must be positive")
     val keys = keyCols.map(col)
-    val salted = df
+    val minK = udaf(new graft.functions.MinKLongs(k))
+    val kept = df
       .select(keys :+ col(orderCol): _*)
-      .withColumn("__salt", pmod(xxhash64(col(orderCol)), lit(saltBuckets)))
-    val partials = salted
-      .groupBy(keys :+ col("__salt"): _*)
-      .agg(slice(array_sort(collect_list(col(orderCol))), 1, k).as("__part"))
-    val kept = partials
       .groupBy(keys: _*)
-      .agg(slice(array_sort(flatten(collect_list(col("__part")))), 1, k).as("__keep"))
+      .agg(minK(col(orderCol)).as("__keep"))
       .select(keys :+ explode(col("__keep")).as(orderCol): _*)
     df.join(kept.hint("shuffle_merge"), keyCols :+ orderCol, "left_semi")
   }

@@ -388,14 +388,18 @@ object TextAnalysis {
     require(minMatches > 0, "minMatches must be positive")
     val spark = docs.sparkSession
     import spark.implicits._
+    // LIMIT rides into the collect so an oversized benchmark fails the
+    // require below instead of OOMing the driver before the guard runs —
+    // the guard must fire in exactly the misuse case it exists for
     val benchGrams = bench
       .select(tokens(col(benchTextCol)).as("__toks"))
       .select(explode(Dedup.shinglesOfTokens(col("__toks"), n)).as("__g"))
       .distinct()
+      .limit(maxBenchGrams + 1)
       .as[String].collect()
     require(benchGrams.length <= maxBenchGrams,
-      s"dropContaminatedStateless: benchmark has ${benchGrams.length} distinct $n-grams " +
-        s"(> $maxBenchGrams) — that is corpus-sized, not benchmark-sized; use " +
+      s"dropContaminatedStateless: benchmark has > $maxBenchGrams distinct $n-grams " +
+        "— that is corpus-sized, not benchmark-sized; use " +
         "flagContaminated with broadcastBench=false in a batch pass instead")
     val bc = spark.sparkContext.broadcast(benchGrams.toSet)
     val matches = udf((grams: scala.collection.Seq[String]) =>

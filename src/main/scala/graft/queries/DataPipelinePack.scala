@@ -998,7 +998,13 @@ object DataPipelinePack extends QueryPack {
     // formulation of the same resample; integer bucket arithmetic agrees.
     "q79_resample_ffill" -> """
       WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS t, event_id FROM events),
-      ph AS (SELECT user_id, (t - t % 86400000000) // 86400000000 AS bucket,
+      ph AS (SELECT user_id,
+                    -- sign-corrected floor division: DuckDB's % keeps the
+                    -- dividend's sign and // truncates, so the bare
+                    -- (t - t % w) // w is off by one bucket for t < 0;
+                    -- pmod-then-divide is exact for any sign (the Spark
+                    -- side's bucketOf semantics)
+                    (t - ((t % 86400000000 + 86400000000) % 86400000000)) // 86400000000 AS bucket,
                     max(event_id) AS v
              FROM e GROUP BY 1, 2),
       span AS (SELECT user_id, min(bucket) AS b0, max(bucket) AS b1 FROM ph GROUP BY 1),

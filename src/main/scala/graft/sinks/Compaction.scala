@@ -1,6 +1,6 @@
 package graft.sinks
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileUtil, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.col
 
@@ -14,21 +14,35 @@ import org.apache.spark.sql.functions.col
   * optionally range-clustered so the rewrite also buys min/max pruning
   * ([[ClusteredWrite]]) — then swaps it in.
   *
+  * PARTITIONED layouts (`batch=3/`, `split=train/`) are PRESERVED: the
+  * rewrite keeps the same partition directories (merging the files inside
+  * them), so a sink that keeps appending new partition dirs after the
+  * compaction continues to read cleanly — flattening them would leave new
+  * epochs' partition dirs conflicting with flattened root files.
+  *
+  * [[ExactlyOnceParquetWriter]] directories get their exactly-once
+  * semantics preserved end to end: only batches with a commit marker are
+  * rewritten (an epoch whose writer crashed between data write and marker
+  * rename must NOT be baked into the new generation — its replay would
+  * then duplicate every row), uncommitted batch dirs are carried over
+  * byte-for-byte so the replay's idempotent overwrite still targets them,
+  * and the `_graft_commits` markers ride along so committed batches still
+  * skip on replay.
+  *
   * The swap is two renames on the directory (current → trash, compacted →
   * current). On HDFS and local filesystems a rename is atomic, so readers
   * see old-or-new, never a mix; object stores without atomic rename should
   * point `compactParquet` at a NEW generation path and flip a pointer
   * (manifest, view, or table metadata) instead — the same discipline every
-  * table format uses. Writers must be quiesced for the swap window (a
-  * compaction concurrent with a live appender loses the appender's files;
-  * run it from the maintenance slot of the pipeline that owns the
-  * directory — [[graft.pipeline.PipelineRunner]]'s single-writer lock is
-  * exactly the fence to hold).
+  * table format uses. Writers must be quiesced for the swap window (run it
+  * from the maintenance slot of the pipeline that owns the directory —
+  * [[graft.pipeline.PipelineRunner]]'s single-writer lock is exactly the
+  * fence to hold).
   *
-  * Sizing: `targetFileBytes` is compared against the directory's CURRENT
-  * parquet bytes; the file count is `ceil(bytes / target)` — compressed
-  * size in, compressed size out is the right first-order model since the
-  * rewrite preserves encoding and codec.
+  * Sizing: `targetFileBytes` against the directory's current parquet
+  * bytes; file count `ceil(bytes / target)` — compressed in, compressed
+  * out is the right first-order model since the rewrite preserves encoding
+  * and codec. The report is metadata-only (listings), no extra data scan.
   */
 object Compaction {
 
@@ -36,16 +50,8 @@ object Compaction {
       filesBefore: Int,
       filesAfter: Int,
       bytes: Long,
-      rows: Long)
+      skippedUncommitted: Int)
 
-  /** Partition subdirectories (`batch=3/`, `split=train/`) are FLATTENED:
-    * their inferred columns ride along as ordinary data columns in the
-    * compacted files — for an epoch-parquet sink that flattening is the
-    * point (per-trigger dirs are accidental layout, and the `batch` column
-    * survives as lineage). Metadata directories (names starting with `_`,
-    * e.g. the exactly-once sink's `_graft_commits` markers) are carried
-    * over to the compacted generation unchanged, so a checkpoint replay
-    * after compaction still sees its batches as committed. */
   def compactParquet(
       spark: SparkSession,
       dir: String,
@@ -54,38 +60,69 @@ object Compaction {
   ): CompactionReport = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val path = new Path(dir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = path.getFileSystem(conf)
 
-    // recursive: a streaming sink's files sit in per-epoch/partition subdirs
-    val parquetFiles = {
-      val it = fs.listFiles(path, true)
-      val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.LocatedFileStatus]
+    def countParquet(p: Path): (Int, Long) = {
+      val it = fs.listFiles(p, true)
+      var n = 0
+      var bytes = 0L
       while (it.hasNext) {
         val s = it.next()
-        if (s.getPath.getName.endsWith(".parquet")) buf += s
+        if (s.getPath.getName.endsWith(".parquet")) { n += 1; bytes += s.getLen }
       }
-      buf.toSeq
+      (n, bytes)
     }
-    val bytes = parquetFiles.map(_.getLen).sum
-    val nOut = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
 
-    val df = spark.read.parquet(dir)
-    val rows = df.count()
+    val top = fs.listStatus(path)
+    // Hive-style partition dirs at the top level ("k=v"); one level deep
+    // covers the epoch sink and split layouts this engine writes
+    val partDirs = top.filter(s => s.isDirectory && s.getPath.getName.contains("="))
+    val partCols = partDirs.map(_.getPath.getName.split("=", 2)(0)).distinct.toSeq
+    require(partCols.size <= 1,
+      s"compactParquet handles at most one partition level, found: ${partCols.mkString(", ")}")
+
+    // exactly-once sinks: rewrite ONLY committed batches
+    val commitsDir = new Path(path, "_graft_commits")
+    val committed: Option[Set[Long]] =
+      if (fs.exists(commitsDir))
+        Some(fs.listStatus(commitsDir).map(_.getPath.getName)
+          .collect { case n if n.startsWith("batch-") => n.stripPrefix("batch-").toLong }.toSet)
+      else None
+    val (toCompact, toCarry) = (committed, partCols.headOption) match {
+      case (Some(ids), Some("batch")) =>
+        partDirs.partition(s => ids.contains(s.getPath.getName.stripPrefix("batch=").toLong))
+      case _ => (partDirs, Array.empty[org.apache.hadoop.fs.FileStatus])
+    }
+
+    val (filesBefore, bytes) = countParquet(path)
+    val compactBytes =
+      if (partDirs.isEmpty) bytes else toCompact.map(s => countParquet(s.getPath)._2).sum
+    val nOut = math.max(1L, (compactBytes + targetFileBytes - 1) / targetFileBytes).toInt
+
+    val sources =
+      if (partDirs.isEmpty) Seq(dir)
+      else toCompact.map(_.getPath.toString).toSeq
     val tmp = new Path(dir + ".compacting")
     fs.delete(tmp, true)
-    if (clusterCols.nonEmpty)
-      ClusteredWrite.parquet(df, tmp.toString, clusterCols, numFiles = nOut)
-    else
-      df.repartition(nOut).write.mode("overwrite").parquet(tmp.toString)
+    if (sources.nonEmpty) {
+      val df = spark.read.option("basePath", dir).parquet(sources: _*)
+      val pcols = partCols.map(col)
+      val shaped =
+        if (clusterCols.nonEmpty)
+          df.repartitionByRange(nOut, pcols ++ clusterCols.map(col): _*)
+            .sortWithinPartitions(pcols ++ clusterCols.map(col): _*)
+        else if (partCols.nonEmpty) df.repartition(nOut, pcols: _*)
+        else df.repartition(nOut)
+      shaped.write.mode("overwrite").partitionBy(partCols: _*).parquet(tmp.toString)
+    } else fs.mkdirs(tmp)
 
-    // carry sink metadata dirs (commit markers etc.) into the new
-    // generation BEFORE the swap — a copy, not a move, so every rollback
+    // carry metadata dirs (commit markers) and uncommitted epochs into the
+    // new generation BEFORE the swap — copies, not moves, so every rollback
     // path leaves the original directory complete
-    fs.listStatus(path)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("_"))
+    (top.filter(s => s.isDirectory && s.getPath.getName.startsWith("_")) ++ toCarry)
       .foreach { s =>
-        if (!org.apache.hadoop.fs.FileUtil.copy(fs, s.getPath, fs,
-            new Path(tmp, s.getPath.getName), false, spark.sparkContext.hadoopConfiguration))
+        if (!FileUtil.copy(fs, s.getPath, fs, new Path(tmp, s.getPath.getName), false, conf))
           throw new java.io.IOException(
             s"compaction failed: could not carry ${s.getPath.getName} over")
       }
@@ -101,12 +138,6 @@ object Compaction {
     }
     fs.delete(trash, true)
 
-    val after = {
-      val it = fs.listFiles(path, true)
-      var n = 0
-      while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) n += 1
-      n
-    }
-    CompactionReport(parquetFiles.length, after, bytes, rows)
+    CompactionReport(filesBefore, countParquet(path)._1, bytes, toCarry.length)
   }
 }

@@ -144,7 +144,7 @@ object ScaleSmoke {
               .otherwise(lit(hourUs) / 2)).as(e))
     // Per-key cap with PATHOLOGICAL heat: keyed on lang (a handful of
     // values over the whole widened corpus — every key is a hot key), the
-    // regime the salted two-phase exists for.
+    // regime the bounded top-k Aggregator exists for.
     time("cap per key (all-hot keys)")(
       Skew.capPerKey(docs.select(col("lang"), col("doc_id")), Seq("lang"), "doc_id", k = 100))
     time("token-budget cut per lang")(

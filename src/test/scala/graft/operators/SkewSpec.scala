@@ -39,7 +39,7 @@ class SkewSpec extends AnyFunSuite {
       (1L to 50L).flatMap(k => (1L to 40L).map(i => (s"dom$k", k * 1000000L + i)))
     val df = rows.toDF("domain", "item_id").repartition(16)
     for (k <- Seq(1, 5)) {
-      val capped = Skew.capPerKey(df, Seq("domain"), "item_id", k, saltBuckets = 8)
+      val capped = Skew.capPerKey(df, Seq("domain"), "item_id", k)
         .as[(String, Long)].collect().toSet
       val windowed = df
         .withColumn("rn", row_number().over(Window.partitionBy("domain").orderBy("item_id")))
@@ -51,5 +51,23 @@ class SkewSpec extends AnyFunSuite {
     // the scale claim itself: no Window over the raw key partition
     val plan = Skew.capPerKey(df, Seq("domain"), "item_id", 3).queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"capPerKey must not plan a per-key window:\n$plan")
+  }
+
+  test("MinKLongs buffer is bounded at k through reduce and merge, in any order") {
+    val agg = new graft.functions.MinKLongs(3)
+    // reduce a hot stream of 10k values: buffer never exceeds k
+    var b = agg.zero
+    val rnd = new scala.util.Random(7)
+    val vals = (1 to 10000).map(_ => rnd.nextLong() % 1000000)
+    vals.foreach { v =>
+      b = agg.reduce(b, v)
+      assert(b.length <= 3 && b == b.sorted)
+    }
+    assert(agg.finish(b) == vals.sorted.take(3))
+    // merge of two independently reduced halves equals the whole
+    val (h1, h2) = vals.splitAt(5000)
+    val m = agg.merge(
+      h1.foldLeft(agg.zero)(agg.reduce), h2.foldLeft(agg.zero)(agg.reduce))
+    assert(m == vals.sorted.take(3).toVector)
   }
 }

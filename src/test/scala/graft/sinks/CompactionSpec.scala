@@ -9,18 +9,22 @@ class CompactionSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  test("compaction shrinks the file count, preserves every row, and the swap leaves no temp dirs") {
+  private def parquetFiles(dir: String): Seq[String] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles.toSeq.flatMap(walk) else Seq(f)
+    walk(new java.io.File(dir)).map(_.getName).filter(_.endsWith(".parquet"))
+  }
+
+  test("flat dir: file count shrinks, every row survives, the swap leaves no temp dirs") {
     val dir = Files.createTempDirectory("graft-compact").toString + "/t"
     val rows = (1L to 20000L).map(i => (i, s"payload $i"))
     // a streaming sink's pathology: many tiny files
     rows.toDF("id", "payload").repartition(64).write.parquet(dir)
-    val before = new java.io.File(dir).listFiles.count(_.getName.endsWith(".parquet"))
-    assert(before == 64)
+    assert(parquetFiles(dir).size == 64)
 
     val report = Compaction.compactParquet(spark, dir, targetFileBytes = 1L << 40)
     assert(report.filesBefore == 64 && report.filesAfter == 1,
       s"one target-sized file expected, got $report")
-    assert(report.rows == 20000L)
     assert(spark.read.parquet(dir).as[(Long, String)].collect().toSet == rows.toSet,
       "compaction must be row-lossless")
     val leftovers = new java.io.File(dir).getParentFile.listFiles
@@ -29,31 +33,57 @@ class CompactionSpec extends AnyFunSuite {
       s"swap left temp dirs behind: ${leftovers.mkString(",")}")
   }
 
-  test("epoch-parquet layout: nested batch dirs flatten, commit markers survive, replay still skips") {
+  test("epoch layout: partition dirs preserved, markers survive, replay skips, NEW epochs land cleanly") {
     val dir = Files.createTempDirectory("graft-compact-eo").toString + "/t"
     val writer = new ExactlyOnceParquetWriter(dir)
-    // three committed epochs, each with several files
     (0L to 2L).foreach { b =>
       writer.write((1L to 1000L).map(i => (b * 10000 + i, s"r$i")).toDF("id", "v").repartition(4), b)
     }
-    // collect BEFORE the swap: a plan pinned to the old file listing must
-    // not be reused across it (readers get old-or-new, never a mix)
     val beforeIds = spark.read.parquet(dir).select("id").as[Long].collect().toSet
     assert(beforeIds.size == 3000)
 
     val report = Compaction.compactParquet(spark, dir, targetFileBytes = 1L << 40)
-    assert(report.filesBefore == 12 && report.filesAfter == 1, s"got $report")
+    // layout preserved: files merge WITHIN each batch dir (3 dirs remain)
+    assert(report.filesBefore == 12 && report.filesAfter == 3, s"got $report")
     val after = spark.read.parquet(dir)
-    // the epoch partition column survives as lineage data
-    assert(after.count() == 3000L && after.columns.contains("batch"))
+    assert(after.columns.contains("batch"), "partition column must survive")
     assert(after.select("id").as[Long].collect().toSet == beforeIds)
-    // commit markers carried over: a checkpoint replay still sees its
-    // batches as committed and writes nothing
+
+    // committed replays still skip (markers carried over)
     (0L to 2L).foreach { b =>
       assert(writer.isCommitted(after, b), s"batch $b marker lost in compaction")
       writer.write((1L to 5L).map(i => (i, "dup")).toDF("id", "v"), b)
     }
     assert(spark.read.parquet(dir).count() == 3000L, "a replayed epoch wrote after compaction")
+
+    // a genuinely NEW epoch after compaction must read cleanly alongside
+    // the compacted generation (flattening would make the layouts conflict)
+    writer.write((1L to 100L).map(i => (90000 + i, "new")).toDF("id", "v"), 3L)
+    assert(spark.read.parquet(dir).count() == 3100L,
+      "post-compaction epoch conflicts with the compacted layout")
+  }
+
+  test("uncommitted epoch is NOT baked in: its replay after compaction writes exactly once") {
+    val dir = Files.createTempDirectory("graft-compact-uc").toString + "/t"
+    val writer = new ExactlyOnceParquetWriter(dir)
+    (0L to 1L).foreach { b =>
+      writer.write((1L to 500L).map(i => (b * 10000 + i, "ok")).toDF("id", "v"), b)
+    }
+    // simulate a writer that crashed between data write and marker rename:
+    // batch=2 data exists, no commit marker
+    (1L to 500L).map(i => (20000 + i, "crashed")).toDF("id", "v")
+      .write.parquet(s"$dir/batch=2")
+
+    val report = Compaction.compactParquet(spark, dir, targetFileBytes = 1L << 40)
+    assert(report.skippedUncommitted == 1, s"uncommitted epoch not detected: $report")
+
+    // the replay rewrites batch 2 idempotently — every batch-2 row exactly once
+    writer.write((1L to 500L).map(i => (20000 + i, "replayed")).toDF("id", "v"), 2L)
+    val after = spark.read.parquet(dir)
+    assert(after.count() == 1500L, "replayed epoch duplicated rows after compaction")
+    assert(after.filter(col("v") === "replayed").count() == 500L)
+    assert(after.filter(col("v") === "crashed").count() === 0L,
+      "the crashed partial write must be replaced by its replay, not merged with it")
   }
 
   test("clustered compaction yields disjoint file ranges (pruning survives the rewrite)") {
