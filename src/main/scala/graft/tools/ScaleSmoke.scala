@@ -125,6 +125,20 @@ object ScaleSmoke {
     time("domain blocklist filter")(
       TextAnalysis.filterByDomainBlocklist(docs, "doc_id", "text", blocklist))
 
+    // Incremental dedup against a persisted index: the index covers the
+    // WIDENED corpus (every text in a mult-wide identical cluster), the
+    // newcomer batch is the unwidened original — so every newcomer hits
+    // mult index twins, the adversarial bucket-width case for the
+    // candidate join. Exact-fingerprint variant drops every newcomer.
+    val newcomers = Tables.documents(spark, sfDir)
+      .select((col("doc_id") + 900000000L).as("doc_id"), col("text"))
+    time("near-dup vs LSH index")(
+      Dedup.nearDupAgainstIndex(newcomers, "doc_id", "text",
+        Dedup.buildLshIndex(docs, "doc_id", "text"), docs))
+    time("exact dedup vs fingerprint index")(
+      Dedup.dropKnownFingerprints(newcomers, "text",
+        Dedup.buildFingerprintIndex(docs, "text")))
+
     // Range join with SKEWED interval lengths — the maxFanOut guard's
     // adversarial regime: most intervals span one bucket, every 97th spans
     // ~50 of the 64 allowed, so the exploded side mixes 1-row and 51-row
