@@ -186,6 +186,22 @@ object Relational extends QueryPack {
         .unpivot(Array($"p_partkey"), Array($"size", $"retail"), "metric", "value")
         .orderBy($"p_partkey", $"metric")),
 
+    // FULL OUTER join: per-nation customer/supplier counts stitched with
+    // both-sided null preservation — the one join flavor the pack lacked.
+    // Aggregates run BEFORE the join (nation-count-sized inputs), so the
+    // outer join is dimension-scale regardless of corpus size.
+    "q80_full_outer" -> ((s, d) => {
+      val c = Tables.customer(s, d).groupBy($"c_nationkey".cast("int").as("nationkey"))
+        .agg(count(lit(1)).as("n_cust"))
+      val su = Tables.supplier(s, d).groupBy($"s_nationkey".cast("int").as("nationkey"))
+        .agg(count(lit(1)).as("n_supp"))
+      c.join(su, Seq("nationkey"), "full_outer")
+        .select($"nationkey",
+          coalesce($"n_cust", lit(0L)).as("n_cust"),
+          coalesce($"n_supp", lit(0L)).as("n_supp"))
+        .orderBy($"nationkey")
+    }),
+
     // Set operations: nations having customers but no suppliers, etc.
     "q15_set_ops" -> ((s, d) => {
       val custNations = Tables.customer(s, d).select($"c_nationkey".cast("int").as("nationkey"))
@@ -386,6 +402,17 @@ object Relational extends QueryPack {
     "q14_topk" -> """
       SELECT o_orderkey, o_custkey, o_totalprice FROM orders
       ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+
+    "q80_full_outer" -> """
+      WITH c AS (SELECT CAST(c_nationkey AS INTEGER) AS nationkey, count(*) AS n_cust
+                 FROM customer GROUP BY 1),
+           s AS (SELECT CAST(s_nationkey AS INTEGER) AS nationkey, count(*) AS n_supp
+                 FROM supplier GROUP BY 1)
+      SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+             CAST(coalesce(n_cust, 0) AS BIGINT) AS n_cust,
+             CAST(coalesce(n_supp, 0) AS BIGINT) AS n_supp
+      FROM c FULL OUTER JOIN s ON s.nationkey = c.nationkey
+      ORDER BY nationkey""",
 
     "q77_pivot" -> """
       SELECT l_linestatus,
