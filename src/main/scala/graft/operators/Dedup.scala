@@ -169,9 +169,8 @@ object Dedup {
       delim: String = "\n",
       maxLines: Int = 10000
   ): DataFrame = {
-    require(lines.size <= maxLines,
-      s"stripKnownLines: ${lines.size} lines exceeds maxLines=$maxLines — a list this " +
-        "large should be a broadcast-join dedupLines pass, not a per-row literal probe")
+    // the maxLines loud-failure guard lives in stripKnownLinesExpr, which
+    // every non-trivial path goes through
     if (lines.isEmpty) df.select(col(idCol), col(textCol))
     else df.select(col(idCol),
       stripKnownLinesExpr(col(textCol), lines, delim, maxLines).as(textCol))

@@ -92,7 +92,11 @@ object Skew {
     *
     * `orderCol` must be LongType (a unique id / timestamp) and distinct
     * within a key — a tie AT the cap boundary would otherwise admit more
-    * than k rows. Returns the surviving rows of `df` unchanged.
+    * than k rows. NULL order values are excluded before aggregation (the
+    * typed Long path would decode them as 0 and displace a real k-th
+    * value) and such rows never survive — same outcome as the
+    * null-skipping row_number formulation. Returns the surviving rows of
+    * `df` unchanged.
     */
   def capPerKey(
       df: DataFrame,
@@ -105,6 +109,7 @@ object Skew {
     val minK = udaf(new graft.functions.MinKLongs(k))
     val kept = df
       .select(keys :+ col(orderCol): _*)
+      .filter(col(orderCol).isNotNull)
       .groupBy(keys: _*)
       .agg(minK(col(orderCol)).as("__keep"))
       .select(keys :+ explode(col("__keep")).as(orderCol): _*)

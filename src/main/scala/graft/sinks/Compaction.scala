@@ -2,7 +2,7 @@ package graft.sinks
 
 import org.apache.hadoop.fs.{FileUtil, Path}
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, xxhash64}
 
 /** Small-file compaction for parquet directories — the maintenance pass
   * every streaming sink needs at scale. A micro-batch sink (epoch parquet,
@@ -81,8 +81,20 @@ object Compaction {
     val partCols = partDirs.map(_.getPath.getName.split("=", 2)(0)).distinct.toSeq
     require(partCols.size <= 1,
       s"compactParquet handles at most one partition level, found: ${partCols.mkString(", ")}")
+    // a MIXED layout (loose root parquet beside partition dirs) must fail
+    // loudly: the rewrite would read only the partition dirs and the swap
+    // would silently DELETE the loose files' rows
+    if (partCols.nonEmpty) {
+      val loose = top.filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      require(loose.isEmpty,
+        s"compactParquet: $dir mixes ${loose.length} root-level parquet file(s) with " +
+          s"${partDirs.length} partition dir(s) — compaction would drop the loose files; " +
+          "repair the layout first (move the loose files into a partition dir or a separate path)")
+    }
 
-    // exactly-once sinks: rewrite ONLY committed batches
+    // exactly-once sinks: rewrite ONLY committed batches; a batch dir whose
+    // value does not parse as a long (hand-placed, HIVE_DEFAULT_PARTITION)
+    // is treated as uncommitted — carried over untouched, never rewritten
     val commitsDir = new Path(path, "_graft_commits")
     val committed: Option[Set[Long]] =
       if (fs.exists(commitsDir))
@@ -91,7 +103,9 @@ object Compaction {
       else None
     val (toCompact, toCarry) = (committed, partCols.headOption) match {
       case (Some(ids), Some("batch")) =>
-        partDirs.partition(s => ids.contains(s.getPath.getName.stripPrefix("batch=").toLong))
+        partDirs.partition(s =>
+          scala.util.Try(s.getPath.getName.stripPrefix("batch=").toLong)
+            .toOption.exists(ids.contains))
       case _ => (partDirs, Array.empty[org.apache.hadoop.fs.FileStatus])
     }
 
@@ -108,13 +122,26 @@ object Compaction {
     if (sources.nonEmpty) {
       val df = spark.read.option("basePath", dir).parquet(sources: _*)
       val pcols = partCols.map(col)
-      val shaped =
-        if (clusterCols.nonEmpty)
-          df.repartitionByRange(nOut, pcols ++ clusterCols.map(col): _*)
-            .sortWithinPartitions(pcols ++ clusterCols.map(col): _*)
-        else if (partCols.nonEmpty) df.repartition(nOut, pcols: _*)
-        else df.repartition(nOut)
-      shaped.write.mode("overwrite").partitionBy(partCols: _*).parquet(tmp.toString)
+      if (partCols.isEmpty && clusterCols.nonEmpty)
+        // flat + clustered: delegate to the canonical range-layout writer
+        ClusteredWrite.parquet(df, tmp.toString, clusterCols, numFiles = nOut)
+      else {
+        val shaped =
+          if (clusterCols.nonEmpty)
+            df.repartitionByRange(nOut, pcols ++ clusterCols.map(col): _*)
+              .sortWithinPartitions(pcols ++ clusterCols.map(col): _*)
+          else if (partCols.nonEmpty) {
+            // range on (partition, uniform spread): partition values stay
+            // contiguous while a big partition SPLITS across tasks — a bare
+            // repartition(n, partCol) would hash each partition value to
+            // one task and one output file, ignoring targetFileBytes
+            val spread = xxhash64(df.columns.map(col): _*)
+            df.withColumn("__spread", spread)
+              .repartitionByRange(nOut, pcols :+ col("__spread"): _*)
+              .drop("__spread")
+          } else df.repartition(nOut)
+        shaped.write.mode("overwrite").partitionBy(partCols: _*).parquet(tmp.toString)
+      }
     } else fs.mkdirs(tmp)
 
     // carry metadata dirs (commit markers) and uncommitted epochs into the

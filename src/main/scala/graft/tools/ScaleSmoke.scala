@@ -130,8 +130,11 @@ object ScaleSmoke {
     // newcomer batch is the unwidened original — so every newcomer hits
     // mult index twins, the adversarial bucket-width case for the
     // candidate join. Exact-fingerprint variant drops every newcomer.
+    // offset sits BETWEEN widen()'s replica bands (i * 100000000L + id with
+    // id << 50M), so newcomer ids can never collide with a widened id at
+    // any mult — a +900000000L offset would equal the i=9 replica's band
     val newcomers = Tables.documents(spark, sfDir)
-      .select((col("doc_id") + 900000000L).as("doc_id"), col("text"))
+      .select((col("doc_id") + 50000000L).as("doc_id"), col("text"))
     time("near-dup vs LSH index")(
       Dedup.nearDupAgainstIndex(newcomers, "doc_id", "text",
         Dedup.buildLshIndex(docs, "doc_id", "text"), docs))

@@ -53,6 +53,17 @@ class SkewSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"capPerKey must not plan a per-key window:\n$plan")
   }
 
+  test("capPerKey: NULL order values neither survive nor displace real k-smallest values") {
+    val df = Seq(
+      (Some(10L), "a"), (None: Option[Long], "a"), (Some(20L), "a"), (Some(30L), "a"),
+      (Some(5L), "b"))
+      .toDF("item_id", "domain")
+    val kept = Skew.capPerKey(df, Seq("domain"), "item_id", k = 2)
+      .select("domain", "item_id").as[(String, Option[Long])].collect().toSet
+    // the null row is gone AND did not consume one of a's two slots
+    assert(kept == Set(("a", Some(10L)), ("a", Some(20L)), ("b", Some(5L))))
+  }
+
   test("MinKLongs buffer is bounded at k through reduce and merge, in any order") {
     val agg = new graft.functions.MinKLongs(3)
     // reduce a hot stream of 10k values: buffer never exceeds k

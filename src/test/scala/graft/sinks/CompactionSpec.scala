@@ -86,6 +86,38 @@ class CompactionSpec extends AnyFunSuite {
       "the crashed partial write must be replaced by its replay, not merged with it")
   }
 
+  test("mixed flat+partitioned layout is refused loudly, not silently dropped") {
+    val dir = Files.createTempDirectory("graft-compact-mx").toString + "/t"
+    (1L to 100L).map(i => (i, "root")).toDF("id", "v").coalesce(1).write.parquet(dir)
+    (1L to 100L).map(i => (1000 + i, "part")).toDF("id", "v").write.parquet(s"$dir/batch=0")
+    val err = intercept[IllegalArgumentException] {
+      Compaction.compactParquet(spark, dir)
+    }
+    assert(err.getMessage.contains("loose"), err.getMessage)
+    // nothing touched: both generations still on disk (a mixed-layout READ
+    // is itself ambiguous in Spark — which is exactly why compaction must
+    // refuse rather than rewrite what a read happens to return)
+    assert(new java.io.File(dir).listFiles.exists(_.getName.endsWith(".parquet")))
+    assert(spark.read.parquet(s"$dir/batch=0").count() == 100L)
+    assert(spark.read.parquet(dir).count() == 100L) // the loose generation
+  }
+
+  test("a big partition splits across multiple target-sized files, not one file per dir") {
+    val dir = Files.createTempDirectory("graft-compact-sz").toString + "/t"
+    val writer = new ExactlyOnceParquetWriter(dir)
+    (0L to 1L).foreach { b =>
+      writer.write((1L to 20000L).map(i => (b * 100000 + i, s"payload $i")).toDF("id", "v")
+        .repartition(8), b)
+    }
+    val report = Compaction.compactParquet(spark, dir, targetFileBytes = 64L * 1024)
+    assert(report.filesBefore == 16)
+    // 2 partition dirs but a sub-target file budget: each dir must hold
+    // several files (a repartition-on-partition-column rewrite would give
+    // exactly one file per dir regardless of target)
+    assert(report.filesAfter > 2, s"partition dirs were not split by size: $report")
+    assert(spark.read.parquet(dir).count() == 40000L)
+  }
+
   test("clustered compaction yields disjoint file ranges (pruning survives the rewrite)") {
     val dir = Files.createTempDirectory("graft-compact-rc").toString + "/t"
     (1L to 9000L).map(i => (i, i % 7)).toDF("k", "v")
