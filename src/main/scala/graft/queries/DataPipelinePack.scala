@@ -251,6 +251,23 @@ object DataPipelinePack extends QueryPack {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ANN over the INT8-DEQUANTIZED vectors — the quantized-storage
+    // retrieval path end-to-end under the oracle: quantize (q66's exact
+    // arithmetic) → dequantize → brute-force cosine top-k (q26's shape).
+    // Both engines replay quantize+dequantize with identical double
+    // arithmetic, so even the ranking is oracle-exact.
+    "q81_ann_quantized" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val deq = Similarity.quantizeInt8(e, "vec_id", "embedding")
+        .select(col("vec_id"),
+          Similarity.dequantize(col("qvec"), col("scale")).as("embedding"))
+      Similarity.bruteForceTopK(
+        vectors = deq, vectorId = "vec_id", vectorCol = "embedding",
+        probes = deq.filter(col("vec_id") < 10), probeId = "vec_id", probeCol = "embedding",
+        k = 5)
+        .orderBy(col("probe_id"), col("rnk"))
+    }),
+
     // Time-series resample + forward fill: irregular per-user events onto
     // a daily grid, gaps carrying the last observed value — keyed shuffles
     // and per-key windows only, grid bounded by span/bucket.
@@ -993,6 +1010,29 @@ object DataPipelinePack extends QueryPack {
              CAST(union_cnt AS INTEGER) AS union_cnt
       FROM pairs WHERE 2 * inter_cnt >= union_cnt
       ORDER BY id_a, id_b""",
+
+    // q66's quantize arithmetic + int*double dequantize + q26's cosine
+    // ranking, all in identical double arithmetic.
+    "q81_ann_quantized" -> """
+      WITH s AS (
+        SELECT vec_id, embedding,
+               list_max([CAST(abs(y) AS DOUBLE) for y in embedding]) / 127.0 AS scale
+        FROM embeddings),
+      dq AS (
+        SELECT vec_id,
+               CASE WHEN scale = 0
+                    THEN [CAST(0 AS DOUBLE) for x in embedding]
+                    ELSE [CAST(round(CAST(x AS DOUBLE) / scale) AS INTEGER) * scale for x in embedding]
+               END AS v
+        FROM s),
+      p AS (SELECT vec_id AS probe_id, v AS pv FROM dq WHERE vec_id < 10),
+      sc AS (SELECT probe_id, dq.vec_id AS nbr_id, list_cosine_similarity(pv, dq.v) AS sim
+             FROM p CROSS JOIN dq WHERE dq.vec_id != probe_id),
+      r AS (SELECT probe_id, nbr_id, sim,
+                   row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, nbr_id) AS rnk
+            FROM sc)
+      SELECT probe_id, CAST(rnk AS INTEGER) AS rnk, nbr_id, round(sim, 4) AS cos_sim
+      FROM r WHERE rnk <= 5 ORDER BY probe_id, rnk""",
 
     // Grid + left join + IGNORE NULLS running last_value — the window
     // formulation of the same resample; integer bucket arithmetic agrees.

@@ -56,7 +56,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // q73: the two-phase prefix sum's offset table (|groups|·256 rows,
     // bounded by the enum-sized group cardinality and the bucket knob)
     // broadcast back — q60's pack-offset class.
-    "q73_token_budget" -> (0, 0, 1)
+    "q73_token_budget" -> (0, 0, 1),
+    // q81: q26's brute-force shape over the dequantized vectors — the
+    // probe set is parameter-bounded and broadcast by design.
+    "q81_ann_quantized" -> (0, 1, 0)
   )
 
   test("no query plans an unjustified cartesian / BNLJ / derived broadcast") {
