@@ -65,8 +65,15 @@ object StreamingCuration {
     * appends the stream-safe decontamination gate
     * ([[TextAnalysis.dropContaminatedStateless]]) — both are pure per-row
     * transforms, so they ride the stream with zero added state.
-    * `dedupHorizon` swaps corpus-lifetime exact-dedup state for
-    * watermark-bounded state (see [[DedupHorizon]] for the trade). */
+    * `historyIndex` dedups the stream against ALL previously curated
+    * corpora via [[Dedup.dropKnownFingerprints]] — a stream-static anti
+    * join, so history costs the stream NO state at all (the static index
+    * is re-read per micro-batch, picking up new index generations live);
+    * in-stream duplicates are still caught by the stateful stage after
+    * it. `dedupHorizon` swaps that stage's corpus-lifetime state for
+    * watermark-bounded state (see [[DedupHorizon]] for the trade) — with
+    * a `historyIndex` carrying the long-term memory, the bounded horizon
+    * is usually the right pairing. */
   def curate(
       stream: DataFrame,
       numHashes: Int = 64,
@@ -74,7 +81,8 @@ object StreamingCuration {
       maxBucket: Int = 1024,
       boilerplateLines: Seq[String] = Nil,
       benchmark: Option[DataFrame] = None,
-      dedupHorizon: Option[DedupHorizon] = None
+      dedupHorizon: Option[DedupHorizon] = None,
+      historyIndex: Option[DataFrame] = None
   ): StreamingCurationStreams = {
     // withColumn keeps every stream column (e.g. the horizon's event-time
     // column) riding alongside the stripped text
@@ -86,8 +94,12 @@ object StreamingCuration {
       stripped, keep = dedupHorizon.map(_.tsCol).toSeq)
     // decontamination is a pure per-row probe (stateless), so it sits
     // before the stateful dedup and the candidates branch sees it too
-    val decon = benchmark.fold(gated)(b =>
+    val deconOnly = benchmark.fold(gated)(b =>
       TextAnalysis.dropContaminatedStateless(gated, "doc_id", "text", b, "text"))
+    // history dedup is a stream-static anti join — also stateless on the
+    // stream side, so candidates branch after it as well
+    val decon = historyIndex.fold(deconOnly)(idx =>
+      Dedup.dropKnownFingerprints(deconOnly, "text", idx))
     // keyed on the md5 fingerprint, not the text itself: dedup state holds
     // 32 hex chars per distinct document instead of the document
     val fp = decon.withColumn("__fp", md5(col("text")))

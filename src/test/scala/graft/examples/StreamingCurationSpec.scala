@@ -145,6 +145,34 @@ class StreamingCurationSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("historyIndex drops a stream's FIRST arrival of an already-curated text, at zero stream state") {
+    val yesterday = "the cat and the dog is in the house of the king"
+    val fresh = "the fox and the hen is of the barn and the yard"
+    // yesterday's curated corpus, persisted as a fingerprint index
+    val index = Dedup.buildFingerprintIndex(
+      Seq((1L, yesterday)).toDF("doc_id", "text"), "text")
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val streams = StreamingCuration.curate(in.toDF().toDF("doc_id", "text"),
+      historyIndex = Some(index))
+    try spark.catalog.dropTempView("scur_hist") catch { case _: Exception => () }
+    val q = streams.survivors.writeStream
+      .format("memory").queryName("scur_hist").outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("graft-scur-hist").toString)
+      .start()
+    try {
+      // doc 10 re-arrives yesterday's text (its first arrival ON THIS
+      // STREAM — only the history index can know it); 11 is new; 12 is an
+      // in-stream duplicate of 11 caught by the stateful stage
+      in.addData(Seq((10L, yesterday), (11L, fresh))); q.processAllAvailable()
+      in.addData(Seq((12L, fresh))); q.processAllAvailable()
+      val ids = spark.table("scur_hist").select("doc_id").as[Long].collect().toSet
+      assert(ids == Set(11L),
+        s"history re-arrival and in-stream duplicate must both drop, got $ids")
+    } finally q.stop()
+  }
+
   test("dedupHorizon bounds dedup state: post-horizon re-arrival re-admits; lifetime mode never does") {
     val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
     def ts(h: Int) = new java.sql.Timestamp(base.getTime + h * 3600000L)
