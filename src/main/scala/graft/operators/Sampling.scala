@@ -135,6 +135,39 @@ object Sampling {
       salt: String
   ): DataFrame = {
     require(budgetTokens > 0, "budgetTokens must be positive")
+    tokenBudgetSampleImpl(df, idCol, textCol, groupCols, lit(budgetTokens), salt)
+  }
+
+  /** [[tokenBudgetSample]] with a DIFFERENT budget per stratum — the form
+    * mixtures are actually written in ("2T tokens of English, 300B of
+    * code"): each group's cut walks the same hash order against its own
+    * budget; strata not listed get `defaultBudget`. The budget rides a
+    * chained `when` on the single group column — no join, no extra pass. */
+  def tokenBudgetSampleByGroup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      groupCol: String,
+      budgets: Seq[(String, Long)],
+      defaultBudget: Long,
+      salt: String
+  ): DataFrame = {
+    require(defaultBudget > 0, "defaultBudget must be positive")
+    budgets.foreach { case (g, b) => require(b > 0, s"budget for '$g' must be positive") }
+    val budget = budgets.foldLeft(when(lit(false), lit(0L))) {
+      case (c, (g, b)) => c.when(col(groupCol) === g, lit(b))
+    }.otherwise(lit(defaultBudget))
+    tokenBudgetSampleImpl(df, idCol, textCol, Seq(groupCol), budget, salt)
+  }
+
+  private def tokenBudgetSampleImpl(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      groupCols: Seq[String],
+      budgetTokens: Column,
+      salt: String
+  ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val groups = groupCols.map(col)
     val withH = df

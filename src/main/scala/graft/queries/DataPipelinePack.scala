@@ -251,6 +251,17 @@ object DataPipelinePack extends QueryPack {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Per-group token budgets (the form mixtures are written in): German
+    // gets a tight budget, everything else a loose default — same
+    // hash-order walk as q73, different cut per stratum.
+    "q82_token_budget_by_group" -> ((s, d) =>
+      Sampling.tokenBudgetSampleByGroup(
+        Tables.documents(s, d).select(col("doc_id"), col("text"), col("lang")),
+        "doc_id", "text", "lang",
+        budgets = Seq("de" -> 800L), defaultBudget = 4000L, salt = "mix-v2")
+        .select(col("lang"), col("doc_id"))
+        .orderBy(col("lang"), col("doc_id"))),
+
     // ANN over the INT8-DEQUANTIZED vectors — the quantized-storage
     // retrieval path end-to-end under the oracle: quantize (q66's exact
     // arithmetic) → dequantize → brute-force cosine top-k (q26's shape).
@@ -1010,6 +1021,22 @@ object DataPipelinePack extends QueryPack {
              CAST(union_cnt AS INTEGER) AS union_cnt
       FROM pairs WHERE 2 * inter_cnt >= union_cnt
       ORDER BY id_a, id_b""",
+
+    // q73's window formulation with a per-stratum budget literal.
+    "q82_token_budget_by_group" -> s"""
+      WITH t AS (
+        SELECT lang, doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS tc,
+               ${duckKeyHash("doc_id", "mix-v2")} AS h
+        FROM documents),
+      c AS (
+        SELECT lang, doc_id,
+               coalesce(SUM(tc) OVER (PARTITION BY lang ORDER BY h
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+        FROM t)
+      SELECT lang, doc_id FROM c
+      WHERE prefix < CASE WHEN lang = 'de' THEN 800 ELSE 4000 END
+      ORDER BY lang, doc_id""",
 
     // q66's quantize arithmetic + int*double dequantize + q26's cosine
     // ranking, all in identical double arithmetic.

@@ -126,6 +126,24 @@ class SamplingSpec extends AnyFunSuite {
     assert(again == got)
   }
 
+  test("tokenBudgetSampleByGroup applies each stratum's own budget (default for the rest)") {
+    val docs = (1L to 600L).map { i =>
+      val lang = if (i % 3 == 0) "de" else "en"
+      (i, lang, Seq.fill((i % 17 + 3).toInt)("w").mkString(" "))
+    }.toDF("doc_id", "lang", "text")
+    val kept = Sampling.tokenBudgetSampleByGroup(docs, "doc_id", "text", "lang",
+      budgets = Seq("de" -> 100L), defaultBudget = 2000L, salt = "mix-g")
+      .withColumn("__tc", size(split(col("text"), " ")).cast("long"))
+      .groupBy("lang").agg(sum("__tc").as("total"), max("__tc").as("maxdoc"))
+      .as[(String, Long, Long)].collect().map { case (l, t, m) => l -> (t, m) }.toMap
+    val (deT, deM) = kept("de")
+    val (enT, enM) = kept("en")
+    assert(deT >= 100L && deT < 100L + deM, s"de budget not respected: $deT")
+    assert(enT >= 2000L && enT < 2000L + enM, s"en budget not respected: $enT")
+    // the listed stratum's cut is genuinely tighter than the default's
+    assert(deT < enT / 4)
+  }
+
   test("mixByRates samples each corpus independently and labels the union") {
     val a = ids(4000).withColumn("extra", lit("x"))
     val b = (4001L to 8000L).toDF("id") // no 'extra' column — unionByName fills null

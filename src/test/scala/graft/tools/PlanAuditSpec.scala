@@ -59,7 +59,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q73_token_budget" -> (0, 0, 1),
     // q81: q26's brute-force shape over the dequantized vectors — the
     // probe set is parameter-bounded and broadcast by design.
-    "q81_ann_quantized" -> (0, 1, 0)
+    "q81_ann_quantized" -> (0, 1, 0),
+    // q82: q73's offset-table broadcast, same bounded class.
+    "q82_token_budget_by_group" -> (0, 0, 1)
   )
 
   test("no query plans an unjustified cartesian / BNLJ / derived broadcast") {
