@@ -173,8 +173,11 @@ object Sampling {
     val withH = df
       .withColumn("__h", keyHash(col(idCol), salt))
       .withColumn("__tc", size(split(col(textCol), " ")).cast("long"))
-      // top 8 of the 60 hash bits: 256 buckets CONTIGUOUS in hash order
-      .withColumn("__bkt", floor(col("__h") / lit(1L << 52)))
+      // top 8 of the 60 hash bits: 256 buckets CONTIGUOUS in hash order.
+      // shiftright, not floor(h / 2^52): Column `/` is double division, and
+      // hashes near a multiple of 2^52 can round into the adjacent bucket,
+      // breaking the bucket/hash-order alignment the prefix sum relies on.
+      .withColumn("__bkt", shiftright(col("__h"), 52))
     val inBucket = Window.partitionBy(groups :+ col("__bkt"): _*)
       .orderBy(col("__h"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

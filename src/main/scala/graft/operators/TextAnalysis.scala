@@ -373,6 +373,13 @@ object TextAnalysis {
     * surrounding shingle derivation stays the codegen'd expression shared
     * with the batch form, so both forms drop EXACTLY the same documents
     * (spec-pinned). Returns surviving rows of `docs` unchanged.
+    *
+    * Broadcast lifetime: each call collects the benchmark grams and pins a
+    * fresh broadcast for the life of the SparkSession. A long-lived driver
+    * composing many curated streams should build ONE broadcast with
+    * [[collectBenchGrams]], pass it to the `Broadcast`-taking overload for
+    * every composition, and `.destroy()` it when the benchmark rotates —
+    * or simply reuse one curated stream definition.
     */
   def dropContaminatedStateless(
       docs: DataFrame,
@@ -383,10 +390,22 @@ object TextAnalysis {
       n: Int = 3,
       minMatches: Int = 1,
       maxBenchGrams: Int = 5000000
-  ): DataFrame = {
+  ): DataFrame =
+    dropContaminatedStateless(
+      docs, idCol, textCol,
+      collectBenchGrams(bench, benchTextCol, n, maxBenchGrams), n, minMatches)
+
+  /** Collect the benchmark's distinct word `n`-grams into a driver-managed
+    * broadcast for [[dropContaminatedStateless]]. Callers that compose many
+    * streams own the lifetime: build once, reuse, `.destroy()` on rotation. */
+  def collectBenchGrams(
+      bench: DataFrame,
+      benchTextCol: String,
+      n: Int = 3,
+      maxBenchGrams: Int = 5000000
+  ): org.apache.spark.broadcast.Broadcast[Set[String]] = {
     require(n > 0, "n must be positive")
-    require(minMatches > 0, "minMatches must be positive")
-    val spark = docs.sparkSession
+    val spark = bench.sparkSession
     import spark.implicits._
     // LIMIT rides into the collect so an oversized benchmark fails the
     // require below instead of OOMing the driver before the guard runs —
@@ -401,7 +420,20 @@ object TextAnalysis {
       s"dropContaminatedStateless: benchmark has > $maxBenchGrams distinct $n-grams " +
         "— that is corpus-sized, not benchmark-sized; use " +
         "flagContaminated with broadcastBench=false in a batch pass instead")
-    val bc = spark.sparkContext.broadcast(benchGrams.toSet)
+    spark.sparkContext.broadcast(benchGrams.toSet)
+  }
+
+  /** [[dropContaminatedStateless]] over a caller-owned gram broadcast from
+    * [[collectBenchGrams]] — the reuse form for long-lived drivers. */
+  def dropContaminatedStateless(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      bc: org.apache.spark.broadcast.Broadcast[Set[String]],
+      n: Int,
+      minMatches: Int
+  ): DataFrame = {
+    require(minMatches > 0, "minMatches must be positive")
     val matches = udf((grams: scala.collection.Seq[String]) =>
       if (grams == null) 0 else grams.count(bc.value.contains))
     docs

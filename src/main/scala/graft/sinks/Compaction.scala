@@ -30,11 +30,20 @@ import org.apache.spark.sql.functions.{col, xxhash64}
   * skip on replay.
   *
   * The swap is two renames on the directory (current → trash, compacted →
-  * current). On HDFS and local filesystems a rename is atomic, so readers
-  * see old-or-new, never a mix; object stores without atomic rename should
-  * point `compactParquet` at a NEW generation path and flip a pointer
-  * (manifest, view, or table metadata) instead — the same discipline every
-  * table format uses. Writers must be quiesced for the swap window (run it
+  * current). Each rename is atomic on HDFS and local filesystems, but the
+  * PAIR is not: between rename(path → trash) and rename(tmp → path) the
+  * directory does not exist, so a reader that lists it in that window gets
+  * path-not-found — readers, not just writers, must either be quiesced for
+  * the swap or tolerate-and-retry a transient not-found (one retry
+  * suffices; the window is two metadata ops). Crash recovery: if the
+  * process dies between the two renames, the complete original generation
+  * sits at `<dir>.compacted-old` with nothing at `<dir>` — restore with a
+  * single rename of `.compacted-old` back to the original path (the
+  * `.compacting` temp dir, if present, is the incomplete new generation
+  * and can be deleted). Object stores without atomic rename should point
+  * `compactParquet` at a NEW generation path and flip a pointer (manifest,
+  * view, or table metadata) instead — the same discipline every table
+  * format uses. Writers must be quiesced for the swap window (run it
   * from the maintenance slot of the pipeline that owns the directory —
   * [[graft.pipeline.PipelineRunner]]'s single-writer lock is exactly the
   * fence to hold).
@@ -81,6 +90,18 @@ object Compaction {
     val partCols = partDirs.map(_.getPath.getName.split("=", 2)(0)).distinct.toSeq
     require(partCols.size <= 1,
       s"compactParquet handles at most one partition level, found: ${partCols.mkString(", ")}")
+    // a NESTED layout (batch=0/split=train/…) would pass the check above —
+    // the read then infers BOTH partition columns but the rewrite
+    // partitionBys only the top level, silently flattening the second into
+    // data columns; refuse loudly, same as the mixed flat+partitioned case
+    partDirs.foreach { d =>
+      val nested = fs.listStatus(d.getPath)
+        .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      require(nested.isEmpty,
+        s"compactParquet handles at most one partition level: ${d.getPath.getName} contains " +
+          s"nested partition dir(s) ${nested.map(_.getPath.getName).mkString(", ")} — " +
+          "compaction would flatten the second level into data columns")
+    }
     // a MIXED layout (loose root parquet beside partition dirs) must fail
     // loudly: the rewrite would read only the partition dirs and the swap
     // would silently DELETE the loose files' rows

@@ -102,6 +102,23 @@ class CompactionSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == 100L) // the loose generation
   }
 
+  test("nested two-level partition layout is refused loudly, not silently flattened") {
+    val dir = Files.createTempDirectory("graft-compact-nst").toString + "/t"
+    // batch=0/split=train passes a top-level-only partCols check (one
+    // distinct top-level key) but a rewrite would flatten `split` into a
+    // data column — the guard must see one level down
+    (1L to 50L).map(i => (i, "a")).toDF("id", "v")
+      .write.parquet(s"$dir/batch=0/split=train")
+    (1L to 50L).map(i => (100 + i, "b")).toDF("id", "v")
+      .write.parquet(s"$dir/batch=0/split=test")
+    val err = intercept[IllegalArgumentException] {
+      Compaction.compactParquet(spark, dir)
+    }
+    assert(err.getMessage.contains("nested"), err.getMessage)
+    // untouched: both leaves still readable with both partition columns
+    assert(spark.read.parquet(dir).filter(col("split") === "train").count() == 50L)
+  }
+
   test("a big partition splits across multiple target-sized files, not one file per dir") {
     val dir = Files.createTempDirectory("graft-compact-sz").toString + "/t"
     val writer = new ExactlyOnceParquetWriter(dir)
