@@ -13,7 +13,8 @@ import org.apache.spark.sql.functions._
   * step). */
 final case class StreamingCurationStreams(
     survivors: DataFrame,
-    candidates: Dataset[StreamingDedupCandidate])
+    candidates: Dataset[StreamingDedupCandidate],
+    historyMatches: Option[DataFrame] = None)
 
 /** Opt-in BOUNDED-horizon exact dedup for [[StreamingCuration.curate]]:
   * duplicates arriving within `delay` of each other (by the event-time
@@ -24,6 +25,13 @@ final case class StreamingCurationStreams(
   * horizon is re-admitted and must be caught by the downstream batch
   * resolve, exactly like near-dups. */
 final case class DedupHorizon(tsCol: String, delay: String)
+
+/** Opt-in NEAR-dup memory for [[StreamingCuration.curate]]: the persisted
+  * [[Dedup.buildLshIndex]] of all previously curated corpora plus the old
+  * documents themselves (consulted only to Jaccard-verify band matches —
+  * never for candidate generation). The long-term near-dup sibling of
+  * `historyIndex`'s exact-fingerprint memory. */
+final case class NearDupHistory(index: DataFrame, docs: DataFrame)
 
 /** [[TrainingDataPipeline.curate]] AT INGEST TIME — processing documents as
   * they arrive instead of in a nightly batch is the reference's entire
@@ -73,7 +81,15 @@ object StreamingCuration {
     * it. `dedupHorizon` swaps that stage's corpus-lifetime state for
     * watermark-bounded state (see [[DedupHorizon]] for the trade) — with
     * a `historyIndex` carrying the long-term memory, the bounded horizon
-    * is usually the right pairing. */
+    * is usually the right pairing. `nearDupHistory` adds the NEAR-dup
+    * analog of `historyIndex`: a stream-static band join against the
+    * persisted LSH index ([[StreamingDedup.nearDupsAgainstIndex]]), also
+    * zero stream state, emitting Jaccard-VERIFIED matches against history
+    * as a third stream the moment the near-dup arrives. Matched documents
+    * are flagged, not dropped in-stream (folding a band-multiplied match
+    * row set back to document granularity needs an aggregate, which cannot
+    * sit in an append stream) — [[resolveClusters]] removes them, the same
+    * division of labor as the in-stream candidates leg. */
   def curate(
       stream: DataFrame,
       numHashes: Int = 64,
@@ -82,7 +98,8 @@ object StreamingCuration {
       boilerplateLines: Seq[String] = Nil,
       benchmark: Option[DataFrame] = None,
       dedupHorizon: Option[DedupHorizon] = None,
-      historyIndex: Option[DataFrame] = None
+      historyIndex: Option[DataFrame] = None,
+      nearDupHistory: Option[NearDupHistory] = None
   ): StreamingCurationStreams = {
     // withColumn keeps every stream column (e.g. the horizon's event-time
     // column) riding alongside the stripped text
@@ -117,7 +134,14 @@ object StreamingCuration {
     // [[resolveClusters]]'s verify join against the survivor set
     val candidates = StreamingDedup.nearDupCandidates(
       decon, "doc_id", "text", shingleN = 3, numHashes, bands, maxBucket)
-    StreamingCurationStreams(survivors, candidates)
+    // the history near-dup leg also branches off the stateless prefix: its
+    // stream-static joins are per-row, and an exact-dup loser's history
+    // match is harmless (resolveClusters drops by id against survivors)
+    val historyMatches = nearDupHistory.map(h =>
+      StreamingDedup.nearDupsAgainstIndex(
+        decon, "doc_id", "text", h.index, h.docs,
+        shingleN = 3, numHashes, bands))
+    StreamingCurationStreams(survivors, candidates, historyMatches)
   }
 
   /** Runnable form, mirroring [[TrainingDataPipeline.main]]: stream the
@@ -178,18 +202,27 @@ object StreamingCuration {
     * are unaffected; only a pair already sitting ON the tau boundary whose
     * PII spans differ could flip. Callers with the raw corpus at hand can
     * pass it instead for bit-parity with the batch pipeline.
+    *
+    * `historyMatches` is the drained third stream of a `nearDupHistory`
+    * run: already-VERIFIED matches against previously curated history, so
+    * no re-verification here — the matched stream documents (`id_a`) are
+    * simply dropped, history always wins (its documents shipped long ago).
     */
   def resolveClusters(
       survivors: DataFrame,
       candidates: DataFrame,
       tauNum: Int = 1,
-      tauDen: Int = 2
+      tauDen: Int = 2,
+      historyMatches: Option[DataFrame] = None
   ): DataFrame = {
+    val fresh = historyMatches.fold(survivors)(m =>
+      survivors.join(m.select(col("id_a").as("doc_id")).distinct().hint("shuffle_merge"),
+        Seq("doc_id"), "left_anti"))
     val verified = Dedup.verifyCandidatePairs(
-      survivors, "doc_id", "text", candidates, shingleN = 3, tauNum = tauNum, tauDen = tauDen)
+      fresh, "doc_id", "text", candidates, shingleN = 3, tauNum = tauNum, tauDen = tauDen)
     val clusters = Dedup.connectedComponents(
-      survivors.select(col("doc_id")), "doc_id", verified, "id_a", "id_b")
+      fresh.select(col("doc_id")), "doc_id", verified, "id_a", "id_b")
     val keepers = clusters.filter(col("doc_id") === col("cluster_id")).select("doc_id")
-    survivors.join(keepers, Seq("doc_id"), "left_semi")
+    fresh.join(keepers, Seq("doc_id"), "left_semi")
   }
 }

@@ -86,4 +86,63 @@ object StreamingDedup {
         out.result().iterator
       }
   }
+
+  /** Near-dups of the STREAM against a persisted [[Dedup.buildLshIndex]] of
+    * previously curated history — verified IN-STREAM, with zero stream
+    * state. The streaming form of [[Dedup.nearDupAgainstIndex]]: the
+    * arriving document is signatured per-row, its band hashes equi-joined
+    * against the static index (candidate generation never scans old texts),
+    * and — because history is STATIC — the exact-Jaccard verify join
+    * against the old documents' shingles rides the same micro-batch as a
+    * stream-static join, so unlike the in-stream pair path
+    * ([[nearDupCandidates]], whose verification must wait for a batch
+    * step) the emitted matches are already verified.
+    *
+    * Two deliberate deltas from the batch form, both forced by append-mode
+    * statelessness (no aggregation allowed), both resolved by a
+    * `.distinct()` on the drained output:
+    *  - a pair matching in k bands emits k times (the batch form's
+    *    candidate `.distinct()` is a stateful op);
+    *  - the stream row's shingle array rides the band explosion (`bands`
+    *    copies in the join shuffle) instead of being re-joined afterwards —
+    *    a batch-side self-join would be a stream-stream join here.
+    *
+    * Output columns: (`id_a` = stream id, `id_b` = history id,
+    * `inter_cnt`, `union_cnt`), same contract and threshold arithmetic as
+    * [[Dedup.nearDupAgainstIndex]]. All joins SMJ-pinned: the index and the
+    * old corpus are corpus-sized, and the exploded stream side is the
+    * derived-size-estimate broadcast-OOM class this library pins against.
+    */
+  def nearDupsAgainstIndex(
+      stream: DataFrame,
+      idCol: String,
+      textCol: String,
+      index: DataFrame,
+      oldDocs: DataFrame,
+      shingleN: Int = 3,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      tauNum: Int = 1,
+      tauDen: Int = 2
+  ): DataFrame = {
+    require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
+    val shingled = stream
+      .select(col(idCol).as("id_a"), split(col(textCol), " ").as("__toks"))
+      .select(col("id_a"), Dedup.shinglesOfTokens(col("__toks"), shingleN).as("__sa"))
+    val banded = Dedup.withMinHashColumns(shingled, col("__sa"), numHashes)
+      .select(col("id_a"), col("__sa"),
+        posexplode(array(Dedup.bandHashColumns(bands, numHashes / bands): _*))
+          .as(Seq("band", "band_hash")))
+    val oldShingled = oldDocs
+      .select(col(idCol).as("id_b"), split(col(textCol), " ").as("__toks"))
+      .select(col("id_b"), Dedup.shinglesOfTokens(col("__toks"), shingleN).as("__sb"))
+    banded
+      .join(index.select(col(idCol).as("id_b"), col("band"), col("band_hash"))
+        .hint("shuffle_merge"), Seq("band", "band_hash"))
+      .join(oldShingled.hint("shuffle_merge"), Seq("id_b"))
+      .withColumn("inter_cnt", size(array_intersect(col("__sa"), col("__sb"))))
+      .withColumn("union_cnt", size(col("__sa")) + size(col("__sb")) - col("inter_cnt"))
+      .filter(col("inter_cnt") * tauDen >= col("union_cnt") * tauNum)
+      .select("id_a", "id_b", "inter_cnt", "union_cnt")
+  }
 }

@@ -173,6 +173,59 @@ class StreamingCurationSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("nearDupHistory flags a VERIFIED near-dup of an already-curated doc on the stream; resolve equals the batch index analog") {
+    val oldA = "the cat and the dog is in the house of the king by the sea"
+    val oldB = "the spell of the sea is the song of the deep tide at dusk"
+    val nearA = oldA + " today" // not byte-identical: exact-history dedup cannot catch it
+    val fresh = "the fox and the hen is of the barn and the yard at dawn"
+    val oldDocs = Seq((1L, oldA), (2L, oldB)).toDF("doc_id", "text")
+    // index built with curate's streaming LSH geometry (64 hashes, 16 bands)
+    val index = Dedup.buildLshIndex(oldDocs, "doc_id", "text", shingleN = 3, numHashes = 64, bands = 16)
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val streams = StreamingCuration.curate(in.toDF().toDF("doc_id", "text"),
+      nearDupHistory = Some(NearDupHistory(index, oldDocs)))
+    val matchesStream = streams.historyMatches.getOrElse(fail("historyMatches stream missing"))
+    Seq("scur_nd_surv", "scur_nd_match").foreach { v =>
+      try spark.catalog.dropTempView(v) catch { case _: Exception => () }
+    }
+    val qSurv = streams.survivors.writeStream
+      .format("memory").queryName("scur_nd_surv").outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("graft-scur-nds").toString)
+      .start()
+    val qMatch = matchesStream.writeStream
+      .format("memory").queryName("scur_nd_match").outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("graft-scur-ndm").toString)
+      .start()
+    try {
+      in.addData(Seq((10L, nearA), (11L, fresh))); qSurv.processAllAvailable(); qMatch.processAllAvailable()
+
+      // the match surfaced IN-STREAM, already Jaccard-verified (the same
+      // pair may arrive once per matching band — distinct on drain)
+      val matches = spark.table("scur_nd_match")
+        .select("id_a", "id_b", "inter_cnt", "union_cnt").distinct()
+      val got = matches.as[(Long, Long, Int, Int)].collect().toSet
+      // batch analog over the same newcomers and the same persisted index
+      val newDocs = Seq((10L, nearA), (11L, fresh)).toDF("doc_id", "text")
+      val batchPairs = Dedup.nearDupAgainstIndex(
+        newDocs, "doc_id", "text", index, oldDocs, shingleN = 3, numHashes = 64, bands = 16)
+        .as[(Long, Long, Int, Int)].collect().toSet
+      assert(got == batchPairs, s"stream=$got batch=$batchPairs")
+      assert(got.map(p => (p._1, p._2)) == Set((10L, 1L)),
+        s"exactly the planted near-dup must match history, got $got")
+
+      // survivors still stream at exact granularity (10 is flagged, not
+      // dropped in-stream); the batch resolve removes it — history wins
+      val drained = spark.table("scur_nd_surv").select("doc_id", "text")
+      assert(drained.select("doc_id").as[Long].collect().toSet == Set(10L, 11L))
+      val resolved = StreamingCuration.resolveClusters(
+        drained, spark.emptyDataset[(Long, Long)].toDF("id_a", "id_b"),
+        historyMatches = Some(matches))
+      assert(resolved.select("doc_id").as[Long].collect().toSet == Set(11L))
+    } finally { qSurv.stop(); qMatch.stop() }
+  }
+
   test("dedupHorizon bounds dedup state: post-horizon re-arrival re-admits; lifetime mode never does") {
     val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
     def ts(h: Int) = new java.sql.Timestamp(base.getTime + h * 3600000L)
@@ -210,5 +263,62 @@ class StreamingCurationSpec extends AnyFunSuite {
     assert(drain(Some(DedupHorizon("ts", "1 hour"))) == Set(1L, 3L, 4L))
     // corpus-lifetime state: the duplicate never comes back
     assert(drain(None) == Set(1L, 3L))
+  }
+
+  test("horizon x historyIndex composed, killed mid-batch and replayed: exactly-once survivors, horizon re-admits, history memory outlives the horizon") {
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def ts(h: Int) = new java.sql.Timestamp(base.getTime + h * 3600000L)
+    val yesterday = "the cat and the dog is in the house of the king"
+    val fresh = "the fox and the hen is of the barn and the yard"
+    val other = "the spell of the sea is the song of the deep tide"
+    val index = Dedup.buildFingerprintIndex(
+      Seq((1L, yesterday)).toDF("doc_id", "text"), "text")
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    def streams = StreamingCuration.curate(in.toDF().toDF("doc_id", "text", "ts"),
+      dedupHorizon = Some(DedupHorizon("ts", "1 hour")),
+      historyIndex = Some(index))
+    val out = Files.createTempDirectory("graft-scur-hx-out").toString
+    val ckpt = Files.createTempDirectory("graft-scur-hx-ckpt").toString
+    val writer = new ExactlyOnceParquetWriter(out)
+    def start() = streams.survivors.writeStream
+      .foreachBatch(writer.write _)
+      .option("checkpointLocation", ckpt)
+      .start()
+
+    // batch 0: 10 re-arrives yesterday's text (only history knows it — must
+    // drop), 11 is fresh and survives
+    val q1 = start()
+    try { in.addData(Seq((10L, yesterday, ts(0)), (11L, fresh, ts(0)))); q1.processAllAvailable() }
+    finally q1.stop()
+
+    // KILL MID-BATCH: the sink wrote batch 0's data but the crash landed
+    // before BOTH commit points — delete the sink marker and the
+    // checkpoint's commit record, so the restart must re-execute batch 0
+    // against the already-written epoch dir
+    val conf = spark.sparkContext.hadoopConfiguration
+    def rm(p: String) = {
+      val path = new org.apache.hadoop.fs.Path(p)
+      assert(path.getFileSystem(conf).delete(path, false), s"fixture: $p missing")
+    }
+    rm(s"$out/_graft_commits/batch-${"%020d".format(0)}")
+    rm(s"$ckpt/commits/0")
+
+    val q2 = start()
+    try {
+      // replay of batch 0 happens on restart, then the run continues:
+      // 12 = within-horizon duplicate of 11 (state restored from the
+      // checkpoint must still hold it); 13 advances the watermark 5h
+      in.addData(Seq((12L, fresh, ts(0)))); q2.processAllAvailable()
+      in.addData(Seq((13L, other, ts(5)))); q2.processAllAvailable()
+      // post-horizon: 14 re-admits (horizon state pruned), but 15 — the
+      // history text — still drops: index memory is not horizon-bounded
+      in.addData(Seq((14L, fresh, ts(5)), (15L, yesterday, ts(5)))); q2.processAllAvailable()
+    } finally q2.stop()
+
+    val rows = spark.read.parquet(out).select("doc_id").as[Long].collect().toSeq
+    assert(rows.sorted == Seq(11L, 13L, 14L),
+      s"exactly-once survivor multiset violated: $rows")
   }
 }

@@ -144,6 +144,40 @@ class SamplingSpec extends AnyFunSuite {
     assert(deT < enT / 4)
   }
 
+  test("tokenBudgetSampleByGroup adversarial: an over-budget single doc still admits (then closes the stratum); unlisted groups get the default") {
+    // 'de' has ONE doc of 500 tokens against a 100-token stratum budget:
+    // the prefix-BEFORE-it is 0 < 100, so it must admit (the straddler
+    // rule — a budget can only be enforced at document granularity), and
+    // every later de doc must reject (prefix >= 500 >= 100)
+    val big = (9000L, "de", Seq.fill(500)("w").mkString(" "))
+    val rest = (1L to 90L).map { i =>
+      val lang = i % 3 match { case 0 => "de"; case 1 => "en"; case _ => "fr" }
+      (i, lang, Seq.fill(10)("w").mkString(" "))
+    }
+    val docs = (rest :+ big).toDF("doc_id", "lang", "text").repartition(8)
+    // force the big doc FIRST in de's hash order by picking a salt where it
+    // wins; scan a few salts so the fixture can't rot silently
+    val salt = (0 to 50).map(s => s"adv-$s").find { s =>
+      val h = Sampling.keyHash(col("doc_id"), s)
+      docs.filter(col("lang") === "de").withColumn("__h", h)
+        .orderBy("__h").select("doc_id").as[Long].head() == 9000L
+    }.getOrElse(fail("no salt puts the big doc first in de's hash order"))
+
+    val kept = Sampling.tokenBudgetSampleByGroup(docs, "doc_id", "text", "lang",
+      budgets = Seq("de" -> 100L, "en" -> 40L), defaultBudget = 10000L, salt = salt)
+      .select("lang", "doc_id").as[(String, Long)].collect().toSeq
+    val byLang = kept.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+    // de: exactly the over-budget doc, nothing after it
+    assert(byLang("de") == Set(9000L),
+      s"over-budget first doc must admit alone, got ${byLang("de")}")
+    // en: listed budget (40 tokens = 4 docs of 10)
+    assert(byLang("en").size == 4, s"en must keep 4 docs, got ${byLang("en").size}")
+    // fr is ABSENT from the budget map: defaultBudget (10000) admits all
+    assert(byLang("fr") == rest.filter(_._2 == "fr").map(_._1).toSet,
+      "unlisted group must fall back to defaultBudget")
+  }
+
   test("mixByRates samples each corpus independently and labels the union") {
     val a = ids(4000).withColumn("extra", lit("x"))
     val b = (4001L to 8000L).toDF("id") // no 'extra' column — unionByName fills null
