@@ -326,6 +326,37 @@ object DataPipelinePack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Index LIFECYCLE end-to-end: three nightly runs, each dedping its
+    // day against the generations on disk and appending its admissions as
+    // the next generation (re-arrival unions exercise the drop path), then
+    // a consolidation collapses the generations. Oracle: the from-scratch
+    // index — distinct fingerprints over the whole corpus — plus
+    // over_admitted = pre-consolidation rows minus distinct rows, which is
+    // 0 only if no run re-admitted (or double-appended) a known text.
+    "q83_index_lifecycle" -> ((s, d) => {
+      import graft.sinks.IndexStore
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val dir = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft-q83-index").getAbsolutePath
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true) // re-entrant
+      val day0 = docs.filter(col("doc_id") % 3 === 0)
+      val day1 = docs.filter(col("doc_id") % 3 === 1)
+        .unionByName(day0.filter(col("doc_id") % 2 === 0)) // run-0 re-arrivals
+      val day2 = docs.filter(col("doc_id") % 3 === 2)
+        .unionByName(day1.filter(col("doc_id") % 5 === 1)) // run-0/1 re-arrivals
+      IndexStore.append(Dedup.buildFingerprintIndex(day0, "text"), dir)
+      Seq(day1, day2).foreach { day =>
+        val admitted = Dedup.dropKnownFingerprints(day, "text", IndexStore.read(s, dir))
+        IndexStore.append(Dedup.buildFingerprintIndex(admitted, "text"), dir)
+      }
+      val preRows = IndexStore.read(s, dir).count()
+      val (_, rowsAfter) = IndexStore.consolidate(s, dir)
+      IndexStore.read(s, dir)
+        .withColumn("over_admitted", lit(preRows - rowsAfter).cast("long"))
+        .orderBy(col("fp"))
+    }),
+
     // Skew-proof per-key row cap (the "at most k docs per domain" gate):
     // salted two-phase top-k, never a hot-key row_number window; the
     // kept-pair join is SMJ-pinned. Oracle: the window formulation.
@@ -1104,6 +1135,13 @@ object DataPipelinePack extends QueryPack {
       WHERE NOT EXISTS (
         SELECT 1 FROM documents o WHERE md5(o.text) = md5(n.text))
       ORDER BY doc_id""",
+
+    // The from-scratch index the incremental generations must converge to;
+    // over_admitted is 0 exactly when every re-arrival was dropped.
+    "q83_index_lifecycle" -> """
+      SELECT md5(text) AS fp, CAST(0 AS BIGINT) AS over_admitted
+      FROM documents GROUP BY md5(text)
+      ORDER BY fp""",
 
     // The window formulation the skew-proof two-phase form must equal:
     // event_id is unique, so row_number has no tie ambiguity.

@@ -175,17 +175,31 @@ object Compaction {
             s"compaction failed: could not carry ${s.getPath.getName} over")
       }
 
-    // two-rename swap: readers race against old-or-new, never a mix
-    val trash = new Path(dir + ".compacted-old")
+    swapInPlace(fs, path, tmp)
+
+    CompactionReport(filesBefore, countParquet(path)._1, bytes, toCarry.length)
+  }
+
+  /** The two-rename generation swap: move `path` aside to
+    * `<path>.compacted-old`, move `tmp` into place, drop the old
+    * generation. Each rename is atomic (HDFS/local) but the pair is not —
+    * see the class scaladoc for the reader not-found window and the
+    * `.compacted-old` crash-recovery path. Exposed for other
+    * build-new-generation-then-swap maintenance passes
+    * ([[IndexStore.consolidate]]). */
+  private[sinks] def swapInPlace(
+      fs: org.apache.hadoop.fs.FileSystem,
+      path: Path,
+      tmp: Path
+  ): Unit = {
+    val trash = new Path(path.toString + ".compacted-old")
     fs.delete(trash, true)
     if (!fs.rename(path, trash))
-      throw new java.io.IOException(s"compaction swap failed: could not move $dir aside")
+      throw new java.io.IOException(s"compaction swap failed: could not move $path aside")
     if (!fs.rename(tmp, path)) {
       fs.rename(trash, path) // roll back — the original directory is intact
       throw new java.io.IOException(s"compaction swap failed: could not move $tmp into place")
     }
     fs.delete(trash, true)
-
-    CompactionReport(filesBefore, countParquet(path)._1, bytes, toCarry.length)
   }
 }
