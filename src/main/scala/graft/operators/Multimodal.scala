@@ -283,4 +283,41 @@ object Multimodal {
     */
   def asEmbeddingTable(media: DataFrame, dim: Int = 64): DataFrame =
     extractFeatures(media, dim).withColumnRenamed("media_id", "vec_id").withColumnRenamed("features", "embedding")
+
+  /** Deterministic synthetic 8x8 grayscale PNGs — REAL `ImageIO` encode, so
+    * everything downstream (decode, feature grid, similarity) exercises the
+    * actual codec path on reproducible content. Input columns:
+    * (`media_id` long, `seed` long, `perturb` boolean). Pixel `k`
+    * (row-major) of a seed's image is gray level
+    * `1 + ((seed+1)*(k+2) % 257) % 255` (multiplicative-mod scrambling: an
+    * additive `f(i)+g(k)` pattern would relate every pair of images by a
+    * constant mod-shift and litter the corpus with accidental near-dups;
+    * range 1..255 keeps every vector nonzero so cosine is never NaN — the
+    * engines disagree on NaN ordering). `perturb` shifts pixel 0 by +8
+    * within 1..255: a planted near-duplicate at cosine ~ 0.9999, the
+    * VLM-training-dedup fixture. The formula is deliberately closed-form so
+    * a SQL oracle can rebuild the decoded features exactly.
+    */
+  def syntheticGrayPngs(ids: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(mediaSchema)
+    ids.select(col("media_id"), col("seed"), col("perturb"))
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { r =>
+          val seed = r.getLong(1)
+          val perturb = r.getBoolean(2)
+          val img = new java.awt.image.BufferedImage(8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var k = 0
+          while (k < 64) {
+            val base = (1 + (((seed + 1) * (k + 2)) % 257) % 255).toInt
+            val g = if (perturb && k == 0) 1 + (base - 1 + 8) % 255 else base
+            img.setRGB(k % 8, k / 8, (g << 16) | (g << 8) | g)
+            k += 1
+          }
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", out)
+          Row(r.getLong(0), "image/png", out.toByteArray, Row(8, 8, null))
+        }
+      }(enc)
+  }
 }

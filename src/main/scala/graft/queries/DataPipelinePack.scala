@@ -507,6 +507,32 @@ object DataPipelinePack extends QueryPack {
         .orderBy(col("media_id"))
     }),
 
+    // Image-corpus near-dup END TO END — the VLM-training dedup story:
+    // deterministic synthetic PNGs (REAL ImageIO encode), decoded back
+    // through the REAL ImageIO path into 8x8 luminance-grid features, then
+    // banded sign-LSH cosine pairs with exact verification. Every doc_id %
+    // 20 == 0 image gets a planted near-dup twin (one pixel shifted +8,
+    // cosine ~ 0.9999). The oracle rebuilds the decoded features
+    // closed-form — same double-arithmetic tree as the luminance kernel,
+    // CAST AS REAL mirroring the Float cast — and runs all-pairs cosine,
+    // so the gate is equality with the exact answer through a real
+    // encode -> decode -> feature -> LSH -> verify pipeline.
+    "q84_image_neardup" -> ((s, d) => {
+      val base = Tables.documents(s, d).select(col("doc_id"))
+        .filter(col("doc_id") % 10 === 0)
+      val ids = base.select(col("doc_id").as("media_id"),
+          col("doc_id").as("seed"), lit(false).as("perturb"))
+        .unionByName(base.filter(col("doc_id") % 2 === 0)
+          .select((col("doc_id") + 1000000L).as("media_id"),
+            col("doc_id").as("seed"), lit(true).as("perturb")))
+      val media = Multimodal.syntheticGrayPngs(ids)
+      val feats = Multimodal.extractImageFeatures(media, gridW = 8, gridH = 8)
+        .select(col("media_id").as("vec_id"), col("features").as("embedding"))
+      Similarity.cosineNearDupPairsLsh(feats, "vec_id", "embedding",
+        threshold = 0.99, dim = 64, bandBits = 3, bands = 32)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Batch sessionization through the native session_window operator (the
     // same operator the streaming surface uses): 3-hour inactivity gap.
     "q42_sessionize" -> ((s, d) => {
@@ -1416,6 +1442,35 @@ object DataPipelinePack extends QueryPack {
              md5(text) AS fp_md5,
              substring(hex(encode(text)), 1, 16) AS head_hex
       FROM documents ORDER BY media_id""",
+
+    // Rebuilds the DECODED pixel grid closed-form (the synthetic generator
+    // formula), then mirrors the Spark luminance kernel's exact double
+    // expression tree — (0.299*g + 0.587*g + 0.114*g)/255, left-assoc —
+    // and the Float cast (CAST AS REAL), so the feature lists are
+    // bit-identical before the all-pairs cosine.
+    "q84_image_neardup" -> """
+      WITH base AS (SELECT doc_id AS seed FROM documents WHERE doc_id % 10 = 0),
+      imgs AS (
+        SELECT seed AS media_id, seed, FALSE AS pert FROM base
+        UNION ALL
+        SELECT seed + 1000000 AS media_id, seed, TRUE AS pert
+        FROM base WHERE seed % 2 = 0),
+      px AS (
+        SELECT i.media_id, k.k,
+               CASE WHEN i.pert AND k.k = 0
+                    THEN 1 + ((1 + ((i.seed+1)*(k.k+2) % 257) % 255) - 1 + 8) % 255
+                    ELSE 1 + ((i.seed+1)*(k.k+2) % 257) % 255 END AS g
+        FROM imgs i, (SELECT unnest(range(0, 64)) AS k) k),
+      feats AS (
+        SELECT media_id,
+               list(CAST((0.299*g + 0.587*g + 0.114*g)/255 AS REAL) ORDER BY k) AS v
+        FROM px GROUP BY media_id),
+      e AS (SELECT media_id AS vec_id, CAST(v AS DOUBLE[]) AS v FROM feats)
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.99
+      ORDER BY id_a, id_b""",
 
     // Gaps-and-islands formulation of session_window semantics: a new
     // session starts only when the gap since the previous event STRICTLY

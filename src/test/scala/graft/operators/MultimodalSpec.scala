@@ -196,4 +196,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(topk.length == 2)
     assert(topk.map(_.getAs[Long]("nbr_id")).toSet == Set(2L, 3L))
   }
+  test("syntheticGrayPngs: real PNG encode round-trips to the closed-form pixel grid; perturb shifts exactly pixel 0") {
+    import spark.implicits._
+    val ids = Seq((1L, 7L, false), (2L, 7L, true), (3L, 256L, false))
+      .toDF("media_id", "seed", "perturb")
+    val decoded = Multimodal.decodeImages(Multimodal.syntheticGrayPngs(ids), includePixels = true)
+      .collect().map(r => r.getAs[Long]("media_id") -> r).toMap
+    def gray(seed: Long, k: Int) = (1 + (((seed + 1) * (k + 2)) % 257) % 255).toInt
+    (1L to 3L).foreach { id =>
+      val r = decoded(id)
+      assert(r.getAs[Boolean]("decoded"), s"image $id failed to decode")
+      assert(r.getAs[Int]("width") == 8 && r.getAs[Int]("height") == 8)
+    }
+    def px(id: Long) = decoded(id)
+      .getAs[scala.collection.Seq[Int]]("argb").toSeq.map(_ & 0xffffff)
+    def grayAll(seed: Long) = (0 until 64).map { k =>
+      val g = gray(seed, k); (g << 16) | (g << 8) | g
+    }
+    assert(px(1L) == grayAll(7L), "decoded pixels diverge from the generator formula")
+    assert(px(3L) == grayAll(256L), "seed+1 = 257 = 0 mod 257 must still yield the all-ones (gray 1) image")
+    // perturb: pixel 0 shifted +8 within 1..255, every other pixel identical
+    val g0p = 1 + (gray(7L, 0) - 1 + 8) % 255
+    assert(px(2L).head == ((g0p << 16) | (g0p << 8) | g0p))
+    assert(px(2L).tail == px(1L).tail, "perturbation leaked past pixel 0")
+  }
 }
