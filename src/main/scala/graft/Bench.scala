@@ -50,11 +50,12 @@ object Bench {
     val names =
       if (args.nonEmpty) SparkEntry.queries.keys.toSeq.sorted.filter(args.contains)
       else SparkEntry.queries.keys.toSeq.sorted
-    // The two heaviest LSH queries have twice produced phantom cross-round
-    // "regressions" that isolated re-measurement erased (SURVEY §8.0, r5 and
-    // r6); one extra sample tightens exactly the pair whose noise has
-    // repeatedly demanded manual adjudication, at ~7 s added wall time.
-    val minOfThree = Set("q32_dedup_simhash", "q48_cosine_pairs_lsh")
+    // The heaviest LSH queries have repeatedly produced phantom cross-round
+    // "regressions" that isolated re-measurement erased (SURVEY §8.0: r5,
+    // r6, and q39's fourth recurrence in r7); one extra sample tightens
+    // exactly the set whose noise has repeatedly demanded manual
+    // adjudication, at ~8 s added wall time.
+    val minOfThree = Set("q32_dedup_simhash", "q48_cosine_pairs_lsh", "q39_ngram_jaccard")
     // min-of-two (three for the adjudicated pair); a failed run (-1) wins
     // the min, keeping the failure marker
     val results = names.map { n =>
