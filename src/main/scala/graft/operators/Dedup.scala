@@ -670,4 +670,96 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  // --- cross-document repeated-substring (window) dedup ---------------------
+
+  /** All overlapping `w`-token windows per document with their start
+    * positions (0-based): one row per (doc, pos), the window carried as its
+    * 16-byte md5 so the window-key shuffle moves 16 bytes, not ~8·w of
+    * text. Docs shorter than `w` tokens contribute no windows — a window
+    * is a span of exactly `w` tokens, no short-doc fallback (unlike
+    * [[shinglesOfTokens]], whose whole-text fallback exists for Jaccard
+    * over short docs).
+    */
+  private def windowHashes(df: DataFrame, idCol: String, textCol: String, w: Int): DataFrame =
+    withComputeParallelism(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), split(col(textCol), " ").as("__toks"))
+      .filter(size(col("__toks")) >= w)
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0), size(col("__toks")) - w),
+          i => unhex(md5(concat_ws(" ", (0 until w).map(j => element_at(col("__toks"), i + j + 1)): _*)))))
+          .as(Seq("__pos", "__wh")))
+
+  /** The window keys occurring in MORE THAN ONE distinct document — the
+    * "duplicated substring" set of Lee et al.'s training-data dedup,
+    * at `w`-token granularity. One keyed aggregation on the 16-byte window
+    * hash with map-side partial min/max; `min(id) != max(id)` is the
+    * two-distinct-docs test without a countDistinct. A window repeated
+    * only WITHIN one document does not qualify (intra-doc repetition is
+    * [[TextAnalysis]]'s repetition metrics' job).
+    */
+  private def crossDocWindowKeys(wins: DataFrame, idCol: String): DataFrame =
+    wins.groupBy(col("__wh"))
+      .agg(min(col(idCol)).as("__lo"), max(col(idCol)).as("__hi"))
+      .filter(col("__lo") =!= col("__hi"))
+      .select(col("__wh"))
+
+  /** Per-document cross-doc duplication profile: how much of each doc is
+    * covered by `w`-token spans that also appear verbatim in some OTHER
+    * document. `n_windows` = total windows, `dup_positions` = positions
+    * whose window is cross-doc duplicated, `dup_distinct` = distinct such
+    * windows in this doc. Shape: the window explode (w-bounded per row),
+    * ONE shuffle on the window hash, an SMJ semi-join back (both sides
+    * corpus-sized explode derivatives — the static-estimate broadcast trap
+    * class), and a keyed re-aggregation per doc. Short docs report zeros.
+    */
+  def duplicatedWindowStats(df: DataFrame, idCol: String, textCol: String, w: Int = 8): DataFrame = {
+    require(w >= 2, "window must span at least 2 tokens")
+    val wins = windowHashes(df, idCol, textCol, w)
+    val dup = crossDocWindowKeys(wins, idCol)
+    val perDoc = wins
+      .join(dup.hint("shuffle_merge"), Seq("__wh"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__dp"), count_distinct(col("__wh")).as("__dd"))
+    df.select(col(idCol), greatest(size(split(col(textCol), " ")) - (w - 1), lit(0)).cast("long").as("n_windows"))
+      .join(perDoc.hint("shuffle_merge"), Seq(idCol), "left")
+      .select(col(idCol), col("n_windows"),
+        coalesce(col("__dp"), lit(0L)).as("dup_positions"),
+        coalesce(col("__dd"), lit(0L)).as("dup_distinct"))
+  }
+
+  /** Remove every token covered by a cross-doc-duplicated `w`-token window
+    * (overlapping spans merge naturally: a token survives iff NO
+    * duplicated window covers it), rebuilding the text from the survivors
+    * — the removal form of [[duplicatedWindowStats]], the operation that
+    * measurably de-memorizes a training corpus without dropping whole
+    * documents.
+    *
+    * Scale shape: the duplicated POSITIONS per doc come back as one
+    * array-typed aggregation (bounded by doc length, not corpus size), and
+    * the strip itself is a row-local projection — the coverage test is
+    * `O(len · dup_spans)` per row with no further shuffle. Docs with no
+    * duplicated windows pass through byte-identical (including docs
+    * shorter than `w`).
+    */
+  def stripDuplicatedWindows(df: DataFrame, idCol: String, textCol: String, w: Int = 8): DataFrame = {
+    require(w >= 2, "window must span at least 2 tokens")
+    val wins = windowHashes(df, idCol, textCol, w)
+    val dup = crossDocWindowKeys(wins, idCol)
+    val dupPos = wins
+      .join(dup.hint("shuffle_merge"), Seq("__wh"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(collect_list(col("__pos")).as("__dups"))
+    val others = df.columns.filter(c => c != idCol && c != textCol).map(col)
+    // tokens are PROJECTED before the lambdas touch them: a raw split(...)
+    // expression referenced inside a higher-order lambda re-evaluates once
+    // per element (see shinglesOfTokens), an attribute reference does not
+    val keptIdx = filter(sequence(lit(0), size(col("__toks")) - 1),
+      i => !exists(col("__dups"), p => i >= p && i < p + w))
+    val stripped = concat_ws(" ", transform(keptIdx, i => element_at(col("__toks"), i + 1)))
+    df.join(dupPos.hint("shuffle_merge"), Seq(idCol), "left")
+      .withColumn("__toks", split(col(textCol), " "))
+      .select(Seq(col(idCol),
+        when(col("__dups").isNull, col(textCol)).otherwise(stripped).as(textCol)) ++ others: _*)
+  }
 }

@@ -164,6 +164,38 @@ object Similarity {
     * @param nprobe    cells searched per probe; recall knob (nprobe = nlist
     *                  degenerates to exact brute force)
     */
+  /** Quantizer table collected to the driver BY DESIGN: centroids are
+    * small-by-contract (nlist rows) and compile into literal expressions
+    * so assignment is a pure projection — see the ivfTopK scaladoc. */
+  private def collectCentroids(
+      centroids: DataFrame, centroidId: String, centroidCol: String): Seq[(Long, Array[Double], Double)] = {
+    val cents = centroids
+      .select(col(centroidId).cast("long"), asDouble(col(centroidCol)))
+      .collect()
+      .map(r => {
+        val arr = r.getSeq[Double](1).toArray
+        (r.getLong(0), arr, math.sqrt(arr.map(x => x * x).sum))
+      })
+      .sortBy(_._1)
+      .toSeq
+    require(cents.nonEmpty, "centroid table is empty")
+    cents
+  }
+
+  /** Cells ranked by cosine(x, c_i): one dot expression per centroid into a
+    * flat struct array, lexicographically sorted on (-sim, cid) — the
+    * default struct ordering — so ascending sort = descending similarity
+    * with the LOWEST centroid id winning exact ties (matches a
+    * `row_number() OVER (ORDER BY sim DESC, cid)` oracle). Linear-size
+    * expression tree; a folded `when` argmax would duplicate the running
+    * best struct per level and blow up exponentially.
+    */
+  private def centroidsByDistance(
+      cents: Seq[(Long, Array[Double], Double)], x: Column, xNorm: Column): Column =
+    array_sort(array(cents.map { case (cid, arr, cn) =>
+      struct((-(fastDot(x, lit(arr)) / (xNorm * lit(cn)))).as("ns"), lit(cid).as("c"))
+    }: _*))
+
   def ivfTopK(
       vectors: DataFrame,
       vectorId: String,
@@ -178,28 +210,9 @@ object Similarity {
       nprobe: Int
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cents: Seq[(Long, Array[Double], Double)] = centroids
-      .select(col(centroidId).cast("long"), asDouble(col(centroidCol)))
-      .collect()
-      .map(r => {
-        val arr = r.getSeq[Double](1).toArray
-        (r.getLong(0), arr, math.sqrt(arr.map(x => x * x).sum))
-      })
-      .sortBy(_._1)
-      .toSeq
-    require(cents.nonEmpty, "centroid table is empty")
-
-    // Cells ranked by cosine(x, c_i): one dot expression per centroid into a
-    // flat struct array, lexicographically sorted on (-sim, cid) — the
-    // default struct ordering — so ascending sort = descending similarity
-    // with the LOWEST centroid id winning exact ties (matches a
-    // `row_number() OVER (ORDER BY sim DESC, cid)` oracle). Linear-size
-    // expression tree; a folded `when` argmax would duplicate the running
-    // best struct per level and blow up exponentially.
+    val cents = collectCentroids(centroids, centroidId, centroidCol)
     def cellsByDistance(x: Column, xNorm: Column): Column =
-      array_sort(array(cents.map { case (cid, arr, cn) =>
-        struct((-(fastDot(x, lit(arr)) / (xNorm * lit(cn)))).as("ns"), lit(cid).as("c"))
-      }: _*))
+      centroidsByDistance(cents, x, xNorm)
 
     val v = Dedup.withComputeParallelism(
         vectors.select(col(vectorId).as("nbr_id"), asDouble(col(vectorCol)).as("__v")))
@@ -401,5 +414,53 @@ object Similarity {
       .withColumn("__sim", fastDot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
       .filter(round(col("__sim"), 6) >= threshold)
       .select(col("id_a"), col("id_b"), round(col("__sim"), 4).as("cos_sim"))
+  }
+
+  /** SemDeDup (Abbas et al. 2023): semantic deduplication by clustering
+    * embeddings and keeping ONE representative of every within-cluster
+    * near-duplicate group. Each vector is assigned to its nearest centroid
+    * by cosine (argmax ties to the lowest centroid id, same deterministic
+    * rule as [[ivfTopK]]); within a cluster, a vector is dropped iff some
+    * LOWER-id cluster-mate sits at cosine >= `threshold` (keep-first, the
+    * oracle-friendly form of "keep one per dup group"). Returns every
+    * input id with its `cluster` and a `kept` flag.
+    *
+    * Scale shape: assignment is a pure projection against literal centroid
+    * expressions (centroids are small-by-contract, like IVF's quantizer);
+    * the pair scan is all-pairs WITHIN a cluster only — one shuffle on
+    * cluster id, SMJ-pinned self-join (both sides the full corpus — the
+    * derived-broadcast trap class). Per-cluster cost is quadratic in
+    * cluster size BY CONTRACT (that is the SemDeDup algorithm); the
+    * centroid count is the knob that bounds it — size nlist so n/nlist
+    * rows fit a task, exactly like IVF cell sizing. For corpora where even
+    * n/nlist is too hot, pre-bucket clusters with
+    * [[cosineNearDupPairsLsh]] instead.
+    */
+  def semDedup(
+      vectors: DataFrame,
+      vectorId: String,
+      vectorCol: String,
+      centroids: DataFrame,
+      centroidId: String,
+      centroidCol: String,
+      threshold: Double
+  ): DataFrame = {
+    val cents = collectCentroids(centroids, centroidId, centroidCol)
+    val v = Dedup.withComputeParallelism(
+        vectors.select(col(vectorId), asDouble(col(vectorCol)).as("__v")))
+      .withColumn("__n", norm(col("__v")))
+      .withColumn("cluster",
+        centroidsByDistance(cents, col("__v"), col("__n")).getItem(0).getField("c"))
+    val a = v.select(col("cluster"), col(vectorId).as("__ida"), col("__v").as("__va"), col("__n").as("__na"))
+    val b = v.select(col("cluster"), col(vectorId).as("__idb"), col("__v").as("__vb"), col("__n").as("__nb"))
+    val dropped = a.join(b.hint("shuffle_merge"), Seq("cluster"))
+      .filter(col("__ida") < col("__idb"))
+      .filter(round(fastDot(col("__va"), col("__vb")) / (col("__na") * col("__nb")), 6) >= threshold)
+      .select(col("__idb").as(vectorId))
+      .distinct()
+      .withColumn("__dropped", lit(true))
+    v.select(col(vectorId), col("cluster"))
+      .join(dropped.hint("shuffle_merge"), Seq(vectorId), "left")
+      .select(col(vectorId), col("cluster"), col("__dropped").isNull.as("kept"))
   }
 }

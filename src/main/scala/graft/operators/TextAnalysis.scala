@@ -148,6 +148,74 @@ object TextAnalysis {
       .select(col(idCol), col("term"), col("tf"), col("df"), col("tfidf"))
   }
 
+  /** BM25 retrieval: top-k documents per query under Okapi BM25 over
+    * whitespace tokens —
+    * `score(q, d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))`
+    * with the standard smoothed `idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))`.
+    *
+    * Scale shape: the score is assembled from THREE keyed aggregations and
+    * one inverted-index join — tf per (doc, term), df per term
+    * (vocabulary-sized, broadcast), and N/avgdl as a broadcast 1-row
+    * aggregate so the whole plan stays a lazy pure function of its inputs
+    * (same trick as [[tfidf]]). Query terms join tf on term, so only
+    * documents containing at least one query term are ever scored — never
+    * a query × corpus cross product. The final top-k per query runs
+    * through the bounded [[graft.functions.TopKScored]] Aggregator (O(k)
+    * buffers at map/shuffle/reduce, ties to the lowest doc id) with a
+    * kept-pair semi-join back — a window would buffer one query's ENTIRE
+    * match set in a single task, the same hot-key class capPerKey exists
+    * to avoid.
+    *
+    * `queries` is (queryId, query text); doc ids must be long-castable
+    * (they ride the bounded aggregator as longs).
+    */
+  def bm25TopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryTextCol: String,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): DataFrame = {
+    require(k > 0, "k must be positive")
+    val terms = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("__tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("__df"))
+    val corpus = docs.agg(
+      count(lit(1)).cast("double").as("__n"),
+      avg(size(tokens(col(textCol))).cast("double")).as("__avgdl"))
+    val dl = docs.select(col(idCol), size(tokens(col(textCol))).cast("double").as("__dl"))
+    // distinct query terms: a term repeated in the query text scores once
+    // (the standard bag-of-words-query simplification, and what keeps the
+    // join keys unique)
+    val qterms = queries
+      .select(col(queryIdCol), explode(array_distinct(tokens(col(queryTextCol)))).as("term"))
+    val scored = tf
+      .join(broadcast(qterms), "term")
+      .join(broadcast(dfreq), "term")
+      .join(dl, idCol)
+      .crossJoin(broadcast(corpus))
+      .withColumn("__idf",
+        log(lit(1.0) + (col("__n") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5))))
+      .withColumn("__contrib",
+        col("__idf") * (col("__tf") * lit(k1 + 1.0)) /
+          (col("__tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl"))))
+      .groupBy(col(queryIdCol), col(idCol))
+      .agg(sum(col("__contrib")).as("__score"))
+    val topK = udaf(new graft.functions.TopKScored(k))
+    val kept = scored
+      .groupBy(col(queryIdCol))
+      .agg(topK(col("__score"), col(idCol).cast("long")).as("__keep"))
+      .select(col(queryIdCol), explode(col("__keep")).as("__kv"))
+      .select(col(queryIdCol), col("__kv._2").as(idCol))
+    scored
+      .join(kept.hint("shuffle_merge"), Seq(queryIdCol, idCol), "left_semi")
+      .select(col(queryIdCol), col(idCol), col("__score").as("score"))
+  }
+
   /** PII scrubbing — the safety pass every training corpus gets before the
     * tokenizer sees it. Pure `regexp_replace`/`regexp_count` expressions
     * (vectorized, pushdown-friendly); patterns are RE2-compatible (no

@@ -533,6 +533,52 @@ object DataPipelinePack extends QueryPack {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Cross-document repeated-substring profile at 5-token granularity
+    // (Lee et al. substring dedup, the detection half): how many of each
+    // doc's windows also appear verbatim in some OTHER doc.
+    "q85_dup_window_stats" -> ((s, d) => {
+      Dedup.duplicatedWindowStats(Tables.documents(s, d).select(col("doc_id"), col("text")),
+        "doc_id", "text", w = 5)
+        .orderBy(col("doc_id"))
+    }),
+
+    // The removal half: every token covered by a cross-doc-duplicated
+    // 5-token window is stripped (overlaps merge), untouched docs pass
+    // through byte-identical.
+    "q86_strip_dup_windows" -> ((s, d) => {
+      Dedup.stripDuplicatedWindows(Tables.documents(s, d).select(col("doc_id"), col("text")),
+        "doc_id", "text", w = 5)
+        .orderBy(col("doc_id"))
+    }),
+
+    // BM25 retrieval: top-10 docs for three literal queries over the
+    // corpus, scored via the bounded TopKScored aggregator (no window).
+    // Scores round to 4 for cross-engine double comparability; the k=10
+    // boundary gaps were measured at 1e-4+ on this corpus, far above
+    // summation-order noise.
+    "q87_bm25_topk" -> ((s, d) => {
+      import s.implicits._
+      val queries = Seq((1L, "batch join"), (2L, "customer query table"), (3L, "nosuchterm"))
+        .toDF("query_id", "qtext")
+      TextAnalysis.bm25TopK(Tables.documents(s, d).select(col("doc_id"), col("text")),
+        "doc_id", "text", queries, "query_id", "qtext", k = 10)
+        .select(col("query_id"), col("doc_id"), round(col("score"), 4).as("score"))
+        .orderBy(col("query_id"), col("doc_id"))
+    }),
+
+    // SemDeDup over the embeddings table: 8 deterministic centroids (the
+    // 8 lowest vec_ids), nearest-centroid clustering, keep-first within a
+    // cluster at cosine >= 0.3 (the corpus has no planted high-cosine
+    // pairs, so the gate uses the same threshold the exact-pairs queries
+    // exercise).
+    "q88_semdedup" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val centroids = e.orderBy(col("vec_id")).limit(8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      Similarity.semDedup(e, "vec_id", "embedding", centroids, "cid", "cvec", threshold = 0.3)
+        .orderBy(col("vec_id"))
+    }),
+
     // Batch sessionization through the native session_window operator (the
     // same operator the streaming surface uses): 3-hour inactivity gap.
     "q42_sessionize" -> ((s, d) => {
@@ -1471,6 +1517,92 @@ object DataPipelinePack extends QueryPack {
       FROM e a JOIN e b ON a.vec_id < b.vec_id
       WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.99
       ORDER BY id_a, id_b""",
+
+    "q85_dup_window_stats" -> """
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      wins AS (
+        SELECT doc_id, p, array_to_string(list_slice(w, p, p + 4), ' ') AS win
+        FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS p
+              FROM toks WHERE len(w) >= 5)),
+      dup AS (SELECT win FROM wins GROUP BY win HAVING min(doc_id) <> max(doc_id)),
+      per AS (SELECT doc_id, count(*) AS dp, count(DISTINCT win) AS dd
+              FROM wins WHERE win IN (SELECT win FROM dup) GROUP BY doc_id)
+      SELECT d.doc_id,
+             CAST(greatest(len(string_split(d.text, ' ')) - 4, 0) AS BIGINT) AS n_windows,
+             CAST(coalesce(per.dp, 0) AS BIGINT) AS dup_positions,
+             CAST(coalesce(per.dd, 0) AS BIGINT) AS dup_distinct
+      FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id""",
+
+    "q86_strip_dup_windows" -> """
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      wins AS (
+        SELECT doc_id, p, array_to_string(list_slice(w, p, p + 4), ' ') AS win
+        FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS p
+              FROM toks WHERE len(w) >= 5)),
+      dup AS (SELECT win FROM wins GROUP BY win HAVING min(doc_id) <> max(doc_id)),
+      cov AS (SELECT doc_id, list(DISTINCT i) AS cv FROM (
+                SELECT doc_id, unnest(generate_series(p, p + 4)) AS i
+                FROM wins WHERE win IN (SELECT win FROM dup)) GROUP BY doc_id),
+      stripped AS (
+        -- a comprehension with zero survivors yields NULL, not []: coalesce
+        -- it to '' here so the outer coalesce only handles docs with no
+        -- duplicated windows at all (a fully-stripped doc must become '')
+        SELECT t.doc_id,
+               coalesce(array_to_string([t.w[i] for i in range(1, len(t.w) + 1)
+                                         if NOT list_contains(c.cv, i)], ' '), '') AS text2
+        FROM toks t JOIN cov c USING (doc_id))
+      SELECT d.doc_id, coalesce(s.text2, d.text) AS text
+      FROM documents d LEFT JOIN stripped s USING (doc_id) ORDER BY d.doc_id""",
+
+    // (1.2 + 1.0) instead of the literal 2.2: both engines then derive the
+    // k1+1 factor through the SAME double addition the Spark side computes,
+    // instead of trusting decimal-literal parsing to agree with it.
+    "q87_bm25_topk" -> """
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf
+             FROM (SELECT doc_id, unnest(w) AS term FROM toks) GROUP BY doc_id, term),
+      dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      corpus AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                        CAST(avg(len(w)) AS DOUBLE) AS avgdl FROM toks),
+      dl AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl FROM toks),
+      queries(query_id, qtext) AS (VALUES
+        (CAST(1 AS BIGINT), 'batch join'),
+        (CAST(2 AS BIGINT), 'customer query table'),
+        (CAST(3 AS BIGINT), 'nosuchterm')),
+      qterms AS (SELECT DISTINCT query_id, unnest(string_split(qtext, ' ')) AS term
+                 FROM queries),
+      scored AS (
+        SELECT q.query_id, tf.doc_id,
+               sum( ln(1 + (c.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                    * (tf.tf * (1.2 + 1.0))
+                    / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / c.avgdl)) ) AS score
+        FROM tf JOIN qterms q USING (term) JOIN dfreq USING (term)
+             JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN corpus c
+        GROUP BY q.query_id, tf.doc_id),
+      ranked AS (
+        SELECT query_id, doc_id, score,
+               row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+        FROM scored)
+      SELECT query_id, doc_id, round(score, 4) AS score
+      FROM ranked WHERE rnk <= 10 ORDER BY query_id, doc_id""",
+
+    "q88_semdedup" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      cents AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+      assign AS (
+        SELECT vec_id, cid FROM (
+          SELECT e.vec_id, c.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+          FROM e CROSS JOIN cents c) WHERE rn = 1),
+      dropped AS (
+        SELECT DISTINCT b.vec_id
+        FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+             JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id
+        WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.3)
+      SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cluster,
+             (a.vec_id NOT IN (SELECT vec_id FROM dropped)) AS kept
+      FROM assign a ORDER BY a.vec_id""",
 
     // Gaps-and-islands formulation of session_window semantics: a new
     // session starts only when the gap since the previous event STRICTLY

@@ -447,4 +447,65 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(ivf.nonEmpty)
     assert(ivf.subsetOf(bruteAll))
   }
+
+  private lazy val windowDocs = Seq(
+    (1L, "a b c d e"),
+    (2L, "x a b c d y"),       // shares "a b c" and "b c d" with d1
+    (3L, "z z z"),             // whole doc duplicated in d5
+    (4L, "q r"),               // shorter than the window: no windows at all
+    (5L, "z z z w z z z")      // "z z z" at positions 0 and 4
+  ).toDF("doc_id", "text")
+
+  test("duplicatedWindowStats: cross-doc windows only, positions and distinct counted, short docs zero") {
+    val got = Dedup.duplicatedWindowStats(windowDocs, "doc_id", "text", w = 3)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, 2L, 2L),  // "a b c"@0, "b c d"@1 duplicated with d2
+      (2L, 4L, 2L, 2L),  // same two windows at positions 1, 2
+      (3L, 1L, 1L, 1L),  // "z z z" also in d5
+      (4L, 0L, 0L, 0L),
+      (5L, 5L, 2L, 1L))) // "z z z" at 0 and 4; within-doc repeat is ONE distinct window
+  }
+
+  test("stripDuplicatedWindows: covered tokens removed with overlaps merged; clean docs byte-identical") {
+    val got = Dedup.stripDuplicatedWindows(windowDocs, "doc_id", "text", w = 3)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, "e"),         // positions 0-1 cover tokens 0..3
+      (2L, "x y"),       // positions 1-2 cover tokens 1..4
+      (3L, ""),          // fully duplicated doc strips to empty
+      (4L, "q r"),       // untouched (no windows)
+      (5L, "w")))        // 0..2 and 4..6 covered, token 3 survives
+  }
+
+  test("stripDuplicatedWindows preserves extra columns and within-doc-only repeats") {
+    val df = Seq(
+      (1L, "p p p p p p", 10),  // repeats only within itself: NOT duplicated
+      (2L, "unrelated words here", 20)
+    ).toDF("doc_id", "text", "extra")
+    val got = Dedup.stripDuplicatedWindows(df, "doc_id", "text", w = 3)
+      .orderBy("doc_id").as[(Long, String, Int)].collect().toSeq
+    assert(got == Seq((1L, "p p p p p p", 10), (2L, "unrelated words here", 20)))
+  }
+
+  test("semDedup: within-cluster keep-first by id; cross-cluster near-dups both survive") {
+    val centroids = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0))).toDF("cid", "cvec")
+    val vecs = Seq(
+      (10L, Seq(1.0, 0.05)),   // cluster 0, kept
+      (11L, Seq(1.0, 0.06)),   // cluster 0, near-dup of 10 -> dropped
+      (12L, Seq(0.05, 1.0)),   // cluster 1, kept
+      (13L, Seq(0.04, 1.0)),   // cluster 1, near-dup of 12 -> dropped
+      (14L, Seq(0.72, 0.70)),  // cluster 0, no near-dup IN its cluster
+      (15L, Seq(0.70, 0.72))   // cluster 1: cos(14,15) > 0.99 but clusters differ
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.semDedup(vecs, "vec_id", "embedding",
+        centroids, "cid", "cvec", threshold = 0.95)
+      .orderBy("vec_id").as[(Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq(
+      (10L, 0L, true), (11L, 0L, false),
+      (12L, 1L, true), (13L, 1L, false),
+      // the documented SemDeDup blind spot: near-dups split by the
+      // cluster boundary are not compared, so both survive
+      (14L, 0L, true), (15L, 1L, true)))
+  }
 }

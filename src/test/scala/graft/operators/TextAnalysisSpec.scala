@@ -198,4 +198,36 @@ class TextAnalysisSpec extends AnyFunSuite {
         s"stateless form must be a pure per-row filter:\n$plan")
     }
   }
+
+  test("bm25TopK: hand-computed scores, rank order, unmatched query empty, windowless plan") {
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "apple cherry"),
+      (3L, "banana banana banana banana"),
+      (4L, "durian elderberry fig")
+    ).toDF("doc_id", "text")
+    val queries = Seq((1L, "apple"), (2L, "banana cherry"), (3L, "missing")).toDF("query_id", "qtext")
+    val out = TextAnalysis.bm25TopK(docs, "doc_id", "text", queries, "query_id", "qtext", k = 2)
+    val got = out.orderBy(col("query_id"), col("score").desc, col("doc_id"))
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.map(t => (t._1, t._2)) == Seq((1L, 1L), (1L, 2L), (2L, 2L), (2L, 3L)))
+    // q1/d1: idf = ln 2, tf 2, dl 3 = avgdl -> ln2 * 2*2.2 / (2 + 1.2) = ln2 * 1.375
+    assert(math.abs(got.head._3 - math.log(2.0) * 1.375) < 1e-9)
+    // q2/d2 (cherry): idf = ln(1 + 3.5/1.5), tf 1, dl 2 ->
+    //   denom = 1 + 1.2*(0.25 + 0.75*2/3) = 1.9
+    assert(math.abs(got(2)._3 - math.log(1.0 + 3.5 / 1.5) * 2.2 / 1.9) < 1e-9)
+    // the per-query top-k must ride the bounded aggregator, not a window
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"bm25TopK must not use a window:\n$plan")
+  }
+
+  test("bm25TopK: k truncates per query with ties to the lowest doc id") {
+    val docs = Seq(
+      (1L, "term"), (2L, "term"), (3L, "term"), (4L, "term")  // identical docs: equal scores
+    ).toDF("doc_id", "text")
+    val queries = Seq((1L, "term")).toDF("query_id", "qtext")
+    val got = TextAnalysis.bm25TopK(docs, "doc_id", "text", queries, "query_id", "qtext", k = 2)
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    assert(got.map(_._2) == Seq(1L, 2L))
+  }
 }
