@@ -77,11 +77,17 @@ object TrainingDataPipeline {
     * leakage gate. `lineDedupFirst` prepends corpus-wide line-level dedup
     * (the C4 order: strip shared boilerplate BEFORE quality metrics see
     * it); on a single-line corpus this degenerates to exact keep-first
-    * dedup, so the default pipeline's result is unchanged (spec-pinned). */
+    * dedup, so the default pipeline's result is unchanged (spec-pinned).
+    * `stripSubstrings` inserts cross-doc repeated-substring removal AFTER
+    * doc-level dedup (whole-dup docs are already gone, so the window table
+    * is survivor-sized) and BEFORE decontamination/redaction (which must
+    * see the final text); docs stripped below the 5-token quality floor
+    * are dropped, the same threshold the gates applied. */
   def curate(
       docs: DataFrame,
       benchmark: Option[DataFrame] = None,
-      lineDedupFirst: Boolean = false): DataFrame = {
+      lineDedupFirst: Boolean = false,
+      stripSubstrings: Boolean = false): DataFrame = {
     val pre = if (lineDedupFirst) Dedup.dedupLines(docs, "doc_id", "text") else docs
     // 1-2b: metric gates — one scan, one filter, no joins
     val gated = gates(pre)
@@ -96,14 +102,22 @@ object TrainingDataPipeline {
     val keepers = clusters.filter(col("doc_id") === col("cluster_id")).select("doc_id")
     val afterDedup = exact.join(keepers, Seq("doc_id"), "left_semi")
 
-    // 4b: leakage gate — runs AFTER dedup so the n-gram probe scans each
+    // 4b (opt-in): strip cross-doc repeated substrings the doc-level dedup
+    // could not remove (partial overlaps below the near-dup threshold);
+    // re-apply the 5-token floor since stripping can hollow a doc out
+    val afterStrip =
+      if (!stripSubstrings) afterDedup
+      else Dedup.stripDuplicatedWindows(afterDedup, "doc_id", "text", w = 8)
+        .filter(size(TextAnalysis.tokens(col("text"))) >= 5)
+
+    // 4c: leakage gate — runs AFTER dedup so the n-gram probe scans each
     // surviving text once, not once per duplicate copy
-    val deduped = benchmark.fold(afterDedup) { bench =>
+    val deduped = benchmark.fold(afterStrip) { bench =>
       val clean = TextAnalysis.flagContaminated(
-        afterDedup, "doc_id", "text", bench, "text")
+        afterStrip, "doc_id", "text", bench, "text")
         .filter(!col("contaminated"))
         .select("doc_id")
-      afterDedup.join(clean, Seq("doc_id"), "left_semi")
+      afterStrip.join(clean, Seq("doc_id"), "left_semi")
     }
 
     // 5: scrub before tokenization (redactPii carries doc_id through — no

@@ -64,6 +64,24 @@ class TrainingDataPipelineSpec extends AnyFunSuite {
     } finally out.unpersist()
   }
 
+  test("curate stripSubstrings: a tail shared across every doc vanishes from the chunks; off, it rides through") {
+    val marker = "sharedmarkertoken"
+    val tail = s" begin $marker common phrase spanning enough tokens here end"
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id").cast("long"), concat(col("text"), lit(tail)).as("text"))
+    val off = TrainingDataPipeline.curate(docs)
+    assert(off.filter(col("chunk").contains(marker)).count() > 0,
+      "without the strip leg the shared tail must reach the chunks")
+    val on = TrainingDataPipeline.curate(docs, stripSubstrings = true).cache()
+    try {
+      assert(on.select("doc_id").distinct().count() > 0)
+      // every 8-token window inside the tail occurs in EVERY doc, so the
+      // strip leg must remove the whole tail from every survivor
+      assert(on.filter(col("chunk").contains(marker)).isEmpty,
+        "cross-doc duplicated tail survived the strip leg")
+    } finally on.unpersist()
+  }
+
   test("gates: one scan, zero exchanges, survivors equal the semi-join formulation") {
     import graft.operators.TextAnalysis
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

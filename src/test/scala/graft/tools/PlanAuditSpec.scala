@@ -61,7 +61,15 @@ class PlanAuditSpec extends AnyFunSuite {
     // probe set is parameter-bounded and broadcast by design.
     "q81_ann_quantized" -> (0, 1, 0),
     // q82: q73's offset-table broadcast, same bounded class.
-    "q82_token_budget_by_group" -> (0, 0, 1)
+    "q82_token_budget_by_group" -> (0, 0, 1),
+    // q87: three bounded broadcasts — the literal query table (parameter-
+    // sized), the vocabulary-sized document-frequency table (q35's class),
+    // and the 1-row N/avgdl corpus aggregate (whose crossJoin is the BNLJ,
+    // also q35's class) — each appearing TWICE because the kept-pair
+    // semi-join replays the scored subtree (runtime exchange reuse
+    // deduplicates the actual work). The corpus-sized paths (tf, kept
+    // pairs) are hash/SMJ joins.
+    "q87_bm25_topk" -> (0, 2, 6)
   )
 
   test("no query plans an unjustified cartesian / BNLJ / derived broadcast") {
