@@ -751,15 +751,93 @@ object Dedup {
       .groupBy(col(idCol))
       .agg(collect_list(col("__pos")).as("__dups"))
     val others = df.columns.filter(c => c != idCol && c != textCol).map(col)
-    // tokens are PROJECTED before the lambdas touch them: a raw split(...)
-    // expression referenced inside a higher-order lambda re-evaluates once
-    // per element (see shinglesOfTokens), an attribute reference does not
-    val keptIdx = filter(sequence(lit(0), size(col("__toks")) - 1),
-      i => !exists(col("__dups"), p => i >= p && i < p + w))
-    val stripped = concat_ws(" ", transform(keptIdx, i => element_at(col("__toks"), i + 1)))
     df.join(dupPos.hint("shuffle_merge"), Seq(idCol), "left")
       .withColumn("__toks", split(col(textCol), " "))
       .select(Seq(col(idCol),
-        when(col("__dups").isNull, col(textCol)).otherwise(stripped).as(textCol)) ++ others: _*)
+        when(col("__dups").isNull, col(textCol))
+          .otherwise(rebuildWithoutWindows(col("__toks"), col("__dups"), w)).as(textCol)) ++ others: _*)
+  }
+
+  /** Row-local rebuild shared by the strip operators: tokens whose index is
+    * covered by any `w`-token window starting at a position in `dupsCol`
+    * are dropped, the rest re-join on a single space. Both inputs must be
+    * PRE-PROJECTED attribute columns: a raw split(...) expression
+    * referenced inside a higher-order lambda re-evaluates once per element
+    * (see [[shinglesOfTokens]]), an attribute reference does not. */
+  private def rebuildWithoutWindows(toksCol: Column, dupsCol: Column, w: Int): Column = {
+    val keptIdx = filter(sequence(lit(0), size(toksCol) - 1),
+      i => !exists(dupsCol, p => i >= p && i < p + w))
+    concat_ws(" ", transform(keptIdx, i => element_at(toksCol, i + 1)))
+  }
+
+  /** Persistable window index: the DISTINCT xxhash64 values of every
+    * `w`-token window in the corpus — 8 bytes per distinct span, the
+    * substring-granularity sibling of [[buildFingerprintIndex]]. Build it
+    * from the curated corpus (generations via `sinks/IndexStore` compose),
+    * and later batches or streams strip any span already present in
+    * history via [[stripKnownWindows]] without ever re-scanning the old
+    * texts. 64-bit hashing: a collision falsely strips one innocent span;
+    * at 10^9 distinct windows the corpus-wide expected collision count is
+    * ~0.03 — acceptable for a lossy-by-design cleaning pass (the exact
+    * operators in this file stay on 16-byte hashes).
+    */
+  def buildWindowIndex(df: DataFrame, idCol: String, textCol: String, w: Int = 8): DataFrame = {
+    require(w >= 2, "window must span at least 2 tokens")
+    withComputeParallelism(df.select(col(idCol), col(textCol)))
+      .select(split(col(textCol), " ").as("__toks"))
+      .filter(size(col("__toks")) >= w)
+      .select(explode(transform(sequence(lit(0), size(col("__toks")) - w),
+        i => xxhash64(concat_ws(" ", (0 until w).map(j => element_at(col("__toks"), i + j + 1)): _*))))
+        .as("wh"))
+      .distinct()
+  }
+
+  /** STREAM-SAFE strip of every `w`-token span already present in a
+    * [[buildWindowIndex]] history index — the substring-granularity
+    * sibling of [[stripKnownLines]], and the strip-vs-history analog of
+    * [[dropKnownFingerprints]]: newcomers lose the spans history already
+    * has, instead of being dropped whole.
+    *
+    * The index hashes are collected ONCE into an executor-broadcast hash
+    * set and probed per row — a pure projection, zero state, zero
+    * shuffles, so the SAME call applies unchanged to a readStream frame.
+    * A deliberate UDF for the membership probe (O(1) per window against a
+    * shared set beats any literal-array scan once the index is
+    * non-trivial); the window derivation and the rebuild stay the
+    * codegen'd expressions shared with [[stripDuplicatedWindows]].
+    * `maxIndexWindows` fails loudly before an oversized index OOMs the
+    * driver — a corpus-scale index belongs in the join-based
+    * [[stripDuplicatedWindows]] shape instead (or strata of it).
+    */
+  def stripKnownWindows(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      index: DataFrame,
+      w: Int = 8,
+      maxIndexWindows: Int = 5000000
+  ): DataFrame = {
+    require(w >= 2, "window must span at least 2 tokens")
+    val hashes = index.select(col("wh").cast("long")).distinct()
+      .limit(maxIndexWindows + 1).collect().map(_.getLong(0))
+    require(hashes.length <= maxIndexWindows,
+      s"stripKnownWindows: index exceeds maxIndexWindows=$maxIndexWindows — " +
+        "an index this large should be the join-based stripDuplicatedWindows shape, " +
+        "not a driver-collected broadcast")
+    val bc = df.sparkSession.sparkContext.broadcast(hashes.toSet)
+    val hitPositions = udf((whs: scala.collection.Seq[Long]) =>
+      if (whs == null) Seq.empty[Int]
+      else whs.zipWithIndex.collect { case (h, p) if bc.value.contains(h) => p })
+    val others = df.columns.filter(c => c != idCol && c != textCol).map(col)
+    df.withColumn("__toks", split(col(textCol), " "))
+      .withColumn("__whs",
+        when(size(col("__toks")) >= w,
+          transform(sequence(lit(0), size(col("__toks")) - w),
+            i => xxhash64(concat_ws(" ", (0 until w).map(j => element_at(col("__toks"), i + j + 1)): _*))))
+          .otherwise(array().cast("array<long>")))
+      .withColumn("__dups", hitPositions(col("__whs")))
+      .select(Seq(col(idCol),
+        when(size(col("__dups")) === 0, col(textCol))
+          .otherwise(rebuildWithoutWindows(col("__toks"), col("__dups"), w)).as(textCol)) ++ others: _*)
   }
 }

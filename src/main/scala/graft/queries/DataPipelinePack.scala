@@ -566,6 +566,19 @@ object DataPipelinePack extends QueryPack {
         .orderBy(col("query_id"), col("doc_id"))
     }),
 
+    // Strip-vs-history at substring granularity: even docs are the curated
+    // history, odd docs the newcomers; every 5-token span a newcomer
+    // shares with ANY historical doc is removed (the stream-safe broadcast
+    // path, driven by the persisted window index).
+    "q89_strip_vs_history" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val index = Dedup.buildWindowIndex(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", w = 5)
+      Dedup.stripKnownWindows(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", index, w = 5)
+        .orderBy(col("doc_id"))
+    }),
+
     // SemDeDup over the embeddings table: 8 deterministic centroids (the
     // 8 lowest vec_ids), nearest-centroid clustering, keep-first within a
     // cluster at cosine >= 0.3 (the corpus has no planted high-cosine
@@ -1585,6 +1598,28 @@ object DataPipelinePack extends QueryPack {
         FROM scored)
       SELECT query_id, doc_id, round(score, 4) AS score
       FROM ranked WHERE rnk <= 10 ORDER BY query_id, doc_id""",
+
+    "q89_strip_vs_history" -> """
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      hist AS (
+        SELECT DISTINCT array_to_string(list_slice(w, p, p + 4), ' ') AS win
+        FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS p
+              FROM toks WHERE len(w) >= 5 AND doc_id % 2 = 0)),
+      wins AS (
+        SELECT doc_id, p, array_to_string(list_slice(w, p, p + 4), ' ') AS win
+        FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS p
+              FROM toks WHERE len(w) >= 5 AND doc_id % 2 = 1)),
+      cov AS (SELECT doc_id, list(DISTINCT i) AS cv FROM (
+                SELECT doc_id, unnest(generate_series(p, p + 4)) AS i
+                FROM wins WHERE win IN (SELECT win FROM hist)) GROUP BY doc_id),
+      stripped AS (
+        SELECT t.doc_id,
+               coalesce(array_to_string([t.w[i] for i in range(1, len(t.w) + 1)
+                                         if NOT list_contains(c.cv, i)], ' '), '') AS text2
+        FROM toks t JOIN cov c USING (doc_id))
+      SELECT d.doc_id, coalesce(s.text2, d.text) AS text
+      FROM documents d LEFT JOIN stripped s USING (doc_id)
+      WHERE d.doc_id % 2 = 1 ORDER BY d.doc_id""",
 
     "q88_semdedup" -> """
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

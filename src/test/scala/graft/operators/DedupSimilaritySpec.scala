@@ -488,6 +488,32 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got == Seq((1L, "p p p p p p", 10), (2L, "unrelated words here", 20)))
   }
 
+  test("stripKnownWindows: history spans vanish from newcomers, shuffle-free plan, oversized index refused") {
+    val history = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val index = Dedup.buildWindowIndex(history, "doc_id", "text", w = 3)
+    val newcomers = Seq(
+      (10L, "x y alpha beta gamma q r s"),   // one historical span mid-doc
+      (11L, "nothing shared here at all"),   // untouched
+      (12L, "beta gamma delta epsilon zeta"),// every window historical -> ""
+      (13L, "ab")                            // shorter than the window
+    ).toDF("doc_id", "text")
+    val out = Dedup.stripKnownWindows(newcomers, "doc_id", "text", index, w = 3)
+    val got = out.orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(got == Seq(
+      (10L, "x y q r s"),
+      (11L, "nothing shared here at all"),
+      (12L, ""),
+      (13L, "ab")))
+    // stream-safety: a pure projection — no exchange, no join, no state
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"stripKnownWindows must stay a per-row projection:\n$plan")
+    val big = intercept[IllegalArgumentException] {
+      Dedup.stripKnownWindows(newcomers, "doc_id", "text", index, w = 3, maxIndexWindows = 2)
+    }
+    assert(big.getMessage.contains("maxIndexWindows"))
+  }
+
   test("semDedup: within-cluster keep-first by id; cross-cluster near-dups both survive") {
     val centroids = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0))).toDF("cid", "cvec")
     val vecs = Seq(
