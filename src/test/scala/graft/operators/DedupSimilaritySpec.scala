@@ -488,6 +488,23 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got == Seq((1L, "p p p p p p", 10), (2L, "unrelated words here", 20)))
   }
 
+  test("centerForBuckets: identical output on a single-orthant corpus, and the twins still surface") {
+    // all-positive vectors (the sign-LSH worst case) with planted twins
+    val vecs = (0L until 40L).map { i =>
+      val base = (0 until 8).map(k => 0.2 + ((i * 7 + k * 13) % 17) / 20.0)
+      (i, base)
+    } ++ Seq((100L, (0 until 8).map(k => 0.2 + ((5 * 7 + k * 13) % 17) / 20.0 + (if (k == 0) 0.001 else 0.0))))
+    val df = vecs.toDF("vec_id", "embedding")
+    val raw = Similarity.cosineNearDupPairsLsh(df, "vec_id", "embedding",
+      threshold = 0.999, dim = 8, bandBits = 2, bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val centered = Similarity.cosineNearDupPairsLsh(df, "vec_id", "embedding",
+      threshold = 0.999, dim = 8, bandBits = 2, bands = 16, centerForBuckets = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(centered == raw, "centering the buckets must not change the verified output")
+    assert(centered.contains((5L, 100L)), "planted twin pair must surface")
+  }
+
   test("stripKnownWindows: history spans vanish from newcomers, shuffle-free plan, oversized index refused") {
     val history = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
     val index = Dedup.buildWindowIndex(history, "doc_id", "text", w = 3)

@@ -62,6 +62,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q81_ann_quantized" -> (0, 1, 0),
     // q82: q73's offset-table broadcast, same bounded class.
     "q82_token_budget_by_group" -> (0, 0, 1),
+    // q84: centerForBuckets' 1-row mean aggregate crossJoined back into the
+    // bucketing projection — a scalar by construction (q35's N class).
+    "q84_image_neardup" -> (0, 1, 1),
     // q87: three bounded broadcasts — the literal query table (parameter-
     // sized), the vocabulary-sized document-frequency table (q35's class),
     // and the 1-row N/avgdl corpus aggregate (whose crossJoin is the BNLJ,
