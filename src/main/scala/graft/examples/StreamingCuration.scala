@@ -33,6 +33,16 @@ final case class DedupHorizon(tsCol: String, delay: String)
   * `historyIndex`'s exact-fingerprint memory. */
 final case class NearDupHistory(index: DataFrame, docs: DataFrame)
 
+/** Opt-in SUBSTRING memory for [[StreamingCuration.curate]]: the persisted
+  * [[Dedup.buildWindowIndex]] of all previously curated corpora. Arriving
+  * documents lose every `w`-token span history already has
+  * ([[Dedup.stripKnownWindows]] — an executor-broadcast set probe, zero
+  * stream state) BEFORE the quality gates judge what remains — the
+  * finest-grained of the three history memories: fingerprints drop exact
+  * re-arrivals whole, the LSH index flags near-dup docs, this strips
+  * duplicated SPANS out of otherwise-novel documents. */
+final case class WindowHistory(index: DataFrame, w: Int = 8)
+
 /** [[TrainingDataPipeline.curate]] AT INGEST TIME — processing documents as
   * they arrive instead of in a nightly batch is the reference's entire
   * identity (its run loop exists to push records the moment an iteration
@@ -89,7 +99,10 @@ object StreamingCuration {
     * are flagged, not dropped in-stream (folding a band-multiplied match
     * row set back to document granularity needs an aggregate, which cannot
     * sit in an append stream) — [[resolveClusters]] removes them, the same
-    * division of labor as the in-stream candidates leg. */
+    * division of labor as the in-stream candidates leg. `windowHistory`
+    * adds the SUBSTRING-granularity memory (see [[WindowHistory]]):
+    * historical spans are stripped out of arriving text before the gates,
+    * another pure per-row probe with zero stream state. */
   def curate(
       stream: DataFrame,
       numHashes: Int = 64,
@@ -99,7 +112,8 @@ object StreamingCuration {
       benchmark: Option[DataFrame] = None,
       dedupHorizon: Option[DedupHorizon] = None,
       historyIndex: Option[DataFrame] = None,
-      nearDupHistory: Option[NearDupHistory] = None
+      nearDupHistory: Option[NearDupHistory] = None,
+      windowHistory: Option[WindowHistory] = None
   ): StreamingCurationStreams = {
     // withColumn keeps every stream column (e.g. the horizon's event-time
     // column) riding alongside the stripped text
@@ -107,8 +121,14 @@ object StreamingCuration {
       if (boilerplateLines.isEmpty) stream
       else stream.withColumn("text",
         Dedup.stripKnownLinesExpr(col("text"), boilerplateLines))
+    // substring history strips BEFORE the gates, like the boilerplate leg:
+    // the gates must judge the text that will actually be kept (a doc
+    // hollowed out by historical spans should fail the token floor here,
+    // not pollute the corpus). Pure per-row probe — zero stream state.
+    val spanStripped = windowHistory.fold(stripped)(wh =>
+      Dedup.stripKnownWindows(stripped, "doc_id", "text", wh.index, wh.w))
     val gated = TrainingDataPipeline.gates(
-      stripped, keep = dedupHorizon.map(_.tsCol).toSeq)
+      spanStripped, keep = dedupHorizon.map(_.tsCol).toSeq)
     // decontamination is a pure per-row probe (stateless), so it sits
     // before the stateful dedup and the candidates branch sees it too
     val deconOnly = benchmark.fold(gated)(b =>

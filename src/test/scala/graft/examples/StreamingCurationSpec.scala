@@ -226,6 +226,42 @@ class StreamingCurationSpec extends AnyFunSuite {
     } finally { qSurv.stop(); qMatch.stop() }
   }
 
+  test("windowHistory strips historical spans from arriving docs before the gates; hollowed docs fail the floor") {
+    val curated = "the cat and the dog is in the house of the king by the sea"
+    val index = Dedup.buildWindowIndex(
+      Seq((1L, curated)).toDF("doc_id", "text"), "doc_id", "text", w = 5)
+    // novel doc carrying a 5-token historical span mid-text; a doc that is
+    // ENTIRELY historical spans (hollowed to nothing -> gate floor drops it)
+    val carrier = "the fox and the hen went the cat and the dog is to the barn and the yard at dawn"
+    val hollow = curated
+    val fresh = "the owl and the wren is of the wood and the glen at dusk"
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val streams = StreamingCuration.curate(in.toDF().toDF("doc_id", "text"),
+      windowHistory = Some(WindowHistory(index, w = 5)))
+    try spark.catalog.dropTempView("scur_win") catch { case _: Exception => () }
+    val q = streams.survivors.writeStream
+      .format("memory").queryName("scur_win").outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("graft-scur-win").toString)
+      .start()
+    try {
+      in.addData(Seq((10L, carrier), (11L, hollow), (12L, fresh))); q.processAllAvailable()
+      val got = spark.table("scur_win").select("doc_id", "text")
+        .as[(Long, String)].collect().toMap
+      // batch analog: the same strip feeding the same gates
+      val batch = TrainingDataPipeline.gates(Dedup.stripKnownWindows(
+          Seq((10L, carrier), (11L, hollow), (12L, fresh)).toDF("doc_id", "text"),
+          "doc_id", "text", index, w = 5))
+        .as[(Long, String)].collect().toMap
+      assert(got == batch, s"stream=$got batch=$batch")
+      assert(!got.contains(11L), "fully-historical doc must hollow out and fail the gates")
+      assert(got(10L).contains("fox") && !got(10L).contains("cat"),
+        s"historical span must vanish from the carrier, got '${got(10L)}'")
+      assert(got(12L) == fresh)
+    } finally q.stop()
+  }
+
   test("dedupHorizon bounds dedup state: post-horizon re-arrival re-admits; lifetime mode never does") {
     val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
     def ts(h: Int) = new java.sql.Timestamp(base.getTime + h * 3600000L)
