@@ -212,4 +212,48 @@ object Sampling {
     }.otherwise(lit(threshold(defaultRate)))
     df.filter(keyHash(col(keyCol), salt) < cutoff)
   }
+
+  /** Temperature-based mixture sampling — the multilingual/multi-source
+    * rebalancing rule (sampling probability ∝ group-share^α): keep a
+    * `targetFraction` of the corpus overall while flattening (α < 1) or
+    * sharpening (α > 1) the group distribution. Per-group admission rate
+    * `r_g = targetFraction · N · n_g^α / (Σ_h n_h^α · n_g)`, capped at 1 —
+    * expected survivors = targetFraction · N exactly (modulo capping),
+    * with the α=1 case degenerating to [[deterministicSample]] per group.
+    *
+    * Group counts, the power sums, and the per-group thresholds are all
+    * IN-PLAN (a group-count aggregate — enum-sized by the stratum
+    * contract — crossJoined as a broadcast scalar and broadcast-joined
+    * back), so the whole thing stays one lazy declarative frame: no
+    * driver-side counts, no collect. Admission is the same 60-bit
+    * hash-threshold row invariant as every sampler here; the threshold is
+    * derived through double `pow`, so two engines can disagree only when
+    * a hash lands within an ulp-scaled window of a boundary (~2^-50 per
+    * row — the accepted cross-engine float class, see q87). */
+  def temperatureMixture(
+      df: DataFrame,
+      keyCol: String,
+      groupCol: String,
+      alpha: Double,
+      targetFraction: Double,
+      salt: String
+  ): DataFrame = {
+    require(alpha > 0.0, s"alpha must be positive, got $alpha")
+    require(targetFraction > 0.0 && targetFraction <= 1.0,
+      s"targetFraction must be in (0, 1], got $targetFraction")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).cast("double").as("__n"))
+    val totals = counts.agg(
+      sum(col("__n")).as("__total"),
+      sum(pow(col("__n"), lit(alpha))).as("__sa"))
+    val rates = counts.crossJoin(broadcast(totals))
+      .select(col(groupCol),
+        least(
+          lit(targetFraction) * col("__total") * pow(col("__n"), lit(alpha)) /
+            (col("__sa") * col("__n")),
+          lit(1.0)).as("__rate"))
+    df.join(broadcast(rates), Seq(groupCol))
+      .filter(keyHash(col(keyCol), salt) <
+        floor(col("__rate") * lit((1L << 60).toDouble)).cast("long"))
+      .select(df.columns.map(col).toSeq: _*)
+  }
 }

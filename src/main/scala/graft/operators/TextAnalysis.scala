@@ -161,10 +161,11 @@ object TextAnalysis {
     * documents containing at least one query term are ever scored — never
     * a query × corpus cross product. The final top-k per query runs
     * through the bounded [[graft.functions.TopKScored]] Aggregator (O(k)
-    * buffers at map/shuffle/reduce, ties to the lowest doc id) with a
-    * kept-pair semi-join back — a window would buffer one query's ENTIRE
-    * match set in a single task, the same hot-key class capPerKey exists
-    * to avoid.
+    * buffers at map/shuffle/reduce, ties to the lowest doc id), whose
+    * (score, id) buffer IS the output row — no join back, the scored
+    * subtree plans once. A window would buffer one query's ENTIRE match
+    * set in a single task, the same hot-key class capPerKey exists to
+    * avoid.
     *
     * `queries` is (queryId, query text); doc ids must be long-castable
     * (they ride the bounded aggregator as longs).
@@ -205,15 +206,89 @@ object TextAnalysis {
           (col("__tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl"))))
       .groupBy(col(queryIdCol), col(idCol))
       .agg(sum(col("__contrib")).as("__score"))
+    // the aggregator's (score, id) pairs ARE the output rows — no kept-pair
+    // join back (capPerKey needs one to recover untouched row payloads;
+    // here the payload is exactly what the buffer carries), so the scored
+    // subtree is planned ONCE
     val topK = udaf(new graft.functions.TopKScored(k))
-    val kept = scored
+    scored
       .groupBy(col(queryIdCol))
       .agg(topK(col("__score"), col(idCol).cast("long")).as("__keep"))
       .select(col(queryIdCol), explode(col("__keep")).as("__kv"))
-      .select(col(queryIdCol), col("__kv._2").as(idCol))
-    scored
-      .join(kept.hint("shuffle_merge"), Seq(queryIdCol, idCol), "left_semi")
-      .select(col(queryIdCol), col(idCol), col("__score").as("score"))
+      .select(col(queryIdCol), col("__kv._2").as(idCol), col("__kv._1").as("score"))
+  }
+
+  /** Reciprocal-rank fusion of several per-query rankings — the standard
+    * hybrid-retrieval combiner (BM25 + dense ANN, or any mix):
+    * `rrf(q, d) = Σ_rankings 1 / (rrfK + rank_i(q, d))`, documents absent
+    * from a ranking simply contribute nothing.
+    *
+    * Contract: each input frame is a per-query BOUNDED list — the output
+    * of a retrieval operator ([[bm25TopK]], [[Similarity.ivfTopK]], ...),
+    * so the per-frame rank window sorts k-bounded partitions, never a
+    * corpus. The fused top-k then rides the bounded
+    * [[graft.functions.TopKScored]] Aggregator (ties to the lowest doc
+    * id), the same no-hot-window shape as [[bm25TopK]]. With integer
+    * ranks the fused score is a sum of exact dyadic-free rationals that
+    * two engines compute identically when their input rankings agree.
+    */
+  def reciprocalRankFusion(
+      rankings: Seq[DataFrame],
+      queryIdCol: String,
+      docIdCol: String,
+      scoreCol: String,
+      k: Int,
+      rrfK: Int = 60
+  ): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    require(k > 0 && rrfK > 0, "k and rrfK must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(queryIdCol)).orderBy(col(scoreCol).desc, col(docIdCol))
+    val contribs = rankings.map(r =>
+      r.select(col(queryIdCol), col(docIdCol), col(scoreCol))
+        .withColumn("__contrib", lit(1.0) / (lit(rrfK) + row_number().over(w)))
+        .drop(scoreCol))
+    val fused = contribs.reduce(_ unionByName _)
+      .groupBy(col(queryIdCol), col(docIdCol))
+      .agg(sum(col("__contrib")).as("rrf_score"))
+    // emit straight from the aggregator — see bm25TopK's same shape
+    val topK = udaf(new graft.functions.TopKScored(k))
+    fused
+      .groupBy(col(queryIdCol))
+      .agg(topK(col("rrf_score"), col(docIdCol).cast("long")).as("__keep"))
+      .select(col(queryIdCol), explode(col("__keep")).as("__kv"))
+      .select(col(queryIdCol), col("__kv._2").as(docIdCol), col("__kv._1").as("rrf_score"))
+  }
+
+  /** Hashed-feature linear scorer — the fasttext-shaped quality classifier
+    * every production corpus filter runs, as a PURE per-row expression:
+    * `score = sigmoid(bias + Σ_tokens weights[bucket(token)])` with
+    * `bucket = md5-hash(token) mod |weights|` (the same engine-portable
+    * hash family as [[Sampling.keyHash]], so an independent engine
+    * reproduces every bucket). The weight vector rides the plan as a
+    * literal array and the sum is a sequential left fold over the token
+    * order — bit-identical wherever it reruns, zero shuffles, zero state,
+    * stream-safe. Train the weights offline (logistic regression over
+    * hashed token counts); this operator is the 100 TB inference pass.
+    */
+  def hashedLinearScore(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      weights: Seq[Double],
+      bias: Double
+  ): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    val wLit = typedLit(weights)
+    val buckets = weights.size
+    val z = aggregate(
+      col("__toks"),
+      lit(bias),
+      (acc, t) => acc + element_at(wLit,
+        (conv(substring(md5(t), 1, 15), 16, 10).cast("long") % buckets).cast("int") + 1))
+    df.withColumn("__toks", tokens(col(textCol)))
+      .withColumn("quality_score", round(lit(1.0) / (lit(1.0) + exp(-z)), 4))
+      .drop("__toks")
   }
 
   /** PII scrubbing — the safety pass every training corpus gets before the

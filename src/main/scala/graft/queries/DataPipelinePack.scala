@@ -570,6 +570,40 @@ object DataPipelinePack extends QueryPack {
         .orderBy(col("query_id"), col("doc_id"))
     }),
 
+    // Hybrid-retrieval fusion: RRF over two genuinely different BM25
+    // rankings (length-normalized b=0.75 vs un-normalized b=0) of the same
+    // literal queries — the BM25+dense-ANN combiner shape with both legs
+    // oracle-expressible.
+    "q90_rrf_fusion" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val queries = Seq((1L, "batch join"), (2L, "customer query table"))
+        .toDF("query_id", "qtext")
+      val legA = TextAnalysis.bm25TopK(docs, "doc_id", "text", queries, "query_id", "qtext", k = 20)
+      val legB = TextAnalysis.bm25TopK(docs, "doc_id", "text", queries, "query_id", "qtext", k = 20, b = 0.0)
+      TextAnalysis.reciprocalRankFusion(Seq(legA, legB), "query_id", "doc_id", "score", k = 10)
+        .select(col("query_id"), col("doc_id"), round(col("rrf_score"), 6).as("rrf_score"))
+        .orderBy(col("query_id"), col("doc_id"))
+    }),
+
+    // Temperature-rebalanced sampling (group-share^alpha): flatten the
+    // language mix at alpha = 0.5 while keeping ~30% of the corpus; all
+    // rates in-plan, admission the shared 60-bit hash invariant.
+    "q91_temperature_mix" -> ((s, d) => {
+      Sampling.temperatureMixture(Tables.documents(s, d).select(col("doc_id"), col("lang")),
+        "doc_id", "lang", alpha = 0.5, targetFraction = 0.3, salt = "temp-v1")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Hashed-feature linear quality scorer with a shared literal weight
+    // vector (the fasttext-filter inference pass, pure per-row).
+    "q92_quality_score" -> ((s, d) => {
+      TextAnalysis.hashedLinearScore(Tables.documents(s, d).select(col("doc_id"), col("text")),
+        "doc_id", "text", qualityWeights, bias = -0.5)
+        .select(col("doc_id"), col("quality_score"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Strip-vs-history at substring granularity: even docs are the curated
     // history, odd docs the newcomers; every 5-token span a newcomer
     // shares with ANY historical doc is removed (the stream-safe broadcast
@@ -861,6 +895,11 @@ object DataPipelinePack extends QueryPack {
     * engines, so the oracle is the definition, not an approximation. */
   private def duckKeyHash(keyExpr: String, salt: String): String =
     s"CAST(concat('0x', substring(md5('$salt' || CAST($keyExpr AS VARCHAR)), 1, 15)) AS BIGINT)"
+
+  /** q92's weight vector, shared verbatim between the Spark call and the
+    * oracle's list literal so both engines fold the SAME doubles. */
+  private val qualityWeights: Seq[Double] =
+    (0 until 64).map(i => ((i * 37) % 21 - 10) / 10.0)
 
   private def hashSampleOracle: String =
     s"""SELECT doc_id, text FROM documents
@@ -1602,6 +1641,70 @@ object DataPipelinePack extends QueryPack {
         FROM scored)
       SELECT query_id, doc_id, round(score, 4) AS score
       FROM ranked WHERE rnk <= 10 ORDER BY query_id, doc_id""",
+
+    "q90_rrf_fusion" -> """
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf
+             FROM (SELECT doc_id, unnest(w) AS term FROM toks) GROUP BY doc_id, term),
+      dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      corpus AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                        CAST(avg(len(w)) AS DOUBLE) AS avgdl FROM toks),
+      dl AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl FROM toks),
+      queries(query_id, qtext) AS (VALUES
+        (CAST(1 AS BIGINT), 'batch join'),
+        (CAST(2 AS BIGINT), 'customer query table')),
+      qterms AS (SELECT DISTINCT query_id, unnest(string_split(qtext, ' ')) AS term
+                 FROM queries),
+      scored AS (
+        SELECT q.query_id, tf.doc_id,
+               sum( ln(1 + (c.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                    * (tf.tf * (1.2 + 1.0))
+                    / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / c.avgdl)) ) AS score_a,
+               sum( ln(1 + (c.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                    * (tf.tf * (1.2 + 1.0))
+                    / (tf.tf + 1.2 * (1.0 + 0.0 * dl.dl / c.avgdl)) ) AS score_b
+        FROM tf JOIN qterms q USING (term) JOIN dfreq USING (term)
+             JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN corpus c
+        GROUP BY q.query_id, tf.doc_id),
+      ranked AS (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY score_a DESC, doc_id) AS ra,
+               row_number() OVER (PARTITION BY query_id ORDER BY score_b DESC, doc_id) AS rb
+        FROM scored),
+      contribs AS (
+        SELECT query_id, doc_id, 1.0 / (60 + ra) AS c FROM ranked WHERE ra <= 20
+        UNION ALL
+        SELECT query_id, doc_id, 1.0 / (60 + rb) AS c FROM ranked WHERE rb <= 20),
+      fused AS (SELECT query_id, doc_id, sum(c) AS rrf
+                FROM contribs GROUP BY query_id, doc_id),
+      topk AS (SELECT query_id, doc_id, rrf,
+                      row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rnk
+               FROM fused)
+      SELECT query_id, doc_id, round(rrf, 6) AS rrf_score
+      FROM topk WHERE rnk <= 10 ORDER BY query_id, doc_id""",
+
+    "q91_temperature_mix" -> s"""
+      WITH g AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY lang),
+      t AS (SELECT sum(n) AS total, sum(pow(n, 0.5)) AS sa FROM g),
+      r AS (SELECT lang, least(0.3 * t.total * pow(g.n, 0.5) / (t.sa * g.n), 1.0) AS rate
+            FROM g CROSS JOIN t)
+      SELECT d.doc_id, d.lang
+      FROM documents d JOIN r USING (lang)
+      WHERE ${duckKeyHash("d.doc_id", "temp-v1")} <
+            CAST(floor(r.rate * 1152921504606846976.0) AS BIGINT)
+      ORDER BY d.doc_id""",
+
+    "q92_quality_score" -> s"""
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      wv AS (SELECT [${qualityWeights.mkString(", ")}] AS wl)
+      SELECT doc_id,
+             round(1.0 / (1.0 + exp(-(
+               list_reduce(
+                 list_prepend(CAST(-0.5 AS DOUBLE),
+                   list_transform(w, t -> wl[
+                     CAST(CAST(concat('0x', substring(md5(t), 1, 15)) AS BIGINT) % 64 AS INTEGER) + 1])),
+                 (acc, x) -> acc + x)))), 4) AS quality_score
+      FROM toks CROSS JOIN wv ORDER BY doc_id""",
 
     "q89_strip_vs_history" -> """
       WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

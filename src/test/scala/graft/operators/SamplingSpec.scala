@@ -144,6 +144,32 @@ class SamplingSpec extends AnyFunSuite {
     assert(deT < enT / 4)
   }
 
+  test("temperatureMixture: alpha=1 degenerates to a plain sample; alpha<1 flattens the group mix; rows unchanged") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("lang"))
+    // alpha = 1: every group's rate is exactly targetFraction
+    val flat = Sampling.temperatureMixture(docs, "doc_id", "lang", alpha = 1.0,
+      targetFraction = 0.4, salt = "tm")
+      .select("doc_id").as[Long].collect().toSet
+    val plain = Sampling.deterministicSample(docs, "doc_id", 0.4, "tm")
+      .select("doc_id").as[Long].collect().toSet
+    assert(flat == plain)
+
+    // alpha = 0.25 must admit rare groups at a HIGHER rate than common ones
+    val sampled = Sampling.temperatureMixture(docs, "doc_id", "lang", alpha = 0.25,
+      targetFraction = 0.4, salt = "tm")
+    val before = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val after = sampled.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val (commonest, rarest) = (before.maxBy(_._2)._1, before.minBy(_._2)._1)
+    assert(before.size > 1, "fixture needs several languages")
+    val rateOf = (l: String) => after.getOrElse(l, 0L).toDouble / before(l)
+    assert(rateOf(rarest) > rateOf(commonest),
+      s"flattening must favor the rare group: rare=${rateOf(rarest)} common=${rateOf(commonest)}")
+    // survivors are input rows, columns untouched
+    assert(sampled.columns.toSeq == Seq("doc_id", "lang"))
+    assert(sampled.count() > 0 && sampled.count() < docs.count())
+  }
+
   test("tokenBudgetSampleByGroup adversarial: an over-budget single doc still admits (then closes the stratum); unlisted groups get the default") {
     // 'de' has ONE doc of 500 tokens against a 100-token stratum budget:
     // the prefix-BEFORE-it is 0 < 100, so it must admit (the straddler

@@ -221,6 +221,43 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"bm25TopK must not use a window:\n$plan")
   }
 
+  test("reciprocalRankFusion: hand-computed fusion, absent docs contribute nothing, k truncates") {
+    import spark.implicits._
+    // leg A ranks (1,2,3); leg B ranks (2,3,4) — doc 2: 1/62 + 1/61
+    val legA = Seq((1L, 1L, 3.0), (1L, 2L, 2.0), (1L, 3L, 1.0)).toDF("query_id", "doc_id", "score")
+    val legB = Seq((1L, 2L, 9.0), (1L, 3L, 8.0), (1L, 4L, 7.0)).toDF("query_id", "doc_id", "score")
+    val got = TextAnalysis.reciprocalRankFusion(Seq(legA, legB), "query_id", "doc_id", "score", k = 3)
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.map(_._2) == Seq(2L, 3L, 1L)) // doc 4 (rank-3 in one leg only) truncated at k=3
+    assert(math.abs(got.head._3 - (1.0 / 62 + 1.0 / 61)) < 1e-12)
+    assert(math.abs(got(2)._3 - 1.0 / 61) < 1e-12) // doc 1: leg A rank 1 only
+  }
+
+  test("hashedLinearScore: fold matches an independent reimplementation; pure projection plan") {
+    import spark.implicits._
+    val weights = (0 until 16).map(i => (i - 8) / 4.0)
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "delta"), (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.hashedLinearScore(docs, "doc_id", "text", weights, bias = 0.25)
+    val got = out.orderBy("doc_id").select("doc_id", "quality_score")
+      .as[(Long, Double)].collect().toMap
+    def bucket(t: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      (java.lang.Long.parseLong(hex, 16) % 16).toInt
+    }
+    def expected(text: String): Double = {
+      val z = text.split(" ").foldLeft(0.25)((acc, t) => acc + weights(bucket(t)))
+      BigDecimal(1.0 / (1.0 + math.exp(-z))).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(got(1L) == expected("alpha beta gamma"))
+    assert(got(2L) == expected("delta"))
+    assert(got(3L) == expected("")) // split("") -> [""]: one empty-token bucket
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"hashedLinearScore must stay a per-row projection:\n$plan")
+  }
+
   test("bm25TopK: k truncates per query with ties to the lowest doc id") {
     val docs = Seq(
       (1L, "term"), (2L, "term"), (3L, "term"), (4L, "term")  // identical docs: equal scores

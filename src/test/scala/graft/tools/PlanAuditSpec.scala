@@ -67,12 +67,17 @@ class PlanAuditSpec extends AnyFunSuite {
     "q84_image_neardup" -> (0, 1, 1),
     // q87: three bounded broadcasts — the literal query table (parameter-
     // sized), the vocabulary-sized document-frequency table (q35's class),
-    // and the 1-row N/avgdl corpus aggregate (whose crossJoin is the BNLJ,
-    // also q35's class) — each appearing TWICE because the kept-pair
-    // semi-join replays the scored subtree (runtime exchange reuse
-    // deduplicates the actual work). The corpus-sized paths (tf, kept
-    // pairs) are hash/SMJ joins.
-    "q87_bm25_topk" -> (0, 2, 6)
+    // and the 1-row N/avgdl corpus aggregate (whose crossJoin is the
+    // BNLJ, also q35's class). The corpus-sized tf path is a hash join;
+    // top-k emits straight from the bounded aggregator, so the scored
+    // subtree plans exactly once.
+    "q87_bm25_topk" -> (0, 1, 3),
+    // q90: two BM25 legs, each carrying q87's bounded triple exactly once.
+    "q90_rrf_fusion" -> (0, 2, 6),
+    // q91: the group-count/power-sum scalars — an enum-sized rate table and
+    // a 1-row totals aggregate (its crossJoin is the BNLJ), both broadcast
+    // back by construction (q35's N class).
+    "q91_temperature_mix" -> (0, 1, 2)
   )
 
   test("no query plans an unjustified cartesian / BNLJ / derived broadcast") {
