@@ -33,6 +33,13 @@ final case class DedupHorizon(tsCol: String, delay: String)
   * `historyIndex`'s exact-fingerprint memory. */
 final case class NearDupHistory(index: DataFrame, docs: DataFrame)
 
+/** Opt-in model-based quality gate for [[StreamingCuration.curate]]: a
+  * trained hashed-feature linear scorer
+  * ([[TextAnalysis.hashedLinearScore]]) applied per row — documents
+  * scoring below `minScore` drop at the gate stage, alongside the
+  * heuristic metric gates. Pure projection + filter: zero stream state. */
+final case class QualityModel(weights: Seq[Double], bias: Double, minScore: Double)
+
 /** Opt-in SUBSTRING memory for [[StreamingCuration.curate]]: the persisted
   * [[Dedup.buildWindowIndex]] of all previously curated corpora. Arriving
   * documents lose every `w`-token span history already has
@@ -102,7 +109,9 @@ object StreamingCuration {
     * division of labor as the in-stream candidates leg. `windowHistory`
     * adds the SUBSTRING-granularity memory (see [[WindowHistory]]):
     * historical spans are stripped out of arriving text before the gates,
-    * another pure per-row probe with zero stream state. */
+    * another pure per-row probe with zero stream state. `qualityModel`
+    * appends a trained model gate (see [[QualityModel]]) to the heuristic
+    * gates — scored and filtered per row, zero stream state. */
   def curate(
       stream: DataFrame,
       numHashes: Int = 64,
@@ -113,7 +122,8 @@ object StreamingCuration {
       dedupHorizon: Option[DedupHorizon] = None,
       historyIndex: Option[DataFrame] = None,
       nearDupHistory: Option[NearDupHistory] = None,
-      windowHistory: Option[WindowHistory] = None
+      windowHistory: Option[WindowHistory] = None,
+      qualityModel: Option[QualityModel] = None
   ): StreamingCurationStreams = {
     // withColumn keeps every stream column (e.g. the horizon's event-time
     // column) riding alongside the stripped text
@@ -127,8 +137,14 @@ object StreamingCuration {
     // not pollute the corpus). Pure per-row probe — zero stream state.
     val spanStripped = windowHistory.fold(stripped)(wh =>
       Dedup.stripKnownWindows(stripped, "doc_id", "text", wh.index, wh.w))
-    val gated = TrainingDataPipeline.gates(
+    val heuristicGated = TrainingDataPipeline.gates(
       spanStripped, keep = dedupHorizon.map(_.tsCol).toSeq)
+    // model-based quality gate: scored per row, filtered, score dropped —
+    // another pure projection riding the stream with zero state
+    val gated = qualityModel.fold(heuristicGated)(m =>
+      TextAnalysis.hashedLinearScore(heuristicGated, "doc_id", "text", m.weights, m.bias)
+        .filter(col("quality_score") >= m.minScore)
+        .drop("quality_score"))
     // decontamination is a pure per-row probe (stateless), so it sits
     // before the stateful dedup and the candidates branch sees it too
     val deconOnly = benchmark.fold(gated)(b =>

@@ -443,6 +443,74 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("__sim"), 4).as("cos_sim"))
   }
 
+  /** Deterministic distributed k-means for the IVF/SemDeDup quantizer —
+    * closes the "centroids are trained offline" contract with an in-repo
+    * trainer. Spherical flavor, consistent with every consumer here:
+    * assignment is nearest-centroid by COSINE (argmax ties to the lowest
+    * centroid id, the exact [[ivfTopK]]/[[semDedup]] rule), the update is
+    * the arithmetic per-dimension mean (cosine assignment normalizes, so
+    * the mean needs no explicit renorm). Initialization is the `k`
+    * lowest-id vectors — deterministic by construction, so two runs (or
+    * two engines) produce identical centroids.
+    *
+    * Scale shape per iteration: ONE corpus pass — assignment is a pure
+    * projection against literal centroid expressions, the update one
+    * hash-shuffle aggregation to k×dim partial sums; only the k centroid
+    * rows ever reach the driver (the same small-by-contract collect as
+    * [[ivfTopK]]'s quantizer load). An empty cluster keeps its previous
+    * centroid. Returns (centroidId, centroidCol, size) ready to feed
+    * [[ivfTopK]] / [[semDedup]].
+    */
+  def trainKMeans(
+      vectors: DataFrame,
+      vectorId: String,
+      vectorCol: String,
+      k: Int,
+      iterations: Int,
+      dim: Int
+  ): DataFrame = {
+    require(k > 0 && iterations >= 0, "k must be positive, iterations non-negative")
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val projected = Dedup.withComputeParallelism(
+        vectors.select(col(vectorId).cast("long").as("__id"), asDouble(col(vectorCol)).as("__v")))
+      .withColumn("__n", norm(col("__v")))
+    val init: Seq[(Long, Array[Double], Double)] = projected
+      .orderBy(col("__id")).limit(k)
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) =>
+        val arr = r.getSeq[Double](1).toArray
+        (i.toLong, arr, math.sqrt(arr.map(x => x * x).sum))
+      }.toSeq
+    require(init.size == k, s"corpus has fewer than k=$k vectors")
+
+    val finalCents = (0 until iterations).foldLeft(init) { case (cents, _) =>
+      val assigned = projected.withColumn("cluster",
+        centroidsByDistance(cents, col("__v"), col("__n")).getItem(0).getField("c"))
+      val means = assigned
+        .groupBy(col("cluster"))
+        .agg(array((0 until dim).map(i => avg(element_at(col("__v"), i + 1))): _*).as("__mu"),
+          count(lit(1)).as("__sz"))
+        .collect()
+        .map(r => r.getLong(0) ->
+          r.getSeq[Double](1).toArray)
+        .toMap
+      cents.map { case (cid, old, _) =>
+        val next = means.getOrElse(cid, old)
+        (cid, next, math.sqrt(next.map(x => x * x).sum))
+      }
+    }
+
+    val sizes = projected.withColumn("cluster",
+        centroidsByDistance(finalCents, col("__v"), col("__n")).getItem(0).getField("c"))
+      .groupBy(col("cluster")).agg(count(lit(1)).as("size"))
+    finalCents.map { case (cid, arr, _) => (cid, arr.toSeq) }
+      .toDF("cid", "centroid")
+      .join(sizes.withColumnRenamed("cluster", "cid"), Seq("cid"), "left")
+      .select(col("cid"), col("centroid"), coalesce(col("size"), lit(0L)).as("size"))
+  }
+
   /** SemDeDup (Abbas et al. 2023): semantic deduplication by clustering
     * embeddings and keeping ONE representative of every within-cluster
     * near-duplicate group. Each vector is assigned to its nearest centroid

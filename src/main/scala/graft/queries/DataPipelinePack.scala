@@ -570,6 +570,18 @@ object DataPipelinePack extends QueryPack {
         .orderBy(col("query_id"), col("doc_id"))
     }),
 
+    // Deterministic spherical k-means (the IVF/SemDeDup quantizer trainer):
+    // 4 centroids, 2 Lloyd iterations, init = the 4 lowest vec_ids —
+    // centroids exploded to scalar (cid, dim, value) rows for the oracle,
+    // which unrolls the same two iterations in SQL.
+    "q93_kmeans_train" -> ((s, d) => {
+      val cents = Similarity.trainKMeans(Tables.embeddings(s, d),
+        "vec_id", "embedding", k = 4, iterations = 2, dim = 64)
+      cents.select(col("cid"), col("size"), posexplode(col("centroid")).as(Seq("dim", "cval")))
+        .select(col("cid"), col("dim"), round(col("cval"), 4).as("cval"), col("size"))
+        .orderBy(col("cid"), col("dim"))
+    }),
+
     // Hybrid-retrieval fusion: RRF over two genuinely different BM25
     // rankings (length-normalized b=0.75 vs un-normalized b=0) of the same
     // literal queries — the BM25+dense-ANN combiner shape with both legs
@@ -1641,6 +1653,42 @@ object DataPipelinePack extends QueryPack {
         FROM scored)
       SELECT query_id, doc_id, round(score, 4) AS score
       FROM ranked WHERE rnk <= 10 ORDER BY query_id, doc_id""",
+
+    "q93_kmeans_train" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      dims AS (SELECT unnest(range(1, 65)) AS i),
+      c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+             FROM e ORDER BY vec_id LIMIT 4),
+      a1 AS (SELECT vec_id, cid FROM (
+               SELECT e.vec_id, c.cid,
+                      row_number() OVER (PARTITION BY e.vec_id
+                        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+               FROM e CROSS JOIN c0 c) WHERE rn = 1),
+      m1 AS (SELECT a.cid, d.i, avg(e.v[d.i]) AS x
+             FROM a1 a JOIN e USING (vec_id) CROSS JOIN dims d GROUP BY a.cid, d.i),
+      c1 AS (SELECT c0.cid, coalesce(mm.cv, c0.cv) AS cv
+             FROM c0 LEFT JOIN (SELECT cid, list(x ORDER BY i) AS cv
+                                FROM m1 GROUP BY cid) mm USING (cid)),
+      a2 AS (SELECT vec_id, cid FROM (
+               SELECT e.vec_id, c.cid,
+                      row_number() OVER (PARTITION BY e.vec_id
+                        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+               FROM e CROSS JOIN c1 c) WHERE rn = 1),
+      m2 AS (SELECT a.cid, d.i, avg(e.v[d.i]) AS x
+             FROM a2 a JOIN e USING (vec_id) CROSS JOIN dims d GROUP BY a.cid, d.i),
+      c2 AS (SELECT c1.cid, coalesce(mm.cv, c1.cv) AS cv
+             FROM c1 LEFT JOIN (SELECT cid, list(x ORDER BY i) AS cv
+                                FROM m2 GROUP BY cid) mm USING (cid)),
+      a3 AS (SELECT vec_id, cid FROM (
+               SELECT e.vec_id, c.cid,
+                      row_number() OVER (PARTITION BY e.vec_id
+                        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+               FROM e CROSS JOIN c2 c) WHERE rn = 1),
+      sz AS (SELECT cid, count(*) AS size FROM a3 GROUP BY cid)
+      SELECT c2.cid, d.i - 1 AS dim, round(c2.cv[d.i], 4) AS cval,
+             coalesce(sz.size, 0) AS size
+      FROM c2 CROSS JOIN dims d LEFT JOIN sz USING (cid)
+      ORDER BY c2.cid, dim""",
 
     "q90_rrf_fusion" -> """
       WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -226,6 +226,39 @@ class StreamingCurationSpec extends AnyFunSuite {
     } finally { qSurv.stop(); qMatch.stop() }
   }
 
+  test("qualityModel gate drops low-scoring docs on the stream; drain equals the batch analog") {
+    // uniform positive weights make the score monotonic in token count:
+    // every token adds ~0.05 to z, so the 12-token doc lands below 0.5
+    // and the longer ones above it (bias centers the boundary)
+    val model = QualityModel(weights = Seq.fill(16)(0.05), bias = -0.9, minScore = 0.5)
+    val short = "the cat and a dog is of the house king sea tide"                    // 12 tokens
+    val long1 = "the fox and a hen is of the barn and the yard at dawn by the mill pond" // 18
+    val long2 = "the owl and a wren is of the wood and the glen at dusk by the lake shore today still here more" // 22
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val streams = StreamingCuration.curate(in.toDF().toDF("doc_id", "text"),
+      qualityModel = Some(model))
+    try spark.catalog.dropTempView("scur_qm") catch { case _: Exception => () }
+    val q = streams.survivors.writeStream
+      .format("memory").queryName("scur_qm").outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("graft-scur-qm").toString)
+      .start()
+    try {
+      in.addData(Seq((10L, short), (11L, long1), (12L, long2))); q.processAllAvailable()
+      val got = spark.table("scur_qm").select("doc_id").as[Long].collect().toSet
+      val batch = TextAnalysis.hashedLinearScore(
+          TrainingDataPipeline.gates(
+            Seq((10L, short), (11L, long1), (12L, long2)).toDF("doc_id", "text")),
+          "doc_id", "text", model.weights, model.bias)
+        .filter(col("quality_score") >= model.minScore)
+        .select("doc_id").as[Long].collect().toSet
+      assert(got == batch, s"stream=$got batch=$batch")
+      assert(!got.contains(10L) && got.contains(12L),
+        s"the short doc must score below the gate, got $got")
+    } finally q.stop()
+  }
+
   test("windowHistory strips historical spans from arriving docs before the gates; hollowed docs fail the floor") {
     val curated = "the cat and the dog is in the house of the king by the sea"
     val index = Dedup.buildWindowIndex(

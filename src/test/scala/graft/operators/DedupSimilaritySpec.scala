@@ -488,6 +488,34 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got == Seq((1L, "p p p p p p", 10), (2L, "unrelated words here", 20)))
   }
 
+  test("trainKMeans: planted clusters recovered, centroids are cluster means, empty cluster keeps its init") {
+    // three tight clusters around orthogonal axes; the three lowest ids
+    // land one per cluster so init already separates them
+    def jig(i: Int) = 0.01 * i
+    val vecs = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, jig(1))), (3L, Seq(1.0, 0.0, 0.0, jig(2))), (6L, Seq(1.0, 0.0, 0.0, jig(3))),
+      (1L, Seq(0.0, 1.0, 0.0, jig(1))), (4L, Seq(0.0, 1.0, 0.0, jig(2))), (7L, Seq(0.0, 1.0, 0.0, jig(3))),
+      (2L, Seq(0.0, 0.0, 1.0, jig(1))), (5L, Seq(0.0, 0.0, 1.0, jig(2))), (8L, Seq(0.0, 0.0, 1.0, jig(3)))
+    ).toDF("vec_id", "embedding")
+    val cents = Similarity.trainKMeans(vecs, "vec_id", "embedding", k = 3, iterations = 3, dim = 4)
+      .orderBy("cid").collect()
+    assert(cents.map(_.getLong(2)).toSeq == Seq(3L, 3L, 3L), "each planted cluster has 3 members")
+    // centroid 0 initialized from vec 0 (x-axis) must be the x-cluster mean
+    val c0 = cents(0).getSeq[Double](1)
+    assert(math.abs(c0.head - 1.0) < 1e-12 && math.abs(c0(3) - 0.02) < 1e-12, s"got $c0")
+
+    // k = 3 over two distinct points: one centroid never wins a vector and
+    // must keep its initialization
+    val degen = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val dc = Similarity.trainKMeans(degen, "vec_id", "embedding", k = 3, iterations = 2, dim = 2)
+      .orderBy("cid").collect()
+    // vectors 0 and 1 are identical: both go to centroid 0 (lowest id wins
+    // the cosine tie), centroid 1 ends empty and keeps its init = vec 1
+    assert(dc(1).getLong(2) == 0L && dc(1).getSeq[Double](1) == Seq(1.0, 0.0))
+    assert(dc(2).getLong(2) == 1L)
+  }
+
   test("centerForBuckets: identical output on a single-orthant corpus, and the twins still surface") {
     // all-positive vectors (the sign-LSH worst case) with planted twins
     val vecs = (0L until 40L).map { i =>

@@ -77,7 +77,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // q91: the group-count/power-sum scalars — an enum-sized rate table and
     // a 1-row totals aggregate (its crossJoin is the BNLJ), both broadcast
     // back by construction (q35's N class).
-    "q91_temperature_mix" -> (0, 1, 2)
+    "q91_temperature_mix" -> (0, 1, 2),
+    // q93: the final size join broadcasts the k-row (k = 4, a model
+    // parameter) trained-centroid table — the quantizer class (q40).
+    "q93_kmeans_train" -> (0, 0, 1)
   )
 
   test("no query plans an unjustified cartesian / BNLJ / derived broadcast") {
