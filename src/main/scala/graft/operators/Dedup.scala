@@ -816,15 +816,39 @@ object Dedup {
       index: DataFrame,
       w: Int = 8,
       maxIndexWindows: Int = 5000000
-  ): DataFrame = {
-    require(w >= 2, "window must span at least 2 tokens")
+  ): DataFrame =
+    stripKnownWindows(df, idCol, textCol,
+      collectWindowHashes(index, maxIndexWindows), w)
+
+  /** The [[stripKnownWindows]] index set as a reusable broadcast — split
+    * out (like `TextAnalysis.collectBenchGrams`) so a long-lived driver
+    * builds ONE broadcast per index generation, reuses it across stream
+    * compositions, and `.destroy()`s it when the index rotates; the
+    * convenience overload above builds a fresh one per call, whose
+    * lifetime is then the Spark session's. `maxIndexWindows` fails loudly
+    * before an oversized index OOMs the driver. */
+  def collectWindowHashes(
+      index: DataFrame,
+      maxIndexWindows: Int = 5000000
+  ): org.apache.spark.broadcast.Broadcast[Set[Long]] = {
     val hashes = index.select(col("wh").cast("long")).distinct()
       .limit(maxIndexWindows + 1).collect().map(_.getLong(0))
     require(hashes.length <= maxIndexWindows,
       s"stripKnownWindows: index exceeds maxIndexWindows=$maxIndexWindows — " +
         "an index this large should be the join-based stripDuplicatedWindows shape, " +
         "not a driver-collected broadcast")
-    val bc = df.sparkSession.sparkContext.broadcast(hashes.toSet)
+    index.sparkSession.sparkContext.broadcast(hashes.toSet)
+  }
+
+  /** [[stripKnownWindows]] over a pre-collected broadcast index set. */
+  def stripKnownWindows(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      bc: org.apache.spark.broadcast.Broadcast[Set[Long]],
+      w: Int
+  ): DataFrame = {
+    require(w >= 2, "window must span at least 2 tokens")
     val hitPositions = udf((whs: scala.collection.Seq[Long]) =>
       if (whs == null) Seq.empty[Int]
       else whs.zipWithIndex.collect { case (h, p) if bc.value.contains(h) => p })
