@@ -201,6 +201,19 @@ object ScaleSmoke {
         TextAnalysis.bm25TopK(docs, "doc_id", "text", hotQueries, "query_id", "qtext", k = 10))
     }
 
+    // Quantizer training: each Lloyd iteration is one corpus pass
+    // (projection-assign + keyed mean); 3 iterations over the widened
+    // vectors with k sized like a real IVF quantizer. Linear growth in
+    // rows x iterations is the finding.
+    time("kmeans train (k=32, 3 iters)")(
+      Similarity.trainKMeans(vecs, "vec_id", "embedding", k = 32, iterations = 3, dim = 64))
+
+    // Model quality scoring: a pure per-row fold — this should track scan
+    // speed exactly (the fasttext-filter inference pass at corpus scale).
+    time("hashed linear quality score")(
+      graft.operators.TextAnalysis.hashedLinearScore(docs, "doc_id", "text",
+        (0 until 256).map(i => ((i * 37) % 21 - 10) / 10.0), bias = -0.5))
+
     // SemDeDup: 8 fixed centroids -> clusters of ~n/8 widened vectors, and
     // the mult-wide identical-vector clusters all land in ONE cell —
     // within-cell pair volume grows mult² BY CONTRACT (that is the
