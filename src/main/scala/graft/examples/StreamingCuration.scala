@@ -30,8 +30,12 @@ final case class DedupHorizon(tsCol: String, delay: String)
   * [[Dedup.buildLshIndex]] of all previously curated corpora plus the old
   * documents themselves (consulted only to Jaccard-verify band matches —
   * never for candidate generation). The long-term near-dup sibling of
-  * `historyIndex`'s exact-fingerprint memory. */
-final case class NearDupHistory(index: DataFrame, docs: DataFrame)
+  * `historyIndex`'s exact-fingerprint memory. `tauNum/tauDen` is the
+  * verify threshold — keep it equal to the tau later passed to
+  * [[StreamingCuration.resolveClusters]], or the history leg and the
+  * in-stream leg silently apply different bars. */
+final case class NearDupHistory(index: DataFrame, docs: DataFrame,
+    tauNum: Int = 1, tauDen: Int = 2)
 
 /** Opt-in model-based quality gate for [[StreamingCuration.curate]]: a
   * trained hashed-feature linear scorer
@@ -176,7 +180,7 @@ object StreamingCuration {
     val historyMatches = nearDupHistory.map(h =>
       StreamingDedup.nearDupsAgainstIndex(
         decon, "doc_id", "text", h.index, h.docs,
-        shingleN = 3, numHashes, bands))
+        shingleN = 3, numHashes, bands, tauNum = h.tauNum, tauDen = h.tauDen))
     StreamingCurationStreams(survivors, candidates, historyMatches)
   }
 

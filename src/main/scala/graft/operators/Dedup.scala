@@ -686,9 +686,19 @@ object Dedup {
       .select(col(idCol), split(col(textCol), " ").as("__toks"))
       .filter(size(col("__toks")) >= w)
       .select(col(idCol),
-        posexplode(transform(sequence(lit(0), size(col("__toks")) - w),
-          i => unhex(md5(concat_ws(" ", (0 until w).map(j => element_at(col("__toks"), i + j + 1)): _*)))))
+        posexplode(hashedWindows(col("__toks"), w, s => unhex(md5(s))))
           .as(Seq("__pos", "__wh")))
+
+  /** One hashed value per `w`-token window of a PRE-PROJECTED token array —
+    * the ONE derivation every window operator shares: the index build and
+    * the index probe (and the within-corpus stats) must agree
+    * token-for-token or probes silently stop matching, so the window text
+    * is assembled in exactly one place and only the hash family varies
+    * (16-byte md5 for the exact in-corpus operators, xxhash64 for the
+    * broadcast index set). */
+  private def hashedWindows(toks: Column, w: Int, hash: Column => Column): Column =
+    transform(sequence(lit(0), size(toks) - w),
+      i => hash(concat_ws(" ", (0 until w).map(j => element_at(toks, i + j + 1)): _*)))
 
   /** The window keys occurring in MORE THAN ONE distinct document — the
     * "duplicated substring" set of Lee et al.'s training-data dedup,
@@ -786,9 +796,7 @@ object Dedup {
     withComputeParallelism(df.select(col(idCol), col(textCol)))
       .select(split(col(textCol), " ").as("__toks"))
       .filter(size(col("__toks")) >= w)
-      .select(explode(transform(sequence(lit(0), size(col("__toks")) - w),
-        i => xxhash64(concat_ws(" ", (0 until w).map(j => element_at(col("__toks"), i + j + 1)): _*))))
-        .as("wh"))
+      .select(explode(hashedWindows(col("__toks"), w, xxhash64(_))).as("wh"))
       .distinct()
   }
 
@@ -855,9 +863,7 @@ object Dedup {
     val others = df.columns.filter(c => c != idCol && c != textCol).map(col)
     df.withColumn("__toks", split(col(textCol), " "))
       .withColumn("__whs",
-        when(size(col("__toks")) >= w,
-          transform(sequence(lit(0), size(col("__toks")) - w),
-            i => xxhash64(concat_ws(" ", (0 until w).map(j => element_at(col("__toks"), i + j + 1)): _*))))
+        when(size(col("__toks")) >= w, hashedWindows(col("__toks"), w, xxhash64(_)))
           .otherwise(array().cast("array<long>")))
       .withColumn("__dups", hitPositions(col("__whs")))
       .select(Seq(col(idCol),

@@ -184,7 +184,6 @@ object TextAnalysis {
     require(k > 0, "k must be positive")
     val terms = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
     val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("__tf"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("__df"))
     val corpus = docs.agg(
       count(lit(1)).cast("double").as("__n"),
       avg(size(tokens(col(textCol))).cast("double")).as("__avgdl"))
@@ -194,6 +193,13 @@ object TextAnalysis {
     // join keys unique)
     val qterms = queries
       .select(col(queryIdCol), explode(array_distinct(tokens(col(queryTextCol)))).as("term"))
+    // df computed (and broadcast) only for the query terms: the full
+    // vocabulary aggregate is corpus-shaped and must never be broadcast —
+    // the semi-join bounds it by query vocabulary, which is
+    // parameter-sized by the same contract as the query table itself
+    val dfreq = tf
+      .join(broadcast(qterms.select(col("term")).distinct()), Seq("term"), "left_semi")
+      .groupBy(col("term")).agg(count(lit(1)).as("__df"))
     val scored = tf
       .join(broadcast(qterms), "term")
       .join(broadcast(dfreq), "term")
@@ -206,6 +212,10 @@ object TextAnalysis {
           (col("__tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl"))))
       .groupBy(col(queryIdCol), col(idCol))
       .agg(sum(col("__contrib")).as("__score"))
+      // ids that are null or not long-castable are EXCLUDED before the
+      // typed aggregator (its primitive Long field would decode them as
+      // doc 0 — the capPerKey null-decode class); key on castable ids
+      .filter(col(idCol).cast("long").isNotNull)
     // the aggregator's (score, id) pairs ARE the output rows — no kept-pair
     // join back (capPerKey needs one to recover untouched row payloads;
     // here the payload is exactly what the buffer carries), so the scored
@@ -251,6 +261,9 @@ object TextAnalysis {
     val fused = contribs.reduce(_ unionByName _)
       .groupBy(col(queryIdCol), col(docIdCol))
       .agg(sum(col("__contrib")).as("rrf_score"))
+      // same null-decode guard as bm25TopK: uncastable ids must not
+      // become phantom doc 0 in the typed aggregator
+      .filter(col(docIdCol).cast("long").isNotNull)
     // emit straight from the aggregator — see bm25TopK's same shape
     val topK = udaf(new graft.functions.TopKScored(k))
     fused

@@ -336,10 +336,10 @@ object DataPipelinePack extends QueryPack {
     "q83_index_lifecycle" -> ((s, d) => {
       import graft.sinks.IndexStore
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-      val dir = new java.io.File(
-        sys.props("java.io.tmpdir"), "graft-q83-index").getAbsolutePath
-      val p = new org.apache.hadoop.fs.Path(dir)
-      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true) // re-entrant
+      // per-run unique dir: a fixed shared path would let two concurrent
+      // harness processes delete each other's generations mid-append
+      val dir = java.nio.file.Files.createTempDirectory("graft-q83-index")
+        .resolve("store").toString
       val day0 = docs.filter(col("doc_id") % 3 === 0)
       val day1 = docs.filter(col("doc_id") % 3 === 1)
         .unionByName(day0.filter(col("doc_id") % 2 === 0)) // run-0 re-arrivals
@@ -522,7 +522,7 @@ object DataPipelinePack extends QueryPack {
         .filter(col("doc_id") % 10 === 0)
       val ids = base.select(col("doc_id").as("media_id"),
           col("doc_id").as("seed"), lit(false).as("perturb"))
-        .unionByName(base.filter(col("doc_id") % 2 === 0)
+        .unionByName(base.filter(col("doc_id") % 20 === 0)
           .select((col("doc_id") + 1000000L).as("media_id"),
             col("doc_id").as("seed"), lit(true).as("perturb")))
       val media = Multimodal.syntheticGrayPngs(ids)
@@ -1568,7 +1568,7 @@ object DataPipelinePack extends QueryPack {
         SELECT seed AS media_id, seed, FALSE AS pert FROM base
         UNION ALL
         SELECT seed + 1000000 AS media_id, seed, TRUE AS pert
-        FROM base WHERE seed % 2 = 0),
+        FROM base WHERE seed % 20 = 0),
       px AS (
         SELECT i.media_id, k.k,
                CASE WHEN i.pert AND k.k = 0

@@ -58,7 +58,16 @@ object IndexStore {
   def append(index: DataFrame, dir: String): Long = {
     val spark = index.sparkSession
     val next = liveGenDirs(spark, dir).lastOption.fold(0L)(_._1 + 1L)
-    index.write.mode("overwrite").parquet(s"$dir/gen=$next")
+    val genPath = new Path(s"$dir/gen=$next")
+    index.write.mode("overwrite").parquet(genPath.toString)
+    // liveness must not depend on the committer's marker config: with
+    // mapreduce.fileoutputcommitter.marksuccessfuljobs=false (common on
+    // object stores) no _SUCCESS lands, every complete generation would
+    // look dead, and the NEXT append would compute next=0 and overwrite
+    // it — so the store writes its own marker after the job completes
+    val fs = fsOf(genPath, spark)
+    val marker = new Path(genPath, "_SUCCESS")
+    if (!fs.exists(marker)) fs.create(marker, false).close()
     next
   }
 
@@ -95,6 +104,9 @@ object IndexStore {
     val tmp = new Path(dir + ".compacting")
     fs.delete(tmp, true)
     merged.write.parquet(new Path(tmp, s"gen=$maxGen").toString)
+    // same committer-independent liveness marker as append
+    val marker = new Path(new Path(tmp, s"gen=$maxGen"), "_SUCCESS")
+    if (!fs.exists(marker)) fs.create(marker, false).close()
     val rows = spark.read.parquet(new Path(tmp, s"gen=$maxGen").toString).count()
     Compaction.swapInPlace(fs, path, tmp)
     (live.size, rows)

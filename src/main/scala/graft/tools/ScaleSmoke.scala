@@ -286,10 +286,11 @@ object ScaleSmoke {
       // references the feature frame several times (candidates + verify),
       // and replaying a codec per reference is exactly what a deployment's
       // extract-once-then-dedup layout avoids
-      time("image features (encode+decode)")(feats)
+      // persist BEFORE the timed action so the one timed pass is also the
+      // one that populates the cache — the codec runs exactly once
       val cached = feats.persist()
       try {
-        cached.count()
+        time("image features (encode+decode)")(cached)
         // centerForBuckets: luminance features live in the positive
         // orthant, where raw sign-LSH buckets collapse (the measured 167M-
         // candidate case this knob exists for — see the operator scaladoc)

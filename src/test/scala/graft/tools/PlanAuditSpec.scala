@@ -65,15 +65,17 @@ class PlanAuditSpec extends AnyFunSuite {
     // q84: centerForBuckets' 1-row mean aggregate crossJoined back into the
     // bucketing projection — a scalar by construction (q35's N class).
     "q84_image_neardup" -> (0, 1, 1),
-    // q87: three bounded broadcasts — the literal query table (parameter-
-    // sized), the vocabulary-sized document-frequency table (q35's class),
+    // q87: four bounded broadcasts — the literal query table (parameter-
+    // sized), the query-term set semi-joined into the document-frequency
+    // derivation (so df is computed and broadcast for query terms ONLY,
+    // never the full vocabulary), the resulting query-bounded df table,
     // and the 1-row N/avgdl corpus aggregate (whose crossJoin is the
-    // BNLJ, also q35's class). The corpus-sized tf path is a hash join;
-    // top-k emits straight from the bounded aggregator, so the scored
-    // subtree plans exactly once.
-    "q87_bm25_topk" -> (0, 1, 3),
-    // q90: two BM25 legs, each carrying q87's bounded triple exactly once.
-    "q90_rrf_fusion" -> (0, 2, 6),
+    // BNLJ, q35's class). The corpus-sized tf path is a hash join; top-k
+    // emits straight from the bounded aggregator, so the scored subtree
+    // plans exactly once.
+    "q87_bm25_topk" -> (0, 1, 4),
+    // q90: two BM25 legs, each carrying q87's bounded quad exactly once.
+    "q90_rrf_fusion" -> (0, 2, 8),
     // q91: the group-count/power-sum scalars — an enum-sized rate table and
     // a 1-row totals aggregate (its crossJoin is the BNLJ), both broadcast
     // back by construction (q35's N class).
