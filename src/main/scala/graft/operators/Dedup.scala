@@ -119,6 +119,33 @@ object Dedup {
         delim).as(textCol))
   }
 
+  /** WITHIN-document line dedup — C4's intra-document step, the row-local
+    * sibling of the corpus-wide [[dedupLines]]: a line repeated INSIDE one
+    * document survives only at its first occurrence; repetition across
+    * documents is untouched (that is [[dedupLines]]'s job). Lines shorter
+    * than `minTokens` are exempt (blank separator lines repeat by design).
+    * A PURE per-row projection — zero shuffles, zero state, rides a
+    * readStream unchanged. The first-occurrence test is an explicit
+    * `array_position` probe (O(lines²) row-local, bounded by document
+    * size) rather than `array_distinct`, so the eligibility exemption
+    * composes and the semantics are engine-portable (DuckDB's
+    * list_distinct does NOT preserve order; list_position does).
+    */
+  def dedupLinesWithinDoc(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      delim: String = "\n",
+      minTokens: Int = 3
+  ): DataFrame = {
+    require(minTokens >= 1, "minTokens must be at least 1")
+    val others = df.columns.filter(c => c != idCol && c != textCol).map(col)
+    val kept = filter(col("__lines"), (l, i) =>
+      size(split(l, " ")) < minTokens || array_position(col("__lines"), l) === i + 1)
+    df.withColumn("__lines", split(col(textCol), java.util.regex.Pattern.quote(delim)))
+      .select(Seq(col(idCol), array_join(kept, delim).as(textCol)) ++ others: _*)
+  }
+
   /** Persistable EXACT-dedup fingerprint index: the distinct md5
     * fingerprints of `keyCol` — 16 bytes per distinct document, the
     * at-rest form of the fingerprint state [[graft.examples.StreamingCuration]]

@@ -570,6 +570,24 @@ object DataPipelinePack extends QueryPack {
         .orderBy(col("query_id"), col("doc_id"))
     }),
 
+    // WITHIN-doc line dedup (C4's intra-document step): both engines plant
+    // the same repeated header and a repeated body copy inside every doc;
+    // the repeats vanish, the short "--" separator repeats survive, and
+    // cross-doc repetition (the same header text in other docs) is
+    // untouched — that distinction is exactly the operator's contract.
+    "q94_line_dedup_within" -> ((s, d) => {
+      val lined = Tables.documents(s, d).select(col("doc_id"),
+        concat_ws("\n",
+          lit("repeated header line x"),
+          col("text"),
+          lit("--"),
+          lit("repeated header line x"),
+          col("text"),
+          lit("--")).as("text"))
+      Dedup.dedupLinesWithinDoc(lined, "doc_id", "text", "\n", minTokens = 3)
+        .orderBy(col("doc_id"))
+    }),
+
     // Deterministic spherical k-means (the IVF/SemDeDup quantizer trainer):
     // 4 centroids, 2 Lloyd iterations, init = the 4 lowest vec_ids —
     // centroids exploded to scalar (cid, dim, value) rows for the oracle,
@@ -1653,6 +1671,21 @@ object DataPipelinePack extends QueryPack {
         FROM scored)
       SELECT query_id, doc_id, round(score, 4) AS score
       FROM ranked WHERE rnk <= 10 ORDER BY query_id, doc_id""",
+
+    "q94_line_dedup_within" -> """
+      WITH lined AS (
+        SELECT doc_id,
+               'repeated header line x' || chr(10) || text || chr(10) || '--' ||
+               chr(10) || 'repeated header line x' || chr(10) || text ||
+               chr(10) || '--' AS text
+        FROM documents),
+      split_l AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM lined)
+      SELECT doc_id,
+             array_to_string(
+               [l[i] for i in range(1, len(l) + 1)
+                     if len(string_split(l[i], ' ')) < 3 OR list_position(l, l[i]) = i],
+               chr(10)) AS text
+      FROM split_l ORDER BY doc_id""",
 
     "q93_kmeans_train" -> """
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -488,6 +488,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got == Seq((1L, "p p p p p p", 10), (2L, "unrelated words here", 20)))
   }
 
+  test("dedupLinesWithinDoc: intra-doc repeats keep first occurrence, short separators and cross-doc repeats survive") {
+    val df = Seq(
+      (1L, "alpha beta gamma\n--\nshared body line here\n--\nalpha beta gamma\nend of doc one"),
+      (2L, "shared body line here\nonly in doc two")  // cross-doc repeat: untouched
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupLinesWithinDoc(df, "doc_id", "text")
+    val got = out.orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, "alpha beta gamma\n--\nshared body line here\n--\nend of doc one"),
+      (2L, "shared body line here\nonly in doc two")))
+    // pure projection: stream-safe
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"dedupLinesWithinDoc must stay a per-row projection:\n$plan")
+  }
+
   test("trainKMeans: planted clusters recovered, centroids are cluster means, empty cluster keeps its init") {
     // three tight clusters around orthogonal axes; the three lowest ids
     // land one per cluster so init already separates them
