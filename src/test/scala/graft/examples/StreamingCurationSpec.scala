@@ -226,6 +226,80 @@ class StreamingCurationSpec extends AnyFunSuite {
     } finally { qSurv.stop(); qMatch.stop() }
   }
 
+  test("ALL seven opt-ins composed: each leg claims exactly its victim, survivors and history matches are exact") {
+    val boiler = "subscribe to the banner now"
+    val curatedHist = "the cat and a dog is in the house of the king by the sea today"
+    val windowCorpus = "alpha beta gamma delta epsilon zeta eta theta"
+    val bench = Seq((900L, "zebra quokka lemur pangolin okapi axolotl fennec")).toDF("doc_id", "text")
+    val histDocs = Seq((1L, curatedHist)).toDF("doc_id", "text")
+
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def ts(h: Int) = new java.sql.Timestamp(base.getTime + h * 3600000L)
+    val exactVictim  = curatedHist                                            // 20: historyIndex
+    val nearVictim   = curatedHist + " extra today more"                      // 21: flagged vs history
+    val spanCarrier  = "the pig and a cow is of the farm alpha beta gamma delta epsilon and the field at noon by the river bend" // 22
+    val deconVictim  = "the ant and a bee is of the hive zebra quokka lemur and the grove at noon" // 23
+    val horizonText  = "the elk and a hare is of the moor and the crag at dawn frost"             // 24 + dup 25
+    val shortVictim  = "the ant and a fly is of the dust bin lid"             // 26: quality model
+    val fresh        = "the owl and a wren is of the wood and the glen at dusk by the lake" // 27
+    val boilerDoc    = "the ram and a ewe is of the fold and the hill at dusk tonight\n" + boiler // 28
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val streams = StreamingCuration.curate(in.toDF().toDF("doc_id", "text", "ts"),
+      boilerplateLines = Seq(boiler),
+      benchmark = Some(bench),
+      dedupHorizon = Some(DedupHorizon("ts", "2 hours")),
+      historyIndex = Some(Dedup.buildFingerprintIndex(histDocs, "text")),
+      nearDupHistory = Some(NearDupHistory(
+        Dedup.buildLshIndex(histDocs, "doc_id", "text", shingleN = 3, numHashes = 64, bands = 16),
+        histDocs)),
+      windowHistory = Some(WindowHistory(
+        Dedup.buildWindowIndex(Seq((2L, windowCorpus)).toDF("doc_id", "text"), "doc_id", "text", w = 5),
+        w = 5)),
+      qualityModel = Some(QualityModel(Seq.fill(16)(0.05), bias = -0.9, minScore = 0.45)))
+    Seq("scur_all", "scur_all_m").foreach { v =>
+      try spark.catalog.dropTempView(v) catch { case _: Exception => () }
+    }
+    val q = streams.survivors.writeStream
+      .format("memory").queryName("scur_all").outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("graft-scur-all").toString)
+      .start()
+    val qm = streams.historyMatches.get.writeStream
+      .format("memory").queryName("scur_all_m").outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("graft-scur-allm").toString)
+      .start()
+    try {
+      in.addData(Seq((20L, exactVictim, ts(0)), (21L, nearVictim, ts(0)),
+        (22L, spanCarrier, ts(0)), (23L, deconVictim, ts(0)),
+        (24L, horizonText, ts(0)), (26L, shortVictim, ts(0)),
+        (27L, fresh, ts(0)), (28L, boilerDoc, ts(0))))
+      q.processAllAvailable(); qm.processAllAvailable()
+      in.addData(Seq((25L, horizonText, ts(1)))) // within-horizon duplicate
+      q.processAllAvailable(); qm.processAllAvailable()
+
+      val got = spark.table("scur_all").select("doc_id", "text")
+        .as[(Long, String)].collect().toMap
+      // 20 exact-history, 23 decontaminated, 25 horizon-dup, 26 model-scored
+      // out; 21 is FLAGGED not dropped (resolve removes it below)
+      assert(got.keySet == Set(21L, 22L, 24L, 27L, 28L), s"got ${got.keySet}")
+      assert(!got(22L).contains("gamma") && got(22L).contains("farm"),
+        s"historical span must vanish from the carrier: '${got(22L)}'")
+      assert(!got(28L).contains("subscribe"), s"boilerplate must strip: '${got(28L)}'")
+
+      val matches = spark.table("scur_all_m")
+        .select("id_a", "id_b").distinct().as[(Long, Long)].collect().toSet
+      assert(matches == Set((21L, 1L)), s"history matches: $matches")
+
+      val resolved = StreamingCuration.resolveClusters(
+        spark.table("scur_all").select("doc_id", "text"),
+        spark.emptyDataset[(Long, Long)].toDF("id_a", "id_b"),
+        historyMatches = Some(spark.table("scur_all_m")
+          .select("id_a", "id_b", "inter_cnt", "union_cnt").distinct()))
+      assert(resolved.select("doc_id").as[Long].collect().toSet == Set(22L, 24L, 27L, 28L))
+    } finally { q.stop(); qm.stop() }
+  }
+
   test("qualityModel gate drops low-scoring docs on the stream; drain equals the batch analog") {
     // uniform positive weights make the score monotonic in token count:
     // every token adds ~0.05 to z, so the 12-token doc lands below 0.5
