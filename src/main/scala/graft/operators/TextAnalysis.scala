@@ -228,6 +228,61 @@ object TextAnalysis {
       .select(col(queryIdCol), col("__kv._2").as(idCol), col("__kv._1").as("score"))
   }
 
+  /** Bigram language-model perplexity — the CCNet-style statistical
+    * quality signal: train add-k-smoothed bigram counts on `trainOn`
+    * (defaults to the scored corpus itself), then score every document as
+    * `ppl = exp(-mean_bigrams ln p(w2|w1))` with
+    * `p(w2|w1) = (c(w1,w2) + k) / (c(w1) + k·V)` (V = distinct token
+    * types in the training corpus). Lower = more like the training
+    * distribution; gating on a reference-corpus-trained model is the
+    * classic web-corpus filter.
+    *
+    * Scale shape: THREE keyed shuffles, all SMJ-pinned aggregate
+    * derivatives (bigram and history-count tables are corpus-shaped — the
+    * BM25 review's never-broadcast-the-vocabulary rule applies doubly
+    * here), plus V as a broadcast 1-row scalar. Unseen bigrams/histories
+    * coalesce to 0 so held-out scoring is total (`p = 1/V` at worst).
+    * Documents with fewer than 2 tokens emit `n_bigrams = 0` and a null
+    * `ppl`.
+    */
+  def bigramPerplexity(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Double = 1.0,
+      trainOn: Option[DataFrame] = None
+  ): DataFrame = {
+    require(k > 0.0, s"smoothing k must be positive, got $k")
+    def bigramsOf(df: DataFrame, cols: Seq[Column]): DataFrame = df
+      .select(cols :+ tokens(col(textCol)).as("__toks"): _*)
+      .filter(size(col("__toks")) >= 2)
+      .select(cols :+ explode(transform(sequence(lit(0), size(col("__toks")) - 2),
+        i => struct(element_at(col("__toks"), i + 1).as("w1"),
+          element_at(col("__toks"), i + 2).as("w2")))).as("__bg"): _*)
+      .select(cols :+ col("__bg.w1").as("__w1") :+ col("__bg.w2").as("__w2"): _*)
+    val train = trainOn.getOrElse(docs)
+    val trainBg = bigramsOf(train, Seq.empty)
+    val c12 = trainBg.groupBy(col("__w1"), col("__w2")).agg(count(lit(1)).as("__c12"))
+    val c1 = trainBg.groupBy(col("__w1")).agg(count(lit(1)).as("__c1"))
+    val vocab = train
+      .select(explode(tokens(col(textCol))).as("__t"))
+      .agg(count_distinct(col("__t")).cast("double").as("__v"))
+    val scored = bigramsOf(docs, Seq(col(idCol)))
+      .join(c12.hint("shuffle_merge"), Seq("__w1", "__w2"), "left")
+      .join(c1.hint("shuffle_merge"), Seq("__w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("__lp", log(
+        (coalesce(col("__c12"), lit(0L)) + lit(k)) /
+          (coalesce(col("__c1"), lit(0L)) + lit(k) * col("__v"))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), exp(-avg(col("__lp"))).as("__ppl"))
+    docs.select(col(idCol))
+      .join(scored.hint("shuffle_merge"), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(col("__ppl"), 4).as("ppl"))
+  }
+
   /** Reciprocal-rank fusion of several per-query rankings — the standard
     * hybrid-retrieval combiner (BM25 + dense ANN, or any mix):
     * `rrf(q, d) = Σ_rankings 1 / (rrfK + rank_i(q, d))`, documents absent

@@ -570,6 +570,14 @@ object DataPipelinePack extends QueryPack {
         .orderBy(col("query_id"), col("doc_id"))
     }),
 
+    // Bigram LM self-perplexity (the CCNet statistical quality signal):
+    // add-1-smoothed bigram model trained on the corpus scoring the corpus.
+    "q95_bigram_ppl" -> ((s, d) => {
+      TextAnalysis.bigramPerplexity(Tables.documents(s, d).select(col("doc_id"), col("text")),
+        "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // WITHIN-doc line dedup (C4's intra-document step): both engines plant
     // the same repeated header and a repeated body copy inside every doc;
     // the repeats vanish, the short "--" separator repeats survive, and
@@ -1671,6 +1679,29 @@ object DataPipelinePack extends QueryPack {
         FROM scored)
       SELECT query_id, doc_id, round(score, 4) AS score
       FROM ranked WHERE rnk <= 10 ORDER BY query_id, doc_id""",
+
+    "q95_bigram_ppl" -> """
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      bg AS (
+        SELECT doc_id, w[p] AS w1, w[p + 1] AS w2
+        FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS p
+              FROM toks WHERE len(w) >= 2)),
+      c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+      c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+      v AS (SELECT CAST(count(DISTINCT t) AS DOUBLE) AS v
+            FROM (SELECT unnest(w) AS t FROM toks)),
+      scored AS (
+        SELECT bg.doc_id, count(*) AS n_bigrams,
+               exp(-avg(ln((coalesce(c12.c12, 0) + 1.0) /
+                           (coalesce(c1.c1, 0) + 1.0 * v.v)))) AS ppl
+        FROM bg LEFT JOIN c12 USING (w1, w2) LEFT JOIN c1 USING (w1)
+             CROSS JOIN v
+        GROUP BY bg.doc_id)
+      SELECT d.doc_id,
+             CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+             round(s.ppl, 4) AS ppl
+      FROM documents d LEFT JOIN scored s USING (doc_id)
+      ORDER BY d.doc_id""",
 
     "q94_line_dedup_within" -> """
       WITH lined AS (

@@ -221,6 +221,24 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"bm25TopK must not use a window:\n$plan")
   }
 
+  test("bigramPerplexity: hand-computed smoothed ppl, short docs null, held-out unseen bigrams total") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "x")).toDF("doc_id", "text")
+    // c(a,b)=3 c(b,a)=1; c(a·)=3 c(b·)=1; V=3
+    // p(b|a)=(3+1)/(3+3)=2/3, p(a|b)=(1+1)/(1+3)=1/2
+    val got = TextAnalysis.bigramPerplexity(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(got(0).getLong(1) == 3L &&
+      got(0).getDouble(2) == BigDecimal(math.cbrt(4.5)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(got(1).getLong(1) == 1L && got(1).getDouble(2) == 1.5)
+    assert(got(2).getLong(1) == 0L && got(2).isNullAt(2))
+    // held-out: every bigram unseen -> p = 1/V, ppl = V exactly
+    val heldOut = TextAnalysis.bigramPerplexity(
+      Seq((9L, "c c c")).toDF("doc_id", "text"), "doc_id", "text",
+      trainOn = Some(docs))
+    assert(heldOut.collect().head.getDouble(2) == 3.0)
+  }
+
   test("reciprocalRankFusion: hand-computed fusion, absent docs contribute nothing, k truncates") {
     import spark.implicits._
     // leg A ranks (1,2,3); leg B ranks (2,3,4) — doc 2: 1/62 + 1/61

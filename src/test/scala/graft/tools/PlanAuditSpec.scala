@@ -82,7 +82,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "q91_temperature_mix" -> (0, 1, 2),
     // q93: the final size join broadcasts the k-row (k = 4, a model
     // parameter) trained-centroid table — the quantizer class (q40).
-    "q93_kmeans_train" -> (0, 0, 1)
+    "q93_kmeans_train" -> (0, 0, 1),
+    // q95: the 1-row vocabulary-size scalar (its crossJoin is the BNLJ —
+    // q35's N class). The corpus-shaped bigram/history count tables are
+    // SMJ-pinned joins, never broadcast.
+    "q95_bigram_ppl" -> (0, 1, 1)
   )
 
   test("no query plans an unjustified cartesian / BNLJ / derived broadcast") {
