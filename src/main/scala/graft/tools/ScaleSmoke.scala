@@ -208,6 +208,12 @@ object ScaleSmoke {
     time("kmeans train (k=32, 3 iters)")(
       Similarity.trainKMeans(vecs, "vec_id", "embedding", k = 32, iterations = 3, dim = 64))
 
+    // Bigram LM self-perplexity over the widened corpus: every bigram's
+    // count multiplies by mult (hot count tables), the doc side widens
+    // too — the three keyed SMJ joins are what's under test.
+    time("bigram LM perplexity")(
+      graft.operators.TextAnalysis.bigramPerplexity(docs, "doc_id", "text"))
+
     // Model quality scoring: a pure per-row fold — this should track scan
     // speed exactly (the fasttext-filter inference pass at corpus scale).
     time("hashed linear quality score")(
