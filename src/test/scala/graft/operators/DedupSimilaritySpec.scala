@@ -575,6 +575,28 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(big.getMessage.contains("maxIndexWindows"))
   }
 
+  test("stripKnownWindows self-index identity: every >=w doc hollows to empty, shorter docs pass through (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genDoc = Gen.choose(1, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("aa", "bb", "cc", "dd")).map(_.mkString(" ")))
+    val prop = Prop.forAll(Gen.choose(2, 4), Gen.listOfN(6, genDoc)) { (w, texts) =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      // the index of a corpus contains every one of its windows, so
+      // stripping the corpus against its own index must remove every
+      // token of every >=w-token doc and touch nothing shorter — the
+      // build/probe hash derivations agreeing token-for-token is exactly
+      // what this exercises (the reason hashedWindows is ONE helper)
+      val got = Dedup.stripKnownWindows(df, "doc_id", "text",
+          Dedup.buildWindowIndex(df, "doc_id", "text", w), w)
+        .orderBy("doc_id").as[(Long, String)].collect().toSeq
+      got == texts.zipWithIndex.map { case (t, i) =>
+        (i.toLong, if (t.split(" ").length >= w) "" else t)
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("semDedup: within-cluster keep-first by id; cross-cluster near-dups both survive") {
     val centroids = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0))).toDF("cid", "cvec")
     val vecs = Seq(
