@@ -283,6 +283,79 @@ object TextAnalysis {
         round(col("__ppl"), 4).as("ppl"))
   }
 
+  /** A collected bigram LM for STREAM-side scoring: the
+    * [[bigramPerplexity]] count tables as executor-broadcast maps — the
+    * same collect-guard-broadcast lifetime pattern as
+    * `collectBenchGrams`/`Dedup.collectWindowHashes` (build once per
+    * model generation, reuse across compositions, `.destroy()` on
+    * rotation). `maxBigrams` fails loudly before a corpus-shaped count
+    * table OOMs the driver — a model that big belongs in the join-based
+    * batch operator. */
+  final case class BigramModel(
+      c12: Map[(String, String), Long], c1: Map[String, Long], v: Double, k: Double)
+
+  def collectBigramModel(
+      train: DataFrame,
+      textCol: String,
+      k: Double = 1.0,
+      maxBigrams: Int = 5000000
+  ): org.apache.spark.broadcast.Broadcast[BigramModel] = {
+    require(k > 0.0, s"smoothing k must be positive, got $k")
+    val bg = train
+      .select(tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= 2)
+      .select(explode(transform(sequence(lit(0), size(col("__toks")) - 2),
+        i => struct(element_at(col("__toks"), i + 1).as("w1"),
+          element_at(col("__toks"), i + 2).as("w2")))).as("__bg"))
+      .groupBy(col("__bg.w1").as("__w1"), col("__bg.w2").as("__w2"))
+      .agg(count(lit(1)).as("__c"))
+      .limit(maxBigrams + 1)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+    require(bg.length <= maxBigrams,
+      s"collectBigramModel: bigram table exceeds maxBigrams=$maxBigrams — " +
+        "a model this large should score through the join-based bigramPerplexity")
+    val c12 = bg.toMap
+    val c1 = bg.groupBy(_._1._1).map { case (w1, xs) => w1 -> xs.map(_._2).sum }
+    val v = train.select(explode(tokens(col(textCol))).as("__t"))
+      .agg(count_distinct(col("__t"))).collect()(0).getLong(0).toDouble
+    train.sparkSession.sparkContext.broadcast(BigramModel(c12, c1, v, k))
+  }
+
+  /** [[bigramPerplexity]] as a PURE per-row projection against a collected
+    * [[BigramModel]] — the stream-safe scoring form (the batch operator's
+    * per-doc aggregation cannot sit mid-stream in append mode; here the
+    * whole fold is row-local, zero shuffles, zero state). Scores agree
+    * with the batch form to summation-order ulp (spec-pinned at 1e-9).
+    */
+  def bigramPerplexityStateless(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      bc: org.apache.spark.broadcast.Broadcast[BigramModel]
+  ): DataFrame = {
+    val score = udf { (toks: scala.collection.Seq[String]) =>
+      val m = bc.value
+      if (toks == null || toks.length < 2) (0L, None: Option[Double])
+      else {
+        var sum = 0.0
+        var i = 0
+        while (i < toks.length - 1) {
+          val p = (m.c12.getOrElse((toks(i), toks(i + 1)), 0L) + m.k) /
+            (m.c1.getOrElse(toks(i), 0L) + m.k * m.v)
+          sum += math.log(p)
+          i += 1
+        }
+        (toks.length - 1L, Some(math.exp(-sum / (toks.length - 1))))
+      }
+    }
+    docs
+      .withColumn("__sc", score(tokens(col(textCol))))
+      .withColumn("n_bigrams", col("__sc._1"))
+      .withColumn("ppl", round(col("__sc._2"), 4))
+      .drop("__sc")
+  }
+
   /** Reciprocal-rank fusion of several per-query rankings — the standard
     * hybrid-retrieval combiner (BM25 + dense ANN, or any mix):
     * `rrf(q, d) = Σ_rankings 1 / (rrfK + rank_i(q, d))`, documents absent

@@ -239,6 +239,38 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(heldOut.collect().head.getDouble(2) == 3.0)
   }
 
+  test("bigramPerplexityStateless equals the batch operator on the corpus; pure projection; oversized model refused") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id").cast("long"), col("text"))
+    val bc = TextAnalysis.collectBigramModel(docs, "text")
+    try {
+      val stateless = TextAnalysis.bigramPerplexityStateless(docs, "doc_id", "text", bc)
+      val batch = TextAnalysis.bigramPerplexity(docs, "doc_id", "text")
+      val sMap = stateless.select("doc_id", "n_bigrams", "ppl")
+        .as[(Long, Long, Option[Double])].collect().map { case (i, n, p) => i -> (n, p) }.toMap
+      val bMap = batch.as[(Long, Long, Option[Double])].collect().map { case (i, n, p) => i -> (n, p) }.toMap
+      assert(sMap.keySet == bMap.keySet && sMap.nonEmpty)
+      sMap.foreach { case (id, (n, p)) =>
+        val (bn, bp) = bMap(id)
+        assert(n == bn, s"doc $id bigram count $n vs $bn")
+        // row-local fold vs aggregation sum differ only in summation order
+        assert((p, bp) match {
+          case (Some(a), Some(b)) => math.abs(a - b) <= 1e-9
+          case (None, None)       => true
+          case _                  => false
+        }, s"doc $id ppl $p vs $bp")
+      }
+      val plan = stateless.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange") && !plan.contains("Join"),
+        s"stateless scoring must stay a per-row projection:\n$plan")
+    } finally { bc.destroy(); () }
+    val big = intercept[IllegalArgumentException] {
+      TextAnalysis.collectBigramModel(docs, "text", maxBigrams = 10)
+    }
+    assert(big.getMessage.contains("maxBigrams"))
+  }
+
   test("reciprocalRankFusion: hand-computed fusion, absent docs contribute nothing, k truncates") {
     import spark.implicits._
     // leg A ranks (1,2,3); leg B ranks (2,3,4) — doc 2: 1/62 + 1/61
