@@ -30,7 +30,20 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); return -1.0
       }
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // UNTIMED inter-query cleanup — the suite-vs-isolated artifact fix
+      // (SURVEY §8.0: five rounds of phantom in-suite "regressions" that
+      // isolated re-runs erased, q59 8.15 s in-suite vs 0.92 s isolated in
+      // r8). 190 executions in one JVM accumulate broadcasts, shuffle
+      // state, and stray caches that Spark's ContextCleaner only reclaims
+      // after their weak refs are GC'd — so heap pressure builds until a
+      // full GC plus a cleanup storm lands in the MIDDLE of whichever
+      // query is running. Releasing caches and forcing the GC between
+      // queries pays that cost on the untimed boundary instead.
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      System.gc()
+      dt
     }
 
     // Warm-up: executes the whole stack (parquet footer reads, codegen,
@@ -50,12 +63,14 @@ object Bench {
     val names =
       if (args.nonEmpty) SparkEntry.queries.keys.toSeq.sorted.filter(args.contains)
       else SparkEntry.queries.keys.toSeq.sorted
-    // The heaviest LSH queries have repeatedly produced phantom cross-round
-    // "regressions" that isolated re-measurement erased (SURVEY §8.0: r5,
-    // r6, and q39's fourth recurrence in r7); one extra sample tightens
-    // exactly the set whose noise has repeatedly demanded manual
-    // adjudication, at ~8 s added wall time.
-    val minOfThree = Set("q32_dedup_simhash", "q48_cosine_pairs_lsh", "q39_ngram_jaccard")
+    // Queries that have produced phantom cross-round "regressions" that
+    // isolated re-measurement erased (SURVEY §8.0: r5, r6, q39 in r7, q59
+    // and q35 in r8); one extra sample tightens exactly the set whose
+    // noise has repeatedly demanded manual adjudication. The inter-query
+    // cleanup above attacks the root cause; this is the belt to its
+    // suspenders.
+    val minOfThree = Set("q32_dedup_simhash", "q48_cosine_pairs_lsh", "q39_ngram_jaccard",
+      "q59_repetition", "q35_tfidf")
     // min-of-two (three for the adjudicated pair); a failed run (-1) wins
     // the min, keeping the failure marker
     val results = names.map { n =>

@@ -139,12 +139,18 @@ object Dedup {
       minTokens: Int = 3
   ): DataFrame = {
     require(minTokens >= 1, "minTokens must be at least 1")
-    val others = df.columns.filter(c => c != idCol && c != textCol).map(col)
     val kept = filter(col("__lines"), (l, i) =>
       size(split(l, " ")) < minTokens || array_position(col("__lines"), l) === i + 1)
     df.withColumn("__lines", split(col(textCol), java.util.regex.Pattern.quote(delim)))
-      .select(Seq(col(idCol), array_join(kept, delim).as(textCol)) ++ others: _*)
+      .select(withTextReplaced(df, textCol, array_join(kept, delim)): _*)
   }
+
+  /** Input-schema-order projection: every input column as-is, with
+    * `textCol` replaced IN PLACE — the strip/dedup family must not reorder
+    * the output schema relative to the input (positional consumers and
+    * plain `union()` downstream would silently misalign). */
+  private def withTextReplaced(df: DataFrame, textCol: String, replacement: Column): Seq[Column] =
+    df.columns.toSeq.map(c => if (c == textCol) replacement.as(textCol) else col(c))
 
   /** Persistable EXACT-dedup fingerprint index: the distinct md5
     * fingerprints of `keyCol` — 16 bytes per distinct document, the
@@ -787,12 +793,11 @@ object Dedup {
       .join(dup.hint("shuffle_merge"), Seq("__wh"), "left_semi")
       .groupBy(col(idCol))
       .agg(collect_list(col("__pos")).as("__dups"))
-    val others = df.columns.filter(c => c != idCol && c != textCol).map(col)
     df.join(dupPos.hint("shuffle_merge"), Seq(idCol), "left")
       .withColumn("__toks", split(col(textCol), " "))
-      .select(Seq(col(idCol),
+      .select(withTextReplaced(df, textCol,
         when(col("__dups").isNull, col(textCol))
-          .otherwise(rebuildWithoutWindows(col("__toks"), col("__dups"), w)).as(textCol)) ++ others: _*)
+          .otherwise(rebuildWithoutWindows(col("__toks"), col("__dups"), w))): _*)
   }
 
   /** Row-local rebuild shared by the strip operators: tokens whose index is
@@ -887,14 +892,13 @@ object Dedup {
     val hitPositions = udf((whs: scala.collection.Seq[Long]) =>
       if (whs == null) Seq.empty[Int]
       else whs.zipWithIndex.collect { case (h, p) if bc.value.contains(h) => p })
-    val others = df.columns.filter(c => c != idCol && c != textCol).map(col)
     df.withColumn("__toks", split(col(textCol), " "))
       .withColumn("__whs",
         when(size(col("__toks")) >= w, hashedWindows(col("__toks"), w, xxhash64(_)))
           .otherwise(array().cast("array<long>")))
       .withColumn("__dups", hitPositions(col("__whs")))
-      .select(Seq(col(idCol),
+      .select(withTextReplaced(df, textCol,
         when(size(col("__dups")) === 0, col(textCol))
-          .otherwise(rebuildWithoutWindows(col("__toks"), col("__dups"), w)).as(textCol)) ++ others: _*)
+          .otherwise(rebuildWithoutWindows(col("__toks"), col("__dups"), w))): _*)
   }
 }

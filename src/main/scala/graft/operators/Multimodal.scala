@@ -309,7 +309,10 @@ object Multimodal {
           val img = new java.awt.image.BufferedImage(8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
           var k = 0
           while (k < 64) {
-            val base = (1 + (((seed + 1) * (k + 2)) % 257) % 255).toInt
+            // floorMod, not %: Java % keeps the dividend's sign, so a
+            // negative seed would yield non-positive gray levels (out of
+            // the documented 1..255 range and off the SQL oracle's model)
+            val base = (1 + Math.floorMod(Math.floorMod((seed + 1) * (k + 2), 257L), 255L)).toInt
             val g = if (perturb && k == 0) 1 + (base - 1 + 8) % 255 else base
             img.setRGB(k % 8, k / 8, (g << 16) | (g << 8) | g)
             k += 1

@@ -307,10 +307,13 @@ object Similarity {
     // so planes agree with p ~ 0.77 and buckets collapse — measured ~167M
     // candidate pairs over 12k such vectors at bandBits=10 where a
     // centered corpus yields ~2M. Centering the vectors FOR BUCKETING ONLY
-    // (verification always scores the raw vectors) restores the spread
-    // without changing a single output row: a near-identical raw pair
-    // stays near-identical after the shared mean shift, so it still shares
-    // band keys. The mean is a 1-row in-plan aggregate, broadcast.
+    // restores the spread; verification always scores the RAW vectors, so
+    // any pair surviving candidate generation is scored identically either
+    // way. The candidate SET itself follows the centered spread model: at
+    // configurations with candidate recall < 1, centered and raw bucketing
+    // can admit different pairs (equality of output is only guaranteed
+    // when recall is 1, as in q84's wide-band setting). The mean is a
+    // 1-row in-plan aggregate, broadcast.
     val bucketed =
       if (!centerForBuckets) projected
       else {
@@ -445,16 +448,33 @@ object Similarity {
 
   /** Deterministic distributed k-means for the IVF/SemDeDup quantizer —
     * closes the "centroids are trained offline" contract with an in-repo
-    * trainer. Spherical flavor, consistent with every consumer here:
-    * assignment is nearest-centroid by COSINE (argmax ties to the lowest
-    * centroid id, the exact [[ivfTopK]]/[[semDedup]] rule), the update is
-    * the arithmetic per-dimension mean (cosine assignment normalizes, so
-    * the mean needs no explicit renorm). Initialization is the `k`
-    * lowest-id vectors — deterministic by construction, so two runs (or
-    * two engines) produce identical centroids.
+    * trainer. Assignment is nearest-centroid by COSINE (argmax ties to the
+    * lowest centroid id, the exact [[ivfTopK]]/[[semDedup]] rule); the
+    * update is the arithmetic per-dimension mean of RAW member vectors by
+    * default — cosine is scale-invariant in the centroid, so the
+    * un-renormalized mean assigns identically to its normalized
+    * counterpart, but high-magnitude members pull the mean's DIRECTION in
+    * proportion to their norm, which is NOT spherical k-means unless the
+    * corpus is unit-normalized. `spherical = true` averages L2-normalized
+    * members instead (Dhillon & Modha's objective proper) — use it on
+    * mixed-magnitude corpora. Zero-norm vectors have no direction (cosine
+    * is NaN): they are excluded from training and from the returned sizes.
     *
-    * Scale shape per iteration: ONE corpus pass — assignment is a pure
-    * projection against literal centroid expressions, the update one
+    * Initialization (`init`):
+    *  - `"lowest-id"` — the `k` lowest-id vectors. One pass, but a skewed
+    *    id-to-region correlation can seed all k centroids in one region
+    *    (hot IVF cells / hot SemDeDup clusters at 100 TB).
+    *  - `"farthest"` — deterministic farthest-point traversal: seed with
+    *    the lowest-id vector, then repeatedly add the vector whose nearest
+    *    chosen centroid is LEAST similar (cosine; ties to the lowest id).
+    *    k-1 extra corpus passes, each a pure projection + a 1-row sort-
+    *    limit collect — the standard k-means++ determinization, spreads
+    *    seeds across the corpus hull.
+    * Both are deterministic by construction, so two runs (or two engines)
+    * produce identical centroids.
+    *
+    * Scale shape per Lloyd iteration: ONE corpus pass — assignment is a
+    * pure projection against literal centroid expressions, the update one
     * hash-shuffle aggregation to k×dim partial sums; only the k centroid
     * rows ever reach the driver (the same small-by-contract collect as
     * [[ivfTopK]]'s quantizer load). An empty cluster keeps its previous
@@ -467,30 +487,52 @@ object Similarity {
       vectorCol: String,
       k: Int,
       iterations: Int,
-      dim: Int
+      dim: Int,
+      init: String = "lowest-id",
+      spherical: Boolean = false
   ): DataFrame = {
     require(k > 0 && iterations >= 0, "k must be positive, iterations non-negative")
+    require(init == "lowest-id" || init == "farthest", s"unknown init '$init'")
     val spark = vectors.sparkSession
     import spark.implicits._
     val projected = Dedup.withComputeParallelism(
         vectors.select(col(vectorId).cast("long").as("__id"), asDouble(col(vectorCol)).as("__v")))
       .withColumn("__n", norm(col("__v")))
-    val init: Seq[(Long, Array[Double], Double)] = projected
-      .orderBy(col("__id")).limit(k)
-      .collect()
-      .zipWithIndex
-      .map { case (r, i) =>
-        val arr = r.getSeq[Double](1).toArray
-        (i.toLong, arr, math.sqrt(arr.map(x => x * x).sum))
-      }.toSeq
-    require(init.size == k, s"corpus has fewer than k=$k vectors")
+      // no-direction vectors would make every cosine NaN and poison the
+      // assignment sort (the NaN-ordering cross-engine divergence class)
+      .filter(col("__n") > lit(0.0))
+    def asCentroid(idx: Long, arr: Array[Double]): (Long, Array[Double], Double) =
+      (idx, arr, math.sqrt(arr.map(x => x * x).sum))
+    val initCents: Seq[(Long, Array[Double], Double)] = init match {
+      case "lowest-id" =>
+        val got = projected.orderBy(col("__id")).limit(k).collect()
+        require(got.length == k, s"corpus has fewer than k=$k usable vectors")
+        got.zipWithIndex.map { case (r, i) => asCentroid(i.toLong, r.getSeq[Double](1).toArray) }.toSeq
+      case "farthest" =>
+        val first = projected.orderBy(col("__id")).limit(1).collect()
+        require(first.nonEmpty, "corpus has no usable vectors")
+        val seed = Seq(asCentroid(0L, first(0).getSeq[Double](1).toArray))
+        (1 until k).foldLeft(seed) { case (chosen, j) =>
+          // nearest-chosen similarity = -ns of the sorted head; the NEXT
+          // seed minimizes it (farthest point), ties to the lowest id
+          val next = projected
+            .withColumn("__best",
+              -centroidsByDistance(chosen, col("__v"), col("__n")).getItem(0).getField("ns"))
+            .orderBy(col("__best"), col("__id")).limit(1).collect()
+          require(next.nonEmpty, s"corpus has fewer than k=$k usable vectors")
+          chosen :+ asCentroid(j.toLong, next(0).getSeq[Double](1).toArray)
+        }
+    }
 
-    val finalCents = (0 until iterations).foldLeft(init) { case (cents, _) =>
+    val memberDim: Int => Column =
+      if (spherical) i => element_at(col("__v"), i + 1) / col("__n")
+      else i => element_at(col("__v"), i + 1)
+    val finalCents = (0 until iterations).foldLeft(initCents) { case (cents, _) =>
       val assigned = projected.withColumn("cluster",
         centroidsByDistance(cents, col("__v"), col("__n")).getItem(0).getField("c"))
       val means = assigned
         .groupBy(col("cluster"))
-        .agg(array((0 until dim).map(i => avg(element_at(col("__v"), i + 1))): _*).as("__mu"),
+        .agg(array((0 until dim).map(i => avg(memberDim(i))): _*).as("__mu"),
           count(lit(1)).as("__sz"))
         .collect()
         .map(r => r.getLong(0) ->

@@ -169,6 +169,19 @@ object TextAnalysis {
     *
     * `queries` is (queryId, query text); doc ids must be long-castable
     * (they ride the bounded aggregator as longs).
+    *
+    * `scoreScale >= 0` QUANTIZES the score (`round(score, scoreScale)`)
+    * BEFORE top-k selection — the rank-stable retrieval form. BM25 sums
+    * 2–3 ln-terms per doc in whatever order the aggregate visits them, so
+    * two engines (or two runs of one engine) can disagree in the last ulp;
+    * with `b = 0` the score is length-independent and exact theoretical
+    * ties are common, making raw-score selection order — and even top-k
+    * MEMBERSHIP at a tied boundary — noise-resolved (observed: a 5-way tie
+    * straddling k=20 flipped between two DuckDB runs of the same SQL).
+    * Quantizing first collapses ulp noise to equality, and the
+    * lowest-doc-id tie rule then yields one engine-independent answer,
+    * provided no true score lies within noise of a rounding boundary
+    * (measured per corpus; see Bm25Spec's boundary-distance pin).
     */
   def bm25TopK(
       docs: DataFrame,
@@ -179,7 +192,8 @@ object TextAnalysis {
       queryTextCol: String,
       k: Int,
       k1: Double = 1.2,
-      b: Double = 0.75
+      b: Double = 0.75,
+      scoreScale: Int = -1
   ): DataFrame = {
     require(k > 0, "k must be positive")
     val terms = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
@@ -211,7 +225,9 @@ object TextAnalysis {
         col("__idf") * (col("__tf") * lit(k1 + 1.0)) /
           (col("__tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl"))))
       .groupBy(col(queryIdCol), col(idCol))
-      .agg(sum(col("__contrib")).as("__score"))
+      .agg(sum(col("__contrib")).as("__raw"))
+      .withColumn("__score",
+        if (scoreScale >= 0) round(col("__raw"), scoreScale) else col("__raw"))
       // ids that are null or not long-castable are EXCLUDED before the
       // typed aggregator (its primitive Long field would decode them as
       // doc 0 — the capPerKey null-decode class); key on castable ids
@@ -368,7 +384,10 @@ object TextAnalysis {
     * [[graft.functions.TopKScored]] Aggregator (ties to the lowest doc
     * id), the same no-hot-window shape as [[bm25TopK]]. With integer
     * ranks the fused score is a sum of exact dyadic-free rationals that
-    * two engines compute identically when their input rankings agree.
+    * two engines compute identically when their input rankings agree —
+    * which in turn requires RANK-STABLE leg scores: feed legs selected on
+    * quantized scores ([[bm25TopK]]'s `scoreScale`) when the raw score is
+    * a summation-order-sensitive float sum, or ulp noise decides ranks.
     */
   def reciprocalRankFusion(
       rankings: Seq[DataFrame],

@@ -611,14 +611,20 @@ object DataPipelinePack extends QueryPack {
     // Hybrid-retrieval fusion: RRF over two genuinely different BM25
     // rankings (length-normalized b=0.75 vs un-normalized b=0) of the same
     // literal queries — the BM25+dense-ANN combiner shape with both legs
-    // oracle-expressible.
+    // oracle-expressible. Legs select on QUANTIZED scores (scoreScale=4):
+    // the b=0 leg has exact theoretical ties (length-independent scores)
+    // straddling the k=20 cut, so raw-score selection is summation-order
+    // noise — quantize-then-tiebreak is the only engine-stable form (the
+    // oracle ranks on round(score, 4) the same way).
     "q90_rrf_fusion" -> ((s, d) => {
       import s.implicits._
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val queries = Seq((1L, "batch join"), (2L, "customer query table"))
         .toDF("query_id", "qtext")
-      val legA = TextAnalysis.bm25TopK(docs, "doc_id", "text", queries, "query_id", "qtext", k = 20)
-      val legB = TextAnalysis.bm25TopK(docs, "doc_id", "text", queries, "query_id", "qtext", k = 20, b = 0.0)
+      val legA = TextAnalysis.bm25TopK(docs, "doc_id", "text", queries, "query_id", "qtext",
+        k = 20, scoreScale = 4)
+      val legB = TextAnalysis.bm25TopK(docs, "doc_id", "text", queries, "query_id", "qtext",
+        k = 20, b = 0.0, scoreScale = 4)
       TextAnalysis.reciprocalRankFusion(Seq(legA, legB), "query_id", "doc_id", "score", k = 10)
         .select(col("query_id"), col("doc_id"), round(col("rrf_score"), 6).as("rrf_score"))
         .orderBy(col("query_id"), col("doc_id"))
@@ -1780,8 +1786,10 @@ object DataPipelinePack extends QueryPack {
         GROUP BY q.query_id, tf.doc_id),
       ranked AS (
         SELECT query_id, doc_id,
-               row_number() OVER (PARTITION BY query_id ORDER BY score_a DESC, doc_id) AS ra,
-               row_number() OVER (PARTITION BY query_id ORDER BY score_b DESC, doc_id) AS rb
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY round(score_a, 4) DESC, doc_id) AS ra,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY round(score_b, 4) DESC, doc_id) AS rb
         FROM scored),
       contribs AS (
         SELECT query_id, doc_id, 1.0 / (60 + ra) AS c FROM ranked WHERE ra <= 20

@@ -54,7 +54,15 @@ object IndexStore {
   /** Append `index` rows (any schema — fingerprints, band rows) as the next
     * generation; returns the generation number. Never rewrites an existing
     * live generation; a partial directory left by a crashed append is
-    * reclaimed (mode overwrite) because it never became live. */
+    * reclaimed (mode overwrite) because it never became live.
+    *
+    * SINGLE WRITER REQUIRED — the same fence as [[consolidate]]: two
+    * concurrent appenders would both read the live-generation list, both
+    * compute the same `next`, and the second job to commit would silently
+    * overwrite the first's rows (generation numbering has no CAS on a
+    * filesystem). Serialize appends through a writer lock —
+    * PipelineRunner's atomic lock-file acquire is the in-repo fence;
+    * readers need no lock, they see only `_SUCCESS`-marked generations. */
   def append(index: DataFrame, dir: String): Long = {
     val spark = index.sparkSession
     val next = liveGenDirs(spark, dir).lastOption.fold(0L)(_._1 + 1L)

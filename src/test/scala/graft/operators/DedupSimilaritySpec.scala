@@ -532,6 +532,75 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(dc(2).getLong(2) == 1L)
   }
 
+  test("dedupLinesWithinDoc / strip operators preserve the input column order") {
+    // (lang, doc_id, text, n) — textCol mid-schema: the strip family must
+    // replace text IN PLACE, not re-select (id, text, others...), or
+    // positional consumers and plain union() downstream misalign
+    val df = Seq(("en", 1L, "alpha beta gamma\nalpha beta gamma", 7))
+      .toDF("lang", "doc_id", "text", "n")
+    assert(Dedup.dedupLinesWithinDoc(df, "doc_id", "text").columns.toSeq ==
+      Seq("lang", "doc_id", "text", "n"))
+    assert(Dedup.stripDuplicatedWindows(df, "doc_id", "text", w = 2).columns.toSeq ==
+      Seq("lang", "doc_id", "text", "n"))
+    val index = Dedup.buildWindowIndex(df, "doc_id", "text", w = 2)
+    assert(Dedup.stripKnownWindows(df, "doc_id", "text", index, w = 2).columns.toSeq ==
+      Seq("lang", "doc_id", "text", "n"))
+  }
+
+  test("trainKMeans farthest init: seeds spread across planted clusters; deterministic; zero-norm excluded") {
+    // Two tight clusters with ALL low ids in cluster X: lowest-id init
+    // seeds both centroids inside X (the skewed-corpus failure), farthest
+    // init must jump to Y for the second seed.
+    val vecs = Seq(
+      (0L, Seq(1.0, 0.0, 0.01, 0.0)), (1L, Seq(1.0, 0.0, 0.02, 0.0)),
+      (2L, Seq(1.0, 0.0, 0.03, 0.0)), (3L, Seq(1.0, 0.0, 0.04, 0.0)),
+      (10L, Seq(0.0, 1.0, 0.01, 0.0)), (11L, Seq(0.0, 1.0, 0.02, 0.0)),
+      (12L, Seq(0.0, 0.0, 0.0, 0.0)) // zero-norm: no direction, excluded
+    ).toDF("vec_id", "embedding")
+    def sizesOf(init: String, iters: Int) = Similarity
+      .trainKMeans(vecs, "vec_id", "embedding", k = 2, iterations = iters, dim = 4, init = init)
+      .orderBy("cid").collect().map(_.getLong(2)).toSeq
+    // at the seeds themselves (iterations = 0): lowest-id seeds v0 and v1,
+    // both inside X -> the split is 1/5 (v1's seed captures nearly
+    // everything); farthest seeds v0 then v10 (the least-similar vector to
+    // v0, ties none) -> one seed per planted cluster, 4/2
+    assert(sizesOf("farthest", 0) == Seq(4L, 2L), "farthest init separates the planted clusters")
+    assert(sizesOf("lowest-id", 0) == Seq(1L, 5L), "the planted skew defeats lowest-id init")
+    // the farthest seeding survives Lloyd refinement unchanged
+    assert(sizesOf("farthest", 2) == Seq(4L, 2L))
+    // determinism: two runs, identical centroids
+    def run() = Similarity
+      .trainKMeans(vecs, "vec_id", "embedding", k = 2, iterations = 2, dim = 4, init = "farthest")
+      .orderBy("cid").collect().map(r => (r.getLong(0), r.getSeq[Double](1), r.getLong(2))).toSeq
+    assert(run() == run(), "farthest init must be deterministic")
+    // zero-norm vector 12 is excluded from sizing (4 + 2 = 6 of 7 rows)
+    assert(sizesOf("farthest", 0).sum == 6L)
+  }
+
+  test("trainKMeans spherical: normalized-member mean ignores magnitude skew") {
+    // Cluster 0's members point 0° (unit) and ~44.7° (magnitude 140x):
+    // the raw mean's direction is dragged to ~44° by the big member; the
+    // spherical (normalized-member) mean bisects the two directions.
+    val vecs = Seq(
+      (0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)),     // seeds
+      (2L, Seq(100.0, 99.0)),                        // huge member, joins c0 (cos .7107 vs .7035)
+      (3L, Seq(1.0, 2.0))                            // joins c1
+    ).toDF("vec_id", "embedding")
+    def c0Of(spherical: Boolean) = Similarity
+      .trainKMeans(vecs, "vec_id", "embedding", k = 2, iterations = 1, dim = 2,
+        spherical = spherical)
+      .orderBy("cid").collect()(0).getSeq[Double](1)
+    val n2 = math.sqrt(100.0 * 100 + 99.0 * 99)
+    val sph = c0Of(spherical = true)
+    assert(math.abs(sph.head - (1 + 100 / n2) / 2) < 1e-12 &&
+      math.abs(sph(1) - (99 / n2) / 2) < 1e-12, s"got $sph")
+    val raw = c0Of(spherical = false)
+    // direction (y/x slope): raw is magnitude-dominated (~0.98), spherical
+    // bisects (~0.41)
+    assert(raw(1) / raw.head > 0.9, s"raw mean should follow the big member, got $raw")
+    assert(sph(1) / sph.head < 0.5, s"spherical mean should bisect, got $sph")
+  }
+
   test("centerForBuckets: identical output on a single-orthant corpus, and the twins still surface") {
     // all-positive vectors (the sign-LSH worst case) with planted twins
     val vecs = (0L until 40L).map { i =>

@@ -220,4 +220,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(px(2L).head == ((g0p << 16) | (g0p << 8) | g0p))
     assert(px(2L).tail == px(1L).tail, "perturbation leaked past pixel 0")
   }
+
+  test("syntheticGrayPngs: negative seeds stay in the documented 1..255 range (floorMod, not %)") {
+    import spark.implicits._
+    val ids = Seq((1L, -5L, false), (2L, -258L, false)).toDF("media_id", "seed", "perturb")
+    val decoded = Multimodal.decodeImages(Multimodal.syntheticGrayPngs(ids), includePixels = true)
+      .collect().map(r => r.getAs[Long]("media_id") -> r).toMap
+    def grayAll(seed: Long) = (0 until 64).map { k =>
+      val g = (1 + Math.floorMod(Math.floorMod((seed + 1) * (k + 2), 257L), 255L)).toInt
+      (g << 16) | (g << 8) | g
+    }
+    (1L to 2L).foreach { id =>
+      val r = decoded(id)
+      assert(r.getAs[Boolean]("decoded"), s"image $id failed to decode")
+      val px = r.getAs[scala.collection.Seq[Int]]("argb").toSeq.map(_ & 0xffffff)
+      val seed = if (id == 1L) -5L else -258L
+      assert(px == grayAll(seed), s"image $id diverges from the floorMod closed form")
+      px.foreach { p =>
+        val g = p & 0xff
+        assert(g >= 1 && g <= 255, s"gray level $g out of the documented range")
+      }
+    }
+  }
 }

@@ -308,6 +308,55 @@ class TextAnalysisSpec extends AnyFunSuite {
       s"hashedLinearScore must stay a per-row projection:\n$plan")
   }
 
+  test("bm25TopK scoreScale: quantized selection collapses ulp ties to the doc-id rule") {
+    // Four identical docs plus two length-variants: with b=0 the identical
+    // docs score an EXACT theoretical tie, so raw-score selection at a
+    // boundary is summation-order noise. scoreScale=4 must (a) emit
+    // rounded scores, (b) resolve the tie straddling k to the lowest ids.
+    val docs = Seq(
+      (10L, "term pad"), (11L, "term pad"), (12L, "term pad"), (13L, "term pad"),
+      (14L, "term"), (15L, "term pad pad pad pad pad pad")
+    ).toDF("doc_id", "text")
+    val queries = Seq((1L, "term")).toDF("query_id", "qtext")
+    val got = TextAnalysis.bm25TopK(docs, "doc_id", "text", queries, "query_id", "qtext",
+      k = 3, b = 0.0, scoreScale = 4)
+      .orderBy(col("score").desc, col("doc_id"))
+      .as[(Long, Long, Double)].collect().toSeq
+    // b=0: every doc containing "term" once scores identically -> 6-way
+    // rounded tie -> lowest three doc ids survive
+    assert(got.map(_._2) == Seq(10L, 11L, 12L), s"got $got")
+    got.foreach { case (_, _, s) =>
+      assert(s == BigDecimal(s).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        s"score $s not quantized to 4 decimals")
+    }
+  }
+
+  test("q90 corpus: raw leg scores keep a measured gap from every rounding boundary") {
+    // The quantize-then-rank oracle contract is only engine-stable if no
+    // true score sits within float noise (~1e-14 across libm/summation
+    // order) of a 0.5e-4 rounding boundary. Measured on the sf0.01 gate
+    // corpus: min distance 7.9e-10 (legB) — pinned here at 1e-11 so a
+    // testdata regeneration that lands a score on a boundary fails loudly
+    // instead of flaking the correctness gate.
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val queries = Seq((1L, "batch join"), (2L, "customer query table"))
+      .toDF("query_id", "qtext")
+    for (b <- Seq(0.75, 0.0)) {
+      val raw = TextAnalysis.bm25TopK(docs, "doc_id", "text", queries, "query_id", "qtext",
+        k = Int.MaxValue, b = b)
+        .select(col("score")).as[Double].collect()
+      assert(raw.nonEmpty)
+      val minDist = raw.map { s =>
+        val f = (s * 1e4) % 1.0
+        math.abs(f - 0.5) * 1e-4
+      }.min
+      assert(minDist > 1e-11,
+        f"b=$b: a raw score sits $minDist%.2e from a rounding boundary — " +
+          "quantized ranks are no longer engine-stable on this corpus")
+    }
+  }
+
   test("bm25TopK: k truncates per query with ties to the lowest doc id") {
     val docs = Seq(
       (1L, "term"), (2L, "term"), (3L, "term"), (4L, "term")  // identical docs: equal scores

@@ -109,4 +109,50 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(matches(IndexStore.read(spark, dir)) == scratch,
       "consolidation changed the match set")
   }
+
+  test("window index lifecycle: gen-0 + gen-1 strip exactly what a from-scratch index strips, through consolidation") {
+    // buildWindowIndex claims generation composability (any union of
+    // window-hash frames is itself a valid index); this pins it through
+    // the store: append two curation runs, strip newcomers against the
+    // generational read, and demand byte-identical output to an index
+    // built from the full history in one shot — before and after
+    // consolidate (which also dedups the cross-generation `wh` overlap
+    // from shared spans).
+    val dir = tmpDir("win")
+    val run1 = Seq(
+      (1L, "the cat and the dog is in the house of the king by the sea"),
+      (2L, "the spell of the sea is the song of the deep tide at dusk")
+    ).toDF("doc_id", "text")
+    val run2 = Seq(
+      (3L, "the fox and the hen is of the barn and the yard at dawn")
+    ).toDF("doc_id", "text")
+    IndexStore.append(Dedup.buildWindowIndex(run1, "doc_id", "text", w = 5), dir)
+    IndexStore.append(Dedup.buildWindowIndex(run2, "doc_id", "text", w = 5), dir)
+    val history = run1.union(run2)
+
+    // newcomers: one shares a >=5-token span with run 1, one with run 2,
+    // one is fresh and must pass through byte-identical
+    val newcomers = Seq(
+      (10L, "today the cat and the dog is in the house again"),
+      (11L, "the fox and the hen is of the barn tonight"),
+      (12L, "a completely different document about graphs and sorting networks")
+    ).toDF("doc_id", "text")
+    def strip(index: org.apache.spark.sql.DataFrame) =
+      Dedup.stripKnownWindows(newcomers, "doc_id", "text", index, w = 5)
+        .as[(Long, String)].collect().toMap
+
+    val scratch = strip(Dedup.buildWindowIndex(history, "doc_id", "text", w = 5))
+    assert(strip(IndexStore.read(spark, dir)) == scratch,
+      "generational read diverges from the from-scratch index")
+    assert(scratch(10L) != "today the cat and the dog is in the house again" &&
+      scratch(11L) != "the fox and the hen is of the barn tonight",
+      s"planted shared spans must be stripped, got $scratch")
+    assert(scratch(12L) == "a completely different document about graphs and sorting networks",
+      "fresh doc must pass through byte-identical")
+
+    val (gens, _) = IndexStore.consolidate(spark, dir)
+    assert(gens == 2)
+    assert(strip(IndexStore.read(spark, dir)) == scratch,
+      "consolidation changed the strip result")
+  }
 }
