@@ -47,6 +47,14 @@ object Similarity {
     * @return (probe_id, nbr_id, rnk, cos_sim) with rnk 1..k by descending
     *         similarity, id-tiebroken
     */
+  /** `scoreScale >= 0` quantizes the cosine (`round(sim, scoreScale)`)
+    * BEFORE the rank window — the rank-stable retrieval form (see
+    * [[TextAnalysis.bm25TopK]]'s scoreScale for the full rationale): dot
+    * products are summation-order-sensitive float sums, so raw-score
+    * ranks at a close boundary are engine noise; quantize-then-tiebreak
+    * (lowest nbr id) gives one engine-independent answer provided no true
+    * cosine sits within noise of a rounding boundary (measured per
+    * corpus). */
   def bruteForceTopK(
       vectors: DataFrame,
       vectorId: String,
@@ -54,7 +62,8 @@ object Similarity {
       probes: DataFrame,
       probeId: String,
       probeCol: String,
-      k: Int
+      k: Int,
+      scoreScale: Int = -1
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // Norms are per-vector, so compute them BELOW the join (once per row,
@@ -65,10 +74,11 @@ object Similarity {
       .withColumn("__vn", norm(col("__v")))
     val p = probes.select(col(probeId).as("probe_id"), asDouble(col(probeCol)).as("__p"))
       .withColumn("__pn", norm(col("__p")))
+    val rawSim = fastDot(col("__p"), col("__v")) / (col("__pn") * col("__vn"))
     val scored = v
       .crossJoin(broadcast(p))
       .filter(col("nbr_id") =!= col("probe_id"))
-      .withColumn("__sim", fastDot(col("__p"), col("__v")) / (col("__pn") * col("__vn")))
+      .withColumn("__sim", if (scoreScale >= 0) round(rawSim, scoreScale) else rawSim)
     val w = Window.partitionBy(col("probe_id")).orderBy(col("__sim").desc, col("nbr_id"))
     scored
       .withColumn("rnk", row_number().over(w))

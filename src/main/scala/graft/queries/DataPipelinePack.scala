@@ -674,6 +674,70 @@ object DataPipelinePack extends QueryPack {
         .orderBy(col("vec_id"))
     }),
 
+    // SemDeDup at production shape: the quantizer is TRAINED (q93's exact
+    // 2-iteration k-means), not raw corpus vectors — pinning the
+    // quantizer-consumer contract (cosine assignment, argmax ties to the
+    // lowest cid) end-to-end through one oracle, which unrolls the same
+    // two Lloyd iterations in SQL and feeds the resulting centroids to
+    // q88's SemDeDup SQL.
+    "q96_semdedup_trained" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cents = Similarity.trainKMeans(e, "vec_id", "embedding", k = 4, iterations = 2, dim = 64)
+      Similarity.semDedup(e, "vec_id", "embedding", cents, "cid", "centroid", threshold = 0.3)
+        .orderBy(col("vec_id"))
+    }),
+
+    // Hybrid retrieval proper: RRF over THREE legs — two BM25 variants
+    // plus a DENSE leg (exact cosine top-20 for two embedding probes) —
+    // the advertised BM25 + dense-ANN combiner with every leg
+    // oracle-expressible. All legs select on quantized scores
+    // (scoreScale = 4, the rank-stable form); measured: dense rank-20/21
+    // gaps 1.3e-4+, boundary distances 2.8e-7+ on the gate corpus.
+    "q97_rrf_dense" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val queries = Seq((1L, "batch join"), (2L, "customer query table"))
+        .toDF("query_id", "qtext")
+      val legA = TextAnalysis.bm25TopK(docs, "doc_id", "text", queries, "query_id", "qtext",
+        k = 20, scoreScale = 4)
+      val legB = TextAnalysis.bm25TopK(docs, "doc_id", "text", queries, "query_id", "qtext",
+        k = 20, b = 0.0, scoreScale = 4)
+      val emb = Tables.embeddings(s, d)
+      val probes = emb.filter(col("vec_id").isin(1L, 2L))
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val legC = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          probes, "query_id", "embedding", k = 20, scoreScale = 4)
+        .select(col("probe_id").as("query_id"), col("nbr_id").as("doc_id"),
+          col("cos_sim").as("score"))
+      TextAnalysis.reciprocalRankFusion(Seq(legA, legB, legC), "query_id", "doc_id", "score", k = 10)
+        .select(col("query_id"), col("doc_id"), round(col("rrf_score"), 6).as("rrf_score"))
+        .orderBy(col("query_id"), col("doc_id"))
+    }),
+
+    // HELD-OUT bigram perplexity — the CCNet deployment shape: the model
+    // trains on the curated half (even doc_ids) and scores the incoming
+    // half (odd doc_ids), exercising the unseen-bigram total-scoring path
+    // (p = 1/V at worst) that self-scoring (q95) never hits.
+    "q98_bigram_ppl_heldout" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      TextAnalysis.bigramPerplexity(docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+        trainOn = Some(docs.filter(col("doc_id") % 2 === 0)))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Deterministic farthest-point initialization (the k-means++
+    // determinization): seed = lowest vec_id, then 3 argmin-of-max-cosine
+    // selections, emitted with assignment sizes at iterations = 0 so the
+    // oracle pins the SELECTION itself (measured winner margins 2e-2+ on
+    // the gate corpus — far above cross-engine dot-product noise).
+    "q99_kmeans_farthest" -> ((s, d) => {
+      val cents = Similarity.trainKMeans(Tables.embeddings(s, d),
+        "vec_id", "embedding", k = 4, iterations = 0, dim = 64, init = "farthest")
+      cents.select(col("cid"), col("size"), posexplode(col("centroid")).as(Seq("dim", "cval")))
+        .select(col("cid"), col("dim"), round(col("cval"), 4).as("cval"), col("size"))
+        .orderBy(col("cid"), col("dim"))
+    }),
+
     // Batch sessionization through the native session_window operator (the
     // same operator the streaming surface uses): 3-hour inactivity gap.
     "q42_sessionize" -> ((s, d) => {
@@ -1802,6 +1866,159 @@ object DataPipelinePack extends QueryPack {
                FROM fused)
       SELECT query_id, doc_id, round(rrf, 6) AS rrf_score
       FROM topk WHERE rnk <= 10 ORDER BY query_id, doc_id""",
+
+    "q96_semdedup_trained" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      dims AS (SELECT unnest(range(1, 65)) AS i),
+      c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+             FROM e ORDER BY vec_id LIMIT 4),
+      a1 AS (SELECT vec_id, cid FROM (
+               SELECT e.vec_id, c.cid,
+                      row_number() OVER (PARTITION BY e.vec_id
+                        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+               FROM e CROSS JOIN c0 c) WHERE rn = 1),
+      m1 AS (SELECT a.cid, d.i, avg(e.v[d.i]) AS x
+             FROM a1 a JOIN e USING (vec_id) CROSS JOIN dims d GROUP BY a.cid, d.i),
+      c1 AS (SELECT c0.cid, coalesce(mm.cv, c0.cv) AS cv
+             FROM c0 LEFT JOIN (SELECT cid, list(x ORDER BY i) AS cv
+                                FROM m1 GROUP BY cid) mm USING (cid)),
+      a2 AS (SELECT vec_id, cid FROM (
+               SELECT e.vec_id, c.cid,
+                      row_number() OVER (PARTITION BY e.vec_id
+                        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+               FROM e CROSS JOIN c1 c) WHERE rn = 1),
+      m2 AS (SELECT a.cid, d.i, avg(e.v[d.i]) AS x
+             FROM a2 a JOIN e USING (vec_id) CROSS JOIN dims d GROUP BY a.cid, d.i),
+      c2 AS (SELECT c1.cid, coalesce(mm.cv, c1.cv) AS cv
+             FROM c1 LEFT JOIN (SELECT cid, list(x ORDER BY i) AS cv
+                                FROM m2 GROUP BY cid) mm USING (cid)),
+      assign AS (SELECT vec_id, cid FROM (
+               SELECT e.vec_id, c.cid,
+                      row_number() OVER (PARTITION BY e.vec_id
+                        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+               FROM e CROSS JOIN c2 c) WHERE rn = 1),
+      dropped AS (
+        SELECT DISTINCT b.vec_id
+        FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+             JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id
+        WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.3)
+      SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cluster,
+             (a.vec_id NOT IN (SELECT vec_id FROM dropped)) AS kept
+      FROM assign a ORDER BY a.vec_id""",
+
+    "q97_rrf_dense" -> """
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf
+             FROM (SELECT doc_id, unnest(w) AS term FROM toks) GROUP BY doc_id, term),
+      dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      corpus AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                        CAST(avg(len(w)) AS DOUBLE) AS avgdl FROM toks),
+      dl AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl FROM toks),
+      queries(query_id, qtext) AS (VALUES
+        (CAST(1 AS BIGINT), 'batch join'),
+        (CAST(2 AS BIGINT), 'customer query table')),
+      qterms AS (SELECT DISTINCT query_id, unnest(string_split(qtext, ' ')) AS term
+                 FROM queries),
+      scored AS (
+        SELECT q.query_id, tf.doc_id,
+               sum( ln(1 + (c.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                    * (tf.tf * (1.2 + 1.0))
+                    / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / c.avgdl)) ) AS score_a,
+               sum( ln(1 + (c.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                    * (tf.tf * (1.2 + 1.0))
+                    / (tf.tf + 1.2 * (1.0 + 0.0 * dl.dl / c.avgdl)) ) AS score_b
+        FROM tf JOIN qterms q USING (term) JOIN dfreq USING (term)
+             JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN corpus c
+        GROUP BY q.query_id, tf.doc_id),
+      ranked AS (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY round(score_a, 4) DESC, doc_id) AS ra,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY round(score_b, 4) DESC, doc_id) AS rb
+        FROM scored),
+      emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      probes AS (SELECT vec_id AS query_id, v AS p FROM emb WHERE vec_id IN (1, 2)),
+      dense AS (
+        SELECT pr.query_id, e.vec_id AS doc_id,
+               row_number() OVER (PARTITION BY pr.query_id
+                 ORDER BY round(list_cosine_similarity(e.v, pr.p), 4) DESC, e.vec_id) AS rc
+        FROM emb e JOIN probes pr ON e.vec_id != pr.query_id),
+      contribs AS (
+        SELECT query_id, doc_id, 1.0 / (60 + ra) AS c FROM ranked WHERE ra <= 20
+        UNION ALL
+        SELECT query_id, doc_id, 1.0 / (60 + rb) AS c FROM ranked WHERE rb <= 20
+        UNION ALL
+        SELECT query_id, doc_id, 1.0 / (60 + rc) AS c FROM dense WHERE rc <= 20),
+      fused AS (SELECT query_id, doc_id, sum(c) AS rrf
+                FROM contribs GROUP BY query_id, doc_id),
+      topk AS (SELECT query_id, doc_id, rrf,
+                      row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rnk
+               FROM fused)
+      SELECT query_id, doc_id, round(rrf, 6) AS rrf_score
+      FROM topk WHERE rnk <= 10 ORDER BY query_id, doc_id""",
+
+    "q98_bigram_ppl_heldout" -> """
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      bg_train AS (
+        SELECT w[p] AS w1, w[p + 1] AS w2
+        FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS p
+              FROM toks WHERE len(w) >= 2 AND doc_id % 2 = 0)),
+      c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg_train GROUP BY w1, w2),
+      c1 AS (SELECT w1, count(*) AS c1 FROM bg_train GROUP BY w1),
+      v AS (SELECT CAST(count(DISTINCT t) AS DOUBLE) AS v
+            FROM (SELECT unnest(w) AS t FROM toks WHERE doc_id % 2 = 0)),
+      bg AS (
+        SELECT doc_id, w[p] AS w1, w[p + 1] AS w2
+        FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS p
+              FROM toks WHERE len(w) >= 2 AND doc_id % 2 = 1)),
+      scored AS (
+        SELECT bg.doc_id, count(*) AS n_bigrams,
+               exp(-avg(ln((coalesce(c12.c12, 0) + 1.0) /
+                           (coalesce(c1.c1, 0) + 1.0 * v.v)))) AS ppl
+        FROM bg LEFT JOIN c12 USING (w1, w2) LEFT JOIN c1 USING (w1)
+             CROSS JOIN v
+        GROUP BY bg.doc_id)
+      SELECT d.doc_id,
+             CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+             round(s.ppl, 4) AS ppl
+      FROM documents d LEFT JOIN scored s USING (doc_id)
+      WHERE d.doc_id % 2 = 1
+      ORDER BY d.doc_id""",
+
+    "q99_kmeans_farthest" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      dims AS (SELECT unnest(range(1, 65)) AS i),
+      s0 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1),
+      b1 AS (SELECT e.vec_id, max(list_cosine_similarity(e.v, c.v)) AS best
+             FROM e CROSS JOIN s0 c GROUP BY e.vec_id),
+      s1 AS (SELECT b.vec_id, e.v FROM b1 b JOIN e USING (vec_id)
+             ORDER BY b.best, b.vec_id LIMIT 1),
+      ch1 AS (SELECT * FROM s0 UNION ALL SELECT * FROM s1),
+      b2 AS (SELECT e.vec_id, max(list_cosine_similarity(e.v, c.v)) AS best
+             FROM e CROSS JOIN ch1 c GROUP BY e.vec_id),
+      s2 AS (SELECT b.vec_id, e.v FROM b2 b JOIN e USING (vec_id)
+             ORDER BY b.best, b.vec_id LIMIT 1),
+      ch2 AS (SELECT * FROM ch1 UNION ALL SELECT * FROM s2),
+      b3 AS (SELECT e.vec_id, max(list_cosine_similarity(e.v, c.v)) AS best
+             FROM e CROSS JOIN ch2 c GROUP BY e.vec_id),
+      s3 AS (SELECT b.vec_id, e.v FROM b3 b JOIN e USING (vec_id)
+             ORDER BY b.best, b.vec_id LIMIT 1),
+      cents AS (
+        SELECT CAST(0 AS BIGINT) AS cid, v FROM s0
+        UNION ALL SELECT 1, v FROM s1
+        UNION ALL SELECT 2, v FROM s2
+        UNION ALL SELECT 3, v FROM s3),
+      assign AS (SELECT vec_id, cid FROM (
+               SELECT e.vec_id, c.cid,
+                      row_number() OVER (PARTITION BY e.vec_id
+                        ORDER BY list_cosine_similarity(e.v, c.v) DESC, c.cid) AS rn
+               FROM e CROSS JOIN cents c) WHERE rn = 1),
+      sz AS (SELECT cid, count(*) AS size FROM assign GROUP BY cid)
+      SELECT c.cid, d.i - 1 AS dim, round(c.v[d.i], 4) AS cval,
+             coalesce(sz.size, 0) AS size
+      FROM cents c CROSS JOIN dims d LEFT JOIN sz USING (cid)
+      ORDER BY c.cid, dim""",
 
     "q91_temperature_mix" -> s"""
       WITH g AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY lang),

@@ -86,7 +86,17 @@ class PlanAuditSpec extends AnyFunSuite {
     // q95: the 1-row vocabulary-size scalar (its crossJoin is the BNLJ —
     // q35's N class). The corpus-shaped bigram/history count tables are
     // SMJ-pinned joins, never broadcast.
-    "q95_bigram_ppl" -> (0, 1, 1)
+    "q95_bigram_ppl" -> (0, 1, 1),
+    // q97: q90's two BM25 legs (each q87's bounded quad) plus the dense
+    // leg's probe broadcast — a 2-row parameter-sized probe set crossJoined
+    // against the corpus, q26's intended brute-force scoring shape.
+    "q97_rrf_dense" -> (0, 3, 8),
+    // q98: q95's 1-row vocabulary scalar, trained on the even-doc half.
+    "q98_bigram_ppl_heldout" -> (0, 1, 1),
+    // q99: q93's k-row trained-centroid size join (k = 4, a model
+    // parameter); the farthest-point selection jobs run eagerly at build
+    // time and never appear in the returned plan.
+    "q99_kmeans_farthest" -> (0, 0, 1)
   )
 
   test("no query plans an unjustified cartesian / BNLJ / derived broadcast") {
