@@ -92,6 +92,81 @@ object TextAnalysis {
       distinctRatio(toks).as("distinct_ratio"))
   }
 
+  /** The Gopher stop-word presence set (Rae et al. 2021, Appendix A). */
+  val gopherStops: Seq[String] = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The full Gopher quality-rule battery (Rae et al. 2021, Appendix A) —
+    * the published heuristic gate most large web-corpus pipelines start
+    * from. Seven rules, each emitted as its metric + boolean flag plus the
+    * conjunction `keep`:
+    *
+    *  1. 50 <= word count <= 100,000
+    *  2. 3 <= mean word length <= 10
+    *  3. symbol-to-word ratio <= 0.1 (symbols: `#`, `...`, `…`)
+    *  4. <= 90% of lines start with a bullet (`- `, `* `, `•`)
+    *  5. <= 30% of lines end with an ellipsis
+    *  6. >= 80% of words contain an alphabetic character
+    *  7. >= 2 distinct Gopher stop words present
+    *
+    * (Gopher's remaining rules — the duplicate-line/paragraph fractions —
+    * are the [[repetitionMetrics]] family; compose both for the full
+    * paper gate.)
+    *
+    * Scale shape: a pure per-row codegen'd projection — zero shuffles,
+    * stream-safe, composes into the single-scan gate select of the
+    * curation examples. Words split on `\s+` here (rules 4/5 make line
+    * structure first-class, so tokens must not straddle newlines); ratios
+    * are double divisions of exact ints, rounded to 4 for cross-engine
+    * hashing; zero-word documents emit null ratios and `keep = false`.
+    */
+  def gopherQualityFlags(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = filter(split(col(textCol), "\\s+"), w => length(w) > 0)
+    val nWords = size(ws).cast("long")
+    // divisions are guarded: a zero-word document must yield NULL ratios
+    // (NaN ordering is the known cross-engine divergence class), which the
+    // final conjunction coalesces to keep = false
+    def perWord(c: Column): Column = when(nWords > 0L, c / nWords.cast("double"))
+    val meanLen = perWord(
+      aggregate(transform(ws, w => length(w)), lit(0), _ + _).cast("double"))
+    def occurrences(needle: String): Column =
+      ((length(col(textCol)) - length(replace(col(textCol), lit(needle)))) /
+        lit(needle.length)).cast("long")
+    val symbolRatio = perWord(
+      (occurrences("#") + occurrences("...") + occurrences("…")).cast("double"))
+    val lines = split(col(textCol), "\n")
+    val nLines = size(lines).cast("long")
+    val bulletFrac = size(filter(lines, l =>
+      l.startsWith("- ") || l.startsWith("* ") || l.startsWith("•"))).cast("double") /
+      nLines.cast("double")
+    val ellipsisFrac = size(filter(lines, l =>
+      l.endsWith("...") || l.endsWith("…"))).cast("double") / nLines.cast("double")
+    val alphaFrac = perWord(size(filter(ws, w => w.rlike("[A-Za-z]"))).cast("double"))
+    val stopHits = gopherStops
+      .map(sw => when(array_contains(transform(ws, lower), sw), 1).otherwise(0))
+      .reduce(_ + _).cast("long")
+    val fWords = nWords >= 50L && nWords <= 100000L
+    val fMean = meanLen >= 3.0 && meanLen <= 10.0
+    val fSym = symbolRatio <= 0.1
+    val fBullet = bulletFrac <= 0.9
+    val fEllipsis = ellipsisFrac <= 0.3
+    val fAlpha = alphaFrac >= 0.8
+    val fStops = stopHits >= 2L
+    df.select(
+      col(idCol),
+      nWords.as("n_words"),
+      round(meanLen, 4).as("mean_word_len"),
+      round(symbolRatio, 4).as("symbol_ratio"),
+      round(bulletFrac, 4).as("bullet_frac"),
+      round(ellipsisFrac, 4).as("ellipsis_frac"),
+      round(alphaFrac, 4).as("alpha_frac"),
+      stopHits.as("stop_hits"),
+      fWords.as("f_words"), fMean.as("f_mean_len"), fSym.as("f_symbols"),
+      fBullet.as("f_bullets"), fEllipsis.as("f_ellipsis"), fAlpha.as("f_alpha"),
+      fStops.as("f_stops"),
+      coalesce(fWords && fMean && fSym && fBullet && fEllipsis && fAlpha && fStops,
+        lit(false)).as("keep"))
+  }
+
   /** Stopword-profile language scores + argmax (alphabetical tiebreak on
     * equal hit counts — deterministic). Emits integer hit counts so the
     * result is engine-exact.

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Chunking, Dedup, Multimodal, RangeJoin, Sampling, Similarity, Skew, TextAnalysis, TimeSeries}
+import graft.operators.{Chunking, Dedup, Multimodal, RangeJoin, Sampling, Similarity, Skew, TextAnalysis, TimeSeries, Tokenizer}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -736,6 +736,49 @@ object DataPipelinePack extends QueryPack {
       cents.select(col("cid"), col("size"), posexplode(col("centroid")).as(Seq("dim", "cval")))
         .select(col("cid"), col("dim"), round(col("cval"), 4).as("cval"), col("size"))
         .orderBy(col("cid"), col("dim"))
+    }),
+
+    // Distributed BPE tokenizer training (Sennrich et al.): 2 merge
+    // iterations over the corpus word-frequency table — the only
+    // corpus-scale pass is the word count; each merge is one vocab-sized
+    // aggregation with a 1-row argmax collect. Pair counts are exact longs
+    // (no float anywhere), ties break lexicographically, so the unrolled
+    // SQL oracle reproduces the merges symbol for symbol.
+    "q100_bpe_train" -> ((s, d) => {
+      Tokenizer.trainBpe(Tables.documents(s, d).select(col("text")), "text", merges = 2)
+        .orderBy(col("iter"))
+    }),
+
+    // BPE application end-to-end: train 2 merges, then tokenize the corpus
+    // with them as a pure codegen'd projection (wrap symbols, fold the
+    // merges as left-to-right replaces, count subwords) — the train→apply
+    // contract in one oracle, exercising the same greedy non-overlapping
+    // merge order in both engines.
+    "q101_bpe_apply" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val merges = Tokenizer.mergesOf(
+        Tokenizer.trainBpe(docs.select(col("text")), "text", merges = 2))
+      docs.select(col("doc_id"),
+          Tokenizer.bpeTokenCount(col("text"), merges).as("n_bpe_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // The full Gopher quality-rule battery (Rae et al. 2021): word-count,
+    // mean-word-length, symbol-ratio, bullet/ellipsis line fractions,
+    // alpha-word fraction, stop-word presence, and the conjunction keep.
+    // Line rules are exercised by planting deterministic bullet/ellipsis
+    // blocks (every 7th doc gets a >90% bullet tail, every 5th an ellipsis
+    // block); word-count and stop-word rules vary naturally across the
+    // corpus. Pure per-row projection — the single-scan gate shape.
+    "q102_gopher_rules" -> ((s, d) => {
+      val bullets10 = (1 to 10).map(i => s"- bullet $i").mkString("\n")
+      val lined = Tables.documents(s, d).select(col("doc_id"), concat_ws("\n",
+        col("text"),
+        when(col("doc_id") % 7 === 0, lit(bullets10)).otherwise(lit("- item\n* item two")),
+        when(col("doc_id") % 5 === 0, lit("to be continued...\nmore...\nyet more..."))
+          .otherwise(lit("end."))).as("text"))
+      TextAnalysis.gopherQualityFlags(lined, "doc_id", "text")
+        .orderBy(col("doc_id"))
     }),
 
     // Batch sessionization through the native session_window operator (the
@@ -2019,6 +2062,84 @@ object DataPipelinePack extends QueryPack {
              coalesce(sz.size, 0) AS size
       FROM cents c CROSS JOIN dims d LEFT JOIN sz USING (cid)
       ORDER BY c.cid, dim""",
+
+    // Unrolls trainBpe's two merge iterations: the same word split, the
+    // same |s1||s2| wrapped representation, the same (count DESC, pair ASC)
+    // argmax, the same left-to-right replace — all integer counts, so the
+    // merges agree symbol for symbol.
+    "q100_bpe_train" -> """
+      WITH words AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS wc FROM (
+          SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS w
+          FROM documents)
+        WHERE len(w) > 0 GROUP BY w),
+      r0 AS (SELECT regexp_replace(w, '(.)', '|\1|', 'g') AS rep, wc FROM words),
+      t1 AS (SELECT string_split(trim(rep, '|'), '||') AS t, wc FROM r0),
+      p1 AS (SELECT t[p] AS l_sym, t[p+1] AS r_sym, CAST(sum(wc) AS BIGINT) AS pair_count
+             FROM (SELECT t, wc, unnest(generate_series(1, len(t) - 1)) AS p
+                   FROM t1 WHERE len(t) >= 2)
+             GROUP BY 1, 2),
+      b1 AS (SELECT l_sym, r_sym, pair_count FROM p1
+             ORDER BY pair_count DESC, l_sym, r_sym LIMIT 1),
+      r1 AS (SELECT replace(rep,
+               '|' || (SELECT l_sym FROM b1) || '||' || (SELECT r_sym FROM b1) || '|',
+               '|' || (SELECT l_sym FROM b1) || (SELECT r_sym FROM b1) || '|') AS rep, wc
+             FROM r0),
+      t2 AS (SELECT string_split(trim(rep, '|'), '||') AS t, wc FROM r1),
+      p2 AS (SELECT t[p] AS l_sym, t[p+1] AS r_sym, CAST(sum(wc) AS BIGINT) AS pair_count
+             FROM (SELECT t, wc, unnest(generate_series(1, len(t) - 1)) AS p
+                   FROM t2 WHERE len(t) >= 2)
+             GROUP BY 1, 2),
+      b2 AS (SELECT l_sym, r_sym, pair_count FROM p2
+             ORDER BY pair_count DESC, l_sym, r_sym LIMIT 1)
+      SELECT * FROM (
+        SELECT 1 AS iter, l_sym, r_sym, l_sym || r_sym AS merged, pair_count FROM b1
+        UNION ALL
+        SELECT 2, l_sym, r_sym, l_sym || r_sym, pair_count FROM b2)
+      ORDER BY iter""",
+
+    // Re-learns the two merges (same CTEs as q100), then tokenizes every
+    // document with them: wrap each word's symbols, apply merge 1 then
+    // merge 2 as left-to-right replaces, count subword tokens.
+    "q101_bpe_apply" -> """
+      WITH words AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS wc FROM (
+          SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS w
+          FROM documents)
+        WHERE len(w) > 0 GROUP BY w),
+      r0 AS (SELECT regexp_replace(w, '(.)', '|\1|', 'g') AS rep, wc FROM words),
+      t1 AS (SELECT string_split(trim(rep, '|'), '||') AS t, wc FROM r0),
+      p1 AS (SELECT t[p] AS l_sym, t[p+1] AS r_sym, CAST(sum(wc) AS BIGINT) AS pair_count
+             FROM (SELECT t, wc, unnest(generate_series(1, len(t) - 1)) AS p
+                   FROM t1 WHERE len(t) >= 2)
+             GROUP BY 1, 2),
+      b1 AS (SELECT l_sym, r_sym FROM p1
+             ORDER BY pair_count DESC, l_sym, r_sym LIMIT 1),
+      r1 AS (SELECT replace(rep,
+               '|' || (SELECT l_sym FROM b1) || '||' || (SELECT r_sym FROM b1) || '|',
+               '|' || (SELECT l_sym FROM b1) || (SELECT r_sym FROM b1) || '|') AS rep, wc
+             FROM r0),
+      t2 AS (SELECT string_split(trim(rep, '|'), '||') AS t, wc FROM r1),
+      p2 AS (SELECT t[p] AS l_sym, t[p+1] AS r_sym, CAST(sum(wc) AS BIGINT) AS pair_count
+             FROM (SELECT t, wc, unnest(generate_series(1, len(t) - 1)) AS p
+                   FROM t2 WHERE len(t) >= 2)
+             GROUP BY 1, 2),
+      b2 AS (SELECT l_sym, r_sym FROM p2
+             ORDER BY pair_count DESC, l_sym, r_sym LIMIT 1),
+      pats AS (SELECT
+        '|' || b1.l_sym || '||' || b1.r_sym || '|' AS f1,
+        '|' || b1.l_sym || b1.r_sym || '|' AS m1,
+        '|' || b2.l_sym || '||' || b2.r_sym || '|' AS f2,
+        '|' || b2.l_sym || b2.r_sym || '|' AS m2
+        FROM b1, b2)
+      SELECT d.doc_id,
+             CAST(coalesce(list_sum(list_transform(
+               [x for x in regexp_split_to_array(lower(d.text), '[^a-z0-9]+')
+                  if len(x) > 0],
+               w -> len(string_split(trim(
+                 replace(replace(regexp_replace(w, '(.)', '|\1|', 'g'), f1, m1), f2, m2),
+                 '|'), '||')))), 0) AS INTEGER) AS n_bpe_tokens
+      FROM documents d CROSS JOIN pats ORDER BY d.doc_id""",
 
     "q91_temperature_mix" -> s"""
       WITH g AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY lang),

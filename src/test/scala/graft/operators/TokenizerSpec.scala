@@ -1,0 +1,97 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TokenizerSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def corpus(texts: String*) = texts.toSeq.toDF("text")
+
+  test("trainBpe learns the classic merges on a planted corpus (hand-computed)") {
+    // 5x "hug", 2x "pug", 3x "pun": pair counts round 1 —
+    // (h,u)=5 (u,g)=7 (p,u)=5 (u,n)=3 -> merge (u,g);
+    // round 2: (h,ug)=5 (p,ug)=2 (p,u)=3 (u,n)=3 -> merge (h,ug).
+    val df = corpus("hug hug hug hug hug", "pug pug", "pun pun pun")
+    val merges = Tokenizer.trainBpe(df, "text", merges = 2)
+      .orderBy(col("iter"))
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(merges == Seq((1, "u", "g", "ug", 7L), (2, "h", "ug", "hug", 5L)))
+  }
+
+  test("tie in pair counts breaks lexicographically (l_sym then r_sym)") {
+    // "ab" and "aa" each twice: pairs (a,b)=2 and (a,a)=2 -> (a,a) wins.
+    val m = Tokenizer.trainBpe(corpus("ab ab aa aa"), "text", merges = 1)
+      .select("l_sym", "r_sym").as[(String, String)].head()
+    assert(m == ("a", "a"))
+  }
+
+  test("trainBpe stops early when the vocabulary has no adjacent pairs left") {
+    // single-char words only: zero pairs from the start
+    assert(Tokenizer.trainBpe(corpus("a b", "c a"), "text", merges = 3).count() == 0L)
+    // one two-char word: first merge consumes the only pair, then stop
+    val got = Tokenizer.trainBpe(corpus("ab ab", "c d"), "text", merges = 5)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(got == Seq((1, "a", "b", "ab", 2L)))
+  }
+
+  test("trainBpeLocal is merge-for-merge identical to trainBpe on real text") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("text"))
+    val dist = Tokenizer.mergesOf(Tokenizer.trainBpe(docs, "text", merges = 6))
+    val local = Tokenizer.trainBpeLocal(docs, "text", merges = 6).map(m => (m.l_sym, m.r_sym))
+    assert(dist == local)
+    // and the distributed run is deterministic across invocations
+    val again = Tokenizer.mergesOf(Tokenizer.trainBpe(docs, "text", merges = 6))
+    assert(dist == again)
+  }
+
+  test("bpeTokens applies merges greedily left-to-right, non-overlapping") {
+    // merge (a,a) on "aaaa" -> [aa, aa]; on "aaa" -> [aa, a]
+    val out = Seq("aaaa aaa").toDF("text")
+      .select(Tokenizer.bpeTokens(col("text"), Seq(("a", "a"))).as("t"))
+      .as[Seq[String]].head()
+    assert(out == Seq("aa", "aa", "aa", "a"))
+  }
+
+  test("merge order matters and is applied in training order") {
+    // (u,g) then (h,ug): "hug" -> |h||u||g| -> |h||ug| -> |hug|
+    val merges = Seq(("u", "g"), ("h", "ug"))
+    val out = Seq("hug hugs").toDF("text")
+      .select(Tokenizer.bpeTokens(col("text"), merges).as("t"))
+      .as[Seq[String]].head()
+    assert(out == Seq("hug", "hug", "s"))
+  }
+
+  test("bpeTokenCount: empty/no-word documents count 0; case folds; separators split") {
+    // "HUG-pun" -> words [hug, pun]; hug merges to 1 token, pun stays p/u/n
+    val out = Seq(("", 0), ("?!.", 0), ("HUG-pun", 4))
+      .toDF("text", "expect")
+      .select(Tokenizer.bpeTokenCount(col("text"), Seq(("u", "g"), ("h", "ug"))).as("n"),
+        col("expect"))
+      .as[(Int, Int)].collect()
+    out.foreach { case (n, e) => assert(n == e) }
+  }
+
+  test("trainBpeLocal maxVocab guard fails loudly") {
+    val e = intercept[IllegalArgumentException] {
+      Tokenizer.trainBpeLocal(corpus("a b c d e f"), "text", merges = 1, maxVocab = 3)
+    }
+    assert(e.getMessage.contains("maxVocab"))
+  }
+
+  test("a merged symbol participates in later merges (multi-char pair matching is exact)") {
+    // corpus chosen so "er" merges first, then (v,er): "ver" words dominate
+    val df = corpus("ver ver ver ver", "er er er")
+    val merges = Tokenizer.trainBpe(df, "text", merges = 2)
+      .orderBy(col("iter")).select("merged").as[String].collect().toSeq
+    assert(merges == Seq("er", "ver"))
+    // and application: "vver" under those merges -> [v, ver]
+    val toks = Seq("vver").toDF("text")
+      .select(Tokenizer.bpeTokens(col("text"), Seq(("e", "r"), ("v", "er"))).as("t"))
+      .as[Seq[String]].head()
+    assert(toks == Seq("v", "ver"))
+  }
+}
