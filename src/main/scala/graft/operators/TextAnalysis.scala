@@ -142,7 +142,7 @@ object TextAnalysis {
       l.endsWith("...") || l.endsWith("…"))).cast("double") / nLines.cast("double")
     val alphaFrac = perWord(size(filter(ws, w => w.rlike("[A-Za-z]"))).cast("double"))
     val stopHits = gopherStops
-      .map(sw => when(array_contains(transform(ws, lower), sw), 1).otherwise(0))
+      .map(sw => when(array_contains(transform(ws, w => lower(w)), sw), 1).otherwise(0))
       .reduce(_ + _).cast("long")
     val fWords = nWords >= 50L && nWords <= 100000L
     val fMean = meanLen >= 3.0 && meanLen <= 10.0

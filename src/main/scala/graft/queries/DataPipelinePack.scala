@@ -767,18 +767,39 @@ object DataPipelinePack extends QueryPack {
     // mean-word-length, symbol-ratio, bullet/ellipsis line fractions,
     // alpha-word fraction, stop-word presence, and the conjunction keep.
     // Line rules are exercised by planting deterministic bullet/ellipsis
-    // blocks (every 7th doc gets a >90% bullet tail, every 5th an ellipsis
-    // block); word-count and stop-word rules vary naturally across the
-    // corpus. Pure per-row projection — the single-scan gate shape.
+    // blocks (every 7th doc gets a 20-line bullet tail — 20/22 lines
+    // crosses the 0.9 gate; every 5th an ellipsis block); word-count and
+    // stop-word rules vary naturally across the corpus. Pure per-row
+    // projection — the single-scan gate shape.
     "q102_gopher_rules" -> ((s, d) => {
-      val bullets10 = (1 to 10).map(i => s"- bullet $i").mkString("\n")
+      val bullets20 = (1 to 20).map(i => s"- bullet $i").mkString("\n")
       val lined = Tables.documents(s, d).select(col("doc_id"), concat_ws("\n",
         col("text"),
-        when(col("doc_id") % 7 === 0, lit(bullets10)).otherwise(lit("- item\n* item two")),
+        when(col("doc_id") % 7 === 0, lit(bullets20)).otherwise(lit("- item\n* item two")),
         when(col("doc_id") % 5 === 0, lit("to be continued...\nmore...\nyet more..."))
           .otherwise(lit("end."))).as("text"))
       TextAnalysis.gopherQualityFlags(lined, "doc_id", "text")
         .orderBy(col("doc_id"))
+    }),
+
+    // PageRank domain authority over the planted link graph (source ->
+    // linked site domains, the q63/q64 URL construction as an edge list):
+    // 2 damped iterations, dangling site domains receive but don't
+    // forward. The oracle unrolls both iterations; ranks round to 6 (the
+    // GraphSpec boundary test measures rounding margins on this corpus).
+    "q103_pagerank" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val siteLinks = docs.filter(col("doc_id") % 11 =!= 0)
+        .select(col("source").as("src"),
+          concat(lit("site"), (col("doc_id") % 20).cast("string"),
+            lit(".example.com")).as("dst"))
+      val badLinks = docs.filter(col("doc_id") % 3 === 0)
+        .select(col("source").as("src"),
+          concat(lit("blocked"), (col("doc_id") % 5).cast("string"),
+            lit(".bad.net")).as("dst"))
+      graft.operators.Graph.pageRank(siteLinks.union(badLinks), "src", "dst", iterations = 2)
+        .select(col("node"), round(col("rank"), 6).as("rank"))
+        .orderBy(col("node"))
     }),
 
     // Batch sessionization through the native session_window operator (the
@@ -2140,6 +2161,100 @@ object DataPipelinePack extends QueryPack {
                  replace(replace(regexp_replace(w, '(.)', '|\1|', 'g'), f1, m1), f2, m2),
                  '|'), '||')))), 0) AS INTEGER) AS n_bpe_tokens
       FROM documents d CROSS JOIN pats ORDER BY d.doc_id""",
+
+    // Mirrors gopherQualityFlags rule for rule; flags compare the RAW
+    // metrics (identical double divisions of identical ints in both
+    // engines), output ratios round to 4.
+    "q102_gopher_rules" -> ("""
+      WITH lined AS (
+        SELECT doc_id,
+          text || chr(10) ||
+          CASE WHEN doc_id % 7 = 0 THEN """ +
+      (1 to 20).map(i => s"'- bullet $i'").mkString(" || chr(10) || ") + """
+               ELSE '- item' || chr(10) || '* item two' END || chr(10) ||
+          CASE WHEN doc_id % 5 = 0
+               THEN 'to be continued...' || chr(10) || 'more...' || chr(10) || 'yet more...'
+               ELSE 'end.' END AS text
+        FROM documents),
+      m AS (
+        SELECT doc_id, text,
+          [x for x in regexp_split_to_array(text, '\s+') if len(x) > 0] AS ws,
+          string_split(text, chr(10)) AS ls
+        FROM lined),
+      base AS (
+        SELECT doc_id,
+          CAST(len(ws) AS BIGINT) AS n_words,
+          CAST(len(ls) AS BIGINT) AS n_lines,
+          CAST(list_sum(list_transform(ws, w -> len(w))) AS DOUBLE) AS char_sum,
+          CAST((len(text) - len(replace(text, '#', ''))) AS BIGINT)
+            + CAST((len(text) - len(replace(text, '...', ''))) // 3 AS BIGINT)
+            + CAST((len(text) - len(replace(text, '…', ''))) AS BIGINT) AS sym_cnt,
+          CAST(len([l for l in ls if starts_with(l, '- ') OR starts_with(l, '* ')
+                    OR starts_with(l, '•')]) AS DOUBLE) AS bullet_cnt,
+          CAST(len([l for l in ls if ends_with(l, '...') OR ends_with(l, '…')]) AS DOUBLE)
+            AS ell_cnt,
+          CAST(len([w for w in ws if regexp_matches(w, '[A-Za-z]')]) AS DOUBLE) AS alpha_cnt,
+          CAST(len([s for s in ['the','be','to','of','and','that','have','with']
+                    if list_contains(list_transform(ws, w -> lower(w)), s)]) AS BIGINT)
+            AS stop_hits
+        FROM m),
+      r AS (
+        SELECT doc_id, n_words,
+          CASE WHEN n_words > 0 THEN char_sum / n_words END AS mean_word_len,
+          CASE WHEN n_words > 0 THEN CAST(sym_cnt AS DOUBLE) / n_words END AS symbol_ratio,
+          bullet_cnt / n_lines AS bullet_frac,
+          ell_cnt / n_lines AS ellipsis_frac,
+          CASE WHEN n_words > 0 THEN alpha_cnt / n_words END AS alpha_frac,
+          stop_hits
+        FROM base)
+      SELECT doc_id, n_words,
+        round(mean_word_len, 4) AS mean_word_len,
+        round(symbol_ratio, 4) AS symbol_ratio,
+        round(bullet_frac, 4) AS bullet_frac,
+        round(ellipsis_frac, 4) AS ellipsis_frac,
+        round(alpha_frac, 4) AS alpha_frac,
+        stop_hits,
+        (n_words >= 50 AND n_words <= 100000) AS f_words,
+        (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS f_mean_len,
+        (symbol_ratio <= 0.1) AS f_symbols,
+        (bullet_frac <= 0.9) AS f_bullets,
+        (ellipsis_frac <= 0.3) AS f_ellipsis,
+        (alpha_frac >= 0.8) AS f_alpha,
+        (stop_hits >= 2) AS f_stops,
+        coalesce((n_words >= 50 AND n_words <= 100000)
+          AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+          AND (symbol_ratio <= 0.1) AND (bullet_frac <= 0.9)
+          AND (ellipsis_frac <= 0.3) AND (alpha_frac >= 0.8)
+          AND (stop_hits >= 2), false) AS keep
+      FROM r ORDER BY doc_id"""),
+
+    // Two unrolled PageRank iterations; the damping constants are written
+    // as (1.0 - 0.85) to mirror the Spark-side lit(1.0 - damping)
+    // arithmetic bit for bit.
+    "q103_pagerank" -> """
+      WITH e AS (
+        SELECT source AS src,
+               'site' || CAST(doc_id % 20 AS VARCHAR) || '.example.com' AS dst
+        FROM documents WHERE doc_id % 11 <> 0
+        UNION ALL
+        SELECT source, 'blocked' || CAST(doc_id % 5 AS VARCHAR) || '.bad.net'
+        FROM documents WHERE doc_id % 3 = 0),
+      nodes AS (SELECT DISTINCT node FROM (
+        SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+      n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+      deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+      r0 AS (SELECT node, 1.0 / n.n AS rank FROM nodes CROSS JOIN n),
+      c1 AS (SELECT e.dst, sum(r.rank / d.deg) AS contrib
+             FROM e JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.src
+             GROUP BY e.dst),
+      r1 AS (SELECT nodes.node, (1.0 - 0.85) / n.n + 0.85 * coalesce(c1.contrib, 0.0) AS rank
+             FROM nodes LEFT JOIN c1 ON nodes.node = c1.dst CROSS JOIN n),
+      c2 AS (SELECT e.dst, sum(r.rank / d.deg) AS contrib
+             FROM e JOIN r1 r ON e.src = r.node JOIN deg d ON e.src = d.src
+             GROUP BY e.dst),
+      r2 AS (SELECT nodes.node, (1.0 - 0.85) / n.n + 0.85 * coalesce(c2.contrib, 0.0) AS rank
+             FROM nodes LEFT JOIN c2 ON nodes.node = c2.dst CROSS JOIN n)
+      SELECT node, round(rank, 6) AS rank FROM r2 ORDER BY node""",
 
     "q91_temperature_mix" -> s"""
       WITH g AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY lang),

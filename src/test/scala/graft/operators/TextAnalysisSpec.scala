@@ -366,4 +366,46 @@ class TextAnalysisSpec extends AnyFunSuite {
       .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
     assert(got.map(_._2) == Seq(1L, 2L))
   }
+
+  test("gopherQualityFlags: hand-computed metrics on a structured document") {
+    // 3 lines; words: [the, cat, and, the, dog, -, item, wait...]
+    val text = "the cat and the dog\n- item\nwait..."
+    val r = TextAnalysis.gopherQualityFlags(Seq((1L, text)).toDF("doc_id", "text"),
+      "doc_id", "text").collect()(0)
+    assert(r.getAs[Long]("n_words") == 8L)
+    // chars: 3+3+3+3+3 + 1+4 + 7 = 27 -> 27/8 = 3.375
+    assert(r.getAs[Double]("mean_word_len") == 3.375)
+    // one "..." in 8 words
+    assert(r.getAs[Double]("symbol_ratio") == 0.125)
+    assert(r.getAs[Double]("bullet_frac") == round3(1.0 / 3))
+    assert(r.getAs[Double]("ellipsis_frac") == round3(1.0 / 3))
+    // "-" has no alphabetic char -> 7/8
+    assert(r.getAs[Double]("alpha_frac") == 0.875)
+    // distinct stops present: the, and -> 2 (repeat of "the" counts once)
+    assert(r.getAs[Long]("stop_hits") == 2L)
+    assert(!r.getAs[Boolean]("f_words") && r.getAs[Boolean]("f_mean_len") &&
+      !r.getAs[Boolean]("f_symbols") && r.getAs[Boolean]("f_bullets") &&
+      !r.getAs[Boolean]("f_ellipsis") && r.getAs[Boolean]("f_alpha") &&
+      r.getAs[Boolean]("f_stops"))
+    assert(!r.getAs[Boolean]("keep"))
+  }
+
+  private def round3(x: Double): Double = math.round(x * 1e4) / 1e4
+
+  test("gopherQualityFlags: zero-word document emits null ratios and keep = false") {
+    val r = TextAnalysis.gopherQualityFlags(Seq((1L, "   ")).toDF("doc_id", "text"),
+      "doc_id", "text").collect()(0)
+    assert(r.getAs[Long]("n_words") == 0L)
+    assert(r.isNullAt(r.fieldIndex("mean_word_len")))
+    assert(r.isNullAt(r.fieldIndex("alpha_frac")))
+    assert(!r.getAs[Boolean]("keep"))
+  }
+
+  test("gopherQualityFlags: a clean long document keeps") {
+    val body = (1 to 60).map(i => s"word$i").mkString(" ")
+    val text = s"the cat is of the and that have with sort $body"
+    val r = TextAnalysis.gopherQualityFlags(Seq((1L, text)).toDF("doc_id", "text"),
+      "doc_id", "text").collect()(0)
+    assert(r.getAs[Boolean]("keep"), r.toString)
+  }
 }

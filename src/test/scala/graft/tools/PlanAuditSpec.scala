@@ -96,7 +96,13 @@ class PlanAuditSpec extends AnyFunSuite {
     // q99: q93's k-row trained-centroid size join (k = 4, a model
     // parameter); the farthest-point selection jobs run eagerly at build
     // time and never appear in the returned plan.
-    "q99_kmeans_farthest" -> (0, 0, 1)
+    "q99_kmeans_farthest" -> (0, 0, 1),
+    // q103: PageRank's 1/N node-count scalar — a 1-row count aggregate
+    // crossJoined into the init projection and into each of the 2
+    // iterations' rank updates (q35's N class, 3 scalar crossJoins total).
+    // The graph-shaped tables (nodes, outdeg, edges, contribs) are all
+    // SMJ-pinned keyed joins, never broadcast.
+    "q103_pagerank" -> (0, 3, 3)
   )
 
   test("no query plans an unjustified cartesian / BNLJ / derived broadcast") {
