@@ -256,4 +256,105 @@ object Sampling {
         floor(col("__rate") * lit((1L << 60).toDouble)).cast("long"))
       .select(df.columns.map(col).toSeq: _*)
   }
+
+  /** 60-bit md5 bucket of a token — the engine-portable feature-hash used
+    * by [[TextAnalysis.hashedLinearScore]]; shared here so the DSIR
+    * feature space and any oracle agree bucket for bucket. */
+  private def tokenBucket(t: Column, buckets: Int): Column =
+    (conv(substring(md5(t), 1, HashHexChars), 16, 10).cast("long") % buckets).cast("int")
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): fit hashed bag-of-words
+    * categorical models of a TARGET distribution (the high-quality corpus
+    * you want more of) and the RAW distribution (the crawl you select
+    * from), and return per-bucket `log p_target(b) − log p_raw(b)` with
+    * add-one smoothing. A document's importance weight is then the sum of
+    * its tokens' bucket log-ratios ([[importanceScore]]).
+    *
+    * Shape at 100 TB: training is two explode→groupBy count aggregations
+    * (map-side combined, `buckets`-bounded output) and collects exactly
+    * `buckets` rows — a model parameter (guarded ≤ 65536), the
+    * small-by-contract class of [[Similarity.trainKMeans]]. Scoring never
+    * touches these frames again: the ratios ride as a literal array. */
+  def trainImportanceRatios(
+      target: DataFrame,
+      raw: DataFrame,
+      textCol: String,
+      buckets: Int
+  ): Seq[Double] = {
+    require(buckets > 0 && buckets <= 65536,
+      s"buckets=$buckets out of (0, 65536] — the ratio table must stay a literal-array model")
+    def bucketCounts(df: DataFrame): Map[Int, Long] =
+      df.select(explode(split(col(textCol), " ")).as("__t"))
+        .groupBy(tokenBucket(col("__t"), buckets).as("__b"))
+        .agg(count(lit(1)).as("__c"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val t = bucketCounts(target)
+    val r = bucketCounts(raw)
+    val tTot = t.values.sum.toDouble
+    val rTot = r.values.sum.toDouble
+    (0 until buckets).map { b =>
+      math.log((t.getOrElse(b, 0L) + 1.0) / (tTot + buckets)) -
+        math.log((r.getOrElse(b, 0L) + 1.0) / (rTot + buckets))
+    }
+  }
+
+  /** Per-document DSIR importance score: the sequential left fold of the
+    * trained bucket log-ratios over the token order (bit-identical
+    * wherever it reruns — [[TextAnalysis.hashedLinearScore]]'s inference
+    * shape: pure per-row projection, zero shuffles, stream-safe). Emits
+    * `n_tokens` and `dsir_logratio` (rounded to 4; the raw fold rides on
+    * for [[resampleByImportance]]). */
+  def importanceScore(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      logRatios: Seq[Double]
+  ): DataFrame = {
+    require(logRatios.nonEmpty, "logRatios must be non-empty")
+    val rl = typedLit(logRatios)
+    val buckets = logRatios.size
+    val z = aggregate(
+      col("__toks"),
+      lit(0.0),
+      (acc, t) => acc + element_at(rl, tokenBucket(t, buckets) + 1))
+    df.withColumn("__toks", split(col(textCol), " "))
+      .withColumn("n_tokens", size(col("__toks")).cast("long"))
+      .withColumn("__raw_logratio", z)
+      .withColumn("dsir_logratio", round(col("__raw_logratio"), 4))
+      .drop("__toks")
+  }
+
+  /** DSIR selection proper — importance RESAMPLING without replacement via
+    * the Gumbel-top-k trick: draw `g_i = −ln(−ln(u_i))` with `u_i` the
+    * row's 60-bit content hash scaled into (0,1) (exact: 2^60 is a power
+    * of two), and keep the k largest `logratio_i + g_i`. Equivalent to
+    * sampling k docs without replacement with probability ∝ exp(logratio)
+    * — but fully deterministic, layout-independent, and re-runnable, the
+    * same row-invariant discipline as [[deterministicSample]].
+    *
+    * Shape at 100 TB: score is a per-row projection; selection is a
+    * global top-k (`TakeOrdered`, per-partition heaps + driver merge of
+    * k·partitions rows) — no global sort materializes. Ties break to the
+    * lowest id; two engines disagree only when adjacent noisy scores sit
+    * within float-noise of the cut (the accepted ~2^-50 class — the
+    * continuous Gumbel noise keeps exact ties measure-zero). */
+  def resampleByImportance(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      logRatios: Seq[Double],
+      k: Int,
+      salt: String
+  ): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val scored = importanceScore(df, idCol, textCol, logRatios)
+    val u = (keyHash(col(idCol), salt).cast("double") + lit(0.5)) /
+      lit((1L << 60).toDouble)
+    scored
+      .withColumn("gumbel_key", round(col("__raw_logratio") - log(-log(u)), 4))
+      .orderBy(col("gumbel_key").desc, col(idCol))
+      .limit(k)
+      .drop("__raw_logratio")
+  }
 }

@@ -802,6 +802,37 @@ object DataPipelinePack extends QueryPack {
         .orderBy(col("node"))
     }),
 
+    // DSIR data selection (Xie et al. 2023): hashed bag-of-words
+    // importance models trained in-plan (target = the English slice, raw
+    // = the full corpus, 64 buckets), then the per-row log-ratio
+    // inference pass with a keep gate at ratio > 0 (more target-like
+    // than raw-like). The oracle rebuilds the bucket models and the
+    // sequential token fold with the identical md5 feature hash.
+    "q104_dsir_score" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"), col("lang"))
+      val ratios = Sampling.trainImportanceRatios(
+        docs.filter(col("lang") === "en"), docs, "text", buckets = 64)
+      Sampling.importanceScore(docs.select(col("doc_id"), col("text")),
+        "doc_id", "text", ratios)
+        .select(col("doc_id"), col("n_tokens"), col("dsir_logratio"),
+          (col("dsir_logratio") > 0.0).as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // DSIR selection proper — Gumbel-top-k importance resampling without
+    // replacement (k = 100): noisy key = logratio − ln(−ln(u)) with u the
+    // row's salted 60-bit content hash scaled into (0,1); selection on the
+    // ROUNDED key (the q90 quantized-selection lesson), ties to lowest id.
+    "q105_dsir_resample" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"), col("lang"))
+      val ratios = Sampling.trainImportanceRatios(
+        docs.filter(col("lang") === "en"), docs, "text", buckets = 64)
+      Sampling.resampleByImportance(docs.select(col("doc_id"), col("text")),
+        "doc_id", "text", ratios, k = 100, salt = "dsir9")
+        .select(col("doc_id"), col("dsir_logratio"), col("gumbel_key"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Batch sessionization through the native session_window operator (the
     // same operator the streaming surface uses): 3-hour inactivity gap.
     "q42_sessionize" -> ((s, d) => {
@@ -2255,6 +2286,74 @@ object DataPipelinePack extends QueryPack {
       r2 AS (SELECT nodes.node, (1.0 - 0.85) / n.n + 0.85 * coalesce(c2.contrib, 0.0) AS rank
              FROM nodes LEFT JOIN c2 ON nodes.node = c2.dst CROSS JOIN n)
       SELECT node, round(rank, 6) AS rank FROM r2 ORDER BY node""",
+
+    // Rebuilds the two hashed bag-of-words models (add-one smoothing, the
+    // same 60-bit md5 bucket as q92) and the SEQUENTIAL token fold, so the
+    // double sum is order-identical to Spark's aggregate() left fold.
+    "q104_dsir_score" -> """
+      WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+      bk AS (SELECT lang,
+               CAST(CAST(concat('0x', substring(md5(t), 1, 15)) AS BIGINT) % 64 AS INTEGER) AS b
+             FROM (SELECT lang, unnest(w) AS t FROM toks)),
+      tc AS (SELECT b, count(*) AS c FROM bk WHERE lang = 'en' GROUP BY b),
+      rc AS (SELECT b, count(*) AS c FROM bk GROUP BY b),
+      tt AS (SELECT CAST(sum(c) AS DOUBLE) AS tot FROM tc),
+      rt AS (SELECT CAST(sum(c) AS DOUBLE) AS tot FROM rc),
+      ratio AS (
+        SELECT i.b,
+          ln((coalesce(tc.c, 0) + 1.0) / (tt.tot + 64)) -
+          ln((coalesce(rc.c, 0) + 1.0) / (rt.tot + 64)) AS lr
+        FROM (SELECT unnest(generate_series(0, 63)) AS b) i
+        LEFT JOIN tc ON i.b = tc.b LEFT JOIN rc ON i.b = rc.b
+        CROSS JOIN tt CROSS JOIN rt),
+      rl AS (SELECT list(lr ORDER BY b) AS rl FROM ratio),
+      scored AS (
+        SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(w, t -> rl[
+              CAST(CAST(concat('0x', substring(md5(t), 1, 15)) AS BIGINT) % 64 AS INTEGER) + 1])),
+            (acc, x) -> acc + x) AS z
+        FROM toks CROSS JOIN rl)
+      SELECT doc_id, n_tokens, round(z, 4) AS dsir_logratio,
+             round(z, 4) > 0.0 AS keep
+      FROM scored ORDER BY doc_id""",
+
+    // Same trained model; the Gumbel key re-derives the salted 60-bit
+    // content hash (q51's keyHash with salt 'dsir9') and selects on the
+    // ROUNDED key exactly as the Spark side does.
+    "q105_dsir_resample" -> """
+      WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+      bk AS (SELECT lang,
+               CAST(CAST(concat('0x', substring(md5(t), 1, 15)) AS BIGINT) % 64 AS INTEGER) AS b
+             FROM (SELECT lang, unnest(w) AS t FROM toks)),
+      tc AS (SELECT b, count(*) AS c FROM bk WHERE lang = 'en' GROUP BY b),
+      rc AS (SELECT b, count(*) AS c FROM bk GROUP BY b),
+      tt AS (SELECT CAST(sum(c) AS DOUBLE) AS tot FROM tc),
+      rt AS (SELECT CAST(sum(c) AS DOUBLE) AS tot FROM rc),
+      ratio AS (
+        SELECT i.b,
+          ln((coalesce(tc.c, 0) + 1.0) / (tt.tot + 64)) -
+          ln((coalesce(rc.c, 0) + 1.0) / (rt.tot + 64)) AS lr
+        FROM (SELECT unnest(generate_series(0, 63)) AS b) i
+        LEFT JOIN tc ON i.b = tc.b LEFT JOIN rc ON i.b = rc.b
+        CROSS JOIN tt CROSS JOIN rt),
+      rl AS (SELECT list(lr ORDER BY b) AS rl FROM ratio),
+      scored AS (
+        SELECT doc_id,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(w, t -> rl[
+              CAST(CAST(concat('0x', substring(md5(t), 1, 15)) AS BIGINT) % 64 AS INTEGER) + 1])),
+            (acc, x) -> acc + x) AS z
+        FROM toks CROSS JOIN rl),
+      keyed AS (
+        SELECT doc_id, z,
+          round(z - ln(-ln(
+            (CAST(CAST(concat('0x', substring(md5(concat('dsir9', CAST(doc_id AS VARCHAR))), 1, 15))
+                  AS BIGINT) AS DOUBLE) + 0.5) / 1152921504606846976.0)), 4) AS gumbel_key
+        FROM scored),
+      sel AS (SELECT * FROM keyed ORDER BY gumbel_key DESC, doc_id LIMIT 100)
+      SELECT doc_id, round(z, 4) AS dsir_logratio, gumbel_key
+      FROM sel ORDER BY doc_id""",
 
     "q91_temperature_mix" -> s"""
       WITH g AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY lang),

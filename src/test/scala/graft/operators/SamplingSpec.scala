@@ -222,4 +222,69 @@ class SamplingSpec extends AnyFunSuite {
       Sampling.hashSplit(ids(1), "id", Seq("a" -> 0.5, "b" -> 0.2), "s"))
     intercept[IllegalArgumentException](Sampling.threshold(1.5))
   }
+
+  // ---- DSIR importance resampling ----
+
+  private def dsirCorpus = Seq(
+    (1L, "alpha alpha beta", "tgt"), (2L, "alpha beta beta", "tgt"),
+    (3L, "gamma delta gamma", "raw"), (4L, "delta delta gamma", "raw"),
+    (5L, "alpha alpha alpha", "raw"), (6L, "gamma gamma delta", "raw")
+  ).toDF("id", "text", "kind")
+
+  test("DSIR: target-like docs outrank raw-only docs; the score is exactly the token-wise ratio sum") {
+    // buckets = 256 keeps the four spec tokens collision-free (at 32/64/128
+    // alpha and gamma share a bucket — hashed features alias by design;
+    // the spec wants the un-aliased ordering to be visible)
+    val docs = dsirCorpus
+    val ratios = Sampling.trainImportanceRatios(
+      docs.filter($"kind" === "tgt"), docs, "text", buckets = 256)
+    assert(ratios.size == 256)
+    val scored = Sampling.importanceScore(docs, "id", "text", ratios)
+      .select($"id", $"n_tokens", $"dsir_logratio")
+      .as[(Long, Long, Double)].collect().map(t => t._1 -> t._3).toMap
+    // target ⊂ raw means add-one smoothing pulls every ratio down at spec
+    // scale — the invariant is ORDER: every target-vocab doc (1/2/5)
+    // outranks every raw-only-vocab doc (3/4/6)
+    val worstTarget = Seq(1L, 2L, 5L).map(scored).min
+    val bestRaw = Seq(3L, 4L, 6L).map(scored).max
+    assert(worstTarget > bestRaw, s"target docs must outrank raw docs: $scored")
+    // the fold is exactly the sum of per-token bucket ratios
+    val tokens = Seq("alpha", "alpha", "beta")
+    def bucket(t: String): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5").digest(t.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      (java.lang.Long.parseLong(hex, 16) % 256).toInt
+    }
+    val expected = tokens.map(t => ratios(bucket(t))).sum
+    assert(math.abs(scored(1L) - math.rint(expected * 1e4) / 1e4) < 1e-9)
+  }
+
+  test("DSIR: Gumbel-top-k is deterministic, layout-independent, and biased toward target-like docs") {
+    val docs = dsirCorpus
+    val ratios = Sampling.trainImportanceRatios(
+      docs.filter($"kind" === "tgt"), docs, "text", buckets = 256)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sampling.resampleByImportance(df, "id", "text", ratios, k = 3, salt = "s")
+        .select($"id").as[Long].collect().toSet
+    val a = run(docs)
+    assert(a == run(docs.repartition(7)), "selection must not depend on layout")
+    assert(a.size == 3)
+    // over many salts, target-vocab docs are selected more often than
+    // raw-vocab docs (the importance-∝-exp(logratio) property, in
+    // expectation over the Gumbel draws)
+    val salts = (1 to 40).map(i => s"salt$i")
+    val hits = salts.flatMap(s =>
+      Sampling.resampleByImportance(docs, "id", "text", ratios, k = 2, salt = s)
+        .select($"id").as[Long].collect())
+    val tgtHits = hits.count(Set(1L, 2L, 5L))
+    val rawHits = hits.count(Set(3L, 4L, 6L))
+    assert(tgtHits > rawHits, s"target-like docs should dominate: $tgtHits vs $rawHits")
+  }
+
+  test("DSIR: bucket guard and empty-ratio guard") {
+    intercept[IllegalArgumentException](
+      Sampling.trainImportanceRatios(dsirCorpus, dsirCorpus, "text", buckets = 100000))
+    intercept[IllegalArgumentException](
+      Sampling.importanceScore(dsirCorpus, "id", "text", Seq.empty))
+  }
 }
