@@ -119,6 +119,61 @@ object Similarity {
     bits.reduce(_.bitwiseOR(_))
   }
 
+  /** Johnson–Lindenstrauss random-projection matrix rows, deterministic and
+    * hash-seeded (no RNG state — stable across JVMs, reproducible by an
+    * independent engine from `Double.toString` literals, same contract as
+    * [[hyperplanes]]).
+    *
+    *  - `sparse = false`: Rademacher entries ±1/sqrt(outDim) — the classic
+    *    dense JL matrix (Achlioptas 2001, "database-friendly" ±1 form).
+    *  - `sparse = true`: Achlioptas 3-sparse entries {+s, 0, -s} with
+    *    probabilities {1/6, 2/3, 1/6}, s = sqrt(3/outDim) — two thirds of
+    *    the multiplies vanish, the at-scale choice when inDim is large.
+    *
+    * Entries draw from the same splitmix64 family as [[planeComponent]] but
+    * at a disjoint row range (offset 1_000_003), so JL rows are independent
+    * of the sign-LSH planes a pipeline may use downstream of the projection.
+    */
+  def jlPlanes(inDim: Int, outDim: Int, sparse: Boolean = false): Seq[Array[Double]] = {
+    require(inDim > 0 && outDim > 0, "dimensions must be positive")
+    val scale = if (sparse) math.sqrt(3.0 / outDim) else 1.0 / math.sqrt(outDim)
+    (0 until outDim).map { j =>
+      Array.tabulate(inDim) { d =>
+        val u = (planeComponent(j + 1000003, d) + 1.0) / 2.0 // uniform [0, 1)
+        if (sparse) {
+          if (u < 1.0 / 6.0) scale else if (u < 1.0 / 3.0) -scale else 0.0
+        } else if (u < 0.5) -scale
+        else scale
+      }
+    }
+  }
+
+  /** Johnson–Lindenstrauss projection: adds `outCol` = the input embedding
+    * multiplied through the deterministic [[jlPlanes]] matrix, shrinking
+    * `inDim` dims to `outDim` while preserving pairwise distances within
+    * the JL (1±eps) bound, eps ~ sqrt(8 ln n / outDim).
+    *
+    * Scale shape: a pure per-row projection — `outDim` codegen'd
+    * dot-products against literal rows, zero shuffle, zero state, stream-
+    * safe. At 100 TB this runs in the scan stage; the payoff is every
+    * DOWNSTREAM shuffle (LSH bucketing, IVF assignment, near-dup verify,
+    * ANN scoring) moving outDim/inDim of the bytes — e.g. 64→16 cuts
+    * shuffle width of [[cosineNearDupPairsLsh]]'s verify legs 4×. Compose:
+    * `jlProject(...)` then any operator in this file on `outCol`.
+    */
+  def jlProject(
+      df: DataFrame,
+      vectorCol: String,
+      outCol: String,
+      inDim: Int,
+      outDim: Int,
+      sparse: Boolean = false
+  ): DataFrame = {
+    val planes = jlPlanes(inDim, outDim, sparse)
+    val v = asDouble(col(vectorCol))
+    df.withColumn(outCol, array(planes.map(p => fastDot(v, lit(p))): _*))
+  }
+
   /** Approximate top-k: score only vectors in the probe's LSH bucket.
     * Shuffles on the bucket signature — per-probe work is bucket-sized, not
     * table-sized. Recall improves with fewer bits (bigger buckets); this is

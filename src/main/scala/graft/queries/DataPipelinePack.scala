@@ -738,6 +738,36 @@ object DataPipelinePack extends QueryPack {
         .orderBy(col("cid"), col("dim"))
     }),
 
+    // Johnson–Lindenstrauss projection (dense Rademacher, 64 -> 16): every
+    // projected component emitted and rounded — the full-matrix operator
+    // check. Pure per-row, zero shuffle; the oracle re-derives each
+    // component from the same plane constants embedded as SQL literals
+    // (Double.toString round-trips; both engines dot left-to-right).
+    "q106_jl_project" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.jlProject(emb, "embedding", "__jl", inDim = 64, outDim = 16)
+        .select(col("vec_id"), posexplode(col("__jl")).as(Seq("d", "comp")))
+        .select(col("vec_id"), col("d"), round(col("comp"), 4).as("comp"))
+        .orderBy(col("vec_id"), col("d"))
+    }),
+
+    // JL-compressed ANN — the projection's payoff shape: project the corpus
+    // AND the probes through the SPARSE Achlioptas matrix (64 -> 16, 2/3 of
+    // multiplies vanish), then exact top-5 cosine in the 16-dim space.
+    // Downstream of the projection every shuffled byte is 4x narrower; the
+    // ranking selects on quantized scores (scoreScale = 4, the rank-stable
+    // form; measured rank-5/6 gaps 1e-4+ on the gate corpus).
+    "q107_jl_ann" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val proj = Similarity.jlProject(emb, "embedding", "__jl",
+        inDim = 64, outDim = 16, sparse = true)
+      val probes = proj.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("__jl"))
+      Similarity.bruteForceTopK(proj, "vec_id", "__jl",
+          probes, "query_id", "__jl", k = 5, scoreScale = 4)
+        .orderBy(col("probe_id"), col("rnk"))
+    }),
+
     // Distributed BPE tokenizer training (Sennrich et al.): 2 merge
     // iterations over the corpus word-frequency table — the only
     // corpus-scale pass is the word count; each merge is one vocab-sized
@@ -1058,6 +1088,50 @@ object DataPipelinePack extends QueryPack {
         FROM cand)
       SELECT probe_id, CAST(rnk AS INTEGER) AS rnk, nbr_id, round(sim, 4) AS cos_sim
       FROM scored WHERE rnk <= 5 ORDER BY probe_id, rnk"""
+  }
+
+  /** q106's oracle is GENERATED like q33's: the JL matrix is deterministic
+    * (splitmix-derived Rademacher rows), so each projected component is
+    * re-derived in DuckDB from the same plane constants as SQL literals;
+    * parallel `unnest`s zip the dim index with the component list.
+    */
+  private def jlProjectOracle: String = {
+    val planes = graft.operators.Similarity.jlPlanes(inDim = 64, outDim = 16)
+    val ds = planes.indices.map(j => s"CAST($j AS INTEGER)").mkString(", ")
+    val comps = planes
+      .map(p => s"round(list_inner_product(v, [${p.mkString(", ")}]), 4)")
+      .mkString(",\n               ")
+    s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      SELECT vec_id, unnest([$ds]) AS d,
+             unnest([$comps]) AS comp
+      FROM e ORDER BY vec_id, d"""
+  }
+
+  /** q107's oracle: project through the SPARSE Achlioptas planes (same
+    * literal-embedding contract), then exact top-5 cosine in the projected
+    * space, ranking on round(sim, 4) exactly as the Spark side's
+    * scoreScale = 4 does. */
+  private def jlAnnOracle: String = {
+    val planes = graft.operators.Similarity.jlPlanes(inDim = 64, outDim = 16, sparse = true)
+    val comps = planes
+      .map(p => s"list_inner_product(v, [${p.mkString(", ")}])")
+      .mkString(",\n               ")
+    s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      p AS (SELECT vec_id, [$comps] AS jv FROM e),
+      probes AS (SELECT vec_id AS probe_id, jv AS pv FROM p WHERE vec_id < 5),
+      scored AS (
+        SELECT pr.probe_id, p.vec_id AS nbr_id,
+               round(list_cosine_similarity(p.jv, pr.pv), 4) AS sim
+        FROM p JOIN probes pr ON p.vec_id != pr.probe_id),
+      ranked AS (
+        SELECT probe_id, nbr_id, sim,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY sim DESC, nbr_id) AS rnk
+        FROM scored)
+      SELECT probe_id, CAST(rnk AS INTEGER) AS rnk, nbr_id, sim AS cos_sim
+      FROM ranked WHERE rnk <= 5 ORDER BY probe_id, rnk"""
   }
 
   /** q32's oracle is GENERATED like q33's: the SimHash token hash is a
@@ -1570,6 +1644,8 @@ object DataPipelinePack extends QueryPack {
       FROM g ORDER BY doc_id""",
     "q32_dedup_simhash" -> simhashOracle,
     "q33_ann_lsh" -> lshAnnOracle,
+    "q106_jl_project" -> jlProjectOracle,
+    "q107_jl_ann" -> jlAnnOracle,
     "q51_hash_sample" -> hashSampleOracle,
     "q52_hash_split" -> hashSplitOracle,
     "q53_stratified_sample" -> stratifiedSampleOracle,

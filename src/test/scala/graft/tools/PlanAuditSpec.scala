@@ -97,6 +97,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // parameter); the farthest-point selection jobs run eagerly at build
     // time and never appear in the returned plan.
     "q99_kmeans_farthest" -> (0, 0, 1),
+    // q107: q26's brute-force scoring shape over the JL-projected vectors —
+    // the 5-row parameter-sized probe set broadcast-crossJoined against the
+    // corpus by design (q81's class).
+    "q107_jl_ann" -> (0, 1, 0),
     // q103: PageRank's 1/N node-count scalar — a 1-row count aggregate
     // crossJoined into the init projection and into each of the 2
     // iterations' rank updates (q35's N class, 3 scalar crossJoins total).
