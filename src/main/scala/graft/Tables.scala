@@ -25,16 +25,24 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark 4 refuses to map
-    * to TimestampType. It is read as a long (requires
+  /** `events.ts` has shipped in two vintages: TIMESTAMP(NANOS) parquet
+    * (which Spark 4 only maps as a long under
     * `spark.sql.legacy.parquet.nanosAsLong=true`, set at session build by
-    * [[GraftSession]]) and truncated to a microsecond timestamp with integer
-    * arithmetic (`DIV`, not `/` — ns since epoch exceeds double's 53-bit
-    * mantissa).
+    * [[GraftSession]]) and plain micros TIMESTAMP. Normalize both to the
+    * session-zone TimestampType every downstream query was written against:
+    * nanos truncate with integer arithmetic (`DIV`, not `/` — ns since epoch
+    * exceeds double's 53-bit mantissa); naive micros (read as TIMESTAMP_NTZ)
+    * cast exactly under the UTC session zone.
     */
-  def events(s: SparkSession, d: String): DataFrame =
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+  def events(s: SparkSession, d: String): DataFrame = {
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+      case _ =>
+        df.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }
