@@ -1,0 +1,233 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable cardinality and frequency sketches — KMV (k-minimum-values)
+  * distinct counting and set-overlap estimation, HyperLogLog distinct
+  * counting, and Count-Min frequency estimation.
+  *
+  * Why sketches at 100 TB: `COUNT(DISTINCT x)` shuffles every distinct
+  * value to its reducer — on a web-scale corpus the distinct URL / token /
+  * shingle set IS corpus-shaped, so the exact answer costs a full shuffle
+  * of the thing being counted. Every sketch here is a BOUNDED aggregate:
+  * per-partition partials, shuffle payloads and merged states are all O(k)
+  * or O(m) regardless of input cardinality, and the merge is associative +
+  * commutative, so partial sketches combine map-side and across shards /
+  * days / generations without re-touching data. KMV additionally supports
+  * SET ALGEBRA on the sketches themselves: two corpora's sketches alone
+  * estimate their Jaccard overlap and intersection size — estimating
+  * crawl-vs-crawl or corpus-vs-benchmark overlap WITHOUT the join.
+  *
+  * Engine-portable determinism (the repo-wide rule, see
+  * [[Sampling.keyHash]]): every element hashes through the salted 60-bit
+  * md5 prefix, all register/bucket arithmetic is INTEGER (the HLL
+  * harmonic-mean denominator is summed as scaled integers, not floats, so
+  * no summation-order ulp), and the only floating-point steps are final
+  * single-division estimates — bit-identical in any engine that computes
+  * the same formula once. An oracle SQL can therefore reproduce every
+  * sketch REGISTER, not just approximate the estimate.
+  *
+  * (The reference has no sketch operators — this extends the
+  * training-data-pipeline surface, SURVEY.md §2.2.)
+  */
+object Sketches {
+
+  /** 2^60 as a double: the hash space size of [[Sampling.keyHash]]. */
+  private val HashSpace = (1L << 60).toDouble
+
+  // ---------------------------------------------------------------- KMV
+
+  /** KMV sketch per group: the k smallest DISTINCT element hashes,
+    * ascending. ONE keyed aggregation with O(k) state at every stage
+    * ([[graft.functions.MinKDistinctLongs]]) — no pre-distinct shuffle,
+    * no global sort. Sketches of disjoint shards merge losslessly
+    * (min-k of unions = merge of min-ks), which is the property that lets
+    * daily shards keep per-source sketches and a roll-up aggregate them
+    * without rescanning text.
+    */
+  def kmvSketch(
+      df: DataFrame,
+      groupCols: Seq[String],
+      elemCol: Column,
+      k: Int,
+      salt: String
+  ): DataFrame = {
+    require(k > 1, "k must be > 1 (the estimator divides by the k-th smallest)")
+    val minK = udaf(new graft.functions.MinKDistinctLongs(k))
+    df.groupBy(groupCols.map(col): _*)
+      .agg(minK(Sampling.keyHash(elemCol, salt)).as("kmv"))
+  }
+
+  /** Distinct-count estimate from a KMV sketch column (ascending array of
+    * ≤ k distinct 60-bit hashes): exact when the sketch never filled
+    * (fewer than k distinct elements — the sketch IS the distinct hash
+    * set), else the classic (k-1) · 2^60 / h_k estimator (Bar-Yossef et
+    * al.; relative error ~ 1/sqrt(k)). */
+  def kmvDistinct(sketch: Column, k: Int): Column =
+    when(size(sketch) < k, size(sketch).cast("double"))
+      .otherwise(lit((k - 1).toDouble) * lit(HashSpace) / element_at(sketch, k).cast("double"))
+
+  /** Set-overlap estimation from two KMV sketches built with the SAME k
+    * and salt: the k smallest distinct hashes of the union are recovered
+    * from the two sketches alone (merge + dedup + take k), the Jaccard
+    * estimate is the fraction of that union sketch present in BOTH input
+    * sketches, and the intersection estimate is Jaccard × the union
+    * sketch's distinct estimate (Beyer et al., "On synopses for
+    * distinct-value estimation under multiset operations"). Input: any
+    * two-row-joinable frames holding one sketch each; output columns
+    * `jaccard_est`, `union_est`, `inter_est`.
+    *
+    * All array ops are over ≤ k element literals-in-row — no shuffle at
+    * all once the two sketches exist; estimating overlap of two 50 TB
+    * crawls costs two bounded aggregations plus this O(k) row-local step.
+    */
+  def kmvOverlap(sketchA: Column, sketchB: Column, k: Int): Seq[Column] = {
+    // merged union sketch: k smallest distinct of A ∪ B (both ascending)
+    val merged = slice(array_sort(array_union(sketchA, sketchB)), 1, k)
+    val inBoth = size(array_intersect(array_intersect(merged, sketchA), sketchB))
+    val j = inBoth.cast("double") / size(merged).cast("double")
+    Seq(
+      j.as("jaccard_est"),
+      kmvDistinct(merged, k).as("union_est"),
+      (j * kmvDistinct(merged, k)).as("inter_est")
+    )
+  }
+
+  // ---------------------------------------------------------------- HLL
+
+  /** HyperLogLog registers per group, `p` bucket bits (m = 2^p buckets):
+    * bucket = top p bits of the 60-bit element hash, rank = leading-zero
+    * count of the remaining (60-p) bits + 1, register = max rank seen.
+    * Output: (group..., bucket int, reg int) — only OCCUPIED buckets (a
+    * missing bucket is register 0; [[hllEstimate]] accounts for them).
+    *
+    * One keyed aggregation whose state is ≤ m small ints per group —
+    * map-side combine applies (max is associative), shuffle payload is
+    * O(m) per group. The rank is computed WITHOUT floating log2:
+    * `length(bin(w))` is floor(log2 w)+1 for w ≥ 1 in every engine, so
+    * registers are integer-exact and an oracle reproduces them verbatim.
+    */
+  def hllRegisters(
+      df: DataFrame,
+      groupCols: Seq[String],
+      elemCol: Column,
+      p: Int,
+      salt: String
+  ): DataFrame = {
+    require(p >= 4 && p <= 16, s"p must be in [4, 16], got $p")
+    val h = Sampling.keyHash(elemCol, salt)
+    val wBits = 60 - p
+    val bucket = shiftright(h, wBits).cast("int")
+    val w = h.bitwiseAND(lit((1L << wBits) - 1L))
+    val rank = when(w === 0L, lit(wBits + 1))
+      .otherwise(lit(wBits + 1) - length(bin(w)).cast("int"))
+    df.select((groupCols.map(col) :+ bucket.as("bucket") :+ rank.as("rank")): _*)
+      .groupBy((groupCols.map(col) :+ col("bucket")): _*)
+      .agg(max(col("rank")).as("reg"))
+  }
+
+  /** The HLL bias-correction constant α_m (Flajolet et al. 2007). */
+  def hllAlpha(m: Int): Double = m match {
+    case 16 => 0.673
+    case 32 => 0.697
+    case 64 => 0.709
+    case _  => 0.7213 / (1.0 + 1.079 / m)
+  }
+
+  /** HLL distinct estimate per group from [[hllRegisters]] output.
+    *
+    * The harmonic-mean denominator Σ 2^(-M_j) is summed as INTEGERS
+    * scaled by 2^(wBits+1): each term 2^(wBits+1-M_j) is an exact long
+    * (max m · 2^(wBits+1) ≤ 2^61), so the sum is order-independent and
+    * engine-exact; the estimate is then ONE double division —
+    * α_m · m² · 2^(wBits+1) / Z. Missing buckets contribute the M_j = 0
+    * term, added as (m - occupied) · 2^(wBits+1) without materializing
+    * them. Small-range linear counting (E ≤ 2.5m with empty buckets →
+    * m · ln(m / zeros)) is applied per the paper; its `ln` is the one
+    * transcendental in the module — callers wanting register-exact
+    * cross-engine comparison should size p so estimates sit above 2.5m
+    * (the raw path), as the sketch queries do.
+    *
+    * Output: (group..., hll_est double, zero_regs int).
+    */
+  def hllEstimate(registers: DataFrame, groupCols: Seq[String], p: Int): DataFrame = {
+    val m = 1 << p
+    val wBits = 60 - p
+    val scale = (1L << (wBits + 1)).toDouble
+    val alpha = hllAlpha(m)
+    val zTerm = expr(s"shiftleft(CAST(1 AS BIGINT), ${wBits + 1} - reg)")
+    registers
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(zTerm).as("__z_occ"), count(lit(1)).as("__occ"))
+      .withColumn("__zeros", lit(m) - col("__occ"))
+      .withColumn("__z", col("__z_occ") + col("__zeros") * lit(1L << (wBits + 1)))
+      .withColumn("__raw", lit(alpha * m * m) * lit(scale) / col("__z").cast("double"))
+      .withColumn("hll_est",
+        when(col("__raw") <= lit(2.5 * m) && col("__zeros") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("__zeros").cast("double")))
+          .otherwise(col("__raw")))
+      .select((groupCols.map(col) :+ col("hll_est") :+ col("__zeros").cast("int").as("zero_regs")): _*)
+  }
+
+  // ----------------------------------------------------------- Count-Min
+
+  /** Count-Min sketch build: `depth` independent hash rows × `width`
+    * buckets; counter(r, b) = Σ weight over elements with
+    * hash_r(elem) mod width = b. Input is one row per element OCCURRENCE
+    * (pass a pre-aggregated (elem, weight) frame and `weightCol` to avoid
+    * the depth-fold over raw rows when counts are already keyed).
+    *
+    * The sketch is (depth × width) counters — a FIXED-size table
+    * regardless of input cardinality, built by one explode(depth) + one
+    * keyed sum with map-side combine. Sketches of shards merge by
+    * counter-wise addition (a union-all + re-sum), never touching data.
+    * Output: (r int, b int, cnt long).
+    */
+  def cmsSketch(
+      df: DataFrame,
+      elemCol: Column,
+      depth: Int,
+      width: Int,
+      salt: String,
+      weightCol: Column = lit(1L)
+  ): DataFrame = {
+    require(depth >= 1 && depth <= 8, s"depth must be in [1, 8], got $depth")
+    require(width >= 2, s"width must be >= 2, got $width")
+    val rows = (0 until depth).map { r =>
+      struct(lit(r).as("r"), pmod(Sampling.keyHash(elemCol, s"$salt$r"), lit(width.toLong)).cast("int").as("b"))
+    }
+    df.select(explode(array(rows: _*)).as("__rb"), weightCol.as("__w"))
+      .groupBy(col("__rb.r").as("r"), col("__rb.b").as("b"))
+      .agg(sum(col("__w")).as("cnt"))
+  }
+
+  /** Point-query a Count-Min sketch for each probe element: estimate =
+    * min over the depth rows of the counter at hash_r(elem) mod width
+    * (0 when a counter row is absent — an element whose buckets were
+    * never touched). Always ≥ the true count; equality when no collision
+    * landed in all d buckets. The probe side is parameter-sized by
+    * contract (a broadcast), the sketch is fixed-size — the lookup join
+    * is broadcast-hash on (r, b), no corpus shuffle.
+    */
+  def cmsLookup(
+      sketch: DataFrame,
+      probes: DataFrame,
+      probeElemCol: String,
+      depth: Int,
+      width: Int,
+      salt: String
+  ): DataFrame = {
+    val keyed = probes.select(
+      col(probeElemCol),
+      explode(array((0 until depth).map { r =>
+        struct(lit(r).as("r"),
+          pmod(Sampling.keyHash(col(probeElemCol), s"$salt$r"), lit(width.toLong)).cast("int").as("b"))
+      }: _*)).as("__rb"))
+      .select(col(probeElemCol), col("__rb.r").as("r"), col("__rb.b").as("b"))
+    keyed
+      .join(sketch, Seq("r", "b"), "left")
+      .groupBy(col(probeElemCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
+  }
+}

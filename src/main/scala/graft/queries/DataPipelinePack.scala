@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Chunking, Dedup, Multimodal, RangeJoin, Sampling, Similarity, Skew, TextAnalysis, TimeSeries, Tokenizer}
+import graft.operators.{Chunking, Dedup, Multimodal, RangeJoin, Sampling, Similarity, Sketches, Skew, TextAnalysis, TimeSeries, Tokenizer}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -861,6 +861,82 @@ object DataPipelinePack extends QueryPack {
         "doc_id", "text", ratios, k = 100, salt = "dsir9")
         .select(col("doc_id"), col("dsir_logratio"), col("gumbel_key"))
         .orderBy(col("doc_id"))
+    }),
+
+    // KMV distinct-count sketch per source over 3-token shingles: ONE
+    // bounded keyed aggregation (O(k) state at every stage) instead of
+    // countDistinct's full shuffle of the distinct shingle set — the
+    // cardinality primitive that survives a corpus-shaped domain. The
+    // oracle rebuilds the sketch relationally (k smallest distinct md5
+    // hashes per source) and applies the same (k-1)·2^60/h_k estimator,
+    // so the ENTIRE sketch is verified, not just the estimate.
+    "q108_kmv_distinct" -> ((s, d) => {
+      val sh = Tables.documents(s, d)
+        .select(col("source"), explode(Dedup.shingles(col("text"))).as("sh"))
+      Sketches.kmvSketch(sh, Seq("source"), col("sh"), k = 128, salt = "kmv9")
+        .select(col("source"), size(col("kmv")).as("sketch_size"),
+          round(Sketches.kmvDistinct(col("kmv"), 128), 4).as("est_distinct"))
+        .orderBy(col("source"))
+    }),
+
+    // KMV set algebra — overlap of the English vs German shingle sets
+    // estimated from the two sketches ALONE (no join between the corpora):
+    // the k smallest hashes of the union are recoverable from the per-side
+    // sketches, Jaccard is the fraction present in both, intersection is
+    // Jaccard x the union estimate. At 100 TB this is how crawl-vs-crawl
+    // or corpus-vs-benchmark overlap is measured without co-shuffling
+    // either side.
+    "q109_kmv_overlap" -> ((s, d) => {
+      val k = 128
+      val docs = Tables.documents(s, d)
+      def side(lang: String, out: String) = Sketches.kmvSketch(
+        docs.filter(col("lang") === lang)
+          .select(explode(Dedup.shingles(col("text"))).as("sh")),
+        Seq.empty, col("sh"), k, salt = "ov9")
+        .select(col("kmv").as(out))
+      side("en", "ka").crossJoin(side("de", "kb"))
+        .select(Sketches.kmvOverlap(col("ka"), col("kb"), k): _*)
+        .select(round(col("jaccard_est"), 6).as("jaccard_est"),
+          round(col("union_est"), 4).as("union_est"),
+          round(col("inter_est"), 4).as("inter_est"))
+    }),
+
+    // HyperLogLog distinct orderkeys per returnflag (p=6, m=64 registers):
+    // register state is 64 small ints per group no matter how many
+    // distinct keys stream through. Ranks avoid floating log2 entirely
+    // (length(bin(w)) is floor(log2 w)+1 in both engines) and the
+    // harmonic-mean denominator sums as SCALED INTEGERS, so the oracle
+    // reproduces every register and the estimate is one identical double
+    // division in each engine. ~11k distinct per flag at the gate SF keeps
+    // the estimate far above the 2.5m linear-counting boundary (the one
+    // branch with a transcendental).
+    "q110_hll_distinct" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_returnflag"), col("l_orderkey"))
+      val regs = Sketches.hllRegisters(li, Seq("l_returnflag"), col("l_orderkey"), p = 6, salt = "hll9")
+      Sketches.hllEstimate(regs, Seq("l_returnflag"), p = 6)
+        .select(col("l_returnflag"), round(col("hll_est"), 4).as("hll_est"), col("zero_regs"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Count-Min frequency sketch over shingle document-frequencies (d=4,
+    // w=512): the sketch is a FIXED 2048-counter table built in one
+    // explode(4) + keyed sum, merged across shards counter-wise; the
+    // probe lookup is min over 4 broadcast-joined cells. Estimates are
+    // pure integers (>= exact by construction), so the oracle is
+    // hash-exact with zero float concerns. Probes = the top-8 shingles by
+    // (exact df desc, shingle) — deterministic, computed in-plan.
+    "q111_cms_freq" -> ((s, d) => {
+      val d4 = 4; val w = 512
+      val el = Tables.documents(s, d)
+        .select(col("doc_id"), explode(Dedup.shingles(col("text"))).as("sh"))
+        .select(col("sh"))
+      val sketch = Sketches.cmsSketch(el, col("sh"), d4, w, "cms9")
+      val exact = el.groupBy("sh").agg(count(lit(1)).as("exact_cnt"))
+      val probes = exact.orderBy(col("exact_cnt").desc, col("sh")).limit(8)
+      Sketches.cmsLookup(sketch, probes.select("sh"), "sh", d4, w, "cms9")
+        .join(probes, "sh")
+        .select(col("sh"), col("exact_cnt"), col("cms_est"))
+        .orderBy(col("sh"))
     }),
 
     // Batch sessionization through the native session_window operator (the
@@ -2430,6 +2506,110 @@ object DataPipelinePack extends QueryPack {
       sel AS (SELECT * FROM keyed ORDER BY gumbel_key DESC, doc_id LIMIT 100)
       SELECT doc_id, round(z, 4) AS dsir_logratio, gumbel_key
       FROM sel ORDER BY doc_id""",
+
+    // KMV sketch rebuilt relationally: the k smallest DISTINCT salted md5
+    // hashes per source ARE the sketch, so rn <= k + max(hv) reproduces
+    // (size, h_k) exactly; the estimator literals multiply left-to-right
+    // as the Spark side does (127.0 * 2^60 is float-exact — 7 significant
+    // bits — so the one rounding step is the division in both engines).
+    "q108_kmv_distinct" -> """
+      WITH toks AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+      shl AS (
+        SELECT source,
+               unnest(CASE WHEN len(w) >= 3
+                    THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])
+                    ELSE [array_to_string(w, ' ')] END) AS sh
+        FROM toks),
+      h AS (SELECT DISTINCT source,
+              CAST(concat('0x', substring(md5('kmv9' || sh), 1, 15)) AS BIGINT) AS hv
+            FROM shl),
+      rk AS (SELECT source, hv, row_number() OVER (PARTITION BY source ORDER BY hv) AS rn FROM h),
+      sk AS (SELECT source, count(*) AS sz, max(hv) AS hk FROM rk WHERE rn <= 128 GROUP BY source)
+      SELECT source, CAST(sz AS INTEGER) AS sketch_size,
+             round(CASE WHEN sz < 128 THEN CAST(sz AS DOUBLE)
+                        ELSE 127.0 * 1152921504606846976.0 / CAST(hk AS DOUBLE) END, 4) AS est_distinct
+      FROM sk ORDER BY source""",
+
+    // KMV overlap: the union sketch is the k smallest of the two per-side
+    // sketches' union (recoverable from sketches alone — the property the
+    // operator exploits); Jaccard = fraction of it present in both sides.
+    "q109_kmv_overlap" -> """
+      WITH toks AS (SELECT lang, string_split(text, ' ') AS w FROM documents WHERE lang IN ('en', 'de')),
+      shl AS (
+        SELECT lang,
+               unnest(CASE WHEN len(w) >= 3
+                    THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])
+                    ELSE [array_to_string(w, ' ')] END) AS sh
+        FROM toks),
+      h AS (SELECT DISTINCT lang,
+              CAST(concat('0x', substring(md5('ov9' || sh), 1, 15)) AS BIGINT) AS hv
+            FROM shl),
+      sa AS (SELECT hv FROM h WHERE lang = 'en' ORDER BY hv LIMIT 128),
+      sb AS (SELECT hv FROM h WHERE lang = 'de' ORDER BY hv LIMIT 128),
+      mg AS (SELECT hv FROM (SELECT hv FROM sa UNION SELECT hv FROM sb) ORDER BY hv LIMIT 128),
+      c AS (SELECT (SELECT count(*) FROM mg) AS msz,
+                   (SELECT count(*) FROM mg m
+                    WHERE m.hv IN (SELECT hv FROM sa) AND m.hv IN (SELECT hv FROM sb)) AS inboth,
+                   (SELECT max(hv) FROM mg) AS hk)
+      SELECT round(CAST(inboth AS DOUBLE) / CAST(msz AS DOUBLE), 6) AS jaccard_est,
+             round(CASE WHEN msz < 128 THEN CAST(msz AS DOUBLE)
+                        ELSE 127.0 * 1152921504606846976.0 / CAST(hk AS DOUBLE) END, 4) AS union_est,
+             round((CAST(inboth AS DOUBLE) / CAST(msz AS DOUBLE)) *
+                   (CASE WHEN msz < 128 THEN CAST(msz AS DOUBLE)
+                         ELSE 127.0 * 1152921504606846976.0 / CAST(hk AS DOUBLE) END), 4) AS inter_est
+      FROM c""",
+
+    // HLL rebuilt register-for-register: bucket = top 6 hash bits, rank =
+    // 55 - length(bin(w)) (floor(log2)+1 without floating log), registers
+    // = per-bucket max, and the harmonic denominator sums as integers
+    // scaled by 2^55 — the only double steps are the final multiply/divide
+    // with the SAME Scala-printed constants the operator folds.
+    "q110_hll_distinct" -> s"""
+      WITH h AS (SELECT l_returnflag,
+              CAST(concat('0x', substring(md5('hll9' || CAST(l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+            FROM lineitem),
+      parts AS (SELECT l_returnflag, hv >> 54 AS bucket, hv & ${(1L << 54) - 1} AS w FROM h),
+      ranks AS (SELECT l_returnflag, bucket,
+              CASE WHEN w = 0 THEN 55 ELSE 55 - length(bin(w)) END AS rank FROM parts),
+      regs AS (SELECT l_returnflag, bucket, max(rank) AS reg FROM ranks GROUP BY 1, 2),
+      agg AS (SELECT l_returnflag, sum(1::BIGINT << (55 - reg)) AS z_occ, count(*) AS occ
+              FROM regs GROUP BY 1),
+      est AS (SELECT l_returnflag,
+              CAST(z_occ + (64 - occ) * (1::BIGINT << 55) AS DOUBLE) AS z,
+              64 - occ AS zeros FROM agg),
+      raws AS (SELECT l_returnflag, ${Sketches.hllAlpha(64) * 64 * 64} * ${(1L << 55).toDouble} / z AS raw, zeros
+               FROM est)
+      SELECT l_returnflag,
+             round(CASE WHEN raw <= 160.0 AND zeros > 0
+                        THEN 64.0 * ln(64.0 / CAST(zeros AS DOUBLE)) ELSE raw END, 4) AS hll_est,
+             CAST(zeros AS INTEGER) AS zero_regs
+      FROM raws ORDER BY l_returnflag""",
+
+    // Count-Min rebuilt cell-for-cell: 4 salted bucket hashes per element,
+    // counter = per-(row, bucket) count, probe estimate = min over the 4
+    // cells (0 when untouched). Pure integers end to end.
+    "q111_cms_freq" -> """
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      shl AS (
+        SELECT doc_id,
+               unnest(CASE WHEN len(w) >= 3
+                    THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])
+                    ELSE [array_to_string(w, ' ')] END) AS sh
+        FROM toks),
+      el AS (SELECT sh FROM shl),
+      ex AS (SELECT sh, count(*) AS exact_cnt FROM el GROUP BY sh),
+      probes AS (SELECT sh, exact_cnt FROM ex ORDER BY exact_cnt DESC, sh LIMIT 8),
+      rs AS (SELECT unnest(range(4)) AS r),
+      cells AS (SELECT r,
+              CAST(concat('0x', substring(md5('cms9' || CAST(r AS VARCHAR) || sh), 1, 15)) AS BIGINT) % 512 AS b
+            FROM el CROSS JOIN rs),
+      sk AS (SELECT r, b, count(*) AS cnt FROM cells GROUP BY r, b),
+      pq AS (SELECT p.sh, p.exact_cnt, r,
+              CAST(concat('0x', substring(md5('cms9' || CAST(r AS VARCHAR) || p.sh), 1, 15)) AS BIGINT) % 512 AS b
+             FROM probes p CROSS JOIN rs),
+      est AS (SELECT sh, exact_cnt, min(coalesce(sk.cnt, 0)) AS cms_est
+              FROM pq LEFT JOIN sk USING (r, b) GROUP BY sh, exact_cnt)
+      SELECT sh, exact_cnt, cms_est FROM est ORDER BY sh""",
 
     "q91_temperature_mix" -> s"""
       WITH g AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY lang),

@@ -1,0 +1,168 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SketchesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def docs: DataFrame = graft.Tables.documents(spark, sf)
+
+  /** Per-source distinct 3-token shingles — the element stream every KMV/
+    * HLL test here sketches. ~1.3k distinct per source at sf0.01; fewer
+    * but still hundreds at sf0.001. */
+  private def shingleStream: DataFrame =
+    docs.select(col("source"), explode(Dedup.shingles(col("text"))).as("sh"))
+
+  // ------------------------------------------------------------- MinKDistinct
+
+  test("MinKDistinctLongs keeps the k smallest DISTINCT values, sorted") {
+    val agg = udaf(new graft.functions.MinKDistinctLongs(4))
+    val out = Seq(9L, 3L, 3L, 7L, 1L, 9L, 5L, 1L, 8L).toDF("v")
+      .agg(agg(col("v")).as("mk")).as[Seq[Long]].head()
+    assert(out == Seq(1L, 3L, 5L, 7L))
+  }
+
+  test("MinKDistinctLongs merge drops duplicates across partials") {
+    val a = new graft.functions.MinKDistinctLongs(3)
+    val m = a.merge(Vector(1L, 3L, 5L), Vector(1L, 2L, 5L))
+    assert(m == Vector(1L, 2L, 3L))
+    // reduce on a present value is a no-op
+    assert(a.reduce(Vector(1L, 3L), 3L) == Vector(1L, 3L))
+  }
+
+  // ------------------------------------------------------------------- KMV
+
+  test("KMV sketch below k is the exact distinct hash set (estimate exact)") {
+    val k = 4096 // far above any per-source shingle count at sf0.001
+    val sk = Sketches.kmvSketch(shingleStream, Seq("source"), col("sh"), k, "kmv")
+      .withColumn("est", Sketches.kmvDistinct(col("kmv"), k))
+    val exact = shingleStream.groupBy("source").agg(countDistinct(col("sh")).as("cd"))
+    val joined = sk.join(exact, "source")
+      .select(col("source"), col("est"), col("cd").cast("double")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach(r => assert(r.getDouble(1) == r.getDouble(2), s"source ${r.getString(0)}"))
+  }
+
+  test("KMV estimate lands within the expected relative error once the sketch fills") {
+    val k = 64
+    val sk = Sketches.kmvSketch(shingleStream, Seq("source"), col("sh"), k, "kmv")
+      .withColumn("est", Sketches.kmvDistinct(col("kmv"), k))
+    val exact = shingleStream.groupBy("source").agg(countDistinct(col("sh")).as("cd"))
+    val rows = sk.join(exact, "source")
+      .select(col("est"), col("cd").cast("double")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (est, cd) = (r.getDouble(0), r.getDouble(1))
+      assert(math.abs(est - cd) / cd < 0.5, s"est $est vs exact $cd") // ~4/sqrt(64)
+    }
+  }
+
+  test("KMV sketches merge losslessly across shards (merge of halves == whole)") {
+    val k = 64
+    val whole = Sketches.kmvSketch(docs.select(explode(Dedup.shingles(col("text"))).as("sh")),
+      Seq.empty, col("sh"), k, "kmv").as[Seq[Long]].head()
+    val halves = docs
+      .withColumn("half", (col("doc_id") % 2).cast("int"))
+      .select(col("half"), explode(Dedup.shingles(col("text"))).as("sh"))
+    val parts = Sketches.kmvSketch(halves, Seq("half"), col("sh"), k, "kmv")
+    val merged = parts.agg(
+      slice(array_sort(array_distinct(flatten(collect_list(col("kmv"))))), 1, k).as("m"))
+      .as[Seq[Long]].head()
+    assert(merged == whole)
+  }
+
+  test("kmvOverlap: identical sets estimate Jaccard 1, disjoint sets 0") {
+    val k = 32
+    val a = Sketches.kmvSketch((1 to 500).toDF("v"), Seq.empty, col("v"), k, "ov")
+      .select(col("kmv").as("ka"))
+    val same = a.crossJoin(a.select(col("ka").as("kb")))
+      .select(Sketches.kmvOverlap(col("ka"), col("kb"), k): _*).head()
+    assert(same.getDouble(0) == 1.0)
+    assert(same.getDouble(1) == same.getDouble(2)) // union == intersection
+
+    val b = Sketches.kmvSketch((10001 to 10500).toDF("v"), Seq.empty, col("v"), k, "ov")
+      .select(col("kmv").as("kb"))
+    val disj = a.crossJoin(b)
+      .select(Sketches.kmvOverlap(col("ka"), col("kb"), k): _*).head()
+    assert(disj.getDouble(0) == 0.0)
+    assert(disj.getDouble(2) == 0.0)
+  }
+
+  // ------------------------------------------------------------------- HLL
+
+  test("HLL registers are duplicate-insensitive and estimate lands in band") {
+    val p = 6 // m = 64
+    val li = graft.Tables.lineitem(spark, sf).select(col("l_returnflag"), col("l_orderkey"))
+    val regs = Sketches.hllRegisters(li, Seq("l_returnflag"), col("l_orderkey"), p, "hll")
+    val est = Sketches.hllEstimate(regs, Seq("l_returnflag"), p)
+    val exact = li.groupBy("l_returnflag").agg(countDistinct(col("l_orderkey")).as("cd"))
+    val rows = est.join(exact, "l_returnflag")
+      .select(col("hll_est"), col("cd").cast("double")).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val (e, cd) = (r.getDouble(0), r.getDouble(1))
+      assert(math.abs(e - cd) / cd < 0.35, s"est $e vs exact $cd") // ~2.6σ at m=64
+    }
+    // duplicate-insensitivity: registers over the distinct element set match
+    val regsD = Sketches.hllRegisters(li.distinct(), Seq("l_returnflag"), col("l_orderkey"), p, "hll")
+    assert(regs.orderBy("l_returnflag", "bucket").collect().toSeq ==
+      regsD.orderBy("l_returnflag", "bucket").collect().toSeq)
+  }
+
+  test("HLL small-range correction engages below 2.5m with empty buckets") {
+    val p = 6
+    val tiny = (1 to 20).toDF("v") // 20 distinct << 2.5 * 64
+    val regs = Sketches.hllRegisters(tiny, Seq.empty, col("v"), p, "hll")
+    val est = Sketches.hllEstimate(regs, Seq.empty, p).select("hll_est", "zero_regs").head()
+    val zeros = est.getInt(1)
+    assert(zeros > 0)
+    val expected = 64.0 * math.log(64.0 / zeros)
+    assert(math.abs(est.getDouble(0) - expected) < 1e-9)
+    assert(math.abs(est.getDouble(0) - 20.0) / 20.0 < 0.3)
+  }
+
+  // ------------------------------------------------------------- Count-Min
+
+  test("CMS estimates dominate exact counts; equality at generous width; shards merge") {
+    val d = 4; val w = 2048
+    val elems = shingleStream.select(col("sh"))
+    val sketch = Sketches.cmsSketch(elems, col("sh"), d, w, "cms")
+    val exact = elems.groupBy("sh").agg(count(lit(1)).as("exact"))
+    val probes = exact.orderBy(col("exact").desc, col("sh")).limit(8).select("sh")
+    val est = Sketches.cmsLookup(sketch, probes, "sh", d, w, "cms")
+    val rows = est.join(exact, "sh").select(col("sh"), col("cms_est"), col("exact")).collect()
+    assert(rows.length == 8)
+    rows.foreach(r => assert(r.getLong(1) >= r.getLong(2), s"CMS must overcount: ${r}"))
+
+    // pre-aggregated weighted build == raw build
+    val weighted = Sketches.cmsSketch(exact, col("sh"), d, w, "cms", weightCol = col("exact"))
+    assert(sketch.orderBy("r", "b").collect().toSeq == weighted.orderBy("r", "b").collect().toSeq)
+
+    // shard mergeability: counter-wise sum of half sketches == whole sketch
+    val h0 = Sketches.cmsSketch(docs.filter(col("doc_id") % 2 === 0)
+      .select(explode(Dedup.shingles(col("text"))).as("sh")), col("sh"), d, w, "cms")
+    val h1 = Sketches.cmsSketch(docs.filter(col("doc_id") % 2 === 1)
+      .select(explode(Dedup.shingles(col("text"))).as("sh")), col("sh"), d, w, "cms")
+    val mergedCms = h0.unionByName(h1).groupBy("r", "b").agg(sum("cnt").as("cnt"))
+    assert(mergedCms.orderBy("r", "b").collect().toSeq ==
+      sketch.orderBy("r", "b").collect().toSeq)
+  }
+
+  test("CMS lookup of an element absent from every bucket estimates 0") {
+    val d = 2; val w = 64
+    val sketch = Sketches.cmsSketch(Seq("a", "b").toDF("e"), col("e"), d, w, "cms0")
+    // an element whose (r, b) cells were never written estimates 0 via the
+    // left-join coalesce; collisions could lift it, so probe many and
+    // require at least one zero (w=64, 2 elements -> overwhelmingly likely)
+    val probes = (1 to 50).map(i => s"zz$i").toDF("e")
+    val ests = Sketches.cmsLookup(sketch, probes, "e", d, w, "cms0")
+      .agg(min(col("cms_est"))).head().getLong(0)
+    assert(ests == 0L)
+  }
+}

@@ -106,7 +106,18 @@ class PlanAuditSpec extends AnyFunSuite {
     // iterations' rank updates (q35's N class, 3 scalar crossJoins total).
     // The graph-shaped tables (nodes, outdeg, edges, contribs) are all
     // SMJ-pinned keyed joins, never broadcast.
-    "q103_pagerank" -> (0, 3, 3)
+    "q103_pagerank" -> (0, 3, 3),
+    // q109: each side's KMV sketch is ONE row (an array of <= k longs) by
+    // construction — the whole point of the operator is that overlap is
+    // computed from the two sketches alone; their crossJoin is the BNLJ
+    // and the derived broadcast (q35's scalar class, never corpus-shaped).
+    "q109_kmv_overlap" -> (0, 1, 1),
+    // q111: two bounded-by-construction broadcasts — the CMS counter table
+    // (<= depth*width = 2048 rows, a FIXED size regardless of corpus) into
+    // the probe lookup join, and the top-8 probe set into its exact-count
+    // re-join. The element stream feeding both aggregations stays a hash
+    // shuffle.
+    "q111_cms_freq" -> (0, 0, 2)
   )
 
   test("no query plans an unjustified cartesian / BNLJ / derived broadcast") {
