@@ -202,6 +202,79 @@ object Sketches {
       .agg(sum(col("__w")).as("cnt"))
   }
 
+  // -------------------------------------------------------------- Bloom
+
+  /** Bloom filter as a RELATIONAL sketch: (word int, bits long) rows, word
+    * = bit-position DIV 32, bits = OR of 32-bit masks (shifts stay ≤ 31 —
+    * a 63-bit shift overflows signed arithmetic in some engines, so the
+    * bitmap is 32-bit words held in longs). `kHashes` salted positions per
+    * element; build is one explode(k) + a `bit_or` keyed aggregation with
+    * map-side combine, ≤ mBits/32 output rows regardless of input
+    * cardinality. Shard filters merge by word-wise `bit_or` — the same
+    * aggregation over a union — so per-day filters roll up without
+    * re-scanning history.
+    *
+    * Why this beats the broadcast fingerprint SET at the top end: the set
+    * probe ([[Dedup.stripKnownWindows]]'s class) holds every 8-byte hash —
+    * 10 B fingerprints = 80 GB, unbroadcastable; a Bloom at 10 bits/key is
+    * 12.5 GB… still big, but m is a KNOB: false-positive rate
+    * (1 - e^(-kn/m))^k degrades gracefully as m shrinks, and membership
+    * stays one-sided (no false NEGATIVES — a miss is definitely new).
+    */
+  def bloomSketch(
+      df: DataFrame,
+      elemCol: Column,
+      mBits: Int,
+      kHashes: Int,
+      salt: String
+  ): DataFrame = {
+    require(mBits >= 32 && mBits % 32 == 0, s"mBits must be a positive multiple of 32, got $mBits")
+    require(kHashes >= 1 && kHashes <= 8, s"kHashes must be in [1, 8], got $kHashes")
+    val positions = (0 until kHashes).map { r =>
+      pmod(Sampling.keyHash(elemCol, s"$salt$r"), lit(mBits.toLong)).cast("int")
+    }
+    df.select(explode(array(positions: _*)).as("__pos"))
+      .select(expr("__pos DIV 32").cast("int").as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), __pos % 32)").as("__mask"))
+      .groupBy("word")
+      .agg(expr("bit_or(__mask)").as("bits"))
+  }
+
+  /** Membership probe: for each probe row, true iff ALL `kHashes` bit
+    * positions are set — `might_contain` (one-sided: false ⇒ definitely
+    * absent; true ⇒ present OR a false positive at the documented rate).
+    * The probe explodes its k positions, LEFT-joins the ≤ mBits/32-row
+    * sketch on `word` (broadcast-sized by construction), and reduces with
+    * a min-over-bits test — no corpus shuffle, stream-safe (a stream-static
+    * join + keyed aggregation over the probe's own k rows).
+    *
+    * Passthrough columns: everything in `probes` except the element column
+    * survives via the probe-side struct. */
+  def bloomMightContain(
+      sketch: DataFrame,
+      probes: DataFrame,
+      probeElemCol: String,
+      mBits: Int,
+      kHashes: Int,
+      salt: String
+  ): DataFrame = {
+    val keyed = probes
+      .select(struct(probes.columns.map(col): _*).as("__row"),
+        explode(array((0 until kHashes).map { r =>
+          pmod(Sampling.keyHash(col(probeElemCol), s"$salt$r"), lit(mBits.toLong)).cast("int")
+        }: _*)).as("__pos"))
+      .select(col("__row"), expr("__pos DIV 32").cast("int").as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), __pos % 32)").as("__mask"))
+    keyed
+      .join(sketch, Seq("word"), "left")
+      .select(col("__row"),
+        (coalesce(col("bits"), lit(0L)).bitwiseAND(col("__mask")) === col("__mask"))
+          .cast("int").as("__hit"))
+      .groupBy(col("__row"))
+      .agg((min(col("__hit")) === 1).as("might_contain"))
+      .select(col("__row.*"), col("might_contain"))
+  }
+
   /** Point-query a Count-Min sketch for each probe element: estimate =
     * min over the depth rows of the counter at hash_r(elem) mod width
     * (0 when a counter row is absent — an element whose buckets were

@@ -939,6 +939,26 @@ object DataPipelinePack extends QueryPack {
         .orderBy(col("sh"))
     }),
 
+    // Bloom-filter history membership: the constant-memory endgame of the
+    // incremental-dedup family (q75's anti-join, stripKnownWindows' set
+    // probe). History = even-doc_id texts; the filter is <= m/32 (word,
+    // bits) rows built by one bit_or aggregation; every probe LEFT-joins
+    // that broadcast-sized table and tests its 3 positions. One-sided by
+    // construction — might_contain=false is DEFINITELY new (no false
+    // negatives, spec-pinned), true is history-or-false-positive at
+    // (1-e^(-kn/m))^k. All integer bit arithmetic, 32-bit words so shifts
+    // stay <= 31 — oracle rebuilds the bitmap verbatim.
+    "q112_bloom_history" -> ((s, d) => {
+      val m = 4096; val kh = 3
+      val docs = Tables.documents(s, d)
+      val history = docs.filter(col("doc_id") % 2 === 0)
+      val bloom = Sketches.bloomSketch(history, col("text"), m, kh, "bl9")
+      Sketches.bloomMightContain(
+        bloom, docs.select(col("doc_id"), col("text")), "text", m, kh, "bl9")
+        .select(col("doc_id"), col("might_contain"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Batch sessionization through the native session_window operator (the
     // same operator the streaming surface uses): 3-hour inactivity gap.
     "q42_sessionize" -> ((s, d) => {
@@ -2610,6 +2630,25 @@ object DataPipelinePack extends QueryPack {
       est AS (SELECT sh, exact_cnt, min(coalesce(sk.cnt, 0)) AS cms_est
               FROM pq LEFT JOIN sk USING (r, b) GROUP BY sh, exact_cnt)
       SELECT sh, exact_cnt, cms_est FROM est ORDER BY sh""",
+
+    // Bloom bitmap rebuilt word-for-word: 3 salted positions per history
+    // text, word = pos DIV 32, bits = bit_or of (1 << pos % 32) — 32-bit
+    // words so no shift touches the sign bit; a probe might_contain iff
+    // all 3 of its positions' bits are set.
+    "q112_bloom_history" -> """
+      WITH rs AS (SELECT unnest(range(3)) AS r),
+      hpos AS (SELECT CAST(concat('0x', substring(md5('bl9' || CAST(r AS VARCHAR) || text), 1, 15)) AS BIGINT) % 4096 AS pos
+               FROM documents CROSS JOIN rs WHERE doc_id % 2 = 0),
+      bloom AS (SELECT pos // 32 AS word, bit_or(1::BIGINT << CAST(pos % 32 AS INTEGER)) AS bits
+                FROM hpos GROUP BY 1),
+      ppos AS (SELECT doc_id, CAST(concat('0x', substring(md5('bl9' || CAST(r AS VARCHAR) || text), 1, 15)) AS BIGINT) % 4096 AS pos
+               FROM documents CROSS JOIN rs),
+      hits AS (SELECT doc_id,
+                 CASE WHEN (coalesce(b.bits, 0) & (1::BIGINT << CAST(p.pos % 32 AS INTEGER))) =
+                           (1::BIGINT << CAST(p.pos % 32 AS INTEGER)) THEN 1 ELSE 0 END AS hit
+               FROM ppos p LEFT JOIN bloom b ON p.pos // 32 = b.word)
+      SELECT doc_id, min(hit) = 1 AS might_contain
+      FROM hits GROUP BY doc_id ORDER BY doc_id""",
 
     "q91_temperature_mix" -> s"""
       WITH g AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY lang),

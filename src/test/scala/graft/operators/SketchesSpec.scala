@@ -154,6 +154,45 @@ class SketchesSpec extends AnyFunSuite {
       sketch.orderBy("r", "b").collect().toSeq)
   }
 
+  // ----------------------------------------------------------------- Bloom
+
+  test("Bloom has NO false negatives; false positives stay under the formula bound") {
+    val m = 4096; val kh = 3
+    val history = docs.filter(col("doc_id") % 2 === 0)
+    val bloom = Sketches.bloomSketch(history, col("text"), m, kh, "bl")
+    val probed = Sketches.bloomMightContain(
+      bloom, docs.select(col("doc_id"), col("text")), "text", m, kh, "bl")
+    val rows = probed.select(col("doc_id"), col("might_contain")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // one-sided: every history member MUST probe true
+    rows.filter(_._1 % 2 == 0).foreach { case (id, mc) => assert(mc, s"false negative on $id") }
+    // non-members: fp rate ~ (1-e^(-kn/m))^k; allow 4x slack on few hundred trials
+    val nonMembers = rows.filter(_._1 % 2 == 1)
+    val n = history.count().toDouble
+    val fpBound = math.pow(1 - math.exp(-kh * n / m), kh)
+    val fpRate = nonMembers.count(_._2).toDouble / nonMembers.size
+    assert(fpRate <= 4 * fpBound + 1e-9, s"fp rate $fpRate vs bound $fpBound")
+  }
+
+  test("Bloom shard filters merge word-wise (bit_or of halves == whole)") {
+    val m = 1024; val kh = 3
+    val whole = Sketches.bloomSketch(docs, col("text"), m, kh, "blm")
+    val h0 = Sketches.bloomSketch(docs.filter(col("doc_id") % 2 === 0), col("text"), m, kh, "blm")
+    val h1 = Sketches.bloomSketch(docs.filter(col("doc_id") % 2 === 1), col("text"), m, kh, "blm")
+    val merged = h0.unionByName(h1).groupBy("word").agg(expr("bit_or(bits)").as("bits"))
+    assert(merged.orderBy("word").collect().toSeq == whole.orderBy("word").collect().toSeq)
+  }
+
+  test("Bloom probe passthrough keeps non-element probe columns") {
+    val m = 256; val kh = 2
+    val bloom = Sketches.bloomSketch(Seq("a", "b").toDF("e"), col("e"), m, kh, "blp")
+    val probes = Seq(("a", 1), ("zz", 2)).toDF("e", "tag")
+    val out = Sketches.bloomMightContain(bloom, probes, "e", m, kh, "blp")
+    assert(out.columns.toSeq == Seq("e", "tag", "might_contain"))
+    val byTag = out.collect().map(r => r.getInt(1) -> r.getBoolean(2)).toMap
+    assert(byTag(1)) // member always true
+  }
+
   test("CMS lookup of an element absent from every bucket estimates 0") {
     val d = 2; val w = 64
     val sketch = Sketches.cmsSketch(Seq("a", "b").toDF("e"), col("e"), d, w, "cms0")

@@ -117,7 +117,13 @@ class PlanAuditSpec extends AnyFunSuite {
     // the probe lookup join, and the top-8 probe set into its exact-count
     // re-join. The element stream feeding both aggregations stays a hash
     // shuffle.
-    "q111_cms_freq" -> (0, 0, 2)
+    "q111_cms_freq" -> (0, 0, 2),
+    // q112: the Bloom bitmap table is <= mBits/32 rows by CONSTRUCTION
+    // (128 at the q112 sizing) no matter how large history grows —
+    // broadcasting it into the probe's left join is the operator's whole
+    // point (the probe side, corpus-shaped, stays unshuffled until its own
+    // k-row-per-probe reduction).
+    "q112_bloom_history" -> (0, 0, 1)
   )
 
   test("no query plans an unjustified cartesian / BNLJ / derived broadcast") {
