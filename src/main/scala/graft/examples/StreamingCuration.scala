@@ -44,6 +44,19 @@ final case class NearDupHistory(index: DataFrame, docs: DataFrame,
   * heuristic metric gates. Pure projection + filter: zero stream state. */
 final case class QualityModel(weights: Seq[Double], bias: Double, minScore: Double)
 
+/** Opt-in CONSTANT-MEMORY exact history for [[StreamingCuration.curate]]:
+  * a [[graft.operators.Sketches.bloomSketch]] bitmap over all previously
+  * curated texts, probed per row ([[graft.operators.Sketches.bloomProbe]] —
+  * zero stream state). The trade vs `historyIndex`'s fingerprint anti-join,
+  * both ways: the Bloom costs O(mBits) memory TOTAL no matter how large
+  * history grows (the anti-join re-reads an O(history) index every
+  * micro-batch), but it is one-sided-LOSSY — a false positive drops a
+  * genuinely-new document at the (1-e^(-kn/m))^k rate, and the bitmap is
+  * fixed at query start (no live generation pickup). No false negatives:
+  * every exact re-arrival of history is dropped, guaranteed. */
+final case class BloomHistory(sketch: DataFrame, mBits: Int,
+    kHashes: Int = 3, salt: String = "bloom")
+
 /** Opt-in SUBSTRING memory for [[StreamingCuration.curate]]: the persisted
   * [[Dedup.buildWindowIndex]] of all previously curated corpora. Arriving
   * documents lose every `w`-token span history already has
@@ -115,7 +128,10 @@ object StreamingCuration {
     * historical spans are stripped out of arriving text before the gates,
     * another pure per-row probe with zero stream state. `qualityModel`
     * appends a trained model gate (see [[QualityModel]]) to the heuristic
-    * gates — scored and filtered per row, zero stream state. */
+    * gates — scored and filtered per row, zero stream state. `bloomHistory`
+    * swaps (or backs up) `historyIndex` with a constant-memory Bloom probe
+    * of history — per-row, zero stream state, one-sided-lossy (see
+    * [[BloomHistory]] for the trade). */
   def curate(
       stream: DataFrame,
       numHashes: Int = 64,
@@ -127,7 +143,8 @@ object StreamingCuration {
       historyIndex: Option[DataFrame] = None,
       nearDupHistory: Option[NearDupHistory] = None,
       windowHistory: Option[WindowHistory] = None,
-      qualityModel: Option[QualityModel] = None
+      qualityModel: Option[QualityModel] = None,
+      bloomHistory: Option[BloomHistory] = None
   ): StreamingCurationStreams = {
     // withColumn keeps every stream column (e.g. the horizon's event-time
     // column) riding alongside the stripped text
@@ -155,8 +172,17 @@ object StreamingCuration {
       TextAnalysis.dropContaminatedStateless(gated, "doc_id", "text", b, "text"))
     // history dedup is a stream-static anti join — also stateless on the
     // stream side, so candidates branch after it as well
-    val decon = historyIndex.fold(deconOnly)(idx =>
+    val indexDeduped = historyIndex.fold(deconOnly)(idx =>
       Dedup.dropKnownFingerprints(deconOnly, "text", idx))
+    // constant-memory exact history: a per-row bitmap probe (see
+    // [[BloomHistory]] for the trade vs the index anti-join) — the collect
+    // is small-by-contract (the bitmap IS the memory budget, guarded in
+    // collectBloom), done once at query build
+    val decon = bloomHistory.fold(indexDeduped) { bh =>
+      val bitmap = graft.operators.Sketches.collectBloom(bh.sketch, bh.mBits)
+      indexDeduped.filter(
+        !graft.operators.Sketches.bloomProbe(col("text"), bitmap, bh.mBits, bh.kHashes, bh.salt))
+    }
     // keyed on the md5 fingerprint, not the text itself: dedup state holds
     // 32 hex chars per distinct document instead of the document
     val fp = decon.withColumn("__fp", md5(col("text")))

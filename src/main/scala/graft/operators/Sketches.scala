@@ -275,6 +275,68 @@ object Sketches {
       .select(col("__row.*"), col("might_contain"))
   }
 
+  /** Materialize a [[bloomSketch]] frame as the dense bitmap it encodes —
+    * `mBits / 32` longs each holding one 32-bit word. SMALL-BY-CONTRACT
+    * collect: the bitmap is the operator's whole memory story (mBits is a
+    * sizing knob, NEVER corpus-shaped), and the loud guard keeps a
+    * miscalibrated call from materializing gigabytes on the driver —
+    * `maxBits`'s default (2^27 = 16 MB of words) already covers ~13M
+    * history keys at 10 bits/key. */
+  def collectBloom(sketch: DataFrame, mBits: Int, maxBits: Int = 1 << 27): Array[Long] = {
+    require(mBits <= maxBits,
+      s"mBits=$mBits exceeds maxBits=$maxBits (${maxBits / 8 / 1024 / 1024} MB of bitmap); " +
+        "raise maxBits explicitly if the driver/executor heap budget allows")
+    val words = new Array[Long](mBits / 32)
+    sketch.select(col("word"), col("bits")).collect().foreach { r =>
+      words(r.getInt(0)) = r.getLong(1)
+    }
+    words
+  }
+
+  /** Per-row membership probe against a [[collectBloom]] bitmap: a pure
+    * projection — zero shuffle, zero state — so the SAME call rides a
+    * readStream (the curation `bloomHistory` leg). Decision-identical to
+    * the [[bloomMightContain]] join form (spec-pinned): the UDF recomputes
+    * the k salted 60-bit md5 positions ([[Sampling.keyHash]]'s exact
+    * arithmetic) and tests the captured bitmap. A UDF rather than a
+    * literal-array expression for the [[Dedup.stripKnownWindows]] reason:
+    * the bitmap is captured once per executor via task broadcast instead
+    * of being re-shipped as plan literals, and the probe is O(k) array
+    * reads.
+    *
+    * The bitmap is FIXED at query start — unlike the stream-static
+    * `historyIndex` anti-join, generations appended while a stream runs
+    * are not picked up until restart. */
+  def bloomProbe(
+      elem: Column,
+      bitmap: Array[Long],
+      mBits: Int,
+      kHashes: Int,
+      salt: String
+  ): Column = {
+    require(bitmap.length == mBits / 32,
+      s"bitmap has ${bitmap.length} words, expected ${mBits / 32} for mBits=$mBits")
+    val probe = udf { (s: String) =>
+      if (s == null) null.asInstanceOf[java.lang.Boolean]
+      else {
+        var r = 0; var all = true
+        while (all && r < kHashes) {
+          val md = java.security.MessageDigest.getInstance("MD5")
+            .digest((salt + r + s).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          // first 15 hex chars = top 60 bits of the digest = keyHash
+          var hv = 0L; var i = 0
+          while (i < 8) { hv = (hv << 8) | (md(i) & 0xffL); i += 1 }
+          hv = hv >>> 4
+          val pos = (hv % mBits).toInt
+          all = (bitmap(pos / 32) & (1L << (pos % 32))) != 0L
+          r += 1
+        }
+        java.lang.Boolean.valueOf(all)
+      }
+    }
+    probe(elem.cast("string"))
+  }
+
   /** Point-query a Count-Min sketch for each probe element: estimate =
     * min over the depth rows of the counter at hash_r(elem) mod width
     * (0 when a counter row is absent — an element whose buckets were

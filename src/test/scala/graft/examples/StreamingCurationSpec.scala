@@ -173,6 +173,36 @@ class StreamingCurationSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("bloomHistory drops a history re-arrival via the constant-memory bitmap probe, at zero stream state") {
+    val yesterday = "the cat and the dog is in the house of the king"
+    val fresh = "the fox and the hen is of the barn and the yard"
+    // yesterday's curated corpus, persisted as a Bloom bitmap — O(mBits)
+    // forever, vs the fingerprint index's O(history) rows
+    val m = 4096; val kh = 3
+    val sketch = graft.operators.Sketches.bloomSketch(
+      Seq((1L, yesterday)).toDF("doc_id", "text"), col("text"), m, kh, "blh")
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val streams = StreamingCuration.curate(in.toDF().toDF("doc_id", "text"),
+      bloomHistory = Some(BloomHistory(sketch, m, kh, "blh")))
+    try spark.catalog.dropTempView("scur_bloom") catch { case _: Exception => () }
+    val q = streams.survivors.writeStream
+      .format("memory").queryName("scur_bloom").outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("graft-scur-bloom").toString)
+      .start()
+    try {
+      // doc 10 re-arrives yesterday's text (no false negatives: MUST drop);
+      // 11 is new (n=1, m=4096 → fp rate ~3e-9, and this fixture is
+      // deterministic — 11 survives); 12 duplicates 11 in-stream
+      in.addData(Seq((10L, yesterday), (11L, fresh))); q.processAllAvailable()
+      in.addData(Seq((12L, fresh))); q.processAllAvailable()
+      val ids = spark.table("scur_bloom").select("doc_id").as[Long].collect().toSet
+      assert(ids == Set(11L),
+        s"bloom history re-arrival and in-stream duplicate must both drop, got $ids")
+    } finally q.stop()
+  }
+
   test("nearDupHistory flags a VERIFIED near-dup of an already-curated doc on the stream; resolve equals the batch index analog") {
     val oldA = "the cat and the dog is in the house of the king by the sea"
     val oldB = "the spell of the sea is the song of the deep tide at dusk"

@@ -193,6 +193,24 @@ class SketchesSpec extends AnyFunSuite {
     assert(byTag(1)) // member always true
   }
 
+  test("bloomProbe (per-row bitmap UDF) is decision-identical to the join form") {
+    val m = 2048; val kh = 3
+    val history = docs.filter(col("doc_id") % 2 === 0)
+    val sketch = Sketches.bloomSketch(history, col("text"), m, kh, "blx")
+    val joinForm = Sketches.bloomMightContain(
+      sketch, docs.select(col("doc_id"), col("text")), "text", m, kh, "blx")
+      .select(col("doc_id"), col("might_contain")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val bitmap = Sketches.collectBloom(sketch, m)
+    val exprForm = docs
+      .select(col("doc_id"), Sketches.bloomProbe(col("text"), bitmap, m, kh, "blx").as("mc"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(exprForm == joinForm)
+    // collectBloom guard is loud, not silent
+    val e = intercept[IllegalArgumentException](Sketches.collectBloom(sketch, m, maxBits = 32))
+    assert(e.getMessage.contains("maxBits"))
+  }
+
   test("CMS lookup of an element absent from every bucket estimates 0") {
     val d = 2; val w = 64
     val sketch = Sketches.cmsSketch(Seq("a", "b").toDF("e"), col("e"), d, w, "cms0")
