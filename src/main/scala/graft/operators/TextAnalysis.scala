@@ -495,6 +495,73 @@ object TextAnalysis {
       .select(col(queryIdCol), col("__kv._2").as(docIdCol), col("__kv._1").as("rrf_score"))
   }
 
+  /** Retrieval-quality evaluation — recall@k, MRR@k, nDCG@k per query — the
+    * closing piece of the retrieval family ([[bm25TopK]],
+    * [[reciprocalRankFusion]], the ANN operators): a curation deployment
+    * that retrieves at 100 TB needs its ranking quality MEASURED at the
+    * same scale.
+    *
+    * `ranked` is any (queryId, docId, score) frame (the retrieval
+    * operators' output shape); `qrels` is (queryId, docId, rel) graded
+    * relevance with rel > 0 = relevant (linear nDCG gains — graded labels
+    * contribute proportionally). Ranks are recomputed here by
+    * (score desc, docId asc) — the engine-independent tie rule every
+    * ranking operator in this file uses — rather than trusted from row
+    * order, so the metrics are well-defined for any input frame.
+    *
+    * Scale shape: the per-query windows run over PARAMETER-BOUNDED groups
+    * by contract — `ranked` carries ≤ producer-k rows per query and qrels
+    * is an eval set (labeled by humans or a planted fixture, never
+    * corpus-shaped), so no hot-key group exists; everything else is keyed
+    * joins and aggregations on (queryId, docId). Metric definitions:
+    * recall@k = |retrieved∩relevant| / |relevant| (null when the query has
+    * no qrels); MRR@k = 1/rank of the first relevant hit, 0 when none;
+    * nDCG@k = Σ rel_r/log2(r+1) over hits ÷ the same sum over the ideal
+    * (rel-desc) ordering truncated at k, 0 when the query has no relevant
+    * docs. Output: (queryId, recall_at_k, mrr_at_k, ndcg_at_k).
+    */
+  def retrievalMetrics(
+      ranked: DataFrame,
+      queryIdCol: String,
+      docIdCol: String,
+      scoreCol: String,
+      qrels: DataFrame,
+      relCol: String,
+      k: Int
+  ): DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(queryIdCol)).orderBy(col(scoreCol).desc, col(docIdCol).asc)
+    val rk = ranked
+      .withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k)
+    val joined = rk
+      .join(qrels.select(col(queryIdCol), col(docIdCol), col(relCol).cast("double").as("__rel")),
+        Seq(queryIdCol, docIdCol), "left")
+      .withColumn("__rel", coalesce(col("__rel"), lit(0.0)))
+    val perQuery = joined.groupBy(col(queryIdCol)).agg(
+      sum(when(col("__rel") > 0, 1L).otherwise(0L)).as("__hits"),
+      // max(1/rank) over relevant hits = 1/min(rank): one aggregate, no window
+      max(when(col("__rel") > 0, lit(1.0) / col("__rank")).otherwise(0.0)).as("mrr_at_k"),
+      sum(when(col("__rel") > 0, col("__rel") / log2(col("__rank") + 1)).otherwise(0.0)).as("__dcg"))
+    // ideal DCG: qrels re-ranked by (rel desc, docId asc), truncated at k
+    val wi = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(queryIdCol)).orderBy(col(relCol).desc, col(docIdCol).asc)
+    val ideal = qrels
+      .filter(col(relCol) > 0)
+      .withColumn("__irank", row_number().over(wi))
+      .groupBy(col(queryIdCol)).agg(
+        count(lit(1)).as("__nrel"),
+        sum(when(col("__irank") <= k, col(relCol).cast("double") / log2(col("__irank") + 1))
+          .otherwise(0.0)).as("__idcg"))
+    perQuery
+      .join(ideal, Seq(queryIdCol), "left")
+      .select(col(queryIdCol),
+        (col("__hits").cast("double") / col("__nrel")).as("recall_at_k"),
+        col("mrr_at_k"),
+        when(col("__idcg") > 0, col("__dcg") / col("__idcg")).otherwise(lit(0.0)).as("ndcg_at_k"))
+  }
+
   /** Hashed-feature linear scorer — the fasttext-shaped quality classifier
     * every production corpus filter runs, as a PURE per-row expression:
     * `score = sigmoid(bias + Σ_tokens weights[bucket(token)])` with

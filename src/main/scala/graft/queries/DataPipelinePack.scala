@@ -570,6 +570,36 @@ object DataPipelinePack extends QueryPack {
         .orderBy(col("query_id"), col("doc_id"))
     }),
 
+    // Retrieval-quality evaluation over the BM25 ranking: recall@10 /
+    // MRR@10 / nDCG@10 per query against graded qrels derived
+    // deterministically in-plan (occurrences of the query's first term,
+    // capped at 3). Ranks recomputed by the engine-independent
+    // (score desc, id) rule on the scoreScale-quantized scores, so rank
+    // order — and therefore every metric — is identical in any engine.
+    // "nosuchterm" retrieves nothing and so has no output row (metrics
+    // are per-RETRIEVED-query); a query with qrels but no relevant
+    // retrieval would emit 0s.
+    "q113_retrieval_eval" -> ((s, d) => {
+      import s.implicits._
+      val queries = Seq((1L, "batch join"), (2L, "customer query table"), (3L, "nosuchterm"))
+        .toDF("query_id", "qtext")
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val ranked = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+        queries, "query_id", "qtext", k = 10, scoreScale = 4)
+      val firstTerm = queries.select(col("query_id"),
+        split(col("qtext"), " ").getItem(0).as("__term"))
+      val qrels = docs.crossJoin(firstTerm)
+        .select(col("query_id"), col("doc_id"),
+          least(size(filter(split(col("text"), " "), t => t === col("__term"))), lit(3)).as("rel"))
+        .filter(col("rel") > 0)
+      TextAnalysis.retrievalMetrics(ranked, "query_id", "doc_id", "score", qrels, "rel", k = 10)
+        .select(col("query_id"),
+          round(col("recall_at_k"), 6).as("recall_at_k"),
+          round(col("mrr_at_k"), 6).as("mrr_at_k"),
+          round(col("ndcg_at_k"), 6).as("ndcg_at_k"))
+        .orderBy(col("query_id"))
+    }),
+
     // Bigram LM self-perplexity (the CCNet statistical quality signal):
     // add-1-smoothed bigram model trained on the corpus scoring the corpus.
     "q95_bigram_ppl" -> ((s, d) => {
@@ -2016,6 +2046,61 @@ object DataPipelinePack extends QueryPack {
         FROM scored)
       SELECT query_id, doc_id, round(score, 4) AS score
       FROM ranked WHERE rnk <= 10 ORDER BY query_id, doc_id""",
+
+    // q87's BM25 CTEs with quantized-selection ranking (round BEFORE the
+    // top-k cut, ties to doc_id — the scoreScale=4 contract), then the
+    // metric definitions verbatim: recall = hits/nrel, MRR = max(1/rnk)
+    // over hits, nDCG = dcg/idcg with linear gains and the ideal ranking
+    // (rel desc, doc_id) truncated at k.
+    "q113_retrieval_eval" -> """
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf
+             FROM (SELECT doc_id, unnest(w) AS term FROM toks) GROUP BY doc_id, term),
+      dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      corpus AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                        CAST(avg(len(w)) AS DOUBLE) AS avgdl FROM toks),
+      dl AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl FROM toks),
+      queries(query_id, qtext) AS (VALUES
+        (CAST(1 AS BIGINT), 'batch join'),
+        (CAST(2 AS BIGINT), 'customer query table'),
+        (CAST(3 AS BIGINT), 'nosuchterm')),
+      qterms AS (SELECT DISTINCT query_id, unnest(string_split(qtext, ' ')) AS term
+                 FROM queries),
+      scored AS (
+        SELECT q.query_id, tf.doc_id,
+               round(sum( ln(1 + (c.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                    * (tf.tf * (1.2 + 1.0))
+                    / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / c.avgdl)) ), 4) AS score
+        FROM tf JOIN qterms q USING (term) JOIN dfreq USING (term)
+             JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN corpus c
+        GROUP BY q.query_id, tf.doc_id),
+      topk AS (
+        SELECT query_id, doc_id, rnk FROM (
+          SELECT query_id, doc_id,
+                 row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+          FROM scored) WHERE rnk <= 10),
+      qr AS (SELECT f.query_id, t.doc_id,
+                    least(len(list_filter(string_split(t.text, ' '), x -> x = f.term)), 3) AS rel
+             FROM documents t
+             CROSS JOIN (SELECT query_id, string_split(qtext, ' ')[1] AS term FROM queries) f
+             WHERE len(list_filter(string_split(t.text, ' '), x -> x = f.term)) > 0),
+      j AS (SELECT k.query_id, k.rnk, coalesce(qr.rel, 0) AS rel
+            FROM topk k LEFT JOIN qr ON k.query_id = qr.query_id AND k.doc_id = qr.doc_id),
+      pq AS (SELECT query_id,
+                    sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS hits,
+                    max(CASE WHEN rel > 0 THEN 1.0 / rnk ELSE 0.0 END) AS mrr,
+                    sum(CASE WHEN rel > 0 THEN rel / log2(rnk + 1) ELSE 0.0 END) AS dcg
+             FROM j GROUP BY query_id),
+      ide AS (SELECT query_id, count(*) AS nrel,
+                     sum(CASE WHEN irank <= 10 THEN rel / log2(irank + 1) ELSE 0.0 END) AS idcg
+              FROM (SELECT query_id, rel, doc_id,
+                           row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, doc_id) AS irank
+                    FROM qr) GROUP BY query_id)
+      SELECT p.query_id,
+             round(CAST(p.hits AS DOUBLE) / ide.nrel, 6) AS recall_at_k,
+             round(p.mrr, 6) AS mrr_at_k,
+             round(CASE WHEN ide.idcg > 0 THEN p.dcg / ide.idcg ELSE 0.0 END, 6) AS ndcg_at_k
+      FROM pq p LEFT JOIN ide USING (query_id) ORDER BY p.query_id""",
 
     "q95_bigram_ppl" -> """
       WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

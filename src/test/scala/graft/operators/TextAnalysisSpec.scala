@@ -408,4 +408,27 @@ class TextAnalysisSpec extends AnyFunSuite {
       "doc_id", "text").collect()(0)
     assert(r.getAs[Boolean]("keep"), r.toString)
   }
+
+  test("retrievalMetrics: hand-computed recall/MRR/nDCG on a planted ranking") {
+    def log2(x: Double) = math.log(x) / math.log(2.0)
+    // query 1: d1 (irrelevant) outranks d2 (rel 2); d3 is cut by k=2;
+    // d9 (rel 1) was never retrieved — recall and ideal DCG must see it
+    val ranked = Seq((1L, 1L, 3.0), (1L, 2L, 2.0), (1L, 3L, 1.0))
+      .toDF("query_id", "doc_id", "score")
+    val qrels = Seq((1L, 2L, 2), (1L, 9L, 1)).toDF("query_id", "doc_id", "rel")
+    val r = TextAnalysis.retrievalMetrics(
+      ranked, "query_id", "doc_id", "score", qrels, "rel", k = 2).collect()(0)
+    assert(r.getDouble(1) == 0.5) // 1 of 2 relevant retrieved
+    assert(r.getDouble(2) == 0.5) // first hit at rank 2
+    val dcg = 2.0 / log2(3.0)
+    val idcg = 2.0 / log2(2.0) + 1.0 / log2(3.0)
+    assert(math.abs(r.getDouble(3) - dcg / idcg) < 1e-12)
+
+    // a query with NO relevant retrieval but existing qrels: zeros, not null
+    val ranked2 = Seq((7L, 1L, 1.0)).toDF("query_id", "doc_id", "score")
+    val qrels2 = Seq((7L, 9L, 1)).toDF("query_id", "doc_id", "rel")
+    val z = TextAnalysis.retrievalMetrics(
+      ranked2, "query_id", "doc_id", "score", qrels2, "rel", k = 2).collect()(0)
+    assert(z.getDouble(1) == 0.0 && z.getDouble(2) == 0.0 && z.getDouble(3) == 0.0)
+  }
 }

@@ -123,7 +123,13 @@ class PlanAuditSpec extends AnyFunSuite {
     // broadcasting it into the probe's left join is the operator's whole
     // point (the probe side, corpus-shaped, stays unshuffled until its own
     // k-row-per-probe reduction).
-    "q112_bloom_history" -> (0, 0, 1)
+    "q112_bloom_history" -> (0, 0, 1),
+    // q113: q87's bounded BM25 quad (1 scalar BNLJ + its parameter-sized
+    // broadcasts) plus the qrels derivation — a 3-row query-term table
+    // crossJoined against the corpus (q26's intended probe shape), planned
+    // twice because qrels feeds both the hit join and the ideal-DCG
+    // aggregate. Every broadcast is query-count- or scalar-sized.
+    "q113_retrieval_eval" -> (0, 3, 5)
   )
 
   test("no query plans an unjustified cartesian / BNLJ / derived broadcast") {
