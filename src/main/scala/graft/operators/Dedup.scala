@@ -653,6 +653,34 @@ object Dedup {
     labels.select(col("__id").as(idCol), col("__label").as("cluster_id"))
   }
 
+  /** Keep the BEST-QUALITY representative of every duplicate cluster —
+    * production near-dedup keeps the highest-quality copy (longest, best
+    * quality score, freshest crawl), not the minimum id the plain keep-min
+    * tail uses. `clusters` is [[connectedComponents]] output (idCol,
+    * `cluster_id`); the winner per cluster maximizes `(quality, -id)` —
+    * quality first, ties to the SMALLEST id, so with a constant quality
+    * column this degenerates to exactly the keep-min rule.
+    *
+    * Scale shape: one keyed join docs↔clusters on id, ONE aggregation on
+    * cluster_id whose state is a single (quality, id) struct per cluster
+    * (max is associative — map-side combine applies, no window, no
+    * whole-cluster collect), then a semi join back. Hot clusters cost
+    * nothing extra.
+    */
+  def keepBestPerCluster(
+      docs: DataFrame,
+      idCol: String,
+      qualityCol: Column,
+      clusters: DataFrame
+  ): DataFrame = {
+    val winners = docs
+      .join(clusters, Seq(idCol))
+      .groupBy(col("cluster_id"))
+      .agg(max(struct(qualityCol.as("q"), (-col(idCol)).as("nid"))).as("__w"))
+      .select((-col("__w.nid")).as(idCol))
+    docs.join(winners, Seq(idCol), "left_semi")
+  }
+
   /** SimHash signature width. 60 bits, not 64: the per-token hash is the
     * 15-hex-char (60-bit) prefix of md5 — a hash every engine computes
     * identically, which is what lets the SimHash pipeline be oracle-checked

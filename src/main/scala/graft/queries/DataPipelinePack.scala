@@ -1006,6 +1006,22 @@ object DataPipelinePack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // q43's clusters resolved the way production near-dedup actually
+    // resolves them: keep the BEST copy per cluster (here: most tokens,
+    // ties to the smallest id), not the minimum id. One (quality, -id)
+    // max-struct aggregation per cluster — no window, no whole-cluster
+    // collect, hot clusters cost nothing extra.
+    "q114_dedup_keep_best" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val edges = Dedup.jaccardPairs(docs, "doc_id", "text").select("id_a", "id_b")
+      val clusters = Dedup.connectedComponents(
+        docs.select(col("doc_id")), "doc_id", edges, "id_a", "id_b")
+      Dedup.keepBestPerCluster(docs.select(col("doc_id"), col("text")), "doc_id",
+        size(split(col("text"), " ")), clusters)
+        .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Salted shuffle join on a 3-value (maximally hot) key: the skew-proof
     // two-phase join must be row-for-row equal to the plain join (the oracle
     // joins directly).
@@ -2846,6 +2862,38 @@ object DataPipelinePack extends QueryPack {
         SELECT e.dst, w.label FROM walk w JOIN edges e ON w.id = e.src)
       SELECT id AS doc_id, min(label) AS cluster_id
       FROM walk GROUP BY id ORDER BY doc_id""",
+
+    // q43's recursive-CC oracle, resolved by best-copy selection: the
+    // per-cluster winner maximizes (token count, -doc_id) — same rule,
+    // expressed as a row_number over (nt DESC, doc_id).
+    "q114_dedup_keep_best" -> """
+      WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      sh AS (
+        SELECT doc_id,
+               CASE WHEN len(w) >= 3
+                    THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])
+                    ELSE [array_to_string(w, ' ')] END AS s
+        FROM toks),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE 2 * len(list_intersect(a.s, b.s)) >= len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL
+        SELECT id_b, id_a FROM pairs),
+      walk(id, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, w.label FROM walk w JOIN edges e ON w.id = e.src),
+      cl AS (SELECT id AS doc_id, min(label) AS cluster_id FROM walk GROUP BY id),
+      q AS (SELECT doc_id, len(string_split(text, ' ')) AS nt FROM documents),
+      win AS (SELECT cl.doc_id, row_number() OVER (
+                PARTITION BY cl.cluster_id ORDER BY q.nt DESC, cl.doc_id) AS rn
+              FROM cl JOIN q USING (doc_id))
+      SELECT w.doc_id, CAST(q.nt AS INTEGER) AS n_tokens
+      FROM win w JOIN q ON w.doc_id = q.doc_id
+      WHERE w.rn = 1 ORDER BY w.doc_id""",
 
     "q45_salted_join" -> """
       WITH dim(l_returnflag, flag_label) AS (

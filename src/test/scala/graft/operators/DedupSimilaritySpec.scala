@@ -686,4 +686,21 @@ class DedupSimilaritySpec extends AnyFunSuite {
       // cluster boundary are not compared, so both survive
       (14L, 0L, true), (15L, 1L, true)))
   }
+
+  test("keepBestPerCluster keeps the max-quality copy, ties to min id; constant quality = keep-min") {
+    val docs = Seq(
+      (1L, "a a"), (2L, "a a a"), (3L, "a a a"), // cluster {1,2,3}: 2 and 3 tie on quality -> 2 wins
+      (7L, "b")                                  // singleton survives
+    ).toDF("doc_id", "text")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L)).toDF("doc_id", "cluster_id")
+    val best = Dedup.keepBestPerCluster(
+      docs, "doc_id", org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.split(col("text"), " ")), clusters)
+      .select("doc_id").as[Long].collect().toSet
+    assert(best == Set(2L, 7L))
+    // constant quality degenerates to the keep-min rule
+    val keepMin = Dedup.keepBestPerCluster(docs, "doc_id", lit(1), clusters)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keepMin == Set(1L, 7L))
+  }
 }
