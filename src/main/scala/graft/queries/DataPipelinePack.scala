@@ -960,8 +960,12 @@ object DataPipelinePack extends QueryPack {
       val el = Tables.documents(s, d)
         .select(col("doc_id"), explode(Dedup.shingles(col("text"))).as("sh"))
         .select(col("sh"))
-      val sketch = Sketches.cmsSketch(el, col("sh"), d4, w, "cms9")
       val exact = el.groupBy("sh").agg(count(lit(1)).as("exact_cnt"))
+      // build from the pre-aggregated (elem, count) frame — the weighted
+      // path, spec-pinned identical to the raw build: the depth-fold
+      // explodes one row per DISTINCT shingle instead of per occurrence
+      val sketch = Sketches.cmsSketch(exact, col("sh"), d4, w, "cms9",
+        weightCol = col("exact_cnt"))
       val probes = exact.orderBy(col("exact_cnt").desc, col("sh")).limit(8)
       Sketches.cmsLookup(sketch, probes.select("sh"), "sh", d4, w, "cms9")
         .join(probes, "sh")
