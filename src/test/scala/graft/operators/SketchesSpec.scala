@@ -21,6 +21,24 @@ class SketchesSpec extends AnyFunSuite {
 
   // ------------------------------------------------------------- MinKDistinct
 
+  test("MinKDistinctLongs property: any reduce/merge interleaving equals sorted-distinct-take-k") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genCase = for {
+      k <- Gen.choose(1, 16)
+      xs <- Gen.listOf(Gen.choose(-50L, 50L)) // small range forces duplicates
+      split <- Gen.choose(0, math.max(xs.size, 1))
+    } yield (k, xs, split)
+    val prop = Prop.forAll(genCase) { case (k, xs, split) =>
+      val agg = new graft.functions.MinKDistinctLongs(k)
+      val (l, r) = xs.splitAt(split min xs.size)
+      val merged = agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+      merged == xs.distinct.sorted.take(k).toVector
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("MinKDistinctLongs keeps the k smallest DISTINCT values, sorted") {
     val agg = udaf(new graft.functions.MinKDistinctLongs(4))
     val out = Seq(9L, 3L, 3L, 7L, 1L, 9L, 5L, 1L, 8L).toDF("v")
