@@ -13,6 +13,35 @@ object TextAnalysis {
 
   def tokens(textCol: Column): Column = split(textCol, " ")
 
+  /** Codepoint-wise accent-fold map (lowercase Latin-1 Supplement +
+    * common Latin Extended-A). 1:1 by construction — `translate` cannot
+    * expand, so the ligatures œ/æ fold lossily to o/a (documented; CCNet's
+    * fold table makes the same 1:1 choice for its hot path). Kept as two
+    * parallel strings so the SAME literals drive both the Spark expression
+    * and any SQL oracle. */
+  val AccentFrom = "àáâãäåèéêëìíîïòóôõöøùúûüýÿñçšžœæ"
+  val AccentTo = "aaaaaaeeeeiiiioooooouuuuyyncszoa"
+
+  /** Text normalization — the C4/CCNet prep step (lowercase → accent fold
+    * → whitespace collapse + trim) as ONE pure codegen'd column
+    * expression: no UDF, no shuffle, stream-safe, and engine-portable
+    * (`lower`/`translate`/`regexp_replace` are codepoint-wise Unicode in
+    * Spark and DuckDB alike, and `\s+` means the same ASCII class in Java
+    * regex and RE2). Lowercasing runs FIRST so the fold map only needs
+    * lowercase entries. Idempotent: applying it twice is the identity on
+    * its own output (spec-pinned).
+    */
+  def normalizeText(
+      textCol: Column,
+      lowercase: Boolean = true,
+      stripAccents: Boolean = true,
+      collapseWhitespace: Boolean = true
+  ): Column = {
+    val lowered = if (lowercase) lower(textCol) else textCol
+    val folded = if (stripAccents) translate(lowered, AccentFrom, AccentTo) else lowered
+    if (collapseWhitespace) trim(regexp_replace(folded, "\\s+", " ")) else folded
+  }
+
   /** Language stopword profiles for the heuristic scorer. Tiny on purpose —
     * profiles broadcast as literals into the expression. */
   val stopwordProfiles: Map[String, Seq[String]] = Map(

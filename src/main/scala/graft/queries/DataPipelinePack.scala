@@ -600,6 +600,19 @@ object DataPipelinePack extends QueryPack {
         .orderBy(col("query_id"))
     }),
 
+    // Text normalization (the C4/CCNet prep step): lowercase -> accent
+    // fold -> whitespace collapse as one pure codegen'd projection. Both
+    // engines plant the same accented, multi-space prefix so the fold map
+    // and the collapse are actually exercised (the synthetic corpus is
+    // ASCII), and the oracle applies the SAME literal map.
+    "q115_normalize" -> ((s, d) => {
+      val planted = concat(
+        lit("HÉLLO  WÖRLD ÀÉÎÕÜ façade œuvre\t"), col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.normalizeText(planted).as("norm"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Bigram LM self-perplexity (the CCNet statistical quality signal):
     // add-1-smoothed bigram model trained on the corpus scoring the corpus.
     "q95_bigram_ppl" -> ((s, d) => {
@@ -2121,6 +2134,18 @@ object DataPipelinePack extends QueryPack {
              round(p.mrr, 6) AS mrr_at_k,
              round(CASE WHEN ide.idcg > 0 THEN p.dcg / ide.idcg ELSE 0.0 END, 6) AS ndcg_at_k
       FROM pq p LEFT JOIN ide USING (query_id) ORDER BY p.query_id""",
+
+    // Same literal fold map (interpolated from the operator's constants),
+    // same order: lower -> translate -> collapse ('g' = global, Spark's
+    // default) -> trim. The planted prefix carries a real tab.
+    "q115_normalize" -> s"""
+      SELECT doc_id,
+             trim(regexp_replace(
+               translate(lower('HÉLLO  WÖRLD ÀÉÎÕÜ façade œuvre${"\t"}' || text),
+                         '${graft.operators.TextAnalysis.AccentFrom}',
+                         '${graft.operators.TextAnalysis.AccentTo}'),
+               '${"\\s+"}', ' ', 'g')) AS norm
+      FROM documents ORDER BY doc_id""",
 
     "q95_bigram_ppl" -> """
       WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -409,6 +409,24 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r.getAs[Boolean]("keep"), r.toString)
   }
 
+  test("normalizeText: lowercase + accent fold + whitespace collapse, idempotent") {
+    val in = Seq((1L, "  HÉLLO\t WÖRLD  ÀÉÎÕÜ façade œuvre Ñoño  ")).toDF("doc_id", "text")
+    val out = in.select(TextAnalysis.normalizeText(col("text")).as("n")).as[String].head()
+    assert(out == "hello world aeiou facade ouvre nono")
+    // idempotence: a second pass is the identity
+    val twice = in.select(TextAnalysis.normalizeText(
+      TextAnalysis.normalizeText(col("text"))).as("n")).as[String].head()
+    assert(twice == out)
+    // the fold map stays 1:1 (translate's contract)
+    assert(TextAnalysis.AccentFrom.length == TextAnalysis.AccentTo.length)
+    // stages toggle independently; the fold map is lowercase-only by
+    // design (lower runs first), so skipping lowercase leaves uppercase
+    // accents unfolded while lowercase ones still fold
+    val keepCase = in.select(TextAnalysis.normalizeText(col("text"), lowercase = false).as("n"))
+      .as[String].head()
+    assert(keepCase.contains("Ö") && keepCase.contains("facade"))
+  }
+
   test("retrievalMetrics: hand-computed recall/MRR/nDCG on a planted ranking") {
     def log2(x: Double) = math.log(x) / math.log(2.0)
     // query 1: d1 (irrelevant) outranks d2 (rel 2); d3 is cut by k=2;
