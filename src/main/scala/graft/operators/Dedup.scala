@@ -65,10 +65,13 @@ object Dedup {
     df.groupBy(col(keyCol))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("copies"))
 
-  /** Exact dedup: keep exactly the keeper row per duplicate group. */
+  /** Exact dedup: keep exactly the keeper row per duplicate group. The
+    * keeper-id set is CORPUS-SHAPED (≈ the distinct-key count) and sits
+    * under an aggregate whose static size estimate is garbage, so the
+    * semi-join is SMJ-pinned — the §8.1 derived-broadcast class. */
   def exactKeepFirst(df: DataFrame, keyCol: String, idCol: String): DataFrame =
     df.join(
-      exactGroups(df, keyCol, idCol).select(col("keep_id").as(idCol)),
+      exactGroups(df, keyCol, idCol).select(col("keep_id").as(idCol)).hint("shuffle_merge"),
       Seq(idCol),
       "left_semi")
 
@@ -710,13 +713,68 @@ object Dedup {
     votes.select(col(idCol), sig.as("simhash"))
   }
 
+  /** IDF-weighted SimHash (the Charikar/Manku production form): like
+    * [[simHash]], but each token occurrence's ±1 bit vote is scaled by an
+    * INTEGER idf weight `round(1000·ln(N/df)) + 1` from an in-plan
+    * document-frequency aggregation — rare, discriminative tokens dominate
+    * the signature instead of stopwords, which is what makes weighted
+    * SimHash separate near-dups that share only boilerplate vocabulary.
+    *
+    * Engine-exact on purpose: the weight is quantized to an integer ONCE
+    * (from `ln` of two integer counts — order-independent), so the per-bit
+    * vote sums are INTEGER sums — no float summation order anywhere, and
+    * an oracle reproduces the signature bit for bit. The `+ 1` keeps
+    * ubiquitous tokens (df = N → ln = 0) voting with weight 1, exactly the
+    * unweighted behaviour — so on a corpus where every token has equal df
+    * the signature degenerates to [[simHash]]'s (spec-pinned).
+    *
+    * Shape at 100 TB: df is ONE keyed aggregation over row-local distinct
+    * tokens (map-side combine; a stopword's billions of occurrences
+    * collapse to one row per map partition), the weight join back to token
+    * occurrences is SMJ-pinned (both sides corpus-shaped and derived —
+    * the static estimate under an explode is garbage, see
+    * [[nearDupPairs]]), N rides as a 1-row scalar, and the vote aggregate
+    * is the same single keyed pass as [[simHash]].
+    */
+  def simHashWeighted(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = withComputeParallelism(df.select(col(idCol), col(textCol)))
+    val dfCounts = base
+      .select(col(idCol), explode(array_distinct(split(col(textCol), " "))).as("__tok"))
+      .groupBy("__tok").agg(count(lit(1)).as("__df"))
+    val n = base.agg(count(lit(1)).as("__n"))
+    val weighted = base
+      .select(col(idCol), explode(split(col(textCol), " ")).as("__tok"))
+      .join(dfCounts.hint("shuffle_merge"), Seq("__tok"))
+      .crossJoin(n)
+      .withColumn("__w",
+        round(log(col("__n").cast("double") / col("__df").cast("double")) * 1000, 0)
+          .cast("long") + 1L)
+      .withColumn("__h",
+        conv(substring(md5(col("__tok")), 1, SimHashBits / 4), 16, 10).cast("long"))
+    val voteAggs = (0 until SimHashBits).map { i =>
+      sum(when(shiftright(col("__h"), i).bitwiseAND(1) === 1, col("__w"))
+        .otherwise(-col("__w"))).as(s"v$i")
+    }
+    val votes = weighted.groupBy(col(idCol)).agg(voteAggs.head, voteAggs.tail: _*)
+    val sig = (0 until SimHashBits)
+      .map(i => when(col(s"v$i") >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+      .reduce(_.bitwiseOR(_))
+    votes.select(col(idCol), sig.as("simhash"))
+  }
+
   /** SimHash near-dup pairs with hamming distance <= maxHamming (<= 3 for
     * the 4x15-bit chunk bucketing to be exhaustive by pigeonhole). Candidate
     * generation shuffles on 15-bit chunk values — never all-pairs.
     */
-  def simHashNearDupPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+  def simHashNearDupPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame =
+    simHashPairsFromSignatures(simHash(df, idCol, textCol), idCol, maxHamming)
+
+  /** The chunk-bucketed pair search over an ALREADY-COMPUTED signature
+    * frame (`(idCol, simhash)` — [[simHash]] or [[simHashWeighted]]
+    * output): exposed so the weighted form, persisted signature tables,
+    * and streamed signatures all share one candidate path. */
+  def simHashPairsFromSignatures(sig: DataFrame, idCol: String, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-chunk bucketing is only exhaustive for hamming <= 3")
-    val sig = simHash(df, idCol, textCol)
     val chunkBits = SimHashBits / 4
     val chunks = (0 until 4).map(i => shiftright(col("simhash"), i * chunkBits).bitwiseAND((1L << chunkBits) - 1))
     val banded = sig.select(col(idCol), col("simhash"), posexplode(array(chunks: _*)).as(Seq("__chunk", "__cv")))

@@ -622,6 +622,100 @@ object TextAnalysis {
       .drop("__toks")
   }
 
+  /** Distributed multinomial Naive-Bayes TRAINER for the hashed-feature
+    * quality gate — the missing half of [[hashedLinearScore]] (whose
+    * scaladoc says "train the weights offline"; this is that trainer, in
+    * the engine). Given labeled documents (curated = positive, raw =
+    * negative — the fasttext-classifier setup CCNet/GPT-3-style corpus
+    * filters use), produces one log-odds weight per hash bucket:
+    *
+    *   weight_b = ln((cpos_b + α) / (Tpos + α·B)) − ln((cneg_b + α) / (Tneg + α·B))
+    *
+    * with per-class add-α smoothing over the B-bucket vocabulary. Scoring
+    * a document by summing these weights over its token buckets (exactly
+    * what [[hashedLinearScore]] does) computes the NB log-posterior-odds —
+    * a linear classifier whose training is PURE COUNTING.
+    *
+    * Why NB and not gradient descent at 100 TB: the gradient of a logistic
+    * loss is a corpus-sum of per-row FLOATS under the current weights —
+    * iteration-serial, summation-order-dependent, and engine-divergent.
+    * NB training is ONE pass: a single keyed integer aggregation
+    * (map-side combine; ≤ B rows out regardless of corpus size) plus a
+    * B-row domain join, and every weight is a float derived once from
+    * integer counts — order-independent, oracle-reproducible bucket for
+    * bucket. The bucket hash is the same md5-mod-B family as
+    * [[hashedLinearScore]] and [[Sampling.keyHash]], so trainer and scorer
+    * agree on features by construction.
+    *
+    * Output: (bucket int, cpos long, cneg long, weight double) — all B
+    * buckets present (absent buckets carry the α-only weight). Rows with a
+    * NULL label are excluded from both classes (documented, not silent:
+    * the counts only cover labeled rows).
+    */
+  def trainNaiveBayesWeights(
+      df: DataFrame,
+      textCol: String,
+      labelCol: Column,
+      buckets: Int,
+      alpha: Double = 1.0
+  ): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    require(alpha > 0.0, s"alpha must be positive, got $alpha")
+    val bucketed = df
+      .select(labelCol.cast("boolean").as("__pos"), explode(tokens(col(textCol))).as("__t"))
+      .select(col("__pos"),
+        (conv(substring(md5(col("__t")), 1, 15), 16, 10).cast("long") % buckets).cast("int")
+          .as("bucket"))
+    val counts = bucketed.groupBy("bucket").agg(
+      sum(when(col("__pos") === true, 1L).otherwise(0L)).as("cpos"),
+      sum(when(col("__pos") === false, 1L).otherwise(0L)).as("cneg"))
+    // scalar totals: a 1-row aggregate over the ≤ B-row counts frame —
+    // in-plan, broadcast by construction (PlanAudit: scalar class)
+    val totals = counts.agg(sum("cpos").as("__tpos"), sum("cneg").as("__tneg"))
+    val aB = alpha * buckets
+    df.sparkSession.range(buckets).select(col("id").cast("int").as("bucket"))
+      .join(counts, Seq("bucket"), "left")
+      .na.fill(0L, Seq("cpos", "cneg"))
+      .crossJoin(totals)
+      .select(
+        col("bucket"), col("cpos"), col("cneg"),
+        (log((col("cpos") + lit(alpha)) / (col("__tpos") + lit(aB))) -
+          log((col("cneg") + lit(alpha)) / (col("__tneg") + lit(aB)))).as("weight"))
+  }
+
+  /** Class prior from the labeled corpus: (n_pos, n_neg, bias) with
+    * bias = ln(n_pos / n_neg) — the intercept [[hashedLinearScore]] takes.
+    * One scalar aggregation; both counts integer-exact. */
+  def naiveBayesPrior(df: DataFrame, labelCol: Column): DataFrame =
+    df.agg(
+      sum(when(labelCol.cast("boolean") === true, 1L).otherwise(0L)).as("n_pos"),
+      sum(when(labelCol.cast("boolean") === false, 1L).otherwise(0L)).as("n_neg"))
+      .select(col("n_pos"), col("n_neg"),
+        log(col("n_pos").cast("double") / col("n_neg").cast("double")).as("bias"))
+
+  /** Materialize a [[trainNaiveBayesWeights]] frame as the `Seq[Double]`
+    * weight vector [[hashedLinearScore]] consumes. SMALL-BY-CONTRACT
+    * collect: B rows, B a sizing knob never corpus-shaped, loud guard.
+    * Weights are ROUNDED (`roundScale` decimals) before use — the same
+    * engine-stability quantization as `scoreScale` on [[bm25TopK]]: the
+    * model both engines score with is the rounded one, so a 1-ulp `ln`
+    * divergence cannot leak into downstream scores. */
+  def collectNaiveBayesModel(
+      weightsDf: DataFrame,
+      buckets: Int,
+      roundScale: Int = 6,
+      maxBuckets: Int = 1 << 16
+  ): Seq[Double] = {
+    require(buckets <= maxBuckets,
+      s"buckets=$buckets exceeds maxBuckets=$maxBuckets; a hashed-feature model is " +
+        "parameter-sized by contract — raise maxBuckets explicitly if the heap budget allows")
+    val w = new Array[Double](buckets)
+    weightsDf.select(col("bucket"), round(col("weight"), roundScale).as("w"))
+      .collect()
+      .foreach(r => w(r.getInt(0)) = r.getDouble(1))
+    w.toSeq
+  }
+
   /** PII scrubbing — the safety pass every training corpus gets before the
     * tokenizer sees it. Pure `regexp_replace`/`regexp_count` expressions
     * (vectorized, pushdown-friendly); patterns are RE2-compatible (no
@@ -740,6 +834,39 @@ object TextAnalysis {
     // explode->distinct chain) is garbage, so pin the anti-join to
     // sort-merge rather than let the planner broadcast it
     df.join(hit.hint("shuffle_merge"), Seq(idCol), "left_anti")
+  }
+
+  /** URL canonicalization — the crawl-dedup normalizer that makes
+    * `http://WWW.Example.com/a/?b=2&a=1&utm_source=x#frag` and
+    * `https://example.com/a?a=1&b=2` the SAME document key. Every crawl
+    * pipeline runs this before exact URL dedup: without it, scheme/case/
+    * tracking-param noise splinters each page into several "distinct"
+    * URLs and the dedup silently keeps all of them.
+    *
+    * Steps (each a pure RE2-portable regexp/array expression — one
+    * codegen'd projection, zero shuffle, stream-safe):
+    * fragment stripped → scheme stripped → host lowercased, `www.`
+    * prefix and default `:80`/`:443` ports dropped → trailing slashes
+    * trimmed from the path (path CASE IS KEPT — only the host is
+    * case-insensitive per RFC 3986) → query params sorted
+    * lexicographically with `utm_*` tracking params and empties dropped.
+    * Deterministic: `array_sort` on ASCII param strings is codepoint
+    * order in any engine.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(trim(url), "#.*", "")
+    val noScheme = regexp_replace(noFrag, "(?i)^https?://", "")
+    val host = regexp_replace(
+      regexp_replace(lower(regexp_extract(noScheme, "^([^/?]*)", 1)), "^www\\.", ""),
+      ":(80|443)$", "")
+    val rest = regexp_replace(noScheme, "^[^/?]*", "")
+    val path = regexp_replace(regexp_extract(rest, "^([^?]*)", 1), "/+$", "")
+    val query = regexp_extract(rest, "\\?(.*)", 1)
+    val params = filter(split(query, "&"),
+      p => not(p.startsWith("utm_") || p === lit("")))
+    val sortedQ = array_join(array_sort(params), "&")
+    concat(host, path,
+      when(length(sortedQ) > 0, concat(lit("?"), sortedQ)).otherwise(lit("")))
   }
 
   /** Document fingerprints:

@@ -613,6 +613,69 @@ object DataPipelinePack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Naive-Bayes TRAINING of the hashed quality weights (the missing half
+    // of q92's inference pass): label = (lang = 'en'), 64 buckets, add-1
+    // smoothing. Every weight is ln of integer-count ratios — one keyed
+    // integer aggregation plus a 64-row domain join; the oracle rebuilds
+    // the counts and weights bucket for bucket.
+    "q116_nb_train" -> ((s, d) => {
+      TextAnalysis.trainNaiveBayesWeights(
+        Tables.documents(s, d).select(col("text"), col("lang")),
+        "text", col("lang") === "en", buckets = 64)
+        .select(col("bucket"), col("cpos"), col("cneg"), round(col("weight"), 6).as("weight"))
+        .orderBy(col("bucket"))
+    }),
+
+    // TRAINED-model quality scoring end to end: train NB weights on the
+    // (lang = 'en') label, collect the parameter-sized model (rounded to 6
+    // decimals — the quantization BOTH engines score with), and run q92's
+    // inference pass with the ln-prior bias. Pins the trainer→scorer
+    // contract (bucket hash, weight order, bias) in one oracle.
+    "q117_nb_quality" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"), col("lang"))
+      val weights = TextAnalysis.collectNaiveBayesModel(
+        TextAnalysis.trainNaiveBayesWeights(docs, "text", col("lang") === "en", buckets = 64),
+        buckets = 64)
+      val bias = TextAnalysis.naiveBayesPrior(docs, col("lang") === "en")
+        .select(round(col("bias"), 6)).head().getDouble(0)
+      TextAnalysis.hashedLinearScore(docs.select(col("doc_id"), col("text")),
+        "doc_id", "text", weights, bias)
+        .select(col("doc_id"), col("quality_score"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // URL canonicalization + canonical-URL dedup (the crawl-dedup key
+    // normalizer): four planted variants per URL group — scheme/case noise,
+    // www prefix, default port, trailing slash, unsorted + utm_ params,
+    // fragments — collapse to two canonical forms per group (with-query and
+    // without); exactKeepFirst keeps the lowest doc_id per canonical. The
+    // oracle applies the SAME regexp/list chain.
+    "q118_url_dedup" -> ((s, d) => {
+      val g = col("doc_id") % 50
+      val url = when(col("doc_id") % 4 === 0,
+          concat(lit("HTTP://WWW.example"), g, lit(".com/Path/A/?b=2&a=1&utm_source=x#frag")))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("https://example"), g, lit(".com/Path/A?a=1&b=2")))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("http://Example"), g, lit(".com:80/Path/A/")))
+        .otherwise(
+          concat(lit("https://www.example"), g, lit(".com/Path/A#top")))
+      val withCanon = Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.canonicalizeUrl(url).as("canonical"))
+      Dedup.exactKeepFirst(withCanon, "canonical", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+    // IDF-weighted SimHash signatures (the Charikar/Manku production form):
+    // integer-quantized idf weights from an in-plan df aggregation, so the
+    // per-bit vote sums stay integer-exact and the generated oracle
+    // reproduces every signature bit for bit.
+    "q119_simhash_idf" -> ((s, d) => {
+      Dedup.simHashWeighted(Tables.documents(s, d).select(col("doc_id"), col("text")),
+        "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // Bigram LM self-perplexity (the CCNet statistical quality signal):
     // add-1-smoothed bigram model trained on the corpus scoring the corpus.
     "q95_bigram_ppl" -> ((s, d) => {
@@ -1326,6 +1389,34 @@ object DataPipelinePack extends QueryPack {
       ORDER BY id_a, id_b"""
   }
 
+  private def simhashWeightedOracle: String = {
+    val bits = graft.operators.Dedup.SimHashBits
+    val votes = (0 until bits)
+      .map(i => s"sum(CASE WHEN (th >> $i) & 1 = 1 THEN w ELSE -w END) AS v$i")
+      .mkString(",\n               ")
+    val sig = (0 until bits)
+      .map(i => s"(CASE WHEN v$i >= 0 THEN ${1L << i} ELSE 0 END)")
+      .mkString(" + ")
+    s"""
+      WITH dt AS (
+        SELECT DISTINCT doc_id, tok FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+      dfc AS (SELECT tok, count(*) AS df FROM dt GROUP BY tok),
+      n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+      toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      h AS (
+        SELECT t.doc_id,
+               CAST(concat('0x', substring(md5(t.tok), 1, ${bits / 4})) AS BIGINT) AS th,
+               CAST(round(ln(n.n / dfc.df) * 1000, 0) AS BIGINT) + 1 AS w
+        FROM toks t JOIN dfc ON t.tok = dfc.tok CROSS JOIN n),
+      votes AS (
+        SELECT doc_id,
+               $votes
+        FROM h GROUP BY doc_id)
+      SELECT doc_id, $sig AS simhash FROM votes ORDER BY doc_id"""
+  }
+
   /** DuckDB form of [[Sampling.keyHash]]: same md5 60-bit prefix, same
     * integer threshold literals — the comparison is integer-exact on both
     * engines, so the oracle is the definition, not an approximation. */
@@ -1802,6 +1893,8 @@ object DataPipelinePack extends QueryPack {
                AS dup_ngram_frac
       FROM g ORDER BY doc_id""",
     "q32_dedup_simhash" -> simhashOracle,
+
+    "q119_simhash_idf" -> simhashWeightedOracle,
     "q33_ann_lsh" -> lshAnnOracle,
     "q106_jl_project" -> jlProjectOracle,
     "q107_jl_ann" -> jlAnnOracle,
@@ -2146,6 +2239,94 @@ object DataPipelinePack extends QueryPack {
                          '${graft.operators.TextAnalysis.AccentTo}'),
                '${"\\s+"}', ' ', 'g')) AS norm
       FROM documents ORDER BY doc_id""",
+
+    "q116_nb_train" -> """
+      WITH toks AS (SELECT lang = 'en' AS pos, unnest(string_split(text, ' ')) AS t
+                    FROM documents),
+      b AS (SELECT pos,
+                   CAST(CAST(concat('0x', substring(md5(t), 1, 15)) AS BIGINT) % 64
+                        AS INTEGER) AS bucket
+            FROM toks),
+      c AS (SELECT bucket,
+                   sum(CASE WHEN pos THEN 1 ELSE 0 END) AS cpos,
+                   sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS cneg
+            FROM b GROUP BY bucket),
+      tot AS (SELECT sum(cpos) AS tpos, sum(cneg) AS tneg FROM c),
+      dom AS (SELECT unnest(range(0, 64)) AS bucket)
+      SELECT CAST(dom.bucket AS INTEGER) AS bucket,
+             CAST(coalesce(c.cpos, 0) AS BIGINT) AS cpos,
+             CAST(coalesce(c.cneg, 0) AS BIGINT) AS cneg,
+             round(ln((coalesce(c.cpos, 0) + 1.0) / (tot.tpos + 64.0)) -
+                   ln((coalesce(c.cneg, 0) + 1.0) / (tot.tneg + 64.0)), 6) AS weight
+      FROM dom LEFT JOIN c USING (bucket) CROSS JOIN tot
+      ORDER BY bucket""",
+
+    "q117_nb_quality" -> """
+      WITH toksl AS (SELECT lang = 'en' AS pos, unnest(string_split(text, ' ')) AS t
+                     FROM documents),
+      b AS (SELECT pos,
+                   CAST(CAST(concat('0x', substring(md5(t), 1, 15)) AS BIGINT) % 64
+                        AS INTEGER) AS bucket
+            FROM toksl),
+      c AS (SELECT bucket,
+                   sum(CASE WHEN pos THEN 1 ELSE 0 END) AS cpos,
+                   sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS cneg
+            FROM b GROUP BY bucket),
+      tot AS (SELECT sum(cpos) AS tpos, sum(cneg) AS tneg FROM c),
+      dom AS (SELECT unnest(range(0, 64)) AS bucket),
+      w AS (SELECT CAST(dom.bucket AS INTEGER) AS bucket,
+                   round(ln((coalesce(c.cpos, 0) + 1.0) / (tot.tpos + 64.0)) -
+                         ln((coalesce(c.cneg, 0) + 1.0) / (tot.tneg + 64.0)), 6) AS wt
+            FROM dom LEFT JOIN c USING (bucket) CROSS JOIN tot),
+      wl AS (SELECT list(wt ORDER BY bucket) AS wl FROM w),
+      prior AS (SELECT round(ln(
+                  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE) /
+                  sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END)), 6) AS bias
+                FROM documents),
+      toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+      SELECT doc_id,
+             round(1.0 / (1.0 + exp(-(
+               list_reduce(
+                 list_prepend(prior.bias,
+                   list_transform(tk, t -> wl.wl[
+                     CAST(CAST(concat('0x', substring(md5(t), 1, 15)) AS BIGINT) % 64
+                          AS INTEGER) + 1])),
+                 (acc, x) -> acc + x)))), 4) AS quality_score
+      FROM toks CROSS JOIN wl CROSS JOIN prior ORDER BY doc_id""",
+
+    "q118_url_dedup" -> """
+      WITH u AS (
+        SELECT doc_id,
+               CASE doc_id % 4
+                 WHEN 0 THEN 'HTTP://WWW.example' || (doc_id % 50) ||
+                             '.com/Path/A/?b=2&a=1&utm_source=x#frag'
+                 WHEN 1 THEN 'https://example' || (doc_id % 50) || '.com/Path/A?a=1&b=2'
+                 WHEN 2 THEN 'http://Example' || (doc_id % 50) || '.com:80/Path/A/'
+                 ELSE 'https://www.example' || (doc_id % 50) || '.com/Path/A#top'
+               END AS url
+        FROM documents),
+      s1 AS (SELECT doc_id, regexp_replace(trim(url), '#.*', '') AS x FROM u),
+      s2 AS (SELECT doc_id, regexp_replace(x, '(?i)^https?://', '') AS x FROM s1),
+      s3 AS (SELECT doc_id,
+                    regexp_replace(regexp_replace(
+                      lower(regexp_extract(x, '^([^/?]*)', 1)), '^www\.', ''),
+                      ':(80|443)$', '') AS host,
+                    regexp_replace(x, '^[^/?]*', '') AS rest
+             FROM s2),
+      s4 AS (SELECT doc_id, host,
+                    regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/+$', '') AS path,
+                    regexp_extract(rest, '\?(.*)', 1) AS q
+             FROM s3),
+      s5 AS (SELECT doc_id, host, path,
+                    array_to_string(list_sort(list_filter(string_split(q, '&'),
+                      p -> NOT (starts_with(p, 'utm_') OR p = ''))), '&') AS sq
+             FROM s4),
+      canon AS (SELECT doc_id,
+                       host || path ||
+                       CASE WHEN len(sq) > 0 THEN '?' || sq ELSE '' END AS canonical
+                FROM s5),
+      k AS (SELECT canonical, min(doc_id) AS doc_id FROM canon GROUP BY canonical)
+      SELECT doc_id, canonical FROM k ORDER BY doc_id""",
 
     "q95_bigram_ppl" -> """
       WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -703,4 +703,48 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(keepMin == Set(1L, 7L))
   }
+
+  test("simHashWeighted: uniform df degenerates to unweighted; rare token dominates the signature") {
+    // every doc identical -> every token has df = N -> weight = round(1000*ln(1))+1 = 1
+    // -> the weighted signature IS the unweighted one
+    val uniform = (1L to 5L).map(i => (i, "alpha beta gamma")).toDF("doc_id", "text")
+    val unweighted = Dedup.simHash(uniform, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    val weighted = Dedup.simHashWeighted(uniform, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(weighted == unweighted)
+
+    // 100 boilerplate docs + 1 doc that adds one corpus-unique token: the
+    // rare token's idf weight (~ln(101)*1000) outvotes the three weight-1
+    // stopwords on every bit, so the doc's weighted signature equals the
+    // signature of the rare token ALONE (its raw hash bits)
+    val docs = ((1L to 100L).map(i => (i, "the quick brown")) :+
+      (0L, "the quick brown zebraunique")).toDF("doc_id", "text")
+    val sig0 = Dedup.simHashWeighted(docs, "doc_id", "text")
+      .filter(col("doc_id") === 0L).select("simhash").as[Long].head()
+    val rareAlone = Dedup.simHash(Seq((0L, "zebraunique")).toDF("doc_id", "text"),
+      "doc_id", "text").select("simhash").as[Long].head()
+    assert(sig0 == rareAlone)
+    // and the unweighted signature of the same doc is NOT that (the
+    // stopwords outvote 3-to-1 per bit without idf weighting)
+    val sig0Unweighted = Dedup.simHash(docs, "doc_id", "text")
+      .filter(col("doc_id") === 0L).select("simhash").as[Long].head()
+    assert(sig0Unweighted != rareAlone)
+  }
+
+  test("simHashPairsFromSignatures over simHash output equals simHashNearDupPairs") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "completely different content here"),
+      (4L, "alpha beta gamma delta zeta")
+    ).toDF("doc_id", "text")
+    val direct = Dedup.simHashNearDupPairs(docs, "doc_id", "text")
+      .orderBy("id_a", "id_b").collect().toSeq
+    val viaSig = Dedup.simHashPairsFromSignatures(
+      Dedup.simHash(docs, "doc_id", "text"), "doc_id")
+      .orderBy("id_a", "id_b").collect().toSeq
+    assert(direct == viaSig)
+    assert(direct.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+  }
 }

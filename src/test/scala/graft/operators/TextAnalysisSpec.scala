@@ -449,4 +449,90 @@ class TextAnalysisSpec extends AnyFunSuite {
       ranked2, "query_id", "doc_id", "score", qrels2, "rel", k = 2).collect()(0)
     assert(z.getDouble(1) == 0.0 && z.getDouble(2) == 0.0 && z.getDouble(3) == 0.0)
   }
+
+  test("trainNaiveBayesWeights: complete domain, conserved counts, closed-form weights") {
+    val docs = Seq(
+      ("excellent prose with care", true),
+      ("careful excellent writing", true),
+      ("spam spam click here", false),
+      ("click spam now", false),
+      ("neutral words only", true)
+    ).toDF("text", "label")
+    val b = 8
+    val w = TextAnalysis.trainNaiveBayesWeights(docs, "text", col("label"), buckets = b)
+      .orderBy("bucket").collect()
+    // every bucket present exactly once, 0..B-1
+    assert(w.map(_.getInt(0)).toSeq == (0 until b))
+    // counts conserve the per-class token totals (tokens = whitespace split)
+    val tpos = 4 + 3 + 3 // tokens in the three positive docs
+    val tneg = 4 + 3
+    assert(w.map(_.getLong(1)).sum == tpos)
+    assert(w.map(_.getLong(2)).sum == tneg)
+    // each weight is the closed-form ln-ratio of its integer counts
+    w.foreach { r =>
+      val expected =
+        math.log((r.getLong(1) + 1.0) / (tpos + b.toDouble)) -
+          math.log((r.getLong(2) + 1.0) / (tneg + b.toDouble))
+      assert(math.abs(r.getDouble(3) - expected) < 1e-12)
+    }
+  }
+
+  test("NB-trained model separates the planted classes through hashedLinearScore") {
+    // 'spamword' appears only in negatives, 'goodword' only in positives;
+    // the trained log-odds weights must rank a fresh goodword doc above a
+    // fresh spamword doc through the SAME scorer q92 uses
+    val train = (1 to 20).map(i => (s"goodword filler$i", true)) ++
+      (1 to 20).map(i => (s"spamword filler$i", false))
+    val df = train.toDF("text", "label")
+    val b = 32
+    val weights = TextAnalysis.collectNaiveBayesModel(
+      TextAnalysis.trainNaiveBayesWeights(df, "text", col("label"), buckets = b), buckets = b)
+    val prior = TextAnalysis.naiveBayesPrior(df, col("label")).collect()(0)
+    assert(prior.getLong(0) == 20 && prior.getLong(1) == 20 && prior.getDouble(2) == 0.0)
+    val scored = TextAnalysis.hashedLinearScore(
+      Seq((1L, "goodword goodword"), (2L, "spamword spamword")).toDF("doc_id", "text"),
+      "doc_id", "text", weights, bias = prior.getDouble(2))
+      .orderBy("doc_id").collect()
+    assert(scored(0).getAs[Double]("quality_score") > scored(1).getAs[Double]("quality_score"))
+    assert(scored(0).getAs[Double]("quality_score") > 0.5)
+    assert(scored(1).getAs[Double]("quality_score") < 0.5)
+  }
+
+  test("canonicalizeUrl: variants collapse, path case kept, idempotent") {
+    val urls = Seq(
+      "HTTP://WWW.Example.com/Path/A/?b=2&a=1&utm_source=x#frag",
+      "https://example.com/Path/A?a=1&b=2",
+      "http://Example.com:80/Path/A/?utm_campaign=y&a=1&b=2",
+      "https://www.example.com:443/Path/A?b=2&a=1#top"
+    ).zipWithIndex.map { case (u, i) => (i.toLong, u) }
+    val out = urls.toDF("id", "url")
+      .select(col("id"), TextAnalysis.canonicalizeUrl(col("url")).as("c"))
+      .orderBy("id").as[(Long, String)].collect()
+    // all four variants collapse to ONE canonical form
+    assert(out.map(_._2).distinct.toSeq == Seq("example.com/Path/A?a=1&b=2"))
+
+    // path case is preserved; host case is not
+    val cased = Seq((1L, "http://HOST.COM/CaseSensitive/Path")).toDF("id", "url")
+      .select(TextAnalysis.canonicalizeUrl(col("url"))).as[String].head()
+    assert(cased == "host.com/CaseSensitive/Path")
+
+    // utm-only query drops the '?' entirely; bare host stays bare
+    val utmOnly = Seq((1L, "https://a.com/x?utm_source=s")).toDF("id", "url")
+      .select(TextAnalysis.canonicalizeUrl(col("url"))).as[String].head()
+    assert(utmOnly == "a.com/x")
+    val bare = Seq((1L, "https://a.com")).toDF("id", "url")
+      .select(TextAnalysis.canonicalizeUrl(col("url"))).as[String].head()
+    assert(bare == "a.com")
+
+    // idempotent: canonicalizing a canonical form is the identity
+    val twice = urls.toDF("id", "url")
+      .select(TextAnalysis.canonicalizeUrl(TextAnalysis.canonicalizeUrl(col("url"))).as("c"))
+      .as[String].collect()
+    assert(twice.toSeq == out.map(_._2).toSeq)
+
+    // a non-default port is KEPT (it addresses a different origin)
+    val ported = Seq((1L, "http://a.com:8080/x")).toDF("id", "url")
+      .select(TextAnalysis.canonicalizeUrl(col("url"))).as[String].head()
+    assert(ported == "a.com:8080/x")
+  }
 }

@@ -124,6 +124,17 @@ class PlanAuditSpec extends AnyFunSuite {
     // point (the probe side, corpus-shaped, stays unshuffled until its own
     // k-row-per-probe reduction).
     "q112_bloom_history" -> (0, 0, 1),
+    // q116: the NB trainer's two bounded-by-construction broadcasts — the
+    // per-bucket count table (<= buckets = 64 rows, a model parameter,
+    // regardless of corpus size) into the domain join, and the 1-row
+    // class-totals aggregate whose crossJoin is the BNLJ (q35's N class).
+    // The corpus-shaped token stream collapses in the ONE keyed counting
+    // aggregation before anything is broadcast.
+    "q116_nb_train" -> (0, 1, 2),
+    // q119: the 1-row corpus-count scalar for the idf weight (its
+    // crossJoin is the BNLJ — q35's N class). The corpus-shaped df-count
+    // join back to token occurrences is SMJ-pinned in the operator.
+    "q119_simhash_idf" -> (0, 1, 1),
     // q113: q87's bounded BM25 quad (1 scalar BNLJ + its parameter-sized
     // broadcasts) plus the qrels derivation — a 3-row query-term table
     // crossJoined against the corpus (q26's intended probe shape), planned
