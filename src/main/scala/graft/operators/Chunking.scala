@@ -126,6 +126,86 @@ object Chunking {
       .select(chunks.columns.map(col) :+ col("pack_id"): _*)
   }
 
+  /** Deterministic span corruption — the T5/BART-style denoising prep that
+    * turns a document into an (input, target) pair: token spans are masked
+    * out of the input (each whole run replaced by ONE `maskToken`) and the
+    * masked spans, in order and `sepToken`-delimited, become the target.
+    * Reassembly is lossless: the k-th mask in the input corresponds to the
+    * k-th `sepToken`-run of the target (spec-pinned).
+    *
+    * Mask selection is a pure function of (doc id, position, salt): a
+    * position STARTS a span iff its 60-bit [[Sampling.keyHash]] clears
+    * `threshold(startRate)`, and a span covers `spanTokens` positions, so
+    * overlapping spans merge into longer runs and the nominal masked
+    * fraction is `1 - (1 - startRate)^spanTokens ≈ startRate·spanTokens`.
+    * Deterministic across runs, layouts, and engines — re-running the prep
+    * regenerates byte-identical pairs, which is what makes checkpointed
+    * multi-epoch training data reproducible.
+    *
+    * Shape at 100 TB: one codegen'd per-row projection (the window test is
+    * `array_max` over a ≤ `spanTokens` slice per position — O(n·L) per
+    * row), zero shuffles, zero state: stream-safe.
+    *
+    * `sepToken`/`maskToken` must be whitespace-free (they ride the token
+    * stream). Output: (idCol, input, target, n_masked).
+    */
+  def spanCorruption(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      startRate: Double,
+      spanTokens: Int = 3,
+      salt: String = "span",
+      maskToken: String = "<MASK>",
+      sepToken: String = "<SEP>"
+  ): DataFrame = {
+    require(startRate > 0.0 && startRate < 1.0, s"startRate must be in (0, 1), got $startRate")
+    require(spanTokens >= 1, s"spanTokens must be >= 1, got $spanTokens")
+    require(!maskToken.contains(" ") && !sepToken.contains(" "),
+      "mask/sep tokens must be whitespace-free")
+    val thr = Sampling.threshold(startRate)
+    val positions = sequence(lit(1), size(col("__toks")))
+    val toks = df
+      .select(col(idCol), split(col(textCol), " ").as("__toks"))
+      .withColumn("__starts", transform(positions,
+        p => when(Sampling.keyHash(
+          concat(col(idCol).cast("string"), lit("#"), p.cast("string")), salt) < thr, 1)
+          .otherwise(0)))
+      .withColumn("__masked", transform(positions, p => {
+        val start = greatest(p - (spanTokens - 1), lit(1))
+        array_max(slice(col("__starts"), start, p - start + 1))
+      }))
+    def tokAt(p: Column) = element_at(col("__toks"), p)
+    def mAt(p: Column) = element_at(col("__masked"), p)
+    // index clamped to 1: Or does not short-circuit, and element_at(arr, 0)
+    // is an ANSI error — at p = 1 the clamp reads m[1], which the first
+    // conjunct already pins to 1, so the disjunction is decided by p === 1
+    def runStart(p: Column) =
+      (mAt(p) === 1) &&
+        (p === 1 || element_at(col("__masked"), greatest(p - 1, lit(1))) === 0)
+    val inputArr = filter(
+      transform(positions,
+        p => when(mAt(p) === 0, tokAt(p))
+          .when(runStart(p), lit(maskToken))
+          .otherwise(lit(null).cast("string"))),
+      x => x.isNotNull)
+    val targetArr = filter(
+      transform(positions,
+        p => when(mAt(p) === 1,
+          when(runStart(p), concat(lit(sepToken + " "), tokAt(p))).otherwise(tokAt(p)))
+          .otherwise(lit(null).cast("string"))),
+      x => x.isNotNull)
+    // the first masked run always opens with "<SEP> " — strip it by fixed
+    // offset (substring, not regex: sep tokens stay regex-agnostic)
+    val joinedTarget = concat_ws(" ", targetArr)
+    toks.select(
+      col(idCol),
+      concat_ws(" ", inputArr).as("input"),
+      when(length(joinedTarget) === 0, lit(""))
+        .otherwise(substring(joinedTarget, sepToken.length + 2, Int.MaxValue)).as("target"),
+      aggregate(col("__masked"), lit(0), (a, x) => a + x).as("n_masked"))
+  }
+
   /** Reassembly check aid: concatenating non-overlapping chunks in
     * chunk_idx order reconstructs the tokenized document. */
   def reassemble(chunked: DataFrame, idCol: String): DataFrame =

@@ -79,6 +79,44 @@ object Sampling {
     df.withColumn("split", labeled)
   }
 
+  /** Cluster-aware split — the eval-hygiene form of [[hashSplit]]:
+    * near-duplicate documents must all land in the SAME split, because a
+    * val/test doc with a train-side near-twin leaks evaluation content
+    * into training — the classic split-leakage bug, reintroduced at the
+    * split step whenever membership hashes the DOC id. Membership here
+    * hashes the duplicate-CLUSTER id instead: `clusters` is
+    * [[Dedup.connectedComponents]] output `(idCol, cluster_id)`; docs
+    * absent from it fall back to their own id (a singleton's cluster id
+    * IS its id under CC's min-label convention, so partial cluster
+    * tables compose correctly). Same shared-boundary literals, salt
+    * discipline, and layout/run/engine determinism as [[hashSplit]] —
+    * and with an identity cluster table the output IS [[hashSplit]]'s
+    * (spec-pinned).
+    *
+    * Shape at 100 TB: ONE keyed left join (SMJ-pinned — the cluster
+    * table is corpus-shaped and sits under aggregates, the §8.1
+    * derived-broadcast class) plus the same literal-threshold projection;
+    * stateless past the join, so membership never moves when the corpus
+    * grows (a NEW near-dup edge can merge two clusters and legitimately
+    * move the smaller cluster's docs — that is the semantics, not drift).
+    */
+  def clusterAwareSplit(
+      df: DataFrame,
+      idCol: String,
+      clusters: DataFrame,
+      splits: Seq[(String, Double)],
+      salt: String
+  ): DataFrame = {
+    val h = keyHash(coalesce(col("cluster_id"), col(idCol)), salt)
+    val labeled = splitBoundaries(splits).foldLeft(when(lit(false), lit(""))) {
+      case (c, (label, boundary)) => c.when(h < lit(boundary), lit(label))
+    }.otherwise(lit(splits.last._1))
+    df.join(clusters.select(col(idCol), col("cluster_id")).hint("shuffle_merge"),
+        Seq(idCol), "left")
+      .withColumn("split", labeled)
+      .drop("cluster_id")
+  }
+
   /** Weighted corpus mixing: each source is hash-sampled at its own rate
     * and the survivors unioned (by name) under a `source` label — the
     * training-mixture step, with every per-corpus decision as deterministic

@@ -666,6 +666,31 @@ object DataPipelinePack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Cluster-aware train/val/test split (split-leakage prevention): q43's
+    // near-dup clusters drive split membership, so no near-dup pair ever
+    // straddles train and eval. Membership hashes the CC cluster id with
+    // the shared boundary literals; the oracle reruns the recursive-CTE CC
+    // and the same hash thresholds.
+    "q120_cluster_split" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val edges = Dedup.jaccardPairs(docs, "doc_id", "text").select("id_a", "id_b")
+      val clusters = Dedup.connectedComponents(
+        docs.select(col("doc_id")), "doc_id", edges, "id_a", "id_b")
+      Sampling.clusterAwareSplit(docs.select(col("doc_id")), "doc_id", clusters,
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "csp")
+        .orderBy(col("doc_id"))
+    }),
+
+    // T5/BART-style span corruption: deterministic hash-seeded span masks,
+    // whole runs collapsed to one <MASK> in the input, masked spans joined
+    // <SEP>-delimited into the target. Pure per-row projection; the oracle
+    // replays the same hash/window/rebuild arithmetic.
+    "q121_span_corruption" -> ((s, d) => {
+      Chunking.spanCorruption(Tables.documents(s, d).select(col("doc_id"), col("text")),
+        "doc_id", "text", startRate = 0.08, spanTokens = 3, salt = "sc1")
+        .orderBy(col("doc_id"))
+    }),
+
     // IDF-weighted SimHash signatures (the Charikar/Manku production form):
     // integer-quantized idf weights from an in-plan df aggregation, so the
     // per-bit vote sums stay integer-exact and the generated oracle
@@ -1428,6 +1453,72 @@ object DataPipelinePack extends QueryPack {
   private val qualityWeights: Seq[Double] =
     (0 until 64).map(i => ((i * 37) % 21 - 10) / 10.0)
 
+  private def clusterSplitOracle: String = {
+    val whens = Sampling
+      .splitBoundaries(Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .map { case (label, b) => s"WHEN ${duckKeyHash("cc.cluster_id", "csp")} < $b THEN '$label'" }
+      .mkString(" ")
+    s"""
+      WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      sh AS (
+        SELECT doc_id,
+               CASE WHEN len(w) >= 3
+                    THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])
+                    ELSE [array_to_string(w, ' ')] END AS s
+        FROM toks),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE 2 * len(list_intersect(a.s, b.s)) >= len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL
+        SELECT id_b, id_a FROM pairs),
+      walk(id, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, w.label FROM walk w JOIN edges e ON w.id = e.src),
+      cc AS (SELECT id AS doc_id, min(label) AS cluster_id FROM walk GROUP BY id)
+      SELECT cc.doc_id, CASE $whens ELSE 'test' END AS split
+      FROM cc ORDER BY cc.doc_id"""
+  }
+
+  private def spanCorruptionOracle: String = {
+    val thr = Sampling.threshold(0.08)
+    // positions are 1-based; list_slice is INCLUSIVE-end in DuckDB, so the
+    // span window at p is list_slice(s, greatest(p-2, 1), p) for L=3 —
+    // matching Spark's slice(start, p - start + 1)
+    s"""
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      st AS (SELECT doc_id, w,
+               [CASE WHEN CAST(concat('0x', substring(md5(
+                      'sc1' || CAST(doc_id AS VARCHAR) || '#' || CAST(p AS VARCHAR)), 1, 15))
+                      AS BIGINT) < $thr THEN 1 ELSE 0 END
+                for p in range(1, len(w) + 1)] AS s
+             FROM toks),
+      mk AS (SELECT doc_id, w,
+               [CASE WHEN list_max(list_slice(s, greatest(p - 2, 1), p)) = 1
+                     THEN 1 ELSE 0 END
+                for p in range(1, len(s) + 1)] AS m
+             FROM st),
+      built AS (
+        SELECT doc_id,
+               coalesce(array_to_string(
+                 [CASE WHEN m[p] = 0 THEN w[p] ELSE '<MASK>' END
+                  for p in range(1, len(w) + 1)
+                  if m[p] = 0 OR p = 1 OR m[p - 1] = 0], ' '), '') AS input,
+               coalesce(array_to_string(
+                 [CASE WHEN p = 1 OR m[p - 1] = 0 THEN '<SEP> ' || w[p] ELSE w[p] END
+                  for p in range(1, len(w) + 1)
+                  if m[p] = 1], ' '), '') AS tgt,
+               list_sum(m) AS n_masked
+        FROM mk)
+      SELECT doc_id, input,
+             CASE WHEN len(tgt) = 0 THEN '' ELSE substring(tgt, 7) END AS target,
+             CAST(coalesce(n_masked, 0) AS INTEGER) AS n_masked
+      FROM built ORDER BY doc_id"""
+  }
+
   private def hashSampleOracle: String =
     s"""SELECT doc_id, text FROM documents
         WHERE ${duckKeyHash("doc_id", "s1")} < ${Sampling.threshold(0.2)}
@@ -1895,6 +1986,10 @@ object DataPipelinePack extends QueryPack {
     "q32_dedup_simhash" -> simhashOracle,
 
     "q119_simhash_idf" -> simhashWeightedOracle,
+
+    "q120_cluster_split" -> clusterSplitOracle,
+
+    "q121_span_corruption" -> spanCorruptionOracle,
     "q33_ann_lsh" -> lshAnnOracle,
     "q106_jl_project" -> jlProjectOracle,
     "q107_jl_ann" -> jlAnnOracle,

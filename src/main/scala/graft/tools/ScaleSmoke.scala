@@ -307,6 +307,32 @@ object ScaleSmoke {
       } finally { cached.unpersist(); () }
     }
 
+    // --- round-9 additions under the same widening ------------------------
+
+    // NB quality-model training: corpus-shaped token stream collapsing into
+    // ONE keyed counting aggregation (<= buckets rows out) — should track
+    // scan+explode speed, with the widened corpus doubling only the input.
+    time("nb train (4096 buckets)")(
+      TextAnalysis.trainNaiveBayesWeights(docs.select(col("text"), col("lang")),
+        "text", col("lang") === "en", buckets = 4096))
+
+    // IDF-weighted SimHash: the df-count aggregation plus the SMJ join back
+    // to token occurrences — every token's df multiplies by mult (hot count
+    // rows, the map-side-combine case) while the occurrence side widens too.
+    time("simhash weighted (idf)")(
+      Dedup.simHashWeighted(docs, "doc_id", "text"))
+
+    // Canonical-URL dedup: per-row canonicalization (pure regex projection)
+    // into the SMJ-pinned keep-first semi-join; the widened corpus makes
+    // every canonical key a mult-wide duplicate group (all-hot keys).
+    val urled = docs.select(col("doc_id"),
+      concat(lit("HTTP://WWW.site"), col("doc_id") % 1000,
+        lit(".com/p/"), col("doc_id") % 10, lit("/?b=2&a=1&utm_source=x")).as("url"))
+    time("canonical-url dedup")(
+      Dedup.exactKeepFirst(
+        urled.select(col("doc_id"), TextAnalysis.canonicalizeUrl(col("url")).as("canonical")),
+        "canonical", "doc_id"))
+
     spark.stop()
   }
 }

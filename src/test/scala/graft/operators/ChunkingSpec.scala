@@ -88,4 +88,44 @@ class ChunkingSpec extends AnyFunSuite {
       assert(total < 256 + maxChunk, s"pack $p overfilled: $total")
     }
   }
+
+  test("spanCorruption: lossless reassembly, mask/target correspondence, masked fraction near nominal") {
+    val docs = (1L to 200L).map(i => doc(i, 50)).toDF("doc_id", "text")
+    val out = Chunking.spanCorruption(docs, "doc_id", "text",
+      startRate = 0.1, spanTokens = 3, salt = "spec")
+      .as[(Long, String, String, Int)].collect()
+    assert(out.length == 200)
+    val originals = (1L to 200L).map(i => i -> doc(i, 50)._2).toMap
+    var totalMasked = 0L
+    out.foreach { case (id, input, target, nMasked) =>
+      // reassembly: k-th <MASK> in the input <- k-th <SEP>-run of the target
+      val spans = if (target.isEmpty) Array.empty[String] else target.split(" <SEP> ", -1)
+      val nMasks = input.split(" ", -1).count(_ == "<MASK>")
+      assert(nMasks == spans.length,
+        s"doc $id: $nMasks masks but ${spans.length} target spans")
+      val it = spans.iterator
+      val rebuilt = input.split(" ", -1)
+        .flatMap(t => if (t == "<MASK>") it.next().split(" ", -1) else Array(t))
+        .mkString(" ")
+      assert(rebuilt == originals(id), s"doc $id reassembly mismatch")
+      // n_masked counts exactly the masked tokens
+      assert(nMasked == spans.map(_.split(" ", -1).length).sum)
+      totalMasked += nMasked
+    }
+    // nominal masked fraction 1 - 0.9^3 ~ 0.271; loose band over 10k tokens
+    val frac = totalMasked.toDouble / (200 * 50)
+    assert(frac > 0.20 && frac < 0.34, s"masked fraction $frac out of band")
+
+    // determinism: a second invocation is byte-identical
+    val again = Chunking.spanCorruption(docs, "doc_id", "text",
+      startRate = 0.1, spanTokens = 3, salt = "spec")
+      .as[(Long, String, String, Int)].collect()
+    assert(again.toSeq == out.toSeq)
+
+    // a different salt draws different masks
+    val other = Chunking.spanCorruption(docs, "doc_id", "text",
+      startRate = 0.1, spanTokens = 3, salt = "spec2")
+      .as[(Long, String, String, Int)].collect()
+    assert(other.map(_._2).toSeq != out.map(_._2).toSeq)
+  }
 }

@@ -287,4 +287,35 @@ class SamplingSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Sampling.importanceScore(dsirCorpus, "id", "text", Seq.empty))
   }
+
+  test("clusterAwareSplit: no cluster straddles splits; identity clusters = hashSplit; singletons fall back") {
+    val splits = Seq("train" -> 0.5, "val" -> 0.25, "test" -> 0.25)
+    val ids = (1L to 400L)
+    val docs = ids.map(i => Tuple1(i)).toDF("doc_id")
+    // clusters of 4: ids 4k+1..4k+4 share cluster id 4k+1 (CC min-label form)
+    val clusters = ids.map(i => (i, ((i - 1) / 4) * 4 + 1)).toDF("doc_id", "cluster_id")
+    val out = Sampling.clusterAwareSplit(docs, "doc_id", clusters, splits, "cs-spec")
+      .as[(Long, String)].collect().toMap
+    // every member of a cluster lands in the SAME split
+    ids.foreach { i =>
+      val rep = ((i - 1) / 4) * 4 + 1
+      assert(out(i) == out(rep), s"doc $i split ${out(i)} != rep $rep split ${out(rep)}")
+    }
+    // and the splits genuinely differ across clusters (not all one label)
+    assert(out.values.toSet.size == 3)
+
+    // identity cluster table degenerates to hashSplit with the same salt
+    val identity = ids.map(i => (i, i)).toDF("doc_id", "cluster_id")
+    val viaClusters = Sampling.clusterAwareSplit(docs, "doc_id", identity, splits, "cs-spec")
+      .as[(Long, String)].collect().toMap
+    val plain = Sampling.hashSplit(docs, "doc_id", splits, "cs-spec")
+      .as[(Long, String)].collect().toMap
+    assert(viaClusters == plain)
+
+    // docs absent from the cluster table hash their own id (= hashSplit)
+    val partial = clusters.filter(col("doc_id") <= 200L)
+    val fellBack = Sampling.clusterAwareSplit(docs, "doc_id", partial, splits, "cs-spec")
+      .as[(Long, String)].collect().toMap
+    (201L to 400L).foreach(i => assert(fellBack(i) == plain(i)))
+  }
 }
