@@ -592,6 +592,59 @@ object Dedup {
       .select("id_a", "id_b", "inter_cnt", "union_cnt")
   }
 
+  /** Shingle CONTAINMENT pairs (Broder's directional coefficient
+    * `|A∩B| / |A|`): surfaces documents mostly CONTAINED in another —
+    * quotes, excerpts, snippet pages, prepended-boilerplate copies — which
+    * symmetric Jaccard misses by construction (a 12-token snippet of a
+    * 500-token doc has Jaccard ≈ 0.02 but containment 1.0). The standard
+    * companion gate to [[jaccardPairs]] in crawl dedup.
+    *
+    * Same two-keyed-shuffle inverted-index shape as [[jaccardPairs]]
+    * (posting lists enumerate only pairs sharing ≥ 1 shingle; per-doc set
+    * sizes ride the explode), same rational-arithmetic threshold
+    * (`inter · tauDen ≥ sz · tauNum`, integer-exact in any engine), applied
+    * in EITHER direction. `tauNum > 0` for the same posting-list reason.
+    * Output: (id_a, id_b, inter_cnt, sz_a, sz_b, cont_a, cont_b) where
+    * `cont_a` = fraction of a's shingles inside b.
+    */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      tauNum: Int = 9,
+      tauDen: Int = 10,
+      maxDocFreq: Option[Int] = None
+  ): DataFrame = {
+    require(tauNum > 0, s"containmentPairs requires tauNum > 0 (got $tauNum): " +
+      "zero-intersection pairs never share a posting list and would be missing")
+    require(tauDen > 0, s"containmentPairs requires tauDen > 0 (got $tauDen)")
+    val withShingles = projectedShingles(df, idCol, textCol, shingleN)
+    val ex = withShingles.select(
+      col(idCol),
+      size(col("__shingles")).cast("int").as("__sz"),
+      explode(col("__shingles")).as("__sh"))
+    val postings = ex
+      .groupBy(col("__sh"))
+      .agg(collect_list(struct(col(idCol).as("id"), col("__sz").as("sz"))).as("__ids"))
+      .filter(size(col("__ids")) > 1)
+    val capped = maxDocFreq.fold(postings)(cap => postings.filter(size(col("__ids")) <= cap))
+    capped
+      .select(explode(col("__ids")).as("__a"), col("__ids"))
+      .select(col("__a"), explode(col("__ids")).as("__b"))
+      .filter(col("__a.id") < col("__b.id"))
+      .groupBy(
+        col("__a.id").as("id_a"), col("__b.id").as("id_b"),
+        col("__a.sz").as("__sza"), col("__b.sz").as("__szb"))
+      .agg(count(lit(1)).cast("int").as("inter_cnt"))
+      .filter(col("inter_cnt") * tauDen >= col("__sza") * tauNum ||
+        col("inter_cnt") * tauDen >= col("__szb") * tauNum)
+      .select(col("id_a"), col("id_b"), col("inter_cnt"),
+        col("__sza").as("sz_a"), col("__szb").as("sz_b"),
+        round(col("inter_cnt").cast("double") / col("__sza"), 4).as("cont_a"),
+        round(col("inter_cnt").cast("double") / col("__szb"), 4).as("cont_b"))
+  }
+
   /** Connected components over a pair list by iterative min-label
     * propagation — turns near-dup PAIRS (any of the family above) into dedup
     * CLUSTERS: every vertex gets the smallest vertex id reachable from it.

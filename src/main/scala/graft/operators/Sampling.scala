@@ -117,6 +117,27 @@ object Sampling {
       .drop("cluster_id")
   }
 
+  /** Deterministic bottom-k sample: the `k` rows with the smallest 60-bit
+    * [[keyHash]] (ties to the smallest key) — the fixed-SIZE companion to
+    * [[deterministicSample]]'s fixed-RATE filter, for eval slices, data
+    * cards, and human audits that need "exactly k uniformly-drawn docs,
+    * the same k every run/engine/layout". MERGEABLE like a KMV sketch on
+    * rows: the bottom-k of a union is the bottom-k of the concatenated
+    * per-shard bottom-ks (spec-pinned), so daily shards keep k-row samples
+    * and a roll-up re-selects without rescanning corpora. Spark plans
+    * orderBy+limit as TakeOrdered — an O(k) heap per partition feeding one
+    * O(shards·k) driver merge, never a full sort.
+    *
+    * NOT stable under corpus growth by design (a new row hashing below the
+    * k-th displaces it — a fixed-size sample is a corpus-level constraint,
+    * [[tokenBudgetSample]]'s caveat); per-row stability wants
+    * [[deterministicSample]].
+    */
+  def bottomKSample(df: DataFrame, keyCol: String, k: Int, salt: String): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    df.orderBy(keyHash(col(keyCol), salt), col(keyCol)).limit(k)
+  }
+
   /** Weighted corpus mixing: each source is hash-sampled at its own rate
     * and the survivors unioned (by name) under a `source` label — the
     * training-mixture step, with every per-corpus decision as deterministic

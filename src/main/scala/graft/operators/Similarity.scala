@@ -511,6 +511,51 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("__sim"), 4).as("cos_sim"))
   }
 
+  /** Semantic decontamination — the EMBEDDING-level sibling of the n-gram
+    * benchmark decontamination ([[TextAnalysis]]'s decontaminate family):
+    * drop every corpus document whose embedding sits within cosine
+    * `threshold` of ANY eval-set embedding. Paraphrased benchmark items
+    * share no 8-gram with the original but land on near-identical
+    * embeddings — this is the gate that catches them.
+    *
+    * Scale shape: the eval set is benchmark-sized by contract and is
+    * EXPLICITLY broadcast (the [[TextAnalysis.filterByDomainBlocklist]]
+    * small-by-nature argument); the corpus is scanned once against it (a
+    * BNLJ over a constant-size side — q26's intended probe shape). The
+    * matched-id set is bounded by how much of the CORPUS is contaminated —
+    * potentially large and statically misestimated, so the anti-join back
+    * is SMJ-pinned (q64's discipline). The similarity test quantizes to 6
+    * decimals before the threshold compare ([[cosineNearDupPairs]]'s
+    * boundary rule), so membership is engine-stable. Zero-norm vectors
+    * have no direction (and 0/0 is an ANSI-mode error, not NaN): they are
+    * EXCLUDED from the match scan on both sides, so a zero-norm corpus
+    * vector is always KEPT (documented, not silent).
+    */
+  def semanticDecontaminate(
+      corpus: DataFrame,
+      vectorId: String,
+      vectorCol: String,
+      evalVecs: DataFrame,
+      evalId: String,
+      evalVecCol: String,
+      threshold: Double
+  ): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold must be in (0, 1], got $threshold")
+    val ev = broadcast(
+      evalVecs.select(asDouble(col(evalVecCol)).as("__ev"))
+        .withColumn("__en", norm(col("__ev")))
+        .filter(col("__en") > 0))
+    val hit = corpus
+      .select(col(vectorId), asDouble(col(vectorCol)).as("__v"))
+      .withColumn("__n", norm(col("__v")))
+      .filter(col("__n") > 0)
+      .crossJoin(ev)
+      .filter(round(fastDot(col("__v"), col("__ev")) / (col("__n") * col("__en")), 6)
+        >= threshold)
+      .select(col(vectorId)).distinct()
+    corpus.join(hit.hint("shuffle_merge"), Seq(vectorId), "left_anti")
+  }
+
   /** Deterministic distributed k-means for the IVF/SemDeDup quantizer —
     * closes the "centroids are trained offline" contract with an in-repo
     * trainer. Assignment is nearest-centroid by COSINE (argmax ties to the

@@ -196,4 +196,33 @@ object Tokenizer {
   /** `size(bpeTokens)` with an empty-document guard (0, not size(null)). */
   def bpeTokenCount(textCol: Column, merges: Seq[(String, String)]): Column =
     coalesce(size(bpeTokens(textCol, merges)), lit(0))
+
+  /** Per-group tokenizer DATA CARD — the compression summary a corpus
+    * ships with once a tokenizer is chosen: document count, total chars,
+    * total whitespace tokens, total subword tokens under the learned merge
+    * list, and chars-per-subword-token (the compression ratio training-cost
+    * estimates run on). Every ratio is ONE division of two exact integer
+    * sums ([[graft.operators.TextAnalysis.corpusStats]]'s rule — an
+    * average of per-doc doubles would be summation-order-dependent), so
+    * the card is engine-exact. One scan + one |groups|-row aggregation.
+    */
+  def compressionCard(
+      df: DataFrame,
+      textCol: String,
+      groupCol: String,
+      merges: Seq[(String, String)]
+  ): DataFrame =
+    df.select(
+        col(groupCol),
+        length(col(textCol)).as("__chars"),
+        size(split(col(textCol), " ")).as("__ws"),
+        bpeTokenCount(col(textCol), merges).as("__bpe"))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__chars").cast("long")).as("total_chars"),
+        sum(col("__ws").cast("long")).as("total_ws_tokens"),
+        sum(col("__bpe").cast("long")).as("total_bpe_tokens"),
+        round(sum(col("__chars").cast("long")).cast("double") /
+          sum(col("__bpe").cast("long")).cast("double"), 4).as("chars_per_token"))
 }

@@ -691,6 +691,52 @@ object DataPipelinePack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Semantic decontamination: the embedding-level benchmark gate — drop
+    // every corpus vector within cosine 0.3 of the 10-vector "eval set"
+    // (vec_id < 10, which also removes the eval members themselves at
+    // cosine 1). Eval side broadcast by contract; anti-join SMJ-pinned.
+    "q122_semantic_decon" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.semanticDecontaminate(e, "vec_id", "embedding",
+        e.filter(col("vec_id") < 10), "vec_id", "embedding", threshold = 0.3)
+        .select(col("vec_id"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // Tokenizer compression data card: train 2 BPE merges (q100's trainer),
+    // then per-language doc/char/whitespace/subword totals and the
+    // chars-per-token compression ratio — every ratio one division of two
+    // exact integer sums.
+    "q123_bpe_card" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = Tokenizer.mergesOf(
+        Tokenizer.trainBpe(docs.select(col("text")), "text", merges = 2))
+      Tokenizer.compressionCard(docs.select(col("text"), col("lang")), "text", "lang", merges)
+        .orderBy(col("lang"))
+    }),
+
+    // Containment pairs (Broder's directional coefficient): every 10th doc
+    // gets a planted 12-token snippet twin — near-zero Jaccard, containment
+    // 1.0 — and the inverted-index gate surfaces exactly the pairs where
+    // either direction clears 9/10. Integer-exact counts + ratios out.
+    "q124_containment" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val snippets = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat_ws(" ", slice(split(col("text"), " "), 1, 12)).as("text"))
+      Dedup.containmentPairs(docs.unionByName(snippets), "doc_id", "text",
+        shingleN = 3, tauNum = 9, tauDen = 10)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Deterministic bottom-k sample: the 100 smallest-hash docs — the
+    // fixed-size mergeable corpus sample (TakeOrdered, never a full sort).
+    "q125_bottomk_sample" -> ((s, d) => {
+      Sampling.bottomKSample(Tables.documents(s, d).select(col("doc_id")),
+        "doc_id", k = 100, salt = "bk1")
+        .orderBy(col("doc_id"))
+    }),
+
     // IDF-weighted SimHash signatures (the Charikar/Manku production form):
     // integer-quantized idf weights from an in-plan df aggregation, so the
     // per-bit vote sums stay integer-exact and the generated oracle
@@ -1519,6 +1565,12 @@ object DataPipelinePack extends QueryPack {
       FROM built ORDER BY doc_id"""
   }
 
+  private def bottomKSampleOracle: String =
+    s"""SELECT doc_id FROM (
+          SELECT doc_id FROM documents
+          ORDER BY ${duckKeyHash("doc_id", "bk1")}, doc_id LIMIT 100)
+        ORDER BY doc_id"""
+
   private def hashSampleOracle: String =
     s"""SELECT doc_id, text FROM documents
         WHERE ${duckKeyHash("doc_id", "s1")} < ${Sampling.threshold(0.2)}
@@ -1990,6 +2042,90 @@ object DataPipelinePack extends QueryPack {
     "q120_cluster_split" -> clusterSplitOracle,
 
     "q121_span_corruption" -> spanCorruptionOracle,
+
+    "q122_semantic_decon" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      ev AS (SELECT v FROM e WHERE vec_id < 10)
+      SELECT c.vec_id FROM e c
+      WHERE NOT EXISTS (
+        SELECT 1 FROM ev WHERE round(list_cosine_similarity(c.v, ev.v), 6) >= 0.3)
+      ORDER BY c.vec_id""",
+
+    "q123_bpe_card" -> """
+      WITH words AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS wc FROM (
+          SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS w
+          FROM documents)
+        WHERE len(w) > 0 GROUP BY w),
+      r0 AS (SELECT regexp_replace(w, '(.)', '|\1|', 'g') AS rep, wc FROM words),
+      t1 AS (SELECT string_split(trim(rep, '|'), '||') AS t, wc FROM r0),
+      p1 AS (SELECT t[p] AS l_sym, t[p+1] AS r_sym, CAST(sum(wc) AS BIGINT) AS pair_count
+             FROM (SELECT t, wc, unnest(generate_series(1, len(t) - 1)) AS p
+                   FROM t1 WHERE len(t) >= 2)
+             GROUP BY 1, 2),
+      b1 AS (SELECT l_sym, r_sym FROM p1
+             ORDER BY pair_count DESC, l_sym, r_sym LIMIT 1),
+      r1 AS (SELECT replace(rep,
+               '|' || (SELECT l_sym FROM b1) || '||' || (SELECT r_sym FROM b1) || '|',
+               '|' || (SELECT l_sym FROM b1) || (SELECT r_sym FROM b1) || '|') AS rep, wc
+             FROM r0),
+      t2 AS (SELECT string_split(trim(rep, '|'), '||') AS t, wc FROM r1),
+      p2 AS (SELECT t[p] AS l_sym, t[p+1] AS r_sym, CAST(sum(wc) AS BIGINT) AS pair_count
+             FROM (SELECT t, wc, unnest(generate_series(1, len(t) - 1)) AS p
+                   FROM t2 WHERE len(t) >= 2)
+             GROUP BY 1, 2),
+      b2 AS (SELECT l_sym, r_sym FROM p2
+             ORDER BY pair_count DESC, l_sym, r_sym LIMIT 1),
+      pats AS (SELECT
+        '|' || b1.l_sym || '||' || b1.r_sym || '|' AS f1,
+        '|' || b1.l_sym || b1.r_sym || '|' AS m1,
+        '|' || b2.l_sym || '||' || b2.r_sym || '|' AS f2,
+        '|' || b2.l_sym || b2.r_sym || '|' AS m2
+        FROM b1, b2),
+      per_doc AS (
+        SELECT d.lang, len(d.text) AS nc, len(string_split(d.text, ' ')) AS nw,
+               coalesce(list_sum(list_transform(
+                 [x for x in regexp_split_to_array(lower(d.text), '[^a-z0-9]+')
+                    if len(x) > 0],
+                 w -> len(string_split(trim(
+                   replace(replace(regexp_replace(w, '(.)', '|\1|', 'g'), f1, m1), f2, m2),
+                   '|'), '||')))), 0) AS nb
+        FROM documents d CROSS JOIN pats)
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(nc) AS BIGINT) AS total_chars,
+             CAST(sum(nw) AS BIGINT) AS total_ws_tokens,
+             CAST(sum(nb) AS BIGINT) AS total_bpe_tokens,
+             round(sum(nc) * 1.0 / sum(nb), 4) AS chars_per_token
+      FROM per_doc GROUP BY lang ORDER BY lang""",
+
+    "q124_containment" -> """
+      WITH base AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000,
+               array_to_string(list_slice(string_split(text, ' '), 1, 12), ' ')
+        FROM documents WHERE doc_id % 10 = 0),
+      toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM base),
+      sh AS (
+        SELECT doc_id,
+               CASE WHEN len(w) >= 3
+                    THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])
+                    ELSE [array_to_string(w, ' ')] END AS s
+        FROM toks),
+      p AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               len(list_intersect(a.s, b.s)) AS inter_cnt,
+               len(a.s) AS sz_a, len(b.s) AS sz_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      SELECT id_a, id_b, CAST(inter_cnt AS INTEGER) AS inter_cnt,
+             CAST(sz_a AS INTEGER) AS sz_a, CAST(sz_b AS INTEGER) AS sz_b,
+             round(inter_cnt * 1.0 / sz_a, 4) AS cont_a,
+             round(inter_cnt * 1.0 / sz_b, 4) AS cont_b
+      FROM p
+      WHERE inter_cnt * 10 >= sz_a * 9 OR inter_cnt * 10 >= sz_b * 9
+      ORDER BY id_a, id_b""",
+
+    "q125_bottomk_sample" -> bottomKSampleOracle,
     "q33_ann_lsh" -> lshAnnOracle,
     "q106_jl_project" -> jlProjectOracle,
     "q107_jl_ann" -> jlAnnOracle,

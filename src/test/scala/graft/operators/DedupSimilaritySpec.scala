@@ -732,6 +732,40 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(sig0Unweighted != rareAlone)
   }
 
+  test("containmentPairs finds a snippet Jaccard misses; direction and counts are exact") {
+    val big = (1 to 60).map(i => s"w$i").mkString(" ")
+    val snippet = (1 to 10).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, big), (2L, snippet), (3L, "totally unrelated content here now"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(docs, "doc_id", "text", tauNum = 9, tauDen = 10)
+      .collect()
+    assert(pairs.length == 1)
+    val p = pairs(0)
+    assert(p.getLong(0) == 1L && p.getLong(1) == 2L)
+    // snippet has 8 3-gram shingles, all inside big (58 shingles)
+    assert(p.getInt(2) == 8 && p.getInt(3) == 58 && p.getInt(4) == 8)
+    assert(p.getAs[Double]("cont_b") == 1.0)
+    // symmetric Jaccard at the usual 1/2 threshold misses this pair entirely
+    val j = Dedup.jaccardPairs(docs, "doc_id", "text", tauNum = 1, tauDen = 2).collect()
+    assert(!j.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+    intercept[IllegalArgumentException](
+      Dedup.containmentPairs(docs, "doc_id", "text", tauNum = 0))
+  }
+
+  test("semanticDecontaminate drops eval-similar vectors, keeps orthogonal and zero-norm ones") {
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)), // identical to the eval vector -> dropped
+      (2L, Seq(0.9f, 0.1f, 0.0f)), // near-parallel -> dropped
+      (3L, Seq(0.0f, 0.0f, 1.0f)), // orthogonal -> kept
+      (4L, Seq(0.0f, 0.0f, 0.0f))  // zero-norm: excluded from the scan -> kept
+    ).toDF("vec_id", "embedding")
+    val evalSet = Seq((100L, Seq(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val kept = Similarity.semanticDecontaminate(corpus, "vec_id", "embedding",
+      evalSet, "vec_id", "embedding", threshold = 0.8)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(3L, 4L))
+  }
+
   test("simHashPairsFromSignatures over simHash output equals simHashNearDupPairs") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon"),

@@ -318,4 +318,30 @@ class SamplingSpec extends AnyFunSuite {
       .as[(Long, String)].collect().toMap
     (201L to 400L).foreach(i => assert(fellBack(i) == plain(i)))
   }
+
+  test("bottomKSample: matches sort-by-hash take-k; shard samples merge losslessly; TakeOrdered plan") {
+    val ids = (1L to 500L)
+    val docs = ids.map(Tuple1(_)).toDF("doc_id")
+    val k = 40
+    val sample = Sampling.bottomKSample(docs, "doc_id", k, "bks").as[Long].collect().toSet
+    // reference: hash every id in Spark, sort locally, take k
+    val hashes = docs.select(col("doc_id"), Sampling.keyHash(col("doc_id"), "bks").as("h"))
+      .as[(Long, Long)].collect().toMap
+    val expected = ids.sortBy(i => (hashes(i), i)).take(k).toSet
+    assert(sample == expected)
+
+    // mergeable: bottom-k of per-shard bottom-ks == bottom-k of the whole
+    val shardA = docs.filter(col("doc_id") <= 250L)
+    val shardB = docs.filter(col("doc_id") > 250L)
+    val merged = Sampling.bottomKSample(
+      Sampling.bottomKSample(shardA, "doc_id", k, "bks")
+        .unionByName(Sampling.bottomKSample(shardB, "doc_id", k, "bks")),
+      "doc_id", k, "bks").as[Long].collect().toSet
+    assert(merged == sample)
+
+    // the physical plan is TakeOrdered (O(k) per partition), not a full sort
+    val plan = Sampling.bottomKSample(docs, "doc_id", k, "bks")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrdered"), s"expected TakeOrderedAndProject in:\n$plan")
+  }
 }

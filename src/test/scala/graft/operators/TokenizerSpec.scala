@@ -94,4 +94,22 @@ class TokenizerSpec extends AnyFunSuite {
       .as[Seq[String]].head()
     assert(toks == Seq("v", "ver"))
   }
+
+  test("compressionCard: integer totals and one-division ratio, per group") {
+    // merges (e,r): "er er" -> 2 subwords; "ab" -> 2 subwords a|b
+    val df = Seq(("en", "er er"), ("en", "ab"), ("de", "xyz"))
+      .toDF("lang", "text")
+    val card = Tokenizer.compressionCard(df, "text", "lang", Seq(("e", "r")))
+      .orderBy("lang").collect()
+    assert(card.length == 2)
+    val de = card(0); val en = card(1)
+    assert(de.getString(0) == "de" && de.getLong(1) == 1)
+    assert(de.getLong(2) == 3 && de.getLong(3) == 1 && de.getLong(4) == 3) // x y z unmerged
+    assert(de.getAs[Double]("chars_per_token") == 1.0)
+    assert(en.getString(0) == "en" && en.getLong(1) == 2)
+    assert(en.getLong(2) == 7)      // "er er" 5 chars + "ab" 2
+    assert(en.getLong(3) == 3)      // 2 + 1 whitespace tokens
+    assert(en.getLong(4) == 4)      // [er, er] + [a, b]
+    assert(en.getAs[Double]("chars_per_token") == 1.75)
+  }
 }

@@ -124,6 +124,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // point (the probe side, corpus-shaped, stays unshuffled until its own
     // k-row-per-probe reduction).
     "q112_bloom_history" -> (0, 0, 1),
+    // q122: the benchmark eval-embedding set broadcast-crossJoined against
+    // the corpus scan (q26's intended probe shape; eval sets are
+    // benchmark-sized by nature, q58's argument). The corpus-bounded
+    // matched-id set is SMJ-pinned in the operator (q64's discipline).
+    "q122_semantic_decon" -> (0, 1, 0),
     // q116: the NB trainer's two bounded-by-construction broadcasts — the
     // per-bucket count table (<= buckets = 64 rows, a model parameter,
     // regardless of corpus size) into the domain join, and the 1-row
