@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Table profiling — the data-quality card a corpus catalog keeps per
+  * column: row/null counts, min/max, and an HLL distinct-count estimate.
+  * The ingestion-side sibling of [[graft.operators.TextAnalysis.corpusStats]]:
+  * run it on every landed table and diff cards across vintages to catch
+  * schema drift, null storms, and cardinality explosions before a 100 TB
+  * job does.
+  *
+  * Shape: ONE unpivot scan (|cols| string-cast rows per input row) feeding
+  * two keyed aggregations — null/min/max counts, and the
+  * [[Sketches.hllRegisters]] chain keyed by column name — so per-column
+  * state is O(m) registers regardless of cardinality (a
+  * `count(DISTINCT)` per column would shuffle every distinct value; the
+  * sketch keeps the profile one bounded pass). The |cols|-row results
+  * join at the end (parameter-sized by construction).
+  *
+  * min/max compare the STRING form of every value (profile-grade
+  * lexicographic ordering, identical bytes-compare in any engine —
+  * documented: "100" < "99" as strings). Null values are excluded from
+  * the sketch and from min/max, counted in `n_nulls`.
+  *
+  * (The reference has no profiling — training-data-pipeline surface,
+  * SURVEY.md §2.3.)
+  */
+object Profiler {
+
+  def profileColumns(
+      df: DataFrame,
+      cols: Seq[String],
+      p: Int = 6,
+      salt: String = "prof"
+  ): DataFrame = {
+    require(cols.nonEmpty, "at least one column is required")
+    val asStrings = df.select(cols.map(c => col(c).cast("string").as(c)): _*)
+    val unpivoted = asStrings.unpivot(
+      Array.empty, cols.map(col).toArray, "column", "value")
+    val basic = unpivoted
+      .groupBy(col("column"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_nulls"),
+        min(col("value")).as("min_str"),
+        max(col("value")).as("max_str"))
+    val est = Sketches.hllEstimate(
+      Sketches.hllRegisters(
+        unpivoted.filter(col("value").isNotNull), Seq("column"), col("value"), p, salt),
+      Seq("column"), p)
+    basic
+      .join(est, Seq("column"), "left")
+      .select(col("column"), col("n_rows"), col("n_nulls"),
+        col("min_str"), col("max_str"),
+        round(col("hll_est"), 4).as("distinct_est"), col("zero_regs"))
+  }
+}

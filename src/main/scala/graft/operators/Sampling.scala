@@ -138,6 +138,55 @@ object Sampling {
     df.orderBy(keyHash(col(keyCol), salt), col(keyCol)).limit(k)
   }
 
+  /** Approximate quantiles from the deterministic bottom-k sample: the
+    * O(k)-memory companion to [[graft.operators.Skew]]'s exact distributed
+    * percentiles — right when the value domain is corpus-shaped (per-doc
+    * byte counts over 10B docs) and an exact value-count pre-aggregation
+    * is itself the bottleneck. The estimate is the EXACT nearest-rank
+    * quantile of the [[bottomKSample]] (a uniform sample, so standard
+    * sample-quantile error ~ O(1/sqrt(k)) around each quantile), computed
+    * at index `floor(q·(n-1)) + 1` of the value-sorted sample —
+    * deterministic and engine-exact because the sample membership is.
+    * One TakeOrdered pass + one k-bounded single-row aggregation.
+    */
+  def sampleQuantiles(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      k: Int,
+      quantiles: Seq[Double],
+      salt: String
+  ): DataFrame = {
+    require(quantiles.nonEmpty && quantiles.forall(q => q >= 0.0 && q <= 1.0),
+      "quantiles must be non-empty, each in [0, 1]")
+    bottomKSample(df.select(col(keyCol), col(valueCol)), keyCol, k, salt)
+      .agg(sort_array(collect_list(col(valueCol))).as("__s"))
+      .select(explode(typedLit(quantiles)).as("quantile"), col("__s"))
+      .select(col("quantile"),
+        element_at(col("__s"),
+          (floor(col("quantile") * (size(col("__s")) - 1)) + 1).cast("int")).as("value"))
+  }
+
+  /** Uniform k-per-group sample: [[Skew.capPerKey]] driven by the 60-bit
+    * hash instead of a semantic order column — "k uniformly-drawn docs per
+    * language/source", the per-stratum audit/eval slice. Inherits
+    * capPerKey's bounded-aggregator shape (O(k) state at every stage, no
+    * hot-group window) and [[bottomKSample]]'s determinism; group
+    * cardinality may be arbitrary (the aggregator state is per-group O(k),
+    * never corpus-shaped).
+    */
+  def groupBottomKSample(
+      df: DataFrame,
+      keyCol: String,
+      groupCols: Seq[String],
+      k: Int,
+      salt: String
+  ): DataFrame =
+    // re-select in input order: the semi join inside capPerKey puts its
+    // using-columns first, and schema order is part of the contract
+    Skew.capPerKey(df.withColumn("__h", keyHash(col(keyCol), salt)), groupCols, "__h", k)
+      .select(df.columns.map(col): _*)
+
   /** Weighted corpus mixing: each source is hash-sampled at its own rate
     * and the survivors unioned (by name) under a `source` label — the
     * training-mixture step, with every per-corpus decision as deterministic

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Chunking, Dedup, Multimodal, RangeJoin, Sampling, Similarity, Sketches, Skew, TextAnalysis, TimeSeries, Tokenizer}
+import graft.operators.{Chunking, Dedup, Multimodal, Profiler, RangeJoin, Sampling, Similarity, Sketches, Skew, TextAnalysis, TimeSeries, Tokenizer}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -734,6 +734,34 @@ object DataPipelinePack extends QueryPack {
     "q125_bottomk_sample" -> ((s, d) => {
       Sampling.bottomKSample(Tables.documents(s, d).select(col("doc_id")),
         "doc_id", k = 100, salt = "bk1")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Table profile: the per-column data-quality card — row/null counts,
+    // lexicographic min/max of the string form, and the register-exact HLL
+    // distinct estimate (p=6), all keyed by column name through one
+    // unpivot scan. The oracle rebuilds every HLL register per column.
+    "q128_table_profile" -> ((s, d) => {
+      Profiler.profileColumns(Tables.documents(s, d),
+        Seq("doc_id", "lang", "source", "n_chars"), p = 6, salt = "prof9")
+        .orderBy(col("column"))
+    }),
+
+    // Sample quantiles: nearest-rank quantiles of n_chars over the
+    // deterministic 100-doc bottom-k sample — the O(k) quantile path, with
+    // membership and estimates both engine-exact.
+    "q126_sample_quantiles" -> ((s, d) => {
+      Sampling.sampleQuantiles(Tables.documents(s, d), "doc_id", "n_chars",
+        k = 100, quantiles = Seq(0.1, 0.5, 0.9, 0.99), salt = "bk1")
+        .orderBy(col("quantile"))
+    }),
+
+    // Uniform k-per-group sample: 20 hash-drawn docs per language through
+    // the bounded capPerKey aggregator (no hot-group window); the oracle is
+    // the rank-over-hash window formulation.
+    "q127_group_sample" -> ((s, d) => {
+      Sampling.groupBottomKSample(Tables.documents(s, d).select(col("doc_id"), col("lang")),
+        "doc_id", Seq("lang"), k = 20, salt = "gs1")
         .orderBy(col("doc_id"))
     }),
 
@@ -1565,6 +1593,57 @@ object DataPipelinePack extends QueryPack {
       FROM built ORDER BY doc_id"""
   }
 
+  /** q128: per-column profile with the q110 HLL chain generated per column
+    * (p=6 -> 64 buckets, 54 w-bits, rank base 55) — registers rebuilt
+    * exactly, plus string-form min/max and null counts. */
+  private def tableProfileOracle: String = {
+    val cols = Seq("doc_id", "lang", "source", "n_chars")
+    val hUnion = cols.map(c =>
+      s"""SELECT '$c' AS "column",
+                 CAST(concat('0x', substring(md5('prof9' || CAST($c AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+          FROM documents WHERE $c IS NOT NULL""").mkString("\n          UNION ALL\n")
+    val bUnion = cols.map(c =>
+      s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+                 min(CAST($c AS VARCHAR)) AS min_str, max(CAST($c AS VARCHAR)) AS max_str
+          FROM documents""").mkString("\n          UNION ALL\n")
+    s"""
+      WITH h AS ($hUnion),
+      basic AS ($bUnion),
+      parts AS (SELECT "column", hv >> 54 AS bucket, hv & ${(1L << 54) - 1} AS w FROM h),
+      ranks AS (SELECT "column", bucket,
+              CASE WHEN w = 0 THEN 55 ELSE 55 - length(bin(w)) END AS rank FROM parts),
+      regs AS (SELECT "column", bucket, max(rank) AS reg FROM ranks GROUP BY 1, 2),
+      agg AS (SELECT "column", sum(1::BIGINT << (55 - reg)) AS z_occ, count(*) AS occ
+              FROM regs GROUP BY 1),
+      est AS (SELECT "column",
+              CAST(z_occ + (64 - occ) * (1::BIGINT << 55) AS DOUBLE) AS z,
+              64 - occ AS zeros FROM agg),
+      raws AS (SELECT "column", ${Sketches.hllAlpha(64) * 64 * 64} * ${(1L << 55).toDouble} / z AS raw, zeros
+               FROM est)
+      SELECT b."column", b.n_rows, b.n_nulls, b.min_str, b.max_str,
+             round(CASE WHEN raw <= 160.0 AND zeros > 0
+                        THEN 64.0 * ln(64.0 / CAST(zeros AS DOUBLE)) ELSE raw END, 4) AS distinct_est,
+             CAST(zeros AS INTEGER) AS zero_regs
+      FROM basic b JOIN raws USING ("column") ORDER BY b."column""""
+  }
+
+  private def sampleQuantilesOracle: String =
+    s"""WITH s AS (SELECT n_chars FROM documents
+                   ORDER BY ${duckKeyHash("doc_id", "bk1")}, doc_id LIMIT 100),
+        l AS (SELECT list(n_chars ORDER BY n_chars) AS ls, count(*) AS n FROM s),
+        qs AS (SELECT unnest([0.1, 0.5, 0.9, 0.99]) AS quantile)
+        SELECT quantile, ls[CAST(floor(quantile * (n - 1)) AS INTEGER) + 1] AS value
+        FROM qs CROSS JOIN l ORDER BY quantile"""
+
+  private def groupSampleOracle: String =
+    s"""SELECT doc_id, lang FROM (
+          SELECT doc_id, lang,
+                 rank() OVER (PARTITION BY lang
+                              ORDER BY ${duckKeyHash("doc_id", "gs1")}) AS r
+          FROM documents)
+        WHERE r <= 20 ORDER BY doc_id"""
+
   private def bottomKSampleOracle: String =
     s"""SELECT doc_id FROM (
           SELECT doc_id FROM documents
@@ -2126,6 +2205,12 @@ object DataPipelinePack extends QueryPack {
       ORDER BY id_a, id_b""",
 
     "q125_bottomk_sample" -> bottomKSampleOracle,
+
+    "q126_sample_quantiles" -> sampleQuantilesOracle,
+
+    "q128_table_profile" -> tableProfileOracle,
+
+    "q127_group_sample" -> groupSampleOracle,
     "q33_ann_lsh" -> lshAnnOracle,
     "q106_jl_project" -> jlProjectOracle,
     "q107_jl_ann" -> jlAnnOracle,

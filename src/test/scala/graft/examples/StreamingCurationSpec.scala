@@ -363,6 +363,51 @@ class StreamingCurationSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("a trainNaiveBayesWeights model drives the qualityModel leg end to end") {
+    // trained-on-batch, gated-on-stream: the q116/q117 trainer's weights
+    // feed the SAME QualityModel leg the literal-weight tests use — the
+    // train-offline / score-at-ingest deployment loop in one spec. The
+    // training frame shares a neutral sentence across classes, so neutral
+    // tokens learn ~0 log-odds and the class words dominate the score.
+    val train = ((1 to 20).map(i => (s"the excellent item x$i is of a house and", true)) ++
+      (1 to 20).map(i => (s"the spamword item x$i is of a house and", false)))
+      .toDF("text", "label")
+    val b = 16
+    val weights = TextAnalysis.collectNaiveBayesModel(
+      TextAnalysis.trainNaiveBayesWeights(train, "text", col("label"), buckets = b), buckets = b)
+    val bias = TextAnalysis.naiveBayesPrior(train, col("label"))
+      .select("bias").as[Double].head()
+    assert(bias == 0.0) // balanced classes
+
+    val goodDoc = "the excellent owl and a wren is of the wood and the glen at dusk"
+    val spamDoc = "the spamword owl and a wren is of the wood and the glen at dusk"
+    // the docs differ in ONE token, so z_good - z_spam = w(excellent) -
+    // w(spamword) > 0 regardless of which buckets the shared neutral
+    // tokens collide into (at B=16 collisions shift both scores equally);
+    // the gate sits at the measured midpoint — separation is the claim,
+    // not an absolute calibration
+    val scores = TextAnalysis.hashedLinearScore(
+        Seq((20L, goodDoc), (21L, spamDoc)).toDF("doc_id", "text"),
+        "doc_id", "text", weights, bias)
+      .orderBy("doc_id").select("quality_score").as[Double].collect()
+    assert(scores(0) > scores(1), s"trained weights must rank good over spam: ${scores.toSeq}")
+    val model = QualityModel(weights, bias, minScore = (scores(0) + scores(1)) / 2)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val streams = StreamingCuration.curate(in.toDF().toDF("doc_id", "text"),
+      qualityModel = Some(model))
+    try spark.catalog.dropTempView("scur_nbm") catch { case _: Exception => () }
+    val q = streams.survivors.writeStream
+      .format("memory").queryName("scur_nbm").outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("graft-scur-nbm").toString)
+      .start()
+    try {
+      in.addData(Seq((20L, goodDoc), (21L, spamDoc))); q.processAllAvailable()
+      val got = spark.table("scur_nbm").select("doc_id").as[Long].collect().toSet
+      assert(got == Set(20L), s"trained gate must keep the good doc, drop the spam one: $got")
+    } finally q.stop()
+  }
+
   test("windowHistory strips historical spans from arriving docs before the gates; hollowed docs fail the floor") {
     val curated = "the cat and the dog is in the house of the king by the sea"
     val index = Dedup.buildWindowIndex(

@@ -1,0 +1,39 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ProfilerSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("profileColumns: exact null/min/max accounting, sketch estimate in band, string ordering documented") {
+    val df = (1 to 100).map { i =>
+      (i.toLong, if (i % 4 == 0) null else s"cat${i % 3}")
+    }.toDF("id", "cat")
+    val prof = Profiler.profileColumns(df, Seq("id", "cat"), p = 6, salt = "ps")
+      .orderBy("column").collect()
+    assert(prof.length == 2)
+    val catRow = prof(0); val idRow = prof(1)
+
+    assert(catRow.getString(0) == "cat")
+    assert(catRow.getLong(1) == 100 && catRow.getLong(2) == 25) // every 4th null
+    assert(catRow.getString(3) == "cat0" && catRow.getString(4) == "cat2")
+    // 3 distinct values, tiny vs m=64 -> linear counting lands near-exact
+    assert(math.abs(catRow.getAs[Double]("distinct_est") - 3.0) < 1.0)
+
+    assert(idRow.getString(0) == "id")
+    assert(idRow.getLong(1) == 100 && idRow.getLong(2) == 0)
+    // min/max are STRING-ordered by contract: "1" < "100" < "99"
+    assert(idRow.getString(3) == "1" && idRow.getString(4) == "99")
+    // 100 distinct, HLL at m=64: standard error ~13%, assert a loose band
+    val est = idRow.getAs[Double]("distinct_est")
+    assert(est > 60 && est < 160, s"distinct_est $est out of band for 100")
+  }
+
+  test("profileColumns rejects an empty column list") {
+    intercept[IllegalArgumentException](
+      Profiler.profileColumns(Seq((1, "a")).toDF("a", "b"), Seq.empty))
+  }
+}

@@ -344,4 +344,30 @@ class SamplingSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrdered"), s"expected TakeOrderedAndProject in:\n$plan")
   }
+
+  test("sampleQuantiles: k >= corpus degenerates to exact nearest-rank quantiles; ends are min/max") {
+    val vals = Seq(10L, 20L, 30L, 40L, 50L, 60L, 70L, 80L, 90L, 100L)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val qs = Sampling.sampleQuantiles(df, "id", "v", k = 100,
+      quantiles = Seq(0.0, 0.5, 1.0), salt = "sq")
+      .orderBy("quantile").as[(Double, Long)].collect().toSeq
+    // n = 10: idx = floor(q*9)+1 -> q0 -> 10 (min), q0.5 -> idx 5 -> 50, q1 -> 100 (max)
+    assert(qs == Seq((0.0, 10L), (0.5, 50L), (1.0, 100L)))
+  }
+
+  test("groupBottomKSample: min(k, group size) per group, matches the rank-over-hash reference") {
+    val docs = ((1L to 100L).map(i => (i, "en")) ++ (101L to 110L).map(i => (i, "de")))
+      .toDF("doc_id", "lang")
+    val k = 15
+    val out = Sampling.groupBottomKSample(docs, "doc_id", Seq("lang"), k, "gbs")
+      .as[(Long, String)].collect()
+    val byLang = out.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byLang("en").size == 15)
+    assert(byLang("de").size == 10) // group smaller than k: whole group
+    // reference: k smallest hashes per group
+    val hashes = docs.select(col("doc_id"), Sampling.keyHash(col("doc_id"), "gbs").as("h"))
+      .as[(Long, Long)].collect().toMap
+    val expectedEn = (1L to 100L).sortBy(hashes).take(15).toSet
+    assert(byLang("en") == expectedEn)
+  }
 }

@@ -129,6 +129,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // benchmark-sized by nature, q58's argument). The corpus-bounded
     // matched-id set is SMJ-pinned in the operator (q64's discipline).
     "q122_semantic_decon" -> (0, 1, 0),
+    // q128: the profiler's final |cols|-row join (per-column basic stats
+    // with the per-column HLL estimates — both sides bounded by the
+    // PARAMETER column list, never by the corpus; the corpus-shaped
+    // unpivot stream collapses in the two keyed aggregations above it).
+    "q128_table_profile" -> (0, 0, 1),
     // q116: the NB trainer's two bounded-by-construction broadcasts — the
     // per-bucket count table (<= buckets = 64 rows, a model parameter,
     // regardless of corpus size) into the domain join, and the 1-row
