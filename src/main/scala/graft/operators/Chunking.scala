@@ -142,9 +142,18 @@ object Chunking {
     * regenerates byte-identical pairs, which is what makes checkpointed
     * multi-epoch training data reproducible.
     *
-    * Shape at 100 TB: one codegen'd per-row projection (the window test is
-    * `array_max` over a ≤ `spanTokens` slice per position — O(n·L) per
-    * row), zero shuffles, zero state: stream-safe.
+    * Shape at 100 TB: one codegen'd per-row projection — the per-position
+    * state is an INDEX-AWARE `transform` whose window test inlines ≤ 2L
+    * hash compares, so the whole pass is O(n·L) hash tests per row. The
+    * costly anti-pattern is spelled out because the first version hit it:
+    * `element_at(derivedArray, p)` INSIDE a HOF lambda re-evaluates the
+    * entire derived array per element once CollapseProject inlines the
+    * single-use projection — O(n²·L) per row, measured 34 s for 5k docs at
+    * sf0.1 where this form takes a fraction of a second. Never randomly
+    * index a derived array from a lambda; either re-derive the element
+    * from scalars (as here) or keep consumers array-at-a-time
+    * (filter/transform chains). Zero shuffles, zero state: stream-safe
+    * (spec-pinned).
     *
     * `sepToken`/`maskToken` must be whitespace-free (they ride the token
     * stream). Output: (idCol, input, target, n_masked).
@@ -164,46 +173,40 @@ object Chunking {
     require(!maskToken.contains(" ") && !sepToken.contains(" "),
       "mask/sep tokens must be whitespace-free")
     val thr = Sampling.threshold(startRate)
-    val positions = sequence(lit(1), size(col("__toks")))
-    val toks = df
-      .select(col(idCol), split(col(textCol), " ").as("__toks"))
-      .withColumn("__starts", transform(positions,
-        p => when(Sampling.keyHash(
-          concat(col(idCol).cast("string"), lit("#"), p.cast("string")), salt) < thr, 1)
-          .otherwise(0)))
-      .withColumn("__masked", transform(positions, p => {
-        val start = greatest(p - (spanTokens - 1), lit(1))
-        array_max(slice(col("__starts"), start, p - start + 1))
-      }))
-    def tokAt(p: Column) = element_at(col("__toks"), p)
-    def mAt(p: Column) = element_at(col("__masked"), p)
-    // index clamped to 1: Or does not short-circuit, and element_at(arr, 0)
-    // is an ANSI error — at p = 1 the clamp reads m[1], which the first
-    // conjunct already pins to 1, so the disjunction is decided by p === 1
-    def runStart(p: Column) =
-      (mAt(p) === 1) &&
-        (p === 1 || element_at(col("__masked"), greatest(p - 1, lit(1))) === 0)
-    val inputArr = filter(
-      transform(positions,
-        p => when(mAt(p) === 0, tokAt(p))
-          .when(runStart(p), lit(maskToken))
-          .otherwise(lit(null).cast("string"))),
-      x => x.isNotNull)
-    val targetArr = filter(
-      transform(positions,
-        p => when(mAt(p) === 1,
-          when(runStart(p), concat(lit(sepToken + " "), tokAt(p))).otherwise(tokAt(p)))
-          .otherwise(lit(null).cast("string"))),
-      x => x.isNotNull)
+    // pos1 is the 1-based position; positions < 1 test false (And does not
+    // short-circuit, but hashing "id#0" is merely wasted, never an error)
+    def startTest(pos1: Column) =
+      (pos1 >= 1) && (Sampling.keyHash(
+        concat(col(idCol).cast("string"), lit("#"), pos1.cast("string")), salt) < thr)
+    def maskedAt(pos1: Column) =
+      (0 until spanTokens).map(j => startTest(pos1 - j)).reduce(_ || _)
+    // one struct per token: (token, masked, run-start) — all from scalars
+    val marked = transform(split(col(textCol), " "), (t, i) => {
+      val p = i + 1
+      val m = maskedAt(p)
+      struct(t.as("tok"), m.as("m"), (m && !maskedAt(p - 1)).as("rs"))
+    })
+    // consumers below reference __marked several times, which keeps the
+    // projection from collapsing into the lambdas (non-cheap, multi-use)
+    val mk = col("__marked")
+    val inputArr = transform(
+      filter(mk, m => !m.getField("m") || m.getField("rs")),
+      m => when(m.getField("m"), lit(maskToken)).otherwise(m.getField("tok")))
+    val targetArr = transform(
+      filter(mk, m => m.getField("m")),
+      m => when(m.getField("rs"), concat(lit(sepToken + " "), m.getField("tok")))
+        .otherwise(m.getField("tok")))
     // the first masked run always opens with "<SEP> " — strip it by fixed
     // offset (substring, not regex: sep tokens stay regex-agnostic)
     val joinedTarget = concat_ws(" ", targetArr)
-    toks.select(
-      col(idCol),
-      concat_ws(" ", inputArr).as("input"),
-      when(length(joinedTarget) === 0, lit(""))
-        .otherwise(substring(joinedTarget, sepToken.length + 2, Int.MaxValue)).as("target"),
-      aggregate(col("__masked"), lit(0), (a, x) => a + x).as("n_masked"))
+    df.select(col(idCol), col(textCol))
+      .withColumn("__marked", marked)
+      .select(
+        col(idCol),
+        concat_ws(" ", inputArr).as("input"),
+        when(length(joinedTarget) === 0, lit(""))
+          .otherwise(substring(joinedTarget, sepToken.length + 2, Int.MaxValue)).as("target"),
+        size(filter(mk, m => m.getField("m"))).as("n_masked"))
   }
 
   /** Reassembly check aid: concatenating non-overlapping chunks in

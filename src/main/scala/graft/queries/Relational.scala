@@ -276,6 +276,42 @@ object Relational extends QueryPack {
         .orderBy($"bucket", $"event_type")
     }),
 
+    // Recursive CTE (Spark 4's UnionLoop): walk a planted management
+    // hierarchy (manager = floor(custkey / 10); custkey < 10 are roots) to
+    // each customer's root and depth — the iterative-closure SQL surface
+    // (org charts, BOM explosion, graph reachability) that previously
+    // required driver-side loops. Each recursion round is one distributed
+    // join against the frontier; depth is log10(|customers|), so the loop
+    // terminates in a handful of rounds at any scale.
+    "q129_recursive_cte" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer_rec")
+      s.sql("""
+        WITH RECURSIVE org(custkey, root, depth) AS (
+          SELECT c_custkey, c_custkey, 0 FROM customer_rec WHERE c_custkey < 10
+          UNION ALL
+          SELECT c.c_custkey, o.root, o.depth + 1
+          FROM customer_rec c JOIN org o ON c.c_custkey DIV 10 = o.custkey
+          WHERE c.c_custkey >= 10
+        )
+        SELECT custkey, root, depth FROM org ORDER BY custkey""")
+    }),
+
+    // RANGE window frame over event TIME (not rows): per event, how many
+    // of the same user's events fall in the trailing hour — the sliding
+    // time-window analytic (rate limiting, burst detection) that a
+    // rows-frame cannot express when events are irregular. Partitioned by
+    // user, so no global-window funnel.
+    "q130_range_frame" -> ((s, d) => {
+      Tables.events(s, d).select($"event_id", $"user_id", $"ts")
+        .createOrReplaceTempView("events_rf")
+      s.sql("""
+        SELECT event_id, user_id,
+               count(*) OVER (PARTITION BY user_id ORDER BY ts
+                              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+                 AS events_last_hour
+        FROM events_rf ORDER BY event_id""")
+    }),
+
     // As-of join: each event matched to the user's latest order at or before
     // the event time. Right side deduped to one order per (custkey, date).
     "q22_asof_join" -> ((s, d) => {
@@ -481,6 +517,24 @@ object Relational extends QueryPack {
              count(*) AS cnt,
              CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
       FROM events GROUP BY bucket, event_type ORDER BY bucket, event_type""",
+
+    "q129_recursive_cte" -> """
+      WITH RECURSIVE org(custkey, root, depth) AS (
+        SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey < 10
+        UNION ALL
+        SELECT c.c_custkey, o.root, o.depth + 1
+        FROM customer c JOIN org o ON c.c_custkey // 10 = o.custkey
+        WHERE c.c_custkey >= 10
+      )
+      SELECT custkey, root, CAST(depth AS INTEGER) AS depth
+      FROM org ORDER BY custkey""",
+
+    "q130_range_frame" -> """
+      SELECT event_id, user_id,
+             count(*) OVER (PARTITION BY user_id ORDER BY ts
+                            RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+               AS events_last_hour
+      FROM events ORDER BY event_id""",
 
     "q22_asof_join" -> """
       SELECT e.event_id, e.user_id, o.o_orderkey AS last_orderkey

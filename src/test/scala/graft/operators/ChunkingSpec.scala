@@ -128,4 +128,28 @@ class ChunkingSpec extends AnyFunSuite {
       .as[(Long, String, String, Int)].collect()
     assert(other.map(_._2).toSeq != out.map(_._2).toSeq)
   }
+
+  test("spanCorruption is stream-safe: the same call rides a readStream, drain equals batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = (1L to 30L).map(i => (i, doc(i, 40)._2))
+    val in = MemoryStream[(Long, String)]
+    val streamed = Chunking.spanCorruption(in.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", startRate = 0.1, spanTokens = 3, salt = "scs")
+    try spark.catalog.dropTempView("chunk_sc") catch { case _: Exception => () }
+    val q = streamed.writeStream.format("memory").queryName("chunk_sc").outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-chunk-sc").toString)
+      .start()
+    try {
+      in.addData(rows.take(15)); q.processAllAvailable()
+      in.addData(rows.drop(15)); q.processAllAvailable()
+      val streamedOut = spark.table("chunk_sc")
+        .orderBy("doc_id").as[(Long, String, String, Int)].collect().toSeq
+      val batch = Chunking.spanCorruption(rows.toDF("doc_id", "text"),
+        "doc_id", "text", startRate = 0.1, spanTokens = 3, salt = "scs")
+        .orderBy("doc_id").as[(Long, String, String, Int)].collect().toSeq
+      assert(streamedOut == batch)
+    } finally q.stop()
+  }
 }
