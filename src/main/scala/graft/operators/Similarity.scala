@@ -663,6 +663,205 @@ object Similarity {
       .select(col("cid"), col("centroid"), coalesce(col("size"), lit(0L)).as("size"))
   }
 
+  /** Product-quantization codebook training (Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search") — the memory-bound ANN
+    * scale path past [[quantizeInt8]]: split every vector into `m`
+    * subvectors of `dim/m` dims and learn an independent `ksub`-centroid
+    * codebook per subspace, so a vector stores as `m` small codes
+    * (m bytes at ksub ≤ 256 — a 64-dim float vector compresses 256→8
+    * bytes, 32×) while distances stay computable from code lookups alone
+    * ([[pqTopK]]).
+    *
+    * Determinism contract (the [[trainKMeans]] discipline): init codebook
+    * `code j` of every subspace = subvector of the (j+1)-th LOWEST-id
+    * vector; assignment is argmin squared-L2 distance with the distance
+    * QUANTIZED to 6 decimals before the compare (the expansion
+    * `‖x‖² − 2x·c + ‖c‖²` is a summation-order-sensitive float sum, so
+    * two engines can disagree at ulp scale — rounding makes the argmin
+    * engine-stable unless a true distance sits within noise of a rounding
+    * boundary), ties to the lowest code. Two runs/engines produce
+    * identical codebooks.
+    *
+    * Scale shape per Lloyd iteration: ONE corpus pass — the subspace
+    * explode emits `m` rows of `dim/m` doubles per vector (same total
+    * bytes as the input), assignment is a pure projection against literal
+    * centroids, the update one keyed aggregation to `m·ksub` partial
+    * means; only `m·ksub` rows reach the driver (small-by-contract, the
+    * [[ivfTopK]] quantizer class). Empty codes keep their previous
+    * centroid. Returns (subspace, code, centroid, size).
+    */
+  def pqTrain(
+      vectors: DataFrame,
+      vectorId: String,
+      vectorCol: String,
+      m: Int,
+      ksub: Int,
+      dim: Int,
+      iterations: Int
+  ): DataFrame = {
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    require(ksub > 0 && iterations >= 0, "ksub must be positive, iterations non-negative")
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val dsub = dim / m
+    val projected = Dedup.withComputeParallelism(
+      vectors.select(col(vectorId).cast("long").as("__id"), asDouble(col(vectorCol)).as("__v")))
+    // long-format (id, subspace, subvector) — m rows per vector, same bytes
+    val subs = projected.select(col("__id"),
+        explode(array((0 until m).map(s =>
+          struct(lit(s).as("s"), slice(col("__v"), s * dsub + 1, dsub).as("sv"))): _*)).as("__e"))
+      .select(col("__id"), col("__e.s").as("__s"), col("__e.sv").as("__sv"))
+      .withColumn("__n2", fastDot(col("__sv"), col("__sv")))
+
+    val init: Map[Int, Seq[(Long, Array[Double])]] = {
+      val got = projected.orderBy(col("__id")).limit(ksub).collect()
+      require(got.length == ksub, s"corpus has fewer than ksub=$ksub vectors")
+      (0 until m).map { s =>
+        s -> got.zipWithIndex.map { case (r, j) =>
+          (j.toLong, r.getSeq[Double](1).slice(s * dsub, (s + 1) * dsub).toArray)
+        }.toSeq
+      }.toMap
+    }
+
+    /** argmin code for subspace `s` given its literal codebook: quantized
+      * squared-L2 struct-sort (ascending (dist, code)), the linear-size
+      * argmin tree [[centroidsByDistance]] uses. */
+    def nearestCode(book: Seq[(Long, Array[Double])]): Column =
+      array_sort(array(book.map { case (code, c) =>
+        val cc = c.map(x => x * x).sum
+        struct(round(col("__n2") - lit(2.0) * fastDot(col("__sv"), lit(c)) + lit(cc), 6)
+          .as("d"), lit(code).as("k"))
+      }: _*)).getItem(0).getField("k")
+    def codeFor(books: Map[Int, Seq[(Long, Array[Double])]]): Column =
+      (0 until m).foldLeft(when(lit(false), lit(0L))) { case (c, s) =>
+        c.when(col("__s") === s, nearestCode(books(s)))
+      }.otherwise(lit(-1L))
+
+    val trained = (0 until iterations).foldLeft(init) { case (books, _) =>
+      val means = subs.withColumn("__code", codeFor(books))
+        .groupBy(col("__s"), col("__code"))
+        .agg(array((0 until dsub).map(i => avg(element_at(col("__sv"), i + 1))): _*).as("__mu"))
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Double](2).toArray)
+        .toMap
+      books.map { case (s, book) =>
+        s -> book.map { case (code, old) => (code, means.getOrElse((s, code), old)) }
+      }
+    }
+
+    val sizes = subs.withColumn("__code", codeFor(trained))
+      .groupBy(col("__s"), col("__code")).agg(count(lit(1)).as("size"))
+    trained.toSeq.flatMap { case (s, book) =>
+      book.map { case (code, c) => (s, code, c.toSeq) }
+    }.toDF("subspace", "code", "centroid")
+      .join(sizes.withColumnRenamed("__s", "subspace").withColumnRenamed("__code", "code"),
+        Seq("subspace", "code"), "left")
+      .select(col("subspace"), col("code"), col("centroid"),
+        coalesce(col("size"), lit(0L)).as("size"))
+  }
+
+  /** Codebooks collected driver-side BY DESIGN — m·ksub rows, the same
+    * small-by-contract collect as [[collectCentroids]]. */
+  private def collectCodebooks(
+      codebooks: DataFrame, m: Int, dsub: Int): Map[Int, Seq[(Long, Array[Double])]] = {
+    val books = codebooks
+      .select(col("subspace").cast("int"), col("code").cast("long"), asDouble(col("centroid")))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+      .groupBy(_._1)
+      .map { case (s, rows) => s -> rows.map(t => (t._2, t._3)).sortBy(_._1).toSeq }
+    require(books.keySet == (0 until m).toSet,
+      s"codebooks must cover subspaces 0..${m - 1}, got ${books.keySet.toSeq.sorted}")
+    books.foreach { case (s, book) =>
+      book.foreach { case (_, c) =>
+        require(c.length == dsub, s"subspace $s centroid has ${c.length} dims, expected $dsub") }
+    }
+    books
+  }
+
+  /** PQ encoding: each vector becomes `m` codes (`array<int>`), code `s` =
+    * the subspace-`s` codebook entry nearest in quantized squared-L2 (the
+    * exact [[pqTrain]] assignment rule, so encode∘train is consistent).
+    * A pure per-row projection against literal centroids — zero shuffle,
+    * stream-safe, the compressed representation a 100 TB ANN index
+    * actually stores. */
+  def pqEncode(
+      vectors: DataFrame,
+      vectorId: String,
+      vectorCol: String,
+      codebooks: DataFrame,
+      m: Int,
+      dim: Int
+  ): DataFrame = {
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val dsub = dim / m
+    val books = collectCodebooks(codebooks, m, dsub)
+    val v = asDouble(col(vectorCol))
+    val codes = (0 until m).map { s =>
+      val sv = slice(v, s * dsub + 1, dsub)
+      val n2 = fastDot(sv, sv)
+      array_sort(array(books(s).map { case (code, c) =>
+        val cc = c.map(x => x * x).sum
+        struct(round(n2 - lit(2.0) * fastDot(sv, lit(c)) + lit(cc), 6).as("d"),
+          lit(code.toInt).as("k"))
+      }: _*)).getItem(0).getField("k")
+    }
+    vectors.select(col(vectorId), array(codes: _*).as("codes"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k retrieval over PQ codes: each probe
+    * precomputes a lookup table `lut[s][j] = probe_sub_s · centroid_{s,j}`
+    * (m·ksub literal-dot expressions on the BROADCAST probe side), and a
+    * corpus row scores as `Σ_s lut[s][codes_s]` — m array lookups per row,
+    * never touching the original vectors. This is why PQ is the
+    * memory-bound scale path: the scan reads m bytes per vector instead
+    * of 4·dim, with the full-precision probe keeping asymmetric accuracy.
+    * Scores approximate the probe·vector dot product (quantization error
+    * bounded by the codebook residuals; for cosine semantics normalize
+    * vectors before [[pqEncode]] and probes before calling).
+    *
+    * Selection runs on `round(score, scoreScale)` with lowest-id
+    * tie-break — the [[bruteForceTopK]] scoreScale contract (ADC sums m
+    * floats per row, so raw boundaries are summation-order noise).
+    */
+  def pqTopK(
+      encoded: DataFrame,
+      encodedId: String,
+      codesCol: String,
+      codebooks: DataFrame,
+      probes: DataFrame,
+      probeId: String,
+      probeCol: String,
+      k: Int,
+      m: Int,
+      dim: Int,
+      scoreScale: Int = 4
+  ): DataFrame = {
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    require(k > 0, "k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val dsub = dim / m
+    val books = collectCodebooks(codebooks, m, dsub)
+    val pv = asDouble(col(probeCol))
+    val lut = array((0 until m).map { s =>
+      val psv = slice(pv, s * dsub + 1, dsub)
+      array(books(s).map { case (_, c) => fastDot(psv, lit(c)) }: _*)
+    }: _*)
+    val p = probes.select(col(probeId).as("probe_id"), lut.as("__lut"))
+    val score = (0 until m).map(s =>
+      element_at(element_at(col("__lut"), s + 1),
+        element_at(col(codesCol), s + 1) + lit(1))).reduce(_ + _)
+    val scored = encoded.select(col(encodedId).as("nbr_id"), col(codesCol))
+      .crossJoin(broadcast(p))
+      .filter(col("nbr_id") =!= col("probe_id"))
+      .withColumn("__sim", round(score, scoreScale))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("__sim").desc, col("nbr_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("rnk"), col("nbr_id"), col("__sim").as("adc_score"))
+  }
+
   /** SemDeDup (Abbas et al. 2023): semantic deduplication by clustering
     * embeddings and keeping ONE representative of every within-cluster
     * near-duplicate group. Each vector is assigned to its nearest centroid

@@ -1379,6 +1379,55 @@ object DataPipelinePack extends QueryPack {
       weighted("l_quantity", "p50_qty" -> 0.5, "p90_qty" -> 0.9)
         .join(weighted("l_extendedprice", "p50_price" -> 0.5), Seq("l_returnflag"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // Product-quantization codebook training (Jégou et al.): 4 subspaces ×
+    // 4 codes over the 64-dim embeddings, one Lloyd iteration from the
+    // lowest-id init — the deterministic trainer contract (assignment on
+    // 1e-6-quantized squared-L2, ties to the lowest code) unrolled in the
+    // oracle the same way q93 unrolls k-means.
+    "q131_pq_train" -> ((s, d) => {
+      Similarity.pqTrain(Tables.embeddings(s, d), "vec_id", "embedding",
+        m = 4, ksub = 4, dim = 64, iterations = 1)
+        .select(col("subspace"), col("code"), posexplode(col("centroid")).as(Seq("dim", "cval")))
+        .select(col("subspace"), col("code"), col("dim"), round(col("cval"), 4).as("cval"))
+        .orderBy(col("subspace"), col("code"), col("dim"))
+    }),
+
+    // PQ encode + asymmetric-distance retrieval end to end: the corpus
+    // stored as 4 codes/vector, probes scoring through the m·ksub lookup
+    // table — selection on round(score, 4) with lowest-id ties (the
+    // scoreScale contract), so the ADC ranking is engine-independent.
+    "q132_pq_adc" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val books = Similarity.pqTrain(e, "vec_id", "embedding",
+        m = 4, ksub = 4, dim = 64, iterations = 1)
+      val codes = Similarity.pqEncode(e, "vec_id", "embedding", books, m = 4, dim = 64)
+      Similarity.pqTopK(codes, "vec_id", "codes", books,
+        probes = e.filter(col("vec_id") < 5), probeId = "vec_id", probeCol = "embedding",
+        k = 5, m = 4, dim = 64, scoreScale = 4)
+        .orderBy(col("probe_id"), col("rnk"))
+    }),
+
+    // Z-order (Morton) clustering key: min/max-scaled 8-bit buckets of
+    // (l_partkey, l_suppkey) bit-interleaved — pure integer arithmetic end
+    // to end, so the curve an engine lays files along is reproducible by
+    // any other. The min/max scalars are a 1-row driver-side aggregate
+    // (the parquetZOrdered contract — scalar by construction, q93's
+    // collect class); the z computation itself is a shuffle-free
+    // projection. The layout effect (bounded per-file rectangles in BOTH
+    // dims) is pinned by ClusteredWriteSpec.
+    "q133_zorder" -> ((s, d) => {
+      import graft.sinks.ClusteredWrite
+      val l = Tables.lineitem(s, d)
+      val mm = l.agg(
+        min(col("l_partkey")).cast("long"), max(col("l_partkey")).cast("long"),
+        min(col("l_suppkey")).cast("long"), max(col("l_suppkey")).cast("long")).head()
+      val bx = ClusteredWrite.zBucket(col("l_partkey"), mm.getLong(0), mm.getLong(1), 8)
+      val by = ClusteredWrite.zBucket(col("l_suppkey"), mm.getLong(2), mm.getLong(3), 8)
+      l.select(col("l_orderkey"), col("l_linenumber"),
+          ClusteredWrite.zValue(Seq(bx, by), 8).as("zval"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
     })
   )
 
@@ -1783,8 +1832,84 @@ object DataPipelinePack extends QueryPack {
                      ELSE '' END AS text
       FROM documents"""
 
+  /** Shared CTE prefix for q131/q132: one unrolled PQ training iteration
+    * (m=4 subspaces × ksub=4 codes × dsub=16 dims, lowest-id init) with
+    * the assignment argmin on round(‖x‖²−2x·c+‖c‖², 6) and lowest-code
+    * ties — the exact Similarity.pqTrain rule. `a2` is the post-training
+    * assignment (= Similarity.pqEncode against the trained books). */
+  private val pqCtes = """
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      ss AS (SELECT unnest(range(0, 4)) AS s),
+      dims AS (SELECT unnest(range(1, 17)) AS i),
+      subs AS (SELECT vec_id, s, v[s*16+1 : s*16+16] AS sv FROM e CROSS JOIN ss),
+      c0 AS (SELECT s, row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS code,
+                    sv AS cv
+             FROM subs WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT 4)),
+      a1 AS (SELECT vec_id, s, code FROM (
+               SELECT sub.vec_id, sub.s, c.code,
+                      row_number() OVER (PARTITION BY sub.vec_id, sub.s
+                        ORDER BY round(list_dot_product(sub.sv, sub.sv)
+                              - 2 * list_dot_product(sub.sv, c.cv)
+                              + list_dot_product(c.cv, c.cv), 6), c.code) AS rn
+               FROM subs sub JOIN c0 c ON sub.s = c.s) WHERE rn = 1),
+      m1 AS (SELECT a.s, a.code, d.i, avg(sub.sv[d.i]) AS x
+             FROM a1 a JOIN subs sub ON a.vec_id = sub.vec_id AND a.s = sub.s
+                  CROSS JOIN dims d
+             GROUP BY a.s, a.code, d.i),
+      c1 AS (SELECT c0.s, c0.code, coalesce(mm.cv, c0.cv) AS cv
+             FROM c0 LEFT JOIN (SELECT s, code, list(x ORDER BY i) AS cv
+                                FROM m1 GROUP BY s, code) mm
+                  ON c0.s = mm.s AND c0.code = mm.code),
+      a2 AS (SELECT vec_id, s, code FROM (
+               SELECT sub.vec_id, sub.s, c.code,
+                      row_number() OVER (PARTITION BY sub.vec_id, sub.s
+                        ORDER BY round(list_dot_product(sub.sv, sub.sv)
+                              - 2 * list_dot_product(sub.sv, c.cv)
+                              + list_dot_product(c.cv, c.cv), 6), c.code) AS rn
+               FROM subs sub JOIN c1 c ON sub.s = c.s) WHERE rn = 1)"""
+
+  /** q133's bit-interleave, generated from the same bits=8 constant as the
+    * Spark side so both engines compute the identical Morton formula. */
+  private val zInterleaveSql: String =
+    (0 until 8).flatMap(i => Seq(
+      s"(((bx >> $i) & 1) * ${1L << (2 * i)})",
+      s"(((by >> $i) & 1) * ${1L << (2 * i + 1)})")).mkString(" + ")
+
   def oracles: Map[String, String] = Map(
     "q57_pii_redaction" -> piiOracle,
+
+    "q133_zorder" -> s"""
+      WITH mm AS (SELECT min(l_partkey) AS mnp, max(l_partkey) AS mxp,
+                         min(l_suppkey) AS mns, max(l_suppkey) AS mxs FROM lineitem),
+      b AS (SELECT l_orderkey, l_linenumber,
+                   ((l_partkey - mnp) * 256) // (mxp - mnp + 1) AS bx,
+                   ((l_suppkey - mns) * 256) // (mxs - mns + 1) AS by
+            FROM lineitem CROSS JOIN mm)
+      SELECT l_orderkey, l_linenumber, $zInterleaveSql AS zval
+      FROM b ORDER BY l_orderkey, l_linenumber""",
+
+    "q131_pq_train" -> s"""
+      WITH $pqCtes
+      SELECT c1.s AS subspace, CAST(c1.code AS BIGINT) AS code,
+             d.i - 1 AS dim, round(c1.cv[d.i], 4) AS cval
+      FROM c1 CROSS JOIN dims d
+      ORDER BY subspace, code, dim""",
+
+    "q132_pq_adc" -> s"""
+      WITH $pqCtes,
+      probes AS (SELECT vec_id AS probe_id, s, sv FROM subs WHERE vec_id < 5),
+      scored AS (SELECT p.probe_id, a.vec_id AS nbr_id,
+                        round(sum(list_dot_product(p.sv, c.cv)), 4) AS adc
+                 FROM a2 a JOIN c1 c ON a.s = c.s AND a.code = c.code
+                      JOIN probes p ON p.s = a.s
+                 WHERE a.vec_id <> p.probe_id
+                 GROUP BY p.probe_id, a.vec_id),
+      ranked AS (SELECT probe_id, nbr_id, adc,
+                        row_number() OVER (PARTITION BY probe_id
+                          ORDER BY adc DESC, nbr_id) AS rnk
+                 FROM scored)
+      SELECT probe_id, rnk, nbr_id, adc AS adc_score
+      FROM ranked WHERE rnk <= 5 ORDER BY probe_id, rnk""",
 
     "q63_url_metrics" -> s"""
       WITH aug AS ($urlAugSql)

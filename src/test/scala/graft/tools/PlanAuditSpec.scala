@@ -97,6 +97,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // parameter); the farthest-point selection jobs run eagerly at build
     // time and never appear in the returned plan.
     "q99_kmeans_farthest" -> (0, 0, 1),
+    // q132: ADC scoring — the probe side (parameter-sized, carrying the
+    // m·ksub lookup table) is broadcast-crossJoined against the code table
+    // by design (q26/q81's probe class); the codebooks themselves are
+    // literals, never a join side.
+    "q132_pq_adc" -> (0, 1, 0),
     // q107: q26's brute-force scoring shape over the JL-projected vectors —
     // the 5-row parameter-sized probe set broadcast-crossJoined against the
     // corpus by design (q81's class).
