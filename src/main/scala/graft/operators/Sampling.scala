@@ -167,6 +167,105 @@ object Sampling {
           (floor(col("quantile") * (size(col("__s")) - 1)) + 1).cast("int")).as("value"))
   }
 
+  /** Weighted sampling WITHOUT replacement, bottom-k form (Efraimidis &
+    * Spirakis 2006 A-ES): row priority `−ln(u)/w` with `u` the row's
+    * 60-bit content hash scaled into (0,1) — an Exp(w) draw, so keeping
+    * the k SMALLEST priorities samples k rows without replacement with
+    * inclusion probability ∝ weight. The quality-weighted companion to
+    * [[bottomKSample]]: eval slices and distillation subsets drawn
+    * "proportional to quality score" with the same determinism
+    * (layout/run/engine-invariant — u is exact in both engines: hash+0.5
+    * over the power-of-two 2^60).
+    *
+    * MERGEABLE exactly like [[bottomKSample]]: priorities are per-row
+    * invariants, so per-shard bottom-ks re-select losslessly. Selection
+    * runs on `round(priority, 9)` with key tie-break (ln differs at ulp
+    * across libms — the scoreScale discipline); rows with weight ≤ 0 are
+    * EXCLUDED (an Exp(w) draw needs w > 0 — documented, not silent: the
+    * filter is part of the contract). Same TakeOrdered shape as
+    * [[bottomKSample]]: O(k) heap per partition, never a full sort.
+    */
+  def weightedBottomK(
+      df: DataFrame, keyCol: String, weightCol: String, k: Int, salt: String): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val u = (keyHash(col(keyCol), salt).cast("double") + lit(0.5)) / lit((1L << 60).toDouble)
+    val priority = round(-log(u) / col(weightCol).cast("double"), 9)
+    df.filter(col(weightCol).cast("double") > 0.0)
+      .orderBy(priority, col(keyCol))
+      .limit(k)
+  }
+
+  /** Deterministic corpus shuffle — reproducible GLOBAL training order:
+    * every row gets `position` = its rank in (60-bit content hash, key)
+    * order and `shard` = position / rowsPerShard, so the "randomly
+    * shuffled, sharded corpus" a training run consumes is a pure function
+    * of (salt, corpus) — two engines, two layouts, two re-runs emit
+    * byte-identical shard assignments (the reproducible-training-data
+    * property [[Chunking.spanCorruption]] gives masks, applied to
+    * ordering).
+    *
+    * Shape at 100 TB: a naive `row_number() OVER (ORDER BY hash)` funnels
+    * the corpus through ONE task. Same two-phase prefix sum as
+    * [[tokenBudgetSample]]: the hash's top 8 bits bucketize its own order
+    * contiguously (256 uniform buckets), per-bucket ranks run wide, the
+    * 256 bucket counts prefix-sum in one tiny window and broadcast back.
+    */
+  def deterministicShuffle(
+      df: DataFrame, keyCol: String, rowsPerShard: Long, salt: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(rowsPerShard > 0, s"rowsPerShard must be positive, got $rowsPerShard")
+    val withH = df
+      .withColumn("__h", keyHash(col(keyCol), salt))
+      .withColumn("__bkt", shiftright(col("__h"), 52))
+    val inBucket = Window.partitionBy(col("__bkt")).orderBy(col("__h"), col(keyCol))
+    val acrossBuckets = Window.orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withH.groupBy(col("__bkt")).agg(count(lit(1)).as("__c"))
+      .withColumn("__off", coalesce(sum(col("__c")).over(acrossBuckets), lit(0L)))
+      .select(col("__bkt"), col("__off"))
+    withH
+      .withColumn("__rn", row_number().over(inBucket).cast("long"))
+      .join(broadcast(offsets), Seq("__bkt"))
+      .withColumn("position", col("__off") + col("__rn") - 1)
+      .withColumn("shard", floor(col("position") / lit(rowsPerShard)).cast("long"))
+      .select(df.columns.map(col) :+ col("position") :+ col("shard"): _*)
+  }
+
+  /** Deterministic negative sampling — contrastive-pair prep: each anchor
+    * row draws `k` pseudo-uniform corpus rows as negatives, `draw j` =
+    * the row whose [[deterministicShuffle]] position equals
+    * `hash(anchor#j) mod N`. Fully deterministic (re-runs and engines
+    * agree), and uniform over the corpus per draw. Draws that hit the
+    * anchor itself are DROPPED (documented: an anchor yields k−1
+    * negatives with probability ~k/N, never a wrong pair); distinct draws
+    * can collide (sampling WITH replacement across j, the standard
+    * contrastive-batch trade).
+    *
+    * Shape: the position map is ONE [[deterministicShuffle]] pass; the
+    * anchor fan-out is a k-wide explode; matching draw→row is a keyed
+    * join SMJ-pinned on both sides (the position map is corpus-shaped and
+    * derived — the §8.1 static-size-estimate class). N rides in-plan as a
+    * broadcast 1-row count.
+    */
+  def negativeSample(
+      df: DataFrame, keyCol: String, k: Int, salt: String): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val positions = deterministicShuffle(df.select(col(keyCol)), keyCol, Long.MaxValue, salt)
+      .select(col(keyCol).as("neg_id"), col("position"))
+    val nRow = df.agg(count(lit(1)).as("__n"))
+    val anchors = df.select(col(keyCol).as("anchor_id"))
+      .crossJoin(broadcast(nRow))
+      .select(col("anchor_id"),
+        explode(array((0 until k).map(lit): _*)).as("draw"), col("__n"))
+      .withColumn("position",
+        pmod(keyHash(concat(col("anchor_id").cast("string"), lit("#"), col("draw")), salt),
+          col("__n")))
+    anchors.hint("shuffle_merge")
+      .join(positions.hint("shuffle_merge"), Seq("position"))
+      .filter(col("neg_id") =!= col("anchor_id"))
+      .select(col("anchor_id"), col("draw"), col("neg_id"))
+  }
+
   /** Uniform k-per-group sample: [[Skew.capPerKey]] driven by the 60-bit
     * hash instead of a semantic order column — "k uniformly-drawn docs per
     * language/source", the per-stratum audit/eval slice. Inherits

@@ -1409,6 +1409,36 @@ object DataPipelinePack extends QueryPack {
         .orderBy(col("probe_id"), col("rnk"))
     }),
 
+    // Weighted sampling without replacement (Efraimidis-Spirakis bottom-k):
+    // 100 docs drawn with inclusion probability proportional to n_chars —
+    // priorities quantized at 1e-9 before the TakeOrdered selection so the
+    // sample membership is engine-stable (ln differs at ulp across libms).
+    "q134_weighted_sample" -> ((s, d) => {
+      Sampling.weightedBottomK(Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", k = 100, salt = "ws1")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Deterministic corpus shuffle: every doc's global training position +
+    // shard as a pure function of (salt, doc_id) — the reproducible
+    // training-order primitive, via the two-phase prefix sum (never one
+    // global row_number task). Oracle = the serial row_number definition.
+    "q138_shuffle" -> ((s, d) => {
+      Sampling.deterministicShuffle(Tables.documents(s, d).select(col("doc_id")),
+        "doc_id", rowsPerShard = 1000L, salt = "sh1")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Deterministic negative sampling for contrastive pairs: 3 draws per
+    // anchor, draw j = the doc at shuffle position hash(anchor#j) mod N;
+    // self-hits dropped by contract. Uniform per draw, reproducible
+    // everywhere, and the position-map join is SMJ-pinned both sides.
+    "q140_negative_sample" -> ((s, d) => {
+      Sampling.negativeSample(Tables.documents(s, d).select(col("doc_id")),
+        "doc_id", k = 3, salt = "ns1")
+        .orderBy(col("anchor_id"), col("draw"))
+    }),
+
     // Z-order (Morton) clustering key: min/max-scaled 8-bit buckets of
     // (l_partkey, l_suppkey) bit-interleaved — pure integer arithmetic end
     // to end, so the curve an engine lays files along is reproducible by
@@ -1877,6 +1907,35 @@ object DataPipelinePack extends QueryPack {
 
   def oracles: Map[String, String] = Map(
     "q57_pii_redaction" -> piiOracle,
+
+    "q134_weighted_sample" -> s"""
+      SELECT doc_id, n_chars FROM (
+        SELECT doc_id, n_chars FROM documents
+        WHERE CAST(n_chars AS DOUBLE) > 0
+        ORDER BY round(-ln((${duckKeyHash("doc_id", "ws1")} + 0.5) / 1152921504606846976.0)
+                       / CAST(n_chars AS DOUBLE), 9), doc_id
+        LIMIT 100)
+      ORDER BY doc_id""",
+
+    "q138_shuffle" -> s"""
+      SELECT doc_id,
+             row_number() OVER (ORDER BY ${duckKeyHash("doc_id", "sh1")}, doc_id) - 1 AS position,
+             (row_number() OVER (ORDER BY ${duckKeyHash("doc_id", "sh1")}, doc_id) - 1) // 1000 AS shard
+      FROM documents ORDER BY doc_id""",
+
+    "q140_negative_sample" -> s"""
+      WITH pos AS (SELECT doc_id AS neg_id,
+                          row_number() OVER (ORDER BY ${duckKeyHash("doc_id", "ns1")}, doc_id) - 1 AS position
+                   FROM documents),
+      n AS (SELECT count(*) AS n FROM documents),
+      draws AS (SELECT d.doc_id AS anchor_id, j.draw,
+                       ${duckKeyHash("CAST(d.doc_id AS VARCHAR) || '#' || CAST(j.draw AS VARCHAR)", "ns1")} % n.n AS position
+                FROM documents d CROSS JOIN (SELECT unnest(range(0, 3)) AS draw) j
+                     CROSS JOIN n)
+      SELECT dr.anchor_id, CAST(dr.draw AS INTEGER) AS draw, p.neg_id
+      FROM draws dr JOIN pos p USING (position)
+      WHERE p.neg_id <> dr.anchor_id
+      ORDER BY anchor_id, draw""",
 
     "q133_zorder" -> s"""
       WITH mm AS (SELECT min(l_partkey) AS mnp, max(l_partkey) AS mxp,

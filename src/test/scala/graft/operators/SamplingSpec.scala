@@ -355,6 +355,63 @@ class SamplingSpec extends AnyFunSuite {
     assert(qs == Seq((0.0, 10L), (0.5, 50L), (1.0, 100L)))
   }
 
+  test("weightedBottomK: shard samples merge losslessly; heavy weights dominate; w<=0 excluded") {
+    val corpus = (0L until 1000L).map(i => (i, if (i < 100) 1000.0 else 1.0))
+      .toDF("id", "w")
+    val whole = Sampling.weightedBottomK(corpus, "id", "w", 50, "wk")
+      .select("id").as[Long].collect().toSet
+    // mergeable: per-shard bottom-ks re-select the identical set
+    val shards = Seq(corpus.filter(col("id") % 2 === 0), corpus.filter(col("id") % 2 === 1))
+      .map(Sampling.weightedBottomK(_, "id", "w", 50, "wk"))
+      .reduce(_.unionByName(_))
+    val merged = Sampling.weightedBottomK(shards, "id", "w", 50, "wk")
+      .select("id").as[Long].collect().toSet
+    assert(merged == whole)
+    // 100 heavy rows at weight 1000 vs 900 at 1: expected heavy share of the
+    // sample >> uniform's 10%; the draw is deterministic, so pin the count
+    val heavy = whole.count(_ < 100L)
+    assert(heavy > 35, s"only $heavy of 50 selections hit the 1000x-weight rows")
+    // zero/negative weights never selected
+    val withZero = corpus.withColumn("w", when(col("id") === 7L, lit(0.0)).otherwise(col("w")))
+    assert(!Sampling.weightedBottomK(withZero, "id", "w", 1000, "wk")
+      .select("id").as[Long].collect().contains(7L))
+  }
+
+  test("deterministicShuffle: a permutation matching the serial rank, layout-independent, even shards") {
+    val corpus = ids(3000)
+    val got = Sampling.deterministicShuffle(corpus, "id", rowsPerShard = 500L, salt = "sh")
+    val positions = got.select("position").as[Long].collect().sorted
+    assert(positions.toSeq == (0L until 3000L).toSeq, "positions must be a 0..N-1 permutation")
+    // matches the one-task serial definition
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(Sampling.keyHash(col("id"), "sh"), col("id"))
+    val serial = corpus.withColumn("position", row_number().over(w).cast("long") - 1)
+    assert(got.select("id", "position").except(serial.select("id", "position")).isEmpty)
+    // layout independence
+    val re = Sampling.deterministicShuffle(corpus.repartition(13), "id", 500L, "sh")
+    assert(re.select("id", "position").except(got.select("id", "position")).isEmpty)
+    // shard sizes: 6 full shards of 500
+    val sizes = got.groupBy("shard").count().select("count").as[Long].collect()
+    assert(sizes.length == 6 && sizes.forall(_ == 500L))
+  }
+
+  test("negativeSample: k draws per anchor minus self-hits, negatives from the corpus, deterministic") {
+    val corpus = ids(500)
+    val neg = Sampling.negativeSample(corpus, "id", k = 4, salt = "ng")
+    val counts = neg.groupBy("anchor_id").count().select("count").as[Long].collect()
+    assert(counts.length == 500 && counts.forall(c => c == 4L || c == 3L),
+      "each anchor draws 4 negatives, minus at most the self-hit per draw")
+    assert(neg.filter(col("neg_id") === col("anchor_id")).isEmpty, "no anchor is its own negative")
+    val idSet = (1L to 500L).toSet
+    assert(neg.select("neg_id").as[Long].collect().forall(idSet.contains))
+    // deterministic rerun
+    val again = Sampling.negativeSample(corpus.repartition(7), "id", k = 4, salt = "ng")
+    assert(neg.except(again).isEmpty && again.except(neg).isEmpty)
+    // draws are near-uniform over the corpus: no id should be wildly hot
+    val hot = neg.groupBy("neg_id").count().agg(max("count")).head().getLong(0)
+    assert(hot < 25, s"hottest negative drawn $hot of 2000 times — not uniform")
+  }
+
   test("groupBottomKSample: min(k, group size) per group, matches the rank-over-hash reference") {
     val docs = ((1L to 100L).map(i => (i, "en")) ++ (101L to 110L).map(i => (i, "de")))
       .toDF("doc_id", "lang")

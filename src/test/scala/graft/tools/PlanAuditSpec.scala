@@ -97,6 +97,13 @@ class PlanAuditSpec extends AnyFunSuite {
     // parameter); the farthest-point selection jobs run eagerly at build
     // time and never appear in the returned plan.
     "q99_kmeans_farthest" -> (0, 0, 1),
+    // q138: the two-phase prefix sum's 256-row bucket-offset table
+    // broadcast back (q60/q73's pack-offset class).
+    "q138_shuffle" -> (0, 0, 1),
+    // q140: q138's offset table inside the position map, plus the 1-row
+    // corpus-count scalar (its crossJoin is the BNLJ — q35's N class).
+    // The corpus-shaped draws⋈positions match is SMJ-pinned both sides.
+    "q140_negative_sample" -> (0, 1, 2),
     // q132: ADC scoring — the probe side (parameter-sized, carrying the
     // m·ksub lookup table) is broadcast-crossJoined against the code table
     // by design (q26/q81's probe class); the codebooks themselves are
