@@ -196,6 +196,124 @@ object TextAnalysis {
         lit(false)).as("keep"))
   }
 
+  /** The C4 cleaning rules (Raffel et al. 2020, §2.2) — the line-level
+    * sibling of [[gopherQualityFlags]]'s document gates, and the published
+    * recipe the `documents` curation chain's ad-hoc gates approximate:
+    *
+    *  - keep only lines that end in a terminal punctuation mark
+    *    (`.` `!` `?` or a closing quote), contain at least
+    *    `minWordsPerLine` words, and do not mention "javascript";
+    *  - flag documents containing "lorem ipsum" (template boilerplate) or
+    *    a curly brace (code);
+    *  - a document survives (`keep`) iff unflagged AND its CLEANED text
+    *    still has >= 3 sentences.
+    *
+    * (C4's remaining step — the three-sentence-span dedup — is substring
+    * dedup at sentence granularity: [[Dedup.stripDuplicatedWindows]]'s
+    * family. Compose for the full paper pipeline.)
+    *
+    * Emits `clean_text` (kept lines joined by newline), the counts behind
+    * each rule, the flags, and `keep`. A pure per-row codegen'd
+    * projection — zero shuffles, stream-safe, RE2-portable regexes only;
+    * the same predicates re-expressed over DuckDB list functions gate the
+    * q135 oracle.
+    */
+  def c4Clean(
+      df: DataFrame, idCol: String, textCol: String, minWordsPerLine: Int = 5): DataFrame = {
+    require(minWordsPerLine >= 1, s"minWordsPerLine must be >= 1, got $minWordsPerLine")
+    val lines = split(col(textCol), "\n")
+    val keptLines = filter(lines, l =>
+      (size(split(trim(l), " ")) >= minWordsPerLine) &&
+        trim(l).rlike("[.!?\"]$") &&
+        !lower(l).contains("javascript"))
+    val cleanText = array_join(keptLines, "\n")
+    // sentence count = terminal-punct occurrences in the CLEANED text,
+    // via length-difference (portable; no per-char split)
+    val nSentences = Seq(".", "!", "?")
+      .map(p => length(cleanText) - length(replace(cleanText, lit(p))))
+      .reduce(_ + _).cast("long")
+    val hasLorem = lower(col(textCol)).contains("lorem ipsum")
+    val hasBrace = col(textCol).contains("{")
+    df.select(
+      col(idCol),
+      cleanText.as("clean_text"),
+      size(lines).cast("long").as("n_lines"),
+      size(keptLines).cast("long").as("n_kept_lines"),
+      nSentences.as("n_sentences"),
+      hasLorem.as("has_lorem"),
+      hasBrace.as("has_brace"),
+      (!hasLorem && !hasBrace && nSentences >= 3L).as("keep"))
+  }
+
+  /** Lowercased character trigrams of `text` — the Cavnar–Trenkle feature.
+    * Texts shorter than 3 chars yield an empty array (the explicit guard
+    * matters: `sequence(1, len-2)` with len < 3 would COUNT DOWN). */
+  def charTrigrams(text: Column): Column =
+    when(length(text) >= 3,
+      transform(sequence(lit(1), length(text) - 2), i => lower(text).substr(i, lit(3))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Cavnar–Trenkle (1994) language profiles: each language's `topN` most
+    * frequent character trigrams with their rank (1 = most frequent; ties
+    * break to the lexicographically smaller gram — integer counts and
+    * binary string order, so two engines derive identical profiles). Train
+    * on a labeled slice; classify with [[classifyByTrigramProfiles]].
+    *
+    * Scale shape: one explode→count aggregation (map-side combined) to the
+    * (lang, gram) count table — bounded by |langs| × |charset|³, NOT
+    * corpus-shaped — then a per-language top-N window over that bounded
+    * table. The returned profile is |langs|·topN rows, a model artifact.
+    */
+  def trainTrigramProfiles(
+      df: DataFrame, langCol: String, textCol: String, topN: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topN > 0, s"topN must be positive, got $topN")
+    val w = Window.partitionBy(col("lang")).orderBy(col("__c").desc, col("gram"))
+    df.select(col(langCol).as("lang"), explode(charTrigrams(col(textCol))).as("gram"))
+      .groupBy(col("lang"), col("gram")).agg(count(lit(1)).as("__c"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topN)
+      .select(col("lang"), col("gram"), col("rank"))
+  }
+
+  /** Cavnar–Trenkle classification by rank-profile out-of-place distance:
+    * the document's own top-`topN` trigram ranks are compared against each
+    * language profile; a gram found in the profile contributes
+    * `|docRank − profileRank|`, a gram absent contributes the `topN`
+    * penalty. Lowest total distance wins (ties to the alphabetically
+    * first language). INTEGER arithmetic end to end — unlike the cosine
+    * profile alternatives there is no float boundary anywhere, so the
+    * prediction is engine-exact by construction.
+    *
+    * Scale shape: the per-doc rank window partitions by doc (groups
+    * bounded by text length); the profile (|langs|·topN rows) and the
+    * language list are explicitly broadcast — model-sized by contract;
+    * the per-(doc, lang) sum is one map-side-combined aggregation.
+    */
+  def classifyByTrigramProfiles(
+      df: DataFrame, idCol: String, textCol: String, profiles: DataFrame, topN: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topN > 0, s"topN must be positive, got $topN")
+    val dw = Window.partitionBy(col(idCol)).orderBy(col("__c").desc, col("gram"))
+    val docGrams = df
+      .select(col(idCol), explode(charTrigrams(col(textCol))).as("gram"))
+      .groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("__c"))
+      .withColumn("drank", row_number().over(dw))
+      .filter(col("drank") <= topN)
+    val langs = profiles.select(col("lang")).distinct()
+    val dist = docGrams
+      .crossJoin(broadcast(langs))
+      .join(broadcast(profiles), Seq("lang", "gram"), "left")
+      .groupBy(col(idCol), col("lang"))
+      .agg(sum(coalesce(abs(col("drank") - col("rank")), lit(topN.toLong))).as("__dist"))
+    dist
+      .groupBy(col(idCol))
+      .agg(min(struct(col("__dist"), col("lang"))).as("__best"))
+      .select(col(idCol),
+        col("__best").getField("lang").as("pred_lang"),
+        col("__best").getField("__dist").as("dist"))
+  }
+
   /** Stopword-profile language scores + argmax (alphabetical tiebreak on
     * equal hit counts — deterministic). Emits integer hit counts so the
     * result is engine-exact.

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Chunking, Dedup, Multimodal, Profiler, RangeJoin, Sampling, Similarity, Sketches, Skew, TextAnalysis, TimeSeries, Tokenizer}
+import graft.operators.{Chunking, Dedup, Multimodal, Profiler, RangeJoin, Rollup, Sampling, Similarity, Sketches, Skew, TextAnalysis, TimeSeries, Tokenizer}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -1409,6 +1409,66 @@ object DataPipelinePack extends QueryPack {
         .orderBy(col("probe_id"), col("rnk"))
     }),
 
+    // The C4 cleaning rules (Raffel et al. 2020) over documents with
+    // deterministically planted line structure: a terminal-punct good
+    // line, a too-short line, and modular javascript / lorem-ipsum /
+    // curly-brace plants exercising every rule. Pure per-row projection.
+    "q135_c4_rules" -> ((s, d) => {
+      val lined = Tables.documents(s, d).select(col("doc_id"), concat_ws("\n",
+        concat(col("text"), lit(".")),
+        lit("short line."),
+        when(col("doc_id") % 6 === 0, lit("Enable javascript to view this page properly."))
+          .otherwise(lit("Another perfectly fine sentence with enough words here.")),
+        when(col("doc_id") % 9 === 0, lit("Lorem ipsum dolor sit amet consectetur adipiscing elit."))
+          .otherwise(lit("A third full sentence keeps the document alive today.")),
+        when(col("doc_id") % 11 === 0, lit("function f() { return 1; }"))
+          .otherwise(lit("no braces here just words without terminal punctuation"))).as("text"))
+      TextAnalysis.c4Clean(lined, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // HITS hubs/authorities over the q103 link graph: 2 L1-normalized
+    // iterations, both unrolled in the oracle; document sources are pure
+    // hubs (no in-links), site/blocked domains pure authorities.
+    "q136_hits" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val siteLinks = docs.filter(col("doc_id") % 11 =!= 0)
+        .select(col("source").as("src"),
+          concat(lit("site"), (col("doc_id") % 20).cast("string"),
+            lit(".example.com")).as("dst"))
+      val badLinks = docs.filter(col("doc_id") % 3 === 0)
+        .select(col("source").as("src"),
+          concat(lit("blocked"), (col("doc_id") % 5).cast("string"),
+            lit(".bad.net")).as("dst"))
+      graft.operators.Graph.hits(siteLinks.union(badLinks), "src", "dst", iterations = 2)
+        .select(col("node"), round(col("hub"), 6).as("hub"), round(col("auth"), 6).as("auth"))
+        .orderBy(col("node"))
+    }),
+
+    // Cavnar-Trenkle character-trigram language ID: rank profiles trained
+    // on the even-doc half, odd docs classified by integer out-of-place
+    // distance — no float anywhere, so prediction is engine-exact.
+    "q137_trigram_langid" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val profiles = TextAnalysis.trainTrigramProfiles(
+        docs.filter(col("doc_id") % 2 === 0), "lang", "text", topN = 20)
+      TextAnalysis.classifyByTrigramProfiles(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", profiles, topN = 20)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Mergeable partial-aggregate rollup: two shard partials (even/odd
+    // docs) merged == the from-scratch aggregate — the incremental
+    // metrics-store contract (integer sums make the merge bit-exact
+    // regardless of shard boundaries or merge order).
+    "q139_rollup_merge" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val gens = Seq(docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1))
+        .map(g => Rollup.partial(g, Seq("lang"), "n_chars"))
+      Rollup.finalize(Rollup.merge(gens, Seq("lang")))
+        .orderBy(col("lang"))
+    }),
+
     // Weighted sampling without replacement (Efraimidis-Spirakis bottom-k):
     // 100 docs drawn with inclusion probability proportional to n_chars —
     // priorities quantized at 1e-9 before the TakeOrdered selection so the
@@ -1907,6 +1967,103 @@ object DataPipelinePack extends QueryPack {
 
   def oracles: Map[String, String] = Map(
     "q57_pii_redaction" -> piiOracle,
+
+    "q135_c4_rules" -> """
+      WITH lined AS (
+        SELECT doc_id,
+               (text || '.') || chr(10) ||
+               'short line.' || chr(10) ||
+               CASE WHEN doc_id % 6 = 0 THEN 'Enable javascript to view this page properly.'
+                    ELSE 'Another perfectly fine sentence with enough words here.' END || chr(10) ||
+               CASE WHEN doc_id % 9 = 0 THEN 'Lorem ipsum dolor sit amet consectetur adipiscing elit.'
+                    ELSE 'A third full sentence keeps the document alive today.' END || chr(10) ||
+               CASE WHEN doc_id % 11 = 0 THEN 'function f() { return 1; }'
+                    ELSE 'no braces here just words without terminal punctuation' END AS text
+        FROM documents),
+      base AS (SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM lined),
+      k AS (SELECT doc_id, text, ls,
+              list_filter(ls, l -> len(string_split(trim(l), ' ')) >= 5
+                               AND regexp_matches(trim(l), '[.!?"]$')
+                               AND NOT contains(lower(l), 'javascript')) AS kept
+            FROM base),
+      c AS (SELECT doc_id, text, ls, kept, array_to_string(kept, chr(10)) AS ct FROM k),
+      f AS (SELECT doc_id, ct AS clean_text,
+              len(ls) AS n_lines, len(kept) AS n_kept_lines,
+              (len(ct) - len(replace(ct, '.', ''))) + (len(ct) - len(replace(ct, '!', '')))
+              + (len(ct) - len(replace(ct, '?', ''))) AS n_sentences,
+              contains(lower(text), 'lorem ipsum') AS has_lorem,
+              contains(text, '{') AS has_brace
+            FROM c)
+      SELECT doc_id, clean_text, n_lines, n_kept_lines, n_sentences, has_lorem, has_brace,
+             (NOT has_lorem AND NOT has_brace AND n_sentences >= 3) AS keep
+      FROM f ORDER BY doc_id""",
+
+    "q136_hits" -> """
+      WITH e AS (
+        SELECT source AS src,
+               'site' || CAST(doc_id % 20 AS VARCHAR) || '.example.com' AS dst
+        FROM documents WHERE doc_id % 11 <> 0
+        UNION ALL
+        SELECT source, 'blocked' || CAST(doc_id % 5 AS VARCHAR) || '.bad.net'
+        FROM documents WHERE doc_id % 3 = 0),
+      nodes AS (SELECT DISTINCT node FROM (
+        SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+      n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+      h0 AS (SELECT node, 1.0 / n.n AS hub FROM nodes CROSS JOIN n),
+      ar1 AS (SELECT e.dst, sum(h.hub) AS a FROM e JOIN h0 h ON e.src = h.node GROUP BY e.dst),
+      as1 AS (SELECT sum(a) AS s FROM ar1),
+      a1 AS (SELECT nodes.node, coalesce(ar1.a, 0.0) / as1.s AS auth
+             FROM nodes LEFT JOIN ar1 ON nodes.node = ar1.dst CROSS JOIN as1),
+      hr1 AS (SELECT e.src, sum(a.auth) AS h FROM e JOIN a1 a ON e.dst = a.node GROUP BY e.src),
+      hs1 AS (SELECT sum(h) AS s FROM hr1),
+      h1 AS (SELECT nodes.node, coalesce(hr1.h, 0.0) / hs1.s AS hub
+             FROM nodes LEFT JOIN hr1 ON nodes.node = hr1.src CROSS JOIN hs1),
+      ar2 AS (SELECT e.dst, sum(h.hub) AS a FROM e JOIN h1 h ON e.src = h.node GROUP BY e.dst),
+      as2 AS (SELECT sum(a) AS s FROM ar2),
+      a2 AS (SELECT nodes.node, coalesce(ar2.a, 0.0) / as2.s AS auth
+             FROM nodes LEFT JOIN ar2 ON nodes.node = ar2.dst CROSS JOIN as2),
+      hr2 AS (SELECT e.src, sum(a.auth) AS h FROM e JOIN a2 a ON e.dst = a.node GROUP BY e.src),
+      hs2 AS (SELECT sum(h) AS s FROM hr2),
+      h2 AS (SELECT nodes.node, coalesce(hr2.h, 0.0) / hs2.s AS hub
+             FROM nodes LEFT JOIN hr2 ON nodes.node = hr2.src CROSS JOIN hs2)
+      SELECT h2.node, round(h2.hub, 6) AS hub, round(a2.auth, 6) AS auth
+      FROM h2 JOIN a2 ON h2.node = a2.node ORDER BY h2.node""",
+
+    "q137_trigram_langid" -> """
+      WITH tr AS (SELECT lang, lower(text) AS t FROM documents WHERE doc_id % 2 = 0),
+      trg AS (SELECT lang, substring(t, CAST(i AS INTEGER), 3) AS gram
+              FROM (SELECT lang, t, unnest(range(1, len(t) - 1)) AS i
+                    FROM tr WHERE len(t) >= 3)),
+      pc AS (SELECT lang, gram, count(*) AS c FROM trg GROUP BY lang, gram),
+      prof AS (SELECT lang, gram, rank FROM (
+                 SELECT lang, gram,
+                        row_number() OVER (PARTITION BY lang ORDER BY c DESC, gram) AS rank
+                 FROM pc) WHERE rank <= 20),
+      od AS (SELECT doc_id, lower(text) AS t FROM documents WHERE doc_id % 2 = 1),
+      og AS (SELECT doc_id, substring(t, CAST(i AS INTEGER), 3) AS gram
+             FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+                   FROM od WHERE len(t) >= 3)),
+      oc AS (SELECT doc_id, gram, count(*) AS c FROM og GROUP BY doc_id, gram),
+      dp AS (SELECT doc_id, gram, drank FROM (
+               SELECT doc_id, gram,
+                      row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram) AS drank
+               FROM oc) WHERE drank <= 20),
+      langs AS (SELECT DISTINCT lang FROM prof),
+      dist AS (SELECT dp.doc_id, l.lang,
+                      sum(coalesce(abs(dp.drank - prof.rank), 20)) AS dist
+               FROM dp CROSS JOIN langs l
+                    LEFT JOIN prof ON prof.lang = l.lang AND prof.gram = dp.gram
+               GROUP BY dp.doc_id, l.lang),
+      best AS (SELECT doc_id, lang AS pred_lang, dist,
+                      row_number() OVER (PARTITION BY doc_id ORDER BY dist, lang) AS rn
+               FROM dist)
+      SELECT doc_id, pred_lang, dist FROM best WHERE rn = 1 ORDER BY doc_id""",
+
+    "q139_rollup_merge" -> """
+      SELECT lang, count(*) AS cnt, sum(n_chars) AS vsum,
+             min(n_chars) AS vmin, max(n_chars) AS vmax,
+             round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS vavg
+      FROM documents GROUP BY lang ORDER BY lang""",
 
     "q134_weighted_sample" -> s"""
       SELECT doc_id, n_chars FROM (

@@ -44,6 +44,63 @@ class GraphSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Graph.pageRank(e, "src", "dst", 65))
   }
 
+  private def hitsOf(edges: Seq[(String, String)], iterations: Int): Map[String, (Double, Double)] =
+    Graph.hits(edges.toDF("src", "dst"), "src", "dst", iterations)
+      .as[(String, Double, Double)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+
+  test("HITS: hand-computed one-iteration hub/auth on a 2x2 bipartite graph") {
+    // A->X, A->Y, B->X: auth'(X) = h(A)+h(B) = 2/4, auth'(Y) = 1/4 ->
+    // L1-normalized (2/3, 1/3); hub'(A) = 2/3+1/3 = 1, hub'(B) = 2/3 ->
+    // normalized (3/5, 2/5). Pure-source nodes hold auth 0, sinks hub 0.
+    val h = hitsOf(Seq(("A", "X"), ("A", "Y"), ("B", "X")), 1)
+    assert(h("X")._2 == 2.0 / 3.0 && h("Y")._2 == 1.0 / 3.0)
+    assert(math.abs(h("A")._1 - 0.6) < 1e-15 && math.abs(h("B")._1 - 0.4) < 1e-15)
+    assert(h("A")._2 == 0.0 && h("B")._2 == 0.0)
+    assert(h("X")._1 == 0.0 && h("Y")._1 == 0.0)
+  }
+
+  test("HITS: L1 mass is 1 on each side after every iteration; iterations=0 is uniform") {
+    val edges = Seq(("A", "X"), ("A", "Y"), ("B", "X"), ("C", "A"), ("X", "C"))
+    for (it <- 0 to 3) {
+      val h = hitsOf(edges, it)
+      val hubSum = h.values.map(_._1).sum
+      val authSum = h.values.map(_._2).sum
+      assert(math.abs(hubSum - 1.0) < 1e-12, s"hub mass $hubSum at iteration $it")
+      assert(math.abs(authSum - 1.0) < 1e-12, s"auth mass $authSum at iteration $it")
+    }
+    val h0 = hitsOf(edges, 0)
+    assert(h0.values.forall { case (hb, au) => hb == 0.2 && au == 0.2 })
+  }
+
+  test("HITS: a directory hub with many good out-links out-ranks a single-link hub") {
+    // D links to every authority, E to one: hub(D) must dominate
+    val edges = Seq(("D", "X"), ("D", "Y"), ("D", "Z"), ("E", "X"))
+    val h = hitsOf(edges, 2)
+    assert(h("D")._1 > h("E")._1)
+    // X is pointed at by both hubs: top authority
+    assert(h("X")._2 > h("Y")._2 && h("Y")._2 == h("Z")._2)
+  }
+
+  test("q136 corpus: raw hub/auth scores sit safely off the round(6) boundaries") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val site = docs.filter(col("doc_id") % 11 =!= 0)
+      .select(col("source").as("src"),
+        concat(lit("site"), (col("doc_id") % 20).cast("string"), lit(".example.com")).as("dst"))
+    val bad = docs.filter(col("doc_id") % 3 === 0)
+      .select(col("source").as("src"),
+        concat(lit("blocked"), (col("doc_id") % 5).cast("string"), lit(".bad.net")).as("dst"))
+    val raw = Graph.hits(site.union(bad), "src", "dst", iterations = 2)
+      .select(col("hub"), col("auth")).as[(Double, Double)].collect()
+      .flatMap(t => Seq(t._1, t._2))
+    val minDist = raw.map { r =>
+      val f = (r * 1e6) % 1.0
+      math.abs(f - 0.5) * 1e-6
+    }.min
+    assert(minDist > 1e-10,
+      f"a raw score sits $minDist%.2e from a round(6) boundary — " +
+        "re-pick rounding or iterations for this corpus")
+  }
+
   test("q103 corpus: raw ranks sit safely off the round(6) boundaries") {
     // The oracle compares round(rank, 6) across engines whose per-dst sums
     // can differ in the last ulp — measure the actual margins so a testdata

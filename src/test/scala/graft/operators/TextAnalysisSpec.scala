@@ -409,6 +409,73 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r.getAs[Boolean]("keep"), r.toString)
   }
 
+  test("c4Clean: line rules, doc flags, and sentence counting on a structured doc") {
+    val text = Seq(
+      "This line has plenty of words and ends properly.", // kept
+      "Too short here.",                                  // < 5 words
+      "this line has enough words but no terminal punct", // no [.!?"]
+      "Please enable JavaScript to continue reading now.", // javascript
+      "Another good line closes with a question mark?"    // kept
+    ).mkString("\n")
+    val r = TextAnalysis.c4Clean(Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text")
+      .collect()(0)
+    assert(r.getAs[String]("clean_text") ==
+      "This line has plenty of words and ends properly.\n" +
+        "Another good line closes with a question mark?")
+    assert(r.getAs[Long]("n_lines") == 5L && r.getAs[Long]("n_kept_lines") == 2L)
+    assert(r.getAs[Long]("n_sentences") == 2L)
+    assert(!r.getAs[Boolean]("has_lorem") && !r.getAs[Boolean]("has_brace"))
+    assert(!r.getAs[Boolean]("keep"), "2 sentences < 3 must not keep")
+
+    val flagged = TextAnalysis.c4Clean(Seq(
+      (1L, "Lorem Ipsum dolor sit amet today."),
+      (2L, "A code block { x } appeared right here today."),
+      (3L, "One good sentence here. Two good sentences here! Three good sentences here?"))
+      .toDF("doc_id", "text"), "doc_id", "text").collect()
+    assert(flagged(0).getAs[Boolean]("has_lorem") && !flagged(0).getAs[Boolean]("keep"))
+    assert(flagged(1).getAs[Boolean]("has_brace") && !flagged(1).getAs[Boolean]("keep"))
+    assert(flagged(2).getAs[Boolean]("keep"), flagged(2).toString)
+  }
+
+  test("c4Clean is a shuffle-free per-row projection") {
+    val df = TextAnalysis.c4Clean(Seq((1L, "a. b. c.")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    assert(!df.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
+  test("charTrigrams: short-text guard and lowercase folding") {
+    val got = Seq("ab", "", "AbCd").toDF("t")
+      .select(TextAnalysis.charTrigrams(col("t")).as("g"))
+      .collect().map(_.getSeq[String](0).toSeq).toSeq
+    assert(got == Seq(Seq.empty, Seq.empty, Seq("abc", "bcd")))
+  }
+
+  test("trigram lang-id: a planted two-language corpus classifies perfectly, any layout") {
+    // two disjoint character distributions; labels correlate with content
+    // (unlike the driver corpus, whose lang column is independent of text)
+    def sentence(words: Seq[String], i: Long): String =
+      (0 until 12).map(j => words(((i + j) % words.size).toInt)).mkString(" ")
+    val aWords = Seq("alpha", "apple", "anchor", "amber", "atlas")
+    val bWords = Seq("zebra", "zulu", "zigzag", "zenith", "zephyr")
+    val corpus = (0L until 200L).map { i =>
+      val lang = if (i % 2 == 0) "aa" else "zz"
+      (i, lang, sentence(if (lang == "aa") aWords else bWords, i))
+    }.toDF("doc_id", "lang", "text")
+    val profiles = TextAnalysis.trainTrigramProfiles(
+      corpus.filter(col("doc_id") < 100), "lang", "text", topN = 20)
+    assert(profiles.groupBy("lang").count().select("count").as[Long].collect()
+      .forall(_ == 20L))
+    val pred = TextAnalysis.classifyByTrigramProfiles(
+      corpus.filter(col("doc_id") >= 100), "doc_id", "text", profiles, topN = 20)
+    val joined = pred.join(corpus.select(col("doc_id"), col("lang")), "doc_id")
+    assert(joined.filter(col("pred_lang") =!= col("lang")).isEmpty,
+      "every held-out doc must classify to its planted language")
+    // layout independence (integer arithmetic end to end)
+    val again = TextAnalysis.classifyByTrigramProfiles(
+      corpus.filter(col("doc_id") >= 100).repartition(13), "doc_id", "text", profiles, topN = 20)
+    assert(pred.except(again).isEmpty && again.except(pred).isEmpty)
+  }
+
   test("normalizeText: lowercase + accent fold + whitespace collapse, idempotent") {
     val in = Seq((1L, "  HÉLLO\t WÖRLD  ÀÉÎÕÜ façade œuvre Ñoño  ")).toDF("doc_id", "text")
     val out = in.select(TextAnalysis.normalizeText(col("text")).as("n")).as[String].head()

@@ -97,6 +97,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // parameter); the farthest-point selection jobs run eagerly at build
     // time and never appear in the returned plan.
     "q99_kmeans_farthest" -> (0, 0, 1),
+    // q137: the |langs|-row language list crossJoined into the doc-gram
+    // frame (enum-sized — its broadcast is the BNLJ) and the two
+    // model-sized broadcasts (the |langs|·topN profile, the lang list).
+    "q137_trigram_langid" -> (0, 1, 2),
     // q138: the two-phase prefix sum's 256-row bucket-offset table
     // broadcast back (q60/q73's pack-offset class).
     "q138_shuffle" -> (0, 0, 1),
