@@ -333,6 +333,80 @@ object ScaleSmoke {
         urled.select(col("doc_id"), TextAnalysis.canonicalizeUrl(col("url")).as("canonical")),
         "canonical", "doc_id"))
 
+    // --- round-9 continuation additions (q131-q140 families) --------------
+
+    // PQ: training is one corpus pass per Lloyd iteration (subspace explode
+    // keeps total bytes constant); encode is a pure projection; ADC scans
+    // m codes per row against the broadcast probe LUTs. All should grow
+    // linearly in mult.
+    locally {
+      val books = Similarity.pqTrain(vecs, "vec_id", "embedding",
+        m = 8, ksub = 16, dim = 64, iterations = 2)
+      time("pq train (m=8, ksub=16, 2 iters)")(books)
+      val codes = Similarity.pqEncode(vecs, "vec_id", "embedding", books, m = 8, dim = 64)
+      time("pq encode")(codes)
+      time("pq adc top-10")(
+        Similarity.pqTopK(codes, "vec_id", "codes", books, probes, "vec_id", "embedding",
+          k = 10, m = 8, dim = 64))
+    }
+
+    // Z-ordered write: one range shuffle + sort on the interleaved key —
+    // the cost model is ClusteredWrite.parquet's with a cheap projection
+    // on top.
+    locally {
+      val dir = java.nio.file.Files.createTempDirectory("graft-smoke-z").toString + "/t"
+      val t0 = System.nanoTime()
+      graft.sinks.ClusteredWrite.parquetZOrdered(
+        ev.select(col("event_id"), col("user_id")), dir,
+        Seq("event_id", "user_id"), numFiles = 32)
+      println(f"[smoke] ${"z-ordered write (2 dims)"}%-34s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    }
+
+    // Deterministic shuffle: the two-phase prefix sum over the widened
+    // corpus — per-bucket windows run wide, only 256 offsets serialize.
+    time("deterministic shuffle")(
+      Sampling.deterministicShuffle(docs.select(col("doc_id")), "doc_id",
+        rowsPerShard = 100000L, salt = "smoke-sh"))
+
+    // Negative sampling: position map + k-wide explode + SMJ position join;
+    // draws-per-anchor is constant, so output grows linearly in mult.
+    time("negative sampling (k=4)")(
+      Sampling.negativeSample(docs.select(col("doc_id")), "doc_id", k = 4, salt = "smoke-ng"))
+
+    // Weighted bottom-k: TakeOrdered over the widened corpus — O(k) heaps.
+    time("weighted bottom-k (k=1000)")(
+      Sampling.weightedBottomK(docs.select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", k = 1000, salt = "smoke-wk"))
+
+    // Trigram lang-id: profile training is bounded by |langs|x|charset|^3
+    // (count rows multiply by mult, map-side combined); classification's
+    // per-doc rank windows widen with the corpus.
+    locally {
+      val profiles = TextAnalysis.trainTrigramProfiles(
+        Tables.documents(spark, sfDir), "lang", "text", topN = 20)
+      time("trigram lang-id classify")(
+        TextAnalysis.classifyByTrigramProfiles(docs, "doc_id", "text", profiles, topN = 20))
+    }
+
+    // HITS over the widened link graph (every source repeats mult times —
+    // hot hub rows): two SMJ join-aggs + two scalar sums per iteration,
+    // scores materialized per iteration by contract.
+    time("hits (2 iterations)")(
+      graft.operators.Graph.hits(
+        docs.select(col("source").as("src"),
+          concat(lit("site"), (col("doc_id") % 1000).cast("string")).as("dst")),
+        "src", "dst", iterations = 2))
+
+    // C4 cleaning: pure per-row projection — tracks scan speed.
+    time("c4 clean")(TextAnalysis.c4Clean(lined, "doc_id", "text"))
+
+    // Mergeable rollup: mult partials (one per replica band) merged — the
+    // metrics-store read path; partial cost dominates, merge is key-sized.
+    time("rollup partial + merge (4 shards)")(
+      graft.operators.Rollup.merge(
+        (0 until 4).map(s => graft.operators.Rollup.partial(
+          docs.filter(col("doc_id") % 4 === s), Seq("lang"), "n_chars")), Seq("lang")))
+
     spark.stop()
   }
 }
