@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Ordered-behavior analytics over event streams — the product-analytics
+  * surface (funnel conversion, cohort retention) a clickstream warehouse
+  * runs daily at fact-table scale.
+  */
+object Funnel {
+
+  /** Per-user funnel reach times: `t_i` = the earliest event of step `i`
+    * that happens STRICTLY AFTER the user's `t_{i-1}` (the classic ordered
+    * funnel — a purchase before the first view does not convert). Users
+    * appear iff they reached step 1; unreached later steps are null.
+    *
+    * Shape at 100 TB: step `i` is ONE keyed join (user) + ONE min
+    * aggregation — k-1 shuffles total for a k-step funnel, no per-user
+    * window, no event-array collection, so a bot user with 10^8 events
+    * costs the aggregation's map-side combine, not a task-local sort.
+    * Joins are SMJ-pinned: both sides are user-shaped and the reach
+    * tables are derived (the §8.1 static-size-estimate class).
+    */
+  def funnelTimes(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      steps: Seq[String]
+  ): DataFrame = {
+    require(steps.nonEmpty, "at least one funnel step is required")
+    require(steps.distinct.length == steps.length, "funnel steps must be distinct")
+    val stepTimes = steps.zipWithIndex.map { case (_, i) => s"t${i + 1}" }
+    val first = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("t1"))
+    val reached = steps.zipWithIndex.tail.foldLeft(first) { case (prev, (step, i)) =>
+      val tPrev = s"t$i"
+      val tThis = s"t${i + 1}"
+      val next = events.filter(col(typeCol) === step)
+        .select(col(userCol), col(tsCol))
+        .hint("shuffle_merge")
+        .join(prev.hint("shuffle_merge"), Seq(userCol))
+        .filter(col(tsCol) > col(tPrev))
+        .groupBy(col(userCol)).agg(min(col(tsCol)).as(tThis))
+        .select(col(userCol), col(tThis))
+      prev.join(next.hint("shuffle_merge"), Seq(userCol), "left")
+    }
+    reached.select(col(userCol) +: stepTimes.map(col): _*)
+  }
+
+  /** Funnel step counts from [[funnelTimes]]: one row per step with the
+    * number of users whose reach time is non-null — the conversion
+    * report. ONE single-row aggregation over the user-shaped reach table,
+    * unpivoted to (step, step_name, users). */
+  def funnelCounts(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      steps: Seq[String]
+  ): DataFrame = {
+    val times = funnelTimes(events, userCol, typeCol, tsCol, steps)
+    val counts = times.agg(
+      count(col("t1")).as("c1"),
+      steps.indices.tail.map(i => count(col(s"t${i + 1}")).as(s"c${i + 1}")): _*)
+    counts.select(explode(array(steps.zipWithIndex.map { case (s, i) =>
+      struct(lit(i + 1).as("step"), lit(s).as("step_name"), col(s"c${i + 1}").as("users"))
+    }: _*)).as("__e")).select(col("__e.*"))
+  }
+
+  /** Cohort retention: users cohorted by their FIRST-seen bucket (floor of
+    * epoch-days over `bucketDays`), activity counted as distinct
+    * (user, bucket) pairs at each offset — "of the users who arrived in
+    * week w, how many were active in week w+k". Integer day arithmetic
+    * end to end.
+    *
+    * Shape: one min-aggregation (first seen), one distinct over
+    * (user, bucket) — both keyed map-side-combined shuffles — and one
+    * SMJ-pinned user join; never a countDistinct over a corpus-wide
+    * group. Output is cohort×offset-sized (enum-like).
+    */
+  def cohortRetention(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      bucketDays: Int = 7
+  ): DataFrame = {
+    require(bucketDays >= 1, s"bucketDays must be >= 1, got $bucketDays")
+    val bucket: Column = floor(unix_date(to_date(col(tsCol))) / bucketDays).cast("long")
+    val firstSeen = events.groupBy(col(userCol)).agg(min(bucket).as("cohort"))
+    val active = events.select(col(userCol), bucket.as("__b")).distinct()
+    active.hint("shuffle_merge")
+      .join(firstSeen.hint("shuffle_merge"), Seq(userCol))
+      .groupBy(col("cohort"), (col("__b") - col("cohort")).as("offset"))
+      .agg(count(lit(1)).as("active_users"))
+  }
+}

@@ -55,4 +55,31 @@ object Profiler {
         col("min_str"), col("max_str"),
         round(col("hll_est"), 4).as("distinct_est"), col("zero_regs"))
   }
+
+  /** Fixed-bin histogram of an integral column per group — the value-
+    * distribution half of the data card (the per-column card above gives
+    * cardinality; this gives shape, the artifact that catches a
+    * length-distribution drift between corpus vintages). Bin edges come
+    * from literal `[minV, maxV]` with `bins` equal-width buckets, the
+    * [[graft.sinks.ClusteredWrite.zBucket]] integer arithmetic (exact in
+    * every engine; values outside the domain clamp to the end bins, so a
+    * drifted vintage shows up as fat edge bins, not an error). ONE
+    * map-side-combined aggregation; output is groups × bins rows.
+    */
+  def histogram(
+      df: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String],
+      minV: Long,
+      maxV: Long,
+      bins: Int
+  ): DataFrame = {
+    require(bins > 0 && (bins & (bins - 1)) == 0 && bins <= (1 << 20),
+      s"bins must be a power of two in (0, 2^20], got $bins")
+    val bits = java.lang.Integer.numberOfTrailingZeros(bins)
+    val clamped = greatest(lit(minV), least(lit(maxV), col(valueCol).cast("long")))
+    val bucket = graft.sinks.ClusteredWrite.zBucket(clamped, minV, maxV, bits)
+    df.groupBy(groupCols.map(col) :+ bucket.as("bin"): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
 }

@@ -115,4 +115,35 @@ object Skew {
       .select(keys :+ explode(col("__keep")).as(orderCol): _*)
     df.join(kept.hint("shuffle_merge"), keyCols :+ orderCol, "left_semi")
   }
+
+  /** Bloom-prefiltered equi-join — the semi-join pushdown a 100 TB
+    * fact ⋈ selective-dim join wants when the dim is too big (or too
+    * late-bound) to broadcast as a hash table but its KEY SET compresses
+    * into a bitmap: build an mBits Bloom filter over the dim keys (one
+    * bounded aggregation, ≤ mBits/32 words collected), probe every fact
+    * row with the executor-captured bitmap (pure projection — the
+    * `might_contain` runtime filter Spark's own bloom-join rule injects),
+    * and only surviving rows enter the shuffle join. False positives are
+    * removed by the join itself, and a Bloom filter has NO false
+    * negatives — so the output is row-identical to the plain join (the
+    * q144 gate) while the shuffle carries only ~selectivity + fp of the
+    * fact table. The join stays SMJ-pinned: pre-filtering does not make
+    * either side broadcastable by contract.
+    */
+  def bloomPrefilteredJoin(
+      fact: DataFrame,
+      dim: DataFrame,
+      factKey: String,
+      dimKey: String,
+      mBits: Int = 1 << 16,
+      kHashes: Int = 4,
+      salt: String = "bloomjoin"
+  ): DataFrame = {
+    val sketch = Sketches.bloomSketch(dim, col(dimKey), mBits, kHashes, salt)
+    val bitmap = Sketches.collectBloom(sketch, mBits)
+    fact
+      .filter(Sketches.bloomProbe(col(factKey), bitmap, mBits, kHashes, salt))
+      .hint("shuffle_merge")
+      .join(dim.hint("shuffle_merge"), col(factKey) === col(dimKey))
+  }
 }

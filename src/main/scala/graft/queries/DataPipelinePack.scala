@@ -1409,6 +1409,50 @@ object DataPipelinePack extends QueryPack {
         .orderBy(col("probe_id"), col("rnk"))
     }),
 
+    // Ordered funnel (view -> click -> purchase): per-user reach times
+    // where each step's event must follow the previous step's earliest
+    // reach — k-1 keyed join+min-aggregations, no per-user window, no
+    // event-array collection (the bot-user-proof shape).
+    "q141_funnel" -> ((s, d) => {
+      graft.operators.Funnel.funnelTimes(Tables.events(s, d),
+        "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Weekly cohort retention: first-seen bucket x activity offset with
+    // distinct (user, bucket) pre-aggregation — never a countDistinct
+    // over a corpus-wide group.
+    "q142_cohort" -> ((s, d) => {
+      graft.operators.Funnel.cohortRetention(Tables.events(s, d), "user_id", "ts",
+        bucketDays = 7)
+        .orderBy(col("cohort"), col("offset"))
+    }),
+
+    // Bloom-prefiltered fact⋈dim join: the dim key set compressed to a
+    // 2^15-bit bitmap, fact rows probed per-row before the shuffle; no
+    // false negatives, so the aggregate equals the plain join's (the
+    // oracle ignores the bloom entirely).
+    "q143_bloom_join" -> ((s, d) => {
+      val dim = Tables.supplier(s, d).filter(col("s_suppkey") % 7 === 0)
+        .select(col("s_suppkey"), col("s_name"))
+      Skew.bloomPrefilteredJoin(
+        Tables.lineitem(s, d).select(col("l_suppkey"), col("l_quantity")),
+        dim, "l_suppkey", "s_suppkey", mBits = 1 << 15, kHashes = 4)
+        .groupBy(col("s_suppkey"), col("s_name"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_quantity").cast("decimal(28,4)")).cast("double").as("sum_qty"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // Per-language value-distribution histogram of n_chars: 16 equal-width
+    // bins over a literal domain, out-of-domain values clamped to the edge
+    // bins — integer bucket arithmetic shared with the z-order bucketizer.
+    "q144_histogram" -> ((s, d) => {
+      Profiler.histogram(Tables.documents(s, d), "n_chars", Seq("lang"),
+        minV = 0L, maxV = 4095L, bins = 16)
+        .orderBy(col("lang"), col("bin"))
+    }),
+
     // The C4 cleaning rules (Raffel et al. 2020) over documents with
     // deterministically planted line structure: a terminal-punct good
     // line, a too-short line, and modular javascript / lorem-ipsum /
@@ -1967,6 +2011,39 @@ object DataPipelinePack extends QueryPack {
 
   def oracles: Map[String, String] = Map(
     "q57_pii_redaction" -> piiOracle,
+
+    "q141_funnel" -> """
+      WITH r1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                  WHERE event_type = 'view' GROUP BY user_id),
+      r2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN r1 ON e.user_id = r1.user_id
+             WHERE e.event_type = 'click' AND e.ts > r1.t1 GROUP BY e.user_id),
+      r3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN r2 ON e.user_id = r2.user_id
+             WHERE e.event_type = 'purchase' AND e.ts > r2.t2 GROUP BY e.user_id)
+      SELECT r1.user_id, r1.t1, r2.t2, r3.t3
+      FROM r1 LEFT JOIN r2 ON r1.user_id = r2.user_id
+           LEFT JOIN r3 ON r1.user_id = r3.user_id
+      ORDER BY r1.user_id""",
+
+    "q142_cohort" -> """
+      WITH b AS (SELECT user_id,
+                        CAST(floor(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) / 7.0) AS BIGINT) AS bkt
+                 FROM events),
+      f AS (SELECT user_id, min(bkt) AS cohort FROM b GROUP BY user_id),
+      a AS (SELECT DISTINCT user_id, bkt FROM b)
+      SELECT f.cohort, a.bkt - f.cohort AS offset, count(*) AS active_users
+      FROM a JOIN f ON a.user_id = f.user_id
+      GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q143_bloom_join" -> """
+      SELECT s.s_suppkey, s.s_name, count(*) AS cnt,
+             CAST(sum(CAST(l.l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE s.s_suppkey % 7 = 0
+      GROUP BY 1, 2 ORDER BY 1""",
+
+    "q144_histogram" -> """
+      SELECT lang, (least(greatest(n_chars, 0), 4095) * 16) // 4096 AS bin, count(*) AS cnt
+      FROM documents GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q135_c4_rules" -> """
       WITH lined AS (

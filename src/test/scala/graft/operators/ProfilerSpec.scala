@@ -32,6 +32,18 @@ class ProfilerSpec extends AnyFunSuite {
     assert(est > 60 && est < 160, s"distinct_est $est out of band for 100")
   }
 
+  test("histogram: uniform domain fills equal bins; out-of-domain values clamp to edges") {
+    val df = (0L until 4096L).toDF("v").withColumn("g", lit("a"))
+    val got = Profiler.histogram(df, "v", Seq("g"), minV = 0L, maxV = 4095L, bins = 16)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(got.keySet == (0L until 16L).toSet && got.values.forall(_ == 256L))
+    val outliers = Seq(-100L, -1L, 5000L, 999999L).toDF("v").withColumn("g", lit("a"))
+    val clamped = Profiler.histogram(outliers, "v", Seq("g"), 0L, 4095L, 16)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(clamped == Map(0L -> 2L, 15L -> 2L), s"clamping broken: $clamped")
+    intercept[IllegalArgumentException](Profiler.histogram(df, "v", Seq("g"), 0L, 10L, 12))
+  }
+
   test("profileColumns rejects an empty column list") {
     intercept[IllegalArgumentException](
       Profiler.profileColumns(Seq((1, "a")).toDF("a", "b"), Seq.empty))

@@ -64,6 +64,24 @@ class SkewSpec extends AnyFunSuite {
     assert(kept == Set(("a", Some(10L)), ("a", Some(20L)), ("b", Some(5L))))
   }
 
+  test("bloomPrefilteredJoin equals the plain join and the probe actually prunes") {
+    val fact = (1L to 5000L).map(i => (i % 500, i)).toDF("fk", "payload")
+    val dim = (0L until 500L).filter(_ % 25 == 0).map(k => (k, s"d$k")).toDF("dk", "name")
+    val got = Skew.bloomPrefilteredJoin(fact, dim, "fk", "dk",
+      mBits = 1 << 12, kHashes = 4)
+    val plain = fact.join(dim, col("fk") === col("dk"))
+    assert(got.except(plain).isEmpty && plain.except(got).isEmpty,
+      "bloom prefilter must never change the join result (no false negatives)")
+    // the probe filter prunes most non-matching fact rows pre-shuffle
+    val sketch = Sketches.bloomSketch(dim, col("dk"), 1 << 12, 4, "bloomjoin")
+    val bitmap = Sketches.collectBloom(sketch, 1 << 12)
+    val survivors = fact.filter(Sketches.bloomProbe(col("fk"), bitmap, 1 << 12, 4, "bloomjoin"))
+      .count()
+    // true matches: 20 of 500 keys -> 200 rows; allow fp slack
+    assert(survivors >= 200L && survivors < 1000L,
+      s"probe kept $survivors of 5000 rows — pruning broken or fp rate off")
+  }
+
   test("MinKLongs buffer is bounded at k through reduce and merge, in any order") {
     val agg = new graft.functions.MinKLongs(3)
     // reduce a hot stream of 10k values: buffer never exceeds k
