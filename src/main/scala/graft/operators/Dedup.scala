@@ -709,6 +709,45 @@ object Dedup {
     labels.select(col("__id").as(idCol), col("__label").as("cluster_id"))
   }
 
+  /** INCREMENTAL connected components — merge a new batch into existing
+    * clusters without replaying history's edges: the prior clustering
+    * collapses to ONE label edge per non-root node (`id → cluster_id`,
+    * which under [[connectedComponents]]'s min-label convention is itself
+    * a member id of the same component), so propagating over
+    * (label edges ∪ new edges) reaches the same global minimum id as a
+    * from-scratch run over ALL edges ever seen — bit-identical labels
+    * (the q147 gate), at the cost of |nodes| label edges + |new edges|
+    * instead of the full historical pair list. This is the daily-ingest
+    * shape of the dedup family's third memory: near-dup PAIRS against the
+    * LSH history index ([[nearDupAgainstIndex]]) feed `newEdges`, and
+    * clusters stay globally consistent while each day's CC run only ever
+    * sees one day of fresh pairs.
+    *
+    * A new edge can merge two OLD components — the smaller one's members
+    * legitimately relabel (that is the semantics, not drift —
+    * [[graft.operators.Sampling.clusterAwareSplit]]'s caveat).
+    */
+  def incrementalConnectedComponents(
+      oldClusters: DataFrame,
+      idCol: String,
+      newVertices: DataFrame,
+      newEdges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxIter: Int = 20,
+      checkpointDir: Option[String] = None
+  ): DataFrame = {
+    val labelEdges = oldClusters
+      .filter(col(idCol) =!= col("cluster_id"))
+      .select(col(idCol).as(srcCol), col("cluster_id").as(dstCol))
+    val vertices = oldClusters.select(col(idCol))
+      .unionByName(newVertices.select(col(idCol)))
+      .distinct()
+    connectedComponents(vertices, idCol,
+      labelEdges.unionByName(newEdges.select(col(srcCol), col(dstCol))),
+      srcCol, dstCol, maxIter, checkpointDir)
+  }
+
   /** Keep the BEST-QUALITY representative of every duplicate cluster —
     * production near-dedup keeps the highest-quality copy (longest, best
     * quality score, freshest crawl), not the minimum id the plain keep-min

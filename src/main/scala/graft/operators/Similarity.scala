@@ -862,6 +862,145 @@ object Similarity {
       .select(col("probe_id"), col("rnk"), col("nbr_id"), col("__sim").as("adc_score"))
   }
 
+  /** Residual frame for IVF-PQ codebook training: every vector's nearest
+    * cell (the [[ivfTopK]] assignment rule) and `x − c_cell` — feed this
+    * to [[pqTrain]] (on the `residual` column) so codebooks quantize the
+    * residual distribution [[ivfPqEncode]] actually encodes. Pure
+    * projection against literal centroids. */
+  def ivfResiduals(
+      vectors: DataFrame,
+      vectorId: String,
+      vectorCol: String,
+      centroids: DataFrame,
+      centroidId: String,
+      centroidCol: String
+  ): DataFrame = {
+    val cents = collectCentroids(centroids, centroidId, centroidCol)
+    val v = asDouble(col(vectorCol))
+    val vn = sqrt(fastDot(v, v))
+    val cell = centroidsByDistance(cents, v, vn).getItem(0).getField("c")
+    val resid = cents.tail.foldLeft(
+      when(col("cell") === cents.head._1, zip_with(col("__v"), lit(cents.head._2), _ - _))) {
+      case (acc, (cid, arr, _)) =>
+        acc.when(col("cell") === cid, zip_with(col("__v"), lit(arr), _ - _))
+    }
+    vectors.select(col(vectorId), v.as("__v"), cell.as("cell"))
+      .select(col(vectorId), col("cell"), resid.as("residual"))
+  }
+
+  /** IVF cell assignment + PQ-encoded RESIDUALS — the FAISS `IVFx,PQy`
+    * production index shape: each vector stores its nearest-centroid cell
+    * plus the PQ codes of `x − c_cell` (residuals are smaller than raw
+    * vectors, so the same codebook budget quantizes them finer). Output
+    * `(vectorId, cell, codes)`; train `codebooks` on THIS function's
+    * residual output (`pqTrain` over a prior pass) or accept the
+    * coarse-only loss of raw-vector codebooks. Cell assignment is the
+    * exact [[ivfTopK]] rule (cosine argmax, lowest-cid ties); everything
+    * is a pure projection against literal centroids/codebooks — zero
+    * shuffle, stream-safe.
+    */
+  def ivfPqEncode(
+      vectors: DataFrame,
+      vectorId: String,
+      vectorCol: String,
+      centroids: DataFrame,
+      centroidId: String,
+      centroidCol: String,
+      codebooks: DataFrame,
+      m: Int,
+      dim: Int
+  ): DataFrame = {
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val dsub = dim / m
+    val cents = collectCentroids(centroids, centroidId, centroidCol)
+    val books = collectCodebooks(codebooks, m, dsub)
+    val v = asDouble(col(vectorCol))
+    val vn = sqrt(fastDot(v, v))
+    val cell = centroidsByDistance(cents, v, vn).getItem(0).getField("c")
+    // residual against the ASSIGNED cell: chained when over the (small,
+    // by contract) centroid list — each branch a literal subtraction
+    def residual(sv: Column, s: Int): Column =
+      cents.tail.foldLeft(
+        when(col("cell") === cents.head._1,
+          zip_with(sv, lit(cents.head._2.slice(s * dsub, (s + 1) * dsub)), _ - _))) {
+        case (acc, (cid, arr, _)) =>
+          acc.when(col("cell") === cid,
+            zip_with(sv, lit(arr.slice(s * dsub, (s + 1) * dsub)), _ - _))
+      }
+    val codes = (0 until m).map { s =>
+      val rsv = residual(slice(col("__v"), s * dsub + 1, dsub), s)
+      val n2 = fastDot(rsv, rsv)
+      array_sort(array(books(s).map { case (code, c) =>
+        val cc = c.map(x => x * x).sum
+        struct(round(n2 - lit(2.0) * fastDot(rsv, lit(c)) + lit(cc), 6).as("d"),
+          lit(code.toInt).as("k"))
+      }: _*)).getItem(0).getField("k")
+    }
+    vectors.select(col(vectorId), v.as("__v"), cell.as("cell"))
+      .select(col(vectorId), col("cell"), array(codes: _*).as("codes"))
+  }
+
+  /** ADC retrieval over an [[ivfPqEncode]] index: probes fan out to their
+    * `nprobe` nearest cells; a candidate row in cell `c` with codes
+    * `(k_1..k_m)` scores as
+    * `probe·c  +  Σ_s probe_sub_s · codebook_s[k_s]`
+    * — the residual decomposition means the per-cell correction is ONE
+    * scalar (computed on the broadcast probe side) and the code lookups
+    * are cell-independent, so the scan still reads m bytes per row. Same
+    * quantized-selection contract as [[pqTopK]].
+    */
+  def ivfPqTopK(
+      encoded: DataFrame,
+      encodedId: String,
+      centroids: DataFrame,
+      centroidId: String,
+      centroidCol: String,
+      codebooks: DataFrame,
+      probes: DataFrame,
+      probeId: String,
+      probeCol: String,
+      k: Int,
+      m: Int,
+      dim: Int,
+      nprobe: Int,
+      scoreScale: Int = 4
+  ): DataFrame = {
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    require(k > 0 && nprobe > 0, "k and nprobe must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val dsub = dim / m
+    val cents = collectCentroids(centroids, centroidId, centroidCol)
+    val books = collectCodebooks(codebooks, m, dsub)
+    val pv = asDouble(col(probeCol))
+    val pn = sqrt(fastDot(pv, pv))
+    // (rank-sim, cell, probe·centroid) per cell, ranked by the ivfTopK rule
+    val cellStructs = array_sort(array(cents.map { case (cid, arr, cn) =>
+      struct((-(fastDot(pv, lit(arr)) / (pn * lit(cn)))).as("ns"),
+        lit(cid).as("c"), fastDot(pv, lit(arr)).as("d"))
+    }: _*))
+    val lut = array((0 until m).map { s =>
+      val psv = slice(pv, s * dsub + 1, dsub)
+      array(books(s).map { case (_, c) => fastDot(psv, lit(c)) }: _*)
+    }: _*)
+    val p = probes.select(col(probeId).as("probe_id"), lut.as("__lut"),
+        explode(slice(cellStructs, 1, nprobe)).as("__cellinfo"))
+      .select(col("probe_id"), col("__lut"),
+        col("__cellinfo").getField("c").as("cell"),
+        col("__cellinfo").getField("d").as("__celldot"))
+    val adc = (0 until m).map(s =>
+      element_at(element_at(col("__lut"), s + 1),
+        element_at(col("codes"), s + 1) + lit(1))).reduce(_ + _)
+    val scored = encoded.select(col(encodedId).as("nbr_id"), col("cell"), col("codes"))
+      .join(broadcast(p), Seq("cell"))
+      .filter(col("nbr_id") =!= col("probe_id"))
+      .withColumn("__sim", round(col("__celldot") + adc, scoreScale))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("__sim").desc, col("nbr_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("rnk"), col("nbr_id"), col("__sim").as("adc_score"))
+  }
+
   /** SemDeDup (Abbas et al. 2023): semantic deduplication by clustering
     * embeddings and keeping ONE representative of every within-cluster
     * near-duplicate group. Each vector is assigned to its nearest centroid

@@ -64,4 +64,42 @@ object TimeSeries {
       .withColumn("value", last(col("__v"), ignoreNulls = true).over(w))
       .select(col(keyCol), col("bucket"), col("value"))
   }
+
+  /** Rolling z-score anomaly flag — the monitoring primitive over per-key
+    * event values: each row's value is scored against the mean/stddev of
+    * its own key's `lookback` PRIOR rows (frame ends at −1, so the tested
+    * value never contaminates its own baseline — the standard leakage
+    * bug). Rows with fewer than 2 prior values or zero variance emit a
+    * null z-score and never flag. z rounds to 4 (window sums are float
+    * folds — the established cross-engine quantization).
+    *
+    * Shape at 100 TB: ONE per-key ordered window (keys are
+    * users/devices/sensors, so windows run wide; a key's cost is its own
+    * row count) — no self-join, no global sort. Population stddev, so
+    * both engines share the closed-form definition.
+    */
+  def rollingZScore(
+      df: DataFrame,
+      keyCol: String,
+      orderCols: Seq[String],
+      valueCol: String,
+      lookback: Int,
+      threshold: Double
+  ): DataFrame = {
+    require(lookback >= 2, s"lookback must be >= 2, got $lookback")
+    require(threshold > 0.0, s"threshold must be positive, got $threshold")
+    require(orderCols.nonEmpty,
+      "orderCols must include a tie-breaking unique suffix — a bare event-time " +
+        "order is nondeterministic under timestamp collisions")
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(col): _*)
+      .rowsBetween(-lookback, -1)
+    val prior = count(col(valueCol)).over(w)
+    val mean = avg(col(valueCol)).over(w)
+    val sd = stddev_pop(col(valueCol)).over(w)
+    val z = when(prior >= 2 && sd > 0.0,
+      round((col(valueCol) - mean) / sd, 4))
+    df.select(col(keyCol) +: orderCols.map(col) :+ col(valueCol): _*)
+      .withColumn("zscore", z)
+      .withColumn("is_anomaly", coalesce(abs(col("zscore")) > threshold, lit(false)))
+  }
 }

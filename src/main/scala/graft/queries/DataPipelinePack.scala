@@ -1409,6 +1409,55 @@ object DataPipelinePack extends QueryPack {
         .orderBy(col("probe_id"), col("rnk"))
     }),
 
+    // IVF-PQ end to end (the FAISS IVFx,PQy shape): 4 coarse cells
+    // (vec_id % 125 == 0 as centroids), PQ codebooks initialized from the
+    // 4 lowest-id RESIDUALS, residual-encoded corpus, nprobe=2 ADC
+    // retrieval where score = probe·centroid + Σ code lookups. All three
+    // quantizers unrolled in the oracle; selection on round(score, 4).
+    "q145_ivfpq_adc" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cents = e.filter(col("vec_id") % 125 === 0)
+        .select((col("vec_id") / 125).cast("long").as("cid"), col("embedding").as("cvec"))
+      val resid = Similarity.ivfResiduals(e, "vec_id", "embedding", cents, "cid", "cvec")
+      val books = Similarity.pqTrain(resid, "vec_id", "residual",
+        m = 4, ksub = 4, dim = 64, iterations = 0)
+      val encoded = Similarity.ivfPqEncode(e, "vec_id", "embedding",
+        cents, "cid", "cvec", books, m = 4, dim = 64)
+      Similarity.ivfPqTopK(encoded, "vec_id", cents, "cid", "cvec", books,
+        probes = e.filter(col("vec_id") < 5), probeId = "vec_id", probeCol = "embedding",
+        k = 5, m = 4, dim = 64, nprobe = 2, scoreScale = 4)
+        .orderBy(col("probe_id"), col("rnk"))
+    }),
+
+    // Rolling z-score anomaly flag over per-user event values: each value
+    // scored against its own key's 10 PRIOR rows (leakage-free frame),
+    // event_id tie-break so the window order is engine-deterministic.
+    "q146_rolling_zscore" -> ((s, d) => {
+      graft.operators.TimeSeries.rollingZScore(
+        Tables.events(s, d).select(col("user_id"), col("ts"), col("event_id"), col("value")),
+        "user_id", Seq("ts", "event_id"), "value", lookback = 10, threshold = 2.0)
+        .orderBy(col("user_id"), col("ts"), col("event_id"))
+    }),
+
+    // Incremental connected components: even docs clustered first (their
+    // own pairs only), odd docs merged in via label edges + only the
+    // NEW pairs — labels must equal q43's from-scratch run over the full
+    // pair list bit for bit (the oracle IS q43's).
+    "q147_incremental_cc" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val oldDocs = docs.filter(col("doc_id") % 2 === 0)
+      val oldCC = Dedup.connectedComponents(oldDocs.select(col("doc_id")), "doc_id",
+        Dedup.jaccardPairs(oldDocs, "doc_id", "text").select(col("id_a"), col("id_b")),
+        "id_a", "id_b")
+      val newEdges = Dedup.jaccardPairs(docs, "doc_id", "text")
+        .filter(col("id_a") % 2 === 1 || col("id_b") % 2 === 1)
+        .select(col("id_a"), col("id_b"))
+      Dedup.incrementalConnectedComponents(oldCC, "doc_id",
+        docs.filter(col("doc_id") % 2 === 1).select(col("doc_id")),
+        newEdges, "id_a", "id_b")
+        .orderBy(col("doc_id"))
+    }),
+
     // Ordered funnel (view -> click -> purchase): per-user reach times
     // where each step's event must follow the previous step's earliest
     // reach — k-1 keyed join+min-aggregations, no per-user window, no
@@ -2011,6 +2060,87 @@ object DataPipelinePack extends QueryPack {
 
   def oracles: Map[String, String] = Map(
     "q57_pii_redaction" -> piiOracle,
+
+    "q145_ivfpq_adc" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      ss AS (SELECT unnest(range(0, 4)) AS s),
+      cents AS (SELECT vec_id // 125 AS cid, v AS cv FROM e WHERE vec_id % 125 = 0),
+      cell AS (SELECT vec_id, cid FROM (
+                 SELECT e.vec_id, c.cid,
+                        row_number() OVER (PARTITION BY e.vec_id
+                          ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+                 FROM e CROSS JOIN cents c) WHERE rn = 1),
+      resid AS (SELECT e.vec_id, cl.cid AS cell,
+                       list_transform(range(1, 65), i -> e.v[i] - c.cv[i]) AS rv
+                FROM e JOIN cell cl ON e.vec_id = cl.vec_id JOIN cents c ON cl.cid = c.cid),
+      rsubs AS (SELECT vec_id, cell, s, rv[s*16+1 : s*16+16] AS sv FROM resid CROSS JOIN ss),
+      c0 AS (SELECT s, row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS code, sv AS cv
+             FROM rsubs WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT 4)),
+      codes AS (SELECT vec_id, cell, s, code FROM (
+                  SELECT r.vec_id, r.cell, r.s, c.code,
+                         row_number() OVER (PARTITION BY r.vec_id, r.s
+                           ORDER BY round(list_dot_product(r.sv, r.sv)
+                                 - 2 * list_dot_product(r.sv, c.cv)
+                                 + list_dot_product(c.cv, c.cv), 6), c.code) AS rn
+                  FROM rsubs r JOIN c0 c ON r.s = c.s) WHERE rn = 1),
+      probes AS (SELECT vec_id AS probe_id, v FROM e WHERE vec_id < 5),
+      psubs AS (SELECT probe_id, s, v[s*16+1 : s*16+16] AS sv FROM probes CROSS JOIN ss),
+      pcells AS (SELECT probe_id, cid, pd FROM (
+                   SELECT p.probe_id, c.cid, list_dot_product(p.v, c.cv) AS pd,
+                          row_number() OVER (PARTITION BY p.probe_id
+                            ORDER BY list_cosine_similarity(p.v, c.cv) DESC, c.cid) AS rn
+                   FROM probes p CROSS JOIN cents c) WHERE rn <= 2),
+      scored AS (SELECT pc.probe_id, cd.vec_id AS nbr_id,
+                        round(max(pc.pd) + sum(list_dot_product(ps.sv, b.cv)), 4) AS adc
+                 FROM pcells pc
+                      JOIN codes cd ON cd.cell = pc.cid
+                      JOIN c0 b ON b.s = cd.s AND b.code = cd.code
+                      JOIN psubs ps ON ps.probe_id = pc.probe_id AND ps.s = cd.s
+                 WHERE cd.vec_id <> pc.probe_id
+                 GROUP BY pc.probe_id, cd.vec_id),
+      ranked AS (SELECT probe_id, nbr_id, adc,
+                        row_number() OVER (PARTITION BY probe_id
+                          ORDER BY adc DESC, nbr_id) AS rnk
+                 FROM scored)
+      SELECT probe_id, rnk, nbr_id, adc AS adc_score
+      FROM ranked WHERE rnk <= 5 ORDER BY probe_id, rnk""",
+
+    "q146_rolling_zscore" -> """
+      WITH w AS (SELECT user_id, ts, event_id, value,
+                        count(value) OVER win AS cnt,
+                        avg(value) OVER win AS m,
+                        stddev_pop(value) OVER win AS sd
+                 FROM events
+                 WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING))
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN cnt >= 2 AND sd > 0 THEN round((value - m) / sd, 4) END AS zscore,
+             CASE WHEN cnt >= 2 AND sd > 0
+                  THEN abs(round((value - m) / sd, 4)) > 2.0 ELSE false END AS is_anomaly
+      FROM w ORDER BY user_id, ts, event_id""",
+
+    "q147_incremental_cc" -> """
+      WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      sh AS (
+        SELECT doc_id,
+               CASE WHEN len(w) >= 3
+                    THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])
+                    ELSE [array_to_string(w, ' ')] END AS s
+        FROM toks),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE 2 * len(list_intersect(a.s, b.s)) >= len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL
+        SELECT id_b, id_a FROM pairs),
+      walk(id, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, w.label FROM walk w JOIN edges e ON w.id = e.src)
+      SELECT id AS doc_id, min(label) AS cluster_id
+      FROM walk GROUP BY id ORDER BY doc_id""",
 
     "q141_funnel" -> """
       WITH r1 AS (SELECT user_id, min(ts) AS t1 FROM events

@@ -781,4 +781,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(direct == viaSig)
     assert(direct.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
   }
+
+  test("incrementalConnectedComponents: label edges + new edges == from-scratch, incl. old-component merges") {
+    import spark.implicits._
+    // old graph: {1,2,3} and {10,11} as separate components; 20 a singleton
+    val oldVerts = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("id")
+    val oldEdges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val oldCC = Dedup.connectedComponents(oldVerts, "id", oldEdges, "id_a", "id_b")
+    // new batch: 30-31 join each other AND bridge the two OLD components
+    val newVerts = Seq(30L, 31L).toDF("id")
+    val newEdges = Seq((30L, 31L), (31L, 3L), (30L, 11L)).toDF("id_a", "id_b")
+    val inc = Dedup.incrementalConnectedComponents(oldCC, "id", newVerts,
+      newEdges, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    val scratch = Dedup.connectedComponents(
+      oldVerts.unionByName(newVerts), "id",
+      oldEdges.unionByName(newEdges), "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(inc == scratch, s"incremental $inc != from-scratch $scratch")
+    // the bridge merged everything except the singleton onto min id 1
+    assert(inc(11L) == 1L && inc(30L) == 1L && inc(20L) == 20L)
+  }
 }

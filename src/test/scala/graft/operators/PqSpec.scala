@@ -90,6 +90,58 @@ class PqSpec extends AnyFunSuite {
     assert(adc.except(exact).isEmpty && exact.except(adc).isEmpty)
   }
 
+  test("ivfResiduals: a centroid vector's residual is exactly zero; cells follow the ivf rule") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0f, 1f, 0f, 0f)),
+      (2L, Seq(0.9f, 0.1f, 0f, 0f)), (3L, Seq(0.1f, 0.9f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val cents = Seq((0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0f, 1f, 0f, 0f))).toDF("cid", "cvec")
+    val got = Similarity.ivfResiduals(corpus, "vec_id", "embedding", cents, "cid", "cvec")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getSeq[Double](2))).toMap
+    assert(got(0L)._1 == 0L && got(0L)._2.forall(_ == 0.0))
+    assert(got(1L)._1 == 1L && got(1L)._2.forall(_ == 0.0))
+    assert(got(2L)._1 == 0L && got(3L)._1 == 1L)
+    assert(math.abs(got(2L)._2.head - (-0.1)) < 1e-7)
+  }
+
+  test("IVF-PQ on a prototype corpus: exact residual codebooks make ADC equal true dots") {
+    import spark.implicits._
+    // 2 cells x 4 residual patterns: vector = center(cell) + residual(j).
+    // With ksub = 4 and one Lloyd iteration the residual codebooks land on
+    // the exact residuals, so celldot + ADC = the true dot product.
+    val centers = Seq(Array(8f, 0f, 0f, 0f), Array(0f, 8f, 0f, 0f))
+    val residuals = Seq(
+      Array(0.5f, 0.25f, 0f, 0f), Array(-0.5f, 0f, 0.25f, 0f),
+      Array(0f, 0.5f, 0f, 0.25f), Array(0.25f, -0.5f, 0f, 0f))
+    // ids 0..3 carry the four DISTINCT residual patterns (so the lowest-id
+    // init already spans the residual codebook exactly); cells split 0-7/8-15
+    val corpus = (0 until 16).map { i =>
+      val c = centers(i / 8); val r = residuals(i % 4)
+      (i.toLong, c.zip(r).map { case (a, b) => a + b }.toSeq)
+    }.toDF("vec_id", "embedding")
+    val cents = centers.zipWithIndex.map { case (c, i) => (i.toLong, c.toSeq) }.toDF("cid", "cvec")
+    val resid = Similarity.ivfResiduals(corpus, "vec_id", "embedding", cents, "cid", "cvec")
+    val books = Similarity.pqTrain(resid, "vec_id", "residual",
+      m = 2, ksub = 4, dim = 4, iterations = 1)
+    val encoded = Similarity.ivfPqEncode(corpus, "vec_id", "embedding",
+      cents, "cid", "cvec", books, m = 2, dim = 4)
+    val probes = corpus.filter(col("vec_id") < 2)
+    val adc = Similarity.ivfPqTopK(encoded, "vec_id", cents, "cid", "cvec", books,
+      probes, "vec_id", "embedding", k = 6, m = 2, dim = 4, nprobe = 2, scoreScale = 4)
+    // exact reference: round(dot, 4) ranking, same ties
+    val v = corpus.select(col("vec_id").as("nbr_id"), Similarity.asDouble(col("embedding")).as("__v"))
+    val p = probes.select(col("vec_id").as("probe_id"), Similarity.asDouble(col("embedding")).as("__p"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("probe_id"))
+      .orderBy(col("__s").desc, col("nbr_id"))
+    val exact = v.crossJoin(p).filter(col("nbr_id") =!= col("probe_id"))
+      .withColumn("__s", round(Similarity.fastDot(col("__p"), col("__v")), 4))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 6)
+      .select(col("probe_id"), col("rnk"), col("nbr_id"), col("__s").as("adc_score"))
+    assert(adc.except(exact).isEmpty && exact.except(adc).isEmpty,
+      "with nprobe = nlist and exact codebooks, IVF-PQ ADC must equal the true ranking")
+  }
+
   test("pqEncode is a shuffle-free projection with m codes per row") {
     val books = Similarity.pqTrain(emb, "vec_id", "embedding", m = 4, ksub = 4,
       dim = 64, iterations = 0)

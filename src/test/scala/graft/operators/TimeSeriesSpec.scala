@@ -32,4 +32,26 @@ class TimeSeriesSpec extends AnyFunSuite {
     // floor(-25/10) = -3 (NOT -2): grid is -3..0 with the gap filled
     assert(out == Map(-3L -> 1L, -2L -> 1L, -1L -> 1L, 0L -> 2L))
   }
+
+  test("rollingZScore: leakage-free baseline, spike flags, constant series and warm-up stay null") {
+    // key a: 10,10,10,10,50 — the spike's baseline is the four 10s (sd=0!)
+    //   so even the spike cannot score against a zero-variance history;
+    // key b: 1,3,1,3,100 — nonzero variance, the 100 must flag, and the
+    //   flagged row's own value must NOT inflate its baseline.
+    val rows = Seq(
+      ("a", 1L, 10.0), ("a", 2L, 10.0), ("a", 3L, 10.0), ("a", 4L, 10.0), ("a", 5L, 50.0),
+      ("b", 1L, 1.0), ("b", 2L, 3.0), ("b", 3L, 1.0), ("b", 4L, 3.0), ("b", 5L, 100.0))
+      .toDF("k", "t", "v")
+    val got = TimeSeries.rollingZScore(rows, "k", Seq("t"), "v", lookback = 4, threshold = 2.0)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (Option(r.get(3)).map(_.asInstanceOf[Double]), r.getBoolean(4))).toMap
+    // warm-up: first row has 0 priors, second has 1 — both null, never flag
+    assert(got(("a", 1L)) == (None, false) && got(("b", 2L))._1.isEmpty)
+    // constant baseline: sd = 0 -> null even for the wild value
+    assert(got(("a", 5L)) == (None, false))
+    // b's spike: baseline mean 2, sd = 1 -> z = 98, flagged
+    assert(got(("b", 5L)) == (Some(98.0), true))
+    // a non-spike row with >= 2 priors scores but does not flag
+    assert(got(("b", 3L))._1.contains(-1.0) && !got(("b", 3L))._2)
+  }
 }

@@ -108,6 +108,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // corpus-count scalar (its crossJoin is the BNLJ — q35's N class).
     // The corpus-shaped draws⋈positions match is SMJ-pinned both sides.
     "q140_negative_sample" -> (0, 1, 2),
+    // q145: the probe-side cell fan-out (parameter-sized: probes × nprobe
+    // rows carrying the LUTs) broadcast into the code-table join by design
+    // — q132's probe class, keyed on cell instead of a crossJoin.
+    "q145_ivfpq_adc" -> (0, 0, 1),
     // q132: ADC scoring — the probe side (parameter-sized, carrying the
     // m·ksub lookup table) is broadcast-crossJoined against the code table
     // by design (q26/q81's probe class); the codebooks themselves are
