@@ -645,6 +645,42 @@ object Dedup {
         round(col("inter_cnt").cast("double") / col("__szb"), 4).as("cont_b"))
   }
 
+  /** Record linkage / entity resolution: BLOCKING + bounded edit-distance
+    * verify — the classic two-phase shape (Fellegi-Sunter's candidate
+    * generation) over an attribute column: rows sharing every `blockCols`
+    * value become candidates (one keyed self-join — never all-pairs), and
+    * candidates link iff Levenshtein over the truncated attribute is
+    * ≤ `maxDistance`. Output is [[editDistanceVerify]]'s
+    * (id_a, id_b, edit_dist, similarity), filtered.
+    *
+    * Blocking keys are the scale contract: per-block cost is quadratic in
+    * block size (exactly [[graft.operators.Similarity.semDedup]]'s
+    * cluster contract), so choose keys selective enough that blocks fit a
+    * task — and note a pair split across blocks is NEVER compared (the
+    * recall trade every blocking scheme makes; canonical-key
+    * normalization upstream — [[graft.operators.TextAnalysis.canonicalizeUrl]]'s
+    * family — is how production linkage shrinks that loss).
+    */
+  def blockedEntityPairs(
+      df: DataFrame,
+      idCol: String,
+      attrCol: String,
+      blockCols: Seq[String],
+      maxDistance: Int,
+      truncateAt: Int = 256
+  ): DataFrame = {
+    require(blockCols.nonEmpty, "at least one blocking column is required")
+    require(maxDistance >= 0, s"maxDistance must be non-negative, got $maxDistance")
+    val a = df.select(blockCols.map(col) :+ col(idCol).as("id_a"): _*)
+    val b = df.select(blockCols.map(col) :+ col(idCol).as("id_b"): _*)
+    val candidates = a.hint("shuffle_merge")
+      .join(b.hint("shuffle_merge"), blockCols)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    editDistanceVerify(df, idCol, attrCol, candidates, truncateAt)
+      .filter(col("edit_dist") <= maxDistance)
+  }
+
   /** Connected components over a pair list by iterative min-label
     * propagation — turns near-dup PAIRS (any of the family above) into dedup
     * CLUSTERS: every vertex gets the smallest vertex id reachable from it.

@@ -796,17 +796,27 @@ object Similarity {
     require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
     val dsub = dim / m
     val books = collectCodebooks(codebooks, m, dsub)
-    val v = asDouble(col(vectorCol))
+    // STAGED projections (the §8.2b derived-array rule): the cast and the
+    // subvector slices materialize once per row as multi-referenced
+    // columns — inlining them into every (subspace × code) distance term
+    // was measured to push generated methods past the 64 KB codegen limit
+    // at m=8/ksub=16 and blow the interpreted fallback's heap.
+    val staged = vectors
+      .select(col(vectorId), asDouble(col(vectorCol)).as("__v"))
+      .select(col(vectorId) +:
+        (0 until m).map(s => slice(col("__v"), s * dsub + 1, dsub).as(s"__sv$s")): _*)
+      .select(col(vectorId) +: (0 until m).map(s => col(s"__sv$s")) :+
+        array((0 until m).map(s => fastDot(col(s"__sv$s"), col(s"__sv$s"))): _*).as("__n2"): _*)
     val codes = (0 until m).map { s =>
-      val sv = slice(v, s * dsub + 1, dsub)
-      val n2 = fastDot(sv, sv)
+      val sv = col(s"__sv$s")
+      val n2 = element_at(col("__n2"), s + 1)
       array_sort(array(books(s).map { case (code, c) =>
         val cc = c.map(x => x * x).sum
         struct(round(n2 - lit(2.0) * fastDot(sv, lit(c)) + lit(cc), 6).as("d"),
           lit(code.toInt).as("k"))
       }: _*)).getItem(0).getField("k")
     }
-    vectors.select(col(vectorId), array(codes: _*).as("codes"))
+    staged.select(col(vectorId), array(codes: _*).as("codes"))
   }
 
   /** Asymmetric-distance (ADC) top-k retrieval over PQ codes: each probe
@@ -917,27 +927,33 @@ object Similarity {
     val v = asDouble(col(vectorCol))
     val vn = sqrt(fastDot(v, v))
     val cell = centroidsByDistance(cents, v, vn).getItem(0).getField("c")
-    // residual against the ASSIGNED cell: chained when over the (small,
-    // by contract) centroid list — each branch a literal subtraction
-    def residual(sv: Column, s: Int): Column =
-      cents.tail.foldLeft(
-        when(col("cell") === cents.head._1,
-          zip_with(sv, lit(cents.head._2.slice(s * dsub, (s + 1) * dsub)), _ - _))) {
-        case (acc, (cid, arr, _)) =>
-          acc.when(col("cell") === cid,
-            zip_with(sv, lit(arr.slice(s * dsub, (s + 1) * dsub)), _ - _))
-      }
+    // STAGED (the §8.2b derived-array rule, same as pqEncode): the full
+    // residual materializes ONCE per row (one chained-when over the
+    // small-by-contract centroid list), then per-subspace slices and
+    // their norms — inlining the residual chain into every
+    // (subspace × code) term was the measured 64 KB-codegen/OOM path.
+    val resid = cents.tail.foldLeft(
+      when(col("cell") === cents.head._1, zip_with(col("__v"), lit(cents.head._2), _ - _))) {
+      case (acc, (cid, arr, _)) =>
+        acc.when(col("cell") === cid, zip_with(col("__v"), lit(arr), _ - _))
+    }
+    val staged = vectors
+      .select(col(vectorId), v.as("__v"), cell.as("cell"))
+      .select(col(vectorId), col("cell"), resid.as("__r"))
+      .select(col(vectorId) +: col("cell") +:
+        (0 until m).map(s => slice(col("__r"), s * dsub + 1, dsub).as(s"__rs$s")): _*)
+      .select(col(vectorId) +: col("cell") +: (0 until m).map(s => col(s"__rs$s")) :+
+        array((0 until m).map(s => fastDot(col(s"__rs$s"), col(s"__rs$s"))): _*).as("__n2"): _*)
     val codes = (0 until m).map { s =>
-      val rsv = residual(slice(col("__v"), s * dsub + 1, dsub), s)
-      val n2 = fastDot(rsv, rsv)
+      val rsv = col(s"__rs$s")
+      val n2 = element_at(col("__n2"), s + 1)
       array_sort(array(books(s).map { case (code, c) =>
         val cc = c.map(x => x * x).sum
         struct(round(n2 - lit(2.0) * fastDot(rsv, lit(c)) + lit(cc), 6).as("d"),
           lit(code.toInt).as("k"))
       }: _*)).getItem(0).getField("k")
     }
-    vectors.select(col(vectorId), v.as("__v"), cell.as("cell"))
-      .select(col(vectorId), col("cell"), array(codes: _*).as("codes"))
+    staged.select(col(vectorId), col("cell"), array(codes: _*).as("codes"))
   }
 
   /** ADC retrieval over an [[ivfPqEncode]] index: probes fan out to their

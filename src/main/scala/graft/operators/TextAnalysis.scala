@@ -245,6 +245,40 @@ object TextAnalysis {
       (!hasLorem && !hasBrace && nSentences >= 3L).as("keep"))
   }
 
+  /** Zipf power-law fit of the token frequency distribution — the corpus
+    * data-card statistic that catches a vocabulary anomaly (template spam,
+    * boilerplate floods, a parser emitting glued tokens) as a slope shift:
+    * ordinary least squares of `ln(freq)` on `ln(rank)` over the top
+    * `topRanks` tokens (natural text sits near slope −1). One token-count
+    * aggregation (map-side combined, vocabulary-shaped), a TakeOrdered
+    * top-`topRanks` cut (never a global sort), and a single-row closed-form
+    * regression over the parameter-bounded remainder; ranks tie-break on
+    * the token string, slope/intercept round to 4. Output: one row
+    * (n_ranks, slope, intercept).
+    */
+  def zipfFit(df: DataFrame, textCol: String, topRanks: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topRanks > 1, s"topRanks must be > 1, got $topRanks")
+    val counts = df.select(explode(split(col(textCol), " ")).as("__t"))
+      .groupBy(col("__t")).agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("__t")).limit(topRanks)
+    // rank window runs over <= topRanks rows (parameter-bounded, one task
+    // by construction — that IS the contract, not an accident)
+    val ranked = counts.withColumn("__r",
+      row_number().over(Window.orderBy(col("__c").desc, col("__t"))))
+    val xy = ranked.select(log(col("__r").cast("double")).as("x"),
+      log(col("__c").cast("double")).as("y"))
+    xy.agg(count(lit(1)).cast("double").as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("n").cast("long").as("n_ranks"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 4).as("slope"),
+        round((col("sy") - ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))) * col("sx")) / col("n"), 4)
+          .as("intercept"))
+  }
+
   /** Lowercased character trigrams of `text` — the Cavnar–Trenkle feature.
     * Texts shorter than 3 chars yield an empty array (the explicit guard
     * matters: `sequence(1, len-2)` with len < 3 would COUNT DOWN). */

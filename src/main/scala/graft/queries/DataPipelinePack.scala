@@ -1409,6 +1409,28 @@ object DataPipelinePack extends QueryPack {
         .orderBy(col("probe_id"), col("rnk"))
     }),
 
+    // Entity resolution: planted typo'd duplicates (every 10th customer
+    // re-appears with 'Customer#' misspelled at distance 2) linked by
+    // blocking on (nation, segment) + bounded Levenshtein verify — the
+    // Fellegi-Sunter two-phase shape; cross-block pairs are never compared.
+    "q148_entity_resolution" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_mktsegment"))
+      val dirty = c.filter(col("c_custkey") % 10 === 0)
+        .select((col("c_custkey") + 1000000).as("c_custkey"),
+          regexp_replace(col("c_name"), "Customer#", "Custmr#").as("c_name"),
+          col("c_nationkey"), col("c_mktsegment"))
+      Dedup.blockedEntityPairs(c.unionByName(dirty), "c_custkey", "c_name",
+        Seq("c_nationkey", "c_mktsegment"), maxDistance = 2)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Zipf fit of the token distribution over the top-1000 ranks — the
+    // vocabulary-anomaly card statistic (natural text ~ slope -1).
+    "q149_zipf" -> ((s, d) => {
+      TextAnalysis.zipfFit(Tables.documents(s, d), "text", topRanks = 1000)
+    }),
+
     // IVF-PQ end to end (the FAISS IVFx,PQy shape): 4 coarse cells
     // (vec_id % 125 == 0 as centroids), PQ codebooks initialized from the
     // 4 lowest-id RESIDUALS, residual-encoded corpus, nprobe=2 ADC
@@ -2060,6 +2082,38 @@ object DataPipelinePack extends QueryPack {
 
   def oracles: Map[String, String] = Map(
     "q57_pii_redaction" -> piiOracle,
+
+    "q148_entity_resolution" -> """
+      WITH c AS (SELECT c_custkey, c_name, c_nationkey, c_mktsegment FROM customer),
+      dirty AS (SELECT c_custkey + 1000000 AS c_custkey,
+                       replace(c_name, 'Customer#', 'Custmr#') AS c_name,
+                       c_nationkey, c_mktsegment
+                FROM customer WHERE c_custkey % 10 = 0),
+      a AS (SELECT * FROM c UNION ALL SELECT * FROM dirty),
+      pairs AS (
+        SELECT x.c_custkey AS id_a, y.c_custkey AS id_b,
+               levenshtein(substring(x.c_name, 1, 256), substring(y.c_name, 1, 256)) AS edit_dist,
+               greatest(len(substring(x.c_name, 1, 256)), len(substring(y.c_name, 1, 256))) AS ml
+        FROM a x JOIN a y
+          ON x.c_nationkey = y.c_nationkey AND x.c_mktsegment = y.c_mktsegment
+         AND x.c_custkey < y.c_custkey)
+      SELECT id_a, id_b, CAST(edit_dist AS INTEGER) AS edit_dist,
+             CASE WHEN ml = 0 THEN 1.0
+                  ELSE round(1.0 - CAST(edit_dist AS DOUBLE) / ml, 4) END AS similarity
+      FROM pairs WHERE edit_dist <= 2 ORDER BY id_a, id_b""",
+
+    "q149_zipf" -> """
+      WITH counts AS (SELECT t, count(*) AS c
+                      FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+                      GROUP BY t ORDER BY c DESC, t LIMIT 1000),
+      ranked AS (SELECT c, row_number() OVER (ORDER BY c DESC, t) AS r FROM counts),
+      xy AS (SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y FROM ranked),
+      s AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+                   sum(x*y) AS sxy, sum(x*x) AS sxx FROM xy)
+      SELECT CAST(n AS BIGINT) AS n_ranks,
+             round((n*sxy - sx*sy) / (n*sxx - sx*sx), 4) AS slope,
+             round((sy - ((n*sxy - sx*sy)/(n*sxx - sx*sx)) * sx) / n, 4) AS intercept
+      FROM s""",
 
     "q145_ivfpq_adc" -> """
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -400,6 +400,64 @@ object ScaleSmoke {
     // C4 cleaning: pure per-row projection — tracks scan speed.
     time("c4 clean")(TextAnalysis.c4Clean(lined, "doc_id", "text"))
 
+    // IVF-PQ: residual encode is a pure projection (chained-when literal
+    // subtraction + per-subspace argmin); ADC fan-out is probes x nprobe.
+    locally {
+      val cents = Tables.embeddings(spark, sfDir).filter(col("vec_id") % 125 === 0)
+        .select((col("vec_id") / 125).cast("long").as("cid"), col("embedding").as("cvec"))
+      val resid = Similarity.ivfResiduals(
+        Tables.embeddings(spark, sfDir), "vec_id", "embedding", cents, "cid", "cvec")
+      val books = Similarity.pqTrain(resid, "vec_id", "residual",
+        m = 8, ksub = 16, dim = 64, iterations = 1)
+      val encoded = Similarity.ivfPqEncode(vecs, "vec_id", "embedding",
+        cents, "cid", "cvec", books, m = 8, dim = 64)
+      time("ivf-pq encode (residual)")(encoded)
+      time("ivf-pq adc top-10 (nprobe 2)")(
+        Similarity.ivfPqTopK(encoded, "vec_id", cents, "cid", "cvec", books,
+          probes, "vec_id", "embedding", k = 10, m = 8, dim = 64, nprobe = 2))
+    }
+
+    // Funnel: k-1 keyed join+aggs over the widened events (hot users).
+    time("funnel (3 steps)")(
+      graft.operators.Funnel.funnelTimes(
+        widen(Tables.events(spark, sfDir)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("ts")), "event_id"),
+        "user_id", "event_type", "ts", Seq("view", "click", "purchase")))
+
+    // Rolling z-score: one per-key ordered window; hot keys carry mult x
+    // the rows, cost is per-key row count.
+    time("rolling z-score")(
+      graft.operators.TimeSeries.rollingZScore(
+        widen(Tables.events(spark, sfDir)
+          .select(col("event_id"), col("user_id"), col("ts"), col("value")), "event_id"),
+        "user_id", Seq("ts", "event_id"), "value", lookback = 10, threshold = 2.0))
+
+    // Incremental CC: label edges (1/node) + the widened batch's pairs —
+    // vs re-walking history's full pair list.
+    locally {
+      val oldDocs = Tables.documents(spark, sfDir)
+      val oldCC = Dedup.connectedComponents(oldDocs.select(col("doc_id")), "doc_id",
+        Dedup.jaccardPairs(oldDocs, "doc_id", "text").select(col("id_a"), col("id_b")),
+        "id_a", "id_b")
+      val newDocs = Tables.documents(spark, sfDir)
+        .select((col("doc_id") + 50000000L).as("doc_id"), col("text"))
+      val newPairs = Dedup.nearDupAgainstIndex(newDocs, "doc_id", "text",
+        Dedup.buildLshIndex(oldDocs, "doc_id", "text"), oldDocs)
+        .select(col("id_a"), col("id_b"))
+      time("incremental CC (new batch)")(
+        Dedup.incrementalConnectedComponents(oldCC, "doc_id",
+          newDocs.select(col("doc_id")), newPairs, "id_a", "id_b"))
+    }
+
+    // Bloom-prefiltered join: fact side widened, dim selective — the probe
+    // prunes before the shuffle.
+    time("bloom-prefiltered join")(
+      Skew.bloomPrefilteredJoin(
+        ev.select(col("user_id"), col("event_id")),
+        Tables.orders(spark, sfDir).filter(col("o_custkey") % 3 === 0)
+          .select(col("o_custkey"), col("o_orderkey")),
+        "user_id", "o_custkey", mBits = 1 << 16, kHashes = 4))
+
     // Mergeable rollup: mult partials (one per replica band) merged — the
     // metrics-store read path; partial cost dominates, merge is key-sized.
     time("rollup partial + merge (4 shards)")(

@@ -782,6 +782,23 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(direct.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
   }
 
+  test("blockedEntityPairs: typos link within their block, cross-block twins never compared") {
+    import spark.implicits._
+    val recs = Seq(
+      (1L, "Jonathan Smith", "NY"), (2L, "Jonathon Smith", "NY"), // dist 1, same block
+      (3L, "Jonathan Smith", "CA"),                                // identical name, other block
+      (4L, "Rebecca Jones", "NY"), (5L, "Entirely Different", "NY")
+    ).toDF("id", "name", "state")
+    val got = Dedup.blockedEntityPairs(recs, "id", "name", Seq("state"), maxDistance = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)),
+      s"expected only the in-block typo pair, got $got — cross-block (1,3) must be absent")
+    // distance 0 self-duplicates in one block link too
+    val dup = Seq((1L, "Same Name", "NY"), (2L, "Same Name", "NY")).toDF("id", "name", "state")
+    assert(Dedup.blockedEntityPairs(dup, "id", "name", Seq("state"), 0)
+      .head().getAs[Int]("edit_dist") == 0)
+  }
+
   test("incrementalConnectedComponents: label edges + new edges == from-scratch, incl. old-component merges") {
     import spark.implicits._
     // old graph: {1,2,3} and {10,11} as separate components; 20 a singleton

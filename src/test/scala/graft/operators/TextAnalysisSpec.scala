@@ -443,6 +443,17 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(!df.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("zipfFit recovers the planted power-law slope") {
+    // token w_r appears floor(2^14 / r) times: an exact-ish zipf(1) corpus
+    val corpus = (1 to 200).flatMap(r =>
+      Seq.fill(16384 / r)(f"w$r%03d")).mkString(" ")
+    val got = TextAnalysis.zipfFit(Seq(Tuple1(corpus)).toDF("text"), "text", topRanks = 200)
+      .head()
+    assert(got.getAs[Long]("n_ranks") == 200L)
+    val slope = got.getAs[Double]("slope")
+    assert(slope > -1.05 && slope < -0.95, s"planted zipf(1) slope came out $slope")
+  }
+
   test("charTrigrams: short-text guard and lowercase folding") {
     val got = Seq("ab", "", "AbCd").toDF("t")
       .select(TextAnalysis.charTrigrams(col("t")).as("g"))
