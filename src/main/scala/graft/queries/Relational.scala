@@ -344,10 +344,64 @@ object Relational extends QueryPack {
         bucketMicros = 7L * 86400 * 1000000)
         .select($"event_id", $"user_id", $"o_orderkey".as("last_orderkey"))
         .orderBy($"event_id")
+    }),
+
+    // Correlated LATERAL subquery (SQL:99 lateral derived table, Spark
+    // 3.2+): top-2 orders by price PER customer — the per-row-subquery
+    // form of a top-k-per-group, planned as a lateral join rather than a
+    // window. Deterministic ties (price desc, orderkey).
+    "q150_lateral" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer_lat")
+      Tables.orders(s, d).createOrReplaceTempView("orders_lat")
+      s.sql("""
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer_lat c,
+             LATERAL (SELECT o_orderkey, o_totalprice FROM orders_lat o
+                      WHERE o.o_custkey = c.c_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        WHERE c.c_custkey < 50
+        ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""")
+    }),
+
+    // SCD type-2 assembly from the event stream: consecutive equal
+    // event_type runs per user collapse to validity rows with
+    // [effective_from, effective_to) and a version counter — the
+    // dimension-history primitive point-in-time joins consume.
+    "q151_scd2" -> ((s, d) => {
+      graft.operators.Scd.scd2(
+        Tables.events(s, d).select($"user_id", $"ts", $"event_id", $"event_type"),
+        "user_id", Seq("ts", "event_id"), "event_type")
+        .orderBy($"user_id", $"version")
     })
   )
 
   def oracles: Map[String, String] = Map(
+    "q150_lateral" -> """
+      SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+      FROM customer c,
+           LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                    WHERE o.o_custkey = c.c_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      WHERE c.c_custkey < 50
+      ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""",
+
+    "q151_scd2" -> """
+      WITH ordered AS (
+        SELECT user_id, ts, event_id, event_type,
+               lag(event_type) OVER w AS prev,
+               row_number() OVER w AS rn
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      changes AS (
+        SELECT user_id, ts, event_id, event_type FROM ordered
+        WHERE rn = 1 OR event_type IS DISTINCT FROM prev)
+      SELECT user_id, event_type AS value, ts AS effective_from,
+             lead(ts) OVER w2 AS effective_to,
+             row_number() OVER w2 AS version
+      FROM changes
+      WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY user_id, version""",
+
     "q01_agg_pricing" -> """
       SELECT l_returnflag, l_linestatus,
              CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty,

@@ -62,6 +62,26 @@ class RollupSpec extends AnyFunSuite {
     assert(canon(after) == canon(Rollup.partial(corpus, Seq("k"), "v")))
   }
 
+  test("partial rides a readStream: three-batch drain equals the batch partial") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = (1L to 900L).map(i => (s"k${i % 5}", i * 7 % 211)).toSeq
+    val in = MemoryStream[(String, Long)]
+    val q = Rollup.partial(in.toDF().toDF("k", "v"), Seq("k"), "v")
+      .writeStream.format("memory").queryName("rollup_stream")
+      .outputMode("complete").start()
+    try {
+      val (b1, rest) = rows.splitAt(300)
+      val (b2, b3) = rest.splitAt(250)
+      Seq(b1, b2, b3).foreach { b => in.addData(b); q.processAllAvailable() }
+      val streamed = spark.table("rollup_stream")
+        .select(col("k"), col("cnt"), col("vsum"), col("vmin"), col("vmax"))
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+      val batch = canon(Rollup.partial(rows.toDF("k", "v"), Seq("k"), "v"))
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("guards: non-partial schema and empty input fail loudly") {
     intercept[IllegalArgumentException](Rollup.merge(Seq(corpus), Seq("k")))
     intercept[IllegalArgumentException](Rollup.merge(Seq.empty, Seq("k")))
