@@ -82,4 +82,51 @@ object Profiler {
     df.groupBy(groupCols.map(col) :+ bucket.as("bin"): _*)
       .agg(count(lit(1)).as("cnt"))
   }
+
+  /** Declarative data-quality gate — the expectation-suite pattern: each
+    * check is a named AGGREGATE boolean over the frame ("row count ≥ N",
+    * "null rate of c = 0", "min(v) > 0"), all evaluated in ONE single-row
+    * aggregation and unpivoted to (check, passed) rows — a vintage either
+    * passes its suite or the report names what broke, before a 100 TB job
+    * consumes it. Compose with [[profileColumns]]/[[histogram]] for the
+    * metric side of the card.
+    */
+  def expect(df: DataFrame, checks: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    require(checks.nonEmpty, "at least one check is required")
+    require(checks.map(_._1).distinct.length == checks.length, "check names must be unique")
+    val aggs = checks.map { case (name, c) => c.cast("boolean").as(name) }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(checks.map { case (name, _) =>
+        struct(lit(name).as("check"), coalesce(col(name), lit(false)).as("passed"))
+      }: _*)).as("__e"))
+      .select(col("__e.*"))
+  }
+
+  /** Total-variation distance between two corpora's value distributions
+    * over a shared fixed-bin [[histogram]] domain — the vintage-drift
+    * number: 0 = identical shape, 1 = disjoint. `0.5 · Σ_bins |p_A − p_B|`
+    * with each p an exact integer-count ratio; two bounded aggregations +
+    * one bins-sized merge, rounded to 6. */
+  def histogramDrift(
+      dfA: DataFrame,
+      dfB: DataFrame,
+      valueCol: String,
+      minV: Long,
+      maxV: Long,
+      bins: Int
+  ): DataFrame = {
+    def side(df: DataFrame, cnt: String) =
+      histogram(df.select(col(valueCol)), valueCol, Seq.empty, minV, maxV, bins)
+        .withColumnRenamed("cnt", cnt)
+    val a = side(dfA, "__ca")
+    val b = side(dfB, "__cb")
+    val merged = a.join(b, Seq("bin"), "full_outer")
+      .select(coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"))
+    val totals = merged.agg(sum(col("__ca")).cast("double").as("__ta"),
+      sum(col("__cb")).cast("double").as("__tb"))
+    merged.crossJoin(broadcast(totals))
+      .agg(round(sum(abs(col("__ca") / col("__ta") - col("__cb") / col("__tb"))) / 2.0, 6)
+        .as("tv_distance"))
+  }
 }

@@ -1409,6 +1409,29 @@ object DataPipelinePack extends QueryPack {
         .orderBy(col("probe_id"), col("rnk"))
     }),
 
+    // Declarative expectation suite: five named aggregate checks (one
+    // deliberately failing) evaluated in a single-row aggregation and
+    // unpivoted to (check, passed) — the pre-consumption vintage gate.
+    "q152_expectations" -> ((s, d) => {
+      Profiler.expect(Tables.documents(s, d), Seq(
+        "row_count_at_least_100" -> (count(lit(1)) >= 100),
+        "no_null_text" -> (sum(when(col("text").isNull, 1L).otherwise(0L)) === 0),
+        "n_chars_positive" -> (min(col("n_chars")) > 0),
+        "langs_at_most_10" -> (countDistinct(col("lang")) <= 10),
+        "always_fails" -> (count(lit(1)) < 0)))
+        .orderBy(col("check"))
+    }),
+
+    // Vintage drift: total-variation distance between the even- and
+    // odd-doc n_chars distributions over the shared q144 bin domain —
+    // exact integer-count ratios, one number out.
+    "q153_histogram_drift" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Profiler.histogramDrift(
+        docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1),
+        "n_chars", minV = 0L, maxV = 4095L, bins = 16)
+    }),
+
     // Entity resolution: planted typo'd duplicates (every 10th customer
     // re-appears with 'Customer#' misspelled at distance 2) linked by
     // blocking on (nation, segment) + bounded Levenshtein verify — the
@@ -2082,6 +2105,29 @@ object DataPipelinePack extends QueryPack {
 
   def oracles: Map[String, String] = Map(
     "q57_pii_redaction" -> piiOracle,
+
+    "q152_expectations" -> """
+      WITH m AS (SELECT count(*) AS n,
+                        sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS nn,
+                        min(n_chars) AS mn, count(DISTINCT lang) AS dl
+                 FROM documents)
+      SELECT * FROM (
+        SELECT 'row_count_at_least_100' AS "check", n >= 100 AS passed FROM m
+        UNION ALL SELECT 'no_null_text', nn = 0 FROM m
+        UNION ALL SELECT 'n_chars_positive', mn > 0 FROM m
+        UNION ALL SELECT 'langs_at_most_10', dl <= 10 FROM m
+        UNION ALL SELECT 'always_fails', n < 0 FROM m)
+      ORDER BY "check"""",
+
+    "q153_histogram_drift" -> """
+      WITH a AS (SELECT (least(greatest(n_chars, 0), 4095) * 16) // 4096 AS bin, count(*) AS ca
+                 FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+      b AS (SELECT (least(greatest(n_chars, 0), 4095) * 16) // 4096 AS bin, count(*) AS cb
+            FROM documents WHERE doc_id % 2 = 1 GROUP BY 1),
+      m AS (SELECT coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+            FROM a FULL OUTER JOIN b USING (bin)),
+      t AS (SELECT CAST(sum(ca) AS DOUBLE) AS ta, CAST(sum(cb) AS DOUBLE) AS tb FROM m)
+      SELECT round(sum(abs(ca/ta - cb/tb)) / 2.0, 6) AS tv_distance FROM m CROSS JOIN t""",
 
     "q148_entity_resolution" -> """
       WITH c AS (SELECT c_custkey, c_name, c_nationkey, c_mktsegment FROM customer),

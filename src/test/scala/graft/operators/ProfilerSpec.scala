@@ -44,6 +44,29 @@ class ProfilerSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Profiler.histogram(df, "v", Seq("g"), 0L, 10L, 12))
   }
 
+  test("expect: passing and failing checks report by name; null aggregates coalesce to false") {
+    val df = (1L to 50L).toDF("v")
+    val got = Profiler.expect(df, Seq(
+      "count_ok" -> (count(lit(1)) === 50),
+      "max_bound" -> (max(col("v")) <= 10),
+      "null_agg" -> (min(when(lit(false), col("v"))) > 0)))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(got == Map("count_ok" -> true, "max_bound" -> false, "null_agg" -> false))
+    intercept[IllegalArgumentException](Profiler.expect(df, Seq.empty))
+    intercept[IllegalArgumentException](
+      Profiler.expect(df, Seq("a" -> lit(true), "a" -> lit(false))))
+  }
+
+  test("histogramDrift: identical corpora -> 0; disjoint -> 1; order symmetric") {
+    val a = (0L until 1000L).toDF("v")
+    val b = (3000L until 4000L).toDF("v")
+    def tv(x: org.apache.spark.sql.DataFrame, y: org.apache.spark.sql.DataFrame) =
+      Profiler.histogramDrift(x, y, "v", 0L, 4095L, 16).head().getDouble(0)
+    assert(tv(a, a) == 0.0)
+    assert(tv(a, b) == 1.0)
+    assert(tv(a, b) == tv(b, a))
+  }
+
   test("profileColumns rejects an empty column list") {
     intercept[IllegalArgumentException](
       Profiler.profileColumns(Seq((1, "a")).toDF("a", "b"), Seq.empty))

@@ -37,6 +37,24 @@ class ScdSpec extends AnyFunSuite {
       (1L, None, 40L, None, 3)))
   }
 
+  test("SCD2 composes with the interval join for point-in-time enrichment") {
+    // closed validity rows enrich point lookups via RangeJoin ([from, to))
+    val events = Seq(
+      (1L, 100L, 1L, "bronze"), (1L, 200L, 2L, "silver"), (1L, 300L, 3L, "gold"))
+      .toDF("user_id", "ts", "event_id", "tier")
+    val closed = Scd.scd2(events, "user_id", Seq("ts", "event_id"), "tier")
+      .filter(org.apache.spark.sql.functions.col("effective_to").isNotNull)
+      .select(org.apache.spark.sql.functions.col("value"),
+        org.apache.spark.sql.functions.col("effective_from").as("s"),
+        org.apache.spark.sql.functions.col("effective_to").as("e"))
+    val lookups = Seq((10L, 150L), (11L, 200L), (12L, 299L)).toDF("q_id", "t")
+    val got = RangeJoin.pointsInIntervals(lookups, "t", closed, "s", "e", bucketWidth = 50L)
+      .select("q_id", "value").as[(Long, String)].collect().toMap
+    // [from, to): 150 -> bronze; 200 lands exactly on silver's open edge;
+    // 299 still silver (gold's row is open-ended and was filtered)
+    assert(got == Map(10L -> "bronze", 11L -> "silver", 12L -> "silver"))
+  }
+
   test("a value that returns after a gap gets a NEW version (type 2, not type 1)") {
     val events = Seq(
       (1L, 10L, 1L, "a"), (1L, 20L, 2L, "b"), (1L, 30L, 3L, "a"))

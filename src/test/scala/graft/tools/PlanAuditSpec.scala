@@ -108,6 +108,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // corpus-count scalar (its crossJoin is the BNLJ — q35's N class).
     // The corpus-shaped draws⋈positions match is SMJ-pinned both sides.
     "q140_negative_sample" -> (0, 1, 2),
+    // q153: the 1-row histogram-total scalar crossJoined back into the
+    // bins-sized TV sum (q35's N class — the BNLJ and its broadcast).
+    "q153_histogram_drift" -> (0, 1, 1),
     // q145: the probe-side cell fan-out (parameter-sized: probes × nprobe
     // rows carrying the LUTs) broadcast into the code-table join by design
     // — q132's probe class, keyed on cell instead of a crossJoin.
