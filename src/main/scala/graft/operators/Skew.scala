@@ -116,6 +116,55 @@ object Skew {
     df.join(kept.hint("shuffle_merge"), keyCols :+ orderCol, "left_semi")
   }
 
+  /** Distributed per-group rank — the hot-group form of
+    * `row_number() OVER (PARTITION BY group ORDER BY value, tie)`: when
+    * groups are enum-sized strata (languages, sources), the plain window
+    * funnels each stratum through ONE task. Same two-phase prefix sum as
+    * [[Sampling.tokenBudgetSample]], but bucketized on the VALUE RANGE
+    * (the [[graft.sinks.ClusteredWrite.zBucket]] integer bucketizer over
+    * the in-plan per-value min/max) so buckets are contiguous in rank
+    * order: per-(group, bucket) windows run wide, |groups|·2^bits bucket
+    * counts prefix-sum in one tiny window and broadcast back.
+    *
+    * `rank` is 0-based row_number semantics (ties broken by `tieCol` —
+    * REQUIRED unique within (group, value) for determinism). Equal-width
+    * value buckets are the skew caveat: a value-concentrated distribution
+    * makes hot buckets (bounded by the concentration, not the group), the
+    * documented trade vs a sampled range partitioner.
+    */
+  def groupedRank(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      tieCol: String,
+      bits: Int = 8
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(groupCols.nonEmpty, "at least one group column is required")
+    require(bits >= 1 && bits <= 20, s"bits must be in [1, 20], got $bits")
+    val groups = groupCols.map(col)
+    val mm = df.agg(min(col(valueCol)).cast("long").as("__mn"),
+      max(col(valueCol)).cast("long").as("__mx")).head()
+    val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+    val bucket =
+      if (mx == mn) lit(0L)
+      else graft.sinks.ClusteredWrite.zBucket(col(valueCol), mn, mx, bits)
+    val withB = df.withColumn("__bkt", bucket)
+    val inBucket = Window.partitionBy(groups :+ col("__bkt"): _*)
+      .orderBy(col(valueCol), col(tieCol))
+    val acrossBuckets = Window.partitionBy(groups: _*).orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withB.groupBy(groups :+ col("__bkt"): _*)
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__off", coalesce(sum(col("__c")).over(acrossBuckets), lit(0L)))
+      .select(groups :+ col("__bkt") :+ col("__off"): _*)
+    withB
+      .withColumn("__rn", row_number().over(inBucket).cast("long"))
+      .join(broadcast(offsets), groupCols :+ "__bkt")
+      .withColumn("rank", col("__off") + col("__rn") - 1)
+      .select(df.columns.map(col) :+ col("rank"): _*)
+  }
+
   /** Bloom-prefiltered equi-join — the semi-join pushdown a 100 TB
     * fact ⋈ selective-dim join wants when the dim is too big (or too
     * late-bound) to broadcast as a hash table but its KEY SET compresses

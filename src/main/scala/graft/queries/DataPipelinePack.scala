@@ -1409,6 +1409,22 @@ object DataPipelinePack extends QueryPack {
         .orderBy(col("probe_id"), col("rnk"))
     }),
 
+    // Cross-source quantile normalization: each doc's n_chars percentile
+    // WITHIN its source (0-based row_number rank / (n-1), doc_id ties) —
+    // the score-calibration step before mixing scored corpora; ranks via
+    // the two-phase grouped rank, never one window task per source.
+    "q154_quantile_norm" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+      val ranked = Skew.groupedRank(docs, Seq("source"), "n_chars", "doc_id")
+      val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("__n"))
+      ranked.join(broadcast(counts), Seq("source"))
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          when(col("__n") > 1,
+            round(col("rank").cast("double") / (col("__n") - 1).cast("double"), 6))
+            .otherwise(lit(0.0)).as("pct"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Declarative expectation suite: five named aggregate checks (one
     // deliberately failing) evaluated in a single-row aggregation and
     // unpivoted to (check, passed) — the pre-consumption vintage gate.
@@ -2105,6 +2121,15 @@ object DataPipelinePack extends QueryPack {
 
   def oracles: Map[String, String] = Map(
     "q57_pii_redaction" -> piiOracle,
+
+    "q154_quantile_norm" -> """
+      WITH r AS (SELECT doc_id, source, n_chars,
+                        row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) - 1 AS rank,
+                        count(*) OVER (PARTITION BY source) AS n
+                 FROM documents)
+      SELECT doc_id, source, n_chars,
+             CASE WHEN n > 1 THEN round(CAST(rank AS DOUBLE) / (n - 1), 6) ELSE 0.0 END AS pct
+      FROM r ORDER BY doc_id""",
 
     "q152_expectations" -> """
       WITH m AS (SELECT count(*) AS n,

@@ -64,6 +64,21 @@ class SkewSpec extends AnyFunSuite {
     assert(kept == Set(("a", Some(10L)), ("a", Some(20L)), ("b", Some(5L))))
   }
 
+  test("groupedRank equals the per-group window rank; constant-value edge; layout-independent") {
+    val df = (1L to 5000L).map(i => (s"g${i % 3}", i * 37 % 1000, i)).toDF("g", "v", "id")
+      .repartition(11)
+    val got = Skew.groupedRank(df, Seq("g"), "v", "id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("v"), col("id"))
+    val ref = df.withColumn("rank", row_number().over(w).cast("long") - 1)
+    assert(got.except(ref).isEmpty && ref.except(got).isEmpty)
+    // all-equal values: every row ranks by the tie column alone
+    val const = (1L to 100L).map(i => ("g", 7L, i)).toDF("g", "v", "id")
+    val gotC = Skew.groupedRank(const, Seq("g"), "v", "id")
+      .select("id", "rank").as[(Long, Long)].collect().toMap
+    assert((1L to 100L).forall(i => gotC(i) == i - 1))
+  }
+
   test("bloomPrefilteredJoin equals the plain join and the probe actually prunes") {
     val fact = (1L to 5000L).map(i => (i % 500, i)).toDF("fk", "payload")
     val dim = (0L until 500L).filter(_ % 25 == 0).map(k => (k, s"d$k")).toDF("dk", "name")

@@ -108,6 +108,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // corpus-count scalar (its crossJoin is the BNLJ — q35's N class).
     // The corpus-shaped draws⋈positions match is SMJ-pinned both sides.
     "q140_negative_sample" -> (0, 1, 2),
+    // q154: the grouped-rank prefix sum's |groups|·2^bits offset table
+    // (q60/q73's class) plus the enum-sized per-source count table, both
+    // broadcast by construction.
+    "q154_quantile_norm" -> (0, 0, 2),
     // q153: the 1-row histogram-total scalar crossJoined back into the
     // bins-sized TV sum (q35's N class — the BNLJ and its broadcast).
     "q153_histogram_drift" -> (0, 1, 1),
