@@ -401,6 +401,54 @@ object Similarity {
       .distinct()
   }
 
+  /** CROSS-corpus cosine pair mining — [[cosineNearDupPairsLsh]]'s shape
+    * between TWO DIFFERENT corpora (alignment/translation-pair mining,
+    * corpus-vs-benchmark contamination at embedding level, catalog
+    * matching): banded sign-LSH keys on both sides, candidates from the
+    * (band, key) equi-join ACROSS the corpora (never a cross join), exact
+    * cosine verification of candidates only. Both sides share the same
+    * deterministic plane family, so an independent engine reproduces
+    * every bucket. Precision 1 by verification; recall is the banding
+    * knob (same model as the self-join form). Verify joins SMJ-pinned —
+    * both sides corpus-shaped, the §8.1 derived-broadcast class.
+    */
+  def crossCosinePairsLsh(
+      left: DataFrame,
+      leftId: String,
+      leftVecCol: String,
+      right: DataFrame,
+      rightId: String,
+      rightVecCol: String,
+      threshold: Double,
+      dim: Int,
+      bandBits: Int = 3,
+      bands: Int = 32
+  ): DataFrame = {
+    val l = Dedup.withComputeParallelism(
+      left.select(col(leftId).as("id_a"), asDouble(col(leftVecCol)).as("__va")))
+      .withColumn("__na", norm(col("__va")))
+    val r = Dedup.withComputeParallelism(
+      right.select(col(rightId).as("id_b"), asDouble(col(rightVecCol)).as("__vb")))
+      .withColumn("__nb", norm(col("__vb")))
+    val lKeys = l.select(col("id_a"),
+      posexplode(bandKeys(col("__va"), dim, bandBits, bands)).as(Seq("__band", "__key")))
+    val rKeys = r.select(col("id_b"),
+      posexplode(bandKeys(col("__vb"), dim, bandBits, bands)).as(Seq("__band", "__key")))
+    // BOTH key frames are corpus-shaped explode derivatives with garbage
+    // static size estimates — the §8.1 derived-broadcast class; pin the
+    // candidate join to sort-merge (PlanAudit caught the right side being
+    // broadcast at gate SF the first time this operator was audited)
+    val cands = lKeys.hint("shuffle_merge")
+      .join(rKeys.hint("shuffle_merge"), Seq("__band", "__key"))
+      .select(col("id_a"), col("id_b")).distinct()
+    cands
+      .join(l.hint("shuffle_merge"), Seq("id_a"))
+      .join(r.hint("shuffle_merge"), Seq("id_b"))
+      .withColumn("__sim", fastDot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+      .filter(round(col("__sim"), 6) >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("__sim"), 4).as("cos_sim"))
+  }
+
   /** The scale path for [[cosineNearDupPairs]]: banded sign-LSH candidate
     * generation ([[cosineCandidatePairs]]) followed by EXACT cosine
     * verification of only the candidates — precision is always 1; recall is

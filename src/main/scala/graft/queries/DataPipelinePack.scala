@@ -1409,6 +1409,51 @@ object DataPipelinePack extends QueryPack {
         .orderBy(col("probe_id"), col("rnk"))
     }),
 
+    // Snapshot diff: a simulated prior vintage (every 7th doc missing ->
+    // inserts, every 5th's text staled -> updates, planted extra rows ->
+    // deletes) diffed against the current table into a minimal I/U/D
+    // changeset via ONE SMJ-pinned full-outer join.
+    "q156_snapshot_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"), col("lang"))
+      val oldDf = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, lit("stale text")).otherwise(col("text")).as("text"),
+          col("lang"))
+        .unionByName(docs.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("text"), col("lang")))
+      graft.operators.Snapshot.diffSnapshots(oldDf, docs, Seq("doc_id"))
+        .orderBy(col("op"), col("doc_id"))
+    }),
+
+    // The round-trip law as the gate: applying the q156 changeset onto
+    // the old vintage must reproduce the current table EXACTLY — the
+    // oracle is a plain SELECT of documents.
+    "q157_snapshot_apply" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"), col("lang"))
+      val oldDf = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, lit("stale text")).otherwise(col("text")).as("text"),
+          col("lang"))
+        .unionByName(docs.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("text"), col("lang")))
+      val changes = graft.operators.Snapshot.diffSnapshots(oldDf, docs, Seq("doc_id"))
+      graft.operators.Snapshot.applyChangeset(oldDf, changes, Seq("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Cross-CORPUS ANN pair mining: even vs odd embeddings through the
+    // banded sign-LSH equi-join (never a cross join), exact verification;
+    // q48's recall-1 band shape on this corpus, so the output equals the
+    // exact cross-pair oracle.
+    "q155_cross_ann" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.crossCosinePairsLsh(
+        e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+        e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding",
+        threshold = 0.3, dim = 64, bandBits = 3, bands = 32)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Cross-source quantile normalization: each doc's n_chars percentile
     // WITHIN its source (0-based row_number rank / (n-1), doc_id ties) —
     // the score-calibration step before mixing scored corpora; ranks via
@@ -2121,6 +2166,38 @@ object DataPipelinePack extends QueryPack {
 
   def oracles: Map[String, String] = Map(
     "q57_pii_redaction" -> piiOracle,
+
+    "q156_snapshot_diff" -> """
+      WITH base AS (SELECT doc_id, text, lang FROM documents),
+      old AS (SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0 THEN 'stale text' ELSE text END AS text, lang
+              FROM base WHERE doc_id % 7 <> 0
+              UNION ALL
+              SELECT doc_id + 1000000, text, lang FROM base WHERE doc_id % 11 = 0),
+      j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                   o.text AS ot, o.lang AS ol, n.text AS nt, n.lang AS nl,
+                   o.doc_id IS NOT NULL AS ino, n.doc_id IS NOT NULL AS inn
+            FROM old o FULL OUTER JOIN base n ON o.doc_id = n.doc_id),
+      ops AS (SELECT CASE WHEN NOT ino THEN 'I' WHEN NOT inn THEN 'D'
+                          WHEN ot IS DISTINCT FROM nt OR ol IS DISTINCT FROM nl THEN 'U'
+                     END AS op,
+                     doc_id,
+                     CASE WHEN NOT inn THEN ot ELSE nt END AS text,
+                     CASE WHEN NOT inn THEN ol ELSE nl END AS lang
+              FROM j)
+      SELECT op, doc_id, text, lang FROM ops WHERE op IS NOT NULL
+      ORDER BY op, doc_id""",
+
+    "q157_snapshot_apply" -> """
+      SELECT doc_id, text, lang FROM documents ORDER BY doc_id""",
+
+    "q155_cross_ann" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
+      FROM e a JOIN e b ON a.vec_id % 2 = 0 AND b.vec_id % 2 = 1
+      WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.3
+      ORDER BY id_a, id_b""",
 
     "q154_quantile_norm" -> """
       WITH r AS (SELECT doc_id, source, n_chars,

@@ -465,6 +465,33 @@ object ScaleSmoke {
         (0 until 4).map(s => graft.operators.Rollup.partial(
           docs.filter(col("doc_id") % 4 === s), Seq("lang"), "n_chars")), Seq("lang")))
 
+    // Cross-corpus ANN: the banded equi-join between two widened halves —
+    // candidate volume follows the band model, both key frames SMJ-pinned.
+    time("cross-corpus ANN pairs")(
+      Similarity.crossCosinePairsLsh(
+        vecs.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+        vecs.filter(col("vec_id") % 2 === 1), "vec_id", "embedding",
+        threshold = 0.8, dim = 64, bandBits = bandBits, bands = 16))
+
+    // Grouped rank over enum strata (lang): the per-(group, value-bucket)
+    // windows run wide; a plain window would funnel |langs| tasks.
+    time("grouped rank (per-lang)")(
+      Skew.groupedRank(docs.select(col("lang"), col("n_chars"), col("doc_id")),
+        Seq("lang"), "n_chars", "doc_id"))
+
+    // Snapshot diff + apply round trip over the widened corpus: one
+    // full-outer SMJ + one anti-join/union — both linear.
+    locally {
+      val cur = docs.select(col("doc_id"), col("text"), col("lang"))
+      val prior = cur.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, lit("stale")).otherwise(col("text")).as("text"),
+          col("lang"))
+      time("snapshot diff + apply")(
+        graft.operators.Snapshot.applyChangeset(prior,
+          graft.operators.Snapshot.diffSnapshots(prior, cur, Seq("doc_id")), Seq("doc_id")))
+    }
+
     spark.stop()
   }
 }
