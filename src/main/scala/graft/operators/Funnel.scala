@@ -68,6 +68,32 @@ object Funnel {
     }: _*)).as("__e")).select(col("__e.*"))
   }
 
+  /** User-journey path mining: each user's first `maxSteps` event types in
+    * order, joined into a path string, counted across users — the "what
+    * do users actually do" report. The per-user collect buffers O(events
+    * per user) before the slice — cap pathological users upstream with
+    * [[Skew.capPerKey]] when the corpus has them (documented trade; the
+    * aggregation itself is one keyed shuffle). `orderCols` needs the
+    * usual unique tie-break suffix. Output: (path, n_users).
+    */
+  def journeyPaths(
+      events: DataFrame,
+      userCol: String,
+      orderCols: Seq[String],
+      typeCol: String,
+      maxSteps: Int
+  ): DataFrame = {
+    require(maxSteps >= 1, s"maxSteps must be >= 1, got $maxSteps")
+    require(orderCols.nonEmpty, "orderCols must include a tie-breaking unique suffix")
+    val ordered = sort_array(collect_list(struct(orderCols.map(col) :+ col(typeCol).as("__t"): _*)))
+    events
+      .groupBy(col(userCol))
+      .agg(ordered.as("__evs"))
+      .select(array_join(
+        transform(slice(col("__evs"), 1, maxSteps), e => e.getField("__t")), ">").as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+  }
+
   /** Cohort retention: users cohorted by their FIRST-seen bucket (floor of
     * epoch-days over `bucketDays`), activity counted as distinct
     * (user, bucket) pairs at each offset — "of the users who arrived in

@@ -83,6 +83,51 @@ object Profiler {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Functional-dependency audit: does `X → Y` hold? Returns the X values
+    * that map to MORE than one distinct Y (the violations), with the
+    * count — constraint MINING for profile cards ("source determines
+    * lang?") and regression detection for constraints a pipeline assumes.
+    * One distinct + one count aggregation, both map-side combined; output
+    * is bounded by the violating-X count. An empty result certifies the
+    * dependency on this vintage.
+    */
+  def fdViolations(df: DataFrame, xCols: Seq[String], yCols: Seq[String]): DataFrame = {
+    require(xCols.nonEmpty && yCols.nonEmpty, "X and Y column sets must be non-empty")
+    df.select((xCols ++ yCols).map(col): _*).distinct()
+      .groupBy(xCols.map(col): _*)
+      .agg(count(lit(1)).as("distinct_y"))
+      .filter(col("distinct_y") > 1)
+  }
+
+  /** Shannon entropy (nats) of each listed ENUM-like column's value
+    * distribution — the concentration card: 0 = constant column, ln(k) =
+    * uniform over k values. Counts are exact integers; the −Σ p·ln p fold
+    * runs over the value-count rows (enum-sized by the caller's contract)
+    * and rounds to 6. Nulls count as a value. */
+  def entropyCard(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "at least one column is required")
+    val unpivoted = df.select(cols.map(c => col(c).cast("string").as(c)): _*)
+      .unpivot(Array.empty, cols.map(col).toArray, "column", "value")
+    val counts = unpivoted.groupBy(col("column"), col("value")).agg(count(lit(1)).as("__c"))
+    val totals = counts.groupBy(col("column")).agg(sum(col("__c")).cast("double").as("__t"),
+      count(lit(1)).as("n_values"))
+    counts.join(totals.hint("shuffle_merge"), Seq("column"))
+      .groupBy(col("column"), col("n_values"))
+      .agg(round(-sum((col("__c") / col("__t")) * log(col("__c") / col("__t"))), 6)
+        .as("entropy_nats"))
+      .select(col("column"), col("n_values"), col("entropy_nats"))
+  }
+
+  /** Referential-integrity audit: fact keys with no matching dimension
+    * key (FK orphans) — ONE SMJ-pinned anti-join, orphan keys + row
+    * counts out. An empty result certifies the constraint. */
+  def riOrphans(
+      fact: DataFrame, factKey: String, dim: DataFrame, dimKey: String): DataFrame =
+    fact.select(col(factKey))
+      .join(dim.select(col(dimKey).as(factKey)).distinct().hint("shuffle_merge"),
+        Seq(factKey), "left_anti")
+      .groupBy(col(factKey)).agg(count(lit(1)).as("orphan_rows"))
+
   /** Declarative data-quality gate — the expectation-suite pattern: each
     * check is a named AGGREGATE boolean over the frame ("row count ≥ N",
     * "null rate of c = 0", "min(v) > 0"), all evaluated in ONE single-row

@@ -1409,6 +1409,38 @@ object DataPipelinePack extends QueryPack {
         .orderBy(col("probe_id"), col("rnk"))
     }),
 
+    // Functional-dependency audit: which sources map to >1 language —
+    // constraint mining over one distinct + one count aggregation.
+    "q158_fd_check" -> ((s, d) => {
+      Profiler.fdViolations(Tables.documents(s, d), Seq("source"), Seq("lang"))
+        .orderBy(col("source"))
+    }),
+
+    // Column-entropy card over the enum columns: concentration in nats,
+    // exact counts under the fold, ln rounds at 6.
+    "q159_entropy_card" -> ((s, d) => {
+      Profiler.entropyCard(Tables.documents(s, d), Seq("lang", "source"))
+        .orderBy(col("column"))
+    }),
+
+    // Referential-integrity audit with planted orphans: suppliers with
+    // s_suppkey % 7 == 0 removed from the dimension, so exactly their
+    // lineitems surface as FK orphans through the SMJ anti-join.
+    "q160_ri_check" -> ((s, d) => {
+      Profiler.riOrphans(
+        Tables.lineitem(s, d), "l_suppkey",
+        Tables.supplier(s, d).filter(col("s_suppkey") % 7 =!= 0), "s_suppkey")
+        .orderBy(col("l_suppkey"))
+    }),
+
+    // User-journey paths: each user's first 5 event types in order,
+    // counted across users — the behavioral fingerprint report.
+    "q161_journeys" -> ((s, d) => {
+      graft.operators.Funnel.journeyPaths(Tables.events(s, d),
+        "user_id", Seq("ts", "event_id"), "event_type", maxSteps = 5)
+        .orderBy(col("path"))
+    }),
+
     // Snapshot diff: a simulated prior vintage (every 7th doc missing ->
     // inserts, every 5th's text staled -> updates, planted extra rows ->
     // deletes) diffed against the current table into a minimal I/U/D
@@ -2166,6 +2198,36 @@ object DataPipelinePack extends QueryPack {
 
   def oracles: Map[String, String] = Map(
     "q57_pii_redaction" -> piiOracle,
+
+    "q158_fd_check" -> """
+      SELECT source, count(*) AS distinct_y
+      FROM (SELECT DISTINCT source, lang FROM documents)
+      GROUP BY source HAVING count(*) > 1 ORDER BY source""",
+
+    "q159_entropy_card" -> """
+      WITH u AS (SELECT 'lang' AS "column", lang AS value FROM documents
+                 UNION ALL SELECT 'source', source FROM documents),
+      c AS (SELECT "column", value, count(*) AS c FROM u GROUP BY 1, 2),
+      t AS (SELECT "column", CAST(sum(c) AS DOUBLE) AS t, count(*) AS n_values
+            FROM c GROUP BY 1)
+      SELECT c."column", t.n_values,
+             round(-sum((c.c / t.t) * ln(c.c / t.t)), 6) AS entropy_nats
+      FROM c JOIN t USING ("column") GROUP BY c."column", t.n_values
+      ORDER BY c."column"""",
+
+    "q160_ri_check" -> """
+      SELECT l_suppkey, count(*) AS orphan_rows
+      FROM lineitem
+      WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_suppkey % 7 <> 0)
+      GROUP BY 1 ORDER BY 1""",
+
+    "q161_journeys" -> """
+      WITH r AS (SELECT user_id, event_type,
+                        row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+                 FROM events),
+      p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+            FROM r WHERE rn <= 5 GROUP BY user_id)
+      SELECT path, count(*) AS n_users FROM p GROUP BY path ORDER BY path""",
 
     "q156_snapshot_diff" -> """
       WITH base AS (SELECT doc_id, text, lang FROM documents),

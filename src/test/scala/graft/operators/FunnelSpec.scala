@@ -55,6 +55,19 @@ class FunnelSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), "funnel must not use per-user windows")
   }
 
+  test("journeyPaths: ordered first-k types per user, counted across users") {
+    val events = Seq(
+      (1L, 1L, 1L, "view"), (1L, 2L, 2L, "click"), (1L, 3L, 3L, "purchase"),
+      (2L, 1L, 4L, "view"), (2L, 2L, 5L, "click"), (2L, 3L, 6L, "purchase"),
+      (3L, 1L, 7L, "view"), (3L, 2L, 8L, "error"),
+      // user 4 has 4 events but maxSteps=3 truncates
+      (4L, 1L, 9L, "view"), (4L, 2L, 10L, "click"), (4L, 3L, 11L, "purchase"), (4L, 4L, 12L, "view")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = Funnel.journeyPaths(events, "user_id", Seq("ts", "event_id"), "event_type", 3)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("view>click>purchase" -> 3L, "view>error" -> 1L))
+  }
+
   test("cohortRetention: hand-computed weekly buckets") {
     val day = 86400000L
     def dts(d: Int): Timestamp = new Timestamp(d * day)

@@ -67,6 +67,33 @@ class ProfilerSpec extends AnyFunSuite {
     assert(tv(a, b) == tv(b, a))
   }
 
+  test("fdViolations: holding dependency empty, broken one reports the violating X with counts") {
+    val df = Seq((1L, "a", "x"), (2L, "a", "x"), (3L, "b", "y"), (4L, "b", "z"))
+      .toDF("id", "x", "y")
+    assert(Profiler.fdViolations(df, Seq("id"), Seq("x")).isEmpty, "key -> anything must hold")
+    val got = Profiler.fdViolations(df, Seq("x"), Seq("y"))
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("b" -> 2L))
+  }
+
+  test("entropyCard: constant column 0, uniform column ln(k); nulls count as a value") {
+    val df = (1L to 100L).map(i => ("const", s"u${i % 4}", if (i <= 50) Some("a") else None))
+      .toDF("c1", "c2", "c3")
+    val got = Profiler.entropyCard(df, Seq("c1", "c2", "c3"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got("c1") == ((1L, 0.0)))
+    assert(got("c2")._1 == 4L && math.abs(got("c2")._2 - math.log(4.0)) < 1e-6)
+    assert(got("c3")._1 == 2L && math.abs(got("c3")._2 - math.log(2.0)) < 1e-6)
+  }
+
+  test("riOrphans: clean FK empty; planted orphans surface with row counts") {
+    val dim = Seq(1L, 2L, 3L).toDF("k")
+    val fact = Seq(1L, 1L, 2L, 9L, 9L, 9L).toDF("fk")
+    assert(Profiler.riOrphans(fact.filter(col("fk") < 3), "fk", dim, "k").isEmpty)
+    val got = Profiler.riOrphans(fact, "fk", dim, "k").as[(Long, Long)].collect().toMap
+    assert(got == Map(9L -> 3L))
+  }
+
   test("profileColumns rejects an empty column list") {
     intercept[IllegalArgumentException](
       Profiler.profileColumns(Seq((1, "a")).toDF("a", "b"), Seq.empty))
