@@ -604,6 +604,27 @@ object Similarity {
     corpus.join(hit.hint("shuffle_merge"), Seq(vectorId), "left_anti")
   }
 
+  /** Embedding-space drift between two corpus vintages: cosine between
+    * the per-dimension MEAN vectors (plus both norms) — the cheap
+    * first-alarm for an embedding-model swap or a population shift
+    * upstream of every ANN index built on the space. Two dim-bounded
+    * aggregations + one scalar row; rounds to 6.
+    */
+  def embeddingDrift(
+      dfA: DataFrame, dfB: DataFrame, vecCol: String, dim: Int): DataFrame = {
+    require(dim > 0, "dim must be positive")
+    def meanVec(df: DataFrame, out: String) =
+      df.select(asDouble(col(vecCol)).as("__v"))
+        .agg(array((0 until dim).map(i => avg(element_at(col("__v"), i + 1))): _*).as(out))
+    meanVec(dfA, "__ma").crossJoin(broadcast(meanVec(dfB, "__mb")))
+      .select(
+        round(sqrt(fastDot(col("__ma"), col("__ma"))), 6).as("norm_a"),
+        round(sqrt(fastDot(col("__mb"), col("__mb"))), 6).as("norm_b"),
+        round(fastDot(col("__ma"), col("__mb")) /
+          (sqrt(fastDot(col("__ma"), col("__ma"))) * sqrt(fastDot(col("__mb"), col("__mb")))), 6)
+          .as("cos_means"))
+  }
+
   /** Deterministic distributed k-means for the IVF/SemDeDup quantizer —
     * closes the "centroids are trained offline" contract with an in-repo
     * trainer. Assignment is nearest-centroid by COSINE (argmax ties to the

@@ -245,6 +245,38 @@ object TextAnalysis {
       (!hasLorem && !hasBrace && nSentences >= 3L).as("keep"))
   }
 
+  /** Canary-string audit — the data-poisoning / secret-leak check: report
+    * every (doc, canary) hit for a literal watchlist (planted canary
+    * phrases, API-key prefixes, internal hostnames). The list is a plan
+    * literal (watchlists are small by nature — q58's benchmark-set
+    * argument); the scan is one per-row literal-array filter + explode,
+    * zero shuffle, stream-safe. Exact substring semantics (no regex), so
+    * hostile pattern characters in a canary cannot change the match.
+    */
+  def findCanaries(
+      df: DataFrame, idCol: String, textCol: String, canaries: Seq[String]): DataFrame = {
+    require(canaries.nonEmpty, "at least one canary string is required")
+    require(canaries.forall(_.nonEmpty), "canary strings must be non-empty")
+    df.select(col(idCol),
+        explode(filter(typedLit(canaries), c => col(textCol).contains(c))).as("canary"))
+  }
+
+  /** Template-prefix mining — boilerplate/template-spam detection: the
+    * corpus's most repeated first-`prefixTokens`-token prefixes with doc
+    * counts (a mass-produced template family shares its opening). One
+    * per-row projection + one map-side-combined count; emit only
+    * prefixes with ≥ `minCount` docs. Feed hits to
+    * [[graft.operators.Dedup.stripKnownLines]]-style removal or a gate.
+    */
+  def templatePrefixes(
+      df: DataFrame, textCol: String, prefixTokens: Int, minCount: Long): DataFrame = {
+    require(prefixTokens >= 1, s"prefixTokens must be >= 1, got $prefixTokens")
+    require(minCount >= 2, s"minCount must be >= 2, got $minCount")
+    df.select(array_join(slice(tokens(col(textCol)), 1, prefixTokens), " ").as("prefix"))
+      .groupBy(col("prefix")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minCount)
+  }
+
   /** Zipf power-law fit of the token frequency distribution — the corpus
     * data-card statistic that catches a vocabulary anomaly (template spam,
     * boilerplate floods, a parser emitting glued tokens) as a slope shift:
@@ -546,6 +578,60 @@ object TextAnalysis {
       .withColumn("__lp", log(
         (coalesce(col("__c12"), lit(0L)) + lit(k)) /
           (coalesce(col("__c1"), lit(0L)) + lit(k) * col("__v"))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), exp(-avg(col("__lp"))).as("__ppl"))
+    docs.select(col(idCol))
+      .join(scored.hint("shuffle_merge"), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(col("__ppl"), 4).as("ppl"))
+  }
+
+  /** Jelinek–Mercer INTERPOLATED bigram perplexity — the backoff form the
+    * CCNet-style quality signal graduates to when held-out scoring meets
+    * unseen histories: `p(w2|w1) = λ·p_ML(w2|w1) + (1−λ)·p_uni(w2)` with
+    * the ML term `c12/c1` (0 for unseen histories — the unigram term
+    * carries them) and an add-k smoothed unigram
+    * `(c(w2)+k)/(T+k·V)`. Same scale shape as [[bigramPerplexity]] plus
+    * ONE more keyed SMJ join (the unigram count table) and one more
+    * 1-row scalar (T); vocabulary-shaped tables never broadcast.
+    */
+  def bigramPerplexityInterpolated(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      lambda: Double = 0.7,
+      k: Double = 1.0,
+      trainOn: Option[DataFrame] = None
+  ): DataFrame = {
+    require(lambda > 0.0 && lambda < 1.0, s"lambda must be in (0,1), got $lambda")
+    require(k > 0.0, s"smoothing k must be positive, got $k")
+    def bigramsOf(df: DataFrame, cols: Seq[Column]): DataFrame = df
+      .select(cols :+ tokens(col(textCol)).as("__toks"): _*)
+      .filter(size(col("__toks")) >= 2)
+      .select(cols :+ explode(transform(sequence(lit(0), size(col("__toks")) - 2),
+        i => struct(element_at(col("__toks"), i + 1).as("w1"),
+          element_at(col("__toks"), i + 2).as("w2")))).as("__bg"): _*)
+      .select(cols :+ col("__bg.w1").as("__w1") :+ col("__bg.w2").as("__w2"): _*)
+    val train = trainOn.getOrElse(docs)
+    val trainBg = bigramsOf(train, Seq.empty)
+    val c12 = trainBg.groupBy(col("__w1"), col("__w2")).agg(count(lit(1)).as("__c12"))
+    val c1 = trainBg.groupBy(col("__w1")).agg(count(lit(1)).as("__c1"))
+    val uni = train.select(explode(tokens(col(textCol))).as("__w2"))
+      .groupBy(col("__w2")).agg(count(lit(1)).as("__cu"))
+    val totals = train.select(explode(tokens(col(textCol))).as("__t"))
+      .agg(count(lit(1)).cast("double").as("__tt"),
+        count_distinct(col("__t")).cast("double").as("__v"))
+    val ml = when(coalesce(col("__c1"), lit(0L)) > 0L,
+      coalesce(col("__c12"), lit(0L)).cast("double") / col("__c1").cast("double"))
+      .otherwise(lit(0.0))
+    val punit = (coalesce(col("__cu"), lit(0L)) + lit(k)) / (col("__tt") + lit(k) * col("__v"))
+    val scored = bigramsOf(docs, Seq(col(idCol)))
+      .join(c12.hint("shuffle_merge"), Seq("__w1", "__w2"), "left")
+      .join(c1.hint("shuffle_merge"), Seq("__w1"), "left")
+      .join(uni.hint("shuffle_merge"), Seq("__w2"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("__lp", log(lit(lambda) * ml + lit(1.0 - lambda) * punit))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"), exp(-avg(col("__lp"))).as("__ppl"))
     docs.select(col(idCol))

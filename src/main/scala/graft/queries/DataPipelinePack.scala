@@ -1409,6 +1409,53 @@ object DataPipelinePack extends QueryPack {
         .orderBy(col("probe_id"), col("rnk"))
     }),
 
+    // Canary audit: two canary phrases planted (every 37th doc gets one,
+    // every 41st the other — some docs both), detected by exact
+    // substring scan against the literal watchlist.
+    "q163_canary_audit" -> ((s, d) => {
+      val canaryA = "CANARY-7f3a correlation horizon"
+      val canaryB = "canary token deadbeef-42"
+      val planted = Tables.documents(s, d).select(col("doc_id"), concat(col("text"),
+        when(col("doc_id") % 37 === 0, lit(s" $canaryA")).otherwise(lit("")),
+        when(col("doc_id") % 41 === 0, lit(s" $canaryB")).otherwise(lit(""))).as("text"))
+      TextAnalysis.findCanaries(planted, "doc_id", "text", Seq(canaryA, canaryB))
+        .orderBy(col("doc_id"), col("canary"))
+    }),
+
+    // Template mining: every 13th doc opens with a planted 8-token
+    // boilerplate header; the prefix counter surfaces exactly it (organic
+    // 8-token prefixes are all unique at minCount 5).
+    "q164_template_mining" -> ((s, d) => {
+      val header = "SYSTEM NOTICE all rights reserved template header text"
+      val planted = Tables.documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 13 === 0, concat(lit(s"$header "), col("text")))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.templatePrefixes(planted, "text", prefixTokens = 8, minCount = 5)
+        .orderBy(col("prefix"))
+    }),
+
+    // Embedding-space drift: cosine between the mean vectors of the even
+    // and odd embedding halves (same space, so the alarm stays silent:
+    // cos ~ 1 on this corpus).
+    "q165_embedding_drift" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.embeddingDrift(
+        e.filter(col("vec_id") % 2 === 0), e.filter(col("vec_id") % 2 === 1),
+        "embedding", dim = 64)
+    }),
+
+    // Jelinek-Mercer interpolated bigram perplexity, trained on the even
+    // half and scoring the odd half: unseen histories fall back to the
+    // smoothed unigram term (the ML guard path), lambda = 0.7.
+    "q162_interpolated_ppl" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.bigramPerplexityInterpolated(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+        lambda = 0.7, k = 1.0,
+        trainOn = Some(docs.filter(col("doc_id") % 2 === 0)))
+        .orderBy(col("doc_id"))
+    }),
+
     // Functional-dependency audit: which sources map to >1 language —
     // constraint mining over one distinct + one count aggregation.
     "q158_fd_check" -> ((s, d) => {
@@ -2198,6 +2245,83 @@ object DataPipelinePack extends QueryPack {
 
   def oracles: Map[String, String] = Map(
     "q57_pii_redaction" -> piiOracle,
+
+    "q163_canary_audit" -> """
+      WITH planted AS (
+        SELECT doc_id,
+               text || CASE WHEN doc_id % 37 = 0 THEN ' CANARY-7f3a correlation horizon' ELSE '' END
+                    || CASE WHEN doc_id % 41 = 0 THEN ' canary token deadbeef-42' ELSE '' END AS text
+        FROM documents),
+      hits AS (
+        SELECT doc_id, 'CANARY-7f3a correlation horizon' AS canary FROM planted
+        WHERE contains(text, 'CANARY-7f3a correlation horizon')
+        UNION ALL
+        SELECT doc_id, 'canary token deadbeef-42' FROM planted
+        WHERE contains(text, 'canary token deadbeef-42'))
+      SELECT doc_id, canary FROM hits ORDER BY doc_id, canary""",
+
+    "q164_template_mining" -> """
+      WITH planted AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 13 = 0
+                    THEN 'SYSTEM NOTICE all rights reserved template header text ' || text
+                    ELSE text END AS text
+        FROM documents),
+      p AS (SELECT array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ') AS prefix
+            FROM planted)
+      SELECT prefix, count(*) AS n_docs FROM p
+      GROUP BY prefix HAVING count(*) >= 5 ORDER BY prefix""",
+
+    "q165_embedding_drift" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      dims AS (SELECT unnest(range(1, 65)) AS i),
+      ma AS (SELECT list(x ORDER BY i) AS m FROM (
+               SELECT d.i, avg(e.v[d.i]) AS x FROM e CROSS JOIN dims d
+               WHERE e.vec_id % 2 = 0 GROUP BY d.i)),
+      mb AS (SELECT list(x ORDER BY i) AS m FROM (
+               SELECT d.i, avg(e.v[d.i]) AS x FROM e CROSS JOIN dims d
+               WHERE e.vec_id % 2 = 1 GROUP BY d.i))
+      SELECT round(sqrt(list_dot_product(ma.m, ma.m)), 6) AS norm_a,
+             round(sqrt(list_dot_product(mb.m, mb.m)), 6) AS norm_b,
+             round(list_dot_product(ma.m, mb.m) /
+                   (sqrt(list_dot_product(ma.m, ma.m)) * sqrt(list_dot_product(mb.m, mb.m))), 6)
+               AS cos_means
+      FROM ma CROSS JOIN mb""",
+
+    "q162_interpolated_ppl" -> """
+      WITH tr AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+                  WHERE doc_id % 2 = 0),
+      sc AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+             WHERE doc_id % 2 = 1),
+      trbg AS (SELECT w[p] AS w1, w[p + 1] AS w2
+               FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS p
+                     FROM tr WHERE len(w) >= 2)),
+      c12 AS (SELECT w1, w2, count(*) AS c12 FROM trbg GROUP BY w1, w2),
+      c1 AS (SELECT w1, count(*) AS c1 FROM trbg GROUP BY w1),
+      uni AS (SELECT t AS w2, count(*) AS cu
+              FROM (SELECT unnest(w) AS t FROM tr) GROUP BY t),
+      tot AS (SELECT CAST(count(*) AS DOUBLE) AS tt,
+                     CAST(count(DISTINCT t) AS DOUBLE) AS v
+              FROM (SELECT unnest(w) AS t FROM tr)),
+      scbg AS (SELECT doc_id, w[p] AS w1, w[p + 1] AS w2
+               FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS p
+                     FROM sc WHERE len(w) >= 2)),
+      scored AS (
+        SELECT scbg.doc_id, count(*) AS n_bigrams,
+               exp(-avg(ln(
+                 0.7 * (CASE WHEN coalesce(c1.c1, 0) > 0
+                             THEN CAST(coalesce(c12.c12, 0) AS DOUBLE) / c1.c1
+                             ELSE 0.0 END) +
+                 (1.0 - 0.7) * ((coalesce(uni.cu, 0) + 1.0) / (tot.tt + 1.0 * tot.v))))) AS ppl
+        FROM scbg LEFT JOIN c12 USING (w1, w2) LEFT JOIN c1 USING (w1)
+             LEFT JOIN uni USING (w2) CROSS JOIN tot
+        GROUP BY scbg.doc_id)
+      SELECT d.doc_id,
+             CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+             round(s.ppl, 4) AS ppl
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+           LEFT JOIN scored s USING (doc_id)
+      ORDER BY d.doc_id""",
 
     "q158_fd_check" -> """
       SELECT source, count(*) AS distinct_y

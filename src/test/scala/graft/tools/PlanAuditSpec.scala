@@ -108,6 +108,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // corpus-count scalar (its crossJoin is the BNLJ — q35's N class).
     // The corpus-shaped draws⋈positions match is SMJ-pinned both sides.
     "q140_negative_sample" -> (0, 1, 2),
+    // q162: q95/q98's 1-row T/V scalar (its crossJoin is the BNLJ); the
+    // vocabulary-shaped count tables (c12, c1, unigram) are SMJ-pinned.
+    "q162_interpolated_ppl" -> (0, 1, 1),
+    // q165: two 1-row mean-vector aggregates crossJoined (q35's scalar
+    // class — the BNLJ and its broadcast).
+    "q165_embedding_drift" -> (0, 1, 1),
     // q154: the grouped-rank prefix sum's |groups|·2^bits offset table
     // (q60/q73's class) plus the enum-sized per-source count table, both
     // broadcast by construction.
