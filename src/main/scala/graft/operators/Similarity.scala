@@ -401,6 +401,47 @@ object Similarity {
       .distinct()
   }
 
+  /** Band-bucket occupancy report — the measurement behind the §8.1
+    * `bandBits ≈ log2(n/16)` sizing rule: per band, the bucket count,
+    * the hottest bucket, and the PREDICTED candidate-pair volume
+    * `Σ_buckets c·(c−1)/2` (exactly what the banded pair operators will
+    * generate). Run this before a production
+    * [[cosineNearDupPairsLsh]]/[[crossCosinePairsLsh]] campaign: a band
+    * whose candidate_pairs explodes tells you to raise bandBits (or
+    * center — the q84 orthant collapse shows up here as one mega-bucket)
+    * BEFORE the task OOM does. Integer-exact end to end; one keyed
+    * aggregation per stage.
+    */
+  def lshOccupancyReport(
+      vectors: DataFrame,
+      vectorId: String,
+      vectorCol: String,
+      dim: Int,
+      bandBits: Int,
+      bands: Int,
+      centerForBuckets: Boolean = false
+  ): DataFrame = {
+    val projected = Dedup.withComputeParallelism(
+      vectors.select(col(vectorId), asDouble(col(vectorCol)).as("__v")))
+    val bucketed =
+      if (!centerForBuckets) projected
+      else {
+        val mu = projected.agg(
+          array((0 until dim).map(i => avg(element_at(col("__v"), i + 1))): _*).as("__mu"))
+        projected.crossJoin(broadcast(mu))
+          .select(col(vectorId), zip_with(col("__v"), col("__mu"), (a, b) => a - b).as("__v"))
+      }
+    bucketed
+      .select(posexplode(bandKeys(col("__v"), dim, bandBits, bands)).as(Seq("band", "__key")))
+      .groupBy(col("band"), col("__key")).agg(count(lit(1)).as("__c"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_buckets"),
+        max(col("__c")).as("max_occupancy"),
+        // c·(c−1) is even; shiftright halves it in INTEGER space (Column
+        // `/` would detour through doubles and lose exactness past 2^53)
+        sum(shiftright(col("__c") * (col("__c") - 1), 1)).as("candidate_pairs"))
+  }
+
   /** CROSS-corpus cosine pair mining — [[cosineNearDupPairsLsh]]'s shape
     * between TWO DIFFERENT corpora (alignment/translation-pair mining,
     * corpus-vs-benchmark contamination at embedding level, catalog

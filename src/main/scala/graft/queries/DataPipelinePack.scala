@@ -1409,6 +1409,16 @@ object DataPipelinePack extends QueryPack {
         .orderBy(col("probe_id"), col("rnk"))
     }),
 
+    // LSH sizing diagnostic: per-band bucket occupancy + predicted
+    // candidate-pair volume at bandBits=4/bands=8 — the measurement the
+    // documented bandBits sizing rule reads; oracle regenerates every
+    // bucket from the published plane literals.
+    "q166_lsh_occupancy" -> ((s, d) => {
+      Similarity.lshOccupancyReport(Tables.embeddings(s, d), "vec_id", "embedding",
+        dim = 64, bandBits = 4, bands = 8)
+        .orderBy(col("band"))
+    }),
+
     // Canary audit: two canary phrases planted (every 37th doc gets one,
     // every 41st the other — some docs both), detected by exact
     // substring scan against the literal watchlist.
@@ -1798,6 +1808,26 @@ object DataPipelinePack extends QueryPack {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     })
   )
+
+  /** q166's oracle is GENERATED like q33's: every band key re-derived in
+    * DuckDB from the same plane literals, occupancy and pair counts pure
+    * integers. */
+  private def lshOccupancyOracle: String = {
+    val planes = graft.operators.Similarity.hyperplanes(dim = 64, nBits = 32)
+    val bandExprs = (0 until 8).map { k =>
+      val key = (0 until 4).map { i =>
+        s"(CASE WHEN list_inner_product(v, [${planes(k * 4 + i).mkString(", ")}]) >= 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, $k AS band, $key AS key FROM e"
+    }.mkString(" UNION ALL ")
+    s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      keys AS ($bandExprs),
+      occ AS (SELECT band, key, count(*) AS c FROM keys GROUP BY band, key)
+      SELECT band, count(*) AS n_buckets, max(c) AS max_occupancy,
+             CAST(sum(c * (c - 1) // 2) AS BIGINT) AS candidate_pairs
+      FROM occ GROUP BY band ORDER BY band"""
+  }
 
   /** q33's oracle is GENERATED: the sign-LSH bucketing is deterministic
     * (fixed splitmix-derived hyperplanes), so the oracle SQL re-derives the
@@ -2245,6 +2275,8 @@ object DataPipelinePack extends QueryPack {
 
   def oracles: Map[String, String] = Map(
     "q57_pii_redaction" -> piiOracle,
+
+    "q166_lsh_occupancy" -> lshOccupancyOracle,
 
     "q163_canary_audit" -> """
       WITH planted AS (
