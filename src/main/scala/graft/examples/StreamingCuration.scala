@@ -131,7 +131,11 @@ object StreamingCuration {
     * gates — scored and filtered per row, zero stream state. `bloomHistory`
     * swaps (or backs up) `historyIndex` with a constant-memory Bloom probe
     * of history — per-row, zero stream state, one-sided-lossy (see
-    * [[BloomHistory]] for the trade). */
+    * [[BloomHistory]] for the trade). `canaries` drops any document
+    * containing a watchlist string ([[TextAnalysis.findCanaries]]'s
+    * exact-substring semantics — the poisoning/secret-leak gate) — a pure
+    * per-row literal scan, zero stream state, sitting on the stateless
+    * prefix so the candidates branch never sees a poisoned doc either. */
   def curate(
       stream: DataFrame,
       numHashes: Int = 64,
@@ -144,7 +148,8 @@ object StreamingCuration {
       nearDupHistory: Option[NearDupHistory] = None,
       windowHistory: Option[WindowHistory] = None,
       qualityModel: Option[QualityModel] = None,
-      bloomHistory: Option[BloomHistory] = None
+      bloomHistory: Option[BloomHistory] = None,
+      canaries: Seq[String] = Nil
   ): StreamingCurationStreams = {
     // withColumn keeps every stream column (e.g. the horizon's event-time
     // column) riding alongside the stripped text
@@ -170,10 +175,15 @@ object StreamingCuration {
     // before the stateful dedup and the candidates branch sees it too
     val deconOnly = benchmark.fold(gated)(b =>
       TextAnalysis.dropContaminatedStateless(gated, "doc_id", "text", b, "text"))
+    // canary gate: exact-substring watchlist, per-row, zero state — a
+    // poisoned document must never reach the corpus OR the candidate state
+    val canaryClean =
+      if (canaries.isEmpty) deconOnly
+      else deconOnly.filter(!canaries.map(c => col("text").contains(c)).reduce(_ || _))
     // history dedup is a stream-static anti join — also stateless on the
     // stream side, so candidates branch after it as well
-    val indexDeduped = historyIndex.fold(deconOnly)(idx =>
-      Dedup.dropKnownFingerprints(deconOnly, "text", idx))
+    val indexDeduped = historyIndex.fold(canaryClean)(idx =>
+      Dedup.dropKnownFingerprints(canaryClean, "text", idx))
     // constant-memory exact history: a per-row bitmap probe (see
     // [[BloomHistory]] for the trade vs the index anti-join) — the collect
     // is small-by-contract (the bitmap IS the memory budget, guarded in

@@ -256,7 +256,8 @@ class StreamingCurationSpec extends AnyFunSuite {
     } finally { qSurv.stop(); qMatch.stop() }
   }
 
-  test("ALL seven opt-ins composed: each leg claims exactly its victim, survivors and history matches are exact") {
+  test("ALL eight opt-ins composed: each leg claims exactly its victim, survivors and history matches are exact") {
+    val canary = "CANARY-0x5f3759df weather balloon"
     val boiler = "subscribe to the banner now"
     val curatedHist = "the cat and a dog is in the house of the king by the sea today"
     val windowCorpus = "alpha beta gamma delta epsilon zeta eta theta"
@@ -273,6 +274,7 @@ class StreamingCurationSpec extends AnyFunSuite {
     val shortVictim  = "the ant and a fly is of the dust bin lid"             // 26: quality model
     val fresh        = "the owl and a wren is of the wood and the glen at dusk by the lake" // 27
     val boilerDoc    = "the ram and a ewe is of the fold and the hill at dusk tonight\n" + boiler // 28
+    val canaryDoc    = "the fox and a hen is of the yard and the barn at noon " + canary // 29: canary leg
 
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val in = MemoryStream[(Long, String, java.sql.Timestamp)]
@@ -287,7 +289,8 @@ class StreamingCurationSpec extends AnyFunSuite {
       windowHistory = Some(WindowHistory(
         Dedup.buildWindowIndex(Seq((2L, windowCorpus)).toDF("doc_id", "text"), "doc_id", "text", w = 5),
         w = 5)),
-      qualityModel = Some(QualityModel(Seq.fill(16)(0.05), bias = -0.9, minScore = 0.45)))
+      qualityModel = Some(QualityModel(Seq.fill(16)(0.05), bias = -0.9, minScore = 0.45)),
+      canaries = Seq(canary))
     Seq("scur_all", "scur_all_m").foreach { v =>
       try spark.catalog.dropTempView(v) catch { case _: Exception => () }
     }
@@ -303,15 +306,15 @@ class StreamingCurationSpec extends AnyFunSuite {
       in.addData(Seq((20L, exactVictim, ts(0)), (21L, nearVictim, ts(0)),
         (22L, spanCarrier, ts(0)), (23L, deconVictim, ts(0)),
         (24L, horizonText, ts(0)), (26L, shortVictim, ts(0)),
-        (27L, fresh, ts(0)), (28L, boilerDoc, ts(0))))
+        (27L, fresh, ts(0)), (28L, boilerDoc, ts(0)), (29L, canaryDoc, ts(0))))
       q.processAllAvailable(); qm.processAllAvailable()
       in.addData(Seq((25L, horizonText, ts(1)))) // within-horizon duplicate
       q.processAllAvailable(); qm.processAllAvailable()
 
       val got = spark.table("scur_all").select("doc_id", "text")
         .as[(Long, String)].collect().toMap
-      // 20 exact-history, 23 decontaminated, 25 horizon-dup, 26 model-scored
-      // out; 21 is FLAGGED not dropped (resolve removes it below)
+      // 20 exact-history, 23 decontaminated, 25 horizon-dup, 26 model-scored,
+      // 29 canary out; 21 is FLAGGED not dropped (resolve removes it below)
       assert(got.keySet == Set(21L, 22L, 24L, 27L, 28L), s"got ${got.keySet}")
       assert(!got(22L).contains("gamma") && got(22L).contains("farm"),
         s"historical span must vanish from the carrier: '${got(22L)}'")
