@@ -170,6 +170,36 @@ object Sketches {
       .select((groupCols.map(col) :+ col("hll_est") :+ col("__zeros").cast("int").as("zero_regs")): _*)
   }
 
+  /** ROLLING distinct estimate from per-period HLL registers — rolling
+    * MAU/DAU from sketches alone: each period's registers fan out to the
+    * `windowPeriods` trailing windows they belong to (one bounded
+    * explode), registers merge by max per (target, bucket) — the HLL
+    * merge rule, so the window estimate is EXACTLY the estimate of the
+    * union of the window's periods — and [[hllEstimate]] finalizes.
+    * Raw data is never rescanned: at 100 TB the per-period register
+    * tables are the only input (persist them as IndexStore generations
+    * and the rolling series costs O(periods · m) forever). Targets
+    * restrict to OBSERVED periods (a gap period emits no row — windows
+    * ending inside a gap are not fabricated).
+    */
+  def hllRollingEstimate(
+      registers: DataFrame,
+      periodCol: String,
+      p: Int,
+      windowPeriods: Int
+  ): DataFrame = {
+    require(windowPeriods >= 1, s"windowPeriods must be >= 1, got $windowPeriods")
+    val targets = registers.select(col(periodCol).as("__t")).distinct()
+    val spread = registers.select(col(periodCol), col("bucket"), col("reg"),
+      explode(sequence(col(periodCol),
+        col(periodCol) + lit(windowPeriods - 1))).as("__t"))
+    val merged = spread
+      .join(targets.hint("shuffle_merge"), Seq("__t"), "left_semi")
+      .groupBy(col("__t"), col("bucket")).agg(max(col("reg")).as("reg"))
+      .withColumnRenamed("__t", periodCol)
+    hllEstimate(merged, Seq(periodCol), p)
+  }
+
   // ----------------------------------------------------------- Count-Min
 
   /** Count-Min sketch build: `depth` independent hash rows × `width`

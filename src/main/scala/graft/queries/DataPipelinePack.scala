@@ -1409,6 +1409,20 @@ object DataPipelinePack extends QueryPack {
         .orderBy(col("probe_id"), col("rnk"))
     }),
 
+    // Rolling 7-day distinct users from per-day HLL registers merged by
+    // the max rule — rolling MAU without rescanning events; the oracle
+    // rebuilds every window's registers from scratch (q110's rules over
+    // the windowed event set), so merge-of-sketches == sketch-of-union
+    // is what the hash compare actually checks.
+    "q167_rolling_mau" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(unix_date(to_date(col("ts"))).cast("long").as("day"), col("user_id"))
+      val regs = Sketches.hllRegisters(ev, Seq("day"), col("user_id"), p = 6, salt = "rmau")
+      Sketches.hllRollingEstimate(regs, "day", p = 6, windowPeriods = 7)
+        .select(col("day"), round(col("hll_est"), 4).as("hll_est"), col("zero_regs"))
+        .orderBy(col("day"))
+    }),
+
     // LSH sizing diagnostic: per-band bucket occupancy + predicted
     // candidate-pair volume at bandBits=4/bands=8 — the measurement the
     // documented bandBits sizing rule reads; oracle regenerates every
@@ -2277,6 +2291,28 @@ object DataPipelinePack extends QueryPack {
     "q57_pii_redaction" -> piiOracle,
 
     "q166_lsh_occupancy" -> lshOccupancyOracle,
+
+    "q167_rolling_mau" -> s"""
+      WITH pe AS (SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS d,
+                         CAST(concat('0x', substring(md5('rmau' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+                  FROM events),
+      targets AS (SELECT DISTINCT d AS t FROM pe),
+      win AS (SELECT t.t, pe.hv FROM pe JOIN targets t ON pe.d BETWEEN t.t - 6 AND t.t),
+      parts AS (SELECT t, hv >> 54 AS bucket, hv & ${(1L << 54) - 1} AS w FROM win),
+      ranks AS (SELECT t, bucket,
+              CASE WHEN w = 0 THEN 55 ELSE 55 - length(bin(w)) END AS rank FROM parts),
+      regs AS (SELECT t, bucket, max(rank) AS reg FROM ranks GROUP BY 1, 2),
+      agg AS (SELECT t, sum(1::BIGINT << (55 - reg)) AS z_occ, count(*) AS occ
+              FROM regs GROUP BY 1),
+      est AS (SELECT t, CAST(z_occ + (64 - occ) * (1::BIGINT << 55) AS DOUBLE) AS z,
+                     64 - occ AS zeros FROM agg),
+      raws AS (SELECT t, ${Sketches.hllAlpha(64) * 64 * 64} * ${(1L << 55).toDouble} / z AS raw, zeros
+               FROM est)
+      SELECT t AS day,
+             round(CASE WHEN raw <= 160.0 AND zeros > 0
+                        THEN 64.0 * ln(64.0 / CAST(zeros AS DOUBLE)) ELSE raw END, 4) AS hll_est,
+             CAST(zeros AS INTEGER) AS zero_regs
+      FROM raws ORDER BY day""",
 
     "q163_canary_audit" -> """
       WITH planted AS (

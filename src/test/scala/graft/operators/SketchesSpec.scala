@@ -133,6 +133,24 @@ class SketchesSpec extends AnyFunSuite {
       regsD.orderBy("l_returnflag", "bucket").collect().toSeq)
   }
 
+  test("hllRollingEstimate: merged per-period registers equal a from-scratch sketch per window") {
+    val p = 6
+    val rows = (1L to 2000L).map(i => (i % 10, i * 13 % 400)).toDF("day", "uid")
+    val perDay = Sketches.hllRegisters(rows, Seq("day"), col("uid"), p, "roll")
+    val rolling = Sketches.hllRollingEstimate(perDay, "day", p, windowPeriods = 3)
+      .select(col("day"), col("hll_est"), col("zero_regs"))
+    // from-scratch reference: registers over each window's raw rows
+    val ref = (0L until 10L).map { t =>
+      val win = rows.filter(col("day").between(t - 2, t))
+      val est = Sketches.hllEstimate(
+        Sketches.hllRegisters(win.withColumn("day", lit(t)), Seq("day"), col("uid"), p, "roll"),
+        Seq("day"), p).select(col("day"), col("hll_est"), col("zero_regs"))
+      est
+    }.reduce(_ unionByName _)
+    assert(rolling.except(ref).isEmpty && ref.except(rolling).isEmpty,
+      "rolling merge must equal the sketch of each window's union")
+  }
+
   test("HLL small-range correction engages below 2.5m with empty buckets") {
     val p = 6
     val tiny = (1 to 20).toDF("v") // 20 distinct << 2.5 * 64
