@@ -300,15 +300,17 @@ object TextAnalysis {
       row_number().over(Window.orderBy(col("__c").desc, col("__t"))))
     val xy = ranked.select(log(col("__r").cast("double")).as("x"),
       log(col("__c").cast("double")).as("y"))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
     xy.agg(count(lit(1)).cast("double").as("n"), sum(col("x")).as("sx"),
         sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
         sum(col("x") * col("x")).as("sxx"))
+      // a 1-rank corpus has zero x-variance: the fit is undefined (null),
+      // not an ANSI divide-by-zero (n >= 2 guarantees distinct ln ranks)
       .select(col("n").cast("long").as("n_ranks"),
-        round((col("n") * col("sxy") - col("sx") * col("sy")) /
-          (col("n") * col("sxx") - col("sx") * col("sx")), 4).as("slope"),
-        round((col("sy") - ((col("n") * col("sxy") - col("sx") * col("sy")) /
-          (col("n") * col("sxx") - col("sx") * col("sx"))) * col("sx")) / col("n"), 4)
-          .as("intercept"))
+        when(col("n") >= 2.0, round(slope, 4)).as("slope"),
+        when(col("n") >= 2.0,
+          round((col("sy") - slope * col("sx")) / col("n"), 4)).as("intercept"))
   }
 
   /** Lowercased character trigrams of `text` — the Cavnar–Trenkle feature.

@@ -452,6 +452,10 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got.getAs[Long]("n_ranks") == 200L)
     val slope = got.getAs[Double]("slope")
     assert(slope > -1.05 && slope < -0.95, s"planted zipf(1) slope came out $slope")
+    // one distinct token: zero x-variance, fit undefined -> null, no ANSI error
+    val degenerate = TextAnalysis.zipfFit(Seq(Tuple1("a a a a")).toDF("text"), "text", 10)
+      .head()
+    assert(degenerate.getAs[Long]("n_ranks") == 1L && degenerate.isNullAt(1))
   }
 
   test("charTrigrams: short-text guard and lowercase folding") {
