@@ -245,7 +245,9 @@ object Sampling {
     * anchor fan-out is a k-wide explode; matching draw→row is a keyed
     * join SMJ-pinned on both sides (the position map is corpus-shaped and
     * derived — the §8.1 static-size-estimate class). N rides in-plan as a
-    * broadcast 1-row count.
+    * broadcast 1-row count. `hash mod N` carries the standard modulo
+    * bias — positions below `2^60 mod N` draw at most (1 + N/2^60)× the
+    * rate of the rest, immaterial for any real corpus (N ≪ 2^60).
     */
   def negativeSample(
       df: DataFrame, keyCol: String, k: Int, salt: String): DataFrame = {

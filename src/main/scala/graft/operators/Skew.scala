@@ -145,6 +145,8 @@ object Skew {
     val groups = groupCols.map(col)
     val mm = df.agg(min(col(valueCol)).cast("long").as("__mn"),
       max(col(valueCol)).cast("long").as("__mx")).head()
+    require(!mm.isNullAt(0),
+      s"groupedRank: input is empty or '$valueCol' is all null — nothing to rank")
     val (mn, mx) = (mm.getLong(0), mm.getLong(1))
     val bucket =
       if (mx == mn) lit(0L)
