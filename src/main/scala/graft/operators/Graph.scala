@@ -129,4 +129,120 @@ object Graph {
         .localCheckpoint(true)
     }
   }
+
+  /** Per-node triangle count + local clustering coefficient over an
+    * undirected simple graph (self-loops dropped, parallel/reverse edges
+    * collapsed) — the link-farm / community-density signal: organic link
+    * neighborhoods close triangles, spam rings and bipartite scaffolds
+    * don't.
+    *
+    * Algorithm is the degree-ordered node-iterator ("compact-forward",
+    * Latapy 2008): every undirected edge is DIRECTED from its lower
+    * endpoint to its higher endpoint under the total order (degree, id),
+    * wedges are generated only at each edge's lower-ranked endpoint, and a
+    * wedge (v, w) closes iff v→w is itself a directed edge — so each
+    * triangle is found exactly once, and the wedge count is bounded by
+    * Σ outdeg², which degree-ordering keeps O(m^1.5) on any graph
+    * (a raw hub of degree d would otherwise fan out d² wedges; under the
+    * ordering a hub's out-degree is capped by the count of HIGHER-degree
+    * neighbors). That bound is the whole 100 TB story: three keyed SMJ
+    * self-joins on graph-shaped frames, no broadcast, no window.
+    *
+    * Returns (node, degree, tri_cnt, clustering) where clustering =
+    * 2·tri / (deg·(deg−1)) (0.0 for deg < 2), rounded to 6.
+    */
+  def triangles(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String
+  ): DataFrame = {
+    val raw = edges.select(
+      col(srcCol).cast("long").as("__s"), col(dstCol).cast("long").as("__d"))
+      .filter(col("__s") =!= col("__d"))
+    val und = raw.select(
+      least(col("__s"), col("__d")).as("a"), greatest(col("__s"), col("__d")).as("b"))
+      .distinct()
+      // und feeds deg AND the directed-edge join; deg is referenced three
+      // times, dir four — materialize both once (edge-/node-sized frames)
+      // or every reference re-plans the full upstream scan
+      .localCheckpoint(true)
+    val deg = und.select(col("a").as("node")).union(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+      .localCheckpoint(true)
+    // direct each edge low→high under (degree, id): u precedes v iff
+    // deg(u) < deg(v) or (deg(u) = deg(v) and u < v)
+    val withDeg = und
+      .join(deg.select(col("node").as("a"), col("degree").as("__da")).hint("shuffle_merge"), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("degree").as("__db")).hint("shuffle_merge"), Seq("b"))
+    val precedes = (col("__da") < col("__db")) ||
+      (col("__da") === col("__db") && col("a") < col("b"))
+    val dir = withDeg.select(
+      when(precedes, col("a")).otherwise(col("b")).as("u"),
+      when(precedes, col("b")).otherwise(col("a")).as("v"))
+      .localCheckpoint(true)
+    // wedges at u: ordered pairs of u's out-neighbors; closure probe
+    // against the directed edge set finds each triangle once
+    val wedges = dir.as("e1").hint("shuffle_merge")
+      .join(dir.as("e2").hint("shuffle_merge"),
+        col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+      .select(col("e1.u").as("tu"), col("e1.v").as("tv"), col("e2.v").as("tw"))
+    // tie-broken order makes (tv, tw) direction ambiguous relative to the
+    // (degree, id) order — probe both orientations of the closing edge
+    val closing = dir.select(col("u").as("tv"), col("v").as("tw"))
+      .union(dir.select(col("v").as("tv"), col("u").as("tw")))
+    val tris = wedges.join(closing.hint("shuffle_merge"), Seq("tv", "tw"), "left_semi")
+    val perNode = tris.select(explode(array(col("tu"), col("tv"), col("tw"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("tri_cnt"))
+    deg.join(perNode.hint("shuffle_merge"), Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("tri_cnt"), lit(0L)).as("tri_cnt"),
+        when(col("degree") >= 2,
+          round(lit(2.0) * coalesce(col("tri_cnt"), lit(0L)) /
+            (col("degree") * (col("degree") - lit(1L))), 6))
+          .otherwise(lit(0.0)).as("clustering"))
+  }
+
+  /** Bounded degree peeling toward the k-core: `iterations` rounds of
+    * "drop every node with degree < k, restrict edges to survivors,
+    * recompute" over the undirected simple graph — the dense-subgraph
+    * extractor (true k-core is the fixpoint; a FIXED round count keeps the
+    * operator deterministic-by-contract and the oracle expressible, and in
+    * practice web-graph peeling converges in a handful of rounds — pass
+    * the fixpoint budget you can afford, exactly like [[pageRank]]'s
+    * iteration cap). Returns the surviving (node, degree) with degrees on
+    * the FINAL restricted edge set.
+    *
+    * Each round is one keyed degree count + two semi-joins (all
+    * SMJ-shaped, graph-sized); lineage is truncated per round the way
+    * [[hits]] does.
+    */
+  def degreePeel(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      k: Int,
+      iterations: Int
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iterations >= 1 && iterations <= 64,
+      s"iterations=$iterations out of [1,64] — deep fixed-point chains should checkpoint")
+    val raw = edges.select(
+      col(srcCol).cast("long").as("__s"), col(dstCol).cast("long").as("__d"))
+      .filter(col("__s") =!= col("__d"))
+    val und0 = raw.select(
+      least(col("__s"), col("__d")).as("a"), greatest(col("__s"), col("__d")).as("b"))
+      .distinct()
+      .localCheckpoint(true)
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("a").as("node")).union(e.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    val finalEdges = (1 to iterations).foldLeft(und0) { case (e, _) =>
+      val keep = degrees(e).filter(col("degree") >= k)
+      e.join(keep.select(col("node").as("a")).hint("shuffle_merge"), Seq("a"), "left_semi")
+        .join(keep.select(col("node").as("b")).hint("shuffle_merge"), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+        .localCheckpoint(true)
+    }
+    degrees(finalEdges).filter(col("degree") >= k)
+  }
 }

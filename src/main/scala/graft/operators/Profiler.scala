@@ -83,6 +83,50 @@ object Profiler {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Quantile estimates from a [[histogram]] frame — the MERGEABLE
+    * approximate-quantile path: per-shard histograms are integer count
+    * vectors that merge by addition (bit-exact, any grouping), so a
+    * metrics store keeps one bins-sized vector per vintage and serves
+    * p50/p90/p99 forever without rescanning data. Error is bounded by the
+    * bin width (D/bins) — the honest, parameter-visible trade a
+    * deterministic pipeline wants over rank-error sketches whose merge
+    * order shows up in the estimate.
+    *
+    * Estimate: linear interpolation inside the first bin whose cumulative
+    * count reaches q·N — `est = minV + (bin + (qN − cumBefore)/cnt) · D/bins`
+    * with D = maxV−minV+1. The per-group scan is a window over BIN rows
+    * (parameter-bounded, never corpus rows). Quantiles must be in (0, 1].
+    */
+  def histogramQuantiles(
+      hist: DataFrame,
+      groupCols: Seq[String],
+      minV: Long,
+      maxV: Long,
+      bins: Int,
+      quantiles: Seq[Double]
+  ): DataFrame = {
+    require(quantiles.nonEmpty && quantiles.forall(q => q > 0.0 && q <= 1.0),
+      "quantiles must be in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val d = maxV - minV + 1L
+    val wCum = Window.partitionBy(groupCols.map(col): _*).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(groupCols.map(col): _*)
+    val cum = hist
+      .withColumn("__cum", sum(col("cnt")).over(wCum))
+      .withColumn("__n", sum(col("cnt")).over(wAll))
+      .withColumn("__before", col("__cum") - col("cnt"))
+    cum
+      .crossJoin(broadcast(
+        hist.sparkSession.range(1).select(explode(array(quantiles.map(lit): _*)).as("q"))))
+      .withColumn("__target", col("q") * col("__n"))
+      .filter(col("__cum") >= col("__target") && col("__before") < col("__target"))
+      .select(groupCols.map(col) :+ col("q") :+
+        round(lit(minV) +
+          (col("bin") + (col("__target") - col("__before")) / col("cnt")) *
+            (lit(d).cast("double") / lit(bins)), 4).as("est"): _*)
+  }
+
   /** Functional-dependency audit: does `X → Y` hold? Returns the X values
     * that map to MORE than one distinct Y (the violations), with the
     * count — constraint MINING for profile cards ("source determines

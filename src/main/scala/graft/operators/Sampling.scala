@@ -566,4 +566,42 @@ object Sampling {
       .limit(k)
       .drop("__raw_logratio")
   }
+
+  /** Epoch-aware corpus mixing with FRACTIONAL epochs — the training-mix
+    * primitive behind "web ×0.5, books ×2.5" recipes: every row of group g
+    * is emitted ⌊e_g⌋ times (epoch = 0 … ⌊e_g⌋−1), plus one more copy iff
+    * its salted hash admits at rate frac(e_g) — so the group's expected
+    * volume is exactly e_g × its size, membership of the fractional epoch
+    * is a deterministic per-key coin (reproducible across runs, and the
+    * SAME subset at every downstream consumer), and each emitted copy
+    * carries its epoch index for curriculum/locality-aware sharding
+    * downstream ([[deterministicShuffle]] per epoch is the companion).
+    *
+    * Shape at 100 TB: one pure projection + a ≤⌈e⌉-wide explode — zero
+    * shuffle, stream-safe; the mix table is a literal CASE chain, never a
+    * join.
+    */
+  def epochMix(
+      df: DataFrame,
+      keyCol: String,
+      groupCol: String,
+      epochs: Seq[(String, Double)],
+      salt: String
+  ): DataFrame = {
+    require(epochs.nonEmpty && epochs.forall(_._2 >= 0.0), "epochs must be non-negative")
+    require(epochs.map(_._1).distinct.length == epochs.length, "duplicate group in epochs")
+    val full = epochs.foldLeft(when(lit(false), lit(0L))) { case (c, (g, e)) =>
+      c.when(col(groupCol) === g, lit(math.floor(e).toLong))
+    }.otherwise(lit(0L))
+    val admit = epochs.foldLeft(when(lit(false), lit(false))) { case (c, (g, e)) =>
+      val frac = e - math.floor(e)
+      c.when(col(groupCol) === g,
+        keyHash(col(keyCol), salt) < lit(threshold(frac)))
+    }.otherwise(lit(false))
+    df
+      .withColumn("__copies", full + admit.cast("long"))
+      .filter(col("__copies") > 0)
+      .withColumn("epoch", explode(sequence(lit(0L), col("__copies") - 1)))
+      .drop("__copies")
+  }
 }

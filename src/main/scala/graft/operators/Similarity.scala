@@ -727,6 +727,8 @@ object Similarity {
       case "lowest-id" =>
         val got = projected.orderBy(col("__id")).limit(k).collect()
         require(got.length == k, s"corpus has fewer than k=$k usable vectors")
+        require(!got.exists(_.isNullAt(0)),
+          s"id column '$vectorId' does not cast to long (null in init head); trainKMeans needs a numeric-castable id")
         got.zipWithIndex.map { case (r, i) => asCentroid(i.toLong, r.getSeq[Double](1).toArray) }.toSeq
       case "farthest" =>
         val first = projected.orderBy(col("__id")).limit(1).collect()
@@ -826,6 +828,11 @@ object Similarity {
     val init: Map[Int, Seq[(Long, Array[Double])]] = {
       val got = projected.orderBy(col("__id")).limit(ksub).collect()
       require(got.length == ksub, s"corpus has fewer than ksub=$ksub vectors")
+      // a non-numeric id casts to null, which sorts FIRST — so any null in
+      // the head means the 'deterministic lowest-id' contract is undefined;
+      // fail loudly instead of training on an arbitrary codebook
+      require(!got.exists(_.isNullAt(0)),
+        s"id column '$vectorId' does not cast to long (null in init head); pqTrain needs a numeric-castable id")
       (0 until m).map { s =>
         s -> got.zipWithIndex.map { case (r, j) =>
           (j.toLong, r.getSeq[Double](1).slice(s * dsub, (s + 1) * dsub).toArray)

@@ -192,9 +192,45 @@ object Skew {
   ): DataFrame = {
     val sketch = Sketches.bloomSketch(dim, col(dimKey), mBits, kHashes, salt)
     val bitmap = Sketches.collectBloom(sketch, mBits)
-    fact
+    val survivors = fact
       .filter(Sketches.bloomProbe(col(factKey), bitmap, mBits, kHashes, salt))
       .hint("shuffle_merge")
-      .join(dim.hint("shuffle_merge"), col(factKey) === col(dimKey))
+    // Same-name keys (the common FK case) would make bare col() ambiguous
+    // and duplicate the key column; a using-column join keeps the output
+    // schema identical to the plain equi-join the scaladoc promises
+    // row-identity with. Distinct names keep the explicit predicate.
+    if (factKey == dimKey)
+      survivors.join(dim.hint("shuffle_merge"), Seq(factKey))
+    else
+      survivors.join(dim.hint("shuffle_merge"), survivors(factKey) === dim(dimKey))
+  }
+
+  /** Grouped winsorization — clip each value to its group's
+    * [`lo`, `hi`] percentile band (linear-interpolated, the exact
+    * `percentile` both engines share): the robust-scaling step outlier-
+    * heavy feature columns get before any mean/variance statistic, per
+    * stratum so a heavy group doesn't set another group's bounds.
+    *
+    * One enum-sized percentile aggregation per group broadcast back
+    * (|groups| rows — the q37 boundary-table class), then a pure clamp
+    * projection. Adds `winsorized` (double, round 4); never reorders or
+    * drops rows.
+    */
+  def winsorizeByGroup(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      lo: Double,
+      hi: Double
+  ): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column is required")
+    require(lo >= 0.0 && hi <= 1.0 && lo < hi, s"need 0 <= lo < hi <= 1, got [$lo, $hi]")
+    val bounds = df.groupBy(groupCols.map(col): _*)
+      .agg(expr(s"percentile($valueCol, $lo)").as("__lo"),
+        expr(s"percentile($valueCol, $hi)").as("__hi"))
+    df.join(broadcast(bounds), groupCols)
+      .withColumn("winsorized",
+        round(greatest(col("__lo"), least(col("__hi"), col(valueCol).cast("double"))), 4))
+      .drop("__lo", "__hi")
   }
 }

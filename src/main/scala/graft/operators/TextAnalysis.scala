@@ -1283,4 +1283,252 @@ object TextAnalysis {
       .filter(col("__m") < minMatches)
       .drop("__toks", "__m")
   }
+
+  // ------------------------------------------------ corpus statistics (r10)
+
+  /** PMI collocation mining: pointwise mutual information of ADJACENT word
+    * pairs vs their unigram probabilities —
+    * pmi(w₁w₂) = ln( (c₁₂/B) / ((c₁/N)·(c₂/N)) ) with N total tokens and
+    * B total bigrams. High-PMI pairs are multiword units ("San Francisco",
+    * boilerplate stock phrases); the classic collocation extractor
+    * (Church & Hanks 1990) and the fixed-phrase detector a template-mining
+    * pass seeds from.
+    *
+    * Shape at 100 TB: one explode per doc into bigram rows, TWO keyed
+    * count aggregations (bigrams; unigrams), two SMJ joins of count frames
+    * (count tables are vocabulary-shaped, never broadcast), one bounded
+    * top-k. `minCount` prunes the hapax tail BEFORE the joins — PMI is
+    * degenerate at low counts anyway (a 1-occurrence pair maxes the
+    * statistic), so the filter is both the statistical and the shuffle
+    * fix. Ties break on (pair) for engine-stable selection.
+    */
+  def pmiCollocations(
+      df: DataFrame,
+      textCol: String,
+      minCount: Long,
+      k: Int
+  ): DataFrame = {
+    require(minCount >= 1 && k > 0, "minCount and k must be positive")
+    val toks = df.select(tokens(col(textCol)).as("__toks"))
+    val uni = toks.select(explode(col("__toks")).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__c"))
+    val totals = uni.agg(sum(col("__c")).cast("double").as("__n"))
+    // raw adjacent pairs, NOT Dedup.shinglesOfTokens — that one is
+    // array_distinct'd for Jaccard; PMI needs every OCCURRENCE to count
+    val rawBigrams = transform(sequence(lit(0), size(col("__toks")) - 2),
+      i => concat_ws(" ", element_at(col("__toks"), i + 1), element_at(col("__toks"), i + 2)))
+    val bi = toks.filter(size(col("__toks")) >= 2)
+      .select(explode(rawBigrams).as("__p"))
+      .groupBy(col("__p")).agg(count(lit(1)).as("__c12"))
+      .filter(col("__c12") >= minCount)
+      .withColumn("__w1", element_at(split(col("__p"), " "), 1))
+      .withColumn("__w2", element_at(split(col("__p"), " "), 2))
+    val btotal = toks
+      .select((size(col("__toks")) - 1).cast("long").as("__nb")).agg(
+        sum(when(col("__nb") > 0, col("__nb")).otherwise(0L)).cast("double").as("__b"))
+    bi
+      .join(uni.select(col("__w").as("__w1"), col("__c").as("__c1")).hint("shuffle_merge"), Seq("__w1"))
+      .join(uni.select(col("__w").as("__w2"), col("__c").as("__c2")).hint("shuffle_merge"), Seq("__w2"))
+      .crossJoin(broadcast(totals)).crossJoin(broadcast(btotal))
+      .select(col("__p").as("pair"), col("__c12").as("cnt"),
+        round(log((col("__c12") / col("__b")) /
+          ((col("__c1") / col("__n")) * (col("__c2") / col("__n")))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("pair"))
+      .limit(k)
+  }
+
+  /** χ² keyword extraction per group: for every (group, term), the 2×2
+    * contingency χ² of term occurrence inside vs outside the group —
+    * the per-domain / per-language distinctive-vocabulary card
+    * (what words make THIS slice different), and the feature selector
+    * behind per-source quality classifiers.
+    *
+    * χ² = N·(ad − bc)² / ((a+b)(c+d)(a+c)(b+d)) over token occurrence
+    * counts, computed from ONE keyed (group, term) count plus a
+    * term-marginal frame joined back — group marginals ride a broadcast
+    * (|groups| rows). Top-`k` terms per group by (χ², term), computed
+    * with a per-group window over CANDIDATE terms only (`minCount`
+    * floors the tail first). Integer counts everywhere until the final
+    * ratio, so the statistic is engine-exact at round(4).
+    */
+  def chiSquaredKeywords(
+      df: DataFrame,
+      groupCol: String,
+      textCol: String,
+      minCount: Long,
+      k: Int
+  ): DataFrame = {
+    require(minCount >= 1 && k > 0, "minCount and k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val occ = df.select(col(groupCol).as("grp"), explode(tokens(col(textCol))).as("term"))
+    val gt = occ.groupBy(col("grp"), col("term")).agg(count(lit(1)).as("__a"))
+    val tMarg = gt.groupBy(col("term")).agg(sum(col("__a")).as("__t"))
+    val gMarg = gt.groupBy(col("grp")).agg(sum(col("__a")).as("__g"))
+    val total = gt.agg(sum(col("__a")).as("__n"))
+    val cells = gt.filter(col("__a") >= minCount)
+      .join(tMarg.hint("shuffle_merge"), Seq("term"))
+      .join(broadcast(gMarg), Seq("grp"))
+      .crossJoin(broadcast(total))
+      // a = in-group count, b = out-group count of the term,
+      // c = in-group other tokens, d = out-group other tokens
+      .withColumn("__b", col("__t") - col("__a"))
+      .withColumn("__c", col("__g") - col("__a"))
+      .withColumn("__d", col("__n") - col("__g") - col("__b"))
+      // all ratio arithmetic in doubles: the four-marginal product
+      // overflows int64 well below corpus scale (each factor is
+      // token-count-sized; their product is ~N⁴)
+      .withColumn("chi2", round(
+        (col("__n").cast("double") *
+          pow(col("__a").cast("double") * col("__d").cast("double") -
+            col("__b").cast("double") * col("__c").cast("double"), 2)) /
+          ((col("__a") + col("__b")).cast("double") *
+            (col("__c") + col("__d")).cast("double") *
+            (col("__a") + col("__c")).cast("double") *
+            (col("__b") + col("__d")).cast("double")), 4))
+    val w = Window.partitionBy(col("grp")).orderBy(col("chi2").desc, col("term"))
+    cells
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("grp"), col("rnk"), col("term"), col("__a").as("cnt"), col("chi2"))
+  }
+
+  /** Per-slice KL divergence from the corpus unigram distribution:
+    * KL(p_s ‖ q) = Σ_{t observed in s} p·ln(p/q) with p = c_s/T_s exact
+    * (terms the slice actually contains) and q add-one smoothed over the
+    * corpus vocabulary ((c_t+1)/(T+V)) so q > 0 always. The drift /
+    * domain-shift card statistic: how far a source's vocabulary sits from
+    * the mixture it feeds ([[zipfFit]]'s companion; the token-level
+    * analogue of q153's histogram TV distance).
+    *
+    * Shape: one (slice, term) count, one term-marginal frame SMJ-joined
+    * back (vocabulary-shaped, never broadcast), slice totals broadcast
+    * (|slices| rows), one keyed sum. Nothing dense: absent terms
+    * contribute nothing by construction, so no slice×vocab cross join.
+    */
+  def klFromCorpus(
+      df: DataFrame,
+      sliceCol: String,
+      textCol: String
+  ): DataFrame = {
+    val occ = df.select(col(sliceCol).as("slice"), explode(tokens(col(textCol))).as("__t"))
+    val st = occ.groupBy(col("slice"), col("__t")).agg(count(lit(1)).as("__cs"))
+    val tMarg = st.groupBy(col("__t")).agg(sum(col("__cs")).as("__ct"))
+    val sTot = st.groupBy(col("slice")).agg(sum(col("__cs")).as("__ts"))
+    val corpus = tMarg.agg(sum(col("__ct")).as("__tt"), count(lit(1)).as("__v"))
+    st
+      .join(tMarg.hint("shuffle_merge"), Seq("__t"))
+      .join(broadcast(sTot), Seq("slice"))
+      .crossJoin(broadcast(corpus))
+      .withColumn("__p", col("__cs") / col("__ts").cast("double"))
+      .withColumn("__q", (col("__ct") + 1).cast("double") / (col("__tt") + col("__v")))
+      .groupBy(col("slice"))
+      .agg(round(sum(col("__p") * log(col("__p") / col("__q"))), 6).as("kl_nats"))
+  }
+
+  /** Character-class profile + mojibake flag per document: fractions of
+    * ASCII letters / digits / whitespace / punctuation-symbols / other
+    * over the character length, plus a `mojibake` boolean for the two
+    * encoding-damage fingerprints that survive every transcode — U+FFFD
+    * replacement characters and the 'Ã□' UTF-8-read-as-Latin-1 digraph
+    * family. The non-Latin-script and encoding-health card a multilingual
+    * ingest wants BEFORE language ID (lang-id on mojibake is noise).
+    * Pure per-row regexp-count projections — zero shuffle, stream-safe.
+    */
+  def scriptProfile(
+      df: DataFrame,
+      idCol: String,
+      textCol: String
+  ): DataFrame = {
+    val t = col(textCol)
+    val len = length(t).cast("double")
+    // explicit ASCII classes only — Java's \\s and \\p{P} differ from RE2's
+    // at the margins (\\x0B; Unicode category edges), and an engine-exact
+    // oracle needs byte-identical class definitions
+    val alphaP = "[A-Za-z]"
+    val digitP = "[0-9]"
+    val spaceP = "[ \\t\\n\\r]"
+    val punctP = "[!-/:-@\\[-`{-~]" // the four ASCII punct/symbol runs
+    def frac(pattern: String): Column =
+      round(regexp_count(t, lit(pattern)) / len, 4)
+    df.select(col(idCol),
+      when(length(t) > 0, frac(alphaP)).otherwise(lit(0.0)).as("frac_alpha"),
+      when(length(t) > 0, frac(digitP)).otherwise(lit(0.0)).as("frac_digit"),
+      when(length(t) > 0, frac(spaceP)).otherwise(lit(0.0)).as("frac_space"),
+      when(length(t) > 0, frac(punctP)).otherwise(lit(0.0)).as("frac_punct"),
+      when(length(t) > 0,
+        round(lit(1.0) - frac(alphaP) - frac(digitP) - frac(spaceP) - frac(punctP), 4))
+        .otherwise(lit(0.0)).as("frac_other"),
+      (t.contains("\ufffd") || t.contains("\u00c3\u00a9") || t.contains("\u00c3\u00a2") ||
+        t.contains("\u00e2\u20ac")).as("mojibake"))
+  }
+
+  /** Lexical-diversity card per group: type-token ratio, hapax fraction,
+    * and Simpson's repeat-probability over the group's token counts —
+    * the vocabulary-richness companion to [[zipfFit]] (template spam and
+    * boilerplate floods crater TTR and spike Simpson; natural prose is
+    * hapax-heavy). All counts integer-exact; ratios computed in doubles
+    * (T·(T−1) is ~N² — int64 overflows at corpus scale).
+    *
+    * Shape: one (group, term) count, then ONE bounded per-group
+    * aggregation over vocabulary-shaped rows — map-side combined, never
+    * a corpus-wide distinct.
+    */
+  def lexicalDiversity(
+      df: DataFrame,
+      groupCol: String,
+      textCol: String
+  ): DataFrame = {
+    val counts = df.select(col(groupCol).as("grp"), explode(tokens(col(textCol))).as("__t"))
+      .groupBy(col("grp"), col("__t")).agg(count(lit(1)).as("__c"))
+    counts.groupBy(col("grp"))
+      .agg(
+        sum(col("__c")).as("total_tokens"),
+        count(lit(1)).as("distinct_terms"),
+        sum(when(col("__c") === 1, 1L).otherwise(0L)).as("hapax_terms"),
+        sum(col("__c").cast("double") * (col("__c") - 1).cast("double")).as("__rep"))
+      .select(col("grp"), col("total_tokens"), col("distinct_terms"), col("hapax_terms"),
+        round(col("distinct_terms") / col("total_tokens").cast("double"), 6).as("ttr"),
+        round(col("hapax_terms") / col("distinct_terms").cast("double"), 6).as("hapax_frac"),
+        round(col("__rep") /
+          (col("total_tokens").cast("double") * (col("total_tokens") - 1).cast("double")), 6)
+          .as("simpson"))
+  }
+
+  /** N-gram novelty vs a reference corpus: per document, the fraction of
+    * its DISTINCT `n`-grams absent from the reference's gram set \u2014 the
+    * inverse of contamination (q58 flags overlap; this scores how much
+    * NEW text a candidate batch actually brings, the dedup-adjacent
+    * "marginal value" signal incremental corpus building ranks on).
+    *
+    * Shape: reference grams are CORPUS-shaped, so membership is one
+    * SMJ-pinned anti-join (never a broadcast set \u2014 q64's discipline);
+    * per-doc totals are one keyed count. Output:
+    * (id, total_grams, novel_grams, novelty).
+    */
+  def ngramNovelty(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      reference: DataFrame,
+      refTextCol: String,
+      n: Int = 3
+  ): DataFrame = {
+    val refGrams = reference
+      .select(tokens(col(refTextCol)).as("__toks"))
+      .select(explode(Dedup.shinglesOfTokens(col("__toks"), n)).as("__g"))
+      .distinct()
+    val docGrams = docs
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), explode(Dedup.shinglesOfTokens(col("__toks"), n)).as("__g"))
+    val totals = docGrams.groupBy(col(idCol)).agg(count(lit(1)).as("total_grams"))
+    val novel = docGrams
+      .hint("shuffle_merge")
+      .join(refGrams.hint("shuffle_merge"), Seq("__g"), "left_anti")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("novel_grams"))
+    totals.join(novel.hint("shuffle_merge"), Seq(idCol), "left")
+      .select(col(idCol), col("total_grams"),
+        coalesce(col("novel_grams"), lit(0L)).as("novel_grams"),
+        round(coalesce(col("novel_grams"), lit(0L)) / col("total_grams").cast("double"), 4)
+          .as("novelty"))
+  }
 }

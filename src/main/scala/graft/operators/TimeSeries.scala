@@ -102,4 +102,116 @@ object TimeSeries {
       .withColumn("zscore", z)
       .withColumn("is_anomaly", coalesce(abs(col("zscore")) > threshold, lit(false)))
   }
+
+  /** Per-key serial fold over the (key, orderCols)-sorted rows — the
+    * secondary-sort pattern: one hash repartition on the key, an in-
+    * partition sort, then a streaming mapPartitions whose state resets at
+    * each key boundary. O(1) memory per task regardless of series length,
+    * every key's fold strictly serial in event order (which is what makes
+    * a RECURSIVE statistic bitwise-reproducible: both engines fold the
+    * same doubles in the same order). This is the one legitimate
+    * mapPartitions case — ewma/cusum are order-recursive, and the only
+    * window rewrite (Σ αⁱ·xᵢ prefix trick) overflows α^(-i) after ~700
+    * rows. Keys are numerous; a hot key costs its series length, same
+    * contract as [[rollingZScore]].
+    */
+  private def foldByKey(
+      df: DataFrame,
+      keyCol: String,
+      orderCols: Seq[String],
+      valueCol: String,
+      stateCols: Seq[String],
+      init: Double => Seq[Double],
+      step: (Seq[Double], Double) => Seq[Double]
+  ): DataFrame = {
+    require(orderCols.nonEmpty,
+      "orderCols must include a tie-breaking unique suffix after the event time")
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.DoubleType
+    val typed = df.withColumn(valueCol, col(valueCol).cast("double"))
+    val sorted = typed
+      .repartition(col(keyCol))
+      .sortWithinPartitions((keyCol +: orderCols).map(col): _*)
+    val schema = stateCols.foldLeft(sorted.schema)((s, c) => s.add(c, DoubleType))
+    val kI = sorted.schema.fieldIndex(keyCol)
+    val vI = sorted.schema.fieldIndex(valueCol)
+    sorted.mapPartitions { rows =>
+      var curKey: Any = null
+      var started = false
+      var state: Seq[Double] = Nil
+      rows.map { r =>
+        val k = r.get(kI)
+        val x = r.getDouble(vI)
+        if (!started || k != curKey) { curKey = k; started = true; state = init(x) }
+        else state = step(state, x)
+        Row.fromSeq(r.toSeq ++ state)
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Exponentially-weighted moving average per key:
+    * `ewma₀ = x₀; ewmaₜ = α·xₜ + (1−α)·ewmaₜ₋₁` in strict
+    * (orderCols) order — the smoothing baseline behind drift monitors and
+    * rate limiters. Pick α with an exact binary representation (0.25,
+    * 0.5, …) when an independent engine must reproduce the fold: then
+    * `1−α` is exact too and the serial fold is bitwise identical.
+    * Output adds `ewma` (round 6). */
+  def ewmaByKey(
+      df: DataFrame,
+      keyCol: String,
+      orderCols: Seq[String],
+      valueCol: String,
+      alpha: Double
+  ): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    val oneMinus = 1.0 - alpha
+    foldByKey(df, keyCol, orderCols, valueCol, Seq("__ewma_raw"),
+      init = x => Seq(x),
+      step = (s, x) => Seq(alpha * x + oneMinus * s.head))
+      .withColumn("ewma", quantize6(col("__ewma_raw")))
+      .drop("__ewma_raw")
+  }
+
+  /** Scaled-floor quantization to 6 decimals: `floor(x·10⁶ + 0.5)/10⁶` —
+    * every step an IEEE double op, so ANY engine reproduces it bitwise.
+    * `round()` does NOT have that property: Spark rounds the exact
+    * decimal expansion (BigDecimal) while DuckDB rounds the scaled
+    * float, and they disagree whenever x·10⁶ lands on .5 through
+    * scaling error (measured: 3 rows in 10k on the EWMA stream). Serial
+    * folds hit rounding boundaries constantly — quantize them with
+    * arithmetic the fold itself is made of. Also kills signed zero:
+    * floor of anything in (−0.5, 0.5) is +0. */
+  private def quantize6(c: Column): Column =
+    floor(c * lit(1000000.0) + lit(0.5)).cast("double") / lit(1000000.0)
+
+  /** Two-sided CUSUM change detection per key (Page 1954):
+    * `S⁺ₜ = max(0, S⁺ₜ₋₁ + (xₜ − target − slack))`,
+    * `S⁻ₜ = max(0, S⁻ₜ₋₁ + (target − slack − xₜ))`, alarm when either
+    * side exceeds `threshold` — the standard mean-shift monitor (EWMA
+    * smooths; CUSUM accumulates evidence, catching small sustained
+    * shifts a z-score window misses). States start at 0 (the first row
+    * already contributes its deviation). Output adds `cusum_pos`,
+    * `cusum_neg` (round 6) and `alarm`. */
+  def cusumByKey(
+      df: DataFrame,
+      keyCol: String,
+      orderCols: Seq[String],
+      valueCol: String,
+      target: Double,
+      slack: Double,
+      threshold: Double
+  ): DataFrame = {
+    require(slack >= 0.0 && threshold > 0.0, "slack must be >= 0, threshold positive")
+    foldByKey(df, keyCol, orderCols, valueCol, Seq("__cp", "__cn"),
+      init = x => Seq(
+        math.max(0.0, x - target - slack),
+        math.max(0.0, target - slack - x)),
+      step = (s, x) => Seq(
+        math.max(0.0, s.head + (x - target - slack)),
+        math.max(0.0, s(1) + (target - slack - x))))
+      .withColumn("cusum_pos", quantize6(col("__cp")))
+      .withColumn("cusum_neg", quantize6(col("__cn")))
+      .withColumn("alarm", col("__cp") > threshold || col("__cn") > threshold)
+      .drop("__cp", "__cn")
+  }
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Chunking, Dedup, Multimodal, Profiler, RangeJoin, Rollup, Sampling, Similarity, Sketches, Skew, TextAnalysis, TimeSeries, Tokenizer}
+import graft.operators.{AsofJoin, Chunking, Dedup, Multimodal, Profiler, RangeJoin, Rollup, Sampling, Similarity, Sketches, Skew, TextAnalysis, TimeSeries, Tokenizer}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -952,7 +952,10 @@ object DataPipelinePack extends QueryPack {
       val emb = Tables.embeddings(s, d)
       Similarity.jlProject(emb, "embedding", "__jl", inDim = 64, outDim = 16)
         .select(col("vec_id"), posexplode(col("__jl")).as(Seq("d", "comp")))
-        .select(col("vec_id"), col("d"), round(col("comp"), 4).as("comp"))
+        // + 0.0 canonicalizes IEEE signed zero (-0.0 -> +0.0) so the rounded
+        // component hashes identically across engines (DuckDB's round keeps
+        // the sign bit; a value-equal -0.0 vs +0.0 fails any byte hash).
+        .select(col("vec_id"), col("d"), (round(col("comp"), 4) + lit(0.0)).as("comp"))
         .orderBy(col("vec_id"), col("d"))
     }),
 
@@ -1612,6 +1615,231 @@ object DataPipelinePack extends QueryPack {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Entity resolution END TO END — q148's verified pairs composed through
+    // connected components into entity clusters, then best-copy survivorship
+    // (clean-name records outrank mangled ones, ties to the lowest key):
+    // one canonical record per real-world entity plus its cluster size —
+    // the full production record-linkage contract, not just the pair list.
+    // All three stages are the existing operators; nothing new to scale.
+    "q168_er_canonical" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_mktsegment"))
+      val dirty = c.filter(col("c_custkey") % 10 === 0)
+        .select((col("c_custkey") + 1000000).as("c_custkey"),
+          regexp_replace(col("c_name"), "Customer#", "Custmr#").as("c_name"),
+          col("c_nationkey"), col("c_mktsegment"))
+      val all = c.unionByName(dirty)
+      val pairs = Dedup.blockedEntityPairs(all, "c_custkey", "c_name",
+        Seq("c_nationkey", "c_mktsegment"), maxDistance = 2)
+        .select(col("id_a"), col("id_b"))
+      val clusters = Dedup.connectedComponents(
+        all.select(col("c_custkey")), "c_custkey", pairs, "id_a", "id_b")
+      val survivors = Dedup.keepBestPerCluster(all, "c_custkey",
+        when(col("c_name").startsWith("Customer#"), 1).otherwise(0), clusters)
+      // cluster and cluster-size frames are corpus-shaped (one row per
+      // entity record / per cluster) — SMJ-pinned like every derived
+      // frame in the dedup family; PlanAudit rejects the size estimate
+      // Spark would otherwise broadcast on
+      survivors
+        .join(clusters.hint("shuffle_merge"), Seq("c_custkey"))
+        .join(clusters.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_members"))
+          .hint("shuffle_merge"),
+          Seq("cluster_id"))
+        .select(col("c_custkey").as("entity_id"), col("c_name"), col("n_members"))
+        .orderBy(col("entity_id"))
+    }),
+
+    // Per-node triangle count + clustering coefficient over a synthetic
+    // doc-derived link graph (same-id-space modular edges, so triangles
+    // exist — q136's source→site graph is bipartite and has none).
+    // Degree-ordered compact-forward: three SMJ self-joins, wedge volume
+    // O(m^1.5)-bounded — the community-density / link-farm signal.
+    "q169_triangles" -> ((s, d) => {
+      val edges = Tables.documents(s, d).select(
+        (col("doc_id") % 100).as("src"), ((col("doc_id") * 31 + 7) % 100).as("dst"))
+      graft.operators.Graph.triangles(edges, "src", "dst")
+        .orderBy(col("node"))
+    }),
+
+    // PMI collocation mining: top-50 adjacent word pairs by pointwise
+    // mutual information (min count 5) — multiword-unit / stock-phrase
+    // extraction; count tables stay vocabulary-shaped, SMJ-joined.
+    "q170_pmi_collocations" -> ((s, d) => {
+      TextAnalysis.pmiCollocations(Tables.documents(s, d), "text", minCount = 5, k = 50)
+        .orderBy(col("pmi").desc, col("pair"))
+    }),
+
+    // χ² distinctive-keyword card per language: top-5 terms per lang by
+    // the 2x2 occurrence contingency statistic (min in-group count 20) —
+    // integer counts to the last ratio, double arithmetic mirrored in the
+    // oracle term for term.
+    "q171_chi2_keywords" -> ((s, d) => {
+      TextAnalysis.chiSquaredKeywords(Tables.documents(s, d), "lang", "text",
+        minCount = 20, k = 5)
+        .orderBy(col("grp"), col("rnk"))
+    }),
+
+    // Per-source KL divergence from the corpus unigram mixture (observed
+    // terms exact, corpus side add-one smoothed) — the vocabulary-drift
+    // card; nothing dense, vocab-shaped joins only.
+    "q172_kl_divergence" -> ((s, d) => {
+      TextAnalysis.klFromCorpus(Tables.documents(s, d), "source", "text")
+        .orderBy(col("slice"))
+    }),
+
+    // Character-class script profile + mojibake flag per doc (planted
+    // damage: every 53rd doc gets a replacement char, every 67th a
+    // UTF-8-as-Latin-1 digraph) — pure per-row projections, zero shuffle.
+    "q173_script_mix" -> ((s, d) => {
+      val planted = Tables.documents(s, d).select(col("doc_id"), concat(col("text"),
+        when(col("doc_id") % 53 === 0, lit(" damaged \ufffd here")).otherwise(lit("")),
+        when(col("doc_id") % 67 === 0, lit(" caf\u00c3\u00a9")).otherwise(lit(""))).as("text"))
+      TextAnalysis.scriptProfile(planted, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Mergeable histogram quantiles: two shard histograms (even/odd docs)
+    // merged by count addition == from-scratch, then p50/p90/p99 of
+    // n_chars per lang by in-bin interpolation — the metrics-store
+    // approximate-quantile path with a parameter-visible error bound.
+    "q174_hist_quantiles" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val shards = Seq(docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1))
+        .map(g => Profiler.histogram(g, "n_chars", Seq("lang"), minV = 0L, maxV = 1023L, bins = 64))
+      val merged = shards.reduce(_ unionByName _)
+        .groupBy(col("lang"), col("bin")).agg(sum(col("cnt")).as("cnt"))
+      Profiler.histogramQuantiles(merged, Seq("lang"), minV = 0L, maxV = 1023L, bins = 64,
+        quantiles = Seq(0.5, 0.9, 0.99))
+        .orderBy(col("lang"), col("q"))
+    }),
+
+    // Epoch-aware corpus mixing with fractional epochs per language
+    // (de ×2.5, en ×0.5, es ×1.0, fr ×1.25, zh ×2.0): ⌊e⌋ full copies per
+    // doc + a salted-hash coin for the fractional epoch — deterministic,
+    // zero-shuffle, each copy tagged with its epoch index.
+    "q175_epoch_mix" -> ((s, d) => {
+      Sampling.epochMix(Tables.documents(s, d).select(col("doc_id"), col("lang")),
+        "doc_id", "lang",
+        Seq("de" -> 2.5, "en" -> 0.5, "es" -> 1.0, "fr" -> 1.25, "zh" -> 2.0), salt = "em1")
+        .orderBy(col("doc_id"), col("epoch"))
+    }),
+
+    // N-gram novelty of the odd-doc batch vs the even-doc reference: the
+    // marginal-value score incremental corpus building ranks on —
+    // membership via one SMJ anti-join against the corpus-shaped
+    // reference gram set.
+    "q176_ngram_novelty" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.ngramNovelty(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+        docs.filter(col("doc_id") % 2 === 0), "text", n = 3)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Median (interpolated, the engine-shared percentile definition) +
+    // DETERMINISTIC mode (max count, ties to the smallest value — argmax
+    // as a max-struct, no window) per return flag.
+    "q177_median_mode" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val med = li.groupBy(col("l_returnflag"))
+        .agg(median(col("l_quantity")).as("med_qty"))
+      val counts = li.groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("__c"))
+      val mode = counts.groupBy(col("l_returnflag"))
+        .agg(max(struct(col("__c").as("c"), (-col("l_quantity")).as("nq"))).as("__m"))
+        .select(col("l_returnflag"), (-col("__m.nq")).as("mode_qty"),
+          col("__m.c").as("mode_cnt"))
+      med.join(mode, "l_returnflag").orderBy(col("l_returnflag"))
+    }),
+
+    // Grouped winsorization: n_chars clipped to each lang's [p05, p95]
+    // band — robust scaling per stratum; enum-sized bounds broadcast, pure
+    // clamp projection.
+    "q178_winsorize" -> ((s, d) => {
+      Skew.winsorizeByGroup(
+        Tables.documents(s, d).select(col("doc_id"), col("lang"), col("n_chars")),
+        Seq("lang"), "n_chars", lo = 0.05, hi = 0.95)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("winsorized"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Bounded degree peeling toward the 11-core (2 rounds) over a
+    // two-residue doc graph — dense-subgraph extraction; each round is a
+    // keyed degree count + two semi-joins, oracle unrolled round by round.
+    "q179_degree_peel" -> ((s, d) => {
+      val edges = Tables.documents(s, d).select(
+        (col("doc_id") % 80).as("src"),
+        ((col("doc_id") / 80).cast("long") * 7 + col("doc_id") * 13 + 5).mod(80).as("dst"))
+      graft.operators.Graph.degreePeel(edges, "src", "dst", k = 11, iterations = 2)
+        .orderBy(col("node"))
+    }),
+
+    // Ranking-function battery: ntile quartiles + percent_rank + cume_dist
+    // per order status (unique tie-break on orderkey so every rank is
+    // engine-deterministic) — the distribution-position window family.
+    "q180_rank_battery" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Lexical-diversity card per language: TTR, hapax fraction, Simpson
+    // repeat-probability — integer counts to the last ratio.
+    "q181_lexical_diversity" -> ((s, d) => {
+      TextAnalysis.lexicalDiversity(Tables.documents(s, d), "lang", "text")
+        .orderBy(col("grp"))
+    }),
+
+    // Last-touch attribution: each purchase attributed to the user's most
+    // recent click within a 7-day lookback — the as-of join composed with
+    // an event-type split; click ties at one timestamp resolve to the max
+    // click id (the q22 dedup-first discipline).
+    "q182_attribution" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts").as("click_ts"))
+        .agg(max(col("event_id")).as("click_id"))
+      val joined = AsofJoin.leftAsof(purchases, clicks,
+        leftKeys = Seq("user_id"), rightKeys = Seq("user_id"),
+        leftTime = "ts", rightTime = "click_ts",
+        rightCols = Seq("click_id", "click_ts"))
+      val lagUs = unix_micros(col("ts")) - unix_micros(col("click_ts"))
+      val within = col("click_id").isNotNull && lagUs <= lit(7L * 86400L * 1000000L)
+      joined.select(col("event_id"), col("user_id"),
+        when(within, col("click_id")).as("attributed_click"),
+        when(within, lagUs).as("lag_us"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Per-key EWMA (α = 0.25, exactly binary so 1−α is too): the
+    // order-recursive statistic the secondary-sort fold exists for — both
+    // engines fold the same doubles serially per key, so the oracle's
+    // recursive CTE reproduces every smoothed value bitwise.
+    "q183_ewma" -> ((s, d) => {
+      TimeSeries.ewmaByKey(
+        Tables.events(s, d).select(col("user_id"), col("ts"), col("event_id"), col("value")),
+        "user_id", Seq("ts", "event_id"), "value", alpha = 0.25)
+        .orderBy(col("user_id"), col("ts"), col("event_id"))
+    }),
+
+    // Two-sided CUSUM mean-shift monitor (target 50, slack 10,
+    // threshold 200): accumulated-evidence change detection — the
+    // sustained-small-shift complement to q146's rolling z-score.
+    "q184_cusum" -> ((s, d) => {
+      TimeSeries.cusumByKey(
+        Tables.events(s, d).select(col("user_id"), col("ts"), col("event_id"), col("value")),
+        "user_id", Seq("ts", "event_id"), "value",
+        target = 50.0, slack = 10.0, threshold = 200.0)
+        .orderBy(col("user_id"), col("ts"), col("event_id"))
+    }),
+
     // Zipf fit of the token distribution over the top-1000 ranks — the
     // vocabulary-anomaly card statistic (natural text ~ slope -1).
     "q149_zipf" -> ((s, d) => {
@@ -1868,7 +2096,7 @@ object DataPipelinePack extends QueryPack {
                row_number() OVER (PARTITION BY probe_id
                                   ORDER BY list_cosine_similarity(pv, v) DESC, nbr_id) AS rnk
         FROM cand)
-      SELECT probe_id, CAST(rnk AS INTEGER) AS rnk, nbr_id, round(sim, 4) AS cos_sim
+      SELECT probe_id, CAST(rnk AS INTEGER) AS rnk, nbr_id, round(sim, 4) + 0.0 AS cos_sim
       FROM scored WHERE rnk <= 5 ORDER BY probe_id, rnk"""
   }
 
@@ -1881,7 +2109,7 @@ object DataPipelinePack extends QueryPack {
     val planes = graft.operators.Similarity.jlPlanes(inDim = 64, outDim = 16)
     val ds = planes.indices.map(j => s"CAST($j AS INTEGER)").mkString(", ")
     val comps = planes
-      .map(p => s"round(list_inner_product(v, [${p.mkString(", ")}]), 4)")
+      .map(p => s"round(list_inner_product(v, [${p.mkString(", ")}]), 4) + 0.0")
       .mkString(",\n               ")
     s"""
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
@@ -2504,6 +2732,331 @@ object DataPipelinePack extends QueryPack {
                   ELSE round(1.0 - CAST(edit_dist AS DOUBLE) / ml, 4) END AS similarity
       FROM pairs WHERE edit_dist <= 2 ORDER BY id_a, id_b""",
 
+    // q148's pairs -> recursive-CTE connected components -> best-copy
+    // survivorship (clean 'Customer#' names outrank mangled, ties lowest
+    // key) -> one canonical record per entity + cluster size.
+    "q168_er_canonical" -> """
+      WITH RECURSIVE c AS (SELECT c_custkey, c_name, c_nationkey, c_mktsegment FROM customer),
+      dirty AS (SELECT c_custkey + 1000000 AS c_custkey,
+                       replace(c_name, 'Customer#', 'Custmr#') AS c_name,
+                       c_nationkey, c_mktsegment
+                FROM customer WHERE c_custkey % 10 = 0),
+      a AS (SELECT * FROM c UNION ALL SELECT * FROM dirty),
+      pairs AS (
+        SELECT x.c_custkey AS id_a, y.c_custkey AS id_b
+        FROM a x JOIN a y
+          ON x.c_nationkey = y.c_nationkey AND x.c_mktsegment = y.c_mktsegment
+         AND x.c_custkey < y.c_custkey
+        WHERE levenshtein(substring(x.c_name, 1, 256), substring(y.c_name, 1, 256)) <= 2),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL
+        SELECT id_b, id_a FROM pairs),
+      walk(id, label) AS (
+        SELECT c_custkey, c_custkey FROM a
+        UNION
+        SELECT e.dst, w.label FROM walk w JOIN edges e ON w.id = e.src),
+      cl AS (SELECT id AS c_custkey, min(label) AS cluster_id FROM walk GROUP BY id),
+      sz AS (SELECT cluster_id, count(*) AS n_members FROM cl GROUP BY cluster_id),
+      q AS (SELECT a.c_custkey, a.c_name, cl.cluster_id,
+                   CASE WHEN a.c_name LIKE 'Customer#%' THEN 1 ELSE 0 END AS qual
+            FROM a JOIN cl USING (c_custkey)),
+      win AS (SELECT c_custkey, c_name, cluster_id,
+                     row_number() OVER (PARTITION BY cluster_id
+                                        ORDER BY qual DESC, c_custkey) AS rn
+              FROM q)
+      SELECT w.c_custkey AS entity_id, w.c_name, sz.n_members
+      FROM win w JOIN sz USING (cluster_id)
+      WHERE w.rn = 1 ORDER BY entity_id""",
+
+    // degree-ordered compact-forward re-derived relationally: direct each
+    // undirected edge low→high under (degree, id), wedge at the lower
+    // endpoint, closure via either orientation of the third edge.
+    "q169_triangles" -> """
+      WITH raw AS (SELECT doc_id % 100 AS s, (doc_id * 31 + 7) % 100 AS d FROM documents),
+      und AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b FROM raw WHERE s <> d),
+      deg AS (SELECT n AS node, count(*) AS degree
+              FROM (SELECT a AS n FROM und UNION ALL SELECT b FROM und) GROUP BY n),
+      wd AS (SELECT u.a, u.b, da.degree AS da, db.degree AS db
+             FROM und u JOIN deg da ON u.a = da.node JOIN deg db ON u.b = db.node),
+      dir AS (SELECT CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END AS u,
+                     CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END AS v
+              FROM wd),
+      wedges AS (SELECT e1.u AS tu, e1.v AS tv, e2.v AS tw
+                 FROM dir e1 JOIN dir e2 ON e1.u = e2.u AND e1.v < e2.v),
+      closing AS (SELECT u AS tv, v AS tw FROM dir UNION ALL SELECT v, u FROM dir),
+      tris AS (SELECT w.tu, w.tv, w.tw FROM wedges w
+               WHERE EXISTS (SELECT 1 FROM closing c WHERE c.tv = w.tv AND c.tw = w.tw)),
+      pn AS (SELECT node, count(*) AS tri_cnt FROM (
+               SELECT tu AS node FROM tris UNION ALL
+               SELECT tv FROM tris UNION ALL
+               SELECT tw FROM tris) GROUP BY node)
+      SELECT deg.node, deg.degree,
+             CAST(coalesce(pn.tri_cnt, 0) AS BIGINT) AS tri_cnt,
+             CASE WHEN deg.degree >= 2
+                  THEN round(2.0 * coalesce(pn.tri_cnt, 0) /
+                             (deg.degree * (deg.degree - 1)), 6)
+                  ELSE 0.0 END AS clustering
+      FROM deg LEFT JOIN pn USING (node) ORDER BY node""",
+
+    "q170_pmi_collocations" -> """
+      WITH toks AS (SELECT string_split(text, ' ') AS w FROM documents),
+      uni AS (SELECT t, count(*) AS c
+              FROM (SELECT unnest(w) AS t FROM toks) GROUP BY t),
+      tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM uni),
+      bi AS (SELECT w[CAST(i AS INTEGER)] || ' ' || w[CAST(i AS INTEGER) + 1] AS p
+             FROM (SELECT w, unnest(range(1, len(w))) AS i FROM toks WHERE len(w) >= 2)),
+      bic AS (SELECT p, count(*) AS c12 FROM bi GROUP BY p HAVING count(*) >= 5),
+      btot AS (SELECT CAST(sum(CASE WHEN len(w) > 1 THEN len(w) - 1 ELSE 0 END) AS DOUBLE) AS b
+               FROM toks)
+      SELECT bic.p AS pair, CAST(bic.c12 AS BIGINT) AS cnt,
+             round(ln((bic.c12 / btot.b) / ((u1.c / tot.n) * (u2.c / tot.n))), 6) AS pmi
+      FROM bic JOIN uni u1 ON u1.t = string_split(bic.p, ' ')[1]
+               JOIN uni u2 ON u2.t = string_split(bic.p, ' ')[2]
+           CROSS JOIN tot CROSS JOIN btot
+      ORDER BY pmi DESC, pair LIMIT 50""",
+
+    "q171_chi2_keywords" -> """
+      WITH occ AS (SELECT lang AS grp, unnest(string_split(text, ' ')) AS term FROM documents),
+      gt AS (SELECT grp, term, count(*) AS a FROM occ GROUP BY grp, term),
+      tm AS (SELECT term, CAST(sum(a) AS BIGINT) AS t FROM gt GROUP BY term),
+      gm AS (SELECT grp, CAST(sum(a) AS BIGINT) AS g FROM gt GROUP BY grp),
+      tot AS (SELECT CAST(sum(a) AS BIGINT) AS n FROM gt),
+      cells AS (
+        SELECT gt.grp, gt.term, gt.a,
+               tm.t - gt.a AS b, gm.g - gt.a AS c, tot.n - gm.g - (tm.t - gt.a) AS d,
+               tot.n AS n
+        FROM gt JOIN tm USING (term) JOIN gm USING (grp) CROSS JOIN tot
+        WHERE gt.a >= 20),
+      scored AS (
+        SELECT grp, term, a,
+               round((CAST(n AS DOUBLE) *
+                      pow(CAST(a AS DOUBLE) * CAST(d AS DOUBLE) -
+                          CAST(b AS DOUBLE) * CAST(c AS DOUBLE), 2)) /
+                     (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE) *
+                      CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)), 4) AS chi2
+        FROM cells),
+      ranked AS (SELECT grp, term, a, chi2,
+                        row_number() OVER (PARTITION BY grp ORDER BY chi2 DESC, term) AS rnk
+                 FROM scored)
+      SELECT grp, CAST(rnk AS INTEGER) AS rnk, term, CAST(a AS BIGINT) AS cnt, chi2
+      FROM ranked WHERE rnk <= 5 ORDER BY grp, rnk""",
+
+    "q172_kl_divergence" -> """
+      WITH occ AS (SELECT source AS slice, unnest(string_split(text, ' ')) AS t FROM documents),
+      st AS (SELECT slice, t, count(*) AS cs FROM occ GROUP BY slice, t),
+      tm AS (SELECT t, CAST(sum(cs) AS BIGINT) AS ct FROM st GROUP BY t),
+      stot AS (SELECT slice, CAST(sum(cs) AS BIGINT) AS ts FROM st GROUP BY slice),
+      corp AS (SELECT CAST(sum(ct) AS BIGINT) AS tt, count(*) AS v FROM tm)
+      SELECT st.slice,
+             round(sum((st.cs / CAST(stot.ts AS DOUBLE)) *
+                       ln((st.cs / CAST(stot.ts AS DOUBLE)) /
+                          (CAST(tm.ct + 1 AS DOUBLE) / (corp.tt + corp.v)))), 6) AS kl_nats
+      FROM st JOIN tm USING (t) JOIN stot USING (slice) CROSS JOIN corp
+      GROUP BY st.slice ORDER BY st.slice""",
+
+    "q173_script_mix" -> s"""
+      WITH planted AS (
+        SELECT doc_id,
+               text || CASE WHEN doc_id % 53 = 0 THEN ' damaged � here' ELSE '' END
+                    || CASE WHEN doc_id % 67 = 0 THEN ' cafÃ©' ELSE '' END AS t
+        FROM documents),
+      m AS (SELECT doc_id, t, CAST(len(t) AS DOUBLE) AS l,
+                   len(t) - len(regexp_replace(t, '[A-Za-z]', '', 'g')) AS ca,
+                   len(t) - len(regexp_replace(t, '[0-9]', '', 'g')) AS cd,
+                   len(t) - len(regexp_replace(t, '[ \\t\\n\\r]', '', 'g')) AS cs,
+                   len(t) - len(regexp_replace(t, '[!-/:-@\\[-`{-~]', '', 'g')) AS cp
+            FROM planted)
+      SELECT doc_id,
+             CASE WHEN l > 0 THEN round(ca / l, 4) ELSE 0.0 END AS frac_alpha,
+             CASE WHEN l > 0 THEN round(cd / l, 4) ELSE 0.0 END AS frac_digit,
+             CASE WHEN l > 0 THEN round(cs / l, 4) ELSE 0.0 END AS frac_space,
+             CASE WHEN l > 0 THEN round(cp / l, 4) ELSE 0.0 END AS frac_punct,
+             CASE WHEN l > 0
+                  THEN round(1.0 - round(ca / l, 4) - round(cd / l, 4)
+                                 - round(cs / l, 4) - round(cp / l, 4), 4) + 0.0
+                  ELSE 0.0 END AS frac_other,
+             (contains(t, '�') OR contains(t, 'Ã©') OR
+              contains(t, 'Ã¢') OR contains(t, 'â€')) AS mojibake
+      FROM m ORDER BY doc_id""",
+
+    "q174_hist_quantiles" -> """
+      WITH h AS (
+        SELECT lang,
+               ((greatest(CAST(0 AS BIGINT), least(CAST(1023 AS BIGINT), CAST(n_chars AS BIGINT)))) * 64) // 1024 AS bin,
+               count(*) AS cnt
+        FROM documents GROUP BY lang, bin),
+      c AS (SELECT lang, bin, cnt,
+                   sum(cnt) OVER (PARTITION BY lang ORDER BY bin
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                   sum(cnt) OVER (PARTITION BY lang) AS n
+            FROM h),
+      qs AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE), CAST(0.99 AS DOUBLE)]) AS q),
+      hit AS (SELECT c.lang, qs.q, c.bin, c.cnt,
+                     qs.q * c.n AS target, c.cum - c.cnt AS before
+              FROM c CROSS JOIN qs
+              WHERE c.cum >= qs.q * c.n AND c.cum - c.cnt < qs.q * c.n)
+      SELECT lang, q,
+             round(0 + (bin + (target - before) / cnt) * (CAST(1024 AS DOUBLE) / 64), 4) AS est
+      FROM hit ORDER BY lang, q""",
+
+    // floor-epochs + the salted fractional coin, unrolled per language:
+    // thresholds are floor(frac · 2^60) literals (de/en frac .5, fr .25,
+    // es/zh integral); range(0, copies) drops zero-copy rows.
+    "q175_epoch_mix" -> s"""
+      WITH base AS (
+        SELECT doc_id, lang,
+               CASE lang WHEN 'de' THEN 2 WHEN 'en' THEN 0 WHEN 'es' THEN 1
+                         WHEN 'fr' THEN 1 WHEN 'zh' THEN 2 ELSE 0 END
+               + CASE lang
+                   WHEN 'de' THEN CASE WHEN ${duckKeyHash("doc_id", "em1")} < 576460752303423488 THEN 1 ELSE 0 END
+                   WHEN 'en' THEN CASE WHEN ${duckKeyHash("doc_id", "em1")} < 576460752303423488 THEN 1 ELSE 0 END
+                   WHEN 'fr' THEN CASE WHEN ${duckKeyHash("doc_id", "em1")} < 288230376151711744 THEN 1 ELSE 0 END
+                   ELSE 0 END AS copies
+        FROM documents)
+      SELECT doc_id, lang, CAST(unnest(range(0, copies)) AS BIGINT) AS epoch
+      FROM base ORDER BY doc_id, epoch""",
+
+    "q176_ngram_novelty" -> """
+      WITH sh AS (
+        SELECT doc_id,
+               CASE WHEN len(w) >= 3
+                    THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])
+                    ELSE [array_to_string(w, ' ')] END AS s
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+      ref AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 2 = 0),
+      dg AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 2 = 1),
+      tot AS (SELECT doc_id, count(*) AS total_grams FROM dg GROUP BY doc_id),
+      nov AS (SELECT doc_id, count(*) AS novel_grams FROM dg
+              WHERE NOT EXISTS (SELECT 1 FROM ref WHERE ref.g = dg.g)
+              GROUP BY doc_id)
+      SELECT tot.doc_id, CAST(tot.total_grams AS BIGINT) AS total_grams,
+             CAST(coalesce(nov.novel_grams, 0) AS BIGINT) AS novel_grams,
+             round(coalesce(nov.novel_grams, 0) / CAST(tot.total_grams AS DOUBLE), 4) AS novelty
+      FROM tot LEFT JOIN nov USING (doc_id) ORDER BY tot.doc_id""",
+
+    // median = the shared interpolated-percentile definition
+    // (quantile_cont); mode made deterministic as argmax over
+    // (count, -value) — the same max-struct rule keepBestPerCluster uses.
+    "q177_median_mode" -> """
+      WITH med AS (SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med_qty
+                   FROM lineitem GROUP BY l_returnflag),
+      c AS (SELECT l_returnflag, l_quantity, count(*) AS cnt
+            FROM lineitem GROUP BY l_returnflag, l_quantity),
+      m AS (SELECT l_returnflag, l_quantity AS mode_qty, cnt AS mode_cnt,
+                   row_number() OVER (PARTITION BY l_returnflag
+                                      ORDER BY cnt DESC, l_quantity) AS rn
+            FROM c)
+      SELECT med.l_returnflag, med.med_qty, m.mode_qty, CAST(m.mode_cnt AS BIGINT) AS mode_cnt
+      FROM med JOIN m USING (l_returnflag)
+      WHERE m.rn = 1 ORDER BY med.l_returnflag""",
+
+    "q178_winsorize" -> """
+      WITH b AS (SELECT lang, quantile_cont(n_chars, 0.05) AS lo,
+                        quantile_cont(n_chars, 0.95) AS hi
+                 FROM documents GROUP BY lang)
+      SELECT doc_id, d.lang, n_chars,
+             round(greatest(b.lo, least(b.hi, CAST(n_chars AS DOUBLE))), 4) AS winsorized
+      FROM documents d JOIN b USING (lang) ORDER BY doc_id""",
+
+    // two peel rounds unrolled: drop degree-<11 nodes, restrict edges,
+    // repeat; final degrees on the restricted edge set.
+    "q179_degree_peel" -> """
+      WITH raw AS (SELECT doc_id % 80 AS s,
+                          (doc_id // 80 * 7 + doc_id * 13 + 5) % 80 AS d
+                   FROM documents),
+      e0 AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b FROM raw WHERE s <> d),
+      d0 AS (SELECT n AS node, count(*) AS degree
+             FROM (SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0) GROUP BY n),
+      k0 AS (SELECT node FROM d0 WHERE degree >= 11),
+      e1 AS (SELECT a, b FROM e0
+             WHERE a IN (SELECT node FROM k0) AND b IN (SELECT node FROM k0)),
+      d1 AS (SELECT n AS node, count(*) AS degree
+             FROM (SELECT a AS n FROM e1 UNION ALL SELECT b FROM e1) GROUP BY n),
+      k1 AS (SELECT node FROM d1 WHERE degree >= 11),
+      e2 AS (SELECT a, b FROM e1
+             WHERE a IN (SELECT node FROM k1) AND b IN (SELECT node FROM k1)),
+      d2 AS (SELECT n AS node, count(*) AS degree
+             FROM (SELECT a AS n FROM e2 UNION ALL SELECT b FROM e2) GROUP BY n)
+      SELECT node, degree FROM d2 WHERE degree >= 11 ORDER BY node""",
+
+    "q180_rank_battery" -> """
+      SELECT o_orderkey, o_orderstatus,
+             CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+             round(percent_rank() OVER w, 6) AS pct_rank,
+             round(cume_dist() OVER w, 6) AS cume
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+      ORDER BY o_orderkey""",
+
+    "q181_lexical_diversity" -> """
+      WITH c AS (SELECT lang AS grp, t, count(*) AS c FROM
+                   (SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents)
+                 GROUP BY grp, t)
+      SELECT grp,
+             CAST(sum(c) AS BIGINT) AS total_tokens,
+             count(*) AS distinct_terms,
+             CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_terms,
+             round(count(*) / CAST(sum(c) AS DOUBLE), 6) AS ttr,
+             round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS hapax_frac,
+             round(sum(CAST(c AS DOUBLE) * CAST(c - 1 AS DOUBLE)) /
+                   (CAST(sum(c) AS DOUBLE) * CAST(sum(c) - 1 AS DOUBLE)), 6) AS simpson
+      FROM c GROUP BY grp ORDER BY grp""",
+
+    "q182_attribution" -> """
+      WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+      c AS (SELECT user_id, ts AS click_ts, max(event_id) AS click_id
+            FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+      SELECT p.event_id, p.user_id,
+             CASE WHEN c.click_id IS NOT NULL
+                   AND epoch_us(p.ts) - epoch_us(c.click_ts) <= 604800000000
+                  THEN c.click_id END AS attributed_click,
+             CASE WHEN c.click_id IS NOT NULL
+                   AND epoch_us(p.ts) - epoch_us(c.click_ts) <= 604800000000
+                  THEN epoch_us(p.ts) - epoch_us(c.click_ts) END AS lag_us
+      FROM p ASOF LEFT JOIN c
+        ON p.user_id = c.user_id AND p.ts >= c.click_ts
+      ORDER BY p.event_id""",
+
+    // serial per-key fold as a recursive CTE — same doubles, same order,
+    // so the smoothed values match the Spark fold bitwise before round.
+    "q183_ewma" -> """
+      WITH RECURSIVE x AS (
+        SELECT user_id, ts, event_id, CAST(value AS DOUBLE) AS value,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i
+        FROM events),
+      r AS (
+        SELECT user_id, i, value AS e FROM x WHERE i = 1
+        UNION ALL
+        SELECT x.user_id, x.i, 0.25 * x.value + (1 - 0.25) * r.e
+        FROM r JOIN x ON x.user_id = r.user_id AND x.i = r.i + 1)
+      SELECT x.user_id, x.ts, x.event_id, x.value,
+             CAST(floor(r.e * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS ewma
+      FROM x JOIN r ON x.user_id = r.user_id AND x.i = r.i
+      ORDER BY x.user_id, x.ts, x.event_id""",
+
+    "q184_cusum" -> """
+      WITH RECURSIVE x AS (
+        SELECT user_id, ts, event_id, CAST(value AS DOUBLE) AS value,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i
+        FROM events),
+      r AS (
+        SELECT user_id, i,
+               greatest(0.0, value - 50.0 - 10.0) AS cp,
+               greatest(0.0, 50.0 - 10.0 - value) AS cn
+        FROM x WHERE i = 1
+        UNION ALL
+        SELECT x.user_id, x.i,
+               greatest(0.0, r.cp + (x.value - 50.0 - 10.0)),
+               greatest(0.0, r.cn + (50.0 - 10.0 - x.value))
+        FROM r JOIN x ON x.user_id = r.user_id AND x.i = r.i + 1)
+      SELECT x.user_id, x.ts, x.event_id, x.value,
+             CAST(floor(r.cp * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS cusum_pos,
+             CAST(floor(r.cn * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS cusum_neg,
+             (r.cp > 200.0 OR r.cn > 200.0) AS alarm
+      FROM x JOIN r ON x.user_id = r.user_id AND x.i = r.i
+      ORDER BY x.user_id, x.ts, x.event_id""",
+
     "q149_zipf" -> """
       WITH counts AS (SELECT t, count(*) AS c
                       FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
@@ -2513,8 +3066,8 @@ object DataPipelinePack extends QueryPack {
       s AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
                    sum(x*y) AS sxy, sum(x*x) AS sxx FROM xy)
       SELECT CAST(n AS BIGINT) AS n_ranks,
-             round((n*sxy - sx*sy) / (n*sxx - sx*sx), 4) AS slope,
-             round((sy - ((n*sxy - sx*sy)/(n*sxx - sx*sx)) * sx) / n, 4) AS intercept
+             round((n*sxy - sx*sy) / (n*sxx - sx*sx), 4) + 0.0 AS slope,
+             round((sy - ((n*sxy - sx*sy)/(n*sxx - sx*sx)) * sx) / n, 4) + 0.0 AS intercept
       FROM s""",
 
     "q145_ivfpq_adc" -> """
@@ -2547,7 +3100,7 @@ object DataPipelinePack extends QueryPack {
                             ORDER BY list_cosine_similarity(p.v, c.cv) DESC, c.cid) AS rn
                    FROM probes p CROSS JOIN cents c) WHERE rn <= 2),
       scored AS (SELECT pc.probe_id, cd.vec_id AS nbr_id,
-                        round(max(pc.pd) + sum(list_dot_product(ps.sv, b.cv)), 4) AS adc
+                        round(max(pc.pd) + sum(list_dot_product(ps.sv, b.cv)), 4) + 0.0 AS adc
                  FROM pcells pc
                       JOIN codes cd ON cd.cell = pc.cid
                       JOIN c0 b ON b.s = cd.s AND b.code = cd.code
@@ -2570,7 +3123,7 @@ object DataPipelinePack extends QueryPack {
                  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING))
       SELECT user_id, ts, event_id, value,
-             CASE WHEN cnt >= 2 AND sd > 0 THEN round((value - m) / sd, 4) END AS zscore,
+             CASE WHEN cnt >= 2 AND sd > 0 THEN round((value - m) / sd, 4) + 0.0 END AS zscore,
              CASE WHEN cnt >= 2 AND sd > 0
                   THEN abs(round((value - m) / sd, 4)) > 2.0 ELSE false END AS is_anomaly
       FROM w ORDER BY user_id, ts, event_id""",
@@ -2713,7 +3266,7 @@ object DataPipelinePack extends QueryPack {
                FROM oc) WHERE drank <= 20),
       langs AS (SELECT DISTINCT lang FROM prof),
       dist AS (SELECT dp.doc_id, l.lang,
-                      sum(coalesce(abs(dp.drank - prof.rank), 20)) AS dist
+                      CAST(sum(coalesce(abs(dp.drank - prof.rank), 20)) AS BIGINT) AS dist
                FROM dp CROSS JOIN langs l
                     LEFT JOIN prof ON prof.lang = l.lang AND prof.gram = dp.gram
                GROUP BY dp.doc_id, l.lang),
@@ -2723,7 +3276,7 @@ object DataPipelinePack extends QueryPack {
       SELECT doc_id, pred_lang, dist FROM best WHERE rn = 1 ORDER BY doc_id""",
 
     "q139_rollup_merge" -> """
-      SELECT lang, count(*) AS cnt, sum(n_chars) AS vsum,
+      SELECT lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS vsum,
              min(n_chars) AS vmin, max(n_chars) AS vmax,
              round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS vavg
       FROM documents GROUP BY lang ORDER BY lang""",
@@ -2770,7 +3323,7 @@ object DataPipelinePack extends QueryPack {
     "q131_pq_train" -> s"""
       WITH $pqCtes
       SELECT c1.s AS subspace, CAST(c1.code AS BIGINT) AS code,
-             d.i - 1 AS dim, round(c1.cv[d.i], 4) AS cval
+             d.i - 1 AS dim, round(c1.cv[d.i], 4) + 0.0 AS cval
       FROM c1 CROSS JOIN dims d
       ORDER BY subspace, code, dim""",
 
@@ -2778,7 +3331,7 @@ object DataPipelinePack extends QueryPack {
       WITH $pqCtes,
       probes AS (SELECT vec_id AS probe_id, s, sv FROM subs WHERE vec_id < 5),
       scored AS (SELECT p.probe_id, a.vec_id AS nbr_id,
-                        round(sum(list_dot_product(p.sv, c.cv)), 4) AS adc
+                        round(sum(list_dot_product(p.sv, c.cv)), 4) + 0.0 AS adc
                  FROM a2 a JOIN c1 c ON a.s = c.s AND a.code = c.code
                       JOIN probes p ON p.s = a.s
                  WHERE a.vec_id <> p.probe_id
@@ -2970,7 +3523,7 @@ object DataPipelinePack extends QueryPack {
       r AS (SELECT probe_id, nbr_id, sim,
                    row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, nbr_id) AS rnk
             FROM sc)
-      SELECT probe_id, CAST(rnk AS INTEGER) AS rnk, nbr_id, round(sim, 4) AS cos_sim
+      SELECT probe_id, CAST(rnk AS INTEGER) AS rnk, nbr_id, round(sim, 4) + 0.0 AS cos_sim
       FROM r WHERE rnk <= 5 ORDER BY probe_id, rnk""",
 
     // Grid + left join + IGNORE NULLS running last_value — the window
@@ -3258,7 +3811,7 @@ object DataPipelinePack extends QueryPack {
       r AS (SELECT probe_id, nbr_id, sim,
                    row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, nbr_id) AS rnk
             FROM s)
-      SELECT probe_id, CAST(rnk AS INTEGER) AS rnk, nbr_id, round(sim, 4) AS cos_sim
+      SELECT probe_id, CAST(rnk AS INTEGER) AS rnk, nbr_id, round(sim, 4) + 0.0 AS cos_sim
       FROM r WHERE rnk <= 5 ORDER BY probe_id, rnk""",
 
     "q27_text_quality" -> """
@@ -3386,7 +3939,7 @@ object DataPipelinePack extends QueryPack {
         SELECT probe_id, nbr_id, list_cosine_similarity(pv, v) AS sim,
                row_number() OVER (PARTITION BY probe_id ORDER BY list_cosine_similarity(pv, v) DESC, nbr_id) AS rnk
         FROM cand)
-      SELECT probe_id, CAST(rnk AS INTEGER) AS rnk, nbr_id, round(sim, 4) AS cos_sim
+      SELECT probe_id, CAST(rnk AS INTEGER) AS rnk, nbr_id, round(sim, 4) + 0.0 AS cos_sim
       FROM scored WHERE rnk <= 5 ORDER BY probe_id, rnk""",
 
     "q41_multimodal_probe" -> """
@@ -3577,7 +4130,7 @@ object DataPipelinePack extends QueryPack {
              CAST(coalesce(c.cpos, 0) AS BIGINT) AS cpos,
              CAST(coalesce(c.cneg, 0) AS BIGINT) AS cneg,
              round(ln((coalesce(c.cpos, 0) + 1.0) / (tot.tpos + 64.0)) -
-                   ln((coalesce(c.cneg, 0) + 1.0) / (tot.tneg + 64.0)), 6) AS weight
+                   ln((coalesce(c.cneg, 0) + 1.0) / (tot.tneg + 64.0)), 6) + 0.0 AS weight
       FROM dom LEFT JOIN c USING (bucket) CROSS JOIN tot
       ORDER BY bucket""",
 
@@ -3717,7 +4270,7 @@ object DataPipelinePack extends QueryPack {
                         ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
                FROM e CROSS JOIN c2 c) WHERE rn = 1),
       sz AS (SELECT cid, count(*) AS size FROM a3 GROUP BY cid)
-      SELECT c2.cid, d.i - 1 AS dim, round(c2.cv[d.i], 4) AS cval,
+      SELECT c2.cid, d.i - 1 AS dim, round(c2.cv[d.i], 4) + 0.0 AS cval,
              coalesce(sz.size, 0) AS size
       FROM c2 CROSS JOIN dims d LEFT JOIN sz USING (cid)
       ORDER BY c2.cid, dim""",
@@ -3913,7 +4466,7 @@ object DataPipelinePack extends QueryPack {
                         ORDER BY list_cosine_similarity(e.v, c.v) DESC, c.cid) AS rn
                FROM e CROSS JOIN cents c) WHERE rn = 1),
       sz AS (SELECT cid, count(*) AS size FROM assign GROUP BY cid)
-      SELECT c.cid, d.i - 1 AS dim, round(c.v[d.i], 4) AS cval,
+      SELECT c.cid, d.i - 1 AS dim, round(c.v[d.i], 4) + 0.0 AS cval,
              coalesce(sz.size, 0) AS size
       FROM cents c CROSS JOIN dims d LEFT JOIN sz USING (cid)
       ORDER BY c.cid, dim""",

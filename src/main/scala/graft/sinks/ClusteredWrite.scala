@@ -107,6 +107,10 @@ object ClusteredWrite {
       Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
     val mm = df.agg(aggs.head, aggs.tail: _*).head()
     val buckets = clusterCols.zipWithIndex.map { case (c, j) =>
+      // an empty frame or an all-null cluster column yields null min/max;
+      // name the offender instead of an opaque NPE from Row.getLong
+      require(!mm.isNullAt(2 * j) && !mm.isNullAt(2 * j + 1),
+        s"cluster column '$c' has no non-null values (empty input or all-null column)")
       zBucket(col(c), mm.getLong(2 * j), mm.getLong(2 * j + 1), bits)
     }
     df.withColumn("__z", zValue(buckets, bits))

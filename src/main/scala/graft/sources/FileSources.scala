@@ -25,6 +25,12 @@ object FileSources {
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Columnar ORC scan — the other columnar lake format (Spark's native
+    * vectorized ORC reader: predicate pushdown and column pruning apply
+    * exactly as for parquet). */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Whole-file binary scan (path, modificationTime, length, content) — the
     * substrate for [[graft.operators.Multimodal]] media columns. */
   def binaryFiles(spark: SparkSession, path: String): DataFrame =

@@ -124,4 +124,52 @@ class GraphSpec extends AnyFunSuite {
       f"a raw rank sits $minDist%.2e from a round(6) boundary — " +
         "re-pick rounding or iterations for this corpus")
   }
+
+  // ------------------------------------------------------------- triangles
+
+  private def triRows(edges: Seq[(Long, Long)]): Map[Long, (Long, Long, Double)] =
+    Graph.triangles(edges.toDF("src", "dst"), "src", "dst")
+      .as[(Long, Long, Long, Double)].collect()
+      .map { case (n, d, t, c) => n -> (d, t, c) }.toMap
+
+  test("triangles: K4 is all-triangles (3 per node, clustering 1), duplicates/reverses collapse") {
+    // complete graph on {1,2,3,4}, with a reversed duplicate and a self-loop
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (3L, 2L), (2L, 2L))
+    val r = triRows(k4)
+    assert(r.keySet == Set(1L, 2L, 3L, 4L))
+    r.values.foreach { case (deg, tri, cc) =>
+      assert(deg == 3L && tri == 3L && cc == 1.0)
+    }
+  }
+
+  test("triangles: a path has none; one chord closes exactly one") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    assert(triRows(path).values.forall { case (_, t, c) => t == 0L && c == 0.0 })
+    // chord 1-3 closes triangle {1,2,3} only
+    val r = triRows(path :+ (1L, 3L))
+    assert(r(1L)._2 == 1L && r(2L)._2 == 1L && r(3L)._2 == 1L && r(4L)._2 == 0L)
+    // node 2: deg 2, 1 triangle -> clustering 1.0; node 3: deg 3 -> 1/3
+    assert(r(2L)._3 == 1.0)
+    assert(r(3L)._3 == math.rint(1.0 / 3.0 * 1e6) / 1e6)
+  }
+
+  // ----------------------------------------------------------- degree peel
+
+  test("degreePeel: pendant chain peels off round by round, the clique survives") {
+    // K4 on {1,2,3,4} + chain 4-5, 5-6
+    val g = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L)).toDF("src", "dst")
+    // k=2, 1 round: node 6 (deg 1) drops; 5 keeps deg 2 at eval time but
+    // fell to 1 after the restriction -> dropped by the final filter
+    val one = Graph.degreePeel(g, "src", "dst", k = 2, iterations = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(one.keySet == Set(1L, 2L, 3L, 4L))
+    // 2 rounds: same fixpoint; the clique keeps degree 3
+    val two = Graph.degreePeel(g, "src", "dst", k = 2, iterations = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(two == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // k above the max degree empties the graph
+    assert(Graph.degreePeel(g, "src", "dst", k = 5, iterations = 1).isEmpty)
+  }
 }

@@ -427,4 +427,34 @@ class SamplingSpec extends AnyFunSuite {
     val expectedEn = (1L to 100L).sortBy(hashes).take(15).toSet
     assert(byLang("en") == expectedEn)
   }
+
+  // --------------------------------------------------------------- epochMix
+
+  test("epochMix: integral epochs copy exactly, fractional admit by hash, zero drops") {
+    val rows = (1L to 300L).map(i => (i, if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c"))
+      .toDF("id", "grp")
+    val out = Sampling.epochMix(rows, "id", "grp",
+      Seq("a" -> 2.0, "b" -> 0.5, "c" -> 0.0), "emx")
+      .as[(Long, String, Long)].collect()
+    val byGrp = out.groupBy(_._2)
+    // a: every key exactly twice, epochs 0 and 1
+    val a = byGrp("a")
+    assert(a.length == 200 && a.groupBy(_._1).values.forall(_.map(_._3).sorted.toSeq == Seq(0L, 1L)))
+    // b: the hash-admitted subset, each once at epoch 0 — same subset the
+    // threshold predicate defines
+    val b = byGrp("b")
+    assert(b.forall(_._3 == 0L))
+    val thr = Sampling.threshold(0.5)
+    val admitted = rows.filter(col("grp") === "b")
+      .filter(Sampling.keyHash(col("id"), "emx") < lit(thr))
+      .select(col("id")).as[Long].collect().toSet
+    assert(b.map(_._1).toSet == admitted && admitted.nonEmpty && admitted.size < 100)
+    // c: epoch 0 emits nothing
+    assert(!byGrp.contains("c"))
+    // deterministic: a second run is row-identical
+    val again = Sampling.epochMix(rows, "id", "grp",
+      Seq("a" -> 2.0, "b" -> 0.5, "c" -> 0.0), "emx")
+      .as[(Long, String, Long)].collect()
+    assert(out.sorted.toSeq == again.sorted.toSeq)
+  }
 }

@@ -114,4 +114,20 @@ class SkewSpec extends AnyFunSuite {
       h1.foldLeft(agg.zero)(agg.reduce), h2.foldLeft(agg.zero)(agg.reduce))
     assert(m == vals.sorted.take(3).toVector)
   }
+
+  test("winsorizeByGroup: clips to each group's own band, keeps every row") {
+    // g1: 1..100 -> p05/p95 via the interpolated percentile: 5.95 / 95.05
+    // g2: constant 7 -> band [7, 7], everything maps to 7
+    val rows = ((1 to 100).map(v => ("g1", v)) ++ (1 to 20).map(_ => ("g2", 7)))
+      .toDF("grp", "v")
+    val out = Skew.winsorizeByGroup(rows, Seq("grp"), "v", 0.05, 0.95)
+      .select(col("grp"), col("v"), col("winsorized"))
+      .as[(String, Int, Double)].collect()
+    assert(out.length == 120)
+    val g1 = out.filter(_._1 == "g1")
+    assert(g1.filter(_._2 == 1).forall(_._3 == 5.95))
+    assert(g1.filter(_._2 == 100).forall(_._3 == 95.05))
+    assert(g1.filter(_._2 == 50).forall(_._3 == 50.0))
+    assert(out.filter(_._1 == "g2").forall(_._3 == 7.0))
+  }
 }

@@ -617,4 +617,41 @@ class TextAnalysisSpec extends AnyFunSuite {
       .select(TextAnalysis.canonicalizeUrl(col("url"))).as[String].head()
     assert(ported == "a.com:8080/x")
   }
+
+  test("ngramNovelty: seen text scores 0, unseen 1, the mix counts novel grams exactly") {
+    val ref = Seq("alpha beta gamma delta").toDF("text")
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),       // all 2 grams known
+      (2L, "zeta eta theta iota"),          // all 2 grams novel
+      (3L, "alpha beta gamma zeta eta")     // grams: abg known; bgz, gze novel
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.ngramNovelty(docs, "doc_id", "text", ref, "text", n = 3)
+      .as[(Long, Long, Long, Double)].collect().map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(r(1L) == ((2L, 0L, 0.0)))
+    assert(r(2L) == ((2L, 2L, 1.0)))
+    assert(r(3L) == ((3L, 2L, 0.6667)))
+  }
+
+  test("scriptProfile: exact class fractions and the mojibake fingerprints") {
+    val r = TextAnalysis.scriptProfile(
+      Seq((1L, "ab 12!"), (2L, "ok cafÃ©"), (3L, "plain text"), (4L, "")).toDF("id", "t"),
+      "id", "t")
+      .as[(Long, Double, Double, Double, Double, Double, Boolean)].collect()
+      .map(x => x._1 -> x).toMap
+    // "ab 12!": 6 chars = 2 alpha, 2 digit, 1 space, 1 punct
+    assert(r(1L) == ((1L, 0.3333, 0.3333, 0.1667, 0.1667, 0.0, false)))
+    assert(r(2L)._7 && !r(3L)._7)
+    assert(r(4L) == ((4L, 0.0, 0.0, 0.0, 0.0, 0.0, false)))
+  }
+
+  test("chiSquaredKeywords: a group-exclusive term dominates its group's ranking") {
+    val docs = (1 to 40).map { i =>
+      if (i % 2 == 0) (s"common filler words zebra", "g1")
+      else (s"common filler words yonder", "g2")
+    }.toDF("text", "lang")
+    val top = TextAnalysis.chiSquaredKeywords(docs, "lang", "text", minCount = 5, k = 2)
+      .filter(col("rnk") === 1)
+      .select(col("grp"), col("term")).as[(String, String)].collect().toMap
+    assert(top == Map("g1" -> "zebra", "g2" -> "yonder"))
+  }
 }

@@ -54,4 +54,37 @@ class TimeSeriesSpec extends AnyFunSuite {
     // a non-spike row with >= 2 priors scores but does not flag
     assert(got(("b", 3L))._1.contains(-1.0) && !got(("b", 3L))._2)
   }
+
+  test("ewmaByKey: hand-computed serial fold, state resets at key boundaries") {
+    val rows = Seq(
+      ("a", 1L, 8.0), ("a", 2L, 4.0), ("a", 3L, 4.0),
+      ("b", 1L, 100.0), ("b", 2L, 0.0)
+    ).toDF("k", "t", "value")
+    val got = TimeSeries.ewmaByKey(rows, "k", Seq("t"), "value", alpha = 0.25)
+      .select(col("k"), col("t"), col("ewma")).as[(String, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    // a: 8; .25*4+.75*8 = 7; .25*4+.75*7 = 6.25
+    assert(got(("a", 1L)) == 8.0 && got(("a", 2L)) == 7.0 && got(("a", 3L)) == 6.25)
+    // b restarts at its own first value — a's state never leaks across keys
+    assert(got(("b", 1L)) == 100.0 && got(("b", 2L)) == 75.0)
+  }
+
+  test("cusumByKey: sustained small shift accumulates to an alarm a z-window misses") {
+    // target 10, slack 1: values at 13 add +2 per row; threshold 5 trips
+    // on the 3rd elevated row. Below-target rows feed the negative side.
+    val rows = (1L to 6L).map(t => ("u", t, if (t <= 2) 10.0 else 13.0)).toDF("k", "t", "value")
+    val got = TimeSeries.cusumByKey(rows, "k", Seq("t"), "value",
+      target = 10.0, slack = 1.0, threshold = 5.0)
+      .select(col("t"), col("cusum_pos"), col("alarm")).as[(Long, Double, Boolean)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L) == ((0.0, false)) && got(2L) == ((0.0, false)))
+    assert(got(3L) == ((2.0, false)) && got(4L) == ((4.0, false)))
+    assert(got(5L) == ((6.0, true)) && got(6L) == ((8.0, true)))
+    // negative side: a sustained drop alarms symmetrically
+    val drop = (1L to 4L).map(t => ("u", t, 6.0)).toDF("k", "t", "value")
+    val neg = TimeSeries.cusumByKey(drop, "k", Seq("t"), "value", 10.0, 1.0, 5.0)
+      .select(col("t"), col("cusum_neg"), col("alarm")).as[(Long, Double, Boolean)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(neg(1L) == ((3.0, false)) && neg(2L) == ((6.0, true)))
+  }
 }

@@ -62,4 +62,21 @@ class FileSourcesSpec extends AnyFunSuite {
     new graft.pipeline.PipelineRunner(spark, ckpt).run(p, sink, maxIterations = 3)
     assert(seen.toSeq == Seq("a", "b", "c"))
   }
+
+  test("orc: write/read round-trip preserves rows and types; predicates push to the scan") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-orc").toString + "/t"
+    val df = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    df.write.mode("overwrite").orc(dir)
+    val back = FileSources.orc(spark, dir)
+    assert(back.schema == df.schema)
+    assert(back.count() == df.count())
+    assert(back.except(df).isEmpty && df.except(back).isEmpty)
+    // the vectorized ORC reader advertises pushed filters like parquet's
+    val plan = back.filter(col("n_chars") > 100)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("n_chars"),
+      s"expected a pushed ORC filter in:\n$plan")
+  }
 }

@@ -63,4 +63,54 @@ class CboSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS cbo_dim")
     }
   }
+
+  test("real pack shape: orders x segment-filtered customer broadcasts WITH stats, SMJ without") {
+    // The synthetic flip above, pinned to the ACTUAL query surface: the
+    // relational pack's fact x filtered-dim aggregation over the real
+    // testdata tables. The broadcast threshold is derived from ANALYZE's
+    // own size estimate (half the dim's full size), so the test asserts
+    // the ECONOMICS, not a magic constant: a 1-of-5-segments filter
+    // estimated at ~1/5 of the dim lands under half, the unfiltered
+    // estimate stays above it. Both plans must return identical rows —
+    // the flip is free.
+    val confs = Seq(
+      "spark.sql.cbo.enabled" -> spark.conf.get("spark.sql.cbo.enabled"),
+      "spark.sql.autoBroadcastJoinThreshold" ->
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    spark.sql("DROP TABLE IF EXISTS cbo_orders")
+    spark.sql("DROP TABLE IF EXISTS cbo_customer")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      val sf = "/root/testdata/sf0.001"
+      graft.Tables.orders(spark, sf).write.mode("overwrite").saveAsTable("cbo_orders")
+      graft.Tables.customer(spark, sf).write.mode("overwrite").saveAsTable("cbo_customer")
+      spark.sql("ANALYZE TABLE cbo_orders COMPUTE STATISTICS")
+      spark.sql("ANALYZE TABLE cbo_customer COMPUTE STATISTICS")
+      val dimBytes = spark.table("cbo_customer").queryExecution.optimizedPlan
+        .stats.sizeInBytes
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (dimBytes / 2).toString)
+
+      def q() = spark.table("cbo_orders")
+        .join(spark.table("cbo_customer").filter(col("c_mktsegment") === "BUILDING"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast("decimal(28,4)")).cast("double").as("revenue"))
+
+      val before = q().queryExecution.executedPlan.toString
+      assert(before.contains("SortMergeJoin") && !before.contains("BroadcastHashJoin"),
+        s"expected SMJ without column stats:\n$before")
+      val rowsBefore = q().collect().toSeq
+
+      spark.sql("ANALYZE TABLE cbo_customer COMPUTE STATISTICS FOR COLUMNS c_mktsegment")
+      val after = q().queryExecution.executedPlan.toString
+      assert(after.contains("BroadcastHashJoin"),
+        s"expected CBO to broadcast the segment-filtered customer side:\n$after")
+      assert(q().collect().toSeq == rowsBefore, "the plan flip must not change results")
+    } finally {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      spark.sql("DROP TABLE IF EXISTS cbo_orders")
+      spark.sql("DROP TABLE IF EXISTS cbo_customer")
+    }
+  }
 }

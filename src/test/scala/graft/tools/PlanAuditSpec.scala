@@ -183,7 +183,30 @@ class PlanAuditSpec extends AnyFunSuite {
     // crossJoined against the corpus (q26's intended probe shape), planned
     // twice because qrels feeds both the hit join and the ideal-DCG
     // aggregate. Every broadcast is query-count- or scalar-sized.
-    "q113_retrieval_eval" -> (0, 3, 5)
+    "q113_retrieval_eval" -> (0, 3, 5),
+    // q170: the two 1-row totals scalars (token count N, bigram count B) —
+    // q35's N class; their crossJoins are the two BNLJs. The
+    // vocabulary-shaped unigram/bigram count tables are SMJ-pinned.
+    "q170_pmi_collocations" -> (0, 2, 2),
+    // q171: the |groups|-row group-marginal table (enum-sized — langs) and
+    // the 1-row grand-total scalar (its crossJoin is the BNLJ, q35's N
+    // class), both broadcast by construction. The vocabulary-shaped
+    // term-marginal join is SMJ-pinned.
+    "q171_chi2_keywords" -> (0, 1, 2),
+    // q172: the |slices|-row slice-totals table (enum-sized — sources) and
+    // the 1-row corpus T/V scalar (its crossJoin is the BNLJ). The
+    // vocabulary-shaped term-marginal join is SMJ-pinned.
+    "q172_kl_divergence" -> (0, 1, 2),
+    // q174: the quantile list (3 literal rows, a parameter) exploded from
+    // a 1-row range and crossJoined into the bins-sized cumulative frame —
+    // q37's percentile-boundary class (the BNLJ and its broadcast).
+    "q174_hist_quantiles" -> (0, 1, 1),
+    // q177: the 3-row per-flag median/mode aggregates joined — both sides
+    // enum-sized by the grouping key (flags), never corpus-shaped.
+    "q177_median_mode" -> (0, 0, 1),
+    // q178: the |langs|-row percentile-bounds table broadcast back — the
+    // q37 boundary-table class, explicitly requested in the operator.
+    "q178_winsorize" -> (0, 0, 1)
   )
 
   test("no query plans an unjustified cartesian / BNLJ / derived broadcast") {

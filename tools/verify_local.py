@@ -5,8 +5,11 @@ Usage: python3 tools/verify_local.py <sfDir> <outDir>
   - expects `sbt "runMain graft.Verify <sfDir> <outDir>"` to have been run
   - loads outDir/<name>/ parquet per query and outDir/oracle_sql.json
   - registers each testdata table as a DuckDB view, runs the oracle SQL
-  - sorts columns by name, sorts rows, compares values (exact; floats must be
-    bit-identical after float64 cast — same bar the hash compare sets)
+  - sorts columns by name, sorts rows, compares values at the driver's bar:
+    per-column dtype KIND must match BEFORE normalization (DuckDB HUGEINT ->
+    float64 vs Spark int64 is a fail even when values compare equal), and
+    float columns compare on raw bit patterns (so -0.0 != +0.0), because the
+    driver hashes representations, not `==`-equality.
 """
 import json, sys, glob, os
 import duckdb
@@ -16,9 +19,17 @@ import numpy as np
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
-def canon(df: pd.DataFrame) -> pd.DataFrame:
+def kind_of(s: pd.Series) -> str:
+    if pd.api.types.is_bool_dtype(s): return "bool"
+    if pd.api.types.is_float_dtype(s): return "float"
+    if pd.api.types.is_integer_dtype(s): return "int"
+    if pd.api.types.is_datetime64_any_dtype(s): return "datetime"
+    return "object"
+
+def canon(df: pd.DataFrame):
     df = df[sorted(df.columns)]
-    # normalize dtypes for compare
+    kinds = {c: kind_of(df[c]) for c in df.columns}
+    # normalize dtypes for compare (kind already captured above)
     for c in df.columns:
         s = df[c]
         if pd.api.types.is_float_dtype(s):
@@ -31,7 +42,14 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         elif s.dtype == object:
             df[c] = s.map(lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
     df = df.sort_values(by=list(df.columns), kind="mergesort", na_position="first").reset_index(drop=True)
-    return df
+    return df, kinds
+
+def float_bits_eq(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Bitwise float64 equality: -0.0 != +0.0; NaN == NaN (any payload)."""
+    abits = np.ascontiguousarray(a, dtype="float64").view("int64")
+    bbits = np.ascontiguousarray(b, dtype="float64").view("int64")
+    both_nan = np.isnan(a) & np.isnan(b)
+    return (abits == bbits) | both_nan
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
@@ -46,22 +64,26 @@ def main(sf_dir, out_dir):
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
-        got = canon(pq.read_table(files[0]).to_pandas())
+        got, gkinds = canon(pq.read_table(files[0]).to_pandas())
         if name not in oracle:
             print(f"SKIP {name}: no oracle ({len(got)} rows)"); continue
         try:
-            want = canon(con.execute(oracle[name]).df())
+            want, wkinds = canon(con.execute(oracle[name]).df())
         except Exception as e:
             print(f"FAIL {name}: oracle error {e}"); n_fail += 1; continue
         if list(got.columns) != list(want.columns):
             print(f"FAIL {name}: columns {list(got.columns)} vs {list(want.columns)}"); n_fail += 1; continue
+        bad_kinds = [c for c in got.columns if gkinds[c] != wkinds[c]]
+        if bad_kinds:
+            det = ", ".join(f"{c}: spark={gkinds[c]} oracle={wkinds[c]}" for c in bad_kinds)
+            print(f"FAIL {name}: dtype kind mismatch ({det})"); n_fail += 1; continue
         if len(got) != len(want):
             print(f"FAIL {name}: rows {len(got)} vs {len(want)}"); n_fail += 1; continue
         ok = True
         for c in got.columns:
             a, b = got[c], want[c]
             if pd.api.types.is_float_dtype(a) and pd.api.types.is_float_dtype(b):
-                eq = (a.values == b.values) | (pd.isna(a.values) & pd.isna(b.values))
+                eq = float_bits_eq(a.values, b.values)
             else:
                 eq = (a.values == b.values) | (pd.isna(a).values & pd.isna(b).values)
             if not eq.all():
