@@ -592,6 +592,68 @@ object Dedup {
       .select("id_a", "id_b", "inter_cnt", "union_cnt")
   }
 
+  /** [[jaccardPairs]] with PREFIX-FILTERED candidate generation (the
+    * AllPairs/PPJoin family, Bayardo 2007 / Xiao 2008) — the EXACT
+    * set-similarity join's standard scale path, and a structurally
+    * different candidate scheme from banded LSH: order every doc's
+    * shingle set by GLOBAL rarity (document frequency asc, shingle), and
+    * only each doc's first `|x| − ⌈τ·|x|⌉ + 1` elements generate
+    * candidates — any pair with J ≥ τ must share a prefix element under
+    * the common order (pigeonhole on the ⌈τ·|x|⌉ suffix), so the
+    * candidate set is a SUPERSET of the answer and the exact verify
+    * restores equality with [[jaccardPairs]] row for row (the q48≡q31
+    * move applied to exact Jaccard).
+    *
+    * Why it scales where the full inverted index hurts: posting lists of
+    * COMMON shingles (the quadratic bombs) are touched only by docs that
+    * carry them in their prefix — and common shingles sort LAST, so they
+    * almost never are. Candidate volume is driven by rare-shingle
+    * postings. Shapes: one df-count aggregation, one per-doc
+    * rank-and-cut (window over the doc's own elements — doc-length
+    * bounded), one prefix self-join, one verify join against the full
+    * element table; every join SMJ-pinned.
+    */
+  def jaccardPairsPrefixFiltered(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      tauNum: Int = 1,
+      tauDen: Int = 2
+  ): DataFrame = {
+    require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
+      s"need 0 < tauNum/tauDen <= 1, got $tauNum/$tauDen")
+    import org.apache.spark.sql.expressions.Window
+    val ex = projectedShingles(df, idCol, textCol, shingleN).select(
+      col(idCol),
+      size(col("__shingles")).cast("int").as("__sz"),
+      explode(col("__shingles")).as("__sh"))
+    val dfreq = ex.groupBy(col("__sh")).agg(count(lit(1)).as("__df"))
+    // prefix length = sz − ⌈τ·sz⌉ + 1, integer-exact ceil
+    val prefLen = col("__sz") -
+      ((col("__sz") * tauNum + lit(tauDen - 1)) - pmod(col("__sz") * tauNum + lit(tauDen - 1), lit(tauDen))) / lit(tauDen) + lit(1)
+    val wDoc = Window.partitionBy(col(idCol)).orderBy(col("__df"), col("__sh"))
+    val prefix = ex.join(dfreq.hint("shuffle_merge"), Seq("__sh"))
+      .withColumn("__rn", row_number().over(wDoc))
+      .filter(col("__rn") <= prefLen)
+      .select(col(idCol), col("__sh"))
+    val cands = prefix.select(col(idCol).as("id_a"), col("__sh")).hint("shuffle_merge")
+      .join(prefix.select(col(idCol).as("id_b"), col("__sh")).hint("shuffle_merge"), Seq("__sh"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val exA = ex.select(col(idCol).as("id_a"), col("__sz").as("__sza"), col("__sh"))
+    val exB = ex.select(col(idCol).as("id_b"), col("__sz").as("__szb"), col("__sh"))
+    cands
+      .join(exA.hint("shuffle_merge"), Seq("id_a"))
+      .join(exB.hint("shuffle_merge"), Seq("id_b", "__sh"))
+      .groupBy(col("id_a"), col("id_b"), col("__sza"), col("__szb"))
+      .agg(count(lit(1)).cast("int").as("inter_cnt"))
+      .withColumn("union_cnt", (col("__sza") + col("__szb") - col("inter_cnt")).cast("int"))
+      .filter(col("inter_cnt") * tauDen >= col("union_cnt") * tauNum)
+      .select("id_a", "id_b", "inter_cnt", "union_cnt")
+  }
+
   /** Shingle CONTAINMENT pairs (Broder's directional coefficient
     * `|A∩B| / |A|`): surfaces documents mostly CONTAINED in another —
     * quotes, excerpts, snippet pages, prepended-boilerplate copies — which

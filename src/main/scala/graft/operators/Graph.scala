@@ -63,6 +63,55 @@ object Graph {
     }
   }
 
+  /** Personalized PageRank: [[pageRank]] with the teleport vector
+    * concentrated on a literal SEED set instead of uniform —
+    * `rank' = (1−d)·tele(v) + d·Σ contribs` with `tele = 1/|seeds|` on
+    * seeds, 0 elsewhere; `rank₀ = tele`. Ranks measure proximity TO the
+    * seeds, which is the trusted-domain expansion primitive (TrustRank):
+    * seed a handful of known-good (or known-bad) domains and the scores
+    * rank everything else by link-distance-weighted reachability.
+    *
+    * Seeds are a parameter-bounded literal list by contract (a
+    * watchlist, not a corpus), so the teleport term compiles to a pure
+    * `isin` expression — no join, nothing broadcast beyond pageRank's
+    * own shapes (same SMJ-pinned iteration, dangling mass dropped the
+    * same way).
+    */
+  def personalizedPageRank(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: Seq[String],
+      iterations: Int,
+      damping: Double = 0.85
+  ): DataFrame = {
+    require(seeds.nonEmpty && seeds.distinct.length == seeds.length,
+      "seeds must be non-empty and distinct")
+    require(seeds.length <= 10000,
+      s"${seeds.length} seeds — a seed set is a watchlist, not a corpus; " +
+        "beyond ~10k compile the teleport as a broadcast join instead")
+    require(iterations >= 0 && iterations <= 64,
+      s"iterations=$iterations out of [0,64] — deep fixed-point chains should checkpoint")
+    require(damping > 0.0 && damping < 1.0, s"damping must be in (0,1), got $damping")
+    val e = edges.select(
+      col(srcCol).cast("string").as("__src"), col(dstCol).cast("string").as("__dst"))
+    val nodes = e.select(col("__src").as("node"))
+      .union(e.select(col("__dst").as("node"))).distinct()
+    val outdeg = e.groupBy(col("__src")).agg(count(lit(1)).as("__deg"))
+    val tele = when(col("node").isin(seeds: _*), lit(1.0 / seeds.length)).otherwise(lit(0.0))
+    val init = nodes.select(col("node"), tele.as("rank"))
+    (1 to iterations).foldLeft(init) { case (ranks, _) =>
+      val shares = ranks.join(outdeg.hint("shuffle_merge"), ranks("node") === outdeg("__src"))
+        .select(col("__src"), (col("rank") / col("__deg")).as("__share"))
+      val contribs = e.join(shares.hint("shuffle_merge"), "__src")
+        .groupBy(col("__dst")).agg(sum(col("__share")).as("__contrib"))
+      nodes.join(contribs.hint("shuffle_merge"), nodes("node") === contribs("__dst"), "left")
+        .select(col("node"),
+          (lit(1.0 - damping) * tele +
+            lit(damping) * coalesce(col("__contrib"), lit(0.0))).as("rank"))
+    }
+  }
+
   /** Fixed-iteration HITS (Kleinberg 1999): hubs point at good
     * authorities, authorities are pointed at by good hubs — the
     * directional complement to [[pageRank]] for link-graph curation

@@ -83,6 +83,73 @@ object Profiler {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Pearson correlation per group from EXACT decimal sufficient
+    * statistics: n, Σx, Σy, Σxy, Σx², Σy² accumulated as decimals (the
+    * dsum convention — inputs quantized to the column's true decimal
+    * scale first, so every sum is order-independent and bit-exact under
+    * any sharding), the closed-form r computed in doubles only at the
+    * end. A float-sum corr (Spark's `corr`) is summation-order-sensitive
+    * AND suffers catastrophic cancellation in n·Σxy − Σx·Σy — the exact
+    * sums make the statistic deterministic and engine-reproducible.
+    * Output: (groups…, n, r) with r scaled-floor quantized to 6; null
+    * when either variance term is 0.
+    */
+  def pearsonByGroup(
+      df: DataFrame,
+      groupCols: Seq[String],
+      xCol: String,
+      yCol: String,
+      decimalScale: Int = 2
+  ): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column is required")
+    val x = col(xCol).cast(s"decimal(18,$decimalScale)")
+    val y = col(yCol).cast(s"decimal(18,$decimalScale)")
+    val sums = df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(x).cast("decimal(38,8)").as("__sx"),
+        sum(y).cast("decimal(38,8)").as("__sy"),
+        sum((x * y).cast("decimal(38,8)")).as("__sxy"),
+        sum((x * x).cast("decimal(38,8)")).as("__sxx"),
+        sum((y * y).cast("decimal(38,8)")).as("__syy"))
+    val nD = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val vx = nD * d("__sxx") - d("__sx") * d("__sx")
+    val vy = nD * d("__syy") - d("__sy") * d("__sy")
+    val num = nD * d("__sxy") - d("__sx") * d("__sy")
+    sums.select(groupCols.map(col) :+ col("n") :+
+      when(vx > 0.0 && vy > 0.0,
+        floor(num / sqrt(vx * vy) * lit(1000000.0) + lit(0.5)).cast("double") / lit(1000000.0))
+        .as("r"): _*)
+  }
+
+  /** Benford first-digit audit: observed vs expected leading-digit
+    * distribution of a positive numeric column — the classic
+    * fabricated-data / unit-mixup / truncation-bug detector for
+    * financial-style magnitudes (organic multi-scale data follows
+    * log10(1 + 1/d); capped, generated, or copy-pasted columns don't).
+    *
+    * Values are floored to integers FIRST (explicitly — Spark's
+    * double→long cast truncates while other engines round, so the floor
+    * is part of the contract), the leading digit read from the integer's
+    * decimal form (engine-identical formatting), rows < 1 excluded.
+    * One map-side-combined count aggregation; output is 9 rows with
+    * observed/expected fractions (scaled-floor quantized).
+    */
+  def benfordDigits(df: DataFrame, valueCol: String): DataFrame = {
+    val digits = df
+      .filter(col(valueCol) >= 1)
+      .select(substring(floor(col(valueCol)).cast("long").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("cnt"))
+    val total = digits.agg(sum(col("cnt")).cast("double").as("__n"))
+    def q6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floor(c * lit(1000000.0) + lit(0.5)).cast("double") / lit(1000000.0)
+    digits.crossJoin(broadcast(total))
+      .select(col("digit"), col("cnt"),
+        q6(col("cnt") / col("__n")).as("obs_frac"),
+        q6(log10(lit(1.0) + lit(1.0) / col("digit"))).as("exp_frac"))
+  }
+
   /** Quantile estimates from a [[histogram]] frame — the MERGEABLE
     * approximate-quantile path: per-shard histograms are integer count
     * vectors that merge by addition (bit-exact, any grouping), so a

@@ -205,6 +205,78 @@ object Skew {
       survivors.join(dim.hint("shuffle_merge"), survivors(factKey) === dim(dimKey))
   }
 
+  /** Scaled-floor quantization — `floor(x·10^s + 0.5)/10^s`, every step
+    * an IEEE double op any engine reproduces bitwise (the portable form
+    * of round(); see [[TimeSeries]] for the measured round() divergence
+    * class). Also maps (−0.5·10⁻ˢ, 0.5·10⁻ˢ) to +0, killing signed zero. */
+  private def qfloor(c: Column, scale: Int): Column = {
+    val m = math.pow(10.0, scale)
+    floor(c * lit(m) + lit(0.5)).cast("double") / lit(m)
+  }
+
+  /** MAD-based robust outlier scoring per group — median absolute
+    * deviation with the 0.6745 normal-consistency constant:
+    * `z = 0.6745 · (x − median) / MAD`, flagged at |z| > threshold.
+    * The robust alternative to mean/stddev z-scores (one wild value
+    * inflates a stddev and masks itself; the median pair doesn't move),
+    * per stratum so a heavy group can't set another's scale.
+    *
+    * Two enum-sized percentile aggregations broadcast back (the q37
+    * boundary-table class), then a pure projection. Zero-MAD groups
+    * (constant bulk) emit null scores and never flag.
+    */
+  def madOutliers(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      threshold: Double = 3.5
+  ): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column is required")
+    val med = df.groupBy(groupCols.map(col): _*)
+      .agg(expr(s"percentile($valueCol, 0.5)").as("__med"))
+    val withMed = df.join(broadcast(med), groupCols)
+      .withColumn("__absdev", abs(col(valueCol).cast("double") - col("__med")))
+    val mad = withMed.groupBy(groupCols.map(col): _*)
+      .agg(expr("percentile(__absdev, 0.5)").as("__mad"))
+    withMed.join(broadcast(mad), groupCols)
+      .withColumn("robust_z",
+        when(col("__mad") > 0.0,
+          qfloor(lit(0.6745) * (col(valueCol).cast("double") - col("__med")) / col("__mad"), 4)))
+      .withColumn("is_outlier", coalesce(abs(col("robust_z")) > threshold, lit(false)))
+      .drop("__med", "__absdev", "__mad")
+  }
+
+  /** Grouped trimmed mean over an INTEGER-valued column: the mean of the
+    * values inside the group's [p_frac, p_(1−frac)] percentile band
+    * (inclusive). Integer sums keep the statistic exact under any
+    * shard/summation order — the reason the operator requires an
+    * integer-typed column (a float column's trimmed sum is
+    * order-sensitive at the last ulp, the class the scaled-floor rule
+    * exists for). One enum-sized bounds aggregation broadcast back +
+    * one keyed sum/count.
+    */
+  def trimmedMean(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      frac: Double
+  ): DataFrame = {
+    require(frac > 0.0 && frac < 0.5, s"frac must be in (0, 0.5), got $frac")
+    require({
+      import org.apache.spark.sql.types._
+      Seq(ByteType, ShortType, IntegerType, LongType).contains(df.schema(valueCol).dataType)
+    }, s"trimmedMean requires an integer column (float sums are summation-order-sensitive); " +
+      s"'$valueCol' is ${df.schema(valueCol).dataType.simpleString}")
+    val bounds = df.groupBy(groupCols.map(col): _*)
+      .agg(expr(s"percentile($valueCol, $frac)").as("__lo"),
+        expr(s"percentile($valueCol, ${1.0 - frac})").as("__hi"))
+    df.join(broadcast(bounds), groupCols)
+      .filter(col(valueCol) >= col("__lo") && col(valueCol) <= col("__hi"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("kept_rows"),
+        qfloor(sum(col(valueCol)).cast("double") / count(lit(1)), 4).as("trimmed_mean"))
+  }
+
   /** Grouped winsorization — clip each value to its group's
     * [`lo`, `hi`] percentile band (linear-interpolated, the exact
     * `percentile` both engines share): the robust-scaling step outlier-

@@ -1462,6 +1462,34 @@ object TextAnalysis {
         t.contains("\u00e2\u20ac")).as("mojibake"))
   }
 
+  /** Flesch-style readability proxy per document: 206.835 − 1.015·(words/
+    * sentences) − 84.6·(syllables/words), with syllables approximated as
+    * vowel-group counts (the standard no-dictionary proxy) and sentences
+    * as terminal-punctuation runs (min 1 so fragments still score). The
+    * reading-level half of the quality card — complexity-targeted mixes
+    * filter on it. All counts via regexp_count over ASCII classes (the
+    * [[scriptProfile]] portability discipline); pure per-row projection,
+    * zero shuffle, stream-safe. Score scaled-floor quantized to 4;
+    * tokenless docs emit null.
+    */
+  def readability(
+      df: DataFrame,
+      idCol: String,
+      textCol: String
+  ): DataFrame = {
+    val t = col(textCol)
+    val words = regexp_count(t, lit("[A-Za-z0-9]+")).cast("double")
+    val sents = greatest(regexp_count(t, lit("[.!?]+")), lit(1)).cast("double")
+    val syll = regexp_count(t, lit("[aeiouyAEIOUY]+")).cast("double")
+    val raw = lit(206.835) - lit(1.015) * (words / sents) - lit(84.6) * (syll / words)
+    df.select(col(idCol),
+      words.cast("long").as("n_words"),
+      sents.cast("long").as("n_sentences"),
+      syll.cast("long").as("n_syllables"),
+      when(words > 0,
+        floor(raw * lit(10000.0) + lit(0.5)).cast("double") / lit(10000.0)).as("flesch"))
+  }
+
   /** Lexical-diversity card per group: type-token ratio, hapax fraction,
     * and Simpson's repeat-probability over the group's token counts —
     * the vocabulary-richness companion to [[zipfFit]] (template spam and

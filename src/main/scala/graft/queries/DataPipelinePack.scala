@@ -1040,6 +1040,26 @@ object DataPipelinePack extends QueryPack {
         .orderBy(col("node"))
     }),
 
+    // Personalized PageRank from two trusted seed sources (TrustRank):
+    // proximity-to-seed scores over the same link graph — the
+    // trusted-domain expansion primitive; teleport is a pure isin
+    // expression over the literal seed list.
+    "q191_ppr" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val siteLinks = docs.filter(col("doc_id") % 11 =!= 0)
+        .select(col("source").as("src"),
+          concat(lit("site"), (col("doc_id") % 20).cast("string"),
+            lit(".example.com")).as("dst"))
+      val badLinks = docs.filter(col("doc_id") % 3 === 0)
+        .select(col("source").as("src"),
+          concat(lit("blocked"), (col("doc_id") % 5).cast("string"),
+            lit(".bad.net")).as("dst"))
+      graft.operators.Graph.personalizedPageRank(siteLinks.union(badLinks),
+        "src", "dst", seeds = Seq("src0", "src1"), iterations = 2)
+        .select(col("node"), round(col("rank"), 6).as("rank"))
+        .orderBy(col("node"))
+    }),
+
     // DSIR data selection (Xie et al. 2023): hashed bag-of-words
     // importance models trained in-plan (target = the English slice, raw
     // = the full corpus, 64 buckets), then the per-row log-ratio
@@ -1840,6 +1860,147 @@ object DataPipelinePack extends QueryPack {
         .orderBy(col("user_id"), col("ts"), col("event_id"))
     }),
 
+    // MAD robust outlier scoring per event type: median/MAD don't move
+    // under the wild values a stddev z-score lets mask themselves.
+    "q185_mad_outliers" -> ((s, d) => {
+      Skew.madOutliers(
+        Tables.events(s, d).select(col("event_id"), col("event_type"), col("value")),
+        Seq("event_type"), "value", threshold = 3.5)
+        .orderBy(col("event_id"))
+    }),
+
+    // Benford first-digit audit of order totals — the fabricated-data /
+    // unit-mixup detector; floor-to-integer first (cast rounding differs
+    // across engines), leading digit from the decimal form.
+    "q186_benford" -> ((s, d) => {
+      Profiler.benfordDigits(Tables.orders(s, d), "o_totalprice")
+        .orderBy(col("digit"))
+    }),
+
+    // 10%-trimmed mean of n_chars per lang over the integer column —
+    // integer sums keep the statistic shard-order-exact.
+    "q187_trimmed_mean" -> ((s, d) => {
+      Skew.trimmedMean(Tables.documents(s, d).select(col("lang"), col("n_chars")),
+        Seq("lang"), "n_chars", frac = 0.1)
+        .orderBy(col("lang"))
+    }),
+
+    // Funnel step-lag quantiles: p25/p50/p75 of the view→click and
+    // click→purchase conversion delays — order statistics over integer
+    // microsecond lags are exact doubles, no quantization needed.
+    "q188_funnel_lags" -> ((s, d) => {
+      val times = graft.operators.Funnel.funnelTimes(
+        Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts")),
+        "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+      val lags = times.select(explode(array(
+        struct(lit("click>purchase").as("transition"),
+          when(col("t3").isNotNull, unix_micros(col("t3")) - unix_micros(col("t2")))
+            .as("lag_us")),
+        struct(lit("view>click").as("transition"),
+          when(col("t2").isNotNull, unix_micros(col("t2")) - unix_micros(col("t1")))
+            .as("lag_us")))).as("__e"))
+        .select(col("__e.*")).filter(col("lag_us").isNotNull)
+      lags.groupBy(col("transition"))
+        .agg(count(lit(1)).as("n_users"),
+          expr("percentile(lag_us, 0.25)").as("p25"),
+          expr("percentile(lag_us, 0.5)").as("p50"),
+          expr("percentile(lag_us, 0.75)").as("p75"))
+        .orderBy(col("transition"))
+    }),
+
+    // Flesch-style readability proxy (vowel-group syllables, terminal-
+    // punctuation sentences) — the reading-level quality-card half.
+    "q189_readability" -> ((s, d) => {
+      TextAnalysis.readability(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Prefix-filtered EXACT set-similarity join (AllPairs/PPJoin family):
+    // q25's pair set reproduced through a rarity-ordered prefix candidate
+    // scheme instead of the full inverted index — the same oracle proves
+    // the rewrite exact (the q48 ≡ q31 move for exact Jaccard).
+    "q194_ppjoin" -> ((s, d) => {
+      Dedup.jaccardPairsPrefixFiltered(Tables.documents(s, d), "doc_id", "text",
+        shingleN = 3, tauNum = 1, tauDen = 2)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Pearson correlation per return flag from exact decimal sufficient
+    // statistics — deterministic under any sharding, no float corpus sums.
+    "q195_corr" -> ((s, d) => {
+      Profiler.pearsonByGroup(Tables.lineitem(s, d),
+        Seq("l_returnflag"), "l_quantity", "l_extendedprice", decimalScale = 2)
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Multi-touch linear attribution: every purchase splits one unit of
+    // credit equally across ALL the user's clicks in the 7-day lookback
+    // (q182's last-touch generalized) — user-keyed SMJ join, per-purchase
+    // touch counts, per-click credit sums; scaled-floor quantized since
+    // the 1/n credit sum is float-accumulated.
+    "q192_multitouch" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          unix_micros(col("ts")).as("pts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          unix_micros(col("ts")).as("cts"))
+      val matched = clicks.hint("shuffle_merge")
+        .join(purchases.hint("shuffle_merge"), Seq("user_id"))
+        .filter(col("cts") <= col("pts") &&
+          col("cts") >= col("pts") - lit(7L * 86400L * 1000000L))
+      val perPurchase = matched.groupBy(col("purchase_id")).agg(count(lit(1)).as("__np"))
+      matched.join(perPurchase.hint("shuffle_merge"), Seq("purchase_id"))
+        .groupBy(col("click_id"))
+        .agg(count(lit(1)).as("n_purchases"),
+          (floor(sum(lit(1.0) / col("__np")) * lit(1000000.0) + lit(0.5)).cast("double")
+            / lit(1000000.0)).as("credit"))
+        .orderBy(col("click_id"))
+    }),
+
+    // First-order Markov transition matrix over per-user event sequences:
+    // P(next_type | type) from adjacent pairs — the behavioral-model /
+    // bot-detection fingerprint; a single exact-integer division per cell
+    // (same double both engines), scaled-floor quantized.
+    "q193_markov" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val trans = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .select(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      val counts = trans.groupBy(col("from_type"), col("to_type")).agg(count(lit(1)).as("cnt"))
+      val totals = counts.groupBy(col("from_type")).agg(sum(col("cnt")).as("__tot"))
+      counts.join(broadcast(totals), Seq("from_type"))
+        .select(col("from_type"), col("to_type"), col("cnt"),
+          (floor(col("cnt") / col("__tot").cast("double") * lit(1000000.0) + lit(0.5))
+            .cast("double") / lit(1000000.0)).as("prob"))
+        .orderBy(col("from_type"), col("to_type"))
+    }),
+
+    // Coordinated cross-table sampling: the SAME salted 10% hash gate on
+    // the user key of two fact tables yields a consistent entity sample
+    // with no coordination infrastructure — every sampled user appears
+    // with ALL their events and orders (the debug-at-scale primitive).
+    "q190_coordinated_sample" -> ((s, d) => {
+      val evS = Sampling.deterministicSample(
+        Tables.events(s, d).select(col("user_id"), col("event_id")),
+        "user_id", 0.1, "coord")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+      val ordS = Sampling.deterministicSample(
+        Tables.orders(s, d).select(col("o_custkey").as("user_id"), col("o_orderkey")),
+        "user_id", 0.1, "coord")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_orders"))
+      evS.hint("shuffle_merge")
+        .join(ordS.hint("shuffle_merge"), Seq("user_id"), "full_outer")
+        .select(col("user_id"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+        .orderBy(col("user_id"))
+    }),
+
     // Zipf fit of the token distribution over the top-1000 ranks — the
     // vocabulary-anomaly card statistic (natural text ~ slope -1).
     "q149_zipf" -> ((s, d) => {
@@ -2343,6 +2504,23 @@ object DataPipelinePack extends QueryPack {
     s"""SELECT doc_id, text FROM documents
         WHERE ${duckKeyHash("doc_id", "s1")} < ${Sampling.threshold(0.2)}
         ORDER BY doc_id"""
+
+  /** q190's oracle: the SAME salted hash gate applied independently to each
+    * table's user key — coordination is a property of the predicate, not
+    * of any shared state, which is exactly what the query demonstrates. */
+  private def coordinatedSampleOracle: String =
+    s"""
+      WITH ev AS (SELECT user_id, count(*) AS n_events FROM events
+                  WHERE ${duckKeyHash("user_id", "coord")} < ${Sampling.threshold(0.1)}
+                  GROUP BY user_id),
+      ord AS (SELECT o_custkey AS user_id, count(*) AS n_orders FROM orders
+              WHERE ${duckKeyHash("o_custkey", "coord")} < ${Sampling.threshold(0.1)}
+              GROUP BY o_custkey)
+      SELECT coalesce(ev.user_id, ord.user_id) AS user_id,
+             CAST(coalesce(ev.n_events, 0) AS BIGINT) AS n_events,
+             CAST(coalesce(ord.n_orders, 0) AS BIGINT) AS n_orders
+      FROM ev FULL OUTER JOIN ord ON ev.user_id = ord.user_id
+      ORDER BY user_id"""
 
   private def hashSplitOracle: String = {
     // identical cumulative boundaries as the implementation (shared float
@@ -3056,6 +3234,112 @@ object DataPipelinePack extends QueryPack {
              (r.cp > 200.0 OR r.cn > 200.0) AS alarm
       FROM x JOIN r ON x.user_id = r.user_id AND x.i = r.i
       ORDER BY x.user_id, x.ts, x.event_id""",
+
+    "q185_mad_outliers" -> """
+      WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+                   FROM events GROUP BY event_type),
+      w AS (SELECT e.event_id, e.event_type, e.value, med.med,
+                   abs(CAST(e.value AS DOUBLE) - med.med) AS ad
+            FROM events e JOIN med USING (event_type)),
+      mad AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad FROM w GROUP BY event_type),
+      z AS (SELECT w.event_id, w.event_type, w.value,
+                   CASE WHEN mad.mad > 0.0
+                        THEN CAST(floor(0.6745 * (CAST(w.value AS DOUBLE) - w.med) / mad.mad
+                                        * 10000.0 + 0.5) AS DOUBLE) / 10000.0
+                   END AS robust_z
+            FROM w JOIN mad USING (event_type))
+      SELECT event_id, event_type, value, robust_z,
+             coalesce(abs(robust_z) > 3.5, false) AS is_outlier
+      FROM z ORDER BY event_id""",
+
+    "q186_benford" -> """
+      WITH d AS (SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                             AS INTEGER) AS digit
+                 FROM orders WHERE o_totalprice >= 1),
+      c AS (SELECT digit, count(*) AS cnt FROM d GROUP BY digit),
+      t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM c)
+      SELECT digit, CAST(cnt AS BIGINT) AS cnt,
+             CAST(floor(cnt / t.n * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS obs_frac,
+             CAST(floor(log10(1.0 + 1.0 / digit) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS exp_frac
+      FROM c CROSS JOIN t ORDER BY digit""",
+
+    "q187_trimmed_mean" -> """
+      WITH b AS (SELECT lang, quantile_cont(n_chars, 0.1) AS lo,
+                        quantile_cont(n_chars, 0.9) AS hi
+                 FROM documents GROUP BY lang),
+      k AS (SELECT d.lang, n_chars FROM documents d JOIN b USING (lang)
+            WHERE n_chars >= b.lo AND n_chars <= b.hi)
+      SELECT lang, count(*) AS kept_rows,
+             CAST(floor(CAST(sum(n_chars) AS DOUBLE) / count(*) * 10000.0 + 0.5) AS DOUBLE)
+               / 10000.0 AS trimmed_mean
+      FROM k GROUP BY lang ORDER BY lang""",
+
+    "q188_funnel_lags" -> """
+      WITH r1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                  WHERE event_type = 'view' GROUP BY user_id),
+      r2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN r1 ON e.user_id = r1.user_id
+             WHERE e.event_type = 'click' AND e.ts > r1.t1 GROUP BY e.user_id),
+      r3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN r2 ON e.user_id = r2.user_id
+             WHERE e.event_type = 'purchase' AND e.ts > r2.t2 GROUP BY e.user_id),
+      l AS (SELECT 'view>click' AS transition,
+                   epoch_us(r2.t2) - epoch_us(r1.t1) AS lag_us
+            FROM r1 JOIN r2 ON r1.user_id = r2.user_id
+            UNION ALL
+            SELECT 'click>purchase', epoch_us(r3.t3) - epoch_us(r2.t2)
+            FROM r2 JOIN r3 ON r2.user_id = r3.user_id)
+      SELECT transition, count(*) AS n_users,
+             quantile_cont(lag_us, 0.25) AS p25,
+             quantile_cont(lag_us, 0.5) AS p50,
+             quantile_cont(lag_us, 0.75) AS p75
+      FROM l GROUP BY transition ORDER BY transition""",
+
+    "q192_multitouch" -> """
+      WITH p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS pts
+                 FROM events WHERE event_type = 'purchase'),
+      c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS cts
+            FROM events WHERE event_type = 'click'),
+      m AS (SELECT c.click_id, p.purchase_id
+            FROM c JOIN p ON c.user_id = p.user_id
+            WHERE c.cts <= p.pts AND c.cts >= p.pts - 604800000000),
+      np AS (SELECT purchase_id, count(*) AS np FROM m GROUP BY purchase_id)
+      SELECT m.click_id, count(*) AS n_purchases,
+             CAST(floor(sum(1.0 / CAST(np.np AS DOUBLE)) * 1000000.0 + 0.5) AS DOUBLE)
+               / 1000000.0 AS credit
+      FROM m JOIN np ON m.purchase_id = np.purchase_id
+      GROUP BY m.click_id ORDER BY m.click_id""",
+
+    "q193_markov" -> """
+      WITH tr AS (
+        SELECT event_type AS from_type,
+               lead(event_type, 1) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS to_type
+        FROM events),
+      c AS (SELECT from_type, to_type, count(*) AS cnt FROM tr
+            WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+      t AS (SELECT from_type, CAST(sum(cnt) AS BIGINT) AS tot FROM c GROUP BY from_type)
+      SELECT c.from_type, c.to_type, CAST(c.cnt AS BIGINT) AS cnt,
+             CAST(floor(c.cnt / CAST(t.tot AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE)
+               / 1000000.0 AS prob
+      FROM c JOIN t ON c.from_type = t.from_type
+      ORDER BY c.from_type, c.to_type""",
+
+    "q189_readability" -> """
+      WITH m AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS DOUBLE) AS w,
+               CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS DOUBLE) AS s,
+               CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS DOUBLE) AS y
+        FROM documents)
+      SELECT doc_id,
+             CAST(w AS BIGINT) AS n_words,
+             CAST(s AS BIGINT) AS n_sentences,
+             CAST(y AS BIGINT) AS n_syllables,
+             CASE WHEN w > 0
+                  THEN CAST(floor((206.835 - 1.015 * (w / s) - 84.6 * (y / w))
+                                  * 10000.0 + 0.5) AS DOUBLE) / 10000.0
+             END AS flesch
+      FROM m ORDER BY doc_id""",
+
 
     "q149_zipf" -> """
       WITH counts AS (SELECT t, count(*) AS c
@@ -3772,6 +4056,7 @@ object DataPipelinePack extends QueryPack {
     "q106_jl_project" -> jlProjectOracle,
     "q107_jl_ann" -> jlAnnOracle,
     "q51_hash_sample" -> hashSampleOracle,
+    "q190_coordinated_sample" -> coordinatedSampleOracle,
     "q52_hash_split" -> hashSplitOracle,
     "q53_stratified_sample" -> stratifiedSampleOracle,
     "q54_mix_corpora" -> mixCorporaOracle,
@@ -3802,6 +4087,50 @@ object DataPipelinePack extends QueryPack {
              CAST(union_cnt AS INTEGER) AS union_cnt
       FROM pairs WHERE 2 * inter_cnt >= union_cnt
       ORDER BY id_a, id_b""",
+
+    // identical to q25's exact all-pairs oracle: the prefix-filtered
+    // candidate scheme must reproduce the full inverted index's answer.
+    "q194_ppjoin" -> """
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      sh AS (
+        SELECT doc_id,
+               CASE WHEN len(w) >= 3
+                    THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])
+                    ELSE [array_to_string(w, ' ')] END AS s
+        FROM toks),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               len(list_intersect(a.s, b.s)) AS inter_cnt,
+               len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS union_cnt
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      SELECT id_a, id_b,
+             CAST(inter_cnt AS INTEGER) AS inter_cnt,
+             CAST(union_cnt AS INTEGER) AS union_cnt
+      FROM pairs WHERE 2 * inter_cnt >= union_cnt
+      ORDER BY id_a, id_b""",
+
+    "q195_corr" -> """
+      WITH s AS (
+        SELECT l_returnflag, count(*) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,8)) AS sx,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,8)) AS sy,
+               sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) *
+                        CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,8))) AS sxy,
+               sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) *
+                        CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,8))) AS sxx,
+               sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                        CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,8))) AS syy
+        FROM lineitem GROUP BY l_returnflag),
+      d AS (SELECT l_returnflag, n,
+                   CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+                   CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy,
+                   CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num
+            FROM s)
+      SELECT l_returnflag, n,
+             CASE WHEN vx > 0.0 AND vy > 0.0
+                  THEN CAST(floor(num / sqrt(vx * vy) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0
+             END AS r
+      FROM d ORDER BY l_returnflag""",
 
     "q26_ann_topk" -> """
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -4641,6 +4970,35 @@ object DataPipelinePack extends QueryPack {
              GROUP BY e.dst),
       r2 AS (SELECT nodes.node, (1.0 - 0.85) / n.n + 0.85 * coalesce(c2.contrib, 0.0) AS rank
              FROM nodes LEFT JOIN c2 ON nodes.node = c2.dst CROSS JOIN n)
+      SELECT node, round(rank, 6) AS rank FROM r2 ORDER BY node""",
+
+    // q103's unrolled iterations with the teleport concentrated on the
+    // two seeds: tele = 1/2 on src0/src1, 0 elsewhere; rank0 = tele.
+    "q191_ppr" -> """
+      WITH e AS (
+        SELECT source AS src,
+               'site' || CAST(doc_id % 20 AS VARCHAR) || '.example.com' AS dst
+        FROM documents WHERE doc_id % 11 <> 0
+        UNION ALL
+        SELECT source, 'blocked' || CAST(doc_id % 5 AS VARCHAR) || '.bad.net'
+        FROM documents WHERE doc_id % 3 = 0),
+      nodes AS (SELECT DISTINCT node FROM (
+        SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+      tl AS (SELECT node,
+                    CASE WHEN node IN ('src0', 'src1') THEN 1.0 / 2 ELSE 0.0 END AS tele
+             FROM nodes),
+      deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+      r0 AS (SELECT node, tele AS rank FROM tl),
+      c1 AS (SELECT e.dst, sum(r.rank / d.deg) AS contrib
+             FROM e JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.src
+             GROUP BY e.dst),
+      r1 AS (SELECT tl.node, (1.0 - 0.85) * tl.tele + 0.85 * coalesce(c1.contrib, 0.0) AS rank
+             FROM tl LEFT JOIN c1 ON tl.node = c1.dst),
+      c2 AS (SELECT e.dst, sum(r.rank / d.deg) AS contrib
+             FROM e JOIN r1 r ON e.src = r.node JOIN deg d ON e.src = d.src
+             GROUP BY e.dst),
+      r2 AS (SELECT tl.node, (1.0 - 0.85) * tl.tele + 0.85 * coalesce(c2.contrib, 0.0) AS rank
+             FROM tl LEFT JOIN c2 ON tl.node = c2.dst)
       SELECT node, round(rank, 6) AS rank FROM r2 ORDER BY node""",
 
     // Rebuilds the two hashed bag-of-words models (add-one smoothing, the

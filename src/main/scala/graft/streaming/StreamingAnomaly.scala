@@ -50,4 +50,35 @@ object StreamingAnomaly {
           out.iterator
       }
   }
+
+  /** Streaming EWMA — [[graft.operators.TimeSeries.ewmaByKey]]'s fold
+    * carried across micro-batches: state is ONE double per key forever
+    * (plus the started flag), each batch's events fold in `seq` order,
+    * so an in-order drain reproduces the batch operator value for value
+    * (the [[graft.operators.TimeSeries]] scaled-floor quantization,
+    * applied at emit — state stays raw so quantization never compounds).
+    * Cross-batch ordering follows arrival, the at-ingest contract
+    * [[cumulativeZScore]] documents.
+    */
+  def streamingEwma(
+      ds: Dataset[(Long, Long, Double)],
+      alpha: Double
+  ): Dataset[(Long, Long, Double, Double)] = {
+    import ds.sparkSession.implicits._
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    val oneMinus = 1.0 - alpha
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[(Boolean, Double), (Long, Long, Double, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (key, events, state: GroupState[(Boolean, Double)]) =>
+          var (started, e) = state.getOption.getOrElse((false, 0.0))
+          val out = events.toSeq.sortBy(_._2).map { case (_, seq, v) =>
+            e = if (!started) v else alpha * v + oneMinus * e
+            started = true
+            (key, seq, v, math.floor(e * 1000000.0 + 0.5) / 1000000.0)
+          }
+          state.update((started, e))
+          out.iterator
+      }
+  }
 }

@@ -55,6 +55,21 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(viaIndex.contains((1L, 4L, 7, 7))) // exact dup: identical shingle sets
   }
 
+  test("jaccardPairsPrefixFiltered equals the full inverted index exactly, incl. real corpus") {
+    val viaIndex = Dedup.jaccardPairs(docs, "doc_id", "text")
+      .as[(Long, Long, Int, Int)].collect().toSet
+    val viaPrefix = Dedup.jaccardPairsPrefixFiltered(docs, "doc_id", "text")
+      .as[(Long, Long, Int, Int)].collect().toSet
+    assert(viaPrefix == viaIndex)
+    // and on the sf0.001 corpus (threshold 1/2, the q25 setting)
+    val corpus = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val a = Dedup.jaccardPairs(corpus, "doc_id", "text")
+      .as[(Long, Long, Int, Int)].collect().toSet
+    val b = Dedup.jaccardPairsPrefixFiltered(corpus, "doc_id", "text")
+      .as[(Long, Long, Int, Int)].collect().toSet
+    assert(a == b, s"prefix filter must be exact: missing ${a -- b}, extra ${b -- a}")
+  }
+
   test("jaccardPairs rejects tau = 0 (zero-intersection pairs are unobservable)") {
     val e = intercept[IllegalArgumentException] {
       Dedup.jaccardPairs(docs, "doc_id", "text", tauNum = 0)

@@ -130,4 +130,31 @@ class SkewSpec extends AnyFunSuite {
     assert(g1.filter(_._2 == 50).forall(_._3 == 50.0))
     assert(out.filter(_._1 == "g2").forall(_._3 == 7.0))
   }
+
+  test("madOutliers: one wild value can't mask itself; constant groups never flag") {
+    // g1: bulk at 10±1 with one wild 1000 — a stddev z would be dragged by
+    // the outlier itself; MAD isn't
+    val rows = ((1 to 20).map(i => ("g1", i.toLong, 10.0 + (i % 3) - 1)) :+ ("g1", 99L, 1000.0))
+      .++((1 to 5).map(i => ("g2", 100L + i, 5.0)))
+      .toDF("grp", "id", "v")
+    val out = Skew.madOutliers(rows, Seq("grp"), "v", threshold = 3.5)
+      .select(col("id"), col("robust_z"), col("is_outlier"))
+      .as[(Long, Option[Double], Boolean)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(99L)._2, "the wild value must flag")
+    assert((1 to 20).forall(i => !out(i.toLong)._2), "the bulk must not flag")
+    // constant group: MAD = 0 -> null scores, never flags
+    assert((101 to 105).forall(i => out(i.toLong) == ((None, false))))
+  }
+
+  test("trimmedMean: drops the tails, rejects float columns loudly") {
+    val rows = ((1 to 10).map(v => ("g", v.toLong)) :+ ("g", 1000000L)).toDF("grp", "v")
+    val r = Skew.trimmedMean(rows, Seq("grp"), "v", frac = 0.1)
+      .select(col("kept_rows"), col("trimmed_mean")).as[(Long, Double)].head()
+    // p10/p90 of 1..10,1e6: the million lands outside the band
+    assert(r._1 < 11 && r._2 < 100.0, s"outlier must be trimmed, got $r")
+    val err = intercept[IllegalArgumentException] {
+      Skew.trimmedMean(Seq(("g", 1.5)).toDF("grp", "v"), Seq("grp"), "v", 0.1)
+    }
+    assert(err.getMessage.contains("integer column"))
+  }
 }

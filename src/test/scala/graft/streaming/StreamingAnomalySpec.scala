@@ -46,4 +46,28 @@ class StreamingAnomalySpec extends AnyFunSuite {
     val got = drain(Seq(rows), "anomaly_const")
     assert(got.forall(_._4.isEmpty), s"constant history must stay null: $got")
   }
+
+  private def drainEwma(batches: Seq[Seq[(Long, Long, Double)]], name: String) = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Double)]
+    val q = StreamingAnomaly.streamingEwma(in.toDS(), alpha = 0.25)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      batches.foreach { b => in.addData(b); q.processAllAvailable() }
+      spark.table(name).as[(Long, Long, Double, Double)].collect().toSeq
+        .sortBy(t => (t._1, t._2))
+    } finally q.stop()
+  }
+
+  test("streaming EWMA: in-order multi-batch drain equals the batch fold value for value") {
+    import org.apache.spark.sql.functions._
+    val rows = (1L to 60L).map(i => (i % 4, i, (i * 13 % 17).toDouble)).toSeq
+    val streamed = drainEwma(Seq(rows.take(17), rows.slice(17, 40), rows.drop(40)), "ewma_split")
+    val batch = graft.operators.TimeSeries.ewmaByKey(
+      rows.toDF("k", "seq", "value"), "k", Seq("seq"), "value", alpha = 0.25)
+      .select(col("k"), col("seq"), col("value"), col("ewma"))
+      .as[(Long, Long, Double, Double)].collect().toSeq.sortBy(t => (t._1, t._2))
+    assert(streamed == batch,
+      "a per-key in-order drain must reproduce TimeSeries.ewmaByKey exactly")
+  }
 }

@@ -206,7 +206,19 @@ class PlanAuditSpec extends AnyFunSuite {
     "q177_median_mode" -> (0, 0, 1),
     // q178: the |langs|-row percentile-bounds table broadcast back — the
     // q37 boundary-table class, explicitly requested in the operator.
-    "q178_winsorize" -> (0, 0, 1)
+    "q178_winsorize" -> (0, 0, 1),
+    // q185: the enum-sized per-type median table (broadcast into BOTH the
+    // MAD derivation and the scoring join — two plan references) plus the
+    // enum-sized MAD table; all |event_types| rows, the q37 class.
+    "q185_mad_outliers" -> (0, 0, 3),
+    // q186: the 1-row digit-total scalar (its crossJoin is the BNLJ —
+    // q35's N class); the digit table itself is 9 rows.
+    "q186_benford" -> (0, 1, 1),
+    // q187: the |langs|-row percentile-bounds broadcast — q178's class.
+    "q187_trimmed_mean" -> (0, 0, 1),
+    // q193: the |event_types|-row from-type totals table (enum-sized)
+    // broadcast into the probability projection — the q37 class.
+    "q193_markov" -> (0, 0, 1)
   )
 
   test("no query plans an unjustified cartesian / BNLJ / derived broadcast") {
