@@ -48,4 +48,78 @@ object Scd {
       .select(col(keyCol), col(valueCol).as("value"),
         col("effective_from"), col("effective_to"), col("version"))
   }
+
+  /** INCREMENTAL SCD2 maintenance — merge an append-only batch of new
+    * attribute events into an existing [[scd2]] table WITHOUT replaying
+    * history: closed rows pass through untouched, each touched key's open
+    * row either extends (first new value equals the current one — the
+    * run continues) or closes at the first new change point, and the new
+    * batch's own runs append with continuing version numbers. The result
+    * equals `scd2(all events ever)` row for row (the q197 gate), at the
+    * cost of ONE scd2 pass over the NEW batch plus key-wise joins against
+    * the existing table — a day's events, not history.
+    *
+    * APPEND-ONLY contract, enforced in-plan with raise_error: every new
+    * event must be strictly later than its key's current
+    * `effective_from`. An event landing INSIDE an already-collapsed run
+    * cannot be merged from the collapsed table (the run's interior
+    * events are gone — by design); replay from the raw event log if
+    * late data crosses change points.
+    *
+    * Shape: scd2 over the batch (per-key windows), then key-wise
+    * SMJ-pinned joins and one anti-join — nothing rescans the dimension
+    * beyond one pass over its rows.
+    */
+  def scd2Merge(
+      existing: DataFrame,
+      newEvents: DataFrame,
+      keyCol: String,
+      orderCols: Seq[String],
+      valueCol: String
+  ): DataFrame = {
+    val newRuns = scd2(newEvents, keyCol, orderCols, valueCol)
+    val open = existing.filter(col("effective_to").isNull)
+      .select(col(keyCol), col("value").as("__v0"), col("effective_from").as("__f0"),
+        col("version").as("__vn"), lit(true).as("__hasOld"))
+    val guarded = newRuns
+      .hint("shuffle_merge")
+      .join(open.hint("shuffle_merge"), Seq(keyCol), "left")
+      // the guard lives in a filter so Catalyst cannot prune it;
+      // raise_error only evaluates on violating rows (the RangeJoin form)
+      .filter(col("__hasOld").isNull || col("effective_from") > col("__f0") ||
+        raise_error(concat(lit("scd2Merge: new event at or before the open run's "),
+          lit("effective_from for key "), col(keyCol).cast("string"))))
+    // does the key's FIRST new run continue the open run's value?
+    val wk = Window.partitionBy(col(keyCol))
+    val firstMerges = max(
+      when(col("version") === 1 && coalesce(col("__hasOld"), lit(false)) &&
+        (col("value") <=> col("__v0")), 1).otherwise(0)).over(wk)
+    val adjusted = guarded
+      .withColumn("__fm", firstMerges === 1)
+      // a merged first run is DROPPED (the old open row absorbs it);
+      // remaining runs renumber after the old version count
+      .filter(!(col("__fm") && col("version") === 1))
+      .select(col(keyCol), col("value"), col("effective_from"), col("effective_to"),
+        (col("version") +
+          when(col("__fm"), col("__vn") - 1)
+            .otherwise(coalesce(col("__vn"), lit(0L)))).cast("int").as("version"))
+    // per-key boundary info for the old open row
+    val firstRun = newRuns.filter(col("version") === 1)
+      .select(col(keyCol), col("value").as("__nv1"),
+        col("effective_from").as("__nf1"), col("effective_to").as("__nt1"))
+    val openAdjusted = open
+      .join(firstRun.hint("shuffle_merge"), Seq(keyCol))
+      .select(col(keyCol), col("__v0").as("value"), col("__f0").as("effective_from"),
+        when(col("__v0") <=> col("__nv1"), col("__nt1")).otherwise(col("__nf1"))
+          .as("effective_to"),
+        col("__vn").as("version"))
+    val touched = newEvents.select(col(keyCol)).distinct()
+    val untouched = existing.join(touched.hint("shuffle_merge"), Seq(keyCol), "left_anti")
+    val closedTouched = existing.filter(col("effective_to").isNotNull)
+      .join(touched.hint("shuffle_merge"), Seq(keyCol), "left_semi")
+    untouched
+      .unionByName(closedTouched)
+      .unionByName(openAdjusted)
+      .unionByName(adjusted)
+  }
 }

@@ -1915,6 +1915,72 @@ object DataPipelinePack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Dedup-cluster size distribution: the post-dedup report card — how
+    // many clusters of each size, how many docs they cover (q43's CC
+    // composed into the histogram a curation run publishes).
+    "q196_dup_cluster_stats" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val edges = Dedup.jaccardPairs(docs, "doc_id", "text").select("id_a", "id_b")
+      val clusters = Dedup.connectedComponents(
+        docs.select(col("doc_id")), "doc_id", edges, "id_a", "id_b")
+      clusters.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .select(col("cluster_size"), col("n_clusters"),
+          (col("cluster_size") * col("n_clusters")).as("n_docs"))
+        .orderBy(col("cluster_size"))
+    }),
+
+    // INCREMENTAL SCD2 maintenance: history built from pre-cutoff events,
+    // the post-cutoff batch merged WITHOUT replaying history — must equal
+    // the from-scratch assembly row for row (q151's own oracle is the
+    // gate).
+    "q197_scd2_merge" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      val cutoff = lit("2024-01-04").cast("timestamp")
+      val existing = graft.operators.Scd.scd2(
+        ev.filter(col("ts") < cutoff), "user_id", Seq("ts", "event_id"), "event_type")
+      graft.operators.Scd.scd2Merge(existing, ev.filter(col("ts") >= cutoff),
+        "user_id", Seq("ts", "event_id"), "event_type")
+        .orderBy(col("user_id"), col("version"))
+    }),
+
+    // Score-decile lift of the trained NB quality model (q117's scorer):
+    // deciles assigned by percentile THRESHOLDS (one bounded aggregation
+    // broadcast back, never a global ntile sort), per-decile positive
+    // rate and lift vs base rate — the model-evaluation lift chart.
+    "q198_score_lift" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"), col("lang"))
+      val weights = TextAnalysis.collectNaiveBayesModel(
+        TextAnalysis.trainNaiveBayesWeights(docs, "text", col("lang") === "en", buckets = 64),
+        buckets = 64)
+      val bias = TextAnalysis.naiveBayesPrior(docs, col("lang") === "en")
+        .select(round(col("bias"), 6)).head().getDouble(0)
+      val scored = TextAnalysis.hashedLinearScore(docs.select(col("doc_id"), col("text")),
+        "doc_id", "text", weights, bias)
+        .join(docs.select(col("doc_id"), (col("lang") === "en").as("__pos"))
+          .hint("shuffle_merge"), Seq("doc_id"))
+      val cuts = scored.agg(
+        expr("percentile(quality_score, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))").as("__t"))
+      val decile = (1 to 9).map(i =>
+        when(col("quality_score") > element_at(col("__t"), i), 1).otherwise(0))
+        .reduce(_ + _) + lit(1)
+      val byDecile = scored.crossJoin(broadcast(cuts))
+        .select(decile.as("decile"), col("__pos"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n"), sum(col("__pos").cast("long")).as("n_pos"))
+      val totals = byDecile.agg(sum(col("n")).cast("double").as("__t"),
+        sum(col("n_pos")).cast("double").as("__tp"))
+      byDecile.crossJoin(broadcast(totals))
+        .select(col("decile"), col("n"), col("n_pos"),
+          (floor(col("n_pos") / col("n").cast("double") * lit(1000000.0) + lit(0.5))
+            .cast("double") / lit(1000000.0)).as("pos_rate"),
+          (floor((col("n_pos") / col("n").cast("double")) / (col("__tp") / col("__t"))
+            * lit(1000000.0) + lit(0.5)).cast("double") / lit(1000000.0)).as("lift"))
+        .orderBy(col("decile"))
+    }),
+
     // Prefix-filtered EXACT set-similarity join (AllPairs/PPJoin family):
     // q25's pair set reproduced through a rarity-ordered prefix candidate
     // scheme instead of the full inverted index — the same oracle proves
@@ -4087,6 +4153,101 @@ object DataPipelinePack extends QueryPack {
              CAST(union_cnt AS INTEGER) AS union_cnt
       FROM pairs WHERE 2 * inter_cnt >= union_cnt
       ORDER BY id_a, id_b""",
+
+    // q43's recursive CC composed into the cluster-size histogram.
+    "q196_dup_cluster_stats" -> """
+      WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      sh AS (
+        SELECT doc_id,
+               CASE WHEN len(w) >= 3
+                    THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])
+                    ELSE [array_to_string(w, ' ')] END AS s
+        FROM toks),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE 2 * len(list_intersect(a.s, b.s)) >= len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL
+        SELECT id_b, id_a FROM pairs),
+      walk(id, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, w.label FROM walk w JOIN edges e ON w.id = e.src),
+      cl AS (SELECT id AS doc_id, min(label) AS cluster_id FROM walk GROUP BY id),
+      sz AS (SELECT cluster_id, count(*) AS cluster_size FROM cl GROUP BY cluster_id)
+      SELECT cluster_size, count(*) AS n_clusters,
+             CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+      FROM sz GROUP BY cluster_size ORDER BY cluster_size""",
+
+    // from-scratch SCD2 over ALL events — the incremental merge must be
+    // indistinguishable from replaying history (q151's oracle).
+    "q197_scd2_merge" -> """
+      WITH ordered AS (
+        SELECT user_id, ts, event_id, event_type,
+               lag(event_type) OVER w AS prev,
+               row_number() OVER w AS rn
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      changes AS (
+        SELECT user_id, ts, event_id, event_type FROM ordered
+        WHERE rn = 1 OR event_type IS DISTINCT FROM prev)
+      SELECT user_id, event_type AS value, ts AS effective_from,
+             lead(ts) OVER w2 AS effective_to,
+             row_number() OVER w2 AS version
+      FROM changes
+      WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY user_id, version""",
+
+    // q117's trained scorer chained into decile thresholds and lift.
+    "q198_score_lift" -> """
+      WITH toksl AS (SELECT lang = 'en' AS pos, unnest(string_split(text, ' ')) AS t
+                     FROM documents),
+      b AS (SELECT pos,
+                   CAST(CAST(concat('0x', substring(md5(t), 1, 15)) AS BIGINT) % 64
+                        AS INTEGER) AS bucket
+            FROM toksl),
+      c AS (SELECT bucket,
+                   sum(CASE WHEN pos THEN 1 ELSE 0 END) AS cpos,
+                   sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS cneg
+            FROM b GROUP BY bucket),
+      tot AS (SELECT sum(cpos) AS tpos, sum(cneg) AS tneg FROM c),
+      dom AS (SELECT unnest(range(0, 64)) AS bucket),
+      w AS (SELECT CAST(dom.bucket AS INTEGER) AS bucket,
+                   round(ln((coalesce(c.cpos, 0) + 1.0) / (tot.tpos + 64.0)) -
+                         ln((coalesce(c.cneg, 0) + 1.0) / (tot.tneg + 64.0)), 6) AS wt
+            FROM dom LEFT JOIN c USING (bucket) CROSS JOIN tot),
+      wl AS (SELECT list(wt ORDER BY bucket) AS wl FROM w),
+      prior AS (SELECT round(ln(
+                  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE) /
+                  sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END)), 6) AS bias
+                FROM documents),
+      toks AS (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents),
+      scored AS (
+        SELECT doc_id, lang = 'en' AS pos,
+               round(1.0 / (1.0 + exp(-(
+                 list_reduce(
+                   list_prepend(prior.bias,
+                     list_transform(tk, t -> wl.wl[
+                       CAST(CAST(concat('0x', substring(md5(t), 1, 15)) AS BIGINT) % 64
+                            AS INTEGER) + 1])),
+                   (acc, x) -> acc + x)))), 4) AS q
+        FROM toks CROSS JOIN wl CROSS JOIN prior),
+      cuts AS (SELECT quantile_cont(q, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS t
+               FROM scored),
+      dec AS (SELECT 1 + len(list_filter(cuts.t, x -> scored.q > x)) AS decile, pos
+              FROM scored CROSS JOIN cuts),
+      agg AS (SELECT decile, count(*) AS n,
+                     CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+              FROM dec GROUP BY decile),
+      t2 AS (SELECT CAST(sum(n) AS DOUBLE) AS t, CAST(sum(n_pos) AS DOUBLE) AS tp FROM agg)
+      SELECT CAST(decile AS INTEGER) AS decile, CAST(n AS BIGINT) AS n, n_pos,
+             CAST(floor(n_pos / CAST(n AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE)
+               / 1000000.0 AS pos_rate,
+             CAST(floor((n_pos / CAST(n AS DOUBLE)) / (t2.tp / t2.t)
+                        * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS lift
+      FROM agg CROSS JOIN t2 ORDER BY decile""",
 
     // identical to q25's exact all-pairs oracle: the prefix-filtered
     // candidate scheme must reproduce the full inverted index's answer.

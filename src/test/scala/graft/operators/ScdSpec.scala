@@ -66,4 +66,38 @@ class ScdSpec extends AnyFunSuite {
       (1L, "b", 20L, Some(30L), 2),
       (1L, "a", 30L, None, 3)))
   }
+
+  test("scd2Merge: incremental == from-scratch across every boundary case") {
+    // key 1: open run CONTINUES across the cutoff (then changes later)
+    // key 2: first new value CHANGES at the cutoff
+    // key 3: only old events (untouched pass-through)
+    // key 4: brand-new key (only new events)
+    // key 5: continues and is the key's ONLY new run (open row stays open)
+    val events = Seq(
+      (1L, 10L, 1L, "a"), (1L, 20L, 2L, "a"), (1L, 110L, 3L, "a"), (1L, 120L, 4L, "b"),
+      (2L, 10L, 5L, "x"), (2L, 110L, 6L, "y"), (2L, 120L, 7L, "y"), (2L, 130L, 8L, "x"),
+      (3L, 10L, 9L, "k"), (3L, 20L, 10L, "m"),
+      (4L, 110L, 11L, "n"), (4L, 120L, 12L, "n"), (4L, 130L, 13L, "p"),
+      (5L, 10L, 14L, "q"), (5L, 110L, 15L, "q")
+    ).toDF("user_id", "ts", "event_id", "v")
+    val old = events.filter($"ts" < 100L)
+    val nw = events.filter($"ts" >= 100L)
+    val existing = Scd.scd2(old, "user_id", Seq("ts", "event_id"), "v")
+    val merged = Scd.scd2Merge(existing, nw, "user_id", Seq("ts", "event_id"), "v")
+      .as[(Long, String, Long, Option[Long], Int)].collect().toSet
+    val scratch = Scd.scd2(events, "user_id", Seq("ts", "event_id"), "v")
+      .as[(Long, String, Long, Option[Long], Int)].collect().toSet
+    assert(merged == scratch,
+      s"incremental != from-scratch: missing ${scratch -- merged}, extra ${merged -- scratch}")
+  }
+
+  test("scd2Merge rejects an event at or before the open run's effective_from") {
+    val old = Seq((1L, 10L, 1L, "a"), (1L, 30L, 2L, "b")).toDF("user_id", "ts", "event_id", "v")
+    val existing = Scd.scd2(old, "user_id", Seq("ts", "event_id"), "v")
+    val late = Seq((1L, 30L, 3L, "c")).toDF("user_id", "ts", "event_id", "v")
+    val err = intercept[Exception] {
+      Scd.scd2Merge(existing, late, "user_id", Seq("ts", "event_id"), "v").collect()
+    }
+    assert(err.getMessage != null)
+  }
 }

@@ -218,7 +218,12 @@ class PlanAuditSpec extends AnyFunSuite {
     "q187_trimmed_mean" -> (0, 0, 1),
     // q193: the |event_types|-row from-type totals table (enum-sized)
     // broadcast into the probability projection — the q37 class.
-    "q193_markov" -> (0, 0, 1)
+    "q193_markov" -> (0, 0, 1),
+    // q198: three bounded scalar/boundary tables crossJoined back (the
+    // BNLJs and their broadcasts) — the 1-row decile-threshold aggregate
+    // (q37's class), the 1-row corpus totals (q35's N class), and the
+    // NB prior's 1-row aggregate inside the trained-scorer composition.
+    "q198_score_lift" -> (0, 3, 3)
   )
 
   test("no query plans an unjustified cartesian / BNLJ / derived broadcast") {
