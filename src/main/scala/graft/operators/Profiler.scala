@@ -104,7 +104,11 @@ object Profiler {
     require(groupCols.nonEmpty, "at least one group column is required")
     val x = col(xCol).cast(s"decimal(18,$decimalScale)")
     val y = col(yCol).cast(s"decimal(18,$decimalScale)")
-    val sums = df.groupBy(groupCols.map(col): _*)
+    // pairwise-complete rows only: sum() skips nulls but count(*) doesn't,
+    // so a nullable column would silently corrupt r (n over all rows, Σ
+    // over fewer — the r10 self-review finding)
+    val complete = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+    val sums = complete.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n"),
         sum(x).cast("decimal(38,8)").as("__sx"),
         sum(y).cast("decimal(38,8)").as("__sy"),
@@ -118,7 +122,7 @@ object Profiler {
     val num = nD * d("__sxy") - d("__sx") * d("__sy")
     sums.select(groupCols.map(col) :+ col("n") :+
       when(vx > 0.0 && vy > 0.0,
-        floor(num / sqrt(vx * vy) * lit(1000000.0) + lit(0.5)).cast("double") / lit(1000000.0))
+        graft.functions.Quantize.scaledFloor(num / sqrt(vx * vy), 6))
         .as("r"): _*)
   }
 
@@ -143,7 +147,7 @@ object Profiler {
       .groupBy(col("digit")).agg(count(lit(1)).as("cnt"))
     val total = digits.agg(sum(col("cnt")).cast("double").as("__n"))
     def q6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      floor(c * lit(1000000.0) + lit(0.5)).cast("double") / lit(1000000.0)
+      graft.functions.Quantize.scaledFloor(c, 6)
     digits.crossJoin(broadcast(total))
       .select(col("digit"), col("cnt"),
         q6(col("cnt") / col("__n")).as("obs_frac"),

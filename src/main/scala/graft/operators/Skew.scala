@@ -209,10 +209,8 @@ object Skew {
     * an IEEE double op any engine reproduces bitwise (the portable form
     * of round(); see [[TimeSeries]] for the measured round() divergence
     * class). Also maps (−0.5·10⁻ˢ, 0.5·10⁻ˢ) to +0, killing signed zero. */
-  private def qfloor(c: Column, scale: Int): Column = {
-    val m = math.pow(10.0, scale)
-    floor(c * lit(m) + lit(0.5)).cast("double") / lit(m)
-  }
+  private def qfloor(c: Column, scale: Int): Column =
+    graft.functions.Quantize.scaledFloor(c, scale)
 
   /** MAD-based robust outlier scoring per group — median absolute
     * deviation with the 0.6745 normal-consistency constant:
@@ -233,7 +231,7 @@ object Skew {
   ): DataFrame = {
     require(groupCols.nonEmpty, "at least one group column is required")
     val med = df.groupBy(groupCols.map(col): _*)
-      .agg(expr(s"percentile($valueCol, 0.5)").as("__med"))
+      .agg(expr(s"percentile(`$valueCol`, 0.5)").as("__med"))
     val withMed = df.join(broadcast(med), groupCols)
       .withColumn("__absdev", abs(col(valueCol).cast("double") - col("__med")))
     val mad = withMed.groupBy(groupCols.map(col): _*)
@@ -268,8 +266,8 @@ object Skew {
     }, s"trimmedMean requires an integer column (float sums are summation-order-sensitive); " +
       s"'$valueCol' is ${df.schema(valueCol).dataType.simpleString}")
     val bounds = df.groupBy(groupCols.map(col): _*)
-      .agg(expr(s"percentile($valueCol, $frac)").as("__lo"),
-        expr(s"percentile($valueCol, ${1.0 - frac})").as("__hi"))
+      .agg(expr(s"percentile(`$valueCol`, $frac)").as("__lo"),
+        expr(s"percentile(`$valueCol`, ${1.0 - frac})").as("__hi"))
     df.join(broadcast(bounds), groupCols)
       .filter(col(valueCol) >= col("__lo") && col(valueCol) <= col("__hi"))
       .groupBy(groupCols.map(col): _*)
@@ -298,11 +296,11 @@ object Skew {
     require(groupCols.nonEmpty, "at least one group column is required")
     require(lo >= 0.0 && hi <= 1.0 && lo < hi, s"need 0 <= lo < hi <= 1, got [$lo, $hi]")
     val bounds = df.groupBy(groupCols.map(col): _*)
-      .agg(expr(s"percentile($valueCol, $lo)").as("__lo"),
-        expr(s"percentile($valueCol, $hi)").as("__hi"))
+      .agg(expr(s"percentile(`$valueCol`, $lo)").as("__lo"),
+        expr(s"percentile(`$valueCol`, $hi)").as("__hi"))
     df.join(broadcast(bounds), groupCols)
       .withColumn("winsorized",
-        round(greatest(col("__lo"), least(col("__hi"), col(valueCol).cast("double"))), 4))
+        qfloor(greatest(col("__lo"), least(col("__hi"), col(valueCol).cast("double"))), 4))
       .drop("__lo", "__hi")
   }
 }

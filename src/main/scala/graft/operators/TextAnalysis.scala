@@ -382,6 +382,38 @@ object TextAnalysis {
         col("__best").getField("__dist").as("dist"))
   }
 
+  /** [[classifyByTrigramProfiles]] with a CONFIDENCE MARGIN: the integer
+    * gap between the best and the runner-up language distance — the
+    * abstain signal a multilingual router thresholds on (margin 0 means
+    * the classifier genuinely can't tell; route to a heavier model or
+    * keep both). Same shapes, one extra min-struct over the per-language
+    * distances; everything integer, engine-exact.
+    */
+  def classifyByTrigramProfilesWithMargin(
+      df: DataFrame, idCol: String, textCol: String, profiles: DataFrame, topN: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topN > 0, s"topN must be positive, got $topN")
+    val dw = Window.partitionBy(col(idCol)).orderBy(col("__c").desc, col("gram"))
+    val docGrams = df
+      .select(col(idCol), explode(charTrigrams(col(textCol))).as("gram"))
+      .groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("__c"))
+      .withColumn("drank", row_number().over(dw))
+      .filter(col("drank") <= topN)
+    val langs = profiles.select(col("lang")).distinct()
+    val dist = docGrams
+      .crossJoin(broadcast(langs))
+      .join(broadcast(profiles), Seq("lang", "gram"), "left")
+      .groupBy(col(idCol), col("lang"))
+      .agg(sum(coalesce(abs(col("drank") - col("rank")), lit(topN.toLong))).as("__dist"))
+    val ranked = Window.partitionBy(col(idCol)).orderBy(col("__dist"), col("lang"))
+    dist
+      .withColumn("__rn", row_number().over(ranked))
+      .withColumn("__next", lead(col("__dist"), 1).over(ranked))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("lang").as("pred_lang"), col("__dist").as("dist"),
+        (col("__next") - col("__dist")).as("margin"))
+  }
+
   /** Stopword-profile language scores + argmax (alphabetical tiebreak on
     * equal hit counts — deterministic). Emits integer hit counts so the
     * result is engine-exact.
@@ -1309,7 +1341,10 @@ object TextAnalysis {
       k: Int
   ): DataFrame = {
     require(minCount >= 1 && k > 0, "minCount and k must be positive")
-    val toks = df.select(tokens(col(textCol)).as("__toks"))
+    // referenced by the unigram count, the bigram count, AND the bigram
+    // total — materialize once or the tokenize replays per reference
+    // (the jaccardPairsPrefixFiltered lesson)
+    val toks = df.select(tokens(col(textCol)).as("__toks")).localCheckpoint(true)
     val uni = toks.select(explode(col("__toks")).as("__w"))
       .groupBy(col("__w")).agg(count(lit(1)).as("__c"))
     val totals = uni.agg(sum(col("__c")).cast("double").as("__n"))
@@ -1421,8 +1456,18 @@ object TextAnalysis {
       .crossJoin(broadcast(corpus))
       .withColumn("__p", col("__cs") / col("__ts").cast("double"))
       .withColumn("__q", (col("__ct") + 1).cast("double") / (col("__tt") + col("__v")))
+      // per-term contributions quantized to a 1e-7 integer grid BEFORE the
+      // sum: a raw float sum over a vocabulary-sized group follows
+      // nondeterministic shuffle-fetch order (run-to-run AND cross-engine
+      // divergence at the last ulp — the r10 self-review finding); integer
+      // sums are order-free, so the statistic is reproducible by
+      // construction at the cost of a 1e-7-per-term quantization error
+      .withColumn("__c7",
+        floor((col("__p") * log(col("__p") / col("__q"))) * lit(1.0e7) + lit(0.5))
+          .cast("long"))
       .groupBy(col("slice"))
-      .agg(round(sum(col("__p") * log(col("__p") / col("__q"))), 6).as("kl_nats"))
+      .agg(graft.functions.Quantize.scaledFloor(
+        sum(col("__c7")).cast("double") / lit(1.0e7), 6).as("kl_nats"))
   }
 
   /** Character-class profile + mojibake flag per document: fractions of

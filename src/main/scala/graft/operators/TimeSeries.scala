@@ -182,7 +182,7 @@ object TimeSeries {
     * arithmetic the fold itself is made of. Also kills signed zero:
     * floor of anything in (−0.5, 0.5) is +0. */
   private def quantize6(c: Column): Column =
-    floor(c * lit(1000000.0) + lit(0.5)).cast("double") / lit(1000000.0)
+    graft.functions.Quantize.scaledFloor(c, 6)
 
   /** Two-sided CUSUM change detection per key (Page 1954):
     * `S⁺ₜ = max(0, S⁺ₜ₋₁ + (xₜ − target − slack))`,

@@ -1915,6 +1915,46 @@ object DataPipelinePack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Trigram lang-id with a CONFIDENCE MARGIN (best vs runner-up integer
+    // distance): the abstain/route signal a multilingual pipeline
+    // thresholds on — q137's classifier, one extra ranked window.
+    "q199_langid_margin" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val profiles = TextAnalysis.trainTrigramProfiles(
+        docs.filter(col("doc_id") % 2 === 0), "lang", "text", topN = 20)
+      TextAnalysis.classifyByTrigramProfilesWithMargin(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", profiles, topN = 20)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Sequence-gap audit: contiguous runs of MISSING ids (planted: every
+    // 97th event dropped) as (gap_start, gap_end, missing) rows — the
+    // ingestion-completeness card (did the extractor skip a range?).
+    "q200_id_gaps" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ids = Tables.events(s, d).filter(col("event_id") % 97 =!= 0)
+        .select(col("event_id"))
+      val w = Window.orderBy(col("event_id"))
+      ids
+        .withColumn("__prev", lag(col("event_id"), 1).over(w))
+        .filter(col("__prev").isNotNull && col("event_id") - col("__prev") > 1)
+        .select((col("__prev") + 1).as("gap_start"),
+          (col("event_id") - 1).as("gap_end"),
+          (col("event_id") - col("__prev") - 1).as("missing"))
+        .orderBy(col("gap_start"))
+    }),
+
+    // ROLLUP with grouping_id: the aggregation-level indicator downstream
+    // pivot/report consumers key on — completes the grouping-sets surface
+    // (q10-q12) with the bitmask column itself.
+    "q201_grouping_id" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("cnt"),
+          sum(col("l_quantity").cast("decimal(28,4)")).cast("double").as("sum_qty"))
+        .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+    }),
+
     // Dedup-cluster size distribution: the post-dedup report card — how
     // many clusters of each size, how many docs they cover (q43's CC
     // composed into the histogram a curation run publishes).
@@ -1974,10 +2014,11 @@ object DataPipelinePack extends QueryPack {
         sum(col("n_pos")).cast("double").as("__tp"))
       byDecile.crossJoin(broadcast(totals))
         .select(col("decile"), col("n"), col("n_pos"),
-          (floor(col("n_pos") / col("n").cast("double") * lit(1000000.0) + lit(0.5))
-            .cast("double") / lit(1000000.0)).as("pos_rate"),
-          (floor((col("n_pos") / col("n").cast("double")) / (col("__tp") / col("__t"))
-            * lit(1000000.0) + lit(0.5)).cast("double") / lit(1000000.0)).as("lift"))
+          graft.functions.Quantize.scaledFloor(
+            col("n_pos") / col("n").cast("double"), 6).as("pos_rate"),
+          graft.functions.Quantize.scaledFloor(
+            (col("n_pos") / col("n").cast("double")) / (col("__tp") / col("__t")), 6)
+            .as("lift"))
         .orderBy(col("decile"))
     }),
 
@@ -2018,10 +2059,15 @@ object DataPipelinePack extends QueryPack {
           col("cts") >= col("pts") - lit(7L * 86400L * 1000000L))
       val perPurchase = matched.groupBy(col("purchase_id")).agg(count(lit(1)).as("__np"))
       matched.join(perPurchase.hint("shuffle_merge"), Seq("purchase_id"))
+        // per-purchase 1/n credit quantized to a 1e-7 integer grid before
+        // summing — the order-free form (see klFromCorpus); 1/n is a single
+        // division, the same double in any engine
+        .withColumn("__c7",
+          floor(lit(1.0) / col("__np") * lit(1.0e7) + lit(0.5)).cast("long"))
         .groupBy(col("click_id"))
         .agg(count(lit(1)).as("n_purchases"),
-          (floor(sum(lit(1.0) / col("__np")) * lit(1000000.0) + lit(0.5)).cast("double")
-            / lit(1000000.0)).as("credit"))
+          graft.functions.Quantize.scaledFloor(
+            sum(col("__c7")).cast("double") / lit(1.0e7), 6).as("credit"))
         .orderBy(col("click_id"))
     }),
 
@@ -2041,8 +2087,8 @@ object DataPipelinePack extends QueryPack {
       val totals = counts.groupBy(col("from_type")).agg(sum(col("cnt")).as("__tot"))
       counts.join(broadcast(totals), Seq("from_type"))
         .select(col("from_type"), col("to_type"), col("cnt"),
-          (floor(col("cnt") / col("__tot").cast("double") * lit(1000000.0) + lit(0.5))
-            .cast("double") / lit(1000000.0)).as("prob"))
+          graft.functions.Quantize.scaledFloor(
+            col("cnt") / col("__tot").cast("double"), 6).as("prob"))
         .orderBy(col("from_type"), col("to_type"))
     }),
 
@@ -3086,18 +3132,25 @@ object DataPipelinePack extends QueryPack {
       SELECT grp, CAST(rnk AS INTEGER) AS rnk, term, CAST(a AS BIGINT) AS cnt, chi2
       FROM ranked WHERE rnk <= 5 ORDER BY grp, rnk""",
 
+    // per-term contributions on a 1e-7 integer grid before the sum —
+    // integer sums are order-free, so both engines (and every Spark
+    // re-run) produce the identical statistic by construction.
     "q172_kl_divergence" -> """
       WITH occ AS (SELECT source AS slice, unnest(string_split(text, ' ')) AS t FROM documents),
       st AS (SELECT slice, t, count(*) AS cs FROM occ GROUP BY slice, t),
       tm AS (SELECT t, CAST(sum(cs) AS BIGINT) AS ct FROM st GROUP BY t),
       stot AS (SELECT slice, CAST(sum(cs) AS BIGINT) AS ts FROM st GROUP BY slice),
-      corp AS (SELECT CAST(sum(ct) AS BIGINT) AS tt, count(*) AS v FROM tm)
-      SELECT st.slice,
-             round(sum((st.cs / CAST(stot.ts AS DOUBLE)) *
-                       ln((st.cs / CAST(stot.ts AS DOUBLE)) /
-                          (CAST(tm.ct + 1 AS DOUBLE) / (corp.tt + corp.v)))), 6) AS kl_nats
-      FROM st JOIN tm USING (t) JOIN stot USING (slice) CROSS JOIN corp
-      GROUP BY st.slice ORDER BY st.slice""",
+      corp AS (SELECT CAST(sum(ct) AS BIGINT) AS tt, count(*) AS v FROM tm),
+      terms AS (SELECT st.slice,
+                       CAST(floor(((st.cs / CAST(stot.ts AS DOUBLE)) *
+                                   ln((st.cs / CAST(stot.ts AS DOUBLE)) /
+                                      (CAST(tm.ct + 1 AS DOUBLE) / (corp.tt + corp.v))))
+                                  * 10000000.0 + 0.5) AS BIGINT) AS c7
+                FROM st JOIN tm USING (t) JOIN stot USING (slice) CROSS JOIN corp)
+      SELECT slice,
+             CAST(floor(CAST(sum(c7) AS DOUBLE) / 10000000.0 * 1000000.0 + 0.5) AS DOUBLE)
+               / 1000000.0 AS kl_nats
+      FROM terms GROUP BY slice ORDER BY slice""",
 
     "q173_script_mix" -> s"""
       WITH planted AS (
@@ -3200,7 +3253,8 @@ object DataPipelinePack extends QueryPack {
                         quantile_cont(n_chars, 0.95) AS hi
                  FROM documents GROUP BY lang)
       SELECT doc_id, d.lang, n_chars,
-             round(greatest(b.lo, least(b.hi, CAST(n_chars AS DOUBLE))), 4) AS winsorized
+             CAST(floor(greatest(b.lo, least(b.hi, CAST(n_chars AS DOUBLE)))
+                        * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS winsorized
       FROM documents d JOIN b USING (lang) ORDER BY doc_id""",
 
     // two peel rounds unrolled: drop degree-<11 nodes, restrict edges,
@@ -3367,12 +3421,14 @@ object DataPipelinePack extends QueryPack {
       m AS (SELECT c.click_id, p.purchase_id
             FROM c JOIN p ON c.user_id = p.user_id
             WHERE c.cts <= p.pts AND c.cts >= p.pts - 604800000000),
-      np AS (SELECT purchase_id, count(*) AS np FROM m GROUP BY purchase_id)
-      SELECT m.click_id, count(*) AS n_purchases,
-             CAST(floor(sum(1.0 / CAST(np.np AS DOUBLE)) * 1000000.0 + 0.5) AS DOUBLE)
+      np AS (SELECT purchase_id, count(*) AS np FROM m GROUP BY purchase_id),
+      terms AS (SELECT m.click_id,
+                       CAST(floor(1.0 / CAST(np.np AS DOUBLE) * 10000000.0 + 0.5) AS BIGINT) AS c7
+                FROM m JOIN np ON m.purchase_id = np.purchase_id)
+      SELECT click_id, count(*) AS n_purchases,
+             CAST(floor(CAST(sum(c7) AS DOUBLE) / 10000000.0 * 1000000.0 + 0.5) AS DOUBLE)
                / 1000000.0 AS credit
-      FROM m JOIN np ON m.purchase_id = np.purchase_id
-      GROUP BY m.click_id ORDER BY m.click_id""",
+      FROM terms GROUP BY click_id ORDER BY click_id""",
 
     "q193_markov" -> """
       WITH tr AS (
@@ -4153,6 +4209,56 @@ object DataPipelinePack extends QueryPack {
              CAST(union_cnt AS INTEGER) AS union_cnt
       FROM pairs WHERE 2 * inter_cnt >= union_cnt
       ORDER BY id_a, id_b""",
+
+    // q137's classifier with the runner-up margin: same rank profiles,
+    // top-2 distances per doc instead of the argmin alone.
+    "q199_langid_margin" -> """
+      WITH tr AS (SELECT lang, lower(text) AS t FROM documents WHERE doc_id % 2 = 0),
+      trg AS (SELECT lang, substring(t, CAST(i AS INTEGER), 3) AS gram
+              FROM (SELECT lang, t, unnest(range(1, len(t) - 1)) AS i
+                    FROM tr WHERE len(t) >= 3)),
+      pc AS (SELECT lang, gram, count(*) AS c FROM trg GROUP BY lang, gram),
+      prof AS (SELECT lang, gram, rank FROM (
+                 SELECT lang, gram,
+                        row_number() OVER (PARTITION BY lang ORDER BY c DESC, gram) AS rank
+                 FROM pc) WHERE rank <= 20),
+      od AS (SELECT doc_id, lower(text) AS t FROM documents WHERE doc_id % 2 = 1),
+      og AS (SELECT doc_id, substring(t, CAST(i AS INTEGER), 3) AS gram
+             FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+                   FROM od WHERE len(t) >= 3)),
+      oc AS (SELECT doc_id, gram, count(*) AS c FROM og GROUP BY doc_id, gram),
+      dp AS (SELECT doc_id, gram, drank FROM (
+               SELECT doc_id, gram,
+                      row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram) AS drank
+               FROM oc) WHERE drank <= 20),
+      langs AS (SELECT DISTINCT lang FROM prof),
+      dist AS (SELECT dp.doc_id, l.lang,
+                      CAST(sum(coalesce(abs(dp.drank - prof.rank), 20)) AS BIGINT) AS dist
+               FROM dp CROSS JOIN langs l
+                    LEFT JOIN prof ON prof.lang = l.lang AND prof.gram = dp.gram
+               GROUP BY dp.doc_id, l.lang),
+      ranked AS (SELECT doc_id, lang, dist,
+                        row_number() OVER (PARTITION BY doc_id ORDER BY dist, lang) AS rn,
+                        lead(dist) OVER (PARTITION BY doc_id ORDER BY dist, lang) AS nxt
+                 FROM dist)
+      SELECT doc_id, lang AS pred_lang, dist, nxt - dist AS margin
+      FROM ranked WHERE rn = 1 ORDER BY doc_id""",
+
+    "q200_id_gaps" -> """
+      WITH ids AS (SELECT event_id FROM events WHERE event_id % 97 <> 0),
+      w AS (SELECT event_id, lag(event_id) OVER (ORDER BY event_id) AS prev FROM ids)
+      SELECT prev + 1 AS gap_start, event_id - 1 AS gap_end,
+             event_id - prev - 1 AS missing
+      FROM w WHERE prev IS NOT NULL AND event_id - prev > 1
+      ORDER BY gap_start""",
+
+    "q201_grouping_id" -> """
+      SELECT l_returnflag, l_linestatus,
+             CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+             count(*) AS cnt,
+             CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty
+      FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      ORDER BY gid, l_returnflag, l_linestatus""",
 
     // q43's recursive CC composed into the cluster-size histogram.
     "q196_dup_cluster_stats" -> """

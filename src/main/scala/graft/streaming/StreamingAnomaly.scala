@@ -75,7 +75,7 @@ object StreamingAnomaly {
           val out = events.toSeq.sortBy(_._2).map { case (_, seq, v) =>
             e = if (!started) v else alpha * v + oneMinus * e
             started = true
-            (key, seq, v, math.floor(e * 1000000.0 + 0.5) / 1000000.0)
+            (key, seq, v, graft.functions.Quantize.scaledFloorDouble(e, 6))
           }
           state.update((started, e))
           out.iterator

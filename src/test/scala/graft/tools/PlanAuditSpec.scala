@@ -223,7 +223,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // BNLJs and their broadcasts) — the 1-row decile-threshold aggregate
     // (q37's class), the 1-row corpus totals (q35's N class), and the
     // NB prior's 1-row aggregate inside the trained-scorer composition.
-    "q198_score_lift" -> (0, 3, 3)
+    "q198_score_lift" -> (0, 3, 3),
+    // q199: q137's allowance — the |langs|-row language list crossJoined
+    // (its broadcast is the BNLJ) plus the two model-sized broadcasts.
+    "q199_langid_margin" -> (0, 1, 2)
   )
 
   test("no query plans an unjustified cartesian / BNLJ / derived broadcast") {
