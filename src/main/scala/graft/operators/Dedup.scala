@@ -612,6 +612,15 @@ object Dedup {
     * rank-and-cut (window over the doc's own elements — doc-length
     * bounded), one prefix self-join, one verify join against the full
     * element table; every join SMJ-pinned.
+    *
+    * CONTRACT: run EXACT dedup first. A w-wide cluster of IDENTICAL
+    * documents has no rare shingles — every prefix element's posting is
+    * ≥ w wide, so candidates are inherently Ω(w²) per cluster (that IS
+    * the J=1 output, but it is also ~80 GB of candidate spill at the
+    * ×16-identical ScaleSmoke widening). On a deduped/organic corpus the
+    * rarity order concentrates prefixes on near-unique shingles and the
+    * candidate set tracks the true near-dup pairs (measured: the
+    * text-perturbed ×16 smoke stage).
     */
   def jaccardPairsPrefixFiltered(
       df: DataFrame,

@@ -23,6 +23,14 @@ object ScaleSmoke {
       val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
       println(f"[smoke] $name%-34s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      // UNTIMED inter-stage cleanup, the Bench.scala §8.0 harness: 80+
+      // stages in one JVM accumulate localCheckpoint blocks (triangles,
+      // HITS, CC, ppjoin all pin storage) that ContextCleaner only
+      // reclaims after a GC — without this, storage-pinned memory starved
+      // a ×16 ppjoin sort into UNABLE_TO_ACQUIRE_MEMORY.
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      System.gc()
     }
 
     def widen(df: DataFrame, idCol: String): DataFrame =
@@ -569,6 +577,98 @@ object ScaleSmoke {
       time("entity resolution (hot blocks)")(
         Dedup.blockedEntityPairs(ents, "doc_id", "name",
           Seq("blk"), maxDistance = 6, truncateAt = 64))
+    }
+
+    // --- round-10 operator families ----------------------------------------
+
+    // Prefix-filtered exact Jaccard join, run THE WAY ITS CONTRACT SAYS:
+    // exact dedup first, ppjoin over the survivors. The widened corpus is
+    // the operator's documented degenerate case when fed raw — a 16-wide
+    // identical cluster has NO rare shingles, every prefix element's
+    // posting is >= 16 wide, candidates are inherently Ω(width²) per
+    // cluster, and the raw-input run spilled > 80 GB of candidate rows at
+    // ×16 before dying (measured; the reason the dedup-first contract is
+    // in the scaladoc). The composed stage: exactKeepFirst absorbs the
+    // ×mult duplication at scan cost, ppjoin sees only survivors.
+    time("exact-dedup-first + ppjoin")(
+      Dedup.jaccardPairsPrefixFiltered(
+        Dedup.exactKeepFirst(docs, "text", "doc_id"), "doc_id", "text"))
+
+    // Triangles + peel over a two-residue graph built from the widened
+    // corpus: distinct-edge count saturates at the residue grid, so both
+    // should flatten past the saturation point — the degree-ordered wedge
+    // bound under maximal duplicate-edge pressure.
+    locally {
+      val edges = docs.select((col("doc_id") % 400).as("src"),
+        ((col("doc_id") / 400).cast("long") * 7 + col("doc_id") * 13 + 5).mod(400).as("dst"))
+      time("triangles (compact-forward)")(
+        graft.operators.Graph.triangles(edges, "src", "dst"))
+      time("degree peel (k=11, 2 rounds)")(
+        graft.operators.Graph.degreePeel(edges, "src", "dst", k = 11, iterations = 2))
+    }
+
+    // Personalized PageRank: same SMJ iteration as q103's, teleport a pure
+    // expression — linear in edges x iterations.
+    time("personalized pagerank (2 iters)")(
+      graft.operators.Graph.personalizedPageRank(
+        docs.select(col("source").as("src"),
+          concat(lit("site"), (col("doc_id") % 1000).cast("string")).as("dst")),
+        "src", "dst", seeds = Seq("src0", "src1"), iterations = 2))
+
+    // Corpus statistics sweep: PMI (two vocab-shaped count joins), chi2
+    // (enum marginals), KL (integer-grid sum), lexical diversity — all
+    // count-table-bounded; linear in corpus scan.
+    time("pmi collocations")(
+      TextAnalysis.pmiCollocations(docs, "text", minCount = 5, k = 50))
+    time("chi2 keywords per lang")(
+      TextAnalysis.chiSquaredKeywords(docs, "lang", "text", minCount = 20, k = 5))
+    time("kl divergence per source")(
+      TextAnalysis.klFromCorpus(docs, "source", "text"))
+    time("lexical diversity per lang")(
+      TextAnalysis.lexicalDiversity(docs, "lang", "text"))
+    time("ngram novelty vs reference")(
+      TextAnalysis.ngramNovelty(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+        docs.filter(col("doc_id") % 2 === 0), "text"))
+    time("script profile + readability")(
+      TextAnalysis.scriptProfile(docs, "doc_id", "text")
+        .join(TextAnalysis.readability(docs, "doc_id", "text"), "doc_id"))
+
+    // Epoch mixing: <= ceil(e)-wide explode, zero shuffle.
+    time("epoch mix (fractional)")(
+      Sampling.epochMix(docs.select(col("doc_id"), col("lang")), "doc_id", "lang",
+        Seq("de" -> 2.5, "en" -> 0.5, "es" -> 1.0, "fr" -> 1.25, "zh" -> 2.0), "smoke-em"))
+
+    // Secondary-sort folds with hot keys: events widen on event_id keeping
+    // user_id — per-key series carry mult x the rows, state stays O(1).
+    locally {
+      val evs = widen(Tables.events(spark, sfDir)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value")), "event_id")
+      time("ewma fold (hot keys)")(
+        graft.operators.TimeSeries.ewmaByKey(evs, "user_id", Seq("ts", "event_id"),
+          "value", alpha = 0.25))
+      time("cusum fold (hot keys)")(
+        graft.operators.TimeSeries.cusumByKey(evs, "user_id", Seq("ts", "event_id"),
+          "value", target = 50.0, slack = 10.0, threshold = 200.0))
+      time("mad outliers per event type")(
+        Skew.madOutliers(evs.select(col("event_id"), col("user_id"), col("value"))
+          .withColumn("event_type", (col("event_id") % 5).cast("string")),
+          Seq("event_type"), "value"))
+    }
+
+    // Incremental SCD2: history from the UNWIDENED events, a widened new
+    // batch merged — cost should track the batch + one pass over the
+    // dimension rows, never history replay.
+    locally {
+      val base = Tables.events(spark, sfDir)
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      val existing = graft.operators.Scd.scd2(base, "user_id", Seq("ts", "event_id"), "event_type")
+      val newBatch = widen(base, "event_id")
+        .select(col("event_id"), col("user_id"),
+          (col("ts") + expr("INTERVAL 365 DAYS")).as("ts"), col("event_type"))
+      time("scd2 incremental merge (wide batch)")(
+        graft.operators.Scd.scd2Merge(existing, newBatch,
+          "user_id", Seq("ts", "event_id"), "event_type"))
     }
 
     spark.stop()
