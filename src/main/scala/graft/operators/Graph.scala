@@ -246,7 +246,7 @@ object Graph {
       .select(col("node"), col("degree"),
         coalesce(col("tri_cnt"), lit(0L)).as("tri_cnt"),
         when(col("degree") >= 2,
-          round(lit(2.0) * coalesce(col("tri_cnt"), lit(0L)) /
+          graft.functions.Quantize.scaledFloor(lit(2.0) * coalesce(col("tri_cnt"), lit(0L)) /
             (col("degree") * (col("degree") - lit(1L))), 6))
           .otherwise(lit(0.0)).as("clustering"))
   }

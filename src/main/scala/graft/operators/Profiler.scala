@@ -193,7 +193,7 @@ object Profiler {
       .withColumn("__target", col("q") * col("__n"))
       .filter(col("__cum") >= col("__target") && col("__before") < col("__target"))
       .select(groupCols.map(col) :+ col("q") :+
-        round(lit(minV) +
+        graft.functions.Quantize.scaledFloor(lit(minV) +
           (col("bin") + (col("__target") - col("__before")) / col("cnt")) *
             (lit(d).cast("double") / lit(bins)), 4).as("est"): _*)
   }

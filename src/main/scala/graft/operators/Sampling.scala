@@ -580,24 +580,35 @@ object Sampling {
     * Shape at 100 TB: one pure projection + a ≤⌈e⌉-wide explode — zero
     * shuffle, stream-safe; the mix table is a literal CASE chain, never a
     * join.
+    *
+    * Groups ABSENT from `epochs` get 0 copies and are DROPPED — the recipe
+    * is a whitelist, so a new language appearing in the corpus after the
+    * recipe was written silently vanishes from the mix. Callers that want
+    * unlisted groups to survive must say so: pass `defaultEpochs = 1.0`
+    * (or any rate) to give every unlisted group that epoch count instead.
     */
   def epochMix(
       df: DataFrame,
       keyCol: String,
       groupCol: String,
       epochs: Seq[(String, Double)],
-      salt: String
+      salt: String,
+      defaultEpochs: Double = 0.0
   ): DataFrame = {
     require(epochs.nonEmpty && epochs.forall(_._2 >= 0.0), "epochs must be non-negative")
     require(epochs.map(_._1).distinct.length == epochs.length, "duplicate group in epochs")
+    require(defaultEpochs >= 0.0, s"defaultEpochs must be non-negative, got $defaultEpochs")
     val full = epochs.foldLeft(when(lit(false), lit(0L))) { case (c, (g, e)) =>
       c.when(col(groupCol) === g, lit(math.floor(e).toLong))
-    }.otherwise(lit(0L))
+    }.otherwise(lit(math.floor(defaultEpochs).toLong))
+    val defaultFrac = defaultEpochs - math.floor(defaultEpochs)
     val admit = epochs.foldLeft(when(lit(false), lit(false))) { case (c, (g, e)) =>
       val frac = e - math.floor(e)
       c.when(col(groupCol) === g,
         keyHash(col(keyCol), salt) < lit(threshold(frac)))
-    }.otherwise(lit(false))
+    }.otherwise(
+      if (defaultFrac == 0.0) lit(false)
+      else keyHash(col(keyCol), salt) < lit(threshold(defaultFrac)))
     df
       .withColumn("__copies", full + admit.cast("long"))
       .filter(col("__copies") > 0)

@@ -59,36 +59,63 @@ object Scd {
     * cost of ONE scd2 pass over the NEW batch plus key-wise joins against
     * the existing table — a day's events, not history.
     *
-    * APPEND-ONLY contract, enforced in-plan with raise_error: every new
-    * event must be strictly later than its key's current
-    * `effective_from`. An event landing INSIDE an already-collapsed run
-    * cannot be merged from the collapsed table (the run's interior
-    * events are gone — by design); replay from the raw event log if
-    * late data crosses change points.
+    * APPEND-ONLY contract, enforced in-plan with raise_error. The
+    * collapsed table alone can only witness each key's open-run
+    * `effective_from`, so the built-in guard (every new event strictly
+    * later than it) is NECESSARY BUT NOT SUFFICIENT: an event landing
+    * after `effective_from` but at/before the key's last already-ingested
+    * event — the run's interior, whose events the collapse discarded by
+    * design — passes it, and the merged history then diverges from
+    * from-scratch replay (a change-back at a later old event is lost).
+    * Pass `watermarks` (one row per key: the max event time ever
+    * ingested, the frame a deployment persists alongside the dimension
+    * and folds `max(orderCols.head)` of each batch into) to make the
+    * guard SUFFICIENT: each key's earliest new event — the first new
+    * run's `effective_from` — must then be strictly later than the
+    * watermark, which bounds every new event past everything ingested,
+    * and the row-for-row equality with `scd2(all events)` (the q197
+    * gate) holds unconditionally. Without it, equality holds only when
+    * callers honor the contract; replay from the raw event log if late
+    * data lands inside a run.
     *
     * Shape: scd2 over the batch (per-key windows), then key-wise
     * SMJ-pinned joins and one anti-join — nothing rescans the dimension
-    * beyond one pass over its rows.
+    * beyond one pass over its rows; `watermarks` is dimension-shaped and
+    * joins SMJ like the rest.
     */
   def scd2Merge(
       existing: DataFrame,
       newEvents: DataFrame,
       keyCol: String,
       orderCols: Seq[String],
-      valueCol: String
+      valueCol: String,
+      watermarks: Option[DataFrame] = None
   ): DataFrame = {
     val newRuns = scd2(newEvents, keyCol, orderCols, valueCol)
     val open = existing.filter(col("effective_to").isNull)
       .select(col(keyCol), col("value").as("__v0"), col("effective_from").as("__f0"),
         col("version").as("__vn"), lit(true).as("__hasOld"))
-    val guarded = newRuns
-      .hint("shuffle_merge")
+    val withWm = watermarks match {
+      case None => newRuns.hint("shuffle_merge")
+      case Some(wm) => newRuns.hint("shuffle_merge")
+        .join(wm.select(col(keyCol), col(wm.columns.filterNot(_ == keyCol).head).as("__wm"))
+          .hint("shuffle_merge"), Seq(keyCol), "left")
+    }
+    val guarded0 = withWm
       .join(open.hint("shuffle_merge"), Seq(keyCol), "left")
       // the guard lives in a filter so Catalyst cannot prune it;
       // raise_error only evaluates on violating rows (the RangeJoin form)
       .filter(col("__hasOld").isNull || col("effective_from") > col("__f0") ||
         raise_error(concat(lit("scd2Merge: new event at or before the open run's "),
           lit("effective_from for key "), col(keyCol).cast("string"))))
+    val guarded = (if (watermarks.isEmpty) guarded0 else guarded0
+      // only the key's FIRST new run needs checking: run 1's
+      // effective_from IS the key's minimum new event time
+      .filter(col("version") =!= 1 || col("__wm").isNull ||
+        col("effective_from") > col("__wm") ||
+        raise_error(concat(lit("scd2Merge: new event at or before the ingestion "),
+          lit("watermark for key "), col(keyCol).cast("string"))))
+      .drop("__wm"))
     // does the key's FIRST new run continue the open run's value?
     val wk = Window.partitionBy(col(keyCol))
     val firstMerges = max(

@@ -1366,7 +1366,7 @@ object TextAnalysis {
       .join(uni.select(col("__w").as("__w2"), col("__c").as("__c2")).hint("shuffle_merge"), Seq("__w2"))
       .crossJoin(broadcast(totals)).crossJoin(broadcast(btotal))
       .select(col("__p").as("pair"), col("__c12").as("cnt"),
-        round(log((col("__c12") / col("__b")) /
+        graft.functions.Quantize.scaledFloor(log((col("__c12") / col("__b")) /
           ((col("__c1") / col("__n")) * (col("__c2") / col("__n")))), 6).as("pmi"))
       .orderBy(col("pmi").desc, col("pair"))
       .limit(k)
@@ -1412,7 +1412,7 @@ object TextAnalysis {
       // all ratio arithmetic in doubles: the four-marginal product
       // overflows int64 well below corpus scale (each factor is
       // token-count-sized; their product is ~N⁴)
-      .withColumn("chi2", round(
+      .withColumn("chi2", graft.functions.Quantize.scaledFloor(
         (col("__n").cast("double") *
           pow(col("__a").cast("double") * col("__d").cast("double") -
             col("__b").cast("double") * col("__c").cast("double"), 2)) /
@@ -1494,14 +1494,15 @@ object TextAnalysis {
     val spaceP = "[ \\t\\n\\r]"
     val punctP = "[!-/:-@\\[-`{-~]" // the four ASCII punct/symbol runs
     def frac(pattern: String): Column =
-      round(regexp_count(t, lit(pattern)) / len, 4)
+      graft.functions.Quantize.scaledFloor(regexp_count(t, lit(pattern)) / len, 4)
     df.select(col(idCol),
       when(length(t) > 0, frac(alphaP)).otherwise(lit(0.0)).as("frac_alpha"),
       when(length(t) > 0, frac(digitP)).otherwise(lit(0.0)).as("frac_digit"),
       when(length(t) > 0, frac(spaceP)).otherwise(lit(0.0)).as("frac_space"),
       when(length(t) > 0, frac(punctP)).otherwise(lit(0.0)).as("frac_punct"),
       when(length(t) > 0,
-        round(lit(1.0) - frac(alphaP) - frac(digitP) - frac(spaceP) - frac(punctP), 4))
+        graft.functions.Quantize.scaledFloor(
+          lit(1.0) - frac(alphaP) - frac(digitP) - frac(spaceP) - frac(punctP), 4))
         .otherwise(lit(0.0)).as("frac_other"),
       (t.contains("\ufffd") || t.contains("\u00c3\u00a9") || t.contains("\u00c3\u00a2") ||
         t.contains("\u00e2\u20ac")).as("mojibake"))
@@ -1560,9 +1561,11 @@ object TextAnalysis {
         sum(when(col("__c") === 1, 1L).otherwise(0L)).as("hapax_terms"),
         sum(col("__c").cast("double") * (col("__c") - 1).cast("double")).as("__rep"))
       .select(col("grp"), col("total_tokens"), col("distinct_terms"), col("hapax_terms"),
-        round(col("distinct_terms") / col("total_tokens").cast("double"), 6).as("ttr"),
-        round(col("hapax_terms") / col("distinct_terms").cast("double"), 6).as("hapax_frac"),
-        round(col("__rep") /
+        graft.functions.Quantize.scaledFloor(
+          col("distinct_terms") / col("total_tokens").cast("double"), 6).as("ttr"),
+        graft.functions.Quantize.scaledFloor(
+          col("hapax_terms") / col("distinct_terms").cast("double"), 6).as("hapax_frac"),
+        graft.functions.Quantize.scaledFloor(col("__rep") /
           (col("total_tokens").cast("double") * (col("total_tokens") - 1).cast("double")), 6)
           .as("simpson"))
   }
@@ -1601,7 +1604,8 @@ object TextAnalysis {
     totals.join(novel.hint("shuffle_merge"), Seq(idCol), "left")
       .select(col(idCol), col("total_grams"),
         coalesce(col("novel_grams"), lit(0L)).as("novel_grams"),
-        round(coalesce(col("novel_grams"), lit(0L)) / col("total_grams").cast("double"), 4)
+        graft.functions.Quantize.scaledFloor(
+          coalesce(col("novel_grams"), lit(0L)) / col("total_grams").cast("double"), 4)
           .as("novelty"))
   }
 }

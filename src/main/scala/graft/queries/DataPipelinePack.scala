@@ -92,18 +92,26 @@ object DataPipelinePack extends QueryPack {
     // ~ 1/sqrt(1+beta^2) ~ 0.86 (relative +/-beta sign-flip perturbation),
     // straddling the tau = 0.8 band where sign-LSH recall is weakest.
     // Output: ONE summary row (planted, eligible truth pairs at tau, found,
-    // recall, total LSH pairs). Recall is intrinsically sub-1 here, so no
-    // equality oracle exists (rows-only check); the >= 0.95 floor is pinned
-    // by DedupSimilaritySpec, and the whole computation is deterministic
-    // (fixed planes, fixed perturbation).
+    // recall, total LSH pairs). Recall is intrinsically sub-1 here, but the
+    // whole computation is DETERMINISTIC (fixed planes, fixed perturbation),
+    // so the measurement itself is oracle-expressible: lshProdRecallOracle
+    // re-derives the planted corpus, every band bucket (from the published
+    // plane literals), the verified pair set, and the truth pairs in DuckDB
+    // and reproduces this exact summary row. The >= 0.95 recall floor is
+    // additionally pinned by DedupSimilaritySpec.
     "q61_cosine_lsh_prod" -> ((s, d) => {
       val idOffset = 100000000L
       val beta = 0.6
       val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      // `__orig` keeps the perturbation seed UNAMBIGUOUS: referencing
+      // `vec_id` inside the lambda of the same select that re-aliases
+      // `vec_id` resolves to the ALIASED (offset) id — measured, and too
+      // subtle a binding rule to hang a cross-engine oracle on.
       val planted = base.filter(pmod(col("vec_id"), lit(5)) === 0)
-        .select((col("vec_id") + idOffset).as("vec_id"),
+        .select(col("vec_id").as("__orig"), col("embedding"))
+        .select((col("__orig") + idOffset).as("vec_id"),
           transform(col("embedding"), (x, i) =>
-            (x * (lit(1.0) + lit(beta) * signum(sin(col("vec_id") * 37 + i))))
+            (x * (lit(1.0) + lit(beta) * signum(sin(col("__orig") * 37 + i))))
               .cast("float")).as("embedding"))
       val corpus = base.unionByName(planted)
       val found = Similarity.cosineNearDupPairsLsh(corpus, "vec_id", "embedding",
@@ -137,7 +145,8 @@ object DataPipelinePack extends QueryPack {
           count(when(round(col("__cos"), 6) >= 0.8, 1)).as("eligible"))
         .crossJoin(foundAgg)
         .select(col("planted"), col("eligible"), col("found"), col("lsh_pairs"),
-          round(col("found").cast("double") / col("eligible").cast("double"), 4).as("recall"))
+          graft.functions.Quantize.scaledFloor(
+            col("found").cast("double") / col("eligible").cast("double"), 4).as("recall"))
     }),
 
     // Corpus-wide LINE-LEVEL dedup (C4/CCNet boilerplate removal): repeated
@@ -2344,6 +2353,70 @@ object DataPipelinePack extends QueryPack {
       FROM occ GROUP BY band ORDER BY band"""
   }
 
+  /** q61's oracle is GENERATED like q33's, closing the suite's last
+    * rows-only gate: the production-configuration recall measurement is
+    * fully deterministic (splitmix-derived planes, sign-flip perturbation
+    * from `sin` of an integer argument — DuckDB's and the JVM's `sin` can
+    * differ in the last ulp but never in SIGN for nonzero integer inputs,
+    * and only the sign reaches the arithmetic), so DuckDB re-derives the
+    * planted corpus, all 16 band buckets (from the same plane literals as
+    * q33/q166), the verified LSH pair set, the 1:1 truth pairs, and the
+    * identical summary row. Every float step mirrors the Spark plan's op
+    * order: float element promoted to double, perturbed, cast back through
+    * float; dot products summed left-to-right (`list_inner_product` ≡
+    * `fastDot`); cosine as dot/(sqrt(aa)·sqrt(bb)); recall through the
+    * [[graft.functions.Quantize.scaledFloor]] convention. */
+  private def lshProdRecallOracle: String = {
+    val dim = 64
+    val bandBits = 8
+    val bands = 16
+    val idOffset = 100000000L
+    val planes = graft.operators.Similarity.hyperplanes(dim, bandBits * bands)
+    // planted twin: element i of v (double, exact image of the float) times
+    // (1.0 + 0.6*sign(sin(orig_id*37 + i))), rounded through FLOAT exactly
+    // as Spark's `.cast("float")`, then back to double for LSH/verify
+    val perturbed = (0 until dim).map { i =>
+      s"CAST(CAST(v[${i + 1}] * (1.0 + 0.6 * sign(sin(CAST(orig_id * 37 + $i AS DOUBLE)))) AS FLOAT) AS DOUBLE)"
+    }.mkString("[", ", ", "]")
+    val bandSelects = (0 until bands).map { k =>
+      val key = (0 until bandBits).map { i =>
+        s"(CASE WHEN list_inner_product(v, [${planes(k * bandBits + i).mkString(", ")}]) >= 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, $k AS band, $key AS key FROM corpus"
+    }.mkString(" UNION ALL ")
+    s"""
+      WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      planted AS (
+        SELECT orig_id + $idOffset AS vec_id, $perturbed AS v
+        FROM (SELECT vec_id AS orig_id, v FROM base WHERE vec_id % 5 = 0)),
+      corpus AS (SELECT vec_id, v FROM base UNION ALL SELECT vec_id, v FROM planted),
+      keys AS ($bandSelects),
+      cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM keys a JOIN keys b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
+      verified AS (
+        SELECT c.id_a, c.id_b
+        FROM cand c
+        JOIN corpus ca ON ca.vec_id = c.id_a
+        JOIN corpus cb ON cb.vec_id = c.id_b
+        WHERE round(list_inner_product(ca.v, cb.v)
+                / (sqrt(list_inner_product(ca.v, ca.v)) * sqrt(list_inner_product(cb.v, cb.v))), 6) >= 0.8),
+      truth AS (
+        SELECT b.vec_id AS id_a, p.vec_id AS id_b,
+               list_inner_product(b.v, p.v)
+                 / (sqrt(list_inner_product(b.v, b.v)) * sqrt(list_inner_product(p.v, p.v))) AS cos
+        FROM base b JOIN planted p ON p.vec_id = b.vec_id + $idOffset),
+      agg AS (SELECT
+        (SELECT count(*) FROM truth) AS planted,
+        (SELECT count(*) FROM truth WHERE round(cos, 6) >= 0.8) AS eligible,
+        (SELECT count(*) FROM verified v JOIN truth t
+           ON v.id_a = t.id_a AND v.id_b = t.id_b AND round(t.cos, 6) >= 0.8) AS found,
+        (SELECT count(*) FROM verified) AS lsh_pairs)
+      SELECT planted, eligible, found, lsh_pairs,
+             CAST(floor(CAST(found AS DOUBLE) / CAST(eligible AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS recall
+      FROM agg"""
+  }
+
   /** q33's oracle is GENERATED: the sign-LSH bucketing is deterministic
     * (fixed splitmix-derived hyperplanes), so the oracle SQL re-derives the
     * buckets in DuckDB from the same plane constants, embedded as literals.
@@ -3084,8 +3157,9 @@ object DataPipelinePack extends QueryPack {
       SELECT deg.node, deg.degree,
              CAST(coalesce(pn.tri_cnt, 0) AS BIGINT) AS tri_cnt,
              CASE WHEN deg.degree >= 2
-                  THEN round(2.0 * coalesce(pn.tri_cnt, 0) /
-                             (deg.degree * (deg.degree - 1)), 6)
+                  THEN CAST(floor(2.0 * coalesce(pn.tri_cnt, 0) /
+                             (deg.degree * (deg.degree - 1)) * 1000000.0 + 0.5) AS DOUBLE)
+                       / 1000000.0
                   ELSE 0.0 END AS clustering
       FROM deg LEFT JOIN pn USING (node) ORDER BY node""",
 
@@ -3100,7 +3174,8 @@ object DataPipelinePack extends QueryPack {
       btot AS (SELECT CAST(sum(CASE WHEN len(w) > 1 THEN len(w) - 1 ELSE 0 END) AS DOUBLE) AS b
                FROM toks)
       SELECT bic.p AS pair, CAST(bic.c12 AS BIGINT) AS cnt,
-             round(ln((bic.c12 / btot.b) / ((u1.c / tot.n) * (u2.c / tot.n))), 6) AS pmi
+             CAST(floor(ln((bic.c12 / btot.b) / ((u1.c / tot.n) * (u2.c / tot.n)))
+                        * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS pmi
       FROM bic JOIN uni u1 ON u1.t = string_split(bic.p, ' ')[1]
                JOIN uni u2 ON u2.t = string_split(bic.p, ' ')[2]
            CROSS JOIN tot CROSS JOIN btot
@@ -3120,11 +3195,12 @@ object DataPipelinePack extends QueryPack {
         WHERE gt.a >= 20),
       scored AS (
         SELECT grp, term, a,
-               round((CAST(n AS DOUBLE) *
+               CAST(floor((CAST(n AS DOUBLE) *
                       pow(CAST(a AS DOUBLE) * CAST(d AS DOUBLE) -
                           CAST(b AS DOUBLE) * CAST(c AS DOUBLE), 2)) /
                      (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE) *
-                      CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)), 4) AS chi2
+                      CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE))
+                     * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS chi2
         FROM cells),
       ranked AS (SELECT grp, term, a, chi2,
                         row_number() OVER (PARTITION BY grp ORDER BY chi2 DESC, term) AS rnk
@@ -3165,13 +3241,17 @@ object DataPipelinePack extends QueryPack {
                    len(t) - len(regexp_replace(t, '[!-/:-@\\[-`{-~]', '', 'g')) AS cp
             FROM planted)
       SELECT doc_id,
-             CASE WHEN l > 0 THEN round(ca / l, 4) ELSE 0.0 END AS frac_alpha,
-             CASE WHEN l > 0 THEN round(cd / l, 4) ELSE 0.0 END AS frac_digit,
-             CASE WHEN l > 0 THEN round(cs / l, 4) ELSE 0.0 END AS frac_space,
-             CASE WHEN l > 0 THEN round(cp / l, 4) ELSE 0.0 END AS frac_punct,
+             CASE WHEN l > 0 THEN CAST(floor(ca / l * 10000.0 + 0.5) AS DOUBLE) / 10000.0 ELSE 0.0 END AS frac_alpha,
+             CASE WHEN l > 0 THEN CAST(floor(cd / l * 10000.0 + 0.5) AS DOUBLE) / 10000.0 ELSE 0.0 END AS frac_digit,
+             CASE WHEN l > 0 THEN CAST(floor(cs / l * 10000.0 + 0.5) AS DOUBLE) / 10000.0 ELSE 0.0 END AS frac_space,
+             CASE WHEN l > 0 THEN CAST(floor(cp / l * 10000.0 + 0.5) AS DOUBLE) / 10000.0 ELSE 0.0 END AS frac_punct,
              CASE WHEN l > 0
-                  THEN round(1.0 - round(ca / l, 4) - round(cd / l, 4)
-                                 - round(cs / l, 4) - round(cp / l, 4), 4) + 0.0
+                  THEN CAST(floor((1.0
+                         - CAST(floor(ca / l * 10000.0 + 0.5) AS DOUBLE) / 10000.0
+                         - CAST(floor(cd / l * 10000.0 + 0.5) AS DOUBLE) / 10000.0
+                         - CAST(floor(cs / l * 10000.0 + 0.5) AS DOUBLE) / 10000.0
+                         - CAST(floor(cp / l * 10000.0 + 0.5) AS DOUBLE) / 10000.0)
+                         * 10000.0 + 0.5) AS DOUBLE) / 10000.0
                   ELSE 0.0 END AS frac_other,
              (contains(t, '�') OR contains(t, 'Ã©') OR
               contains(t, 'Ã¢') OR contains(t, 'â€')) AS mojibake
@@ -3194,7 +3274,8 @@ object DataPipelinePack extends QueryPack {
               FROM c CROSS JOIN qs
               WHERE c.cum >= qs.q * c.n AND c.cum - c.cnt < qs.q * c.n)
       SELECT lang, q,
-             round(0 + (bin + (target - before) / cnt) * (CAST(1024 AS DOUBLE) / 64), 4) AS est
+             CAST(floor((0 + (bin + (target - before) / cnt) * (CAST(1024 AS DOUBLE) / 64))
+                        * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS est
       FROM hit ORDER BY lang, q""",
 
     // floor-epochs + the salted fractional coin, unrolled per language:
@@ -3229,7 +3310,8 @@ object DataPipelinePack extends QueryPack {
               GROUP BY doc_id)
       SELECT tot.doc_id, CAST(tot.total_grams AS BIGINT) AS total_grams,
              CAST(coalesce(nov.novel_grams, 0) AS BIGINT) AS novel_grams,
-             round(coalesce(nov.novel_grams, 0) / CAST(tot.total_grams AS DOUBLE), 4) AS novelty
+             CAST(floor(coalesce(nov.novel_grams, 0) / CAST(tot.total_grams AS DOUBLE)
+                        * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS novelty
       FROM tot LEFT JOIN nov USING (doc_id) ORDER BY tot.doc_id""",
 
     // median = the shared interpolated-percentile definition
@@ -3295,10 +3377,13 @@ object DataPipelinePack extends QueryPack {
              CAST(sum(c) AS BIGINT) AS total_tokens,
              count(*) AS distinct_terms,
              CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_terms,
-             round(count(*) / CAST(sum(c) AS DOUBLE), 6) AS ttr,
-             round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS hapax_frac,
-             round(sum(CAST(c AS DOUBLE) * CAST(c - 1 AS DOUBLE)) /
-                   (CAST(sum(c) AS DOUBLE) * CAST(sum(c) - 1 AS DOUBLE)), 6) AS simpson
+             CAST(floor(count(*) / CAST(sum(c) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE)
+               / 1000000.0 AS ttr,
+             CAST(floor(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE)
+                        * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS hapax_frac,
+             CAST(floor(sum(CAST(c AS DOUBLE) * CAST(c - 1 AS DOUBLE)) /
+                   (CAST(sum(c) AS DOUBLE) * CAST(sum(c) - 1 AS DOUBLE))
+                   * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS simpson
       FROM c GROUP BY grp ORDER BY grp""",
 
     "q182_attribution" -> """
@@ -4175,6 +4260,7 @@ object DataPipelinePack extends QueryPack {
 
     "q127_group_sample" -> groupSampleOracle,
     "q33_ann_lsh" -> lshAnnOracle,
+    "q61_cosine_lsh_prod" -> lshProdRecallOracle,
     "q106_jl_project" -> jlProjectOracle,
     "q107_jl_ann" -> jlAnnOracle,
     "q51_hash_sample" -> hashSampleOracle,

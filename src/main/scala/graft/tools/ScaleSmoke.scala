@@ -19,17 +19,28 @@ object ScaleSmoke {
     val sfDir = args.drop(1).headOption.getOrElse("/root/testdata/sf0.1")
     val spark = GraftSession.local("graft-scale-smoke")
 
-    def time(name: String)(df: => DataFrame): Unit = {
+    // UNTIMED inter-stage cleanup, the Bench.scala §8.0 harness: 80+
+    // stages in one JVM accumulate localCheckpoint blocks (triangles,
+    // HITS, CC, ppjoin all pin storage) that ContextCleaner only
+    // reclaims after a GC — without this, storage-pinned memory starved
+    // a ×16 ppjoin sort into UNABLE_TO_ACQUIRE_MEMORY. Only RDDs the
+    // stage ITSELF pinned are dropped: a blanket clearCache()/unpersist
+    // would also evict deliberately shared cross-stage frames (the
+    // image-feature cache below), replaying their build per downstream
+    // plan reference and invalidating any cross-stage localCheckpoint.
+    // A cache-BUILDING stage (its persist materializes inside the timed
+    // action, so the new RDD id is indistinguishable from stage litter)
+    // passes `keepNew = true` and owns the unpersist itself.
+    def time(name: String, keepNew: Boolean = false)(df: => DataFrame): Unit = {
+      val preexisting = spark.sparkContext.getPersistentRDDs.keySet
       val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
       println(f"[smoke] $name%-34s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
-      // UNTIMED inter-stage cleanup, the Bench.scala §8.0 harness: 80+
-      // stages in one JVM accumulate localCheckpoint blocks (triangles,
-      // HITS, CC, ppjoin all pin storage) that ContextCleaner only
-      // reclaims after a GC — without this, storage-pinned memory starved
-      // a ×16 ppjoin sort into UNABLE_TO_ACQUIRE_MEMORY.
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      if (!keepNew) {
+        spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+          if (!preexisting.contains(id)) rdd.unpersist(blocking = false)
+        }
+      }
       System.gc()
     }
 
@@ -304,7 +315,7 @@ object ScaleSmoke {
       // one that populates the cache — the codec runs exactly once
       val cached = feats.persist()
       try {
-        time("image features (encode+decode)")(cached)
+        time("image features (encode+decode)", keepNew = true)(cached)
         // centerForBuckets: luminance features live in the positive
         // orthant, where raw sign-LSH buckets collapse (the measured 167M-
         // candidate case this knob exists for — see the operator scaladoc)

@@ -457,4 +457,28 @@ class SamplingSpec extends AnyFunSuite {
       .as[(Long, String, Long)].collect()
     assert(out.sorted.toSeq == again.sorted.toSeq)
   }
+
+  test("epochMix: unlisted groups drop by default, survive at defaultEpochs when set") {
+    // "zz" never appears in the recipe — the new-language-in-the-corpus case
+    val rows = (1L to 90L).map(i => (i, if (i % 2 == 0) "a" else "zz")).toDF("id", "grp")
+    val dropped = Sampling.epochMix(rows, "id", "grp", Seq("a" -> 1.0), "emd")
+      .as[(Long, String, Long)].collect()
+    assert(dropped.forall(_._2 == "a")) // whitelist semantics, documented
+    val kept = Sampling.epochMix(rows, "id", "grp", Seq("a" -> 1.0), "emd",
+      defaultEpochs = 1.5)
+      .as[(Long, String, Long)].collect()
+    val zz = kept.filter(_._2 == "zz")
+    // every unlisted-key row survives at least once; the 0.5 fractional
+    // epoch admits the SAME hash subset the threshold predicate defines
+    assert(zz.map(_._1).distinct.length == 45)
+    val thr = Sampling.threshold(0.5)
+    val admitted = rows.filter(col("grp") === "zz")
+      .filter(Sampling.keyHash(col("id"), "emd") < lit(thr))
+      .select(col("id")).as[Long].collect().toSet
+    assert(zz.count(_._3 == 1L) == admitted.size &&
+      zz.filter(_._3 == 1L).map(_._1).toSet == admitted)
+    // listed groups are unaffected by the default
+    assert(kept.filter(_._2 == "a").map(_._1).toSet ==
+      dropped.filter(_._2 == "a").map(_._1).toSet)
+  }
 }

@@ -100,4 +100,69 @@ class ScdSpec extends AnyFunSuite {
     }
     assert(err.getMessage != null)
   }
+
+  test("scd2Merge chains: 3 sequential daily batches == from-scratch over the union") {
+    // production runs the merge DAILY: day0 assembles, days 1-3 each merge
+    // into the PREVIOUS merge's output — continuations, changes, revisits,
+    // a key born mid-chain, and a key silent after day 1 all interleave
+    val events = Seq(
+      (1L, 10L, 1L, "a"), (1L, 110L, 2L, "a"), (1L, 210L, 3L, "b"), (1L, 310L, 4L, "a"),
+      (2L, 10L, 5L, "x"), (2L, 120L, 6L, "y"), (2L, 220L, 7L, "y"), (2L, 320L, 8L, "z"),
+      (3L, 10L, 9L, "k"), (3L, 130L, 10L, "k"),
+      (4L, 230L, 11L, "n"), (4L, 330L, 12L, "n"),
+      (5L, 20L, 13L, "q"), (5L, 140L, 14L, "r"), (5L, 240L, 15L, "q"), (5L, 340L, 16L, "q")
+    ).toDF("user_id", "ts", "event_id", "v")
+    val batches = Seq(
+      events.filter($"ts" < 100L), events.filter($"ts" >= 100L && $"ts" < 200L),
+      events.filter($"ts" >= 200L && $"ts" < 300L), events.filter($"ts" >= 300L))
+    val chained = batches.tail.foldLeft(
+      Scd.scd2(batches.head, "user_id", Seq("ts", "event_id"), "v")) { (acc, b) =>
+      Scd.scd2Merge(acc, b, "user_id", Seq("ts", "event_id"), "v")
+    }.as[(Long, String, Long, Option[Long], Int)].collect().toSet
+    val scratch = Scd.scd2(events, "user_id", Seq("ts", "event_id"), "v")
+      .as[(Long, String, Long, Option[Long], Int)].collect().toSet
+    assert(chained == scratch,
+      s"chained != from-scratch: missing ${scratch -- chained}, extra ${chained -- scratch}")
+  }
+
+  test("scd2Merge watermark guard catches the interior event the __f0 guard cannot") {
+    // key 1's open run: value "a" from ts=10, last ingested event ts=50.
+    // A new event at ts=30 with value "c" is AFTER effective_from (passes
+    // the necessary-but-not-sufficient built-in guard — documented) but
+    // inside the run; with the per-key watermark supplied, it raises.
+    val old = Seq((1L, 10L, 1L, "a"), (1L, 50L, 2L, "a")).toDF("user_id", "ts", "event_id", "v")
+    val existing = Scd.scd2(old, "user_id", Seq("ts", "event_id"), "v")
+    val interior = Seq((1L, 30L, 3L, "c")).toDF("user_id", "ts", "event_id", "v")
+    // without the watermark: passes the guard, silently diverges from replay
+    val silent = Scd.scd2Merge(existing, interior, "user_id", Seq("ts", "event_id"), "v")
+      .as[(Long, String, Long, Option[Long], Int)].collect().toSet
+    val replay = Scd.scd2(old.unionByName(interior), "user_id", Seq("ts", "event_id"), "v")
+      .as[(Long, String, Long, Option[Long], Int)].collect().toSet
+    assert(silent != replay) // the documented hazard, pinned
+    val wm = old.groupBy($"user_id")
+      .agg(org.apache.spark.sql.functions.max($"ts").as("watermark"))
+    val err = intercept[Exception] {
+      Scd.scd2Merge(existing, interior, "user_id", Seq("ts", "event_id"), "v",
+        watermarks = Some(wm)).collect()
+    }
+    assert(err.getMessage != null)
+  }
+
+  test("scd2Merge with watermarks: the clean chain still equals from-scratch") {
+    val events = Seq(
+      (1L, 10L, 1L, "a"), (1L, 110L, 2L, "b"),
+      (2L, 20L, 3L, "x"), (2L, 120L, 4L, "x"),
+      (3L, 110L, 5L, "n")
+    ).toDF("user_id", "ts", "event_id", "v")
+    val old = events.filter($"ts" < 100L)
+    val nw = events.filter($"ts" >= 100L)
+    val wm = old.groupBy($"user_id")
+      .agg(org.apache.spark.sql.functions.max($"ts").as("watermark"))
+    val merged = Scd.scd2Merge(Scd.scd2(old, "user_id", Seq("ts", "event_id"), "v"),
+        nw, "user_id", Seq("ts", "event_id"), "v", watermarks = Some(wm))
+      .as[(Long, String, Long, Option[Long], Int)].collect().toSet
+    val scratch = Scd.scd2(events, "user_id", Seq("ts", "event_id"), "v")
+      .as[(Long, String, Long, Option[Long], Int)].collect().toSet
+    assert(merged == scratch)
+  }
 }
