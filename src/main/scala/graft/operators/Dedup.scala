@@ -1179,9 +1179,10 @@ object Dedup {
       w: Int
   ): DataFrame = {
     require(w >= 2, "window must span at least 2 tokens")
-    val hitPositions = udf((whs: scala.collection.Seq[Long]) =>
-      if (whs == null) Seq.empty[Int]
-      else whs.zipWithIndex.collect { case (h, p) if bc.value.contains(h) => p })
+    // native expression, not a UDF: the hit scan runs inside the
+    // projection's WholeStageCodegen span over ArrayData in place
+    def hitPositions(whs: Column): Column =
+      graft.functions.BroadcastSetExpressions.hitPositions(whs, bc)
     df.withColumn("__toks", split(col(textCol), " "))
       .withColumn("__whs",
         when(size(col("__toks")) >= w, hashedWindows(col("__toks"), w, xxhash64(_)))

@@ -326,13 +326,13 @@ object Sketches {
   /** Per-row membership probe against a [[collectBloom]] bitmap: a pure
     * projection — zero shuffle, zero state — so the SAME call rides a
     * readStream (the curation `bloomHistory` leg). Decision-identical to
-    * the [[bloomMightContain]] join form (spec-pinned): the UDF recomputes
-    * the k salted 60-bit md5 positions ([[Sampling.keyHash]]'s exact
-    * arithmetic) and tests the captured bitmap. A UDF rather than a
-    * literal-array expression for the [[Dedup.stripKnownWindows]] reason:
-    * the bitmap is captured once per executor via task broadcast instead
-    * of being re-shipped as plan literals, and the probe is O(k) array
-    * reads.
+    * the [[bloomMightContain]] join form (spec-pinned): the probe
+    * recomputes the k salted 60-bit md5 positions ([[Sampling.keyHash]]'s
+    * exact arithmetic) and tests the captured bitmap — a native
+    * Catalyst expression ([[graft.functions.BloomProbeExpr]]), so the
+    * probe stays inside the projection's WholeStageCodegen span and the
+    * bitmap rides the plan's reference array instead of being re-shipped
+    * as literals; the probe is O(k) array reads.
     *
     * The bitmap is FIXED at query start — unlike the stream-static
     * `historyIndex` anti-join, generations appended while a stream runs
@@ -346,25 +346,10 @@ object Sketches {
   ): Column = {
     require(bitmap.length == mBits / 32,
       s"bitmap has ${bitmap.length} words, expected ${mBits / 32} for mBits=$mBits")
-    val probe = udf { (s: String) =>
-      if (s == null) null.asInstanceOf[java.lang.Boolean]
-      else {
-        var r = 0; var all = true
-        while (all && r < kHashes) {
-          val md = java.security.MessageDigest.getInstance("MD5")
-            .digest((salt + r + s).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          // first 15 hex chars = top 60 bits of the digest = keyHash
-          var hv = 0L; var i = 0
-          while (i < 8) { hv = (hv << 8) | (md(i) & 0xffL); i += 1 }
-          hv = hv >>> 4
-          val pos = (hv % mBits).toInt
-          all = (bitmap(pos / 32) & (1L << (pos % 32))) != 0L
-          r += 1
-        }
-        java.lang.Boolean.valueOf(all)
-      }
-    }
-    probe(elem.cast("string"))
+    org.apache.spark.sql.GraftShims.column(
+      graft.functions.BloomProbeExpr(
+        org.apache.spark.sql.GraftShims.expression(elem.cast("string")),
+        bitmap, mBits, kHashes, salt))
   }
 
   /** Point-query a Count-Min sketch for each probe element: estimate =

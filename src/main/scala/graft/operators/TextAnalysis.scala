@@ -1307,8 +1307,10 @@ object TextAnalysis {
       minMatches: Int
   ): DataFrame = {
     require(minMatches > 0, "minMatches must be positive")
-    val matches = udf((grams: scala.collection.Seq[String]) =>
-      if (grams == null) 0 else grams.count(bc.value.contains))
+    // native expression, not a UDF: the watchlist count stays inside the
+    // projection's WholeStageCodegen span
+    def matches(grams: Column): Column =
+      graft.functions.BroadcastSetExpressions.matchCount(grams, bc)
     docs
       .withColumn("__toks", tokens(col(textCol)))
       .withColumn("__m", matches(Dedup.shinglesOfTokens(col("__toks"), n)))

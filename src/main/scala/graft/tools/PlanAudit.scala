@@ -32,11 +32,13 @@ import org.apache.spark.sql.DataFrame
 object PlanAudit {
 
   /** Counters from one physical-plan walk. */
-  final case class Audit(cartesian: Int, bnlj: Int, bcastDerived: Int, exch: Int, sort: Int) {
+  final case class Audit(cartesian: Int, bnlj: Int, bcastDerived: Int, exch: Int, sort: Int,
+      scalaUdf: Int = 0) {
     def render: String = Seq(
       if (cartesian > 0) s"CARTESIAN=$cartesian" else "",
       if (bnlj > 0) s"BNLJ=$bnlj" else "",
       if (bcastDerived > 0) s"BCAST-DERIVED=$bcastDerived" else "",
+      if (scalaUdf > 0) s"SCALA-UDF=$scalaUdf" else "",
       s"EXCH=$exch", s"SORT=$sort"
     ).filter(_.nonEmpty).mkString(" ")
   }
@@ -45,7 +47,7 @@ object PlanAudit {
     * the scale-killer shapes. Pure inspection — does not execute the query
     * beyond what building `executedPlan` requires. */
   def audit(df: DataFrame): Audit = {
-    var cartesian, bnlj, exch, sort, bcastDerived = 0
+    var cartesian, bnlj, exch, sort, bcastDerived, scalaUdf = 0
     def derived(p: org.apache.spark.sql.execution.SparkPlan): Boolean = {
       var hit = false
       p.foreach {
@@ -69,8 +71,20 @@ object PlanAudit {
       case _: org.apache.spark.sql.execution.SortExec => sort += 1
       case _ => ()
     }
+    // ScalaUDFs break the surrounding WholeStageCodegen span and pay a
+    // per-row catalyst<->Scala conversion — the repo is UDF-free by
+    // policy (native Expressions instead); this counter keeps it so
+    def countUdfs(p: org.apache.spark.sql.execution.SparkPlan): Unit = p.foreach {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        countUdfs(a.initialPlan)
+      case node => node.expressions.foreach(_.foreach {
+        case _: org.apache.spark.sql.catalyst.expressions.ScalaUDF => scalaUdf += 1
+        case _ => ()
+      })
+    }
     walk(df.queryExecution.executedPlan)
-    Audit(cartesian, bnlj, bcastDerived, exch, sort)
+    countUdfs(df.queryExecution.executedPlan)
+    Audit(cartesian, bnlj, bcastDerived, exch, sort, scalaUdf)
   }
 
   def main(args: Array[String]): Unit = {

@@ -229,12 +229,12 @@ class PlanAuditSpec extends AnyFunSuite {
     "q199_langid_margin" -> (0, 1, 2)
   )
 
-  test("no query plans an unjustified cartesian / BNLJ / derived broadcast") {
+  test("no query plans an unjustified cartesian / BNLJ / derived broadcast, and none a ScalaUDF") {
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, q) =>
       val a = PlanAudit.audit(q(spark, sfDir))
       val (c, b, d) = allow.getOrElse(name, (0, 0, 0))
-      if (a.cartesian > c || a.bnlj > b || a.bcastDerived > d)
-        Some(s"$name ${a.render} exceeds allowance (cartesian<=$c bnlj<=$b bcastDerived<=$d)")
+      if (a.cartesian > c || a.bnlj > b || a.bcastDerived > d || a.scalaUdf > 0)
+        Some(s"$name ${a.render} exceeds allowance (cartesian<=$c bnlj<=$b bcastDerived<=$d scalaUdf=0)")
       else None
     }
     assert(violations.isEmpty, violations.mkString("\n"))
