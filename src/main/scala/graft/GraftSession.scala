@@ -28,6 +28,20 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      // The in-memory status store retains per-job/stage/task/SQL-execution
+      // state even with the UI off (it backs the REST/status APIs), at
+      // defaults of 1000 jobs / 1000 stages / 100k tasks / 1000 SQL
+      // executions — each SQL execution pinning its full SparkPlanGraph
+      // string. A 201-query suite (2-3 runs each, plus AQE sub-executions)
+      // accumulates hundreds of MB of strongly-referenced history that
+      // System.gc() can never reclaim: measured as the residual in-suite
+      // vs isolated drift at 201-query scale (SURVEY §8.0). A long-lived
+      // production driver wants the same caps for the same reason.
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "200")
+      .config("spark.ui.retainedTasks", "2000")
+      .config("spark.ui.retainedDeadExecutors", "10")
+      .config("spark.sql.ui.retainedExecutions", "8")
       // events.ts is TIMESTAMP(NANOS) parquet; Spark 4 only maps it with this
       // legacy conf. Set once at session build (a loader mutating session conf
       // as a side effect silently changes other reads).

@@ -24,6 +24,18 @@ final case class StreamingCurationStreams(
   * unwanted. The trade is explicit: a duplicate re-arriving after the
   * horizon is re-admitted and must be caught by the downstream batch
   * resolve, exactly like near-dups. */
+/** Config for the link-authority curation leg: `scores` is the PERSISTED
+  * per-domain frame a batch [[graft.operators.Graph.linkAuthority]] run
+  * writes (the historyIndex pattern — a stream-static table re-read per
+  * micro-batch, so authority refreshes ride in live with zero stream
+  * state), `domainCol` the stream column carrying each document's home
+  * domain. Documents whose domain scores below `minScore` drop;
+  * `dropUnknown` decides the no-evidence case (domains absent from the
+  * score table) — default KEEP, the usual spam-gate posture (punish
+  * measured badness, not missing measurements). */
+final case class DomainAuthority(scores: DataFrame, domainCol: String,
+    minScore: Double, dropUnknown: Boolean = false)
+
 final case class DedupHorizon(tsCol: String, delay: String)
 
 /** Opt-in NEAR-dup memory for [[StreamingCuration.curate]]: the persisted
@@ -135,7 +147,11 @@ object StreamingCuration {
     * containing a watchlist string ([[TextAnalysis.findCanaries]]'s
     * exact-substring semantics — the poisoning/secret-leak gate) — a pure
     * per-row literal scan, zero stream state, sitting on the stateless
-    * prefix so the candidates branch never sees a poisoned doc either. */
+    * prefix so the candidates branch never sees a poisoned doc either.
+    * `domainAuthority` prepends the link-topology spam gate (see
+    * [[DomainAuthority]]): a stream-static left join against the
+    * persisted per-domain [[graft.operators.Graph.linkAuthority]] score
+    * table — the historyIndex discipline applied to graph signals. */
   def curate(
       stream: DataFrame,
       numHashes: Int = 64,
@@ -149,7 +165,8 @@ object StreamingCuration {
       windowHistory: Option[WindowHistory] = None,
       qualityModel: Option[QualityModel] = None,
       bloomHistory: Option[BloomHistory] = None,
-      canaries: Seq[String] = Nil
+      canaries: Seq[String] = Nil,
+      domainAuthority: Option[DomainAuthority] = None
   ): StreamingCurationStreams = {
     // withColumn keeps every stream column (e.g. the horizon's event-time
     // column) riding alongside the stripped text
@@ -163,8 +180,21 @@ object StreamingCuration {
     // not pollute the corpus). Pure per-row probe — zero stream state.
     val spanStripped = windowHistory.fold(stripped)(wh =>
       Dedup.stripKnownWindows(stripped, "doc_id", "text", wh.index, wh.w))
+    // link-authority gate: a stream-static LEFT join against the persisted
+    // per-domain score table (the historyIndex pattern — re-read per
+    // micro-batch, zero stream state), filtered before the quality gates
+    // so a spam-domain document never reaches them
+    val authorityGated = domainAuthority.fold(spanStripped) { da =>
+      spanStripped
+        .join(da.scores.select(col(da.domainCol),
+          col("score").as("__auth_score")), Seq(da.domainCol), "left")
+        .filter(
+          if (da.dropUnknown) coalesce(col("__auth_score"), lit(Double.NegativeInfinity)) >= da.minScore
+          else col("__auth_score").isNull || col("__auth_score") >= da.minScore)
+        .drop("__auth_score")
+    }
     val heuristicGated = TrainingDataPipeline.gates(
-      spanStripped, keep = dedupHorizon.map(_.tsCol).toSeq)
+      authorityGated, keep = dedupHorizon.map(_.tsCol).toSeq)
     // model-based quality gate: scored per row, filtered, score dropped —
     // another pure projection riding the stream with zero state
     val gated = qualityModel.fold(heuristicGated)(m =>

@@ -294,4 +294,81 @@ object Graph {
     }
     degrees(finalEdges).filter(col("degree") >= k)
   }
+
+  /** Composed link-authority score per DOMAIN — the way production
+    * link-spam curation actually uses the graph signals TOGETHER rather
+    * than in isolation:
+    *
+    *  - `rank`: [[personalizedPageRank]] proximity to the trusted seed
+    *    sources (TrustRank) over the DIRECTED source→domain link graph;
+    *  - `clustering`: [[triangles]] clustering coefficient over the
+    *    domain CO-CITATION graph (two domains adjacent iff some source
+    *    links both — the one-mode projection where genuine communities
+    *    triangle and isolated spam islands don't);
+    *  - `in_core`: [[degreePeel]] k-core membership on the same
+    *    co-citation graph (the dense-subgraph signal).
+    *
+    * Composite: `score = scaledFloor(rank · (0.5 + 0.5·clustering) ·
+    * (in_core ? 1 : 0.5), 9)` — seed-proximity modulated up by community
+    * embedding and halved outside the core; the StreamingCuration
+    * qualityModel shape, but over link topology instead of text.
+    *
+    * The co-citation projection is per-source QUADRATIC BY CONTRACT
+    * (the q168 blocking trade): distinct (src, dst) first, then in-src
+    * pairs — bounded by max out-degree², which for real crawls needs a
+    * hub cap upstream (drop or sample sources linking > ~10³ domains;
+    * a directory page co-citing everything is noise for this signal
+    * anyway). Domains cross into the long-keyed triangle/peel legs via
+    * the engine's 60-bit md5 id ([[Sampling.keyHash]]'s exact
+    * arithmetic, oracle-reproducible; collisions at domain-count scale
+    * are the accepted 2⁻⁶⁰ class). Everything corpus-shaped stays
+    * SMJ-keyed; nothing beyond pageRank's own scalars broadcasts.
+    *
+    * Output: (domain, rank, clustering, in_core, score), one row per
+    * distinct link-target domain.
+    */
+  def linkAuthority(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: Seq[String],
+      pprIterations: Int,
+      coreK: Int,
+      coreIterations: Int,
+      damping: Double = 0.85
+  ): DataFrame = {
+    val e = edges.select(col(srcCol).cast("string").as("__src"),
+      col(dstCol).cast("string").as("__dst")).distinct()
+      // referenced by the PPR leg, the projection, and the domain dim —
+      // materialize once (edge-sized), the triangles discipline
+      .localCheckpoint(true)
+    val ppr = personalizedPageRank(e, "__src", "__dst", seeds, pprIterations, damping)
+    val domId = conv(substring(md5(col("__dst")), 1, 15), 16, 10).cast("long")
+    val dims = e.select(col("__dst").as("domain")).distinct()
+      .select(col("domain"),
+        conv(substring(md5(col("domain")), 1, 15), 16, 10).cast("long").as("__id"))
+    val cocite = e.select(col("__src"), domId.as("__d"))
+      .join(e.select(col("__src"), domId.as("__d2")).hint("shuffle_merge"), Seq("__src"))
+      .filter(col("__d") < col("__d2"))
+      .select(col("__d").as("da"), col("__d2").as("db"))
+      .distinct()
+    val tri = triangles(cocite, "da", "db")
+      .select(col("node").as("__id"), col("clustering"))
+    val core = degreePeel(cocite, "da", "db", coreK, coreIterations)
+      .select(col("node").as("__id"), lit(true).as("in_core"))
+    dims
+      .join(ppr.select(col("node").as("domain"), col("rank")).hint("shuffle_merge"),
+        Seq("domain"), "left")
+      .join(tri.hint("shuffle_merge"), Seq("__id"), "left")
+      .join(core.hint("shuffle_merge"), Seq("__id"), "left")
+      .select(col("domain"),
+        coalesce(col("rank"), lit(0.0)).as("rank"),
+        coalesce(col("clustering"), lit(0.0)).as("clustering"),
+        coalesce(col("in_core"), lit(false)).as("in_core"),
+        graft.functions.Quantize.scaledFloor(
+          coalesce(col("rank"), lit(0.0)) *
+            (lit(0.5) + lit(0.5) * coalesce(col("clustering"), lit(0.0))) *
+            when(coalesce(col("in_core"), lit(false)), lit(1.0)).otherwise(lit(0.5)),
+          9).as("score"))
+  }
 }

@@ -1964,6 +1964,43 @@ object DataPipelinePack extends QueryPack {
         .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
     }),
 
+    // Composed link-authority curation gate: PPR-to-trusted-seeds (q191's
+    // signal), co-citation clustering coefficient (q169's), and k-core
+    // membership (q179's) COMBINED into one per-domain quality score, then
+    // joined onto the document frame as the keep/drop gate — the way
+    // production link-spam curation uses the graph signals together. The
+    // link graph is two-tier by construction (8 wide generalist sources +
+    // 12 narrow ones + blocked-domain hubs) so every signal has spread:
+    // clustering 0.815..1.0, a proper-subset 25-core (38 of 45 domains),
+    // PPR reaching 28 of 45. Oracle re-derives all three legs and the
+    // composition; keep = score >= 0.004 (splits the measured bimodal
+    // score distribution at its gap).
+    "q202_link_authority_gate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val edges = docs.filter(col("doc_id") % 11 =!= 0)
+        .select(col("source").as("src"),
+          concat(lit("site"),
+            (((col("doc_id") / 20).cast("long") %
+                when(col("doc_id") % 20 < 8, 25).otherwise(3)
+              + (col("doc_id") % 20) * 2) % 40).cast("string"),
+            lit(".example.com")).as("dst"))
+        .unionByName(docs.filter(col("doc_id") % 9 === 0)
+          .select(col("source").as("src"),
+            concat(lit("blocked"), (col("doc_id") % 5).cast("string"),
+              lit(".bad.net")).as("dst")))
+      val authority = graft.operators.Graph.linkAuthority(edges, "src", "dst",
+        seeds = Seq("src0", "src1"), pprIterations = 2, coreK = 25, coreIterations = 2)
+      docs.select(col("doc_id"),
+          concat(lit("site"), (col("doc_id") % 40).cast("string"),
+            lit(".example.com")).as("domain"))
+        .join(authority.hint("shuffle_merge"), Seq("domain"), "left")
+        .select(col("doc_id"), col("domain"),
+          coalesce(col("score"), lit(0.0)).as("score"),
+          coalesce(col("in_core"), lit(false)).as("in_core"),
+          (coalesce(col("score"), lit(0.0)) >= 0.004).as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Dedup-cluster size distribution: the post-dedup report card — how
     // many clusters of each size, how many docs they cover (q43's CC
     // composed into the histogram a curation run publishes).
@@ -3359,6 +3396,98 @@ object DataPipelinePack extends QueryPack {
       d2 AS (SELECT n AS node, count(*) AS degree
              FROM (SELECT a AS n FROM e2 UNION ALL SELECT b FROM e2) GROUP BY n)
       SELECT node, degree FROM d2 WHERE degree >= 11 ORDER BY node""",
+
+    // q202: every leg re-derived — the q191-shape unrolled PPR, the q169
+    // wedge/closure triangle count over the co-citation projection, the
+    // q179 unrolled peel at k=25 — then the same scaled-floor composition
+    // and the per-doc gate join. Domains cross into the long-keyed legs
+    // via the engine's 60-bit md5 id (q104's CAST(concat('0x',...)) form).
+    "q202_link_authority_gate" -> """
+      WITH e AS (SELECT DISTINCT src, dst FROM (
+        SELECT source AS src,
+               'site' || CAST(((doc_id // 20) % (CASE WHEN doc_id % 20 < 8 THEN 25 ELSE 3 END)
+                               + (doc_id % 20) * 2) % 40 AS VARCHAR) || '.example.com' AS dst
+        FROM documents WHERE doc_id % 11 <> 0
+        UNION ALL
+        SELECT source, 'blocked' || CAST(doc_id % 5 AS VARCHAR) || '.bad.net'
+        FROM documents WHERE doc_id % 9 = 0)),
+      nodes AS (SELECT DISTINCT node FROM (
+        SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+      tl AS (SELECT node,
+                    CASE WHEN node IN ('src0', 'src1') THEN 1.0 / 2 ELSE 0.0 END AS tele
+             FROM nodes),
+      sdeg AS (SELECT src, count(*) AS dg FROM e GROUP BY src),
+      r0 AS (SELECT node, tele AS rank FROM tl),
+      pc1 AS (SELECT e.dst, sum(r.rank / d.dg) AS contrib
+              FROM e JOIN r0 r ON e.src = r.node JOIN sdeg d ON e.src = d.src
+              GROUP BY e.dst),
+      r1 AS (SELECT tl.node, (1.0 - 0.85) * tl.tele + 0.85 * coalesce(pc1.contrib, 0.0) AS rank
+             FROM tl LEFT JOIN pc1 ON tl.node = pc1.dst),
+      pc2 AS (SELECT e.dst, sum(r.rank / d.dg) AS contrib
+              FROM e JOIN r1 r ON e.src = r.node JOIN sdeg d ON e.src = d.src
+              GROUP BY e.dst),
+      r2 AS (SELECT tl.node, (1.0 - 0.85) * tl.tele + 0.85 * coalesce(pc2.contrib, 0.0) AS rank
+             FROM tl LEFT JOIN pc2 ON tl.node = pc2.dst),
+      ids AS (SELECT dst AS domain,
+                     CAST(concat('0x', substring(md5(dst), 1, 15)) AS BIGINT) AS id
+              FROM (SELECT DISTINCT dst FROM e)),
+      em AS (SELECT e.src, ids.id FROM e JOIN ids ON e.dst = ids.domain),
+      und AS (SELECT DISTINCT a.id AS a, b.id AS b
+              FROM em a JOIN em b ON a.src = b.src AND a.id < b.id),
+      tdeg AS (SELECT n AS node, count(*) AS degree
+               FROM (SELECT a AS n FROM und UNION ALL SELECT b FROM und) GROUP BY n),
+      wd AS (SELECT u.a, u.b, da.degree AS da, db.degree AS db
+             FROM und u JOIN tdeg da ON u.a = da.node JOIN tdeg db ON u.b = db.node),
+      dir AS (SELECT CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END AS u,
+                     CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END AS v
+              FROM wd),
+      wedges AS (SELECT e1.u AS tu, e1.v AS tv, e2.v AS tw
+                 FROM dir e1 JOIN dir e2 ON e1.u = e2.u AND e1.v < e2.v),
+      closing AS (SELECT u AS tv, v AS tw FROM dir UNION ALL SELECT v, u FROM dir),
+      tris AS (SELECT w.tu, w.tv, w.tw FROM wedges w
+               WHERE EXISTS (SELECT 1 FROM closing c WHERE c.tv = w.tv AND c.tw = w.tw)),
+      pn AS (SELECT node, count(*) AS tri_cnt FROM (
+               SELECT tu AS node FROM tris UNION ALL
+               SELECT tv FROM tris UNION ALL
+               SELECT tw FROM tris) GROUP BY node),
+      clus AS (SELECT tdeg.node AS id,
+                      CASE WHEN tdeg.degree >= 2
+                           THEN CAST(floor(2.0 * coalesce(pn.tri_cnt, 0) /
+                                  (tdeg.degree * (tdeg.degree - 1)) * 1000000.0 + 0.5) AS DOUBLE)
+                                / 1000000.0
+                           ELSE 0.0 END AS clustering
+               FROM tdeg LEFT JOIN pn USING (node)),
+      k0 AS (SELECT node FROM tdeg WHERE degree >= 25),
+      pe1 AS (SELECT a, b FROM und
+              WHERE a IN (SELECT node FROM k0) AND b IN (SELECT node FROM k0)),
+      pd1 AS (SELECT n AS node, count(*) AS degree
+              FROM (SELECT a AS n FROM pe1 UNION ALL SELECT b FROM pe1) GROUP BY n),
+      k1 AS (SELECT node FROM pd1 WHERE degree >= 25),
+      pe2 AS (SELECT a, b FROM pe1
+              WHERE a IN (SELECT node FROM k1) AND b IN (SELECT node FROM k1)),
+      pd2 AS (SELECT n AS node, count(*) AS degree
+              FROM (SELECT a AS n FROM pe2 UNION ALL SELECT b FROM pe2) GROUP BY n),
+      core AS (SELECT node AS id FROM pd2 WHERE degree >= 25),
+      auth AS (SELECT i.domain,
+                      coalesce(r2.rank, 0.0) AS rank,
+                      coalesce(c.clustering, 0.0) AS clustering,
+                      (core.id IS NOT NULL) AS in_core,
+                      CAST(floor(coalesce(r2.rank, 0.0) *
+                             (0.5 + 0.5 * coalesce(c.clustering, 0.0)) *
+                             (CASE WHEN core.id IS NOT NULL THEN 1.0 ELSE 0.5 END)
+                             * 1000000000.0 + 0.5) AS DOUBLE) / 1000000000.0 AS score
+               FROM ids i
+               LEFT JOIN r2 ON r2.node = i.domain
+               LEFT JOIN clus c ON c.id = i.id
+               LEFT JOIN core ON core.id = i.id)
+      SELECT d.doc_id,
+             'site' || CAST(d.doc_id % 40 AS VARCHAR) || '.example.com' AS domain,
+             coalesce(a.score, 0.0) AS score,
+             coalesce(a.in_core, false) AS in_core,
+             (coalesce(a.score, 0.0) >= 0.004) AS keep
+      FROM documents d
+      LEFT JOIN auth a ON a.domain = 'site' || CAST(d.doc_id % 40 AS VARCHAR) || '.example.com'
+      ORDER BY d.doc_id""",
 
     "q180_rank_battery" -> """
       SELECT o_orderkey, o_orderstatus,

@@ -682,6 +682,101 @@ object ScaleSmoke {
           "user_id", Seq("ts", "event_id"), "event_type"))
     }
 
+    // --- round-11: behavioral analytics under a planted BOT user ---------
+    // Events widen on event_id keeping user_id (per-user series carry
+    // mult x rows), and every 97th event is REMAPPED to user 0 — one user
+    // accumulating ~1% of the whole widened stream. The multi-touch
+    // clicks x purchases join is per-user QUADRATIC BY CONTRACT (the
+    // 7-day-window Fellegi-Sunter-style trade q192's scaladoc documents),
+    // so the bot user is the adversarial case: its pair count grows
+    // mult^2 while everyone else's grows mult — wall time must track the
+    // PAIR count, not explode past it.
+    locally {
+      val evs = widen(Tables.events(spark, sfDir)
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+          col("value")), "event_id")
+        .withColumn("user_id",
+          when(col("event_id") % 97 === 0, lit(0L)).otherwise(col("user_id")))
+      val purchases = evs.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          unix_micros(col("ts")).as("pts"))
+      val clicks = evs.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          unix_micros(col("ts")).as("cts"))
+      time("multitouch attribution (bot user)") {
+        val matched = clicks.hint("shuffle_merge")
+          .join(purchases.hint("shuffle_merge"), Seq("user_id"))
+          .filter(col("cts") <= col("pts") &&
+            col("cts") >= col("pts") - lit(7L * 86400L * 1000000L))
+        val perPurchase = matched.groupBy(col("purchase_id")).agg(count(lit(1)).as("__np"))
+        matched.join(perPurchase.hint("shuffle_merge"), Seq("purchase_id"))
+          .groupBy(col("click_id")).agg(count(lit(1)).as("n_purchases"))
+      }
+      time("last-touch as-of attribution (bot user)")(
+        graft.operators.AsofJoin.leftAsof(
+          purchases.select(col("purchase_id").as("event_id"), col("user_id"),
+            col("pts").as("ts")),
+          evs.filter(col("event_type") === "click")
+            .groupBy(col("user_id"), unix_micros(col("ts")).as("click_ts"))
+            .agg(max(col("event_id")).as("click_id")),
+          leftKeys = Seq("user_id"), rightKeys = Seq("user_id"),
+          leftTime = "ts", rightTime = "click_ts",
+          rightCols = Seq("click_id", "click_ts")))
+      time("markov transitions (bot user)") {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val trans = evs
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .filter(col("next_type").isNotNull)
+          .select(col("event_type").as("from_type"), col("next_type").as("to_type"))
+        val counts = trans.groupBy(col("from_type"), col("to_type"))
+          .agg(count(lit(1)).as("cnt"))
+        counts.join(broadcast(
+            counts.groupBy(col("from_type")).agg(sum(col("cnt")).as("__tot"))),
+          Seq("from_type"))
+      }
+      time("funnel step lags (bot user)")(
+        graft.operators.Funnel.funnelTimes(
+          evs.select(col("user_id"), col("event_type"), col("ts")),
+          "user_id", "event_type", "ts", Seq("view", "click", "purchase")))
+      time("pearson by group (widened lineitem)")(
+        graft.operators.Profiler.pearsonByGroup(
+          widen(Tables.lineitem(spark, sfDir)
+            .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"),
+              col("l_extendedprice")), "l_orderkey"),
+          Seq("l_returnflag"), "l_quantity", "l_extendedprice", decimalScale = 2))
+      time("benford digits (widened orders)")(
+        graft.operators.Profiler.benfordDigits(
+          widen(Tables.orders(spark, sfDir)
+            .select(col("o_orderkey"), col("o_totalprice")), "o_orderkey"),
+          "o_totalprice"))
+      time("coordinated sample (events + orders)") {
+        val evS = Sampling.deterministicSample(
+          evs.select(col("user_id"), col("event_id")), "user_id", 0.1, "coord")
+          .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+        val ordS = Sampling.deterministicSample(
+          widen(Tables.orders(spark, sfDir)
+            .select(col("o_custkey").as("user_id"), col("o_orderkey")), "o_orderkey"),
+          "user_id", 0.1, "coord")
+          .groupBy(col("user_id")).agg(count(lit(1)).as("n_orders"))
+        evS.hint("shuffle_merge")
+          .join(ordS.hint("shuffle_merge"), Seq("user_id"), "full_outer")
+      }
+    }
+
+    // --- round-11: composed link authority over a widened domain graph --
+    // Doc widening multiplies SOURCES (src carries the widened id residue)
+    // while the domain set stays fixed — out-degrees hold, co-citation
+    // saturates at the domain grid, so the stage should flatten past
+    // saturation exactly like the triangles stage above.
+    time("link authority (ppr + triangles + core)")(
+      graft.operators.Graph.linkAuthority(
+        docs.select(concat(lit("s"), (col("doc_id") % 2000).cast("string")).as("src"),
+          concat(lit("site"), (((col("doc_id") / 20).cast("long") % 25
+            + (col("doc_id") % 20) * 2) % 40).cast("string")).as("dst")),
+        "src", "dst", seeds = Seq("s0", "s1"),
+        pprIterations = 2, coreK = 25, coreIterations = 2))
+
     spark.stop()
   }
 }

@@ -366,6 +366,63 @@ class StreamingCurationSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("domainAuthority leg gates the stream on a PERSISTED linkAuthority score table") {
+    // batch leg: score domains from link topology and PERSIST the frame —
+    // the historyIndex pattern (stream-static, re-read per micro-batch)
+    val edges = Seq(("s1", "good.com"), ("s1", "ok.com"), ("s1", "fine.com"),
+      ("s2", "good.com"), ("s2", "ok.com"), ("s2", "spam.net"))
+      .toDF("src", "dst")
+    val scoresDir = Files.createTempDirectory("graft-authority").toString
+    graft.operators.Graph.linkAuthority(edges, "src", "dst", seeds = Seq("s1"),
+      pprIterations = 1, coreK = 2, coreIterations = 1)
+      .write.mode("overwrite").parquet(scoresDir)
+    val persisted = spark.read.parquet(scoresDir)
+    val byDom = persisted.select("domain", "score")
+      .as[(String, Double)].collect().toMap
+    // s1 (the trusted seed) links good/ok/fine, s2 links spam.net too:
+    // spam.net gets no seed-proximity mass and scores 0
+    assert(byDom("spam.net") == 0.0 && byDom("good.com") > 0.0)
+    val minScore = byDom("good.com") / 2 // between spam's 0 and the good tier
+
+    val goodText = "the fox and a hen is of the barn and the yard at dawn by the mill pond"
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String, String)]
+    val streams = StreamingCuration.curate(
+      in.toDF().toDF("doc_id", "text", "domain"),
+      domainAuthority = Some(DomainAuthority(persisted, "domain", minScore)))
+    try spark.catalog.dropTempView("scur_da") catch { case _: Exception => () }
+    val q = streams.survivors.writeStream
+      .format("memory").queryName("scur_da").outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("graft-scur-da").toString)
+      .start()
+    try {
+      in.addData(Seq((1L, goodText, "good.com"), (2L, goodText + " extra", "spam.net"),
+        (3L, goodText + " other words", "unheard-of.org")))
+      q.processAllAvailable()
+      val got = spark.table("scur_da").select("doc_id").as[Long].collect().toSet
+      // spam domain drops; unknown domain KEEPS under the default posture
+      assert(got == Set(1L, 3L), s"got $got")
+    } finally q.stop()
+
+    // dropUnknown = true: no-evidence domains drop too
+    val in2 = MemoryStream[(Long, String, String)]
+    val streams2 = StreamingCuration.curate(
+      in2.toDF().toDF("doc_id", "text", "domain"),
+      domainAuthority = Some(DomainAuthority(persisted, "domain", minScore,
+        dropUnknown = true)))
+    try spark.catalog.dropTempView("scur_da2") catch { case _: Exception => () }
+    val q2 = streams2.survivors.writeStream
+      .format("memory").queryName("scur_da2").outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("graft-scur-da2").toString)
+      .start()
+    try {
+      in2.addData(Seq((1L, goodText, "good.com"), (3L, goodText + " other words", "unheard-of.org")))
+      q2.processAllAvailable()
+      val got2 = spark.table("scur_da2").select("doc_id").as[Long].collect().toSet
+      assert(got2 == Set(1L), s"got $got2")
+    } finally q2.stop()
+  }
+
   test("a trainNaiveBayesWeights model drives the qualityModel leg end to end") {
     // trained-on-batch, gated-on-stream: the q116/q117 trainer's weights
     // feed the SAME QualityModel leg the literal-weight tests use — the

@@ -172,4 +172,40 @@ class GraphSpec extends AnyFunSuite {
     // k above the max degree empties the graph
     assert(Graph.degreePeel(g, "src", "dst", k = 5, iterations = 1).isEmpty)
   }
+
+  test("linkAuthority: hand-computed PPR x clustering x core composition on a 2-source graph") {
+    // s1 -> A,B,C (the seed, wide); s2 -> A,B,D. Co-citation edges:
+    // {AB, AC, BC} from s1 plus {AB, AD, BD} from s2 = AB AC BC AD BD.
+    // Degrees A=3 B=3 C=2 D=2; triangles ABC, ABD -> A,B in 2 each, C,D
+    // in 1; clustering A=B=2/3, C=D=1. Core at k=2: everyone survives.
+    // One PPR iteration from seed s1: contrib 1/3 to each of A,B,C;
+    // rank = 0.85 * (1/3) there, D gets 0.
+    val edges = Seq(("s1", "A"), ("s1", "B"), ("s1", "C"),
+      ("s2", "A"), ("s2", "B"), ("s2", "D")).toDF("src", "dst")
+    val r = Graph.linkAuthority(edges, "src", "dst", seeds = Seq("s1"),
+      pprIterations = 1, coreK = 2, coreIterations = 1)
+      .as[(String, Double, Double, Boolean, Double)].collect()
+      .map { case (d, rk, cl, core, sc) => d -> ((rk, cl, core, sc)) }.toMap
+    assert(r.keySet == Set("A", "B", "C", "D"))
+    val rk = 0.85 * (1.0 / 3.0)
+    val cl23 = graft.functions.Quantize.scaledFloorDouble(
+      2.0 * 2 / (3 * 2).toDouble, 6)
+    def score(rank: Double, clus: Double, core: Boolean) =
+      graft.functions.Quantize.scaledFloorDouble(
+        rank * (0.5 + 0.5 * clus) * (if (core) 1.0 else 0.5), 9)
+    assert(r("A") == ((rk, cl23, true, score(rk, cl23, core = true))))
+    assert(r("B") == ((rk, cl23, true, score(rk, cl23, core = true))))
+    assert(r("C") == ((rk, 1.0, true, score(rk, 1.0, core = true))))
+    assert(r("D") == ((0.0, 1.0, true, 0.0)))
+    // raise the core bar to 3: C and D (degree 2) peel off, the surviving
+    // restriction {A-B} leaves A,B at degree 1 < 3 — the core empties and
+    // every score halves (the out-of-core factor)
+    val r2 = Graph.linkAuthority(edges, "src", "dst", seeds = Seq("s1"),
+      pprIterations = 1, coreK = 3, coreIterations = 1)
+      .as[(String, Double, Double, Boolean, Double)].collect()
+      .map { case (d, rk2, cl, core, sc) => d -> ((cl, core, sc)) }.toMap
+    assert(r2.values.forall(!_._2))
+    assert(r2("C")._3 == score(rk, 1.0, core = false))
+    assert(r2("A")._3 == score(rk, cl23, core = false))
+  }
 }
