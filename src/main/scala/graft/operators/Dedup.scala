@@ -1113,6 +1113,60 @@ object Dedup {
     * ~0.03 — acceptable for a lossy-by-design cleaning pass (the exact
     * operators in this file stay on 16-byte hashes).
     */
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken 2003 —
+    * the MOSS local fingerprinting algorithm): over each document's
+    * sequence of `k`-token window hashes, every run of `w` CONSECUTIVE
+    * hashes contributes its minimum (rightmost position on hash ties),
+    * and the fingerprint set is the distinct selected (position, hash)
+    * pairs. The local-containment guarantee: any shared token run of
+    * length ≥ w + k − 1 yields at least one SHARED fingerprint — what
+    * [[buildWindowIndex]] buys by indexing EVERY window, winnowing buys
+    * at expected density 2/(w+1), the sublinear index for substring-dedup
+    * at 100 TB (the index shrinks ~w/2-fold; detection granularity
+    * coarsens from w to w+k−1 tokens, the published trade).
+    *
+    * The window hash is the engine-portable 60-bit md5
+    * ([[Sampling.keyHash]]'s arithmetic) of the space-joined k-gram, NOT
+    * xxhash64 — a fingerprint index is an EXCHANGE format (oracles,
+    * other engines, cross-pipeline sharing) by design. Docs with fewer
+    * than w hashes contribute their global minimum (the
+    * at-least-one-fingerprint rule).
+    *
+    * Shape: one projection to the hash sequence, posexplode, ONE per-doc
+    * ordered window (a (hash, −pos) struct-min over a w-row frame — the
+    * rightmost-tie rule as plain struct ordering), distinct. Everything
+    * is per-doc bounded; one shuffle on the doc key. Output:
+    * (idCol, pos, wh).
+    */
+  def winnowingFingerprints(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 5,
+      w: Int = 4
+  ): DataFrame = {
+    require(k >= 2, "k-gram must span at least 2 tokens")
+    require(w >= 2, "winnowing window must span at least 2 hashes")
+    import org.apache.spark.sql.expressions.Window
+    val portable = (g: Column) => conv(substring(md5(g), 1, 15), 16, 10).cast("long")
+    val hashed = withComputeParallelism(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), split(col(textCol), " ").as("__toks"))
+      .filter(size(col("__toks")) >= k)
+      .select(col(idCol), hashedWindows(col("__toks"), k, portable).as("__whs"))
+      .select(col(idCol), size(col("__whs")).as("__m"),
+        posexplode(col("__whs")).as(Seq("pos", "wh")))
+    val win = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    hashed
+      .withColumn("__mn", min(struct(col("wh"), (-col("pos")).as("np"))).over(win))
+      .withColumn("__cnt", count(lit(1)).over(win))
+      // full windows select; a short doc (m < w) selects its global min
+      // via the pos-0 frame, which then spans the whole sequence
+      .filter(col("__cnt") === w || (col("__m") < w && col("pos") === 0))
+      .select(col(idCol), (-col("__mn.np")).as("pos"), col("__mn.wh").as("wh"))
+      .distinct()
+  }
+
   def buildWindowIndex(df: DataFrame, idCol: String, textCol: String, w: Int = 8): DataFrame = {
     require(w >= 2, "window must span at least 2 tokens")
     withComputeParallelism(df.select(col(idCol), col(textCol)))
@@ -1131,10 +1185,11 @@ object Dedup {
     * The index hashes are collected ONCE into an executor-broadcast hash
     * set and probed per row — a pure projection, zero state, zero
     * shuffles, so the SAME call applies unchanged to a readStream frame.
-    * A deliberate UDF for the membership probe (O(1) per window against a
-    * shared set beats any literal-array scan once the index is
-    * non-trivial); the window derivation and the rebuild stay the
-    * codegen'd expressions shared with [[stripDuplicatedWindows]].
+    * The membership probe is a native Catalyst expression
+    * ([[graft.functions.LongSetHitPositions]] — O(1) per window against
+    * the broadcast set, inside the projection's codegen span); the window
+    * derivation and the rebuild stay the codegen'd expressions shared
+    * with [[stripDuplicatedWindows]].
     * `maxIndexWindows` fails loudly before an oversized index OOMs the
     * driver — a corpus-scale index belongs in the join-based
     * [[stripDuplicatedWindows]] shape instead (or strata of it).

@@ -289,4 +289,45 @@ object Profiler {
       .agg(round(sum(abs(col("__ca") / col("__ta") - col("__cb") / col("__tb"))) / 2.0, 6)
         .as("tv_distance"))
   }
+
+  /** Score-calibration card (reliability diagram): predictions in [0, 1]
+    * binned into `bins` equal-width buckets; per bucket the count, the
+    * mean predicted score, the observed positive rate, and the |gap|
+    * between them — the per-bucket contribution whose n-weighted sum is
+    * the expected calibration error (ECE). The card every
+    * quality-model gate ([[graft.examples.QualityModel]], the NB scorer)
+    * should ship with: a model can rank well and still be miscalibrated,
+    * and a curation threshold set on miscalibrated scores admits a
+    * different volume than planned.
+    *
+    * Mean-of-floats is order-sensitive under shuffles, so the bucket mean
+    * rides the klFromCorpus integer-grid convention: scores quantized to
+    * a 1e-7 grid as longs, integer-summed (order-free), one exact
+    * division. One keyed aggregation, map-side combined; output is
+    * `bins`-bounded. Scores outside [0, 1] clamp into the edge buckets.
+    */
+  def reliabilityCard(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      bins: Int
+  ): DataFrame = {
+    require(bins >= 2 && bins <= 4096, s"bins=$bins out of [2, 4096]")
+    val s = col(scoreCol).cast("double")
+    val bin = least(greatest(floor(s * bins).cast("long"), lit(0L)), lit(bins - 1L))
+    val c7 = floor(s * 1e7 + 0.5).cast("long")
+    df.select(bin.as("bin"), c7.as("__c7"), col(labelCol).cast("boolean").as("__y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__c7")).as("__s7"),
+        count(when(col("__y"), 1)).as("__pos"))
+      .select(col("bin"), col("n"),
+        graft.functions.Quantize.scaledFloor(
+          col("__s7").cast("double") / 1e7 / col("n").cast("double"), 6).as("mean_score"),
+        graft.functions.Quantize.scaledFloor(
+          col("__pos").cast("double") / col("n").cast("double"), 6).as("frac_pos"))
+      .withColumn("abs_gap",
+        graft.functions.Quantize.scaledFloor(
+          abs(col("mean_score") - col("frac_pos")), 6))
+  }
 }

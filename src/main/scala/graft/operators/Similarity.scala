@@ -666,6 +666,119 @@ object Similarity {
           .as("cos_means"))
   }
 
+  /** Per-group embedding-centroid outlier flags — the SEMANTIC outlier
+    * filter of a curation pipeline (a "zh" document whose embedding sits
+    * far from the zh centroid is mislabeled, machine-generated, or
+    * garbage; q165's corpus-level drift signal taken to row granularity).
+    *
+    * The centroid is ORDER-FREE by the klFromCorpus integer-grid
+    * convention: each element quantized to a 1e-7 grid as a long,
+    * integer-summed per dimension (any shuffle order), one division by
+    * the group count — so the centroid, every cosine, and the flag are
+    * bit-identical across engines and runs. Zero-norm rows (and groups
+    * whose centroid collapses to zero) emit cos 0 and flag true — no
+    * direction means no evidence of membership.
+    *
+    * Shape at 100 TB: one keyed aggregation to |groups|·dim partial sums
+    * (map-side combined, enum-bounded output), centroids broadcast back
+    * (a |groups|-row model frame — the q37 boundary-table class), then a
+    * pure scoring projection. Output: (id, group, cos_centroid,
+    * is_outlier).
+    */
+  def centroidOutliers(
+      vectors: DataFrame,
+      idCol: String,
+      groupCol: String,
+      vectorCol: String,
+      dim: Int,
+      minCos: Double
+  ): DataFrame = {
+    require(dim > 0 && dim <= 4096, s"dim=$dim out of (0, 4096]")
+    val proj = vectors.select(col(idCol), col(groupCol),
+      asDouble(col(vectorCol)).as("__v"))
+    val q = transform(col("__v"), x => floor(x * 1e7 + lit(0.5)).cast("long"))
+    val sums = proj
+      .select(col(groupCol), q.as("__q"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n"),
+        array((0 until dim).map(i => sum(element_at(col("__q"), i + 1))): _*).as("__s"))
+      .select(col(groupCol),
+        transform(col("__s"), s => s.cast("double") / 1e7 / col("__n")).as("__c"))
+    proj.join(broadcast(sums), Seq(groupCol))
+      .withColumn("__cn", norm(col("__c")))
+      .withColumn("__vn", norm(col("__v")))
+      .select(col(idCol), col(groupCol),
+        graft.functions.Quantize.scaledFloor(
+          when(col("__vn") > 0 && col("__cn") > 0,
+            fastDot(col("__v"), col("__c")) / (col("__vn") * col("__cn")))
+            .otherwise(lit(0.0)), 6).as("cos_centroid"))
+      .withColumn("is_outlier", col("cos_centroid") < minCos)
+  }
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998):
+    * from a RELEVANCE-scored candidate pool, greedily select `k` items,
+    * each step taking the candidate maximizing
+    * `λ·rel − (1−λ)·max_{s ∈ selected} cos(v, v_s)` — relevance traded
+    * against redundancy with what is already picked. THE diversity
+    * re-ranker of retrieval-augmented pipelines (a RAG context window of
+    * five near-identical passages wastes four slots; MMR spends them).
+    *
+    * Greedy selection is inherently sequential in k, and k is a CONTEXT
+    * WINDOW budget (guarded ≤ 64) — so each of the k steps is one
+    * corpus-safe argmax (a 1-row sort-limit collect of (score, id, vec),
+    * the trainKMeans farthest-point class: only k rows ever reach the
+    * driver; the pool is scanned k times, never joined with itself).
+    * Scores quantize through [[graft.functions.Quantize.scaledFloor]](6)
+    * BEFORE the argmax with ties to the lowest id, so the selection is
+    * engine-reproducible. Output: (rank 1..k, id, mmr_score) — rank 1's
+    * score is its pure (quantized) relevance.
+    */
+  def mmrRerank(
+      candidates: DataFrame,
+      idCol: String,
+      vectorCol: String,
+      relevanceCol: String,
+      k: Int,
+      lambda: Double
+  ): DataFrame = {
+    require(k >= 1 && k <= 64, s"k=$k out of [1, 64] — k is a context-window budget")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0, 1], got $lambda")
+    val spark = candidates.sparkSession
+    val pool = candidates.select(col(idCol).cast("long").as("__id"),
+      asDouble(col(vectorCol)).as("__v"), col(relevanceCol).cast("double").as("__rel"))
+    val cos = (v: Column, p: Array[Double]) => {
+      val pn = math.sqrt(p.map(x => x * x).sum)
+      when(norm(v) > 0 && lit(pn) > 0, fastDot(v, lit(p)) / (norm(v) * lit(pn)))
+        .otherwise(lit(0.0))
+    }
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double], Double)]
+    var i = 0
+    while (i < k) {
+      val already = selected.map(_._1)
+      val base = if (already.isEmpty) pool else pool.filter(!col("__id").isin(already.toSeq: _*))
+      val redundancy = selected.map { case (_, v, _) => cos(col("__v"), v) }.toSeq match {
+        case Seq() => lit(0.0)
+        case Seq(one) => one // Greatest requires >= 2 args
+        case many => greatest(many: _*)
+      }
+      val top = base
+        .select(col("__id"), col("__v"),
+          graft.functions.Quantize.scaledFloor(
+            lit(lambda) * col("__rel") - lit(1.0 - lambda) * redundancy, 6).as("__s"))
+        .orderBy(col("__s").desc, col("__id"))
+        .limit(1).collect()
+      if (top.nonEmpty) {
+        val r = top.head
+        selected += ((r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      } else i = k // pool exhausted
+      i += 1
+    }
+    import spark.implicits._
+    selected.toSeq.zipWithIndex
+      .map { case ((id, _, s), rk) => (rk + 1, id, s) }
+      .toDF("rank", idCol, "mmr_score")
+  }
+
   /** Deterministic distributed k-means for the IVF/SemDeDup quantizer —
     * closes the "centroids are trained offline" contract with an in-repo
     * trainer. Assignment is nearest-centroid by COSINE (argmax ties to the

@@ -863,6 +863,71 @@ object TextAnalysis {
         when(col("__idcg") > 0, col("__dcg") / col("__idcg")).otherwise(lit(0.0)).as("ndcg_at_k"))
   }
 
+  /** Rank-Biased Overlap between two rankings, truncated at `depth`
+    * (Webber, Moffat & Zobel 2010): per query,
+    * `RBO@D = (1−p) · Σ_{d=1..D} p^{d−1} · |A_d ∩ B_d| / d` — the
+    * top-weighted similarity of two retrieval runs (A/B-testing a new
+    * ranker, validating an ANN index against brute force: q107/q122's
+    * family measured as rank agreement instead of recall). `p` is the
+    * persistence knob (0.9 ≈ top-10 dominated).
+    *
+    * A shared doc first enters the intersection at depth
+    * `m = max(rank_A, rank_B)`, so its total contribution is the constant
+    * `W[m] = Σ_{d=m..D} p^{d−1}/d` — the per-pair weights are a literal
+    * table computed once (depth-bounded), and the per-query sum rides the
+    * klFromCorpus INTEGER grid (weights quantized to 1e-9 longs,
+    * integer-summed — order-free, engine-exact). Ranks are derived from
+    * (score desc, doc asc) row_number like [[retrievalMetrics]], never
+    * trusted from row order.
+    *
+    * Shape: two parameter-bounded per-query windows (≤ producer-k rows per
+    * query by the eval contract), one (query, doc) join of the truncated
+    * runs, one keyed aggregation. Output: (queryId, overlap_at_depth,
+    * rbo) — for OVERLAP-POSITIVE queries only: two runs sharing nothing in
+    * their depth-prefixes emit no row (RBO 0 by definition; left-join a
+    * query dim and coalesce to 0 if the report needs every query).
+    */
+  def rankBiasedOverlap(
+      runA: DataFrame,
+      runB: DataFrame,
+      queryIdCol: String,
+      docIdCol: String,
+      scoreCol: String,
+      p: Double = 0.9,
+      depth: Int = 10
+  ): DataFrame = {
+    require(p > 0.0 && p < 1.0, s"p must be in (0, 1), got $p")
+    require(depth >= 1 && depth <= 1000, s"depth=$depth out of [1, 1000]")
+    // W[m] = sum_{d=m..D} p^(d-1)/d on a 1e-9 integer grid, smallest-first
+    // summation per entry (deterministic literal table; the oracle embeds
+    // the same longs)
+    val wq: Array[Long] = rboWeightGrid(p, depth)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(queryIdCol)).orderBy(col(scoreCol).desc, col(docIdCol).asc)
+    def top(run: DataFrame, rankAs: String) = run
+      .withColumn(rankAs, row_number().over(w))
+      .filter(col(rankAs) <= depth)
+      .select(col(queryIdCol), col(docIdCol), col(rankAs))
+    top(runA, "__ra")
+      .join(top(runB, "__rb"), Seq(queryIdCol, docIdCol))
+      .withColumn("__w9", element_at(lit(wq), greatest(col("__ra"), col("__rb")).cast("int")))
+      .groupBy(col(queryIdCol))
+      .agg(count(lit(1)).as("overlap_at_depth"),
+        graft.functions.Quantize.scaledFloor(
+          sum(col("__w9")).cast("double") / 1e9 * (1.0 - p), 6).as("rbo"))
+  }
+
+  /** The [[rankBiasedOverlap]] weight table: `W[m] = Σ_{d=m..D} p^{d−1}/d`
+    * quantized to a 1e-9 integer grid — public so the generated oracle
+    * embeds the identical longs. Each entry sums smallest-term-first
+    * (d = D down to m) for a fixed fold order. */
+  def rboWeightGrid(p: Double, depth: Int): Array[Long] =
+    Array.tabulate(depth) { m0 =>
+      val m = m0 + 1
+      val sum = (depth to m by -1).foldLeft(0.0)((acc, d) => acc + math.pow(p, d - 1) / d)
+      math.floor(sum * 1e9 + 0.5).toLong
+    }
+
   /** Hashed-feature linear scorer — the fasttext-shaped quality classifier
     * every production corpus filter runs, as a PURE per-row expression:
     * `score = sigmoid(bias + Σ_tokens weights[bucket(token)])` with

@@ -2001,6 +2001,92 @@ object DataPipelinePack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Score-calibration card over the q92 hashed-linear quality scorer:
+    // 10 score buckets, per bucket the count, integer-grid mean score,
+    // observed en-rate, and the |gap| (the ECE contribution) — the
+    // reliability diagram a quality gate ships with.
+    "q203_reliability_card" -> ((s, d) => {
+      val scored = TextAnalysis.hashedLinearScore(
+        Tables.documents(s, d).select(col("doc_id"), col("text"), col("lang")),
+        "doc_id", "text", qualityWeights, bias = -0.5)
+      Profiler.reliabilityCard(
+        scored.withColumn("label", col("lang") === "en"),
+        "quality_score", "label", bins = 10)
+        .orderBy(col("bin"))
+    }),
+
+    // Winnowing fingerprint selection (the MOSS algorithm) at k=5/w=4:
+    // each 4-window of 5-gram hashes contributes its min (rightmost on
+    // ties) — the sublinear substring-dedup index, ~2/(w+1) the density
+    // of indexing every window, over the portable 60-bit md5 hash.
+    "q204_winnowing" -> ((s, d) => {
+      Dedup.winnowingFingerprints(Tables.documents(s, d), "doc_id", "text",
+        k = 5, w = 4)
+        .orderBy(col("doc_id"), col("pos"), col("wh"))
+    }),
+
+    // Rank-biased overlap of two retrieval runs per probe: exact cosine
+    // ranking on the RAW vectors vs the same ranking on the INT8-
+    // quantized/dequantized vectors (q81's storage-compression path) at
+    // p=0.9, depth 10 — the top-weighted rank-agreement measure of what
+    // quantization costs, per probe; per-pair weights ride a generated
+    // 1e-9 integer grid.
+    "q205_rbo" -> ((s, d) => {
+      val dot = graft.functions.VectorExpressions.dot _
+      def run(vecs: DataFrame) = {
+        val e = vecs.select(col("vec_id"), col("__v"))
+        val probes = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("probe_id"), col("__v").as("__p"))
+        e.select(col("vec_id").as("nbr_id"), col("__v"))
+          .crossJoin(broadcast(probes))
+          .filter(col("nbr_id") =!= col("probe_id"))
+          .select(col("probe_id"), col("nbr_id"),
+            (dot(col("__p"), col("__v")) /
+              (sqrt(dot(col("__p"), col("__p"))) * sqrt(dot(col("__v"), col("__v")))))
+              .as("score"))
+      }
+      val raw = Tables.embeddings(s, d)
+        .select(col("vec_id"), graft.operators.Similarity.asDouble(col("embedding")).as("__v"))
+      val deq = graft.operators.Similarity
+        .quantizeInt8(Tables.embeddings(s, d), "vec_id", "embedding")
+        .select(col("vec_id"),
+          graft.operators.Similarity.dequantize(col("qvec"), col("scale")).as("__v"))
+      TextAnalysis.rankBiasedOverlap(run(raw), run(deq), "probe_id", "nbr_id", "score",
+        p = 0.9, depth = 10)
+        .orderBy(col("probe_id"))
+    }),
+
+    // MMR diversity re-ranking (λ=0.7, k=5) of the corpus against probe
+    // vector 0's relevance — the RAG context-window re-ranker; greedy
+    // k-step selection with quantized scores and lowest-id ties, each
+    // step one argmax (the trainKMeans farthest-point collect class).
+    "q206_mmr" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), graft.operators.Similarity.asDouble(col("embedding")).as("__v"))
+      val dot = graft.functions.VectorExpressions.dot _
+      val probe = e.filter(col("vec_id") === 0)
+        .select(col("__v").as("__p"))
+      val cands = e.filter(col("vec_id") > 0)
+        .crossJoin(broadcast(probe))
+        .select(col("vec_id"), col("__v").as("embedding"),
+          (dot(col("__p"), col("__v")) /
+            (sqrt(dot(col("__p"), col("__p"))) * sqrt(dot(col("__v"), col("__v")))))
+            .as("rel"))
+      graft.operators.Similarity.mmrRerank(cands, "vec_id", "embedding", "rel",
+        k = 5, lambda = 0.7)
+        .orderBy(col("rank"))
+    }),
+
+    // Per-group embedding-centroid outliers (integer-grid centroids, so
+    // the flag is engine-exact): rows whose cosine to their own group's
+    // centroid falls below 0.2 — the semantic mislabel/garbage filter.
+    "q207_centroid_outliers" -> ((s, d) => {
+      graft.operators.Similarity.centroidOutliers(
+        Tables.embeddings(s, d).withColumn("grp", pmod(col("vec_id"), lit(4)).cast("string")),
+        "vec_id", "grp", "embedding", dim = 64, minCos = 0.2)
+        .orderBy(col("vec_id"))
+    }),
+
     // Dedup-cluster size distribution: the post-dedup report card — how
     // many clusters of each size, how many docs they cover (q43's CC
     // composed into the histogram a curation run publishes).
@@ -2452,6 +2538,91 @@ object DataPipelinePack extends QueryPack {
       SELECT planted, eligible, found, lsh_pairs,
              CAST(floor(CAST(found AS DOUBLE) / CAST(eligible AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS recall
       FROM agg"""
+  }
+
+  /** q205's oracle is GENERATED: the RBO weight table W[m] (1e-9 integer
+    * grid, [[graft.operators.TextAnalysis.rboWeightGrid]]) and the (1−p)
+    * factor embed as literals, so the per-pair contributions and the
+    * final scaled-floor are the identical doubles. */
+  private def rboOracle: String = {
+    val wq = graft.operators.TextAnalysis.rboWeightGrid(0.9, 10)
+    s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      sc8 AS (SELECT vec_id,
+                     list_max([CAST(abs(y) AS DOUBLE) for y in embedding]) / 127.0 AS scale
+              FROM embeddings),
+      dq AS (SELECT e.vec_id,
+                    CASE WHEN scale = 0
+                         THEN [CAST(0 AS DOUBLE) for x in v]
+                         ELSE [CAST(round(x / scale) AS INTEGER) * scale for x in v]
+                    END AS v
+             FROM e JOIN sc8 ON e.vec_id = sc8.vec_id),
+      pa AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 5),
+      pb AS (SELECT vec_id AS probe_id, v AS pv FROM dq WHERE vec_id < 5),
+      sa AS (SELECT probe_id, e.vec_id AS nbr_id,
+                    list_inner_product(pv, e.v) /
+                      (sqrt(list_inner_product(pv, pv)) * sqrt(list_inner_product(e.v, e.v))) AS cs
+             FROM pa CROSS JOIN e WHERE e.vec_id != probe_id),
+      sb AS (SELECT probe_id, dq.vec_id AS nbr_id,
+                    list_inner_product(pv, dq.v) /
+                      (sqrt(list_inner_product(pv, pv)) * sqrt(list_inner_product(dq.v, dq.v))) AS cs
+             FROM pb CROSS JOIN dq WHERE dq.vec_id != probe_id),
+      ra AS (SELECT probe_id, nbr_id,
+                    row_number() OVER (PARTITION BY probe_id ORDER BY cs DESC, nbr_id) AS r
+             FROM sa),
+      rb AS (SELECT probe_id, nbr_id,
+                    row_number() OVER (PARTITION BY probe_id ORDER BY cs DESC, nbr_id) AS r
+             FROM sb),
+      j AS (SELECT ra.probe_id, greatest(ra.r, rb.r) AS m
+            FROM ra JOIN rb ON ra.probe_id = rb.probe_id AND ra.nbr_id = rb.nbr_id
+            WHERE ra.r <= 10 AND rb.r <= 10),
+      wt AS (SELECT [${wq.mkString("CAST(", " AS BIGINT), CAST(", " AS BIGINT)")}] AS t)
+      SELECT probe_id, count(*) AS overlap_at_depth,
+             CAST(floor(CAST(sum(t[m]) AS DOUBLE) / 1000000000.0 * ${1.0 - 0.9}
+                        * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS rbo
+      FROM j CROSS JOIN wt GROUP BY probe_id ORDER BY probe_id"""
+  }
+
+  /** q206's oracle is GENERATED: the λ and 1−λ factors embed as the exact
+    * Scala doubles (1−0.7 is 0.30000000000000004 — interpolation emits
+    * the round-tripping shortest form), and the five greedy steps unroll
+    * as argmax CTEs with the same quantize-then-tie-break rule. */
+  private def mmrOracle: String = {
+    val lam = 0.7
+    val oneMinus = 1.0 - lam
+    def fl6(x: String) = s"CAST(floor(($x) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0"
+    def cosTo(sel: String) =
+      s"""CASE WHEN sqrt(list_inner_product(r.v, r.v)) > 0 AND sqrt(list_inner_product($sel.v, $sel.v)) > 0
+               THEN list_inner_product(r.v, $sel.v) /
+                    (sqrt(list_inner_product(r.v, r.v)) * sqrt(list_inner_product($sel.v, $sel.v)))
+               ELSE 0.0 END"""
+    // step n: score remaining candidates against the already-selected
+    // rows, take the quantized argmax (ties to the lowest id)
+    val steps = (2 to 5).map { n =>
+      val prevSel = (1 until n).map(i => s"s$i")
+      val joins = prevSel.map(si => s"CROSS JOIN $si").mkString(" ")
+      val red = prevSel.map(si => cosTo(si)).mkString("greatest(", ", ", ")")
+      val notIn = prevSel.map(si => s"r.id != $si.id").mkString(" AND ")
+      s"""
+      sc$n AS (SELECT r.id, r.v, ${fl6(s"$lam * r.rel - $oneMinus * $red")} AS s
+               FROM c r $joins WHERE $notIn),
+      s$n AS (SELECT id, v, s FROM sc$n ORDER BY s DESC, id LIMIT 1)"""
+    }.mkString(",")
+    s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      pr AS (SELECT v AS pv FROM e WHERE vec_id = 0),
+      c AS (SELECT vec_id AS id, v,
+                   list_inner_product(pv, v) /
+                     (sqrt(list_inner_product(pv, pv)) * sqrt(list_inner_product(v, v))) AS rel
+            FROM e CROSS JOIN pr WHERE vec_id > 0),
+      sc1 AS (SELECT id, v, ${fl6(s"$lam * rel - $oneMinus * 0.0")} AS s FROM c),
+      s1 AS (SELECT id, v, s FROM sc1 ORDER BY s DESC, id LIMIT 1),$steps
+      SELECT CAST(1 AS INTEGER) AS rank, id AS vec_id, s AS mmr_score FROM s1
+      UNION ALL SELECT 2, id, s FROM s2
+      UNION ALL SELECT 3, id, s FROM s3
+      UNION ALL SELECT 4, id, s FROM s4
+      UNION ALL SELECT 5, id, s FROM s5
+      ORDER BY rank"""
   }
 
   /** q33's oracle is GENERATED: the sign-LSH bucketing is deterministic
@@ -4390,6 +4561,88 @@ object DataPipelinePack extends QueryPack {
     "q127_group_sample" -> groupSampleOracle,
     "q33_ann_lsh" -> lshAnnOracle,
     "q61_cosine_lsh_prod" -> lshProdRecallOracle,
+    "q205_rbo" -> rboOracle,
+    "q206_mmr" -> mmrOracle,
+
+    // q203: q92's score expression verbatim, then the binning/grid
+    // aggregation mirrored op for op.
+    "q203_reliability_card" -> s"""
+      WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+      wv AS (SELECT [${qualityWeights.mkString(", ")}] AS wl),
+      sc AS (SELECT doc_id, lang,
+               round(1.0 / (1.0 + exp(-(
+                 list_reduce(
+                   list_prepend(CAST(-0.5 AS DOUBLE),
+                     list_transform(w, t -> wl[
+                       CAST(CAST(concat('0x', substring(md5(t), 1, 15)) AS BIGINT) % 64 AS INTEGER) + 1])),
+                   (acc, x) -> acc + x)))), 4) AS s
+             FROM toks CROSS JOIN wv),
+      b AS (SELECT least(greatest(CAST(floor(s * 10) AS BIGINT), 0), 9) AS bin,
+                   CAST(floor(s * 10000000.0 + 0.5) AS BIGINT) AS c7,
+                   (lang = 'en') AS y
+            FROM sc),
+      agg AS (SELECT bin, count(*) AS n, sum(c7) AS s7,
+                     count(*) FILTER (WHERE y) AS pos
+              FROM b GROUP BY bin),
+      card AS (SELECT bin, n,
+                      CAST(floor(CAST(s7 AS DOUBLE) / 10000000.0 / CAST(n AS DOUBLE)
+                                 * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS mean_score,
+                      CAST(floor(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)
+                                 * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS frac_pos
+               FROM agg)
+      SELECT bin, n, mean_score, frac_pos,
+             CAST(floor(abs(mean_score - frac_pos) * 1000000.0 + 0.5) AS DOUBLE)
+               / 1000000.0 AS abs_gap
+      FROM card ORDER BY bin""",
+
+    // q204: per-doc 5-gram md5-60 hashes, every 4-window's min (rightmost
+    // tie via max(pos) among the window's min-hash rows), short docs fall
+    // back to the global min, distinct (pos, hash) pairs.
+    "q204_winnowing" -> """
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      h AS (SELECT doc_id, p - 1 AS pos,
+                   CAST(concat('0x', substring(md5(array_to_string(list_slice(w, p, p + 4), ' ')), 1, 15)) AS BIGINT) AS wh,
+                   len(w) - 4 AS m
+            FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS p
+                  FROM t WHERE len(w) >= 5)),
+      starts AS (SELECT doc_id, unnest(generate_series(0, greatest(m - 4, 0))) AS st
+                 FROM (SELECT DISTINCT doc_id, m FROM h)),
+      mn AS (SELECT s.doc_id, s.st, min(h.wh) AS mwh
+             FROM starts s JOIN h ON h.doc_id = s.doc_id AND h.pos BETWEEN s.st AND s.st + 3
+             GROUP BY s.doc_id, s.st),
+      sel AS (SELECT mn.doc_id, max(h.pos) AS pos, mn.mwh AS wh
+              FROM mn JOIN h ON h.doc_id = mn.doc_id
+                            AND h.pos BETWEEN mn.st AND mn.st + 3 AND h.wh = mn.mwh
+              GROUP BY mn.doc_id, mn.st, mn.mwh)
+      SELECT DISTINCT doc_id, CAST(pos AS INTEGER) AS pos, wh
+      FROM sel ORDER BY doc_id, pos, wh""",
+
+    // q207: integer-grid per-dimension centroid sums re-derived via a
+    // 64-row dimension unnest, then the identical cosine/flag projection.
+    "q207_centroid_outliers" -> """
+      WITH e AS (SELECT vec_id, CAST(vec_id % 4 AS VARCHAR) AS grp,
+                        CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+      q AS (SELECT vec_id, grp,
+                   list_transform(v, x -> CAST(floor(x * 10000000.0 + 0.5) AS BIGINT)) AS ql
+            FROM e),
+      dims AS (SELECT grp, d, sum(ql[d]) AS s
+               FROM q CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS d) dd
+               GROUP BY grp, d),
+      cn AS (SELECT grp, count(*) AS n FROM e GROUP BY grp),
+      cent AS (SELECT dims.grp,
+                      list(CAST(s AS DOUBLE) / 10000000.0 / n ORDER BY d) AS c
+               FROM dims JOIN cn USING (grp) GROUP BY dims.grp, n),
+      sc AS (SELECT vec_id, e.grp,
+                    CAST(floor((CASE WHEN sqrt(list_inner_product(v, v)) > 0
+                                      AND sqrt(list_inner_product(c, c)) > 0
+                                     THEN list_inner_product(v, c) /
+                                          (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(c, c)))
+                                     ELSE 0.0 END) * 1000000.0 + 0.5) AS DOUBLE)
+                      / 1000000.0 AS cos_centroid
+             FROM e JOIN cent ON e.grp = cent.grp)
+      SELECT vec_id, grp, cos_centroid, (cos_centroid < 0.2) AS is_outlier
+      FROM sc ORDER BY vec_id""",
     "q106_jl_project" -> jlProjectOracle,
     "q107_jl_ann" -> jlAnnOracle,
     "q51_hash_sample" -> hashSampleOracle,

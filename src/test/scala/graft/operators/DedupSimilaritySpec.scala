@@ -834,4 +834,71 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // the bridge merged everything except the singleton onto min id 1
     assert(inc(11L) == 1L && inc(30L) == 1L && inc(20L) == 20L)
   }
+
+  test("winnowingFingerprints: window-min invariants, shared-run guarantee, short-doc fallback") {
+    import spark.implicits._
+    val text = "a b c d e f g h i j k l m n o p"            // 16 tokens, 12 5-gram hashes
+    val shifted = "x y z " + text                           // shares the full 16-token run
+    val docs = Seq((1L, text), (2L, shifted), (3L, "a b c d e f")) // doc 3: m=2 < w
+    val fp = Dedup.winnowingFingerprints(docs.toDF("doc_id", "text"), "doc_id", "text",
+      k = 5, w = 4)
+      .as[(Long, Int, Long)].collect()
+    val byDoc = fp.groupBy(_._1)
+    // every full w-window of doc 1's hash sequence (starts 0..8) contains a
+    // selected position — the winnowing coverage guarantee
+    val pos1 = byDoc(1L).map(_._2).toSet
+    (0 to 8).foreach(s => assert((s until s + 4).exists(pos1.contains),
+      s"window starting at $s has no fingerprint: $pos1"))
+    // the shared >= w+k-1 run guarantees at least one SHARED hash
+    val h1 = byDoc(1L).map(_._3).toSet
+    val h2 = byDoc(2L).map(_._3).toSet
+    assert(h1.intersect(h2).nonEmpty)
+    // density well under all-windows (12 hashes would index 12)
+    assert(pos1.size < 12 && pos1.nonEmpty)
+    // short doc: exactly its global minimum hash, once
+    assert(byDoc(3L).length == 1)
+    // determinism
+    val again = Dedup.winnowingFingerprints(docs.toDF("doc_id", "text"), "doc_id", "text",
+      k = 5, w = 4).as[(Long, Int, Long)].collect()
+    assert(fp.sorted.toSeq == again.sorted.toSeq)
+  }
+
+  test("mmrRerank: diversity beats raw relevance from step 2; rank 1 is pure relevance") {
+    import spark.implicits._
+    // A and B point the same way (near-duplicates), C is orthogonal with
+    // half the relevance: greedy MMR at lambda 0.7 takes A then C
+    val cands = Seq(
+      (1L, Array(1.0, 0.0, 0.0, 0.0), 0.90),
+      (2L, Array(1.0, 0.001, 0.0, 0.0), 0.89),
+      (3L, Array(0.0, 1.0, 0.0, 0.0), 0.50))
+      .toDF("vec_id", "embedding", "rel")
+    val got = Similarity.mmrRerank(cands, "vec_id", "embedding", "rel", k = 3, lambda = 0.7)
+      .as[(Int, Long, Double)].collect().toSeq
+    assert(got.map(_._2) == Seq(1L, 3L, 2L), s"selection order: $got")
+    assert(got.head._3 == graft.functions.Quantize.scaledFloorDouble(0.7 * 0.90 - 0.3 * 0.0, 6))
+    // k beyond the pool truncates cleanly
+    assert(Similarity.mmrRerank(cands, "vec_id", "embedding", "rel", k = 9, lambda = 0.7)
+      .count() == 3)
+  }
+
+  test("centroidOutliers: the vector opposing its group's centroid flags; aligned ones don't") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, "g1", Array(1.0, 0.0)), (2L, "g1", Array(1.0, 0.1)),
+      (3L, "g1", Array(0.9, 0.0)), (4L, "g1", Array(-1.0, 0.0)),
+      (10L, "g2", Array(0.0, 1.0)), (11L, "g2", Array(0.0, 2.0)))
+      .toDF("vec_id", "grp", "embedding")
+    val got = Similarity.centroidOutliers(vecs, "vec_id", "grp", "embedding",
+      dim = 2, minCos = 0.5)
+      .select("vec_id", "is_outlier").as[(Long, Boolean)].collect().toMap
+    assert(got(4L) && !got(1L) && !got(2L) && !got(3L))
+    assert(!got(10L) && !got(11L)) // colinear group: cos 1 to its centroid
+    // a zero vector has no direction: cos 0, flagged
+    val z = Similarity.centroidOutliers(
+      vecs.unionByName(Seq((5L, "g1", Array(0.0, 0.0))).toDF("vec_id", "grp", "embedding")),
+      "vec_id", "grp", "embedding", dim = 2, minCos = 0.5)
+      .filter(col("vec_id") === 5L)
+      .select("cos_centroid", "is_outlier").as[(Double, Boolean)].head()
+    assert(z == ((0.0, true)))
+  }
 }

@@ -98,4 +98,26 @@ class ProfilerSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Profiler.profileColumns(Seq((1, "a")).toDF("a", "b"), Seq.empty))
   }
+
+  test("reliabilityCard: hand-computed bins, integer-grid means, gaps; edge scores clamp") {
+    // bin width 0.25: scores planted per bucket with known positive rates
+    val rows = Seq(
+      (0.10, false), (0.20, false),           // bin 0: mean .15, pos 0/2
+      (0.30, true), (0.40, false),            // bin 1: mean .35, pos 1/2
+      (0.60, true), (0.70, true),             // bin 2: mean .65, pos 2/2
+      (0.90, true), (1.00, false), (1.20, true)) // bin 3 (1.0 and 1.2 clamp in)
+      .toDF("score", "label")
+    val got = Profiler.reliabilityCard(rows, "score", "label", bins = 4)
+      .orderBy("bin")
+      .as[(Long, Long, Double, Double, Double)].collect()
+    def fl6(x: Double) = graft.functions.Quantize.scaledFloorDouble(x, 6)
+    assert(got.map(r => (r._1, r._2)).toSeq == Seq((0L, 2L), (1L, 2L), (2L, 2L), (3L, 3L)))
+    val b0 = got(0); val b2 = got(2); val b3 = got(3)
+    assert(b0._3 == fl6(0.15) && b0._4 == 0.0 && b0._5 == fl6(math.abs(b0._3 - 0.0)))
+    assert(b2._4 == 1.0 && b2._5 == fl6(math.abs(b2._3 - 1.0)))
+    // the clamped 1.2 participates in bin 3's mean via the 1e-7 grid
+    val s7 = math.floor(0.9 * 1e7 + 0.5) + math.floor(1.0 * 1e7 + 0.5) +
+      math.floor(1.2 * 1e7 + 0.5)
+    assert(b3._3 == fl6(s7 / 1e7 / 3.0))
+  }
 }

@@ -654,4 +654,28 @@ class TextAnalysisSpec extends AnyFunSuite {
       .select(col("grp"), col("term")).as[(String, String)].collect().toMap
     assert(top == Map("g1" -> "zebra", "g2" -> "yonder"))
   }
+
+  test("rankBiasedOverlap: identical runs score the full prefix mass; one swap costs exactly its window") {
+    // run = docs 1..5 scored descending for one query
+    val runA = (1 to 5).map(i => (1L, i.toLong, 10.0 - i)).toDF("q", "doc", "score")
+    val ident = TextAnalysis.rankBiasedOverlap(runA, runA, "q", "doc", "score",
+      p = 0.9, depth = 5).as[(Long, Long, Double)].head()
+    // every doc enters at m = its own rank; sum of W[m] over m=1..5 on the
+    // grid, times (1-p) — the operator's own arithmetic, pinned end to end
+    val wq = TextAnalysis.rboWeightGrid(0.9, 5)
+    def rbo(ms: Seq[Int]) = graft.functions.Quantize.scaledFloorDouble(
+      ms.map(m => wq(m - 1)).sum.toDouble / 1e9 * (1.0 - 0.9), 6)
+    assert(ident == ((1L, 5L, rbo(Seq(1, 2, 3, 4, 5)))))
+    // swapping ranks 1 and 2 in run B: docs 1 and 2 now enter at m=2
+    val runB = Seq((1L, 2L, 10.0), (1L, 1L, 9.0), (1L, 3L, 7.0), (1L, 4L, 6.0), (1L, 5L, 5.0))
+      .toDF("q", "doc", "score")
+    val swapped = TextAnalysis.rankBiasedOverlap(runA, runB, "q", "doc", "score",
+      p = 0.9, depth = 5).as[(Long, Long, Double)].head()
+    assert(swapped == ((1L, 5L, rbo(Seq(2, 2, 3, 4, 5)))))
+    assert(swapped._3 < ident._3)
+    // disjoint runs produce NO row for the query (documented: overlap-
+    // positive queries only)
+    val runC = (1 to 5).map(i => (1L, 100L + i, 10.0 - i)).toDF("q", "doc", "score")
+    assert(TextAnalysis.rankBiasedOverlap(runA, runC, "q", "doc", "score").count() == 0)
+  }
 }

@@ -226,7 +226,15 @@ class PlanAuditSpec extends AnyFunSuite {
     "q198_score_lift" -> (0, 3, 3),
     // q199: q137's allowance — the |langs|-row language list crossJoined
     // (its broadcast is the BNLJ) plus the two model-sized broadcasts.
-    "q199_langid_margin" -> (0, 1, 2)
+    "q199_langid_margin" -> (0, 1, 2),
+    // q205: two parameter-sized probe sets (5 rows each — raw and
+    // quantized) broadcast-crossJoined against the corpus by design
+    // (q26/q81's intended brute-force scoring shape, once per run).
+    "q205_rbo" -> (0, 2, 0),
+    // q207: the |groups|-row integer-grid centroid table broadcast back
+    // into the scoring projection — the q37/q40 model-table class (its
+    // subtree contains the grouping aggregate, hence derived).
+    "q207_centroid_outliers" -> (0, 0, 1)
   )
 
   test("no query plans an unjustified cartesian / BNLJ / derived broadcast, and none a ScalaUDF") {
