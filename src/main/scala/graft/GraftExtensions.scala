@@ -31,5 +31,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "null on length mismatch or null elements (zip_with/aggregate parity)",
         ""),
       graft.functions.VectorExpressions.dotBuilder))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_jaro_winkler"),
+      new ExpressionInfo(
+        classOf[graft.functions.JaroWinklerSimilarity].getCanonicalName,
+        null,
+        "graft_jaro_winkler",
+        "graft_jaro_winkler(a, b) - codegen'd Jaro-Winkler string similarity in [0,1] " +
+          "(standard parameterization: 0.1 prefix scaling, max prefix 4, 0.7 boost threshold)",
+        ""),
+      graft.functions.JaroWinkler.builder))
   }
 }

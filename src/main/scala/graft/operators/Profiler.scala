@@ -290,6 +290,103 @@ object Profiler {
         .as("tv_distance"))
   }
 
+  /** Profile drift between two table vintages — the data-contract check a
+    * nightly pipeline runs before pointing training at a new snapshot:
+    * [[profileColumns]] over both frames joined per column, emitting the
+    * presence/shape deltas that catch silent upstream changes (a column
+    * gone, a null-rate spike, a cardinality collapse — each a class of
+    * incident the per-run eyeball misses). `status` is added/removed/
+    * common; numeric drifts are exact-integer differences plus the
+    * null-FRACTION delta (scaled-floor quantized); `distinct_ratio` is
+    * new-estimate/old-estimate (HLL is hash-deterministic, so the ratio
+    * is engine-exact), null when the old estimate is 0.
+    *
+    * Shape: two profile passes (each one unpivot + counting aggregation +
+    * HLL, column-bounded output) and one |cols|-row full-outer join.
+    */
+  def profileDrift(
+      dfOld: DataFrame,
+      dfNew: DataFrame,
+      colsOld: Seq[String],
+      colsNew: Seq[String],
+      p: Int = 6,
+      salt: String = "prof"
+  ): DataFrame = {
+    def side(df: DataFrame, cols: Seq[String], pre: String) =
+      profileColumns(df, cols, p, salt).select(
+        col("column"),
+        col("n_rows").as(s"${pre}_rows"),
+        col("n_nulls").as(s"${pre}_nulls"),
+        col("distinct_est").as(s"${pre}_distinct"))
+    side(dfOld, colsOld, "old")
+      .join(side(dfNew, colsNew, "new"), Seq("column"), "full_outer")
+      .select(col("column"),
+        when(col("old_rows").isNull, lit("added"))
+          .when(col("new_rows").isNull, lit("removed"))
+          .otherwise(lit("common")).as("status"),
+        col("old_rows"), col("new_rows"),
+        graft.functions.Quantize.scaledFloor(
+          coalesce(col("new_nulls").cast("double") / col("new_rows").cast("double"), lit(0.0)) -
+            coalesce(col("old_nulls").cast("double") / col("old_rows").cast("double"), lit(0.0)),
+          6).as("null_frac_delta"),
+        when(col("old_distinct") > 0,
+          graft.functions.Quantize.scaledFloor(
+            col("new_distinct") / col("old_distinct"), 6)).as("distinct_ratio"))
+  }
+
+  /** Cohen's κ inter-rater agreement per group — the label-QA statistic
+    * for training-data annotation (two labelers, or a heuristic labeler
+    * vs recorded metadata): `κ = (p_o − p_e)/(1 − p_e)` with `p_o` the
+    * observed agreement rate and `p_e = Σ_c p_A(c)·p_B(c)` the
+    * chance-agreement rate from the raters' marginals. Raw agreement
+    * overstates quality whenever the label distribution is skewed; κ is
+    * the standard correction (Cohen 1960).
+    *
+    * Integer counts to the last ratio (exact-double divisions, quantized
+    * through scaledFloor), so the statistic is engine-exact. Rows where
+    * either rater is null are EXCLUDED (no rating ≠ a rating of "null").
+    * κ is null when `p_e = 1` (both raters constant — chance explains
+    * everything, the statistic is undefined). Marginal products sum as
+    * longs: fine to ~3·10⁹ ratings per class per group, the documented
+    * bound.
+    *
+    * Shape: three keyed counting aggregations (total/agree; per-class
+    * marginals ×2) + one class-keyed join, all map-side combined;
+    * output is group-bounded. Output: (groupCols…, n, po, pe, kappa).
+    */
+  def cohenKappa(
+      df: DataFrame,
+      raterACol: String,
+      raterBCol: String,
+      groupCols: Seq[String] = Nil
+  ): DataFrame = {
+    val g = groupCols.map(col)
+    val base = df
+      .filter(col(raterACol).isNotNull && col(raterBCol).isNotNull)
+      .select(g ++ Seq(col(raterACol).cast("string").as("__a"),
+        col(raterBCol).cast("string").as("__b")): _*)
+    val tot = base.groupBy(g: _*)
+      .agg(count(lit(1)).as("__n"),
+        count(when(col("__a") === col("__b"), 1)).as("__agree"))
+    val ca = base.groupBy(g :+ col("__a").as("__cls"): _*).agg(count(lit(1)).as("__ca"))
+    val cb = base.groupBy(g :+ col("__b").as("__cls"): _*).agg(count(lit(1)).as("__cb"))
+    val pe = ca.join(cb, groupCols :+ "__cls")
+      .groupBy(g: _*).agg(sum(col("__ca") * col("__cb")).as("__pn"))
+    val poR = col("__agree").cast("double") / col("__n").cast("double")
+    val peR = coalesce(col("__pn"), lit(0L)).cast("double") /
+      (col("__n").cast("double") * col("__n").cast("double"))
+    val joined =
+      if (groupCols.isEmpty) tot.crossJoin(pe)
+      else tot.join(pe, groupCols, "left")
+    joined.select(g ++ Seq(
+      col("__n").as("n"),
+      graft.functions.Quantize.scaledFloor(poR, 6).as("po"),
+      graft.functions.Quantize.scaledFloor(peR, 6).as("pe"),
+      when(peR === 1.0, lit(null).cast("double"))
+        .otherwise(graft.functions.Quantize.scaledFloor(
+          (poR - peR) / (lit(1.0) - peR), 6)).as("kappa")): _*)
+  }
+
   /** Score-calibration card (reliability diagram): predictions in [0, 1]
     * binned into `bins` equal-width buckets; per bucket the count, the
     * mean predicted score, the observed positive rate, and the |gap|

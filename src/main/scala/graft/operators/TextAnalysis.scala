@@ -863,6 +863,94 @@ object TextAnalysis {
         when(col("__idcg") > 0, col("__dcg") / col("__idcg")).otherwise(lit(0.0)).as("ndcg_at_k"))
   }
 
+  /** RM3 pseudo-relevance-feedback query expansion (Lavrenko & Croft's
+    * relevance model, interpolated with the original query — the
+    * classic recall lever of a production retrieval stack): run
+    * [[bm25TopK]] for `fbDocs` feedback documents per query, estimate
+    * the relevance model `P(t|R) ∝ Σ_d w_d · tf(t,d)/|d|` with `w_d`
+    * the doc's normalized (quantized) BM25 score, keep the top
+    * `fbTerms` terms, and emit the interpolated model
+    * `weight(t) = α·P(t|q) + (1−α)·P(t|R)` over the union of original
+    * and feedback terms — the weighted query a second-pass retrieval
+    * scores with.
+    *
+    * Determinism: feedback selection uses the `scoreScale = 4`
+    * quantized-rank contract (the q113 discipline); the weight
+    * normalizer sums the quantized scores on their own 1e-4 integer
+    * grid (order-free); each term contribution quantizes to a 1e-9
+    * grid before the per-term LONG sum (the klFromCorpus convention);
+    * final weights through scaledFloor(6) with (weight desc, term)
+    * ranking. Engine-exact end to end.
+    *
+    * Shape: one [[bm25TopK]] (its own bounded-broadcast discipline),
+    * then feedback-bounded joins — the fb table is queries×fbDocs rows
+    * (parameter-sized), so its tf/dl joins SMJ against corpus-shaped
+    * frames without ever broadcasting them. Output:
+    * (queryIdCol, term, weight, rank).
+    */
+  def rm3Expansion(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryTextCol: String,
+      fbDocs: Int = 10,
+      fbTerms: Int = 10,
+      origWeight: Double = 0.5,
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): DataFrame = {
+    require(fbDocs >= 1 && fbDocs <= 64, s"fbDocs=$fbDocs out of [1, 64]")
+    require(fbTerms >= 1 && fbTerms <= 256, s"fbTerms=$fbTerms out of [1, 256]")
+    require(origWeight >= 0.0 && origWeight <= 1.0,
+      s"origWeight must be in [0, 1], got $origWeight")
+    // the feedback table is queries×fbDocs rows but its SUBTREE is the
+    // whole BM25 retrieval — referenced by both the normalizer and the
+    // contribution branch, so materialize once (the HITS/triangles
+    // discipline; without this the retrieval plans and RUNS twice,
+    // measured as a doubled q87 plan signature in the audit)
+    val fb = bm25TopK(docs, idCol, textCol, queries, queryIdCol, queryTextCol,
+      k = fbDocs, k1 = k1, b = b, scoreScale = 4)
+      .localCheckpoint(true)
+    // order-free normalizer: the quantized scores recover their 1e-4 grid
+    // cells exactly, and longs sum in any order
+    val ws = fb.groupBy(col(queryIdCol))
+      .agg(sum(floor(col("score") * 1e4 + lit(0.5)).cast("long")).as("__s4"))
+    val toksD = docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
+    val tf = toksD.select(col(idCol), explode(col("__toks")).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("__tf"))
+    val dl = toksD.select(col(idCol), size(col("__toks")).cast("double").as("__dl"))
+    val contrib = fb
+      .join(ws, Seq(queryIdCol))
+      .filter(col("__s4") > 0)
+      .join(tf.hint("shuffle_merge"), Seq(idCol))
+      .join(dl.hint("shuffle_merge"), Seq(idCol))
+      .withColumn("__c9",
+        floor(col("score") / (col("__s4").cast("double") / 1e4) *
+          (col("__tf").cast("double") / col("__dl")) * 1e9 + lit(0.5)).cast("long"))
+    val rm = contrib.groupBy(col(queryIdCol), col("term")).agg(sum(col("__c9")).as("__rm9"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(queryIdCol)).orderBy(col("__rm9").desc, col("term"))
+    val rmTop = rm.withColumn("__rn", row_number().over(wTop))
+      .filter(col("__rn") <= fbTerms).drop("__rn")
+    val qm = queries.select(col(queryIdCol), tokens(col(queryTextCol)).as("__qt"))
+      .select(col(queryIdCol), size(col("__qt")).cast("double").as("__ql"),
+        explode(col("__qt")).as("term"))
+      .groupBy(col(queryIdCol), col("term"), col("__ql"))
+      .agg(count(lit(1)).as("__qtf"))
+      .select(col(queryIdCol), col("term"), (col("__qtf") / col("__ql")).as("__ptq"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(queryIdCol)).orderBy(col("weight").desc, col("term"))
+    qm.join(rmTop, Seq(queryIdCol, "term"), "full_outer")
+      .select(col(queryIdCol), col("term"),
+        graft.functions.Quantize.scaledFloor(
+          lit(origWeight) * coalesce(col("__ptq"), lit(0.0)) +
+            lit(1.0 - origWeight) *
+              (coalesce(col("__rm9"), lit(0L)).cast("double") / 1e9), 6).as("weight"))
+      .withColumn("rank", row_number().over(wRank))
+  }
+
   /** Rank-Biased Overlap between two rankings, truncated at `depth`
     * (Webber, Moffat & Zobel 2010): per query,
     * `RBO@D = (1−p) · Σ_{d=1..D} p^{d−1} · |A_d ∩ B_d| / d` — the

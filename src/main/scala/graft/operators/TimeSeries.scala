@@ -214,4 +214,42 @@ object TimeSeries {
       .withColumn("alarm", col("__cp") > threshold || col("__cn") > threshold)
       .drop("__cp", "__cn")
   }
+
+  /** Exponentially time-decayed event counts per key — the TRENDING
+    * score (Hacker-News/Reddit-style freshness weighting, and the
+    * streaming-analytics "decayed counter"): each event contributes
+    * `2^(−Δ/halfLife)` with Δ its age in seconds relative to the
+    * corpus's max event time (an exact in-plan aggregate — no wall
+    * clock, so the score is a pure function of the data). A key with
+    * 100 events all one half-life old scores 50; recency beats raw
+    * volume, which a plain count can never express.
+    *
+    * Each contribution quantizes to a 1e-9 integer grid before the
+    * per-key LONG sum (the klFromCorpus convention — order-free,
+    * engine-exact modulo cross-engine `pow` ulps against grid
+    * boundaries, the accepted q172 class). Shape: one 1-row max
+    * aggregate broadcast back (the q35 scalar class), one pure decay
+    * projection, ONE keyed map-side-combined aggregation. Output:
+    * (keyCol, n_events, decayed_count).
+    */
+  def decayedCounts(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      halfLifeSecs: Double
+  ): DataFrame = {
+    require(halfLifeSecs > 0.0, s"halfLifeSecs must be positive, got $halfLifeSecs")
+    val ref = df.agg(max(unix_micros(col(tsCol))).as("__ref"))
+    df.select(col(keyCol), unix_micros(col(tsCol)).as("__t"))
+      .crossJoin(broadcast(ref))
+      .withColumn("__c9",
+        floor(pow(lit(2.0),
+          -((col("__ref") - col("__t")).cast("double") / 1e6 / lit(halfLifeSecs)))
+          * 1e9 + lit(0.5)).cast("long"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"), sum(col("__c9")).as("__s9"))
+      .select(col(keyCol), col("n_events"),
+        graft.functions.Quantize.scaledFloor(
+          col("__s9").cast("double") / 1e9, 6).as("decayed_count"))
+  }
 }

@@ -2087,6 +2087,84 @@ object DataPipelinePack extends QueryPack {
         .orderBy(col("vec_id"))
     }),
 
+    // Cohen's kappa per source slice: the q28 heuristic lang-id as rater A
+    // vs the recorded lang metadata as rater B — chance-corrected labeler
+    // agreement, integer counts to the last ratio.
+    "q208_cohen_kappa" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = TextAnalysis.tokens(col("text"))
+      graft.operators.Profiler.cohenKappa(
+        docs.select(col("source").as("slice"),
+          TextAnalysis.detectedLanguage(toks).as("detected"), col("lang")),
+        "detected", "lang", groupCols = Seq("slice"))
+        .orderBy(col("slice"))
+    }),
+
+    // Profile drift between two vintages: even docs are yesterday's
+    // snapshot (doc_id, lang, n_chars), odd docs today's (doc_id, lang,
+    // source — n_chars dropped, source added, every 13th lang nulled) —
+    // the data-contract diff with added/removed/common statuses, the
+    // null-rate spike, and the HLL cardinality ratio.
+    "q209_profile_drift" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val oldV = docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val newV = docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"),
+          when(col("doc_id") % 13 === 0, lit(null).cast("string"))
+            .otherwise(col("lang")).as("lang"),
+          col("source"))
+      graft.operators.Profiler.profileDrift(oldV, newV,
+        Seq("doc_id", "lang", "n_chars"), Seq("doc_id", "lang", "source"),
+        p = 6, salt = "pd9")
+        .orderBy(col("column"))
+    }),
+
+    // RM3 pseudo-relevance-feedback expansion over q87's queries: top-10
+    // BM25 feedback docs per query (the quantized-rank contract),
+    // score-weighted relevance model on integer grids, top-8 feedback
+    // terms interpolated at alpha = 0.5 with the original query model —
+    // the expanded weighted query of a two-pass retrieval stack.
+    "q210_rm3_expansion" -> ((s, d) => {
+      import s.implicits._
+      val queries = Seq((1L, "batch join"), (2L, "customer query table"), (3L, "nosuchterm"))
+        .toDF("query_id", "qtext")
+      TextAnalysis.rm3Expansion(Tables.documents(s, d).select(col("doc_id"), col("text")),
+        "doc_id", "text", queries, "query_id", "qtext",
+        fbDocs = 10, fbTerms = 8, origWeight = 0.5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Time-decayed event counts per type (half-life 7 days, anchored at
+    // the corpus's max event time): the trending score — recency-weighted
+    // volume on the 1e-9 integer grid.
+    "q211_decayed_counts" -> ((s, d) => {
+      TimeSeries.decayedCounts(Tables.events(s, d), "event_type", "ts",
+        halfLifeSecs = 7.0 * 86400.0)
+        .orderBy(col("event_type"))
+    }),
+
+    // Jaro-Winkler name matching (the native graft_jaro_winkler
+    // expression) over deterministically corrupted customer names:
+    // last-two-char swap / leading-char replacement / unchanged — the
+    // name-entry corruption classes JW exists for; match gate at the
+    // quantized 0.99.
+    "q212_jaro_winkler" -> ((s, d) => {
+      val variant = when(col("c_custkey") % 3 === 0,
+          concat(expr("substring(c_name, 1, length(c_name) - 2)"),
+            expr("substring(c_name, length(c_name), 1)"),
+            expr("substring(c_name, length(c_name) - 1, 1)")))
+        .when(col("c_custkey") % 3 === 1,
+          concat(lit("K"), expr("substring(c_name, 2, length(c_name) - 1)")))
+        .otherwise(col("c_name"))
+      Tables.customer(s, d).select(col("c_custkey"), col("c_name"), variant.as("variant"))
+        .withColumn("sim", graft.functions.Quantize.scaledFloor(
+          graft.functions.JaroWinkler.similarity(col("c_name"), col("variant")), 6))
+        .withColumn("is_match", col("sim") >= 0.99)
+        .select(col("c_custkey"), col("variant"), col("sim"), col("is_match"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // Dedup-cluster size distribution: the post-dedup report card — how
     // many clusters of each size, how many docs they cover (q43's CC
     // composed into the histogram a curation run publishes).
@@ -2839,6 +2917,56 @@ object DataPipelinePack extends QueryPack {
   /** q128: per-column profile with the q110 HLL chain generated per column
     * (p=6 -> 64 buckets, 54 w-bits, rank base 55) — registers rebuilt
     * exactly, plus string-form min/max and null counts. */
+  /** q209's oracle is GENERATED: the q128 HLL re-derivation runs once per
+    * vintage (prefixed CTE blocks), then the same full-outer drift join. */
+  private def profileDriftOracle: String = {
+    def sideSql(cols: Seq[String], from: String, pre: String): String = {
+      val hUnion = cols.map(c =>
+        s"""SELECT '$c' AS "column",
+               CAST(concat('0x', substring(md5('pd9' || CAST($c AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+            FROM $from AS src WHERE $c IS NOT NULL""").mkString(" UNION ALL ")
+      val bUnion = cols.map(c =>
+        s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls
+            FROM $from AS src""").mkString(" UNION ALL ")
+      s"""${pre}h AS ($hUnion),
+        ${pre}basic AS ($bUnion),
+        ${pre}parts AS (SELECT "column", hv >> 54 AS bucket, hv & ${(1L << 54) - 1} AS w FROM ${pre}h),
+        ${pre}ranks AS (SELECT "column", bucket,
+                CASE WHEN w = 0 THEN 55 ELSE 55 - length(bin(w)) END AS rank FROM ${pre}parts),
+        ${pre}regs AS (SELECT "column", bucket, max(rank) AS reg FROM ${pre}ranks GROUP BY 1, 2),
+        ${pre}agg AS (SELECT "column", sum(1::BIGINT << (55 - reg)) AS z_occ, count(*) AS occ
+                FROM ${pre}regs GROUP BY 1),
+        ${pre}est AS (SELECT "column",
+                CAST(z_occ + (64 - occ) * (1::BIGINT << 55) AS DOUBLE) AS z,
+                64 - occ AS zeros FROM ${pre}agg),
+        ${pre}raws AS (SELECT "column", ${Sketches.hllAlpha(64) * 64 * 64} * ${(1L << 55).toDouble} / z AS raw, zeros
+                 FROM ${pre}est),
+        ${pre}prof AS (SELECT b."column", b.n_rows, b.n_nulls,
+                round(CASE WHEN raw <= 160.0 AND zeros > 0
+                           THEN 64.0 * ln(64.0 / CAST(zeros AS DOUBLE)) ELSE raw END, 4) AS de
+             FROM ${pre}basic b JOIN ${pre}raws USING ("column"))"""
+    }
+    val oldFrom = "(SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 2 = 0)"
+    val newFrom = "(SELECT doc_id, CASE WHEN doc_id % 13 = 0 THEN NULL ELSE lang END AS lang, source FROM documents WHERE doc_id % 2 = 1)"
+    s"""
+      WITH ${sideSql(Seq("doc_id", "lang", "n_chars"), oldFrom, "o")},
+      ${sideSql(Seq("doc_id", "lang", "source"), newFrom, "nn")}
+      SELECT "column",
+             CASE WHEN o.n_rows IS NULL THEN 'added'
+                  WHEN nn.n_rows IS NULL THEN 'removed'
+                  ELSE 'common' END AS status,
+             o.n_rows AS old_rows, nn.n_rows AS new_rows,
+             CAST(floor((coalesce(CAST(nn.n_nulls AS DOUBLE) / CAST(nn.n_rows AS DOUBLE), 0.0)
+                         - coalesce(CAST(o.n_nulls AS DOUBLE) / CAST(o.n_rows AS DOUBLE), 0.0))
+                        * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS null_frac_delta,
+             CASE WHEN o.de > 0
+                  THEN CAST(floor(nn.de / o.de * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0
+             END AS distinct_ratio
+      FROM oprof o FULL OUTER JOIN nnprof nn USING ("column")
+      ORDER BY "column""""
+  }
+
   private def tableProfileOracle: String = {
     val cols = Seq("doc_id", "lang", "source", "n_chars")
     val hUnion = cols.map(c =>
@@ -4563,6 +4691,142 @@ object DataPipelinePack extends QueryPack {
     "q61_cosine_lsh_prod" -> lshProdRecallOracle,
     "q205_rbo" -> rboOracle,
     "q206_mmr" -> mmrOracle,
+    "q209_profile_drift" -> profileDriftOracle,
+
+    // q210: q87's BM25 CTEs with the quantized-selection cut, then the
+    // RM3 grids (1e-4 normalizer, 1e-9 contributions) and the alpha=0.5
+    // interpolation mirrored op for op.
+    "q210_rm3_expansion" -> """
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf
+             FROM (SELECT doc_id, unnest(w) AS term FROM toks) GROUP BY doc_id, term),
+      dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      corpus AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                        CAST(avg(len(w)) AS DOUBLE) AS avgdl FROM toks),
+      dl AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl FROM toks),
+      queries(query_id, qtext) AS (VALUES
+        (CAST(1 AS BIGINT), 'batch join'),
+        (CAST(2 AS BIGINT), 'customer query table'),
+        (CAST(3 AS BIGINT), 'nosuchterm')),
+      qterms AS (SELECT DISTINCT query_id, unnest(string_split(qtext, ' ')) AS term
+                 FROM queries),
+      scored AS (
+        SELECT q.query_id, tf.doc_id,
+               round(sum( ln(1 + (c.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                          * (tf.tf * (1.2 + 1.0))
+                          / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / c.avgdl)) ), 4) AS score4
+        FROM tf JOIN qterms q USING (term) JOIN dfreq USING (term)
+             JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN corpus c
+        GROUP BY q.query_id, tf.doc_id),
+      fb AS (SELECT query_id, doc_id, score4 FROM (
+               SELECT query_id, doc_id, score4,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY score4 DESC, doc_id) AS rnk
+               FROM scored) WHERE rnk <= 10),
+      ws AS (SELECT query_id, sum(CAST(floor(score4 * 10000.0 + 0.5) AS BIGINT)) AS s4
+             FROM fb GROUP BY query_id),
+      contrib AS (
+        SELECT fb.query_id, tf.term,
+               CAST(floor(fb.score4 / (CAST(ws.s4 AS DOUBLE) / 10000.0)
+                          * (CAST(tf.tf AS DOUBLE) / dl.dl)
+                          * 1000000000.0 + 0.5) AS BIGINT) AS c9
+        FROM fb JOIN ws USING (query_id)
+             JOIN tf ON tf.doc_id = fb.doc_id
+             JOIN dl ON dl.doc_id = fb.doc_id
+        WHERE ws.s4 > 0),
+      rm AS (SELECT query_id, term, CAST(sum(c9) AS BIGINT) AS rm9
+             FROM contrib GROUP BY query_id, term),
+      rmtop AS (SELECT query_id, term, rm9 FROM (
+                  SELECT query_id, term, rm9,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY rm9 DESC, term) AS rn
+                  FROM rm) WHERE rn <= 8),
+      qm AS (SELECT query_id, term,
+                    CAST(count(*) AS DOUBLE) / CAST(any_value(ql) AS DOUBLE) AS ptq
+             FROM (SELECT query_id, len(qw) AS ql, unnest(qw) AS term
+                   FROM (SELECT query_id, string_split(qtext, ' ') AS qw FROM queries))
+             GROUP BY query_id, term),
+      u AS (SELECT coalesce(qm.query_id, r.query_id) AS query_id,
+                   coalesce(qm.term, r.term) AS term,
+                   CAST(floor((0.5 * coalesce(qm.ptq, 0.0)
+                               + 0.5 * (CAST(coalesce(r.rm9, 0) AS DOUBLE) / 1000000000.0))
+                              * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS weight
+            FROM qm FULL OUTER JOIN rmtop r
+              ON qm.query_id = r.query_id AND qm.term = r.term)
+      SELECT query_id, term, weight,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY weight DESC, term) AS INTEGER) AS rank
+      FROM u ORDER BY query_id, rank""",
+
+    // q212: DuckDB's jaro_winkler_similarity implements the same standard
+    // parameterization as the native expression (0.1 scaling, prefix 4,
+    // 0.7 boost threshold — probed empirically); both sides quantize
+    // through the scaled-floor gate.
+    "q212_jaro_winkler" -> """
+      WITH p AS (SELECT c_custkey, c_name,
+                        CASE WHEN c_custkey % 3 = 0
+                             THEN substring(c_name, 1, length(c_name) - 2)
+                                  || substring(c_name, length(c_name), 1)
+                                  || substring(c_name, length(c_name) - 1, 1)
+                             WHEN c_custkey % 3 = 1
+                             THEN 'K' || substring(c_name, 2, length(c_name) - 1)
+                             ELSE c_name END AS variant
+                 FROM customer),
+      s AS (SELECT c_custkey, variant,
+                   CAST(floor(jaro_winkler_similarity(c_name, variant)
+                              * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS sim
+            FROM p)
+      SELECT c_custkey, variant, sim, (sim >= 0.99) AS is_match
+      FROM s ORDER BY c_custkey""",
+
+    // q211: the same max-anchored pow(2, -age/halfLife) per event on the
+    // 1e-9 grid; halfLife seconds written as the exact double literal.
+    "q211_decayed_counts" -> """
+      WITH r AS (SELECT max(epoch_us(ts)) AS ref FROM events),
+      c AS (SELECT event_type,
+                   CAST(floor(pow(2.0, -(CAST(r.ref - epoch_us(ts) AS DOUBLE)
+                                         / 1000000.0 / 604800.0))
+                              * 1000000000.0 + 0.5) AS BIGINT) AS c9
+            FROM events CROSS JOIN r)
+      SELECT event_type, count(*) AS n_events,
+             CAST(floor(CAST(sum(c9) AS DOUBLE) / 1000000000.0 * 1000000.0 + 0.5) AS DOUBLE)
+               / 1000000.0 AS decayed_count
+      FROM c GROUP BY event_type ORDER BY event_type""",
+
+    // q208: q28's lang-id CASE as rater A vs the lang column; kappa's
+    // ratios mirrored raw-then-quantized, pe via the class-marginal join.
+    "q208_cohen_kappa" -> """
+      WITH t AS (SELECT source AS slice, lang, string_split(text, ' ') AS w FROM documents),
+      h AS (SELECT slice, lang,
+                   len(list_filter(w, x -> x IN ('der','die','das','und','ist'))) AS de_hits,
+                   len(list_filter(w, x -> x IN ('the','a','of','and','is'))) AS en_hits,
+                   len(list_filter(w, x -> x IN ('el','la','de','y','es'))) AS es_hits
+            FROM t),
+      det AS (SELECT slice, lang,
+                     CASE WHEN de_hits >= en_hits AND de_hits >= es_hits THEN 'de'
+                          WHEN en_hits >= es_hits THEN 'en'
+                          ELSE 'es' END AS a
+              FROM h),
+      tot AS (SELECT slice, count(*) AS n,
+                     count(*) FILTER (WHERE a = lang) AS agree
+              FROM det GROUP BY slice),
+      ca AS (SELECT slice, a AS cls, count(*) AS c FROM det GROUP BY slice, a),
+      cb AS (SELECT slice, lang AS cls, count(*) AS c FROM det GROUP BY slice, lang),
+      pe AS (SELECT ca.slice, sum(ca.c * cb.c) AS pn
+             FROM ca JOIN cb ON ca.slice = cb.slice AND ca.cls = cb.cls
+             GROUP BY ca.slice),
+      r AS (SELECT tot.slice, tot.n,
+                   CAST(tot.agree AS DOUBLE) / CAST(tot.n AS DOUBLE) AS po_r,
+                   CAST(coalesce(pe.pn, 0) AS DOUBLE) /
+                     (CAST(tot.n AS DOUBLE) * CAST(tot.n AS DOUBLE)) AS pe_r
+            FROM tot LEFT JOIN pe ON tot.slice = pe.slice)
+      SELECT slice, n,
+             CAST(floor(po_r * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS po,
+             CAST(floor(pe_r * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS pe,
+             CASE WHEN pe_r = 1.0 THEN NULL
+                  ELSE CAST(floor((po_r - pe_r) / (1.0 - pe_r) * 1000000.0 + 0.5) AS DOUBLE)
+                       / 1000000.0 END AS kappa
+      FROM r ORDER BY slice""",
 
     // q203: q92's score expression verbatim, then the binning/grid
     // aggregation mirrored op for op.

@@ -120,4 +120,48 @@ class ProfilerSpec extends AnyFunSuite {
       math.floor(1.2 * 1e7 + 0.5)
     assert(b3._3 == fl6(s7 / 1e7 / 3.0))
   }
+
+  test("cohenKappa: hand-computed 2x2 case, chance-only raters, constant raters, null exclusion") {
+    import spark.implicits._
+    // 10 items: raters agree on 8 (6 yes, 2 no), disagree on 2
+    val rows = Seq.fill(6)(("y", "y")) ++ Seq.fill(2)(("n", "n")) ++
+      Seq(("y", "n"), ("n", "y"))
+    val got = Profiler.cohenKappa(rows.toDF("a", "b"), "a", "b")
+      .as[(Long, Double, Double, Option[Double])].head()
+    // po = 0.8; marginals A: y7 n3, B: y7 n3 -> pe = (49+9)/100 = 0.58
+    def fl6(x: Double) = graft.functions.Quantize.scaledFloorDouble(x, 6)
+    assert(got._1 == 10L && got._2 == fl6(0.8) && got._3 == fl6(0.58))
+    assert(got._4.contains(fl6((0.8 - 0.58) / (1.0 - 0.58))))
+    // both raters constant and equal: pe = 1 -> kappa undefined (null)
+    val const = Profiler.cohenKappa(
+      Seq.fill(5)(("y", "y")).toDF("a", "b"), "a", "b")
+      .as[(Long, Double, Double, Option[Double])].head()
+    assert(const._2 == 1.0 && const._3 == 1.0 && const._4.isEmpty)
+    // null ratings are excluded, not a class
+    val withNulls = Profiler.cohenKappa(
+      (rows.map { case (x, y) => (Option(x), Option(y)) } :+
+        ((Option.empty[String], Option("y")))).toDF("a", "b"), "a", "b")
+      .as[(Long, Double, Double, Option[Double])].head()
+    assert(withNulls._1 == 10L && withNulls._2 == got._2)
+  }
+
+  test("profileDrift: added/removed/common statuses, the null-rate spike, the cardinality ratio") {
+    import spark.implicits._
+    val oldV = (1 to 100).map(i => (i.toLong, s"v${i % 10}")).toDF("id", "a")
+      .withColumn("z", lit("z0"))
+    val newV = (1 to 100).map(i =>
+      (i.toLong, if (i % 4 == 0) None else Some(s"v${i % 20}"))).toDF("id", "b")
+      .select(col("id"), col("b").as("a"), lit("x").as("c"))
+    val got = Profiler.profileDrift(oldV, newV, Seq("id", "a", "z"), Seq("id", "a", "c"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got("c").getString(1) == "added" && got("id").getString(1) == "common" &&
+      got("z").getString(1) == "removed")
+    assert(got.size == 4)
+    // the null spike: old a never null, new a null every 4th
+    val aRow = got("a")
+    assert(aRow.getDouble(4) == graft.functions.Quantize.scaledFloorDouble(25.0 / 100.0, 6))
+    // distinct ratio > 1 (10 -> 15 surviving distinct values), present only for common
+    assert(!aRow.isNullAt(5) && aRow.getDouble(5) > 1.0)
+    assert(got("c").isNullAt(5))
+  }
 }

@@ -655,6 +655,41 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(top == Map("g1" -> "zebra", "g2" -> "yonder"))
   }
 
+  test("rm3Expansion: feedback terms join the query model; a no-match query keeps only its own terms") {
+    val docs = Seq(
+      (1L, "spark shuffle join partition"),
+      (2L, "spark shuffle memory spill"),
+      (3L, "gardening tulip soil water sun"))
+      .toDF("doc_id", "text")
+    val queries = Seq((1L, "spark shuffle"), (2L, "zzzz")).toDF("query_id", "qtext")
+    val got = TextAnalysis.rm3Expansion(docs, "doc_id", "text",
+      queries, "query_id", "qtext", fbDocs = 2, fbTerms = 4, origWeight = 0.5)
+      .as[(Long, String, Double, Int)].collect()
+    val q1 = got.filter(_._1 == 1L)
+    val q1terms = q1.map(_._2).toSet
+    // original terms survive; feedback surfaces doc-1/2 vocabulary, never
+    // the gardening doc's
+    assert(q1terms.contains("spark") && q1terms.contains("shuffle"))
+    assert(q1terms.intersect(Set("join", "partition", "memory", "spill")).nonEmpty)
+    assert(q1terms.intersect(Set("tulip", "soil", "gardening")).isEmpty)
+    // weights positive, quantized, rank is dense 1..n by (weight desc, term)
+    assert(q1.forall(_._3 > 0.0))
+    assert(q1.map(_._4).sorted.toSeq == (1 to q1.length).toSeq)
+    val sortedQ1 = q1.sortBy(_._4)
+    assert(sortedQ1.zip(sortedQ1.tail).forall { case (hi, lo) =>
+      hi._3 > lo._3 || (hi._3 == lo._3 && hi._2 < lo._2) })
+    // interpolated mass is bounded: alpha*1 + (1-alpha)*(<=1)
+    assert(q1.map(_._3).sum <= 1.0 + 1e-6)
+    // the no-match query: exactly its own term at alpha * P(t|q) = 0.5
+    val q2 = got.filter(_._1 == 2L)
+    assert(q2.length == 1 && q2.head._2 == "zzzz" && q2.head._3 == 0.5)
+    // determinism
+    val again = TextAnalysis.rm3Expansion(docs, "doc_id", "text",
+      queries, "query_id", "qtext", fbDocs = 2, fbTerms = 4, origWeight = 0.5)
+      .as[(Long, String, Double, Int)].collect()
+    assert(got.sortBy(r => (r._1, r._4)).toSeq == again.sortBy(r => (r._1, r._4)).toSeq)
+  }
+
   test("rankBiasedOverlap: identical runs score the full prefix mass; one swap costs exactly its window") {
     // run = docs 1..5 scored descending for one query
     val runA = (1 to 5).map(i => (1L, i.toLong, 10.0 - i)).toDF("q", "doc", "score")

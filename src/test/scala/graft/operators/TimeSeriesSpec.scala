@@ -87,4 +87,24 @@ class TimeSeriesSpec extends AnyFunSuite {
       .collect().map(r => r._1 -> (r._2, r._3)).toMap
     assert(neg(1L) == ((3.0, false)) && neg(2L) == ((6.0, true)))
   }
+
+  test("decayedCounts: half-life arithmetic anchored at the corpus max, recency beats volume") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val hl = 100.0 // seconds
+    // key A: one event AT the anchor + one exactly one half-life old = 1.5
+    // key B: three events two half-lives old = 0.75 (volume loses)
+    val rows = Seq(
+      ("A", 200_000_000L), ("A", 100_000_000L),
+      ("B", 0L), ("B", 0L), ("B", 0L))
+      .toDF("k", "us")
+      .select(col("k"), expr("timestamp_micros(us)").as("ts"))
+    val got = TimeSeries.decayedCounts(rows, "k", "ts", hl)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    def fl6(x: Double) = graft.functions.Quantize.scaledFloorDouble(x, 6)
+    def grid(ages: Seq[Double]) = fl6(
+      ages.map(a => math.floor(math.pow(2.0, -a / hl) * 1e9 + 0.5)).sum / 1e9)
+    assert(got("A") == ((2L, grid(Seq(0.0, 100.0)))))
+    assert(got("B") == ((3L, grid(Seq(200.0, 200.0, 200.0)))))
+    assert(got("A")._2 > got("B")._2) // recency beats 3x volume
+  }
 }

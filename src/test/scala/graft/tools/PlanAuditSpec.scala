@@ -234,7 +234,17 @@ class PlanAuditSpec extends AnyFunSuite {
     // q207: the |groups|-row integer-grid centroid table broadcast back
     // into the scoring projection — the q37/q40 model-table class (its
     // subtree contains the grouping aggregate, hence derived).
-    "q207_centroid_outliers" -> (0, 0, 1)
+    "q207_centroid_outliers" -> (0, 0, 1),
+    // q208: the two per-class marginal tables (|groups|·|classes| rows —
+    // both enum-sized by the rater-label contract) broadcast into the
+    // chance-agreement join — the q171 group-marginal class.
+    "q208_cohen_kappa" -> (0, 0, 2),
+    // q209: the two |cols|-row profile frames (parameter-bounded by the
+    // column lists) joined for the drift diff — q128's profiler class.
+    "q209_profile_drift" -> (0, 0, 2),
+    // q211: the 1-row max-event-time anchor crossJoined back (q35's N
+    // class — the BNLJ and its broadcast).
+    "q211_decayed_counts" -> (0, 1, 1)
   )
 
   test("no query plans an unjustified cartesian / BNLJ / derived broadcast, and none a ScalaUDF") {
