@@ -39,11 +39,22 @@ object BroadcastSetExpressions {
   * against the bitmap. Public static shape so the codegen'd call is one
   * plain method invocation inside the WholeStageCodegen loop. */
 object BloomProbeKernel {
+  // one digest instance per thread, reset by digest() itself — the
+  // per-row getInstance (provider lookup + allocation) was the dominant
+  // cost of the hot projection loop this kernel exists to speed up
+  private val md5 = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+
   def probe(bitmap: Array[Long], s: String, mBits: Int, kHashes: Int, salt: String): Boolean = {
+    // same bytes as md5((salt + r + s).getBytes): UTF-8 concatenation is
+    // byte-concatenation, so streaming the three parts digests identically
+    val sBytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val digest = md5.get()
     var r = 0; var all = true
     while (all && r < kHashes) {
-      val md = java.security.MessageDigest.getInstance("MD5")
-        .digest((salt + r + s).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      digest.update((salt + r).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      digest.update(sBytes)
+      val md = digest.digest()
       // first 15 hex chars = top 60 bits of the digest = keyHash
       var hv = 0L; var i = 0
       while (i < 8) { hv = (hv << 8) | (md(i) & 0xffL); i += 1 }

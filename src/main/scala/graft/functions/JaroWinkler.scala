@@ -17,7 +17,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * `jaro_winkler_similarity` implements, which is what makes the
   * operator oracle-checkable (exact modulo last-ulp summation-order
   * differences, absorbed by the scaled-floor gate). Works on code units
-  * (chars), the usual simplification for name matching.
+  * (chars), the usual simplification for name matching. Edge pinned to
+  * the oracle engine: EMPTY vs empty scores 0.0, not 1.0 — both engines
+  * treat no-characters as no-evidence rather than equality (probed:
+  * DuckDB `jaro_winkler_similarity('','') = 0.0`).
   */
 object JaroWinklerKernel {
   def similarity(a: String, b: String): Double = {

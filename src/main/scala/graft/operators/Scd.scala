@@ -97,9 +97,15 @@ object Scd {
         col("version").as("__vn"), lit(true).as("__hasOld"))
     val withWm = watermarks match {
       case None => newRuns.hint("shuffle_merge")
-      case Some(wm) => newRuns.hint("shuffle_merge")
-        .join(wm.select(col(keyCol), col(wm.columns.filterNot(_ == keyCol).head).as("__wm"))
-          .hint("shuffle_merge"), Seq(keyCol), "left")
+      case Some(wm) =>
+        // the frame contract is load-bearing: a stray extra column would
+        // silently become the watermark and the guard would wave through
+        // exactly the interior events it exists to catch
+        require(wm.columns.length == 2 && wm.columns.contains(keyCol),
+          s"watermarks must be exactly ($keyCol, <watermark>); got ${wm.columns.mkString(", ")}")
+        newRuns.hint("shuffle_merge")
+          .join(wm.select(col(keyCol), col(wm.columns.filterNot(_ == keyCol).head).as("__wm"))
+            .hint("shuffle_merge"), Seq(keyCol), "left")
     }
     val guarded0 = withWm
       .join(open.hint("shuffle_merge"), Seq(keyCol), "left")

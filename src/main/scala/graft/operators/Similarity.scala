@@ -744,8 +744,15 @@ object Similarity {
     require(k >= 1 && k <= 64, s"k=$k out of [1, 64] — k is a context-window budget")
     require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0, 1], got $lambda")
     val spark = candidates.sparkSession
+    // non-long-castable ids are EXCLUDED before the long-keyed loop (the
+    // bm25TopK null-decode discipline); the pool is materialized ONCE —
+    // each of the k argmax steps re-references it, and without the
+    // checkpoint every step replans and re-runs the caller's entire
+    // scoring subtree (the rm3Expansion fb-table class)
     val pool = candidates.select(col(idCol).cast("long").as("__id"),
       asDouble(col(vectorCol)).as("__v"), col(relevanceCol).cast("double").as("__rel"))
+      .filter(col("__id").isNotNull)
+      .localCheckpoint(true)
     val cos = (v: Column, p: Array[Double]) => {
       val pn = math.sqrt(p.map(x => x * x).sum)
       when(norm(v) > 0 && lit(pn) > 0, fastDot(v, lit(p)) / (norm(v) * lit(pn)))

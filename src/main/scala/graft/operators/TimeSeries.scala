@@ -239,8 +239,12 @@ object TimeSeries {
       halfLifeSecs: Double
   ): DataFrame = {
     require(halfLifeSecs > 0.0, s"halfLifeSecs must be positive, got $halfLifeSecs")
-    val ref = df.agg(max(unix_micros(col(tsCol))).as("__ref"))
-    df.select(col(keyCol), unix_micros(col(tsCol)).as("__t"))
+    // null-timestamp events carry no age and are EXCLUDED outright — both
+    // columns must describe the same event set (counting them while the
+    // decay sum skipped them would silently deflate decayed/n ratios)
+    val timed = df.filter(col(tsCol).isNotNull)
+    val ref = timed.agg(max(unix_micros(col(tsCol))).as("__ref"))
+    timed.select(col(keyCol), unix_micros(col(tsCol)).as("__t"))
       .crossJoin(broadcast(ref))
       .withColumn("__c9",
         floor(pow(lit(2.0),

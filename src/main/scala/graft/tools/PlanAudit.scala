@@ -79,6 +79,13 @@ object PlanAudit {
         countUdfs(a.initialPlan)
       case node => node.expressions.foreach(_.foreach {
         case _: org.apache.spark.sql.catalyst.expressions.ScalaUDF => scalaUdf += 1
+        // TreeNode.foreach does not descend into subquery PLANS — a UDF
+        // hidden inside a scalar/IN subquery must still count
+        case sub: org.apache.spark.sql.catalyst.expressions.PlanExpression[_] =>
+          sub.plan match {
+            case sp: org.apache.spark.sql.execution.SparkPlan => countUdfs(sp)
+            case _ => ()
+          }
         case _ => ()
       })
     }

@@ -764,6 +764,43 @@ object ScaleSmoke {
       }
     }
 
+    // --- round-11: retrieval/quality additions ---------------------------
+    // RM3 feedback expansion: the BM25 pass dominates; the fb-bounded
+    // grids add a constant tail — cost must track the q87 stage.
+    locally {
+      val spark2 = spark
+      import spark2.implicits._
+      val queries = Seq((1L, "batch join"), (2L, "customer query table"))
+        .toDF("query_id", "qtext")
+      time("rm3 expansion (bm25 + grids)")(
+        TextAnalysis.rm3Expansion(docs.select(col("doc_id"), col("text")),
+          "doc_id", "text", queries, "query_id", "qtext", fbDocs = 10, fbTerms = 8))
+    }
+    // Jaro-Winkler over widened customers: pure projection, linear.
+    time("jaro-winkler name matching")(
+      widen(Tables.customer(spark, sfDir).select(col("c_custkey"), col("c_name")), "c_custkey")
+        .select(col("c_custkey"),
+          graft.functions.JaroWinkler.similarity(col("c_name"),
+            concat(lit("K"), expr("substring(c_name, 2, length(c_name) - 1)"))).as("sim")))
+    // Winnowing fingerprints: the sublinear index — per-doc windows,
+    // one doc-keyed shuffle; linear in tokens.
+    time("winnowing fingerprints")(
+      Dedup.winnowingFingerprints(docs, "doc_id", "text", k = 5, w = 4))
+    // Centroid outliers over widened embeddings: one enum-keyed grid
+    // aggregation + a broadcast-back scoring projection.
+    time("centroid outliers (per-group)")(
+      Similarity.centroidOutliers(
+        widen(Tables.embeddings(spark, sfDir), "vec_id")
+          .withColumn("grp", pmod(col("vec_id"), lit(4)).cast("string")),
+        "vec_id", "grp", "embedding", dim = 64, minCos = 0.2))
+    // Decayed counts under the bot-user events widening: one scalar
+    // anchor + one keyed aggregation.
+    time("decayed counts (trending)")(
+      graft.operators.TimeSeries.decayedCounts(
+        widen(Tables.events(spark, sfDir).select(col("event_id"), col("event_type"),
+          col("ts")), "event_id"),
+        "event_type", "ts", halfLifeSecs = 7.0 * 86400.0))
+
     // --- round-11: composed link authority over a widened domain graph --
     // Doc widening multiplies SOURCES (src carries the widened id residue)
     // while the domain set stays fixed — out-degrees hold, co-citation
