@@ -334,6 +334,135 @@ object Profiler {
             col("new_distinct") / col("old_distinct"), 6)).as("distinct_ratio"))
   }
 
+  /** Population Stability Index between two vintages of a bounded
+    * integral column — the industry-standard drift score risk teams gate
+    * on (rule of thumb: < 0.1 stable, 0.1–0.25 moderate, > 0.25 major
+    * shift): both frames histogram onto the SAME literal
+    * [minV, maxV]/bins grid ([[histogram]]'s clamp-to-edge arithmetic),
+    * counts are add-one smoothed (an empty bin on one side must not blow
+    * up the log), and `PSI = Σ_bins (p_a − p_b)·ln(p_a/p_b)`. The
+    * logarithmic tail-weighting is what [[histogramDrift]]'s TV distance
+    * deliberately lacks — TV answers "how much mass moved", PSI answers
+    * "how alarmed should the scorecard be".
+    *
+    * Per-bin contributions quantize to the 1e-7 integer grid before the
+    * sum (order-free; `ln` ulps against grid boundaries are the accepted
+    * q172 class). Two counting aggregations + a bins-bounded join; one
+    * summary row (psi). */
+  def psi(
+      dfA: DataFrame,
+      dfB: DataFrame,
+      valueCol: String,
+      minV: Long,
+      maxV: Long,
+      bins: Int
+  ): DataFrame = {
+    def side(df: DataFrame, cnt: String) =
+      histogram(df.select(col(valueCol)), valueCol, Seq.empty, minV, maxV, bins)
+        .withColumnRenamed("cnt", cnt)
+    val merged = side(dfA, "__ca").join(side(dfB, "__cb"), Seq("bin"), "full_outer")
+      .select(coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"))
+    val totals = merged.agg(sum(col("__ca")).as("__ta"), sum(col("__cb")).as("__tb"))
+    merged.crossJoin(broadcast(totals))
+      .select(
+        ((col("__ca") + lit(1L)).cast("double") /
+          (col("__ta") + lit(bins.toLong)).cast("double")).as("__pa"),
+        ((col("__cb") + lit(1L)).cast("double") /
+          (col("__tb") + lit(bins.toLong)).cast("double")).as("__pb"))
+      .select(floor((col("__pa") - col("__pb")) * log(col("__pa") / col("__pb"))
+        * lit(1.0e7) + lit(0.5)).cast("long").as("__c7"))
+      .agg(graft.functions.Quantize.scaledFloor(
+        sum(col("__c7")).cast("double") / 1.0e7, 6).as("psi"))
+  }
+
+  /** Mann–Whitney U (Wilcoxon rank-sum) between two vintages of a
+    * numeric column — the NONPARAMETRIC drift significance test (PSI/TV
+    * say how much the histogram moved; U says whether one vintage
+    * stochastically dominates, robust to outliers and shape): midranks
+    * over the combined sample with the standard tie correction,
+    * `U_A = R_A − n_A(n_A+1)/2`, and the normal-approximation z.
+    *
+    * Every rank quantity is EXACT: midranks are integers-or-halves and
+    * the rank sum accumulates multiples of 0.5 far below 2^52, so
+    * float addition is exact in any order — no grid needed (the one
+    * place a float sum is legitimately order-free). Shape: one
+    * per-value counting aggregation, one value-ordered window over the
+    * DISTINCT-value frame (value-cardinality-sized, not corpus-sized),
+    * two scalar aggregates. Output: (n_a, n_b, u_a, z) with z
+    * scaled-floor quantized; z is null when every value ties (σ = 0).
+    */
+  def mannWhitney(
+      dfA: DataFrame,
+      dfB: DataFrame,
+      valueCol: String
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = dfA.select(col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+      .groupBy(col("__v")).agg(count(lit(1)).as("__na"))
+      .join(dfB.select(col(valueCol).cast("double").as("__v"))
+        .filter(col("__v").isNotNull)
+        .groupBy(col("__v")).agg(count(lit(1)).as("__nb")), Seq("__v"), "full_outer")
+      .select(col("__v"), coalesce(col("__na"), lit(0L)).as("__na"),
+        coalesce(col("__nb"), lit(0L)).as("__nb"))
+    val w = Window.orderBy(col("__v")).rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = counts
+      .withColumn("__t", col("__na") + col("__nb"))
+      .withColumn("__before", coalesce(sum(col("__t")).over(w), lit(0L)))
+      .withColumn("__mid",
+        (col("__before") + lit(1L)).cast("double") +
+          (col("__t") - lit(1L)).cast("double") / 2.0)
+    ranked.agg(
+      sum(col("__na")).as("__sa"),
+      sum(col("__nb")).as("__sb"),
+      sum(col("__na").cast("double") * col("__mid")).as("__ra"),
+      sum(col("__t").cast("double") * col("__t").cast("double") * col("__t").cast("double")
+        - col("__t").cast("double")).as("__ties"))
+      .select(col("__sa").as("n_a"), col("__sb").as("n_b"),
+        (col("__ra") - col("__sa").cast("double") * (col("__sa") + 1L).cast("double") / 2.0)
+          .as("u_a"),
+        col("__ties"))
+      .select(col("n_a"), col("n_b"), col("u_a"),
+        {
+          val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+          val n = na + nb
+          val mu = na * nb / 2.0
+          val sigma2 = na * nb / 12.0 * ((n + 1.0) - col("__ties") / (n * (n - 1.0)))
+          when(sigma2 > 0.0, graft.functions.Quantize.scaledFloor(
+            (col("u_a") - mu) / sqrt(sigma2), 6)).as("z")
+        })
+  }
+
+  /** Gini concentration of a grouped count distribution — the corpus-
+    * dominance card ("5 domains supply 80 % of documents"): counts per
+    * group sorted ascending (ties broken by group for a deterministic
+    * rank — the sum is tie-order-invariant anyway, since equal counts
+    * contribute `x·Σi` whatever the permutation),
+    * `G = 2·Σ i·x_i / (n·Σx) − (n+1)/n`. Integer sums throughout
+    * (Σ i·x_i as longs — order-free); the two-term double expression at
+    * the end is exact-input division, scaled-floor quantized. One keyed
+    * count, one group-count-sized window, one scalar aggregate. Output:
+    * (n_groups, total, gini). */
+  def giniConcentration(
+      df: DataFrame,
+      groupCol: String
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__x"))
+    val w = Window.orderBy(col("__x"), col(groupCol))
+    counts
+      .withColumn("__i", row_number().over(w).cast("long"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("__x")).as("total"),
+        sum(col("__i") * col("__x")).as("__ix"))
+      .select(col("n_groups"), col("total"),
+        graft.functions.Quantize.scaledFloor(
+          lit(2.0) * col("__ix").cast("double") /
+            (col("n_groups").cast("double") * col("total").cast("double")) -
+            (col("n_groups") + 1L).cast("double") / col("n_groups").cast("double"), 6)
+          .as("gini"))
+  }
+
   /** Cohen's κ inter-rater agreement per group — the label-QA statistic
     * for training-data annotation (two labelers, or a heuristic labeler
     * vs recorded metadata): `κ = (p_o − p_e)/(1 − p_e)` with `p_o` the

@@ -567,6 +567,51 @@ object Sampling {
       .drop("__raw_logratio")
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis 2006,
+    * algorithm A-ES): each row draws `u ∈ (0,1)` from the salted 60-bit
+    * hash grid (`(keyHash + 0.5)/2⁶⁰` — [[resampleByImportance]]'s u) and
+    * keys on `u^(1/w)`; the k LARGEST keys are a weighted sample without
+    * replacement, each row's inclusion probability proportional to its
+    * weight among the remaining mass — the quality-weighted corpus-subset
+    * primitive ("sample 1M docs ∝ quality score"), where plain
+    * [[deterministicSample]] can only sample uniformly.
+    *
+    * Deterministic end to end: keys quantize to the 1e-9 grid before
+    * ranking (cross-engine `pow` ulps against grid boundaries — the
+    * accepted q172 class), ties to the lowest id; non-POSITIVE weights
+    * carry no mass and are excluded. The top-k runs through the bounded
+    * [[graft.functions.TopKScored]] aggregator (O(k) state at every
+    * stage — never a corpus-wide sort), and the k-row winner set joins
+    * back for the weight column (a parameter-sized broadcast).
+    * Output: (idCol, weight, es_key).
+    */
+  def weightedSample(
+      df: DataFrame,
+      keyCol: String,
+      weightCol: String,
+      k: Int,
+      salt: String
+  ): DataFrame = {
+    require(k >= 1 && k <= 1000000, s"k=$k out of [1, 1e6]")
+    val u = (keyHash(col(keyCol), salt).cast("double") + lit(0.5)) /
+      lit((1L << 60).toDouble)
+    val keyed = df
+      .filter(col(weightCol) > 0 && col(keyCol).cast("long").isNotNull)
+      .select(col(keyCol).cast("long").as("__id"),
+        col(weightCol).cast("double").as("__w"),
+        graft.functions.Quantize.scaledFloor(
+          pow(u, lit(1.0) / col(weightCol).cast("double")), 9).as("__k"))
+    val topK = udaf(new graft.functions.TopKScored(k))
+    val winners = keyed
+      .groupBy()
+      .agg(topK(col("__k"), col("__id")).as("__keep"))
+      .select(explode(col("__keep")).as("__kv"))
+      .select(col("__kv._2").as("__id"), col("__kv._1").as("es_key"))
+    keyed.select(col("__id"), col("__w"))
+      .join(broadcast(winners), Seq("__id"))
+      .select(col("__id").as(keyCol), col("__w").as("weight"), col("es_key"))
+  }
+
   /** Epoch-aware corpus mixing with FRACTIONAL epochs — the training-mix
     * primitive behind "web ×0.5, books ×2.5" recipes: every row of group g
     * is emitted ⌊e_g⌋ times (epoch = 0 … ⌊e_g⌋−1), plus one more copy iff

@@ -2165,6 +2165,45 @@ object DataPipelinePack extends QueryPack {
         .orderBy(col("c_custkey"))
     }),
 
+    // Weighted sampling without replacement (Efraimidis-Spirakis A-ES):
+    // 100 documents sampled proportional to n_chars via u^(1/w) keys on
+    // the salted hash grid — the quality-weighted subset primitive.
+    "q213_weighted_sample" -> ((s, d) => {
+      Sampling.weightedSample(
+        Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", k = 100, salt = "ws1")
+        .orderBy(col("es_key").desc, col("doc_id"))
+    }),
+
+    // Population Stability Index between vintages: even docs vs odd docs
+    // with n_chars DOUBLED (planted major drift) on a 32-bin grid —
+    // the scorecard drift gate, add-one smoothed, integer-grid summed.
+    "q214_psi" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.operators.Profiler.psi(
+        docs.filter(col("doc_id") % 2 === 0).select(col("n_chars")),
+        docs.filter(col("doc_id") % 2 =!= 0).select((col("n_chars") * 2).as("n_chars")),
+        "n_chars", minV = 0L, maxV = 2047L, bins = 32)
+    }),
+
+    // Mann-Whitney rank-sum drift significance: even docs vs odd docs
+    // with n_chars shifted +50 — midranks with tie correction, exact
+    // half-integer rank sums, normal-approximation z.
+    "q215_mann_whitney" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.operators.Profiler.mannWhitney(
+        docs.filter(col("doc_id") % 2 === 0).select(col("n_chars")),
+        docs.filter(col("doc_id") % 2 =!= 0).select((col("n_chars") + 50L).as("n_chars")),
+        "n_chars")
+    }),
+
+    // Gini concentration of documents over languages — the corpus-
+    // dominance card (en carries ~44% of this corpus; a uniform grouping
+    // scores exactly 0).
+    "q216_gini" -> ((s, d) => {
+      graft.operators.Profiler.giniConcentration(Tables.documents(s, d), "lang")
+    }),
+
     // Dedup-cluster size distribution: the post-dedup report card — how
     // many clusters of each size, how many docs they cover (q43's CC
     // composed into the histogram a curation run publishes).
@@ -4778,6 +4817,93 @@ object DataPipelinePack extends QueryPack {
             FROM p)
       SELECT c_custkey, variant, sim, (sim >= 0.99) AS is_match
       FROM s ORDER BY c_custkey""",
+
+    // q213: the same u^(1/w) keys from the shared hash grid, quantized at
+    // 1e-9, top-100 by (key desc, id) — TopKScored's exact rule.
+    "q213_weighted_sample" -> s"""
+      WITH s AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
+                        CAST(floor(pow((CAST(${duckKeyHash("doc_id", "ws1")} AS DOUBLE) + 0.5)
+                                       / 1152921504606846976.0,
+                                       1.0 / CAST(n_chars AS DOUBLE))
+                                   * 1000000000.0 + 0.5) AS DOUBLE) / 1000000000.0 AS es_key
+                 FROM documents WHERE n_chars > 0)
+      SELECT doc_id, weight, es_key FROM s
+      ORDER BY es_key DESC, doc_id LIMIT 100""",
+
+    // q214: the q144 bin arithmetic per vintage, add-one smoothing, the
+    // (pa-pb)·ln(pa/pb) contributions on the 1e-7 grid.
+    "q214_psi" -> """
+      WITH ha AS (SELECT ((greatest(CAST(0 AS BIGINT), least(CAST(2047 AS BIGINT),
+                            CAST(n_chars AS BIGINT))) * 32) // 2048) AS bin,
+                         count(*) AS ca
+                  FROM documents WHERE doc_id % 2 = 0 GROUP BY bin),
+      hb AS (SELECT ((greatest(CAST(0 AS BIGINT), least(CAST(2047 AS BIGINT),
+                       CAST(n_chars * 2 AS BIGINT))) * 32) // 2048) AS bin,
+                    count(*) AS cb
+             FROM documents WHERE doc_id % 2 <> 0 GROUP BY bin),
+      m AS (SELECT coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+            FROM ha FULL OUTER JOIN hb USING (bin)),
+      t AS (SELECT sum(ca) AS ta, sum(cb) AS tb FROM m),
+      p AS (SELECT CAST(ca + 1 AS DOUBLE) / CAST(ta + 32 AS DOUBLE) AS pa,
+                   CAST(cb + 1 AS DOUBLE) / CAST(tb + 32 AS DOUBLE) AS pb
+            FROM m CROSS JOIN t),
+      c AS (SELECT CAST(floor((pa - pb) * ln(pa / pb) * 10000000.0 + 0.5) AS BIGINT) AS c7
+            FROM p)
+      SELECT CAST(floor(CAST(sum(c7) AS DOUBLE) / 10000000.0 * 1000000.0 + 0.5) AS DOUBLE)
+               / 1000000.0 AS psi
+      FROM c""",
+
+    // q215: midranks via the cumulative window over distinct values, the
+    // same exact half-integer arithmetic, tie correction and z mirrored.
+    "q215_mann_whitney" -> """
+      WITH a AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents WHERE doc_id % 2 = 0),
+      b AS (SELECT CAST(n_chars + 50 AS DOUBLE) AS v FROM documents WHERE doc_id % 2 <> 0),
+      ca AS (SELECT v, count(*) AS na FROM a GROUP BY v),
+      cb AS (SELECT v, count(*) AS nb FROM b GROUP BY v),
+      m AS (SELECT v, coalesce(na, 0) AS na, coalesce(nb, 0) AS nb
+            FROM ca FULL OUTER JOIN cb USING (v)),
+      r AS (SELECT na, nb, na + nb AS t,
+                   coalesce(sum(na + nb) OVER (ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+            FROM m),
+      mid AS (SELECT na, nb, t,
+                     CAST(bef + 1 AS DOUBLE) + CAST(t - 1 AS DOUBLE) / 2.0 AS mid
+              FROM r),
+      ag AS (SELECT CAST(sum(na) AS BIGINT) AS sa, CAST(sum(nb) AS BIGINT) AS sb,
+                    sum(CAST(na AS DOUBLE) * mid) AS ra,
+                    sum(CAST(t AS DOUBLE) * CAST(t AS DOUBLE) * CAST(t AS DOUBLE)
+                        - CAST(t AS DOUBLE)) AS ties
+             FROM mid),
+      ua AS (SELECT sa, sb, ties,
+                    ra - CAST(sa AS DOUBLE) * CAST(sa + 1 AS DOUBLE) / 2.0 AS u_a
+             FROM ag)
+      SELECT sa AS n_a, sb AS n_b, u_a,
+             CASE WHEN CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE) / 12.0 *
+                       ((CAST(sa AS DOUBLE) + CAST(sb AS DOUBLE) + 1.0)
+                        - ties / ((CAST(sa AS DOUBLE) + CAST(sb AS DOUBLE))
+                                  * (CAST(sa AS DOUBLE) + CAST(sb AS DOUBLE) - 1.0))) > 0.0
+                  THEN CAST(floor((u_a - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE) / 2.0)
+                         / sqrt(CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE) / 12.0 *
+                                ((CAST(sa AS DOUBLE) + CAST(sb AS DOUBLE) + 1.0)
+                                 - ties / ((CAST(sa AS DOUBLE) + CAST(sb AS DOUBLE))
+                                           * (CAST(sa AS DOUBLE) + CAST(sb AS DOUBLE) - 1.0))))
+                         * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0
+             END AS z
+      FROM ua""",
+
+    // q216: the same ascending (count, group) ranking and exact integer
+    // sums; uniform groupings score exactly 0 by the closed form.
+    "q216_gini" -> """
+      WITH c AS (SELECT lang, count(*) AS x FROM documents GROUP BY lang),
+      r AS (SELECT x, row_number() OVER (ORDER BY x, lang) AS i FROM c),
+      a AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS tot,
+                   CAST(sum(i * x) AS BIGINT) AS ix
+            FROM r)
+      SELECT n AS n_groups, tot AS total,
+             CAST(floor((2.0 * CAST(ix AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE))
+                         - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE))
+                        * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS gini
+      FROM a""",
 
     // q211: the same max-anchored pow(2, -age/halfLife) per event on the
     // 1e-9 grid; halfLife seconds written as the exact double literal.

@@ -121,6 +121,67 @@ class ProfilerSpec extends AnyFunSuite {
     assert(b3._3 == fl6(s7 / 1e7 / 3.0))
   }
 
+  test("psi: identical vintages score ~0; a gross shift scores major; hand-checked two-bin case") {
+    import spark.implicits._
+    val a = (1 to 512).map(i => i.toLong % 64L).toDF("v")
+    // identical distributions: every (pa - pb) is 0 -> psi exactly 0
+    assert(Profiler.psi(a, a, "v", 0L, 63L, 8).as[Double].head() == 0.0)
+    // all mass moves from bin 0 to bin 1: hand-computable with smoothing
+    val lo = Seq.fill(100)(0L).toDF("v")
+    val hi = Seq.fill(100)(1L).toDF("v")
+    val got = Profiler.psi(lo, hi, "v", 0L, 1L, 2)
+      .as[Double].head()
+    // symmetric construction: both bins contribute (100/102)·ln(101)
+    val pa0 = 101.0 / 102.0; val pb0 = 1.0 / 102.0
+    val c7a = math.floor((pa0 - pb0) * math.log(pa0 / pb0) * 1.0e7 + 0.5)
+    val c7b = math.floor((pb0 - pa0) * math.log(pb0 / pa0) * 1.0e7 + 0.5)
+    assert(got == graft.functions.Quantize.scaledFloorDouble((c7a + c7b) / 1.0e7, 6))
+    assert(got > 0.25) // the "major shift" band
+  }
+
+  test("mannWhitney: hand-computed U with ties; identical samples center; degenerate sigma nulls z") {
+    import spark.implicits._
+    // A = {1, 2, 4}, B = {2, 3}: combined ranks 1:(1), 2:(2.5, 2.5), 3:(4), 4:(5)
+    // R_A = 1 + 2.5 + 5 = 8.5; U_A = 8.5 - 3*4/2 = 2.5
+    val a = Seq(1L, 2L, 4L).toDF("v")
+    val b = Seq(2L, 3L).toDF("v")
+    val got = Profiler.mannWhitney(a, b, "v")
+      .as[(Long, Long, Double, Option[Double])].head()
+    assert(got._1 == 3L && got._2 == 2L && got._3 == 2.5)
+    // z formula with one tie group of size 2: ties term = 2^3 - 2 = 6
+    val (na, nb) = (3.0, 2.0); val n = na + nb
+    val mu = na * nb / 2.0
+    val sigma2 = na * nb / 12.0 * ((n + 1.0) - 6.0 / (n * (n - 1.0)))
+    assert(got._4.contains(
+      graft.functions.Quantize.scaledFloorDouble((2.5 - mu) / math.sqrt(sigma2), 6)))
+    // identical samples: U_A = n^2/2, z = 0
+    val same = Seq(1L, 2L, 3L).toDF("v")
+    val eq = Profiler.mannWhitney(same, same, "v")
+      .as[(Long, Long, Double, Option[Double])].head()
+    assert(eq._3 == 4.5 && eq._4.contains(0.0))
+    // every value equal: sigma = 0 -> z null
+    val const = Seq(7L, 7L).toDF("v")
+    assert(Profiler.mannWhitney(const, const, "v")
+      .as[(Long, Long, Double, Option[Double])].head()._4.isEmpty)
+  }
+
+  test("giniConcentration: uniform groups score exactly 0; total concentration approaches (n-1)/n") {
+    import spark.implicits._
+    val uniform = (1 to 100).map(i => (i.toLong, s"g${i % 4}")).toDF("id", "g")
+    val u = Profiler.giniConcentration(uniform, "g")
+      .as[(Long, Long, Double)].head()
+    assert(u == ((4L, 100L, 0.0)))
+    // 97 of 100 rows in one group of four
+    val skewed = (1 to 100).map(i =>
+      (i.toLong, if (i <= 97) "big" else s"s$i")).toDF("id", "g")
+    val s = Profiler.giniConcentration(skewed, "g")
+      .as[(Long, Long, Double)].head()
+    // x sorted asc = (1, 1, 1, 97), ranks 1..4: G = 2*(1+2+3+4*97)/(4*100) - 5/4
+    val want = graft.functions.Quantize.scaledFloorDouble(
+      2.0 * (1 + 2 + 3 + 4 * 97).toDouble / (4.0 * 100.0) - 5.0 / 4.0, 6)
+    assert(s == ((4L, 100L, want)) && s._3 > 0.7)
+  }
+
   test("cohenKappa: hand-computed 2x2 case, chance-only raters, constant raters, null exclusion") {
     import spark.implicits._
     // 10 items: raters agree on 8 (6 yes, 2 no), disagree on 2

@@ -458,6 +458,31 @@ class SamplingSpec extends AnyFunSuite {
     assert(out.sorted.toSeq == again.sorted.toSeq)
   }
 
+  test("weightedSample: ES keys rank by u^(1/w); heavier rows win more often; zero weights excluded") {
+    val rows = (1L to 400L).map(i => (i, if (i % 4 == 0) 100L else 1L)).toDF("id", "w")
+    val got = Sampling.weightedSample(rows, "id", "w", k = 50, salt = "wspec")
+      .as[(Long, Double, Double)].collect()
+    assert(got.length == 50)
+    // exact A-ES reimplementation: the winner set must match key for key
+    val expected = (1L to 400L).map { i =>
+      val w = if (i % 4 == 0) 100.0 else 1.0
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(("wspec" + i).getBytes("UTF-8"))
+        .take(8).map("%02x".format(_)).mkString.take(15)
+      val u = (java.lang.Long.parseLong(hex, 16).toDouble + 0.5) / (1L << 60).toDouble
+      val key = graft.functions.Quantize.scaledFloorDouble(math.pow(u, 1.0 / w), 9)
+      (i, w, key)
+    }.sortBy { case (id, _, key) => (-key, id) }.take(50)
+    assert(got.sortBy(r => (-r._3, r._1)).toSeq == expected.toSeq)
+    // the 25% heavy rows should dominate the sample
+    assert(got.count(_._2 == 100.0) > 35)
+    // zero/negative weights carry no mass
+    val withZero = rows.withColumn("w", when(col("id") <= 390, lit(0L)).otherwise(col("w")))
+    val z = Sampling.weightedSample(withZero, "id", "w", k = 50, salt = "wspec")
+      .as[(Long, Double, Double)].collect()
+    assert(z.length == 10 && z.forall(_._1 > 390))
+  }
+
   test("epochMix: unlisted groups drop by default, survive at defaultEpochs when set") {
     // "zz" never appears in the recipe — the new-language-in-the-corpus case
     val rows = (1L to 90L).map(i => (i, if (i % 2 == 0) "a" else "zz")).toDF("id", "grp")

@@ -244,7 +244,14 @@ class PlanAuditSpec extends AnyFunSuite {
     "q209_profile_drift" -> (0, 0, 2),
     // q211: the 1-row max-event-time anchor crossJoined back (q35's N
     // class — the BNLJ and its broadcast).
-    "q211_decayed_counts" -> (0, 1, 1)
+    "q211_decayed_counts" -> (0, 1, 1),
+    // q213: the k-row A-ES winner set (TopKScored output, parameter-
+    // bounded) broadcast back for the weight join — the q40 model-table
+    // class.
+    "q213_weighted_sample" -> (0, 0, 1),
+    // q214: the 1-row histogram-totals scalar crossJoined into the
+    // bins-sized smoothing projection (q153's exact class).
+    "q214_psi" -> (0, 1, 1)
   )
 
   test("no query plans an unjustified cartesian / BNLJ / derived broadcast, and none a ScalaUDF") {
