@@ -371,4 +371,66 @@ object Graph {
             when(coalesce(col("in_core"), lit(false)), lit(1.0)).otherwise(lit(0.5)),
           9).as("score"))
   }
+
+  /** Fixed-iteration synchronous label propagation (Raghavan et al. 2007)
+    * — the near-linear community detector for link-spam ring discovery
+    * and topical clustering (connected components says "reachable";
+    * communities say "densely reachable", which is what a spam farm is).
+    *
+    * Semantics: over the undirected SIMPLE graph (deduped, self-loops
+    * dropped — multiplicity is noise for community membership), every
+    * node starts labeled with its own id; each round EVERY node
+    * simultaneously adopts the most frequent label among its neighbors,
+    * ties broken by the SMALLEST label — the deterministic variant
+    * (asynchronous/random-tie LPA is irreproducible by construction and
+    * unusable as a gated operator). Isolated nodes keep their label.
+    * A FIXED round count keeps it oracle-expressible, exactly like
+    * [[degreePeel]]'s contract; deterministic synchronous LPA can
+    * 2-cycle on bipartite-ish structure, so the round count is the
+    * convergence budget, not a fixpoint promise.
+    *
+    * Scale shape: per round one edge⋈labels SMJ join, one
+    * (node, label)-keyed count, one max-struct argmax aggregation, one
+    * left join back onto the node dim — all keyed shuffles, nothing
+    * corpus-shaped broadcast. Labels ride as longs (node ids) so the
+    * argmax `max(struct(cnt, −label))` is exact integer comparison.
+    * Lineage is truncated per round the way [[hits]] does. Output:
+    * (node, label) with label = the community's id.
+    */
+  def labelPropagation(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iterations: Int
+  ): DataFrame = {
+    require(iterations >= 1 && iterations <= 64,
+      s"iterations=$iterations out of [1,64] — deep fixed-point chains should checkpoint")
+    val und = edges.select(
+      col(srcCol).cast("long").as("__s"), col(dstCol).cast("long").as("__d"))
+      .filter(col("__s") =!= col("__d"))
+      .select(least(col("__s"), col("__d")).as("a"),
+        greatest(col("__s"), col("__d")).as("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val sym = und.select(col("a").as("node"), col("b").as("nbr"))
+      .union(und.select(col("b").as("node"), col("a").as("nbr")))
+    val nodes = und.select(col("a").as("node")).union(und.select(col("b").as("node")))
+      .distinct().localCheckpoint(true)
+    val init = nodes.select(col("node"), col("node").as("label"))
+    (1 to iterations).foldLeft(init) { case (labels, _) =>
+      val nbrLabels = sym
+        .join(labels.select(col("node").as("nbr"), col("label")).hint("shuffle_merge"),
+          Seq("nbr"))
+        .groupBy(col("node"), col("label")).agg(count(lit(1)).as("__cnt"))
+      val best = nbrLabels.groupBy(col("node"))
+        .agg(max(struct(col("__cnt"), (-col("label")).as("__neg"))).as("__best"))
+        .select(col("node"), (-col("__best.__neg")).as("label"))
+      nodes.join(labels.withColumnRenamed("label", "__old").hint("shuffle_merge"),
+          Seq("node"))
+        .join(best.withColumnRenamed("label", "__new").hint("shuffle_merge"),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("__new"), col("__old")).as("label"))
+        .localCheckpoint(true)
+    }
+  }
 }

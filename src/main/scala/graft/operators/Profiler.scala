@@ -556,4 +556,119 @@ object Profiler {
         graft.functions.Quantize.scaledFloor(
           abs(col("mean_score") - col("frac_pos")), 6))
   }
+
+  /** Two-sample Kolmogorov–Smirnov test between two vintages of a numeric
+    * column — the DISTRIBUTION-SHAPE drift test completing the battery
+    * ([[psi]] asks how alarmed the scorecard should be, [[mannWhitney]]
+    * whether one side dominates; KS bounds the worst-case ECDF gap
+    * `D = sup_x |F_A(x) − F_B(x)|`, sensitive to ANY shape change,
+    * location or not).
+    *
+    * D is computed EXACTLY: cumulative counts over the combined distinct
+    * values give `|cumA·n_B − cumB·n_A|` as integers, and
+    * `D = max/ (n_A·n_B)` is one exact-integer division (documented
+    * bound: `n_A·n_B < 2^63`, i.e. ~3·10⁹ rows per side — beyond that,
+    * sample). `ks_stat = √(n_A·n_B/(n_A+n_B))·D` and the one-term
+    * large-sample significance `p ≈ min(1, 2·exp(−2·ks_stat²))`
+    * (Kolmogorov asymptotic; the term every drift monitor thresholds on)
+    * are quantized through scaledFloor.
+    *
+    * Shape: mannWhitney's — one per-value counting aggregation, one
+    * value-ordered window over the DISTINCT-value frame
+    * (value-cardinality-sized, not corpus-sized), a 1-row totals
+    * broadcast, one scalar max. Output: (n_a, n_b, d, ks_stat, p_approx).
+    */
+  def ksTest(
+      dfA: DataFrame,
+      dfB: DataFrame,
+      valueCol: String
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = dfA.select(col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+      .groupBy(col("__v")).agg(count(lit(1)).as("__na"))
+      .join(dfB.select(col(valueCol).cast("double").as("__v"))
+        .filter(col("__v").isNotNull)
+        .groupBy(col("__v")).agg(count(lit(1)).as("__nb")), Seq("__v"), "full_outer")
+      .select(col("__v"), coalesce(col("__na"), lit(0L)).as("__na"),
+        coalesce(col("__nb"), lit(0L)).as("__nb"))
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = counts.agg(sum(col("__na")).as("__ta"), sum(col("__nb")).as("__tb"))
+    counts
+      .withColumn("__ca", sum(col("__na")).over(w))
+      .withColumn("__cb", sum(col("__nb")).over(w))
+      .crossJoin(broadcast(totals))
+      .select(col("__ta"), col("__tb"),
+        abs(col("__ca") * col("__tb") - col("__cb") * col("__ta")).as("__gap"))
+      .groupBy(col("__ta"), col("__tb"))
+      .agg(max(col("__gap")).as("__mx"))
+      .select(Seq(col("__ta").as("n_a"), col("__tb").as("n_b")) ++ {
+        val na = col("__ta").cast("double"); val nb = col("__tb").cast("double")
+        val d = col("__mx").cast("double") / (na * nb)
+        val ks = sqrt(na * nb / (na + nb)) * d
+        Seq(
+          graft.functions.Quantize.scaledFloor(d, 6).as("d"),
+          graft.functions.Quantize.scaledFloor(ks, 6).as("ks_stat"),
+          graft.functions.Quantize.scaledFloor(
+            least(lit(1.0), lit(2.0) * exp(lit(-2.0) * ks * ks)), 6).as("p_approx"))
+      }: _*)
+  }
+
+  /** Krippendorff's α (nominal metric) — the inter-rater reliability
+    * statistic for MISSING-DATA annotation matrices, the general form
+    * [[cohenKappa]] cannot express (κ needs exactly two raters rating
+    * every unit; real labeling campaigns have 3+ raters each covering a
+    * subset). `α = 1 − D_o/D_e` over the coincidence matrix of pairable
+    * ratings (Krippendorff 2004).
+    *
+    * Computed WITHOUT the pairwise self-join: within a unit `u` with
+    * `m_u ≥ 2` ratings and per-value counts `n_uc`, the disagreeing
+    * ordered pair count is `m_u(m_u−1) − Σ_c n_uc(n_uc−1)`, each pair
+    * weighted `1/(m_u−1)` — so the unit's observed-disagreement
+    * contribution is one exact rational, quantized to the 1e-9 integer
+    * grid pre-sum (order-free, the q172 class). The expected side is pure
+    * integers: `D_e ∝ n² − Σ_c n_c²` over the pairable marginals.
+    * Units with a single rating are EXCLUDED (nothing to pair), null
+    * ratings dropped. α is null when `D_e = 0` (every pairable rating
+    * identical — reliability undefined, not perfect).
+    *
+    * Shape: one (unit, value) counting aggregation, one unit-keyed
+    * aggregation, one value-keyed marginal aggregation, three 1-row
+    * scalars — nothing corpus-shaped joined or broadcast. Output:
+    * (n_units, n_ratings, do_rate, de_rate, alpha).
+    */
+  def krippendorffAlpha(
+      df: DataFrame,
+      unitCol: String,
+      raterCol: String,
+      valueCol: String
+  ): DataFrame = {
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(unitCol).as("__u"), col(valueCol).cast("string").as("__c"))
+    val uc = base.groupBy(col("__u"), col("__c")).agg(count(lit(1)).as("__nuc"))
+    val perUnit = uc.groupBy(col("__u"))
+      .agg(sum(col("__nuc")).as("__m"),
+        sum(col("__nuc") * (col("__nuc") - 1L)).as("__same"))
+      .filter(col("__m") >= 2L)
+      .select(col("__u"), col("__m"),
+        floor((col("__m") * (col("__m") - 1L) - col("__same")).cast("double") /
+          (col("__m") - 1L).cast("double") * 1e9 + lit(0.5)).cast("long").as("__dis9"))
+    val marg = uc.join(perUnit.select(col("__u")).hint("shuffle_merge"), Seq("__u"))
+      .groupBy(col("__c")).agg(sum(col("__nuc")).as("__nc"))
+      .agg(sum(col("__nc")).as("__n"), sum(col("__nc") * col("__nc")).as("__sq"))
+    perUnit.agg(count(lit(1)).as("n_units"), sum(col("__dis9")).as("__do9"))
+      .crossJoin(broadcast(marg))
+      .select(Seq(col("n_units"), col("__n").as("n_ratings")) ++ {
+        val n = col("__n").cast("double")
+        val doR = col("__do9").cast("double") / 1e9 / n
+        val deR = (n * n - col("__sq").cast("double")) / (n * (n - 1.0))
+        Seq(
+          graft.functions.Quantize.scaledFloor(doR, 6).as("do_rate"),
+          graft.functions.Quantize.scaledFloor(deR, 6).as("de_rate"),
+          when(col("__sq") === col("__n") * col("__n"), lit(null).cast("double"))
+            .otherwise(graft.functions.Quantize.scaledFloor(
+              lit(1.0) - doR / deR, 6)).as("alpha"))
+      }: _*)
+  }
 }

@@ -256,4 +256,134 @@ object TimeSeries {
         graft.functions.Quantize.scaledFloor(
           col("__s9").cast("double") / 1e9, 6).as("decayed_count"))
   }
+
+  /** Theil–Sen robust trend estimator per key: the median of all pairwise
+    * slopes `(y_j − y_i)/(x_j − x_i)`, the trend line volume dashboards
+    * should use instead of OLS (one spiky day drags a least-squares fit;
+    * the pairwise-slope median has a 29% breakdown point — Sen 1968).
+    *
+    * Input contract: ONE observation per (key, x) — aggregate upstream
+    * (a daily-count frame already is). Pairs are per-key QUADRATIC BY
+    * CONTRACT (the q168 class): n_pairs = n(n−1)/2 where n is the
+    * per-key series LENGTH (days of history, not corpus rows) — bounded
+    * small by construction for calendar-bucketed series; don't feed
+    * per-event points.
+    *
+    * Determinism: each slope quantizes to the 1e-9 integer grid as a
+    * LONG; ranking orders by (slope₉, x_i, x_j) — a total integer order —
+    * and the median averages the two middle grid values ((n+1)/2 and
+    * n/2+1, the same row when n is odd), one exact division at the end.
+    * Shape: one key-equi self-join (SMJ), one per-key rank window
+    * (pair-count-sized), one keyed aggregation. Output:
+    * (keyCol, n_points, n_pairs, slope); slope null when n_points < 2.
+    */
+  def theilSen(
+      df: DataFrame,
+      keyCol: String,
+      xCol: String,
+      yCol: String
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // referenced three times (point counts + both sides of the pair
+    // self-join); the caller's frame is typically an aggregation —
+    // materialize once (series-sized by contract), the hits discipline
+    val pts = df.select(col(keyCol).as("__k"),
+      col(xCol).cast("double").as("__x"), col(yCol).cast("double").as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+      .localCheckpoint(true)
+    val nPts = pts.groupBy(col("__k")).agg(count(lit(1)).as("n_points"))
+    val pairs = pts
+      .join(pts.select(col("__k"), col("__x").as("__x2"), col("__y").as("__y2"))
+        .hint("shuffle_merge"), Seq("__k"))
+      .filter(col("__x") < col("__x2"))
+      .select(col("__k"), col("__x"), col("__x2"),
+        floor((col("__y2") - col("__y")) / (col("__x2") - col("__x")) * 1e9 + lit(0.5))
+          .cast("long").as("__s9"))
+    val w = Window.partitionBy(col("__k"))
+    val ranked = pairs
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__rn", row_number().over(
+        w.orderBy(col("__s9"), col("__x"), col("__x2"))))
+    val med = ranked
+      // Spark's `/` on longs yields DOUBLE — cast back for exact ranks
+      .withColumn("__k1", ((col("__n") + 1L) / 2L).cast("long"))
+      .withColumn("__k2", (col("__n") / 2L).cast("long") + 1L)
+      .filter(col("__rn") === col("__k1") || col("__rn") === col("__k2"))
+      .groupBy(col("__k"))
+      .agg(max(col("__n")).as("n_pairs"),
+        sum(col("__s9")).as("__ms"), count(lit(1)).as("__mc"))
+      .select(col("__k"), col("n_pairs"),
+        graft.functions.Quantize.scaledFloor(
+          col("__ms").cast("double") / col("__mc").cast("double") / 1e9, 9).as("slope"))
+    nPts.join(med.hint("shuffle_merge"), Seq("__k"), "left")
+      .select(col("__k").as(keyCol), col("n_points"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"), col("slope"))
+  }
+
+  /** Seasonal-baseline deviation per (key, hour-of-day): pre-cutoff
+    * events build the expected hourly RATE profile, post-cutoff actuals
+    * compare against it — the "traffic at 3am doubled" detector that a
+    * plain day-over-day diff misses because volume is hour-shaped
+    * (nightly-batch spikes look like incidents against a flat baseline
+    * and vanish against the seasonal one).
+    *
+    * Rates are per-DAY so unequal window lengths compare honestly:
+    * `expected = pre_cnt / pre_days`, `actual = post_cnt / post_days`
+    * with day counts = distinct calendar dates observed in each window
+    * (1-row broadcasts). `ratio = (post_cnt·pre_days)/(pre_cnt·post_days)`
+    * — exact-integer-input division, null when the slot has no baseline
+    * (a NEW slot is its own kind of anomaly; flagged separately).
+    * `anomalous` = ratio outside [lo, hi] or a new slot. Null timestamps
+    * are excluded. All outputs scaledFloor-quantized.
+    *
+    * Shape: two keyed counting aggregations + one slot-bounded
+    * (|keys|×24) full-outer join + two 1-row scalars — map-side combined
+    * throughout, stream-safe per micro-batch over the persisted pre
+    * profile. Output: (keyCol, hour, pre_cnt, post_cnt, expected_rate,
+    * actual_rate, ratio, anomalous).
+    */
+  def seasonalBaseline(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      cutoff: Column,
+      lo: Double = 0.5,
+      hi: Double = 2.0
+  ): DataFrame = {
+    require(lo > 0.0 && hi > lo, s"need 0 < lo < hi, got lo=$lo hi=$hi")
+    val timed = df.filter(col(tsCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(tsCol).as("__ts"))
+    val pre = timed.filter(col("__ts") < cutoff)
+    val post = timed.filter(col("__ts") >= cutoff)
+    def slots(side: DataFrame, cnt: String) =
+      side.select(col("__k"), hour(col("__ts")).as("hour"))
+        .groupBy(col("__k"), col("hour")).agg(count(lit(1)).as(cnt))
+    def days(side: DataFrame, nm: String) =
+      side.agg(countDistinct(to_date(col("__ts"))).as(nm))
+    val merged = slots(pre, "pre_cnt")
+      .join(slots(post, "post_cnt"), Seq("__k", "hour"), "full_outer")
+      .select(col("__k"), col("hour"),
+        coalesce(col("pre_cnt"), lit(0L)).as("pre_cnt"),
+        coalesce(col("post_cnt"), lit(0L)).as("post_cnt"))
+    merged
+      .crossJoin(broadcast(days(pre, "__pd")))
+      .crossJoin(broadcast(days(post, "__qd")))
+      .select(col("__k").as(keyCol), col("hour"), col("pre_cnt"), col("post_cnt"),
+        graft.functions.Quantize.scaledFloor(
+          col("pre_cnt").cast("double") / col("__pd").cast("double"), 6)
+          .as("expected_rate"),
+        graft.functions.Quantize.scaledFloor(
+          col("post_cnt").cast("double") / col("__qd").cast("double"), 6)
+          .as("actual_rate"),
+        when(col("pre_cnt") > 0L, graft.functions.Quantize.scaledFloor(
+          (col("post_cnt") * col("__pd")).cast("double") /
+            (col("pre_cnt") * col("__qd")).cast("double"), 6)).as("ratio"),
+        (col("pre_cnt") === 0L ||
+          (col("pre_cnt") > 0L &&
+            ((col("post_cnt") * col("__pd")).cast("double") <
+              (col("pre_cnt") * col("__qd")).cast("double") * lit(lo) ||
+              (col("post_cnt") * col("__pd")).cast("double") >
+                (col("pre_cnt") * col("__qd")).cast("double") * lit(hi))))
+          .as("anomalous"))
+  }
 }

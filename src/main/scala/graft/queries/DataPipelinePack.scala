@@ -2204,6 +2204,78 @@ object DataPipelinePack extends QueryPack {
       graft.operators.Profiler.giniConcentration(Tables.documents(s, d), "lang")
     }),
 
+    // Two-sample KS test: even docs vs odd docs with n_chars DOUBLED — a
+    // scale (shape) change PSI bins coarsely and Mann-Whitney reads only
+    // as location; KS bounds the exact worst-case ECDF gap, integer
+    // cross-products to the last division.
+    "q217_ks_test" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.operators.Profiler.ksTest(
+        docs.filter(col("doc_id") % 2 === 0).select(col("n_chars")),
+        docs.filter(col("doc_id") % 2 =!= 0).select((col("n_chars") * 2).as("n_chars")),
+        "n_chars")
+    }),
+
+    // Deterministic synchronous label propagation over a planted
+    // 10-block community graph (intra-block edges from the doc-id digit
+    // grid + sparse %127 bridges): 3 rounds, min-label ties — the
+    // spam-ring / topical-cluster detector beyond plain connectivity.
+    "q218_label_prop" -> ((s, d) => {
+      val a = col("doc_id") % 1000
+      val base = Tables.documents(s, d).select(a.as("a"))
+      val intra = base.select(
+        ((col("a") % 10) * 10 + expr("a DIV 10 % 10")).as("src"),
+        ((col("a") % 10) * 10 + expr("a DIV 100 % 10")).as("dst"))
+      val bridges = base.filter(col("a") % 127 === 0)
+        .select((col("a") % 100).as("src"), ((col("a") + 13) % 100).as("dst"))
+      graft.operators.Graph.labelPropagation(
+        intra.union(bridges), "src", "dst", iterations = 3)
+        .orderBy(col("node"))
+    }),
+
+    // Theil-Sen robust daily-volume trend per event type: median of
+    // pairwise slopes over the per-day count series — one spiky day
+    // can't drag it the way it drags OLS; slopes ranked on the integer
+    // grid, the two middle values averaged exactly.
+    "q219_theil_sen" -> ((s, d) => {
+      val daily = Tables.events(s, d).filter(col("ts").isNotNull)
+        .groupBy(col("event_type"),
+          datediff(to_date(col("ts")), lit("2024-01-01").cast("date")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.operators.TimeSeries.theilSen(daily, "event_type", "day", "cnt")
+        .orderBy(col("event_type"))
+    }),
+
+    // Seasonal hour-of-day baseline vs actuals: pre-2024-01-04 events
+    // build the expected hourly rate per event type, the rest compare
+    // against it — per-day rates over unequal windows, exact-integer
+    // ratio, new-slot and out-of-band flags.
+    "q220_seasonal_baseline" -> ((s, d) => {
+      graft.operators.TimeSeries.seasonalBaseline(
+        Tables.events(s, d).select(col("event_type"), col("ts")),
+        "event_type", "ts", lit("2024-01-04").cast("timestamp"))
+        .orderBy(col("event_type"), col("hour"))
+    }),
+
+    // Krippendorff's alpha over a three-rater missing-data annotation
+    // matrix (recorded lang; the q208 stopword heuristic; a third rater
+    // who skips every 3rd doc and mislabels every 7th as 'en') — the
+    // reliability statistic kappa can't express, via the coincidence
+    // identity with NO pairwise join.
+    "q221_krippendorff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = TextAnalysis.tokens(col("text"))
+      val ra = docs.select(col("doc_id").as("unit"), lit("a").as("rater"),
+        col("lang").as("value"))
+      val rb = docs.select(col("doc_id").as("unit"), lit("b").as("rater"),
+        TextAnalysis.detectedLanguage(toks).as("value"))
+      val rc = docs.filter(col("doc_id") % 3 =!= 0)
+        .select(col("doc_id").as("unit"), lit("c").as("rater"),
+          when(col("doc_id") % 7 === 0, lit("en")).otherwise(col("lang")).as("value"))
+      graft.operators.Profiler.krippendorffAlpha(
+        ra.union(rb).union(rc), "unit", "rater", "value")
+    }),
+
     // Dedup-cluster size distribution: the post-dedup report card — how
     // many clusters of each size, how many docs they cover (q43's CC
     // composed into the histogram a curation run publishes).
@@ -2881,6 +2953,33 @@ object DataPipelinePack extends QueryPack {
     * engines, so the oracle is the definition, not an approximation. */
   private def duckKeyHash(keyExpr: String, salt: String): String =
     s"CAST(concat('0x', substring(md5('$salt' || CAST($keyExpr AS VARCHAR)), 1, 15)) AS BIGINT)"
+
+  /** Unrolled synchronous label-propagation oracle (the q136 HITS unroll
+    * discipline): `edgeSql` must yield (s, d); each round is the same
+    * count-DESC-then-min-label argmax the operator's max-struct computes. */
+  private def lpaOracle(edgeSql: String, iterations: Int): String = {
+    val iters = (1 to iterations).map { i =>
+      s"""c$i AS (SELECT s.node, p.label, count(*) AS c
+             FROM sym s JOIN l${i - 1} p ON p.node = s.nbr GROUP BY s.node, p.label),
+      b$i AS (SELECT node, label FROM (
+                SELECT node, label,
+                       row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+                FROM c$i) WHERE rn = 1),
+      l$i AS (SELECT n.node, coalesce(b.label, p.label) AS label
+              FROM nodes n JOIN l${i - 1} p ON p.node = n.node
+              LEFT JOIN b$i b ON b.node = n.node)"""
+    }.mkString(",\n      ")
+    s"""
+      WITH raw AS ($edgeSql),
+      und AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+              FROM raw WHERE s <> d),
+      sym AS (SELECT a AS node, b AS nbr FROM und
+              UNION ALL SELECT b, a FROM und),
+      nodes AS (SELECT a AS node FROM und UNION SELECT b FROM und),
+      l0 AS (SELECT node, node AS label FROM nodes),
+      $iters
+      SELECT node, label FROM l$iterations ORDER BY node"""
+  }
 
   /** q92's weight vector, shared verbatim between the Spark call and the
     * oracle's list literal so both engines fold the SAME doubles. */
@@ -4904,6 +5003,156 @@ object DataPipelinePack extends QueryPack {
                          - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE))
                         * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS gini
       FROM a""",
+
+    // q217: the same per-value counts, cumulative ECDF window, and
+    // exact |cumA·nB − cumB·nA| integer cross-products; d / ks / p
+    // mirrored op for op on doubles.
+    "q217_ks_test" -> """
+      WITH a AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents WHERE doc_id % 2 = 0),
+      b AS (SELECT CAST(n_chars * 2 AS DOUBLE) AS v FROM documents WHERE doc_id % 2 <> 0),
+      ca AS (SELECT v, count(*) AS na FROM a GROUP BY v),
+      cb AS (SELECT v, count(*) AS nb FROM b GROUP BY v),
+      m AS (SELECT v, coalesce(na, 0) AS na, coalesce(nb, 0) AS nb
+            FROM ca FULL OUTER JOIN cb USING (v)),
+      t AS (SELECT CAST(sum(na) AS BIGINT) AS ta, CAST(sum(nb) AS BIGINT) AS tb FROM m),
+      cum AS (SELECT sum(na) OVER w AS cca, sum(nb) OVER w AS ccb
+              FROM m WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW)),
+      g AS (SELECT ta, tb, CAST(max(abs(cca * tb - ccb * ta)) AS BIGINT) AS mx
+            FROM cum CROSS JOIN t GROUP BY ta, tb),
+      s AS (SELECT ta, tb,
+                   CAST(mx AS DOUBLE) / (CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE)) AS d,
+                   sqrt(CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE)
+                        / (CAST(ta AS DOUBLE) + CAST(tb AS DOUBLE)))
+                     * (CAST(mx AS DOUBLE) / (CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE))) AS ks
+            FROM g)
+      SELECT ta AS n_a, tb AS n_b,
+             CAST(floor(d * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS d,
+             CAST(floor(ks * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS ks_stat,
+             CAST(floor(least(1.0, 2.0 * exp(-2.0 * ks * ks)) * 1000000.0 + 0.5) AS DOUBLE)
+               / 1000000.0 AS p_approx
+      FROM s""",
+
+    // q218: the synchronous min-label-tie LPA rounds unrolled CTE by CTE
+    // (the q136 HITS discipline) over the same planted block graph.
+    "q218_label_prop" -> lpaOracle(
+      """SELECT (a % 10) * 10 + (a // 10) % 10 AS s,
+                (a % 10) * 10 + (a // 100) % 10 AS d
+         FROM (SELECT doc_id % 1000 AS a FROM documents)
+         UNION ALL
+         SELECT a % 100 AS s, (a + 13) % 100 AS d
+         FROM (SELECT doc_id % 1000 AS a FROM documents) WHERE a % 127 = 0""",
+      iterations = 3),
+
+    // q219: the same pair self-join, 1e-9 slope grid, (s9, x1, x2) rank
+    // order, and two-middle-rank average; integer ranks via //.
+    "q219_theil_sen" -> """
+      WITH daily AS (SELECT event_type,
+                            date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+                            count(*) AS cnt
+                     FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+      pts AS (SELECT event_type AS k, CAST(day AS DOUBLE) AS x, CAST(cnt AS DOUBLE) AS y
+              FROM daily),
+      np AS (SELECT k, count(*) AS n_points FROM pts GROUP BY k),
+      pr AS (SELECT p1.k, p1.x AS x1, p2.x AS x2,
+                    CAST(floor((p2.y - p1.y) / (p2.x - p1.x) * 1000000000.0 + 0.5)
+                         AS BIGINT) AS s9
+             FROM pts p1 JOIN pts p2 ON p1.k = p2.k AND p1.x < p2.x),
+      r AS (SELECT k, s9, x1, x2, count(*) OVER (PARTITION BY k) AS n,
+                   row_number() OVER (PARTITION BY k ORDER BY s9, x1, x2) AS rn
+            FROM pr),
+      med AS (SELECT k, CAST(max(n) AS BIGINT) AS n_pairs,
+                     CAST(sum(s9) AS BIGINT) AS ms, count(*) AS mc
+              FROM r WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1 GROUP BY k),
+      s AS (SELECT k, n_pairs,
+                   CAST(floor(CAST(ms AS DOUBLE) / CAST(mc AS DOUBLE) / 1000000000.0
+                              * 1000000000.0 + 0.5) AS DOUBLE) / 1000000000.0 AS slope
+            FROM med)
+      SELECT np.k AS event_type, np.n_points,
+             coalesce(s.n_pairs, 0) AS n_pairs, s.slope
+      FROM np LEFT JOIN s USING (k) ORDER BY event_type""",
+
+    // q220: the same pre/post hourly counts, distinct-date day counts,
+    // and exact-integer per-day-rate ratio with the lo/hi band flags.
+    "q220_seasonal_baseline" -> """
+      WITH e AS (SELECT event_type AS k, ts FROM events WHERE ts IS NOT NULL),
+      pre AS (SELECT * FROM e WHERE ts < TIMESTAMP '2024-01-04'),
+      post AS (SELECT * FROM e WHERE ts >= TIMESTAMP '2024-01-04'),
+      ps AS (SELECT k, EXTRACT(hour FROM ts) AS hour, count(*) AS pre_cnt
+             FROM pre GROUP BY 1, 2),
+      qs AS (SELECT k, EXTRACT(hour FROM ts) AS hour, count(*) AS post_cnt
+             FROM post GROUP BY 1, 2),
+      pd AS (SELECT count(DISTINCT CAST(ts AS DATE)) AS pdays FROM pre),
+      qd AS (SELECT count(DISTINCT CAST(ts AS DATE)) AS qdays FROM post),
+      m AS (SELECT k, hour, coalesce(pre_cnt, 0) AS pre_cnt,
+                   coalesce(post_cnt, 0) AS post_cnt
+            FROM ps FULL OUTER JOIN qs USING (k, hour))
+      SELECT k AS event_type, hour,
+             CAST(pre_cnt AS BIGINT) AS pre_cnt, CAST(post_cnt AS BIGINT) AS post_cnt,
+             CAST(floor(CAST(pre_cnt AS DOUBLE) / CAST(pdays AS DOUBLE)
+                        * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS expected_rate,
+             CAST(floor(CAST(post_cnt AS DOUBLE) / CAST(qdays AS DOUBLE)
+                        * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS actual_rate,
+             CASE WHEN pre_cnt > 0
+                  THEN CAST(floor(CAST(post_cnt * pdays AS DOUBLE)
+                                  / CAST(pre_cnt * qdays AS DOUBLE)
+                                  * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0
+             END AS ratio,
+             (pre_cnt = 0 OR
+              (pre_cnt > 0 AND
+               (CAST(post_cnt * pdays AS DOUBLE) < CAST(pre_cnt * qdays AS DOUBLE) * 0.5 OR
+                CAST(post_cnt * pdays AS DOUBLE) > CAST(pre_cnt * qdays AS DOUBLE) * 2.0)))
+               AS anomalous
+      FROM m CROSS JOIN pd CROSS JOIN qd
+      ORDER BY event_type, hour""",
+
+    // q221: q208's rater-B CASE verbatim, the three-rater UNION matrix,
+    // and the coincidence identity on the same 1e-9 per-unit grid.
+    "q221_krippendorff" -> """
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      h AS (SELECT doc_id,
+                   len(list_filter(w, x -> x IN ('der','die','das','und','ist'))) AS de_hits,
+                   len(list_filter(w, x -> x IN ('the','a','of','and','is'))) AS en_hits,
+                   len(list_filter(w, x -> x IN ('el','la','de','y','es'))) AS es_hits
+            FROM toks),
+      det AS (SELECT doc_id,
+                     CASE WHEN de_hits >= en_hits AND de_hits >= es_hits THEN 'de'
+                          WHEN en_hits >= es_hits THEN 'en'
+                          ELSE 'es' END AS a
+              FROM h),
+      ratings AS (SELECT doc_id AS u, lang AS c FROM documents
+                  UNION ALL SELECT doc_id, a FROM det
+                  UNION ALL SELECT doc_id,
+                                   CASE WHEN doc_id % 7 = 0 THEN 'en' ELSE lang END
+                            FROM documents WHERE doc_id % 3 <> 0),
+      base AS (SELECT u, c FROM ratings WHERE c IS NOT NULL),
+      uc AS (SELECT u, c, count(*) AS nuc FROM base GROUP BY u, c),
+      pu AS (SELECT u, CAST(sum(nuc) AS BIGINT) AS m,
+                    CAST(sum(nuc * (nuc - 1)) AS BIGINT) AS same
+             FROM uc GROUP BY u HAVING sum(nuc) >= 2),
+      pud AS (SELECT u, CAST(floor(CAST(m * (m - 1) - same AS DOUBLE)
+                                   / CAST(m - 1 AS DOUBLE)
+                                   * 1000000000.0 + 0.5) AS BIGINT) AS dis9
+              FROM pu),
+      marg AS (SELECT CAST(sum(nc) AS BIGINT) AS n, CAST(sum(nc * nc) AS BIGINT) AS sq
+               FROM (SELECT c, sum(nuc) AS nc
+                     FROM uc JOIN pud USING (u) GROUP BY c)),
+      o AS (SELECT count(*) AS n_units, CAST(sum(dis9) AS BIGINT) AS do9 FROM pud)
+      SELECT o.n_units, marg.n AS n_ratings,
+             CAST(floor(CAST(do9 AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE)
+                        * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS do_rate,
+             CAST(floor((CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - CAST(sq AS DOUBLE))
+                        / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+                        * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS de_rate,
+             CASE WHEN sq = n * n THEN NULL
+                  ELSE CAST(floor((1.0 - (CAST(do9 AS DOUBLE) / 1000000000.0
+                                          / CAST(n AS DOUBLE))
+                                   / ((CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                                       - CAST(sq AS DOUBLE))
+                                      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))))
+                                  * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0
+             END AS alpha
+      FROM o CROSS JOIN marg""",
 
     // q211: the same max-anchored pow(2, -age/halfLife) per event on the
     // 1e-9 grid; halfLife seconds written as the exact double literal.

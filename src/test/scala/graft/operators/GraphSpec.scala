@@ -208,4 +208,33 @@ class GraphSpec extends AnyFunSuite {
     assert(r2("C")._3 == score(rk, 1.0, core = false))
     assert(r2("A")._3 == score(rk, cl23, core = false))
   }
+
+  test("labelPropagation: two bridged triangles settle into two communities by min label") {
+    import spark.implicits._
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L),
+      (3L, 4L), (4L, 5L), (5L, 3L), (2L, 3L)).toDF("s", "d")
+    // hand-traced synchronous rounds with count-then-min-label argmax:
+    // r1 [1,0,0,2,3,3]; r2 [0,0,0,3,2,2]; r3 [0,0,0,2,2,2]
+    val got = Graph.labelPropagation(edges, "s", "d", iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 2L, 4L -> 2L, 5L -> 2L))
+  }
+
+  test("labelPropagation: duplicates/reverses/self-loops collapse; an isolated pair 2-cycles by contract") {
+    import spark.implicits._
+    val edges = Seq((0L, 1L), (1L, 0L), (0L, 1L), (1L, 1L), // dup + reverse + loop
+      (7L, 8L)).toDF("s", "d")
+    val one = Graph.labelPropagation(edges, "s", "d", iterations = 1)
+      .as[(Long, Long)].collect().toMap
+    // one round: each adopts its only neighbor's label (multiplicity ignored)
+    assert(one == Map(0L -> 1L, 1L -> 0L, 7L -> 8L, 8L -> 7L))
+    // the deterministic 2-cycle on a bipartite pair: odd rounds swap,
+    // even rounds restore — the documented convergence-budget contract
+    val two = Graph.labelPropagation(edges, "s", "d", iterations = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(two == Map(0L -> 0L, 1L -> 1L, 7L -> 7L, 8L -> 8L))
+    intercept[IllegalArgumentException] {
+      Graph.labelPropagation(edges, "s", "d", iterations = 0)
+    }
+  }
 }

@@ -225,4 +225,52 @@ class ProfilerSpec extends AnyFunSuite {
     assert(!aRow.isNullAt(5) && aRow.getDouble(5) > 1.0)
     assert(got("c").isNullAt(5))
   }
+
+  test("ksTest: hand-computed ECDF gap with overlap; identical samples score D=0, p=1") {
+    import spark.implicits._
+    // A={1,2,3,4}, B={3,4,5,6}: cum gaps x4 peak at 8 -> D = 8/16 = 0.5,
+    // ks = sqrt(16/8)*0.5 = sqrt(2)/2, p = 2*exp(-1)
+    val a = Seq(1, 2, 3, 4).toDF("v")
+    val b = Seq(3, 4, 5, 6).toDF("v")
+    val got = Profiler.ksTest(a, b, "v")
+      .as[(Long, Long, Double, Double, Double)].head()
+    assert(got._1 == 4L && got._2 == 4L)
+    assert(got._3 == 0.5)
+    assert(math.abs(got._4 - math.sqrt(2.0) / 2.0) < 2e-6)
+    assert(math.abs(got._5 - 2.0 * math.exp(-1.0)) < 2e-6)
+    val same = Profiler.ksTest(a, a, "v").as[(Long, Long, Double, Double, Double)].head()
+    assert(same._3 == 0.0 && same._4 == 0.0 && same._5 == 1.0)
+  }
+
+  test("krippendorffAlpha: chance-level 0, perfect 1, single-rating units excluded, degenerate null") {
+    import spark.implicits._
+    // u1 (x,x) agrees, u2 (x,y) disagrees, u3 single-rated (excluded):
+    // Do = 0.5, De = (16-10)/12 = 0.5 -> alpha = 0 (chance level)
+    val chance = Seq(("u1", "a", "x"), ("u1", "b", "x"),
+      ("u2", "a", "x"), ("u2", "b", "y"), ("u3", "a", "x"))
+      .toDF("unit", "rater", "value")
+    val c = Profiler.krippendorffAlpha(chance, "unit", "rater", "value")
+      .as[(Long, Long, Double, Double, Option[Double])].head()
+    assert(c._1 == 2L && c._2 == 4L)
+    assert(c._3 == 0.5 && c._4 == 0.5 && c._5.contains(0.0))
+    // perfect agreement across distinct values: Do = 0 -> alpha = 1
+    val perfect = Seq(("u1", "a", "x"), ("u1", "b", "x"),
+      ("u2", "a", "y"), ("u2", "b", "y")).toDF("unit", "rater", "value")
+    val p = Profiler.krippendorffAlpha(perfect, "unit", "rater", "value")
+      .as[(Long, Long, Double, Double, Option[Double])].head()
+    assert(p._3 == 0.0 && p._5.contains(1.0))
+    // every pairable rating identical: De = 0 -> alpha undefined (null)
+    val flat = Seq(("u1", "a", "x"), ("u1", "b", "x")).toDF("unit", "rater", "value")
+    val f = Profiler.krippendorffAlpha(flat, "unit", "rater", "value")
+      .as[(Long, Long, Double, Double, Option[Double])].head()
+    assert(f._5.isEmpty)
+    // 3-rater missing-data case, hand-computed: u1 (x,x,x) m=3 dis 0;
+    // u2 (x,y) m=2 dis 2/1 -> Do = 2/5; marg x=4 y=1, De = (25-17)/20 = 0.4
+    // -> alpha = 1 - (0.4/0.4) = 0
+    val mixed = Seq(("u1", "a", "x"), ("u1", "b", "x"), ("u1", "c", "x"),
+      ("u2", "a", "x"), ("u2", "b", "y")).toDF("unit", "rater", "value")
+    val m = Profiler.krippendorffAlpha(mixed, "unit", "rater", "value")
+      .as[(Long, Long, Double, Double, Option[Double])].head()
+    assert(m._2 == 5L && m._3 == 0.4 && m._4 == 0.4 && m._5.contains(0.0))
+  }
 }

@@ -107,4 +107,56 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(got("B") == ((3L, grid(Seq(200.0, 200.0, 200.0)))))
     assert(got("A")._2 > got("B")._2) // recency beats 3x volume
   }
+
+  test("theilSen: one spike can't drag the slope off 1; even-pair median averages; degenerate nulls") {
+    import spark.implicits._
+    val pts = Seq(
+      // g: perfect unit slope with one 100-high outlier day: 6 of 10
+      // pairwise slopes are exactly 1, so the median is 1 (OLS gives ~16)
+      ("g", 0L, 0L), ("g", 1L, 1L), ("g", 2L, 2L), ("g", 3L, 3L), ("g", 4L, 100L),
+      // h: 3 points -> 3 pair slopes {2, 1, 0}, odd count picks 1
+      ("h", 0L, 0L), ("h", 1L, 2L), ("h", 2L, 2L),
+      // i: 2 points -> single pair slope 0.5
+      ("i", 0L, 0L), ("i", 2L, 1L),
+      // j: a single point has no trend
+      ("j", 5L, 7L))
+      .toDF("k", "x", "y")
+    val got = TimeSeries.theilSen(pts, "k", "x", "y")
+      .as[(String, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("g") == ((5L, 10L, Some(1.0))))
+    assert(got("h") == ((3L, 3L, Some(1.0))))
+    assert(got("i") == ((2L, 1L, Some(0.5))))
+    assert(got("j") == ((1L, 0L, None)))
+    // even pair count averages the two middle grid slopes
+    val even = Seq(("e", 0L, 0L), ("e", 1L, 1L), ("e", 2L, 2L), ("e", 3L, 12L))
+      .toDF("k", "x", "y")
+    val e = TimeSeries.theilSen(even, "k", "x", "y")
+      .as[(String, Long, Long, Option[Double])].head()
+    // slopes: (0,1)=1 (0,2)=1 (0,3)=4 (1,2)=1 (1,3)=5.5 (2,3)=10 ->
+    // sorted {1,1,1,4,5.5,10}, middles 1 and 4 -> 2.5
+    assert(e._2 == 4L && e._3 == 6L && e._4.contains(2.5))
+  }
+
+  test("seasonalBaseline: per-day rates over unequal windows; new-slot, collapse, and in-band flags") {
+    import spark.implicits._
+    def ts(day: Int, h: Int, n: Int) =
+      (1 to n).map(i => ("a", f"2024-01-0$day $h%02d:$i%02d:00"))
+    val rows = (
+      ts(1, 0, 2) ++ ts(2, 0, 4) ++ // pre hour0: 6 over 2 days -> rate 3
+        ts(1, 2, 2) ++              // pre hour2: post empty -> ratio 0
+        ts(1, 3, 2) ++ ts(2, 3, 2) ++ // pre hour3: rate 2
+        ts(5, 0, 9) ++              // post hour0: 9 over 1 day -> ratio 3
+        ts(5, 1, 1) ++              // post hour1: NEW slot
+        ts(5, 3, 2)                 // post hour3: rate 2, in band
+      ).toDF("k", "s").select(col("k"), col("s").cast("timestamp").as("ts"))
+    val got = TimeSeries.seasonalBaseline(rows, "k", "ts",
+      lit("2024-01-04").cast("timestamp"))
+      .as[(String, Int, Long, Long, Double, Double, Option[Double], Boolean)]
+      .collect().map(r => r._2 -> r).toMap
+    assert(got(0) == (("a", 0, 6L, 9L, 3.0, 9.0, Some(3.0), true)))
+    assert(got(1) == (("a", 1, 0L, 1L, 0.0, 1.0, None, true)))
+    assert(got(2) == (("a", 2, 2L, 0L, 1.0, 0.0, Some(0.0), true)))
+    assert(got(3) == (("a", 3, 4L, 2L, 2.0, 2.0, Some(1.0), false)))
+  }
 }
