@@ -615,6 +615,238 @@ object Profiler {
       }: _*)
   }
 
+  /** Cumulative Poisson(1) CDF thresholds c₀…c₈ for the bootstrap's
+    * inverse-CDF weight draw. Computed once here and formatted into the
+    * oracle SQL via `Double.toString` (shortest round-trip repr), so both
+    * engines compare the SAME doubles; draws beyond c₈ (mass < 1.2e-8)
+    * cap at weight 9. */
+  val poissonCdf1: Seq[Double] = {
+    val pmf = Iterator.iterate((math.exp(-1.0), 1)) { case (p, k) => (p / k, k + 1) }
+      .map(_._1).take(9).toSeq
+    pmf.scanLeft(0.0)(_ + _).tail
+  }
+
+  /** Poisson-bootstrap confidence interval for the MEAN of an integral
+    * column (Chamandy et al.'s resampling-at-scale trick, the one Google
+    * published for exactly this setting): instead of materializing B
+    * resamples, every row draws B independent Poisson(1) weights from
+    * its salted hash — `Multinomial(n, 1/n) → Poisson(1)` as n grows —
+    * so the whole bootstrap is ONE map-side pass. Error bars on any
+    * corpus statistic with no distributional assumptions, the thing a
+    * plain ±1.96·σ/√n gets wrong on skewed length/score columns.
+    *
+    * Determinism: the weight is an inverse-CDF walk over [[poissonCdf1]]
+    * against `u = (hash(id:b)+0.5)/2⁶⁰` ([[Sampling.keyHash]]'s exact
+    * grid); replicate sums are exact longs (the column must be integral
+    * — float corpus sums are order-sensitive, the trimmedMean rule);
+    * replicate means land on the 1e-9 grid; the CI picks by integer rank
+    * (percentile convention: lo = max(1, ⌊α/2·B'⌋), hi = B'−lo+1 over
+    * the B' replicates with nonzero total weight — B' = B except on toy
+    * inputs). Output means quantized through scaledFloor.
+    *
+    * Shape: one B-wide explode fused into a map-side-combined keyed
+    * aggregation (B groups — the shuffle carries B×partitions partial
+    * sums, NOT B×rows), one B-sized rank window, three scalars. The ×B
+    * scan cost is the honest price; B ≤ 1000 by contract. Output:
+    * (n_rows, reps_used, mean, ci_lo, ci_hi).
+    */
+  def bootstrapMeanCi(
+      df: DataFrame,
+      idCol: String,
+      valueCol: String,
+      reps: Int = 200,
+      level: Double = 0.95,
+      salt: String = "boot"
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types._
+    require(reps >= 20 && reps <= 1000, s"reps=$reps out of [20, 1000]")
+    require(level > 0.5 && level < 1.0, s"level=$level out of (0.5, 1)")
+    require(
+      Seq(ByteType, ShortType, IntegerType, LongType).contains(df.schema(valueCol).dataType),
+      s"$valueCol must be an integral column — float bootstrap sums are order-sensitive; " +
+        "quantize to a grid upstream")
+    val rows = df.select(col(idCol).cast("string").as("__id"),
+      col(valueCol).cast("long").as("__v"))
+      .filter(col("__id").isNotNull && col("__v").isNotNull)
+      .localCheckpoint(true) // referenced by the point estimate AND the explode
+    val point = rows.agg(count(lit(1)).as("n_rows"), sum(col("__v")).as("__sv"))
+    val u = (Sampling.keyHash(concat_ws(":", col("__id"), col("__b")), salt)
+      .cast("double") + lit(0.5)) / lit((1L << 60).toDouble)
+    val w = poissonCdf1.foldLeft(lit(0L)) { (acc, t) =>
+      acc + when(col("__u") >= lit(t), 1L).otherwise(0L)
+    }
+    val repSums = rows
+      .withColumn("__b", explode(sequence(lit(1), lit(reps))))
+      .withColumn("__u", u)
+      .select(col("__b"), w.as("__w"), col("__v"))
+      .groupBy(col("__b"))
+      .agg(sum(col("__w") * col("__v")).as("__swv"), sum(col("__w")).as("__sw"))
+      .filter(col("__sw") > 0L)
+      .select(col("__b"),
+        floor(col("__swv").cast("double") / col("__sw").cast("double") * 1e9 + lit(0.5))
+          .cast("long").as("__m9"))
+    val wAll = Window.partitionBy(lit(1))
+    val ranked = repSums
+      .withColumn("__m", count(lit(1)).over(wAll))
+      .withColumn("__rn", row_number().over(wAll.orderBy(col("__m9"), col("__b"))))
+      .withColumn("__lo",
+        greatest(lit(1L), floor(col("__m").cast("double") * lit((1.0 - level) / 2.0))
+          .cast("long")))
+    val ci = ranked
+      .filter(col("__rn") === col("__lo") || col("__rn") === col("__m") - col("__lo") + 1L)
+      .agg(count(lit(1)).as("__got"), max(col("__m")).as("reps_used"),
+        min(col("__m9")).as("__lo9"), max(col("__m9")).as("__hi9"))
+    point.crossJoin(broadcast(ci))
+      .select(col("n_rows"), col("reps_used"),
+        graft.functions.Quantize.scaledFloor(
+          col("__sv").cast("double") / col("n_rows").cast("double"), 6).as("mean"),
+        graft.functions.Quantize.scaledFloor(
+          col("__lo9").cast("double") / 1e9, 6).as("ci_lo"),
+        graft.functions.Quantize.scaledFloor(
+          col("__hi9").cast("double") / 1e9, 6).as("ci_hi"))
+  }
+
+  /** Exact ROC AUC from the rank-sum identity — the model-evaluation
+    * companion to [[reliabilityCard]] (calibration) and the q198 lift
+    * chart (business impact): `AUC = P(score⁺ > score⁻) + ½P(tie)`,
+    * computed as `(R⁺ − n⁺(n⁺+1)/2)/(n⁺·n⁻)` over midranks — NO
+    * trapezoid sweep, no threshold grid, mathematically exact including
+    * ties (the identity behind [[mannWhitney]]; an approximate AUC on a
+    * threshold grid under-reports near-perfect rankers).
+    *
+    * Midranks are integers-or-halves, so every rank quantity is exact in
+    * float addition regardless of order (the mannWhitney argument); the
+    * final division is exact-input, scaledFloor-quantized. `gini_index =
+    * 2·AUC − 1` rides along (the credit-scoring convention). AUC is null
+    * when either class is empty. Null scores/labels excluded.
+    *
+    * Shape: one per-score-value counting aggregation, one score-ordered
+    * window over the DISTINCT-value frame (score-cardinality-sized), one
+    * scalar aggregate. Output: (n_pos, n_neg, auc, gini_index).
+    */
+  def rocAuc(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .select(col(scoreCol).cast("double").as("__v"), col(labelCol).cast("boolean").as("__y"))
+      .filter(col("__v").isNotNull && col("__y").isNotNull)
+      .groupBy(col("__v"))
+      .agg(count(when(col("__y"), 1)).as("__np"),
+        count(when(!col("__y"), 1)).as("__nn"))
+    val w = Window.orderBy(col("__v")).rowsBetween(Window.unboundedPreceding, -1)
+    counts
+      .withColumn("__t", col("__np") + col("__nn"))
+      .withColumn("__before", coalesce(sum(col("__t")).over(w), lit(0L)))
+      .withColumn("__mid",
+        (col("__before") + 1L).cast("double") + (col("__t") - 1L).cast("double") / 2.0)
+      .agg(sum(col("__np")).as("__sp"), sum(col("__nn")).as("__sn"),
+        sum(col("__np").cast("double") * col("__mid")).as("__rp"))
+      .select(col("__sp").as("n_pos"), col("__sn").as("n_neg"),
+        when(col("__sp") > 0L && col("__sn") > 0L,
+          graft.functions.Quantize.scaledFloor(
+            (col("__rp") - col("__sp").cast("double") * (col("__sp") + 1L).cast("double") / 2.0)
+              / (col("__sp").cast("double") * col("__sn").cast("double")), 6)).as("auc"))
+      .withColumn("gini_index",
+        when(col("auc").isNotNull,
+          graft.functions.Quantize.scaledFloor(lit(2.0) * col("auc") - 1.0, 6)))
+  }
+
+  /** Mutual information + normalized MI + Cramér's V between two
+    * categorical columns — the feature↔label dependence card ("does
+    * `source` leak `lang`?", the redundancy check before stratifying on
+    * both): `MI = Σ_xy p_xy·ln(p_xy·n²/(n_x·n_y))` in nats,
+    * `NMI = MI/√(H_x·H_y)`, and V from the χ² contingency —
+    * three views of the same table (MI weights by mass, χ²/V by
+    * squared surprise; NMI is scale-free across cardinalities).
+    *
+    * All counts are exact integers; per-cell MI and per-margin entropy
+    * contributions quantize to the 1e-9 integer grid pre-sum (order-free,
+    * the q172 class); χ² cell terms likewise, with the ZERO cells'
+    * aggregate contribution recovered as `n − Σ_observed E` (each absent
+    * cell contributes exactly E, and Σ_all E = n — no dense cell frame
+    * needed). NMI is null when either
+    * marginal entropy is 0 (a constant column carries no information);
+    * V is null when either cardinality is 1. Nulls in either column are
+    * EXCLUDED (pairwise-complete).
+    *
+    * Shape: one (x, y) counting aggregation + two marginal aggregations
+    * joined back (all contingency-table-shaped, SMJ-keyed), three 1-row
+    * scalars. Output: (n, card_x, card_y, mi, nmi, cramers_v).
+    */
+  def mutualInformation(
+      df: DataFrame,
+      xCol: String,
+      yCol: String
+  ): DataFrame = {
+    val base = df
+      .select(col(xCol).cast("string").as("__x"), col(yCol).cast("string").as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+    // the contingency table feeds marginals, totals, and the cell grid —
+    // materialize once (table-shaped, tiny), the hits discipline
+    val xy = base.groupBy(col("__x"), col("__y")).agg(count(lit(1)).as("__nxy"))
+      .localCheckpoint(true)
+    val mx = xy.groupBy(col("__x")).agg(sum(col("__nxy")).as("__nx"))
+    val my = xy.groupBy(col("__y")).agg(sum(col("__nxy")).as("__ny"))
+    val tot = xy.agg(sum(col("__nxy")).as("__n"),
+      count(lit(1)).as("__cells"))
+    val cards = mx.agg(count(lit(1)).as("__cx"))
+      .crossJoin(my.agg(count(lit(1)).as("__cy")))
+    val n = col("__n").cast("double")
+    val cellGrid = xy
+      .join(mx.hint("shuffle_merge"), Seq("__x"))
+      .join(my.hint("shuffle_merge"), Seq("__y"))
+      .crossJoin(broadcast(tot))
+      .select(
+        floor(col("__nxy").cast("double") / n *
+          log(col("__nxy").cast("double") * n /
+            (col("__nx").cast("double") * col("__ny").cast("double"))) * 1e9 + lit(0.5))
+          .cast("long").as("__mi9"),
+        {
+          val e = col("__nx").cast("double") * col("__ny").cast("double") / n
+          floor((col("__nxy").cast("double") - e) * (col("__nxy").cast("double") - e) / e
+            * 1e9 + lit(0.5)).cast("long").as("__chi9")
+        },
+        {
+          // a ZERO cell contributes E to chi-square but never appears in
+          // the observed-cell frame; sum observed E so the missing mass
+          // (n - sum E_observed, since sum over ALL cells of E = n) can be
+          // added back — without it V understates dependence
+          val e = col("__nx").cast("double") * col("__ny").cast("double") / n
+          floor(e * 1e9 + lit(0.5)).cast("long").as("__e9")
+        })
+      .agg(sum(col("__mi9")).as("__mi9"), sum(col("__chi9")).as("__chi9"),
+        sum(col("__e9")).as("__e9"))
+    def entropyGrid(m: DataFrame, cnt: String) = m
+      .crossJoin(broadcast(tot))
+      .select(floor(-(col(cnt).cast("double") / n) * log(col(cnt).cast("double") / n)
+        * 1e9 + lit(0.5)).cast("long").as("__h9"))
+      .agg(sum(col("__h9")).as("__h9"))
+    val hx = entropyGrid(mx, "__nx").withColumnRenamed("__h9", "__hx9")
+    val hy = entropyGrid(my, "__ny").withColumnRenamed("__h9", "__hy9")
+    tot.crossJoin(broadcast(cellGrid))
+      .crossJoin(broadcast(hx)).crossJoin(broadcast(hy))
+      .crossJoin(broadcast(cards))
+      .select(Seq(col("__n").as("n"), col("__cx").as("card_x"),
+        col("__cy").as("card_y")) ++ {
+          val mi = col("__mi9").cast("double") / 1e9
+          val hxv = col("__hx9").cast("double") / 1e9
+          val hyv = col("__hy9").cast("double") / 1e9
+          val minCard = least(col("__cx"), col("__cy"))
+          Seq(
+            graft.functions.Quantize.scaledFloor(mi, 6).as("mi"),
+            when(col("__hx9") > 0L && col("__hy9") > 0L,
+              graft.functions.Quantize.scaledFloor(mi / sqrt(hxv * hyv), 6)).as("nmi"),
+            when(minCard > 1L, graft.functions.Quantize.scaledFloor(
+              sqrt((col("__chi9").cast("double") / 1e9 +
+                (n - col("__e9").cast("double") / 1e9)) /
+                (n * (minCard - 1L).cast("double"))), 6)).as("cramers_v"))
+        }: _*)
+  }
+
   /** Krippendorff's α (nominal metric) — the inter-rater reliability
     * statistic for MISSING-DATA annotation matrices, the general form
     * [[cohenKappa]] cannot express (κ needs exactly two raters rating

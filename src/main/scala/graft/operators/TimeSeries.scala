@@ -257,6 +257,51 @@ object TimeSeries {
           col("__s9").cast("double") / 1e9, 6).as("decayed_count"))
   }
 
+  /** Autocorrelation function per key: Pearson r between the series and
+    * its lag-ℓ shifted self for ℓ = 1…maxLag — the seasonality detector
+    * that tells [[seasonalBaseline]] WHICH period to baseline on (a
+    * daily-count series with weekly rhythm spikes at lag 7) and flags
+    * regime stickiness (high lag-1) before [[cusumByKey]] fires.
+    *
+    * Input contract: one observation per (key, x) on an integer time
+    * grid (a calendar-bucketed count frame). Pairs at lag ℓ join
+    * (x, x+ℓ) — only OBSERVED pairs correlate (a gap shortens n, it
+    * does not zero-fill). The correlation is [[Profiler.pearsonByGroup]]
+    * verbatim — exact decimal sufficient statistics, deterministic under
+    * any sharding; r is null when either side is constant over the
+    * overlap.
+    *
+    * Shape: one maxLag-wide explode + one two-key SMJ equi-join
+    * ((key, x+lag) = (key, x), series-sized both sides) into the keyed
+    * sufficient-statistics aggregation. Output: (keyCol, lag, n, r).
+    */
+  def autocorrelation(
+      df: DataFrame,
+      keyCol: String,
+      xCol: String,
+      yCol: String,
+      maxLag: Int
+  ): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 256, s"maxLag=$maxLag out of [1, 256]")
+    // referenced by both sides of the lag join; the caller's frame is
+    // typically an aggregation — materialize once (series-sized)
+    val pts = df.select(col(keyCol).as("__k"),
+      col(xCol).cast("long").as("__x"), col(yCol).cast("double").as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+      .localCheckpoint(true)
+    val lagged = pts
+      .withColumn("lag", explode(sequence(lit(1), lit(maxLag))))
+      .select(col("__k"), col("lag"), (col("__x") + col("lag")).as("__xj"),
+        col("__y").as("__ya"))
+    val pairs = lagged.join(
+      pts.select(col("__k"), col("__x").as("__xj"), col("__y").as("__yb"))
+        .hint("shuffle_merge"),
+      Seq("__k", "__xj"))
+    graft.operators.Profiler.pearsonByGroup(
+      pairs, Seq("__k", "lag"), "__ya", "__yb", decimalScale = 2)
+      .select(col("__k").as(keyCol), col("lag"), col("n"), col("r"))
+  }
+
   /** Theil–Sen robust trend estimator per key: the median of all pairwise
     * slopes `(y_j − y_i)/(x_j − x_i)`, the trend line volume dashboards
     * should use instead of OLS (one spiky day drags a least-squares fit;

@@ -2276,6 +2276,44 @@ object DataPipelinePack extends QueryPack {
         ra.union(rb).union(rc), "unit", "rater", "value")
     }),
 
+    // Exact ROC AUC of "length predicts English" via the rank-sum
+    // identity — no threshold sweep, ties handled by midranks; the
+    // model-evaluation card alongside calibration (q203) and lift (q198).
+    "q222_auc" -> ((s, d) => {
+      graft.operators.Profiler.rocAuc(
+        Tables.documents(s, d).select(col("n_chars"), (col("lang") === "en").as("is_en")),
+        "n_chars", "is_en")
+    }),
+
+    // Mutual information / NMI / Cramér's V between lang and source —
+    // does the sharding column leak the label? Three dependence views of
+    // one contingency table, integer counts to the last grid sum.
+    "q223_mutual_info" -> ((s, d) => {
+      graft.operators.Profiler.mutualInformation(Tables.documents(s, d), "lang", "source")
+    }),
+
+    // Autocorrelation of daily event volume per type at lags 1..7 — the
+    // seasonality card telling q220 which period to baseline on; exact
+    // decimal sufficient statistics per (type, lag).
+    "q224_acf" -> ((s, d) => {
+      val daily = Tables.events(s, d).filter(col("ts").isNotNull)
+        .groupBy(col("event_type"),
+          datediff(to_date(col("ts")), lit("2024-01-01").cast("date")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.operators.TimeSeries.autocorrelation(daily, "event_type", "day", "cnt",
+        maxLag = 7)
+        .orderBy(col("event_type"), col("lag"))
+    }),
+
+    // Poisson-bootstrap 95% CI for mean document length: 200 hash-seeded
+    // replicates in one map-side pass — distribution-free error bars on
+    // a skewed corpus statistic.
+    "q225_bootstrap_ci" -> ((s, d) => {
+      graft.operators.Profiler.bootstrapMeanCi(
+        Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", reps = 200, level = 0.95, salt = "bci")
+    }),
+
     // Dedup-cluster size distribution: the post-dedup report card — how
     // many clusters of each size, how many docs they cover (q43's CC
     // composed into the histogram a curation run publishes).
@@ -2979,6 +3017,49 @@ object DataPipelinePack extends QueryPack {
       l0 AS (SELECT node, node AS label FROM nodes),
       $iters
       SELECT node, label FROM l$iterations ORDER BY node"""
+  }
+
+  /** q225's oracle, generated from the operator's OWN cumulative-Poisson
+    * thresholds and alpha/2 double (`Double.toString` round-trips to the
+    * identical double in DuckDB), so the inverse-CDF walk, the replicate
+    * means, and the rank picks are engine-exact. */
+  private def bootstrapCiOracle: String = {
+    val wExpr = graft.operators.Profiler.poissonCdf1
+      .map(t => s"(CASE WHEN u >= $t THEN 1 ELSE 0 END)").mkString(" + ")
+    val lo2 = ((1.0 - 0.95) / 2.0).toString
+    val h = duckKeyHash("id || ':' || CAST(b AS VARCHAR)", "bci")
+    s"""
+      WITH rows_ AS (SELECT CAST(doc_id AS VARCHAR) AS id, CAST(n_chars AS BIGINT) AS v
+                     FROM documents WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL),
+      pt AS (SELECT count(*) AS n_rows, CAST(sum(v) AS BIGINT) AS sv FROM rows_),
+      ex AS (SELECT id, v, b FROM rows_
+             CROSS JOIN (SELECT unnest(range(1, 201)) AS b)),
+      uu AS (SELECT b, v,
+                    (CAST($h AS DOUBLE) + 0.5) / 1152921504606846976.0 AS u
+             FROM ex),
+      ww AS (SELECT b, v, $wExpr AS w FROM uu),
+      rs AS (SELECT b, CAST(sum(w * v) AS BIGINT) AS swv, CAST(sum(w) AS BIGINT) AS sw
+             FROM ww GROUP BY b HAVING sum(w) > 0),
+      m9 AS (SELECT b, CAST(floor(CAST(swv AS DOUBLE) / CAST(sw AS DOUBLE)
+                                  * 1000000000.0 + 0.5) AS BIGINT) AS m9
+             FROM rs),
+      rk AS (SELECT m9, b, count(*) OVER () AS m,
+                    row_number() OVER (ORDER BY m9, b) AS rn
+             FROM m9),
+      pick AS (SELECT m9, rn, m,
+                      greatest(CAST(1 AS BIGINT),
+                               CAST(floor(CAST(m AS DOUBLE) * $lo2) AS BIGINT)) AS lor
+               FROM rk),
+      ci AS (SELECT max(m) AS reps_used, min(m9) AS lo9, max(m9) AS hi9
+             FROM pick WHERE rn = lor OR rn = m - lor + 1)
+      SELECT pt.n_rows, ci.reps_used,
+             CAST(floor(CAST(pt.sv AS DOUBLE) / CAST(pt.n_rows AS DOUBLE)
+                        * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS mean,
+             CAST(floor(CAST(ci.lo9 AS DOUBLE) / 1000000000.0
+                        * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS ci_lo,
+             CAST(floor(CAST(ci.hi9 AS DOUBLE) / 1000000000.0
+                        * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS ci_hi
+      FROM pt CROSS JOIN ci"""
   }
 
   /** q92's weight vector, shared verbatim between the Spark call and the
@@ -5153,6 +5234,130 @@ object DataPipelinePack extends QueryPack {
                                   * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0
              END AS alpha
       FROM o CROSS JOIN marg""",
+
+    // q222: q215's midrank machinery specialized to the AUC identity;
+    // gini_index derived from the QUANTIZED auc, mirroring the operator.
+    "q222_auc" -> """
+      WITH t AS (SELECT CAST(n_chars AS DOUBLE) AS v, (lang = 'en') AS y FROM documents
+                 WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+      c AS (SELECT v, count(*) FILTER (WHERE y) AS np,
+                   count(*) FILTER (WHERE NOT y) AS nn
+            FROM t GROUP BY v),
+      r AS (SELECT np, nn, np + nn AS tt,
+                   coalesce(sum(np + nn) OVER (ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+            FROM c),
+      mid AS (SELECT np, nn,
+                     CAST(bef + 1 AS DOUBLE) + CAST(tt - 1 AS DOUBLE) / 2.0 AS mid
+              FROM r),
+      ag AS (SELECT CAST(sum(np) AS BIGINT) AS sp, CAST(sum(nn) AS BIGINT) AS sn,
+                    sum(CAST(np AS DOUBLE) * mid) AS rp
+             FROM mid),
+      a AS (SELECT sp AS n_pos, sn AS n_neg,
+                   CASE WHEN sp > 0 AND sn > 0
+                        THEN CAST(floor((rp - CAST(sp AS DOUBLE) * CAST(sp + 1 AS DOUBLE) / 2.0)
+                                        / (CAST(sp AS DOUBLE) * CAST(sn AS DOUBLE))
+                                        * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0
+                   END AS auc
+            FROM ag)
+      SELECT n_pos, n_neg, auc,
+             CASE WHEN auc IS NOT NULL
+                  THEN CAST(floor((2.0 * auc - 1.0) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0
+             END AS gini_index
+      FROM a""",
+
+    // q223: the same contingency counts, 1e-9 per-cell MI / chi-square /
+    // entropy grids, and the identical raw-then-quantized ratios.
+    "q223_mutual_info" -> """
+      WITH b AS (SELECT CAST(lang AS VARCHAR) AS x, CAST(source AS VARCHAR) AS y
+                 FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL),
+      xy AS (SELECT x, y, count(*) AS nxy FROM b GROUP BY x, y),
+      mx AS (SELECT x, CAST(sum(nxy) AS BIGINT) AS nx FROM xy GROUP BY x),
+      my AS (SELECT y, CAST(sum(nxy) AS BIGINT) AS ny FROM xy GROUP BY y),
+      tot AS (SELECT CAST(sum(nxy) AS BIGINT) AS n FROM xy),
+      cards AS (SELECT (SELECT count(*) FROM mx) AS cx, (SELECT count(*) FROM my) AS cy),
+      cell AS (SELECT CAST(sum(CAST(floor(CAST(nxy AS DOUBLE) / CAST(n AS DOUBLE)
+                        * ln(CAST(nxy AS DOUBLE) * CAST(n AS DOUBLE)
+                             / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)))
+                        * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS mi9,
+                   CAST(sum(CAST(floor((CAST(nxy AS DOUBLE)
+                          - CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(nxy AS DOUBLE)
+                           - CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE) / CAST(n AS DOUBLE))
+                        / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE) / CAST(n AS DOUBLE))
+                        * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS chi9,
+                   CAST(sum(CAST(floor(CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)
+                        / CAST(n AS DOUBLE)
+                        * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS e9
+              FROM xy JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot),
+      hx AS (SELECT CAST(sum(CAST(floor(-(CAST(nx AS DOUBLE) / CAST(n AS DOUBLE))
+                       * ln(CAST(nx AS DOUBLE) / CAST(n AS DOUBLE))
+                       * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS hx9
+             FROM mx CROSS JOIN tot),
+      hy AS (SELECT CAST(sum(CAST(floor(-(CAST(ny AS DOUBLE) / CAST(n AS DOUBLE))
+                       * ln(CAST(ny AS DOUBLE) / CAST(n AS DOUBLE))
+                       * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS hy9
+             FROM my CROSS JOIN tot)
+      SELECT n, cx AS card_x, cy AS card_y,
+             CAST(floor(CAST(mi9 AS DOUBLE) / 1000000000.0 * 1000000.0 + 0.5) AS DOUBLE)
+               / 1000000.0 AS mi,
+             CASE WHEN hx9 > 0 AND hy9 > 0
+                  THEN CAST(floor(CAST(mi9 AS DOUBLE) / 1000000000.0
+                                  / sqrt((CAST(hx9 AS DOUBLE) / 1000000000.0)
+                                         * (CAST(hy9 AS DOUBLE) / 1000000000.0))
+                                  * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0
+             END AS nmi,
+             CASE WHEN least(cx, cy) > 1
+                  THEN CAST(floor(sqrt((CAST(chi9 AS DOUBLE) / 1000000000.0
+                                        + (CAST(n AS DOUBLE)
+                                           - CAST(e9 AS DOUBLE) / 1000000000.0))
+                                       / (CAST(n AS DOUBLE)
+                                          * CAST(least(cx, cy) - 1 AS DOUBLE)))
+                                  * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0
+             END AS cramers_v
+      FROM tot CROSS JOIN cards CROSS JOIN cell CROSS JOIN hx CROSS JOIN hy""",
+
+    // q224: the lag self-join over the q219 daily frame, then q195's
+    // decimal sufficient-statistics Pearson mirrored per (type, lag).
+    "q224_acf" -> """
+      WITH daily AS (SELECT event_type,
+                            date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+                            count(*) AS cnt
+                     FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+      pts AS (SELECT event_type AS k, CAST(day AS BIGINT) AS x, CAST(cnt AS DOUBLE) AS y
+              FROM daily),
+      lags AS (SELECT CAST(unnest(range(1, 8)) AS INTEGER) AS lag),
+      pairs AS (SELECT a.k, l.lag, a.y AS ya, b.y AS yb
+                FROM pts a CROSS JOIN lags l
+                JOIN pts b ON b.k = a.k AND b.x = a.x + l.lag),
+      s AS (SELECT k, lag, count(*) AS n,
+                   CAST(sum(CAST(ya AS DECIMAL(18,2))) AS DECIMAL(38,8)) AS sx,
+                   CAST(sum(CAST(yb AS DECIMAL(18,2))) AS DECIMAL(38,8)) AS sy,
+                   sum(CAST(CAST(ya AS DECIMAL(18,2)) *
+                            CAST(yb AS DECIMAL(18,2)) AS DECIMAL(38,8))) AS sxy,
+                   sum(CAST(CAST(ya AS DECIMAL(18,2)) *
+                            CAST(ya AS DECIMAL(18,2)) AS DECIMAL(38,8))) AS sxx,
+                   sum(CAST(CAST(yb AS DECIMAL(18,2)) *
+                            CAST(yb AS DECIMAL(18,2)) AS DECIMAL(38,8))) AS syy
+            FROM pairs GROUP BY k, lag),
+      d AS (SELECT k, lag, n,
+                   CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+                   CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy,
+                   CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num
+            FROM s)
+      SELECT k AS event_type, lag, n,
+             CASE WHEN vx > 0.0 AND vy > 0.0
+                  THEN CAST(floor(num / sqrt(vx * vy) * 1000000.0 + 0.5) AS DOUBLE)
+                       / 1000000.0
+             END AS r
+      FROM d ORDER BY event_type, lag""",
+
+    // q225: generated from the SAME cumulative-Poisson literals and
+    // alpha/2 double the operator folds over (Double.toString round-trip).
+    "q225_bootstrap_ci" -> bootstrapCiOracle,
 
     // q211: the same max-anchored pow(2, -age/halfLife) per event on the
     // 1e-9 grid; halfLife seconds written as the exact double literal.

@@ -273,4 +273,66 @@ class ProfilerSpec extends AnyFunSuite {
       .as[(Long, Long, Double, Double, Option[Double])].head()
     assert(m._2 == 5L && m._3 == 0.4 && m._4 == 0.4 && m._5.contains(0.0))
   }
+
+  test("rocAuc: perfect separation 1, hand-computed tie case 0.875, one-class null") {
+    import spark.implicits._
+    val perfect = Seq((3, true), (4, true), (1, false), (2, false)).toDF("s", "y")
+    val p = Profiler.rocAuc(perfect, "s", "y")
+      .as[(Long, Long, Option[Double], Option[Double])].head()
+    assert(p == ((2L, 2L, Some(1.0), Some(1.0))))
+    // pos {2,3}, neg {1,2}: pairs (2>1) + (2=2 tie 0.5) + (3>1) + (3>2)
+    // -> 3.5/4 = 0.875, gini 0.75
+    val tied = Seq((2, true), (3, true), (1, false), (2, false)).toDF("s", "y")
+    val t = Profiler.rocAuc(tied, "s", "y")
+      .as[(Long, Long, Option[Double], Option[Double])].head()
+    assert(t == ((2L, 2L, Some(0.875), Some(0.75))))
+    val oneClass = Seq((1, true), (2, true)).toDF("s", "y")
+    val o = Profiler.rocAuc(oneClass, "s", "y")
+      .as[(Long, Long, Option[Double], Option[Double])].head()
+    assert(o._3.isEmpty && o._4.isEmpty)
+  }
+
+  test("mutualInformation: perfect dependence gives ln2/NMI 1/V 1 (zero cells corrected); independence ~0") {
+    import spark.implicits._
+    val dep = Seq(("a", "a"), ("a", "a"), ("b", "b"), ("b", "b")).toDF("x", "y")
+    val d = Profiler.mutualInformation(dep, "x", "y")
+      .as[(Long, Long, Long, Double, Option[Double], Option[Double])].head()
+    assert(d._1 == 4L && d._2 == 2L && d._3 == 2L)
+    assert(d._4 == 0.693147) // ln 2 on the grid
+    assert(d._5.contains(1.0))
+    // the zero-cell correction: chi2 = 2 observed + 2 missing = 4 -> V = 1
+    // (without it V = sqrt(2/4) = 0.707)
+    assert(d._6.contains(1.0))
+    // exact independence: every cell at its expected count
+    val ind = Seq(("a", "u"), ("a", "v"), ("b", "u"), ("b", "v")).toDF("x", "y")
+    val i = Profiler.mutualInformation(ind, "x", "y")
+      .as[(Long, Long, Long, Double, Option[Double], Option[Double])].head()
+    assert(i._4 == 0.0 && i._5.contains(0.0) && i._6.contains(0.0))
+    // a constant column carries no information: NMI and V null
+    val const = Seq(("a", "u"), ("a", "v")).toDF("x", "y")
+    val c = Profiler.mutualInformation(const, "x", "y")
+      .as[(Long, Long, Long, Double, Option[Double], Option[Double])].head()
+    assert(c._4 == 0.0 && c._5.isEmpty && c._6.isEmpty)
+  }
+
+  test("bootstrapMeanCi: constant column collapses the CI to the mean; spread column brackets it") {
+    import spark.implicits._
+    val const = (1L to 100L).map(i => (i, 7L)).toDF("id", "v")
+    val c = Profiler.bootstrapMeanCi(const, "id", "v", reps = 50, salt = "t1")
+      .as[(Long, Long, Double, Double, Double)].head()
+    assert(c == ((100L, 50L, 7.0, 7.0, 7.0)))
+    val spread = (0L until 1000L).map(i => (i, i)).toDF("id", "v")
+    val s = Profiler.bootstrapMeanCi(spread, "id", "v", reps = 200, salt = "t2")
+      .as[(Long, Long, Double, Double, Double)].head()
+    assert(s._1 == 1000L && s._2 == 200L)
+    assert(s._3 == 499.5)
+    // sd ~288.7 -> se ~9.1 -> 95% CI roughly +-18; assert a loose band
+    assert(s._4 < s._3 && s._3 < s._5, s"CI (${s._4}, ${s._5}) must bracket ${s._3}")
+    assert(s._3 - s._4 < 60.0 && s._5 - s._3 < 60.0)
+    // float columns are refused (order-sensitive sums)
+    intercept[IllegalArgumentException] {
+      Profiler.bootstrapMeanCi(
+        Seq((1L, 1.5)).toDF("id", "v"), "id", "v", reps = 50, salt = "t3")
+    }
+  }
 }

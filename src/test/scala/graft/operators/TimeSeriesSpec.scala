@@ -108,6 +108,24 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(got("A")._2 > got("B")._2) // recency beats 3x volume
   }
 
+  test("autocorrelation: alternating series scores -1 at lag 1 and +1 at lag 2; constants null; gaps shorten n") {
+    import spark.implicits._
+    val alt = (0L to 5L).map(x => ("p", x, x % 2)) ++ (0L to 5L).map(x => ("c", x, 3L))
+    val got = TimeSeries.autocorrelation(alt.toDF("k", "x", "y"), "k", "x", "y", maxLag = 2)
+      .as[(String, Int, Long, Option[Double])].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got(("p", 1)) == ((5L, Some(-1.0))))
+    assert(got(("p", 2)) == ((4L, Some(1.0))))
+    // constant series: zero variance -> r undefined
+    assert(got(("c", 1)) == ((5L, None)))
+    // a gap shortens the overlap instead of zero-filling: x=3 missing
+    // kills the (2,3) and (3,4) lag-1 pairs
+    val gap = Seq(("g", 0L, 1L), ("g", 1L, 5L), ("g", 2L, 2L), ("g", 4L, 7L), ("g", 5L, 3L))
+    val g = TimeSeries.autocorrelation(gap.toDF("k", "x", "y"), "k", "x", "y", maxLag = 1)
+      .as[(String, Int, Long, Option[Double])].head()
+    assert(g._3 == 3L)
+  }
+
   test("theilSen: one spike can't drag the slope off 1; even-pair median averages; degenerate nulls") {
     import spark.implicits._
     val pts = Seq(
