@@ -94,6 +94,44 @@ object Funnel {
       .groupBy(col("path")).agg(count(lit(1)).as("n_users"))
   }
 
+  /** Frequent event-type n-grams: every CONTIGUOUS length-`n` run of a
+    * user's time-ordered events, counted across the corpus — the
+    * behavioral-motif complement to [[journeyPaths]] (paths fingerprint
+    * each user's PREFIX; n-grams mine recurring sub-sequences anywhere in
+    * the stream — "view>click>purchase" as a motif, not an opening).
+    *
+    * Shape: one keyed collect (the journeys per-user-buffer caveat —
+    * [[Skew.capPerKey]] pathological users upstream), a per-user
+    * (events−n+1)-wide transform+explode, one map-side-combined count.
+    * `orderCols` needs the usual unique tie-break suffix. Rows with
+    * count < `minCount` are dropped (the long tail is noise and its
+    * output would be corpus-shaped). Output: (gram, n_users_events) by
+    * cnt desc, gram.
+    */
+  def eventNgrams(
+      events: DataFrame,
+      userCol: String,
+      orderCols: Seq[String],
+      typeCol: String,
+      n: Int,
+      minCount: Long
+  ): DataFrame = {
+    require(n >= 2 && n <= 10, s"n=$n out of [2, 10]")
+    require(orderCols.nonEmpty, "orderCols must include a tie-breaking unique suffix")
+    val ordered = sort_array(collect_list(struct(orderCols.map(col) :+ col(typeCol).as("__t"): _*)))
+    events
+      .groupBy(col(userCol))
+      .agg(ordered.as("__evs"))
+      .select(transform(col("__evs"), e => e.getField("__t")).as("__ts"))
+      .filter(size(col("__ts")) >= n)
+      .select(explode(transform(
+        sequence(lit(1), size(col("__ts")) - lit(n - 1)),
+        i => array_join(slice(col("__ts"), i, lit(n)), ">"))).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .orderBy(col("cnt").desc, col("gram"))
+  }
+
   /** Cohort retention: users cohorted by their FIRST-seen bucket (floor of
     * epoch-days over `bucketDays`), activity counted as distinct
     * (user, bucket) pairs at each offset — "of the users who arrived in

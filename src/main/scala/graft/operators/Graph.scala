@@ -372,6 +372,65 @@ object Graph {
           9).as("score"))
   }
 
+  /** Newman modularity of a community assignment over the undirected
+    * simple graph — the partition-quality score that makes
+    * [[labelPropagation]]'s output measurable (Q ≈ 0: no better than
+    * random; Q ≳ 0.3: real community structure; a spam-farm partition
+    * with high Q over the co-citation graph is the actionable signal):
+    * `Q = Σ_c [ e_c/m − (deg_c/(2m))² ]` with `e_c` intra-community
+    * edges, `deg_c` the community's degree mass, `m` total edges.
+    *
+    * Every term is an exact integer until the final divisions
+    * (`Σe_c`, `Σdeg_c²`, `m` are longs; documented bound deg_c < 3·10⁹),
+    * so `Q = Σe_c/m − Σdeg_c²/(4m²)` is two exact-input divisions,
+    * scaledFloor-quantized — no per-community float sum at all.
+    *
+    * Shape: edges normalized like [[labelPropagation]] (dedupe,
+    * self-loops dropped), two label joins onto the edge list (SMJ), one
+    * community-keyed aggregation, two scalars. Output: (n_communities,
+    * n_edges, modularity).
+    */
+  def modularity(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      labels: DataFrame,
+      nodeCol: String,
+      labelCol: String
+  ): DataFrame = {
+    val und = edges.select(
+      col(srcCol).cast("long").as("__s"), col(dstCol).cast("long").as("__d"))
+      .filter(col("__s") =!= col("__d"))
+      .select(least(col("__s"), col("__d")).as("a"),
+        greatest(col("__s"), col("__d")).as("b"))
+      .distinct()
+      .localCheckpoint(true) // referenced by m, the label joins, and degrees
+    val lbl = labels.select(col(nodeCol).cast("long").as("node"),
+      col(labelCol).cast("long").as("__c"))
+    val m = und.agg(count(lit(1)).as("__m"))
+    val intra = und
+      .join(lbl.select(col("node").as("a"), col("__c").as("__ca")).hint("shuffle_merge"),
+        Seq("a"))
+      .join(lbl.select(col("node").as("b"), col("__c").as("__cb")).hint("shuffle_merge"),
+        Seq("b"))
+      .select(col("__ca"), col("__cb"))
+      .localCheckpoint(true) // feeds intra-edge AND degree-mass aggregations
+    val ec = intra.filter(col("__ca") === col("__cb"))
+      .agg(count(lit(1)).as("__se"))
+    val degC = intra
+      .select(explode(array(col("__ca"), col("__cb"))).as("__c"))
+      .groupBy(col("__c")).agg(count(lit(1)).as("__deg"))
+    val dc = degC.agg(sum(col("__deg") * col("__deg")).as("__sd2"),
+      count(lit(1)).as("n_communities"))
+    m.crossJoin(broadcast(ec)).crossJoin(broadcast(dc))
+      .select(col("n_communities"), col("__m").as("n_edges"),
+        graft.functions.Quantize.scaledFloor(
+          col("__se").cast("double") / col("__m").cast("double") -
+            col("__sd2").cast("double") /
+              (lit(4.0) * col("__m").cast("double") * col("__m").cast("double")), 6)
+          .as("modularity"))
+  }
+
   /** Fixed-iteration synchronous label propagation (Raghavan et al. 2007)
     * — the near-linear community detector for link-spam ring discovery
     * and topical clustering (connected components says "reachable";

@@ -707,6 +707,51 @@ object Profiler {
           col("__hi9").cast("double") / 1e9, 6).as("ci_hi"))
   }
 
+  /** Two-pass heavy hitters: Misra–Gries candidates + exact recount — the
+    * "which domains/tokens/UAs dominate" report WITHOUT a full
+    * (item → count) shuffle. Pass 1 folds the corpus into ONE O(k)
+    * [[graft.functions.MisraGries]] summary (map-side partials and merges
+    * all k-bounded); the ≤ k candidates are driver-collected (a
+    * parameter-bounded watchlist, the q37 class — this is the point: the
+    * full distinct-item frame may be corpus-sized, the summary never is);
+    * pass 2 exactly recounts JUST the candidates via an isin-filtered
+    * map-side-combined aggregation and keeps items with true frequency
+    * strictly above n/phiDen.
+    *
+    * Determinism: MG's sub-threshold survivors are partial-order-
+    * dependent, but every item above n/(k+1) is GUARANTEED into the
+    * summary; with k ≥ phiDen (enforced: default 2·phiDen) the φ-filter
+    * sits at-or-above the guarantee bound, so the FILTERED output is
+    * identical on every run and oracle-gateable against the plain
+    * exact-count query. Counts in the output are exact (recounted), not
+    * the MG lower bounds. Output: (item, cnt, share) by cnt desc, item.
+    */
+  def heavyHitters(
+      df: DataFrame,
+      itemCol: String,
+      phiDen: Int,
+      summaryK: Int = 0
+  ): DataFrame = {
+    require(phiDen >= 2 && phiDen <= 10000, s"phiDen=$phiDen out of [2, 1e4]")
+    val k = if (summaryK > 0) summaryK else 2 * phiDen
+    require(k >= phiDen && k <= 100000,
+      s"summaryK=$k must be >= phiDen=$phiDen for the guarantee to cover the filter")
+    val items = df.select(col(itemCol).cast("string").as("__i"))
+      .filter(col("__i").isNotNull)
+      .localCheckpoint(true) // scanned by both passes
+    val mg = udaf(new graft.functions.MisraGries(k))
+    val row = items.agg(mg(col("__i")).as("__sum"), count(lit(1)).as("__n")).head()
+    val candidates = row.getAs[Map[String, Long]]("__sum").keys.toSeq.sorted
+    val n = row.getAs[Long]("__n")
+    items.filter(col("__i").isin(candidates: _*))
+      .groupBy(col("__i")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * phiDen > n)
+      .select(col("__i").as(itemCol), col("cnt"),
+        graft.functions.Quantize.scaledFloor(
+          col("cnt").cast("double") / lit(n.toDouble), 6).as("share"))
+      .orderBy(col("cnt").desc, col(itemCol))
+  }
+
   /** Exact ROC AUC from the rank-sum identity — the model-evaluation
     * companion to [[reliabilityCard]] (calibration) and the q198 lift
     * chart (business impact): `AUC = P(score⁺ > score⁻) + ½P(tie)`,

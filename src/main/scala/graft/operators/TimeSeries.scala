@@ -257,6 +257,64 @@ object TimeSeries {
           col("__s9").cast("double") / 1e9, 6).as("decayed_count"))
   }
 
+  /** Kaplan–Meier survival estimator — retention with CENSORING handled
+    * honestly (the thing a plain cohort-retention curve gets wrong: a
+    * user last seen yesterday hasn't churned, they just haven't had time
+    * to — treating them as churned biases every duration short).
+    * Input: one row per subject with an integral `durationCol` and a
+    * boolean `observedCol` (true = the terminal event happened; false =
+    * censored at that duration). At each distinct observed-event time t:
+    * `S(t) = Π_{s ≤ t} (1 − d_s/n_s)` with `d_s` events and `n_s` the
+    * at-risk count (duration ≥ s).
+    *
+    * Determinism: d/n are exact integers per distinct duration; the
+    * product accumulates as a cumulative sum of per-step `ln(1 − d/n)`
+    * terms quantized to the 1e-9 grid (order-free within the window
+    * frame); a step where EVERYONE at risk dies (d = n) would be
+    * ln(0) — Spark's sum-over-window SKIPS nulls, which would silently
+    * resurrect the curve, so extinction is carried as a separate
+    * cumulative max flag forcing S = 0 from that step on. Censored-only
+    * durations don't emit a row (they step nothing) but DO deplete the
+    * at-risk count via the cumulative window.
+    *
+    * Shape: one per-duration counting aggregation, one duration-ordered
+    * window over the DISTINCT-duration frame, one 1-row total broadcast.
+    * Output: (duration, n_risk, n_events, survival) at observed steps.
+    */
+  def kaplanMeier(
+      df: DataFrame,
+      durationCol: String,
+      observedCol: String
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(durationCol).cast("long").as("__t"),
+      col(observedCol).cast("boolean").as("__o"))
+      .filter(col("__t").isNotNull && col("__o").isNotNull)
+    val perT = base.groupBy(col("__t"))
+      .agg(count(when(col("__o"), 1)).as("__d"), count(lit(1)).as("__all"))
+    val total = perT.agg(sum(col("__all")).as("__n"))
+    val wPrior = Window.orderBy(col("__t")).rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy(col("__t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perT.crossJoin(broadcast(total))
+      .withColumn("__risk", col("__n") - coalesce(sum(col("__all")).over(wPrior), lit(0L)))
+      .withColumn("__ln9",
+        when(col("__d") < col("__risk"),
+          floor(log(lit(1.0) - col("__d").cast("double") / col("__risk").cast("double"))
+            * 1e9 + lit(0.5)).cast("long"))
+          .otherwise(lit(0L))) // d = n: handled by the extinction flag
+      .withColumn("__dead",
+        max(when(col("__d") === col("__risk") && col("__d") > 0L, 1).otherwise(0))
+          .over(wCum))
+      .withColumn("__cum9", sum(col("__ln9")).over(wCum))
+      .filter(col("__d") > 0L)
+      .select(col("__t").as("duration"), col("__risk").as("n_risk"),
+        col("__d").as("n_events"),
+        when(col("__dead") === 1, lit(0.0))
+          .otherwise(graft.functions.Quantize.scaledFloor(
+            exp(col("__cum9").cast("double") / 1e9), 6)).as("survival"))
+  }
+
   /** Autocorrelation function per key: Pearson r between the series and
     * its lag-ℓ shifted self for ℓ = 1…maxLag — the seasonality detector
     * that tells [[seasonalBaseline]] WHICH period to baseline on (a

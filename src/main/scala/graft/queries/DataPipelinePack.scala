@@ -2314,6 +2314,59 @@ object DataPipelinePack extends QueryPack {
         "doc_id", "n_chars", reps = 200, level = 0.95, salt = "bci")
     }),
 
+    // Behavioral motif mining: every contiguous 3-gram of a user's
+    // time-ordered event types, counted corpus-wide (min count 5) —
+    // journeys fingerprint the opening, n-grams find recurring motifs
+    // anywhere in the stream.
+    "q226_event_ngrams" -> ((s, d) => {
+      graft.operators.Funnel.eventNgrams(Tables.events(s, d),
+        "user_id", Seq("ts", "event_id"), "event_type", n = 3, minCount = 5)
+    }),
+
+    // Kaplan-Meier time-to-first-purchase inside a 3-day analysis window:
+    // users with no purchase by window end are CENSORED at it (~1 in 4 at
+    // this window width) — survival with censoring handled honestly.
+    "q227_kaplan_meier" -> ((s, d) => {
+      val winEnd = lit("2024-01-03").cast("date")
+      val ev = Tables.events(s, d).filter(to_date(col("ts")) <= winEnd)
+      val first = ev.groupBy(col("user_id")).agg(min(to_date(col("ts"))).as("start"))
+      val firstBuy = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id")).agg(min(to_date(col("ts"))).as("pd"))
+      val subj = first.join(firstBuy.hint("shuffle_merge"), Seq("user_id"), "left")
+        .select(
+          when(col("pd").isNotNull, datediff(col("pd"), col("start")))
+            .otherwise(datediff(winEnd, col("start"))).as("duration"),
+          col("pd").isNotNull.as("observed"))
+      graft.operators.TimeSeries.kaplanMeier(subj, "duration", "observed")
+        .orderBy(col("duration"))
+    }),
+
+    // Modularity of the q218 label-propagation partition on its own
+    // graph — the partition-quality score; exact integer edge/degree
+    // masses to the final two divisions.
+    "q228_modularity" -> ((s, d) => {
+      val a = col("doc_id") % 1000
+      val base = Tables.documents(s, d).select(a.as("a"))
+      val intra = base.select(
+        ((col("a") % 10) * 10 + expr("a DIV 10 % 10")).as("src"),
+        ((col("a") % 10) * 10 + expr("a DIV 100 % 10")).as("dst"))
+      val bridges = base.filter(col("a") % 127 === 0)
+        .select((col("a") % 100).as("src"), ((col("a") + 13) % 100).as("dst"))
+      val edges = intra.union(bridges)
+      val labels = graft.operators.Graph.labelPropagation(edges, "src", "dst",
+        iterations = 3)
+      graft.operators.Graph.modularity(edges, "src", "dst", labels, "node", "label")
+    }),
+
+    // Two-pass heavy hitters over the token stream: Misra-Gries O(k)
+    // candidates + exact recount, phi = 1/200 — the dominance report
+    // without a corpus-wide distinct-token shuffle.
+    "q229_heavy_hitters" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      graft.operators.Profiler.heavyHitters(toks, "tok", phiDen = 200)
+    }),
+
     // Dedup-cluster size distribution: the post-dedup report card — how
     // many clusters of each size, how many docs they cover (q43's CC
     // composed into the histogram a curation run publishes).
@@ -2995,7 +3048,7 @@ object DataPipelinePack extends QueryPack {
   /** Unrolled synchronous label-propagation oracle (the q136 HITS unroll
     * discipline): `edgeSql` must yield (s, d); each round is the same
     * count-DESC-then-min-label argmax the operator's max-struct computes. */
-  private def lpaOracle(edgeSql: String, iterations: Int): String = {
+  private def lpaCtes(edgeSql: String, iterations: Int): String = {
     val iters = (1 to iterations).map { i =>
       s"""c$i AS (SELECT s.node, p.label, count(*) AS c
              FROM sym s JOIN l${i - 1} p ON p.node = s.nbr GROUP BY s.node, p.label),
@@ -3007,17 +3060,53 @@ object DataPipelinePack extends QueryPack {
               FROM nodes n JOIN l${i - 1} p ON p.node = n.node
               LEFT JOIN b$i b ON b.node = n.node)"""
     }.mkString(",\n      ")
-    s"""
-      WITH raw AS ($edgeSql),
+    s"""raw AS ($edgeSql),
       und AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
               FROM raw WHERE s <> d),
       sym AS (SELECT a AS node, b AS nbr FROM und
               UNION ALL SELECT b, a FROM und),
       nodes AS (SELECT a AS node FROM und UNION SELECT b FROM und),
       l0 AS (SELECT node, node AS label FROM nodes),
-      $iters
-      SELECT node, label FROM l$iterations ORDER BY node"""
+      $iters"""
   }
+
+  private def lpaOracle(edgeSql: String, iterations: Int): String =
+    s"""
+      WITH ${lpaCtes(edgeSql, iterations)}
+      SELECT node, label FROM l$iterations ORDER BY node"""
+
+  /** q228: the q218 LPA rounds (shared CTE builder) + Newman modularity —
+    * exact integer edge/degree masses, the operator's two final divisions
+    * mirrored. */
+  private def modularityOracle(edgeSql: String, iterations: Int): String =
+    s"""
+      WITH ${lpaCtes(edgeSql, iterations)},
+      lbl AS (SELECT node, label AS c FROM l$iterations),
+      mm AS (SELECT count(*) AS m FROM und),
+      intra AS (SELECT la.c AS ca, lb.c AS cb
+                FROM und u JOIN lbl la ON la.node = u.a
+                           JOIN lbl lb ON lb.node = u.b),
+      ec AS (SELECT count(*) AS se FROM intra WHERE ca = cb),
+      degc AS (SELECT c, count(*) AS deg
+               FROM (SELECT ca AS c FROM intra UNION ALL SELECT cb FROM intra)
+               GROUP BY c),
+      dc AS (SELECT CAST(sum(deg * deg) AS BIGINT) AS sd2,
+                    count(*) AS n_communities
+             FROM degc)
+      SELECT n_communities, CAST(m AS BIGINT) AS n_edges,
+             CAST(floor((CAST(se AS DOUBLE) / CAST(m AS DOUBLE)
+                         - CAST(sd2 AS DOUBLE)
+                           / (4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)))
+                        * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS modularity
+      FROM mm CROSS JOIN ec CROSS JOIN dc"""
+
+  private val q218EdgeSql =
+    """SELECT (a % 10) * 10 + (a // 10) % 10 AS s,
+              (a % 10) * 10 + (a // 100) % 10 AS d
+       FROM (SELECT doc_id % 1000 AS a FROM documents)
+       UNION ALL
+       SELECT a % 100 AS s, (a + 13) % 100 AS d
+       FROM (SELECT doc_id % 1000 AS a FROM documents) WHERE a % 127 = 0"""
 
   /** q225's oracle, generated from the operator's OWN cumulative-Poisson
     * thresholds and alpha/2 double (`Double.toString` round-trips to the
@@ -5116,14 +5205,72 @@ object DataPipelinePack extends QueryPack {
 
     // q218: the synchronous min-label-tie LPA rounds unrolled CTE by CTE
     // (the q136 HITS discipline) over the same planted block graph.
-    "q218_label_prop" -> lpaOracle(
-      """SELECT (a % 10) * 10 + (a // 10) % 10 AS s,
-                (a % 10) * 10 + (a // 100) % 10 AS d
-         FROM (SELECT doc_id % 1000 AS a FROM documents)
-         UNION ALL
-         SELECT a % 100 AS s, (a + 13) % 100 AS d
-         FROM (SELECT doc_id % 1000 AS a FROM documents) WHERE a % 127 = 0""",
-      iterations = 3),
+    "q218_label_prop" -> lpaOracle(q218EdgeSql, iterations = 3),
+
+    // q228: the q218 partition re-derived by the shared CTE builder, then
+    // the exact-integer modularity identity.
+    "q228_modularity" -> modularityOracle(q218EdgeSql, iterations = 3),
+
+    // q226: DuckDB's ordered list aggregation + 1-based slice windows,
+    // the same '>'-joined grams and min-count gate.
+    "q226_event_ngrams" -> """
+      WITH seq AS (SELECT user_id, list(event_type ORDER BY ts, event_id) AS ts_
+                   FROM events GROUP BY user_id),
+      g AS (SELECT array_to_string(ts_[CAST(i AS INTEGER):CAST(i AS INTEGER) + 2], '>') AS gram
+            FROM (SELECT ts_, unnest(range(1, len(ts_) - 1)) AS i
+                  FROM seq WHERE len(ts_) >= 3))
+      SELECT gram, count(*) AS cnt FROM g GROUP BY gram
+      HAVING count(*) >= 5 ORDER BY cnt DESC, gram""",
+
+    // q227: the same windowed time-to-first-purchase subjects, at-risk
+    // window, 1e-9 ln grid, and extinction flag.
+    "q227_kaplan_meier" -> """
+      WITH ev AS (SELECT user_id, event_type, CAST(ts AS DATE) AS dt FROM events
+                  WHERE CAST(ts AS DATE) <= DATE '2024-01-03'),
+      f AS (SELECT user_id, min(dt) AS start FROM ev GROUP BY user_id),
+      p AS (SELECT user_id, min(dt) AS pd FROM ev WHERE event_type = 'purchase'
+            GROUP BY user_id),
+      subj AS (SELECT CASE WHEN pd IS NOT NULL THEN date_diff('day', start, pd)
+                           ELSE date_diff('day', start, DATE '2024-01-03') END AS t,
+                      (pd IS NOT NULL) AS o
+               FROM f LEFT JOIN p USING (user_id)),
+      pt AS (SELECT t, count(*) FILTER (WHERE o) AS d, count(*) AS al
+             FROM subj GROUP BY t),
+      tot AS (SELECT CAST(sum(al) AS BIGINT) AS n FROM pt),
+      w AS (SELECT t, d, al,
+                   n - coalesce(sum(al) OVER (ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS risk
+            FROM pt CROSS JOIN tot),
+      l9 AS (SELECT t, d, risk,
+                    CASE WHEN d < risk
+                         THEN CAST(floor(ln(1.0 - CAST(d AS DOUBLE) / CAST(risk AS DOUBLE))
+                                         * 1000000000.0 + 0.5) AS BIGINT)
+                         ELSE 0 END AS ln9,
+                    CASE WHEN d = risk AND d > 0 THEN 1 ELSE 0 END AS died
+             FROM w),
+      cum AS (SELECT t, d, risk,
+                     sum(ln9) OVER (ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum9,
+                     max(died) OVER (ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead
+              FROM l9)
+      SELECT t AS duration, CAST(risk AS BIGINT) AS n_risk, CAST(d AS BIGINT) AS n_events,
+             CASE WHEN dead = 1 THEN 0.0
+                  ELSE CAST(floor(exp(CAST(cum9 AS DOUBLE) / 1000000000.0)
+                                  * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0
+             END AS survival
+      FROM cum WHERE d > 0 ORDER BY duration""",
+
+    // q229: the plain exact phi-frequent query — the MG candidate pass is
+    // an implementation detail the determinism contract hides.
+    "q229_heavy_hitters" -> """
+      WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      n AS (SELECT count(*) AS n FROM t),
+      c AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok)
+      SELECT tok, CAST(cnt AS BIGINT) AS cnt,
+             CAST(floor(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE)
+                        * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS share
+      FROM c CROSS JOIN n WHERE cnt * 200 > n ORDER BY cnt DESC, tok""",
 
     // q219: the same pair self-join, 1e-9 slope grid, (s9, x1, x2) rank
     // order, and two-middle-rank average; integer ranks via //.

@@ -801,6 +801,56 @@ object ScaleSmoke {
           col("ts")), "event_id"),
         "event_type", "ts", halfLifeSecs = 7.0 * 86400.0))
 
+    // --- round-11b: stats / community additions --------------------------
+    // Label propagation over a graph whose NODE SPACE grows with mult
+    // (each widened slab forms its own 100-node blocks): per-round
+    // edge⋈labels join + argmax must track edges linearly.
+    time("label propagation (3 rounds)")(
+      graft.operators.Graph.labelPropagation(
+        docs.select(col("doc_id").as("src"),
+          (col("doc_id") - (col("doc_id") % 100)
+            + ((col("doc_id") * 31 + 7) % 100)).as("dst")),
+        "src", "dst", iterations = 3))
+    // KS drift test: the per-value counting aggregation is corpus-linear;
+    // the ECDF window rides the FIXED distinct-value frame (~2k lengths).
+    time("ks test (even vs odd x2)")(
+      graft.operators.Profiler.ksTest(
+        docs.filter(col("doc_id") % 2 === 0).select(col("n_chars")),
+        docs.filter(col("doc_id") % 2 =!= 0).select((col("n_chars") * 2).as("n_chars")),
+        "n_chars"))
+    // Poisson bootstrap: the x200 explode fuses into a map-side-combined
+    // aggregation — shuffle carries 200xpartitions partials, not 200xrows.
+    time("bootstrap mean CI (200 reps)")(
+      graft.operators.Profiler.bootstrapMeanCi(
+        docs.select(col("doc_id"), col("n_chars")), "doc_id", "n_chars",
+        reps = 200, salt = "smoke"))
+    // Theil-Sen + ACF: the corpus-linear daily aggregation dominates; the
+    // pair/lag joins ride the FIXED series (30 days x 5 types).
+    time("theil-sen + acf (daily series)") {
+      val daily = widen(Tables.events(spark, sfDir).select(col("event_id"),
+        col("event_type"), col("ts")), "event_id")
+        .filter(col("ts").isNotNull)
+        .groupBy(col("event_type"),
+          datediff(to_date(col("ts")), lit("2024-01-01").cast("date")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true)
+      graft.operators.TimeSeries.theilSen(daily, "event_type", "day", "cnt")
+        .join(graft.operators.TimeSeries.autocorrelation(
+          daily, "event_type", "day", "cnt", maxLag = 7).hint("shuffle_merge"),
+          Seq("event_type"))
+    }
+    // Krippendorff over a three-rater widened matrix: one unit-keyed
+    // aggregation, corpus-linear.
+    time("krippendorff alpha (3 raters)") {
+      val ra = docs.select(col("doc_id").as("unit"), lit("a").as("rater"),
+        col("lang").as("value"))
+      val rc = docs.filter(col("doc_id") % 3 =!= 0)
+        .select(col("doc_id").as("unit"), lit("c").as("rater"),
+          when(col("doc_id") % 7 === 0, lit("en")).otherwise(col("lang")).as("value"))
+      graft.operators.Profiler.krippendorffAlpha(
+        ra.union(rc), "unit", "rater", "value")
+    }
+
     // --- round-11: composed link authority over a widened domain graph --
     // Doc widening multiplies SOURCES (src carries the widened id residue)
     // while the domain set stays fixed — out-degrees hold, co-citation

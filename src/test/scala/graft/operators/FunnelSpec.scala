@@ -81,4 +81,21 @@ class FunnelSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(got == Map((0L, 0L) -> 2L, (0L, 1L) -> 1L, (1L, 0L) -> 1L, (1L, 2L) -> 1L))
   }
+
+  test("eventNgrams: contiguous mid-stream motifs counted, short users skipped, min-count gates the tail") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "c"), (1L, 4L, "d"), // a>b>c, b>c>d
+      (2L, 1L, "a"), (2L, 2L, "b"), (2L, 3L, "c"),                // a>b>c
+      (3L, 1L, "x"), (3L, 2L, "y")                                // too short for n=3
+    ).toDF("user_id", "seq", "t")
+    val got = Funnel.eventNgrams(events, "user_id", Seq("seq"), "t",
+      n = 3, minCount = 2)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("a>b>c", 2L))) // b>c>d has count 1, gated out
+    val all = Funnel.eventNgrams(events, "user_id", Seq("seq"), "t",
+      n = 3, minCount = 1)
+      .as[(String, Long)].collect().toMap
+    assert(all == Map("a>b>c" -> 2L, "b>c>d" -> 1L))
+  }
 }

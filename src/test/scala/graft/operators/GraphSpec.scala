@@ -220,6 +220,24 @@ class GraphSpec extends AnyFunSuite {
     assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 2L, 4L -> 2L, 5L -> 2L))
   }
 
+  test("modularity: two bridged triangles under the true partition score 6/7 - 1/2") {
+    import spark.implicits._
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L),
+      (3L, 4L), (4L, 5L), (5L, 3L), (2L, 3L)).toDF("s", "d")
+    val labels = Seq((0L, 0L), (1L, 0L), (2L, 0L),
+      (3L, 2L), (4L, 2L), (5L, 2L)).toDF("node", "label")
+    // m=7; intra 3+3=6; degree mass 7 per community -> Q = 6/7 - 98/196
+    val got = Graph.modularity(edges, "s", "d", labels, "node", "label")
+      .as[(Long, Long, Double)].head()
+    assert(got._1 == 2L && got._2 == 7L)
+    assert(got._3 == graft.functions.Quantize.scaledFloorDouble(6.0 / 7.0 - 0.5, 6))
+    // everything in ONE community: Q = m/m - (2m)^2/(4m^2) = 0 exactly
+    val one = labels.select(col("node"), lit(0L).as("label"))
+    val q0 = Graph.modularity(edges, "s", "d", one, "node", "label")
+      .as[(Long, Long, Double)].head()
+    assert(q0._3 == 0.0)
+  }
+
   test("labelPropagation: duplicates/reverses/self-loops collapse; an isolated pair 2-cycles by contract") {
     import spark.implicits._
     val edges = Seq((0L, 1L), (1L, 0L), (0L, 1L), (1L, 1L), // dup + reverse + loop

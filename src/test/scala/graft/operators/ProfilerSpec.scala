@@ -274,6 +274,28 @@ class ProfilerSpec extends AnyFunSuite {
     assert(m._2 == 5L && m._3 == 0.4 && m._4 == 0.4 && m._5.contains(0.0))
   }
 
+  test("heavyHitters: exact phi-frequent set with exact counts; boundary count excluded; guards") {
+    import spark.implicits._
+    // n = 120: hot x50, warm x30, 40 distinct singles; phi = 1/4 -> only
+    // hot (warm sits exactly AT n/4, the strict > excludes it)
+    val items = (Seq.fill(50)("hot") ++ Seq.fill(30)("warm") ++
+      (1 to 40).map(i => s"one$i")).toDF("item")
+    val got = Profiler.heavyHitters(items, "item", phiDen = 4)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got == Seq(("hot", 50L,
+      graft.functions.Quantize.scaledFloorDouble(50.0 / 120.0, 6))))
+    // a wider phi admits warm with its EXACT count (not the MG lower bound)
+    val wide = Profiler.heavyHitters(items, "item", phiDen = 5)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(wide.map(r => (r._1, r._2)) == Seq(("hot", 50L), ("warm", 30L)))
+    intercept[IllegalArgumentException] {
+      Profiler.heavyHitters(items, "item", phiDen = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Profiler.heavyHitters(items, "item", phiDen = 10, summaryK = 5)
+    }
+  }
+
   test("rocAuc: perfect separation 1, hand-computed tie case 0.875, one-class null") {
     import spark.implicits._
     val perfect = Seq((3, true), (4, true), (1, false), (2, false)).toDF("s", "y")

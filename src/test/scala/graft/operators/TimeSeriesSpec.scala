@@ -126,6 +126,30 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(g._3 == 3L)
   }
 
+  test("kaplanMeier: censoring depletes risk without stepping; extinction forces 0") {
+    import spark.implicits._
+    // durations/observed: (1,T)(1,T)(2,F)(3,T)(3,F)(4,F):
+    // t=1: risk 6, d 2 -> S = 2/3; t=2 censored-only: NO row, risk drops;
+    // t=3: risk 3, d 1 -> S = 2/3 * 2/3 = 4/9; t=4 censored-only: no row
+    val subj = Seq((1L, true), (1L, true), (2L, false), (3L, true), (3L, false),
+      (4L, false)).toDF("dur", "obs")
+    val got = TimeSeries.kaplanMeier(subj, "dur", "obs")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.map(r => (r._1, r._2, r._3)).toSeq == Seq((1L, 6L, 2L), (3L, 3L, 1L)))
+    assert(math.abs(got(0)._4 - 2.0 / 3.0) < 2e-6)
+    assert(math.abs(got(1)._4 - 4.0 / 9.0) < 2e-6)
+    // everyone at risk dies: ln(0) must not be skipped into resurrection
+    val ext = Seq((1L, true), (1L, true)).toDF("dur", "obs")
+    val e = TimeSeries.kaplanMeier(ext, "dur", "obs")
+      .as[(Long, Long, Long, Double)].head()
+    assert(e == ((1L, 2L, 2L, 0.0)))
+    // extinction at an EARLIER step pins later steps at 0 too
+    val ext2 = Seq((1L, true), (2L, true)).toDF("dur", "obs")
+    val e2 = TimeSeries.kaplanMeier(ext2, "dur", "obs")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(e2.map(_._4).forall(s => s == 0.5 || s == 0.0) && e2.last._4 == 0.0)
+  }
+
   test("theilSen: one spike can't drag the slope off 1; even-pair median averages; degenerate nulls") {
     import spark.implicits._
     val pts = Seq(
