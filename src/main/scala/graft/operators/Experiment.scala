@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Experimentation readouts over deterministic hash assignment — the
+  * product-analytics leg: assignment IS [[Sampling.hashSplit]] (salted
+  * 2⁶⁰ grid, so arm membership is layout/run/engine-stable and any SQL
+  * engine reproduces it), statistics are exact integers to the final
+  * divisions.
+  */
+object Experiment {
+
+  /** Two-arm A/B readout with the sample-ratio-mismatch guard: users
+    * hash-assigned to arms a/b at `pA`, per-arm conversion counted, and
+    * THREE numbers every experiment page needs:
+    *
+    *  - `lift`: relative rate change (b vs a), null when a never converts;
+    *  - `z_conv`: pooled two-proportion z for the conversion delta —
+    *    null when the pooled rate is 0 or 1 (no variance);
+    *  - `z_srm` + `srm_flag`: `(n_a − n·pA)/√(n·pA(1−pA))` against the
+    *    DESIGNED share — the assignment-health gate (|z| > 3 means the
+    *    pipeline lost users asymmetrically and the conversion readout is
+    *    untrustworthy; checking SRM before reading the metric is the
+    *    experimentation-hygiene rule this operator bakes in).
+    *
+    * Shape: one pure assignment projection + ONE map-side-combined
+    * scalar aggregation; nothing user-shaped survives. Output 1 row:
+    * (n_a, n_b, conv_a, conv_b, rate_a, rate_b, lift, z_conv, z_srm,
+    * srm_flag).
+    */
+  def abReadout(
+      users: DataFrame,
+      userCol: String,
+      convertedCol: String,
+      salt: String,
+      pA: Double = 0.5
+  ): DataFrame = {
+    require(pA > 0.0 && pA < 1.0, s"pA must be in (0, 1), got $pA")
+    val assigned = Sampling.hashSplit(
+      users.select(col(userCol), col(convertedCol).cast("boolean").as("__c")),
+      userCol, Seq("a" -> pA, "b" -> (1.0 - pA)), salt)
+    val agg = assigned.agg(
+      count(when(col("split") === "a", 1)).as("n_a"),
+      count(when(col("split") === "b", 1)).as("n_b"),
+      count(when(col("split") === "a" && col("__c"), 1)).as("conv_a"),
+      count(when(col("split") === "b" && col("__c"), 1)).as("conv_b"))
+    val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+    val ra = col("conv_a").cast("double") / na
+    val rb = col("conv_b").cast("double") / nb
+    val pooled = (col("conv_a") + col("conv_b")).cast("double") / (na + nb)
+    val q6: (Column, String) => Column =
+      (c, nm) => graft.functions.Quantize.scaledFloor(c, 6).as(nm)
+    agg.select(
+      col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+      q6(ra, "rate_a"), q6(rb, "rate_b"),
+      when(col("conv_a") > 0L, q6((rb - ra) / ra, "lift")).as("lift"),
+      when(pooled > 0.0 && pooled < 1.0,
+        q6((rb - ra) / sqrt(pooled * (lit(1.0) - pooled) * (lit(1.0) / na + lit(1.0) / nb)),
+          "z")).as("z_conv"),
+      q6((na - (na + nb) * lit(pA)) /
+        sqrt((na + nb) * lit(pA) * lit(1.0 - pA)), "z_srm"),
+      (abs((na - (na + nb) * lit(pA)) /
+        sqrt((na + nb) * lit(pA) * lit(1.0 - pA))) > 3.0).as("srm_flag"))
+  }
+}

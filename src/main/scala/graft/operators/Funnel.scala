@@ -94,6 +94,60 @@ object Funnel {
       .groupBy(col("path")).agg(count(lit(1)).as("n_users"))
   }
 
+  /** RFM segmentation — the classic user-value card (recency: days since
+    * last activity vs the corpus reference date; frequency: event count;
+    * monetary: sum of an INTEGRAL value column — float corpus sums are
+    * order-sensitive, the trimmedMean rule): each dimension scored 1–5
+    * against its own corpus quintile thresholds (percentile cuts
+    * broadcast back — the q198 thresholds pattern, never a global ntile
+    * sort), recency inverted so fresher = higher. `segment` is the
+    * concatenated "rfm" digit string ("555" = best).
+    *
+    * Shape: one keyed aggregation (per-user triple), one 1-row
+    * three-quantile aggregation broadcast back, one pure scoring
+    * projection — the output is the per-user feature frame a churn model
+    * trains on. Output: (userCol, recency, frequency, monetary,
+    * r_score, f_score, m_score, segment).
+    */
+  def rfm(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      valueCol: String
+  ): DataFrame = {
+    import org.apache.spark.sql.types._
+    require(
+      Seq(ByteType, ShortType, IntegerType, LongType)
+        .contains(events.schema(valueCol).dataType),
+      s"$valueCol must be an integral column — float corpus sums are order-sensitive")
+    val ref = events.agg(max(to_date(col(tsCol))).as("__ref"))
+    val perUser = events
+      .groupBy(col(userCol))
+      .agg(max(to_date(col(tsCol))).as("__last"),
+        count(lit(1)).as("frequency"),
+        sum(col(valueCol)).as("monetary"))
+      .crossJoin(broadcast(ref))
+      .select(col(userCol), datediff(col("__ref"), col("__last")).as("recency"),
+        col("frequency"), col("monetary"))
+      // referenced by the cuts aggregation AND the scoring projection
+      .localCheckpoint(true)
+    val cuts = perUser.agg(
+      expr("percentile(recency, array(0.2, 0.4, 0.6, 0.8))").as("__rc"),
+      expr("percentile(frequency, array(0.2, 0.4, 0.6, 0.8))").as("__fc"),
+      expr("percentile(monetary, array(0.2, 0.4, 0.6, 0.8))").as("__mc"))
+    def above(v: Column, cutsCol: Column): Column =
+      (1 to 4).map(i => when(v.cast("double") > element_at(cutsCol, i), 1).otherwise(0))
+        .reduce(_ + _)
+    perUser.crossJoin(broadcast(cuts))
+      .select(col(userCol), col("recency"), col("frequency"), col("monetary"),
+        (lit(5) - above(col("recency"), col("__rc"))).as("r_score"),
+        (lit(1) + above(col("frequency"), col("__fc"))).as("f_score"),
+        (lit(1) + above(col("monetary"), col("__mc"))).as("m_score"))
+      .withColumn("segment",
+        concat(col("r_score").cast("string"), col("f_score").cast("string"),
+          col("m_score").cast("string")))
+  }
+
   /** Frequent event-type n-grams: every CONTIGUOUS length-`n` run of a
     * user's time-ordered events, counted across the corpus — the
     * behavioral-motif complement to [[journeyPaths]] (paths fingerprint

@@ -2367,6 +2367,26 @@ object DataPipelinePack extends QueryPack {
       graft.operators.Profiler.heavyHitters(toks, "tok", phiDen = 200)
     }),
 
+    // A/B readout with the SRM guard: users hash-assigned 50/50, per-arm
+    // purchase conversion, pooled two-proportion z, and the
+    // sample-ratio-mismatch z every experiment page must check FIRST.
+    "q230_ab_readout" -> ((s, d) => {
+      val users = Tables.events(s, d).groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1).otherwise(0)).as("converted"))
+      graft.operators.Experiment.abReadout(users, "user_id", "converted", salt = "exp1")
+    }),
+
+    // RFM segmentation: per-user recency/frequency/monetary (synthetic
+    // integral purchase amounts) scored 1-5 against corpus quintile
+    // thresholds — the churn-model feature frame.
+    "q231_rfm" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"), col("ts"),
+        when(col("event_type") === "purchase", col("event_id") % 50 + 1)
+          .otherwise(lit(0L)).as("amount"))
+      graft.operators.Funnel.rfm(ev, "user_id", "ts", "amount")
+        .orderBy(col("user_id"))
+    }),
+
     // Dedup-cluster size distribution: the post-dedup report card — how
     // many clusters of each size, how many docs they cover (q43's CC
     // composed into the histogram a curation run publishes).
@@ -3149,6 +3169,81 @@ object DataPipelinePack extends QueryPack {
              CAST(floor(CAST(ci.hi9 AS DOUBLE) / 1000000000.0
                         * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS ci_hi
       FROM pt CROSS JOIN ci"""
+  }
+
+  /** q230's oracle: hashSplit's exact boundary literal + the readout
+    * formulas mirrored raw-then-quantized. */
+  private def abReadoutOracle: String = {
+    val b = Sampling.splitBoundaries(Seq("a" -> 0.5, "b" -> 0.5)).head._2
+    val h = duckKeyHash("user_id", "exp1")
+    s"""
+      WITH u AS (SELECT user_id,
+                        max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+                 FROM events GROUP BY user_id),
+      asg AS (SELECT (conv = 1) AS c,
+                     CASE WHEN $h < $b THEN 'a' ELSE 'b' END AS split
+              FROM u),
+      g AS (SELECT CAST(count(*) FILTER (WHERE split = 'a') AS BIGINT) AS n_a,
+                   CAST(count(*) FILTER (WHERE split = 'b') AS BIGINT) AS n_b,
+                   CAST(count(*) FILTER (WHERE split = 'a' AND c) AS BIGINT) AS conv_a,
+                   CAST(count(*) FILTER (WHERE split = 'b' AND c) AS BIGINT) AS conv_b
+            FROM asg),
+      r AS (SELECT n_a, n_b, conv_a, conv_b,
+                   CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS ra,
+                   CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rb,
+                   CAST(conv_a + conv_b AS DOUBLE)
+                     / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) AS pooled,
+                   (CAST(n_a AS DOUBLE)
+                    - (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) * 0.5)
+                     / sqrt((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) * 0.5 * 0.5)
+                     AS zs
+            FROM g)
+      SELECT n_a, n_b, conv_a, conv_b,
+             CAST(floor(ra * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS rate_a,
+             CAST(floor(rb * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS rate_b,
+             CASE WHEN conv_a > 0
+                  THEN CAST(floor((rb - ra) / ra * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0
+             END AS lift,
+             CASE WHEN pooled > 0.0 AND pooled < 1.0
+                  THEN CAST(floor((rb - ra) / sqrt(pooled * (1.0 - pooled)
+                         * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+                         * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0
+             END AS z_conv,
+             CAST(floor(zs * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS z_srm,
+             (abs(zs) > 3.0) AS srm_flag
+      FROM r"""
+  }
+
+  /** q231's oracle: the per-user triple + quantile_cont thresholds (the
+    * q198 percentile mirror) + the 1-5 scoring CASE sums, generated. */
+  private def rfmOracle: String = {
+    def above(v: String, arr: String) = (1 to 4)
+      .map(i => s"(CASE WHEN CAST($v AS DOUBLE) > $arr[$i] THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""
+      WITH ev AS (SELECT user_id, ts,
+                         CASE WHEN event_type = 'purchase' THEN event_id % 50 + 1
+                              ELSE 0 END AS amount
+                  FROM events),
+      ref AS (SELECT max(CAST(ts AS DATE)) AS r FROM ev),
+      pu AS (SELECT user_id, max(CAST(ts AS DATE)) AS lastd, count(*) AS frequency,
+                    CAST(sum(amount) AS BIGINT) AS monetary
+             FROM ev GROUP BY user_id),
+      pr AS (SELECT user_id, date_diff('day', lastd, r) AS recency, frequency, monetary
+             FROM pu CROSS JOIN ref),
+      cuts AS (SELECT quantile_cont(recency, [0.2, 0.4, 0.6, 0.8]) AS rc,
+                      quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]) AS fc,
+                      quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]) AS mc
+               FROM pr),
+      s AS (SELECT user_id, recency, frequency, monetary,
+                   5 - (${above("recency", "rc")}) AS r_score,
+                   1 + (${above("frequency", "fc")}) AS f_score,
+                   1 + (${above("monetary", "mc")}) AS m_score
+            FROM pr CROSS JOIN cuts)
+      SELECT user_id, recency, frequency, monetary, r_score, f_score, m_score,
+             CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+               || CAST(m_score AS VARCHAR) AS segment
+      FROM s ORDER BY user_id"""
   }
 
   /** q92's weight vector, shared verbatim between the Spark call and the
@@ -5260,6 +5355,10 @@ object DataPipelinePack extends QueryPack {
                                   * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0
              END AS survival
       FROM cum WHERE d > 0 ORDER BY duration""",
+
+    // q230/q231: generated — hashSplit boundary / quantile mirrors.
+    "q230_ab_readout" -> abReadoutOracle,
+    "q231_rfm" -> rfmOracle,
 
     // q229: the plain exact phi-frequent query — the MG candidate pass is
     // an implementation detail the determinism contract hides.

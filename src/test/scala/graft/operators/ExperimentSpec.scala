@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ExperimentSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("abReadout: formulas reconstruct from the exact arm counts; healthy assignment passes SRM") {
+    val users = (1L to 1000L).map(i => (i, i % 5 == 0L)).toDF("uid", "conv")
+    val r = Experiment.abReadout(users, "uid", "conv", salt = "t1").head()
+    val (na, nb) = (r.getLong(0), r.getLong(1))
+    val (ca, cb) = (r.getLong(2), r.getLong(3))
+    assert(na + nb == 1000L && ca + cb == 200L)
+    def q6(x: Double) = graft.functions.Quantize.scaledFloorDouble(x, 6)
+    val (ra, rb) = (ca.toDouble / na, cb.toDouble / nb)
+    assert(r.getDouble(4) == q6(ra) && r.getDouble(5) == q6(rb))
+    assert(r.getDouble(6) == q6((rb - ra) / ra))
+    val pooled = (ca + cb).toDouble / (na + nb)
+    assert(r.getDouble(7) == q6((rb - ra) /
+      math.sqrt(pooled * (1 - pooled) * (1.0 / na + 1.0 / nb))))
+    val zs = (na - 1000 * 0.5) / math.sqrt(1000 * 0.25)
+    assert(r.getDouble(8) == q6(zs))
+    // a 2^60-grid 50/50 hash over 1000 uids lands well inside |z| < 3
+    assert(!r.getBoolean(9))
+  }
+
+  test("abReadout: an arm-selective upstream loss trips the SRM flag before anyone reads the metric") {
+    val users = (1L to 2000L).map(i => (i, false)).toDF("uid", "conv")
+    // simulate a pipeline that loses 90% of arm-b users: keep arm-a
+    // (same salt, same boundary) and only every 10th of the rest
+    val boundary = Sampling.splitBoundaries(Seq("a" -> 0.5, "b" -> 0.5)).head._2
+    val kept = users.filter(
+      Sampling.keyHash(col("uid"), "t2") < lit(boundary) || col("uid") % 10 === 0)
+    val r = Experiment.abReadout(kept, "uid", "conv", salt = "t2").head()
+    assert(r.getBoolean(9), s"SRM must fire at z=${r.getDouble(8)}")
+    // degenerate metric: zero conversions -> lift and z_conv null
+    assert(r.isNullAt(6) && r.isNullAt(7))
+    intercept[IllegalArgumentException] {
+      Experiment.abReadout(users, "uid", "conv", salt = "t3", pA = 1.0)
+    }
+  }
+
+  test("rfm: quintile scores land 1-5 on a clean staircase; recency inverts") {
+    val events = (1 to 5).flatMap { u =>
+      (1 to u * 10).map(_ => (u.toLong, "2024-01-05 10:00:00", 1L))
+    }.toDF("uid", "s", "amount")
+      .select(col("uid"), col("s").cast("timestamp").as("ts"), col("amount"))
+    val got = Funnel.rfm(events, "uid", "ts", "amount")
+      .orderBy("uid").collect()
+    // frequencies 10..50 against cuts (18, 26, 34, 42) -> scores 1..5;
+    // monetary == frequency -> same; recency all 0 -> everyone 5
+    got.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getInt(1) == 0) // recency
+      assert(r.getLong(2) == (i + 1) * 10L && r.getLong(3) == (i + 1) * 10L)
+      assert(r.getInt(4) == 5 && r.getInt(5) == i + 1 && r.getInt(6) == i + 1)
+      assert(r.getString(7) == s"5${i + 1}${i + 1}")
+    }
+    intercept[IllegalArgumentException] { // float monetary refused
+      Funnel.rfm(events.withColumn("amount", col("amount").cast("double")),
+        "uid", "ts", "amount")
+    }
+  }
+}
