@@ -29,6 +29,50 @@ object Experiment {
     * (n_a, n_b, conv_a, conv_b, rate_a, rate_b, lift, z_conv, z_srm,
     * srm_flag).
     */
+  /** CUPED variance reduction (Deng et al. 2013): the pre-period
+    * covariate adjustment every mature experimentation platform applies —
+    * `y_adj = y − θ(x − x̄)` with `θ = cov(x, y)/var(x)` shrinks metric
+    * variance by exactly ρ², buying the same statistical power with
+    * (1 − ρ²)× the users. This readout computes θ and the achieved
+    * reduction from EXACT decimal sufficient statistics (the q195
+    * pearson discipline — n, Σx, Σy, Σxy, Σxx, Σyy as decimal(38,8), so
+    * the answer is sharding- and engine-independent): `var_adj = var_y −
+    * cov²/var_x` (population form), `reduction = 1 − var_adj/var_y = ρ²`.
+    * θ and reduction are null when var_x = 0 (constant pre-period —
+    * nothing to adjust on); reduction also null when var_y = 0.
+    *
+    * One map-side-combined scalar aggregation; 1-row output:
+    * (n, theta, var_y, var_adj, var_reduction).
+    */
+  def cuped(
+      df: DataFrame,
+      preCol: String,
+      postCol: String,
+      decimalScale: Int = 2
+  ): DataFrame = {
+    val x = col(preCol).cast(s"decimal(18,$decimalScale)")
+    val y = col(postCol).cast(s"decimal(18,$decimalScale)")
+    val complete = df.filter(col(preCol).isNotNull && col(postCol).isNotNull)
+    val sums = complete.agg(count(lit(1)).as("n"),
+      sum(x).cast("decimal(38,8)").as("__sx"),
+      sum(y).cast("decimal(38,8)").as("__sy"),
+      sum((x * y).cast("decimal(38,8)")).as("__sxy"),
+      sum((x * x).cast("decimal(38,8)")).as("__sxx"),
+      sum((y * y).cast("decimal(38,8)")).as("__syy"))
+    val nD = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val vx = (nD * d("__sxx") - d("__sx") * d("__sx")) / (nD * nD)
+    val vy = (nD * d("__syy") - d("__sy") * d("__sy")) / (nD * nD)
+    val cv = (nD * d("__sxy") - d("__sx") * d("__sy")) / (nD * nD)
+    val q6: (Column, String) => Column =
+      (c, nm) => graft.functions.Quantize.scaledFloor(c, 6).as(nm)
+    sums.select(col("n"),
+      when(vx > 0.0, q6(cv / vx, "t")).as("theta"),
+      q6(vy, "var_y"),
+      when(vx > 0.0, q6(vy - cv * cv / vx, "va")).as("var_adj"),
+      when(vx > 0.0 && vy > 0.0, q6(cv * cv / vx / vy, "vr")).as("var_reduction"))
+  }
+
   def abReadout(
       users: DataFrame,
       userCol: String,

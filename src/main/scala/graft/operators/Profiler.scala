@@ -707,6 +707,86 @@ object Profiler {
           col("__hi9").cast("double") / 1e9, 6).as("ci_hi"))
   }
 
+  /** Cross-table reconciliation: keyed sums from two sides compared
+    * exactly — the metrics-store audit ("does yesterday's rollup still
+    * match a recompute?", "do the orders totals match the lineitem
+    * sums?"). Values ride as `decimal(18,scale)` into `decimal(38,scale)`
+    * sums (exact in any order, any engine — the q195 discipline), so a
+    * reported delta is a REAL discrepancy, never float noise. Only
+    * violations are emitted — an empty result CERTIFIES the
+    * reconciliation (the riOrphans convention): keys missing on either
+    * side or with differing sums, with the exact delta.
+    *
+    * Shape: two map-side-combined keyed aggregations + one full-outer
+    * SMJ join; output is violation-sized. Output: (key, sum_a, sum_b,
+    * delta, status ∈ missing_a | missing_b | mismatch).
+    */
+  def reconcile(
+      dfA: DataFrame,
+      keyColA: String,
+      valueColA: String,
+      dfB: DataFrame,
+      keyColB: String,
+      valueColB: String,
+      scale: Int = 2
+  ): DataFrame = {
+    require(scale >= 0 && scale <= 6, s"scale=$scale out of [0, 6]")
+    def side(df: DataFrame, k: String, v: String, nm: String) =
+      df.select(col(k).as("key"), col(v).cast(s"decimal(18,$scale)").as("__v"))
+        .groupBy(col("key")).agg(sum(col("__v")).cast(s"decimal(38,$scale)").as(nm))
+    side(dfA, keyColA, valueColA, "__sa").hint("shuffle_merge")
+      .join(side(dfB, keyColB, valueColB, "__sb").hint("shuffle_merge"),
+        Seq("key"), "full_outer")
+      .filter(col("__sa").isNull || col("__sb").isNull || col("__sa") =!= col("__sb"))
+      .select(col("key"),
+        col("__sa").cast("double").as("sum_a"),
+        col("__sb").cast("double").as("sum_b"),
+        (coalesce(col("__sa"), lit(0)) - coalesce(col("__sb"), lit(0)))
+          .cast("double").as("delta"),
+        when(col("__sa").isNull, lit("missing_a"))
+          .when(col("__sb").isNull, lit("missing_b"))
+          .otherwise(lit("mismatch")).as("status"))
+  }
+
+  /** k-anonymity + l-diversity audit over quasi-identifier columns — the
+    * privacy gate before a per-user frame ships ([[graft.operators
+    * .TextAnalysis.redactPii]] scrubs free text; THIS audits structure:
+    * a (nation, segment) group of size 1 re-identifies its member even
+    * with the name column dropped, and a k-large group whose sensitive
+    * column is CONSTANT still leaks it — the l-diversity hole).
+    * Reports the worst group size, the worst per-group sensitive-value
+    * diversity, and how many groups/rows sit below the k and l bars.
+    *
+    * One (QI…)-keyed aggregation (count + per-group exact distinct via a
+    * pre-distinct pass, both map-side combined) + one summary aggregation;
+    * output is 1 row. Null sensitive values count as a value (a null IS
+    * an observation). Output: (n_rows, n_groups, min_group_size,
+    * groups_below_k, rows_below_k, min_l_diversity, groups_below_l).
+    */
+  def kAnonymityAudit(
+      df: DataFrame,
+      qiCols: Seq[String],
+      sensitiveCol: String,
+      k: Int,
+      l: Int
+  ): DataFrame = {
+    require(qiCols.nonEmpty, "at least one quasi-identifier column is required")
+    require(k >= 2 && l >= 1, s"need k >= 2 and l >= 1, got k=$k l=$l")
+    val g = qiCols.map(col)
+    val sizes = df.groupBy(g: _*).agg(count(lit(1)).as("__n"))
+    val divers = df.select(g :+ col(sensitiveCol).as("__s"): _*).distinct()
+      .groupBy(g: _*).agg(count(lit(1)).as("__l"))
+    sizes.hint("shuffle_merge").join(divers.hint("shuffle_merge"), qiCols)
+      .agg(
+        sum(col("__n")).as("n_rows"),
+        count(lit(1)).as("n_groups"),
+        min(col("__n")).as("min_group_size"),
+        count(when(col("__n") < k, 1)).as("groups_below_k"),
+        sum(when(col("__n") < k, col("__n")).otherwise(lit(0L))).as("rows_below_k"),
+        min(col("__l")).as("min_l_diversity"),
+        count(when(col("__l") < l, 1)).as("groups_below_l"))
+  }
+
   /** Two-pass heavy hitters: Misra–Gries candidates + exact recount — the
     * "which domains/tokens/UAs dominate" report WITHOUT a full
     * (item → count) shuffle. Pass 1 folds the corpus into ONE O(k)

@@ -2387,6 +2387,47 @@ object DataPipelinePack extends QueryPack {
         .orderBy(col("user_id"))
     }),
 
+    // Metrics-store reconciliation: lineitem quantity rollup vs a
+    // recompute with planted corruption (every 1000th order loses line 1;
+    // every 500th gets +1) — exact decimal sums, empty result certifies,
+    // missing_b and mismatch classes both exercised.
+    "q232_reconcile" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val store = li.select(col("l_orderkey"), col("l_quantity"))
+      val recompute = li
+        .filter(!(col("l_orderkey") % 1000 === 0 && col("l_linenumber") === 1))
+        .select(col("l_orderkey"),
+          when(col("l_orderkey") % 500 === 0 && col("l_linenumber") === 1,
+            col("l_quantity") + 1).otherwise(col("l_quantity")).as("l_quantity"))
+      graft.operators.Profiler.reconcile(store, "l_orderkey", "l_quantity",
+        recompute, "l_orderkey", "l_quantity")
+        .orderBy(col("key"))
+    }),
+
+    // CUPED variance reduction: per-user pre-period (before Jan 16)
+    // activity as the covariate for post-period activity — theta and the
+    // achieved rho^2 reduction from exact decimal sufficient statistics.
+    "q233_cuped" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val cutoff = lit("2024-01-16").cast("date")
+      val pre = ev.filter(to_date(col("ts")) < cutoff)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("pre"))
+      val post = ev.filter(to_date(col("ts")) >= cutoff)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("post"))
+      val users = pre.join(post.hint("shuffle_merge"), Seq("user_id"), "full_outer")
+        .select(coalesce(col("pre"), lit(0L)).as("pre"),
+          coalesce(col("post"), lit(0L)).as("post"))
+      graft.operators.Experiment.cuped(users, "pre", "post")
+    }),
+
+    // k-anonymity / l-diversity audit of the customer frame under
+    // (nation, segment) quasi-identifiers with acctbal sensitive — the
+    // structural-privacy gate next to the free-text PII scrub.
+    "q234_privacy_audit" -> ((s, d) => {
+      graft.operators.Profiler.kAnonymityAudit(Tables.customer(s, d),
+        Seq("c_nationkey", "c_mktsegment"), "c_acctbal", k = 5, l = 3)
+    }),
+
     // Dedup-cluster size distribution: the post-dedup report card — how
     // many clusters of each size, how many docs they cover (q43's CC
     // composed into the histogram a curation run publishes).
@@ -5359,6 +5400,89 @@ object DataPipelinePack extends QueryPack {
     // q230/q231: generated — hashSplit boundary / quantile mirrors.
     "q230_ab_readout" -> abReadoutOracle,
     "q231_rfm" -> rfmOracle,
+
+    // q232: the same planted corruption, decimal(18,2)->decimal(38,2)
+    // sums, violation filter, and status classes.
+    "q232_reconcile" -> """
+      WITH a AS (SELECT l_orderkey AS key,
+                        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sa
+                 FROM lineitem GROUP BY 1),
+      b AS (SELECT l_orderkey AS key,
+                   CAST(sum(CAST(CASE WHEN l_orderkey % 500 = 0 AND l_linenumber = 1
+                                      THEN l_quantity + 1 ELSE l_quantity END
+                            AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sb
+            FROM lineitem WHERE NOT (l_orderkey % 1000 = 0 AND l_linenumber = 1)
+            GROUP BY 1),
+      m AS (SELECT key, sa, sb FROM a FULL OUTER JOIN b USING (key)
+            WHERE sa IS NULL OR sb IS NULL OR sa <> sb)
+      SELECT key, CAST(sa AS DOUBLE) AS sum_a, CAST(sb AS DOUBLE) AS sum_b,
+             CAST(coalesce(sa, 0) - coalesce(sb, 0) AS DOUBLE) AS delta,
+             CASE WHEN sa IS NULL THEN 'missing_a'
+                  WHEN sb IS NULL THEN 'missing_b'
+                  ELSE 'mismatch' END AS status
+      FROM m ORDER BY key""",
+
+    // q233: q195's decimal sufficient statistics, the population
+    // variance/covariance forms, and theta/rho^2 mirrored raw-then-
+    // quantized.
+    "q233_cuped" -> """
+      WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS dt FROM events),
+      pre AS (SELECT user_id, count(*) AS pre FROM ev
+              WHERE dt < DATE '2024-01-16' GROUP BY user_id),
+      post AS (SELECT user_id, count(*) AS post FROM ev
+               WHERE dt >= DATE '2024-01-16' GROUP BY user_id),
+      u AS (SELECT coalesce(pre, 0) AS x, coalesce(post, 0) AS y
+            FROM pre FULL OUTER JOIN post USING (user_id)),
+      s AS (SELECT count(*) AS n,
+                   CAST(sum(CAST(x AS DECIMAL(18,2))) AS DECIMAL(38,8)) AS sx,
+                   CAST(sum(CAST(y AS DECIMAL(18,2))) AS DECIMAL(38,8)) AS sy,
+                   sum(CAST(CAST(x AS DECIMAL(18,2)) *
+                            CAST(y AS DECIMAL(18,2)) AS DECIMAL(38,8))) AS sxy,
+                   sum(CAST(CAST(x AS DECIMAL(18,2)) *
+                            CAST(x AS DECIMAL(18,2)) AS DECIMAL(38,8))) AS sxx,
+                   sum(CAST(CAST(y AS DECIMAL(18,2)) *
+                            CAST(y AS DECIMAL(18,2)) AS DECIMAL(38,8))) AS syy
+            FROM u),
+      v AS (SELECT n,
+                   (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS vx,
+                   (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS vy,
+                   (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS cv
+            FROM s)
+      SELECT n,
+             CASE WHEN vx > 0.0
+                  THEN CAST(floor(cv / vx * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0
+             END AS theta,
+             CAST(floor(vy * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS var_y,
+             CASE WHEN vx > 0.0
+                  THEN CAST(floor((vy - cv * cv / vx) * 1000000.0 + 0.5) AS DOUBLE)
+                       / 1000000.0
+             END AS var_adj,
+             CASE WHEN vx > 0.0 AND vy > 0.0
+                  THEN CAST(floor(cv * cv / vx / vy * 1000000.0 + 0.5) AS DOUBLE)
+                       / 1000000.0
+             END AS var_reduction
+      FROM v""",
+
+    // q234: the same two keyed aggregations and summary bars.
+    "q234_privacy_audit" -> """
+      WITH s AS (SELECT c_nationkey, c_mktsegment, count(*) AS n
+                 FROM customer GROUP BY 1, 2),
+      dv AS (SELECT c_nationkey, c_mktsegment, count(*) AS ld
+             FROM (SELECT DISTINCT c_nationkey, c_mktsegment, c_acctbal FROM customer)
+             GROUP BY 1, 2)
+      SELECT CAST(sum(n) AS BIGINT) AS n_rows, count(*) AS n_groups,
+             CAST(min(n) AS BIGINT) AS min_group_size,
+             CAST(count(*) FILTER (WHERE n < 5) AS BIGINT) AS groups_below_k,
+             CAST(coalesce(sum(n) FILTER (WHERE n < 5), 0) AS BIGINT) AS rows_below_k,
+             CAST(min(ld) AS BIGINT) AS min_l_diversity,
+             CAST(count(*) FILTER (WHERE ld < 3) AS BIGINT) AS groups_below_l
+      FROM s JOIN dv USING (c_nationkey, c_mktsegment)""",
 
     // q229: the plain exact phi-frequent query — the MG candidate pass is
     // an implementation detail the determinism contract hides.

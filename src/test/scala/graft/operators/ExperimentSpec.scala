@@ -43,6 +43,44 @@ class ExperimentSpec extends AnyFunSuite {
     }
   }
 
+  test("cuped: a perfectly predictive covariate removes ALL variance; degenerate sides null") {
+    val lin = (1L to 4L).map(x => (x, 2 * x + 3)).toDF("pre", "post")
+    val r = Experiment.cuped(lin, "pre", "post").head()
+    assert(r.getLong(0) == 4L)
+    assert(r.getDouble(1) == 2.0)        // theta = cov/var = slope
+    assert(r.getDouble(3) == 0.0)        // var_adj
+    assert(r.getDouble(4) == 1.0)        // rho^2
+    val constPost = (1L to 4L).map(x => (x, 7L)).toDF("pre", "post")
+    val cp = Experiment.cuped(constPost, "pre", "post").head()
+    assert(cp.getDouble(1) == 0.0 && cp.isNullAt(4)) // var_y = 0: reduction undefined
+    val constPre = (1L to 4L).map(x => (7L, x)).toDF("pre", "post")
+    val cx = Experiment.cuped(constPre, "pre", "post").head()
+    assert(cx.isNullAt(1) && cx.isNullAt(3) && cx.isNullAt(4))
+  }
+
+  test("reconcile: clean keys silent; mismatch/missing classes exact") {
+    val a = Seq((1L, 10.0), (2L, 5.0), (3L, 7.0)).toDF("k", "v")
+    val b = Seq((1L, 10.0), (2L, 6.0), (4L, 2.0)).toDF("k", "v")
+    val got = Profiler.reconcile(a, "k", "v", b, "k", "v")
+      .orderBy("key").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(3), r.getString(4)))).toMap
+    assert(got == Map(2L -> ((-1.0, "mismatch")), 3L -> ((7.0, "missing_b")),
+      4L -> ((-2.0, "missing_a"))))
+    // identical sides certify with an EMPTY result
+    assert(Profiler.reconcile(a, "k", "v", a, "k", "v").count() == 0L)
+  }
+
+  test("kAnonymityAudit: group sizes and sensitive diversity against the k/l bars") {
+    val rows = (Seq.fill(2)(("g1", "s1")) ++ Seq.fill(2)(("g1", "s2")) ++
+      Seq.fill(2)(("g1", "s3")) ++ Seq.fill(2)(("g2", "sX")))
+      .toDF("qi", "sens")
+    val r = Profiler.kAnonymityAudit(rows, Seq("qi"), "sens", k = 5, l = 3).head()
+    assert(r.getLong(0) == 8L && r.getLong(1) == 2L)   // n_rows, n_groups
+    assert(r.getLong(2) == 2L)                          // min group (g2)
+    assert(r.getLong(3) == 1L && r.getLong(4) == 2L)    // g2 below k, its 2 rows
+    assert(r.getLong(5) == 1L && r.getLong(6) == 1L)    // g2 has 1 sensitive value
+  }
+
   test("rfm: quintile scores land 1-5 on a clean staircase; recency inverts") {
     val events = (1 to 5).flatMap { u =>
       (1 to u * 10).map(_ => (u.toLong, "2024-01-05 10:00:00", 1L))
