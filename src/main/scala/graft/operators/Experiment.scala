@@ -73,6 +73,83 @@ object Experiment {
       when(vx > 0.0 && vy > 0.0, q6(cv * cv / vx / vy, "vr")).as("var_reduction"))
   }
 
+  /** Deterministic permutation test for a two-arm mean difference — the
+    * distribution-free significance check when the metric is skewed
+    * enough that the z approximation lies (heavy-tailed engagement
+    * counts, spend): `reps` pseudo-assignments re-split users by
+    * `hash(user:b)` at the OBSERVED arm-a share, the observed
+    * |mean_b − mean_a| is ranked against the permutation diffs, and
+    * `p = (1 + #{|diff_perm| ≥ |diff_obs|}) / (reps + 1)` (the add-one
+    * convention — a permutation p is never exactly 0).
+    *
+    * Determinism: the metric must be INTEGRAL (exact long sums — the
+    * trimmedMean rule); every per-replicate mean is an exact-input
+    * division and the comparison replays identically in any engine; the
+    * pseudo-assignment coin is the salted 2⁶⁰ grid, so the whole null
+    * distribution is reproducible (no RNG, no seed drift across
+    * executors). Shape: one scalar observed aggregation + one
+    * reps-wide explode fused into a map-side-combined (b)-keyed
+    * aggregation (shuffle carries reps×partitions partials) + one
+    * reps-sized count. Output 1 row: (n_a, n_b, mean_a, mean_b,
+    * diff_obs, reps, p_value).
+    */
+  def permutationTest(
+      users: DataFrame,
+      userCol: String,
+      armCol: String,
+      valueCol: String,
+      reps: Int,
+      salt: String
+  ): DataFrame = {
+    import org.apache.spark.sql.types._
+    require(reps >= 20 && reps <= 1000, s"reps=$reps out of [20, 1000]")
+    require(
+      Seq(ByteType, ShortType, IntegerType, LongType)
+        .contains(users.schema(valueCol).dataType),
+      s"$valueCol must be an integral column — float corpus sums are order-sensitive")
+    val base = users.select(col(userCol).cast("string").as("__id"),
+      col(armCol).cast("string").as("__arm"), col(valueCol).cast("long").as("__v"))
+      .filter(col("__id").isNotNull && col("__v").isNotNull &&
+        col("__arm").isin("a", "b"))
+      .localCheckpoint(true) // scanned by the observed pass AND the explode
+    val obs = base.agg(
+      count(when(col("__arm") === "a", 1)).as("n_a"),
+      count(when(col("__arm") === "b", 1)).as("n_b"),
+      sum(when(col("__arm") === "a", col("__v")).otherwise(0L)).as("__sa"),
+      sum(when(col("__arm") === "b", col("__v")).otherwise(0L)).as("__sb"))
+      .localCheckpoint(true) // 1 row, referenced three times
+    val u = (Sampling.keyHash(concat_ws(":", col("__id"), col("__b")), salt)
+      .cast("double") + lit(0.5)) / lit((1L << 60).toDouble)
+    val perms = base
+      .withColumn("__b", explode(sequence(lit(1), lit(reps))))
+      .crossJoin(broadcast(obs.select(col("n_a"), col("n_b"))))
+      .withColumn("__pa",
+        u < col("n_a").cast("double") / (col("n_a") + col("n_b")).cast("double"))
+      .groupBy(col("__b"))
+      .agg(sum(when(col("__pa"), col("__v")).otherwise(0L)).as("__psa"),
+        sum(when(!col("__pa"), col("__v")).otherwise(0L)).as("__psb"),
+        count(when(col("__pa"), 1)).as("__pna"),
+        count(when(!col("__pa"), 1)).as("__pnb"))
+      .filter(col("__pna") > 0L && col("__pnb") > 0L)
+      .select((col("__psb").cast("double") / col("__pnb").cast("double") -
+        col("__psa").cast("double") / col("__pna").cast("double")).as("__pd"))
+    val q6: (Column, String) => Column =
+      (c, nm) => graft.functions.Quantize.scaledFloor(c, 6).as(nm)
+    obs.crossJoin(broadcast(perms.crossJoin(broadcast(obs)).agg(
+      count(lit(1)).as("__used"),
+      count(when(abs(col("__pd")) >=
+        abs(col("__sb").cast("double") / col("n_b").cast("double") -
+          col("__sa").cast("double") / col("n_a").cast("double")), 1)).as("__ge"))))
+      .select(col("n_a"), col("n_b"),
+        q6(col("__sa").cast("double") / col("n_a").cast("double"), "mean_a"),
+        q6(col("__sb").cast("double") / col("n_b").cast("double"), "mean_b"),
+        q6(col("__sb").cast("double") / col("n_b").cast("double") -
+          col("__sa").cast("double") / col("n_a").cast("double"), "diff_obs"),
+        col("__used").as("reps"),
+        q6((col("__ge") + 1L).cast("double") / (col("__used") + 1L).cast("double"),
+          "p_value"))
+  }
+
   def abReadout(
       users: DataFrame,
       userCol: String,

@@ -2428,6 +2428,18 @@ object DataPipelinePack extends QueryPack {
         Seq("c_nationkey", "c_mktsegment"), "c_acctbal", k = 5, l = 3)
     }),
 
+    // Deterministic permutation test: per-user engagement counts under
+    // the q230 assignment, 200 hash-seeded pseudo-re-assignments — the
+    // distribution-free p-value for a skewed metric, zero RNG.
+    "q235_permutation_test" -> ((s, d) => {
+      val users = Tables.events(s, d).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("engagement"))
+      val assigned = Sampling.hashSplit(users, "user_id",
+        Seq("a" -> 0.5, "b" -> 0.5), "exp1")
+      graft.operators.Experiment.permutationTest(assigned, "user_id", "split",
+        "engagement", reps = 200, salt = "perm1")
+    }),
+
     // Dedup-cluster size distribution: the post-dedup report card — how
     // many clusters of each size, how many docs they cover (q43's CC
     // composed into the histogram a curation run publishes).
@@ -3285,6 +3297,57 @@ object DataPipelinePack extends QueryPack {
              CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
                || CAST(m_score AS VARCHAR) AS segment
       FROM s ORDER BY user_id"""
+  }
+
+  /** q235's oracle: the hashSplit arm boundary + the permutation coin on
+    * the same salted grid, mirrored end to end. */
+  private def permutationOracle: String = {
+    val b = Sampling.splitBoundaries(Seq("a" -> 0.5, "b" -> 0.5)).head._2
+    val hArm = duckKeyHash("user_id", "exp1")
+    val hPerm = duckKeyHash("id || ':' || CAST(pb AS VARCHAR)", "perm1")
+    s"""
+      WITH u0 AS (SELECT user_id, count(*) AS v FROM events GROUP BY user_id),
+      base AS (SELECT CAST(user_id AS VARCHAR) AS id,
+                      CASE WHEN $hArm < $b THEN 'a' ELSE 'b' END AS arm,
+                      CAST(v AS BIGINT) AS v
+               FROM u0),
+      obs AS (SELECT CAST(count(*) FILTER (WHERE arm = 'a') AS BIGINT) AS na,
+                     CAST(count(*) FILTER (WHERE arm = 'b') AS BIGINT) AS nb,
+                     CAST(coalesce(sum(v) FILTER (WHERE arm = 'a'), 0) AS BIGINT) AS sa,
+                     CAST(coalesce(sum(v) FILTER (WHERE arm = 'b'), 0) AS BIGINT) AS sb
+              FROM base),
+      ex AS (SELECT id, v, pb FROM base
+             CROSS JOIN (SELECT unnest(range(1, 201)) AS pb)),
+      pu AS (SELECT v, pb,
+                    ((CAST($hPerm AS DOUBLE) + 0.5) / 1152921504606846976.0)
+                      < (CAST(na AS DOUBLE) / CAST(na + nb AS DOUBLE)) AS pa
+             FROM ex CROSS JOIN obs),
+      pg AS (SELECT pb,
+                    CAST(coalesce(sum(v) FILTER (WHERE pa), 0) AS BIGINT) AS psa,
+                    CAST(coalesce(sum(v) FILTER (WHERE NOT pa), 0) AS BIGINT) AS psb,
+                    count(*) FILTER (WHERE pa) AS pna,
+                    count(*) FILTER (WHERE NOT pa) AS pnb
+             FROM pu GROUP BY pb),
+      pd AS (SELECT CAST(psb AS DOUBLE) / CAST(pnb AS DOUBLE)
+                      - CAST(psa AS DOUBLE) / CAST(pna AS DOUBLE) AS pdiff
+             FROM pg WHERE pna > 0 AND pnb > 0),
+      agg AS (SELECT count(*) AS used,
+                     count(*) FILTER (WHERE abs(pdiff) >=
+                       abs(CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)
+                           - CAST(sa AS DOUBLE) / CAST(na AS DOUBLE))) AS ge
+              FROM pd CROSS JOIN obs)
+      SELECT na AS n_a, nb AS n_b,
+             CAST(floor(CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+                        * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS mean_a,
+             CAST(floor(CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)
+                        * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS mean_b,
+             CAST(floor((CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)
+                         - CAST(sa AS DOUBLE) / CAST(na AS DOUBLE))
+                        * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS diff_obs,
+             CAST(used AS BIGINT) AS reps,
+             CAST(floor(CAST(ge + 1 AS DOUBLE) / CAST(used + 1 AS DOUBLE)
+                        * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS p_value
+      FROM obs CROSS JOIN agg"""
   }
 
   /** q92's weight vector, shared verbatim between the Spark call and the
@@ -5397,9 +5460,11 @@ object DataPipelinePack extends QueryPack {
              END AS survival
       FROM cum WHERE d > 0 ORDER BY duration""",
 
-    // q230/q231: generated — hashSplit boundary / quantile mirrors.
+    // q230/q231/q235: generated — hashSplit boundary / quantile /
+    // permutation-coin mirrors.
     "q230_ab_readout" -> abReadoutOracle,
     "q231_rfm" -> rfmOracle,
+    "q235_permutation_test" -> permutationOracle,
 
     // q232: the same planted corruption, decimal(18,2)->decimal(38,2)
     // sums, violation filter, and status classes.

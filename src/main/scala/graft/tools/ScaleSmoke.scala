@@ -11,12 +11,16 @@ import org.apache.spark.sql.functions._
   * buckets, posting lists, and CC components all widen by `mult`), so a
   * clean run here is evidence the plans hold past the gate SF, not just on
   * it. Wall times print per stage; any stage exploding superlinearly in
-  * `mult` is the finding. `runMain graft.tools.ScaleSmoke [mult] [sfDir]`.
+  * `mult` is the finding.
+  * `runMain graft.tools.ScaleSmoke [mult] [sfDir] [stageSubstring]` — the
+  * optional third arg runs only stages whose name contains it (case-
+  * insensitive), for iterating on a new stage without replaying the list.
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val mult = args.headOption.map(_.toInt).getOrElse(16)
     val sfDir = args.drop(1).headOption.getOrElse("/root/testdata/sf0.1")
+    val only = args.drop(2).headOption.map(_.toLowerCase)
     val spark = GraftSession.local("graft-scale-smoke")
 
     // UNTIMED inter-stage cleanup, the Bench.scala §8.0 harness: 80+
@@ -32,6 +36,7 @@ object ScaleSmoke {
     // action, so the new RDD id is indistinguishable from stage litter)
     // passes `keepNew = true` and owns the unpersist itself.
     def time(name: String, keepNew: Boolean = false)(df: => DataFrame): Unit = {
+      if (only.exists(f => !name.toLowerCase.contains(f))) return
       val preexisting = spark.sparkContext.getPersistentRDDs.keySet
       val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
@@ -856,6 +861,44 @@ object ScaleSmoke {
     // while the domain set stays fixed — out-degrees hold, co-citation
     // saturates at the domain grid, so the stage should flatten past
     // saturation exactly like the triangles stage above.
+    // --- round-11c: motifs / heavy hitters / reconciliation / rfm -------
+    // Event n-grams under the bot-user widening: the per-user collect is
+    // the documented buffer; the bot's gram fan-out is linear in ITS
+    // event count, everyone else's in theirs.
+    time("event n-grams (n=3, bot user)") {
+      val ev = widen(Tables.events(spark, sfDir).select(col("event_id"),
+        col("user_id"), col("event_type"), col("ts")), "event_id")
+        .withColumn("user_id",
+          when(col("event_id") % 97 === 0, lit(0L)).otherwise(col("user_id")))
+      graft.operators.Funnel.eventNgrams(ev, "user_id", Seq("ts", "event_id"),
+        "event_type", n = 3, minCount = 5)
+    }
+    // Misra-Gries heavy hitters over the widened token stream: one O(k)
+    // summary fold + one isin-filtered recount — corpus-linear twice.
+    time("heavy hitters (tokens, phi=1/200)")(
+      graft.operators.Profiler.heavyHitters(
+        docs.select(explode(TextAnalysis.tokens(col("text"))).as("tok")),
+        "tok", phiDen = 200))
+    // Reconciliation over widened lineitem: two keyed decimal sums + one
+    // full-outer SMJ; output stays violation-sized.
+    time("reconcile (widened lineitem)") {
+      val li = widen(Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity")), "l_orderkey")
+      graft.operators.Profiler.reconcile(
+        li.select(col("l_orderkey"), col("l_quantity")), "l_orderkey", "l_quantity",
+        li.filter(!(col("l_orderkey") % 1000 === 0 && col("l_linenumber") === 1))
+          .select(col("l_orderkey"), col("l_quantity")), "l_orderkey", "l_quantity")
+    }
+    // RFM over widened events: one keyed aggregation + broadcast cuts.
+    time("rfm segmentation (widened)") {
+      val ev = widen(Tables.events(spark, sfDir).select(col("event_id"),
+        col("user_id"), col("event_type"), col("ts")), "event_id")
+        .select(col("user_id"), col("ts"),
+          when(col("event_type") === "purchase", col("event_id") % 50 + 1)
+            .otherwise(lit(0L)).as("amount"))
+      graft.operators.Funnel.rfm(ev, "user_id", "ts", "amount")
+    }
+
     time("link authority (ppr + triangles + core)")(
       graft.operators.Graph.linkAuthority(
         docs.select(concat(lit("s"), (col("doc_id") % 2000).cast("string")).as("src"),

@@ -43,6 +43,29 @@ class ExperimentSpec extends AnyFunSuite {
     }
   }
 
+  test("permutationTest: a planted effect pins p at the add-one floor; a null effect doesn't") {
+    // arm a = 0, arm b = 100 for 200 users each: no pseudo-assignment can
+    // reproduce a 100-point diff, so p = (1 + 0)/(reps + 1)
+    val planted = ((1L to 200L).map(i => (i, "a", 0L)) ++
+      (201L to 400L).map(i => (i, "b", 100L))).toDF("uid", "arm", "v")
+    val r = Experiment.permutationTest(planted, "uid", "arm", "v",
+      reps = 200, salt = "pt1").head()
+    assert(r.getLong(0) == 200L && r.getLong(1) == 200L)
+    assert(r.getDouble(2) == 0.0 && r.getDouble(3) == 100.0 && r.getDouble(4) == 100.0)
+    assert(r.getLong(5) == 200L)
+    assert(r.getDouble(6) == graft.functions.Quantize.scaledFloorDouble(1.0 / 201.0, 6))
+    // arm labels carry no signal: the same metric in both arms -> p large
+    val nul = (1L to 400L).map(i => (i, if (i % 2 == 0) "a" else "b", i % 7))
+      .toDF("uid", "arm", "v")
+    val n = Experiment.permutationTest(nul, "uid", "arm", "v",
+      reps = 100, salt = "pt2").head()
+    assert(n.getDouble(6) > 0.2, s"null effect p=${n.getDouble(6)} should be large")
+    intercept[IllegalArgumentException] {
+      Experiment.permutationTest(
+        nul.withColumn("v", col("v").cast("double")), "uid", "arm", "v", 100, "pt3")
+    }
+  }
+
   test("cuped: a perfectly predictive covariate removes ALL variance; degenerate sides null") {
     val lin = (1L to 4L).map(x => (x, 2 * x + 3)).toDF("pre", "post")
     val r = Experiment.cuped(lin, "pre", "post").head()
