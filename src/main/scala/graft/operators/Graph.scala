@@ -492,4 +492,78 @@ object Graph {
         .localCheckpoint(true)
     }
   }
+
+  /** Common-neighbor link prediction over the undirected simple graph:
+    * for every NON-adjacent node pair sharing ≥ 1 neighbor, the
+    * common-neighbor count and the Adamic–Adar score
+    * `Σ_z 1/ln(deg z)` (Adamic & Adar 2003) — the degree-discounted form
+    * that stops hub nodes from predicting everything (a z linking half
+    * the graph carries ~no evidence; a degree-2 bridge carries a lot).
+    * The curation read: a high-AA non-edge inside a suspected ring is the
+    * "about to be linked" signal link farms exhibit before they densify.
+    *
+    * Shape: wedges are generated at each shared neighbor z — an SMJ
+    * self-join of the symmetric adjacency list keyed on z — then one
+    * keyed count/sum per candidate pair, an anti-join against the edge
+    * set, and a top-k. Wedge count is Σ_z deg(z)², the quadratic hub
+    * hazard triangles' degree-ordering avoids; here every wedge is a
+    * candidate BY DEFINITION, so the bound is `maxDegree`: neighbors-of-z
+    * fan-out is capped by dropping z's with deg > maxDegree (standard in
+    * AA mining — a super-hub's 1/ln(deg) term is ~0 anyway, so the
+    * dropped mass is the noise floor, and the cap is part of the
+    * operator's contract, mirrored by the oracle).
+    *
+    * Each 1/ln(deg z) term is quantized to the 1e-9 grid and summed as
+    * decimal — order-independent, engine-exact (the jackknife
+    * discipline). Output: top-k (node_a, node_b, common_neighbors,
+    * adamic_adar) by score desc, ties by (a, b); node_a < node_b.
+    */
+  def adamicAdar(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxDegree: Int = 1024,
+      topK: Int = 20
+  ): DataFrame = {
+    require(maxDegree >= 2, s"maxDegree must be >= 2, got $maxDegree")
+    require(topK > 0, s"topK must be positive, got $topK")
+    val und = edges.select(
+      col(srcCol).cast("long").as("__s"), col(dstCol).cast("long").as("__d"))
+      .filter(col("__s") =!= col("__d"))
+      .select(least(col("__s"), col("__d")).as("a"),
+        greatest(col("__s"), col("__d")).as("b"))
+      .distinct()
+      .localCheckpoint(true) // feeds degrees, the adjacency list, and the anti-join
+    val deg = und.select(col("a").as("node")).union(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("__deg"))
+    // symmetric adjacency restricted to generator nodes z with
+    // deg(z) <= maxDegree, each row carrying z's quantized AA term
+    val nbr = und.select(col("a").as("z"), col("b").as("nbr"))
+      .union(und.select(col("b").as("z"), col("a").as("nbr")))
+      .join(deg.select(col("node").as("z"), col("__deg")).hint("shuffle_merge"),
+        Seq("z"))
+      // deg-1 nodes can't generate a wedge AND their ln(1)=0 would divide
+      // by zero under ANSI — drop them before the term projection runs
+      .filter(col("__deg") >= 2 && col("__deg") <= maxDegree)
+      .select(col("z"), col("nbr"),
+        graft.functions.Quantize.scaledFloor(
+          lit(1.0) / log(col("__deg").cast("double")), 9)
+          .cast("decimal(18,9)").as("__term"))
+      .localCheckpoint(true) // both sides of the wedge self-join
+    val wedges = nbr.as("l").hint("shuffle_merge")
+      .join(nbr.as("r").hint("shuffle_merge"),
+        col("l.z") === col("r.z") && col("l.nbr") < col("r.nbr"))
+      .select(col("l.nbr").as("a"), col("r.nbr").as("b"), col("l.__term").as("__term"))
+    val scored = wedges.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("common_neighbors"),
+        sum(col("__term")).cast("decimal(38,9)").as("__aa"))
+      .join(und.hint("shuffle_merge"), Seq("a", "b"), "left_anti")
+    scored
+      .orderBy(col("__aa").desc, col("a"), col("b"))
+      .limit(topK)
+      .select(col("a").as("node_a"), col("b").as("node_b"),
+        col("common_neighbors"),
+        graft.functions.Quantize.scaledFloor(col("__aa").cast("double"), 6)
+          .as("adamic_adar"))
+  }
 }

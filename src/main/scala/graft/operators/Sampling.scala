@@ -660,4 +660,46 @@ object Sampling {
       .withColumn("epoch", explode(sequence(lit(0L), col("__copies") - 1)))
       .drop("__copies")
   }
+
+  /** Per-class loss/sampling weights for imbalanced training — both
+    * standard recipes from one class-count aggregation:
+    *
+    *  - `inv_weight = N / (k · n_c)`: plain inverse frequency, normalized
+    *    so a balanced dataset gives every class 1.0;
+    *  - `ens_weight`: "effective number of samples" reweighting (Cui et
+    *    al. 2019) — `E_c = (1 − β^{n_c})/(1 − β)` discounts marginal
+    *    examples as a class saturates (β → 1 recovers inverse frequency,
+    *    β = 0 gives uniform), weights `∝ 1/E_c` normalized to sum to k.
+    *
+    * The β^n powers are IEEE doubles (identical on any engine for the
+    * same integer counts — the benford log10 class) and the k-row
+    * normalizing sum adds 1e-9-quantized terms as decimal, so both
+    * weights are engine- and order-exact. One map-side-combined count +
+    * a k-row reduction broadcast back; nothing corpus-shaped survives.
+    * Output: (class, n, inv_weight, ens_weight) — k rows.
+    */
+  def classWeights(
+      df: DataFrame,
+      classCol: String,
+      beta: Double = 0.999
+  ): DataFrame = {
+    require(beta >= 0.0 && beta < 1.0, s"beta must be in [0, 1), got $beta")
+    val q9 = (c: Column) => graft.functions.Quantize.scaledFloor(c, 9)
+    val q6 = (c: Column) => graft.functions.Quantize.scaledFloor(c, 6)
+    val per = df.filter(col(classCol).isNotNull)
+      .groupBy(col(classCol).as("class"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("__raw",
+        q9(lit(1.0 - beta) / (lit(1.0) - pow(lit(beta), col("n").cast("double"))))
+          .cast("decimal(18,9)"))
+      .localCheckpoint(true) // feeds the totals reduction AND the final projection
+    val tot = per.agg(count(lit(1)).as("__k"), sum(col("n")).as("__tot"),
+      sum(col("__raw")).cast("decimal(38,9)").as("__sraw"))
+    per.crossJoin(broadcast(tot))
+      .select(col("class"), col("n"),
+        q6(col("__tot").cast("double") /
+          (col("__k").cast("double") * col("n").cast("double"))).as("inv_weight"),
+        q6(col("__k").cast("double") * col("__raw").cast("double") /
+          col("__sraw").cast("double")).as("ens_weight"))
+  }
 }

@@ -489,4 +489,134 @@ object TimeSeries {
                 (col("pre_cnt") * col("__qd")).cast("double") * lit(hi))))
           .as("anomalous"))
   }
+
+  /** Single change-point per key by exact binary segmentation: over the
+    * time-ordered series, the split s minimizing
+    * `SSE(rows ≤ s) + SSE(rows > s)` — the level-shift localizer (binary
+    * segmentation's first cut; recurse on the halves when hunting
+    * multiple breaks). [[cusumByKey]] FLAGS drift online; this names the
+    * break point offline with an exact least-squares criterion.
+    *
+    * Every candidate's cost comes from exact decimal prefix sums
+    * (cumulative n, Σv, Σv² over one per-key window), so each row's
+    * cost is a fixed IEEE expression over exact inputs — deterministic on
+    * any engine with no float accumulation. The winner is the earliest
+    * time among cost minima (deterministic tie-break). Splits leaving
+    * either side empty are excluded; keys with < 4 points emit nothing
+    * (no two-sided fit to compare).
+    *
+    * Scale contract: per-key windows — series must be calendar-bucketed
+    * (days/hours per key), never raw-event-sized; the aggregation
+    * producing the series is the corpus-linear part and happens upstream.
+    * Output: (key…, n, split_t, sse_total, sse_split, drop_frac) — one
+    * row per key; drop_frac = 1 − sse_split/sse_total (null when
+    * sse_total = 0).
+    */
+  def changepoint(
+      df: DataFrame,
+      keyCols: Seq[String],
+      timeCol: String,
+      valueCol: String,
+      decimalScale: Int = 2
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(keyCols.nonEmpty, "at least one key column is required")
+    val keys = keyCols.map(col)
+    val v = col(valueCol).cast(s"decimal(18,$decimalScale)")
+    val wAll = Window.partitionBy(keys: _*)
+    val wCum = wAll.orderBy(col("__t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = df.filter(col(timeCol).isNotNull && col(valueCol).isNotNull)
+      .select(keys :+ col(timeCol).as("__t") :+ v.as("__v"): _*)
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__s", sum(col("__v")).over(wAll).cast("decimal(38,8)"))
+      .withColumn("__ss",
+        sum((col("__v") * col("__v")).cast("decimal(38,8)")).over(wAll))
+      .withColumn("__nl", count(lit(1)).over(wCum))
+      .withColumn("__sl", sum(col("__v")).over(wCum).cast("decimal(38,8)"))
+      .withColumn("__ssl",
+        sum((col("__v") * col("__v")).cast("decimal(38,8)")).over(wCum))
+    def d(c: String) = col(c).cast("double")
+    def sse(n: Column, s: Column, ss: Column): Column = ss - s * s / n
+    val nr = (col("__n") - col("__nl")).cast("double")
+    val cost = sse(d("__nl"), d("__sl"), d("__ssl")) +
+      sse(nr, d("__s") - d("__sl"), d("__ss") - d("__ssl"))
+    val candidates = base
+      .filter(col("__n") >= 4 && col("__nl") >= 1 && col("__nl") < col("__n"))
+      .withColumn("__cost", cost)
+    val best = candidates
+      .withColumn("__rn", row_number().over(
+        wAll.orderBy(col("__cost"), col("__t"))))
+      .filter(col("__rn") === 1)
+    val q6 = (c: Column) => graft.functions.Quantize.scaledFloor(c, 6)
+    val sseTot = sse(d("__n"), d("__s"), d("__ss"))
+    best.select(keys :+ col("__n").as("n") :+ col("__t").as("split_t")
+      :+ q6(sseTot).as("sse_total") :+ q6(col("__cost")).as("sse_split")
+      :+ when(sseTot > 0.0, q6(lit(1.0) - col("__cost") / sseTot))
+        .as("drop_frac"): _*)
+  }
+
+  /** Additive seasonal-trend decomposition, the moving-average form (the
+    * classical-decomposition core of STL without the loess robustness
+    * passes): `value = trend + seasonal + remainder` with trend a
+    * centered `period`-row mean, seasonal the per-phase mean of the
+    * detrended series, remainder the rest. [[seasonalBaseline]] answers
+    * "is today off its weekly rhythm"; this SPLITS the series so
+    * downstream ops regress/alert on the deseasonalized component.
+    *
+    * Input contract: one row per (key, dayIdx) on a CONTIGUOUS integer
+    * grid ([[resampleForwardFill]] upstream closes gaps) — the centered
+    * window is row-based, so a gap would silently widen its time span.
+    * Trend needs the full `period` rows (edges emit null trend/seasonal/
+    * remainder). Phase = dayIdx mod period — engine-exact integers.
+    * Per-phase means sum 1e-6-quantized detrended values as decimal (the
+    * anova term discipline), so the decomposition is order-independent.
+    *
+    * Shape: one per-key centered window, one phase-keyed aggregation
+    * (|keys|·period rows) broadcast back. Output: (key…, dayIdx, value,
+    * trend, seasonal, remainder).
+    */
+  def stlDecompose(
+      df: DataFrame,
+      keyCols: Seq[String],
+      dayCol: String,
+      valueCol: String,
+      period: Int = 7,
+      decimalScale: Int = 2
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(keyCols.nonEmpty, "at least one key column is required")
+    require(period >= 2 && period % 2 == 1,
+      s"period must be odd >= 3 for a centered row window, got $period")
+    val keys = keyCols.map(col)
+    val half = period / 2
+    val w = Window.partitionBy(keys: _*).orderBy(col(dayCol))
+      .rowsBetween(-half, half)
+    val q6 = (c: Column) => graft.functions.Quantize.scaledFloor(c, 6)
+    val base = df.filter(col(dayCol).isNotNull && col(valueCol).isNotNull)
+      .select(keys :+ col(dayCol).cast("long").as("__day")
+        :+ col(valueCol).cast(s"decimal(18,$decimalScale)").as("__v"): _*)
+      .withColumn("__w", count(lit(1)).over(
+        Window.partitionBy(keys: _*).orderBy(col("__day")).rowsBetween(-half, half)))
+      .withColumn("__sum", sum(col("__v")).over(
+        Window.partitionBy(keys: _*).orderBy(col("__day")).rowsBetween(-half, half))
+        .cast("decimal(38,8)"))
+      .withColumn("__trend",
+        when(col("__w") === period,
+          q6(col("__sum").cast("double") / lit(period.toDouble))))
+      .withColumn("__detr",
+        q6(col("__v").cast("double") - col("__trend")))
+      .withColumn("__phase", pmod(col("__day"), lit(period.toLong)))
+    val seasonal = base.filter(col("__trend").isNotNull)
+      .groupBy(keys :+ col("__phase"): _*)
+      .agg((sum(col("__detr").cast("decimal(18,6)")).cast("double") /
+        count(lit(1)).cast("double")).as("__smean"))
+      .select(keys :+ col("__phase") :+ q6(col("__smean")).as("__seasonal"): _*)
+    base.join(broadcast(seasonal), keyCols :+ "__phase", "left")
+      .select(keys :+ col("__day").as(dayCol) :+ col("__v").cast("double").as("value")
+        :+ col("__trend").as("trend")
+        :+ when(col("__trend").isNotNull, col("__seasonal")).as("seasonal")
+        :+ when(col("__trend").isNotNull,
+          q6(col("__detr") - col("__seasonal"))).as("remainder"): _*)
+  }
 }

@@ -2440,6 +2440,105 @@ object DataPipelinePack extends QueryPack {
         "engagement", reps = 200, salt = "perm1")
     }),
 
+    // Spearman rank correlation per return flag — Pearson on doubled
+    // average ranks (exact integers), the monotone-association read
+    // robust to the price magnitudes that drag q195's r.
+    "q236_spearman" -> ((s, d) => {
+      graft.operators.Inference.spearmanByGroup(
+        Tables.lineitem(s, d)
+          .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice")),
+        Seq("l_returnflag"), "l_quantity", "l_extendedprice")
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Welch's unequal-variance t on per-user engagement between the
+    // q230/q235 hash-assigned arms — the parametric companion to the
+    // q235 permutation read, same assignment grid.
+    "q237_welch_ttest" -> ((s, d) => {
+      val users = Tables.events(s, d).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("engagement"))
+      val assigned = Sampling.hashSplit(users, "user_id",
+        Seq("a" -> 0.5, "b" -> 0.5), "exp1")
+      graft.operators.Inference.welchTTest(assigned, "split", "engagement", "a", "b")
+    }),
+
+    // One-way ANOVA F: does mean event value differ across event types —
+    // the k-sample gate before slicing per-type.
+    "q238_anova" -> ((s, d) => {
+      graft.operators.Inference.anovaOneWay(
+        Tables.events(s, d).select(col("event_type"), col("value")),
+        "event_type", "value")
+    }),
+
+    // Kendall tau-b per event type on a capPerKey-bounded sample — the
+    // exact pair join is quadratic BY CONTRACT, so the cap is the scale
+    // story (exact tau on a deterministic per-group sample).
+    "q239_kendall_tau" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .filter(col("value").isNotNull && col("ts").isNotNull)
+        .select(col("event_type"), col("event_id"), col("value"),
+          datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+            .cast("long").as("day"))
+      val capped = Skew.capPerKey(e, Seq("event_type"), "event_id", 150)
+      graft.operators.Inference.kendallTauB(capped, Seq("event_type"),
+        "event_id", "value", "day")
+        .orderBy(col("event_type"))
+    }),
+
+    // Ratio-of-sums jackknife: value-per-event by event type over user
+    // units — the correct SE for a ratio metric (per-unit means are
+    // wrong when units carry unequal denominators).
+    "q240_ratio_jackknife" -> ((s, d) => {
+      val units = Tables.events(s, d).filter(col("value").isNotNull)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)")
+          .as("value_sum"),
+          count(lit(1)).as("n_events"))
+      graft.operators.Inference.ratioJackknife(units, Seq("event_type"),
+        "value_sum", "n_events")
+        .orderBy(col("event_type"))
+    }),
+
+    // Adamic–Adar link prediction on the q169 synthetic domain graph —
+    // top-20 highest-evidence missing links.
+    "q241_adamic_adar" -> ((s, d) => {
+      val edges = Tables.documents(s, d).select(
+        (col("doc_id") % 100).as("src"), ((col("doc_id") * 31 + 7) % 100).as("dst"))
+      graft.operators.Graph.adamicAdar(edges, "src", "dst",
+        maxDegree = 1024, topK = 20)
+    }),
+
+    // Exact binary-segmentation change point on the daily series — the
+    // offline break localizer behind q184's online CUSUM flag.
+    "q242_changepoint" -> ((s, d) => {
+      val daily = Tables.events(s, d).filter(col("ts").isNotNull)
+        .groupBy(col("event_type"),
+          datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+            .cast("long").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.operators.TimeSeries.changepoint(daily, Seq("event_type"), "day", "cnt")
+        .orderBy(col("event_type"))
+    }),
+
+    // Classical additive decomposition of the daily series (period 7):
+    // trend / seasonal / remainder — the split q220 baselines against.
+    "q243_stl" -> ((s, d) => {
+      val daily = Tables.events(s, d).filter(col("ts").isNotNull)
+        .groupBy(col("event_type"),
+          datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+            .cast("long").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.operators.TimeSeries.stlDecompose(daily, Seq("event_type"), "day", "cnt")
+        .orderBy(col("event_type"), col("day"))
+    }),
+
+    // Imbalanced-class training weights over document languages —
+    // inverse-frequency + effective-number-of-samples, one aggregation.
+    "q244_class_weights" -> ((s, d) => {
+      Sampling.classWeights(Tables.documents(s, d), "lang")
+        .orderBy(col("class"))
+    }),
+
     // Dedup-cluster size distribution: the post-dedup report card — how
     // many clusters of each size, how many docs they cover (q43's CC
     // composed into the histogram a curation run publishes).
@@ -3297,6 +3396,84 @@ object DataPipelinePack extends QueryPack {
              CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
                || CAST(m_score AS VARCHAR) AS segment
       FROM s ORDER BY user_id"""
+  }
+
+  /** q237's oracle: the hashSplit arm boundary + Welch's closed form on
+    * exact per-arm decimal sums, every double op in the operator's
+    * evaluation order. */
+  private def welchOracle: String = {
+    val b = Sampling.splitBoundaries(Seq("a" -> 0.5, "b" -> 0.5)).head._2
+    val h = duckKeyHash("user_id", "exp1")
+    s"""
+      WITH u AS (SELECT user_id, count(*) AS v FROM events GROUP BY user_id),
+      asg AS (SELECT CASE WHEN $h < $b THEN 'a' ELSE 'b' END AS arm,
+                     CAST(v AS DECIMAL(18,2)) AS x
+              FROM u),
+      g AS (SELECT
+              CAST(count(*) FILTER (WHERE arm = 'a') AS BIGINT) AS n_a,
+              CAST(count(*) FILTER (WHERE arm = 'b') AS BIGINT) AS n_b,
+              CAST(sum(x) FILTER (WHERE arm = 'a') AS DECIMAL(38,8)) AS sa,
+              CAST(sum(x) FILTER (WHERE arm = 'b') AS DECIMAL(38,8)) AS sb,
+              CAST(sum(CAST(x * x AS DECIMAL(38,8))) FILTER (WHERE arm = 'a')
+                AS DECIMAL(38,8)) AS ssa,
+              CAST(sum(CAST(x * x AS DECIMAL(38,8))) FILTER (WHERE arm = 'b')
+                AS DECIMAL(38,8)) AS ssb
+            FROM asg),
+      t AS (SELECT n_a, n_b,
+                   CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE) AS ma,
+                   CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE) AS mb,
+                   (CAST(n_a AS DOUBLE) * CAST(ssa AS DOUBLE)
+                    - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                     / (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0))
+                     / CAST(n_a AS DOUBLE) AS sea,
+                   (CAST(n_b AS DOUBLE) * CAST(ssb AS DOUBLE)
+                    - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))
+                     / (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0))
+                     / CAST(n_b AS DOUBLE) AS seb
+            FROM g)
+      SELECT n_a, n_b,
+             CAST(floor(ma * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS mean_a,
+             CAST(floor(mb * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS mean_b,
+             CASE WHEN n_a >= 2 AND n_b >= 2 AND sea + seb > 0.0
+                  THEN CAST(floor((ma - mb) / sqrt(sea + seb) * 1000000.0 + 0.5)
+                         AS DOUBLE) / 1000000.0
+             END AS t_stat,
+             CASE WHEN n_a >= 2 AND n_b >= 2 AND sea + seb > 0.0
+                  THEN CAST(floor((sea + seb) * (sea + seb)
+                         / (sea * sea / (CAST(n_a AS DOUBLE) - 1.0)
+                            + seb * seb / (CAST(n_b AS DOUBLE) - 1.0))
+                         * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0
+             END AS df_welch
+      FROM t"""
+  }
+
+  /** q244's oracle: the β literals embedded as the EXACT Scala doubles
+    * (1.0 − 0.999 is 0.001000…0009 in IEEE — writing `1.0 - 0.999` in SQL
+    * would make DuckDB fold it in exact decimal and diverge), per-class
+    * 1e-9-quantized ENS terms summed as decimal. */
+  private def classWeightsOracle: String = {
+    val beta = 0.999
+    val oneMinus = 1.0 - beta // the exact double the operator's lit() carries
+    s"""
+      WITH per AS (SELECT lang AS class, CAST(count(*) AS BIGINT) AS n
+                   FROM documents WHERE lang IS NOT NULL GROUP BY 1),
+      p2 AS (SELECT class, n,
+                    CAST(CAST(floor($oneMinus
+                        / (1.0 - power($beta, CAST(n AS DOUBLE)))
+                        * 1000000000.0 + 0.5) AS DOUBLE)
+                      / 1000000000.0 AS DECIMAL(18,9)) AS raw
+             FROM per),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS tot,
+                     CAST(sum(raw) AS DECIMAL(38,9)) AS sraw
+              FROM p2)
+      SELECT class, n,
+             CAST(floor(CAST(tot AS DOUBLE)
+                 / (CAST(k AS DOUBLE) * CAST(n AS DOUBLE))
+                 * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS inv_weight,
+             CAST(floor(CAST(k AS DOUBLE) * CAST(raw AS DOUBLE)
+                 / CAST(sraw AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE)
+               / 1000000.0 AS ens_weight
+      FROM p2 CROSS JOIN tot ORDER BY class"""
   }
 
   /** q235's oracle: the hashSplit arm boundary + the permutation coin on
@@ -5465,6 +5642,270 @@ object DataPipelinePack extends QueryPack {
     "q230_ab_readout" -> abReadoutOracle,
     "q231_rfm" -> rfmOracle,
     "q235_permutation_test" -> permutationOracle,
+    "q237_welch_ttest" -> welchOracle,
+    "q244_class_weights" -> classWeightsOracle,
+
+    // q236: doubled average ranks (2·minrank + ties − 1, exact integers)
+    // then the pearson closed form on exact decimal rank sums.
+    "q236_spearman" -> """
+      WITH c AS (SELECT l_returnflag AS g,
+                        CAST(l_quantity AS DECIMAL(18,2)) AS x,
+                        CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+                 FROM lineitem
+                 WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+      r AS (SELECT g,
+                   CAST(2 * rank() OVER (PARTITION BY g ORDER BY x)
+                        + count(*) OVER (PARTITION BY g, x) - 1 AS DECIMAL(18,0)) AS rx,
+                   CAST(2 * rank() OVER (PARTITION BY g ORDER BY y)
+                        + count(*) OVER (PARTITION BY g, y) - 1 AS DECIMAL(18,0)) AS ry
+            FROM c),
+      s AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(rx) AS DECIMAL(38,0)) AS sx,
+                   CAST(sum(ry) AS DECIMAL(38,0)) AS sy,
+                   CAST(sum(CAST(rx * ry AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy,
+                   CAST(sum(CAST(rx * rx AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx,
+                   CAST(sum(CAST(ry * ry AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS syy
+            FROM r GROUP BY g)
+      SELECT g AS l_returnflag, n,
+             CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0
+                   AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0.0
+                  THEN CAST(floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                         / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                                * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                         * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0
+             END AS rho
+      FROM s ORDER BY l_returnflag""",
+
+    // q238: per-group exact (n, Σx, Σx²), the between-groups Σ S²/n with
+    // each term 1e-6-quantized then decimal-summed (the operator's
+    // order-independence contract), F from the double closed form.
+    "q238_anova" -> """
+      WITH c AS (SELECT event_type AS g, CAST(value AS DECIMAL(18,2)) AS x
+                 FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+      per AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(x) AS DECIMAL(38,8)) AS s,
+                     CAST(sum(CAST(x * x AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS ss
+              FROM c GROUP BY g),
+      p2 AS (SELECT *,
+                    CAST(CAST(floor(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                        / CAST(n AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE)
+                      / 1000000.0 AS DECIMAL(38,6)) AS term
+             FROM per),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS n,
+                     CAST(sum(s) AS DECIMAL(38,8)) AS gs,
+                     CAST(sum(ss) AS DECIMAL(38,8)) AS gss,
+                     CAST(sum(term) AS DECIMAL(38,6)) AS sqn
+              FROM p2),
+      f AS (SELECT k, n,
+                   CAST(sqn AS DOUBLE) - CAST(gs AS DOUBLE) * CAST(gs AS DOUBLE)
+                     / CAST(n AS DOUBLE) AS ssb,
+                   CAST(gss AS DOUBLE) - CAST(sqn AS DOUBLE) AS ssw
+            FROM tot)
+      SELECT k, n,
+             CAST(floor(ssb * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS ss_between,
+             CAST(floor(ssw * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS ss_within,
+             CASE WHEN k >= 2 AND CAST(n AS DOUBLE) - CAST(k AS DOUBLE) > 0.0
+                   AND ssw > 0.0
+                  THEN CAST(floor((ssb / (CAST(k AS DOUBLE) - 1.0))
+                         / (ssw / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))
+                         * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0
+             END AS f_stat
+      FROM f""",
+
+    // q239: the capPerKey 150-row sample (k smallest event_ids per type),
+    // then exact pair counting with the tie-corrected tau-b denominator.
+    "q239_kendall_tau" -> """
+      WITH e AS (SELECT event_type AS g, event_id AS id,
+                        CAST(value AS DECIMAL(18,2)) AS x,
+                        CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                             AS DECIMAL(18,2)) AS y
+                 FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+      capped AS (SELECT g, id, x, y FROM (
+                   SELECT *, row_number() OVER (PARTITION BY g ORDER BY id) AS rn
+                   FROM e) WHERE rn <= 150),
+      p AS (SELECT a.g AS g, a.x AS ax, a.y AS ay, b.x AS bx, b.y AS by2
+            FROM capped a JOIN capped b ON a.g = b.g AND a.id < b.id),
+      cnt AS (SELECT g, CAST(count(*) AS BIGINT) AS n_pairs,
+                     CAST(count(*) FILTER (WHERE (ax < bx AND ay < by2)
+                       OR (ax > bx AND ay > by2)) AS BIGINT) AS concordant,
+                     CAST(count(*) FILTER (WHERE (ax < bx AND ay > by2)
+                       OR (ax > bx AND ay < by2)) AS BIGINT) AS discordant,
+                     CAST(count(*) FILTER (WHERE ax = bx AND ay <> by2) AS BIGINT) AS tx,
+                     CAST(count(*) FILTER (WHERE ay = by2 AND ax <> bx) AS BIGINT) AS ty
+              FROM p GROUP BY g),
+      ns AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM capped GROUP BY g)
+      SELECT ns.g AS event_type, n,
+             coalesce(n_pairs, 0) AS n_pairs,
+             coalesce(concordant, 0) AS concordant,
+             coalesce(discordant, 0) AS discordant,
+             CASE WHEN CAST(concordant AS DOUBLE) + CAST(discordant AS DOUBLE)
+                         + CAST(ty AS DOUBLE) > 0.0
+                   AND CAST(concordant AS DOUBLE) + CAST(discordant AS DOUBLE)
+                         + CAST(tx AS DOUBLE) > 0.0
+                  THEN CAST(floor((CAST(concordant AS DOUBLE) - CAST(discordant AS DOUBLE))
+                         / sqrt((CAST(concordant AS DOUBLE) + CAST(discordant AS DOUBLE)
+                                 + CAST(ty AS DOUBLE))
+                                * (CAST(concordant AS DOUBLE) + CAST(discordant AS DOUBLE)
+                                   + CAST(tx AS DOUBLE)))
+                         * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0
+             END AS tau_b
+      FROM ns LEFT JOIN cnt ON ns.g = cnt.g ORDER BY event_type""",
+
+    // q240: unit-level exact decimal sums, leave-one-out pseudo-values
+    // 1e-9-quantized then decimal-summed (the operator's contract).
+    "q240_ratio_jackknife" -> """
+      WITH u AS (SELECT event_type AS g, user_id,
+                        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS y,
+                        CAST(count(*) AS DECIMAL(18,2)) AS x
+                 FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+      w AS (SELECT g, y, x,
+                   CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n,
+                   CAST(sum(y) OVER (PARTITION BY g) AS DECIMAL(38,8)) AS sy,
+                   CAST(sum(x) OVER (PARTITION BY g) AS DECIMAL(38,8)) AS sx
+            FROM u),
+      r AS (SELECT g, n, sy, sx,
+                   CASE WHEN sx - x = 0 THEN 1 ELSE 0 END AS bad,
+                   CASE WHEN sx - x <> 0
+                        THEN CAST(CAST(floor(CAST(sy - y AS DOUBLE)
+                               / CAST(sx - x AS DOUBLE) * 1000000000.0 + 0.5) AS DOUBLE)
+                             / 1000000000.0 AS DECIMAL(18,9))
+                        ELSE CAST(0 AS DECIMAL(18,9)) END AS ti
+            FROM w),
+      a AS (SELECT g, max(n) AS n, max(sy) AS gy, max(sx) AS gx,
+                   CAST(sum(bad) AS BIGINT) AS nbad,
+                   CAST(sum(ti) AS DECIMAL(38,9)) AS st,
+                   CAST(sum(CAST(ti * ti AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS stt
+            FROM r GROUP BY g)
+      SELECT g AS event_type, n,
+             CASE WHEN gx <> 0
+                  THEN CAST(floor(CAST(gy AS DOUBLE) / CAST(gx AS DOUBLE)
+                         * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0
+             END AS theta,
+             CASE WHEN n >= 2 AND nbad = 0 AND gx <> 0
+                  THEN CAST(floor(sqrt(greatest(CAST(stt AS DOUBLE)
+                           - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(n AS DOUBLE),
+                           0.0)
+                         * (CAST(n AS DOUBLE) - 1.0) / CAST(n AS DOUBLE))
+                         * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0
+             END AS se_jack
+      FROM a ORDER BY event_type""",
+
+    // q241: wedges at each shared neighbor (deg <= 1024), per-z 1/ln(deg)
+    // 1e-9-quantized then decimal-summed, anti-join against the edge set,
+    // exact-decimal top-20.
+    "q241_adamic_adar" -> """
+      WITH raw AS (SELECT doc_id % 100 AS s, (doc_id * 31 + 7) % 100 AS d FROM documents),
+      und AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+              FROM raw WHERE s <> d),
+      deg AS (SELECT n AS node, CAST(count(*) AS BIGINT) AS degree
+              FROM (SELECT a AS n FROM und UNION ALL SELECT b FROM und) GROUP BY n),
+      nbr AS (SELECT t.z, t.nbr,
+                     CAST(CAST(floor(1.0 / ln(CAST(degree AS DOUBLE))
+                         * 1000000000.0 + 0.5) AS DOUBLE)
+                       / 1000000000.0 AS DECIMAL(18,9)) AS term
+              FROM (SELECT a AS z, b AS nbr FROM und
+                    UNION ALL SELECT b AS z, a AS nbr FROM und) t
+              JOIN deg ON t.z = deg.node
+              WHERE degree >= 2 AND degree <= 1024),
+      w AS (SELECT l.nbr AS a, r.nbr AS b, l.term AS term
+            FROM nbr l JOIN nbr r ON l.z = r.z AND l.nbr < r.nbr),
+      sc AS (SELECT a, b, CAST(count(*) AS BIGINT) AS common_neighbors,
+                    CAST(sum(term) AS DECIMAL(38,9)) AS aa
+             FROM w GROUP BY a, b),
+      missing AS (SELECT sc.a, sc.b, sc.common_neighbors, sc.aa
+                  FROM sc LEFT JOIN und ON sc.a = und.a AND sc.b = und.b
+                  WHERE und.a IS NULL)
+      SELECT a AS node_a, b AS node_b, common_neighbors,
+             CAST(floor(CAST(aa AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE)
+               / 1000000.0 AS adamic_adar
+      FROM missing ORDER BY aa DESC, a, b LIMIT 20""",
+
+    // q242: exact decimal prefix sums per key, per-split two-sided SSE in
+    // doubles, earliest-time argmin.
+    "q242_changepoint" -> """
+      WITH daily AS (SELECT event_type AS g,
+                            date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS t,
+                            count(*) AS cnt
+                     FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+      b AS (SELECT g, t, CAST(cnt AS DECIMAL(18,2)) AS v FROM daily),
+      w AS (SELECT g, t,
+                   CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n,
+                   CAST(sum(v) OVER (PARTITION BY g) AS DECIMAL(38,8)) AS s,
+                   CAST(sum(CAST(v * v AS DECIMAL(38,8)))
+                     OVER (PARTITION BY g) AS DECIMAL(38,8)) AS ss,
+                   CAST(count(*) OVER cw AS BIGINT) AS nl,
+                   CAST(sum(v) OVER cw AS DECIMAL(38,8)) AS sl,
+                   CAST(sum(CAST(v * v AS DECIMAL(38,8))) OVER cw AS DECIMAL(38,8)) AS ssl
+            FROM b
+            WINDOW cw AS (PARTITION BY g ORDER BY t
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      cand AS (SELECT *,
+                      (CAST(ssl AS DOUBLE) - CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE)
+                         / CAST(nl AS DOUBLE))
+                      + (CAST(ss AS DOUBLE) - CAST(ssl AS DOUBLE)
+                         - (CAST(s AS DOUBLE) - CAST(sl AS DOUBLE))
+                           * (CAST(s AS DOUBLE) - CAST(sl AS DOUBLE))
+                           / CAST(n - nl AS DOUBLE)) AS cost
+               FROM w WHERE n >= 4 AND nl >= 1 AND nl < n),
+      best AS (SELECT * FROM (
+                 SELECT *, row_number() OVER (PARTITION BY g ORDER BY cost, t) AS rn
+                 FROM cand) WHERE rn = 1)
+      SELECT g AS event_type, n, t AS split_t,
+             CAST(floor((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                   / CAST(n AS DOUBLE)) * 1000000.0 + 0.5) AS DOUBLE)
+               / 1000000.0 AS sse_total,
+             CAST(floor(cost * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS sse_split,
+             CASE WHEN CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                         / CAST(n AS DOUBLE) > 0.0
+                  THEN CAST(floor((1.0 - cost / (CAST(ss AS DOUBLE)
+                         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+                         * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0
+             END AS drop_frac
+      FROM best ORDER BY event_type""",
+
+    // q243: centered 7-row trend (full windows only), per-phase seasonal
+    // means over 1e-6-quantized detrended values summed as decimal.
+    "q243_stl" -> """
+      WITH daily AS (SELECT event_type AS g,
+                            date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+                            count(*) AS cnt
+                     FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+      b AS (SELECT g, day, CAST(cnt AS DECIMAL(18,2)) AS v FROM daily),
+      w AS (SELECT g, day, v,
+                   CAST(count(*) OVER cw AS BIGINT) AS wn,
+                   CAST(sum(v) OVER cw AS DECIMAL(38,8)) AS ws
+            FROM b
+            WINDOW cw AS (PARTITION BY g ORDER BY day
+                          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      tr AS (SELECT g, day, v,
+                    CASE WHEN wn = 7
+                         THEN CAST(floor(CAST(ws AS DOUBLE) / 7.0 * 1000000.0 + 0.5)
+                                AS DOUBLE) / 1000000.0
+                    END AS trend
+             FROM w),
+      dt AS (SELECT *,
+                    CAST(floor((CAST(v AS DOUBLE) - trend) * 1000000.0 + 0.5) AS DOUBLE)
+                      / 1000000.0 AS detr,
+                    day % 7 AS phase
+             FROM tr),
+      seas AS (SELECT g, phase,
+                      CAST(floor(CAST(sum(CAST(detr AS DECIMAL(18,6))) AS DOUBLE)
+                          / CAST(count(*) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE)
+                        / 1000000.0 AS seasonal
+               FROM dt WHERE trend IS NOT NULL GROUP BY g, phase)
+      SELECT dt.g AS event_type, dt.day, CAST(dt.v AS DOUBLE) AS value, dt.trend,
+             CASE WHEN dt.trend IS NOT NULL THEN seas.seasonal END AS seasonal,
+             CASE WHEN dt.trend IS NOT NULL
+                  THEN CAST(floor((dt.detr - seas.seasonal) * 1000000.0 + 0.5) AS DOUBLE)
+                    / 1000000.0
+             END AS remainder
+      FROM dt LEFT JOIN seas ON dt.g = seas.g AND dt.phase = seas.phase
+      ORDER BY event_type, day""",
 
     // q232: the same planted corruption, decimal(18,2)->decimal(38,2)
     // sums, violation filter, and status classes.

@@ -12,15 +12,17 @@ import org.apache.spark.sql.functions._
   * clean run here is evidence the plans hold past the gate SF, not just on
   * it. Wall times print per stage; any stage exploding superlinearly in
   * `mult` is the finding.
-  * `runMain graft.tools.ScaleSmoke [mult] [sfDir] [stageSubstring]` — the
-  * optional third arg runs only stages whose name contains it (case-
-  * insensitive), for iterating on a new stage without replaying the list.
+  * `runMain graft.tools.ScaleSmoke [mult] [sfDir] [substr1,substr2,…]` —
+  * the optional third arg runs only stages whose name contains one of the
+  * comma-separated substrings (case-insensitive), for iterating on new
+  * stages without replaying the list.
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val mult = args.headOption.map(_.toInt).getOrElse(16)
     val sfDir = args.drop(1).headOption.getOrElse("/root/testdata/sf0.1")
-    val only = args.drop(2).headOption.map(_.toLowerCase)
+    val only = args.drop(2).headOption
+      .map(_.toLowerCase.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
     val spark = GraftSession.local("graft-scale-smoke")
 
     // UNTIMED inter-stage cleanup, the Bench.scala §8.0 harness: 80+
@@ -36,7 +38,7 @@ object ScaleSmoke {
     // action, so the new RDD id is indistinguishable from stage litter)
     // passes `keepNew = true` and owns the unpersist itself.
     def time(name: String, keepNew: Boolean = false)(df: => DataFrame): Unit = {
-      if (only.exists(f => !name.toLowerCase.contains(f))) return
+      if (only.exists(fs => !fs.exists(name.toLowerCase.contains))) return
       val preexisting = spark.sparkContext.getPersistentRDDs.keySet
       val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
@@ -906,6 +908,78 @@ object ScaleSmoke {
             + (col("doc_id") % 20) * 2) % 40).cast("string")).as("dst")),
         "src", "dst", seeds = Seq("s0", "s1"),
         pprIterations = 2, coreK = 25, coreIterations = 2))
+
+    // --- round-11c: inference / link-prediction / decomposition ----------
+    locally {
+      val evs = widen(Tables.events(spark, sfDir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("ts")), "event_id")
+      // Spearman over widened lineitem: the two rank windows are the
+      // per-group funnel (enum groups, the window-op contract); sums are
+      // map-side combined.
+      time("spearman (widened lineitem)")(
+        graft.operators.Inference.spearmanByGroup(
+          widen(Tables.lineitem(spark, sfDir)
+            .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"),
+              col("l_extendedprice")), "l_orderkey"),
+          Seq("l_returnflag"), "l_quantity", "l_extendedprice"))
+      // Welch + ANOVA: single map-side-combined scalar aggregations —
+      // must be shuffle-free-flat in mult.
+      time("welch t (hash arms)") {
+        val users = evs.groupBy(col("user_id")).agg(count(lit(1)).as("engagement"))
+        graft.operators.Inference.welchTTest(
+          Sampling.hashSplit(users, "user_id", Seq("a" -> 0.5, "b" -> 0.5), "exp1"),
+          "split", "engagement", "a", "b")
+      }
+      time("anova (event types)")(
+        graft.operators.Inference.anovaOneWay(
+          evs.select(col("event_type"), col("value")), "event_type", "value"))
+      // Kendall rides the capPerKey bound: candidate pairs are FIXED at
+      // k²/2 per group no matter the corpus — cost must flatten, only the
+      // cap scan growing with mult.
+      time("kendall tau (capped 150/group)") {
+        val e = evs.filter(col("value").isNotNull && col("ts").isNotNull)
+          .select(col("event_type"), col("event_id"), col("value"),
+            datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+              .cast("long").as("day"))
+        graft.operators.Inference.kendallTauB(
+          Skew.capPerKey(e, Seq("event_type"), "event_id", 150),
+          Seq("event_type"), "event_id", "value", "day")
+      }
+      // Ratio jackknife: unit aggregation is the corpus-linear part; the
+      // per-group window runs over the user-shaped unit frame.
+      time("ratio jackknife (value/event)") {
+        val units = evs.filter(col("value").isNotNull)
+          .groupBy(col("event_type"), col("user_id"))
+          .agg(sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)")
+            .as("value_sum"), count(lit(1)).as("n_events"))
+        graft.operators.Inference.ratioJackknife(units, Seq("event_type"),
+          "value_sum", "n_events")
+      }
+      // Changepoint + STL over the daily series: the aggregation is
+      // corpus-linear, the window frames ride the fixed day grid.
+      val daily = evs.filter(col("ts").isNotNull)
+        .groupBy(col("event_type"),
+          datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+            .cast("long").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      time("changepoint (daily series)")(
+        graft.operators.TimeSeries.changepoint(daily, Seq("event_type"), "day", "cnt"))
+      time("stl decompose (daily series)")(
+        graft.operators.TimeSeries.stlDecompose(daily, Seq("event_type"), "day", "cnt"))
+    }
+    // Adamic–Adar on the label-prop node-space-growing graph: wedge count
+    // is Σdeg² on the BLOCK grid — per-block degrees are fixed, blocks
+    // multiply, so growth must track edges.
+    time("adamic-adar (block graph)")(
+      graft.operators.Graph.adamicAdar(
+        docs.select(col("doc_id").as("src"),
+          (col("doc_id") - (col("doc_id") % 100)
+            + ((col("doc_id") * 31 + 7) % 100)).as("dst")),
+        "src", "dst", maxDegree = 1024, topK = 20))
+    // Class weights: one count aggregation + a k-row reduction.
+    time("class weights (langs)")(
+      Sampling.classWeights(docs, "lang"))
 
     spark.stop()
   }

@@ -255,4 +255,34 @@ class GraphSpec extends AnyFunSuite {
       Graph.labelPropagation(edges, "s", "d", iterations = 0)
     }
   }
+
+  test("adamic-adar: path graph predicts the closing link with the 1/ln(deg) weight") {
+    // 1-2-3: only non-adjacent pair sharing a neighbor is (1,3) through
+    // node 2 (deg 2) -> AA = 1/ln(2); degree-1 endpoints generate no wedge
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("s", "d")
+    val got = Graph.adamicAdar(edges, "s", "d")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 3L, 1L,
+      graft.functions.Quantize.scaledFloorDouble(
+        graft.functions.Quantize.scaledFloorDouble(1.0 / math.log(2.0), 9), 6))))
+  }
+
+  test("adamic-adar: existing edges are excluded; two shared neighbors sum terms") {
+    // square 1-2-3-4-1: (1,3) share {2,4}, (2,4) share {1,3}; all degs 2
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("s", "d")
+    val got = Graph.adamicAdar(edges, "s", "d")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val term = graft.functions.Quantize.scaledFloorDouble(1.0 / math.log(2.0), 9)
+    val aa = graft.functions.Quantize.scaledFloorDouble(2 * term, 6)
+    assert(got == Set((1L, 3L, 2L, aa), (2L, 4L, 2L, aa)))
+  }
+
+  test("adamic-adar: maxDegree drops super-hub generators entirely") {
+    // star center 0 with leaves 1..3: all wedges go through 0 (deg 3)
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("s", "d")
+    assert(Graph.adamicAdar(edges, "s", "d", maxDegree = 2).count() == 0L)
+    assert(Graph.adamicAdar(edges, "s", "d", maxDegree = 3).count() == 3L)
+    intercept[IllegalArgumentException](Graph.adamicAdar(edges, "s", "d", maxDegree = 1))
+    intercept[IllegalArgumentException](Graph.adamicAdar(edges, "s", "d", topK = 0))
+  }
 }

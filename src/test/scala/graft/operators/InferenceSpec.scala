@@ -1,0 +1,127 @@
+package graft.operators
+
+import graft.TestSpark
+import graft.functions.Quantize.scaledFloorDouble
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class InferenceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---- spearmanByGroup -----------------------------------------------
+
+  test("spearman: perfect monotone association is ±1 regardless of magnitudes") {
+    val df = Seq(("g", 1.0, 10.0), ("g", 2.0, 1000.0), ("g", 3.0, 1e6),
+      ("h", 1.0, 5.0), ("h", 2.0, 4.0), ("h", 3.0, 3.0)).toDF("g", "x", "y")
+    val r = Inference.spearmanByGroup(df, Seq("g"), "x", "y")
+      .as[(String, Long, Option[Double])].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(r("g") == ((3L, Some(1.0))) && r("h") == ((3L, Some(-1.0))))
+  }
+
+  test("spearman: average ranks on ties (hand-computed 3-point case)") {
+    // x = [1,1,2] -> avg ranks [1.5,1.5,3]; y = [1,2,3] -> [1,2,3]
+    // rho = 6/sqrt(6*8) = 0.866025403...
+    val df = Seq(("g", 1.0, 1.0), ("g", 1.0, 2.0), ("g", 2.0, 3.0)).toDF("g", "x", "y")
+    val Some(rho) = Inference.spearmanByGroup(df, Seq("g"), "x", "y")
+      .as[(String, Long, Option[Double])].collect().head._3
+    assert(rho == scaledFloorDouble(6.0 / math.sqrt(48.0), 6))
+  }
+
+  test("spearman: a constant side yields null (no variance in ranks)") {
+    val df = Seq(("g", 1.0, 1.0), ("g", 1.0, 2.0), ("g", 1.0, 3.0)).toDF("g", "x", "y")
+    assert(Inference.spearmanByGroup(df, Seq("g"), "x", "y")
+      .as[(String, Long, Option[Double])].collect().head._3.isEmpty)
+  }
+
+  // ---- welchTTest ----------------------------------------------------
+
+  test("welch t: hand-computed unequal-variance two-sample case") {
+    // a = [1,2,3]: mean 2, var 1; b = [2,4,6,8]: mean 5, var 20/3
+    // se2 = 1/3 + 5/3 = 2; t = -3/sqrt(2); df Welch-Satterthwaite
+    val df = (Seq(1, 2, 3).map(("a", _)) ++ Seq(2, 4, 6, 8).map(("b", _)))
+      .toDF("arm", "v")
+    val row = Inference.welchTTest(df, "arm", "v", "a", "b").collect().head
+    assert(row.getLong(0) == 3L && row.getLong(1) == 4L)
+    assert(row.getDouble(2) == 2.0 && row.getDouble(3) == 5.0)
+    val sea = 1.0 / 3.0; val seb = (20.0 / 3.0) / 4.0
+    assert(row.getDouble(4) == scaledFloorDouble((2.0 - 5.0) / math.sqrt(sea + seb), 6))
+    assert(row.getDouble(5) == scaledFloorDouble(
+      (sea + seb) * (sea + seb) / (sea * sea / 2.0 + seb * seb / 3.0), 6))
+  }
+
+  test("welch t: n < 2 in an arm yields null statistics, means still emitted") {
+    val df = Seq(("a", 1), ("b", 2), ("b", 4)).toDF("arm", "v")
+    val row = Inference.welchTTest(df, "arm", "v", "a", "b").collect().head
+    assert(row.isNullAt(4) && row.isNullAt(5) && row.getDouble(2) == 1.0)
+  }
+
+  // ---- anovaOneWay ---------------------------------------------------
+
+  test("anova: hand-computed two-group case (SSB 13.5, SSW 4, F 13.5)") {
+    val df = (Seq(1, 2, 3).map(("g1", _)) ++ Seq(4, 5, 6).map(("g2", _)))
+      .toDF("g", "v")
+    val row = Inference.anovaOneWay(df, "g", "v").collect().head
+    assert(row.getLong(0) == 2L && row.getLong(1) == 6L)
+    assert(row.getDouble(2) == 13.5 && row.getDouble(3) == 4.0)
+    assert(row.getDouble(4) == 13.5)
+  }
+
+  test("anova: zero within-group variance yields null F") {
+    val df = Seq(("g1", 1), ("g1", 1), ("g2", 2), ("g2", 2)).toDF("g", "v")
+    assert(Inference.anovaOneWay(df, "g", "v").collect().head.isNullAt(4))
+  }
+
+  // ---- kendallTauB ---------------------------------------------------
+
+  test("kendall tau-b: perfect concordance is 1; tie-corrected case matches hand count") {
+    val perfect = Seq(("g", 1L, 1.0, 1.0), ("g", 2L, 2.0, 2.0), ("g", 3L, 3.0, 3.0))
+      .toDF("g", "id", "x", "y")
+    val p = Inference.kendallTauB(perfect, Seq("g"), "id", "x", "y").collect().head
+    assert(p.getLong(2) == 3L && p.getLong(3) == 3L && p.getLong(4) == 0L)
+    assert(p.getDouble(5) == 1.0)
+    // (1,1),(1,2),(2,3): C=2, D=0, tied-x-only=1, tied-y-only=0
+    // tau = 2/sqrt((2+0)*(2+1)) = 2/sqrt(6)
+    val tied = Seq(("g", 1L, 1.0, 1.0), ("g", 2L, 1.0, 2.0), ("g", 3L, 2.0, 3.0))
+      .toDF("g", "id", "x", "y")
+    val t = Inference.kendallTauB(tied, Seq("g"), "id", "x", "y").collect().head
+    assert(t.getLong(3) == 2L && t.getLong(4) == 0L)
+    assert(t.getDouble(5) == scaledFloorDouble(2.0 / math.sqrt(6.0), 6))
+  }
+
+  test("kendall tau-b: single-row group emits zero pairs and null tau") {
+    val df = Seq(("g", 1L, 1.0, 1.0)).toDF("g", "id", "x", "y")
+    val r = Inference.kendallTauB(df, Seq("g"), "id", "x", "y").collect().head
+    assert(r.getLong(1) == 1L && r.getLong(2) == 0L && r.isNullAt(5))
+  }
+
+  // ---- ratioJackknife ------------------------------------------------
+
+  test("ratio jackknife: proportional units have zero SE; hand-computed spread case") {
+    val prop = Seq(("g", 2, 1), ("g", 4, 2), ("g", 6, 3)).toDF("g", "y", "x")
+    val p = Inference.ratioJackknife(prop, Seq("g"), "y", "x").collect().head
+    assert(p.getDouble(2) == 2.0 && p.getDouble(3) == 0.0)
+    // units (1,1),(3,1): theta = 2, pseudo-values 3 and 1 ->
+    // SE^2 = (n-1)/n * sum(dev^2) = 0.5 * 2 = 1
+    val spread = Seq(("g", 1, 1), ("g", 3, 1)).toDF("g", "y", "x")
+    val s = Inference.ratioJackknife(spread, Seq("g"), "y", "x").collect().head
+    assert(s.getDouble(2) == 2.0 && s.getDouble(3) == 1.0)
+  }
+
+  test("ratio jackknife: a zero leave-one-out denominator nulls the SE, not theta") {
+    val df = Seq(("g", 1, 0), ("g", 1, 1)).toDF("g", "y", "x")
+    val r = Inference.ratioJackknife(df, Seq("g"), "y", "x").collect().head
+    assert(r.getDouble(2) == 2.0 && r.isNullAt(3))
+  }
+
+  test("parameter guards fail loudly") {
+    val df = Seq(("g", 1.0, 1.0)).toDF("g", "x", "y")
+    intercept[IllegalArgumentException](
+      Inference.spearmanByGroup(df, Seq.empty, "x", "y"))
+    intercept[IllegalArgumentException](
+      Inference.kendallTauB(df, Seq.empty, "g", "x", "y"))
+    intercept[IllegalArgumentException](
+      Inference.ratioJackknife(df, Seq.empty, "x", "y"))
+  }
+}

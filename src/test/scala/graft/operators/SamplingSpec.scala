@@ -506,4 +506,23 @@ class SamplingSpec extends AnyFunSuite {
     assert(kept.filter(_._2 == "a").map(_._1).toSet ==
       dropped.filter(_._2 == "a").map(_._1).toSet)
   }
+
+  test("classWeights: hand-computed inverse-frequency and ENS weights at beta=0.5") {
+    import graft.functions.Quantize.scaledFloorDouble
+    // a x2, b x6: inv_a = 8/(2*2) = 2, inv_b = 8/12; ENS at beta=0.5:
+    // E_a = (1-0.25)/0.5 = 1.5, E_b = (1-2^-6)/0.5 = 1.96875
+    val df = (Seq.fill(2)("a") ++ Seq.fill(6)("b")).toDF("c")
+    val got = classWeightsOf(df)
+    def raw(n: Int) = scaledFloorDouble(0.5 / (1.0 - math.pow(0.5, n.toDouble)), 9)
+    val sraw = raw(2) + raw(6) // exact decimal sum of two 1e-9-grid values
+    assert(got("a") == ((2L, 2.0, scaledFloorDouble(2.0 * raw(2) / sraw, 6))))
+    assert(got("b") == ((6L, scaledFloorDouble(8.0 / 12.0, 6),
+      scaledFloorDouble(2.0 * raw(6) / sraw, 6))))
+    intercept[IllegalArgumentException](Sampling.classWeights(df, "c", beta = 1.0))
+  }
+
+  private def classWeightsOf(df: org.apache.spark.sql.DataFrame) =
+    Sampling.classWeights(df, "c", beta = 0.5)
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
 }

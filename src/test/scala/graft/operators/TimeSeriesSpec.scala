@@ -201,4 +201,58 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(got(2) == (("a", 2, 2L, 0L, 1.0, 0.0, Some(0.0), true)))
     assert(got(3) == (("a", 3, 4L, 2L, 2.0, 2.0, Some(1.0), false)))
   }
+
+  test("changepoint: clean level shift is localized exactly with zero split SSE") {
+    // [0,0,0,10,10,10]: split after day 2 -> both sides constant
+    val s = Seq(("k", 0L, 0), ("k", 1L, 0), ("k", 2L, 0),
+      ("k", 3L, 10), ("k", 4L, 10), ("k", 5L, 10)).toDF("k", "t", "v")
+    val r = TimeSeries.changepoint(s, Seq("k"), "t", "v").collect().head
+    assert(r.getLong(1) == 6L && r.getLong(2) == 2L)
+    assert(r.getDouble(3) == 150.0 && r.getDouble(4) == 0.0 && r.getDouble(5) == 1.0)
+  }
+
+  test("changepoint: constant series has zero total SSE and null drop fraction") {
+    val s = Seq(("k", 0L, 5), ("k", 1L, 5), ("k", 2L, 5), ("k", 3L, 5))
+      .toDF("k", "t", "v")
+    val r = TimeSeries.changepoint(s, Seq("k"), "t", "v").collect().head
+    // all splits cost 0 -> earliest-time tie-break picks the first candidate
+    assert(r.getLong(2) == 0L && r.getDouble(3) == 0.0 && r.isNullAt(5))
+  }
+
+  test("changepoint: keys with fewer than 4 points emit nothing") {
+    val s = Seq(("k", 0L, 1), ("k", 1L, 2), ("k", 2L, 3)).toDF("k", "t", "v")
+    assert(TimeSeries.changepoint(s, Seq("k"), "t", "v").count() == 0L)
+    intercept[IllegalArgumentException](
+      TimeSeries.changepoint(s, Seq.empty, "t", "v"))
+  }
+
+  test("stl: constant series decomposes to trend=v, seasonal=0, remainder=0; edges null") {
+    val s = (0L to 13L).map(d => ("k", d, 5)).toDF("k", "day", "v")
+    val got = TimeSeries.stlDecompose(s, Seq("k"), "day", "v")
+      .as[(String, Long, Double, Option[Double], Option[Double], Option[Double])]
+      .collect().sortBy(_._2)
+    assert(got.length == 14)
+    got.foreach { case (_, d, v, tr, se, re) =>
+      assert(v == 5.0)
+      if (d >= 3 && d <= 10) assert(tr.contains(5.0) && se.contains(0.0) && re.contains(0.0))
+      else assert(tr.isEmpty && se.isEmpty && re.isEmpty)
+    }
+  }
+
+  test("stl: a weekly sawtooth lands entirely in the seasonal component") {
+    // period-7 pattern [0,7,14,21,28,35,42] repeated: centered 7-row mean is
+    // constant 21 wherever the window is full, so detrended = seasonal exactly
+    val s = (0L to 20L).map(d => ("k", d, (d % 7).toInt * 7)).toDF("k", "day", "v")
+    val got = TimeSeries.stlDecompose(s, Seq("k"), "day", "v")
+      .as[(String, Long, Double, Option[Double], Option[Double], Option[Double])]
+      .collect().filter(_._4.nonEmpty).sortBy(_._2)
+    assert(got.nonEmpty)
+    got.foreach { case (_, d, _, tr, se, re) =>
+      assert(tr.contains(21.0))
+      assert(se.contains((d % 7).toDouble * 7 - 21.0))
+      assert(re.contains(0.0))
+    }
+    intercept[IllegalArgumentException](
+      TimeSeries.stlDecompose(s, Seq("k"), "day", "v", period = 6))
+  }
 }

@@ -251,7 +251,52 @@ class PlanAuditSpec extends AnyFunSuite {
     "q213_weighted_sample" -> (0, 0, 1),
     // q214: the 1-row histogram-totals scalar crossJoined into the
     // bins-sized smoothing projection (q153's exact class).
-    "q214_psi" -> (0, 1, 1)
+    "q214_psi" -> (0, 1, 1),
+    // q217: the 1-row (n_a, n_b) totals scalar crossJoined into the
+    // value-grid cumulative frame (q35's N class — the BNLJ and its
+    // broadcast). The value grid itself collapses in its own aggregation.
+    "q217_ks_test" -> (0, 1, 1),
+    // q220: two 1-row distinct-day scalars (pre / post observation spans)
+    // crossJoined into the |keys|·24-slot rate frame — q35's N class ×2.
+    "q220_seasonal_baseline" -> (0, 2, 2),
+    // q221: the 1-row totals scalar crossJoined into the coincidence
+    // frame; the value-marginal table is |distinct labels|-sized (rater
+    // scales are enum-bounded by contract) — q171's marginal class.
+    "q221_krippendorff" -> (0, 1, 1),
+    // q223: the contingency assembly — the 1-row grand-total scalar
+    // crossJoined into the cell grid and BOTH marginal entropy grids, and
+    // the final 1-row assembly crossJoining four 1-row aggregates
+    // (cell-sum, H_x, H_y, cardinalities). Every flagged side is 1 row or
+    // |card_x × card_y| (categorical-enum bounded by contract); the
+    // corpus stream collapses in the FIRST keyed aggregation.
+    "q223_mutual_info" -> (0, 8, 8),
+    // q225: the 1-row CI-bounds aggregate crossJoined back onto the 1-row
+    // point estimate (q35's scalar class).
+    "q225_bootstrap_ci" -> (0, 1, 1),
+    // q227: the 1-row cohort-total scalar crossJoined into the
+    // |distinct durations|-sized life table (q35's N class).
+    "q227_kaplan_meier" -> (0, 1, 1),
+    // q228: the two 1-row aggregates (intra-community edge count,
+    // degree-mass sum) crossJoined onto the 1-row edge total — all
+    // scalar by construction (q35's class ×2).
+    "q228_modularity" -> (0, 2, 2),
+    // q231: the 1-row RFM quintile-cuts aggregate (three 4-element
+    // percentile arrays) broadcast back into the per-user scoring
+    // projection — q37's boundary-table class (the max-date anchor's
+    // crossJoin is absorbed by the localCheckpoint leaf).
+    "q231_rfm" -> (0, 1, 1),
+    // q235: three scalar crossJoins — the checkpointed 1-row observed
+    // aggregate into the permutation fan-out and twice into the final
+    // assembly (q103's repeated-scalar class); the only derived broadcast
+    // is the 1-row permutation p-value summary.
+    "q235_permutation_test" -> (0, 3, 1),
+    // q243: the |keys|·period seasonal table (enum-sized by the grouping
+    // key and the period knob) explicitly broadcast back into the
+    // decomposition projection — the q37 boundary-table class.
+    "q243_stl" -> (0, 0, 1),
+    // q244: the 1-row (k, N, Σraw) totals aggregate crossJoined back into
+    // the k-row class frame (q35's N class — the BNLJ and its broadcast).
+    "q244_class_weights" -> (0, 1, 1)
   )
 
   test("no query plans an unjustified cartesian / BNLJ / derived broadcast, and none a ScalaUDF") {
