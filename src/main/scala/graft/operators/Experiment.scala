@@ -184,4 +184,82 @@ object Experiment {
       (abs((na - (na + nb) * lit(pA)) /
         sqrt((na + nb) * lit(pA) * lit(1.0 - pA))) > 3.0).as("srm_flag"))
   }
+
+  /** Stratified nearest-score matching — the observational-data companion
+    * to the randomized readouts above: each treated unit is matched (WITH
+    * replacement) to the control whose score is nearest within its
+    * stratum, matches farther than `caliper` are discarded, and the
+    * output is the matched-pairs ATT `mean(y_treated − y_matched)` per
+    * stratum — the propensity-score-matching estimator with a
+    * deterministic, engine-reproducible match rule.
+    *
+    * Match rule: units sort by (score, is_treated, id) within the stratum
+    * (controls before treated at equal score, so a same-score control
+    * matches at distance 0); each treated row takes the last preceding
+    * and first following CONTROL (ignore-nulls window picks), chooses the
+    * nearer by exact decimal distance (ties → preceding), and keeps the
+    * match iff distance ≤ caliper. Every step is a total-order window or
+    * an exact decimal comparison — any engine replays it bitwise.
+    *
+    * Scale contract: one window pair per stratum — strata must be
+    * enum-sized (the spearman funnel contract); nothing unit-shaped is
+    * broadcast or collected. ATT sums exact decimal outcome diffs and
+    * divides once. Output: (strata…, n_treated, n_matched, att) — att
+    * null when nothing matched.
+    */
+  def matchedOutcomes(
+      units: DataFrame,
+      strataCols: Seq[String],
+      idCol: String,
+      treatedCol: String,
+      scoreCol: String,
+      outcomeCol: String,
+      caliper: Double,
+      decimalScale: Int = 2
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(strataCols.nonEmpty, "at least one stratum column is required")
+    require(caliper > 0.0, s"caliper must be positive, got $caliper")
+    val keys = strataCols.map(col)
+    val base = units
+      .filter(col(scoreCol).isNotNull && col(outcomeCol).isNotNull &&
+        col(treatedCol).isNotNull)
+      .select(keys :+ col(idCol).as("__id")
+        :+ col(treatedCol).cast("boolean").as("__t")
+        :+ col(scoreCol).cast(s"decimal(18,$decimalScale)").as("__s")
+        :+ col(outcomeCol).cast(s"decimal(18,$decimalScale)").as("__y"): _*)
+    val ord = Window.partitionBy(keys: _*)
+      .orderBy(col("__s"), col("__t").cast("int"), col("__id"))
+    val prevW = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val nextW = ord.rowsBetween(1, Window.unboundedFollowing)
+    val ctrlS = when(!col("__t"), col("__s"))
+    val ctrlY = when(!col("__t"), col("__y"))
+    val cal = lit(caliper).cast(s"decimal(18,$decimalScale)")
+    val scored = base
+      .withColumn("__ps", last(ctrlS, ignoreNulls = true).over(prevW))
+      .withColumn("__py", last(ctrlY, ignoreNulls = true).over(prevW))
+      .withColumn("__ns", first(ctrlS, ignoreNulls = true).over(nextW))
+      .withColumn("__ny", first(ctrlY, ignoreNulls = true).over(nextW))
+      .filter(col("__t"))
+      .withColumn("__dp", col("__s") - col("__ps"))
+      .withColumn("__dn", col("__ns") - col("__s"))
+      .withColumn("__usePrev",
+        col("__ps").isNotNull &&
+          (col("__ns").isNull || col("__dp") <= col("__dn")))
+      .withColumn("__d",
+        when(col("__usePrev"), col("__dp")).otherwise(col("__dn")))
+      .withColumn("__my",
+        when(col("__usePrev"), col("__py")).otherwise(col("__ny")))
+      .withColumn("__ok", col("__d").isNotNull && col("__d") <= cal)
+    scored.groupBy(keys: _*)
+      .agg(count(lit(1)).as("n_treated"),
+        sum(when(col("__ok"), 1L).otherwise(0L)).as("n_matched"),
+        sum(when(col("__ok"), col("__y") - col("__my")))
+          .cast("decimal(38,8)").as("__sd"))
+      .select(keys :+ col("n_treated") :+ col("n_matched")
+        :+ when(col("n_matched") > 0,
+          graft.functions.Quantize.scaledFloor(
+            col("__sd").cast("double") / col("n_matched").cast("double"), 6))
+          .as("att"): _*)
+  }
 }

@@ -702,4 +702,75 @@ object Sampling {
         q6(col("__k").cast("double") * col("__raw").cast("double") /
           col("__sraw").cast("double")).as("ens_weight"))
   }
+
+  /** Raking (iterative proportional fitting, Deming & Stephan 1940):
+    * per-cell weights over a two-way categorical grid such that the
+    * WEIGHTED marginals match target shares on both axes — the survey /
+    * corpus reweighting standard when you know the population mix you
+    * want (lang share, source share) but can only adjust at the cell
+    * level. A fixed iteration count keeps the operator deterministic and
+    * the oracle unrollable (the labelPropagation contract); IPF converges
+    * geometrically, so a handful of rounds lands within the 1e-9 grid.
+    *
+    * Each round rescales row-then-column: `w ← ⌊(T_axis/Σ_axis w·n) · w⌋₉`
+    * with the axis sums EXACT (decimal products of 1e-9-grid weights and
+    * integer counts) and the update quantized back to the 1e-9 grid — so
+    * every iteration is engine-reproducible. Cells outside the listed
+    * categories are dropped (epochMix whitelist semantics); shares must
+    * each sum to 1 ± 1e-9.
+    *
+    * Scale shape: ONE corpus-linear counting aggregation; iterations run
+    * on the |rows|·|cols| enum grid (per-axis window sums over grid-sized
+    * partitions). Output: (rowCol, colCol, n, weight), weight on the 1e-9
+    * grid as a double.
+    */
+  def rakeWeights(
+      df: DataFrame,
+      rowCol: String,
+      colCol: String,
+      rowShares: Seq[(String, Double)],
+      colShares: Seq[(String, Double)],
+      iterations: Int = 3
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(iterations >= 1 && iterations <= 8, s"iterations=$iterations out of [1, 8]")
+    def checkShares(nm: String, s: Seq[(String, Double)]): Unit = {
+      require(s.nonEmpty && s.forall(_._2 > 0.0), s"$nm shares must be positive")
+      require(math.abs(s.map(_._2).sum - 1.0) < 1e-9, s"$nm shares must sum to 1")
+      require(s.map(_._1).distinct.size == s.size, s"$nm categories must be unique")
+    }
+    checkShares("row", rowShares); checkShares("col", colShares)
+    def shareExpr(shares: Seq[(String, Double)], c: Column): Column =
+      shares.tail.foldLeft(when(c === shares.head._1, lit(shares.head._2))) {
+        case (acc, (k, v)) => acc.when(c === k, lit(v))
+      }
+    val q9 = (c: Column) => graft.functions.Quantize.scaledFloor(c, 9)
+    val grid = df
+      .filter(col(rowCol).isin(rowShares.map(_._1): _*) &&
+        col(colCol).isin(colShares.map(_._1): _*))
+      .groupBy(col(rowCol).as("__r"), col(colCol).as("__c"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("__N", sum(col("n")).over(Window.partitionBy(lit(1))))
+      .withColumn("__w", lit(1.0).cast("decimal(18,9)"))
+      .localCheckpoint(true) // grid-sized; the iteration base
+    def rescale(cur: DataFrame, axis: String, shares: Seq[(String, Double)]): DataFrame =
+      cur
+        .withColumn("__axsum",
+          // n cast to decimal(10,0) FIRST: (18,9)×(20,0) would hit the
+          // 38-precision ceiling and Spark silently drops the scale to 8
+          // (rounding w·n to 1e-8) while other engines keep 1e-9 — the
+          // systematic half-grid divergence this round's verify caught
+          sum((col("__w") * col("n").cast("decimal(10,0)")).cast("decimal(38,9)"))
+            .over(Window.partitionBy(col(axis))).cast("decimal(38,9)"))
+        .withColumn("__w",
+          q9(shareExpr(shares, col(axis)) * col("__N").cast("double") /
+            col("__axsum").cast("double") * col("__w").cast("double"))
+            .cast("decimal(18,9)"))
+        .drop("__axsum")
+    val done = (1 to iterations).foldLeft(grid: DataFrame) { (cur, _) =>
+      rescale(rescale(cur, "__r", rowShares), "__c", colShares)
+    }
+    done.select(col("__r").as(rowCol), col("__c").as(colCol), col("n"),
+      col("__w").cast("double").as("weight"))
+  }
 }

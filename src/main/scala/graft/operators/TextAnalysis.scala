@@ -1763,4 +1763,70 @@ object TextAnalysis {
           coalesce(col("novel_grams"), lit(0L)) / col("total_grams").cast("double"), 4)
           .as("novelty"))
   }
+
+  /** Heaps'-law fit of vocabulary growth, `V(n) ≈ K·n^β` — the
+    * corpus-health scaling read: β far above the prose band (~0.4–0.6)
+    * means unbounded novel-token production (serial numbers, hashes —
+    * tokenizer poison); β collapsing toward 0 means template/duplication
+    * saturation. The same read drives "is more data still buying
+    * vocabulary" decisions before a tokenizer retrain.
+    *
+    * Growth curve WITHOUT a corpus-ordered window: docs bucket by id
+    * RANGE (integer arithmetic — engine-exact), per-bucket token totals
+    * and per-token FIRST bucket (one min aggregation over the token
+    * stream) give cumulative (tokens, vocab) over the `buckets`-row
+    * frame. β and K are the OLS fit on (ln n, ln V) with each log
+    * 1e-9-quantized and products summed as decimal — the theilSen grid
+    * discipline. Whitespace tokens (the q65 convention), empties dropped.
+    *
+    * Shape: two corpus-linear aggregations (bucket totals; per-token min
+    * bucket — vocabulary-shaped shuffle), then buckets-row windows. The
+    * id-range bucketing is uniform-id-sized — a sparse/skewed id space
+    * skews bucket SIZES, not correctness (the fit only needs increasing
+    * checkpoints; degenerate empty buckets are dropped). Output 1 row:
+    * (n_points, beta, k) — null fit when < 2 distinct checkpoints.
+    */
+  def heapsLaw(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      buckets: Int = 10
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(buckets >= 2 && buckets <= 1000, s"buckets=$buckets out of [2, 1000]")
+    val q9 = (c: Column) => graft.functions.Quantize.scaledFloor(c, 9)
+    val q6 = (c: Column) => graft.functions.Quantize.scaledFloor(c, 6)
+    val bounds = df.agg(min(col(idCol)).as("__lo"), max(col(idCol)).as("__hi"))
+    val toks = df.select(col(idCol), explode(split(col(textCol), " ")).as("__tok"))
+      .filter(length(col("__tok")) > 0)
+      .crossJoin(broadcast(bounds))
+      .select(expr(s"(($idCol - __lo) * $buckets) DIV (__hi - __lo + 1)").as("__b"),
+        col("__tok"))
+    val perBucket = toks.groupBy(col("__b")).agg(count(lit(1)).as("__nt"))
+    val firstBucket = toks.groupBy(col("__tok")).agg(min(col("__b")).as("__b"))
+      .groupBy(col("__b")).agg(count(lit(1)).as("__nv"))
+    val wCum = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pts = perBucket.join(firstBucket, Seq("__b"), "left")
+      .select(col("__b"), col("__nt"), coalesce(col("__nv"), lit(0L)).as("__nv"))
+      .withColumn("__cn", sum(col("__nt")).over(wCum))
+      .withColumn("__cv", sum(col("__nv")).over(wCum))
+      .filter(col("__cn") > 0 && col("__cv") > 0)
+      .select(q9(log(col("__cn").cast("double"))).cast("decimal(18,9)").as("__x"),
+        q9(log(col("__cv").cast("double"))).cast("decimal(18,9)").as("__y"))
+    val sums = pts.agg(count(lit(1)).as("n_points"),
+      sum(col("__x")).cast("decimal(38,9)").as("__sx"),
+      sum(col("__y")).cast("decimal(38,9)").as("__sy"),
+      sum((col("__x") * col("__y")).cast("decimal(38,18)")).as("__sxy"),
+      sum((col("__x") * col("__x")).cast("decimal(38,18)")).as("__sxx"))
+    def d(c: String) = col(c).cast("double")
+    val nD = col("n_points").cast("double")
+    val den = nD * d("__sxx") - d("__sx") * d("__sx")
+    val beta = (nD * d("__sxy") - d("__sx") * d("__sy")) / den
+    val logk = (d("__sy") - beta * d("__sx")) / nD
+    val ok = col("n_points") >= 2 && den =!= 0.0
+    sums.select(col("n_points"),
+      when(ok, q6(beta)).as("beta"),
+      when(ok, q6(exp(logk))).as("k"))
+  }
 }

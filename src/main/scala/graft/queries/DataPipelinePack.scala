@@ -2539,6 +2539,59 @@ object DataPipelinePack extends QueryPack {
         .orderBy(col("class"))
     }),
 
+    // Stratified nearest-score matched-pairs ATT: purchase's effect on
+    // total value, matching on engagement within user cohorts — the
+    // observational companion to the randomized q230/q237 reads.
+    "q245_matched_att" -> ((s, d) => {
+      val users = Tables.events(s, d).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("engagement"),
+          sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)")
+            .as("total_value"),
+          max(when(col("event_type") === "purchase", 1).otherwise(0)).as("treated"))
+        .withColumn("cohort", pmod(col("user_id"), lit(4L)))
+      graft.operators.Experiment.matchedOutcomes(users, Seq("cohort"), "user_id",
+        "treated", "engagement", "total_value", caliper = 5.0)
+        .orderBy(col("cohort"))
+    }),
+
+    // Raking (IPF) to uniform lang x source target marginals — the survey
+    // corpus-reweighting standard, 3 unrolled iterations.
+    "q246_raking" -> ((s, d) => {
+      Sampling.rakeWeights(Tables.documents(s, d), "lang", "source",
+        Seq("de", "en", "es", "fr", "zh").map(_ -> 0.2),
+        (0 until 20).map(i => s"src$i" -> 0.05),
+        iterations = 3)
+        .orderBy(col("lang"), col("source"))
+    }),
+
+    // Heaps'-law vocabulary-growth fit over id-range checkpoints.
+    "q247_heaps_law" -> ((s, d) =>
+      TextAnalysis.heapsLaw(Tables.documents(s, d), "doc_id", "text", buckets = 10)),
+
+    // The composed experiment page: SRM-guarded conversion readout
+    // (q230) + Welch engagement t (q237) + permutation p (q235) in ONE
+    // row — the three reads an experimenter checks together, one scan
+    // family, three 1-row frames crossJoined.
+    "q248_experiment_scorecard" -> ((s, d) => {
+      val users = Tables.events(s, d).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("engagement"),
+          max(when(col("event_type") === "purchase", 1).otherwise(0)).as("converted"))
+      val assigned = Sampling.hashSplit(users, "user_id",
+        Seq("a" -> 0.5, "b" -> 0.5), "exp1")
+      val ab = graft.operators.Experiment.abReadout(users, "user_id", "converted",
+        salt = "exp1")
+        .select(col("n_a"), col("n_b"), col("rate_a"), col("rate_b"),
+          col("lift"), col("z_conv"), col("z_srm"), col("srm_flag"))
+      val welch = graft.operators.Inference.welchTTest(assigned, "split",
+        "engagement", "a", "b")
+        .select(col("mean_a").as("mean_eng_a"), col("mean_b").as("mean_eng_b"),
+          col("t_stat").as("welch_t"), col("df_welch"))
+      val perm = graft.operators.Experiment.permutationTest(assigned, "user_id",
+        "split", "engagement", reps = 200, salt = "perm1")
+        .select(col("p_value").as("perm_p"))
+      ab.crossJoin(broadcast(welch)).crossJoin(broadcast(perm))
+    }),
+
     // Dedup-cluster size distribution: the post-dedup report card — how
     // many clusters of each size, how many docs they cover (q43's CC
     // composed into the histogram a curation run publishes).
@@ -3475,6 +3528,55 @@ object DataPipelinePack extends QueryPack {
                / 1000000.0 AS ens_weight
       FROM p2 CROSS JOIN tot ORDER BY class"""
   }
+
+  /** q246's oracle: the IPF row/col rescale unrolled 3 iterations (the
+    * lpaCtes discipline), shares embedded as the exact Scala doubles and
+    * every rescale quantized to the 1e-9 grid like the operator. */
+  private def rakingOracle: String = {
+    val rowShares = Seq("de", "en", "es", "fr", "zh").map(_ -> 0.2)
+    val colShares = (0 until 20).map(i => s"src$i" -> 0.05)
+    def inList(s: Seq[(String, Double)]) = s.map(x => s"'${x._1}'").mkString(", ")
+    def caseOf(axis: String, s: Seq[(String, Double)]) =
+      s"CASE $axis " + s.map { case (k, v) => s"WHEN '$k' THEN $v" }.mkString(" ") + " END"
+    def rescale(prev: String, out: String, axis: String, s: Seq[(String, Double)]) =
+      s"""$out AS (SELECT r, c, n, tot,
+           CAST(CAST(floor(${caseOf(axis, s)} * CAST(tot AS DOUBLE)
+               / CAST(CAST(sum(CAST(w * n AS DECIMAL(38,9))) OVER (PARTITION BY $axis)
+                      AS DECIMAL(38,9)) AS DOUBLE)
+               * CAST(w AS DOUBLE) * 1000000000.0 + 0.5) AS DOUBLE)
+             / 1000000000.0 AS DECIMAL(18,9)) AS w
+         FROM $prev)"""
+    val iters = (1 to 3).flatMap { i =>
+      Seq(rescale(if (i == 1) "g0" else s"c${i - 1}", s"r$i", "r", rowShares),
+        rescale(s"r$i", s"c$i", "c", colShares))
+    }.mkString(",\n      ")
+    s"""
+      WITH grid AS (SELECT lang AS r, source AS c, CAST(count(*) AS BIGINT) AS n
+                    FROM documents
+                    WHERE lang IN (${inList(rowShares)})
+                      AND source IN (${inList(colShares)})
+                    GROUP BY 1, 2),
+      g0 AS (SELECT r, c, n, CAST(sum(n) OVER () AS BIGINT) AS tot,
+                    CAST(1.0 AS DECIMAL(18,9)) AS w
+             FROM grid),
+      $iters
+      SELECT r AS lang, c AS source, n, CAST(w AS DOUBLE) AS weight
+      FROM c3 ORDER BY lang, source"""
+  }
+
+  /** q248's oracle: the three single-row oracles (q230/q237/q235) as
+    * CTE-bearing derived tables crossJoined — composition reuses the
+    * EXACT per-leg SQL, so a scorecard divergence isolates to a leg. */
+  private def scorecardOracle: String =
+    s"""
+      SELECT ab.n_a, ab.n_b, ab.rate_a, ab.rate_b, ab.lift, ab.z_conv,
+             ab.z_srm, ab.srm_flag,
+             w.mean_a AS mean_eng_a, w.mean_b AS mean_eng_b,
+             w.t_stat AS welch_t, w.df_welch,
+             p.p_value AS perm_p
+      FROM ($abReadoutOracle) ab
+      CROSS JOIN ($welchOracle) w
+      CROSS JOIN ($permutationOracle) p"""
 
   /** q235's oracle: the hashSplit arm boundary + the permutation coin on
     * the same salted grid, mirrored end to end. */
@@ -5644,6 +5746,102 @@ object DataPipelinePack extends QueryPack {
     "q235_permutation_test" -> permutationOracle,
     "q237_welch_ttest" -> welchOracle,
     "q244_class_weights" -> classWeightsOracle,
+    "q246_raking" -> rakingOracle,
+    "q248_experiment_scorecard" -> scorecardOracle,
+
+    // q245: the total-order match rule — controls sort before treated at
+    // equal score, ignore-nulls window picks, exact decimal distances,
+    // prev on ties, caliper 5.00.
+    "q245_matched_att" -> """
+      WITH u AS (SELECT user_id, count(*) AS engagement,
+                        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                          AS total_value,
+                        max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                          AS treated,
+                        user_id % 4 AS cohort
+                 FROM events GROUP BY user_id),
+      b AS (SELECT cohort, user_id AS id, (treated = 1) AS t,
+                   CAST(engagement AS DECIMAL(18,2)) AS s,
+                   CAST(total_value AS DECIMAL(18,2)) AS y
+            FROM u WHERE engagement IS NOT NULL AND total_value IS NOT NULL
+              AND treated IS NOT NULL),
+      w AS (SELECT cohort, id, t, s, y,
+                   last_value(CASE WHEN NOT t THEN s END IGNORE NULLS) OVER pw AS ps,
+                   last_value(CASE WHEN NOT t THEN y END IGNORE NULLS) OVER pw AS py,
+                   first_value(CASE WHEN NOT t THEN s END IGNORE NULLS) OVER nw AS ns,
+                   first_value(CASE WHEN NOT t THEN y END IGNORE NULLS) OVER nw AS ny
+            FROM b
+            WINDOW pw AS (PARTITION BY cohort ORDER BY s, CAST(t AS INT), id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   nw AS (PARTITION BY cohort ORDER BY s, CAST(t AS INT), id
+                          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
+      m AS (SELECT cohort, y,
+                   CASE WHEN ps IS NOT NULL AND (ns IS NULL OR s - ps <= ns - s)
+                        THEN s - ps ELSE ns - s END AS d,
+                   CASE WHEN ps IS NOT NULL AND (ns IS NULL OR s - ps <= ns - s)
+                        THEN py ELSE ny END AS my
+            FROM w WHERE t),
+      m2 AS (SELECT cohort, y, my,
+                    (d IS NOT NULL AND d <= CAST(5.0 AS DECIMAL(18,2))) AS ok
+             FROM m)
+      SELECT cohort,
+             CAST(count(*) AS BIGINT) AS n_treated,
+             CAST(count(*) FILTER (WHERE ok) AS BIGINT) AS n_matched,
+             CASE WHEN count(*) FILTER (WHERE ok) > 0
+                  THEN CAST(floor(CAST(CAST(sum(y - my) FILTER (WHERE ok)
+                           AS DECIMAL(38,8)) AS DOUBLE)
+                         / CAST(count(*) FILTER (WHERE ok) AS DOUBLE)
+                         * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0
+             END AS att
+      FROM m2 GROUP BY cohort ORDER BY cohort""",
+
+    // q247: id-range bucket checkpoints, per-token first bucket, OLS on
+    // 1e-9-quantized logs summed as decimal.
+    "q247_heaps_law" -> """
+      WITH bounds AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
+      toks0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      toks AS (SELECT ((doc_id - lo) * 10) // (hi - lo + 1) AS b, tok
+               FROM toks0 CROSS JOIN bounds WHERE len(tok) > 0),
+      pb AS (SELECT b, CAST(count(*) AS BIGINT) AS nt FROM toks GROUP BY b),
+      fb AS (SELECT b, CAST(count(*) AS BIGINT) AS nv
+             FROM (SELECT tok, min(b) AS b FROM toks GROUP BY tok) GROUP BY b),
+      cum AS (SELECT pb.b,
+                     CAST(sum(nt) OVER cw AS BIGINT) AS cn,
+                     CAST(sum(coalesce(nv, 0)) OVER cw AS BIGINT) AS cv
+              FROM pb LEFT JOIN fb ON pb.b = fb.b
+              WINDOW cw AS (ORDER BY pb.b
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      pts AS (SELECT
+                CAST(CAST(floor(ln(CAST(cn AS DOUBLE)) * 1000000000.0 + 0.5)
+                    AS DOUBLE) / 1000000000.0 AS DECIMAL(18,9)) AS x,
+                CAST(CAST(floor(ln(CAST(cv AS DOUBLE)) * 1000000000.0 + 0.5)
+                    AS DOUBLE) / 1000000000.0 AS DECIMAL(18,9)) AS y
+              FROM cum WHERE cn > 0 AND cv > 0),
+      s AS (SELECT CAST(count(*) AS BIGINT) AS n_points,
+                   CAST(sum(x) AS DECIMAL(38,9)) AS sx,
+                   CAST(sum(y) AS DECIMAL(38,9)) AS sy,
+                   CAST(sum(CAST(x * y AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS sxy,
+                   CAST(sum(CAST(x * x AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS sxx
+            FROM pts),
+      f AS (SELECT n_points,
+                   CAST(n_points AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den,
+                   (CAST(n_points AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n_points AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS beta,
+                   sx, sy
+            FROM s)
+      SELECT n_points,
+             CASE WHEN n_points >= 2 AND den <> 0.0
+                  THEN CAST(floor(beta * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0
+             END AS beta,
+             CASE WHEN n_points >= 2 AND den <> 0.0
+                  THEN CAST(floor(exp((CAST(sy AS DOUBLE) - beta * CAST(sx AS DOUBLE))
+                         / CAST(n_points AS DOUBLE)) * 1000000.0 + 0.5) AS DOUBLE)
+                    / 1000000.0
+             END AS k
+      FROM f""",
 
     // q236: doubled average ranks (2·minrank + ties − 1, exact integers)
     // then the pearson closed form on exact decimal rank sums.

@@ -981,6 +981,32 @@ object ScaleSmoke {
     time("class weights (langs)")(
       Sampling.classWeights(docs, "lang"))
 
+    // Matched ATT: the unit aggregation is corpus-linear; the per-stratum
+    // match windows run over the user-shaped unit frame (4 strata — the
+    // documented funnel contract).
+    time("matched att (user units)") {
+      val evs = widen(Tables.events(spark, sfDir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value")),
+        "event_id")
+      val units = evs.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("engagement"),
+          sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)")
+            .as("total_value"),
+          max(when(col("event_type") === "purchase", 1).otherwise(0)).as("treated"))
+        .withColumn("cohort", pmod(col("user_id"), lit(4L)))
+      graft.operators.Experiment.matchedOutcomes(units, Seq("cohort"), "user_id",
+        "treated", "engagement", "total_value", caliper = 5.0)
+    }
+    // Raking: ONE corpus-linear count; iterations ride the 100-cell grid.
+    time("raking (lang x source)")(
+      Sampling.rakeWeights(docs, "lang", "source",
+        Seq("de", "en", "es", "fr", "zh").map(_ -> 0.2),
+        (0 until 20).map(i => s"src$i" -> 0.05), iterations = 3))
+    // Heaps law: two corpus-linear aggregations (the deliberate
+    // double-scan), vocabulary-shaped shuffle for first-occurrence.
+    time("heaps law (vocab growth)")(
+      TextAnalysis.heapsLaw(docs, "doc_id", "text", buckets = 10))
+
     spark.stop()
   }
 }

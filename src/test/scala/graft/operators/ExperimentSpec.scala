@@ -124,4 +124,48 @@ class ExperimentSpec extends AnyFunSuite {
         "uid", "ts", "amount")
     }
   }
+
+  test("matchedOutcomes: nearest-control match, hand-computed ATT") {
+    // controls: (id1, s=1, y=10), (id2, s=4, y=20)
+    // treated:  (id3, s=1.5, y=30) -> prev d=0.5 beats next d=2.5 -> y=10
+    //           (id4, s=8, y=40)   -> only prev, d=4 <= 5          -> y=20
+    val units = Seq(("s", 1L, false, 1.0, 10), ("s", 2L, false, 4.0, 20),
+      ("s", 3L, true, 1.5, 30), ("s", 4L, true, 8.0, 40))
+      .toDF("st", "id", "t", "score", "y")
+    val r = Experiment.matchedOutcomes(units, Seq("st"), "id", "t", "score", "y",
+      caliper = 5.0).collect().head
+    assert(r.getLong(1) == 2L && r.getLong(2) == 2L)
+    assert(r.getDouble(3) == 20.0) // ((30-10) + (40-20)) / 2
+    // tighter caliper drops id4's d=4 match
+    val r2 = Experiment.matchedOutcomes(units, Seq("st"), "id", "t", "score", "y",
+      caliper = 3.0).collect().head
+    assert(r2.getLong(2) == 1L && r2.getDouble(3) == 20.0)
+  }
+
+  test("matchedOutcomes: equal-score control matches at distance 0; distance ties prefer preceding") {
+    // control id5 shares the treated score -> distance 0 wins
+    val eq = Seq(("s", 1L, false, 1.0, 10), ("s", 5L, false, 1.5, 50),
+      ("s", 3L, true, 1.5, 30)).toDF("st", "id", "t", "score", "y")
+    val re = Experiment.matchedOutcomes(eq, Seq("st"), "id", "t", "score", "y", 5.0)
+      .collect().head
+    assert(re.getDouble(3) == -20.0) // 30 - 50
+    // equidistant controls (1 and 3 around treated 2) -> preceding wins
+    val tie = Seq(("s", 1L, false, 1.0, 10), ("s", 2L, false, 3.0, 20),
+      ("s", 3L, true, 2.0, 30)).toDF("st", "id", "t", "score", "y")
+    val rt = Experiment.matchedOutcomes(tie, Seq("st"), "id", "t", "score", "y", 5.0)
+      .collect().head
+    assert(rt.getDouble(3) == 20.0) // 30 - 10
+  }
+
+  test("matchedOutcomes: control-free stratum emits zero matches and null ATT") {
+    val units = Seq(("s", 1L, true, 1.0, 10), ("s", 2L, true, 2.0, 20))
+      .toDF("st", "id", "t", "score", "y")
+    val r = Experiment.matchedOutcomes(units, Seq("st"), "id", "t", "score", "y", 5.0)
+      .collect().head
+    assert(r.getLong(1) == 2L && r.getLong(2) == 0L && r.isNullAt(3))
+    intercept[IllegalArgumentException](
+      Experiment.matchedOutcomes(units, Seq.empty, "id", "t", "score", "y", 5.0))
+    intercept[IllegalArgumentException](
+      Experiment.matchedOutcomes(units, Seq("st"), "id", "t", "score", "y", 0.0))
+  }
 }

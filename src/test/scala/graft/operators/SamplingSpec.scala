@@ -525,4 +525,41 @@ class SamplingSpec extends AnyFunSuite {
     Sampling.classWeights(df, "c", beta = 0.5)
       .as[(String, Long, Double, Double)].collect()
       .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+
+  test("rakeWeights: an already-balanced grid keeps every weight at exactly 1") {
+    // uniform 2x2 grid, uniform targets -> every rescale factor is exactly 1
+    val df = (for { r <- Seq("a", "b"); c <- Seq("x", "y"); _ <- 1 to 5 }
+      yield (r, c)).toDF("r", "c")
+    val w = Sampling.rakeWeights(df, "r", "c",
+      Seq("a" -> 0.5, "b" -> 0.5), Seq("x" -> 0.5, "y" -> 0.5), iterations = 3)
+      .as[(String, String, Long, Double)].collect()
+    assert(w.length == 4 && w.forall(t => t._3 == 5L && t._4 == 1.0))
+  }
+
+  test("rakeWeights: skewed grid converges to the target marginals within the grid tolerance") {
+    val df = (Seq.fill(1)("a" -> "x") ++ Seq.fill(3)("a" -> "y") ++
+      Seq.fill(5)("b" -> "x") ++ Seq.fill(7)("b" -> "y")).toDF("r", "c")
+    val w = Sampling.rakeWeights(df, "r", "c",
+      Seq("a" -> 0.5, "b" -> 0.5), Seq("x" -> 0.5, "y" -> 0.5), iterations = 5)
+      .as[(String, String, Long, Double)].collect()
+    val n = 16.0
+    def share(f: ((String, String, Long, Double)) => Boolean) =
+      w.filter(f).map(t => t._4 * t._3).sum / n
+    assert(math.abs(share(_._1 == "a") - 0.5) < 1e-6, s"row a: ${share(_._1 == "a")}")
+    assert(math.abs(share(_._2 == "x") - 0.5) < 1e-3, s"col x: ${share(_._2 == "x")}")
+  }
+
+  test("rakeWeights: unlisted categories are dropped (whitelist semantics); guards fire") {
+    val df = (Seq.fill(2)("a" -> "x") ++ Seq.fill(2)("b" -> "x") ++
+      Seq.fill(9)("zz" -> "x")).toDF("r", "c")
+    val w = Sampling.rakeWeights(df, "r", "c",
+      Seq("a" -> 0.5, "b" -> 0.5), Seq("x" -> 1.0), iterations = 2)
+      .as[(String, String, Long, Double)].collect()
+    assert(w.map(_._1).toSet == Set("a", "b")) // zz never enters the grid or N
+    assert(w.forall(_._4 == 1.0)) // a/b are balanced once zz is excluded
+    intercept[IllegalArgumentException](Sampling.rakeWeights(df, "r", "c",
+      Seq("a" -> 0.5, "b" -> 0.6), Seq("x" -> 1.0)))
+    intercept[IllegalArgumentException](Sampling.rakeWeights(df, "r", "c",
+      Seq("a" -> 0.5, "b" -> 0.5), Seq("x" -> 1.0), iterations = 0))
+  }
 }

@@ -713,4 +713,20 @@ class TextAnalysisSpec extends AnyFunSuite {
     val runC = (1 to 5).map(i => (1L, 100L + i, 10.0 - i)).toDF("q", "doc", "score")
     assert(TextAnalysis.rankBiasedOverlap(runA, runC, "q", "doc", "score").count() == 0)
   }
+
+  test("heapsLaw: saturated vocabulary fits beta = 0, k = |vocab|") {
+    // every doc repeats the same two tokens: V(n) is flat at 2
+    val docs = (1L to 10L).map(i => (i, "a b")).toDF("doc_id", "text")
+    val r = TextAnalysis.heapsLaw(docs, "doc_id", "text", buckets = 5).collect().head
+    assert(r.getLong(0) == 5L && r.getDouble(1) == 0.0 && r.getDouble(2) == 2.0)
+  }
+
+  test("heapsLaw: fully novel tokens fit beta = 1, k = 1 (V(n) = n exactly)") {
+    val docs = (1L to 20L).map(i => (i, s"t${i}a t${i}b")).toDF("doc_id", "text")
+    val r = TextAnalysis.heapsLaw(docs, "doc_id", "text", buckets = 5).collect().head
+    // ln V = ln n pointwise (identical quantized values) -> slope exactly 1
+    assert(r.getDouble(1) == 1.0 && r.getDouble(2) == 1.0)
+    intercept[IllegalArgumentException](
+      TextAnalysis.heapsLaw(docs, "doc_id", "text", buckets = 1))
+  }
 }

@@ -296,7 +296,19 @@ class PlanAuditSpec extends AnyFunSuite {
     "q243_stl" -> (0, 0, 1),
     // q244: the 1-row (k, N, Σraw) totals aggregate crossJoined back into
     // the k-row class frame (q35's N class — the BNLJ and its broadcast).
-    "q244_class_weights" -> (0, 1, 1)
+    "q244_class_weights" -> (0, 1, 1),
+    // q247: the 1-row id-bounds aggregate crossJoined into the token
+    // stream (q35's N class) — planned twice because the token frame
+    // feeds both the bucket totals and the per-token first-bucket
+    // aggregation (a DELIBERATE double scan: re-reading the corpus beats
+    // materializing a token-stream-shaped intermediate), plus the
+    // buckets-row cumulative frame's bounded broadcast.
+    "q247_heaps_law" -> (0, 2, 3),
+    // q248: the composed experiment page — q235's three scalar crossJoins
+    // (the checkpointed observed aggregate ×2 + the permutation summary)
+    // plus the scorecard's own two 1-row-leg crossJoins; every flagged
+    // side is a single-row aggregate (q35's scalar class).
+    "q248_experiment_scorecard" -> (0, 5, 3)
   )
 
   test("no query plans an unjustified cartesian / BNLJ / derived broadcast, and none a ScalaUDF") {
