@@ -185,6 +185,84 @@ object Experiment {
         sqrt((na + nb) * lit(pA) * lit(1.0 - pA))) > 3.0).as("srm_flag"))
   }
 
+  /** [[permutationTest]] per segment: the same Fisher randomization test
+    * run independently in every group — "WHICH segments moved", the sweep
+    * whose per-segment p-values then need [[Inference.bhAdjust]]'s FDR
+    * control before anyone reads them (k segments at α ≈ kα false alarms
+    * uncorrected; the q251 composition wires the two together).
+    *
+    * The permutation coin is the SAME salted per-(unit, rep) hash as the
+    * single test — group membership doesn't re-randomize a unit — and
+    * each group's coin probability is its own observed n_a share, joined
+    * from the groups-sized observed frame (enum groups by contract, so
+    * the join side is broadcast-sized). Replicates whose permutation
+    * empties an arm are dropped per group (the single-test rule). Output:
+    * (groups…, n_a, n_b, diff_obs, reps, p_value) — p null when a group
+    * lacks either arm entirely.
+    */
+  def permutationTestByGroup(
+      users: DataFrame,
+      groupCols: Seq[String],
+      userCol: String,
+      armCol: String,
+      valueCol: String,
+      reps: Int,
+      salt: String
+  ): DataFrame = {
+    import org.apache.spark.sql.types._
+    require(reps >= 20 && reps <= 1000, s"reps=$reps out of [20, 1000]")
+    require(groupCols.nonEmpty, "at least one group column is required")
+    require(
+      Seq(ByteType, ShortType, IntegerType, LongType)
+        .contains(users.schema(valueCol).dataType),
+      s"$valueCol must be an integral column — float corpus sums are order-sensitive")
+    val keys = groupCols.map(col)
+    val base = users.select(keys :+ col(userCol).cast("string").as("__id")
+        :+ col(armCol).cast("string").as("__arm")
+        :+ col(valueCol).cast("long").as("__v"): _*)
+      .filter(col("__id").isNotNull && col("__v").isNotNull &&
+        col("__arm").isin("a", "b"))
+      .localCheckpoint(true) // scanned by the observed pass AND the explode
+    val obs = base.groupBy(keys: _*).agg(
+      count(when(col("__arm") === "a", 1)).as("n_a"),
+      count(when(col("__arm") === "b", 1)).as("n_b"),
+      sum(when(col("__arm") === "a", col("__v")).otherwise(0L)).as("__sa"),
+      sum(when(col("__arm") === "b", col("__v")).otherwise(0L)).as("__sb"))
+      .localCheckpoint(true) // groups-sized, referenced by coin AND readout
+    val u = (Sampling.keyHash(concat_ws(":", col("__id"), col("__b")), salt)
+      .cast("double") + lit(0.5)) / lit((1L << 60).toDouble)
+    val perms = base
+      .withColumn("__b", explode(sequence(lit(1), lit(reps))))
+      .join(broadcast(obs.select(keys :+ col("n_a") :+ col("n_b"): _*)), groupCols)
+      .withColumn("__u", u)
+      .withColumn("__pa",
+        col("__u") < col("n_a").cast("double") / (col("n_a") + col("n_b")).cast("double"))
+      .groupBy(keys :+ col("__b"): _*)
+      .agg(sum(when(col("__pa"), col("__v")).otherwise(0L)).as("__psa"),
+        sum(when(!col("__pa"), col("__v")).otherwise(0L)).as("__psb"),
+        count(when(col("__pa"), 1)).as("__pna"),
+        count(when(!col("__pa"), 1)).as("__pnb"))
+      .filter(col("__pna") > 0L && col("__pnb") > 0L)
+      .select(keys :+ (col("__psb").cast("double") / col("__pnb").cast("double") -
+        col("__psa").cast("double") / col("__pna").cast("double")).as("__pd"): _*)
+    val dObs = col("__sb").cast("double") / col("n_b").cast("double") -
+      col("__sa").cast("double") / col("n_a").cast("double")
+    val counted = perms
+      .join(broadcast(obs), groupCols)
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("__used"),
+        count(when(abs(col("__pd")) >= abs(dObs), 1)).as("__ge"))
+    val q6: (Column, String) => Column =
+      (c, nm) => graft.functions.Quantize.scaledFloor(c, 6).as(nm)
+    obs.join(counted.hint("shuffle_merge"), groupCols, "left")
+      .select(keys ++ Seq(col("n_a"), col("n_b"),
+        when(col("n_a") > 0 && col("n_b") > 0, q6(dObs, "d")).as("diff_obs"),
+        coalesce(col("__used"), lit(0L)).as("reps"),
+        when(col("n_a") > 0 && col("n_b") > 0 && col("__used").isNotNull,
+          q6((col("__ge") + 1L).cast("double") / (col("__used") + 1L).cast("double"),
+            "p")).as("p_value")): _*)
+  }
+
   /** Stratified nearest-score matching — the observational-data companion
     * to the randomized readouts above: each treated unit is matched (WITH
     * replacement) to the control whose score is nearest within its

@@ -279,4 +279,93 @@ object Inference {
       :+ when(ok, q6(sqrt(greatest(ssDev, lit(0.0)) * (nD - 1.0) / nD)))
         .as("se_jack"): _*)
   }
+
+  /** Mann–Kendall monotone-trend test per key: `S = Σ_{i<j} sgn(v_j −
+    * v_i)` over the time order, tie-corrected variance
+    * `Var = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)]/18`, and the
+    * continuity-corrected normal z — the NONPARAMETRIC "is this series
+    * drifting" gate ([[TimeSeries.theilSen]] estimates the slope; this
+    * tests its existence without assuming linearity or normal noise).
+    *
+    * S and the tie term are exact integers from one pair self-join and
+    * one value-multiplicity aggregation (the kendallTauB machinery turned
+    * temporal); doubles appear only in the final z. Per-key QUADRATIC BY
+    * CONTRACT — series must be calendar-bucketed upstream (the theilSen /
+    * changepoint contract), never raw-event-sized. Output: (keys…, n,
+    * s_stat, var_s, z) — z null when Var ≤ 0 (n < 2 or all values tied).
+    */
+  def mannKendall(
+      df: DataFrame,
+      keyCols: Seq[String],
+      timeCol: String,
+      valueCol: String,
+      decimalScale: Int = 2
+  ): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column is required")
+    val keys = keyCols.map(col)
+    val base = df.filter(col(timeCol).isNotNull && col(valueCol).isNotNull)
+      .select(keys :+ col(timeCol).as("__t")
+        :+ col(valueCol).cast(s"decimal(18,$decimalScale)").as("__v"): _*)
+    val l = base.as("l"); val r = base.as("r")
+    val joinCond = keyCols.map(c => col(s"l.$c") === col(s"r.$c"))
+      .reduce(_ && _) && col("l.__t") < col("r.__t")
+    val sPairs = l.hint("shuffle_merge").join(r.hint("shuffle_merge"), joinCond)
+      .groupBy(keyCols.map(c => col(s"l.$c").as(c)): _*)
+      .agg(sum(signum(col("r.__v") - col("l.__v")).cast("long")).as("s_stat"))
+    val cnt = col("__cnt").cast("decimal(12,0)")
+    val ties = base.groupBy(keys :+ col("__v"): _*)
+      .agg(count(lit(1)).as("__cnt"))
+      .groupBy(keys: _*)
+      .agg(sum((cnt * (cnt - 1) * (cnt * 2 + 5)).cast("decimal(38,0)")).as("__tie"))
+    val ns = base.groupBy(keys: _*).agg(count(lit(1)).as("n"))
+    val nDec = col("n").cast("decimal(12,0)")
+    val varNum = (nDec * (nDec - 1) * (nDec * 2 + 5)).cast("decimal(38,0)") -
+      col("__tie")
+    val varS = varNum.cast("double") / 18.0
+    val sD = col("s_stat").cast("double")
+    ns.join(sPairs.hint("shuffle_merge"), keyCols, "left")
+      .join(ties.hint("shuffle_merge"), keyCols)
+      .select(keys :+ col("n")
+        :+ coalesce(col("s_stat"), lit(0L)).as("s_stat")
+        :+ q6(varS).as("var_s")
+        :+ when(varS > 0.0,
+          when(col("s_stat") > 0, q6((sD - 1.0) / sqrt(varS)))
+            .when(col("s_stat") < 0, q6((sD + 1.0) / sqrt(varS)))
+            .otherwise(lit(0.0))).as("z"): _*)
+  }
+
+  /** Benjamini–Hochberg FDR adjustment over a battery of p-values — the
+    * multiple-comparisons hygiene every per-segment test sweep needs
+    * (k segments each tested at α means ~kα false alarms; BH bounds the
+    * FALSE DISCOVERY RATE at α instead). Classic step-up as adjusted
+    * p-values: rank p ascending, `p_adj(i) = min(1, min_{j≥i} p_j·m/j)`
+    * (the suffix-min makes adjusted p monotone), reject when ≤ α.
+    *
+    * The frame is tests-sized BY CONTRACT (one row per segment/test), so
+    * the global rank window is trivially small. `tieCols` break equal-p
+    * rank ties deterministically. p inputs are already grid-quantized by
+    * the producing tests, so `p·m/rank` is a fixed IEEE expression — any
+    * engine replays the adjustment bitwise. Output: input + (m, rank,
+    * p_adj, reject).
+    */
+  def bhAdjust(
+      df: DataFrame,
+      pCol: String,
+      tieCols: Seq[String],
+      alpha: Double
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0, 1), got $alpha")
+    require(tieCols.nonEmpty, "tieCols must break equal-p ordering ties")
+    val ord = Window.orderBy(col(pCol) +: tieCols.map(col): _*)
+    val sufMin = Window.orderBy(col("rank"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    df.filter(col(pCol).isNotNull)
+      .withColumn("m", count(lit(1)).over(Window.partitionBy(lit(1))))
+      .withColumn("rank", row_number().over(ord).cast("long"))
+      .withColumn("p_adj", q6(least(lit(1.0),
+        min(col(pCol) * col("m").cast("double") / col("rank").cast("double"))
+          .over(sufMin))))
+      .withColumn("reject", col("p_adj") <= alpha)
+  }
 }

@@ -1301,4 +1301,59 @@ object Similarity {
       .join(dropped.hint("shuffle_merge"), Seq(vectorId), "left")
       .select(col(vectorId), col("cluster"), col("__dropped").isNull.as("kept"))
   }
+
+  /** Simplified silhouette (Hruschka et al. 2004) of a trained centroid
+    * model under COSINE dissimilarity `d = 1 − cos(x, c)`: per point,
+    * `a` = dissimilarity to its assigned (nearest) centroid, `b` = to the
+    * runner-up, `s = (b − a)/max(a, b)` — the clustering-quality read
+    * (s → 1 tight/separated, s → 0 boundary, s < 0 misassigned) at O(n·k)
+    * instead of the exact silhouette's O(n²) pair matrix — the only form
+    * that exists at corpus scale.
+    *
+    * Determinism: centroids are collected (k model rows) and quantized to
+    * the 1e-4 grid FIRST — the training means are float averages that
+    * agree across engines only at that grid (the q93 contract), so
+    * scoring against the quantized model card is what makes per-point s
+    * reproducible; assignment ties break to the lowest cid (the q93
+    * rule). Per-point s is 1e-6-quantized and decimal-summed per cluster.
+    * Zero-norm vectors are dropped (cosine undefined — the trainKMeans
+    * filter). Output: (cid, n, mean_sil) per assigned cluster.
+    */
+  def simplifiedSilhouette(
+      vectors: DataFrame,
+      vectorId: String,
+      vectorCol: String,
+      centroids: DataFrame,
+      centroidId: String,
+      centroidCol: String,
+      modelDigits: Int = 4
+  ): DataFrame = {
+    require(modelDigits >= 1 && modelDigits <= 9, s"modelDigits out of [1, 9]")
+    val cents = collectCentroids(centroids, centroidId, centroidCol).map {
+      case (cid, arr, _) =>
+        val qa = arr.map(graft.functions.Quantize.scaledFloorDouble(_, modelDigits))
+        (cid, qa, math.sqrt(qa.map(x => x * x).sum))
+    }
+    require(cents.size >= 2, "silhouette needs at least 2 centroids")
+    val q6 = (c: Column) => graft.functions.Quantize.scaledFloor(c, 6)
+    val ranked = Dedup.withComputeParallelism(
+        vectors.select(col(vectorId).cast("long").as("__id"),
+          asDouble(col(vectorCol)).as("__v")))
+      .withColumn("__n", norm(col("__v")))
+      .filter(col("__n") > lit(0.0))
+      .withColumn("__r", centroidsByDistance(cents, col("__v"), col("__n")))
+      .select(col("__id"),
+        col("__r").getItem(0).getField("c").as("cid"),
+        (lit(1.0) + col("__r").getItem(0).getField("ns")).as("__a"),
+        (lit(1.0) + col("__r").getItem(1).getField("ns")).as("__b"))
+    val sil = ranked.select(col("cid"),
+      q6(when(greatest(col("__a"), col("__b")) > 0.0,
+        (col("__b") - col("__a")) / greatest(col("__a"), col("__b")))
+        .otherwise(lit(0.0))).cast("decimal(18,6)").as("__s"))
+    sil.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__s")).cast("decimal(38,6)").as("__ss"))
+      .select(col("cid"), col("n"),
+        q6(col("__ss").cast("double") / col("n").cast("double")).as("mean_sil"))
+  }
 }

@@ -2592,6 +2592,47 @@ object DataPipelinePack extends QueryPack {
       ab.crossJoin(broadcast(welch)).crossJoin(broadcast(perm))
     }),
 
+    // Simplified silhouette of q93's trained centroids — the clustering
+    // quality card, scored against the 1e-4-quantized model (the only
+    // grid the float training means agree on across engines).
+    "q249_silhouette" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cents = Similarity.trainKMeans(e, "vec_id", "embedding",
+        k = 4, iterations = 2, dim = 64)
+      Similarity.simplifiedSilhouette(e, "vec_id", "embedding",
+        cents, "cid", "centroid")
+        .orderBy(col("cid"))
+    }),
+
+    // Mann–Kendall monotone-trend test on the daily series — theilSen's
+    // slope (q219) gets its significance gate.
+    "q250_mann_kendall" -> ((s, d) => {
+      val daily = Tables.events(s, d).filter(col("ts").isNotNull)
+        .groupBy(col("event_type"),
+          datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+            .cast("long").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.operators.Inference.mannKendall(daily, Seq("event_type"), "day", "cnt")
+        .orderBy(col("event_type"))
+    }),
+
+    // Per-segment permutation sweep + Benjamini–Hochberg FDR: WHICH
+    // event-type segments moved, with the multiple-comparisons control
+    // every segment sweep needs before anyone reads it.
+    "q251_fdr_segments" -> ((s, d) => {
+      val perUserType = Tables.events(s, d)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("engagement"))
+      val assigned = Sampling.hashSplit(perUserType, "user_id",
+        Seq("a" -> 0.5, "b" -> 0.5), "exp1")
+      val tests = graft.operators.Experiment.permutationTestByGroup(assigned,
+        Seq("event_type"), "user_id", "split", "engagement",
+        reps = 100, salt = "perm1")
+      graft.operators.Inference.bhAdjust(tests, "p_value", Seq("event_type"),
+        alpha = 0.1)
+        .orderBy(col("event_type"))
+    }),
+
     // Dedup-cluster size distribution: the post-dedup report card — how
     // many clusters of each size, how many docs they cover (q43's CC
     // composed into the histogram a curation run publishes).
@@ -3562,6 +3603,141 @@ object DataPipelinePack extends QueryPack {
       $iters
       SELECT r AS lang, c AS source, n, CAST(w AS DOUBLE) AS weight
       FROM c3 ORDER BY lang, source"""
+  }
+
+  /** The q93 2-iteration k-means CTE chain (lowest-id init, cosine
+    * assignment with DESC-similarity/lowest-cid ties, per-dim float
+    * means), ending at `c2 (cid, cv)` — shared by the q93 training gate
+    * and the q249 silhouette so both score the SAME model. */
+  private def kmeansCtes: String = """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      dims AS (SELECT unnest(range(1, 65)) AS i),
+      c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+             FROM e ORDER BY vec_id LIMIT 4),
+      a1 AS (SELECT vec_id, cid FROM (
+               SELECT e.vec_id, c.cid,
+                      row_number() OVER (PARTITION BY e.vec_id
+                        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+               FROM e CROSS JOIN c0 c) WHERE rn = 1),
+      m1 AS (SELECT a.cid, d.i, avg(e.v[d.i]) AS x
+             FROM a1 a JOIN e USING (vec_id) CROSS JOIN dims d GROUP BY a.cid, d.i),
+      c1 AS (SELECT c0.cid, coalesce(mm.cv, c0.cv) AS cv
+             FROM c0 LEFT JOIN (SELECT cid, list(x ORDER BY i) AS cv
+                                FROM m1 GROUP BY cid) mm USING (cid)),
+      a2 AS (SELECT vec_id, cid FROM (
+               SELECT e.vec_id, c.cid,
+                      row_number() OVER (PARTITION BY e.vec_id
+                        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+               FROM e CROSS JOIN c1 c) WHERE rn = 1),
+      m2 AS (SELECT a.cid, d.i, avg(e.v[d.i]) AS x
+             FROM a2 a JOIN e USING (vec_id) CROSS JOIN dims d GROUP BY a.cid, d.i),
+      c2 AS (SELECT c1.cid, coalesce(mm.cv, c1.cv) AS cv
+             FROM c1 LEFT JOIN (SELECT cid, list(x ORDER BY i) AS cv
+                                FROM m2 GROUP BY cid) mm USING (cid))"""
+
+  /** q249's oracle: the shared k-means chain, centroids floor-quantized
+    * to the 1e-4 grid (the operator's model-card contract), cosine
+    * rank-1/rank-2 dissimilarities, per-point 1e-6 silhouettes summed as
+    * decimal. */
+  private def silhouetteOracle: String = s"""
+      WITH $kmeansCtes,
+      cq AS (SELECT cid,
+                    [CAST(floor(x * 10000.0 + 0.5) AS DOUBLE) / 10000.0 for x in cv]
+                      AS cv
+             FROM c2),
+      sims AS (SELECT e.vec_id, c.cid, list_cosine_similarity(e.v, c.cv) AS sim
+               FROM e CROSS JOIN cq c
+               WHERE list_dot_product(e.v, e.v) > 0.0),
+      ranked AS (SELECT vec_id, cid, sim,
+                        row_number() OVER (PARTITION BY vec_id
+                          ORDER BY sim DESC, cid) AS rn
+                 FROM sims),
+      ab AS (SELECT r1.vec_id, r1.cid, 1.0 - r1.sim AS a, 1.0 - r2.sim AS b
+             FROM ranked r1 JOIN ranked r2
+               ON r1.vec_id = r2.vec_id AND r2.rn = 2
+             WHERE r1.rn = 1),
+      sil AS (SELECT cid,
+                     CAST(CAST(floor((CASE WHEN greatest(a, b) > 0.0
+                                           THEN (b - a) / greatest(a, b)
+                                           ELSE 0.0 END)
+                         * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0
+                       AS DECIMAL(18,6)) AS s
+              FROM ab)
+      SELECT cid, CAST(count(*) AS BIGINT) AS n,
+             CAST(floor(CAST(CAST(sum(s) AS DECIMAL(38,6)) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE)
+               / 1000000.0 AS mean_sil
+      FROM sil GROUP BY cid ORDER BY cid"""
+
+  /** q251's oracle: the q235 permutation machinery keyed by event_type
+    * (same arm boundary, same per-(unit, rep) coin, each group's own
+    * n_a share), then the BH step-up as a suffix-min over the 5-row
+    * battery. */
+  private def fdrSegmentsOracle: String = {
+    val b = Sampling.splitBoundaries(Seq("a" -> 0.5, "b" -> 0.5)).head._2
+    val hArm = duckKeyHash("user_id", "exp1")
+    val hPerm = duckKeyHash("id || ':' || CAST(pb AS VARCHAR)", "perm1")
+    s"""
+      WITH u0 AS (SELECT event_type AS g, user_id, count(*) AS v
+                  FROM events GROUP BY 1, 2),
+      base AS (SELECT g, CAST(user_id AS VARCHAR) AS id,
+                      CASE WHEN $hArm < $b THEN 'a' ELSE 'b' END AS arm,
+                      CAST(v AS BIGINT) AS v
+               FROM u0),
+      obs AS (SELECT g,
+                     CAST(count(*) FILTER (WHERE arm = 'a') AS BIGINT) AS na,
+                     CAST(count(*) FILTER (WHERE arm = 'b') AS BIGINT) AS nb,
+                     CAST(coalesce(sum(v) FILTER (WHERE arm = 'a'), 0) AS BIGINT) AS sa,
+                     CAST(coalesce(sum(v) FILTER (WHERE arm = 'b'), 0) AS BIGINT) AS sb
+              FROM base GROUP BY g),
+      ex AS (SELECT g, id, v, pb FROM base
+             CROSS JOIN (SELECT unnest(range(1, 101)) AS pb)),
+      pu AS (SELECT ex.g, ex.v, ex.pb,
+                    ((CAST($hPerm AS DOUBLE) + 0.5) / 1152921504606846976.0)
+                      < (CAST(obs.na AS DOUBLE)
+                         / CAST(obs.na + obs.nb AS DOUBLE)) AS pa
+             FROM ex JOIN obs ON ex.g = obs.g),
+      pg AS (SELECT g, pb,
+                    CAST(coalesce(sum(v) FILTER (WHERE pa), 0) AS BIGINT) AS psa,
+                    CAST(coalesce(sum(v) FILTER (WHERE NOT pa), 0) AS BIGINT) AS psb,
+                    count(*) FILTER (WHERE pa) AS pna,
+                    count(*) FILTER (WHERE NOT pa) AS pnb
+             FROM pu GROUP BY g, pb),
+      pd AS (SELECT g, CAST(psb AS DOUBLE) / CAST(pnb AS DOUBLE)
+                      - CAST(psa AS DOUBLE) / CAST(pna AS DOUBLE) AS pdiff
+             FROM pg WHERE pna > 0 AND pnb > 0),
+      agg AS (SELECT pd.g, count(*) AS used,
+                     count(*) FILTER (WHERE abs(pdiff) >=
+                       abs(CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)
+                           - CAST(sa AS DOUBLE) / CAST(na AS DOUBLE))) AS ge
+              FROM pd JOIN obs ON pd.g = obs.g GROUP BY pd.g),
+      tests AS (SELECT obs.g AS event_type, obs.na AS n_a, obs.nb AS n_b,
+                       CASE WHEN obs.na > 0 AND obs.nb > 0
+                            THEN CAST(floor((CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)
+                                   - CAST(sa AS DOUBLE) / CAST(na AS DOUBLE))
+                                   * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0
+                       END AS diff_obs,
+                       CAST(coalesce(agg.used, 0) AS BIGINT) AS reps,
+                       CASE WHEN obs.na > 0 AND obs.nb > 0 AND agg.used IS NOT NULL
+                            THEN CAST(floor(CAST(agg.ge + 1 AS DOUBLE)
+                                   / CAST(agg.used + 1 AS DOUBLE)
+                                   * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0
+                       END AS p_value
+                FROM obs LEFT JOIN agg ON obs.g = agg.g),
+      ranked AS (SELECT *,
+                        CAST(count(*) OVER () AS BIGINT) AS m,
+                        CAST(row_number() OVER (ORDER BY p_value, event_type)
+                          AS BIGINT) AS rank
+                 FROM tests WHERE p_value IS NOT NULL),
+      adj AS (SELECT *,
+                     CAST(floor(least(1.0,
+                         min(p_value * CAST(m AS DOUBLE) / CAST(rank AS DOUBLE))
+                           OVER (ORDER BY rank
+                                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+                         * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS p_adj
+              FROM ranked)
+      SELECT event_type, n_a, n_b, diff_obs, reps, p_value, m, rank, p_adj,
+             (p_adj <= 0.1) AS reject
+      FROM adj ORDER BY event_type"""
   }
 
   /** q248's oracle: the three single-row oracles (q230/q237/q235) as
@@ -5748,6 +5924,43 @@ object DataPipelinePack extends QueryPack {
     "q244_class_weights" -> classWeightsOracle,
     "q246_raking" -> rakingOracle,
     "q248_experiment_scorecard" -> scorecardOracle,
+    "q249_silhouette" -> silhouetteOracle,
+    "q251_fdr_segments" -> fdrSegmentsOracle,
+
+    // q250: exact S from the temporal pair join, tie-corrected variance,
+    // continuity-corrected z.
+    "q250_mann_kendall" -> """
+      WITH daily AS (SELECT event_type AS g,
+                            date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS t,
+                            count(*) AS cnt
+                     FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+      b AS (SELECT g, t, CAST(cnt AS DECIMAL(18,2)) AS v FROM daily),
+      sp AS (SELECT l.g AS g, CAST(sum(sign(r.v - l.v)) AS BIGINT) AS s_stat
+             FROM b l JOIN b r ON l.g = r.g AND l.t < r.t GROUP BY l.g),
+      tie AS (SELECT g,
+                     CAST(sum(CAST(c * (c - 1) * (c * 2 + 5) AS DECIMAL(38,0)))
+                       AS DECIMAL(38,0)) AS tt
+              FROM (SELECT g, CAST(count(*) AS DECIMAL(12,0)) AS c
+                    FROM b GROUP BY g, v) GROUP BY g),
+      ns AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY g),
+      j AS (SELECT ns.g, ns.n, coalesce(sp.s_stat, 0) AS s_stat,
+                   CAST(CAST(CAST(ns.n AS DECIMAL(12,0))
+                         * (CAST(ns.n AS DECIMAL(12,0)) - 1)
+                         * (CAST(ns.n AS DECIMAL(12,0)) * 2 + 5) AS DECIMAL(38,0))
+                       - tie.tt AS DOUBLE) / 18.0 AS var_s
+            FROM ns LEFT JOIN sp ON ns.g = sp.g JOIN tie ON ns.g = tie.g)
+      SELECT g AS event_type, n, s_stat,
+             CAST(floor(var_s * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS var_s,
+             CASE WHEN var_s > 0.0 THEN
+               CASE WHEN s_stat > 0
+                    THEN CAST(floor((CAST(s_stat AS DOUBLE) - 1.0) / sqrt(var_s)
+                           * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0
+                    WHEN s_stat < 0
+                    THEN CAST(floor((CAST(s_stat AS DOUBLE) + 1.0) / sqrt(var_s)
+                           * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0
+                    ELSE 0.0 END
+             END AS z
+      FROM j ORDER BY event_type""",
 
     // q245: the total-order match rule — controls sort before treated at
     // equal score, ignore-nulls window picks, exact decimal distances,
@@ -7221,31 +7434,8 @@ object DataPipelinePack extends QueryPack {
                chr(10)) AS text
       FROM split_l ORDER BY doc_id""",
 
-    "q93_kmeans_train" -> """
-      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      dims AS (SELECT unnest(range(1, 65)) AS i),
-      c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
-             FROM e ORDER BY vec_id LIMIT 4),
-      a1 AS (SELECT vec_id, cid FROM (
-               SELECT e.vec_id, c.cid,
-                      row_number() OVER (PARTITION BY e.vec_id
-                        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
-               FROM e CROSS JOIN c0 c) WHERE rn = 1),
-      m1 AS (SELECT a.cid, d.i, avg(e.v[d.i]) AS x
-             FROM a1 a JOIN e USING (vec_id) CROSS JOIN dims d GROUP BY a.cid, d.i),
-      c1 AS (SELECT c0.cid, coalesce(mm.cv, c0.cv) AS cv
-             FROM c0 LEFT JOIN (SELECT cid, list(x ORDER BY i) AS cv
-                                FROM m1 GROUP BY cid) mm USING (cid)),
-      a2 AS (SELECT vec_id, cid FROM (
-               SELECT e.vec_id, c.cid,
-                      row_number() OVER (PARTITION BY e.vec_id
-                        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
-               FROM e CROSS JOIN c1 c) WHERE rn = 1),
-      m2 AS (SELECT a.cid, d.i, avg(e.v[d.i]) AS x
-             FROM a2 a JOIN e USING (vec_id) CROSS JOIN dims d GROUP BY a.cid, d.i),
-      c2 AS (SELECT c1.cid, coalesce(mm.cv, c1.cv) AS cv
-             FROM c1 LEFT JOIN (SELECT cid, list(x ORDER BY i) AS cv
-                                FROM m2 GROUP BY cid) mm USING (cid)),
+    "q93_kmeans_train" -> s"""
+      WITH $kmeansCtes,
       a3 AS (SELECT vec_id, cid FROM (
                SELECT e.vec_id, c.cid,
                       row_number() OVER (PARTITION BY e.vec_id

@@ -1007,6 +1007,42 @@ object ScaleSmoke {
     time("heaps law (vocab growth)")(
       TextAnalysis.heapsLaw(docs, "doc_id", "text", buckets = 10))
 
+    // Silhouette: the model is trained on the UNWIDENED originals (a
+    // trained quantizer doesn't grow with the corpus — the IVF rule);
+    // scoring is one O(n·k) projection + a k-row aggregation.
+    time("silhouette (widened vecs)") {
+      val cents = Similarity.trainKMeans(Tables.embeddings(spark, sfDir),
+        "vec_id", "embedding", k = 4, iterations = 2, dim = 64)
+      Similarity.simplifiedSilhouette(widen(Tables.embeddings(spark, sfDir), "vec_id"),
+        "vec_id", "embedding", cents, "cid", "centroid")
+    }
+    locally {
+      val evs = widen(Tables.events(spark, sfDir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts")),
+        "event_id")
+      val daily = evs.filter(col("ts").isNotNull)
+        .groupBy(col("event_type"),
+          datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+            .cast("long").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      // Mann-Kendall: pair join rides the FIXED day grid.
+      time("mann-kendall (daily series)")(
+        graft.operators.Inference.mannKendall(daily, Seq("event_type"), "day", "cnt"))
+      // FDR segment sweep: the reps-explode is the corpus-heavy part
+      // (users x reps), everything downstream is groups-sized.
+      time("fdr segment sweep (perm x100 + BH)") {
+        val perUserType = evs.groupBy(col("event_type"), col("user_id"))
+          .agg(count(lit(1)).as("engagement"))
+        val assigned = Sampling.hashSplit(perUserType, "user_id",
+          Seq("a" -> 0.5, "b" -> 0.5), "exp1")
+        graft.operators.Inference.bhAdjust(
+          graft.operators.Experiment.permutationTestByGroup(assigned,
+            Seq("event_type"), "user_id", "split", "engagement",
+            reps = 100, salt = "perm1"),
+          "p_value", Seq("event_type"), alpha = 0.1)
+      }
+    }
+
     spark.stop()
   }
 }

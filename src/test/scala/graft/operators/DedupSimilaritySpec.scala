@@ -901,4 +901,19 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .select("cos_centroid", "is_outlier").as[(Double, Boolean)].head()
     assert(z == ((0.0, true)))
   }
+
+  test("simplifiedSilhouette: hand-computed cosine silhouettes against literal centroids") {
+    val cents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0))).toDF("cid", "centroid")
+    // p1 on centroid 0: a = 0, b = 1 -> s = 1
+    // p2 equidistant: a = b -> s = 0, tie-assigned to the LOWEST cid
+    // p3 zero-norm: dropped entirely
+    val pts = Seq((1L, Seq(2.0, 0.0)), (2L, Seq(1.0, 1.0)), (3L, Seq(0.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.simplifiedSilhouette(pts, "vec_id", "embedding",
+      cents, "cid", "centroid")
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq((0L, 2L, 0.5)))
+    intercept[IllegalArgumentException](Similarity.simplifiedSilhouette(
+      pts, "vec_id", "embedding", cents.limit(1), "cid", "centroid"))
+  }
 }

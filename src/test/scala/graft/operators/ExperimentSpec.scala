@@ -157,6 +157,37 @@ class ExperimentSpec extends AnyFunSuite {
     assert(rt.getDouble(3) == 20.0) // 30 - 10
   }
 
+  test("permutationTestByGroup: a single group reproduces permutationTest exactly") {
+    val users = (1L to 200L).map(i =>
+      ("only", i, if (i % 2 == 0) "a" else "b", (i % 7).toInt))
+      .toDF("g", "uid", "arm", "v")
+    val grouped = Experiment.permutationTestByGroup(users, Seq("g"), "uid", "arm",
+      "v", reps = 50, salt = "s1").collect().head
+    val single = Experiment.permutationTest(users, "uid", "arm", "v",
+      reps = 50, salt = "s1").collect().head
+    // (n_a, n_b, diff_obs, reps, p) must agree column-for-column
+    assert(grouped.getLong(1) == single.getLong(0))
+    assert(grouped.getLong(2) == single.getLong(1))
+    assert(grouped.getDouble(3) == single.getDouble(4))
+    assert(grouped.getLong(4) == single.getLong(5))
+    assert(grouped.getDouble(5) == single.getDouble(6))
+  }
+
+  test("permutationTestByGroup: the coin is per-(unit, rep) — a cloned group gets identical p") {
+    val g1 = (1L to 100L).map(i => ("g1", i, if (i % 2 == 0) "a" else "b", (i % 5).toInt))
+    val g2 = g1.map { case (_, i, a, v) => ("g2", i, a, v) } // same units, same values
+    val users = (g1 ++ g2).toDF("g", "uid", "arm", "v")
+    val got = Experiment.permutationTestByGroup(users, Seq("g"), "uid", "arm", "v",
+      reps = 40, salt = "s2")
+      .select("g", "p_value").as[(String, Double)].collect().toMap
+    assert(got("g1") == got("g2"))
+    // a group with one arm only yields null p, zero usable reps
+    val oneArm = Seq(("g3", 1L, "a", 1), ("g3", 2L, "a", 2)).toDF("g", "uid", "arm", "v")
+    val r = Experiment.permutationTestByGroup(oneArm, Seq("g"), "uid", "arm", "v",
+      reps = 40, salt = "s2").collect().head
+    assert(r.getLong(4) == 0L && r.isNullAt(5))
+  }
+
   test("matchedOutcomes: control-free stratum emits zero matches and null ATT") {
     val units = Seq(("s", 1L, true, 1.0, 10), ("s", 2L, true, 2.0, 20))
       .toDF("st", "id", "t", "score", "y")

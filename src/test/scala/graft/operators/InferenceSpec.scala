@@ -124,4 +124,49 @@ class InferenceSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Inference.ratioJackknife(df, Seq.empty, "x", "y"))
   }
+
+  // ---- mannKendall ---------------------------------------------------
+
+  test("mann-kendall: strictly monotone series, hand-computed S/Var/z") {
+    // [1,2,3,4]: S = 6, no ties -> Var = 4*3*13/18, z = (S-1)/sqrt(Var)
+    val up = Seq(("g", 0L, 1), ("g", 1L, 2), ("g", 2L, 3), ("g", 3L, 4))
+      .toDF("g", "t", "v")
+    val r = Inference.mannKendall(up, Seq("g"), "t", "v").collect().head
+    val varS = 4.0 * 3.0 * 13.0 / 18.0
+    assert(r.getLong(1) == 4L && r.getLong(2) == 6L)
+    assert(r.getDouble(3) == scaledFloorDouble(varS, 6))
+    assert(r.getDouble(4) == scaledFloorDouble(5.0 / math.sqrt(varS), 6))
+    // decreasing mirrors with the +1 continuity correction
+    val down = Seq(("g", 0L, 4), ("g", 1L, 3), ("g", 2L, 2), ("g", 3L, 1))
+      .toDF("g", "t", "v")
+    val rd = Inference.mannKendall(down, Seq("g"), "t", "v").collect().head
+    assert(rd.getLong(2) == -6L)
+    assert(rd.getDouble(4) == scaledFloorDouble(-5.0 / math.sqrt(varS), 6))
+  }
+
+  test("mann-kendall: a fully-tied series has zero variance and null z") {
+    val flat = Seq(("g", 0L, 5), ("g", 1L, 5), ("g", 2L, 5)).toDF("g", "t", "v")
+    val r = Inference.mannKendall(flat, Seq("g"), "t", "v").collect().head
+    assert(r.getLong(2) == 0L && r.getDouble(3) == 0.0 && r.isNullAt(4))
+  }
+
+  // ---- bhAdjust ------------------------------------------------------
+
+  test("bh: hand-computed step-up adjusted p-values and rejections") {
+    // p = [.01,.02,.04,.05], m = 4: raw p*m/rank = [.04,.04,.053..,.05]
+    // suffix-min -> adj = [.04,.04,.05,.05]
+    val df = Seq(("t1", 0.01), ("t2", 0.02), ("t3", 0.04), ("t4", 0.05))
+      .toDF("test", "p")
+    val got = Inference.bhAdjust(df, "p", Seq("test"), alpha = 0.045)
+      .select("test", "rank", "p_adj", "reject")
+      .as[(String, Long, Double, Boolean)].collect().sortBy(_._2)
+    assert(got.map(_._3).toSeq == Seq(0.04, 0.04, 0.05, 0.05))
+    assert(got.map(_._4).toSeq == Seq(true, true, false, false))
+    // the cap: a p near 1 never adjusts above 1
+    val one = Seq(("t1", 0.9999)).toDF("test", "p")
+    assert(Inference.bhAdjust(one, "p", Seq("test"), 0.05)
+      .select("p_adj").as[Double].collect().head == 0.9999)
+    intercept[IllegalArgumentException](Inference.bhAdjust(df, "p", Seq("test"), 1.5))
+    intercept[IllegalArgumentException](Inference.bhAdjust(df, "p", Seq.empty, 0.05))
+  }
 }
