@@ -73,6 +73,22 @@ object Experiment {
       when(vx > 0.0 && vy > 0.0, q6(cv * cv / vx / vy, "vr")).as("var_reduction"))
   }
 
+  /** The permutation coin shared by [[permutationTest]] and
+    * [[permutationTestByGroup]] — uniform in (0,1) from the salted
+    * per-(unit, replicate) hash grid; the two operators MUST stay
+    * bit-identical here (a spec pins single ≡ grouped on one group). */
+  private def permCoin(salt: String): Column =
+    (Sampling.keyHash(concat_ws(":", col("__id"), col("__b")), salt)
+      .cast("double") + lit(0.5)) / lit((1L << 60).toDouble)
+
+  private def requireIntegral(df: DataFrame, valueCol: String): Unit = {
+    import org.apache.spark.sql.types._
+    require(
+      Seq(ByteType, ShortType, IntegerType, LongType)
+        .contains(df.schema(valueCol).dataType),
+      s"$valueCol must be an integral column — float corpus sums are order-sensitive")
+  }
+
   /** Deterministic permutation test for a two-arm mean difference — the
     * distribution-free significance check when the metric is skewed
     * enough that the z approximation lies (heavy-tailed engagement
@@ -103,10 +119,7 @@ object Experiment {
   ): DataFrame = {
     import org.apache.spark.sql.types._
     require(reps >= 20 && reps <= 1000, s"reps=$reps out of [20, 1000]")
-    require(
-      Seq(ByteType, ShortType, IntegerType, LongType)
-        .contains(users.schema(valueCol).dataType),
-      s"$valueCol must be an integral column — float corpus sums are order-sensitive")
+    requireIntegral(users, valueCol)
     val base = users.select(col(userCol).cast("string").as("__id"),
       col(armCol).cast("string").as("__arm"), col(valueCol).cast("long").as("__v"))
       .filter(col("__id").isNotNull && col("__v").isNotNull &&
@@ -118,8 +131,7 @@ object Experiment {
       sum(when(col("__arm") === "a", col("__v")).otherwise(0L)).as("__sa"),
       sum(when(col("__arm") === "b", col("__v")).otherwise(0L)).as("__sb"))
       .localCheckpoint(true) // 1 row, referenced three times
-    val u = (Sampling.keyHash(concat_ws(":", col("__id"), col("__b")), salt)
-      .cast("double") + lit(0.5)) / lit((1L << 60).toDouble)
+    val u = permCoin(salt)
     val perms = base
       .withColumn("__b", explode(sequence(lit(1), lit(reps))))
       .crossJoin(broadcast(obs.select(col("n_a"), col("n_b"))))
@@ -212,10 +224,7 @@ object Experiment {
     import org.apache.spark.sql.types._
     require(reps >= 20 && reps <= 1000, s"reps=$reps out of [20, 1000]")
     require(groupCols.nonEmpty, "at least one group column is required")
-    require(
-      Seq(ByteType, ShortType, IntegerType, LongType)
-        .contains(users.schema(valueCol).dataType),
-      s"$valueCol must be an integral column — float corpus sums are order-sensitive")
+    requireIntegral(users, valueCol)
     val keys = groupCols.map(col)
     val base = users.select(keys :+ col(userCol).cast("string").as("__id")
         :+ col(armCol).cast("string").as("__arm")
@@ -229,8 +238,7 @@ object Experiment {
       sum(when(col("__arm") === "a", col("__v")).otherwise(0L)).as("__sa"),
       sum(when(col("__arm") === "b", col("__v")).otherwise(0L)).as("__sb"))
       .localCheckpoint(true) // groups-sized, referenced by coin AND readout
-    val u = (Sampling.keyHash(concat_ws(":", col("__id"), col("__b")), salt)
-      .cast("double") + lit(0.5)) / lit((1L << 60).toDouble)
+    val u = permCoin(salt)
     val perms = base
       .withColumn("__b", explode(sequence(lit(1), lit(reps))))
       .join(broadcast(obs.select(keys :+ col("n_a") :+ col("n_b"): _*)), groupCols)

@@ -111,11 +111,14 @@ object Inference {
     val sea = va / nD("a"); val seb = vb / nD("b")
     val se2 = sea + seb
     val ok = col("n_a") >= 2 && col("n_b") >= 2 && se2 > 0.0
+    // t is oriented b MINUS a — the same direction as abReadout's lift /
+    // z_conv and permutationTest's diff_obs, so a composed scorecard row
+    // (q248) carries one sign convention throughout
     sums.select(
       col("n_a"), col("n_b"),
       q6(d("__s_a") / nD("a")).as("mean_a"),
       q6(d("__s_b") / nD("b")).as("mean_b"),
-      when(ok, q6((d("__s_a") / nD("a") - d("__s_b") / nD("b")) / sqrt(se2)))
+      when(ok, q6((d("__s_b") / nD("b") - d("__s_a") / nD("a")) / sqrt(se2)))
         .as("t_stat"),
       when(ok, q6((se2 * se2) /
         (sea * sea / (nD("a") - 1.0) + seb * seb / (nD("b") - 1.0))))
@@ -157,7 +160,10 @@ object Inference {
       sum(col("__ss")).cast("decimal(38,8)").as("__gss"),
       sum(term).cast("decimal(38,6)").as("__sqn"))
     def d(c: String) = col(c).cast("double")
-    val ssb = d("__sqn") - d("__gs") * d("__gs") / d("n")
+    // clamp at 0: identical group means make true SSB 0, but the
+    // 1e-6-quantized terms can overshoot by up to k·5e-7 and the raw
+    // difference lands slightly NEGATIVE — an out-of-domain F otherwise
+    val ssb = greatest(d("__sqn") - d("__gs") * d("__gs") / d("n"), lit(0.0))
     val ssw = d("__gss") - d("__sqn")
     val dfb = d("k") - 1.0
     val dfw = d("n") - d("k")

@@ -753,6 +753,18 @@ object Sampling {
       .withColumn("__N", sum(col("n")).over(Window.partitionBy(lit(1))))
       .withColumn("__w", lit(1.0).cast("decimal(18,9)"))
       .localCheckpoint(true) // grid-sized; the iteration base
+    // every listed category must actually occur: an absent category's
+    // target mass is unallocatable, so IPF would "converge" to weights
+    // matching NEITHER marginal with no error — fail loudly instead
+    def checkPresent(nm: String, axis: String, s: Seq[(String, Double)]): Unit = {
+      val present = grid.select(col(axis).cast("string")).distinct()
+        .collect().map(_.getString(0)).toSet
+      val missing = s.map(_._1).filterNot(present)
+      require(missing.isEmpty,
+        s"$nm categories ${missing.mkString(", ")} have no rows — their target " +
+          "share is unallocatable; drop them (and renormalize) first")
+    }
+    checkPresent("row", "__r", rowShares); checkPresent("col", "__c", colShares)
     def rescale(cur: DataFrame, axis: String, shares: Seq[(String, Double)]): DataFrame =
       cur
         .withColumn("__axsum",

@@ -1335,6 +1335,13 @@ object Similarity {
         (cid, qa, math.sqrt(qa.map(x => x * x).sum))
     }
     require(cents.size >= 2, "silhouette needs at least 2 centroids")
+    // a centroid whose every component quantizes to 0 would make its
+    // cosine NaN for ALL points — and NaN sorts LAST in Spark's struct
+    // sort but FIRST under a DESC-similarity oracle, the cross-engine
+    // divergence class. Fail loudly; the model is degenerate anyway.
+    require(cents.forall(_._3 > 0.0),
+      s"centroid(s) ${cents.filter(_._3 == 0.0).map(_._1).mkString(", ")} " +
+        s"quantize to the zero vector at $modelDigits digits — cosine undefined")
     val q6 = (c: Column) => graft.functions.Quantize.scaledFloor(c, 6)
     val ranked = Dedup.withComputeParallelism(
         vectors.select(col(vectorId).cast("long").as("__id"),

@@ -1796,11 +1796,23 @@ object TextAnalysis {
     require(buckets >= 2 && buckets <= 1000, s"buckets=$buckets out of [2, 1000]")
     val q9 = (c: Column) => graft.functions.Quantize.scaledFloor(c, 9)
     val q6 = (c: Column) => graft.functions.Quantize.scaledFloor(c, 6)
-    val bounds = df.agg(min(col(idCol)).as("__lo"), max(col(idCol)).as("__hi"))
-    val toks = df.select(col(idCol), explode(split(col(textCol), " ")).as("__tok"))
+    // bounds collected driver-side (1 row, the trainKMeans precedent) so
+    // the bucket arithmetic can be overflow-CHECKED: 64-bit-hash id
+    // schemes would overflow (id-lo)*buckets in Long and silently
+    // garbage the checkpoints otherwise
+    val boundsRow = df.agg(min(col(idCol).cast("long")).as("__lo"),
+      max(col(idCol).cast("long")).as("__hi")).collect().head
+    require(!boundsRow.isNullAt(0), s"$idCol has no non-null values")
+    val lo = boundsRow.getLong(0); val hi = boundsRow.getLong(1)
+    require(BigInt(hi) - BigInt(lo) + 1 <= Long.MaxValue / buckets,
+      s"id range [$lo, $hi] x $buckets overflows the bucket arithmetic — " +
+        "remap ids to a dense range first")
+    val span = hi - lo + 1L
+    val toks = df
+      .select(col(idCol).cast("long").as("__hid"),
+        explode(split(col(textCol), " ")).as("__tok"))
       .filter(length(col("__tok")) > 0)
-      .crossJoin(broadcast(bounds))
-      .select(expr(s"(($idCol - __lo) * $buckets) DIV (__hi - __lo + 1)").as("__b"),
+      .select(expr(s"((__hid - ${lo}L) * ${buckets}L) DIV ${span}L").as("__b"),
         col("__tok"))
     val perBucket = toks.groupBy(col("__b")).agg(count(lit(1)).as("__nt"))
     val firstBucket = toks.groupBy(col("__tok")).agg(min(col("__b")).as("__b"))

@@ -590,17 +590,14 @@ object TimeSeries {
       s"period must be odd >= 3 for a centered row window, got $period")
     val keys = keyCols.map(col)
     val half = period / 2
-    val w = Window.partitionBy(keys: _*).orderBy(col(dayCol))
-      .rowsBetween(-half, half)
     val q6 = (c: Column) => graft.functions.Quantize.scaledFloor(c, 6)
+    val centered = Window.partitionBy(keys: _*).orderBy(col("__day"))
+      .rowsBetween(-half, half)
     val base = df.filter(col(dayCol).isNotNull && col(valueCol).isNotNull)
       .select(keys :+ col(dayCol).cast("long").as("__day")
         :+ col(valueCol).cast(s"decimal(18,$decimalScale)").as("__v"): _*)
-      .withColumn("__w", count(lit(1)).over(
-        Window.partitionBy(keys: _*).orderBy(col("__day")).rowsBetween(-half, half)))
-      .withColumn("__sum", sum(col("__v")).over(
-        Window.partitionBy(keys: _*).orderBy(col("__day")).rowsBetween(-half, half))
-        .cast("decimal(38,8)"))
+      .withColumn("__w", count(lit(1)).over(centered))
+      .withColumn("__sum", sum(col("__v")).over(centered).cast("decimal(38,8)"))
       .withColumn("__trend",
         when(col("__w") === period,
           q6(col("__sum").cast("double") / lit(period.toDouble))))

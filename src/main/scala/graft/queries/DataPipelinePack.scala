@@ -2616,6 +2616,29 @@ object DataPipelinePack extends QueryPack {
         .orderBy(col("event_type"))
     }),
 
+    // Quantile treatment effect: per-arm engagement quantiles from the
+    // MERGEABLE histogram path (q174's machinery grouped by arm) —
+    // "where in the distribution did the experiment move", the read a
+    // mean-only scorecard (q248) can't give.
+    "q252_qte" -> ((s, d) => {
+      val users = Tables.events(s, d).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("engagement"))
+      val assigned = Sampling.hashSplit(users, "user_id",
+        Seq("a" -> 0.5, "b" -> 0.5), "exp1")
+      val hist = Profiler.histogram(assigned, "engagement", Seq("split"),
+        minV = 0L, maxV = 1023L, bins = 256)
+      val qs = Profiler.histogramQuantiles(hist, Seq("split"),
+        minV = 0L, maxV = 1023L, bins = 256, quantiles = Seq(0.5, 0.9, 0.99))
+        .localCheckpoint(true) // 6 rows, referenced by both arm legs
+      val a = qs.filter(col("split") === "a").select(col("q"), col("est").as("est_a"))
+      val b = qs.filter(col("split") === "b").select(col("q"), col("est").as("est_b"))
+      a.join(b, Seq("q"))
+        .select(col("q"), col("est_a"), col("est_b"),
+          graft.functions.Quantize.scaledFloor(col("est_b") - col("est_a"), 6)
+            .as("qte"))
+        .orderBy(col("q"))
+    }),
+
     // Per-segment permutation sweep + Benjamini–Hochberg FDR: WHICH
     // event-type segments moved, with the multiple-comparisons control
     // every segment sweep needs before anyone reads it.
@@ -3529,7 +3552,7 @@ object DataPipelinePack extends QueryPack {
              CAST(floor(ma * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS mean_a,
              CAST(floor(mb * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS mean_b,
              CASE WHEN n_a >= 2 AND n_b >= 2 AND sea + seb > 0.0
-                  THEN CAST(floor((ma - mb) / sqrt(sea + seb) * 1000000.0 + 0.5)
+                  THEN CAST(floor((mb - ma) / sqrt(sea + seb) * 1000000.0 + 0.5)
                          AS DOUBLE) / 1000000.0
              END AS t_stat,
              CASE WHEN n_a >= 2 AND n_b >= 2 AND sea + seb > 0.0
@@ -3738,6 +3761,44 @@ object DataPipelinePack extends QueryPack {
       SELECT event_type, n_a, n_b, diff_obs, reps, p_value, m, rank, p_adj,
              (p_adj <= 0.1) AS reject
       FROM adj ORDER BY event_type"""
+  }
+
+  /** q252's oracle: q174's histogram-quantile machinery grouped by the
+    * hashSplit arm, then the a/b pivot and the exact-grid difference. */
+  private def qteOracle: String = {
+    val b = Sampling.splitBoundaries(Seq("a" -> 0.5, "b" -> 0.5)).head._2
+    val h = duckKeyHash("user_id", "exp1")
+    s"""
+      WITH u AS (SELECT user_id, count(*) AS v FROM events GROUP BY user_id),
+      asg AS (SELECT CASE WHEN $h < $b THEN 'a' ELSE 'b' END AS split, v FROM u),
+      h AS (SELECT split,
+                   ((greatest(CAST(0 AS BIGINT), least(CAST(1023 AS BIGINT),
+                       CAST(v AS BIGINT)))) * 256) // 1024 AS bin,
+                   count(*) AS cnt
+            FROM asg GROUP BY split, bin),
+      c AS (SELECT split, bin, cnt,
+                   sum(cnt) OVER (PARTITION BY split ORDER BY bin
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS cum,
+                   sum(cnt) OVER (PARTITION BY split) AS n
+            FROM h),
+      qs AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+                            CAST(0.99 AS DOUBLE)]) AS q),
+      hit AS (SELECT c.split, qs.q, c.bin, c.cnt,
+                     qs.q * c.n AS target, c.cum - c.cnt AS before
+              FROM c CROSS JOIN qs
+              WHERE c.cum >= qs.q * c.n AND c.cum - c.cnt < qs.q * c.n),
+      est AS (SELECT split, q,
+                     CAST(floor((0 + (bin + (target - before) / cnt)
+                           * (CAST(1024 AS DOUBLE) / 256))
+                         * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS est
+              FROM hit)
+      SELECT a.q, a.est AS est_a, b.est AS est_b,
+             CAST(floor((b.est - a.est) * 1000000.0 + 0.5) AS DOUBLE)
+               / 1000000.0 AS qte
+      FROM est a JOIN est b ON a.q = b.q
+      WHERE a.split = 'a' AND b.split = 'b'
+      ORDER BY a.q"""
   }
 
   /** q248's oracle: the three single-row oracles (q230/q237/q235) as
@@ -5926,6 +5987,7 @@ object DataPipelinePack extends QueryPack {
     "q248_experiment_scorecard" -> scorecardOracle,
     "q249_silhouette" -> silhouetteOracle,
     "q251_fdr_segments" -> fdrSegmentsOracle,
+    "q252_qte" -> qteOracle,
 
     // q250: exact S from the temporal pair join, tie-corrected variance,
     // continuity-corrected z.
@@ -6113,8 +6175,9 @@ object DataPipelinePack extends QueryPack {
                      CAST(sum(term) AS DECIMAL(38,6)) AS sqn
               FROM p2),
       f AS (SELECT k, n,
-                   CAST(sqn AS DOUBLE) - CAST(gs AS DOUBLE) * CAST(gs AS DOUBLE)
-                     / CAST(n AS DOUBLE) AS ssb,
+                   greatest(CAST(sqn AS DOUBLE)
+                       - CAST(gs AS DOUBLE) * CAST(gs AS DOUBLE)
+                         / CAST(n AS DOUBLE), 0.0) AS ssb,
                    CAST(gss AS DOUBLE) - CAST(sqn AS DOUBLE) AS ssw
             FROM tot)
       SELECT k, n,

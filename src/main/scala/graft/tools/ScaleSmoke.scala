@@ -23,6 +23,7 @@ object ScaleSmoke {
     val sfDir = args.drop(1).headOption.getOrElse("/root/testdata/sf0.1")
     val only = args.drop(2).headOption
       .map(_.toLowerCase.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty) // blank/comma-only filter = run everything, not nothing
     val spark = GraftSession.local("graft-scale-smoke")
 
     // UNTIMED inter-stage cleanup, the Bench.scala §8.0 harness: 80+

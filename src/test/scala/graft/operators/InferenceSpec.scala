@@ -39,14 +39,15 @@ class InferenceSpec extends AnyFunSuite {
 
   test("welch t: hand-computed unequal-variance two-sample case") {
     // a = [1,2,3]: mean 2, var 1; b = [2,4,6,8]: mean 5, var 20/3
-    // se2 = 1/3 + 5/3 = 2; t = -3/sqrt(2); df Welch-Satterthwaite
+    // se2 = 1/3 + 5/3 = 2; t = (5-2)/sqrt(2); df Welch-Satterthwaite
     val df = (Seq(1, 2, 3).map(("a", _)) ++ Seq(2, 4, 6, 8).map(("b", _)))
       .toDF("arm", "v")
     val row = Inference.welchTTest(df, "arm", "v", "a", "b").collect().head
     assert(row.getLong(0) == 3L && row.getLong(1) == 4L)
     assert(row.getDouble(2) == 2.0 && row.getDouble(3) == 5.0)
     val sea = 1.0 / 3.0; val seb = (20.0 / 3.0) / 4.0
-    assert(row.getDouble(4) == scaledFloorDouble((2.0 - 5.0) / math.sqrt(sea + seb), 6))
+    // t is b-minus-a (the scorecard sign convention)
+    assert(row.getDouble(4) == scaledFloorDouble((5.0 - 2.0) / math.sqrt(sea + seb), 6))
     assert(row.getDouble(5) == scaledFloorDouble(
       (sea + seb) * (sea + seb) / (sea * sea / 2.0 + seb * seb / 3.0), 6))
   }
@@ -71,6 +72,15 @@ class InferenceSpec extends AnyFunSuite {
   test("anova: zero within-group variance yields null F") {
     val df = Seq(("g1", 1), ("g1", 1), ("g2", 2), ("g2", 2)).toDF("g", "v")
     assert(Inference.anovaOneWay(df, "g", "v").collect().head.isNullAt(4))
+  }
+
+  test("anova: identical group means clamp SSB at 0 instead of going negative") {
+    // each group's S^2/n = 4/3 rounds DOWN at the 1e-6 grid while the
+    // grand term 16/6 rounds exactly — the raw difference is ~-7e-7
+    val df = (Seq(1, 1, 0).map(("g1", _)) ++ Seq(1, 1, 0).map(("g2", _)))
+      .toDF("g", "v")
+    val row = Inference.anovaOneWay(df, "g", "v").collect().head
+    assert(row.getDouble(2) == 0.0 && row.getDouble(4) == 0.0)
   }
 
   // ---- kendallTauB ---------------------------------------------------

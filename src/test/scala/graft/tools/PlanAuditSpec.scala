@@ -297,13 +297,13 @@ class PlanAuditSpec extends AnyFunSuite {
     // q244: the 1-row (k, N, Σraw) totals aggregate crossJoined back into
     // the k-row class frame (q35's N class — the BNLJ and its broadcast).
     "q244_class_weights" -> (0, 1, 1),
-    // q247: the 1-row id-bounds aggregate crossJoined into the token
-    // stream (q35's N class) — planned twice because the token frame
-    // feeds both the bucket totals and the per-token first-bucket
-    // aggregation (a DELIBERATE double scan: re-reading the corpus beats
-    // materializing a token-stream-shaped intermediate), plus the
-    // buckets-row cumulative frame's bounded broadcast.
-    "q247_heaps_law" -> (0, 2, 3),
+    // q247: the id bounds are now collected driver-side (overflow-checked
+    // literals), so the only flagged relation is the buckets-row
+    // first-bucket frame broadcast into the cumulative join — knob-sized.
+    // The token stream is still DELIBERATELY scanned twice (bucket totals
+    // + per-token first bucket): re-reading the corpus beats materializing
+    // a token-stream-shaped intermediate.
+    "q247_heaps_law" -> (0, 0, 1),
     // q248: the composed experiment page — q235's three scalar crossJoins
     // (the checkpointed observed aggregate ×2 + the permutation summary)
     // plus the scorecard's own two 1-row-leg crossJoins; every flagged
