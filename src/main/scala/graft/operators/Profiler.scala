@@ -557,6 +557,70 @@ object Profiler {
           abs(col("mean_score") - col("frac_pos")), 6))
   }
 
+  /** Murphy decomposition of the Brier score — `brier = reliability −
+    * resolution + uncertainty` — the ONE-ROW calibration verdict on top
+    * of [[reliabilityCard]]'s per-bin view: reliability (how far bin
+    * confidence sits from bin accuracy — lower is better-calibrated),
+    * resolution (how much the bins separate outcomes — higher is a more
+    * useful scorer), uncertainty (the base-rate entropy term, the
+    * no-skill floor).
+    *
+    * Scores are snapped to [[reliabilityCard]]'s 1e-7 integer grid, so
+    * the per-row squared error and per-bin means are exact-input doubles;
+    * the per-row/per-bin fractional terms are 1e-9-quantized and
+    * decimal-summed (the anova discipline) — the decomposition identity
+    * then holds to the quantization grid and the whole row is
+    * engine-exact. Same binning (`floor(p·bins)` clamped). Output 1 row:
+    * (n, base_rate, brier, reliability, resolution, uncertainty).
+    */
+  def brierDecomposition(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      bins: Int
+  ): DataFrame = {
+    require(bins >= 2 && bins <= 4096, s"bins=$bins out of [2, 4096]")
+    val q9 = (c: org.apache.spark.sql.Column) =>
+      graft.functions.Quantize.scaledFloor(c, 9)
+    val q6 = (c: org.apache.spark.sql.Column) =>
+      graft.functions.Quantize.scaledFloor(c, 6)
+    val s = col(scoreCol).cast("double")
+    val base = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(
+        least(greatest(floor(s * bins).cast("long"), lit(0L)), lit(bins - 1L)).as("__bin"),
+        (floor(s * 1e7 + 0.5).cast("long").cast("double") / 1e7).as("__p"),
+        col(labelCol).cast("boolean").cast("int").as("__y"))
+    val perBin = base
+      .withColumn("__sq", q9((col("__p") - col("__y")) * (col("__p") - col("__y")))
+        .cast("decimal(18,9)"))
+      .groupBy(col("__bin"))
+      .agg(count(lit(1)).as("__n"),
+        sum((col("__p") * 1e7).cast("long")).as("__s7"),
+        sum(col("__y").cast("long")).as("__pos"),
+        sum(col("__sq")).cast("decimal(38,9)").as("__ssq"))
+    val tot = perBin.agg(sum(col("__n")).as("n"), sum(col("__pos")).as("__gpos"),
+      sum(col("__ssq")).cast("decimal(38,9)").as("__gssq"))
+    def d(c: String) = col(c).cast("double")
+    val yBar = d("__gpos") / d("n")
+    val binTerms = perBin.crossJoin(broadcast(tot))
+      .select(
+        q9(d("__n") * (d("__s7") / 1e7 / d("__n") - d("__pos") / d("__n")) *
+          (d("__s7") / 1e7 / d("__n") - d("__pos") / d("__n")))
+          .cast("decimal(18,9)").as("__rel"),
+        q9(d("__n") * (d("__pos") / d("__n") - yBar) * (d("__pos") / d("__n") - yBar))
+          .cast("decimal(18,9)").as("__res"))
+      .agg(sum(col("__rel")).cast("decimal(38,9)").as("__srel"),
+        sum(col("__res")).cast("decimal(38,9)").as("__sres"))
+    tot.crossJoin(broadcast(binTerms))
+      .select(col("n"),
+        q6(yBar).as("base_rate"),
+        q6(d("__gssq") / d("n")).as("brier"),
+        q6(d("__srel") / d("n")).as("reliability"),
+        q6(d("__sres") / d("n")).as("resolution"),
+        q6(yBar * (lit(1.0) - yBar)).as("uncertainty"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov test between two vintages of a numeric
     * column — the DISTRIBUTION-SHAPE drift test completing the battery
     * ([[psi]] asks how alarmed the scorecard should be, [[mannWhitney]]

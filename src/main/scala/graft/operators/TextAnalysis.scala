@@ -1764,6 +1764,61 @@ object TextAnalysis {
           .as("novelty"))
   }
 
+  /** Sparse TF-IDF cosine document pairs — the LEXICAL similarity join
+    * complementing the dense-embedding family ([[graft.operators.Dedup]]'s
+    * MinHash measures set overlap; this weighs shared RARE terms, the
+    * plagiarism/near-template signal Jaccard dilutes): pairs sharing ≥ 1
+    * surviving term scored by `cos = Σ w₁w₂ / (‖w₁‖‖w₂‖)` over the [[tfidf]]
+    * weights, thresholded, top-k.
+    *
+    * Scale contract: candidates come from a term-keyed self-join, so the
+    * volume is Σ_term df² — `maxDf` caps it BY CONTRACT (a term in more
+    * than maxDf docs is too common to signal similarity anyway; its IDF
+    * weight is already ~0 — the adamicAdar maxDegree trade verbatim).
+    * Weights are 1e-6-quantized once (the float log is engine-identical
+    * on exact integer inputs), then every dot/norm sum is exact decimal —
+    * the similarity orders deterministically with (id_a, id_b)
+    * tie-breaks. Output: top-k (id_a, id_b, n_terms, cosine) by cosine
+    * desc.
+    */
+  def tfidfCosinePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDf: Int,
+      threshold: Double,
+      topK: Int
+  ): DataFrame = {
+    require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
+    require(threshold > 0.0 && threshold < 1.0, s"threshold out of (0, 1)")
+    require(topK > 0, s"topK must be positive")
+    val q6 = (c: Column) => graft.functions.Quantize.scaledFloor(c, 6)
+    val w = tfidf(df, idCol, textCol)
+      .filter(col("df") <= maxDf && col("df") >= 1)
+      .select(col(idCol).as("__id"), col("term"),
+        q6(col("tfidf")).cast("decimal(18,6)").as("__w"))
+      .localCheckpoint(true) // feeds norms AND both sides of the pair join
+    val norms = w.groupBy(col("__id"))
+      .agg(sum((col("__w") * col("__w")).cast("decimal(38,12)")).as("__nn"))
+      .select(col("__id"), sqrt(col("__nn").cast("double")).as("__nrm"))
+    val pairs = w.as("l").hint("shuffle_merge")
+      .join(w.as("r").hint("shuffle_merge"),
+        col("l.term") === col("r.term") && col("l.__id") < col("r.__id"))
+      .groupBy(col("l.__id").as("id_a"), col("r.__id").as("id_b"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum((col("l.__w") * col("r.__w")).cast("decimal(38,12)")).as("__dot"))
+    pairs
+      .join(norms.select(col("__id").as("id_a"), col("__nrm").as("__na"))
+        .hint("shuffle_merge"), Seq("id_a"))
+      .join(norms.select(col("__id").as("id_b"), col("__nrm").as("__nb"))
+        .hint("shuffle_merge"), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("n_terms"),
+        q6(col("__dot").cast("double") / (col("__na") * col("__nb"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .orderBy(col("cosine").desc, col("id_a"), col("id_b"))
+      .limit(topK)
+  }
+
   /** Heaps'-law fit of vocabulary growth, `V(n) ≈ K·n^β` — the
     * corpus-health scaling read: β far above the prose band (~0.4–0.6)
     * means unbounded novel-token production (serial numbers, hashes —

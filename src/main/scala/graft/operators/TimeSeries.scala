@@ -490,6 +490,80 @@ object TimeSeries {
           .as("anomalous"))
   }
 
+  /** Two-sample log-rank test (Mantel–Cox) — "do these survival curves
+    * differ", the significance gate on top of [[kaplanMeier]] (which only
+    * DRAWS each curve): at every event time t, observed group-a events
+    * vs the hypergeometric expectation `d_t·n_at/n_t` given the at-risk
+    * split, summed into `χ² = (Σ(O−E))²/ΣV` with
+    * `V_t = d_t·(n_at/n_t)·(1−n_at/n_t)·(n_t−d_t)/(n_t−1)`.
+    *
+    * At-risk counts come from exact integer cumulative-exit windows over
+    * the distinct-duration grid (grid-sized BY CONTRACT — durations are
+    * calendar-bucketed, the kaplanMeier input rule); the per-time O−E and
+    * V rationals are 1e-9-quantized and decimal-summed (the anova term
+    * discipline), so the statistic is engine- and order-exact. Censored
+    * exits leave the risk set without contributing events — censoring is
+    * handled exactly as the KM estimator does. Output 1 row:
+    * (n_a, n_b, events_a, events_b, o_minus_e_a, var_sum, chi2) —
+    * chi2 null when ΣV = 0 (no comparable event times).
+    */
+  def logRank(
+      df: DataFrame,
+      groupCol: String,
+      durationCol: String,
+      observedCol: String,
+      groupA: String,
+      groupB: String
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q9 = (c: Column) => graft.functions.Quantize.scaledFloor(c, 9)
+    val q6c = (c: Column) => graft.functions.Quantize.scaledFloor(c, 6)
+    val base = df
+      .filter(col(durationCol).isNotNull && col(observedCol).isNotNull &&
+        (col(groupCol) === groupA || col(groupCol) === groupB))
+      .select((col(groupCol) === groupA).as("__a"),
+        col(durationCol).cast("long").as("__t"),
+        col(observedCol).cast("boolean").as("__o"))
+    val perT = base.groupBy(col("__t")).agg(
+      sum(when(col("__a"), 1L).otherwise(0L)).as("__xa"),
+      sum(when(!col("__a"), 1L).otherwise(0L)).as("__xb"),
+      sum(when(col("__a") && col("__o"), 1L).otherwise(0L)).as("__da"),
+      sum(when(!col("__a") && col("__o"), 1L).otherwise(0L)).as("__db"))
+    val tot = base.agg(
+      sum(when(col("__a"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(!col("__a"), 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("__a") && col("__o"), 1L).otherwise(0L)).as("events_a"),
+      sum(when(!col("__a") && col("__o"), 1L).otherwise(0L)).as("events_b"))
+    val wBefore = Window.orderBy(col("__t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val risks = perT.crossJoin(broadcast(tot))
+      .withColumn("__na", col("n_a") - coalesce(sum(col("__xa")).over(wBefore), lit(0L)))
+      .withColumn("__nb", col("n_b") - coalesce(sum(col("__xb")).over(wBefore), lit(0L)))
+      .filter(col("__da") + col("__db") >= 1L)
+    def d(c: String) = col(c).cast("double")
+    val n = d("__na") + d("__nb")
+    val dt = d("__da") + d("__db")
+    val ea = dt * d("__na") / n
+    val v = when(n > 1.0,
+      dt * (d("__na") / n) * (lit(1.0) - d("__na") / n) * (n - dt) / (n - 1.0))
+      .otherwise(lit(0.0))
+    val terms = risks.select(
+      q9(d("__da") - ea).cast("decimal(18,9)").as("__ome"),
+      q9(v).cast("decimal(18,9)").as("__v"))
+    val sums = terms.agg(
+      sum(col("__ome")).cast("decimal(38,9)").as("__some"),
+      sum(col("__v")).cast("decimal(38,9)").as("__sv"))
+    tot.crossJoin(broadcast(sums))
+      .select(col("n_a"), col("n_b"), col("events_a"), col("events_b"),
+        q6c(coalesce(col("__some"), lit(0).cast("decimal(38,9)")).cast("double"))
+          .as("o_minus_e_a"),
+        q6c(coalesce(col("__sv"), lit(0).cast("decimal(38,9)")).cast("double"))
+          .as("var_sum"),
+        when(coalesce(col("__sv"), lit(0).cast("decimal(38,9)")) > 0,
+          q6c(col("__some").cast("double") * col("__some").cast("double") /
+            col("__sv").cast("double"))).as("chi2"))
+  }
+
   /** Single change-point per key by exact binary segmentation: over the
     * time-ordered series, the split s minimizing
     * `SSE(rows ≤ s) + SSE(rows > s)` — the level-shift localizer (binary

@@ -2639,6 +2639,44 @@ object DataPipelinePack extends QueryPack {
         .orderBy(col("q"))
     }),
 
+    // Log-rank test on time-to-first-purchase between the hash-assigned
+    // arms — "did the experiment move time-to-convert", the significance
+    // gate on top of q227's Kaplan-Meier curve.
+    "q253_log_rank" -> ((s, d) => {
+      val winEnd = lit("2024-01-03").cast("date")
+      val ev = Tables.events(s, d).filter(to_date(col("ts")) <= winEnd)
+      val first = ev.groupBy(col("user_id")).agg(min(to_date(col("ts"))).as("start"))
+      val firstBuy = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id")).agg(min(to_date(col("ts"))).as("pd"))
+      val subj = first.join(firstBuy.hint("shuffle_merge"), Seq("user_id"), "left")
+        .select(col("user_id"),
+          when(col("pd").isNotNull, datediff(col("pd"), col("start")))
+            .otherwise(datediff(winEnd, col("start"))).as("duration"),
+          col("pd").isNotNull.as("observed"))
+      val armed = Sampling.hashSplit(subj, "user_id",
+        Seq("a" -> 0.5, "b" -> 0.5), "exp1")
+      graft.operators.TimeSeries.logRank(armed, "split", "duration", "observed",
+        "a", "b")
+    }),
+
+    // Sparse TF-IDF cosine pairs: the lexical similarity join (shared
+    // RARE terms weigh; maxDf caps the per-term quadratic BY CONTRACT).
+    "q254_tfidf_cosine" -> ((s, d) => {
+      TextAnalysis.tfidfCosinePairs(Tables.documents(s, d), "doc_id", "text",
+        maxDf = 50, threshold = 0.3, topK = 50)
+    }),
+
+    // Murphy decomposition of the Brier score for the q203 quality
+    // scorer — the one-row calibration verdict.
+    "q255_brier" -> ((s, d) => {
+      val scored = TextAnalysis.hashedLinearScore(
+        Tables.documents(s, d).select(col("doc_id"), col("text"), col("lang")),
+        "doc_id", "text", qualityWeights, bias = -0.5)
+      Profiler.brierDecomposition(
+        scored.withColumn("label", col("lang") === "en"),
+        "quality_score", "label", bins = 10)
+    }),
+
     // Per-segment permutation sweep + Benjamini–Hochberg FDR: WHICH
     // event-type segments moved, with the multiple-comparisons control
     // every segment sweep needs before anyone reads it.
@@ -3763,6 +3801,144 @@ object DataPipelinePack extends QueryPack {
       FROM adj ORDER BY event_type"""
   }
 
+  /** The q203 hashed-linear quality-score CTE chain (sigmoid over the
+    * md5-bucketed token weights, rounded to 1e-4), ending at
+    * `sc (doc_id, lang, s)` — shared by the reliability card and the
+    * q255 Brier decomposition so both gates score the SAME model. */
+  private def qualityScoreCtes: String =
+    s"""toks AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+      wv AS (SELECT [${qualityWeights.mkString(", ")}] AS wl),
+      sc AS (SELECT doc_id, lang,
+               round(1.0 / (1.0 + exp(-(
+                 list_reduce(
+                   list_prepend(CAST(-0.5 AS DOUBLE),
+                     list_transform(w, t -> wl[
+                       CAST(CAST(concat('0x', substring(md5(t), 1, 15)) AS BIGINT) % 64 AS INTEGER) + 1])),
+                   (acc, x) -> acc + x)))), 4) AS s
+             FROM toks CROSS JOIN wv)"""
+
+  /** q255's oracle: the shared score chain, reliabilityCard's 1e-7 snap
+    * and clamped binning, per-row/per-bin terms 1e-9-quantized then
+    * decimal-summed — the operator's Murphy decomposition verbatim. */
+  private def brierOracle: String = s"""
+      WITH $qualityScoreCtes,
+      b AS (SELECT least(greatest(CAST(floor(s * 10) AS BIGINT), 0), 9) AS bin,
+                   CAST(CAST(floor(s * 10000000.0 + 0.5) AS BIGINT) AS DOUBLE)
+                     / 10000000.0 AS p,
+                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+            FROM sc),
+      pb AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(CAST(p * 10000000.0 AS BIGINT)) AS BIGINT) AS s7,
+                    CAST(sum(y) AS BIGINT) AS pos,
+                    CAST(sum(CAST(CAST(floor((p - y) * (p - y) * 1000000000.0 + 0.5)
+                        AS DOUBLE) / 1000000000.0 AS DECIMAL(18,9)))
+                      AS DECIMAL(38,9)) AS ssq
+             FROM b GROUP BY bin),
+      tot AS (SELECT CAST(sum(n) AS BIGINT) AS n, CAST(sum(pos) AS BIGINT) AS gpos,
+                     CAST(sum(ssq) AS DECIMAL(38,9)) AS gssq
+              FROM pb),
+      bt AS (SELECT
+               CAST(sum(CAST(CAST(floor(CAST(pb.n AS DOUBLE)
+                     * (CAST(s7 AS DOUBLE) / 10000000.0 / CAST(pb.n AS DOUBLE)
+                        - CAST(pos AS DOUBLE) / CAST(pb.n AS DOUBLE))
+                     * (CAST(s7 AS DOUBLE) / 10000000.0 / CAST(pb.n AS DOUBLE)
+                        - CAST(pos AS DOUBLE) / CAST(pb.n AS DOUBLE))
+                     * 1000000000.0 + 0.5) AS DOUBLE) / 1000000000.0
+                   AS DECIMAL(18,9))) AS DECIMAL(38,9)) AS srel,
+               CAST(sum(CAST(CAST(floor(CAST(pb.n AS DOUBLE)
+                     * (CAST(pos AS DOUBLE) / CAST(pb.n AS DOUBLE)
+                        - CAST(gpos AS DOUBLE) / CAST(tot.n AS DOUBLE))
+                     * (CAST(pos AS DOUBLE) / CAST(pb.n AS DOUBLE)
+                        - CAST(gpos AS DOUBLE) / CAST(tot.n AS DOUBLE))
+                     * 1000000000.0 + 0.5) AS DOUBLE) / 1000000000.0
+                   AS DECIMAL(18,9))) AS DECIMAL(38,9)) AS sres
+             FROM pb CROSS JOIN tot)
+      SELECT tot.n,
+             CAST(floor(CAST(gpos AS DOUBLE) / CAST(tot.n AS DOUBLE)
+                 * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS base_rate,
+             CAST(floor(CAST(gssq AS DOUBLE) / CAST(tot.n AS DOUBLE)
+                 * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS brier,
+             CAST(floor(CAST(srel AS DOUBLE) / CAST(tot.n AS DOUBLE)
+                 * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS reliability,
+             CAST(floor(CAST(sres AS DOUBLE) / CAST(tot.n AS DOUBLE)
+                 * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS resolution,
+             CAST(floor(CAST(gpos AS DOUBLE) / CAST(tot.n AS DOUBLE)
+                 * (1.0 - CAST(gpos AS DOUBLE) / CAST(tot.n AS DOUBLE))
+                 * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS uncertainty
+      FROM tot CROSS JOIN bt"""
+
+  /** q253's oracle: q227's subject derivation + the hashSplit arm, then
+    * the Mantel–Cox machinery — exact integer at-risk windows,
+    * 1e-9-quantized O−E and V terms decimal-summed. */
+  private def logRankOracle: String = {
+    val b = Sampling.splitBoundaries(Seq("a" -> 0.5, "b" -> 0.5)).head._2
+    val h = duckKeyHash("user_id", "exp1")
+    s"""
+      WITH ev AS (SELECT user_id, event_type, CAST(ts AS DATE) AS dt FROM events
+                  WHERE CAST(ts AS DATE) <= DATE '2024-01-03'),
+      f AS (SELECT user_id, min(dt) AS start FROM ev GROUP BY user_id),
+      p AS (SELECT user_id, min(dt) AS pd FROM ev WHERE event_type = 'purchase'
+            GROUP BY user_id),
+      subj AS (SELECT f.user_id,
+                      CASE WHEN pd IS NOT NULL THEN date_diff('day', start, pd)
+                           ELSE date_diff('day', start, DATE '2024-01-03') END AS t,
+                      (pd IS NOT NULL) AS o
+               FROM f LEFT JOIN p USING (user_id)),
+      armed AS (SELECT (CASE WHEN $h < $b THEN TRUE ELSE FALSE END) AS ga, t, o
+                FROM subj),
+      pt AS (SELECT t,
+                    CAST(count(*) FILTER (WHERE ga) AS BIGINT) AS xa,
+                    CAST(count(*) FILTER (WHERE NOT ga) AS BIGINT) AS xb,
+                    CAST(count(*) FILTER (WHERE ga AND o) AS BIGINT) AS da,
+                    CAST(count(*) FILTER (WHERE NOT ga AND o) AS BIGINT) AS db
+             FROM armed GROUP BY t),
+      tot AS (SELECT CAST(count(*) FILTER (WHERE ga) AS BIGINT) AS n_a,
+                     CAST(count(*) FILTER (WHERE NOT ga) AS BIGINT) AS n_b,
+                     CAST(count(*) FILTER (WHERE ga AND o) AS BIGINT) AS events_a,
+                     CAST(count(*) FILTER (WHERE NOT ga AND o) AS BIGINT) AS events_b
+              FROM armed),
+      w AS (SELECT pt.t, pt.da, pt.db,
+                   n_a - coalesce(sum(xa) OVER wb, 0) AS ra,
+                   n_b - coalesce(sum(xb) OVER wb, 0) AS rb
+            FROM pt CROSS JOIN tot
+            WINDOW wb AS (ORDER BY pt.t
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      terms AS (SELECT
+                  CAST(CAST(floor((CAST(da AS DOUBLE)
+                        - (CAST(da AS DOUBLE) + CAST(db AS DOUBLE))
+                          * CAST(ra AS DOUBLE)
+                          / (CAST(ra AS DOUBLE) + CAST(rb AS DOUBLE)))
+                      * 1000000000.0 + 0.5) AS DOUBLE) / 1000000000.0
+                    AS DECIMAL(18,9)) AS ome,
+                  CAST(CAST(floor((CASE WHEN CAST(ra AS DOUBLE) + CAST(rb AS DOUBLE) > 1.0
+                        THEN (CAST(da AS DOUBLE) + CAST(db AS DOUBLE))
+                          * (CAST(ra AS DOUBLE)
+                             / (CAST(ra AS DOUBLE) + CAST(rb AS DOUBLE)))
+                          * (1.0 - CAST(ra AS DOUBLE)
+                             / (CAST(ra AS DOUBLE) + CAST(rb AS DOUBLE)))
+                          * (CAST(ra AS DOUBLE) + CAST(rb AS DOUBLE)
+                             - (CAST(da AS DOUBLE) + CAST(db AS DOUBLE)))
+                          / (CAST(ra AS DOUBLE) + CAST(rb AS DOUBLE) - 1.0)
+                        ELSE 0.0 END)
+                      * 1000000000.0 + 0.5) AS DOUBLE) / 1000000000.0
+                    AS DECIMAL(18,9)) AS v
+                FROM w WHERE da + db >= 1),
+      s AS (SELECT CAST(sum(ome) AS DECIMAL(38,9)) AS osum,
+                   CAST(sum(v) AS DECIMAL(38,9)) AS sv
+            FROM terms)
+      SELECT n_a, n_b, events_a, events_b,
+             CAST(floor(CAST(coalesce(osum, CAST(0 AS DECIMAL(38,9))) AS DOUBLE)
+                 * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS o_minus_e_a,
+             CAST(floor(CAST(coalesce(sv, CAST(0 AS DECIMAL(38,9))) AS DOUBLE)
+                 * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS var_sum,
+             CASE WHEN coalesce(sv, CAST(0 AS DECIMAL(38,9))) > 0
+                  THEN CAST(floor(CAST(osum AS DOUBLE) * CAST(osum AS DOUBLE)
+                         / CAST(sv AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE)
+                    / 1000000.0
+             END AS chi2
+      FROM tot CROSS JOIN s"""
+  }
+
   /** q252's oracle: q174's histogram-quantile machinery grouped by the
     * hashSplit arm, then the a/b pivot and the exact-grid difference. */
   private def qteOracle: String = {
@@ -3868,7 +4044,8 @@ object DataPipelinePack extends QueryPack {
 
   /** q92's weight vector, shared verbatim between the Spark call and the
     * oracle's list literal so both engines fold the SAME doubles. */
-  private val qualityWeights: Seq[Double] =
+  // package-visible so ScaleSmoke can drive the SAME scorer it gates
+  private[graft] val qualityWeights: Seq[Double] =
     (0 until 64).map(i => ((i * 37) % 21 - 10) / 10.0)
 
   private def clusterSplitOracle: String = {
@@ -5988,6 +6165,40 @@ object DataPipelinePack extends QueryPack {
     "q249_silhouette" -> silhouetteOracle,
     "q251_fdr_segments" -> fdrSegmentsOracle,
     "q252_qte" -> qteOracle,
+    "q253_log_rank" -> logRankOracle,
+    "q255_brier" -> brierOracle,
+
+    // q254: the q35 weight formula 1e-6-quantized to decimal, exact
+    // decimal dots/norms, maxDf 50 candidate cap, thresholded top-50.
+    "q254_tfidf_cosine" -> """
+      WITH terms AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+      dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      w AS (SELECT tf.doc_id AS id, tf.term,
+                   CAST(CAST(floor(tf.tf * ln(CAST((SELECT count(*) FROM documents)
+                         AS DOUBLE) / CAST(dfreq.df AS DOUBLE))
+                       * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0
+                     AS DECIMAL(18,6)) AS w
+            FROM tf JOIN dfreq USING (term)
+            WHERE dfreq.df <= 50 AND dfreq.df >= 1),
+      norms AS (SELECT id,
+                       sqrt(CAST(CAST(sum(CAST(w * w AS DECIMAL(38,12)))
+                           AS DECIMAL(38,12)) AS DOUBLE)) AS nrm
+                FROM w GROUP BY id),
+      pairs AS (SELECT l.id AS id_a, r.id AS id_b,
+                       CAST(count(*) AS BIGINT) AS n_terms,
+                       CAST(sum(CAST(l.w * r.w AS DECIMAL(38,12)))
+                         AS DECIMAL(38,12)) AS dot
+                FROM w l JOIN w r ON l.term = r.term AND l.id < r.id
+                GROUP BY l.id, r.id),
+      sim AS (SELECT id_a, id_b, n_terms,
+                     CAST(floor(CAST(dot AS DOUBLE) / (na.nrm * nb.nrm)
+                         * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS cosine
+              FROM pairs JOIN norms na ON pairs.id_a = na.id
+                         JOIN norms nb ON pairs.id_b = nb.id)
+      SELECT id_a, id_b, n_terms, cosine FROM sim WHERE cosine >= 0.3
+      ORDER BY cosine DESC, id_a, id_b LIMIT 50""",
 
     // q250: exact S from the temporal pair join, tie-corrected variance,
     // continuity-corrected z.
@@ -6761,16 +6972,7 @@ object DataPipelinePack extends QueryPack {
     // q203: q92's score expression verbatim, then the binning/grid
     // aggregation mirrored op for op.
     "q203_reliability_card" -> s"""
-      WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
-      wv AS (SELECT [${qualityWeights.mkString(", ")}] AS wl),
-      sc AS (SELECT doc_id, lang,
-               round(1.0 / (1.0 + exp(-(
-                 list_reduce(
-                   list_prepend(CAST(-0.5 AS DOUBLE),
-                     list_transform(w, t -> wl[
-                       CAST(CAST(concat('0x', substring(md5(t), 1, 15)) AS BIGINT) % 64 AS INTEGER) + 1])),
-                   (acc, x) -> acc + x)))), 4) AS s
-             FROM toks CROSS JOIN wv),
+      WITH $qualityScoreCtes,
       b AS (SELECT least(greatest(CAST(floor(s * 10) AS BIGINT), 0), 9) AS bin,
                    CAST(floor(s * 10000000.0 + 0.5) AS BIGINT) AS c7,
                    (lang = 'en') AS y

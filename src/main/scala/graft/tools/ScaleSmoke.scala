@@ -981,6 +981,22 @@ object ScaleSmoke {
     // Class weights: one count aggregation + a k-row reduction.
     time("class weights (langs)")(
       Sampling.classWeights(docs, "lang"))
+    // Sparse TF-IDF cosine: the widened corpus multiplies df per term, so
+    // the maxDf cap is scaled with mult to keep the cap semantics (a
+    // deployment tunes it corpus-relative); candidate volume is Σdf².
+    time("tfidf cosine pairs (maxDf-capped)")(
+      TextAnalysis.tfidfCosinePairs(docs, "doc_id", "text",
+        maxDf = 50 * mult, threshold = 0.3, topK = 50))
+    // Brier decomposition over the widened scored corpus: one corpus
+    // scan + bins-sized reductions.
+    time("brier decomposition (quality scorer)") {
+      val scored = TextAnalysis.hashedLinearScore(
+        docs.select(col("doc_id"), col("text"), col("lang")),
+        "doc_id", "text", graft.queries.DataPipelinePack.qualityWeights, bias = -0.5)
+      graft.operators.Profiler.brierDecomposition(
+        scored.withColumn("label", col("lang") === "en"),
+        "quality_score", "label", bins = 10)
+    }
 
     // Matched ATT: the unit aggregation is corpus-linear; the per-stratum
     // match windows run over the user-shaped unit frame (4 strata — the
@@ -1029,6 +1045,23 @@ object ScaleSmoke {
       // Mann-Kendall: pair join rides the FIXED day grid.
       time("mann-kendall (daily series)")(
         graft.operators.Inference.mannKendall(daily, Seq("event_type"), "day", "cnt"))
+      // Log-rank: the subject derivation is corpus-linear; the risk
+      // windows ride the fixed duration grid.
+      time("log-rank (time to purchase)") {
+        val winEnd = lit("2024-01-03").cast("date")
+        val win = evs.filter(to_date(col("ts")) <= winEnd)
+        val first = win.groupBy(col("user_id")).agg(min(to_date(col("ts"))).as("start"))
+        val firstBuy = win.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id")).agg(min(to_date(col("ts"))).as("pd"))
+        val subj = first.join(firstBuy.hint("shuffle_merge"), Seq("user_id"), "left")
+          .select(col("user_id"),
+            when(col("pd").isNotNull, datediff(col("pd"), col("start")))
+              .otherwise(datediff(winEnd, col("start"))).as("duration"),
+            col("pd").isNotNull.as("observed"))
+        graft.operators.TimeSeries.logRank(
+          Sampling.hashSplit(subj, "user_id", Seq("a" -> 0.5, "b" -> 0.5), "exp1"),
+          "split", "duration", "observed", "a", "b")
+      }
       // FDR segment sweep: the reps-explode is the corpus-heavy part
       // (users x reps), everything downstream is groups-sized.
       time("fdr segment sweep (perm x100 + BH)") {

@@ -357,4 +357,25 @@ class ProfilerSpec extends AnyFunSuite {
         Seq((1L, 1.5)).toDF("id", "v"), "id", "v", reps = 50, salt = "t3")
     }
   }
+
+  test("brierDecomposition: perfect predictions decompose to brier 0 = rel 0 - res .25 + unc .25") {
+    val perfect = Seq((1.0, true), (1.0, true), (0.0, false), (0.0, false))
+      .toDF("p", "y")
+    val r = Profiler.brierDecomposition(perfect, "p", "y", bins = 10).collect().head
+    assert(r.getLong(0) == 4L && r.getDouble(1) == 0.5)
+    assert(r.getDouble(2) == 0.0) // brier
+    assert(r.getDouble(3) == 0.0) // reliability
+    assert(r.getDouble(4) == 0.25) // resolution
+    assert(r.getDouble(5) == 0.25) // uncertainty
+  }
+
+  test("brierDecomposition: a single overconfident prediction is pure reliability penalty") {
+    // p=0.8, y=0: brier = rel = 0.64, res = 0, unc = 0 (base rate 0)
+    val df = Seq((0.8, false)).toDF("p", "y")
+    val r = Profiler.brierDecomposition(df, "p", "y", bins = 10).collect().head
+    assert(r.getDouble(2) == 0.64 && r.getDouble(3) == 0.64)
+    assert(r.getDouble(4) == 0.0 && r.getDouble(5) == 0.0)
+    intercept[IllegalArgumentException](
+      Profiler.brierDecomposition(df, "p", "y", bins = 1))
+  }
 }

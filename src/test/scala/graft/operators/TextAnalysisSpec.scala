@@ -714,6 +714,22 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(TextAnalysis.rankBiasedOverlap(runA, runC, "q", "doc", "score").count() == 0)
   }
 
+  test("tfidfCosinePairs: identical docs score 1.0; maxDf drops too-common terms") {
+    val docs = Seq((1L, "apple banana"), (2L, "apple banana"), (3L, "cherry"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfCosinePairs(docs, "doc_id", "text",
+      maxDf = 2, threshold = 0.5, topK = 10)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 2L, 2L, 1.0))) // d3 shares nothing
+    // every doc shares only one term with df=3 > maxDf=2 -> no candidates
+    val common = Seq((1L, "apple x"), (2L, "apple y"), (3L, "apple z"))
+      .toDF("doc_id", "text")
+    assert(TextAnalysis.tfidfCosinePairs(common, "doc_id", "text",
+      maxDf = 2, threshold = 0.1, topK = 10).count() == 0L)
+    intercept[IllegalArgumentException](TextAnalysis.tfidfCosinePairs(
+      docs, "doc_id", "text", maxDf = 1, threshold = 0.5, topK = 10))
+  }
+
   test("heapsLaw: saturated vocabulary fits beta = 0, k = |vocab|") {
     // every doc repeats the same two tokens: V(n) is flat at 2
     val docs = (1L to 10L).map(i => (i, "a b")).toDF("doc_id", "text")

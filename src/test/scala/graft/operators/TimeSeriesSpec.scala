@@ -239,6 +239,32 @@ class TimeSeriesSpec extends AnyFunSuite {
     }
   }
 
+  test("log-rank: hand-computed two-group table (O-E, V, chi2)") {
+    import graft.functions.Quantize.scaledFloorDouble
+    // a: events at t=1,2; b: event at t=1, censored exit at t=3
+    // t=1: ra=2 rb=2 d=2 -> E_a=1, O-E=0, V=2*.5*.5*2/3
+    // t=2: ra=1 rb=1 d=1 -> E_a=.5, O-E=.5, V=1*.5*.5*1/1
+    val df = Seq(("a", 1L, true), ("a", 2L, true), ("b", 1L, true), ("b", 3L, false))
+      .toDF("g", "dur", "obs")
+    val r = TimeSeries.logRank(df, "g", "dur", "obs", "a", "b").collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    assert(r.getLong(2) == 2L && r.getLong(3) == 1L)
+    val v1 = scaledFloorDouble(2.0 * (2.0 / 4.0) * (1.0 - 2.0 / 4.0) * (4.0 - 2.0) / (4.0 - 1.0), 9)
+    val v2 = scaledFloorDouble(1.0 * (1.0 / 2.0) * (1.0 - 1.0 / 2.0) * (2.0 - 1.0) / (2.0 - 1.0), 9)
+    assert(r.getDouble(4) == 0.5 && r.getDouble(5) == scaledFloorDouble(v1 + v2, 6))
+    assert(r.getDouble(6) == scaledFloorDouble(0.5 * 0.5 / (v1 + v2), 6))
+  }
+
+  test("log-rank: identical groups score chi2 = 0; no events yields null chi2") {
+    val same = Seq(("a", 1L, true), ("a", 2L, true), ("b", 1L, true), ("b", 2L, true))
+      .toDF("g", "dur", "obs")
+    val rs = TimeSeries.logRank(same, "g", "dur", "obs", "a", "b").collect().head
+    assert(rs.getDouble(4) == 0.0 && rs.getDouble(6) == 0.0)
+    val cens = Seq(("a", 1L, false), ("b", 2L, false)).toDF("g", "dur", "obs")
+    val rc = TimeSeries.logRank(cens, "g", "dur", "obs", "a", "b").collect().head
+    assert(rc.getDouble(5) == 0.0 && rc.isNullAt(6))
+  }
+
   test("stl: a weekly sawtooth lands entirely in the seasonal component") {
     // period-7 pattern [0,7,14,21,28,35,42] repeated: centered 7-row mean is
     // constant 21 wherever the window is full, so detrended = seasonal exactly
