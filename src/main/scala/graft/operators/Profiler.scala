@@ -621,6 +621,66 @@ object Profiler {
         q6(yBar * (lit(1.0) - yBar)).as("uncertainty"))
   }
 
+  /** Exact weighted isotonic calibration over score bins — PAV by the
+    * MINIMAX closed form `iso(i) = max_{j≤i} min_{k≥i} mean(y, bins j..k)`
+    * (Robertson–Wright–Dykstra): the monotone-nondecreasing fit to the
+    * per-bin positive rates that the pool-adjacent-violators algorithm
+    * produces, computed WITHOUT the sequential pooling loop — the triple
+    * (i, j, k) enumeration is B³ rows on a bins-sized frame, so the whole
+    * fit is three joins over a knob-sized grid and every mean is one
+    * exact-integer division (cumulative positives/counts), making the
+    * calibration map engine- and order-exact.
+    *
+    * This is the standard score-calibration step after a
+    * [[reliabilityCard]] shows miscalibration: the returned map sends bin
+    * confidence → isotonic probability; monotonicity is guaranteed by
+    * construction, so downstream thresholding keeps its ordering
+    * semantics. Output: (bin, n, frac_pos, iso) per non-empty bin,
+    * iso 1e-6-quantized.
+    */
+  def isotonicCalibration(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      bins: Int
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(bins >= 2 && bins <= 256, s"bins=$bins out of [2, 256]")
+    val q6 = (c: org.apache.spark.sql.Column) =>
+      graft.functions.Quantize.scaledFloor(c, 6)
+    val s = col(scoreCol).cast("double")
+    val binned = df.filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(
+        least(greatest(floor(s * bins).cast("long"), lit(0L)), lit(bins - 1L))
+          .as("bin"),
+        col(labelCol).cast("boolean").cast("long").as("__y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("__pos"))
+    val wCum = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = binned
+      .withColumn("__cn", sum(col("n")).over(wCum))
+      .withColumn("__cp", sum(col("__pos")).over(wCum))
+      .localCheckpoint(true) // bins-sized; referenced by all three legs
+    // mean(j..k) from cumulative prefixes: (cp_k − cp_{j−1})/(cn_k − cn_{j−1})
+    val jk = cum.select(col("bin").as("__j"),
+        (col("__cn") - col("n")).as("__cnj"), (col("__cp") - col("__pos")).as("__cpj"))
+      .join(cum.select(col("bin").as("__k"), col("__cn").as("__cnk"),
+        col("__cp").as("__cpk")), col("__j") <= col("__k"))
+      .select(col("__j"), col("__k"),
+        ((col("__cpk") - col("__cpj")).cast("double") /
+          (col("__cnk") - col("__cnj")).cast("double")).as("__mean"))
+    val inner = cum.select(col("bin")).join(jk,
+        col("__j") <= col("bin") && col("__k") >= col("bin"))
+      .groupBy(col("bin"), col("__j"))
+      .agg(min(col("__mean")).as("__minmean"))
+    val iso = inner.groupBy(col("bin")).agg(max(col("__minmean")).as("__iso"))
+    cum.join(iso, Seq("bin"))
+      .select(col("bin"), col("n"),
+        q6(col("__pos").cast("double") / col("n").cast("double")).as("frac_pos"),
+        q6(col("__iso")).as("iso"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov test between two vintages of a numeric
     * column — the DISTRIBUTION-SHAPE drift test completing the battery
     * ([[psi]] asks how alarmed the scorecard should be, [[mannWhitney]]

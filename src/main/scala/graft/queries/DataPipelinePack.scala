@@ -2677,6 +2677,18 @@ object DataPipelinePack extends QueryPack {
         "quality_score", "label", bins = 10)
     }),
 
+    // Exact isotonic (PAV) calibration of the same scorer — the monotone
+    // confidence→probability map the q203/q255 diagnosis calls for.
+    "q256_isotonic" -> ((s, d) => {
+      val scored = TextAnalysis.hashedLinearScore(
+        Tables.documents(s, d).select(col("doc_id"), col("text"), col("lang")),
+        "doc_id", "text", qualityWeights, bias = -0.5)
+      Profiler.isotonicCalibration(
+        scored.withColumn("label", col("lang") === "en"),
+        "quality_score", "label", bins = 10)
+        .orderBy(col("bin"))
+    }),
+
     // Per-segment permutation sweep + Benjamini–Hochberg FDR: WHICH
     // event-type segments moved, with the multiple-comparisons control
     // every segment sweep needs before anyone reads it.
@@ -3866,6 +3878,37 @@ object DataPipelinePack extends QueryPack {
                  * (1.0 - CAST(gpos AS DOUBLE) / CAST(tot.n AS DOUBLE))
                  * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS uncertainty
       FROM tot CROSS JOIN bt"""
+
+  /** q256's oracle: the shared score chain + the PAV minimax closed form
+    * `iso(i) = max_{j≤i} min_{k≥i} mean(y, j..k)` — every mean one
+    * exact-integer division off cumulative prefixes, B³ enumeration on
+    * the bins-sized grid. */
+  private def isotonicOracle: String = s"""
+      WITH $qualityScoreCtes,
+      b AS (SELECT least(greatest(CAST(floor(s * 10) AS BIGINT), 0), 9) AS bin,
+                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+            FROM sc),
+      bb AS (SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos
+             FROM b GROUP BY bin),
+      cum AS (SELECT bin, n, pos,
+                     CAST(sum(n) OVER wc AS BIGINT) AS cn,
+                     CAST(sum(pos) OVER wc AS BIGINT) AS cp
+              FROM bb
+              WINDOW wc AS (ORDER BY bin
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      jk AS (SELECT j.bin AS j, k.bin AS k,
+                    CAST(k.cp - (j.cp - j.pos) AS DOUBLE)
+                      / CAST(k.cn - (j.cn - j.n) AS DOUBLE) AS m
+             FROM cum j JOIN cum k ON j.bin <= k.bin),
+      mn2 AS (SELECT i.bin, jk.j, min(jk.m) AS mm
+              FROM cum i JOIN jk ON jk.j <= i.bin AND jk.k >= i.bin
+              GROUP BY i.bin, jk.j),
+      iso AS (SELECT bin, max(mm) AS iso FROM mn2 GROUP BY bin)
+      SELECT cum.bin, cum.n,
+             CAST(floor(CAST(pos AS DOUBLE) / CAST(cum.n AS DOUBLE)
+                 * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS frac_pos,
+             CAST(floor(iso.iso * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS iso
+      FROM cum JOIN iso USING (bin) ORDER BY bin"""
 
   /** q253's oracle: q227's subject derivation + the hashSplit arm, then
     * the Mantel–Cox machinery — exact integer at-risk windows,
@@ -6167,6 +6210,7 @@ object DataPipelinePack extends QueryPack {
     "q252_qte" -> qteOracle,
     "q253_log_rank" -> logRankOracle,
     "q255_brier" -> brierOracle,
+    "q256_isotonic" -> isotonicOracle,
 
     // q254: the q35 weight formula 1e-6-quantized to decimal, exact
     // decimal dots/norms, maxDf 50 candidate cap, thresholded top-50.

@@ -378,4 +378,23 @@ class ProfilerSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Profiler.brierDecomposition(df, "p", "y", bins = 1))
   }
+
+  test("isotonicCalibration: PAV pools the decreasing violation, leaves monotone input alone") {
+    // bins (0,1,2) of 4: rates [0.6, 0.2, 0.8] -> PAV pools bins 0-1 at
+    // (3+1)/(5+5) = 0.4, keeps 0.8
+    def mk(bin0: Int, bin1: Int, bin2: Int) = {
+      def rows(score: Double, pos: Int, n: Int) =
+        (0 until n).map(i => (score, i < pos))
+      (rows(0.1, bin0, 5) ++ rows(0.3, bin1, 5) ++ rows(0.55, bin2, 5)).toDF("p", "y")
+    }
+    val pooled = Profiler.isotonicCalibration(mk(3, 1, 4), "p", "y", bins = 4)
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(pooled.map(_._3).toSeq == Seq(0.6, 0.2, 0.8))
+    assert(pooled.map(_._4).toSeq == Seq(0.4, 0.4, 0.8))
+    val mono = Profiler.isotonicCalibration(mk(1, 2, 4), "p", "y", bins = 4)
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(mono.map(_._4).toSeq == mono.map(_._3).toSeq)
+    intercept[IllegalArgumentException](
+      Profiler.isotonicCalibration(mk(1, 2, 3), "p", "y", bins = 1000))
+  }
 }

@@ -316,7 +316,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // q255: two 1-row scalar crossJoins — the global (N, positives, Σsq)
     // totals into the bins-sized term frame, and the 1-row term sums back
     // into the final readout (q35's N class ×2).
-    "q255_brier" -> (0, 2, 2)
+    "q255_brier" -> (0, 2, 2),
+    // q256: the PAV minimax's two range joins (j ≤ k, then j ≤ i ≤ k) are
+    // BNLJs BY CONSTRUCTION over the checkpointed bins frame — both sides
+    // bounded by the bins KNOB (≤ 256, enforced), so the B³ enumeration
+    // is at most ~16M cheap rows regardless of corpus size.
+    "q256_isotonic" -> (0, 2, 0)
   )
 
   test("no query plans an unjustified cartesian / BNLJ / derived broadcast, and none a ScalaUDF") {
