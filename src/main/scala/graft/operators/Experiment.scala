@@ -117,7 +117,6 @@ object Experiment {
       reps: Int,
       salt: String
   ): DataFrame = {
-    import org.apache.spark.sql.types._
     require(reps >= 20 && reps <= 1000, s"reps=$reps out of [20, 1000]")
     requireIntegral(users, valueCol)
     val base = users.select(col(userCol).cast("string").as("__id"),
@@ -221,7 +220,6 @@ object Experiment {
       reps: Int,
       salt: String
   ): DataFrame = {
-    import org.apache.spark.sql.types._
     require(reps >= 20 && reps <= 1000, s"reps=$reps out of [20, 1000]")
     require(groupCols.nonEmpty, "at least one group column is required")
     requireIntegral(users, valueCol)

@@ -589,16 +589,22 @@ object Profiler {
       .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
       .select(
         least(greatest(floor(s * bins).cast("long"), lit(0L)), lit(bins - 1L)).as("__bin"),
-        (floor(s * 1e7 + 0.5).cast("long").cast("double") / 1e7).as("__p"),
+        // the snapped long IS the value of record; __p derives from it —
+        // re-deriving the long from __p via (p·1e7).cast(long) TRUNCATES
+        // (2999.999… → 2999) while an oracle's rounding cast doesn't,
+        // the r11 review's cross-engine divergence catch
+        floor(s * 1e7 + 0.5).cast("long").as("__c7"),
         col(labelCol).cast("boolean").cast("int").as("__y"))
+      .withColumn("__p", col("__c7").cast("double") / 1e7)
     val perBin = base
       .withColumn("__sq", q9((col("__p") - col("__y")) * (col("__p") - col("__y")))
         .cast("decimal(18,9)"))
       .groupBy(col("__bin"))
       .agg(count(lit(1)).as("__n"),
-        sum((col("__p") * 1e7).cast("long")).as("__s7"),
+        sum(col("__c7")).as("__s7"),
         sum(col("__y").cast("long")).as("__pos"),
         sum(col("__sq")).cast("decimal(38,9)").as("__ssq"))
+      .localCheckpoint(true) // bins-sized; referenced by tot AND binTerms
     val tot = perBin.agg(sum(col("__n")).as("n"), sum(col("__pos")).as("__gpos"),
       sum(col("__ssq")).cast("decimal(38,9)").as("__gssq"))
     def d(c: String) = col(c).cast("double")
@@ -613,6 +619,9 @@ object Profiler {
       .agg(sum(col("__rel")).cast("decimal(38,9)").as("__srel"),
         sum(col("__res")).cast("decimal(38,9)").as("__sres"))
     tot.crossJoin(broadcast(binTerms))
+      // empty input: the global agg still yields one all-null row — emit
+      // an EMPTY frame instead (reliabilityCard's absence semantics)
+      .filter(col("n").isNotNull)
       .select(col("n"),
         q6(yBar).as("base_rate"),
         q6(d("__gssq") / d("n")).as("brier"),

@@ -1794,7 +1794,7 @@ object TextAnalysis {
     require(topK > 0, s"topK must be positive")
     val q6 = (c: Column) => graft.functions.Quantize.scaledFloor(c, 6)
     val w = tfidf(df, idCol, textCol)
-      .filter(col("df") <= maxDf && col("df") >= 1)
+      .filter(col("df") <= maxDf)
       .select(col(idCol).as("__id"), col("term"),
         q6(col("tfidf")).cast("decimal(18,6)").as("__w"))
       .localCheckpoint(true) // feeds norms AND both sides of the pair join

@@ -524,6 +524,7 @@ object TimeSeries {
       .select((col(groupCol) === groupA).as("__a"),
         col(durationCol).cast("long").as("__t"),
         col(observedCol).cast("boolean").as("__o"))
+      .localCheckpoint(true) // scanned by perT AND the totals aggregate
     val perT = base.groupBy(col("__t")).agg(
       sum(when(col("__a"), 1L).otherwise(0L)).as("__xa"),
       sum(when(!col("__a"), 1L).otherwise(0L)).as("__xb"),
@@ -534,6 +535,7 @@ object TimeSeries {
       sum(when(!col("__a"), 1L).otherwise(0L)).as("n_b"),
       sum(when(col("__a") && col("__o"), 1L).otherwise(0L)).as("events_a"),
       sum(when(!col("__a") && col("__o"), 1L).otherwise(0L)).as("events_b"))
+      .localCheckpoint(true) // 1 row, referenced by risks AND the readout
     val wBefore = Window.orderBy(col("__t"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val risks = perT.crossJoin(broadcast(tot))

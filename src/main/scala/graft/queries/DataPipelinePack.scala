@@ -3835,12 +3835,13 @@ object DataPipelinePack extends QueryPack {
   private def brierOracle: String = s"""
       WITH $qualityScoreCtes,
       b AS (SELECT least(greatest(CAST(floor(s * 10) AS BIGINT), 0), 9) AS bin,
+                   CAST(floor(s * 10000000.0 + 0.5) AS BIGINT) AS c7,
                    CAST(CAST(floor(s * 10000000.0 + 0.5) AS BIGINT) AS DOUBLE)
                      / 10000000.0 AS p,
                    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
             FROM sc),
       pb AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
-                    CAST(sum(CAST(p * 10000000.0 AS BIGINT)) AS BIGINT) AS s7,
+                    CAST(sum(c7) AS BIGINT) AS s7,
                     CAST(sum(y) AS BIGINT) AS pos,
                     CAST(sum(CAST(CAST(floor((p - y) * (p - y) * 1000000000.0 + 0.5)
                         AS DOUBLE) / 1000000000.0 AS DECIMAL(18,9)))
@@ -6225,7 +6226,7 @@ object DataPipelinePack extends QueryPack {
                        * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0
                      AS DECIMAL(18,6)) AS w
             FROM tf JOIN dfreq USING (term)
-            WHERE dfreq.df <= 50 AND dfreq.df >= 1),
+            WHERE dfreq.df <= 50),
       norms AS (SELECT id,
                        sqrt(CAST(CAST(sum(CAST(w * w AS DECIMAL(38,12)))
                            AS DECIMAL(38,12)) AS DOUBLE)) AS nrm

@@ -39,8 +39,18 @@ object StreamingHeavyHitters {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (shard, events, state: GroupState[(Long, Map[String, Long])]) =>
           val (epoch, prev) = state.getOption.getOrElse((0L, Map.empty[String, Long]))
-          val folded = events.toSeq.sortBy(_._2)
-            .foldLeft(prev) { case (m, (_, _, item)) => mg.reduce(m, item) }
+          // (seq, item) sort: duplicate seqs would otherwise fold in
+          // shuffle order and MG's decrement rule is order-sensitive —
+          // the byte-identical-replay contract needs a total order
+          val folded = events.toSeq.sortBy(t => (t._2, t._3))
+            .foldLeft(prev) { case (m, (_, _, item)) =>
+              // null IS the epoch-marker sentinel in the OUTPUT — a null
+              // input item would collide with it and its count would be
+              // silently dropped by marker-filtering readers; fail loudly
+              require(item != null, s"null item in shard $shard — nulls are reserved " +
+                "for the epoch marker; filter or map them upstream")
+              mg.reduce(m, item)
+            }
           state.update((epoch + 1L, folded))
           (Iterator((shard, epoch + 1L, null.asInstanceOf[String], 0L)) ++
             folded.toSeq.sortBy { case (i, c) => (-c, i) }

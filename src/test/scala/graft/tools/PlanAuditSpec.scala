@@ -309,13 +309,15 @@ class PlanAuditSpec extends AnyFunSuite {
     // plus the scorecard's own two 1-row-leg crossJoins; every flagged
     // side is a single-row aggregate (q35's scalar class).
     "q248_experiment_scorecard" -> (0, 5, 3),
-    // q253: two 1-row scalar crossJoins — the (n_a, n_b, events) totals
-    // into the duration-grid risk frame, and the 1-row term sums into the
-    // final readout (q35's N class ×2).
-    "q253_log_rank" -> (0, 2, 2),
-    // q255: two 1-row scalar crossJoins — the global (N, positives, Σsq)
-    // totals into the bins-sized term frame, and the 1-row term sums back
-    // into the final readout (q35's N class ×2).
+    // q253: two 1-row scalar crossJoins — the checkpointed (n_a, n_b,
+    // events) totals into the duration-grid risk frame, and the 1-row
+    // term-sums aggregate (the one derived broadcast) into the final
+    // readout (q35's N class ×2).
+    "q253_log_rank" -> (0, 2, 1),
+    // q255: two 1-row scalar crossJoins — the global totals (derived off
+    // the checkpointed bins frame) into the bins-sized term projection,
+    // and the 1-row term sums back into the final readout (q35's N
+    // class ×2; both broadcast sides are bins-derived 1-row aggregates).
     "q255_brier" -> (0, 2, 2),
     // q256: the PAV minimax's two range joins (j ≤ k, then j ≤ i ≤ k) are
     // BNLJs BY CONSTRUCTION over the checkpointed bins frame — both sides
