@@ -2677,6 +2677,42 @@ object DataPipelinePack extends QueryPack {
         "quality_score", "label", bins = 10)
     }),
 
+    // The calibration loop CLOSED: raw Brier (q255) vs Brier after
+    // applying q256's isotonic map — calibrated Brier computes per-BIN in
+    // closed form (within a bin p_cal is constant, so Σ(p−y)² =
+    // n·iso² − 2·iso·pos + pos exactly), no second corpus pass. In-sample
+    // by construction (the honest caveat a one-dataset demo carries).
+    "q257_calibrated_brier" -> ((s, d) => {
+      val scored = TextAnalysis.hashedLinearScore(
+        Tables.documents(s, d).select(col("doc_id"), col("text"), col("lang")),
+        "doc_id", "text", qualityWeights, bias = -0.5)
+        .select(col("quality_score"), (col("lang") === "en").as("label"))
+        .localCheckpoint(true) // the md5 projection feeds THREE legs
+      val raw = Profiler.brierDecomposition(scored, "quality_score", "label", 10)
+        .select(col("n"), col("brier").as("brier_raw"),
+          col("reliability").as("reliability_raw"))
+      val iso = Profiler.isotonicCalibration(scored, "quality_score", "label", 10)
+        .select(col("bin"), col("iso"))
+      val binExpr = least(greatest(
+        floor(col("quality_score").cast("double") * 10).cast("long"), lit(0L)), lit(9L))
+      val binstats = scored
+        .select(binExpr.as("bin"), col("label").cast("long").as("__y"))
+        .groupBy(col("bin")).agg(count(lit(1)).as("__n"), sum(col("__y")).as("__pos"))
+      val q9 = (c: org.apache.spark.sql.Column) =>
+        graft.functions.Quantize.scaledFloor(c, 9)
+      val cal = binstats.join(broadcast(iso), Seq("bin"))
+        .select(col("__n"),
+          q9(col("__n").cast("double") * col("iso") * col("iso")
+            - lit(2.0) * col("iso") * col("__pos").cast("double")
+            + col("__pos").cast("double")).cast("decimal(18,9)").as("__t"))
+        .agg(sum(col("__t")).cast("decimal(38,9)").as("__st"),
+          sum(col("__n")).as("__nn"))
+        .select(graft.functions.Quantize.scaledFloor(
+          col("__st").cast("double") / col("__nn").cast("double"), 6)
+          .as("brier_cal"))
+      raw.crossJoin(broadcast(cal))
+    }),
+
     // Exact isotonic (PAV) calibration of the same scorer — the monotone
     // confidence→probability map the q203/q255 diagnosis calls for.
     "q256_isotonic" -> ((s, d) => {
@@ -3884,9 +3920,10 @@ object DataPipelinePack extends QueryPack {
     * `iso(i) = max_{j≤i} min_{k≥i} mean(y, j..k)` — every mean one
     * exact-integer division off cumulative prefixes, B³ enumeration on
     * the bins-sized grid. */
-  private def isotonicOracle: String = s"""
-      WITH $qualityScoreCtes,
-      b AS (SELECT least(greatest(CAST(floor(s * 10) AS BIGINT), 0), 9) AS bin,
+  /** The q256 PAV chain (binning → cumulative prefixes → minimax),
+    * ending at `iso (bin, iso)` over `cum (bin, n, pos, …)` — shared by
+    * the isotonic gate and the q257 calibrated-Brier composition. */
+  private def isotonicCtes: String = """b AS (SELECT least(greatest(CAST(floor(s * 10) AS BIGINT), 0), 9) AS bin,
                    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
             FROM sc),
       bb AS (SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos
@@ -3904,12 +3941,41 @@ object DataPipelinePack extends QueryPack {
       mn2 AS (SELECT i.bin, jk.j, min(jk.m) AS mm
               FROM cum i JOIN jk ON jk.j <= i.bin AND jk.k >= i.bin
               GROUP BY i.bin, jk.j),
-      iso AS (SELECT bin, max(mm) AS iso FROM mn2 GROUP BY bin)
+      iso AS (SELECT bin, max(mm) AS iso FROM mn2 GROUP BY bin)"""
+
+  private def isotonicOracle: String = s"""
+      WITH $qualityScoreCtes,
+      $isotonicCtes
       SELECT cum.bin, cum.n,
              CAST(floor(CAST(pos AS DOUBLE) / CAST(cum.n AS DOUBLE)
                  * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS frac_pos,
              CAST(floor(iso.iso * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS iso
       FROM cum JOIN iso USING (bin) ORDER BY bin"""
+
+  /** q257's oracle: the raw leg IS q255's oracle as a derived table; the
+    * calibrated leg reuses the shared PAV chain and computes per-bin
+    * Σ(p−y)² in closed form with iso first snapped to the operator
+    * output's 1e-6 grid. */
+  private def calibratedBrierOracle: String = s"""
+      WITH $qualityScoreCtes,
+      $isotonicCtes,
+      ct AS (SELECT cum.n,
+                    CAST(CAST(floor((CAST(cum.n AS DOUBLE)
+                          * (CAST(floor(iso.iso * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0)
+                          * (CAST(floor(iso.iso * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0)
+                        - 2.0 * (CAST(floor(iso.iso * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0)
+                          * CAST(cum.pos AS DOUBLE)
+                        + CAST(cum.pos AS DOUBLE))
+                        * 1000000000.0 + 0.5) AS DOUBLE) / 1000000000.0
+                      AS DECIMAL(18,9)) AS t
+             FROM cum JOIN iso USING (bin)),
+      cal AS (SELECT CAST(floor(CAST(CAST(sum(t) AS DECIMAL(38,9)) AS DOUBLE)
+                  / CAST(sum(n) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE)
+                / 1000000.0 AS brier_cal
+              FROM ct)
+      SELECT r.n, r.brier AS brier_raw, r.reliability AS reliability_raw,
+             cal.brier_cal
+      FROM ($brierOracle) r CROSS JOIN cal"""
 
   /** q253's oracle: q227's subject derivation + the hashSplit arm, then
     * the Mantel–Cox machinery — exact integer at-risk windows,
@@ -6212,6 +6278,7 @@ object DataPipelinePack extends QueryPack {
     "q253_log_rank" -> logRankOracle,
     "q255_brier" -> brierOracle,
     "q256_isotonic" -> isotonicOracle,
+    "q257_calibrated_brier" -> calibratedBrierOracle,
 
     // q254: the q35 weight formula 1e-6-quantized to decimal, exact
     // decimal dots/norms, maxDf 50 candidate cap, thresholded top-50.

@@ -323,7 +323,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // BNLJs BY CONSTRUCTION over the checkpointed bins frame — both sides
     // bounded by the bins KNOB (≤ 256, enforced), so the B³ enumeration
     // is at most ~16M cheap rows regardless of corpus size.
-    "q256_isotonic" -> (0, 2, 0)
+    "q256_isotonic" -> (0, 2, 0),
+    // q257: the composed calibration loop — q255's two scalar crossJoins,
+    // q256's two knob-bounded PAV range-join BNLJs, and the final 1-row
+    // calibrated-leg crossJoin; every flagged side is a 1-row aggregate
+    // or the ≤256-bin frame (the q35 scalar / q256 knob classes).
+    "q257_calibrated_brier" -> (0, 5, 4)
   )
 
   test("no query plans an unjustified cartesian / BNLJ / derived broadcast, and none a ScalaUDF") {
