@@ -997,6 +997,17 @@ object ScaleSmoke {
         scored.withColumn("label", col("lang") === "en"),
         "quality_score", "label", bins = 10)
     }
+    // Isotonic calibration over the same widened scorer: the md5
+    // projection is the corpus-linear part; the PAV minimax rides the
+    // checkpointed 10-bin frame.
+    time("isotonic calibration (quality scorer)") {
+      val scored = TextAnalysis.hashedLinearScore(
+        docs.select(col("doc_id"), col("text"), col("lang")),
+        "doc_id", "text", graft.queries.DataPipelinePack.qualityWeights, bias = -0.5)
+      graft.operators.Profiler.isotonicCalibration(
+        scored.withColumn("label", col("lang") === "en"),
+        "quality_score", "label", bins = 10)
+    }
 
     // Matched ATT: the unit aggregation is corpus-linear; the per-stratum
     // match windows run over the user-shaped unit frame (4 strata — the
