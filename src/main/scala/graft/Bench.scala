@@ -6,22 +6,42 @@ import java.nio.file.{Files, Paths}
   * parquet row-count, which benchmarks nothing). One warm-up query first so
   * JVM/Spark startup isn't billed to whichever query happens to run first.
   *
-  * Each query runs TWICE and the min is reported: single-shot numbers on a
-  * shared box swing ±30%+ on GC/JIT pauses (round 3 recorded three phantom
-  * 4-6x "regressions" that a re-run erased), and the min of two is the
-  * cheapest estimator that discards a one-off pause while still measuring
-  * a full cold execution of the plan. Every query body is re-entrant: the
-  * stateful pipelines (q23/q44/q47/q49) create fresh checkpoint dirs /
-  * fixture servers per invocation.
+  * PROTOCOL (recorded in the output JSON as `"protocol"`): windowed
+  * min-of-2.
+  *
+  *  - Each query runs TWICE and the min is reported: single-shot numbers on
+  *    a shared box swing ±30%+ on GC/JIT pauses (round 3 recorded three
+  *    phantom 4-6x "regressions" that a re-run erased), and the min of two
+  *    is the cheapest estimator that discards a one-off pause while still
+  *    measuring a full cold execution of the plan.
+  *  - The SparkSession is RECYCLED every 16 measured queries (untimed, with
+  *    one untimed re-warm execution after each recycle). Rationale
+  *    (SURVEY §8.0, three rounds of adjudication): a single long-lived
+  *    session accumulates state the untimed GC can't fully reclaim — status
+  *    store history, broadcast torrents, listener queues — so a query's
+  *    measurement depended on its POSITION in the suite, and the tax grew
+  *    with suite size (201 -> 257 queries drifted the shared total 1.07x
+  *    with every individual query in-band when re-run solo). Bounding the
+  *    window at 16 makes every query's environment "a session that has run
+  *    at most 16+1 queries" REGARDLESS of how many queries the suite has —
+  *    numbers stay comparable across rounds as the suite grows, and
+  *    approximate the clean-solo protocol at ~1/16 of its restart cost.
+  *
+  * Every query body is re-entrant: the stateful pipelines (q23/q44/q47/q49)
+  * create fresh checkpoint dirs / fixture servers per invocation, and
+  * bucketed-layout queries re-create their tables in the new session's temp
+  * warehouse.
   *
   * Output: one JSON line on stdout AND the same JSON written to
   * `$SPARK_GRAFT_BENCH_OUT` (default `bench_out.json` in the CWD) so the
   * driver can parse it without scraping sbt log tails.
   */
 object Bench {
+  private val WindowSize = 16
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = GraftSession.local("graft-bench")
+    var spark = GraftSession.local("graft-bench")
 
     def exec(name: String): Double = {
       val t0 = System.nanoTime()
@@ -32,14 +52,9 @@ object Bench {
       }
       val dt = (System.nanoTime() - t0) / 1e9
       // UNTIMED inter-query cleanup — the suite-vs-isolated artifact fix
-      // (SURVEY §8.0: five rounds of phantom in-suite "regressions" that
-      // isolated re-runs erased, q59 8.15 s in-suite vs 0.92 s isolated in
-      // r8). 190 executions in one JVM accumulate broadcasts, shuffle
-      // state, and stray caches that Spark's ContextCleaner only reclaims
-      // after their weak refs are GC'd — so heap pressure builds until a
-      // full GC plus a cleanup storm lands in the MIDDLE of whichever
-      // query is running. Releasing caches and forcing the GC between
-      // queries pays that cost on the untimed boundary instead.
+      // (SURVEY §8.0): releasing caches and forcing the GC between queries
+      // pays the cleanup cost on the untimed boundary instead of landing a
+      // full-GC storm in the middle of whichever query is running.
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       System.gc()
@@ -47,8 +62,10 @@ object Bench {
     }
 
     // Warm-up: executes the whole stack (parquet footer reads, codegen,
-    // shuffle machinery) once; not reported.
-    exec("q01_agg_pricing")
+    // shuffle machinery) once; not reported. Re-run after every session
+    // recycle so no measured query pays the new session's first-run costs.
+    def warm(): Unit = exec("q01_agg_pricing")
+    warm()
 
     // Optional args restrict the run to the named queries (local iteration);
     // the driver invokes with no args and gets the full sorted suite. A
@@ -66,14 +83,18 @@ object Bench {
     // Queries that have produced phantom cross-round "regressions" that
     // isolated re-measurement erased (SURVEY §8.0: r5, r6, q39 in r7, q59
     // and q35 in r8); one extra sample tightens exactly the set whose
-    // noise has repeatedly demanded manual adjudication. The inter-query
-    // cleanup above attacks the root cause; this is the belt to its
-    // suspenders.
+    // noise has repeatedly demanded manual adjudication.
     val minOfThree = Set("q32_dedup_simhash", "q48_cosine_pairs_lsh", "q39_ngram_jaccard",
       "q59_repetition", "q35_tfidf")
-    // min-of-two (three for the adjudicated pair); a failed run (-1) wins
+    // min-of-two (three for the adjudicated set); a failed run (-1) wins
     // the min, keeping the failure marker
-    val results = names.map { n =>
+    val results = names.zipWithIndex.map { case (n, i) =>
+      if (i > 0 && i % WindowSize == 0) {
+        // untimed session recycle on the window boundary
+        spark.stop()
+        spark = GraftSession.local("graft-bench")
+        warm()
+      }
       val runs = if (minOfThree(n)) 3 else 2
       n -> Seq.fill(runs)(exec(n)).min
     }
@@ -81,7 +102,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","protocol":"min2-window$WindowSize","queries":$qs,"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     Files.writeString(Paths.get(out), json + "\n")
     println(json)

@@ -315,10 +315,18 @@ object Graph {
     *
     * The co-citation projection is per-source QUADRATIC BY CONTRACT
     * (the q168 blocking trade): distinct (src, dst) first, then in-src
-    * pairs — bounded by max out-degree², which for real crawls needs a
-    * hub cap upstream (drop or sample sources linking > ~10³ domains;
-    * a directory page co-citing everything is noise for this signal
-    * anyway). Domains cross into the long-keyed triangle/peel legs via
+    * pairs — bounded by max out-degree². The hub cap is ENFORCED
+    * IN-PLAN (round-12, closing the one contract that lived in prose):
+    * `maxOutDegree` runs [[Skew.capPerKey]] over (source, domain-id)
+    * BEFORE the self-join, keeping each source's `maxOutDegree`
+    * smallest 60-bit domain ids — a deterministic, oracle-reproducible
+    * sample of a hub's links, O(k) state per source at every stage. A
+    * directory page co-citing 10⁶ domains now contributes at most
+    * maxOutDegree² pairs instead of 5·10¹¹; its co-citation signal is
+    * noise anyway, which is why a cap (not an error) is the right
+    * guard. The PPR leg keeps the UNCAPPED edges — it is linear in
+    * edges, and seed proximity through a hub is real signal.
+    * Domains cross into the long-keyed triangle/peel legs via
     * the engine's 60-bit md5 id ([[Sampling.keyHash]]'s exact
     * arithmetic, oracle-reproducible; collisions at domain-count scale
     * are the accepted 2⁻⁶⁰ class). Everything corpus-shaped stays
@@ -335,8 +343,10 @@ object Graph {
       pprIterations: Int,
       coreK: Int,
       coreIterations: Int,
-      damping: Double = 0.85
+      damping: Double = 0.85,
+      maxOutDegree: Int = 1000
   ): DataFrame = {
+    require(maxOutDegree > 0, s"maxOutDegree must be positive, got $maxOutDegree")
     val e = edges.select(col(srcCol).cast("string").as("__src"),
       col(dstCol).cast("string").as("__dst")).distinct()
       // referenced by the PPR leg, the projection, and the domain dim —
@@ -347,8 +357,16 @@ object Graph {
     val dims = e.select(col("__dst").as("domain")).distinct()
       .select(col("domain"),
         conv(substring(md5(col("domain")), 1, 15), 16, 10).cast("long").as("__id"))
-    val cocite = e.select(col("__src"), domId.as("__d"))
-      .join(e.select(col("__src"), domId.as("__d2")).hint("shuffle_merge"), Seq("__src"))
+    // hub cap BEFORE the quadratic projection: (src, domain-id) is distinct
+    // (e is distinct, the id injective mod the accepted 2^-60 class), so
+    // capPerKey's unique-order contract holds; both self-join sides read
+    // the SAME capped frame, materialized once
+    val srcDom = Skew.capPerKey(
+        e.select(col("__src"), domId.as("__d")), Seq("__src"), "__d", maxOutDegree)
+      .localCheckpoint(true)
+    val cocite = srcDom
+      .join(srcDom.select(col("__src"), col("__d").as("__d2")).hint("shuffle_merge"),
+        Seq("__src"))
       .filter(col("__d") < col("__d2"))
       .select(col("__d").as("da"), col("__d2").as("db"))
       .distinct()

@@ -383,10 +383,11 @@ object Profiler {
     * over the combined sample with the standard tie correction,
     * `U_A = R_A − n_A(n_A+1)/2`, and the normal-approximation z.
     *
-    * Every rank quantity is EXACT: midranks are integers-or-halves and
-    * the rank sum accumulates multiples of 0.5 far below 2^52, so
-    * float addition is exact in any order — no grid needed (the one
-    * place a float sum is legitimately order-free). Shape: one
+    * Every rank quantity is EXACT at ANY scale: doubled midranks
+    * (2·mid = 2·before + t + 1) are longs, the rank sum and the tie
+    * term t³−t accumulate as decimal(38,0) — order-free with no 2^53
+    * double ceiling; the final halving and z are exact-input double
+    * arithmetic. Shape: one
     * per-value counting aggregation, one value-ordered window over the
     * DISTINCT-value frame (value-cardinality-sized, not corpus-sized),
     * two scalar aggregates. Output: (n_a, n_b, u_a, z) with z
@@ -410,17 +411,27 @@ object Profiler {
     val ranked = counts
       .withColumn("__t", col("__na") + col("__nb"))
       .withColumn("__before", coalesce(sum(col("__t")).over(w), lit(0L)))
-      .withColumn("__mid",
-        (col("__before") + lit(1L)).cast("double") +
-          (col("__t") - lit(1L)).cast("double") / 2.0)
+      // doubled midrank 2·mid = 2·before + t + 1 is an exact LONG — the
+      // na·mid rank sum then accumulates as decimal(38,0), order-free at
+      // ANY n (a double sum of na·mid loses exactness past na·mid ≈ 2^53)
+      .withColumn("__mid2", lit(2L) * col("__before") + col("__t") + lit(1L))
     ranked.agg(
       sum(col("__na")).as("__sa"),
       sum(col("__nb")).as("__sb"),
-      sum(col("__na").cast("double") * col("__mid")).as("__ra"),
-      sum(col("__t").cast("double") * col("__t").cast("double") * col("__t").cast("double")
-        - col("__t").cast("double")).as("__ties"))
+      sum(col("__na").cast("decimal(19,0)") * col("__mid2").cast("decimal(19,0)"))
+        .as("__ra2"),
+      // t³−t as exact decimal: 12+12+12 digits keeps the product at
+      // precision 38 with no silent scale drop, and the sum stays
+      // order-free at any tie multiplicity (a double sum loses exactness
+      // past t ≈ 2^18 — the advice-r11 ceiling)
+      sum(col("__t").cast("decimal(12,0)") * col("__t").cast("decimal(12,0)")
+        * col("__t").cast("decimal(12,0)")
+        - col("__t").cast("decimal(12,0)")).as("__ties"))
       .select(col("__sa").as("n_a"), col("__sb").as("n_b"),
-        (col("__ra") - col("__sa").cast("double") * (col("__sa") + 1L).cast("double") / 2.0)
+        // U_A = (2R_A − n_A(n_A+1)) / 2 — numerator exact in decimal, the
+        // one division exact-input in double
+        ((col("__ra2") - col("__sa").cast("decimal(18,0)")
+          * (col("__sa") + lit(1L)).cast("decimal(18,0)")).cast("double") / 2.0)
           .as("u_a"),
         col("__ties"))
       .select(col("n_a"), col("n_b"), col("u_a"),
@@ -428,7 +439,8 @@ object Profiler {
           val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
           val n = na + nb
           val mu = na * nb / 2.0
-          val sigma2 = na * nb / 12.0 * ((n + 1.0) - col("__ties") / (n * (n - 1.0)))
+          val sigma2 =
+            na * nb / 12.0 * ((n + 1.0) - col("__ties").cast("double") / (n * (n - 1.0)))
           when(sigma2 > 0.0, graft.functions.Quantize.scaledFloor(
             (col("u_a") - mu) / sqrt(sigma2), 6)).as("z")
         })
@@ -973,8 +985,9 @@ object Profiler {
     * ties (the identity behind [[mannWhitney]]; an approximate AUC on a
     * threshold grid under-reports near-perfect rankers).
     *
-    * Midranks are integers-or-halves, so every rank quantity is exact in
-    * float addition regardless of order (the mannWhitney argument); the
+    * Doubled midranks are longs and the rank sum accumulates as
+    * decimal(38,0) — exact regardless of order at any n (the mannWhitney
+    * argument, with no 2^53 double ceiling); the
     * final division is exact-input, scaledFloor-quantized. `gini_index =
     * 2·AUC − 1` rides along (the credit-scoring convention). AUC is null
     * when either class is empty. Null scores/labels excluded.
@@ -999,14 +1012,18 @@ object Profiler {
     counts
       .withColumn("__t", col("__np") + col("__nn"))
       .withColumn("__before", coalesce(sum(col("__t")).over(w), lit(0L)))
-      .withColumn("__mid",
-        (col("__before") + 1L).cast("double") + (col("__t") - 1L).cast("double") / 2.0)
+      // doubled midrank as exact long → np·2mid rank sum as decimal(38,0),
+      // order-free at any n (double np·mid sums hit the 2^53 ceiling —
+      // the mannWhitney fix applied here too)
+      .withColumn("__mid2", lit(2L) * col("__before") + col("__t") + lit(1L))
       .agg(sum(col("__np")).as("__sp"), sum(col("__nn")).as("__sn"),
-        sum(col("__np").cast("double") * col("__mid")).as("__rp"))
+        sum(col("__np").cast("decimal(19,0)") * col("__mid2").cast("decimal(19,0)"))
+          .as("__rp2"))
       .select(col("__sp").as("n_pos"), col("__sn").as("n_neg"),
         when(col("__sp") > 0L && col("__sn") > 0L,
           graft.functions.Quantize.scaledFloor(
-            (col("__rp") - col("__sp").cast("double") * (col("__sp") + 1L).cast("double") / 2.0)
+            ((col("__rp2") - col("__sp").cast("decimal(18,0)")
+              * (col("__sp") + lit(1L)).cast("decimal(18,0)")).cast("double") / 2.0)
               / (col("__sp").cast("double") * col("__sn").cast("double")), 6)).as("auc"))
       .withColumn("gini_index",
         when(col("auc").isNotNull,

@@ -584,6 +584,11 @@ object Sampling {
     * stage — never a corpus-wide sort), and the k-row winner set joins
     * back for the weight column (a parameter-sized broadcast).
     * Output: (idCol, weight, es_key).
+    *
+    * CONTRACT: `keyCol` must be LONG-CASTABLE (the [[mmrRerank]] id rule)
+    * — rows whose id fails the long cast are EXCLUDED, exactly like
+    * null/non-positive-weight rows; string-keyed corpora should pass a
+    * surrogate (e.g. `xxhash64(id)`) and join the originals back.
     */
   def weightedSample(
       df: DataFrame,

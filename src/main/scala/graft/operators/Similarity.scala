@@ -731,7 +731,8 @@ object Similarity {
     * Scores quantize through [[graft.functions.Quantize.scaledFloor]](6)
     * BEFORE the argmax with ties to the lowest id, so the selection is
     * engine-reproducible. Output: (rank 1..k, id, mmr_score) — rank 1's
-    * score is its pure (quantized) relevance.
+    * score is λ times its (quantized) relevance (the redundancy term is
+    * zero at the first pick, but the λ factor still applies).
     */
   def mmrRerank(
       candidates: DataFrame,

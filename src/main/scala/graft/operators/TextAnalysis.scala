@@ -1466,7 +1466,10 @@ object TextAnalysis {
       graft.functions.BroadcastSetExpressions.matchCount(grams, bc)
     docs
       .withColumn("__toks", tokens(col(textCol)))
-      .withColumn("__m", matches(Dedup.shinglesOfTokens(col("__toks"), n)))
+      // null text → null gram array → matchCount NULL; coalesce keeps the
+      // historical UDF semantics (null-text rows count 0 matches, so KEEP)
+      .withColumn("__m",
+        coalesce(matches(Dedup.shinglesOfTokens(col("__toks"), n)), lit(0)))
       .filter(col("__m") < minMatches)
       .drop("__toks", "__m")
   }

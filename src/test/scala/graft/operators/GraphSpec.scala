@@ -209,6 +209,44 @@ class GraphSpec extends AnyFunSuite {
     assert(r2("A")._3 == score(rk, cl23, core = false))
   }
 
+  test("linkAuthority: maxOutDegree caps a directory-page hub's co-citation blow-up in-plan") {
+    // "dir" is a directory page linking 20 domains — uncapped it would mint
+    // C(20,2)=190 co-citation pairs (a clique); with maxOutDegree=3 only the
+    // hub's 3 smallest 60-bit domain ids survive the projection, so exactly
+    // 3 domains co-cite (C(3,2)=3 pairs) and the other 17 are isolated.
+    val hubDoms = (0 until 20).map(i => s"h$i")
+    val edges = hubDoms.map(d => ("dir", d)).toDF("src", "dst")
+    // the kept 3 = smallest ids under the SAME md5 conv the operator uses
+    val kept3 = hubDoms.toDF("d")
+      .select(col("d"), conv(substring(md5(col("d")), 1, 15), 16, 10)
+        .cast("long").as("id"))
+      .orderBy(col("id")).limit(3).select(col("d")).as[String].collect().toSet
+
+    val capped = Graph.linkAuthority(edges, "src", "dst", seeds = Seq("dir"),
+        pprIterations = 1, coreK = 2, coreIterations = 2, maxOutDegree = 3)
+      .as[(String, Double, Double, Boolean, Double)].collect()
+      .map { case (d, rk, cl, core, sc) => d -> ((rk, cl, core)) }.toMap
+    assert(capped.keySet == hubDoms.toSet) // domain dim stays UNCAPPED
+    // co-citation signal exists ONLY inside the kept triangle
+    assert(capped.filter(_._2._2 > 0.0).keySet == kept3)
+    assert(kept3.forall(d => capped(d)._2 == 1.0 && capped(d)._3))
+    assert((hubDoms.toSet -- kept3).forall(d => !capped(d)._3))
+    // the PPR leg reads the UNCAPPED edges: every domain keeps seed proximity
+    assert(capped.values.forall(_._1 > 0.0))
+
+    // a bound above the hub's out-degree is a no-op (the q202-hash guarantee)
+    val wide = Graph.linkAuthority(edges, "src", "dst", seeds = Seq("dir"),
+        pprIterations = 1, coreK = 2, coreIterations = 2)
+      .as[(String, Double, Double, Boolean, Double)].collect()
+      .map { case (d, rk, cl, core, sc) => d -> ((cl, core)) }.toMap
+    assert(hubDoms.forall(d => wide(d) == ((1.0, true))))
+
+    intercept[IllegalArgumentException] {
+      Graph.linkAuthority(edges, "src", "dst", Seq("dir"), 1, 2, 1,
+        maxOutDegree = 0)
+    }
+  }
+
   test("labelPropagation: two bridged triangles settle into two communities by min label") {
     import spark.implicits._
     val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L),
