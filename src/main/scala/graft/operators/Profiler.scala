@@ -665,7 +665,6 @@ object Profiler {
       labelCol: String,
       bins: Int
   ): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(bins >= 2 && bins <= 256, s"bins=$bins out of [2, 256]")
     val q6 = (c: org.apache.spark.sql.Column) =>
       graft.functions.Quantize.scaledFloor(c, 6)
@@ -677,6 +676,20 @@ object Profiler {
         col(labelCol).cast("boolean").cast("long").as("__y"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"), sum(col("__y")).as("__pos"))
+    pavMinimax(binned)
+      .select(col("bin"), col("n"),
+        q6(col("__pos").cast("double") / col("n").cast("double")).as("frac_pos"),
+        q6(col("__iso")).as("iso"))
+  }
+
+  /** PAV-minimax core shared by [[isotonicCalibration]] and
+    * [[oosCalibratedBrier]]: `binned` is a bins-sized (bin, n, __pos)
+    * frame; returns (bin, n, __pos, __iso) with `__iso` the UNQUANTIZED
+    * Robertson–Wright–Dykstra closed-form fit `max_{j≤i} min_{k≥i}
+    * mean(y, j..k)` — B³ enumeration over knob-bounded joins, every mean
+    * one exact-integer division off cumulative prefixes. */
+  private def pavMinimax(binned: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wCum = Window.orderBy(col("bin"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = binned
@@ -696,10 +709,93 @@ object Profiler {
       .groupBy(col("bin"), col("__j"))
       .agg(min(col("__mean")).as("__minmean"))
     val iso = inner.groupBy(col("bin")).agg(max(col("__minmean")).as("__iso"))
-    cum.join(iso, Seq("bin"))
-      .select(col("bin"), col("n"),
-        q6(col("__pos").cast("double") / col("n").cast("double")).as("frac_pos"),
-        q6(col("__iso")).as("iso"))
+    cum.select(col("bin"), col("n"), col("__pos")).join(iso, Seq("bin"))
+  }
+
+  /** OUT-OF-SAMPLE calibrated Brier — the form a production scorer
+    * actually ships (q257's in-sample loop was the documented caveat):
+    * fit the PAV isotonic map on the TRAIN split only, apply it to the
+    * held-out rows, and report raw vs calibrated Brier on the held-out
+    * side alone. Rows where `splitCol === trainValue` train; every other
+    * row evaluates.
+    *
+    * Semantics pinned to the published q256/q257 conventions: scores
+    * snap to the 1e-7 grid (`floor(s·1e7+0.5)` carried END-TO-END — the
+    * r11 truncation catch), bins clamp to [0, bins), the applied iso
+    * value is the 1e-6-snapped map entry (what [[isotonicCalibration]]
+    * publishes), and a held-out bin ABSENT from the train map falls back
+    * to the identity (its raw scores) — the conservative production
+    * default when the calibrator has never seen that confidence region.
+    * Within a mapped bin the calibrated sum is closed-form
+    * (`n·iso² − 2·iso·pos + pos`); fallback bins reuse their raw
+    * per-row Σ(p−y)² (1e-9-quantized decimal sums, order-free).
+    *
+    * Overfit is exactly what this measures: with small per-bin train
+    * counts the PAV map memorizes sampling noise, in-sample Brier
+    * improves, and `brier_cal > brier_raw` HERE is the signal to widen
+    * bins or pool more data (ProfilerSpec pins such a case).
+    *
+    * Shape at 100 TB: ONE corpus pass (a (is_train, bin)-keyed count/sum
+    * aggregation, ≤ 2·bins output rows), then everything downstream is
+    * knob-bounded (bins ≤ 256 enforced, the B³ PAV enumeration and the
+    * map join all run on bins-sized frames). Output: one row
+    * (n_train, n_test, brier_raw, brier_cal), 1e-6-quantized; empty
+    * held-out side → empty frame (the brierDecomposition convention).
+    */
+  def oosCalibratedBrier(
+      df: DataFrame,
+      splitCol: String,
+      trainValue: String,
+      scoreCol: String,
+      labelCol: String,
+      bins: Int
+  ): DataFrame = {
+    require(bins >= 2 && bins <= 256, s"bins=$bins out of [2, 256]")
+    val q6 = (c: org.apache.spark.sql.Column) =>
+      graft.functions.Quantize.scaledFloor(c, 6)
+    val q9 = (c: org.apache.spark.sql.Column) =>
+      graft.functions.Quantize.scaledFloor(c, 9)
+    val s = col(scoreCol).cast("double")
+    val stats = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull &&
+        col(splitCol).isNotNull)
+      .select(
+        (col(splitCol) === lit(trainValue)).as("__train"),
+        least(greatest(floor(s * bins).cast("long"), lit(0L)), lit(bins - 1L))
+          .as("bin"),
+        floor(s * 1e7 + 0.5).cast("long").as("__c7"),
+        col(labelCol).cast("boolean").cast("long").as("__y"))
+      .withColumn("__p", col("__c7").cast("double") / 1e7)
+      .withColumn("__sq",
+        q9((col("__p") - col("__y")) * (col("__p") - col("__y")))
+          .cast("decimal(18,9)"))
+      .groupBy(col("__train"), col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("__pos"),
+        sum(col("__sq")).cast("decimal(38,9)").as("__ssq"))
+      .localCheckpoint(true) // ≤ 2·bins rows; feeds the fit AND both totals
+    val isoMap = pavMinimax(
+        stats.filter(col("__train")).select(col("bin"), col("n"), col("__pos")))
+      .select(col("bin"), q6(col("__iso")).as("__iso")) // the PUBLISHED map
+    val nTrain = stats.filter(col("__train"))
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n_train"))
+    val test = stats.filter(!col("__train"))
+      .join(isoMap.hint("shuffle_merge"), Seq("bin"), "left")
+      .select(col("n"), col("__pos"), col("__ssq"),
+        when(col("__iso").isNotNull,
+          q9(col("n").cast("double") * col("__iso") * col("__iso")
+            - lit(2.0) * col("__iso") * col("__pos").cast("double")
+            + col("__pos").cast("double")).cast("decimal(38,9)"))
+          .otherwise(col("__ssq")).as("__cal"))
+      .agg(sum(col("n")).as("n_test"),
+        sum(col("__ssq")).cast("decimal(38,9)").as("__sraw"),
+        sum(col("__cal")).cast("decimal(38,9)").as("__scal"))
+    test.crossJoin(broadcast(nTrain))
+      .filter(col("n_test").isNotNull) // empty held-out side → empty frame
+      .select(col("n_train"), col("n_test"),
+        q6(col("__sraw").cast("double") / col("n_test").cast("double"))
+          .as("brier_raw"),
+        q6(col("__scal").cast("double") / col("n_test").cast("double"))
+          .as("brier_cal"))
   }
 
   /** Two-sample Kolmogorov–Smirnov test between two vintages of a numeric

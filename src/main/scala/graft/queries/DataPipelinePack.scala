@@ -2713,6 +2713,22 @@ object DataPipelinePack extends QueryPack {
       raw.crossJoin(broadcast(cal))
     }),
 
+    // The calibration loop OUT-OF-SAMPLE (closing q257's documented
+    // caveat): hashSplit the scored docs, fit the PAV map on the train
+    // half only, score the held-out half — raw vs calibrated Brier on
+    // data the calibrator never saw, the form a production scorer ships.
+    "q258_oos_calibration" -> ((s, d) => {
+      val scored = TextAnalysis.hashedLinearScore(
+        Tables.documents(s, d).select(col("doc_id"), col("text"), col("lang")),
+        "doc_id", "text", qualityWeights, bias = -0.5)
+        .select(col("doc_id"), col("quality_score"),
+          (col("lang") === "en").as("label"))
+      val split = Sampling.hashSplit(scored, "doc_id",
+        Seq("train" -> 0.5, "test" -> 0.5), "cal1")
+      Profiler.oosCalibratedBrier(split, "split", "train",
+        "quality_score", "label", bins = 10)
+    }),
+
     // Exact isotonic (PAV) calibration of the same scorer — the monotone
     // confidence→probability map the q203/q255 diagnosis calls for.
     "q256_isotonic" -> ((s, d) => {
@@ -3976,6 +3992,71 @@ object DataPipelinePack extends QueryPack {
       SELECT r.n, r.brier AS brier_raw, r.reliability AS reliability_raw,
              cal.brier_cal
       FROM ($brierOracle) r CROSS JOIN cal"""
+
+  /** q258's oracle: the shared score chain + the hashSplit hash as a
+    * boolean train flag, ONE (tr, bin) stats CTE (counts, positives, and
+    * the 1e-9-quantized decimal raw-Brier sums), the q256 PAV chain over
+    * the TRAIN rows only, iso snapped to the published 1e-6 grid, and the
+    * held-out side's calibrated sum in closed form with identity fallback
+    * for bins the train map never saw. */
+  private def oosCalibrationOracle: String = {
+    val bnd = Sampling.splitBoundaries(Seq("train" -> 0.5, "test" -> 0.5)).head._2
+    val h = duckKeyHash("doc_id", "cal1")
+    s"""
+      WITH $qualityScoreCtes,
+      b AS (SELECT least(greatest(CAST(floor(s * 10) AS BIGINT), 0), 9) AS bin,
+                   CAST(CAST(floor(s * 10000000.0 + 0.5) AS BIGINT) AS DOUBLE)
+                     / 10000000.0 AS p,
+                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+                   ($h < $bnd) AS tr
+            FROM sc),
+      st AS (SELECT tr, bin, CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(y) AS BIGINT) AS pos,
+                    CAST(sum(CAST(CAST(floor((p - y) * (p - y) * 1000000000.0 + 0.5)
+                        AS DOUBLE) / 1000000000.0 AS DECIMAL(18,9)))
+                      AS DECIMAL(38,9)) AS ssq
+             FROM b GROUP BY tr, bin),
+      tb AS (SELECT bin, n, pos FROM st WHERE tr),
+      cum AS (SELECT bin, n, pos,
+                     CAST(sum(n) OVER wc AS BIGINT) AS cn,
+                     CAST(sum(pos) OVER wc AS BIGINT) AS cp
+              FROM tb
+              WINDOW wc AS (ORDER BY bin
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      jk AS (SELECT j.bin AS j, k.bin AS k,
+                    CAST(k.cp - (j.cp - j.pos) AS DOUBLE)
+                      / CAST(k.cn - (j.cn - j.n) AS DOUBLE) AS m
+             FROM cum j JOIN cum k ON j.bin <= k.bin),
+      mn2 AS (SELECT i.bin, jk.j, min(jk.m) AS mm
+              FROM cum i JOIN jk ON jk.j <= i.bin AND jk.k >= i.bin
+              GROUP BY i.bin, jk.j),
+      iso AS (SELECT bin, CAST(floor(max(mm) * 1000000.0 + 0.5) AS DOUBLE)
+                            / 1000000.0 AS iso
+              FROM mn2 GROUP BY bin),
+      ntr AS (SELECT coalesce(CAST(sum(n) AS BIGINT), CAST(0 AS BIGINT)) AS n_train
+              FROM tb),
+      te AS (SELECT st.n, st.pos, st.ssq, iso.iso
+             FROM st LEFT JOIN iso USING (bin) WHERE NOT tr),
+      ct AS (SELECT n, ssq,
+                    CASE WHEN iso IS NOT NULL
+                      THEN CAST(CAST(floor((CAST(n AS DOUBLE) * iso * iso
+                             - 2.0 * iso * CAST(pos AS DOUBLE)
+                             + CAST(pos AS DOUBLE))
+                           * 1000000000.0 + 0.5) AS DOUBLE) / 1000000000.0
+                         AS DECIMAL(38,9))
+                      ELSE ssq END AS cal
+             FROM te),
+      ag AS (SELECT CAST(sum(n) AS BIGINT) AS n_test,
+                    CAST(sum(ssq) AS DECIMAL(38,9)) AS sraw,
+                    CAST(sum(cal) AS DECIMAL(38,9)) AS scal
+             FROM ct)
+      SELECT ntr.n_train, ag.n_test,
+             CAST(floor(CAST(sraw AS DOUBLE) / CAST(n_test AS DOUBLE)
+                 * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS brier_raw,
+             CAST(floor(CAST(scal AS DOUBLE) / CAST(n_test AS DOUBLE)
+                 * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS brier_cal
+      FROM ag CROSS JOIN ntr"""
+  }
 
   /** q253's oracle: q227's subject derivation + the hashSplit arm, then
     * the Mantel–Cox machinery — exact integer at-risk windows,
@@ -6279,6 +6360,7 @@ object DataPipelinePack extends QueryPack {
     "q255_brier" -> brierOracle,
     "q256_isotonic" -> isotonicOracle,
     "q257_calibrated_brier" -> calibratedBrierOracle,
+    "q258_oos_calibration" -> oosCalibrationOracle,
 
     // q254: the q35 weight formula 1e-6-quantized to decimal, exact
     // decimal dots/norms, maxDf 50 candidate cap, thresholded top-50.

@@ -397,4 +397,36 @@ class ProfilerSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Profiler.isotonicCalibration(mk(1, 2, 3), "p", "y", bins = 1000))
   }
+
+  test("oosCalibratedBrier: the overfit PAV map improves in-sample but regresses held-out") {
+    // Train: one row per bin, rates 0/1 — the PAV map memorizes the noise
+    // (iso(bin4)=0, iso(bin5)=1). In-sample (held-out = a copy of train)
+    // that map is perfect; on a held-out half whose labels flipped it is
+    // maximally wrong — the split is what exposes the overfit.
+    val train = Seq(("train", 0.45, false), ("train", 0.55, true))
+    val inSample = (train ++ train.map { case (_, p, y) => ("test", p, y) })
+      .toDF("split", "p", "y")
+    val ins = Profiler.oosCalibratedBrier(inSample, "split", "train", "p", "y", 10)
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(ins == ((2L, 2L, 0.2025, 0.0))) // calibration helps in-sample
+    // held-out: flipped labels in the mapped bins + one bin-9 row the
+    // train map never saw (identity fallback: cal term == raw term)
+    val flipped = (train ++ Seq(("test", 0.45, true), ("test", 0.55, false),
+      ("test", 0.95, true))).toDF("split", "p", "y")
+    val oos = Profiler.oosCalibratedBrier(flipped, "split", "train", "p", "y", 10)
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(oos._1 == 2L && oos._2 == 3L)
+    assert(oos._3 == 0.2025) // raw: (.3025 + .3025 + .0025)/3
+    assert(oos._4 == 0.6675) // calibrated: (1 + 1 + .0025)/3 — REGRESSES
+    assert(oos._4 > oos._3)
+    // no train rows: the map is empty, every bin falls back to identity
+    val noTrain = Seq(("test", 0.45, true), ("test", 0.55, false))
+      .toDF("split", "p", "y")
+    val id = Profiler.oosCalibratedBrier(noTrain, "split", "train", "p", "y", 10)
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(id._1 == 0L && id._3 == id._4)
+    // no held-out rows: empty frame (the brierDecomposition convention)
+    val noTest = Seq(("train", 0.45, true)).toDF("split", "p", "y")
+    assert(Profiler.oosCalibratedBrier(noTest, "split", "train", "p", "y", 10).isEmpty)
+  }
 }

@@ -328,7 +328,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // q256's two knob-bounded PAV range-join BNLJs, and the final 1-row
     // calibrated-leg crossJoin; every flagged side is a 1-row aggregate
     // or the ≤256-bin frame (the q35 scalar / q256 knob classes).
-    "q257_calibrated_brier" -> (0, 5, 4)
+    "q257_calibrated_brier" -> (0, 5, 4),
+    // q258: q256's two knob-bounded PAV range-join BNLJs (fit on the
+    // train half) plus the final 1-row n_train scalar crossJoin — the
+    // one derived broadcast (q35's N class); everything else is the
+    // single (is_train, bin) corpus aggregation and bins-sized SMJs.
+    "q258_oos_calibration" -> (0, 3, 1)
   )
 
   test("no query plans an unjustified cartesian / BNLJ / derived broadcast, and none a ScalaUDF") {
