@@ -7,7 +7,9 @@ import graft.queries._
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
-  private def packs: Seq[QueryPack] = Seq(Relational, PipelinePack, DataPipelinePack)
+  private def packs: Seq[QueryPack] = Seq(Relational, PipelinePack,
+    DedupPack, RetrievalPack, TextPack, CorpusPack, StatsPack,
+    ExperimentPack, GraphPack)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * A multi-operator slice: dims broadcast, fact-fact join shuffles on the

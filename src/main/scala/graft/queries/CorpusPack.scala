@@ -1,0 +1,1361 @@
+package graft.queries
+import graft.Tables
+import graft.operators.{AsofJoin, Chunking, Dedup, Multimodal, Profiler, RangeJoin, Rollup, Sampling, Similarity, Sketches, Skew, TextAnalysis, TimeSeries, Tokenizer}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import PackShared._
+
+/** Corpus operations: sampling/splitting/mixing, token budgets, sketches (KMV/HLL/CMS/Bloom), layout (z-order, bucketing), SCD2/snapshots, data-quality gates, serde round-trips, skew tooling.
+  *
+  * Conventions: every computed column aliased identically on both
+  * engines, deterministic ORDER BY, exact-decimal float sums — see
+  * [[QueryPack]]. */
+object CorpusPack extends QueryPack {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // URL extraction metrics (C4-family web-corpus stage). The corpus has
+    // no URLs, so both engines PLANT them doc_id-derived: a per-mod-20
+    // example.com URL for most docs (doc_id % 11 != 0 — the rest exercise
+    // the empty-extraction path), plus a bad.net URL on every third doc.
+    // Pure RE2-portable regexp expressions; sorted-distinct domains as csv.
+    "q63_url_metrics" -> ((s, d) => {
+      TextAnalysis.urlMetrics(plantUrls(Tables.documents(s, d)), "doc_id", "text")
+        .select(col("doc_id"), col("n_urls"),
+          array_join(col("domains"), ",").as("domains_csv"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Domain-blocklist filtering over the same planted corpus: docs whose
+    // URL domain is on the (broadcast) blocklist are dropped. blocked{0,1,2}
+    // .bad.net are listed, blocked{3,4}.bad.net are not — survivors are the
+    // non-planted docs plus bad-URL docs whose mod-5 variant is unlisted.
+    "q64_domain_blocklist" -> ((s, d) => {
+      import s.implicits._
+      val blocklist = Seq("blocked0.bad.net", "blocked1.bad.net", "blocked2.bad.net")
+        .toDF("domain")
+      TextAnalysis.filterByDomainBlocklist(
+        plantUrls(Tables.documents(s, d)), "doc_id", "text", blocklist)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Bucketed range join: every 100th event defines a 1-hour interval;
+    // all events landing inside any interval pair with it — expressed as
+    // the bucket EQUI-join (+ residual filter), never a BNLJ over the
+    // range predicate. Integer-micro timestamps in both engines.
+    "q69_range_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val points = ev.select(col("event_id").as("point_id"), unix_micros(col("ts")).as("t"))
+      val intervals = ev.filter(col("event_id") % 100 === 0)
+        .select(col("event_id").as("interval_id"),
+          unix_micros(col("ts")).as("ival_start"),
+          (unix_micros(col("ts")) + lit(3600000000L)).as("ival_end"))
+      RangeJoin.pointsInIntervals(points, "t", intervals, "ival_start", "ival_end",
+        bucketWidth = 3600000000L)
+        .select(col("interval_id"), col("point_id"))
+        .orderBy(col("interval_id"), col("point_id"))
+    }),
+
+    // Interval-overlap join between two event-derived interval sets (2-hour
+    // windows of every 50th event vs 1-hour windows of every 70th): bucket
+    // equi-join + first-shared-bucket residual, exactly one row per
+    // overlapping pair, no distinct pass, no BNLJ.
+    "q70_interval_overlap" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      def ivals(mod: Int, lenUs: Long, idName: String, sName: String, eName: String) =
+        ev.filter(col("event_id") % mod === 0)
+          .select(col("event_id").as(idName),
+            unix_micros(col("ts")).as(sName),
+            (unix_micros(col("ts")) + lit(lenUs)).as(eName))
+      RangeJoin.intervalOverlaps(
+        ivals(50, 7200000000L, "a_id", "a_start", "a_end"), "a_start", "a_end",
+        ivals(70, 3600000000L, "b_id", "b_start", "b_end"), "b_start", "b_end",
+        bucketWidth = 3600000000L)
+        .select(col("a_id"), col("b_id"))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // Per-group token budgets (the form mixtures are written in): German
+    // gets a tight budget, everything else a loose default — same
+    // hash-order walk as q73, different cut per stratum.
+    "q82_token_budget_by_group" -> ((s, d) =>
+      Sampling.tokenBudgetSampleByGroup(
+        Tables.documents(s, d).select(col("doc_id"), col("text"), col("lang")),
+        "doc_id", "text", "lang",
+        budgets = Seq("de" -> 800L), defaultBudget = 4000L, salt = "mix-v2")
+        .select(col("lang"), col("doc_id"))
+        .orderBy(col("lang"), col("doc_id"))),
+
+    // Time-series resample + forward fill: irregular per-user events onto
+    // a daily grid, gaps carrying the last observed value — keyed shuffles
+    // and per-key windows only, grid bounded by span/bucket.
+    "q79_resample_ffill" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("t"), col("event_id"))
+      TimeSeries.resampleForwardFill(ev, "user_id", "t", "event_id",
+        bucketWidth = 86400000000L)
+        .orderBy(col("user_id"), col("bucket"))
+    }),
+
+    // Fact-fact join THROUGH the bucketed table layout: both sides
+    // written bucketed on the join key, joined and aggregated off the
+    // catalog tables — the zero-exchange co-location path under the value
+    // oracle (the plan assertion lives in BucketedWriteSpec). Re-entrant:
+    // overwrite-mode writes, so bench re-runs are safe.
+    "q76_bucketed_join" -> ((s, d) => {
+      import graft.sinks.BucketedWrite
+      val ev = Tables.events(s, d).select(col("user_id"), col("event_id"))
+      val ord = Tables.orders(s, d)
+        .select(col("o_custkey").as("user_id"), col("o_orderkey"))
+      BucketedWrite.writeBucketed(ev, "g76_events", numBuckets = 8, bucketCols = Seq("user_id"))
+      BucketedWrite.writeBucketed(ord, "g76_orders", numBuckets = 8, bucketCols = Seq("user_id"))
+      s.table("g76_events").join(s.table("g76_orders"), "user_id")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"), max(col("o_orderkey")).as("max_order"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Skew-proof per-key row cap (the "at most k docs per domain" gate):
+    // salted two-phase top-k, never a hot-key row_number window; the
+    // kept-pair join is SMJ-pinned. Oracle: the window formulation.
+    "q71_cap_per_key" -> ((s, d) =>
+      Skew.capPerKey(
+        Tables.events(s, d).select(col("user_id"), col("event_id")),
+        Seq("user_id"), "event_id", k = 3)
+        .orderBy(col("user_id"), col("event_id"))),
+
+    // Token-budget mixture cut per language: deterministic hash order,
+    // two-phase distributed prefix sum (never one window task per group),
+    // keep while the exclusive prefix is under budget. The oracle is the
+    // single-window formulation of the same arithmetic.
+    "q73_token_budget" -> ((s, d) =>
+      Sampling.tokenBudgetSample(
+        Tables.documents(s, d).select(col("doc_id"), col("text"), col("lang")),
+        "doc_id", "text", Seq("lang"), budgetTokens = 5000L, salt = "mix-v1")
+        .select(col("lang"), col("doc_id"))
+        .orderBy(col("lang"), col("doc_id"))),
+
+    // Salted aggregation: the skew-proof two-phase plan must be value-equal
+    // to the direct aggregation (the oracle aggregates directly).
+    "q36_salted_agg" -> ((s, d) => {
+      Skew.saltedSumCount(
+        Tables.lineitem(s, d),
+        keys = Seq(col("l_returnflag")),
+        sumCols = Seq("sum_qty" -> col("l_quantity"), "sum_price" -> col("l_extendedprice")),
+        saltSource = col("l_orderkey"),
+        saltBuckets = 16)
+        .select(col("l_returnflag"), col("cnt"), col("sum_qty"), col("sum_price"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Typed UDAF (Aggregator) surface: price-weighted mean quantity; exact
+    // decimal partials make the custom aggregate engine- and
+    // partitioning-independent (oracle = plain SQL decimal aggregate).
+    "q38_weighted_mean" -> ((s, d) => {
+      val wm = graft.functions.WeightedMean.udaf
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(wm(col("l_quantity"), col("l_extendedprice")).as("wmean_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Multimodal binary plumbing under the oracle gate: text bytes as the
+    // opaque media column, probed in the vectorized EXPRESSION form
+    // (length/md5/hex stay inside WholeStageCodegen; the batch-shaped
+    // mapPartitions sibling is value-identical and spec-pinned against it).
+    "q41_multimodal_probe" -> ((s, d) => {
+      val media = Tables.documents(s, d).select(
+        col("doc_id").as("media_id"),
+        lit("text/plain").as("mime"),
+        encode(col("text"), "UTF-8").as("content"),
+        lit(null).cast("struct<width:int,height:int,duration_ms:bigint>").as("meta"))
+      Multimodal.probeBytesExpr(media, headLen = 8)
+        .orderBy(col("media_id"))
+    }),
+
+    // Cluster-aware train/val/test split (split-leakage prevention): q43's
+    // near-dup clusters drive split membership, so no near-dup pair ever
+    // straddles train and eval. Membership hashes the CC cluster id with
+    // the shared boundary literals; the oracle reruns the recursive-CTE CC
+    // and the same hash thresholds.
+    "q120_cluster_split" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val edges = Dedup.jaccardPairs(docs, "doc_id", "text").select("id_a", "id_b")
+      val clusters = Dedup.connectedComponents(
+        docs.select(col("doc_id")), "doc_id", edges, "id_a", "id_b")
+      Sampling.clusterAwareSplit(docs.select(col("doc_id")), "doc_id", clusters,
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "csp")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Deterministic bottom-k sample: the 100 smallest-hash docs — the
+    // fixed-size mergeable corpus sample (TakeOrdered, never a full sort).
+    "q125_bottomk_sample" -> ((s, d) => {
+      Sampling.bottomKSample(Tables.documents(s, d).select(col("doc_id")),
+        "doc_id", k = 100, salt = "bk1")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Sample quantiles: nearest-rank quantiles of n_chars over the
+    // deterministic 100-doc bottom-k sample — the O(k) quantile path, with
+    // membership and estimates both engine-exact.
+    "q126_sample_quantiles" -> ((s, d) => {
+      Sampling.sampleQuantiles(Tables.documents(s, d), "doc_id", "n_chars",
+        k = 100, quantiles = Seq(0.1, 0.5, 0.9, 0.99), salt = "bk1")
+        .orderBy(col("quantile"))
+    }),
+
+    // Uniform k-per-group sample: 20 hash-drawn docs per language through
+    // the bounded capPerKey aggregator (no hot-group window); the oracle is
+    // the rank-over-hash window formulation.
+    "q127_group_sample" -> ((s, d) => {
+      Sampling.groupBottomKSample(Tables.documents(s, d).select(col("doc_id"), col("lang")),
+        "doc_id", Seq("lang"), k = 20, salt = "gs1")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Temperature-rebalanced sampling (group-share^alpha): flatten the
+    // language mix at alpha = 0.5 while keeping ~30% of the corpus; all
+    // rates in-plan, admission the shared 60-bit hash invariant.
+    "q91_temperature_mix" -> ((s, d) => {
+      Sampling.temperatureMixture(Tables.documents(s, d).select(col("doc_id"), col("lang")),
+        "doc_id", "lang", alpha = 0.5, targetFraction = 0.3, salt = "temp-v1")
+        .orderBy(col("doc_id"))
+    }),
+
+    // DSIR data selection (Xie et al. 2023): hashed bag-of-words
+    // importance models trained in-plan (target = the English slice, raw
+    // = the full corpus, 64 buckets), then the per-row log-ratio
+    // inference pass with a keep gate at ratio > 0 (more target-like
+    // than raw-like). The oracle rebuilds the bucket models and the
+    // sequential token fold with the identical md5 feature hash.
+    "q104_dsir_score" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"), col("lang"))
+      val ratios = Sampling.trainImportanceRatios(
+        docs.filter(col("lang") === "en"), docs, "text", buckets = 64)
+      Sampling.importanceScore(docs.select(col("doc_id"), col("text")),
+        "doc_id", "text", ratios)
+        .select(col("doc_id"), col("n_tokens"), col("dsir_logratio"),
+          (col("dsir_logratio") > 0.0).as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // DSIR selection proper — Gumbel-top-k importance resampling without
+    // replacement (k = 100): noisy key = logratio − ln(−ln(u)) with u the
+    // row's salted 60-bit content hash scaled into (0,1); selection on the
+    // ROUNDED key (the q90 quantized-selection lesson), ties to lowest id.
+    "q105_dsir_resample" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"), col("lang"))
+      val ratios = Sampling.trainImportanceRatios(
+        docs.filter(col("lang") === "en"), docs, "text", buckets = 64)
+      Sampling.resampleByImportance(docs.select(col("doc_id"), col("text")),
+        "doc_id", "text", ratios, k = 100, salt = "dsir9")
+        .select(col("doc_id"), col("dsir_logratio"), col("gumbel_key"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // KMV distinct-count sketch per source over 3-token shingles: ONE
+    // bounded keyed aggregation (O(k) state at every stage) instead of
+    // countDistinct's full shuffle of the distinct shingle set — the
+    // cardinality primitive that survives a corpus-shaped domain. The
+    // oracle rebuilds the sketch relationally (k smallest distinct md5
+    // hashes per source) and applies the same (k-1)·2^60/h_k estimator,
+    // so the ENTIRE sketch is verified, not just the estimate.
+    "q108_kmv_distinct" -> ((s, d) => {
+      val sh = Tables.documents(s, d)
+        .select(col("source"), explode(Dedup.shingles(col("text"))).as("sh"))
+      Sketches.kmvSketch(sh, Seq("source"), col("sh"), k = 128, salt = "kmv9")
+        .select(col("source"), size(col("kmv")).as("sketch_size"),
+          round(Sketches.kmvDistinct(col("kmv"), 128), 4).as("est_distinct"))
+        .orderBy(col("source"))
+    }),
+
+    // KMV set algebra — overlap of the English vs German shingle sets
+    // estimated from the two sketches ALONE (no join between the corpora):
+    // the k smallest hashes of the union are recoverable from the per-side
+    // sketches, Jaccard is the fraction present in both, intersection is
+    // Jaccard x the union estimate. At 100 TB this is how crawl-vs-crawl
+    // or corpus-vs-benchmark overlap is measured without co-shuffling
+    // either side.
+    "q109_kmv_overlap" -> ((s, d) => {
+      val k = 128
+      val docs = Tables.documents(s, d)
+      def side(lang: String, out: String) = Sketches.kmvSketch(
+        docs.filter(col("lang") === lang)
+          .select(explode(Dedup.shingles(col("text"))).as("sh")),
+        Seq.empty, col("sh"), k, salt = "ov9")
+        .select(col("kmv").as(out))
+      side("en", "ka").crossJoin(side("de", "kb"))
+        .select(Sketches.kmvOverlap(col("ka"), col("kb"), k): _*)
+        .select(round(col("jaccard_est"), 6).as("jaccard_est"),
+          round(col("union_est"), 4).as("union_est"),
+          round(col("inter_est"), 4).as("inter_est"))
+    }),
+
+    // HyperLogLog distinct orderkeys per returnflag (p=6, m=64 registers):
+    // register state is 64 small ints per group no matter how many
+    // distinct keys stream through. Ranks avoid floating log2 entirely
+    // (length(bin(w)) is floor(log2 w)+1 in both engines) and the
+    // harmonic-mean denominator sums as SCALED INTEGERS, so the oracle
+    // reproduces every register and the estimate is one identical double
+    // division in each engine. ~11k distinct per flag at the gate SF keeps
+    // the estimate far above the 2.5m linear-counting boundary (the one
+    // branch with a transcendental).
+    "q110_hll_distinct" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_returnflag"), col("l_orderkey"))
+      val regs = Sketches.hllRegisters(li, Seq("l_returnflag"), col("l_orderkey"), p = 6, salt = "hll9")
+      Sketches.hllEstimate(regs, Seq("l_returnflag"), p = 6)
+        .select(col("l_returnflag"), round(col("hll_est"), 4).as("hll_est"), col("zero_regs"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Count-Min frequency sketch over shingle document-frequencies (d=4,
+    // w=512): the sketch is a FIXED 2048-counter table built in one
+    // explode(4) + keyed sum, merged across shards counter-wise; the
+    // probe lookup is min over 4 broadcast-joined cells. Estimates are
+    // pure integers (>= exact by construction), so the oracle is
+    // hash-exact with zero float concerns. Probes = the top-8 shingles by
+    // (exact df desc, shingle) — deterministic, computed in-plan.
+    "q111_cms_freq" -> ((s, d) => {
+      val d4 = 4; val w = 512
+      val el = Tables.documents(s, d)
+        .select(col("doc_id"), explode(Dedup.shingles(col("text"))).as("sh"))
+        .select(col("sh"))
+      val exact = el.groupBy("sh").agg(count(lit(1)).as("exact_cnt"))
+      // build from the pre-aggregated (elem, count) frame — the weighted
+      // path, spec-pinned identical to the raw build: the depth-fold
+      // explodes one row per DISTINCT shingle instead of per occurrence
+      val sketch = Sketches.cmsSketch(exact, col("sh"), d4, w, "cms9",
+        weightCol = col("exact_cnt"))
+      val probes = exact.orderBy(col("exact_cnt").desc, col("sh")).limit(8)
+      Sketches.cmsLookup(sketch, probes.select("sh"), "sh", d4, w, "cms9")
+        .join(probes, "sh")
+        .select(col("sh"), col("exact_cnt"), col("cms_est"))
+        .orderBy(col("sh"))
+    }),
+
+    // Bloom-filter history membership: the constant-memory endgame of the
+    // incremental-dedup family (q75's anti-join, stripKnownWindows' set
+    // probe). History = even-doc_id texts; the filter is <= m/32 (word,
+    // bits) rows built by one bit_or aggregation; every probe LEFT-joins
+    // that broadcast-sized table and tests its 3 positions. One-sided by
+    // construction — might_contain=false is DEFINITELY new (no false
+    // negatives, spec-pinned), true is history-or-false-positive at
+    // (1-e^(-kn/m))^k. All integer bit arithmetic, 32-bit words so shifts
+    // stay <= 31 — oracle rebuilds the bitmap verbatim.
+    "q112_bloom_history" -> ((s, d) => {
+      val m = 4096; val kh = 3
+      val docs = Tables.documents(s, d)
+      val history = docs.filter(col("doc_id") % 2 === 0)
+      val bloom = Sketches.bloomSketch(history, col("text"), m, kh, "bl9")
+      Sketches.bloomMightContain(
+        bloom, docs.select(col("doc_id"), col("text")), "text", m, kh, "bl9")
+        .select(col("doc_id"), col("might_contain"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Salted shuffle join on a 3-value (maximally hot) key: the skew-proof
+    // two-phase join must be row-for-row equal to the plain join (the oracle
+    // joins directly).
+    "q45_salted_join" -> ((s, d) => {
+      import s.implicits._
+      val dim = Seq(("A", "returned"), ("N", "normal"), ("R", "refunded"))
+        .toDF("l_returnflag", "flag_label")
+      Skew.saltedEquiJoin(
+        Tables.lineitem(s, d), dim,
+        keys = Seq("l_returnflag"),
+        saltSource = col("l_orderkey"),
+        saltBuckets = 16)
+        .groupBy(col("l_returnflag"), col("flag_label"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(col("l_extendedprice").cast("decimal(28,4)")).cast("double").as("sum_price"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Confluent wire-format serde end to end under the oracle gate:
+    // documents -> framed avro binary (magic ‖ id ‖ body, per partition) ->
+    // expression-level header checks -> avro decode back. The oracle is the
+    // identity, so any framing offset error, schema-id corruption, or avro
+    // field mix-up fails the hash compare.
+    "q46_confluent_roundtrip" -> ((s, d) => {
+      import graft.serde.{ConfluentAvroFrames, ConfluentWireColumns}
+      val schemaJson =
+        """{"type":"record","name":"Doc","namespace":"graft",
+           |"fields":[{"name":"doc_id","type":"long"},{"name":"text","type":"string"}]}""".stripMargin
+      val wire = ConfluentAvroFrames.serialize(
+        Tables.documents(s, d), topic = "docs", isKey = false, schemaJson = schemaJson)
+        .withColumn("schema_id", ConfluentWireColumns.wireSchemaId(col("wire")))
+        .withColumn("magic_ok", ConfluentWireColumns.hasWireMagic(col("wire")))
+      ConfluentAvroFrames.deserialize(
+          wire, wireCol = "wire", topic = "docs", isKey = false, schemaJson = schemaJson)
+        .select(col("doc_id"), col("text"), col("schema_id"), col("magic_ok"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Schemaless JSON serde end to end under the oracle gate (the
+    // reference's Circe/Jsoniter/ZIO-Json codec family): documents ->
+    // one JSON object per row in a binary wire column -> an INDEPENDENT
+    // json-path probe of the raw bytes (get_json_object exercises the
+    // syntax without from_json) -> FAILFAST parse back to typed columns.
+    // Identity oracle: any escaping error, field mix-up, or type coercion
+    // slip fails the hash compare. Both directions are pure expressions —
+    // the whole round trip stays inside whole-stage codegen.
+    "q50_json_roundtrip" -> ((s, d) => {
+      import graft.serde.JsonFrames
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val wire = JsonFrames.serialize(Tables.documents(s, d), Seq("doc_id", "text"))
+        .withColumn("jpath_id",
+          get_json_object(col("wire").cast("string"), "$.doc_id").cast("long"))
+      JsonFrames.deserialize(wire, "wire",
+          StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+        .select(col("doc_id"), col("text"), col("jpath_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Deterministic hash sampling: selection is a pure function of
+    // (salt, doc_id) — layout/run/engine independent, which is the whole
+    // point — so an independent engine computes the EXACT same subset.
+    "q51_hash_sample" -> ((s, d) =>
+      Sampling.deterministicSample(Tables.documents(s, d), "doc_id", rate = 0.2, salt = "s1")
+        .select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))),
+
+    // Train/val/test assignment as a row invariant: every doc labeled from
+    // cumulative hash ranges (80/10/10). The oracle re-derives the label
+    // from the same md5 arithmetic — any boundary slip moves rows between
+    // splits and fails the hash compare.
+    "q52_hash_split" -> ((s, d) =>
+      Sampling.hashSplit(Tables.documents(s, d), "doc_id",
+          splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "sp")
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id"))),
+
+    // Stratified (class-balance) sampling over the events stream: per-type
+    // admission rates via a chained-when threshold — no join, no shuffle.
+    "q53_stratified_sample" -> ((s, d) =>
+      Sampling.stratifiedSample(Tables.events(s, d), "event_id", "event_type",
+          rates = Seq("error" -> 0.05, "purchase" -> 1.0, "click" -> 0.25),
+          defaultRate = 0.5, salt = "st")
+        .select(col("event_id"), col("event_type"))
+        .orderBy(col("event_id"))),
+
+    // Weighted corpus mixing: two (here: synthetic halves of `documents`
+    // playing two corpora) hash-sampled at different rates and unioned
+    // under a source label — the training-mixture step. The oracle is the
+    // same pair of threshold filters UNION ALL'd, so a wrong rate, salt
+    // bleed between corpora, or label mix-up all fail the hash compare.
+    "q54_mix_corpora" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val a = docs.filter(col("doc_id") % 2 === 0)
+      val b = docs.filter(col("doc_id") % 2 === 1)
+      Sampling.mixByRates(Seq((a, 0.5, "even"), (b, 0.25, "odd")), "doc_id", "mx")
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Exact interpolated percentiles per group — via distributed
+    // value-count pre-aggregation. A bare percentile() funnels every
+    // group's raw rows into ONE reduce task (its sort buffer holds the
+    // group — the classic exact-percentile scale-killer); pre-aggregating
+    // (group, value) counts is a map-side-combined shuffle that hands the
+    // weighted percentile only the DISTINCT values per group. Bit-identical
+    // result (percentile's frequency form interpolates the same ranks).
+    "q37_percentile" -> ((s, d) => {
+      val base = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+      def weighted(valueCol: String, aggs: (String, Double)*) = {
+        val cols = aggs.map { case (name, p) =>
+          round(expr(s"percentile($valueCol, $p, __f)"), 4).as(name)
+        }
+        base
+          .groupBy(col("l_returnflag"), col(valueCol))
+          .agg(count(lit(1)).as("__f"))
+          .groupBy(col("l_returnflag"))
+          .agg(cols.head, cols.tail: _*)
+      }
+      weighted("l_quantity", "p50_qty" -> 0.5, "p90_qty" -> 0.9)
+        .join(weighted("l_extendedprice", "p50_price" -> 0.5), Seq("l_returnflag"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Rolling 7-day distinct users from per-day HLL registers merged by
+    // the max rule — rolling MAU without rescanning events; the oracle
+    // rebuilds every window's registers from scratch (q110's rules over
+    // the windowed event set), so merge-of-sketches == sketch-of-union
+    // is what the hash compare actually checks.
+    "q167_rolling_mau" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(unix_date(to_date(col("ts"))).cast("long").as("day"), col("user_id"))
+      val regs = Sketches.hllRegisters(ev, Seq("day"), col("user_id"), p = 6, salt = "rmau")
+      Sketches.hllRollingEstimate(regs, "day", p = 6, windowPeriods = 7)
+        .select(col("day"), round(col("hll_est"), 4).as("hll_est"), col("zero_regs"))
+        .orderBy(col("day"))
+    }),
+
+    // Functional-dependency audit: which sources map to >1 language —
+    // constraint mining over one distinct + one count aggregation.
+    "q158_fd_check" -> ((s, d) => {
+      Profiler.fdViolations(Tables.documents(s, d), Seq("source"), Seq("lang"))
+        .orderBy(col("source"))
+    }),
+
+    // Referential-integrity audit with planted orphans: suppliers with
+    // s_suppkey % 7 == 0 removed from the dimension, so exactly their
+    // lineitems surface as FK orphans through the SMJ anti-join.
+    "q160_ri_check" -> ((s, d) => {
+      Profiler.riOrphans(
+        Tables.lineitem(s, d), "l_suppkey",
+        Tables.supplier(s, d).filter(col("s_suppkey") % 7 =!= 0), "s_suppkey")
+        .orderBy(col("l_suppkey"))
+    }),
+
+    // Snapshot diff: a simulated prior vintage (every 7th doc missing ->
+    // inserts, every 5th's text staled -> updates, planted extra rows ->
+    // deletes) diffed against the current table into a minimal I/U/D
+    // changeset via ONE SMJ-pinned full-outer join.
+    "q156_snapshot_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"), col("lang"))
+      val oldDf = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, lit("stale text")).otherwise(col("text")).as("text"),
+          col("lang"))
+        .unionByName(docs.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("text"), col("lang")))
+      graft.operators.Snapshot.diffSnapshots(oldDf, docs, Seq("doc_id"))
+        .orderBy(col("op"), col("doc_id"))
+    }),
+
+    // The round-trip law as the gate: applying the q156 changeset onto
+    // the old vintage must reproduce the current table EXACTLY — the
+    // oracle is a plain SELECT of documents.
+    "q157_snapshot_apply" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"), col("lang"))
+      val oldDf = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, lit("stale text")).otherwise(col("text")).as("text"),
+          col("lang"))
+        .unionByName(docs.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("text"), col("lang")))
+      val changes = graft.operators.Snapshot.diffSnapshots(oldDf, docs, Seq("doc_id"))
+      graft.operators.Snapshot.applyChangeset(oldDf, changes, Seq("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Declarative expectation suite: five named aggregate checks (one
+    // deliberately failing) evaluated in a single-row aggregation and
+    // unpivoted to (check, passed) — the pre-consumption vintage gate.
+    "q152_expectations" -> ((s, d) => {
+      Profiler.expect(Tables.documents(s, d), Seq(
+        "row_count_at_least_100" -> (count(lit(1)) >= 100),
+        "no_null_text" -> (sum(when(col("text").isNull, 1L).otherwise(0L)) === 0),
+        "n_chars_positive" -> (min(col("n_chars")) > 0),
+        "langs_at_most_10" -> (countDistinct(col("lang")) <= 10),
+        "always_fails" -> (count(lit(1)) < 0)))
+        .orderBy(col("check"))
+    }),
+
+    // Epoch-aware corpus mixing with fractional epochs per language
+    // (de ×2.5, en ×0.5, es ×1.0, fr ×1.25, zh ×2.0): ⌊e⌋ full copies per
+    // doc + a salted-hash coin for the fractional epoch — deterministic,
+    // zero-shuffle, each copy tagged with its epoch index.
+    "q175_epoch_mix" -> ((s, d) => {
+      Sampling.epochMix(Tables.documents(s, d).select(col("doc_id"), col("lang")),
+        "doc_id", "lang",
+        Seq("de" -> 2.5, "en" -> 0.5, "es" -> 1.0, "fr" -> 1.25, "zh" -> 2.0), salt = "em1")
+        .orderBy(col("doc_id"), col("epoch"))
+    }),
+
+    // Sequence-gap audit: contiguous runs of MISSING ids (planted: every
+    // 97th event dropped) as (gap_start, gap_end, missing) rows — the
+    // ingestion-completeness card (did the extractor skip a range?).
+    "q200_id_gaps" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ids = Tables.events(s, d).filter(col("event_id") % 97 =!= 0)
+        .select(col("event_id"))
+      val w = Window.orderBy(col("event_id"))
+      ids
+        .withColumn("__prev", lag(col("event_id"), 1).over(w))
+        .filter(col("__prev").isNotNull && col("event_id") - col("__prev") > 1)
+        .select((col("__prev") + 1).as("gap_start"),
+          (col("event_id") - 1).as("gap_end"),
+          (col("event_id") - col("__prev") - 1).as("missing"))
+        .orderBy(col("gap_start"))
+    }),
+
+    // ROLLUP with grouping_id: the aggregation-level indicator downstream
+    // pivot/report consumers key on — completes the grouping-sets surface
+    // (q10-q12) with the bitmask column itself.
+    "q201_grouping_id" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("cnt"),
+          sum(col("l_quantity").cast("decimal(28,4)")).cast("double").as("sum_qty"))
+        .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // Weighted sampling without replacement (Efraimidis-Spirakis A-ES):
+    // 100 documents sampled proportional to n_chars via u^(1/w) keys on
+    // the salted hash grid — the quality-weighted subset primitive.
+    "q213_weighted_sample" -> ((s, d) => {
+      Sampling.weightedSample(
+        Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", k = 100, salt = "ws1")
+        .orderBy(col("es_key").desc, col("doc_id"))
+    }),
+
+    // Metrics-store reconciliation: lineitem quantity rollup vs a
+    // recompute with planted corruption (every 1000th order loses line 1;
+    // every 500th gets +1) — exact decimal sums, empty result certifies,
+    // missing_b and mismatch classes both exercised.
+    "q232_reconcile" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val store = li.select(col("l_orderkey"), col("l_quantity"))
+      val recompute = li
+        .filter(!(col("l_orderkey") % 1000 === 0 && col("l_linenumber") === 1))
+        .select(col("l_orderkey"),
+          when(col("l_orderkey") % 500 === 0 && col("l_linenumber") === 1,
+            col("l_quantity") + 1).otherwise(col("l_quantity")).as("l_quantity"))
+      graft.operators.Profiler.reconcile(store, "l_orderkey", "l_quantity",
+        recompute, "l_orderkey", "l_quantity")
+        .orderBy(col("key"))
+    }),
+
+    // k-anonymity / l-diversity audit of the customer frame under
+    // (nation, segment) quasi-identifiers with acctbal sensitive — the
+    // structural-privacy gate next to the free-text PII scrub.
+    "q234_privacy_audit" -> ((s, d) => {
+      graft.operators.Profiler.kAnonymityAudit(Tables.customer(s, d),
+        Seq("c_nationkey", "c_mktsegment"), "c_acctbal", k = 5, l = 3)
+    }),
+
+    // Imbalanced-class training weights over document languages —
+    // inverse-frequency + effective-number-of-samples, one aggregation.
+    "q244_class_weights" -> ((s, d) => {
+      Sampling.classWeights(Tables.documents(s, d), "lang")
+        .orderBy(col("class"))
+    }),
+
+    // INCREMENTAL SCD2 maintenance: history built from pre-cutoff events,
+    // the post-cutoff batch merged WITHOUT replaying history — must equal
+    // the from-scratch assembly row for row (q151's own oracle is the
+    // gate).
+    "q197_scd2_merge" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      val cutoff = lit("2024-01-04").cast("timestamp")
+      val existing = graft.operators.Scd.scd2(
+        ev.filter(col("ts") < cutoff), "user_id", Seq("ts", "event_id"), "event_type")
+      graft.operators.Scd.scd2Merge(existing, ev.filter(col("ts") >= cutoff),
+        "user_id", Seq("ts", "event_id"), "event_type")
+        .orderBy(col("user_id"), col("version"))
+    }),
+
+    // Coordinated cross-table sampling: the SAME salted 10% hash gate on
+    // the user key of two fact tables yields a consistent entity sample
+    // with no coordination infrastructure — every sampled user appears
+    // with ALL their events and orders (the debug-at-scale primitive).
+    "q190_coordinated_sample" -> ((s, d) => {
+      val evS = Sampling.deterministicSample(
+        Tables.events(s, d).select(col("user_id"), col("event_id")),
+        "user_id", 0.1, "coord")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+      val ordS = Sampling.deterministicSample(
+        Tables.orders(s, d).select(col("o_custkey").as("user_id"), col("o_orderkey")),
+        "user_id", 0.1, "coord")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_orders"))
+      evS.hint("shuffle_merge")
+        .join(ordS.hint("shuffle_merge"), Seq("user_id"), "full_outer")
+        .select(col("user_id"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Bloom-prefiltered fact⋈dim join: the dim key set compressed to a
+    // 2^15-bit bitmap, fact rows probed per-row before the shuffle; no
+    // false negatives, so the aggregate equals the plain join's (the
+    // oracle ignores the bloom entirely).
+    "q143_bloom_join" -> ((s, d) => {
+      val dim = Tables.supplier(s, d).filter(col("s_suppkey") % 7 === 0)
+        .select(col("s_suppkey"), col("s_name"))
+      Skew.bloomPrefilteredJoin(
+        Tables.lineitem(s, d).select(col("l_suppkey"), col("l_quantity")),
+        dim, "l_suppkey", "s_suppkey", mBits = 1 << 15, kHashes = 4)
+        .groupBy(col("s_suppkey"), col("s_name"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_quantity").cast("decimal(28,4)")).cast("double").as("sum_qty"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // Mergeable partial-aggregate rollup: two shard partials (even/odd
+    // docs) merged == the from-scratch aggregate — the incremental
+    // metrics-store contract (integer sums make the merge bit-exact
+    // regardless of shard boundaries or merge order).
+    "q139_rollup_merge" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val gens = Seq(docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1))
+        .map(g => Rollup.partial(g, Seq("lang"), "n_chars"))
+      Rollup.finalize(Rollup.merge(gens, Seq("lang")))
+        .orderBy(col("lang"))
+    }),
+
+    // Weighted sampling without replacement (Efraimidis-Spirakis bottom-k):
+    // 100 docs drawn with inclusion probability proportional to n_chars —
+    // priorities quantized at 1e-9 before the TakeOrdered selection so the
+    // sample membership is engine-stable (ln differs at ulp across libms).
+    "q134_weighted_sample" -> ((s, d) => {
+      Sampling.weightedBottomK(Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", k = 100, salt = "ws1")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Deterministic corpus shuffle: every doc's global training position +
+    // shard as a pure function of (salt, doc_id) — the reproducible
+    // training-order primitive, via the two-phase prefix sum (never one
+    // global row_number task). Oracle = the serial row_number definition.
+    "q138_shuffle" -> ((s, d) => {
+      Sampling.deterministicShuffle(Tables.documents(s, d).select(col("doc_id")),
+        "doc_id", rowsPerShard = 1000L, salt = "sh1")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Deterministic negative sampling for contrastive pairs: 3 draws per
+    // anchor, draw j = the doc at shuffle position hash(anchor#j) mod N;
+    // self-hits dropped by contract. Uniform per draw, reproducible
+    // everywhere, and the position-map join is SMJ-pinned both sides.
+    "q140_negative_sample" -> ((s, d) => {
+      Sampling.negativeSample(Tables.documents(s, d).select(col("doc_id")),
+        "doc_id", k = 3, salt = "ns1")
+        .orderBy(col("anchor_id"), col("draw"))
+    }),
+
+    // Z-order (Morton) clustering key: min/max-scaled 8-bit buckets of
+    // (l_partkey, l_suppkey) bit-interleaved — pure integer arithmetic end
+    // to end, so the curve an engine lays files along is reproducible by
+    // any other. The min/max scalars are a 1-row driver-side aggregate
+    // (the parquetZOrdered contract — scalar by construction, q93's
+    // collect class); the z computation itself is a shuffle-free
+    // projection. The layout effect (bounded per-file rectangles in BOTH
+    // dims) is pinned by ClusteredWriteSpec.
+    "q133_zorder" -> ((s, d) => {
+      import graft.sinks.ClusteredWrite
+      val l = Tables.lineitem(s, d)
+      val mm = l.agg(
+        min(col("l_partkey")).cast("long"), max(col("l_partkey")).cast("long"),
+        min(col("l_suppkey")).cast("long"), max(col("l_suppkey")).cast("long")).head()
+      val bx = ClusteredWrite.zBucket(col("l_partkey"), mm.getLong(0), mm.getLong(1), 8)
+      val by = ClusteredWrite.zBucket(col("l_suppkey"), mm.getLong(2), mm.getLong(3), 8)
+      l.select(col("l_orderkey"), col("l_linenumber"),
+          ClusteredWrite.zValue(Seq(bx, by), 8).as("zval"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+  )
+
+  def oracles: Map[String, String] = Map(
+
+    "q167_rolling_mau" -> s"""
+      WITH pe AS (SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS d,
+                         CAST(concat('0x', substring(md5('rmau' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+                  FROM events),
+      targets AS (SELECT DISTINCT d AS t FROM pe),
+      win AS (SELECT t.t, pe.hv FROM pe JOIN targets t ON pe.d BETWEEN t.t - 6 AND t.t),
+      parts AS (SELECT t, hv >> 54 AS bucket, hv & ${(1L << 54) - 1} AS w FROM win),
+      ranks AS (SELECT t, bucket,
+              CASE WHEN w = 0 THEN 55 ELSE 55 - length(bin(w)) END AS rank FROM parts),
+      regs AS (SELECT t, bucket, max(rank) AS reg FROM ranks GROUP BY 1, 2),
+      agg AS (SELECT t, sum(1::BIGINT << (55 - reg)) AS z_occ, count(*) AS occ
+              FROM regs GROUP BY 1),
+      est AS (SELECT t, CAST(z_occ + (64 - occ) * (1::BIGINT << 55) AS DOUBLE) AS z,
+                     64 - occ AS zeros FROM agg),
+      raws AS (SELECT t, ${Sketches.hllAlpha(64) * 64 * 64} * ${(1L << 55).toDouble} / z AS raw, zeros
+               FROM est)
+      SELECT t AS day,
+             round(CASE WHEN raw <= 160.0 AND zeros > 0
+                        THEN 64.0 * ln(64.0 / CAST(zeros AS DOUBLE)) ELSE raw END, 4) AS hll_est,
+             CAST(zeros AS INTEGER) AS zero_regs
+      FROM raws ORDER BY day""",
+
+    "q158_fd_check" -> """
+      SELECT source, count(*) AS distinct_y
+      FROM (SELECT DISTINCT source, lang FROM documents)
+      GROUP BY source HAVING count(*) > 1 ORDER BY source""",
+
+    "q160_ri_check" -> """
+      SELECT l_suppkey, count(*) AS orphan_rows
+      FROM lineitem
+      WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_suppkey % 7 <> 0)
+      GROUP BY 1 ORDER BY 1""",
+
+    "q156_snapshot_diff" -> """
+      WITH base AS (SELECT doc_id, text, lang FROM documents),
+      old AS (SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0 THEN 'stale text' ELSE text END AS text, lang
+              FROM base WHERE doc_id % 7 <> 0
+              UNION ALL
+              SELECT doc_id + 1000000, text, lang FROM base WHERE doc_id % 11 = 0),
+      j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                   o.text AS ot, o.lang AS ol, n.text AS nt, n.lang AS nl,
+                   o.doc_id IS NOT NULL AS ino, n.doc_id IS NOT NULL AS inn
+            FROM old o FULL OUTER JOIN base n ON o.doc_id = n.doc_id),
+      ops AS (SELECT CASE WHEN NOT ino THEN 'I' WHEN NOT inn THEN 'D'
+                          WHEN ot IS DISTINCT FROM nt OR ol IS DISTINCT FROM nl THEN 'U'
+                     END AS op,
+                     doc_id,
+                     CASE WHEN NOT inn THEN ot ELSE nt END AS text,
+                     CASE WHEN NOT inn THEN ol ELSE nl END AS lang
+              FROM j)
+      SELECT op, doc_id, text, lang FROM ops WHERE op IS NOT NULL
+      ORDER BY op, doc_id""",
+
+    "q157_snapshot_apply" -> """
+      SELECT doc_id, text, lang FROM documents ORDER BY doc_id""",
+
+    "q152_expectations" -> """
+      WITH m AS (SELECT count(*) AS n,
+                        sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS nn,
+                        min(n_chars) AS mn, count(DISTINCT lang) AS dl
+                 FROM documents)
+      SELECT * FROM (
+        SELECT 'row_count_at_least_100' AS "check", n >= 100 AS passed FROM m
+        UNION ALL SELECT 'no_null_text', nn = 0 FROM m
+        UNION ALL SELECT 'n_chars_positive', mn > 0 FROM m
+        UNION ALL SELECT 'langs_at_most_10', dl <= 10 FROM m
+        UNION ALL SELECT 'always_fails', n < 0 FROM m)
+      ORDER BY "check"""",
+
+    // floor-epochs + the salted fractional coin, unrolled per language:
+    // thresholds are floor(frac · 2^60) literals (de/en frac .5, fr .25,
+    // es/zh integral); range(0, copies) drops zero-copy rows.
+    "q175_epoch_mix" -> s"""
+      WITH base AS (
+        SELECT doc_id, lang,
+               CASE lang WHEN 'de' THEN 2 WHEN 'en' THEN 0 WHEN 'es' THEN 1
+                         WHEN 'fr' THEN 1 WHEN 'zh' THEN 2 ELSE 0 END
+               + CASE lang
+                   WHEN 'de' THEN CASE WHEN ${duckKeyHash("doc_id", "em1")} < 576460752303423488 THEN 1 ELSE 0 END
+                   WHEN 'en' THEN CASE WHEN ${duckKeyHash("doc_id", "em1")} < 576460752303423488 THEN 1 ELSE 0 END
+                   WHEN 'fr' THEN CASE WHEN ${duckKeyHash("doc_id", "em1")} < 288230376151711744 THEN 1 ELSE 0 END
+                   ELSE 0 END AS copies
+        FROM documents)
+      SELECT doc_id, lang, CAST(unnest(range(0, copies)) AS BIGINT) AS epoch
+      FROM base ORDER BY doc_id, epoch""",
+
+    "q143_bloom_join" -> """
+      SELECT s.s_suppkey, s.s_name, count(*) AS cnt,
+             CAST(sum(CAST(l.l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE s.s_suppkey % 7 = 0
+      GROUP BY 1, 2 ORDER BY 1""",
+
+    "q139_rollup_merge" -> """
+      SELECT lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS vsum,
+             min(n_chars) AS vmin, max(n_chars) AS vmax,
+             round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS vavg
+      FROM documents GROUP BY lang ORDER BY lang""",
+
+    "q134_weighted_sample" -> s"""
+      SELECT doc_id, n_chars FROM (
+        SELECT doc_id, n_chars FROM documents
+        WHERE CAST(n_chars AS DOUBLE) > 0
+        ORDER BY round(-ln((${duckKeyHash("doc_id", "ws1")} + 0.5) / 1152921504606846976.0)
+                       / CAST(n_chars AS DOUBLE), 9), doc_id
+        LIMIT 100)
+      ORDER BY doc_id""",
+
+    "q138_shuffle" -> s"""
+      SELECT doc_id,
+             row_number() OVER (ORDER BY ${duckKeyHash("doc_id", "sh1")}, doc_id) - 1 AS position,
+             (row_number() OVER (ORDER BY ${duckKeyHash("doc_id", "sh1")}, doc_id) - 1) // 1000 AS shard
+      FROM documents ORDER BY doc_id""",
+
+    "q140_negative_sample" -> s"""
+      WITH pos AS (SELECT doc_id AS neg_id,
+                          row_number() OVER (ORDER BY ${duckKeyHash("doc_id", "ns1")}, doc_id) - 1 AS position
+                   FROM documents),
+      n AS (SELECT count(*) AS n FROM documents),
+      draws AS (SELECT d.doc_id AS anchor_id, j.draw,
+                       ${duckKeyHash("CAST(d.doc_id AS VARCHAR) || '#' || CAST(j.draw AS VARCHAR)", "ns1")} % n.n AS position
+                FROM documents d CROSS JOIN (SELECT unnest(range(0, 3)) AS draw) j
+                     CROSS JOIN n)
+      SELECT dr.anchor_id, CAST(dr.draw AS INTEGER) AS draw, p.neg_id
+      FROM draws dr JOIN pos p USING (position)
+      WHERE p.neg_id <> dr.anchor_id
+      ORDER BY anchor_id, draw""",
+
+    "q133_zorder" -> s"""
+      WITH mm AS (SELECT min(l_partkey) AS mnp, max(l_partkey) AS mxp,
+                         min(l_suppkey) AS mns, max(l_suppkey) AS mxs FROM lineitem),
+      b AS (SELECT l_orderkey, l_linenumber,
+                   ((l_partkey - mnp) * 256) // (mxp - mnp + 1) AS bx,
+                   ((l_suppkey - mns) * 256) // (mxs - mns + 1) AS by
+            FROM lineitem CROSS JOIN mm)
+      SELECT l_orderkey, l_linenumber, $zInterleaveSql AS zval
+      FROM b ORDER BY l_orderkey, l_linenumber""",
+
+    "q63_url_metrics" -> s"""
+      WITH aug AS ($urlAugSql)
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, 'https?://[A-Za-z0-9.-]+(?::[0-9]+)?(?:/[^ ]*)?')) AS INTEGER) AS n_urls,
+             coalesce(array_to_string(list_sort(list_distinct(
+               regexp_extract_all(text, 'https?://([A-Za-z0-9.-]+)', 1))), ','), '') AS domains_csv
+      FROM aug ORDER BY doc_id""",
+
+    "q64_domain_blocklist" -> s"""
+      WITH aug AS ($urlAugSql),
+      bad AS (
+        SELECT DISTINCT doc_id
+        FROM (SELECT doc_id,
+                     unnest(list_distinct(regexp_extract_all(text, 'https?://([A-Za-z0-9.-]+)', 1))) AS d
+              FROM aug)
+        WHERE d IN ('blocked0.bad.net', 'blocked1.bad.net', 'blocked2.bad.net'))
+      SELECT doc_id, text FROM aug
+      WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+      ORDER BY doc_id""",
+
+    // Plain BETWEEN join — DuckDB can afford the naive plan at oracle SF;
+    // epoch micros derived the same way both sides (ns floor-divided).
+    "q69_range_join" -> """
+      WITH p AS (SELECT event_id AS point_id, epoch_ns(ts) // 1000 AS t FROM events),
+      i AS (SELECT event_id AS interval_id,
+                   epoch_ns(ts) // 1000 AS s,
+                   epoch_ns(ts) // 1000 + 3600000000 AS e
+            FROM events WHERE event_id % 100 = 0)
+      SELECT i.interval_id, p.point_id
+      FROM i JOIN p ON p.t BETWEEN i.s AND i.e
+      ORDER BY interval_id, point_id""",
+
+    // Naive overlap join at oracle SF; the same inclusive-bounds predicate.
+    "q70_interval_overlap" -> """
+      WITH a AS (SELECT event_id AS a_id, epoch_ns(ts) // 1000 AS s,
+                        epoch_ns(ts) // 1000 + 7200000000 AS e
+                 FROM events WHERE event_id % 50 = 0),
+      b AS (SELECT event_id AS b_id, epoch_ns(ts) // 1000 AS s2,
+                   epoch_ns(ts) // 1000 + 3600000000 AS e2
+            FROM events WHERE event_id % 70 = 0)
+      SELECT a.a_id, b.b_id
+      FROM a JOIN b ON a.s <= b.e2 AND b.s2 <= a.e
+      ORDER BY a_id, b_id""",
+
+    // q73's window formulation with a per-stratum budget literal.
+    "q82_token_budget_by_group" -> s"""
+      WITH t AS (
+        SELECT lang, doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS tc,
+               ${duckKeyHash("doc_id", "mix-v2")} AS h
+        FROM documents),
+      c AS (
+        SELECT lang, doc_id,
+               coalesce(SUM(tc) OVER (PARTITION BY lang ORDER BY h
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+        FROM t)
+      SELECT lang, doc_id FROM c
+      WHERE prefix < CASE WHEN lang = 'de' THEN 800 ELSE 4000 END
+      ORDER BY lang, doc_id""",
+
+    // Grid + left join + IGNORE NULLS running last_value — the window
+    // formulation of the same resample; integer bucket arithmetic agrees.
+    "q79_resample_ffill" -> """
+      WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS t, event_id FROM events),
+      ph AS (SELECT user_id,
+                    -- sign-corrected floor division: DuckDB's % keeps the
+                    -- dividend's sign and // truncates, so the bare
+                    -- (t - t % w) // w is off by one bucket for t < 0;
+                    -- pmod-then-divide is exact for any sign (the Spark
+                    -- side's bucketOf semantics)
+                    (t - ((t % 86400000000 + 86400000000) % 86400000000)) // 86400000000 AS bucket,
+                    max(event_id) AS v
+             FROM e GROUP BY 1, 2),
+      span AS (SELECT user_id, min(bucket) AS b0, max(bucket) AS b1 FROM ph GROUP BY 1),
+      grid AS (SELECT user_id, unnest(range(b0, b1 + 1)) AS bucket FROM span),
+      j AS (SELECT g.user_id, g.bucket, ph.v
+            FROM grid g LEFT JOIN ph ON ph.user_id = g.user_id AND ph.bucket = g.bucket)
+      SELECT user_id, bucket,
+             last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+      FROM j ORDER BY user_id, bucket""",
+
+    // Layout changes values not at all: the oracle is the plain join+agg.
+    "q76_bucketed_join" -> """
+      SELECT e.user_id,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             max(o.o_orderkey) AS max_order
+      FROM events e JOIN orders o ON o.o_custkey = e.user_id
+      GROUP BY e.user_id
+      ORDER BY e.user_id""",
+
+    // The window formulation the skew-proof two-phase form must equal:
+    // event_id is unique, so row_number has no tie ambiguity.
+    "q71_cap_per_key" -> """
+      SELECT user_id, event_id FROM (
+        SELECT user_id, event_id,
+               row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+        FROM events)
+      WHERE rn <= 3
+      ORDER BY user_id, event_id""",
+
+    // Single-window formulation of the same exclusive-prefix arithmetic
+    // (integer token counts, integer sums — no float divergence to chase);
+    // the hash literal is the shared keyHash construction.
+    "q73_token_budget" -> s"""
+      WITH t AS (
+        SELECT lang, doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS tc,
+               ${duckKeyHash("doc_id", "mix-v1")} AS h
+        FROM documents),
+      c AS (
+        SELECT lang, doc_id,
+               coalesce(SUM(tc) OVER (PARTITION BY lang ORDER BY h
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+        FROM t)
+      SELECT lang, doc_id FROM c WHERE prefix < 5000
+      ORDER BY lang, doc_id""",
+
+    "q120_cluster_split" -> clusterSplitOracle,
+
+    "q125_bottomk_sample" -> bottomKSampleOracle,
+
+    "q126_sample_quantiles" -> sampleQuantilesOracle,
+
+    "q127_group_sample" -> groupSampleOracle,
+
+    // q213: the same u^(1/w) keys from the shared hash grid, quantized at
+    // 1e-9, top-100 by (key desc, id) — TopKScored's exact rule.
+    "q213_weighted_sample" -> s"""
+      WITH s AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
+                        CAST(floor(pow((CAST(${duckKeyHash("doc_id", "ws1")} AS DOUBLE) + 0.5)
+                                       / 1152921504606846976.0,
+                                       1.0 / CAST(n_chars AS DOUBLE))
+                                   * 1000000000.0 + 0.5) AS DOUBLE) / 1000000000.0 AS es_key
+                 FROM documents WHERE n_chars > 0)
+      SELECT doc_id, weight, es_key FROM s
+      ORDER BY es_key DESC, doc_id LIMIT 100""",
+    "q244_class_weights" -> classWeightsOracle,
+
+    // q232: the same planted corruption, decimal(18,2)->decimal(38,2)
+    // sums, violation filter, and status classes.
+    "q232_reconcile" -> """
+      WITH a AS (SELECT l_orderkey AS key,
+                        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sa
+                 FROM lineitem GROUP BY 1),
+      b AS (SELECT l_orderkey AS key,
+                   CAST(sum(CAST(CASE WHEN l_orderkey % 500 = 0 AND l_linenumber = 1
+                                      THEN l_quantity + 1 ELSE l_quantity END
+                            AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sb
+            FROM lineitem WHERE NOT (l_orderkey % 1000 = 0 AND l_linenumber = 1)
+            GROUP BY 1),
+      m AS (SELECT key, sa, sb FROM a FULL OUTER JOIN b USING (key)
+            WHERE sa IS NULL OR sb IS NULL OR sa <> sb)
+      SELECT key, CAST(sa AS DOUBLE) AS sum_a, CAST(sb AS DOUBLE) AS sum_b,
+             CAST(coalesce(sa, 0) - coalesce(sb, 0) AS DOUBLE) AS delta,
+             CASE WHEN sa IS NULL THEN 'missing_a'
+                  WHEN sb IS NULL THEN 'missing_b'
+                  ELSE 'mismatch' END AS status
+      FROM m ORDER BY key""",
+
+    // q234: the same two keyed aggregations and summary bars.
+    "q234_privacy_audit" -> """
+      WITH s AS (SELECT c_nationkey, c_mktsegment, count(*) AS n
+                 FROM customer GROUP BY 1, 2),
+      dv AS (SELECT c_nationkey, c_mktsegment, count(*) AS ld
+             FROM (SELECT DISTINCT c_nationkey, c_mktsegment, c_acctbal FROM customer)
+             GROUP BY 1, 2)
+      SELECT CAST(sum(n) AS BIGINT) AS n_rows, count(*) AS n_groups,
+             CAST(min(n) AS BIGINT) AS min_group_size,
+             CAST(count(*) FILTER (WHERE n < 5) AS BIGINT) AS groups_below_k,
+             CAST(coalesce(sum(n) FILTER (WHERE n < 5), 0) AS BIGINT) AS rows_below_k,
+             CAST(min(ld) AS BIGINT) AS min_l_diversity,
+             CAST(count(*) FILTER (WHERE ld < 3) AS BIGINT) AS groups_below_l
+      FROM s JOIN dv USING (c_nationkey, c_mktsegment)""",
+    "q51_hash_sample" -> hashSampleOracle,
+    "q190_coordinated_sample" -> coordinatedSampleOracle,
+    "q52_hash_split" -> hashSplitOracle,
+    "q53_stratified_sample" -> stratifiedSampleOracle,
+    "q54_mix_corpora" -> mixCorporaOracle,
+
+    "q200_id_gaps" -> """
+      WITH ids AS (SELECT event_id FROM events WHERE event_id % 97 <> 0),
+      w AS (SELECT event_id, lag(event_id) OVER (ORDER BY event_id) AS prev FROM ids)
+      SELECT prev + 1 AS gap_start, event_id - 1 AS gap_end,
+             event_id - prev - 1 AS missing
+      FROM w WHERE prev IS NOT NULL AND event_id - prev > 1
+      ORDER BY gap_start""",
+
+    "q201_grouping_id" -> """
+      SELECT l_returnflag, l_linestatus,
+             CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+             count(*) AS cnt,
+             CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty
+      FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      ORDER BY gid, l_returnflag, l_linestatus""",
+
+    // from-scratch SCD2 over ALL events — the incremental merge must be
+    // indistinguishable from replaying history (q151's oracle).
+    "q197_scd2_merge" -> """
+      WITH ordered AS (
+        SELECT user_id, ts, event_id, event_type,
+               lag(event_type) OVER w AS prev,
+               row_number() OVER w AS rn
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      changes AS (
+        SELECT user_id, ts, event_id, event_type FROM ordered
+        WHERE rn = 1 OR event_type IS DISTINCT FROM prev)
+      SELECT user_id, event_type AS value, ts AS effective_from,
+             lead(ts) OVER w2 AS effective_to,
+             row_number() OVER w2 AS version
+      FROM changes
+      WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY user_id, version""",
+
+    "q36_salted_agg" -> """
+      SELECT l_returnflag, count(*) AS cnt,
+             CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sum_price
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q41_multimodal_probe" -> """
+      SELECT doc_id AS media_id,
+             CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+             md5(text) AS fp_md5,
+             substring(hex(encode(text)), 1, 16) AS head_hex
+      FROM documents ORDER BY media_id""",
+
+    // Rebuilds the two hashed bag-of-words models (add-one smoothing, the
+    // same 60-bit md5 bucket as q92) and the SEQUENTIAL token fold, so the
+    // double sum is order-identical to Spark's aggregate() left fold.
+    "q104_dsir_score" -> """
+      WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+      bk AS (SELECT lang,
+               CAST(CAST(concat('0x', substring(md5(t), 1, 15)) AS BIGINT) % 64 AS INTEGER) AS b
+             FROM (SELECT lang, unnest(w) AS t FROM toks)),
+      tc AS (SELECT b, count(*) AS c FROM bk WHERE lang = 'en' GROUP BY b),
+      rc AS (SELECT b, count(*) AS c FROM bk GROUP BY b),
+      tt AS (SELECT CAST(sum(c) AS DOUBLE) AS tot FROM tc),
+      rt AS (SELECT CAST(sum(c) AS DOUBLE) AS tot FROM rc),
+      ratio AS (
+        SELECT i.b,
+          ln((coalesce(tc.c, 0) + 1.0) / (tt.tot + 64)) -
+          ln((coalesce(rc.c, 0) + 1.0) / (rt.tot + 64)) AS lr
+        FROM (SELECT unnest(generate_series(0, 63)) AS b) i
+        LEFT JOIN tc ON i.b = tc.b LEFT JOIN rc ON i.b = rc.b
+        CROSS JOIN tt CROSS JOIN rt),
+      rl AS (SELECT list(lr ORDER BY b) AS rl FROM ratio),
+      scored AS (
+        SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(w, t -> rl[
+              CAST(CAST(concat('0x', substring(md5(t), 1, 15)) AS BIGINT) % 64 AS INTEGER) + 1])),
+            (acc, x) -> acc + x) AS z
+        FROM toks CROSS JOIN rl)
+      SELECT doc_id, n_tokens, round(z, 4) AS dsir_logratio,
+             round(z, 4) > 0.0 AS keep
+      FROM scored ORDER BY doc_id""",
+
+    // Same trained model; the Gumbel key re-derives the salted 60-bit
+    // content hash (q51's keyHash with salt 'dsir9') and selects on the
+    // ROUNDED key exactly as the Spark side does.
+    "q105_dsir_resample" -> """
+      WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+      bk AS (SELECT lang,
+               CAST(CAST(concat('0x', substring(md5(t), 1, 15)) AS BIGINT) % 64 AS INTEGER) AS b
+             FROM (SELECT lang, unnest(w) AS t FROM toks)),
+      tc AS (SELECT b, count(*) AS c FROM bk WHERE lang = 'en' GROUP BY b),
+      rc AS (SELECT b, count(*) AS c FROM bk GROUP BY b),
+      tt AS (SELECT CAST(sum(c) AS DOUBLE) AS tot FROM tc),
+      rt AS (SELECT CAST(sum(c) AS DOUBLE) AS tot FROM rc),
+      ratio AS (
+        SELECT i.b,
+          ln((coalesce(tc.c, 0) + 1.0) / (tt.tot + 64)) -
+          ln((coalesce(rc.c, 0) + 1.0) / (rt.tot + 64)) AS lr
+        FROM (SELECT unnest(generate_series(0, 63)) AS b) i
+        LEFT JOIN tc ON i.b = tc.b LEFT JOIN rc ON i.b = rc.b
+        CROSS JOIN tt CROSS JOIN rt),
+      rl AS (SELECT list(lr ORDER BY b) AS rl FROM ratio),
+      scored AS (
+        SELECT doc_id,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(w, t -> rl[
+              CAST(CAST(concat('0x', substring(md5(t), 1, 15)) AS BIGINT) % 64 AS INTEGER) + 1])),
+            (acc, x) -> acc + x) AS z
+        FROM toks CROSS JOIN rl),
+      keyed AS (
+        SELECT doc_id, z,
+          round(z - ln(-ln(
+            (CAST(CAST(concat('0x', substring(md5(concat('dsir9', CAST(doc_id AS VARCHAR))), 1, 15))
+                  AS BIGINT) AS DOUBLE) + 0.5) / 1152921504606846976.0)), 4) AS gumbel_key
+        FROM scored),
+      sel AS (SELECT * FROM keyed ORDER BY gumbel_key DESC, doc_id LIMIT 100)
+      SELECT doc_id, round(z, 4) AS dsir_logratio, gumbel_key
+      FROM sel ORDER BY doc_id""",
+
+    // KMV sketch rebuilt relationally: the k smallest DISTINCT salted md5
+    // hashes per source ARE the sketch, so rn <= k + max(hv) reproduces
+    // (size, h_k) exactly; the estimator literals multiply left-to-right
+    // as the Spark side does (127.0 * 2^60 is float-exact — 7 significant
+    // bits — so the one rounding step is the division in both engines).
+    "q108_kmv_distinct" -> """
+      WITH toks AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+      shl AS (
+        SELECT source,
+               unnest(CASE WHEN len(w) >= 3
+                    THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])
+                    ELSE [array_to_string(w, ' ')] END) AS sh
+        FROM toks),
+      h AS (SELECT DISTINCT source,
+              CAST(concat('0x', substring(md5('kmv9' || sh), 1, 15)) AS BIGINT) AS hv
+            FROM shl),
+      rk AS (SELECT source, hv, row_number() OVER (PARTITION BY source ORDER BY hv) AS rn FROM h),
+      sk AS (SELECT source, count(*) AS sz, max(hv) AS hk FROM rk WHERE rn <= 128 GROUP BY source)
+      SELECT source, CAST(sz AS INTEGER) AS sketch_size,
+             round(CASE WHEN sz < 128 THEN CAST(sz AS DOUBLE)
+                        ELSE 127.0 * 1152921504606846976.0 / CAST(hk AS DOUBLE) END, 4) AS est_distinct
+      FROM sk ORDER BY source""",
+
+    // KMV overlap: the union sketch is the k smallest of the two per-side
+    // sketches' union (recoverable from sketches alone — the property the
+    // operator exploits); Jaccard = fraction of it present in both sides.
+    "q109_kmv_overlap" -> """
+      WITH toks AS (SELECT lang, string_split(text, ' ') AS w FROM documents WHERE lang IN ('en', 'de')),
+      shl AS (
+        SELECT lang,
+               unnest(CASE WHEN len(w) >= 3
+                    THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])
+                    ELSE [array_to_string(w, ' ')] END) AS sh
+        FROM toks),
+      h AS (SELECT DISTINCT lang,
+              CAST(concat('0x', substring(md5('ov9' || sh), 1, 15)) AS BIGINT) AS hv
+            FROM shl),
+      sa AS (SELECT hv FROM h WHERE lang = 'en' ORDER BY hv LIMIT 128),
+      sb AS (SELECT hv FROM h WHERE lang = 'de' ORDER BY hv LIMIT 128),
+      mg AS (SELECT hv FROM (SELECT hv FROM sa UNION SELECT hv FROM sb) ORDER BY hv LIMIT 128),
+      c AS (SELECT (SELECT count(*) FROM mg) AS msz,
+                   (SELECT count(*) FROM mg m
+                    WHERE m.hv IN (SELECT hv FROM sa) AND m.hv IN (SELECT hv FROM sb)) AS inboth,
+                   (SELECT max(hv) FROM mg) AS hk)
+      SELECT round(CAST(inboth AS DOUBLE) / CAST(msz AS DOUBLE), 6) AS jaccard_est,
+             round(CASE WHEN msz < 128 THEN CAST(msz AS DOUBLE)
+                        ELSE 127.0 * 1152921504606846976.0 / CAST(hk AS DOUBLE) END, 4) AS union_est,
+             round((CAST(inboth AS DOUBLE) / CAST(msz AS DOUBLE)) *
+                   (CASE WHEN msz < 128 THEN CAST(msz AS DOUBLE)
+                         ELSE 127.0 * 1152921504606846976.0 / CAST(hk AS DOUBLE) END), 4) AS inter_est
+      FROM c""",
+
+    // HLL rebuilt register-for-register: bucket = top 6 hash bits, rank =
+    // 55 - length(bin(w)) (floor(log2)+1 without floating log), registers
+    // = per-bucket max, and the harmonic denominator sums as integers
+    // scaled by 2^55 — the only double steps are the final multiply/divide
+    // with the SAME Scala-printed constants the operator folds.
+    "q110_hll_distinct" -> s"""
+      WITH h AS (SELECT l_returnflag,
+              CAST(concat('0x', substring(md5('hll9' || CAST(l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+            FROM lineitem),
+      parts AS (SELECT l_returnflag, hv >> 54 AS bucket, hv & ${(1L << 54) - 1} AS w FROM h),
+      ranks AS (SELECT l_returnflag, bucket,
+              CASE WHEN w = 0 THEN 55 ELSE 55 - length(bin(w)) END AS rank FROM parts),
+      regs AS (SELECT l_returnflag, bucket, max(rank) AS reg FROM ranks GROUP BY 1, 2),
+      agg AS (SELECT l_returnflag, sum(1::BIGINT << (55 - reg)) AS z_occ, count(*) AS occ
+              FROM regs GROUP BY 1),
+      est AS (SELECT l_returnflag,
+              CAST(z_occ + (64 - occ) * (1::BIGINT << 55) AS DOUBLE) AS z,
+              64 - occ AS zeros FROM agg),
+      raws AS (SELECT l_returnflag, ${Sketches.hllAlpha(64) * 64 * 64} * ${(1L << 55).toDouble} / z AS raw, zeros
+               FROM est)
+      SELECT l_returnflag,
+             round(CASE WHEN raw <= 160.0 AND zeros > 0
+                        THEN 64.0 * ln(64.0 / CAST(zeros AS DOUBLE)) ELSE raw END, 4) AS hll_est,
+             CAST(zeros AS INTEGER) AS zero_regs
+      FROM raws ORDER BY l_returnflag""",
+
+    // Count-Min rebuilt cell-for-cell: 4 salted bucket hashes per element,
+    // counter = per-(row, bucket) count, probe estimate = min over the 4
+    // cells (0 when untouched). Pure integers end to end.
+    "q111_cms_freq" -> """
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      shl AS (
+        SELECT doc_id,
+               unnest(CASE WHEN len(w) >= 3
+                    THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])
+                    ELSE [array_to_string(w, ' ')] END) AS sh
+        FROM toks),
+      el AS (SELECT sh FROM shl),
+      ex AS (SELECT sh, count(*) AS exact_cnt FROM el GROUP BY sh),
+      probes AS (SELECT sh, exact_cnt FROM ex ORDER BY exact_cnt DESC, sh LIMIT 8),
+      rs AS (SELECT unnest(range(4)) AS r),
+      cells AS (SELECT r,
+              CAST(concat('0x', substring(md5('cms9' || CAST(r AS VARCHAR) || sh), 1, 15)) AS BIGINT) % 512 AS b
+            FROM el CROSS JOIN rs),
+      sk AS (SELECT r, b, count(*) AS cnt FROM cells GROUP BY r, b),
+      pq AS (SELECT p.sh, p.exact_cnt, r,
+              CAST(concat('0x', substring(md5('cms9' || CAST(r AS VARCHAR) || p.sh), 1, 15)) AS BIGINT) % 512 AS b
+             FROM probes p CROSS JOIN rs),
+      est AS (SELECT sh, exact_cnt, min(coalesce(sk.cnt, 0)) AS cms_est
+              FROM pq LEFT JOIN sk USING (r, b) GROUP BY sh, exact_cnt)
+      SELECT sh, exact_cnt, cms_est FROM est ORDER BY sh""",
+
+    // Bloom bitmap rebuilt word-for-word: 3 salted positions per history
+    // text, word = pos DIV 32, bits = bit_or of (1 << pos % 32) — 32-bit
+    // words so no shift touches the sign bit; a probe might_contain iff
+    // all 3 of its positions' bits are set.
+    "q112_bloom_history" -> """
+      WITH rs AS (SELECT unnest(range(3)) AS r),
+      hpos AS (SELECT CAST(concat('0x', substring(md5('bl9' || CAST(r AS VARCHAR) || text), 1, 15)) AS BIGINT) % 4096 AS pos
+               FROM documents CROSS JOIN rs WHERE doc_id % 2 = 0),
+      bloom AS (SELECT pos // 32 AS word, bit_or(1::BIGINT << CAST(pos % 32 AS INTEGER)) AS bits
+                FROM hpos GROUP BY 1),
+      ppos AS (SELECT doc_id, CAST(concat('0x', substring(md5('bl9' || CAST(r AS VARCHAR) || text), 1, 15)) AS BIGINT) % 4096 AS pos
+               FROM documents CROSS JOIN rs),
+      hits AS (SELECT doc_id,
+                 CASE WHEN (coalesce(b.bits, 0) & (1::BIGINT << CAST(p.pos % 32 AS INTEGER))) =
+                           (1::BIGINT << CAST(p.pos % 32 AS INTEGER)) THEN 1 ELSE 0 END AS hit
+               FROM ppos p LEFT JOIN bloom b ON p.pos // 32 = b.word)
+      SELECT doc_id, min(hit) = 1 AS might_contain
+      FROM hits GROUP BY doc_id ORDER BY doc_id""",
+
+    "q91_temperature_mix" -> s"""
+      WITH g AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY lang),
+      t AS (SELECT sum(n) AS total, sum(pow(n, 0.5)) AS sa FROM g),
+      r AS (SELECT lang, least(0.3 * t.total * pow(g.n, 0.5) / (t.sa * g.n), 1.0) AS rate
+            FROM g CROSS JOIN t)
+      SELECT d.doc_id, d.lang
+      FROM documents d JOIN r USING (lang)
+      WHERE ${duckKeyHash("d.doc_id", "temp-v1")} <
+            CAST(floor(r.rate * 1152921504606846976.0) AS BIGINT)
+      ORDER BY d.doc_id""",
+
+    "q45_salted_join" -> """
+      WITH dim(l_returnflag, flag_label) AS (
+        VALUES ('A', 'returned'), ('N', 'normal'), ('R', 'refunded'))
+      SELECT l.l_returnflag, d.flag_label, count(*) AS cnt,
+             CAST(sum(CAST(l.l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sum_price
+      FROM lineitem l JOIN dim d USING (l_returnflag)
+      GROUP BY l.l_returnflag, d.flag_label
+      ORDER BY l.l_returnflag""",
+
+    // Round-trip identity: the wire id is deterministically 1 (first
+    // registration in a fresh registry) and the magic byte must be present.
+    "q46_confluent_roundtrip" -> """
+      SELECT doc_id, text, CAST(1 AS INTEGER) AS schema_id, true AS magic_ok
+      FROM documents ORDER BY doc_id""",
+
+    // Round-trip identity; the json-path probe must recover the id from
+    // the serialized bytes themselves.
+    "q50_json_roundtrip" -> """
+      SELECT doc_id, text, doc_id AS jpath_id
+      FROM documents ORDER BY doc_id""",
+
+    "q37_percentile" -> """
+      SELECT l_returnflag,
+             round(CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE), 4) AS p50_qty,
+             round(CAST(quantile_cont(l_quantity, 0.9) AS DOUBLE), 4) AS p90_qty,
+             round(CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE), 4) AS p50_price
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q38_weighted_mean" -> """
+      SELECT l_returnflag,
+             CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) /
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS wmean_qty
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+  )
+}

@@ -1,0 +1,295 @@
+package graft.queries
+import graft.Tables
+import graft.operators.{AsofJoin, Chunking, Dedup, Multimodal, Profiler, RangeJoin, Rollup, Sampling, Similarity, Sketches, Skew, TextAnalysis, TimeSeries, Tokenizer}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import PackShared._
+
+/** Experimentation: A/B readout with SRM guard, CUPED, permutation tests + FDR, matched-pairs ATT, raking, quantile treatment effects, log-rank, the composed scorecard.
+  *
+  * Conventions: every computed column aliased identically on both
+  * engines, deterministic ORDER BY, exact-decimal float sums — see
+  * [[QueryPack]]. */
+object ExperimentPack extends QueryPack {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Vintage-composed Welch readout off MERGEABLE moment partials: two
+    // order vintages (pre/post 1995) each write their exact per-arm
+    // (n, Σx, Σx²) partial; the readout merges the partials and computes
+    // Welch t WITHOUT rescanning — bit-identical to the from-scratch test
+    // by the decimal-partial contract (the q139 metrics-store economics
+    // applied to experiment scorecards). Value = total price snapped to
+    // integer cents on BOTH engines (the double→decimal cast rounds
+    // differently across engines; the explicit floor(x·100+0.5) doesn't).
+    "q259_vintage_welch" -> ((s, d) => {
+      val armed = Sampling.hashSplit(
+        Tables.orders(s, d).select(col("o_custkey"), col("o_orderdate"),
+          floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents")),
+        "o_custkey", Seq("a" -> 0.5, "b" -> 0.5), "exp2")
+      val cut = lit("1995-01-01").cast("timestamp")
+      val vintages = Seq(armed.filter(col("o_orderdate") < cut),
+        armed.filter(col("o_orderdate") >= cut))
+      val parts = vintages.map(v =>
+        graft.operators.Inference.momentPartial(v, Seq("split"), "cents",
+          decimalScale = 0))
+      graft.operators.Inference.welchFromMoments(
+        graft.operators.Inference.momentMerge(parts, Seq("split")),
+        "split", "a", "b")
+    }),
+
+    // A/B readout with the SRM guard: users hash-assigned 50/50, per-arm
+    // purchase conversion, pooled two-proportion z, and the
+    // sample-ratio-mismatch z every experiment page must check FIRST.
+    "q230_ab_readout" -> ((s, d) => {
+      val users = Tables.events(s, d).groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1).otherwise(0)).as("converted"))
+      graft.operators.Experiment.abReadout(users, "user_id", "converted", salt = "exp1")
+    }),
+
+    // CUPED variance reduction: per-user pre-period (before Jan 16)
+    // activity as the covariate for post-period activity — theta and the
+    // achieved rho^2 reduction from exact decimal sufficient statistics.
+    "q233_cuped" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val cutoff = lit("2024-01-16").cast("date")
+      val pre = ev.filter(to_date(col("ts")) < cutoff)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("pre"))
+      val post = ev.filter(to_date(col("ts")) >= cutoff)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("post"))
+      val users = pre.join(post.hint("shuffle_merge"), Seq("user_id"), "full_outer")
+        .select(coalesce(col("pre"), lit(0L)).as("pre"),
+          coalesce(col("post"), lit(0L)).as("post"))
+      graft.operators.Experiment.cuped(users, "pre", "post")
+    }),
+
+    // Deterministic permutation test: per-user engagement counts under
+    // the q230 assignment, 200 hash-seeded pseudo-re-assignments — the
+    // distribution-free p-value for a skewed metric, zero RNG.
+    "q235_permutation_test" -> ((s, d) => {
+      val users = Tables.events(s, d).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("engagement"))
+      val assigned = Sampling.hashSplit(users, "user_id",
+        Seq("a" -> 0.5, "b" -> 0.5), "exp1")
+      graft.operators.Experiment.permutationTest(assigned, "user_id", "split",
+        "engagement", reps = 200, salt = "perm1")
+    }),
+
+    // Stratified nearest-score matched-pairs ATT: purchase's effect on
+    // total value, matching on engagement within user cohorts — the
+    // observational companion to the randomized q230/q237 reads.
+    "q245_matched_att" -> ((s, d) => {
+      val users = Tables.events(s, d).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("engagement"),
+          sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)")
+            .as("total_value"),
+          max(when(col("event_type") === "purchase", 1).otherwise(0)).as("treated"))
+        .withColumn("cohort", pmod(col("user_id"), lit(4L)))
+      graft.operators.Experiment.matchedOutcomes(users, Seq("cohort"), "user_id",
+        "treated", "engagement", "total_value", caliper = 5.0)
+        .orderBy(col("cohort"))
+    }),
+
+    // Raking (IPF) to uniform lang x source target marginals — the survey
+    // corpus-reweighting standard, 3 unrolled iterations.
+    "q246_raking" -> ((s, d) => {
+      Sampling.rakeWeights(Tables.documents(s, d), "lang", "source",
+        Seq("de", "en", "es", "fr", "zh").map(_ -> 0.2),
+        (0 until 20).map(i => s"src$i" -> 0.05),
+        iterations = 3)
+        .orderBy(col("lang"), col("source"))
+    }),
+
+    // The composed experiment page: SRM-guarded conversion readout
+    // (q230) + Welch engagement t (q237) + permutation p (q235) in ONE
+    // row — the three reads an experimenter checks together, one scan
+    // family, three 1-row frames crossJoined.
+    "q248_experiment_scorecard" -> ((s, d) => {
+      val users = Tables.events(s, d).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("engagement"),
+          max(when(col("event_type") === "purchase", 1).otherwise(0)).as("converted"))
+      val assigned = Sampling.hashSplit(users, "user_id",
+        Seq("a" -> 0.5, "b" -> 0.5), "exp1")
+      val ab = graft.operators.Experiment.abReadout(users, "user_id", "converted",
+        salt = "exp1")
+        .select(col("n_a"), col("n_b"), col("rate_a"), col("rate_b"),
+          col("lift"), col("z_conv"), col("z_srm"), col("srm_flag"))
+      val welch = graft.operators.Inference.welchTTest(assigned, "split",
+        "engagement", "a", "b")
+        .select(col("mean_a").as("mean_eng_a"), col("mean_b").as("mean_eng_b"),
+          col("t_stat").as("welch_t"), col("df_welch"))
+      val perm = graft.operators.Experiment.permutationTest(assigned, "user_id",
+        "split", "engagement", reps = 200, salt = "perm1")
+        .select(col("p_value").as("perm_p"))
+      ab.crossJoin(broadcast(welch)).crossJoin(broadcast(perm))
+    }),
+
+    // Quantile treatment effect: per-arm engagement quantiles from the
+    // MERGEABLE histogram path (q174's machinery grouped by arm) —
+    // "where in the distribution did the experiment move", the read a
+    // mean-only scorecard (q248) can't give.
+    "q252_qte" -> ((s, d) => {
+      val users = Tables.events(s, d).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("engagement"))
+      val assigned = Sampling.hashSplit(users, "user_id",
+        Seq("a" -> 0.5, "b" -> 0.5), "exp1")
+      val hist = Profiler.histogram(assigned, "engagement", Seq("split"),
+        minV = 0L, maxV = 1023L, bins = 256)
+      val qs = Profiler.histogramQuantiles(hist, Seq("split"),
+        minV = 0L, maxV = 1023L, bins = 256, quantiles = Seq(0.5, 0.9, 0.99))
+        .localCheckpoint(true) // 6 rows, referenced by both arm legs
+      val a = qs.filter(col("split") === "a").select(col("q"), col("est").as("est_a"))
+      val b = qs.filter(col("split") === "b").select(col("q"), col("est").as("est_b"))
+      a.join(b, Seq("q"))
+        .select(col("q"), col("est_a"), col("est_b"),
+          graft.functions.Quantize.scaledFloor(col("est_b") - col("est_a"), 6)
+            .as("qte"))
+        .orderBy(col("q"))
+    }),
+
+    // Log-rank test on time-to-first-purchase between the hash-assigned
+    // arms — "did the experiment move time-to-convert", the significance
+    // gate on top of q227's Kaplan-Meier curve.
+    "q253_log_rank" -> ((s, d) => {
+      val winEnd = lit("2024-01-03").cast("date")
+      val ev = Tables.events(s, d).filter(to_date(col("ts")) <= winEnd)
+      val first = ev.groupBy(col("user_id")).agg(min(to_date(col("ts"))).as("start"))
+      val firstBuy = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id")).agg(min(to_date(col("ts"))).as("pd"))
+      val subj = first.join(firstBuy.hint("shuffle_merge"), Seq("user_id"), "left")
+        .select(col("user_id"),
+          when(col("pd").isNotNull, datediff(col("pd"), col("start")))
+            .otherwise(datediff(winEnd, col("start"))).as("duration"),
+          col("pd").isNotNull.as("observed"))
+      val armed = Sampling.hashSplit(subj, "user_id",
+        Seq("a" -> 0.5, "b" -> 0.5), "exp1")
+      graft.operators.TimeSeries.logRank(armed, "split", "duration", "observed",
+        "a", "b")
+    }),
+
+    // Per-segment permutation sweep + Benjamini–Hochberg FDR: WHICH
+    // event-type segments moved, with the multiple-comparisons control
+    // every segment sweep needs before anyone reads it.
+    "q251_fdr_segments" -> ((s, d) => {
+      val perUserType = Tables.events(s, d)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("engagement"))
+      val assigned = Sampling.hashSplit(perUserType, "user_id",
+        Seq("a" -> 0.5, "b" -> 0.5), "exp1")
+      val tests = graft.operators.Experiment.permutationTestByGroup(assigned,
+        Seq("event_type"), "user_id", "split", "engagement",
+        reps = 100, salt = "perm1")
+      graft.operators.Inference.bhAdjust(tests, "p_value", Seq("event_type"),
+        alpha = 0.1)
+        .orderBy(col("event_type"))
+    }),
+  )
+
+  def oracles: Map[String, String] = Map(
+
+    // q230/q231/q235: generated — hashSplit boundary / quantile /
+    // permutation-coin mirrors.
+    "q230_ab_readout" -> abReadoutOracle,
+    "q259_vintage_welch" -> vintageWelchOracle,
+    "q235_permutation_test" -> permutationOracle,
+    "q246_raking" -> rakingOracle,
+    "q248_experiment_scorecard" -> scorecardOracle,
+    "q251_fdr_segments" -> fdrSegmentsOracle,
+    "q252_qte" -> qteOracle,
+    "q253_log_rank" -> logRankOracle,
+
+    // q245: the total-order match rule — controls sort before treated at
+    // equal score, ignore-nulls window picks, exact decimal distances,
+    // prev on ties, caliper 5.00.
+    "q245_matched_att" -> """
+      WITH u AS (SELECT user_id, count(*) AS engagement,
+                        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                          AS total_value,
+                        max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                          AS treated,
+                        user_id % 4 AS cohort
+                 FROM events GROUP BY user_id),
+      b AS (SELECT cohort, user_id AS id, (treated = 1) AS t,
+                   CAST(engagement AS DECIMAL(18,2)) AS s,
+                   CAST(total_value AS DECIMAL(18,2)) AS y
+            FROM u WHERE engagement IS NOT NULL AND total_value IS NOT NULL
+              AND treated IS NOT NULL),
+      w AS (SELECT cohort, id, t, s, y,
+                   last_value(CASE WHEN NOT t THEN s END IGNORE NULLS) OVER pw AS ps,
+                   last_value(CASE WHEN NOT t THEN y END IGNORE NULLS) OVER pw AS py,
+                   first_value(CASE WHEN NOT t THEN s END IGNORE NULLS) OVER nw AS ns,
+                   first_value(CASE WHEN NOT t THEN y END IGNORE NULLS) OVER nw AS ny
+            FROM b
+            WINDOW pw AS (PARTITION BY cohort ORDER BY s, CAST(t AS INT), id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   nw AS (PARTITION BY cohort ORDER BY s, CAST(t AS INT), id
+                          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
+      m AS (SELECT cohort, y,
+                   CASE WHEN ps IS NOT NULL AND (ns IS NULL OR s - ps <= ns - s)
+                        THEN s - ps ELSE ns - s END AS d,
+                   CASE WHEN ps IS NOT NULL AND (ns IS NULL OR s - ps <= ns - s)
+                        THEN py ELSE ny END AS my
+            FROM w WHERE t),
+      m2 AS (SELECT cohort, y, my,
+                    (d IS NOT NULL AND d <= CAST(5.0 AS DECIMAL(18,2))) AS ok
+             FROM m)
+      SELECT cohort,
+             CAST(count(*) AS BIGINT) AS n_treated,
+             CAST(count(*) FILTER (WHERE ok) AS BIGINT) AS n_matched,
+             CASE WHEN count(*) FILTER (WHERE ok) > 0
+                  THEN CAST(floor(CAST(CAST(sum(y - my) FILTER (WHERE ok)
+                           AS DECIMAL(38,8)) AS DOUBLE)
+                         / CAST(count(*) FILTER (WHERE ok) AS DOUBLE)
+                         * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0
+             END AS att
+      FROM m2 GROUP BY cohort ORDER BY cohort""",
+
+    // q233: q195's decimal sufficient statistics, the population
+    // variance/covariance forms, and theta/rho^2 mirrored raw-then-
+    // quantized.
+    "q233_cuped" -> """
+      WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS dt FROM events),
+      pre AS (SELECT user_id, count(*) AS pre FROM ev
+              WHERE dt < DATE '2024-01-16' GROUP BY user_id),
+      post AS (SELECT user_id, count(*) AS post FROM ev
+               WHERE dt >= DATE '2024-01-16' GROUP BY user_id),
+      u AS (SELECT coalesce(pre, 0) AS x, coalesce(post, 0) AS y
+            FROM pre FULL OUTER JOIN post USING (user_id)),
+      s AS (SELECT count(*) AS n,
+                   CAST(sum(CAST(x AS DECIMAL(18,2))) AS DECIMAL(38,8)) AS sx,
+                   CAST(sum(CAST(y AS DECIMAL(18,2))) AS DECIMAL(38,8)) AS sy,
+                   sum(CAST(CAST(x AS DECIMAL(18,2)) *
+                            CAST(y AS DECIMAL(18,2)) AS DECIMAL(38,8))) AS sxy,
+                   sum(CAST(CAST(x AS DECIMAL(18,2)) *
+                            CAST(x AS DECIMAL(18,2)) AS DECIMAL(38,8))) AS sxx,
+                   sum(CAST(CAST(y AS DECIMAL(18,2)) *
+                            CAST(y AS DECIMAL(18,2)) AS DECIMAL(38,8))) AS syy
+            FROM u),
+      v AS (SELECT n,
+                   (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS vx,
+                   (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS vy,
+                   (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS cv
+            FROM s)
+      SELECT n,
+             CASE WHEN vx > 0.0
+                  THEN CAST(floor(cv / vx * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0
+             END AS theta,
+             CAST(floor(vy * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS var_y,
+             CASE WHEN vx > 0.0
+                  THEN CAST(floor((vy - cv * cv / vx) * 1000000.0 + 0.5) AS DOUBLE)
+                       / 1000000.0
+             END AS var_adj,
+             CASE WHEN vx > 0.0 AND vy > 0.0
+                  THEN CAST(floor(cv * cv / vx / vy * 1000000.0 + 0.5) AS DOUBLE)
+                       / 1000000.0
+             END AS var_reduction
+      FROM v""",
+  )
+}

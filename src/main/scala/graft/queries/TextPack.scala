@@ -1,0 +1,1186 @@
+package graft.queries
+import graft.Tables
+import graft.operators.{AsofJoin, Chunking, Dedup, Multimodal, Profiler, RangeJoin, Rollup, Sampling, Similarity, Sketches, Skew, TextAnalysis, TimeSeries, Tokenizer}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import PackShared._
+
+/** Text analysis: quality scoring, language ID, tokenization/BPE, n-gram stats, perplexity, readability, PII, Gopher/C4 rules, collocations, keyword tests.
+  *
+  * Conventions: every computed column aliased identically on both
+  * engines, deterministic ORDER BY, exact-decimal float sums — see
+  * [[QueryPack]]. */
+object TextPack extends QueryPack {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Per-document quality metrics (integer counts + exact ratios).
+    "q27_text_quality" -> ((s, d) => {
+      TextAnalysis.qualityMetrics(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Stopword-profile language scoring with deterministic argmax.
+    "q28_lang_id" -> ((s, d) => {
+      TextAnalysis.languageScores(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Whitespace + BPE-ish subword token counting.
+    "q29_token_counts" -> ((s, d) => {
+      TextAnalysis.tokenCounts(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Per-language corpus data card: doc counts, token totals, and the
+    // corpus distinct-token ratio as a division of exact integer sums.
+    "q67_corpus_stats" -> ((s, d) =>
+      TextAnalysis.corpusStats(Tables.documents(s, d), "text")
+        .orderBy(col("lang"))),
+
+    // Edit-distance fuzzy verification over a deterministic candidate set
+    // (consecutive doc ids — bounded, n pairs); texts truncated to 120
+    // chars to cap the per-pair DP, mirrored exactly in the oracle.
+    "q68_edit_distance" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val cands = docs.select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+      Dedup.editDistanceVerify(docs, "doc_id", "text", cands, truncateAt = 120)
+        .orderBy(col("id_a"))
+    }),
+
+    // Heavy-hitter 3-grams (boilerplate mining): exact counts, top 50,
+    // gram tiebreak — one map-side-combined count shuffle + TakeOrdered
+    // (never a global sort).
+    "q65_top_ngrams" -> ((s, d) =>
+      TextAnalysis.topNgrams(Tables.documents(s, d), "text", n = 3, k = 50)),
+
+    // Text normalization (the C4/CCNet prep step): lowercase -> accent
+    // fold -> whitespace collapse as one pure codegen'd projection. Both
+    // engines plant the same accented, multi-space prefix so the fold map
+    // and the collapse are actually exercised (the synthetic corpus is
+    // ASCII), and the oracle applies the SAME literal map.
+    "q115_normalize" -> ((s, d) => {
+      val planted = concat(
+        lit("HÉLLO  WÖRLD ÀÉÎÕÜ façade œuvre\t"), col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.normalizeText(planted).as("norm"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Naive-Bayes TRAINING of the hashed quality weights (the missing half
+    // of q92's inference pass): label = (lang = 'en'), 64 buckets, add-1
+    // smoothing. Every weight is ln of integer-count ratios — one keyed
+    // integer aggregation plus a 64-row domain join; the oracle rebuilds
+    // the counts and weights bucket for bucket.
+    "q116_nb_train" -> ((s, d) => {
+      TextAnalysis.trainNaiveBayesWeights(
+        Tables.documents(s, d).select(col("text"), col("lang")),
+        "text", col("lang") === "en", buckets = 64)
+        .select(col("bucket"), col("cpos"), col("cneg"), round(col("weight"), 6).as("weight"))
+        .orderBy(col("bucket"))
+    }),
+
+    // TRAINED-model quality scoring end to end: train NB weights on the
+    // (lang = 'en') label, collect the parameter-sized model (rounded to 6
+    // decimals — the quantization BOTH engines score with), and run q92's
+    // inference pass with the ln-prior bias. Pins the trainer→scorer
+    // contract (bucket hash, weight order, bias) in one oracle.
+    "q117_nb_quality" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"), col("lang"))
+      val weights = TextAnalysis.collectNaiveBayesModel(
+        TextAnalysis.trainNaiveBayesWeights(docs, "text", col("lang") === "en", buckets = 64),
+        buckets = 64)
+      val bias = TextAnalysis.naiveBayesPrior(docs, col("lang") === "en")
+        .select(round(col("bias"), 6)).head().getDouble(0)
+      TextAnalysis.hashedLinearScore(docs.select(col("doc_id"), col("text")),
+        "doc_id", "text", weights, bias)
+        .select(col("doc_id"), col("quality_score"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // T5/BART-style span corruption: deterministic hash-seeded span masks,
+    // whole runs collapsed to one <MASK> in the input, masked spans joined
+    // <SEP>-delimited into the target. Pure per-row projection; the oracle
+    // replays the same hash/window/rebuild arithmetic.
+    "q121_span_corruption" -> ((s, d) => {
+      Chunking.spanCorruption(Tables.documents(s, d).select(col("doc_id"), col("text")),
+        "doc_id", "text", startRate = 0.08, spanTokens = 3, salt = "sc1")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Tokenizer compression data card: train 2 BPE merges (q100's trainer),
+    // then per-language doc/char/whitespace/subword totals and the
+    // chars-per-token compression ratio — every ratio one division of two
+    // exact integer sums.
+    "q123_bpe_card" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = Tokenizer.mergesOf(
+        Tokenizer.trainBpe(docs.select(col("text")), "text", merges = 2))
+      Tokenizer.compressionCard(docs.select(col("text"), col("lang")), "text", "lang", merges)
+        .orderBy(col("lang"))
+    }),
+
+    // Bigram LM self-perplexity (the CCNet statistical quality signal):
+    // add-1-smoothed bigram model trained on the corpus scoring the corpus.
+    "q95_bigram_ppl" -> ((s, d) => {
+      TextAnalysis.bigramPerplexity(Tables.documents(s, d).select(col("doc_id"), col("text")),
+        "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Hashed-feature linear quality scorer with a shared literal weight
+    // vector (the fasttext-filter inference pass, pure per-row).
+    "q92_quality_score" -> ((s, d) => {
+      TextAnalysis.hashedLinearScore(Tables.documents(s, d).select(col("doc_id"), col("text")),
+        "doc_id", "text", qualityWeights, bias = -0.5)
+        .select(col("doc_id"), col("quality_score"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // HELD-OUT bigram perplexity — the CCNet deployment shape: the model
+    // trains on the curated half (even doc_ids) and scores the incoming
+    // half (odd doc_ids), exercising the unseen-bigram total-scoring path
+    // (p = 1/V at worst) that self-scoring (q95) never hits.
+    "q98_bigram_ppl_heldout" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      TextAnalysis.bigramPerplexity(docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+        trainOn = Some(docs.filter(col("doc_id") % 2 === 0)))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Distributed BPE tokenizer training (Sennrich et al.): 2 merge
+    // iterations over the corpus word-frequency table — the only
+    // corpus-scale pass is the word count; each merge is one vocab-sized
+    // aggregation with a 1-row argmax collect. Pair counts are exact longs
+    // (no float anywhere), ties break lexicographically, so the unrolled
+    // SQL oracle reproduces the merges symbol for symbol.
+    "q100_bpe_train" -> ((s, d) => {
+      Tokenizer.trainBpe(Tables.documents(s, d).select(col("text")), "text", merges = 2)
+        .orderBy(col("iter"))
+    }),
+
+    // BPE application end-to-end: train 2 merges, then tokenize the corpus
+    // with them as a pure codegen'd projection (wrap symbols, fold the
+    // merges as left-to-right replaces, count subwords) — the train→apply
+    // contract in one oracle, exercising the same greedy non-overlapping
+    // merge order in both engines.
+    "q101_bpe_apply" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val merges = Tokenizer.mergesOf(
+        Tokenizer.trainBpe(docs.select(col("text")), "text", merges = 2))
+      docs.select(col("doc_id"),
+          Tokenizer.bpeTokenCount(col("text"), merges).as("n_bpe_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // The full Gopher quality-rule battery (Rae et al. 2021): word-count,
+    // mean-word-length, symbol-ratio, bullet/ellipsis line fractions,
+    // alpha-word fraction, stop-word presence, and the conjunction keep.
+    // Line rules are exercised by planting deterministic bullet/ellipsis
+    // blocks (every 7th doc gets a 20-line bullet tail — 20/22 lines
+    // crosses the 0.9 gate; every 5th an ellipsis block); word-count and
+    // stop-word rules vary naturally across the corpus. Pure per-row
+    // projection — the single-scan gate shape.
+    "q102_gopher_rules" -> ((s, d) => {
+      val bullets20 = (1 to 20).map(i => s"- bullet $i").mkString("\n")
+      val lined = Tables.documents(s, d).select(col("doc_id"), concat_ws("\n",
+        col("text"),
+        when(col("doc_id") % 7 === 0, lit(bullets20)).otherwise(lit("- item\n* item two")),
+        when(col("doc_id") % 5 === 0, lit("to be continued...\nmore...\nyet more..."))
+          .otherwise(lit("end."))).as("text"))
+      TextAnalysis.gopherQualityFlags(lined, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Token-window chunking (training-sequence / RAG prep): 32-token
+    // windows starting every 24 tokens (8 overlap), tail kept. The oracle
+    // re-derives every window with DuckDB list functions — geometry drift
+    // (off-by-one starts, lost tails, wrong overlap) changes the row set
+    // or a chunk string and fails the hash compare.
+    "q56_chunking" -> ((s, d) =>
+      Chunking.chunkByTokens(Tables.documents(s, d), "doc_id", "text",
+          chunkTokens = 32, overlap = 8)
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
+    // PII redaction under the hash gate. The corpus is synthetic (no real
+    // PII), so both engines PLANT identical doc_id-derived PII (an email,
+    // an IP, a phone) into the text, then redact: placeholder tags and
+    // audit counts must match byte-for-byte. Regexes are RE2-compatible so
+    // both engines' automata agree on every match boundary.
+    "q57_pii_redaction" -> ((s, d) =>
+      TextAnalysis.redactPii(
+        Tables.documents(s, d).withColumn("text",
+          concat(col("text"),
+            lit(" contact user"), col("doc_id"), lit("@example.com at 10.0."),
+            col("doc_id") % 256, lit(".7 or 555-"),
+            format_string("%03d", col("doc_id") % 1000), lit("-1234"))),
+        "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    // Intra-document repetition (C4/Gopher boilerplate signal): fraction of
+    // repeated 3-grams per doc. Pure per-row expressions — zero shuffles.
+    "q59_repetition" -> ((s, d) =>
+      TextAnalysis.repetitionMetrics(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    // Sequence packing over the q56 chunk geometry: token-boundary binning
+    // into 512-token packs via the DISTRIBUTED prefix sum (16 order-aligned
+    // buckets here; the oracle's single global cumsum must agree exactly —
+    // bucketing moves work, never results).
+    "q60_packing" -> ((s, d) =>
+      Chunking.packSequences(
+        Chunking.chunkByTokens(Tables.documents(s, d), "doc_id", "text",
+            chunkTokens = 32, overlap = 8)
+          .select(col("doc_id"), col("chunk_idx"), col("chunk_tokens")),
+        "doc_id", "chunk_idx", "chunk_tokens", capacity = 512, buckets = 16)
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
+    // Template mining: every 13th doc opens with a planted 8-token
+    // boilerplate header; the prefix counter surfaces exactly it (organic
+    // 8-token prefixes are all unique at minCount 5).
+    "q164_template_mining" -> ((s, d) => {
+      val header = "SYSTEM NOTICE all rights reserved template header text"
+      val planted = Tables.documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 13 === 0, concat(lit(s"$header "), col("text")))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.templatePrefixes(planted, "text", prefixTokens = 8, minCount = 5)
+        .orderBy(col("prefix"))
+    }),
+
+    // Jelinek-Mercer interpolated bigram perplexity, trained on the even
+    // half and scoring the odd half: unseen histories fall back to the
+    // smoothed unigram term (the ML guard path), lambda = 0.7.
+    "q162_interpolated_ppl" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.bigramPerplexityInterpolated(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+        lambda = 0.7, k = 1.0,
+        trainOn = Some(docs.filter(col("doc_id") % 2 === 0)))
+        .orderBy(col("doc_id"))
+    }),
+
+    // PMI collocation mining: top-50 adjacent word pairs by pointwise
+    // mutual information (min count 5) — multiword-unit / stock-phrase
+    // extraction; count tables stay vocabulary-shaped, SMJ-joined.
+    "q170_pmi_collocations" -> ((s, d) => {
+      TextAnalysis.pmiCollocations(Tables.documents(s, d), "text", minCount = 5, k = 50)
+        .orderBy(col("pmi").desc, col("pair"))
+    }),
+
+    // χ² distinctive-keyword card per language: top-5 terms per lang by
+    // the 2x2 occurrence contingency statistic (min in-group count 20) —
+    // integer counts to the last ratio, double arithmetic mirrored in the
+    // oracle term for term.
+    "q171_chi2_keywords" -> ((s, d) => {
+      TextAnalysis.chiSquaredKeywords(Tables.documents(s, d), "lang", "text",
+        minCount = 20, k = 5)
+        .orderBy(col("grp"), col("rnk"))
+    }),
+
+    // Per-source KL divergence from the corpus unigram mixture (observed
+    // terms exact, corpus side add-one smoothed) — the vocabulary-drift
+    // card; nothing dense, vocab-shaped joins only.
+    "q172_kl_divergence" -> ((s, d) => {
+      TextAnalysis.klFromCorpus(Tables.documents(s, d), "source", "text")
+        .orderBy(col("slice"))
+    }),
+
+    // Character-class script profile + mojibake flag per doc (planted
+    // damage: every 53rd doc gets a replacement char, every 67th a
+    // UTF-8-as-Latin-1 digraph) — pure per-row projections, zero shuffle.
+    "q173_script_mix" -> ((s, d) => {
+      val planted = Tables.documents(s, d).select(col("doc_id"), concat(col("text"),
+        when(col("doc_id") % 53 === 0, lit(" damaged \ufffd here")).otherwise(lit("")),
+        when(col("doc_id") % 67 === 0, lit(" caf\u00c3\u00a9")).otherwise(lit(""))).as("text"))
+      TextAnalysis.scriptProfile(planted, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // N-gram novelty of the odd-doc batch vs the even-doc reference: the
+    // marginal-value score incremental corpus building ranks on —
+    // membership via one SMJ anti-join against the corpus-shaped
+    // reference gram set.
+    "q176_ngram_novelty" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.ngramNovelty(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+        docs.filter(col("doc_id") % 2 === 0), "text", n = 3)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Lexical-diversity card per language: TTR, hapax fraction, Simpson
+    // repeat-probability — integer counts to the last ratio.
+    "q181_lexical_diversity" -> ((s, d) => {
+      TextAnalysis.lexicalDiversity(Tables.documents(s, d), "lang", "text")
+        .orderBy(col("grp"))
+    }),
+
+    // Flesch-style readability proxy (vowel-group syllables, terminal-
+    // punctuation sentences) — the reading-level quality-card half.
+    "q189_readability" -> ((s, d) => {
+      TextAnalysis.readability(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Trigram lang-id with a CONFIDENCE MARGIN (best vs runner-up integer
+    // distance): the abstain/route signal a multilingual pipeline
+    // thresholds on — q137's classifier, one extra ranked window.
+    "q199_langid_margin" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val profiles = TextAnalysis.trainTrigramProfiles(
+        docs.filter(col("doc_id") % 2 === 0), "lang", "text", topN = 20)
+      TextAnalysis.classifyByTrigramProfilesWithMargin(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", profiles, topN = 20)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Jaro-Winkler name matching (the native graft_jaro_winkler
+    // expression) over deterministically corrupted customer names:
+    // last-two-char swap / leading-char replacement / unchanged — the
+    // name-entry corruption classes JW exists for; match gate at the
+    // quantized 0.99.
+    "q212_jaro_winkler" -> ((s, d) => {
+      val variant = when(col("c_custkey") % 3 === 0,
+          concat(expr("substring(c_name, 1, length(c_name) - 2)"),
+            expr("substring(c_name, length(c_name), 1)"),
+            expr("substring(c_name, length(c_name) - 1, 1)")))
+        .when(col("c_custkey") % 3 === 1,
+          concat(lit("K"), expr("substring(c_name, 2, length(c_name) - 1)")))
+        .otherwise(col("c_name"))
+      Tables.customer(s, d).select(col("c_custkey"), col("c_name"), variant.as("variant"))
+        .withColumn("sim", graft.functions.Quantize.scaledFloor(
+          graft.functions.JaroWinkler.similarity(col("c_name"), col("variant")), 6))
+        .withColumn("is_match", col("sim") >= 0.99)
+        .select(col("c_custkey"), col("variant"), col("sim"), col("is_match"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Heaps'-law vocabulary-growth fit over id-range checkpoints.
+    "q247_heaps_law" -> ((s, d) =>
+      TextAnalysis.heapsLaw(Tables.documents(s, d), "doc_id", "text", buckets = 10)),
+
+    // Zipf fit of the token distribution over the top-1000 ranks — the
+    // vocabulary-anomaly card statistic (natural text ~ slope -1).
+    "q149_zipf" -> ((s, d) => {
+      TextAnalysis.zipfFit(Tables.documents(s, d), "text", topRanks = 1000)
+    }),
+
+    // The C4 cleaning rules (Raffel et al. 2020) over documents with
+    // deterministically planted line structure: a terminal-punct good
+    // line, a too-short line, and modular javascript / lorem-ipsum /
+    // curly-brace plants exercising every rule. Pure per-row projection.
+    "q135_c4_rules" -> ((s, d) => {
+      val lined = Tables.documents(s, d).select(col("doc_id"), concat_ws("\n",
+        concat(col("text"), lit(".")),
+        lit("short line."),
+        when(col("doc_id") % 6 === 0, lit("Enable javascript to view this page properly."))
+          .otherwise(lit("Another perfectly fine sentence with enough words here.")),
+        when(col("doc_id") % 9 === 0, lit("Lorem ipsum dolor sit amet consectetur adipiscing elit."))
+          .otherwise(lit("A third full sentence keeps the document alive today.")),
+        when(col("doc_id") % 11 === 0, lit("function f() { return 1; }"))
+          .otherwise(lit("no braces here just words without terminal punctuation"))).as("text"))
+      TextAnalysis.c4Clean(lined, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Cavnar-Trenkle character-trigram language ID: rank profiles trained
+    // on the even-doc half, odd docs classified by integer out-of-place
+    // distance — no float anywhere, so prediction is engine-exact.
+    "q137_trigram_langid" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val profiles = TextAnalysis.trainTrigramProfiles(
+        docs.filter(col("doc_id") % 2 === 0), "lang", "text", topN = 20)
+      TextAnalysis.classifyByTrigramProfiles(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", profiles, topN = 20)
+        .orderBy(col("doc_id"))
+    }),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q57_pii_redaction" -> piiOracle,
+
+    "q164_template_mining" -> """
+      WITH planted AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 13 = 0
+                    THEN 'SYSTEM NOTICE all rights reserved template header text ' || text
+                    ELSE text END AS text
+        FROM documents),
+      p AS (SELECT array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ') AS prefix
+            FROM planted)
+      SELECT prefix, count(*) AS n_docs FROM p
+      GROUP BY prefix HAVING count(*) >= 5 ORDER BY prefix""",
+
+    "q162_interpolated_ppl" -> """
+      WITH tr AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+                  WHERE doc_id % 2 = 0),
+      sc AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+             WHERE doc_id % 2 = 1),
+      trbg AS (SELECT w[p] AS w1, w[p + 1] AS w2
+               FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS p
+                     FROM tr WHERE len(w) >= 2)),
+      c12 AS (SELECT w1, w2, count(*) AS c12 FROM trbg GROUP BY w1, w2),
+      c1 AS (SELECT w1, count(*) AS c1 FROM trbg GROUP BY w1),
+      uni AS (SELECT t AS w2, count(*) AS cu
+              FROM (SELECT unnest(w) AS t FROM tr) GROUP BY t),
+      tot AS (SELECT CAST(count(*) AS DOUBLE) AS tt,
+                     CAST(count(DISTINCT t) AS DOUBLE) AS v
+              FROM (SELECT unnest(w) AS t FROM tr)),
+      scbg AS (SELECT doc_id, w[p] AS w1, w[p + 1] AS w2
+               FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS p
+                     FROM sc WHERE len(w) >= 2)),
+      scored AS (
+        SELECT scbg.doc_id, count(*) AS n_bigrams,
+               exp(-avg(ln(
+                 0.7 * (CASE WHEN coalesce(c1.c1, 0) > 0
+                             THEN CAST(coalesce(c12.c12, 0) AS DOUBLE) / c1.c1
+                             ELSE 0.0 END) +
+                 (1.0 - 0.7) * ((coalesce(uni.cu, 0) + 1.0) / (tot.tt + 1.0 * tot.v))))) AS ppl
+        FROM scbg LEFT JOIN c12 USING (w1, w2) LEFT JOIN c1 USING (w1)
+             LEFT JOIN uni USING (w2) CROSS JOIN tot
+        GROUP BY scbg.doc_id)
+      SELECT d.doc_id,
+             CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+             round(s.ppl, 4) AS ppl
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+           LEFT JOIN scored s USING (doc_id)
+      ORDER BY d.doc_id""",
+
+    "q170_pmi_collocations" -> """
+      WITH toks AS (SELECT string_split(text, ' ') AS w FROM documents),
+      uni AS (SELECT t, count(*) AS c
+              FROM (SELECT unnest(w) AS t FROM toks) GROUP BY t),
+      tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM uni),
+      bi AS (SELECT w[CAST(i AS INTEGER)] || ' ' || w[CAST(i AS INTEGER) + 1] AS p
+             FROM (SELECT w, unnest(range(1, len(w))) AS i FROM toks WHERE len(w) >= 2)),
+      bic AS (SELECT p, count(*) AS c12 FROM bi GROUP BY p HAVING count(*) >= 5),
+      btot AS (SELECT CAST(sum(CASE WHEN len(w) > 1 THEN len(w) - 1 ELSE 0 END) AS DOUBLE) AS b
+               FROM toks)
+      SELECT bic.p AS pair, CAST(bic.c12 AS BIGINT) AS cnt,
+             CAST(floor(ln((bic.c12 / btot.b) / ((u1.c / tot.n) * (u2.c / tot.n)))
+                        * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS pmi
+      FROM bic JOIN uni u1 ON u1.t = string_split(bic.p, ' ')[1]
+               JOIN uni u2 ON u2.t = string_split(bic.p, ' ')[2]
+           CROSS JOIN tot CROSS JOIN btot
+      ORDER BY pmi DESC, pair LIMIT 50""",
+
+    "q171_chi2_keywords" -> """
+      WITH occ AS (SELECT lang AS grp, unnest(string_split(text, ' ')) AS term FROM documents),
+      gt AS (SELECT grp, term, count(*) AS a FROM occ GROUP BY grp, term),
+      tm AS (SELECT term, CAST(sum(a) AS BIGINT) AS t FROM gt GROUP BY term),
+      gm AS (SELECT grp, CAST(sum(a) AS BIGINT) AS g FROM gt GROUP BY grp),
+      tot AS (SELECT CAST(sum(a) AS BIGINT) AS n FROM gt),
+      cells AS (
+        SELECT gt.grp, gt.term, gt.a,
+               tm.t - gt.a AS b, gm.g - gt.a AS c, tot.n - gm.g - (tm.t - gt.a) AS d,
+               tot.n AS n
+        FROM gt JOIN tm USING (term) JOIN gm USING (grp) CROSS JOIN tot
+        WHERE gt.a >= 20),
+      scored AS (
+        SELECT grp, term, a,
+               CAST(floor((CAST(n AS DOUBLE) *
+                      pow(CAST(a AS DOUBLE) * CAST(d AS DOUBLE) -
+                          CAST(b AS DOUBLE) * CAST(c AS DOUBLE), 2)) /
+                     (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE) *
+                      CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE))
+                     * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS chi2
+        FROM cells),
+      ranked AS (SELECT grp, term, a, chi2,
+                        row_number() OVER (PARTITION BY grp ORDER BY chi2 DESC, term) AS rnk
+                 FROM scored)
+      SELECT grp, CAST(rnk AS INTEGER) AS rnk, term, CAST(a AS BIGINT) AS cnt, chi2
+      FROM ranked WHERE rnk <= 5 ORDER BY grp, rnk""",
+
+    // per-term contributions on a 1e-7 integer grid before the sum —
+    // integer sums are order-free, so both engines (and every Spark
+    // re-run) produce the identical statistic by construction.
+    "q172_kl_divergence" -> """
+      WITH occ AS (SELECT source AS slice, unnest(string_split(text, ' ')) AS t FROM documents),
+      st AS (SELECT slice, t, count(*) AS cs FROM occ GROUP BY slice, t),
+      tm AS (SELECT t, CAST(sum(cs) AS BIGINT) AS ct FROM st GROUP BY t),
+      stot AS (SELECT slice, CAST(sum(cs) AS BIGINT) AS ts FROM st GROUP BY slice),
+      corp AS (SELECT CAST(sum(ct) AS BIGINT) AS tt, count(*) AS v FROM tm),
+      terms AS (SELECT st.slice,
+                       CAST(floor(((st.cs / CAST(stot.ts AS DOUBLE)) *
+                                   ln((st.cs / CAST(stot.ts AS DOUBLE)) /
+                                      (CAST(tm.ct + 1 AS DOUBLE) / (corp.tt + corp.v))))
+                                  * 10000000.0 + 0.5) AS BIGINT) AS c7
+                FROM st JOIN tm USING (t) JOIN stot USING (slice) CROSS JOIN corp)
+      SELECT slice,
+             CAST(floor(CAST(sum(c7) AS DOUBLE) / 10000000.0 * 1000000.0 + 0.5) AS DOUBLE)
+               / 1000000.0 AS kl_nats
+      FROM terms GROUP BY slice ORDER BY slice""",
+
+    "q173_script_mix" -> s"""
+      WITH planted AS (
+        SELECT doc_id,
+               text || CASE WHEN doc_id % 53 = 0 THEN ' damaged � here' ELSE '' END
+                    || CASE WHEN doc_id % 67 = 0 THEN ' cafÃ©' ELSE '' END AS t
+        FROM documents),
+      m AS (SELECT doc_id, t, CAST(len(t) AS DOUBLE) AS l,
+                   len(t) - len(regexp_replace(t, '[A-Za-z]', '', 'g')) AS ca,
+                   len(t) - len(regexp_replace(t, '[0-9]', '', 'g')) AS cd,
+                   len(t) - len(regexp_replace(t, '[ \\t\\n\\r]', '', 'g')) AS cs,
+                   len(t) - len(regexp_replace(t, '[!-/:-@\\[-`{-~]', '', 'g')) AS cp
+            FROM planted)
+      SELECT doc_id,
+             CASE WHEN l > 0 THEN CAST(floor(ca / l * 10000.0 + 0.5) AS DOUBLE) / 10000.0 ELSE 0.0 END AS frac_alpha,
+             CASE WHEN l > 0 THEN CAST(floor(cd / l * 10000.0 + 0.5) AS DOUBLE) / 10000.0 ELSE 0.0 END AS frac_digit,
+             CASE WHEN l > 0 THEN CAST(floor(cs / l * 10000.0 + 0.5) AS DOUBLE) / 10000.0 ELSE 0.0 END AS frac_space,
+             CASE WHEN l > 0 THEN CAST(floor(cp / l * 10000.0 + 0.5) AS DOUBLE) / 10000.0 ELSE 0.0 END AS frac_punct,
+             CASE WHEN l > 0
+                  THEN CAST(floor((1.0
+                         - CAST(floor(ca / l * 10000.0 + 0.5) AS DOUBLE) / 10000.0
+                         - CAST(floor(cd / l * 10000.0 + 0.5) AS DOUBLE) / 10000.0
+                         - CAST(floor(cs / l * 10000.0 + 0.5) AS DOUBLE) / 10000.0
+                         - CAST(floor(cp / l * 10000.0 + 0.5) AS DOUBLE) / 10000.0)
+                         * 10000.0 + 0.5) AS DOUBLE) / 10000.0
+                  ELSE 0.0 END AS frac_other,
+             (contains(t, '�') OR contains(t, 'Ã©') OR
+              contains(t, 'Ã¢') OR contains(t, 'â€')) AS mojibake
+      FROM m ORDER BY doc_id""",
+
+    "q176_ngram_novelty" -> """
+      WITH sh AS (
+        SELECT doc_id,
+               CASE WHEN len(w) >= 3
+                    THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])
+                    ELSE [array_to_string(w, ' ')] END AS s
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+      ref AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 2 = 0),
+      dg AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 2 = 1),
+      tot AS (SELECT doc_id, count(*) AS total_grams FROM dg GROUP BY doc_id),
+      nov AS (SELECT doc_id, count(*) AS novel_grams FROM dg
+              WHERE NOT EXISTS (SELECT 1 FROM ref WHERE ref.g = dg.g)
+              GROUP BY doc_id)
+      SELECT tot.doc_id, CAST(tot.total_grams AS BIGINT) AS total_grams,
+             CAST(coalesce(nov.novel_grams, 0) AS BIGINT) AS novel_grams,
+             CAST(floor(coalesce(nov.novel_grams, 0) / CAST(tot.total_grams AS DOUBLE)
+                        * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS novelty
+      FROM tot LEFT JOIN nov USING (doc_id) ORDER BY tot.doc_id""",
+
+    "q181_lexical_diversity" -> """
+      WITH c AS (SELECT lang AS grp, t, count(*) AS c FROM
+                   (SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents)
+                 GROUP BY grp, t)
+      SELECT grp,
+             CAST(sum(c) AS BIGINT) AS total_tokens,
+             count(*) AS distinct_terms,
+             CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_terms,
+             CAST(floor(count(*) / CAST(sum(c) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE)
+               / 1000000.0 AS ttr,
+             CAST(floor(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE)
+                        * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS hapax_frac,
+             CAST(floor(sum(CAST(c AS DOUBLE) * CAST(c - 1 AS DOUBLE)) /
+                   (CAST(sum(c) AS DOUBLE) * CAST(sum(c) - 1 AS DOUBLE))
+                   * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS simpson
+      FROM c GROUP BY grp ORDER BY grp""",
+
+    "q189_readability" -> """
+      WITH m AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS DOUBLE) AS w,
+               CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS DOUBLE) AS s,
+               CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS DOUBLE) AS y
+        FROM documents)
+      SELECT doc_id,
+             CAST(w AS BIGINT) AS n_words,
+             CAST(s AS BIGINT) AS n_sentences,
+             CAST(y AS BIGINT) AS n_syllables,
+             CASE WHEN w > 0
+                  THEN CAST(floor((206.835 - 1.015 * (w / s) - 84.6 * (y / w))
+                                  * 10000.0 + 0.5) AS DOUBLE) / 10000.0
+             END AS flesch
+      FROM m ORDER BY doc_id""",
+
+
+    "q149_zipf" -> """
+      WITH counts AS (SELECT t, count(*) AS c
+                      FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+                      GROUP BY t ORDER BY c DESC, t LIMIT 1000),
+      ranked AS (SELECT c, row_number() OVER (ORDER BY c DESC, t) AS r FROM counts),
+      xy AS (SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y FROM ranked),
+      s AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+                   sum(x*y) AS sxy, sum(x*x) AS sxx FROM xy)
+      SELECT CAST(n AS BIGINT) AS n_ranks,
+             round((n*sxy - sx*sy) / (n*sxx - sx*sx), 4) + 0.0 AS slope,
+             round((sy - ((n*sxy - sx*sy)/(n*sxx - sx*sx)) * sx) / n, 4) + 0.0 AS intercept
+      FROM s""",
+
+    "q135_c4_rules" -> """
+      WITH lined AS (
+        SELECT doc_id,
+               (text || '.') || chr(10) ||
+               'short line.' || chr(10) ||
+               CASE WHEN doc_id % 6 = 0 THEN 'Enable javascript to view this page properly.'
+                    ELSE 'Another perfectly fine sentence with enough words here.' END || chr(10) ||
+               CASE WHEN doc_id % 9 = 0 THEN 'Lorem ipsum dolor sit amet consectetur adipiscing elit.'
+                    ELSE 'A third full sentence keeps the document alive today.' END || chr(10) ||
+               CASE WHEN doc_id % 11 = 0 THEN 'function f() { return 1; }'
+                    ELSE 'no braces here just words without terminal punctuation' END AS text
+        FROM documents),
+      base AS (SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM lined),
+      k AS (SELECT doc_id, text, ls,
+              list_filter(ls, l -> len(string_split(trim(l), ' ')) >= 5
+                               AND regexp_matches(trim(l), '[.!?"]$')
+                               AND NOT contains(lower(l), 'javascript')) AS kept
+            FROM base),
+      c AS (SELECT doc_id, text, ls, kept, array_to_string(kept, chr(10)) AS ct FROM k),
+      f AS (SELECT doc_id, ct AS clean_text,
+              len(ls) AS n_lines, len(kept) AS n_kept_lines,
+              (len(ct) - len(replace(ct, '.', ''))) + (len(ct) - len(replace(ct, '!', '')))
+              + (len(ct) - len(replace(ct, '?', ''))) AS n_sentences,
+              contains(lower(text), 'lorem ipsum') AS has_lorem,
+              contains(text, '{') AS has_brace
+            FROM c)
+      SELECT doc_id, clean_text, n_lines, n_kept_lines, n_sentences, has_lorem, has_brace,
+             (NOT has_lorem AND NOT has_brace AND n_sentences >= 3) AS keep
+      FROM f ORDER BY doc_id""",
+
+    "q137_trigram_langid" -> """
+      WITH tr AS (SELECT lang, lower(text) AS t FROM documents WHERE doc_id % 2 = 0),
+      trg AS (SELECT lang, substring(t, CAST(i AS INTEGER), 3) AS gram
+              FROM (SELECT lang, t, unnest(range(1, len(t) - 1)) AS i
+                    FROM tr WHERE len(t) >= 3)),
+      pc AS (SELECT lang, gram, count(*) AS c FROM trg GROUP BY lang, gram),
+      prof AS (SELECT lang, gram, rank FROM (
+                 SELECT lang, gram,
+                        row_number() OVER (PARTITION BY lang ORDER BY c DESC, gram) AS rank
+                 FROM pc) WHERE rank <= 20),
+      od AS (SELECT doc_id, lower(text) AS t FROM documents WHERE doc_id % 2 = 1),
+      og AS (SELECT doc_id, substring(t, CAST(i AS INTEGER), 3) AS gram
+             FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+                   FROM od WHERE len(t) >= 3)),
+      oc AS (SELECT doc_id, gram, count(*) AS c FROM og GROUP BY doc_id, gram),
+      dp AS (SELECT doc_id, gram, drank FROM (
+               SELECT doc_id, gram,
+                      row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram) AS drank
+               FROM oc) WHERE drank <= 20),
+      langs AS (SELECT DISTINCT lang FROM prof),
+      dist AS (SELECT dp.doc_id, l.lang,
+                      CAST(sum(coalesce(abs(dp.drank - prof.rank), 20)) AS BIGINT) AS dist
+               FROM dp CROSS JOIN langs l
+                    LEFT JOIN prof ON prof.lang = l.lang AND prof.gram = dp.gram
+               GROUP BY dp.doc_id, l.lang),
+      best AS (SELECT doc_id, lang AS pred_lang, dist,
+                      row_number() OVER (PARTITION BY doc_id ORDER BY dist, lang) AS rn
+               FROM dist)
+      SELECT doc_id, pred_lang, dist FROM best WHERE rn = 1 ORDER BY doc_id""",
+
+    // Same lang-id CASE as q28's oracle; sums cast to BIGINT (DuckDB sums
+    // ints into HUGEINT, Spark into long — the hash compare is dtype-exact).
+    "q67_corpus_stats" -> """
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      h AS (SELECT doc_id, w,
+                   len(list_filter(w, x -> x IN ('der','die','das','und','ist'))) AS de_hits,
+                   len(list_filter(w, x -> x IN ('the','a','of','and','is'))) AS en_hits,
+                   len(list_filter(w, x -> x IN ('el','la','de','y','es'))) AS es_hits
+            FROM t),
+      l AS (SELECT CASE WHEN de_hits >= en_hits AND de_hits >= es_hits THEN 'de'
+                        WHEN en_hits >= es_hits THEN 'en'
+                        ELSE 'es' END AS lang,
+                   len(w) AS tc, len(list_distinct(w)) AS dc
+            FROM h)
+      SELECT lang,
+             count(*) AS n_docs,
+             CAST(sum(tc) AS BIGINT) AS total_tokens,
+             round(CAST(sum(dc) AS DOUBLE) / CAST(sum(tc) AS DOUBLE), 4) AS mean_distinct_ratio
+      FROM l GROUP BY lang ORDER BY lang""",
+
+    // Same 120-char truncation as the query; levenshtein agrees between
+    // engines (unit edit costs) and similarity is one deterministic division.
+    "q68_edit_distance" -> """
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(levenshtein(substring(a.text, 1, 120), substring(b.text, 1, 120)) AS INTEGER) AS edit_dist,
+             round(1.0 - CAST(levenshtein(substring(a.text, 1, 120), substring(b.text, 1, 120)) AS DOUBLE)
+                   / CAST(greatest(len(substring(a.text, 1, 120)), len(substring(b.text, 1, 120))) AS DOUBLE), 4)
+               AS similarity
+      FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      ORDER BY id_a""",
+
+    // Same NON-distinct n-gram derivation as q59's oracle (frequency mining
+    // counts every occurrence; short docs fall back to one whole-text gram).
+    "q65_top_ngrams" -> """
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      g AS (
+        SELECT CASE WHEN len(w) >= 3
+                    THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]
+                    ELSE [array_to_string(w, ' ')] END AS grams
+        FROM toks),
+      e AS (SELECT unnest(grams) AS gram FROM g)
+      SELECT gram, count(*) AS cnt FROM e
+      GROUP BY gram ORDER BY cnt DESC, gram LIMIT 50""",
+
+    "q59_repetition" -> """
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      g AS (
+        SELECT doc_id,
+               CASE WHEN len(w) >= 3
+                    THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]
+                    ELSE [array_to_string(w, ' ')] END AS grams
+        FROM toks)
+      SELECT doc_id,
+             CAST(len(grams) AS INTEGER) AS total_ngrams,
+             CAST(len(list_distinct(grams)) AS INTEGER) AS distinct_ngrams,
+             round((len(grams) - len(list_distinct(grams))) / CAST(len(grams) AS DOUBLE), 4)
+               AS dup_ngram_frac
+      FROM g ORDER BY doc_id""",
+
+    "q121_span_corruption" -> spanCorruptionOracle,
+
+    "q123_bpe_card" -> """
+      WITH words AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS wc FROM (
+          SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS w
+          FROM documents)
+        WHERE len(w) > 0 GROUP BY w),
+      r0 AS (SELECT regexp_replace(w, '(.)', '|\1|', 'g') AS rep, wc FROM words),
+      t1 AS (SELECT string_split(trim(rep, '|'), '||') AS t, wc FROM r0),
+      p1 AS (SELECT t[p] AS l_sym, t[p+1] AS r_sym, CAST(sum(wc) AS BIGINT) AS pair_count
+             FROM (SELECT t, wc, unnest(generate_series(1, len(t) - 1)) AS p
+                   FROM t1 WHERE len(t) >= 2)
+             GROUP BY 1, 2),
+      b1 AS (SELECT l_sym, r_sym FROM p1
+             ORDER BY pair_count DESC, l_sym, r_sym LIMIT 1),
+      r1 AS (SELECT replace(rep,
+               '|' || (SELECT l_sym FROM b1) || '||' || (SELECT r_sym FROM b1) || '|',
+               '|' || (SELECT l_sym FROM b1) || (SELECT r_sym FROM b1) || '|') AS rep, wc
+             FROM r0),
+      t2 AS (SELECT string_split(trim(rep, '|'), '||') AS t, wc FROM r1),
+      p2 AS (SELECT t[p] AS l_sym, t[p+1] AS r_sym, CAST(sum(wc) AS BIGINT) AS pair_count
+             FROM (SELECT t, wc, unnest(generate_series(1, len(t) - 1)) AS p
+                   FROM t2 WHERE len(t) >= 2)
+             GROUP BY 1, 2),
+      b2 AS (SELECT l_sym, r_sym FROM p2
+             ORDER BY pair_count DESC, l_sym, r_sym LIMIT 1),
+      pats AS (SELECT
+        '|' || b1.l_sym || '||' || b1.r_sym || '|' AS f1,
+        '|' || b1.l_sym || b1.r_sym || '|' AS m1,
+        '|' || b2.l_sym || '||' || b2.r_sym || '|' AS f2,
+        '|' || b2.l_sym || b2.r_sym || '|' AS m2
+        FROM b1, b2),
+      per_doc AS (
+        SELECT d.lang, len(d.text) AS nc, len(string_split(d.text, ' ')) AS nw,
+               coalesce(list_sum(list_transform(
+                 [x for x in regexp_split_to_array(lower(d.text), '[^a-z0-9]+')
+                    if len(x) > 0],
+                 w -> len(string_split(trim(
+                   replace(replace(regexp_replace(w, '(.)', '|\1|', 'g'), f1, m1), f2, m2),
+                   '|'), '||')))), 0) AS nb
+        FROM documents d CROSS JOIN pats)
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(nc) AS BIGINT) AS total_chars,
+             CAST(sum(nw) AS BIGINT) AS total_ws_tokens,
+             CAST(sum(nb) AS BIGINT) AS total_bpe_tokens,
+             round(sum(nc) * 1.0 / sum(nb), 4) AS chars_per_token
+      FROM per_doc GROUP BY lang ORDER BY lang""",
+
+    // q212: DuckDB's jaro_winkler_similarity implements the same standard
+    // parameterization as the native expression (0.1 scaling, prefix 4,
+    // 0.7 boost threshold — probed empirically); both sides quantize
+    // through the scaled-floor gate.
+    "q212_jaro_winkler" -> """
+      WITH p AS (SELECT c_custkey, c_name,
+                        CASE WHEN c_custkey % 3 = 0
+                             THEN substring(c_name, 1, length(c_name) - 2)
+                                  || substring(c_name, length(c_name), 1)
+                                  || substring(c_name, length(c_name) - 1, 1)
+                             WHEN c_custkey % 3 = 1
+                             THEN 'K' || substring(c_name, 2, length(c_name) - 1)
+                             ELSE c_name END AS variant
+                 FROM customer),
+      s AS (SELECT c_custkey, variant,
+                   CAST(floor(jaro_winkler_similarity(c_name, variant)
+                              * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS sim
+            FROM p)
+      SELECT c_custkey, variant, sim, (sim >= 0.99) AS is_match
+      FROM s ORDER BY c_custkey""",
+
+    // q247: id-range bucket checkpoints, per-token first bucket, OLS on
+    // 1e-9-quantized logs summed as decimal.
+    "q247_heaps_law" -> """
+      WITH bounds AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
+      toks0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      toks AS (SELECT ((doc_id - lo) * 10) // (hi - lo + 1) AS b, tok
+               FROM toks0 CROSS JOIN bounds WHERE len(tok) > 0),
+      pb AS (SELECT b, CAST(count(*) AS BIGINT) AS nt FROM toks GROUP BY b),
+      fb AS (SELECT b, CAST(count(*) AS BIGINT) AS nv
+             FROM (SELECT tok, min(b) AS b FROM toks GROUP BY tok) GROUP BY b),
+      cum AS (SELECT pb.b,
+                     CAST(sum(nt) OVER cw AS BIGINT) AS cn,
+                     CAST(sum(coalesce(nv, 0)) OVER cw AS BIGINT) AS cv
+              FROM pb LEFT JOIN fb ON pb.b = fb.b
+              WINDOW cw AS (ORDER BY pb.b
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      pts AS (SELECT
+                CAST(CAST(floor(ln(CAST(cn AS DOUBLE)) * 1000000000.0 + 0.5)
+                    AS DOUBLE) / 1000000000.0 AS DECIMAL(18,9)) AS x,
+                CAST(CAST(floor(ln(CAST(cv AS DOUBLE)) * 1000000000.0 + 0.5)
+                    AS DOUBLE) / 1000000000.0 AS DECIMAL(18,9)) AS y
+              FROM cum WHERE cn > 0 AND cv > 0),
+      s AS (SELECT CAST(count(*) AS BIGINT) AS n_points,
+                   CAST(sum(x) AS DECIMAL(38,9)) AS sx,
+                   CAST(sum(y) AS DECIMAL(38,9)) AS sy,
+                   CAST(sum(CAST(x * y AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS sxy,
+                   CAST(sum(CAST(x * x AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS sxx
+            FROM pts),
+      f AS (SELECT n_points,
+                   CAST(n_points AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den,
+                   (CAST(n_points AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n_points AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS beta,
+                   sx, sy
+            FROM s)
+      SELECT n_points,
+             CASE WHEN n_points >= 2 AND den <> 0.0
+                  THEN CAST(floor(beta * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0
+             END AS beta,
+             CASE WHEN n_points >= 2 AND den <> 0.0
+                  THEN CAST(floor(exp((CAST(sy AS DOUBLE) - beta * CAST(sx AS DOUBLE))
+                         / CAST(n_points AS DOUBLE)) * 1000000.0 + 0.5) AS DOUBLE)
+                    / 1000000.0
+             END AS k
+      FROM f""",
+    "q56_chunking" -> chunkingOracle,
+    "q60_packing" -> packingOracle,
+
+    // q137's classifier with the runner-up margin: same rank profiles,
+    // top-2 distances per doc instead of the argmin alone.
+    "q199_langid_margin" -> """
+      WITH tr AS (SELECT lang, lower(text) AS t FROM documents WHERE doc_id % 2 = 0),
+      trg AS (SELECT lang, substring(t, CAST(i AS INTEGER), 3) AS gram
+              FROM (SELECT lang, t, unnest(range(1, len(t) - 1)) AS i
+                    FROM tr WHERE len(t) >= 3)),
+      pc AS (SELECT lang, gram, count(*) AS c FROM trg GROUP BY lang, gram),
+      prof AS (SELECT lang, gram, rank FROM (
+                 SELECT lang, gram,
+                        row_number() OVER (PARTITION BY lang ORDER BY c DESC, gram) AS rank
+                 FROM pc) WHERE rank <= 20),
+      od AS (SELECT doc_id, lower(text) AS t FROM documents WHERE doc_id % 2 = 1),
+      og AS (SELECT doc_id, substring(t, CAST(i AS INTEGER), 3) AS gram
+             FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+                   FROM od WHERE len(t) >= 3)),
+      oc AS (SELECT doc_id, gram, count(*) AS c FROM og GROUP BY doc_id, gram),
+      dp AS (SELECT doc_id, gram, drank FROM (
+               SELECT doc_id, gram,
+                      row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram) AS drank
+               FROM oc) WHERE drank <= 20),
+      langs AS (SELECT DISTINCT lang FROM prof),
+      dist AS (SELECT dp.doc_id, l.lang,
+                      CAST(sum(coalesce(abs(dp.drank - prof.rank), 20)) AS BIGINT) AS dist
+               FROM dp CROSS JOIN langs l
+                    LEFT JOIN prof ON prof.lang = l.lang AND prof.gram = dp.gram
+               GROUP BY dp.doc_id, l.lang),
+      ranked AS (SELECT doc_id, lang, dist,
+                        row_number() OVER (PARTITION BY doc_id ORDER BY dist, lang) AS rn,
+                        lead(dist) OVER (PARTITION BY doc_id ORDER BY dist, lang) AS nxt
+                 FROM dist)
+      SELECT doc_id, lang AS pred_lang, dist, nxt - dist AS margin
+      FROM ranked WHERE rn = 1 ORDER BY doc_id""",
+
+    "q27_text_quality" -> """
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      SELECT doc_id,
+             CAST(len(w) AS INTEGER) AS token_cnt,
+             CAST(len(list_distinct(w)) AS INTEGER) AS distinct_cnt,
+             CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS avg_token_len,
+             CAST(len(list_filter(w, x -> x IN ('the','a','of','and','is'))) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS stop_ratio,
+             CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS distinct_ratio
+      FROM t ORDER BY doc_id""",
+
+    "q28_lang_id" -> """
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      h AS (SELECT doc_id,
+                   CAST(len(list_filter(w, x -> x IN ('der','die','das','und','ist'))) AS INTEGER) AS de_hits,
+                   CAST(len(list_filter(w, x -> x IN ('the','a','of','and','is'))) AS INTEGER) AS en_hits,
+                   CAST(len(list_filter(w, x -> x IN ('el','la','de','y','es'))) AS INTEGER) AS es_hits
+            FROM t)
+      SELECT doc_id, de_hits, en_hits, es_hits,
+             CASE WHEN de_hits >= en_hits AND de_hits >= es_hits THEN 'de'
+                  WHEN en_hits >= es_hits THEN 'en'
+                  ELSE 'es' END AS detected
+      FROM h ORDER BY doc_id""",
+
+    "q29_token_counts" -> """
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+             CAST(len(regexp_extract_all(text, '[a-z]{1,4}|[0-9]{1,4}')) AS INTEGER) AS subword_tokens
+      FROM documents ORDER BY doc_id""",
+
+    // Same literal fold map (interpolated from the operator's constants),
+    // same order: lower -> translate -> collapse ('g' = global, Spark's
+    // default) -> trim. The planted prefix carries a real tab.
+    "q115_normalize" -> s"""
+      SELECT doc_id,
+             trim(regexp_replace(
+               translate(lower('HÉLLO  WÖRLD ÀÉÎÕÜ façade œuvre${"\t"}' || text),
+                         '${graft.operators.TextAnalysis.AccentFrom}',
+                         '${graft.operators.TextAnalysis.AccentTo}'),
+               '${"\\s+"}', ' ', 'g')) AS norm
+      FROM documents ORDER BY doc_id""",
+
+    "q116_nb_train" -> """
+      WITH toks AS (SELECT lang = 'en' AS pos, unnest(string_split(text, ' ')) AS t
+                    FROM documents),
+      b AS (SELECT pos,
+                   CAST(CAST(concat('0x', substring(md5(t), 1, 15)) AS BIGINT) % 64
+                        AS INTEGER) AS bucket
+            FROM toks),
+      c AS (SELECT bucket,
+                   sum(CASE WHEN pos THEN 1 ELSE 0 END) AS cpos,
+                   sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS cneg
+            FROM b GROUP BY bucket),
+      tot AS (SELECT sum(cpos) AS tpos, sum(cneg) AS tneg FROM c),
+      dom AS (SELECT unnest(range(0, 64)) AS bucket)
+      SELECT CAST(dom.bucket AS INTEGER) AS bucket,
+             CAST(coalesce(c.cpos, 0) AS BIGINT) AS cpos,
+             CAST(coalesce(c.cneg, 0) AS BIGINT) AS cneg,
+             round(ln((coalesce(c.cpos, 0) + 1.0) / (tot.tpos + 64.0)) -
+                   ln((coalesce(c.cneg, 0) + 1.0) / (tot.tneg + 64.0)), 6) + 0.0 AS weight
+      FROM dom LEFT JOIN c USING (bucket) CROSS JOIN tot
+      ORDER BY bucket""",
+
+    "q117_nb_quality" -> """
+      WITH toksl AS (SELECT lang = 'en' AS pos, unnest(string_split(text, ' ')) AS t
+                     FROM documents),
+      b AS (SELECT pos,
+                   CAST(CAST(concat('0x', substring(md5(t), 1, 15)) AS BIGINT) % 64
+                        AS INTEGER) AS bucket
+            FROM toksl),
+      c AS (SELECT bucket,
+                   sum(CASE WHEN pos THEN 1 ELSE 0 END) AS cpos,
+                   sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS cneg
+            FROM b GROUP BY bucket),
+      tot AS (SELECT sum(cpos) AS tpos, sum(cneg) AS tneg FROM c),
+      dom AS (SELECT unnest(range(0, 64)) AS bucket),
+      w AS (SELECT CAST(dom.bucket AS INTEGER) AS bucket,
+                   round(ln((coalesce(c.cpos, 0) + 1.0) / (tot.tpos + 64.0)) -
+                         ln((coalesce(c.cneg, 0) + 1.0) / (tot.tneg + 64.0)), 6) AS wt
+            FROM dom LEFT JOIN c USING (bucket) CROSS JOIN tot),
+      wl AS (SELECT list(wt ORDER BY bucket) AS wl FROM w),
+      prior AS (SELECT round(ln(
+                  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE) /
+                  sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END)), 6) AS bias
+                FROM documents),
+      toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+      SELECT doc_id,
+             round(1.0 / (1.0 + exp(-(
+               list_reduce(
+                 list_prepend(prior.bias,
+                   list_transform(tk, t -> wl.wl[
+                     CAST(CAST(concat('0x', substring(md5(t), 1, 15)) AS BIGINT) % 64
+                          AS INTEGER) + 1])),
+                 (acc, x) -> acc + x)))), 4) AS quality_score
+      FROM toks CROSS JOIN wl CROSS JOIN prior ORDER BY doc_id""",
+
+    "q95_bigram_ppl" -> """
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      bg AS (
+        SELECT doc_id, w[p] AS w1, w[p + 1] AS w2
+        FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS p
+              FROM toks WHERE len(w) >= 2)),
+      c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+      c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+      v AS (SELECT CAST(count(DISTINCT t) AS DOUBLE) AS v
+            FROM (SELECT unnest(w) AS t FROM toks)),
+      scored AS (
+        SELECT bg.doc_id, count(*) AS n_bigrams,
+               exp(-avg(ln((coalesce(c12.c12, 0) + 1.0) /
+                           (coalesce(c1.c1, 0) + 1.0 * v.v)))) AS ppl
+        FROM bg LEFT JOIN c12 USING (w1, w2) LEFT JOIN c1 USING (w1)
+             CROSS JOIN v
+        GROUP BY bg.doc_id)
+      SELECT d.doc_id,
+             CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+             round(s.ppl, 4) AS ppl
+      FROM documents d LEFT JOIN scored s USING (doc_id)
+      ORDER BY d.doc_id""",
+
+    "q98_bigram_ppl_heldout" -> """
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      bg_train AS (
+        SELECT w[p] AS w1, w[p + 1] AS w2
+        FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS p
+              FROM toks WHERE len(w) >= 2 AND doc_id % 2 = 0)),
+      c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg_train GROUP BY w1, w2),
+      c1 AS (SELECT w1, count(*) AS c1 FROM bg_train GROUP BY w1),
+      v AS (SELECT CAST(count(DISTINCT t) AS DOUBLE) AS v
+            FROM (SELECT unnest(w) AS t FROM toks WHERE doc_id % 2 = 0)),
+      bg AS (
+        SELECT doc_id, w[p] AS w1, w[p + 1] AS w2
+        FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS p
+              FROM toks WHERE len(w) >= 2 AND doc_id % 2 = 1)),
+      scored AS (
+        SELECT bg.doc_id, count(*) AS n_bigrams,
+               exp(-avg(ln((coalesce(c12.c12, 0) + 1.0) /
+                           (coalesce(c1.c1, 0) + 1.0 * v.v)))) AS ppl
+        FROM bg LEFT JOIN c12 USING (w1, w2) LEFT JOIN c1 USING (w1)
+             CROSS JOIN v
+        GROUP BY bg.doc_id)
+      SELECT d.doc_id,
+             CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+             round(s.ppl, 4) AS ppl
+      FROM documents d LEFT JOIN scored s USING (doc_id)
+      WHERE d.doc_id % 2 = 1
+      ORDER BY d.doc_id""",
+
+    // Unrolls trainBpe's two merge iterations: the same word split, the
+    // same |s1||s2| wrapped representation, the same (count DESC, pair ASC)
+    // argmax, the same left-to-right replace — all integer counts, so the
+    // merges agree symbol for symbol.
+    "q100_bpe_train" -> """
+      WITH words AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS wc FROM (
+          SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS w
+          FROM documents)
+        WHERE len(w) > 0 GROUP BY w),
+      r0 AS (SELECT regexp_replace(w, '(.)', '|\1|', 'g') AS rep, wc FROM words),
+      t1 AS (SELECT string_split(trim(rep, '|'), '||') AS t, wc FROM r0),
+      p1 AS (SELECT t[p] AS l_sym, t[p+1] AS r_sym, CAST(sum(wc) AS BIGINT) AS pair_count
+             FROM (SELECT t, wc, unnest(generate_series(1, len(t) - 1)) AS p
+                   FROM t1 WHERE len(t) >= 2)
+             GROUP BY 1, 2),
+      b1 AS (SELECT l_sym, r_sym, pair_count FROM p1
+             ORDER BY pair_count DESC, l_sym, r_sym LIMIT 1),
+      r1 AS (SELECT replace(rep,
+               '|' || (SELECT l_sym FROM b1) || '||' || (SELECT r_sym FROM b1) || '|',
+               '|' || (SELECT l_sym FROM b1) || (SELECT r_sym FROM b1) || '|') AS rep, wc
+             FROM r0),
+      t2 AS (SELECT string_split(trim(rep, '|'), '||') AS t, wc FROM r1),
+      p2 AS (SELECT t[p] AS l_sym, t[p+1] AS r_sym, CAST(sum(wc) AS BIGINT) AS pair_count
+             FROM (SELECT t, wc, unnest(generate_series(1, len(t) - 1)) AS p
+                   FROM t2 WHERE len(t) >= 2)
+             GROUP BY 1, 2),
+      b2 AS (SELECT l_sym, r_sym, pair_count FROM p2
+             ORDER BY pair_count DESC, l_sym, r_sym LIMIT 1)
+      SELECT * FROM (
+        SELECT 1 AS iter, l_sym, r_sym, l_sym || r_sym AS merged, pair_count FROM b1
+        UNION ALL
+        SELECT 2, l_sym, r_sym, l_sym || r_sym, pair_count FROM b2)
+      ORDER BY iter""",
+
+    // Re-learns the two merges (same CTEs as q100), then tokenizes every
+    // document with them: wrap each word's symbols, apply merge 1 then
+    // merge 2 as left-to-right replaces, count subword tokens.
+    "q101_bpe_apply" -> """
+      WITH words AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS wc FROM (
+          SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS w
+          FROM documents)
+        WHERE len(w) > 0 GROUP BY w),
+      r0 AS (SELECT regexp_replace(w, '(.)', '|\1|', 'g') AS rep, wc FROM words),
+      t1 AS (SELECT string_split(trim(rep, '|'), '||') AS t, wc FROM r0),
+      p1 AS (SELECT t[p] AS l_sym, t[p+1] AS r_sym, CAST(sum(wc) AS BIGINT) AS pair_count
+             FROM (SELECT t, wc, unnest(generate_series(1, len(t) - 1)) AS p
+                   FROM t1 WHERE len(t) >= 2)
+             GROUP BY 1, 2),
+      b1 AS (SELECT l_sym, r_sym FROM p1
+             ORDER BY pair_count DESC, l_sym, r_sym LIMIT 1),
+      r1 AS (SELECT replace(rep,
+               '|' || (SELECT l_sym FROM b1) || '||' || (SELECT r_sym FROM b1) || '|',
+               '|' || (SELECT l_sym FROM b1) || (SELECT r_sym FROM b1) || '|') AS rep, wc
+             FROM r0),
+      t2 AS (SELECT string_split(trim(rep, '|'), '||') AS t, wc FROM r1),
+      p2 AS (SELECT t[p] AS l_sym, t[p+1] AS r_sym, CAST(sum(wc) AS BIGINT) AS pair_count
+             FROM (SELECT t, wc, unnest(generate_series(1, len(t) - 1)) AS p
+                   FROM t2 WHERE len(t) >= 2)
+             GROUP BY 1, 2),
+      b2 AS (SELECT l_sym, r_sym FROM p2
+             ORDER BY pair_count DESC, l_sym, r_sym LIMIT 1),
+      pats AS (SELECT
+        '|' || b1.l_sym || '||' || b1.r_sym || '|' AS f1,
+        '|' || b1.l_sym || b1.r_sym || '|' AS m1,
+        '|' || b2.l_sym || '||' || b2.r_sym || '|' AS f2,
+        '|' || b2.l_sym || b2.r_sym || '|' AS m2
+        FROM b1, b2)
+      SELECT d.doc_id,
+             CAST(coalesce(list_sum(list_transform(
+               [x for x in regexp_split_to_array(lower(d.text), '[^a-z0-9]+')
+                  if len(x) > 0],
+               w -> len(string_split(trim(
+                 replace(replace(regexp_replace(w, '(.)', '|\1|', 'g'), f1, m1), f2, m2),
+                 '|'), '||')))), 0) AS INTEGER) AS n_bpe_tokens
+      FROM documents d CROSS JOIN pats ORDER BY d.doc_id""",
+
+    // Mirrors gopherQualityFlags rule for rule; flags compare the RAW
+    // metrics (identical double divisions of identical ints in both
+    // engines), output ratios round to 4.
+    "q102_gopher_rules" -> ("""
+      WITH lined AS (
+        SELECT doc_id,
+          text || chr(10) ||
+          CASE WHEN doc_id % 7 = 0 THEN """ +
+      (1 to 20).map(i => s"'- bullet $i'").mkString(" || chr(10) || ") + """
+               ELSE '- item' || chr(10) || '* item two' END || chr(10) ||
+          CASE WHEN doc_id % 5 = 0
+               THEN 'to be continued...' || chr(10) || 'more...' || chr(10) || 'yet more...'
+               ELSE 'end.' END AS text
+        FROM documents),
+      m AS (
+        SELECT doc_id, text,
+          [x for x in regexp_split_to_array(text, '\s+') if len(x) > 0] AS ws,
+          string_split(text, chr(10)) AS ls
+        FROM lined),
+      base AS (
+        SELECT doc_id,
+          CAST(len(ws) AS BIGINT) AS n_words,
+          CAST(len(ls) AS BIGINT) AS n_lines,
+          CAST(list_sum(list_transform(ws, w -> len(w))) AS DOUBLE) AS char_sum,
+          CAST((len(text) - len(replace(text, '#', ''))) AS BIGINT)
+            + CAST((len(text) - len(replace(text, '...', ''))) // 3 AS BIGINT)
+            + CAST((len(text) - len(replace(text, '…', ''))) AS BIGINT) AS sym_cnt,
+          CAST(len([l for l in ls if starts_with(l, '- ') OR starts_with(l, '* ')
+                    OR starts_with(l, '•')]) AS DOUBLE) AS bullet_cnt,
+          CAST(len([l for l in ls if ends_with(l, '...') OR ends_with(l, '…')]) AS DOUBLE)
+            AS ell_cnt,
+          CAST(len([w for w in ws if regexp_matches(w, '[A-Za-z]')]) AS DOUBLE) AS alpha_cnt,
+          CAST(len([s for s in ['the','be','to','of','and','that','have','with']
+                    if list_contains(list_transform(ws, w -> lower(w)), s)]) AS BIGINT)
+            AS stop_hits
+        FROM m),
+      r AS (
+        SELECT doc_id, n_words,
+          CASE WHEN n_words > 0 THEN char_sum / n_words END AS mean_word_len,
+          CASE WHEN n_words > 0 THEN CAST(sym_cnt AS DOUBLE) / n_words END AS symbol_ratio,
+          bullet_cnt / n_lines AS bullet_frac,
+          ell_cnt / n_lines AS ellipsis_frac,
+          CASE WHEN n_words > 0 THEN alpha_cnt / n_words END AS alpha_frac,
+          stop_hits
+        FROM base)
+      SELECT doc_id, n_words,
+        round(mean_word_len, 4) AS mean_word_len,
+        round(symbol_ratio, 4) AS symbol_ratio,
+        round(bullet_frac, 4) AS bullet_frac,
+        round(ellipsis_frac, 4) AS ellipsis_frac,
+        round(alpha_frac, 4) AS alpha_frac,
+        stop_hits,
+        (n_words >= 50 AND n_words <= 100000) AS f_words,
+        (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS f_mean_len,
+        (symbol_ratio <= 0.1) AS f_symbols,
+        (bullet_frac <= 0.9) AS f_bullets,
+        (ellipsis_frac <= 0.3) AS f_ellipsis,
+        (alpha_frac >= 0.8) AS f_alpha,
+        (stop_hits >= 2) AS f_stops,
+        coalesce((n_words >= 50 AND n_words <= 100000)
+          AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+          AND (symbol_ratio <= 0.1) AND (bullet_frac <= 0.9)
+          AND (ellipsis_frac <= 0.3) AND (alpha_frac >= 0.8)
+          AND (stop_hits >= 2), false) AS keep
+      FROM r ORDER BY doc_id"""),
+
+    "q92_quality_score" -> s"""
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      wv AS (SELECT [${qualityWeights.mkString(", ")}] AS wl)
+      SELECT doc_id,
+             round(1.0 / (1.0 + exp(-(
+               list_reduce(
+                 list_prepend(CAST(-0.5 AS DOUBLE),
+                   list_transform(w, t -> wl[
+                     CAST(CAST(concat('0x', substring(md5(t), 1, 15)) AS BIGINT) % 64 AS INTEGER) + 1])),
+                 (acc, x) -> acc + x)))), 4) AS quality_score
+      FROM toks CROSS JOIN wv ORDER BY doc_id""",
+  )
+}

@@ -992,7 +992,7 @@ object ScaleSmoke {
     time("brier decomposition (quality scorer)") {
       val scored = TextAnalysis.hashedLinearScore(
         docs.select(col("doc_id"), col("text"), col("lang")),
-        "doc_id", "text", graft.queries.DataPipelinePack.qualityWeights, bias = -0.5)
+        "doc_id", "text", graft.queries.PackShared.qualityWeights, bias = -0.5)
       graft.operators.Profiler.brierDecomposition(
         scored.withColumn("label", col("lang") === "en"),
         "quality_score", "label", bins = 10)
@@ -1003,7 +1003,7 @@ object ScaleSmoke {
     time("isotonic calibration (quality scorer)") {
       val scored = TextAnalysis.hashedLinearScore(
         docs.select(col("doc_id"), col("text"), col("lang")),
-        "doc_id", "text", graft.queries.DataPipelinePack.qualityWeights, bias = -0.5)
+        "doc_id", "text", graft.queries.PackShared.qualityWeights, bias = -0.5)
       graft.operators.Profiler.isotonicCalibration(
         scored.withColumn("label", col("lang") === "en"),
         "quality_score", "label", bins = 10)
