@@ -78,11 +78,14 @@ object Inference {
     * imbalance, the common case when a treatment changes engagement
     * spread, not just level).
     *
-    * ONE map-side-combined conditional aggregation produces both arms'
-    * exact (n, Σx, Σx²); t and the Welch–Satterthwaite df are closed-form
-    * doubles at the end. Output 1 row: (n_a, n_b, mean_a, mean_b, t_stat,
-    * df_welch) — t/df null when either arm has n < 2 or both sample
-    * variances are 0 (no standard error to divide by).
+    * Routes through [[momentPartial]] + [[welchFromMoments]]: one
+    * map-side-combined aggregation produces both arms' exact
+    * (n, Σx, Σx²); t and the Welch–Satterthwaite df are closed-form
+    * doubles at the end — and because the partials are mergeable, the
+    * same readout runs off [[momentMerge]]d daily shards bit-identically
+    * (the q259 vintage composition). Output 1 row: (n_a, n_b, mean_a,
+    * mean_b, t_stat, df_welch) — t/df null when either arm has n < 2 or
+    * both sample variances are 0 (no standard error to divide by).
     */
   def welchTTest(
       df: DataFrame,
@@ -91,16 +94,73 @@ object Inference {
       armA: String,
       armB: String,
       decimalScale: Int = 2
+  ): DataFrame =
+    welchFromMoments(
+      momentPartial(df.filter(col(armCol) === armA || col(armCol) === armB),
+        Seq(armCol), valueCol, decimalScale),
+      armCol, armA, armB)
+
+  /** MERGEABLE sufficient-statistic partial for the moment-based tests
+    * ([[welchTTest]], [[anovaOneWay]]): one shard's exact
+    * (keys…, n, sx, sxx) with the value decimal-cast at `decimalScale`
+    * and both sums decimal(38,8) — associative and commutative BIT-
+    * EXACTLY, so [[momentMerge]] over any sharding (daily vintages,
+    * backfills, per-source shards) equals the from-scratch aggregate
+    * regardless of shard boundaries, merge order, or engine (the
+    * [[Rollup]] contract applied to the inference battery: shards write
+    * partials once, every later readout merges key-count-sized tables
+    * instead of rescanning corpora). Null values are excluded here —
+    * exactly the rows the from-scratch tests drop. ONE map-side-combined
+    * aggregation per shard. */
+  def momentPartial(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      decimalScale: Int = 2
   ): DataFrame = {
+    require(keys.nonEmpty, "at least one key column is required")
     val x = col(valueCol).cast(s"decimal(18,$decimalScale)")
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(x).cast("decimal(38,8)").as("sx"),
+        sum((x * x).cast("decimal(38,8)")).as("sxx"))
+  }
+
+  /** Merge any number of [[momentPartial]] tables over the same keys:
+    * one keyed aggregation over key-count-sized inputs. Associative —
+    * merge(merge(a, b), c) == merge(a, b, c) bit for bit. */
+  def momentMerge(partials: Seq[DataFrame], keys: Seq[String]): DataFrame = {
+    require(partials.nonEmpty, "at least one partial table is required")
+    partials.foreach { p =>
+      require(Seq("n", "sx", "sxx").forall(p.columns.contains),
+        s"not a moment-partial table: ${p.columns.mkString(", ")}")
+    }
+    partials.reduce(_.unionByName(_))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("n")).as("n"),
+        sum(col("sx")).cast("decimal(38,8)").as("sx"),
+        sum(col("sxx")).cast("decimal(38,8)").as("sxx"))
+  }
+
+  /** [[welchTTest]]'s readout from a (armCol, n, sx, sxx) moments frame
+    * ([[momentPartial]] / [[momentMerge]] output) — the scorecard path
+    * that never rescans: identical output schema and BIT-IDENTICAL
+    * values to the from-scratch test (decimal partials make the
+    * regrouping exact; the closed form runs on the same sums). Arms
+    * other than `armA`/`armB` in the frame are ignored. */
+  def welchFromMoments(
+      moments: DataFrame,
+      armCol: String,
+      armA: String,
+      armB: String
+  ): DataFrame = {
     def side(arm: String, nm: String) = Seq(
-      sum(when(col(armCol) === arm, 1L).otherwise(0L)).as(s"n_$nm"),
-      sum(when(col(armCol) === arm, x)).cast("decimal(38,8)").as(s"__s_$nm"),
-      sum(when(col(armCol) === arm, (x * x).cast("decimal(38,8)"))).as(s"__ss_$nm"))
+      sum(when(col(armCol) === arm, col("n")).otherwise(0L)).as(s"n_$nm"),
+      sum(when(col(armCol) === arm, col("sx"))).cast("decimal(38,8)").as(s"__s_$nm"),
+      sum(when(col(armCol) === arm, col("sxx"))).cast("decimal(38,8)").as(s"__ss_$nm"))
     val aggs = side(armA, "a") ++ side(armB, "b")
-    val sums = df.filter(col(valueCol).isNotNull &&
-        (col(armCol) === armA || col(armCol) === armB))
-      .agg(aggs.head, aggs.tail: _*)
+    val sums = moments.agg(aggs.head, aggs.tail: _*)
     def nD(nm: String) = col(s"n_$nm").cast("double")
     def d(c: String) = col(c).cast("double")
     // sample variance from exact sums: (n·Σx² − (Σx)²) / (n(n−1))
@@ -143,13 +203,19 @@ object Inference {
       groupCol: String,
       valueCol: String,
       decimalScale: Int = 2
-  ): DataFrame = {
-    val x = col(valueCol).cast(s"decimal(18,$decimalScale)")
-    val per = df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
-      .groupBy(col(groupCol))
-      .agg(count(lit(1)).as("__n"),
-        sum(x).cast("decimal(38,8)").as("__s"),
-        sum((x * x).cast("decimal(38,8)")).as("__ss"))
+  ): DataFrame =
+    anovaFromMoments(
+      momentPartial(df.filter(col(groupCol).isNotNull), Seq(groupCol),
+        valueCol, decimalScale))
+
+  /** [[anovaOneWay]]'s readout from a (group, n, sx, sxx) moments frame
+    * ([[momentPartial]] / [[momentMerge]] output): identical output and
+    * bit-identical values to the from-scratch test — the per-group
+    * S²/n terms quantize AFTER the merge reconstructs each group's exact
+    * sums, so shard boundaries can never leak into the statistic. */
+  def anovaFromMoments(moments: DataFrame): DataFrame = {
+    val per = moments.select(col("n").as("__n"),
+      col("sx").as("__s"), col("sxx").as("__ss"))
     val term = graft.functions.Quantize.scaledFloor(
       col("__s").cast("double") * col("__s").cast("double") /
         col("__n").cast("double"), 6).cast("decimal(38,6)")

@@ -100,27 +100,68 @@ object Profiler {
       xCol: String,
       yCol: String,
       decimalScale: Int = 2
+  ): DataFrame =
+    pearsonFromComoments(
+      comomentPartial(df, groupCols, xCol, yCol, decimalScale), groupCols)
+
+  /** MERGEABLE comoment partial for [[pearsonByGroup]] — the two-column
+    * sibling of [[Inference.momentPartial]]: one shard's exact
+    * (keys…, n, sx, sy, sxy, sxx, syy), inputs decimal-cast at
+    * `decimalScale`, every sum decimal(38,8) — associative and
+    * commutative bit-exactly, so [[comomentMerge]] over any sharding
+    * (daily vintages, backfills) equals the from-scratch statistics.
+    * Pairwise-complete rows only: sum() skips nulls but count(*)
+    * doesn't, so a nullable column would silently corrupt r (n over all
+    * rows, Σ over fewer — the r10 self-review finding). */
+  def comomentPartial(
+      df: DataFrame,
+      keys: Seq[String],
+      xCol: String,
+      yCol: String,
+      decimalScale: Int = 2
   ): DataFrame = {
-    require(groupCols.nonEmpty, "at least one group column is required")
+    require(keys.nonEmpty, "at least one key column is required")
     val x = col(xCol).cast(s"decimal(18,$decimalScale)")
     val y = col(yCol).cast(s"decimal(18,$decimalScale)")
-    // pairwise-complete rows only: sum() skips nulls but count(*) doesn't,
-    // so a nullable column would silently corrupt r (n over all rows, Σ
-    // over fewer — the r10 self-review finding)
-    val complete = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
-    val sums = complete.groupBy(groupCols.map(col): _*)
+    df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n"),
-        sum(x).cast("decimal(38,8)").as("__sx"),
-        sum(y).cast("decimal(38,8)").as("__sy"),
-        sum((x * y).cast("decimal(38,8)")).as("__sxy"),
-        sum((x * x).cast("decimal(38,8)")).as("__sxx"),
-        sum((y * y).cast("decimal(38,8)")).as("__syy"))
+        sum(x).cast("decimal(38,8)").as("sx"),
+        sum(y).cast("decimal(38,8)").as("sy"),
+        sum((x * y).cast("decimal(38,8)")).as("sxy"),
+        sum((x * x).cast("decimal(38,8)")).as("sxx"),
+        sum((y * y).cast("decimal(38,8)")).as("syy"))
+  }
+
+  /** Merge [[comomentPartial]] tables over the same keys — one keyed
+    * aggregation, associative bit for bit. */
+  def comomentMerge(partials: Seq[DataFrame], keys: Seq[String]): DataFrame = {
+    require(partials.nonEmpty, "at least one partial table is required")
+    val cols = Seq("n", "sx", "sy", "sxy", "sxx", "syy")
+    partials.foreach { p =>
+      require(cols.forall(p.columns.contains),
+        s"not a comoment-partial table: ${p.columns.mkString(", ")}")
+    }
+    partials.reduce(_.unionByName(_))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("n")).as("n"),
+        sum(col("sx")).cast("decimal(38,8)").as("sx"),
+        sum(col("sy")).cast("decimal(38,8)").as("sy"),
+        sum(col("sxy")).cast("decimal(38,8)").as("sxy"),
+        sum(col("sxx")).cast("decimal(38,8)").as("sxx"),
+        sum(col("syy")).cast("decimal(38,8)").as("syy"))
+  }
+
+  /** [[pearsonByGroup]]'s closed form off a comoments frame — identical
+    * output and bit-identical values whether the frame came from one
+    * shard or a [[comomentMerge]] of many. */
+  def pearsonFromComoments(comoments: DataFrame, groupCols: Seq[String]): DataFrame = {
     val nD = col("n").cast("double")
     def d(c: String) = col(c).cast("double")
-    val vx = nD * d("__sxx") - d("__sx") * d("__sx")
-    val vy = nD * d("__syy") - d("__sy") * d("__sy")
-    val num = nD * d("__sxy") - d("__sx") * d("__sy")
-    sums.select(groupCols.map(col) :+ col("n") :+
+    val vx = nD * d("sxx") - d("sx") * d("sx")
+    val vy = nD * d("syy") - d("sy") * d("sy")
+    val num = nD * d("sxy") - d("sx") * d("sy")
+    comoments.select(groupCols.map(col) :+ col("n") :+
       when(vx > 0.0 && vy > 0.0,
         graft.functions.Quantize.scaledFloor(num / sqrt(vx * vy), 6))
         .as("r"): _*)

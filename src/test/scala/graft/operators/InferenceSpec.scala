@@ -83,6 +83,42 @@ class InferenceSpec extends AnyFunSuite {
     assert(row.getDouble(2) == 0.0 && row.getDouble(4) == 0.0)
   }
 
+  // ---- mergeable moment partials (round 12) ---------------------------
+
+  test("momentPartial/momentMerge: merged shards equal the from-scratch partial bit-exactly") {
+    // fractional values at decimalScale=2 — exactly where a FLOAT partial
+    // would drift with shard boundaries; decimals must not
+    val rows = Seq(("a", 1.25), ("a", 2.17), ("a", 3.33), ("b", 2.01),
+      ("b", 4.44), ("b", 6.06), ("b", 8.88), ("a", 0.07))
+    val df = rows.toDF("arm", "v")
+    val whole = Inference.momentPartial(df, Seq("arm"), "v")
+      .orderBy("arm").collect().toSeq
+    // three arbitrary shards, unequal sizes, arms split across shards
+    val shards = Seq(rows.take(2), rows.slice(2, 3), rows.drop(3))
+      .map(_.toDF("arm", "v"))
+    val parts = shards.map(Inference.momentPartial(_, Seq("arm"), "v"))
+    val merged = Inference.momentMerge(parts, Seq("arm"))
+      .orderBy("arm").collect().toSeq
+    assert(merged == whole)
+    // associativity: merge(merge(a, b), c) == merge(a, b, c)
+    val nested = Inference.momentMerge(
+      Seq(Inference.momentMerge(parts.take(2), Seq("arm")), parts(2)), Seq("arm"))
+      .orderBy("arm").collect().toSeq
+    assert(nested == whole)
+    // the readouts off merged partials are bit-identical to from-scratch
+    val welchScratch = Inference.welchTTest(df, "arm", "v", "a", "b").collect().toSeq
+    val welchMerged = Inference.welchFromMoments(
+      Inference.momentMerge(parts, Seq("arm")), "arm", "a", "b").collect().toSeq
+    assert(welchMerged == welchScratch)
+    val anovaScratch = Inference.anovaOneWay(df, "arm", "v").collect().toSeq
+    val anovaMerged = Inference.anovaFromMoments(
+      Inference.momentMerge(parts, Seq("arm"))).collect().toSeq
+    assert(anovaMerged == anovaScratch)
+    intercept[IllegalArgumentException](Inference.momentMerge(Nil, Seq("arm")))
+    intercept[IllegalArgumentException](
+      Inference.momentMerge(Seq(df), Seq("arm"))) // not a partial schema
+  }
+
   // ---- kendallTauB ---------------------------------------------------
 
   test("kendall tau-b: perfect concordance is 1; tie-corrected case matches hand count") {

@@ -398,6 +398,23 @@ class ProfilerSpec extends AnyFunSuite {
       Profiler.isotonicCalibration(mk(1, 2, 3), "p", "y", bins = 1000))
   }
 
+  test("comomentPartial/comomentMerge: merged shards reproduce pearsonByGroup bit-exactly") {
+    val rows = Seq(("g1", 1.25, 2.50), ("g1", 2.10, 4.30), ("g1", 3.33, 5.01),
+      ("g2", 1.00, 9.99), ("g2", 2.00, 7.77), ("g2", 3.00, 5.55), ("g1", 0.40, 1.80))
+    val df = rows.toDF("g", "x", "y")
+    val scratch = Profiler.pearsonByGroup(df, Seq("g"), "x", "y")
+      .orderBy("g").collect().toSeq
+    val parts = Seq(rows.take(3), rows.slice(3, 5), rows.drop(5))
+      .map(s => Profiler.comomentPartial(s.toDF("g", "x", "y"), Seq("g"), "x", "y"))
+    val merged = Profiler.comomentMerge(parts, Seq("g"))
+    val viaMerge = Profiler.pearsonFromComoments(merged, Seq("g"))
+      .orderBy("g").collect().toSeq
+    assert(viaMerge == scratch)
+    assert(merged.orderBy("g").collect().toSeq ==
+      Profiler.comomentPartial(df, Seq("g"), "x", "y").orderBy("g").collect().toSeq)
+    intercept[IllegalArgumentException](Profiler.comomentMerge(Nil, Seq("g")))
+  }
+
   test("oosCalibratedBrier: the overfit PAV map improves in-sample but regresses held-out") {
     // Train: one row per bin, rates 0/1 — the PAV map memorizes the noise
     // (iso(bin4)=0, iso(bin5)=1). In-sample (held-out = a copy of train)
