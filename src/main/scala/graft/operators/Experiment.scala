@@ -177,6 +177,17 @@ object Experiment {
       count(when(col("split") === "b", 1)).as("n_b"),
       count(when(col("split") === "a" && col("__c"), 1)).as("conv_a"),
       count(when(col("split") === "b" && col("__c"), 1)).as("conv_b"))
+    readoutFromCounts(agg, pA)
+  }
+
+  /** [[abReadout]]'s closed form off a 1-row (n_a, n_b, conv_a, conv_b)
+    * counts frame — shared by the batch readout and the streaming
+    * SRM monitor ([[graft.streaming.StreamingSrmMonitor.readout]]):
+    * because the counts are plain longs (associative under any shard
+    * merge), a drained stream's merged snapshots produce BIT-IDENTICAL
+    * output to the batch readout over the same users. */
+  def readoutFromCounts(agg: DataFrame, pA: Double = 0.5): DataFrame = {
+    require(pA > 0.0 && pA < 1.0, s"pA must be in (0, 1), got $pA")
     val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
     val ra = col("conv_a").cast("double") / na
     val rb = col("conv_b").cast("double") / nb
