@@ -106,6 +106,17 @@ object Bench {
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     Files.writeString(Paths.get(out), json + "\n")
     println(json)
+    // The driver snapshots only the last ~2000 log chars; the full line
+    // above (~10 KB at 259 queries) truncates there and parses as null
+    // (BENCH_r12 `"parsed": null`). Emit a compact, tail-sized summary as
+    // the LAST line so the snapshot is self-describing: headline total,
+    // protocol, failure list, and the 5 slowest queries inline; the full
+    // per-query map lives in `out` (bench_out.json, committed per round).
+    val failed = results.filter(_._2 < 0).map(_._1)
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","protocol":"min2-window$WindowSize","n_queries":${names.size},"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"slowest5":$slowest,"queries_in":"$out","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -424,11 +424,14 @@ object Profiler {
     * over the combined sample with the standard tie correction,
     * `U_A = R_A − n_A(n_A+1)/2`, and the normal-approximation z.
     *
-    * Every rank quantity is EXACT at ANY scale: doubled midranks
-    * (2·mid = 2·before + t + 1) are longs, the rank sum and the tie
-    * term t³−t accumulate as decimal(38,0) — order-free with no 2^53
-    * double ceiling; the final halving and z are exact-input double
-    * arithmetic. Shape: one
+    * Every rank quantity accumulates EXACTLY at ANY scale: doubled
+    * midranks (2·mid = 2·before + t + 1) are longs, the rank sum and
+    * the tie term t³−t accumulate as decimal(38,0) — order-free with no
+    * 2^53 double ceiling. The final halving and z run in double off
+    * those exact decimals, so past n_a·n_b ≈ 9·10^15 pairs the
+    * decimal→double cast itself rounds (relative error ≤ 2^-53) before
+    * the halving — u_a is exact-to-the-ulp, not bit-exact, at that
+    * extreme; z's quantized output is unaffected. Shape: one
     * per-value counting aggregation, one value-ordered window over the
     * DISTINCT-value frame (value-cardinality-sized, not corpus-sized),
     * two scalar aggregates. Output: (n_a, n_b, u_a, z) with z
@@ -469,8 +472,8 @@ object Profiler {
         * col("__t").cast("decimal(12,0)")
         - col("__t").cast("decimal(12,0)")).as("__ties"))
       .select(col("__sa").as("n_a"), col("__sb").as("n_b"),
-        // U_A = (2R_A − n_A(n_A+1)) / 2 — numerator exact in decimal, the
-        // one division exact-input in double
+        // U_A = (2R_A − n_A(n_A+1)) / 2 — numerator exact in decimal; the
+        // decimal→double cast before the halving rounds past 2^53
         ((col("__ra2") - col("__sa").cast("decimal(18,0)")
           * (col("__sa") + lit(1L)).cast("decimal(18,0)")).cast("double") / 2.0)
           .as("u_a"),
@@ -595,20 +598,30 @@ object Profiler {
     val s = col(scoreCol).cast("double")
     val bin = least(greatest(floor(s * bins).cast("long"), lit(0L)), lit(bins - 1L))
     val c7 = floor(s * 1e7 + 0.5).cast("long")
-    df.select(bin.as("bin"), c7.as("__c7"), col(labelCol).cast("boolean").as("__y"))
-      .groupBy(col("bin"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("__c7")).as("__s7"),
-        count(when(col("__y"), 1)).as("__pos"))
-      .select(col("bin"), col("n"),
-        graft.functions.Quantize.scaledFloor(
-          col("__s7").cast("double") / 1e7 / col("n").cast("double"), 6).as("mean_score"),
-        graft.functions.Quantize.scaledFloor(
-          col("__pos").cast("double") / col("n").cast("double"), 6).as("frac_pos"))
+    cardFromBinCounts(
+      df.select(bin.as("bin"), c7.as("__c7"), col(labelCol).cast("boolean").as("__y"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("__c7")).as("__s7"),
+          count(when(col("__y"), 1)).as("__pos")))
+  }
+
+  /** [[reliabilityCard]]'s finishing expressions off a (bin, n, __s7,
+    * __pos) counts frame — shared by the batch card and the streaming
+    * calibration monitor
+    * ([[graft.streaming.StreamingCalibration.card]]): the per-bin counts
+    * are plain longs (associative under any shard merge), so a drained
+    * stream's merged snapshots produce BIT-IDENTICAL cards to the batch
+    * operator over the same rows. */
+  def cardFromBinCounts(binCounts: DataFrame): DataFrame =
+    binCounts.select(col("bin"), col("n"),
+      graft.functions.Quantize.scaledFloor(
+        col("__s7").cast("double") / 1e7 / col("n").cast("double"), 6).as("mean_score"),
+      graft.functions.Quantize.scaledFloor(
+        col("__pos").cast("double") / col("n").cast("double"), 6).as("frac_pos"))
       .withColumn("abs_gap",
         graft.functions.Quantize.scaledFloor(
           abs(col("mean_score") - col("frac_pos")), 6))
-  }
 
   /** Murphy decomposition of the Brier score — `brier = reliability −
     * resolution + uncertainty` — the ONE-ROW calibration verdict on top
@@ -1124,8 +1137,10 @@ object Profiler {
     *
     * Doubled midranks are longs and the rank sum accumulates as
     * decimal(38,0) — exact regardless of order at any n (the mannWhitney
-    * argument, with no 2^53 double ceiling); the
-    * final division is exact-input, scaledFloor-quantized. `gini_index =
+    * argument, with no 2^53 double ceiling); the final division runs in
+    * double off that exact decimal, so past n⁺·n⁻ ≈ 9·10^15 pairs the
+    * decimal→double cast rounds (relative error ≤ 2^-53) — invisible
+    * after scaledFloor quantization. `gini_index =
     * 2·AUC − 1` rides along (the credit-scoring convention). AUC is null
     * when either class is empty. Null scores/labels excluded.
     *

@@ -39,6 +39,66 @@ object ExperimentPack extends QueryPack {
         "split", "a", "b")
     }),
 
+    // q230's CONTINUOUS form driven for real: the same per-user
+    // conversion frame staged to a 3-file directory, drained by an actual
+    // readStream (maxFilesPerTrigger=1 → ≥3 micro-batches) through the
+    // O(1)-per-shard streaming SRM fold, snapshots merged by max-epoch +
+    // long sum — the readout must be BIT-IDENTICAL to q230's batch SQL
+    // oracle, which is the whole drain≡batch contract under the hash gate.
+    "q260_streaming_srm" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val staged = Tables.events(s, d).groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1).otherwise(0)).as("conv"))
+        .select(pmod(col("user_id"), lit(4)).cast("int").as("_1"),
+          col("user_id").cast("long").as("_2"),
+          col("user_id").cast("string").as("_3"),
+          (col("conv") === 1).as("_4"))
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft-q260-users").toString
+      staged.repartition(3).write.mode("overwrite").parquet(stage)
+      val sinkName = "q260_sink"
+      try s.catalog.dropTempView(sinkName) catch { case _: Exception => () }
+      import s.implicits._
+      val in = s.readStream.schema(staged.schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+        .as[(Int, Long, String, Boolean)]
+      val q = graft.streaming.StreamingSrmMonitor.counts(in, salt = "exp1")
+        .toDF("shard", "epoch", "n_a", "n_b", "conv_a", "conv_b")
+        .writeStream.format("memory").queryName(sinkName).outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      try {
+        if (!q.awaitTermination(300000))
+          throw graft.core.GraftError("q260 drain timed out")
+      } finally q.stop()
+      graft.streaming.StreamingSrmMonitor.readout(s.table(sinkName))
+    }),
+
+    // q259 with the PERSISTENCE leg: each vintage's moment partial is
+    // APPENDED as an IndexStore generation (the q139 metrics-store
+    // lifecycle), the readout merges the generations read back from disk
+    // — daily experiment vintages consolidate without ever rescanning
+    // history, and the Welch readout must still be bit-identical to the
+    // from-scratch oracle (decimal partials survive the parquet
+    // roundtrip exactly).
+    "q261_vintage_store_welch" -> ((s, d) => {
+      val armed = Sampling.hashSplit(
+        Tables.orders(s, d).select(col("o_custkey"), col("o_orderdate"),
+          floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents")),
+        "o_custkey", Seq("a" -> 0.5, "b" -> 0.5), "exp2")
+      val cut = lit("1995-01-01").cast("timestamp")
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-q261-moments").toString + "/store"
+      Seq(armed.filter(col("o_orderdate") < cut),
+        armed.filter(col("o_orderdate") >= cut))
+        .foreach(v => graft.sinks.IndexStore.append(
+          graft.operators.Inference.momentPartial(v, Seq("split"), "cents",
+            decimalScale = 0), dir))
+      graft.operators.Inference.welchFromMoments(
+        graft.operators.Inference.momentMerge(
+          Seq(graft.sinks.IndexStore.read(s, dir)), Seq("split")),
+        "split", "a", "b")
+    }),
+
     // A/B readout with the SRM guard: users hash-assigned 50/50, per-arm
     // purchase conversion, pooled two-proportion z, and the
     // sample-ratio-mismatch z every experiment page must check FIRST.
@@ -191,7 +251,13 @@ object ExperimentPack extends QueryPack {
     // q230/q231/q235: generated — hashSplit boundary / quantile /
     // permutation-coin mirrors.
     "q230_ab_readout" -> abReadoutOracle,
+    // q260 drains the SAME users through the streaming fold — by the
+    // drain≡batch contract its oracle IS q230's.
+    "q260_streaming_srm" -> abReadoutOracle,
     "q259_vintage_welch" -> vintageWelchOracle,
+    // q261 merges the SAME vintage partials read back from the generation
+    // store — by the decimal-partial contract its oracle IS q259's.
+    "q261_vintage_store_welch" -> vintageWelchOracle,
     "q235_permutation_test" -> permutationOracle,
     "q246_raking" -> rakingOracle,
     "q248_experiment_scorecard" -> scorecardOracle,

@@ -175,6 +175,44 @@ object StatsPack extends QueryPack {
         .orderBy(col("bin"))
     }),
 
+    // q203's CONTINUOUS form driven for real: the same scored frame
+    // staged to a 3-file directory, drained by an actual readStream
+    // (maxFilesPerTrigger=1 → ≥3 micro-batches) through the
+    // O(bins)-per-shard streaming calibration fold, snapshots merged by
+    // max-epoch + per-bin long sums — the card must be BIT-IDENTICAL to
+    // q203's batch SQL oracle, which is the whole drain≡batch contract
+    // on the integer score grid.
+    "q262_streaming_calibration" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val scored = TextAnalysis.hashedLinearScore(
+        Tables.documents(s, d).select(col("doc_id"), col("text"), col("lang")),
+        "doc_id", "text", qualityWeights, bias = -0.5)
+      val staged = scored.select(
+        pmod(col("doc_id"), lit(4)).cast("int").as("_1"),
+        col("doc_id").cast("long").as("_2"),
+        col("quality_score").cast("double").as("_3"),
+        (col("lang") === "en").as("_4"))
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft-q262-scores").toString
+      staged.repartition(3).write.mode("overwrite").parquet(stage)
+      val sinkName = "q262_sink"
+      try s.catalog.dropTempView(sinkName) catch { case _: Exception => () }
+      import s.implicits._
+      val in = s.readStream.schema(staged.schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+        .as[(Int, Long, Double, Boolean)]
+      val q = graft.streaming.StreamingCalibration.binCounts(in, bins = 10)
+        .toDF("shard", "epoch", "bin", "n", "s7", "pos")
+        .writeStream.format("memory").queryName(sinkName).outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      try {
+        if (!q.awaitTermination(300000))
+          throw graft.core.GraftError("q262 drain timed out")
+      } finally q.stop()
+      graft.streaming.StreamingCalibration.card(s.table(sinkName))
+        .orderBy(col("bin"))
+    }),
+
     // Cohen's kappa per source slice: the q28 heuristic lang-id as rater A
     // vs the recorded lang metadata as rater B — chance-corrected labeler
     // agreement, integer counts to the last ratio.
@@ -599,6 +637,29 @@ object StatsPack extends QueryPack {
         .orderBy(col("lang"), col("bin"))
     }),
   )
+
+  // q203: q92's score expression verbatim, then the binning/grid
+  // aggregation mirrored op for op. Shared with q262 (the streaming
+  // drain of the same rows).
+  private val reliabilityCardOracle: String = s"""
+      WITH $qualityScoreCtes,
+      b AS (SELECT least(greatest(CAST(floor(s * 10) AS BIGINT), 0), 9) AS bin,
+                   CAST(floor(s * 10000000.0 + 0.5) AS BIGINT) AS c7,
+                   (lang = 'en') AS y
+            FROM sc),
+      agg AS (SELECT bin, count(*) AS n, sum(c7) AS s7,
+                     count(*) FILTER (WHERE y) AS pos
+              FROM b GROUP BY bin),
+      card AS (SELECT bin, n,
+                      CAST(floor(CAST(s7 AS DOUBLE) / 10000000.0 / CAST(n AS DOUBLE)
+                                 * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS mean_score,
+                      CAST(floor(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)
+                                 * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS frac_pos
+               FROM agg)
+      SELECT bin, n, mean_score, frac_pos,
+             CAST(floor(abs(mean_score - frac_pos) * 1000000.0 + 0.5) AS DOUBLE)
+               / 1000000.0 AS abs_gap
+      FROM card ORDER BY bin"""
 
   def oracles: Map[String, String] = Map(
 
@@ -1496,27 +1557,11 @@ object StatsPack extends QueryPack {
                        / 1000000.0 END AS kappa
       FROM r ORDER BY slice""",
 
-    // q203: q92's score expression verbatim, then the binning/grid
-    // aggregation mirrored op for op.
-    "q203_reliability_card" -> s"""
-      WITH $qualityScoreCtes,
-      b AS (SELECT least(greatest(CAST(floor(s * 10) AS BIGINT), 0), 9) AS bin,
-                   CAST(floor(s * 10000000.0 + 0.5) AS BIGINT) AS c7,
-                   (lang = 'en') AS y
-            FROM sc),
-      agg AS (SELECT bin, count(*) AS n, sum(c7) AS s7,
-                     count(*) FILTER (WHERE y) AS pos
-              FROM b GROUP BY bin),
-      card AS (SELECT bin, n,
-                      CAST(floor(CAST(s7 AS DOUBLE) / 10000000.0 / CAST(n AS DOUBLE)
-                                 * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS mean_score,
-                      CAST(floor(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)
-                                 * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS frac_pos
-               FROM agg)
-      SELECT bin, n, mean_score, frac_pos,
-             CAST(floor(abs(mean_score - frac_pos) * 1000000.0 + 0.5) AS DOUBLE)
-               / 1000000.0 AS abs_gap
-      FROM card ORDER BY bin""",
+    // q262 drains the SAME scored rows through the streaming fold — by
+    // the drain≡batch contract its oracle IS q203's.
+    "q262_streaming_calibration" -> reliabilityCardOracle,
+
+    "q203_reliability_card" -> reliabilityCardOracle,
 
     // q117's trained scorer chained into decile thresholds and lift.
     "q198_score_lift" -> """

@@ -100,13 +100,31 @@ object IndexStore {
     * rows are value-rows (fingerprints, band rows), so set semantics are
     * the contract. Returns (generations before, rows after).
     */
-  def consolidate(spark: SparkSession, dir: String): (Int, Long) = {
+  def consolidate(spark: SparkSession, dir: String): (Int, Long) =
+    consolidateWith(spark, dir)(_.distinct())
+
+  /** [[consolidate]] with a caller-supplied merge instead of `distinct`
+    * — REQUIRED for stores of SUMMABLE partials. `distinct`'s set
+    * semantics are only correct when index rows are value-rows
+    * (fingerprints, band rows) or idempotently mergeable (HLL registers
+    * under max): two generations of ADDITIVE sufficient statistics
+    * ([[graft.operators.Inference.momentPartial]] vintages) can
+    * legitimately carry IDENTICAL rows — two days with the same per-arm
+    * (n, Σx, Σx²) — and deduplicating them silently halves the count.
+    * Pass the family's own re-aggregation (e.g.
+    * `Inference.momentMerge(Seq(_), keys)`), which collapses N
+    * generations to one row per key while the merged readout stays
+    * bit-identical (MomentGenerationStoreSpec pins this). Same two-rename
+    * swap, single-writer fence, and monotonic generation counter as
+    * [[consolidate]]. */
+  def consolidateWith(spark: SparkSession, dir: String)(
+      merge: DataFrame => DataFrame): (Int, Long) = {
     val live = liveGenDirs(spark, dir)
     require(live.nonEmpty, s"IndexStore.consolidate: no live generations under $dir")
     val maxGen = live.last._1
-    val merged = spark.read.option("basePath", dir)
+    val merged = merge(spark.read.option("basePath", dir)
       .parquet(live.map(_._2.toString): _*)
-      .drop("gen").distinct()
+      .drop("gen"))
     val path = new Path(dir)
     val fs = fsOf(path, spark)
     val tmp = new Path(dir + ".compacting")

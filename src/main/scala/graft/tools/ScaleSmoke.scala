@@ -910,6 +910,38 @@ object ScaleSmoke {
         "src", "dst", seeds = Seq("s0", "s1"),
         pprIterations = 2, coreK = 25, coreIterations = 2))
 
+    // --- round-12: linkAuthority's maxOutDegree cap under a DIRECTORY
+    // HUB — the case the cap exists for. The widened corpus plants a hub
+    // source co-citing EVERY doc-derived domain (domain count grows with
+    // mult via the doc_id residue, so uncapped the hub alone contributes
+    // Ω(domains²) co-citation pairs — quadratic in mult). With the cap,
+    // the hub is bounded at maxOutDegree² pairs FOREVER; wall time must
+    // track the normal sources' grid, not the hub.
+    time("link authority (directory hub, cap)")(
+      graft.operators.Graph.linkAuthority(
+        docs.select(concat(lit("s"), (col("doc_id") % 2000).cast("string")).as("src"),
+          concat(lit("site"), (col("doc_id") % 5000).cast("string")).as("dst"))
+          .unionByName(docs.select(lit("hubdir").as("src"),
+            concat(lit("site"), (col("doc_id") % 5000).cast("string")).as("dst"))),
+        "src", "dst", seeds = Seq("s0", "s1"),
+        pprIterations = 2, coreK = 25, coreIterations = 2,
+        maxOutDegree = 100))
+
+    // --- round-12: the OUT-OF-SAMPLE PAV calibration chain (q258) under
+    // the widening: corpus-linear score + split passes; the PAV minimax
+    // and held-out scoring ride the checkpointed ≤bins frame (the
+    // bins-bounded BNLJs the plan audit whitelists) — growth must track
+    // the scan, never the bin joins.
+    time("oos calibrated brier (PAV chain)") {
+      val scored = TextAnalysis.hashedLinearScore(
+        docs.select(col("doc_id"), col("text"), col("lang")),
+        "doc_id", "text", graft.queries.PackShared.qualityWeights, bias = -0.5)
+      graft.operators.Profiler.oosCalibratedBrier(
+        Sampling.hashSplit(scored.withColumn("label", col("lang") === "en"),
+          "doc_id", Seq("train" -> 0.7, "heldout" -> 0.3), "smoke-oos"),
+        "split", "train", "quality_score", "label", bins = 10)
+    }
+
     // --- round-11c: inference / link-prediction / decomposition ----------
     locally {
       val evs = widen(Tables.events(spark, sfDir)

@@ -1,0 +1,139 @@
+package graft.streaming
+
+import graft.TestSpark
+import graft.operators.{Experiment, Sampling}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming SRM monitor: drain ≡ batch abReadout bit-for-bit, hash
+  * parity with the Column form, the SRM flag firing mid-stream on an
+  * injected arm-selective loss, replay idempotence, and the null-user
+  * contract (last arm, like batch hashSplit — never a poison pill). */
+class StreamingSrmMonitorSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val Salt = "exp1"
+
+  /** Feeds batches through counts() into a memory sink, returning the
+    * per-batch cumulative snapshot tables (one Seq[Row] per processed
+    * prefix of the batch list). */
+  private def drainPrefixes(
+      batches: Seq[Seq[(Int, Long, String, Boolean)]],
+      name: String): Seq[Seq[Row]] = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Int, Long, String, Boolean)]
+    val q = StreamingSrmMonitor.counts(in.toDS(), Salt)
+      .toDF("shard", "epoch", "n_a", "n_b", "conv_a", "conv_b")
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      batches.map { b =>
+        in.addData(b); q.processAllAvailable()
+        spark.table(name).collect().toSeq
+      }
+    } finally q.stop()
+  }
+
+  private def readoutRows(snapshotRows: Seq[Row]): Seq[Row] = {
+    val snaps = snapshotRows
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .toDF("shard", "epoch", "n_a", "n_b", "conv_a", "conv_b")
+    StreamingSrmMonitor.readout(snaps).collect().toSeq
+  }
+
+  test("keyHashLong equals Sampling.keyHash (Column form) on ASCII and non-ASCII keys") {
+    val keys = Seq("user42", "", "a", "café", "日本語キー", "emoji🙂x",
+      "0", "-17", String.valueOf(Long.MaxValue), "señor-Ωλ")
+    val viaColumn = keys.toDF("k")
+      .select(col("k"), Sampling.keyHash(col("k"), Salt).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    keys.foreach { k =>
+      assert(StreamingSrmMonitor.keyHashLong(k, Salt) == viaColumn(k),
+        s"hash mismatch on key '$k'")
+      // and against the reference definition: first 15 hex chars base-16
+      val hex = StreamingSrmMonitor.md5Hex(Salt + k)
+      assert(StreamingSrmMonitor.keyHashLong(k, Salt) ==
+        java.lang.Long.parseLong(hex.substring(0, 15), 16))
+    }
+  }
+
+  test("3-micro-batch drain readout is bit-identical to batch abReadout over the same users") {
+    // 60 users over 3 shards; conversion by a fixed residue so both arms
+    // see converted and unconverted users
+    val users = (1L to 60L).map(i => (s"u$i", i % 3 == 0))
+    val stream = users.map { case (u, c) =>
+      ((u.hashCode & Int.MaxValue) % 3, u.drop(1).toLong, u, c)
+    }
+    val prefixes = drainPrefixes(
+      Seq(stream.take(20), stream.slice(20, 45), stream.drop(45)), "srm_fold")
+    assert(prefixes.last.map(_.getLong(1)).max == 3L, "one epoch per micro-batch")
+
+    val got = readoutRows(prefixes.last)
+    val batchUsers = users.toDF("u", "converted")
+    val expected = Experiment.abReadout(batchUsers, "u", "converted", Salt)
+      .collect().toSeq
+    assert(got == expected, s"drain ≠ batch:\n$got\nvs\n$expected")
+    // sanity: both arms actually populated
+    assert(got.head.getLong(0) > 0L && got.head.getLong(1) > 0L)
+  }
+
+  test("SRM flag fires mid-stream on an injected arm-selective loss") {
+    // split a balanced population by its TRUE arm, then lose arm a's
+    // second half — the ingestion failure mode the monitor exists for
+    val boundary = Sampling.splitBoundaries(Seq("a" -> 0.5, "b" -> 0.5)).head._2
+    val all = (1L to 600L).map(i => s"v$i")
+    val (armA, armB) = all.partition(u =>
+      StreamingSrmMonitor.keyHashLong(u, Salt) < boundary)
+    assert(armA.size >= 80 && armB.size >= 180, "need both arms populated")
+    val healthy = (armA.take(80) ++ armB.take(80)).zipWithIndex
+      .map { case (u, i) => (i % 2, i.toLong, u, false) }
+    val lossy = armB.slice(80, 180).zipWithIndex // arm b only: selective loss
+      .map { case (u, i) => (i % 2, (1000 + i).toLong, u, false) }
+    val prefixes = drainPrefixes(Seq(healthy, lossy), "srm_flag")
+
+    val mid = readoutRows(prefixes.head).head
+    assert(!mid.getBoolean(mid.fieldIndex("srm_flag")),
+      s"balanced prefix must not flag: $mid")
+    val after = readoutRows(prefixes.last).head
+    assert(after.getBoolean(after.fieldIndex("srm_flag")),
+      s"arm-selective loss must flag: $after")
+    assert(after.getLong(after.fieldIndex("n_b")) ==
+      mid.getLong(mid.fieldIndex("n_b")) + 100L)
+  }
+
+  test("replay is idempotent and micro-batch placement cannot move the final counts") {
+    val stream = (1L to 30L).map(i => ((i % 2).toInt, i, s"w$i", i % 4 == 0))
+    def finalCounts(prefixes: Seq[Seq[Row]]): Map[Int, (Long, Long, Long, Long)] =
+      prefixes.last.groupBy(_.getInt(0)).map { case (s, rs) =>
+        val top = rs.maxBy(_.getLong(1))
+        s -> ((top.getLong(2), top.getLong(3), top.getLong(4), top.getLong(5)))
+      }
+    val a = finalCounts(drainPrefixes(Seq(stream.take(11), stream.drop(11)), "srm_r1"))
+    val b = finalCounts(drainPrefixes(Seq(stream.take(11), stream.drop(11)), "srm_r2"))
+    val c = finalCounts(drainPrefixes(Seq(stream), "srm_r3"))
+    assert(a == b, "same batches replayed must rebuild identical state")
+    assert(a == c, "batch placement must not change cumulative counts")
+  }
+
+  test("null users take the last arm exactly like batch hashSplit — no poison pill") {
+    val named = Seq(("u1", true), ("u2", false), ("u3", true), ("u4", false))
+    val stream = named.zipWithIndex.map { case ((u, c), i) => (0, i.toLong, u, c) } ++
+      Seq((0, 98L, null.asInstanceOf[String], true),
+        (0, 99L, null.asInstanceOf[String], false))
+    val prefixes = drainPrefixes(Seq(stream), "srm_null")
+    val got = readoutRows(prefixes.last)
+
+    val batchUsers = (named.map { case (u, c) => (u, c) } ++
+      Seq((null.asInstanceOf[String], true), (null.asInstanceOf[String], false)))
+      .toDF("u", "converted")
+    // batch ground truth: hashSplit routes null keys to the last label
+    val split = Sampling.hashSplit(batchUsers, "u", Seq("a" -> 0.5, "b" -> 0.5), Salt)
+    assert(split.filter(col("u").isNull && col("split") =!= "b").count() == 0L)
+    val expected = Experiment.abReadout(batchUsers, "u", "converted", Salt)
+      .collect().toSeq
+    assert(got == expected, s"null handling diverged from batch:\n$got\nvs\n$expected")
+  }
+}
