@@ -38,8 +38,13 @@ object ScaleSmoke {
     // A cache-BUILDING stage (its persist materializes inside the timed
     // action, so the new RDD id is indistinguishable from stage litter)
     // passes `keepNew = true` and owns the unpersist itself.
+    // stage-name filter shared by time() and the hand-timed locally{}
+    // blocks (write-path stages whose cost isn't a single noop save) —
+    // without the guard those blocks run on every filtered invocation
+    def active(name: String): Boolean =
+      !only.exists(fs => !fs.exists(name.toLowerCase.contains))
     def time(name: String, keepNew: Boolean = false)(df: => DataFrame): Unit = {
-      if (only.exists(fs => !fs.exists(name.toLowerCase.contains))) return
+      if (!active(name)) return
       val preexisting = spark.sparkContext.getPersistentRDDs.keySet
       val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
@@ -286,7 +291,7 @@ object ScaleSmoke {
     // epochs x 8 files each — the after-a-week landing zone. The cost model
     // is one read+write of the data plus listings; epoch count should show
     // up in listings only.
-    locally {
+    if (active("compaction epochs")) locally {
       val dir = java.nio.file.Files.createTempDirectory("graft-smoke-compact").toString + "/sink"
       val writer = new graft.sinks.ExactlyOnceParquetWriter(dir)
       val epoch = Tables.documents(spark, sfDir).select(col("doc_id"), col("lang")).repartition(8)
@@ -302,7 +307,7 @@ object ScaleSmoke {
     // one-pixel twin, and widen() makes each image a mult-wide identical
     // cluster — encode, ImageIO decode, luminance grid, banded sign-LSH,
     // exact verify. bandBits sized with n like the vector stage above.
-    locally {
+    if (active("image features (encode+decode) image near-dup (lsh over feats)")) locally {
       val base = docs.select(col("doc_id")).filter(col("doc_id") % 10 === 0)
       val ids = base.select(col("doc_id").as("media_id"),
           col("doc_id").as("seed"), lit(false).as("perturb"))
@@ -366,7 +371,7 @@ object ScaleSmoke {
     // keeps total bytes constant); encode is a pure projection; ADC scans
     // m codes per row against the broadcast probe LUTs. All should grow
     // linearly in mult.
-    locally {
+    if (active("pq train (m=8, ksub=16, 2 iters) pq encode pq adc top-10")) locally {
       val books = Similarity.pqTrain(vecs, "vec_id", "embedding",
         m = 8, ksub = 16, dim = 64, iterations = 2)
       time("pq train (m=8, ksub=16, 2 iters)")(books)
@@ -380,7 +385,7 @@ object ScaleSmoke {
     // Z-ordered write: one range shuffle + sort on the interleaved key —
     // the cost model is ClusteredWrite.parquet's with a cheap projection
     // on top.
-    locally {
+    if (active("z-ordered write (2 dims)")) locally {
       val dir = java.nio.file.Files.createTempDirectory("graft-smoke-z").toString + "/t"
       val t0 = System.nanoTime()
       graft.sinks.ClusteredWrite.parquetZOrdered(
@@ -408,7 +413,7 @@ object ScaleSmoke {
     // Trigram lang-id: profile training is bounded by |langs|x|charset|^3
     // (count rows multiply by mult, map-side combined); classification's
     // per-doc rank windows widen with the corpus.
-    locally {
+    if (active("trigram lang-id classify")) locally {
       val profiles = TextAnalysis.trainTrigramProfiles(
         Tables.documents(spark, sfDir), "lang", "text", topN = 20)
       time("trigram lang-id classify")(
@@ -429,7 +434,7 @@ object ScaleSmoke {
 
     // IVF-PQ: residual encode is a pure projection (chained-when literal
     // subtraction + per-subspace argmin); ADC fan-out is probes x nprobe.
-    locally {
+    if (active("ivf-pq encode (residual) ivf-pq adc top-10 (nprobe 2)")) locally {
       val cents = Tables.embeddings(spark, sfDir).filter(col("vec_id") % 125 === 0)
         .select((col("vec_id") / 125).cast("long").as("cid"), col("embedding").as("cvec"))
       val resid = Similarity.ivfResiduals(
@@ -461,7 +466,7 @@ object ScaleSmoke {
 
     // Incremental CC: label edges (1/node) + the widened batch's pairs —
     // vs re-walking history's full pair list.
-    locally {
+    if (active("incremental cc (new batch)")) locally {
       val oldDocs = Tables.documents(spark, sfDir)
       val oldCC = Dedup.connectedComponents(oldDocs.select(col("doc_id")), "doc_id",
         Dedup.jaccardPairs(oldDocs, "doc_id", "text").select(col("id_a"), col("id_b")),
