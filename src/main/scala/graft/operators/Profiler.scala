@@ -401,7 +401,19 @@ object Profiler {
     def side(df: DataFrame, cnt: String) =
       histogram(df.select(col(valueCol)), valueCol, Seq.empty, minV, maxV, bins)
         .withColumnRenamed("cnt", cnt)
-    val merged = side(dfA, "__ca").join(side(dfB, "__cb"), Seq("bin"), "full_outer")
+    psiFromBinCounts(
+      side(dfA, "__ca").join(side(dfB, "__cb"), Seq("bin"), "full_outer"), bins)
+  }
+
+  /** [[psi]]'s finishing expressions off a per-bin (__ca, __cb) counts
+    * frame (either side nullable from the full-outer bin merge) — shared
+    * by the batch test and the streaming drift monitor
+    * ([[graft.streaming.StreamingDrift.psiVsReference]]): bin counts are
+    * plain longs (associative under any shard merge), so a drained
+    * stream's merged snapshots produce a BIT-IDENTICAL psi to the batch
+    * operator over the same rows. */
+  def psiFromBinCounts(binCounts: DataFrame, bins: Int): DataFrame = {
+    val merged = binCounts
       .select(coalesce(col("__ca"), lit(0L)).as("__ca"),
         coalesce(col("__cb"), lit(0L)).as("__cb"))
     val totals = merged.agg(sum(col("__ca")).as("__ta"), sum(col("__cb")).as("__tb"))

@@ -266,6 +266,46 @@ object StatsPack extends QueryPack {
         "n_chars", minV = 0L, maxV = 2047L, bins = 32)
     }),
 
+    // q214's CONTINUOUS form driven for real: the reference vintage's
+    // histogram built batch (bins-bounded, once), the live vintage staged
+    // to a 3-file directory and drained by an actual readStream
+    // (maxFilesPerTrigger=1 → ≥3 micro-batches) through the
+    // O(bins)-per-shard streaming histogram fold, snapshots merged by
+    // max-epoch + per-bin long sums — the PSI must be BIT-IDENTICAL to
+    // q214's batch SQL oracle, the drain≡batch contract on the zBucket
+    // integer grid.
+    "q263_streaming_drift" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val docs = Tables.documents(s, d)
+      val staged = docs.filter(col("doc_id") % 2 =!= 0).select(
+        pmod(col("doc_id"), lit(4)).cast("int").as("_1"),
+        col("doc_id").cast("long").as("_2"),
+        (col("n_chars") * 2).cast("long").as("_3"))
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft-q263-live").toString
+      staged.repartition(3).write.mode("overwrite").parquet(stage)
+      val sinkName = "q263_sink"
+      try s.catalog.dropTempView(sinkName) catch { case _: Exception => () }
+      import s.implicits._
+      val in = s.readStream.schema(staged.schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+        .as[(Int, Long, Long)]
+      val q = graft.streaming.StreamingDrift.binCounts(in,
+        minV = 0L, maxV = 2047L, bins = 32)
+        .toDF("shard", "epoch", "bin", "cnt")
+        .writeStream.format("memory").queryName(sinkName).outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      try {
+        if (!q.awaitTermination(300000))
+          throw graft.core.GraftError("q263 drain timed out")
+      } finally q.stop()
+      graft.streaming.StreamingDrift.psiVsReference(s.table(sinkName),
+        graft.operators.Profiler.histogram(
+          docs.filter(col("doc_id") % 2 === 0).select(col("n_chars")),
+          "n_chars", Seq.empty, minV = 0L, maxV = 2047L, bins = 32),
+        bins = 32)
+    }),
+
     // Mann-Whitney rank-sum drift significance: even docs vs odd docs
     // with n_chars shifted +50 — midranks with tie correction, exact
     // half-integer rank sums, normal-approximation z.
@@ -661,6 +701,30 @@ object StatsPack extends QueryPack {
                / 1000000.0 AS abs_gap
       FROM card ORDER BY bin"""
 
+  // q214: the q144 bin arithmetic per vintage, add-one smoothing, the
+  // (pa-pb)*ln(pa/pb) contributions on the 1e-7 grid. Shared with
+  // q263 (the streaming drain of the same live vintage).
+  private val psiOracle: String = """
+      WITH ha AS (SELECT ((greatest(CAST(0 AS BIGINT), least(CAST(2047 AS BIGINT),
+                            CAST(n_chars AS BIGINT))) * 32) // 2048) AS bin,
+                         count(*) AS ca
+                  FROM documents WHERE doc_id % 2 = 0 GROUP BY bin),
+      hb AS (SELECT ((greatest(CAST(0 AS BIGINT), least(CAST(2047 AS BIGINT),
+                       CAST(n_chars * 2 AS BIGINT))) * 32) // 2048) AS bin,
+                    count(*) AS cb
+             FROM documents WHERE doc_id % 2 <> 0 GROUP BY bin),
+      m AS (SELECT coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+            FROM ha FULL OUTER JOIN hb USING (bin)),
+      t AS (SELECT sum(ca) AS ta, sum(cb) AS tb FROM m),
+      p AS (SELECT CAST(ca + 1 AS DOUBLE) / CAST(ta + 32 AS DOUBLE) AS pa,
+                   CAST(cb + 1 AS DOUBLE) / CAST(tb + 32 AS DOUBLE) AS pb
+            FROM m CROSS JOIN t),
+      c AS (SELECT CAST(floor((pa - pb) * ln(pa / pb) * 10000000.0 + 0.5) AS BIGINT) AS c7
+            FROM p)
+      SELECT CAST(floor(CAST(sum(c7) AS DOUBLE) / 10000000.0 * 1000000.0 + 0.5) AS DOUBLE)
+               / 1000000.0 AS psi
+      FROM c"""
+
   def oracles: Map[String, String] = Map(
 
     "q159_entropy_card" -> """
@@ -847,28 +911,10 @@ object StatsPack extends QueryPack {
     "q128_table_profile" -> tableProfileOracle,
     "q209_profile_drift" -> profileDriftOracle,
 
-    // q214: the q144 bin arithmetic per vintage, add-one smoothing, the
-    // (pa-pb)·ln(pa/pb) contributions on the 1e-7 grid.
-    "q214_psi" -> """
-      WITH ha AS (SELECT ((greatest(CAST(0 AS BIGINT), least(CAST(2047 AS BIGINT),
-                            CAST(n_chars AS BIGINT))) * 32) // 2048) AS bin,
-                         count(*) AS ca
-                  FROM documents WHERE doc_id % 2 = 0 GROUP BY bin),
-      hb AS (SELECT ((greatest(CAST(0 AS BIGINT), least(CAST(2047 AS BIGINT),
-                       CAST(n_chars * 2 AS BIGINT))) * 32) // 2048) AS bin,
-                    count(*) AS cb
-             FROM documents WHERE doc_id % 2 <> 0 GROUP BY bin),
-      m AS (SELECT coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
-            FROM ha FULL OUTER JOIN hb USING (bin)),
-      t AS (SELECT sum(ca) AS ta, sum(cb) AS tb FROM m),
-      p AS (SELECT CAST(ca + 1 AS DOUBLE) / CAST(ta + 32 AS DOUBLE) AS pa,
-                   CAST(cb + 1 AS DOUBLE) / CAST(tb + 32 AS DOUBLE) AS pb
-            FROM m CROSS JOIN t),
-      c AS (SELECT CAST(floor((pa - pb) * ln(pa / pb) * 10000000.0 + 0.5) AS BIGINT) AS c7
-            FROM p)
-      SELECT CAST(floor(CAST(sum(c7) AS DOUBLE) / 10000000.0 * 1000000.0 + 0.5) AS DOUBLE)
-               / 1000000.0 AS psi
-      FROM c""",
+    "q214_psi" -> psiOracle,
+    // q263 drains the SAME live vintage through the streaming fold
+    // against the same reference histogram -- its oracle IS q214's.
+    "q263_streaming_drift" -> psiOracle,
 
     // q215: midranks via the cumulative window over distinct values, the
     // same exact half-integer arithmetic, tie correction and z mirrored.

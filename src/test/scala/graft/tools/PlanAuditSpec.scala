@@ -252,6 +252,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // q214: the 1-row histogram-totals scalar crossJoined into the
     // bins-sized smoothing projection (q153's exact class).
     "q214_psi" -> (0, 1, 1),
+    // q263: the streaming drain of q214 — the same shared
+    // psiFromBinCounts finishing, so the same 1-row totals crossJoin.
+    "q263_streaming_drift" -> (0, 1, 1),
     // q217: the 1-row (n_a, n_b) totals scalar crossJoined into the
     // value-grid cumulative frame (q35's N class — the BNLJ and its
     // broadcast). The value grid itself collapses in its own aggregation.
