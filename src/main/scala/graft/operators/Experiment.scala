@@ -357,4 +357,62 @@ object Experiment {
             col("__sd").cast("double") / col("n_matched").cast("double"), 6))
           .as("att"): _*)
   }
+
+  /** z_{0.975} and z_{0.80} to 6 places — the α=0.05 two-sided /
+    * power=0.80 defaults, pinned as LITERALS so any SQL oracle uses the
+    * identical constants (neither engine exposes a normal quantile both
+    * sides agree on bit-for-bit; six places is far inside the planning
+    * tolerance of a sample-size estimate). */
+  val ZAlpha025: Double = 1.959964
+  val ZBeta20: Double = 0.841621
+
+  /** Two-proportion sample-size (power) analysis — the experiment
+    * PLANNING readout that closes the loop the rest of this file reads
+    * out: given each group's observed base conversion rate and a grid of
+    * minimum detectable effects (absolute deltas), the users PER ARM for
+    * a two-sided α test at the given power:
+    *
+    * `n = (z_{1−α/2}·√(2·p̄(1−p̄)) + z_{1−β}·√(p₁(1−p₁)+p₂(1−p₂)))² / δ²`
+    *
+    * with p₁ the base rate, p₂ = p₁ + δ, p̄ their mean (the standard
+    * pooled/unpooled hybrid, Fleiss et al.). Base rates are quantized to
+    * the 1e-6 grid BEFORE the closed form (both engines then compute
+    * from identical inputs) and z constants are the shared literals
+    * above, so the whole row is engine-exact. Rows where p₂ ≥ 1 emit a
+    * null n (the effect is unmeasurable from that base rate). `n_per_arm`
+    * is kept on the 1e-6 double grid rather than ceil'd — a planning
+    * readout, not an allocator; ceil at the call site if needed.
+    *
+    * Shape: one map-side-combined keyed aggregation (groups-sized) + a
+    * |mdes|-wide literal explode — nothing user-shaped survives. Output:
+    * (groups…, base_rate, mde, n_per_arm), one row per group × MDE.
+    */
+  def powerAnalysis(
+      df: DataFrame,
+      groupCols: Seq[String],
+      userCol: String,
+      convertedCol: String,
+      mdes: Seq[Double],
+      zAlpha: Double = ZAlpha025,
+      zBeta: Double = ZBeta20
+  ): DataFrame = {
+    require(mdes.nonEmpty && mdes.forall(m => m > 0.0 && m < 1.0),
+      s"MDEs must be in (0, 1), got $mdes")
+    val keys = groupCols.map(col)
+    val q6 = (c: Column) => graft.functions.Quantize.scaledFloor(c, 6)
+    val rates = df.groupBy(keys: _*)
+      .agg(count(lit(1)).as("__n"),
+        count(when(col(convertedCol).cast("boolean"), 1)).as("__c"))
+      .select(keys :+ q6(col("__c").cast("double") / col("__n").cast("double"))
+        .as("base_rate"): _*)
+    val p1 = col("base_rate")
+    val p2 = p1 + col("mde")
+    val pBar = (p1 + p2) / lit(2.0)
+    val num = lit(zAlpha) * sqrt(lit(2.0) * pBar * (lit(1.0) - pBar)) +
+      lit(zBeta) * sqrt(p1 * (lit(1.0) - p1) + p2 * (lit(1.0) - p2))
+    rates
+      .withColumn("mde", explode(array(mdes.map(lit): _*)))
+      .withColumn("n_per_arm",
+        when(p2 < 1.0, q6(num * num / (col("mde") * col("mde")))))
+  }
 }

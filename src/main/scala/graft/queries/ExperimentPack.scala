@@ -108,6 +108,20 @@ object ExperimentPack extends QueryPack {
       graft.operators.Experiment.abReadout(users, "user_id", "converted", salt = "exp1")
     }),
 
+    // Experiment PLANNING: two-proportion sample-size analysis per user
+    // cohort — observed base conversion rates (1e-6-quantized so both
+    // engines feed the closed form identical inputs), a 3-point MDE
+    // grid, shared z literals; the "how long must this test run" readout
+    // that precedes every q230.
+    "q264_power_analysis" -> ((s, d) => {
+      val users = Tables.events(s, d).groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1).otherwise(0)).as("converted"))
+        .withColumn("cohort", pmod(col("user_id"), lit(4L)))
+      graft.operators.Experiment.powerAnalysis(users, Seq("cohort"),
+        "user_id", "converted", mdes = Seq(0.01, 0.02, 0.05))
+        .orderBy(col("cohort"), col("mde"))
+    }),
+
     // CUPED variance reduction: per-user pre-period (before Jan 16)
     // activity as the covariate for post-period activity — theta and the
     // achieved rho^2 reduction from exact decimal sufficient statistics.
@@ -264,6 +278,41 @@ object ExperimentPack extends QueryPack {
     "q251_fdr_segments" -> fdrSegmentsOracle,
     "q252_qte" -> qteOracle,
     "q253_log_rank" -> logRankOracle,
+
+    // q264: base rates quantized BEFORE the closed form, z constants =
+    // the operator's shared literals, every float op mirrored in the
+    // same order and in DOUBLE (DuckDB numeric literals default to
+    // DECIMAL — every constant is cast explicitly).
+    "q264_power_analysis" -> s"""
+      WITH u AS (SELECT user_id, user_id % 4 AS cohort,
+                        max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+                 FROM events GROUP BY user_id),
+      r AS (SELECT cohort,
+                   CAST(floor(CAST(count(*) FILTER (WHERE conv = 1) AS DOUBLE)
+                        / CAST(count(*) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE)
+                     / 1000000.0 AS base_rate
+            FROM u GROUP BY cohort),
+      m AS (SELECT CAST(unnest([0.01, 0.02, 0.05]) AS DOUBLE) AS mde),
+      g AS (SELECT cohort, base_rate, mde,
+                   base_rate AS p1,
+                   base_rate + mde AS p2,
+                   (base_rate + (base_rate + mde)) / CAST(2.0 AS DOUBLE) AS pbar
+            FROM r CROSS JOIN m),
+      n AS (SELECT cohort, base_rate, mde, p2,
+                   CASE WHEN p2 < CAST(1.0 AS DOUBLE) THEN
+                     CAST(1.959964 AS DOUBLE)
+                       * sqrt(CAST(2.0 AS DOUBLE) * pbar * (CAST(1.0 AS DOUBLE) - pbar))
+                     + CAST(0.841621 AS DOUBLE)
+                       * sqrt(p1 * (CAST(1.0 AS DOUBLE) - p1)
+                              + p2 * (CAST(1.0 AS DOUBLE) - p2))
+                   END AS num
+            FROM g)
+      SELECT cohort, base_rate, mde,
+             CASE WHEN p2 < CAST(1.0 AS DOUBLE)
+                  THEN CAST(floor(num * num / (mde * mde) * 1000000.0 + 0.5) AS DOUBLE)
+                       / 1000000.0
+             END AS n_per_arm
+      FROM n ORDER BY cohort, mde""",
 
     // q245: the total-order match rule — controls sort before treated at
     // equal score, ignore-nulls window picks, exact decimal distances,

@@ -188,6 +188,25 @@ class ExperimentSpec extends AnyFunSuite {
     assert(r.getLong(4) == 0L && r.isNullAt(5))
   }
 
+  test("powerAnalysis: textbook two-proportion n, unmeasurable MDE nulls, monotone in MDE") {
+    // 1000 users at exactly 10% conversion -> base_rate 0.1 on the grid;
+    // p1=0.10, p2=0.12 is the classic table entry: n per arm ~ 3840.8
+    val users = (1L to 1000L).map(i => (i, i % 10 == 0)).toDF("uid", "conv")
+      .withColumn("g", lit("all"))
+    val rows = Experiment.powerAnalysis(users, Seq("g"), "uid", "conv",
+      mdes = Seq(0.02, 0.05, 0.9, 0.95))
+      .orderBy(col("mde")).collect()
+    assert(rows.forall(_.getDouble(1) == 0.1))
+    val n002 = rows(0).getDouble(3)
+    assert(math.abs(n002 - 3840.8) < 1.0, s"expected ~3840.8 per arm, got $n002")
+    // bigger effect, smaller test
+    assert(rows(1).getDouble(3) < n002)
+    // p2 = 0.1 + 0.9 = 1.0 and beyond: unmeasurable from this base rate
+    assert(rows(2).isNullAt(3) && rows(3).isNullAt(3))
+    intercept[IllegalArgumentException](
+      Experiment.powerAnalysis(users, Seq("g"), "uid", "conv", mdes = Seq(0.0)))
+  }
+
   test("matchedOutcomes: control-free stratum emits zero matches and null ATT") {
     val units = Seq(("s", 1L, true, 1.0, 10), ("s", 2L, true, 2.0, 20))
       .toDF("st", "id", "t", "score", "y")

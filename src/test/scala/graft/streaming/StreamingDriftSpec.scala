@@ -42,6 +42,24 @@ class StreamingDriftSpec extends AnyFunSuite {
   private val live: Seq[Long] =
     (1 to 300).map(i => (i * 17 % 256).toLong + 90L) ++ Seq(-5L, 400L, 0L, 255L)
 
+  test("bin arithmetic parity: the long-math fold bins exactly like the zBucket Column on hostile values") {
+    // seeded sweep across the domain, the clamp edges, and far outliers —
+    // one DataFrame pass compares every value's Column bin to the fold's
+    val rnd = new scala.util.Random(42)
+    val values = Seq(Long.MinValue / 4, -1L, 0L, 1L, 127L, 128L, 255L, 256L,
+      Long.MaxValue / 4) ++ Seq.fill(500)(rnd.nextLong() % 1024L)
+    val bits = java.lang.Integer.numberOfTrailingZeros(Bins)
+    val viaColumn = values.toDF("v")
+      .select(col("v"), graft.sinks.ClusteredWrite.zBucket(
+        greatest(lit(MinV), least(lit(MaxV), col("v"))), MinV, MaxV, bits).as("bin"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    values.foreach { v =>
+      val clamped = math.max(MinV, math.min(MaxV, v))
+      val bin = (clamped - MinV) * (1L << bits) / (MaxV - MinV + 1L)
+      assert(bin == viaColumn(v), s"bin mismatch at $v: scala=$bin column=${viaColumn(v)}")
+    }
+  }
+
   test("3-micro-batch drain PSI is bit-identical to batch psi") {
     val stream = live.zipWithIndex.map { case (v, i) => (i % 3, i.toLong, v) }
     val got = psiOf(drain(

@@ -60,6 +60,21 @@ class StreamingSrmMonitorSpec extends AnyFunSuite {
     }
   }
 
+  test("keyHashLong property: equals the reference hex-parse definition on arbitrary unicode") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val unicodeStr = Gen.listOf(Gen.oneOf(
+      Gen.asciiPrintableChar,
+      Gen.choose(' ', '⓿'),
+      Gen.choose('一', '鿿'))).map(_.mkString)
+    val prop = Prop.forAll(Gen.asciiPrintableStr, unicodeStr) { (salt, key) =>
+      StreamingSrmMonitor.keyHashLong(key, salt) ==
+        java.lang.Long.parseLong(
+          StreamingSrmMonitor.md5Hex(salt + key).substring(0, 15), 16)
+    }
+    val result = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("3-micro-batch drain readout is bit-identical to batch abReadout over the same users") {
     // 60 users over 3 shards; conversion by a fixed residue so both arms
     // see converted and unconverted users
