@@ -366,6 +366,70 @@ object Experiment {
   val ZAlpha025: Double = 1.959964
   val ZBeta20: Double = 0.841621
 
+  /** Mixture-SPRT always-valid readout (Johari et al., "Peeking at A/B
+    * Tests" / the Optimizely stats engine): a CONTINUOUSLY-watched
+    * experiment ([[graft.streaming.StreamingSrmMonitor]]'s whole point)
+    * cannot use fixed-n z-tests — peeking at every epoch inflates the
+    * false-positive rate without bound. The mixture likelihood ratio
+    * against a normal-mixture alternative of scale τ² is a
+    * nonnegative supermartingale under H₀, so `p_t = min_{s ≤ t} 1/Λ_s`
+    * is a VALID p-value at every cut simultaneously:
+    *
+    * `log Λ = ½·ln(se²/(se²+τ²)) + δ̂²·τ²/(2·se²·(se²+τ²))`
+    *
+    * with δ̂ = p̂_b − p̂_a and se² the pooled two-proportion variance at
+    * the cut. Input: one row per cut (cutCol ascending) of CUMULATIVE
+    * counts (n_a, n_b, conv_a, conv_b) — exactly the max-epoch-per-shard
+    * sums a drained [[graft.streaming.StreamingSrmMonitor.counts]]
+    * stream yields at each epoch, or a batch enrollment-accrual frame.
+    * Cuts where either arm is empty or the pooled rate is degenerate
+    * (se² = 0) carry a null log Λ and pass the running p through
+    * unchanged.
+    *
+    * Engine-exactness: rates and δ̂ are exact-input doubles off long
+    * counts; `ln`/`exp` ride the q172 convention (quantize AFTER the
+    * transcendental — both engines' libm agree on these inputs, ulps
+    * against grid boundaries are the accepted class). Output per cut:
+    * (cutCol, n_a, n_b, diff, log_lambda, p_always) with diff/log Λ/p
+    * scaled-floor quantized and `p_always` the running min of
+    * min(1, exp(−log Λ)) over cuts so far — monotone nonincreasing by
+    * construction.
+    *
+    * Shape: one cuts-sized projection + one ordered window over the cuts
+    * frame (cuts are epochs/days — bounded by contract, never
+    * user-shaped). */
+  def msprtReadout(
+      cuts: DataFrame,
+      cutCol: String,
+      tau2: Double
+  ): DataFrame = {
+    require(tau2 > 0.0, s"tau2 must be positive, got $tau2")
+    import org.apache.spark.sql.expressions.Window
+    val q6 = (c: Column) => graft.functions.Quantize.scaledFloor(c, 6)
+    val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+    val ra = col("conv_a").cast("double") / na
+    val rb = col("conv_b").cast("double") / nb
+    val pooled = (col("conv_a") + col("conv_b")).cast("double") / (na + nb)
+    val se2 = pooled * (lit(1.0) - pooled) * (lit(1.0) / na + lit(1.0) / nb)
+    val diff = rb - ra
+    val ok = col("n_a") >= 1L && col("n_b") >= 1L && se2 > 0.0
+    val logLambda =
+      lit(0.5) * log(se2 / (se2 + lit(tau2))) +
+        diff * diff * lit(tau2) / (lit(2.0) * se2 * (se2 + lit(tau2)))
+    val w = Window.orderBy(col(cutCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cuts
+      .withColumn("diff", when(ok, q6(diff)))
+      .withColumn("log_lambda", when(ok, q6(logLambda)))
+      // 1/Λ off the QUANTIZED log Λ: both engines exponentiate the same
+      // grid point, then the outer q6 collapses exp's ulp
+      .withColumn("p_always",
+        q6(coalesce(min(when(col("log_lambda").isNotNull,
+          least(lit(1.0), exp(-col("log_lambda"))))).over(w), lit(1.0))))
+      .select(col(cutCol), col("n_a"), col("n_b"), col("diff"),
+        col("log_lambda"), col("p_always"))
+  }
+
   /** Two-proportion sample-size (power) analysis — the experiment
     * PLANNING readout that closes the loop the rest of this file reads
     * out: given each group's observed base conversion rate and a grid of

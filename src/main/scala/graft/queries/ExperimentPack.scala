@@ -122,6 +122,41 @@ object ExperimentPack extends QueryPack {
         .orderBy(col("cohort"), col("mde"))
     }),
 
+    // Always-valid sequential readout (mSPRT): the q230 experiment under
+    // an enrollment-accrual peeking schedule — users enter at their first-
+    // event HOUR, each hour is a cut of cumulative per-arm counts, and the
+    // mixture-LR p is valid at EVERY cut simultaneously (the reason a
+    // continuously-watched experiment can't use fixed-n z). τ² = 1e-4.
+    "q265_msprt" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      // conversion = heavy purchaser (≥14 purchase events): EVERY user in
+      // this corpus purchases at least once, so the binary any-purchase
+      // rate is a degenerate 1.0 (se² = 0, all cuts null) — the threshold
+      // form sits mid-range at every SF (8/15 at sf0.001, 69/150 at
+      // sf0.01, 697/1500 at sf0.1)
+      val users = Tables.events(s, d).filter(col("ts").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(when(count(when(col("event_type") === "purchase", 1)) >= 14, 1)
+          .otherwise(0).as("conv"),
+          min(unix_micros(col("ts"))).as("__entry_us"))
+      val assigned = Sampling.hashSplit(users, "user_id",
+        Seq("a" -> 0.5, "b" -> 0.5), "exp1")
+        // exact integer hour index — both engines divide the same longs
+        .withColumn("cut", expr("__entry_us DIV 3600000000"))
+      val perDay = assigned.groupBy(col("cut"))
+        .agg(count(when(col("split") === "a", 1)).as("__da"),
+          count(when(col("split") === "b", 1)).as("__db"),
+          count(when(col("split") === "a" && col("conv") === 1, 1)).as("__ca"),
+          count(when(col("split") === "b" && col("conv") === 1, 1)).as("__cb"))
+      val w = Window.orderBy(col("cut"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cuts = perDay.select(col("cut"),
+        sum(col("__da")).over(w).as("n_a"), sum(col("__db")).over(w).as("n_b"),
+        sum(col("__ca")).over(w).as("conv_a"), sum(col("__cb")).over(w).as("conv_b"))
+      graft.operators.Experiment.msprtReadout(cuts, "cut", tau2 = 0.0001)
+        .orderBy(col("cut"))
+    }),
+
     // CUPED variance reduction: per-user pre-period (before Jan 16)
     // activity as the covariate for post-period activity — theta and the
     // achieved rho^2 reduction from exact decimal sufficient statistics.
@@ -278,6 +313,69 @@ object ExperimentPack extends QueryPack {
     "q251_fdr_segments" -> fdrSegmentsOracle,
     "q252_qte" -> qteOracle,
     "q253_log_rank" -> logRankOracle,
+
+    // q265: hashSplit boundary literal, cumulative window cuts, the
+    // mixture-LR closed form with ln/exp on the q172 quantize-after
+    // convention, running-min p off the QUANTIZED log Λ.
+    "q265_msprt" -> {
+      val b = Sampling.splitBoundaries(Seq("a" -> 0.5, "b" -> 0.5)).head._2
+      val h = PackShared.duckKeyHash("user_id", "exp1")
+      s"""
+      WITH u AS (SELECT user_id,
+                        CASE WHEN count(*) FILTER (WHERE event_type = 'purchase') >= 14
+                             THEN 1 ELSE 0 END AS conv,
+                        min(epoch_us(ts)) AS entry_us
+                 FROM events WHERE ts IS NOT NULL GROUP BY user_id),
+      asg AS (SELECT conv,
+                     CAST(entry_us // 3600000000 AS BIGINT) AS cut,
+                     CASE WHEN $h < $b THEN 'a' ELSE 'b' END AS split
+              FROM u),
+      pd AS (SELECT cut,
+                    CAST(count(*) FILTER (WHERE split = 'a') AS BIGINT) AS da,
+                    CAST(count(*) FILTER (WHERE split = 'b') AS BIGINT) AS db,
+                    CAST(count(*) FILTER (WHERE split = 'a' AND conv = 1) AS BIGINT) AS ca,
+                    CAST(count(*) FILTER (WHERE split = 'b' AND conv = 1) AS BIGINT) AS cb
+             FROM asg GROUP BY cut),
+      cuts AS (SELECT cut,
+                      CAST(sum(da) OVER w AS BIGINT) AS n_a,
+                      CAST(sum(db) OVER w AS BIGINT) AS n_b,
+                      CAST(sum(ca) OVER w AS BIGINT) AS conv_a,
+                      CAST(sum(cb) OVER w AS BIGINT) AS conv_b
+               FROM pd
+               WINDOW w AS (ORDER BY cut ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      base AS (SELECT cut, n_a, n_b,
+                      CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+                        - CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS diff,
+                      CAST(conv_a + conv_b AS DOUBLE)
+                        / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) AS pooled
+               FROM cuts),
+      se AS (SELECT cut, n_a, n_b, diff,
+                    pooled * (CAST(1.0 AS DOUBLE) - pooled)
+                      * (CAST(1.0 AS DOUBLE) / CAST(n_a AS DOUBLE)
+                         + CAST(1.0 AS DOUBLE) / CAST(n_b AS DOUBLE)) AS se2
+             FROM base),
+      ll AS (SELECT cut, n_a, n_b,
+                    CASE WHEN n_a >= 1 AND n_b >= 1 AND se2 > CAST(0.0 AS DOUBLE)
+                         THEN CAST(floor(diff * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0
+                    END AS diff,
+                    CASE WHEN n_a >= 1 AND n_b >= 1 AND se2 > CAST(0.0 AS DOUBLE)
+                         THEN CAST(floor((CAST(0.5 AS DOUBLE)
+                                * ln(se2 / (se2 + CAST(0.0001 AS DOUBLE)))
+                              + diff * diff * CAST(0.0001 AS DOUBLE)
+                                / (CAST(2.0 AS DOUBLE) * se2
+                                   * (se2 + CAST(0.0001 AS DOUBLE))))
+                              * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0
+                    END AS log_lambda
+             FROM se)
+      SELECT cut, n_a, n_b, diff, log_lambda,
+             CAST(floor(coalesce(
+                 min(CASE WHEN log_lambda IS NOT NULL
+                          THEN least(CAST(1.0 AS DOUBLE), exp(-log_lambda)) END)
+                   OVER (ORDER BY cut ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 CAST(1.0 AS DOUBLE)) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0
+               AS p_always
+      FROM ll ORDER BY cut"""
+    },
 
     // q264: base rates quantized BEFORE the closed form, z constants =
     // the operator's shared literals, every float op mirrored in the

@@ -207,6 +207,33 @@ class ExperimentSpec extends AnyFunSuite {
       Experiment.powerAnalysis(users, Seq("g"), "uid", "conv", mdes = Seq(0.0)))
   }
 
+  test("msprtReadout: p is monotone nonincreasing, detects a persistent effect, passes degenerate cuts through") {
+    // growing cuts with a persistent 10% vs 40% effect — the mixture LR
+    // must eventually reject; a degenerate all-convert cut mid-sequence
+    // must carry null log Λ and leave the running p untouched
+    val cuts = Seq(
+      (1L, 100L, 100L, 10L, 40L),
+      (2L, 1000L, 1000L, 100L, 400L),
+      (3L, 1000L, 1000L, 1000L, 1000L), // pooled = 1 -> se2 = 0: degenerate
+      (4L, 10000L, 10000L, 1000L, 4000L))
+      .toDF("cut", "n_a", "n_b", "conv_a", "conv_b")
+    val rows = Experiment.msprtReadout(cuts, "cut", tau2 = 1e-4)
+      .orderBy(col("cut")).collect()
+    val ps = rows.map(_.getDouble(5))
+    assert(ps.zip(ps.tail).forall { case (a, b) => b <= a }, s"p must never rise: ${ps.toSeq}")
+    assert(rows(2).isNullAt(4), "degenerate cut must carry null log_lambda")
+    assert(ps(2) == ps(1), "degenerate cut must not move the running p")
+    assert(ps(3) < 0.05, s"persistent large effect at n=10k must reject, got ${ps(3)}")
+    // a null-effect sequence stays near 1
+    val nullCuts = Seq((1L, 500L, 500L, 100L, 100L), (2L, 5000L, 5000L, 1000L, 1010L))
+      .toDF("cut", "n_a", "n_b", "conv_a", "conv_b")
+    val pNull = Experiment.msprtReadout(nullCuts, "cut", tau2 = 1e-4)
+      .orderBy(col("cut")).collect().last.getDouble(5)
+    assert(pNull > 0.5, s"null effect must not reject, got $pNull")
+    intercept[IllegalArgumentException](
+      Experiment.msprtReadout(nullCuts, "cut", tau2 = 0.0))
+  }
+
   test("matchedOutcomes: control-free stratum emits zero matches and null ATT") {
     val units = Seq(("s", 1L, true, 1.0, 10), ("s", 2L, true, 2.0, 20))
       .toDF("st", "id", "t", "score", "y")
