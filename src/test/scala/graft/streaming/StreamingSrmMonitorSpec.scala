@@ -183,6 +183,46 @@ class StreamingSrmMonitorSpec extends AnyFunSuite {
       s"checkpoint-resumed drain diverged from batch:\n$got\nvs\n$expected")
   }
 
+  test("composition: per-epoch drained cuts feed msprtReadout — always-valid p over the live stream") {
+    // the full continuous-experiment page: drain 3 micro-batches, build
+    // the global cumulative cut at EVERY epoch (each shard's latest
+    // snapshot <= e), and run the mixture-SPRT over those cuts — the
+    // result must equal msprt over hand-built cumulative counts of the
+    // same prefixes
+    val users = (1L to 90L).map(i => (s"m$i", i % 4 == 0))
+    val stream = users.zipWithIndex.map { case ((u, c), i) => (i % 2, i.toLong, u, c) }
+    val batches = Seq(stream.take(30), stream.slice(30, 60), stream.drop(60))
+    val prefixes = drainPrefixes(batches, "srm_compose")
+
+    // global cut at epoch e from the drained snapshots: per shard take
+    // the max-epoch row <= e, then long-sum across shards
+    val allRows = prefixes.last
+    val epochs = allRows.map(_.getLong(1)).distinct.sorted
+    val cuts = epochs.map { e =>
+      val perShard = allRows.filter(_.getLong(1) <= e)
+        .groupBy(_.getInt(0)).values.map(_.maxBy(_.getLong(1)))
+      (e,
+        perShard.map(_.getLong(2)).sum, perShard.map(_.getLong(3)).sum,
+        perShard.map(_.getLong(4)).sum, perShard.map(_.getLong(5)).sum)
+    }.toDF("cut", "n_a", "n_b", "conv_a", "conv_b")
+    val streamed = Experiment.msprtReadout(cuts, "cut", tau2 = 1e-4)
+      .orderBy(org.apache.spark.sql.functions.col("cut")).collect().toSeq
+
+    // ground truth: batch-assigned cumulative counts over the same prefixes
+    val boundary = Sampling.splitBoundaries(Seq("a" -> 0.5, "b" -> 0.5)).head._2
+    val expected = Experiment.msprtReadout(
+      batches.indices.map { i =>
+        val seen = batches.take(i + 1).flatten
+        val (a, b) = seen.partition(t =>
+          t._3 != null && StreamingSrmMonitor.keyHashLong(t._3, Salt) < boundary)
+        ((i + 1).toLong, a.size.toLong, b.size.toLong,
+          a.count(_._4).toLong, b.count(_._4).toLong)
+      }.toDF("cut", "n_a", "n_b", "conv_a", "conv_b"), "cut", tau2 = 1e-4)
+      .orderBy(org.apache.spark.sql.functions.col("cut")).collect().toSeq
+    assert(streamed == expected,
+      s"streamed cuts diverged from batch cuts:\n$streamed\nvs\n$expected")
+  }
+
   test("null users take the last arm exactly like batch hashSplit — no poison pill") {
     val named = Seq(("u1", true), ("u2", false), ("u3", true), ("u4", false))
     val stream = named.zipWithIndex.map { case ((u, c), i) => (0, i.toLong, u, c) } ++
