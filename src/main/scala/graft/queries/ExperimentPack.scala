@@ -62,14 +62,16 @@ object ExperimentPack extends QueryPack {
       val in = s.readStream.schema(staged.schema)
         .option("maxFilesPerTrigger", 1).parquet(stage)
         .as[(Int, Long, String, Boolean)]
-      val q = graft.streaming.StreamingSrmMonitor.counts(in, salt = "exp1")
-        .toDF("shard", "epoch", "n_a", "n_b", "conv_a", "conv_b")
-        .writeStream.format("memory").queryName(sinkName).outputMode("append")
-        .trigger(Trigger.AvailableNow()).start()
-      try {
-        if (!q.awaitTermination(300000))
-          throw graft.core.GraftError("q260 drain timed out")
-      } finally q.stop()
+      PackShared.withShufflePartitions(s, 4) {
+        val q = graft.streaming.StreamingSrmMonitor.counts(in, salt = "exp1")
+          .toDF("shard", "epoch", "n_a", "n_b", "conv_a", "conv_b")
+          .writeStream.format("memory").queryName(sinkName).outputMode("append")
+          .trigger(Trigger.AvailableNow()).start()
+        try {
+          if (!q.awaitTermination(300000))
+            throw graft.core.GraftError("q260 drain timed out")
+        } finally q.stop()
+      }
       graft.streaming.StreamingSrmMonitor.readout(s.table(sinkName))
     }),
 

@@ -11,6 +11,23 @@ import org.apache.spark.sql.functions._
   * the graft.tools smoke harnesses) read these. */
 private[graft] object PackShared {
 
+  /** Scoped shuffle-partition override for the streaming-drain queries
+    * (q260/q262/q263): a stateful streaming query creates ONE state
+    * store per shuffle partition at first run, so a 4-shard monitor
+    * under the session default (32) pays 32 store inits + commits per
+    * micro-batch for 4 shards of actual state — ~8× pure overhead on a
+    * 3-batch drain. The override is restored in `finally` so the
+    * surrounding suite (bench windows share the session) is untouched;
+    * only the drain runs under it, the batch readout after it plans at
+    * the session default. On a real cluster the monitor would set its
+    * state-partition count at deploy time the same way. */
+  def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   /** q166's oracle is GENERATED like q33's: every band key re-derived in
     * DuckDB from the same plane literals, occupancy and pair counts pure
     * integers. */

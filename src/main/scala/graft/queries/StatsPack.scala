@@ -201,14 +201,16 @@ object StatsPack extends QueryPack {
       val in = s.readStream.schema(staged.schema)
         .option("maxFilesPerTrigger", 1).parquet(stage)
         .as[(Int, Long, Double, Boolean)]
-      val q = graft.streaming.StreamingCalibration.binCounts(in, bins = 10)
-        .toDF("shard", "epoch", "bin", "n", "s7", "pos")
-        .writeStream.format("memory").queryName(sinkName).outputMode("append")
-        .trigger(Trigger.AvailableNow()).start()
-      try {
-        if (!q.awaitTermination(300000))
-          throw graft.core.GraftError("q262 drain timed out")
-      } finally q.stop()
+      PackShared.withShufflePartitions(s, 4) {
+        val q = graft.streaming.StreamingCalibration.binCounts(in, bins = 10)
+          .toDF("shard", "epoch", "bin", "n", "s7", "pos")
+          .writeStream.format("memory").queryName(sinkName).outputMode("append")
+          .trigger(Trigger.AvailableNow()).start()
+        try {
+          if (!q.awaitTermination(300000))
+            throw graft.core.GraftError("q262 drain timed out")
+        } finally q.stop()
+      }
       graft.streaming.StreamingCalibration.card(s.table(sinkName))
         .orderBy(col("bin"))
     }),
@@ -290,15 +292,17 @@ object StatsPack extends QueryPack {
       val in = s.readStream.schema(staged.schema)
         .option("maxFilesPerTrigger", 1).parquet(stage)
         .as[(Int, Long, Long)]
-      val q = graft.streaming.StreamingDrift.binCounts(in,
-        minV = 0L, maxV = 2047L, bins = 32)
-        .toDF("shard", "epoch", "bin", "cnt")
-        .writeStream.format("memory").queryName(sinkName).outputMode("append")
-        .trigger(Trigger.AvailableNow()).start()
-      try {
-        if (!q.awaitTermination(300000))
-          throw graft.core.GraftError("q263 drain timed out")
-      } finally q.stop()
+      PackShared.withShufflePartitions(s, 4) {
+        val q = graft.streaming.StreamingDrift.binCounts(in,
+          minV = 0L, maxV = 2047L, bins = 32)
+          .toDF("shard", "epoch", "bin", "cnt")
+          .writeStream.format("memory").queryName(sinkName).outputMode("append")
+          .trigger(Trigger.AvailableNow()).start()
+        try {
+          if (!q.awaitTermination(300000))
+            throw graft.core.GraftError("q263 drain timed out")
+        } finally q.stop()
+      }
       graft.streaming.StreamingDrift.psiVsReference(s.table(sinkName),
         graft.operators.Profiler.histogram(
           docs.filter(col("doc_id") % 2 === 0).select(col("n_chars")),
