@@ -239,6 +239,83 @@ object Profiler {
             (lit(d).cast("double") / lit(bins)), 4).as("est"): _*)
   }
 
+  /** Data-contract battery (the expectation-suite pattern): each rule is
+    * (column, kind, bound) with kind one of `min_ge` / `max_le`
+    * (numeric columns), `null_frac_le`, `distinct_ge` / `distinct_le`
+    * (any column); the report carries the OBSERVED value next to the
+    * bound and a pass flag per rule — the landing-zone gate a pipeline
+    * checks before admitting a vintage downstream (run it, fail the run
+    * on `pass = false` rows, keep the report as the audit artifact).
+    *
+    * Shape: ONE map-side-combined scalar aggregation computes every
+    * min/max/null/total in a single corpus pass; each `distinct_*`
+    * column adds one count-distinct aggregation (exact by contract —
+    * this is an audit, the cost is the product; the KMV sketch family
+    * is the estimate path when exactness isn't owed). Output is
+    * rules-sized. Observed values are doubles on the 1e-6 grid
+    * (min/max/null-frac) or exact long counts surfaced as doubles
+    * (distinct), so a SQL oracle reproduces the report bit for bit.
+    */
+  def expectationReport(
+      df: DataFrame,
+      rules: Seq[(String, String, Double)]
+  ): DataFrame = {
+    require(rules.nonEmpty, "at least one expectation is required")
+    val kinds = Set("min_ge", "max_le", "null_frac_le", "distinct_ge", "distinct_le")
+    rules.foreach { case (c, k, _) =>
+      require(kinds.contains(k), s"unknown expectation kind '$k' for column $c")
+      require(df.columns.contains(c), s"no such column: $c")
+    }
+    val spark = df.sparkSession
+    import org.apache.spark.sql.Row
+    val q6 = (c: org.apache.spark.sql.Column) =>
+      graft.functions.Quantize.scaledFloor(c, 6)
+    val scalarCols = rules.collect {
+      case (c, "min_ge", _) => Seq(q6(min(col(c).cast("double"))).as(s"__min_$c"))
+      case (c, "max_le", _) => Seq(q6(max(col(c).cast("double"))).as(s"__max_$c"))
+      case (c, "null_frac_le", _) => Seq(
+        q6(count(when(col(c).isNull, 1)).cast("double") /
+          count(lit(1)).cast("double")).as(s"__nf_$c"))
+      case (c, k, _) if k.startsWith("distinct") =>
+        Seq(countDistinct(col(c)).cast("double").as(s"__nd_$c"))
+    }.flatten.distinct
+    val obs = df.agg(scalarCols.head, scalarCols.tail: _*).collect().head
+    def observedOf(name: String): Option[Double] = {
+      val i = obs.fieldIndex(name)
+      if (obs.isNullAt(i)) None else Some(obs.getDouble(i))
+    }
+    val out = rules.map { case (c, k, bound) =>
+      val observed = k match {
+        case "min_ge" => observedOf(s"__min_$c")
+        case "max_le" => observedOf(s"__max_$c")
+        case "null_frac_le" => observedOf(s"__nf_$c")
+        case _ => observedOf(s"__nd_$c")
+      }
+      val pass = (k, observed) match {
+        case (_, None) => false // all-null numeric column: nothing to certify
+        case ("min_ge", Some(o)) => o >= bound
+        case ("max_le", Some(o)) => o <= bound
+        case ("null_frac_le", Some(o)) => o <= bound
+        case ("distinct_ge", Some(o)) => o >= bound
+        case (_, Some(o)) => o <= bound
+      }
+      Row(c, k, bound, observed.map(Double.box).orNull, pass)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("col_name",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("kind",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("bound",
+          org.apache.spark.sql.types.DoubleType, nullable = false),
+        org.apache.spark.sql.types.StructField("observed",
+          org.apache.spark.sql.types.DoubleType, nullable = true),
+        org.apache.spark.sql.types.StructField("pass",
+          org.apache.spark.sql.types.BooleanType, nullable = false))))
+  }
+
   /** Functional-dependency audit: does `X → Y` hold? Returns the X values
     * that map to MORE than one distinct Y (the violations), with the
     * count — constraint MINING for profile cards ("source determines

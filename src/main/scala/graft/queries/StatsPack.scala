@@ -215,6 +215,21 @@ object StatsPack extends QueryPack {
         .orderBy(col("bin"))
     }),
 
+    // Data-contract battery: the expectation-suite gate a landing zone
+    // runs before admitting a vintage — bounds on ranges, null fractions
+    // and cardinalities, observed values reported next to each bound.
+    // One scalar aggregation + exact distinct counts (audit contract).
+    "q266_expectations" -> ((s, d) => {
+      graft.operators.Profiler.expectationReport(Tables.documents(s, d), Seq(
+        ("doc_id", "distinct_ge", 100.0),
+        ("text", "null_frac_le", 0.0),
+        ("n_chars", "min_ge", 0.0),
+        ("n_chars", "max_le", 100000.0),
+        ("lang", "distinct_le", 16.0),
+        ("source", "distinct_le", 64.0)))
+        .orderBy(col("col_name"), col("kind"))
+    }),
+
     // Cohen's kappa per source slice: the q28 heuristic lang-id as rater A
     // vs the recorded lang metadata as rater B — chance-corrected labeler
     // agreement, integer counts to the last ratio.
@@ -1610,6 +1625,42 @@ object StatsPack extends QueryPack {
     // q262 drains the SAME scored rows through the streaming fold — by
     // the drain≡batch contract its oracle IS q203's.
     "q262_streaming_calibration" -> reliabilityCardOracle,
+
+    // q266: each expectation mirrored as one row off a single stats CTE;
+    // observed values on the same 1e-6 grid / exact distinct counts.
+    "q266_expectations" -> """
+      WITH s AS (SELECT
+        CAST(count(DISTINCT doc_id) AS DOUBLE) AS nd_doc,
+        CAST(floor(CAST(count(*) FILTER (WHERE text IS NULL) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE)
+          / 1000000.0 AS nf_text,
+        CAST(floor(min(CAST(n_chars AS DOUBLE)) * 1000000.0 + 0.5) AS DOUBLE)
+          / 1000000.0 AS min_nc,
+        CAST(floor(max(CAST(n_chars AS DOUBLE)) * 1000000.0 + 0.5) AS DOUBLE)
+          / 1000000.0 AS max_nc,
+        CAST(count(DISTINCT lang) AS DOUBLE) AS nd_lang,
+        CAST(count(DISTINCT source) AS DOUBLE) AS nd_src
+      FROM documents)
+      SELECT col_name, kind, bound, observed, pass FROM (
+        SELECT 'doc_id' AS col_name, 'distinct_ge' AS kind,
+               CAST(100.0 AS DOUBLE) AS bound, nd_doc AS observed,
+               nd_doc >= CAST(100.0 AS DOUBLE) AS pass FROM s
+        UNION ALL
+        SELECT 'text', 'null_frac_le', CAST(0.0 AS DOUBLE), nf_text,
+               nf_text <= CAST(0.0 AS DOUBLE) FROM s
+        UNION ALL
+        SELECT 'n_chars', 'min_ge', CAST(0.0 AS DOUBLE), min_nc,
+               min_nc >= CAST(0.0 AS DOUBLE) FROM s
+        UNION ALL
+        SELECT 'n_chars', 'max_le', CAST(100000.0 AS DOUBLE), max_nc,
+               max_nc <= CAST(100000.0 AS DOUBLE) FROM s
+        UNION ALL
+        SELECT 'lang', 'distinct_le', CAST(16.0 AS DOUBLE), nd_lang,
+               nd_lang <= CAST(16.0 AS DOUBLE) FROM s
+        UNION ALL
+        SELECT 'source', 'distinct_le', CAST(64.0 AS DOUBLE), nd_src,
+               nd_src <= CAST(64.0 AS DOUBLE) FROM s)
+      ORDER BY col_name, kind""",
 
     "q203_reliability_card" -> reliabilityCardOracle,
 

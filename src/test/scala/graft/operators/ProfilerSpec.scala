@@ -446,4 +446,36 @@ class ProfilerSpec extends AnyFunSuite {
     val noTest = Seq(("train", 0.45, true)).toDF("split", "p", "y")
     assert(Profiler.oosCalibratedBrier(noTest, "split", "train", "p", "y", 10).isEmpty)
   }
+
+  test("expectationReport: bounds enforced, all-null column fails closed, bad kind rejects") {
+    val df = Seq((1L, "en", Some(10.0)), (2L, "en", Some(20.0)), (3L, "de", None))
+      .toDF("id", "lang", "v")
+    val rows = Profiler.expectationReport(df, Seq(
+      ("id", "distinct_ge", 3.0),
+      ("id", "distinct_le", 2.0),       // violated: 3 distinct
+      ("v", "min_ge", 15.0),            // violated: min 10
+      ("v", "max_le", 20.0),
+      ("v", "null_frac_le", 0.5),       // 1/3 nulls -> pass
+      ("lang", "null_frac_le", 0.0)))
+      .orderBy(col("col_name"), col("kind"), col("bound")).collect()
+    val byKey = rows.map(r => (r.getString(0), r.getString(1), r.getDouble(2)) ->
+      ((Option(r.get(3)).map(_.asInstanceOf[Double]), r.getBoolean(4)))).toMap
+    assert(byKey(("id", "distinct_ge", 3.0)) == ((Some(3.0), true)))
+    assert(byKey(("id", "distinct_le", 2.0)) == ((Some(3.0), false)))
+    assert(byKey(("v", "min_ge", 15.0)) == ((Some(10.0), false)))
+    assert(byKey(("v", "max_le", 20.0)) == ((Some(20.0), true)))
+    assert(byKey(("v", "null_frac_le", 0.5))._2)
+    assert(byKey(("v", "null_frac_le", 0.5))._1.exists(o => math.abs(o - 0.333333) < 1e-9))
+    assert(byKey(("lang", "null_frac_le", 0.0)) == ((Some(0.0), true)))
+
+    // an all-null numeric column cannot certify a range bound: fail closed
+    val nulls = Seq((1L, None: Option[Double]), (2L, None)).toDF("id", "v")
+    val r = Profiler.expectationReport(nulls, Seq(("v", "min_ge", 0.0))).collect().head
+    assert(r.isNullAt(3) && !r.getBoolean(4))
+
+    intercept[IllegalArgumentException](
+      Profiler.expectationReport(df, Seq(("v", "between", 1.0))))
+    intercept[IllegalArgumentException](
+      Profiler.expectationReport(df, Seq(("nope", "min_ge", 1.0))))
+  }
 }
