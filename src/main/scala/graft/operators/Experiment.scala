@@ -464,9 +464,13 @@ object Experiment {
       s"MDEs must be in (0, 1), got $mdes")
     val keys = groupCols.map(col)
     val q6 = (c: Column) => graft.functions.Quantize.scaledFloor(c, 6)
+    // the unit of analysis is the USER: distinct counts make the base
+    // rate per-user even on non-deduped (event-level) input, honoring
+    // the "users per arm" contract instead of silently computing a
+    // per-event rate
     val rates = df.groupBy(keys: _*)
-      .agg(count(lit(1)).as("__n"),
-        count(when(col(convertedCol).cast("boolean"), 1)).as("__c"))
+      .agg(countDistinct(col(userCol)).as("__n"),
+        countDistinct(when(col(convertedCol).cast("boolean"), col(userCol))).as("__c"))
       .select(keys :+ q6(col("__c").cast("double") / col("__n").cast("double"))
         .as("base_rate"): _*)
     val p1 = col("base_rate")

@@ -271,14 +271,14 @@ object Profiler {
     val q6 = (c: org.apache.spark.sql.Column) =>
       graft.functions.Quantize.scaledFloor(c, 6)
     val scalarCols = rules.collect {
-      case (c, "min_ge", _) => Seq(q6(min(col(c).cast("double"))).as(s"__min_$c"))
-      case (c, "max_le", _) => Seq(q6(max(col(c).cast("double"))).as(s"__max_$c"))
-      case (c, "null_frac_le", _) => Seq(
+      case (c, "min_ge", _) => q6(min(col(c).cast("double"))).as(s"__min_$c")
+      case (c, "max_le", _) => q6(max(col(c).cast("double"))).as(s"__max_$c")
+      case (c, "null_frac_le", _) =>
         q6(count(when(col(c).isNull, 1)).cast("double") /
-          count(lit(1)).cast("double")).as(s"__nf_$c"))
+          count(lit(1)).cast("double")).as(s"__nf_$c")
       case (c, k, _) if k.startsWith("distinct") =>
-        Seq(countDistinct(col(c)).cast("double").as(s"__nd_$c"))
-    }.flatten.distinct
+        countDistinct(col(c)).cast("double").as(s"__nd_$c")
+    }.distinct
     val obs = df.agg(scalarCols.head, scalarCols.tail: _*).collect().head
     def observedOf(name: String): Option[Double] = {
       val i = obs.fieldIndex(name)

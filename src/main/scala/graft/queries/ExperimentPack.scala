@@ -46,33 +46,18 @@ object ExperimentPack extends QueryPack {
     // long sum — the readout must be BIT-IDENTICAL to q230's batch SQL
     // oracle, which is the whole drain≡batch contract under the hash gate.
     "q260_streaming_srm" -> ((s, d) => {
-      import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
       val staged = Tables.events(s, d).groupBy(col("user_id"))
         .agg(max(when(col("event_type") === "purchase", 1).otherwise(0)).as("conv"))
         .select(pmod(col("user_id"), lit(4)).cast("int").as("_1"),
           col("user_id").cast("long").as("_2"),
           col("user_id").cast("string").as("_3"),
           (col("conv") === 1).as("_4"))
-      val stage = java.nio.file.Files
-        .createTempDirectory("graft-q260-users").toString
-      staged.repartition(3).write.mode("overwrite").parquet(stage)
-      val sinkName = "q260_sink"
-      try s.catalog.dropTempView(sinkName) catch { case _: Exception => () }
-      import s.implicits._
-      val in = s.readStream.schema(staged.schema)
-        .option("maxFilesPerTrigger", 1).parquet(stage)
-        .as[(Int, Long, String, Boolean)]
-      PackShared.withShufflePartitions(s, 4) {
-        val q = graft.streaming.StreamingSrmMonitor.counts(in, salt = "exp1")
-          .toDF("shard", "epoch", "n_a", "n_b", "conv_a", "conv_b")
-          .writeStream.format("memory").queryName(sinkName).outputMode("append")
-          .trigger(Trigger.AvailableNow()).start()
-        try {
-          if (!q.awaitTermination(300000))
-            throw graft.core.GraftError("q260 drain timed out")
-        } finally q.stop()
-      }
-      graft.streaming.StreamingSrmMonitor.readout(s.table(sinkName))
+      val snapshots = PackShared.drainStaged(s, staged, "q260_sink", "q260-users")(
+        in => graft.streaming.StreamingSrmMonitor
+          .counts(in.as[(Int, Long, String, Boolean)], salt = "exp1")
+          .toDF("shard", "epoch", "n_a", "n_b", "conv_a", "conv_b"))
+      graft.streaming.StreamingSrmMonitor.readout(snapshots)
     }),
 
     // q259 with the PERSISTENCE leg: each vintage's moment partial is

@@ -28,6 +28,36 @@ private[graft] object PackShared {
     try body finally s.conf.set(key, prev)
   }
 
+  /** The stage-and-drain harness shared by the streaming-monitor queries
+    * (q260/q262/q263): stage the batch frame to a 3-file directory,
+    * drain it through a REAL readStream (maxFilesPerTrigger=1 →
+    * ≥3 micro-batches, AvailableNow) into a memory sink under the
+    * 4-partition state-store override, return the drained table. `fold`
+    * maps the raw streaming frame (same schema as `staged`) to the
+    * monitor's snapshot output. The fixed sink name is dropped first —
+    * a fresh UUID per call would leak one sink copy per invocation in
+    * long-lived JVMs (the q44 rule). */
+  def drainStaged(s: SparkSession, staged: DataFrame, sinkName: String,
+      label: String)(fold: DataFrame => DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val stage = java.nio.file.Files
+      .createTempDirectory(s"graft-$label").toString
+    staged.repartition(3).write.mode("overwrite").parquet(stage)
+    try s.catalog.dropTempView(sinkName) catch { case _: Exception => () }
+    val in = s.readStream.schema(staged.schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+    withShufflePartitions(s, 4) {
+      val q = fold(in)
+        .writeStream.format("memory").queryName(sinkName).outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      try {
+        if (!q.awaitTermination(300000))
+          throw graft.core.GraftError(s"$label drain timed out")
+      } finally q.stop()
+    }
+    s.table(sinkName)
+  }
+
   /** q166's oracle is GENERATED like q33's: every band key re-derived in
     * DuckDB from the same plane literals, occupancy and pair counts pure
     * integers. */

@@ -183,7 +183,7 @@ object StatsPack extends QueryPack {
     // q203's batch SQL oracle, which is the whole drain≡batch contract
     // on the integer score grid.
     "q262_streaming_calibration" -> ((s, d) => {
-      import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
       val scored = TextAnalysis.hashedLinearScore(
         Tables.documents(s, d).select(col("doc_id"), col("text"), col("lang")),
         "doc_id", "text", qualityWeights, bias = -0.5)
@@ -192,26 +192,11 @@ object StatsPack extends QueryPack {
         col("doc_id").cast("long").as("_2"),
         col("quality_score").cast("double").as("_3"),
         (col("lang") === "en").as("_4"))
-      val stage = java.nio.file.Files
-        .createTempDirectory("graft-q262-scores").toString
-      staged.repartition(3).write.mode("overwrite").parquet(stage)
-      val sinkName = "q262_sink"
-      try s.catalog.dropTempView(sinkName) catch { case _: Exception => () }
-      import s.implicits._
-      val in = s.readStream.schema(staged.schema)
-        .option("maxFilesPerTrigger", 1).parquet(stage)
-        .as[(Int, Long, Double, Boolean)]
-      PackShared.withShufflePartitions(s, 4) {
-        val q = graft.streaming.StreamingCalibration.binCounts(in, bins = 10)
-          .toDF("shard", "epoch", "bin", "n", "s7", "pos")
-          .writeStream.format("memory").queryName(sinkName).outputMode("append")
-          .trigger(Trigger.AvailableNow()).start()
-        try {
-          if (!q.awaitTermination(300000))
-            throw graft.core.GraftError("q262 drain timed out")
-        } finally q.stop()
-      }
-      graft.streaming.StreamingCalibration.card(s.table(sinkName))
+      val snapshots = PackShared.drainStaged(s, staged, "q262_sink", "q262-scores")(
+        in => graft.streaming.StreamingCalibration
+          .binCounts(in.as[(Int, Long, Double, Boolean)], bins = 10)
+          .toDF("shard", "epoch", "bin", "n", "s7", "pos"))
+      graft.streaming.StreamingCalibration.card(snapshots)
         .orderBy(col("bin"))
     }),
 
@@ -292,33 +277,17 @@ object StatsPack extends QueryPack {
     // q214's batch SQL oracle, the drain≡batch contract on the zBucket
     // integer grid.
     "q263_streaming_drift" -> ((s, d) => {
-      import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
       val docs = Tables.documents(s, d)
       val staged = docs.filter(col("doc_id") % 2 =!= 0).select(
         pmod(col("doc_id"), lit(4)).cast("int").as("_1"),
         col("doc_id").cast("long").as("_2"),
         (col("n_chars") * 2).cast("long").as("_3"))
-      val stage = java.nio.file.Files
-        .createTempDirectory("graft-q263-live").toString
-      staged.repartition(3).write.mode("overwrite").parquet(stage)
-      val sinkName = "q263_sink"
-      try s.catalog.dropTempView(sinkName) catch { case _: Exception => () }
-      import s.implicits._
-      val in = s.readStream.schema(staged.schema)
-        .option("maxFilesPerTrigger", 1).parquet(stage)
-        .as[(Int, Long, Long)]
-      PackShared.withShufflePartitions(s, 4) {
-        val q = graft.streaming.StreamingDrift.binCounts(in,
-          minV = 0L, maxV = 2047L, bins = 32)
-          .toDF("shard", "epoch", "bin", "cnt")
-          .writeStream.format("memory").queryName(sinkName).outputMode("append")
-          .trigger(Trigger.AvailableNow()).start()
-        try {
-          if (!q.awaitTermination(300000))
-            throw graft.core.GraftError("q263 drain timed out")
-        } finally q.stop()
-      }
-      graft.streaming.StreamingDrift.psiVsReference(s.table(sinkName),
+      val snapshots = PackShared.drainStaged(s, staged, "q263_sink", "q263-live")(
+        in => graft.streaming.StreamingDrift
+          .binCounts(in.as[(Int, Long, Long)], minV = 0L, maxV = 2047L, bins = 32)
+          .toDF("shard", "epoch", "bin", "cnt"))
+      graft.streaming.StreamingDrift.psiVsReference(snapshots,
         graft.operators.Profiler.histogram(
           docs.filter(col("doc_id") % 2 === 0).select(col("n_chars")),
           "n_chars", Seq.empty, minV = 0L, maxV = 2047L, bins = 32),

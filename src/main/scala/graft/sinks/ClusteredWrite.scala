@@ -76,8 +76,11 @@ object ClusteredWrite {
     // Column `/` is DOUBLE division (the §8 shiftright lesson), so divide
     // only after subtracting the remainder: (num − num % den) / den is an
     // integer-valued quotient, exact as long as num stays ≤ 2^53.
-    require(maxV - minV + 1L <= (1L << (53 - bits)),
-      s"domain ${maxV - minV + 1} too wide for exact bucketization at bits=$bits")
+    // checked positive FIRST: maxV - minV + 1 overflows Long for
+    // near-full-range domains, and the overflowed negative width would
+    // pass a bare <= check vacuously
+    require(maxV - minV + 1L > 0L && maxV - minV + 1L <= (1L << (53 - bits)),
+      s"domain [$minV, $maxV] too wide for exact bucketization at bits=$bits")
     val num = (c.cast("long") - lit(minV)) * lit(1L << bits)
     val den = lit(maxV - minV + 1L)
     ((num - pmod(num, den)) / den).cast("long")

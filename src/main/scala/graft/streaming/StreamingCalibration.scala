@@ -78,10 +78,14 @@ object StreamingCalibration {
     * drain ≡ batch bit for bit. */
   def card(snapshots: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // row_number, not a max-epoch filter: an at-least-once sink can
+    // deliver the max-epoch snapshot twice, and a filter would keep (and
+    // double-count) both copies — exactly one row per (shard, bin)
+    // survives here, the StreamingSrmMonitor.readout discipline
     val latest = snapshots
-      .withColumn("__maxe", max(col("epoch")).over(
-        Window.partitionBy(col("shard"))))
-      .filter(col("epoch") === col("__maxe"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("shard"), col("bin")).orderBy(col("epoch").desc)))
+      .filter(col("__rn") === 1)
       .groupBy(col("bin"))
       .agg(sum(col("n")).as("n"),
         sum(col("s7")).as("__s7"),

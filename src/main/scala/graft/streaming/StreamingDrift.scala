@@ -50,8 +50,13 @@ object StreamingDrift {
       s"bins must be a power of two in (0, 2^20], got $bins")
     require(maxV >= minV, s"empty domain [$minV, $maxV]")
     val bits = java.lang.Integer.numberOfTrailingZeros(bins)
-    require(maxV - minV + 1L <= (1L << (53 - bits)),
-      s"domain ${maxV - minV + 1} too wide for exact bucketization at bits=$bits")
+    // width computed once and checked positive FIRST: maxV - minV + 1
+    // overflows Long for near-full-range domains, and an overflowed
+    // (negative) width would pass a bare <= check vacuously and then
+    // corrupt every bin via division by a negative denominator
+    val width = maxV - minV + 1L
+    require(width > 0L && width <= (1L << (53 - bits)),
+      s"domain [$minV, $maxV] too wide for exact bucketization at bits=$bits")
     ds.groupByKey(_._1)
       .flatMapGroupsWithState[(Long, Map[Long, Long]), (Int, Long, Long, Long)](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
@@ -91,10 +96,14 @@ object StreamingDrift {
       bins: Int
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // row_number, not a max-epoch filter: an at-least-once sink can
+    // deliver the max-epoch snapshot twice, and a filter would keep (and
+    // double-count) both copies — exactly one row per (shard, bin)
+    // survives, the StreamingSrmMonitor.readout discipline
     val live = snapshots
-      .withColumn("__maxe", max(col("epoch")).over(
-        Window.partitionBy(col("shard"))))
-      .filter(col("epoch") === col("__maxe"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("shard"), col("bin")).orderBy(col("epoch").desc)))
+      .filter(col("__rn") === 1)
       .groupBy(col("bin"))
       .agg(sum(col("cnt")).as("__cb"))
     graft.operators.Profiler.psiFromBinCounts(

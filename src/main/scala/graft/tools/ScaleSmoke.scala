@@ -291,7 +291,7 @@ object ScaleSmoke {
     // epochs x 8 files each — the after-a-week landing zone. The cost model
     // is one read+write of the data plus listings; epoch count should show
     // up in listings only.
-    if (active("compaction epochs")) locally {
+    if (active(s"compaction (${4 * mult} epochs)")) locally {
       val dir = java.nio.file.Files.createTempDirectory("graft-smoke-compact").toString + "/sink"
       val writer = new graft.sinks.ExactlyOnceParquetWriter(dir)
       val epoch = Tables.documents(spark, sfDir).select(col("doc_id"), col("lang")).repartition(8)

@@ -64,6 +64,15 @@ class StreamingCalibrationSpec extends AnyFunSuite {
     assert(a == b, "shard layout / batch placement must not change the card")
   }
 
+  test("a replayed max-epoch snapshot (at-least-once sink) does not double-count the card") {
+    val stream = rows.zipWithIndex.map { case ((s, y), i) => (i % 2, i.toLong, s, y) }
+    val snaps = drain(Seq(stream), "cal_replay")
+    val maxEpochRows = snaps.filter(r => r.getLong(1) == snaps.map(_.getLong(1)).max)
+    val clean = cardOf(snaps)
+    val replayed = cardOf(snaps ++ maxEpochRows) // duplicate delivery
+    assert(replayed == clean, "duplicated snapshot delivery must not move the card")
+  }
+
   test("state stays bins-bounded: a shard's snapshot never exceeds bins rows per epoch") {
     val stream = rows.zipWithIndex.map { case ((s, y), i) => (0, i.toLong, s, y) }
     val snaps = drain(Seq(stream.take(100), stream.drop(100)), "cal_bound")

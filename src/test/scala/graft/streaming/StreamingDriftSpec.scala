@@ -80,6 +80,15 @@ class StreamingDriftSpec extends AnyFunSuite {
     assert(a == b, "shard layout / batch placement must not change the psi")
   }
 
+  test("a replayed max-epoch snapshot (at-least-once sink) does not double-count the psi") {
+    val stream = live.zipWithIndex.map { case (v, i) => (i % 2, i.toLong, v) }
+    val snaps = drain(Seq(stream), "drift_replay")
+    val maxEpochRows = snaps.filter(r => r.getLong(1) == snaps.map(_.getLong(1)).max)
+    val clean = psiOf(snaps, reference)
+    val replayed = psiOf(snaps ++ maxEpochRows, reference)
+    assert(replayed == clean, "duplicated snapshot delivery must not move the psi")
+  }
+
   test("state stays bins-bounded and clamps land in the edge bins") {
     val stream = live.zipWithIndex.map { case (v, i) => (0, i.toLong, v) }
     val snaps = drain(Seq(stream.take(150), stream.drop(150)), "drift_bound")
