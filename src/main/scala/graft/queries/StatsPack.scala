@@ -215,6 +215,27 @@ object StatsPack extends QueryPack {
         .orderBy(col("col_name"), col("kind"))
     }),
 
+    // q266's CONTINUOUS form for the O(1)-statistic kinds: event values
+    // (with a deterministic null injection — 'error' events carry no
+    // value) drained through the per-shard (n, nulls, min, max) fold;
+    // the report must be BIT-IDENTICAL to the batch battery over the
+    // same rows, including a FAILING max_le rule (the planted breach).
+    "q267_streaming_contract" -> ((s, d) => {
+      import s.implicits._
+      val staged = Tables.events(s, d).select(
+        pmod(col("event_id"), lit(4)).cast("int").as("_1"),
+        col("event_id").cast("long").as("_2"),
+        when(col("event_type") === "error", lit(null))
+          .otherwise(col("value")).cast("double").as("_3"))
+      val snaps = PackShared.drainStaged(s, staged, "q267_sink", "q267-values")(
+        in => graft.streaming.StreamingExpectations
+          .stats(in.as[(Int, Long, Option[Double])])
+          .toDF("shard", "epoch", "n", "nulls", "min", "max"))
+      graft.streaming.StreamingExpectations.report(snaps, "value", Seq(
+        ("min_ge", 0.0), ("max_le", 100.0), ("null_frac_le", 0.25)))
+        .orderBy(col("kind"))
+    }),
+
     // Cohen's kappa per source slice: the q28 heuristic lang-id as rater A
     // vs the recorded lang metadata as rater B — chance-corrected labeler
     // agreement, integer counts to the last ratio.
@@ -1594,6 +1615,31 @@ object StatsPack extends QueryPack {
     // q262 drains the SAME scored rows through the streaming fold — by
     // the drain≡batch contract its oracle IS q203's.
     "q262_streaming_calibration" -> reliabilityCardOracle,
+
+    // q267: the same single-stats-CTE shape as q266 over the
+    // null-injected live values.
+    "q267_streaming_contract" -> """
+      WITH v AS (SELECT CASE WHEN event_type = 'error' THEN NULL
+                             ELSE value END AS v
+                 FROM events),
+      s AS (SELECT
+        CAST(floor(min(v) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS mn,
+        CAST(floor(max(v) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS mx,
+        CAST(floor(CAST(count(*) FILTER (WHERE v IS NULL) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE)
+          / 1000000.0 AS nf
+      FROM v)
+      SELECT col_name, kind, bound, observed, pass FROM (
+        SELECT 'value' AS col_name, 'min_ge' AS kind,
+               CAST(0.0 AS DOUBLE) AS bound, mn AS observed,
+               mn >= CAST(0.0 AS DOUBLE) AS pass FROM s
+        UNION ALL
+        SELECT 'value', 'max_le', CAST(100.0 AS DOUBLE), mx,
+               mx <= CAST(100.0 AS DOUBLE) FROM s
+        UNION ALL
+        SELECT 'value', 'null_frac_le', CAST(0.25 AS DOUBLE), nf,
+               nf <= CAST(0.25 AS DOUBLE) FROM s)
+      ORDER BY kind""",
 
     // q266: each expectation mirrored as one row off a single stats CTE;
     // observed values on the same 1e-6 grid / exact distinct counts.
