@@ -414,6 +414,28 @@ object CorpusPack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Dead-letter routing: every 37th document's wire is REPLACED by
+    // malformed bytes (the upstream-corruption injection); the DLQ
+    // deserializer must route exactly those rows to quarantine (null
+    // fields, is_dead) and parse every other row identically to the
+    // FAILFAST path — one shared parse, the split is a predicate.
+    "q268_json_dlq" -> ((s, d) => {
+      import graft.serde.JsonFrames
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val wired = Tables.documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 37 === 0, lit("{corrupt").cast("binary"))
+          .otherwise(JsonFrames.wireColumn(Seq(col("lang"), col("n_chars"))))
+          .as("wire"))
+      val (good, dead) = JsonFrames.deserializeWithDlq(wired, "wire",
+        StructType(Seq(StructField("lang", StringType),
+          StructField("n_chars", LongType))))
+      good.select(col("doc_id"), col("lang"), col("n_chars"), lit(false).as("is_dead"))
+        .unionByName(dead.select(col("doc_id"),
+          lit(null).cast("string").as("lang"),
+          lit(null).cast("long").as("n_chars"), lit(true).as("is_dead")))
+        .orderBy(col("doc_id"))
+    }),
+
     // Deterministic hash sampling: selection is a pure function of
     // (salt, doc_id) — layout/run/engine independent, which is the whole
     // point — so an independent engine computes the EXACT same subset.
@@ -1343,6 +1365,15 @@ object CorpusPack extends QueryPack {
     // the serialized bytes themselves.
     "q50_json_roundtrip" -> """
       SELECT doc_id, text, doc_id AS jpath_id
+      FROM documents ORDER BY doc_id""",
+
+    // q268: the planted-corruption routing is a pure doc_id predicate,
+    // good rows round-trip their fields identically.
+    "q268_json_dlq" -> """
+      SELECT doc_id,
+             CASE WHEN doc_id % 37 = 0 THEN NULL ELSE lang END AS lang,
+             CASE WHEN doc_id % 37 = 0 THEN NULL ELSE n_chars END AS n_chars,
+             (doc_id % 37 = 0) AS is_dead
       FROM documents ORDER BY doc_id""",
 
     "q37_percentile" -> """

@@ -51,4 +51,43 @@ object JsonFrames {
     df.withColumn("__parsed", parsed)
       .select(df.columns.map(col) ++ schema.fieldNames.map(f => col(s"__parsed.$f")): _*)
   }
+
+  /** [[deserialize]] with a DEAD-LETTER leg instead of the task abort: a
+    * continuously-fed landing zone cannot let one malformed upstream
+    * document crash-loop the job on offset replay (the
+    * [[graft.streaming.StreamingSrmMonitor]] null-user lesson applied to
+    * serde), but silently null-filling it would corrupt the pipeline —
+    * so the row is ROUTED, not dropped: returns (good, dead) where
+    * `good` has [[deserialize]]'s exact shape and `dead` carries the
+    * input columns plus the raw offending `wire` bytes for quarantine
+    * and replay-after-fix.
+    *
+    * A row is dead iff PERMISSIVE `from_json` fills the corrupt-record
+    * sentinel field (syntax error — the only thing FAILFAST throws on;
+    * PERMISSIVE null-fills the DATA fields of a corrupt row, so the
+    * struct itself is non-null and the sentinel is the reliable signal);
+    * rows whose wire is null or whose fields are null decode as good
+    * with null fields, exactly like [[deserialize]]. Both legs are pure
+    * codegen'd expressions off ONE parse (the plan shares the
+    * `from_json`); nothing is collected and the split is a filter, so
+    * at 100 TB the quarantine costs one predicate, not a second parse.
+    * Routing is a pure row-local function of the bytes. */
+  def deserializeWithDlq(
+      df: DataFrame,
+      wireCol: String,
+      schema: StructType
+  ): (DataFrame, DataFrame) = {
+    val corrupt = "__graft_corrupt"
+    require(!schema.fieldNames.contains(corrupt),
+      s"schema must not declare the sentinel field $corrupt")
+    val withSentinel = schema.add(corrupt, org.apache.spark.sql.types.StringType)
+    val parsed = from_json(col(wireCol).cast("string"), withSentinel,
+      Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> corrupt))
+    val tagged = df.withColumn("__parsed", parsed)
+    val dead = col(s"__parsed.$corrupt").isNotNull
+    val good = tagged.filter(!dead)
+      .select(df.columns.map(col) ++ schema.fieldNames.map(f => col(s"__parsed.$f")): _*)
+    val dlq = tagged.filter(dead).select(df.columns.map(col): _*)
+    (good, dlq)
+  }
 }

@@ -67,6 +67,33 @@ class JsonSerdeSpec extends AnyFunSuite {
     assert(new String(row.getAs[Array[Byte]]("key"), "UTF-8") == """{"id":7}""")
   }
 
+  test("deserializeWithDlq: syntax errors route to the DLQ with their bytes; everything else matches FAILFAST") {
+    val rows = Seq(
+      (1L, """{"id": 1, "text": "ok"}"""),
+      (2L, "{not json at all"), // dead: syntax error
+      (3L, """{}"""), // good: valid, fields null
+      (4L, null.asInstanceOf[String]), // good: null wire decodes null fields
+      (5L, """{"id": 5}""")) // good: missing field null
+      .toDF("row_id", "s").select(col("row_id"), col("s").cast("binary").as("wire"))
+    val (good, dead) = JsonFrames.deserializeWithDlq(rows, "wire", schema)
+
+    val goodIds = good.select("row_id").as[Long].collect().sorted.toSeq
+    assert(goodIds == Seq(1L, 3L, 4L, 5L))
+    val deadRows = dead.collect()
+    assert(deadRows.map(_.getLong(0)).toSeq == Seq(2L))
+    // the quarantined row keeps its raw bytes for replay-after-fix
+    assert(new String(deadRows.head.getAs[Array[Byte]]("wire"), "UTF-8") ==
+      "{not json at all")
+
+    // the good leg is bit-identical to FAILFAST deserialize on clean input
+    val clean = rows.filter(col("row_id") =!= 2L)
+    val viaDlq = JsonFrames.deserializeWithDlq(clean, "wire", schema)._1
+      .orderBy("row_id").collect().toSeq
+    val viaFailfast = JsonFrames.deserialize(clean, "wire", schema)
+      .orderBy("row_id").collect().toSeq
+    assert(viaDlq == viaFailfast)
+  }
+
   test("malformed JSON fails the task loudly (FAILFAST), not null-filled") {
     val corrupt = Seq("{\"id\": 1, \"text\": \"ok\"}", "{not json at all")
       .toDF("s").select(col("s").cast("binary").as("wire"))
