@@ -31,9 +31,16 @@ object Quantize {
   }
 
   /** Plain-Scala form for driver-side / typed-fold code paths (the
-    * streaming EWMA emit) — same arithmetic, same doubles. */
+    * streaming EWMA emit, the streaming contract report) — BIT-IDENTICAL
+    * to the Column form on every input: the round trip through Long
+    * mirrors Spark's floor(Column)-returns-LongType + cast (both
+    * saturate identically past ±2^63 scaled, and NaN becomes 0.0 in both
+    * — Scala's NaN.toLong and Spark's double→long cast agree; a bare
+    * math.floor kept as double would neither saturate nor zero NaN and
+    * the two forms would diverge there; probed empirically, floor(NaN)
+    * through the Column form IS 0.0). */
   def scaledFloorDouble(x: Double, digits: Int): Double = {
     val m = math.pow(10.0, digits)
-    math.floor(x * m + 0.5) / m
+    math.floor(x * m + 0.5).toLong.toDouble / m
   }
 }

@@ -291,30 +291,41 @@ object Profiler {
         case "null_frac_le" => observedOf(s"__nf_$c")
         case _ => observedOf(s"__nd_$c")
       }
-      val pass = (k, observed) match {
-        case (_, None) => false // all-null numeric column: nothing to certify
-        case ("min_ge", Some(o)) => o >= bound
-        case ("max_le", Some(o)) => o <= bound
-        case ("null_frac_le", Some(o)) => o <= bound
-        case ("distinct_ge", Some(o)) => o >= bound
-        case (_, Some(o)) => o <= bound
-      }
-      Row(c, k, bound, observed.map(Double.box).orNull, pass)
+      Row(c, k, bound, observed.map(Double.box).orNull,
+        expectationPass(k, observed, bound))
     }
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(out, 1),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("col_name",
-          org.apache.spark.sql.types.StringType, nullable = false),
-        org.apache.spark.sql.types.StructField("kind",
-          org.apache.spark.sql.types.StringType, nullable = false),
-        org.apache.spark.sql.types.StructField("bound",
-          org.apache.spark.sql.types.DoubleType, nullable = false),
-        org.apache.spark.sql.types.StructField("observed",
-          org.apache.spark.sql.types.DoubleType, nullable = true),
-        org.apache.spark.sql.types.StructField("pass",
-          org.apache.spark.sql.types.BooleanType, nullable = false))))
+    spark.createDataFrame(spark.sparkContext.parallelize(out, 1), expectationSchema)
   }
+
+  /** The expectation-report output schema — shared with the streaming
+    * monitor ([[graft.streaming.StreamingExpectations.report]]) so the
+    * drain≡batch contract is structural, not parallel-maintained. */
+  private[graft] val expectationSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("col_name",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("kind",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("bound",
+        org.apache.spark.sql.types.DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField("observed",
+        org.apache.spark.sql.types.DoubleType, nullable = true),
+      org.apache.spark.sql.types.StructField("pass",
+        org.apache.spark.sql.types.BooleanType, nullable = false)))
+
+  /** The shared pass rule for expectation kinds: an absent observation
+    * (nothing arrived / all null) FAILS CLOSED — a range bound over no
+    * values certifies nothing. */
+  private[graft] def expectationPass(
+      kind: String, observed: Option[Double], bound: Double): Boolean =
+    (kind, observed) match {
+      case (_, None) => false
+      case ("min_ge", Some(o)) => o >= bound
+      case ("max_le", Some(o)) => o <= bound
+      case ("null_frac_le", Some(o)) => o <= bound
+      case ("distinct_ge", Some(o)) => o >= bound
+      case (_, Some(o)) => o <= bound
+    }
 
   /** Functional-dependency audit: does `X → Y` hold? Returns the X values
     * that map to MORE than one distinct Y (the violations), with the

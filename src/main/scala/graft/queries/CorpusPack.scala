@@ -415,10 +415,12 @@ object CorpusPack extends QueryPack {
     }),
 
     // Dead-letter routing: every 37th document's wire is REPLACED by
-    // malformed bytes (the upstream-corruption injection); the DLQ
-    // deserializer must route exactly those rows to quarantine (null
-    // fields, is_dead) and parse every other row identically to the
-    // FAILFAST path — one shared parse, the split is a predicate.
+    // malformed bytes (the upstream-corruption injection); the tagged
+    // deserializer must flag exactly those rows (null fields, is_dead)
+    // and parse every other row identically to the FAILFAST path — ONE
+    // plan, one parse, the split is a per-row flag (the two-frame
+    // deserializeWithDlq splitter is spec-gated; this query gates the
+    // one-pass form it is built on).
     "q268_json_dlq" -> ((s, d) => {
       import graft.serde.JsonFrames
       import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
@@ -426,13 +428,10 @@ object CorpusPack extends QueryPack {
         when(col("doc_id") % 37 === 0, lit("{corrupt").cast("binary"))
           .otherwise(JsonFrames.wireColumn(Seq(col("lang"), col("n_chars"))))
           .as("wire"))
-      val (good, dead) = JsonFrames.deserializeWithDlq(wired, "wire",
+      JsonFrames.deserializeTagged(wired, "wire",
         StructType(Seq(StructField("lang", StringType),
           StructField("n_chars", LongType))))
-      good.select(col("doc_id"), col("lang"), col("n_chars"), lit(false).as("is_dead"))
-        .unionByName(dead.select(col("doc_id"),
-          lit(null).cast("string").as("lang"),
-          lit(null).cast("long").as("n_chars"), lit(true).as("is_dead")))
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("is_dead"))
         .orderBy(col("doc_id"))
     }),
 

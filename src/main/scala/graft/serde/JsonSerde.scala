@@ -67,27 +67,49 @@ object JsonFrames {
     * PERMISSIVE null-fills the DATA fields of a corrupt row, so the
     * struct itself is non-null and the sentinel is the reliable signal);
     * rows whose wire is null or whose fields are null decode as good
-    * with null fields, exactly like [[deserialize]]. Both legs are pure
-    * codegen'd expressions off ONE parse (the plan shares the
-    * `from_json`); nothing is collected and the split is a filter, so
-    * at 100 TB the quarantine costs one predicate, not a second parse.
-    * Routing is a pure row-local function of the bytes. */
+    * with null fields, exactly like [[deserialize]]. Routing is a pure
+    * row-local function of the bytes.
+    *
+    * COST MODEL — the two returned frames are separate plans over the
+    * same parse subtree, and Catalyst does NOT share subplans across
+    * branches: consuming BOTH legs scans and parses the input twice. For
+    * the common write-both-sinks loop, persist/localCheckpoint the
+    * input first or use `foreachBatch`; when both legs feed ONE
+    * downstream plan, prefer [[deserializeTagged]] — a single frame, a
+    * single parse, the split is a per-row flag. */
   def deserializeWithDlq(
       df: DataFrame,
       wireCol: String,
       schema: StructType
   ): (DataFrame, DataFrame) = {
+    val tagged = deserializeTagged(df, wireCol, schema)
+    val good = tagged.filter(!col("is_dead"))
+      .select(df.columns.map(col) ++ schema.fieldNames.map(col): _*)
+    val dlq = tagged.filter(col("is_dead")).select(df.columns.map(col): _*)
+    (good, dlq)
+  }
+
+  /** The one-plan form of [[deserializeWithDlq]]: input columns + the
+    * parsed fields (null on dead rows) + an `is_dead` flag, all off ONE
+    * `from_json` — at 100 TB the quarantine costs one predicate column,
+    * not a second scan+parse. Same routing contract as
+    * [[deserializeWithDlq]] (which is a thin splitter over this). */
+  def deserializeTagged(
+      df: DataFrame,
+      wireCol: String,
+      schema: StructType
+  ): DataFrame = {
     val corrupt = "__graft_corrupt"
     require(!schema.fieldNames.contains(corrupt),
       s"schema must not declare the sentinel field $corrupt")
+    require(!df.columns.contains("is_dead"), "input already has an is_dead column")
     val withSentinel = schema.add(corrupt, org.apache.spark.sql.types.StringType)
     val parsed = from_json(col(wireCol).cast("string"), withSentinel,
       Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> corrupt))
-    val tagged = df.withColumn("__parsed", parsed)
     val dead = col(s"__parsed.$corrupt").isNotNull
-    val good = tagged.filter(!dead)
-      .select(df.columns.map(col) ++ schema.fieldNames.map(f => col(s"__parsed.$f")): _*)
-    val dlq = tagged.filter(dead).select(df.columns.map(col): _*)
-    (good, dlq)
+    df.withColumn("__parsed", parsed)
+      .select(df.columns.map(col) ++
+        schema.fieldNames.map(f =>
+          when(!dead, col(s"__parsed.$f")).as(f)) :+ dead.as("is_dead"): _*)
   }
 }

@@ -55,8 +55,16 @@ object StreamingExpectations {
             n += 1L
             v match {
               case Some(x) =>
-                mn = Some(mn.fold(x)(math.min(_, x)))
-                mx = Some(mx.fold(x)(math.max(_, x)))
+                // Double.compare, NOT math.min/max: Spark's min/max
+                // aggregates order NaN as LARGEST and -0.0 below 0.0
+                // (probed empirically: min{NaN,5} = 5, max{NaN,5} = NaN,
+                // min{-0.0,0.0} = -0.0), while math.min(NaN, x) = NaN —
+                // the fold must mirror the batch ordering or one NaN
+                // value breaks the drain≡batch bit-identity on min
+                mn = Some(mn.fold(x)(cur =>
+                  if (java.lang.Double.compare(x, cur) < 0) x else cur))
+                mx = Some(mx.fold(x)(cur =>
+                  if (java.lang.Double.compare(x, cur) > 0) x else cur))
               case None => nulls += 1L
             }
           }
@@ -97,6 +105,9 @@ object StreamingExpectations {
     def opt(i: Int): Option[Double] =
       if (merged.isNullAt(i)) None else Some(merged.getDouble(i))
     val n = merged.getLong(0); val nulls = merged.getLong(1)
+    // scaledFloorDouble is bit-identical to the batch Column form by its
+    // own contract (saturating Long round trip, NaN → 0.0); pass rule
+    // and output schema are the batch operator's own
     val q6 = (x: Double) => graft.functions.Quantize.scaledFloorDouble(x, 6)
     val out = rules.map { case (k, bound) =>
       val observed = k match {
@@ -105,26 +116,10 @@ object StreamingExpectations {
         case _ => if (n == 0L) None
           else Some(q6(nulls.toDouble / n.toDouble))
       }
-      val pass = (k, observed) match {
-        case (_, None) => false // nothing arrived (or all null): fail closed
-        case ("min_ge", Some(o)) => o >= bound
-        case ("max_le", Some(o)) => o <= bound
-        case (_, Some(o)) => o <= bound
-      }
-      Row(colName, k, bound, observed.map(Double.box).orNull, pass)
+      Row(colName, k, bound, observed.map(Double.box).orNull,
+        graft.operators.Profiler.expectationPass(k, observed, bound))
     }
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(out, 1),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("col_name",
-          org.apache.spark.sql.types.StringType, nullable = false),
-        org.apache.spark.sql.types.StructField("kind",
-          org.apache.spark.sql.types.StringType, nullable = false),
-        org.apache.spark.sql.types.StructField("bound",
-          org.apache.spark.sql.types.DoubleType, nullable = false),
-        org.apache.spark.sql.types.StructField("observed",
-          org.apache.spark.sql.types.DoubleType, nullable = true),
-        org.apache.spark.sql.types.StructField("pass",
-          org.apache.spark.sql.types.BooleanType, nullable = false))))
+    spark.createDataFrame(spark.sparkContext.parallelize(out, 1),
+      graft.operators.Profiler.expectationSchema)
   }
 }
