@@ -327,6 +327,47 @@ object Profiler {
       case (_, Some(o)) => o <= bound
     }
 
+  /** Hill tail-index estimator — "how heavy is the tail": for the top
+    * k+1 order statistics X₁ ≥ … ≥ X_{k+1} of a positive column,
+    * `H = (1/k)·Σ_{i≤k} (ln Xᵢ − ln X_{k+1})` estimates 1/α of a
+    * power-law tail P(X > x) ~ x^{−α} (Hill 1975). Corpus work leans on
+    * it constantly: document/line lengths, degree distributions and
+    * duplicate-cluster sizes are heavy-tailed, and α decides whether
+    * mean-based budgets (token caps, per-key caps) are even meaningful
+    * (α ≤ 1: the mean diverges; α ≤ 2: the variance does).
+    *
+    * Shape: ONE TakeOrdered of k+1 rows (O(k) heaps per partition,
+    * never a global sort) + a scalar aggregation over them. Ties at the
+    * k+1 boundary are harmless — equal values swap without changing the
+    * multiset. Per-term ln quantizes to the 1e-7 integer grid before
+    * the exact long sum (the q172 convention), so any SQL engine
+    * reproduces the row. Output 1 row: (n_tail = k, x_tail_min =
+    * X_{k+1}, hill = H, alpha = 1/H), hill/alpha scaled-floor quantized;
+    * alpha is null when H quantizes to 0 (a degenerate constant tail).
+    * Requires at least k+1 positive values (loud otherwise). */
+  def hillTailIndex(df: DataFrame, valueCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val q6 = (c: org.apache.spark.sql.Column) =>
+      graft.functions.Quantize.scaledFloor(c, 6)
+    val top = df.select(col(valueCol).cast("double").as("__x"))
+      .filter(col("__x") > 0.0)
+      .orderBy(col("__x").desc)
+      .limit(k + 1)
+    val agg = top.agg(count(lit(1)).as("__c"),
+      sum(floor(log(col("__x")) * lit(1.0e7) + lit(0.5)).cast("long")).as("__sl7"),
+      min(col("__x")).as("x_tail_min"))
+    val lnMin7 = floor(log(col("x_tail_min")) * lit(1.0e7) + lit(0.5)).cast("long")
+    val hillRaw = (col("__sl7") - col("__c") * lnMin7).cast("double") / 1.0e7 /
+      lit(k.toDouble)
+    agg.select(
+      when(col("__c") === (k + 1).toLong, lit(k.toLong))
+        .otherwise(raise_error(concat(lit(s"hillTailIndex: need ${k + 1} positive values, got "),
+          col("__c").cast("string")))).as("n_tail"),
+      col("x_tail_min"),
+      q6(hillRaw).as("hill"),
+      when(q6(hillRaw) > 0.0, q6(lit(1.0) / q6(hillRaw))).as("alpha"))
+  }
+
   /** Functional-dependency audit: does `X → Y` hold? Returns the X values
     * that map to MORE than one distinct Y (the violations), with the
     * count — constraint MINING for profile cards ("source determines

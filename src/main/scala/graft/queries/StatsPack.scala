@@ -236,6 +236,15 @@ object StatsPack extends QueryPack {
         .orderBy(col("kind"))
     }),
 
+    // Hill tail index of document lengths: the heavy-tail exponent that
+    // decides whether mean-based curation budgets are even meaningful
+    // (α ≤ 1: no mean; α ≤ 2: no variance). One k-bounded TakeOrdered +
+    // a scalar aggregation — never a global sort.
+    "q269_hill_tail" -> ((s, d) => {
+      graft.operators.Profiler.hillTailIndex(
+        Tables.documents(s, d).select(col("n_chars")), "n_chars", k = 200)
+    }),
+
     // Cohen's kappa per source slice: the q28 heuristic lang-id as rater A
     // vs the recorded lang metadata as rater B — chance-corrected labeler
     // agreement, integer counts to the last ratio.
@@ -1615,6 +1624,30 @@ object StatsPack extends QueryPack {
     // q262 drains the SAME scored rows through the streaming fold — by
     // the drain≡batch contract its oracle IS q203's.
     "q262_streaming_calibration" -> reliabilityCardOracle,
+
+    // q269: the same top-(k+1) multiset by value order (boundary ties
+    // swap equal values — multiset-invariant), per-term ln on the 1e-7
+    // grid, exact long sum, the closed form mirrored.
+    "q269_hill_tail" -> """
+      WITH t AS (SELECT CAST(n_chars AS DOUBLE) AS x FROM documents
+                 WHERE CAST(n_chars AS DOUBLE) > 0.0
+                 ORDER BY x DESC LIMIT 201),
+      s AS (SELECT count(*) AS c,
+                   sum(CAST(floor(ln(x) * 10000000.0 + 0.5) AS BIGINT)) AS sl7,
+                   min(x) AS xm
+            FROM t),
+      h AS (SELECT CAST(200 AS BIGINT) AS n_tail, xm AS x_tail_min,
+                   CAST(floor(CAST(sl7 - c * CAST(floor(ln(xm) * 10000000.0 + 0.5)
+                          AS BIGINT) AS DOUBLE)
+                        / 10000000.0 / 200.0 * 1000000.0 + 0.5) AS DOUBLE)
+                     / 1000000.0 AS hill
+            FROM s)
+      SELECT n_tail, x_tail_min, hill,
+             CASE WHEN hill > CAST(0.0 AS DOUBLE)
+                  THEN CAST(floor(CAST(1.0 AS DOUBLE) / hill * 1000000.0 + 0.5)
+                       AS DOUBLE) / 1000000.0
+             END AS alpha
+      FROM h""",
 
     // q267: the same single-stats-CTE shape as q266 over the
     // null-injected live values.

@@ -478,4 +478,29 @@ class ProfilerSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Profiler.expectationReport(df, Seq(("nope", "min_ge", 1.0))))
   }
+
+  test("hillTailIndex: recovers a planted Pareto exponent, degenerate tail nulls alpha, loud underflow, O(k) plan") {
+    // exact inverse-CDF grid of Pareto(alpha=2): X = u^(-1/2), u = i/n
+    val n = 5000
+    val pareto = (1 to n).map(i => math.pow(i.toDouble / n, -0.5)).toDF("x")
+    val r = Profiler.hillTailIndex(pareto, "x", k = 100).collect().head
+    assert(r.getLong(0) == 100L)
+    val hill = r.getDouble(2); val alpha = r.getDouble(3)
+    assert(math.abs(hill - 0.5) < 0.1, s"hill $hill should estimate 1/alpha = 0.5")
+    assert(math.abs(alpha - 2.0) < 0.4, s"alpha $alpha should estimate 2")
+    // constant tail: every ln-ratio is 0 -> hill 0 -> alpha null
+    val const = Seq.fill(50)(7.0).toDF("x")
+    val c = Profiler.hillTailIndex(const, "x", k = 10).collect().head
+    assert(c.getDouble(2) == 0.0 && c.isNullAt(3))
+    // fewer than k+1 positive values must fail loudly, not mis-estimate
+    val few = (Seq.fill(5)(3.0) ++ Seq(-1.0, 0.0)).toDF("x")
+    val e = intercept[Exception](Profiler.hillTailIndex(few, "x", k = 10).collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("need 11 positive values")))
+    // scale shape: the top-k select plans as TakeOrdered, not a global sort
+    val plan = Profiler.hillTailIndex(pareto, "x", k = 100)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected TakeOrdered in:\n$plan")
+  }
 }
