@@ -1916,6 +1916,36 @@ object TextAnalysis {
     * 1e-9 grid). Output 1 row: (n_points, slope, c) with c = exp of the
     * intercept (the fitted rank-1 frequency); null fit when fewer than
     * 2 points survive. */
+  /** Corpus coverage card (Good–Turing): token total N, vocabulary V,
+    * hapax count n₁, dis-legomena n₂, and the Good–Turing UNSEEN MASS
+    * `P(next token is novel) ≈ n₁/N` — the coverage statistic that says
+    * how much of the long tail a corpus has actually captured (a
+    * curation pass that strips rare junk should RAISE coverage = lower
+    * unseen mass; a dedup pass that collapses boilerplate lowers n₁'s
+    * share). `gt_vocab_ratio = n₁/(2n₂)·…` is deliberately NOT fitted —
+    * the card reports the exact integer sufficient statistics plus the
+    * two standard ratios, quantized; downstream smoothing owns its own
+    * fit. Shape: one vocabulary-shaped counting aggregation + one
+    * count-of-counts aggregation (≤ distinct-count-values rows), both
+    * map-side combined. Output 1 row:
+    * (n_tokens, vocab, n1, n2, unseen_mass, hapax_share). */
+  def coverageCard(df: DataFrame, textCol: String): DataFrame = {
+    val q6 = (c: Column) => graft.functions.Quantize.scaledFloor(c, 6)
+    val counts = df.select(explode(split(col(textCol), " ")).as("__tok"))
+      .filter(length(col("__tok")) > 0)
+      .groupBy(col("__tok")).agg(count(lit(1)).as("__cnt"))
+    counts.agg(
+      sum(col("__cnt")).as("n_tokens"),
+      count(lit(1)).as("vocab"),
+      count(when(col("__cnt") === 1L, 1)).as("n1"),
+      count(when(col("__cnt") === 2L, 1)).as("n2"))
+      .select(col("n_tokens"), col("vocab"), col("n1"), col("n2"),
+        q6(col("n1").cast("double") / col("n_tokens").cast("double"))
+          .as("unseen_mass"),
+        q6(col("n1").cast("double") / col("vocab").cast("double"))
+          .as("hapax_share"))
+  }
+
   def zipfSlope(df: DataFrame, textCol: String, k: Int = 100): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 2 && k <= 100000, s"k=$k out of [2, 100000]")

@@ -360,6 +360,12 @@ object TextPack extends QueryPack {
     "q247_heaps_law" -> ((s, d) =>
       TextAnalysis.heapsLaw(Tables.documents(s, d), "doc_id", "text", buckets = 10)),
 
+    // Good-Turing coverage card: exact token/vocab/hapax counts and the
+    // n1/N unseen-mass estimate — how much of the long tail this corpus
+    // has actually captured.
+    "q271_coverage_card" -> ((s, d) =>
+      TextAnalysis.coverageCard(Tables.documents(s, d), "text")),
+
     // Zipf rank-frequency slope over the top-200 tokens: the corpus-mix
     // fingerprint (natural text ~ -1; boilerplate flooding flattens it) —
     // one vocabulary-shaped count, a total-order top-k, a k-row OLS.
@@ -850,6 +856,23 @@ object TextPack extends QueryPack {
                     / 1000000.0
              END AS k
       FROM f""",
+    // q271: exact integer count-of-counts, the two ratios on the grid.
+    "q271_coverage_card" -> """
+      WITH c AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+                 FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+                 WHERE len(tok) > 0 GROUP BY tok),
+      s AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS vocab,
+                   CAST(count(*) FILTER (WHERE cnt = 1) AS BIGINT) AS n1,
+                   CAST(count(*) FILTER (WHERE cnt = 2) AS BIGINT) AS n2
+            FROM c)
+      SELECT n_tokens, vocab, n1, n2,
+             CAST(floor(CAST(n1 AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                  * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS unseen_mass,
+             CAST(floor(CAST(n1 AS DOUBLE) / CAST(vocab AS DOUBLE)
+                  * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS hapax_share
+      FROM s""",
+
     // q270: the same total-order (cnt DESC, tok) top-k and the q247 OLS
     // arithmetic with x = ln(rank).
     "q270_zipf_slope" -> """

@@ -764,4 +764,18 @@ class TextAnalysisSpec extends AnyFunSuite {
     val o = TextAnalysis.zipfSlope(one, "text", k = 10).collect().head
     assert(o.getLong(0) == 1L && o.isNullAt(1) && o.isNullAt(2))
   }
+
+  test("coverageCard: exact hapax/dis counts and Good-Turing unseen mass on a planted mix") {
+    // 4 hapax, 3 dis-legomena, 2 heavy tokens (10 each): N = 30, V = 9
+    val text = ((1 to 4).map(i => s"h$i") ++
+      (1 to 3).flatMap(i => Seq.fill(2)(s"d$i")) ++
+      Seq.fill(10)("x") ++ Seq.fill(10)("y")).mkString(" ")
+    val r = TextAnalysis.coverageCard(Seq(text).toDF("text"), "text").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == ((30L, 9L, 4L, 3L)))
+    assert(math.abs(r.getDouble(4) - 4.0 / 30.0) < 1e-6, "unseen mass = n1/N")
+    assert(math.abs(r.getDouble(5) - 4.0 / 9.0) < 1e-6, "hapax share = n1/V")
+    // empty tokens are excluded like every token path in this file
+    val pad = TextAnalysis.coverageCard(Seq("a  b   a").toDF("text"), "text").collect().head
+    assert((pad.getLong(0), pad.getLong(1), pad.getLong(2)) == ((3L, 2L, 1L)))
+  }
 }
