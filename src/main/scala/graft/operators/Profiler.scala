@@ -350,7 +350,14 @@ object Profiler {
     val q6 = (c: org.apache.spark.sql.Column) =>
       graft.functions.Quantize.scaledFloor(c, 6)
     val top = df.select(col(valueCol).cast("double").as("__x"))
-      .filter(col("__x") > 0.0)
+      // finite positives only: Spark orders NaN above every double and
+      // +Inf above every finite one, so `> 0` alone would admit both to
+      // the top of the desc order and silently garbage the quantized ln
+      // sum (floor(NaN·1e7).cast(long) is 0, Inf saturates) — ln is
+      // undefined there, exclusion is the contract; the k+1 count check
+      // below still fails loudly if too few finite positives remain
+      .filter(col("__x") > 0.0 && !isnan(col("__x")) &&
+        col("__x") =!= Double.PositiveInfinity)
       .orderBy(col("__x").desc)
       .limit(k + 1)
     val agg = top.agg(count(lit(1)).as("__c"),

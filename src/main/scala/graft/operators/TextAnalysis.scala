@@ -1900,35 +1900,17 @@ object TextAnalysis {
       when(ok, q6(exp(logk))).as("k"))
   }
 
-  /** Zipf rank-frequency slope — [[heapsLaw]]'s sibling law (the two are
-    * asymptotically linked: β ≈ 1/|slope|): OLS of ln(freq) on ln(rank)
-    * over the top `k` token frequencies. The slope is the
-    * corpus-health fingerprint the curation literature checks —
-    * natural text sits near −1; a slope collapsing toward 0 means
-    * boilerplate/template flooding, a much steeper one a degenerate
-    * vocabulary — and it moves when dedup/quality gates change the mix.
-    *
-    * Shape: ONE counting aggregation (vocabulary-shaped, map-side
-    * combined) + a k-bounded TakeOrdered under the TOTAL order
-    * (count desc, token) — boundary ties resolve deterministically so
-    * any engine selects the identical top-k — then a k-row window for
-    * ranks and [[heapsLaw]]'s exact-decimal OLS (per-term ln on the
-    * 1e-9 grid). Output 1 row: (n_points, slope, c) with c = exp of the
-    * intercept (the fitted rank-1 frequency); null fit when fewer than
-    * 2 points survive. */
   /** Corpus coverage card (Good–Turing): token total N, vocabulary V,
     * hapax count n₁, dis-legomena n₂, and the Good–Turing UNSEEN MASS
     * `P(next token is novel) ≈ n₁/N` — the coverage statistic that says
     * how much of the long tail a corpus has actually captured (a
     * curation pass that strips rare junk should RAISE coverage = lower
     * unseen mass; a dedup pass that collapses boilerplate lowers n₁'s
-    * share). `gt_vocab_ratio = n₁/(2n₂)·…` is deliberately NOT fitted —
-    * the card reports the exact integer sufficient statistics plus the
-    * two standard ratios, quantized; downstream smoothing owns its own
-    * fit. Shape: one vocabulary-shaped counting aggregation + one
-    * count-of-counts aggregation (≤ distinct-count-values rows), both
-    * map-side combined. Output 1 row:
-    * (n_tokens, vocab, n1, n2, unseen_mass, hapax_share). */
+    * share). The card reports the exact integer sufficient statistics
+    * plus the two standard ratios, quantized; downstream smoothing owns
+    * its own fit. Shape: one vocabulary-shaped counting aggregation +
+    * one count-of-counts aggregation, both map-side combined. Output 1
+    * row: (n_tokens, vocab, n1, n2, unseen_mass, hapax_share). */
   def coverageCard(df: DataFrame, textCol: String): DataFrame = {
     val q6 = (c: Column) => graft.functions.Quantize.scaledFloor(c, 6)
     val counts = df.select(explode(split(col(textCol), " ")).as("__tok"))
@@ -1944,36 +1926,5 @@ object TextAnalysis {
           .as("unseen_mass"),
         q6(col("n1").cast("double") / col("vocab").cast("double"))
           .as("hapax_share"))
-  }
-
-  def zipfSlope(df: DataFrame, textCol: String, k: Int = 100): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(k >= 2 && k <= 100000, s"k=$k out of [2, 100000]")
-    val q9 = (c: Column) => graft.functions.Quantize.scaledFloor(c, 9)
-    val q6 = (c: Column) => graft.functions.Quantize.scaledFloor(c, 6)
-    val top = df.select(explode(split(col(textCol), " ")).as("__tok"))
-      .filter(length(col("__tok")) > 0)
-      .groupBy(col("__tok")).agg(count(lit(1)).as("__cnt"))
-      .orderBy(col("__cnt").desc, col("__tok"))
-      .limit(k)
-    val pts = top
-      .withColumn("__r", row_number().over(
-        Window.orderBy(col("__cnt").desc, col("__tok"))))
-      .select(q9(log(col("__r").cast("double"))).cast("decimal(18,9)").as("__x"),
-        q9(log(col("__cnt").cast("double"))).cast("decimal(18,9)").as("__y"))
-    val sums = pts.agg(count(lit(1)).as("n_points"),
-      sum(col("__x")).cast("decimal(38,9)").as("__sx"),
-      sum(col("__y")).cast("decimal(38,9)").as("__sy"),
-      sum((col("__x") * col("__y")).cast("decimal(38,18)")).as("__sxy"),
-      sum((col("__x") * col("__x")).cast("decimal(38,18)")).as("__sxx"))
-    def d(c: String) = col(c).cast("double")
-    val nD = col("n_points").cast("double")
-    val den = nD * d("__sxx") - d("__sx") * d("__sx")
-    val slope = (nD * d("__sxy") - d("__sx") * d("__sy")) / den
-    val logc = (d("__sy") - slope * d("__sx")) / nD
-    val ok = col("n_points") >= 2 && den =!= 0.0
-    sums.select(col("n_points"),
-      when(ok, q6(slope)).as("slope"),
-      when(ok, q6(exp(logc))).as("c"))
   }
 }

@@ -1636,12 +1636,15 @@ object StatsPack extends QueryPack {
                    sum(CAST(floor(ln(x) * 10000000.0 + 0.5) AS BIGINT)) AS sl7,
                    min(x) AS xm
             FROM t),
+      -- the c = 201 guard mirrors the operator's loud underfull error:
+      -- an underfull tail yields ZERO oracle rows, never a confidently
+      -- wrong hill from a silent short LIMIT
       h AS (SELECT CAST(200 AS BIGINT) AS n_tail, xm AS x_tail_min,
                    CAST(floor(CAST(sl7 - c * CAST(floor(ln(xm) * 10000000.0 + 0.5)
                           AS BIGINT) AS DOUBLE)
                         / 10000000.0 / 200.0 * 1000000.0 + 0.5) AS DOUBLE)
                      / 1000000.0 AS hill
-            FROM s)
+            FROM s WHERE c = 201)
       SELECT n_tail, x_tail_min, hill,
              CASE WHEN hill > CAST(0.0 AS DOUBLE)
                   THEN CAST(floor(CAST(1.0 AS DOUBLE) / hill * 1000000.0 + 0.5)

@@ -366,12 +366,6 @@ object TextPack extends QueryPack {
     "q271_coverage_card" -> ((s, d) =>
       TextAnalysis.coverageCard(Tables.documents(s, d), "text")),
 
-    // Zipf rank-frequency slope over the top-200 tokens: the corpus-mix
-    // fingerprint (natural text ~ -1; boilerplate flooding flattens it) —
-    // one vocabulary-shaped count, a total-order top-k, a k-row OLS.
-    "q270_zipf_slope" -> ((s, d) =>
-      TextAnalysis.zipfSlope(Tables.documents(s, d), "text", k = 200)),
-
     // Zipf fit of the token distribution over the top-1000 ranks — the
     // vocabulary-anomaly card statistic (natural text ~ slope -1).
     "q149_zipf" -> ((s, d) => {
@@ -872,46 +866,6 @@ object TextPack extends QueryPack {
              CAST(floor(CAST(n1 AS DOUBLE) / CAST(vocab AS DOUBLE)
                   * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS hapax_share
       FROM s""",
-
-    // q270: the same total-order (cnt DESC, tok) top-k and the q247 OLS
-    // arithmetic with x = ln(rank).
-    "q270_zipf_slope" -> """
-      WITH c AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt
-                 FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
-                 WHERE len(tok) > 0 GROUP BY tok),
-      top AS (SELECT tok, cnt FROM c ORDER BY cnt DESC, tok LIMIT 200),
-      r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rnk FROM top),
-      pts AS (SELECT
-                CAST(CAST(floor(ln(CAST(rnk AS DOUBLE)) * 1000000000.0 + 0.5)
-                    AS DOUBLE) / 1000000000.0 AS DECIMAL(18,9)) AS x,
-                CAST(CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1000000000.0 + 0.5)
-                    AS DOUBLE) / 1000000000.0 AS DECIMAL(18,9)) AS y
-              FROM r),
-      s AS (SELECT CAST(count(*) AS BIGINT) AS n_points,
-                   CAST(sum(x) AS DECIMAL(38,9)) AS sx,
-                   CAST(sum(y) AS DECIMAL(38,9)) AS sy,
-                   CAST(sum(CAST(x * y AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS sxy,
-                   CAST(sum(CAST(x * x AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS sxx
-            FROM pts),
-      f AS (SELECT n_points,
-                   CAST(n_points AS DOUBLE) * CAST(sxx AS DOUBLE)
-                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den,
-                   (CAST(n_points AS DOUBLE) * CAST(sxy AS DOUBLE)
-                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                     / (CAST(n_points AS DOUBLE) * CAST(sxx AS DOUBLE)
-                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
-                   sx, sy
-            FROM s)
-      SELECT n_points,
-             CASE WHEN n_points >= 2 AND den <> 0.0
-                  THEN CAST(floor(slope * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0
-             END AS slope,
-             CASE WHEN n_points >= 2 AND den <> 0.0
-                  THEN CAST(floor(exp((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
-                         / CAST(n_points AS DOUBLE)) * 1000000.0 + 0.5) AS DOUBLE)
-                    / 1000000.0
-             END AS c
-      FROM f""",
 
     "q56_chunking" -> chunkingOracle,
     "q60_packing" -> packingOracle,

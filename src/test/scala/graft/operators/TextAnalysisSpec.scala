@@ -746,25 +746,6 @@ class TextAnalysisSpec extends AnyFunSuite {
       TextAnalysis.heapsLaw(docs, "doc_id", "text", buckets = 1))
   }
 
-  test("zipfSlope: recovers a planted 1/r law, degenerate vocab yields null fit, boundary ties deterministic") {
-    // counts floor(3000/r) for ranks 1..30: an exact Zipf staircase
-    val docs = (1 to 30).flatMap(r => Seq.fill(3000 / r)(s"w$r"))
-    val df = Seq(docs.mkString(" ")).toDF("text")
-    val row = TextAnalysis.zipfSlope(df, "text", k = 30).collect().head
-    assert(row.getLong(0) == 30L)
-    val slope = row.getDouble(1)
-    assert(math.abs(slope - (-1.0)) < 0.05, s"slope $slope should be ~ -1")
-    assert(math.abs(row.getDouble(2) - 3000.0) < 200.0, "c should fit the rank-1 count")
-    // fewer distinct tokens than k: n_points reports reality
-    val tiny = Seq("a a a b b c").toDF("text")
-    val t = TextAnalysis.zipfSlope(tiny, "text", k = 100).collect().head
-    assert(t.getLong(0) == 3L && !t.isNullAt(1))
-    // one distinct token: no line to fit
-    val one = Seq("z z z").toDF("text")
-    val o = TextAnalysis.zipfSlope(one, "text", k = 10).collect().head
-    assert(o.getLong(0) == 1L && o.isNullAt(1) && o.isNullAt(2))
-  }
-
   test("coverageCard: exact hapax/dis counts and Good-Turing unseen mass on a planted mix") {
     // 4 hapax, 3 dis-legomena, 2 heavy tokens (10 each): N = 30, V = 9
     val text = ((1 to 4).map(i => s"h$i") ++
