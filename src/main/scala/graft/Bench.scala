@@ -7,13 +7,21 @@ import java.nio.file.{Files, Paths}
   * JVM/Spark startup isn't billed to whichever query happens to run first.
   *
   * PROTOCOL (recorded in the output JSON as `"protocol"`): windowed
-  * min-of-2.
+  * min-of-2 with a min-of-3 tail pass for the 10 slowest.
   *
   *  - Each query runs TWICE and the min is reported: single-shot numbers on
   *    a shared box swing ±30%+ on GC/JIT pauses (round 3 recorded three
   *    phantom 4-6x "regressions" that a re-run erased), and the min of two
   *    is the cheapest estimator that discards a one-off pause while still
   *    measuring a full cold execution of the plan.
+  *  - After the suite, the 10 SLOWEST queries (by min-so-far) get extra
+  *    runs in a fresh session until each has >=3 samples, and ALL their
+  *    samples are recorded in the JSON (`"slowest_samples"`). Rationale
+  *    (r13 adjudication): a uniform ~6% cross-round drift consumed a
+  *    mid-round investigation because one number per query can't separate
+  *    box load from regression — the spread of a query's own samples now
+  *    travels with the result. The JSON also records the 1-minute system
+  *    load average at start and end (`"loadavg"`) for the same reason.
   *  - The SparkSession is RECYCLED every 16 measured queries (untimed, with
   *    one untimed re-warm execution after each recycle). Rationale
   *    (SURVEY §8.0, three rounds of adjudication): a single long-lived
@@ -88,7 +96,11 @@ object Bench {
       "q59_repetition", "q35_tfidf")
     // min-of-two (three for the adjudicated set); a failed run (-1) wins
     // the min, keeping the failure marker
-    val results = names.zipWithIndex.map { case (n, i) =>
+    def loadAvg(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    val loadStart = loadAvg()
+    val samples = scala.collection.mutable.LinkedHashMap.empty[String, List[Double]]
+    names.zipWithIndex.foreach { case (n, i) =>
       if (i > 0 && i % WindowSize == 0) {
         // untimed session recycle on the window boundary
         spark.stop()
@@ -96,13 +108,45 @@ object Bench {
         warm()
       }
       val runs = if (minOfThree(n)) 3 else 2
-      n -> Seq.fill(runs)(exec(n)).min
+      samples(n) = List.fill(runs)(exec(n))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // Self-diagnosing tail pass: bring the 10 slowest to >=3 samples each
+    // in a FRESH session, so a one-off pause during the main suite can't
+    // masquerade as a regression in next round's comparison.
+    val top10 = samples.toSeq.filter(_._2.min >= 0).sortBy(-_._2.min).take(10).map(_._1)
+    if (top10.nonEmpty) {
+      spark.stop()
+      spark = GraftSession.local("graft-bench")
+      warm()
+      top10.foreach { n =>
+        val extra = math.max(1, 3 - samples(n).length)
+        samples(n) = samples(n) ++ List.fill(extra)(exec(n))
+      }
+    }
+    val loadEnd = loadAvg()
+    val results = samples.toSeq.map { case (n, ss) =>
+      n -> (if (ss.exists(_ < 0)) -1.0 else ss.min)
+    }
+    // JSON string escape (names, paths, sfDir are interpolated — a quote or
+    // backslash in a path must not produce an unparseable snapshot line)
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val protocol = s"min2-window$WindowSize-top10min3"
+    val qs = results.map { case (k, v) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
+    val slowSamples = top10.map(n => jstr(n) + ":" + samples(n).mkString("[", ",", "]"))
+      .mkString("{", ",", "}")
+    val load = s"""{"start":$loadStart,"end":$loadEnd}"""
     val total = results.map(_._2).filter(_ >= 0).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","protocol":"min2-window$WindowSize","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","protocol":"$protocol","loadavg":$load,"queries":$qs,"slowest_samples":$slowSamples,"sf":${jstr(sfDir)}}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     Files.writeString(Paths.get(out), json + "\n")
     println(json)
@@ -110,13 +154,13 @@ object Bench {
     // above (~10 KB at 259 queries) truncates there and parses as null
     // (BENCH_r12 `"parsed": null`). Emit a compact, tail-sized summary as
     // the LAST line so the snapshot is self-describing: headline total,
-    // protocol, failure list, and the 5 slowest queries inline; the full
-    // per-query map lives in `out` (bench_out.json, committed per round).
+    // protocol, load averages, failure list, and the 5 slowest queries
+    // inline; the full per-query map lives in `out` (committed per round).
     val failed = results.filter(_._2 < 0).map(_._1)
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
-      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      .map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","protocol":"min2-window$WindowSize","n_queries":${names.size},"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"slowest5":$slowest,"queries_in":"$out","sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","protocol":"$protocol","loadavg":$load,"n_queries":${names.size},"failed":${failed.map(jstr).mkString("[", ",", "]")},"slowest5":$slowest,"queries_in":${jstr(out)},"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }

@@ -435,6 +435,35 @@ object CorpusPack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // The Confluent wire-format path under the same planted-corruption gate
+    // (q268 parity — this is the serde the reference actually ships,
+    // tamer Serde.scala:64-78): four distinct corruption classes injected
+    // by doc_id residue — foreign first byte, sub-header frame, a schema id
+    // the registry never issued, an avro body truncated mid-record — and
+    // the tagged deserializer must route EACH to the dead leg with the
+    // matching reason while decoding every clean row identically to the
+    // FAILFAST path. One mapPartitions pass; no second scan.
+    "q272_avro_dlq" -> ((s, d) => {
+      import graft.serde.{ConfluentAvroFrames, ConfluentWire, ConfluentWireColumns}
+      val schemaJson =
+        """{"type":"record","name":"DocMeta","namespace":"graft",
+           |"fields":[{"name":"lang","type":"string"},{"name":"n_chars","type":"long"}]}""".stripMargin
+      val wired = ConfluentAvroFrames.serializeAppend(
+          Tables.documents(s, d).select(col("doc_id"), col("lang"), col("n_chars")),
+          topic = "docs", isKey = false, schemaJson = schemaJson)
+        .select(col("doc_id"),
+          when(col("doc_id") % 41 === 0,
+            concat(lit(Array(0x21.toByte)), substring(col("wire"), 2, Int.MaxValue)))
+          .when(col("doc_id") % 37 === 0, substring(col("wire"), 1, 3))
+          .when(col("doc_id") % 31 === 0,
+            ConfluentWireColumns.withWireHeader(ConfluentWireColumns.wirePayload(col("wire")), 999))
+          .when(col("doc_id") % 29 === 0, substring(col("wire"), 1, ConfluentWire.HeaderSize + 1))
+          .otherwise(col("wire")).as("wire"))
+      ConfluentAvroFrames.deserializeTagged(wired, "wire", topic = "docs", isKey = false, schemaJson)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("is_dead"), col("dead_reason"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Deterministic hash sampling: selection is a pure function of
     // (salt, doc_id) — layout/run/engine independent, which is the whole
     // point — so an independent engine computes the EXACT same subset.
@@ -1374,6 +1403,24 @@ object CorpusPack extends QueryPack {
              CASE WHEN doc_id % 37 = 0 THEN NULL ELSE n_chars END AS n_chars,
              (doc_id % 37 = 0) AS is_dead
       FROM documents ORDER BY doc_id""",
+
+    // q272: routing and reason are pure doc_id predicates (chain priority
+    // mirrors the injection's when-chain); clean rows round-trip exactly.
+    "q272_avro_dlq" -> """
+      WITH flags AS (
+        SELECT doc_id, lang, n_chars,
+               (doc_id % 41 = 0 OR doc_id % 37 = 0 OR doc_id % 31 = 0 OR doc_id % 29 = 0) AS dead,
+               CASE WHEN doc_id % 41 = 0 THEN 'bad_magic'
+                    WHEN doc_id % 37 = 0 THEN 'short_header'
+                    WHEN doc_id % 31 = 0 THEN 'unknown_schema_id'
+                    WHEN doc_id % 29 = 0 THEN 'malformed_body' END AS dead_reason
+        FROM documents)
+      SELECT doc_id,
+             CASE WHEN dead THEN NULL ELSE lang END AS lang,
+             CASE WHEN dead THEN NULL ELSE n_chars END AS n_chars,
+             dead AS is_dead,
+             dead_reason
+      FROM flags ORDER BY doc_id""",
 
     "q37_percentile" -> """
       SELECT l_returnflag,

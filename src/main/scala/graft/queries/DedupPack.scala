@@ -102,23 +102,28 @@ object DedupPack extends QueryPack {
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
       // per-run unique dir: a fixed shared path would let two concurrent
       // harness processes delete each other's generations mid-append
-      val dir = java.nio.file.Files.createTempDirectory("graft-q83-index")
-        .resolve("store").toString
-      val day0 = docs.filter(col("doc_id") % 3 === 0)
-      val day1 = docs.filter(col("doc_id") % 3 === 1)
-        .unionByName(day0.filter(col("doc_id") % 2 === 0)) // run-0 re-arrivals
-      val day2 = docs.filter(col("doc_id") % 3 === 2)
-        .unionByName(day1.filter(col("doc_id") % 5 === 1)) // run-0/1 re-arrivals
-      IndexStore.append(Dedup.buildFingerprintIndex(day0, "text"), dir)
-      Seq(day1, day2).foreach { day =>
-        val admitted = Dedup.dropKnownFingerprints(day, "text", IndexStore.read(s, dir))
-        IndexStore.append(Dedup.buildFingerprintIndex(admitted, "text"), dir)
-      }
-      val preRows = IndexStore.read(s, dir).count()
-      val (_, rowsAfter) = IndexStore.consolidate(s, dir)
-      IndexStore.read(s, dir)
-        .withColumn("over_admitted", lit(preRows - rowsAfter).cast("long"))
-        .orderBy(col("fp"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q83-index")
+      val dir = tmp.resolve("store").toString
+      try {
+        val day0 = docs.filter(col("doc_id") % 3 === 0)
+        val day1 = docs.filter(col("doc_id") % 3 === 1)
+          .unionByName(day0.filter(col("doc_id") % 2 === 0)) // run-0 re-arrivals
+        val day2 = docs.filter(col("doc_id") % 3 === 2)
+          .unionByName(day1.filter(col("doc_id") % 5 === 1)) // run-0/1 re-arrivals
+        IndexStore.append(Dedup.buildFingerprintIndex(day0, "text"), dir)
+        Seq(day1, day2).foreach { day =>
+          val admitted = Dedup.dropKnownFingerprints(day, "text", IndexStore.read(s, dir))
+          IndexStore.append(Dedup.buildFingerprintIndex(admitted, "text"), dir)
+        }
+        val preRows = IndexStore.read(s, dir).count()
+        val (_, rowsAfter) = IndexStore.consolidate(s, dir)
+        // localCheckpoint materializes the consolidated index (fp hashes,
+        // tiny) so the store dir can be deleted before return (min-of-N
+        // bench re-runs would otherwise accrete one store per run in /tmp)
+        IndexStore.read(s, dir).localCheckpoint(true)
+          .withColumn("over_admitted", lit(preRows - rowsAfter).cast("long"))
+          .orderBy(col("fp"))
+      } finally PackShared.deleteRecursively(tmp.toString)
     }),
 
     // Known-boilerplate line strip (the stream-safe dedupLines sibling):

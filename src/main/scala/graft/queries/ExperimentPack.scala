@@ -73,17 +73,22 @@ object ExperimentPack extends QueryPack {
           floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents")),
         "o_custkey", Seq("a" -> 0.5, "b" -> 0.5), "exp2")
       val cut = lit("1995-01-01").cast("timestamp")
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-q261-moments").toString + "/store"
-      Seq(armed.filter(col("o_orderdate") < cut),
-        armed.filter(col("o_orderdate") >= cut))
-        .foreach(v => graft.sinks.IndexStore.append(
-          graft.operators.Inference.momentPartial(v, Seq("split"), "cents",
-            decimalScale = 0), dir))
-      graft.operators.Inference.welchFromMoments(
-        graft.operators.Inference.momentMerge(
-          Seq(graft.sinks.IndexStore.read(s, dir)), Seq("split")),
-        "split", "a", "b")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q261-moments").toString
+      val dir = tmp + "/store"
+      try {
+        Seq(armed.filter(col("o_orderdate") < cut),
+          armed.filter(col("o_orderdate") >= cut))
+          .foreach(v => graft.sinks.IndexStore.append(
+            graft.operators.Inference.momentPartial(v, Seq("split"), "cents",
+              decimalScale = 0), dir))
+        // localCheckpoint materializes the tiny merged partials so the store
+        // dir can be deleted before return (min-of-N bench re-runs would
+        // otherwise accrete one store per run in /tmp)
+        graft.operators.Inference.welchFromMoments(
+          graft.operators.Inference.momentMerge(
+            Seq(graft.sinks.IndexStore.read(s, dir).localCheckpoint(true)), Seq("split")),
+          "split", "a", "b")
+      } finally PackShared.deleteRecursively(tmp)
     }),
 
     // A/B readout with the SRM guard: users hash-assigned 50/50, per-arm

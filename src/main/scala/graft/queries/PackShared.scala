@@ -42,21 +42,37 @@ private[graft] object PackShared {
     import org.apache.spark.sql.streaming.Trigger
     val stage = java.nio.file.Files
       .createTempDirectory(s"graft-$label").toString
-    staged.repartition(3).write.mode("overwrite").parquet(stage)
-    try s.catalog.dropTempView(sinkName) catch { case _: Exception => () }
-    val in = s.readStream.schema(staged.schema)
-      .option("maxFilesPerTrigger", 1).parquet(stage)
-    withShufflePartitions(s, 4) {
-      val q = fold(in)
-        .writeStream.format("memory").queryName(sinkName).outputMode("append")
-        .trigger(Trigger.AvailableNow()).start()
-      try {
-        if (!q.awaitTermination(300000))
-          throw graft.core.GraftError(s"$label drain timed out")
-      } finally q.stop()
-    }
+    try {
+      staged.repartition(3).write.mode("overwrite").parquet(stage)
+      try s.catalog.dropTempView(sinkName) catch { case _: Exception => () }
+      val in = s.readStream.schema(staged.schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+      withShufflePartitions(s, 4) {
+        val q = fold(in)
+          .writeStream.format("memory").queryName(sinkName).outputMode("append")
+          .trigger(Trigger.AvailableNow()).start()
+        try {
+          if (!q.awaitTermination(300000))
+            throw graft.core.GraftError(s"$label drain timed out")
+        } finally q.stop()
+      }
+    } finally deleteRecursively(stage) // memory sink holds the drained rows;
+    // the staged files are dead weight — under the min-of-N bench protocol
+    // each re-run would otherwise leave a full frame copy in /tmp
     s.table(sinkName)
   }
+
+  /** Best-effort recursive delete of a staging directory (never throws:
+    * cleanup must not mask the drain's own result/failure). */
+  def deleteRecursively(dir: String): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(dir)
+      if (java.nio.file.Files.exists(root)) {
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverseIterator
+          .foreach(p => try java.nio.file.Files.deleteIfExists(p) catch { case _: Exception => () })
+      }
+    } catch { case _: Exception => () }
 
   /** q166's oracle is GENERATED like q33's: every band key re-derived in
     * DuckDB from the same plane literals, occupancy and pair counts pure

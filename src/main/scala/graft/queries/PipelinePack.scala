@@ -47,10 +47,13 @@ object PipelinePack extends QueryPack {
         relationRepr = s"$d/events")
       val sink = new BufferedUnionSink
       val ckpt = java.nio.file.Files.createTempDirectory("graft-q23-ckpt").toString
-      new PipelineRunner(s, ckpt).run(
+      try new PipelineRunner(s, ckpt).run(
         pipeline, sink,
         maxIterations = 64,
         stopWhen = (w: graft.core.Window) => !w.from.isBefore(endTs))
+      // the buffered batches are window-pruned scans of the events parquet —
+      // nothing references the runner's state dir once run() returns
+      finally PackShared.deleteRecursively(ckpt)
       sink.result.getOrElse(ev.limit(0))
         .groupBy(col("event_type"))
         .agg(
@@ -217,6 +220,138 @@ object PipelinePack extends QueryPack {
         .orderBy(col("event_type"))
     }),
 
+    // The reference's timed S3 cursor (S3Setup.timed, the O10-O12 family)
+    // driven end-to-end over file:// — pure cursor semantics, no SDK: the
+    // events table staged as 8 timestamped drops (`drop-<ts>.csv`), walked
+    // by the filename-instant cursor through the checkpointed runner (each
+    // advance = smallest key-instant strictly after the state), every drop
+    // read as a distributed text scan and parsed in the plan. Oracle = the
+    // q23 full-scan aggregate: any skipped, re-read, or mis-parsed drop
+    // changes cnt/sum_value and fails the hash compare.
+    "q273_file_cursor_ingest" -> ((s, d) => {
+      import java.time.{Instant, ZoneId}
+      import java.time.format.DateTimeFormatterBuilder
+      import scala.jdk.CollectionConverters._
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q273-drops")
+      try {
+        // FIXTURE: the collect stages the bucket a real deployment already
+        // has (the q44/q47/q49 discipline), not the pipeline's data path.
+        // Double.toString round-trips exactly through Spark's string->double
+        // cast, so the staged text carries the parquet values bit-for-bit.
+        val rows = Tables.events(s, d)
+          .select(col("event_id"), col("event_type"), col("value")).collect()
+        // colon/space-free format: Hadoop Path rejects ':' in file names
+        // (scheme separator), so the key instant is compact ISO
+        val formatter = new DateTimeFormatterBuilder()
+          .appendPattern("yyyy-MM-dd'T'HHmmss").toFormatter.withZone(ZoneId.of("UTC"))
+        val base = Instant.parse("2020-01-01T00:00:00Z")
+        val nDrops = 8
+        (0 until nDrops).foreach { i =>
+          val name = s"drop-${formatter.format(base.plusSeconds((i + 1) * 3600L))}.csv"
+          val lines = rows.iterator.filter(r => java.lang.Math.floorMod(r.getLong(0), nDrops.toLong) == i)
+            .map(r => s"${r.getLong(0)}|${r.getString(1)}|${java.lang.Double.toString(r.getDouble(2))}")
+          java.nio.file.Files.write(tmp.resolve(name),
+            lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+        val pipeline = graft.pipeline.TimedFileSource.timed(
+          name = "q273-drops",
+          listKeys = () => {
+            val stream = java.nio.file.Files.list(tmp)
+            try stream.iterator().asScala.map(_.getFileName.toString).toSeq
+            finally stream.close()
+          },
+          readObject = (sp, key) => sp.read.textFile(tmp.resolve(key).toString).toDF("line")
+            .select(
+              split(col("line"), "\\|").getItem(0).cast("long").as("event_id"),
+              split(col("line"), "\\|").getItem(1).as("event_type"),
+              split(col("line"), "\\|").getItem(2).cast("double").as("value")),
+          prefix = "drop-",
+          formatter = formatter,
+          from = base)
+        val sink = new BufferedUnionSink
+        val ckpt = java.nio.file.Files.createTempDirectory("graft-q273-ckpt").toString
+        try new graft.pipeline.PipelineRunner(s, ckpt).run(pipeline, sink,
+          maxIterations = 32,
+          stopWhen = (st: Instant) => !st.isBefore(base.plusSeconds(nDrops * 3600L)))
+        finally PackShared.deleteRecursively(ckpt)
+        // localCheckpoint: the buffered union scans the staged files, which
+        // the finally below deletes — materialize the (tiny) aggregate first
+        sink.result.getOrElse(Tables.events(s, d)
+            .select(col("event_id"), col("event_type"), col("value")).limit(0))
+          .groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum(col("value").cast("decimal(28,4)")).cast("double").as("sum_value"))
+          .localCheckpoint(true)
+          .orderBy(col("event_type"))
+      } finally PackShared.deleteRecursively(tmp.toString)
+    }),
+
+    // The reference's OCI named-object cursor (ObjectStorageSetup, O13)
+    // driven end-to-end over file:// — `startAfter` listing semantics: each
+    // iteration reads the state's current object and folds the FIRST listed
+    // name strictly after the cursor that passes the name finder (a planted
+    // `.tmp` decoy between two data objects must be skipped, not read, and
+    // must not break the walk). Objects carry base64'd documents; oracle =
+    // the q44/q47 full-scan identity.
+    "q274_object_cursor_ingest" -> ((s, d) => {
+      import java.nio.charset.StandardCharsets.UTF_8
+      import scala.jdk.CollectionConverters._
+      import graft.pipeline.{NamedObjectSource, StateCodec}
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q274-objects")
+      try {
+        val rows = Tables.documents(s, d)
+          .select(col("doc_id"), col("text")).collect()
+        val nObjects = 4
+        (0 until nObjects).foreach { i =>
+          val lines = rows.iterator.filter(r => java.lang.Math.floorMod(r.getLong(0), nObjects.toLong) == i)
+            .map(r => java.util.Base64.getEncoder.encodeToString(
+              s"${r.getLong(0)}|${r.getString(1)}".getBytes(UTF_8)))
+          java.nio.file.Files.write(tmp.resolve(f"part-$i%03d.csv"),
+            lines.mkString("\n").getBytes(UTF_8))
+        }
+        // decoy that sorts between part-001.csv and part-002.csv: the name
+        // finder must route the walk around it
+        java.nio.file.Files.write(tmp.resolve("part-001.tmp"), "JUNK".getBytes(UTF_8))
+        implicit val sc: StateCodec[String] = StateCodec.stringCodec
+        implicit val h: graft.core.Hashable[String] = graft.core.Hashable.stringHashable
+        // state machine: "" = start, "cur:<name>" = read it this pull,
+        // "done:<name>" = exhausted (the ObjectAuthConfigSpec machine)
+        val pipeline = NamedObjectSource[String](
+          name = "q274-objects",
+          namespace = "local", bucket = "q274",
+          listAfter = after => {
+            val stream = java.nio.file.Files.list(tmp)
+            val names =
+              try stream.iterator().asScala.map(_.getFileName.toString).toSeq.sorted
+              finally stream.close()
+            // the store API restricts the listing to names after startAfter
+            names.filter(n => after.forall(n > _))
+          },
+          readObject = (sp, name) => sp.read.textFile(tmp.resolve(name).toString).toDF("b64")
+            .withColumn("decoded", unbase64(col("b64")).cast("string"))
+            .select(
+              substring_index(col("decoded"), "|", 1).cast("long").as("doc_id"),
+              md5(expr("substring(decoded, instr(decoded, '|') + 1)")).as("fp_md5")),
+          initialState = "",
+          objectName = st => Option(st).collect { case c if c.startsWith("cur:") => c.stripPrefix("cur:") },
+          startAfter = st => Option(st).filter(_.nonEmpty).map(_.stripPrefix("cur:").stripPrefix("done:")),
+          stateFold = (st, next) => next.map("cur:" + _).getOrElse(
+            if (st.startsWith("cur:")) "done:" + st.stripPrefix("cur:") else st),
+          objectNameFinder = _.endsWith(".csv"))
+        val sink = new BufferedUnionSink
+        val ckpt = java.nio.file.Files.createTempDirectory("graft-q274-ckpt").toString
+        try new graft.pipeline.PipelineRunner(s, ckpt).run(pipeline, sink,
+          maxIterations = 16,
+          stopWhen = (st: String) => st.startsWith("done:"))
+        finally PackShared.deleteRecursively(ckpt)
+        sink.result.getOrElse(Tables.documents(s, d)
+            .select(col("doc_id"), md5(col("text")).as("fp_md5")).limit(0))
+          .localCheckpoint(true)
+          .orderBy(col("doc_id"))
+      } finally PackShared.deleteRecursively(tmp.toString)
+    }),
+
     // The same drain as q44, but over REAL HTTP: an in-process fixture server
     // (JDK HttpServer, port of the reference's RESTServer semantics) serves
     // `documents` in fixed pages behind a bearer token that rotates ONCE,
@@ -291,6 +426,19 @@ object PipelinePack extends QueryPack {
       SELECT event_type, count(*) AS cnt,
              CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
       FROM events GROUP BY event_type ORDER BY event_type""",
+
+    // identical to q23's oracle: the filename-instant walk must reproduce
+    // the full table no matter how the drops sliced it
+    "q273_file_cursor_ingest" -> """
+      SELECT event_type, count(*) AS cnt,
+             CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY event_type ORDER BY event_type""",
+
+    // identical to q44/q47's oracle: the startAfter walk must reproduce the
+    // full corpus exactly once, decoy skipped
+    "q274_object_cursor_ingest" -> """
+      SELECT doc_id, md5(text) AS fp_md5
+      FROM documents ORDER BY doc_id""",
 
     // two periods drained → the whole corpus exactly once per period
     "q55_periodic_ingest" -> """

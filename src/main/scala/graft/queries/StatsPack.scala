@@ -1653,7 +1653,9 @@ object StatsPack extends QueryPack {
       FROM h""",
 
     // q267: the same single-stats-CTE shape as q266 over the
-    // null-injected live values.
+    // null-injected live values. pass is coalesced to false so the oracle
+    // mirrors the operator's fail-closed rule on an all-null column (where
+    // min/max aggregate to SQL NULL) instead of silently diverging.
     "q267_streaming_contract" -> """
       WITH v AS (SELECT CASE WHEN event_type = 'error' THEN NULL
                              ELSE value END AS v
@@ -1668,13 +1670,13 @@ object StatsPack extends QueryPack {
       SELECT col_name, kind, bound, observed, pass FROM (
         SELECT 'value' AS col_name, 'min_ge' AS kind,
                CAST(0.0 AS DOUBLE) AS bound, mn AS observed,
-               mn >= CAST(0.0 AS DOUBLE) AS pass FROM s
+               coalesce(mn >= CAST(0.0 AS DOUBLE), false) AS pass FROM s
         UNION ALL
         SELECT 'value', 'max_le', CAST(100.0 AS DOUBLE), mx,
-               mx <= CAST(100.0 AS DOUBLE) FROM s
+               coalesce(mx <= CAST(100.0 AS DOUBLE), false) FROM s
         UNION ALL
         SELECT 'value', 'null_frac_le', CAST(0.25 AS DOUBLE), nf,
-               nf <= CAST(0.25 AS DOUBLE) FROM s)
+               coalesce(nf <= CAST(0.25 AS DOUBLE), false) FROM s)
       ORDER BY kind""",
 
     // q266: each expectation mirrored as one row off a single stats CTE;
@@ -1695,22 +1697,22 @@ object StatsPack extends QueryPack {
       SELECT col_name, kind, bound, observed, pass FROM (
         SELECT 'doc_id' AS col_name, 'distinct_ge' AS kind,
                CAST(100.0 AS DOUBLE) AS bound, nd_doc AS observed,
-               nd_doc >= CAST(100.0 AS DOUBLE) AS pass FROM s
+               coalesce(nd_doc >= CAST(100.0 AS DOUBLE), false) AS pass FROM s
         UNION ALL
         SELECT 'text', 'null_frac_le', CAST(0.0 AS DOUBLE), nf_text,
-               nf_text <= CAST(0.0 AS DOUBLE) FROM s
+               coalesce(nf_text <= CAST(0.0 AS DOUBLE), false) FROM s
         UNION ALL
         SELECT 'n_chars', 'min_ge', CAST(0.0 AS DOUBLE), min_nc,
-               min_nc >= CAST(0.0 AS DOUBLE) FROM s
+               coalesce(min_nc >= CAST(0.0 AS DOUBLE), false) FROM s
         UNION ALL
         SELECT 'n_chars', 'max_le', CAST(100000.0 AS DOUBLE), max_nc,
-               max_nc <= CAST(100000.0 AS DOUBLE) FROM s
+               coalesce(max_nc <= CAST(100000.0 AS DOUBLE), false) FROM s
         UNION ALL
         SELECT 'lang', 'distinct_le', CAST(16.0 AS DOUBLE), nd_lang,
-               nd_lang <= CAST(16.0 AS DOUBLE) FROM s
+               coalesce(nd_lang <= CAST(16.0 AS DOUBLE), false) FROM s
         UNION ALL
         SELECT 'source', 'distinct_le', CAST(64.0 AS DOUBLE), nd_src,
-               nd_src <= CAST(64.0 AS DOUBLE) FROM s)
+               coalesce(nd_src <= CAST(64.0 AS DOUBLE), false) FROM s)
       ORDER BY col_name, kind""",
 
     "q203_reliability_card" -> reliabilityCardOracle,

@@ -116,20 +116,43 @@ object ConfluentAvroFrames {
       registryFactory: RegistryFactory = () => new InMemorySchemaRegistry
   ): DataFrame = {
     val fields = new Schema.Parser().parse(schemaJson).getFields.asScala.toSeq
+    serializeAppend(df.select(fields.map(f => col(f.name)): _*),
+      topic, isKey, schemaJson, registryFactory).select(col("wire"))
+  }
+
+  /** [[serialize]] keeping the input columns: appends the framed `wire`
+    * column instead of replacing the frame — the shape a Kafka-bound
+    * producer wants (partition key / headers columns ride alongside the
+    * encoded value) and the shape a corruption-injection test needs (a
+    * carrier id survives encoding). Same cast/null contract as
+    * [[serialize]], which is a thin projection over this. */
+  def serializeAppend(
+      df: DataFrame,
+      topic: String,
+      isKey: Boolean,
+      schemaJson: String,
+      registryFactory: RegistryFactory = () => new InMemorySchemaRegistry
+  ): DataFrame = {
+    require(!df.columns.contains("wire"), "input already has a wire column")
+    val fields = new Schema.Parser().parse(schemaJson).getFields.asScala.toSeq
     val fieldNames = fields.map(_.name)
-    val out = StructType(Seq(StructField("wire", BinaryType, nullable = false)))
+    val baseN = df.schema.fields.length
+    // shadow casts appended after the originals: the avro writer reads the
+    // casted shadows by position, the output keeps the originals untouched
+    val castCols = fields.map(f => col(f.name).cast(sparkType(f)).as(s"__graft_ser_${f.name}"))
+    val out = StructType(df.schema.fields :+ StructField("wire", BinaryType, nullable = false))
     val enc = RowEncoder.encoderFor(out)
-    df.select(fields.map(f => col(f.name).cast(sparkType(f))): _*).mapPartitions { rows =>
+    df.select(col("*") +: castCols: _*).mapPartitions { rows =>
       val schema = new Schema.Parser().parse(schemaJson)
       val serde = new ConfluentAvroSerde(registryFactory())
       rows.map { r =>
         val rec = new org.apache.avro.generic.GenericData.Record(schema)
         fieldNames.zipWithIndex.foreach { case (n, i) =>
-          if (r.isNullAt(i))
+          if (r.isNullAt(baseN + i))
             throw GraftError(s"Serialization failed: null value in field '$n' (schema has no null union)")
-          rec.put(n, r.get(i))
+          rec.put(n, r.get(baseN + i))
         }
-        Row(serde.serialize(topic, isKey, rec))
+        Row.fromSeq(r.toSeq.take(baseN) :+ serde.serialize(topic, isKey, rec))
       }
     }(enc)
   }
@@ -158,28 +181,144 @@ object ConfluentAvroFrames {
     val writerJson = writerSchemaJson.getOrElse(schemaJson)
     df.mapPartitions { rows =>
       val readerSchema = new Schema.Parser().parse(schemaJson)
-      val registry = registryFactory match {
-        // shared registry: the wire's embedded ids already resolve there
-        case Some(factory) => factory()
-        // self-contained wire (written by the default serialize above):
-        // pre-register the writer schema so the embedded id 1 resolves
-        case None =>
-          val r = new InMemorySchemaRegistry
-          r.getOrRegisterId(ConfluentWire.subject(topic, isKey),
-            new Schema.Parser().parse(writerJson))
-          r
-      }
-      val serde = new ConfluentAvroSerde(registry)
+      val serde = new ConfluentAvroSerde(
+        partitionRegistry(topic, isKey, writerJson, registryFactory))
       rows.map { r =>
         val rec = serde.deserialize(r.getAs[Array[Byte]](wireIdx), readerSchema)
-        Row.fromSeq(r.toSeq ++ (0 until nFields).map { i =>
-          rec.get(i) match {
-            case u: org.apache.avro.util.Utf8 => u.toString
-            case v                            => v
-          }
-        })
+        Row.fromSeq(r.toSeq ++ (0 until nFields).map(i => fromAvro(rec.get(i))))
       }
     }(enc)
+  }
+
+  /** [[deserialize]] with a DEAD-LETTER leg instead of the task abort
+    * (parity with [[JsonFrames.deserializeTagged]], q268): ONE pass over the
+    * wire appending the reader fields (null on dead rows), an `is_dead`
+    * flag, and a `dead_reason` — a continuous Kafka-offset ingest cannot let
+    * one corrupt payload crash-loop the job on replay, and the Confluent
+    * path is the serde the reference actually ships
+    * (ref: tamer `core/src/main/scala/tamer/Serde.scala:64-78`).
+    *
+    * Routing is a pure row-local function of the bytes; reasons:
+    *  - `short_header`  — fewer than 5 bytes, the wire header cannot exist;
+    *  - `bad_magic`     — first byte is not 0x00;
+    *  - `unknown_schema_id` — the embedded id resolves to no registered
+    *    schema (a foreign or corrupted frame);
+    *  - `malformed_body`    — the avro binary body fails to decode against
+    *    the writer schema (truncation, bit rot).
+    * A NULL wire is a GOOD row with null fields — that is a Kafka tombstone
+    * (compacted-topic delete marker), not corruption, and matches the JSON
+    * path's null handling. Reader-schema INCOMPATIBILITY with a known
+    * writer id stays FATAL exactly like [[deserialize]]: that is a
+    * deployment error the reference aborts on (`Registry.scala:111-117`),
+    * not row corruption — quarantining it would silently drop the whole
+    * topic. */
+  def deserializeTagged(
+      df: DataFrame,
+      wireCol: String,
+      topic: String,
+      isKey: Boolean,
+      schemaJson: String,
+      writerSchemaJson: Option[String] = None,
+      registryFactory: Option[RegistryFactory] = None
+  ): DataFrame = {
+    require(!df.columns.contains("is_dead"), "input already has an is_dead column")
+    require(!df.columns.contains("dead_reason"), "input already has a dead_reason column")
+    val reader = new Schema.Parser().parse(schemaJson)
+    val out = StructType(
+      df.schema.fields ++
+        reader.getFields.asScala.map(f => StructField(f.name, sparkType(f))) ++
+        Seq(StructField("is_dead", BooleanType, nullable = false),
+          StructField("dead_reason", StringType)))
+    val enc = RowEncoder.encoderFor(out)
+    val nFields = reader.getFields.size
+    val wireIdx = df.schema.fieldIndex(wireCol)
+    val writerJson = writerSchemaJson.getOrElse(schemaJson)
+    df.mapPartitions { rows =>
+      val readerSchema = new Schema.Parser().parse(schemaJson)
+      // caching wrapper: compatibility is verified once per writer id, not
+      // once per row — same memoization the reference's registry client does
+      val registry = new CachingSchemaRegistry(
+        partitionRegistry(topic, isKey, writerJson, registryFactory))
+      val datumReaders = scala.collection.mutable.HashMap.empty[Int, GenericDatumReader[GenericRecord]]
+      var decoder: org.apache.avro.io.BinaryDecoder = null
+      rows.map { r =>
+        def good(fields: Seq[Any]) = Row.fromSeq(r.toSeq ++ fields ++ Seq(false, null))
+        def dead(reason: String) =
+          Row.fromSeq(r.toSeq ++ Seq.fill[Any](nFields)(null) ++ Seq(true, reason))
+        val data = r.getAs[Array[Byte]](wireIdx)
+        if (data == null) good(Seq.fill(nFields)(null))
+        else if (data.length < ConfluentWire.HeaderSize) dead("short_header")
+        else if (data(0) != ConfluentWire.Magic) dead("bad_magic")
+        else {
+          val id = ByteBuffer.wrap(data, 1, 4).getInt
+          val writer = try Some(registry.getSchemaById(id)) catch { case _: GraftError => None }
+          writer match {
+            case None => dead("unknown_schema_id")
+            case Some(w) =>
+              registry.verifySchema(id, readerSchema) // incompatibility: FATAL, see scaladoc
+              try {
+                decoder = DecoderFactory.get().binaryDecoder(
+                  data, ConfluentWire.HeaderSize, data.length - ConfluentWire.HeaderSize, decoder)
+                val rec = datumReaders
+                  .getOrElseUpdate(id, new GenericDatumReader[GenericRecord](w, readerSchema))
+                  .read(null, decoder)
+                good((0 until nFields).map(i => fromAvro(rec.get(i))))
+              } catch {
+                case e: GraftError => throw e
+                case scala.util.control.NonFatal(_) => dead("malformed_body")
+              }
+          }
+        }
+      }
+    }(enc)
+  }
+
+  /** Two-frame splitter over [[deserializeTagged]] — (good, dead), where
+    * `good` has [[deserialize]]'s exact shape and `dead` carries the input
+    * columns (including the raw wire bytes for quarantine and
+    * replay-after-fix) plus the reason. Same cost caveat as
+    * [[JsonFrames.deserializeWithDlq]]: the legs are separate plans over
+    * one parse subtree and Catalyst does not share subplans across
+    * branches — consuming BOTH scans and decodes twice; persist the input
+    * or stay on the tagged form when both legs feed one plan. */
+  def deserializeWithDlq(
+      df: DataFrame,
+      wireCol: String,
+      topic: String,
+      isKey: Boolean,
+      schemaJson: String,
+      writerSchemaJson: Option[String] = None,
+      registryFactory: Option[RegistryFactory] = None
+  ): (DataFrame, DataFrame) = {
+    val reader = new Schema.Parser().parse(schemaJson)
+    val tagged = deserializeTagged(df, wireCol, topic, isKey, schemaJson, writerSchemaJson, registryFactory)
+    val good = tagged.filter(!col("is_dead"))
+      .select(df.columns.map(col) ++ reader.getFields.asScala.map(f => col(f.name)): _*)
+    val dlq = tagged.filter(col("is_dead"))
+      .select(df.columns.map(col) :+ col("dead_reason"): _*)
+    (good, dlq)
+  }
+
+  private def fromAvro(v: Any): Any = v match {
+    case u: org.apache.avro.util.Utf8 => u.toString
+    case other                        => other
+  }
+
+  /** The per-partition registry for the deserialize family: a shared
+    * registry's wire ids already resolve there; a self-contained wire
+    * (written by the default [[serialize]]) pre-registers the writer schema
+    * so the embedded id 1 resolves. */
+  private def partitionRegistry(
+      topic: String,
+      isKey: Boolean,
+      writerJson: String,
+      registryFactory: Option[RegistryFactory]
+  ): SchemaRegistry = registryFactory match {
+    case Some(factory) => factory()
+    case None =>
+      val r = new InMemorySchemaRegistry
+      r.getOrRegisterId(ConfluentWire.subject(topic, isKey), new Schema.Parser().parse(writerJson))
+      r
   }
 }
 

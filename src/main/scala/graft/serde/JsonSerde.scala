@@ -63,9 +63,11 @@ object JsonFrames {
     * and replay-after-fix.
     *
     * A row is dead iff PERMISSIVE `from_json` fills the corrupt-record
-    * sentinel field (syntax error — the only thing FAILFAST throws on;
+    * sentinel field — syntax errors AND unconvertible field values (a
+    * string where the schema says long), exactly the set FAILFAST throws
+    * on, so routing stays consistent with [[deserialize]]'s contract;
     * PERMISSIVE null-fills the DATA fields of a corrupt row, so the
-    * struct itself is non-null and the sentinel is the reliable signal);
+    * struct itself is non-null and the sentinel is the reliable signal;
     * rows whose wire is null or whose fields are null decode as good
     * with null fields, exactly like [[deserialize]]. Routing is a pure
     * row-local function of the bytes.

@@ -128,6 +128,105 @@ class ConfluentSerdeSpec extends AnyFunSuite {
     assert(e.getMessage.contains("'name'") || Option(e.getCause).exists(_.getMessage.contains("'name'")))
   }
 
+  test("serializeAppend keeps the carrier columns alongside the wire") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    val schemaJson = """{"type":"record","name":"U","fields":[{"name":"id","type":"long"}]}"""
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "tag")
+    val out = ConfluentAvroFrames.serializeAppend(df, "t", isKey = false, schemaJson)
+    assert(out.columns.toSeq == Seq("id", "tag", "wire"))
+    val rows = out.collect()
+    assert(rows.map(_.getString(1)).sorted.toSeq == Seq("a", "b"))
+    assert(rows.forall(_.getAs[Array[Byte]](2)(0) == 0x0))
+  }
+
+  private val dlqSchemaJson =
+    """{"type":"record","name":"U","fields":[
+      |{"name":"name","type":"string"},{"name":"score","type":"double"}]}""".stripMargin
+
+  /** One wire per corruption class + clean rows, keyed by a carrier id. */
+  private def dlqFixture(spark: org.apache.spark.sql.SparkSession) = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, substring, concat, lit, when}
+    val clean = ConfluentAvroFrames.serializeAppend(
+      Seq((1L, "ann", 0.5), (2L, "bob", 1.25), (3L, "cec", 2.0), (4L, "dee", 3.5), (5L, "eve", 4.0))
+        .toDF("rid", "name", "score"),
+      "t", isKey = false, dlqSchemaJson)
+    clean.select(col("rid"),
+      when(col("rid") === 2, concat(lit(Array(0x7f.toByte)), substring(col("wire"), 2, Int.MaxValue)))
+        .when(col("rid") === 3, substring(col("wire"), 1, 2))
+        .when(col("rid") === 4, ConfluentWireColumns.withWireHeader(ConfluentWireColumns.wirePayload(col("wire")), 123))
+        .when(col("rid") === 5, substring(col("wire"), 1, ConfluentWire.HeaderSize + 1))
+        .otherwise(col("wire")).as("wire"))
+  }
+
+  test("deserializeTagged routes each corruption class with its reason; clean rows decode") {
+    val spark = graft.TestSpark.spark
+    val out = ConfluentAvroFrames.deserializeTagged(
+        dlqFixture(spark), "wire", "t", isKey = false, dlqSchemaJson)
+      .select("rid", "name", "score", "is_dead", "dead_reason")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getString(1) == "ann" && out(1L).getDouble(2) == 0.5 && !out(1L).getBoolean(3))
+    assert(out(1L).isNullAt(4))
+    assert(out(2L).getString(4) == "bad_magic")
+    assert(out(3L).getString(4) == "short_header")
+    assert(out(4L).getString(4) == "unknown_schema_id")
+    assert(out(5L).getString(4) == "malformed_body")
+    Seq(2L, 3L, 4L, 5L).foreach { k =>
+      assert(out(k).getBoolean(3) && out(k).isNullAt(1) && out(k).isNullAt(2))
+    }
+  }
+
+  test("deserializeTagged: null wire is a tombstone — good row, null fields") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    val df = Seq((1L, Option.empty[Array[Byte]])).toDF("rid", "wire")
+    val r = ConfluentAvroFrames.deserializeTagged(df, "wire", "t", isKey = false, dlqSchemaJson)
+      .select("rid", "name", "score", "is_dead", "dead_reason")
+      .collect().head
+    assert(!r.getBoolean(3) && r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(4))
+  }
+
+  test("deserializeTagged decodes clean rows identically to the FAILFAST path") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    val wire = ConfluentAvroFrames.serializeAppend(
+      Seq((1L, "ann", 0.5), (2L, "bob", 1.25)).toDF("rid", "name", "score"),
+      "t", isKey = false, dlqSchemaJson).select("rid", "wire")
+    val strict = ConfluentAvroFrames.deserialize(wire, "wire", "t", isKey = false, dlqSchemaJson)
+      .select("rid", "name", "score").collect().map(_.toSeq).toSet
+    val tagged = ConfluentAvroFrames.deserializeTagged(wire, "wire", "t", isKey = false, dlqSchemaJson)
+      .select("rid", "name", "score").collect().map(_.toSeq).toSet
+    assert(strict == tagged)
+  }
+
+  test("deserializeTagged: reader incompatibility with a KNOWN id stays fatal") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    val v1Json = """{"type":"record","name":"U","fields":[{"name":"id","type":"long"}]}"""
+    val badReader = """{"type":"record","name":"U","fields":[{"name":"id","type":"string"}]}"""
+    val wire = ConfluentAvroFrames.serializeAppend(
+      Seq(1L).toDF("id"), "t", isKey = false, v1Json).select("wire")
+    val e = intercept[org.apache.spark.SparkException] {
+      ConfluentAvroFrames.deserializeTagged(
+        wire, "wire", "t", isKey = false, badReader, writerSchemaJson = Some(v1Json)).collect()
+    }
+    def m(t: Throwable): String = Option(t.getCause).map(m).getOrElse("") + t.getMessage
+    assert(m(e).contains("incompatible"))
+  }
+
+  test("deserializeWithDlq splits good/dead; dead keeps raw wire bytes + reason") {
+    val spark = graft.TestSpark.spark
+    val (good, dlq) = ConfluentAvroFrames.deserializeWithDlq(
+      dlqFixture(spark), "wire", "t", isKey = false, dlqSchemaJson)
+    assert(good.columns.toSeq == Seq("rid", "wire", "name", "score"))
+    assert(good.select("rid").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    val deadRows = dlq.collect()
+    assert(deadRows.map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L, 4L, 5L))
+    assert(dlq.columns.toSeq == Seq("rid", "wire", "dead_reason"))
+    assert(deadRows.forall(_.getAs[Array[Byte]](1) != null))
+  }
+
   test("DataFrame avro serde: v2 reader over v1 wire gets the added default") {
     val spark = graft.TestSpark.spark
     import spark.implicits._

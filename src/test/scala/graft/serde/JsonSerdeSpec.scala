@@ -94,6 +94,21 @@ class JsonSerdeSpec extends AnyFunSuite {
     assert(viaDlq == viaFailfast)
   }
 
+  test("deserializeTagged: unconvertible field VALUES route dead, same set FAILFAST throws on") {
+    // PERMISSIVE fills the corrupt sentinel on type mismatches too (a string
+    // where the schema says long) — the tagged contract pins that those rows
+    // route dead, keeping parity with FAILFAST which throws on them.
+    val rows = Seq(
+      (1L, """{"id": 1, "text": "ok"}"""),
+      (2L, """{"id": "not-a-number", "text": "x"}""")) // dead: unconvertible value
+      .toDF("row_id", "s").select(col("row_id"), col("s").cast("binary").as("wire"))
+    val tagged = JsonFrames.deserializeTagged(rows, "wire", schema)
+      .select("row_id", "is_dead").as[(Long, Boolean)].collect().toMap
+    assert(!tagged(1L) && tagged(2L))
+    // and FAILFAST indeed throws on the same row
+    intercept[Exception] { JsonFrames.deserialize(rows, "wire", schema).collect() }
+  }
+
   test("malformed JSON fails the task loudly (FAILFAST), not null-filled") {
     val corrupt = Seq("{\"id\": 1, \"text\": \"ok\"}", "{not json at all")
       .toDF("s").select(col("s").cast("binary").as("wire"))
