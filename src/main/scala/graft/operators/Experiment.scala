@@ -404,8 +404,6 @@ object Experiment {
       tau2: Double
   ): DataFrame = {
     require(tau2 > 0.0, s"tau2 must be positive, got $tau2")
-    import org.apache.spark.sql.expressions.Window
-    val q6 = (c: Column) => graft.functions.Quantize.scaledFloor(c, 6)
     val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
     val ra = col("conv_a").cast("double") / na
     val rb = col("conv_b").cast("double") / nb
@@ -413,6 +411,58 @@ object Experiment {
     val se2 = pooled * (lit(1.0) - pooled) * (lit(1.0) / na + lit(1.0) / nb)
     val diff = rb - ra
     val ok = col("n_a") >= 1L && col("n_b") >= 1L && se2 > 0.0
+    msprtFinish(cuts, cutCol, tau2, diff, se2, ok)
+  }
+
+  /** Continuous-metric sibling of [[msprtReadout]] — the normal-mean
+    * mSPRT over the per-arm MOMENT state the streaming monitors already
+    * carry ([[Inference.momentPartial]]'s (n, Σx, Σx²) triple): input is
+    * one row per cut (cutCol ascending) of CUMULATIVE per-arm moments
+    * (n_a, sum_a, sumsq_a, n_b, sum_b, sumsq_b; sums exact — longs or
+    * decimals off an integral metric, the [[permutationTest]] rule), and
+    * the readout is the same always-valid mixture-LR machinery with
+    *
+    * δ̂ = x̄_b − x̄_a, se² = s²_a/n_a + s²_b/n_b
+    *
+    * (Welch/unpooled variance of the mean difference, s² the sample
+    * variance off the exact moments: (Σx² − n·x̄²)/(n−1)). Cuts where
+    * either arm has n < 2 or se² is degenerate carry a null log Λ and
+    * pass the running p through unchanged. Same output columns,
+    * quantization discipline, and cuts-bounded global-window contract as
+    * [[msprtReadout]]. */
+  def msprtMeanReadout(
+      cuts: DataFrame,
+      cutCol: String,
+      tau2: Double
+  ): DataFrame = {
+    require(tau2 > 0.0, s"tau2 must be positive, got $tau2")
+    val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+    val ma = col("sum_a").cast("double") / na
+    val mb = col("sum_b").cast("double") / nb
+    val va = (col("sumsq_a").cast("double") - na * ma * ma) / (na - lit(1.0))
+    val vb = (col("sumsq_b").cast("double") - nb * mb * mb) / (nb - lit(1.0))
+    val se2 = va / na + vb / nb
+    val diff = mb - ma
+    val ok = col("n_a") >= 2L && col("n_b") >= 2L && se2 > 0.0
+    msprtFinish(cuts, cutCol, tau2, diff, se2, ok)
+  }
+
+  /** The shared mixture-LR finishing stage of the two mSPRT readouts:
+    * quantized δ̂ and log Λ per valid cut, running-min always-valid p off
+    * the QUANTIZED log Λ (both engines exponentiate the same grid point,
+    * the outer q6 collapses exp's ulp). One ordered window over the cuts
+    * frame — cuts are epochs/days, bounded by contract, never
+    * user-shaped. */
+  private def msprtFinish(
+      cuts: DataFrame,
+      cutCol: String,
+      tau2: Double,
+      diff: Column,
+      se2: Column,
+      ok: Column
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q6 = (c: Column) => graft.functions.Quantize.scaledFloor(c, 6)
     val logLambda =
       lit(0.5) * log(se2 / (se2 + lit(tau2))) +
         diff * diff * lit(tau2) / (lit(2.0) * se2 * (se2 + lit(tau2)))
@@ -421,8 +471,6 @@ object Experiment {
     cuts
       .withColumn("diff", when(ok, q6(diff)))
       .withColumn("log_lambda", when(ok, q6(logLambda)))
-      // 1/Λ off the QUANTIZED log Λ: both engines exponentiate the same
-      // grid point, then the outer q6 collapses exp's ulp
       .withColumn("p_always",
         q6(coalesce(min(when(col("log_lambda").isNotNull,
           least(lit(1.0), exp(-col("log_lambda"))))).over(w), lit(1.0))))
@@ -482,5 +530,55 @@ object Experiment {
       .withColumn("mde", explode(array(mdes.map(lit): _*)))
       .withColumn("n_per_arm",
         when(p2 < 1.0, q6(num * num / (col("mde") * col("mde")))))
+  }
+
+  /** Continuous-metric sibling of [[powerAnalysis]] — sample size for a
+    * two-arm MEAN test: given each group's observed metric variance and
+    * a grid of minimum detectable effects (absolute deltas in metric
+    * units), the observations per arm for a two-sided α test at the
+    * given power:
+    *
+    * `n = 2·σ²·(z_{1−α/2} + z_{1−β})² / δ²`
+    *
+    * σ² is the sample variance off exact decimal moments (the metric
+    * must be INTEGRAL — the [[permutationTest]] rule — so Σx/Σx² are
+    * exact and both engines feed the closed form identical inputs),
+    * quantized to the 1e-6 grid BEFORE the closed form; z constants are
+    * the shared literals. The unit of analysis is the OBSERVATION (one
+    * row = one sample); pre-aggregate per user first when the design
+    * randomizes users. Groups with fewer than 2 observations emit a null
+    * variance and null n. `n_per_arm` stays on the 1e-6 double grid
+    * (planning readout, not an allocator).
+    *
+    * Shape: one map-side-combined keyed aggregation (groups-sized) + a
+    * |mdes|-wide literal explode. Output: (groups…, variance, mde,
+    * n_per_arm), one row per group × MDE. */
+  def powerAnalysisMean(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      mdes: Seq[Double],
+      zAlpha: Double = ZAlpha025,
+      zBeta: Double = ZBeta20
+  ): DataFrame = {
+    require(mdes.nonEmpty && mdes.forall(_ > 0.0),
+      s"MDEs must be positive absolute deltas, got $mdes")
+    requireIntegral(df, valueCol)
+    val keys = groupCols.map(col)
+    val q6 = (c: Column) => graft.functions.Quantize.scaledFloor(c, 6)
+    val v = col(valueCol).cast("decimal(19,0)")
+    val stats = df.groupBy(keys: _*)
+      .agg(count(col(valueCol)).as("__n"),
+        sum(v.cast("decimal(38,0)")).as("__s"),
+        sum((v * v).cast("decimal(38,0)")).as("__ss"))
+    val n = col("__n").cast("double")
+    val mean = col("__s").cast("double") / n
+    val variance = (col("__ss").cast("double") - n * mean * mean) / (n - lit(1.0))
+    val zsum = lit(zAlpha) + lit(zBeta)
+    stats
+      .select(keys :+ when(col("__n") >= 2L, q6(variance)).as("variance"): _*)
+      .withColumn("mde", explode(array(mdes.map(lit): _*)))
+      .withColumn("n_per_arm",
+        q6(lit(2.0) * zsum * zsum * col("variance") / (col("mde") * col("mde"))))
   }
 }

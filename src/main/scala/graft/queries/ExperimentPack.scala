@@ -149,6 +149,70 @@ object ExperimentPack extends QueryPack {
         .orderBy(col("cut"))
     }),
 
+    // q265's CONTINUOUS sibling: always-valid sequential readout for a
+    // MEAN metric (order value in whole dollars — integral, so the
+    // per-arm (n, Σx, Σx²) moment cuts are exact decimal sums). Cuts are
+    // order YEARS of cumulative moments; Welch/unpooled se² of the mean
+    // difference feeds the same mixture-LR machinery; A/A split (hash
+    // halves, no real effect) so p stays off the floor. τ² = 1e6
+    // (dollar-scale effect mixture).
+    "q276_msprt_mean" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val orders = Tables.orders(s, d).select(col("o_custkey"), col("o_orderdate"),
+        floor(col("o_totalprice")).cast("long").as("dollars"))
+      val assigned = Sampling.hashSplit(orders, "o_custkey",
+        Seq("a" -> 0.5, "b" -> 0.5), "exp1")
+        .withColumn("cut", year(col("o_orderdate")).cast("long"))
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val perCut = assigned.groupBy(col("cut"))
+        .agg(count(when(col("split") === "a", 1)).as("__da"),
+          count(when(col("split") === "b", 1)).as("__db"),
+          sum(when(col("split") === "a", dec(col("dollars")))).as("__sa"),
+          sum(when(col("split") === "b", dec(col("dollars")))).as("__sb"),
+          sum(when(col("split") === "a", dec(col("dollars") * col("dollars")))).as("__qa"),
+          sum(when(col("split") === "b", dec(col("dollars") * col("dollars")))).as("__qb"))
+      val w = Window.orderBy(col("cut"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cuts = perCut.select(col("cut"),
+        sum(col("__da")).over(w).as("n_a"), sum(col("__db")).over(w).as("n_b"),
+        sum(col("__sa")).over(w).as("sum_a"), sum(col("__sb")).over(w).as("sum_b"),
+        sum(col("__qa")).over(w).as("sumsq_a"), sum(col("__qb")).over(w).as("sumsq_b"))
+      graft.operators.Experiment.msprtMeanReadout(cuts, "cut", tau2 = 1000000.0)
+        .orderBy(col("cut"))
+    }),
+
+    // q264's CONTINUOUS sibling: sample-size planning for a MEAN test —
+    // per-returnflag lineitem quantity variance off exact integral
+    // moments (quantized pre-closed-form), a 3-point absolute-MDE grid,
+    // the shared z literals.
+    "q277_power_mean" -> ((s, d) =>
+      graft.operators.Experiment.powerAnalysisMean(
+        Tables.lineitem(s, d).select(col("l_returnflag"),
+          col("l_quantity").cast("long").as("qty")),
+        Seq("l_returnflag"), "qty", mdes = Seq(0.5, 1.0, 2.0))
+        .orderBy(col("l_returnflag"), col("mde"))),
+
+    // q261's CONTINUOUS-MONITOR form driven for real: order values
+    // (whole dollars — the monitor's Σx²-fits-a-long unit rule) drained
+    // through the per-shard per-arm moment fold (O(1) state forever),
+    // max-epoch snapshots long-summed and finished through the SHARED
+    // welchFromMoments closed form — the readout must be bit-identical
+    // to the from-scratch Welch SQL oracle over the same orders.
+    "q278_streaming_welch" -> ((s, d) => {
+      import s.implicits._
+      val staged = Tables.orders(s, d).select(
+        pmod(col("o_custkey"), lit(4)).cast("int").as("_1"),
+        col("o_orderkey").cast("long").as("_2"),
+        col("o_custkey").cast("string").as("_3"),
+        floor(col("o_totalprice")).cast("long").as("_4"))
+      val snaps = PackShared.drainStaged(s, staged, "q278_sink", "q278-orders")(
+        in => graft.streaming.StreamingMeanMonitor
+          .moments(in.as[(Int, Long, String, Long)], salt = "exp2")
+          .toDF("shard", "epoch", "n_a", "sum_a", "sumsq_a",
+            "n_b", "sum_b", "sumsq_b"))
+      graft.streaming.StreamingMeanMonitor.welchReadout(snaps)
+    }),
+
     // CUPED variance reduction: per-user pre-period (before Jan 16)
     // activity as the covariate for post-period activity — theta and the
     // achieved rho^2 reduction from exact decimal sufficient statistics.
@@ -299,6 +363,9 @@ object ExperimentPack extends QueryPack {
     // q261 merges the SAME vintage partials read back from the generation
     // store — by the decimal-partial contract its oracle IS q259's.
     "q261_vintage_store_welch" -> vintageWelchOracle,
+    // q278: the drained monitor's readout vs Welch-from-scratch on the
+    // whole-dollar metric — drain ≡ batch under the hash gate.
+    "q278_streaming_welch" -> PackShared.streamingWelchOracle,
     "q235_permutation_test" -> permutationOracle,
     "q246_raking" -> rakingOracle,
     "q248_experiment_scorecard" -> scorecardOracle,
@@ -368,6 +435,100 @@ object ExperimentPack extends QueryPack {
                AS p_always
       FROM ll ORDER BY cut"""
     },
+
+    // q276: the mean-metric mixture-LR closed form — exact HUGEINT
+    // moment sums cast to double, Welch se², same quantize-after-ln/exp
+    // discipline and running-min p as q265.
+    "q276_msprt_mean" -> {
+      val b = Sampling.splitBoundaries(Seq("a" -> 0.5, "b" -> 0.5)).head._2
+      val h = PackShared.duckKeyHash("o_custkey", "exp1")
+      s"""
+      WITH o AS (SELECT o_custkey, CAST(year(o_orderdate) AS BIGINT) AS cut,
+                        CAST(floor(o_totalprice) AS BIGINT) AS dollars
+                 FROM orders),
+      asg AS (SELECT cut, dollars,
+                     CASE WHEN $h < $b THEN 'a' ELSE 'b' END AS split
+              FROM o),
+      pd AS (SELECT cut,
+                    CAST(count(*) FILTER (WHERE split = 'a') AS BIGINT) AS da,
+                    CAST(count(*) FILTER (WHERE split = 'b') AS BIGINT) AS db,
+                    sum(CASE WHEN split = 'a' THEN dollars END) AS sa,
+                    sum(CASE WHEN split = 'b' THEN dollars END) AS sb,
+                    sum(CASE WHEN split = 'a' THEN dollars * dollars END) AS qa,
+                    sum(CASE WHEN split = 'b' THEN dollars * dollars END) AS qb
+             FROM asg GROUP BY cut),
+      cuts AS (SELECT cut,
+                      CAST(sum(da) OVER w AS BIGINT) AS n_a,
+                      CAST(sum(db) OVER w AS BIGINT) AS n_b,
+                      sum(sa) OVER w AS sum_a,
+                      sum(sb) OVER w AS sum_b,
+                      sum(qa) OVER w AS sumsq_a,
+                      sum(qb) OVER w AS sumsq_b
+               FROM pd
+               WINDOW w AS (ORDER BY cut ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      mn AS (SELECT cut, n_a, n_b, sumsq_a, sumsq_b,
+                    CAST(sum_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS ma,
+                    CAST(sum_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mb
+             FROM cuts),
+      vr AS (SELECT cut, n_a, n_b, mb - ma AS diff,
+                    (CAST(sumsq_a AS DOUBLE) - CAST(n_a AS DOUBLE) * ma * ma)
+                      / (CAST(n_a AS DOUBLE) - CAST(1.0 AS DOUBLE)) AS va,
+                    (CAST(sumsq_b AS DOUBLE) - CAST(n_b AS DOUBLE) * mb * mb)
+                      / (CAST(n_b AS DOUBLE) - CAST(1.0 AS DOUBLE)) AS vb
+             FROM mn),
+      se AS (SELECT cut, n_a, n_b, diff,
+                    va / CAST(n_a AS DOUBLE) + vb / CAST(n_b AS DOUBLE) AS se2
+             FROM vr),
+      ll AS (SELECT cut, n_a, n_b,
+                    CASE WHEN n_a >= 2 AND n_b >= 2 AND se2 > CAST(0.0 AS DOUBLE)
+                         THEN CAST(floor(diff * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0
+                    END AS diff,
+                    CASE WHEN n_a >= 2 AND n_b >= 2 AND se2 > CAST(0.0 AS DOUBLE)
+                         THEN CAST(floor((CAST(0.5 AS DOUBLE)
+                                * ln(se2 / (se2 + CAST(1000000.0 AS DOUBLE)))
+                              + diff * diff * CAST(1000000.0 AS DOUBLE)
+                                / (CAST(2.0 AS DOUBLE) * se2
+                                   * (se2 + CAST(1000000.0 AS DOUBLE))))
+                              * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0
+                    END AS log_lambda
+             FROM se)
+      SELECT cut, n_a, n_b, diff, log_lambda,
+             CAST(floor(coalesce(
+                 min(CASE WHEN log_lambda IS NOT NULL
+                          THEN least(CAST(1.0 AS DOUBLE), exp(-log_lambda)) END)
+                   OVER (ORDER BY cut ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 CAST(1.0 AS DOUBLE)) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0
+               AS p_always
+      FROM ll ORDER BY cut"""
+    },
+
+    // q277: variance off exact moments quantized pre-closed-form; the
+    // closed form in the operator's exact op order with the shared z
+    // literals, every constant cast to DOUBLE.
+    "q277_power_mean" -> """
+      WITH q AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty
+                 FROM lineitem),
+      s AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+                   sum(qty) AS s1, sum(qty * qty) AS s2
+            FROM q GROUP BY l_returnflag),
+      mn AS (SELECT l_returnflag, n, s2,
+                    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m
+             FROM s),
+      v AS (SELECT l_returnflag,
+                   CASE WHEN n >= 2 THEN CAST(floor(
+                     ((CAST(s2 AS DOUBLE) - CAST(n AS DOUBLE) * m * m)
+                      / (CAST(n AS DOUBLE) - CAST(1.0 AS DOUBLE)))
+                     * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0
+                   END AS variance
+            FROM mn),
+      md AS (SELECT CAST(unnest([0.5, 1.0, 2.0]) AS DOUBLE) AS mde)
+      SELECT l_returnflag, variance, mde,
+             CAST(floor(CAST(2.0 AS DOUBLE)
+                  * (CAST(1.959964 AS DOUBLE) + CAST(0.841621 AS DOUBLE))
+                  * (CAST(1.959964 AS DOUBLE) + CAST(0.841621 AS DOUBLE))
+                  * variance / (mde * mde) * 1000000.0 + 0.5) AS DOUBLE)
+               / 1000000.0 AS n_per_arm
+      FROM v CROSS JOIN md ORDER BY l_returnflag, mde""",
 
     // q264: base rates quantized BEFORE the closed form, z constants =
     // the operator's shared literals, every float op mirrored in the

@@ -571,13 +571,21 @@ private[graft] object PackShared {
     * the Spark side's merge-of-vintage-partials IS the mergeability
     * proof (decimal partials make shard boundaries unobservable). Value
     * snapped to integer cents on both engines before the decimal cast. */
-  def vintageWelchOracle: String = {
+  def vintageWelchOracle: String =
+    welchOrdersOracle(
+      "CAST(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS DECIMAL(18,0))")
+
+  /** q278's oracle: the same Welch-from-scratch, metric in WHOLE DOLLARS
+    * (the streaming monitor's Σx²-fits-a-long unit rule). */
+  def streamingWelchOracle: String =
+    welchOrdersOracle("CAST(CAST(floor(o_totalprice) AS BIGINT) AS DECIMAL(18,0))")
+
+  private def welchOrdersOracle(xSql: String): String = {
     val b = Sampling.splitBoundaries(Seq("a" -> 0.5, "b" -> 0.5)).head._2
     val h = duckKeyHash("o_custkey", "exp2")
     s"""
       WITH asg AS (SELECT CASE WHEN $h < $b THEN 'a' ELSE 'b' END AS arm,
-                     CAST(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
-                       AS DECIMAL(18,0)) AS x
+                     $xSql AS x
               FROM orders),
       g AS (SELECT
               CAST(count(*) FILTER (WHERE arm = 'a') AS BIGINT) AS n_a,

@@ -236,6 +236,28 @@ object StatsPack extends QueryPack {
         .orderBy(col("kind"))
     }),
 
+    // The distinct_* kinds q266/q267 defer to the sketch family, drained
+    // for real: per-shard KMV sketches (O(k) state forever) over doc_id
+    // hashes, merged by the batch aggregator's own distinct-merge-keep-k,
+    // estimated through the batch kmvDistinct expression on the 1e-6
+    // grid, evaluated as contract rules with the estimate-mode flag. The
+    // oracle re-derives the estimator from the same md5 hash literals —
+    // a drifted hash, merge, or estimator constant fails the hash gate.
+    "q275_streaming_distinct" -> ((s, d) => {
+      import s.implicits._
+      val staged = Tables.documents(s, d).select(
+        pmod(col("doc_id"), lit(4)).cast("int").as("_1"),
+        col("doc_id").cast("long").as("_2"),
+        graft.operators.Sampling.keyHash(col("doc_id"), "card1").as("_3"))
+      val snaps = PackShared.drainStaged(s, staged, "q275_sink", "q275-docs")(
+        in => graft.streaming.StreamingCardinality
+          .kmvSketches(in.as[(Int, Long, Long)], k = 64)
+          .toDF("shard", "epoch", "kmv"))
+      graft.streaming.StreamingCardinality.distinctReport(snaps, "doc_id",
+        Seq(("distinct_ge", 100.0), ("distinct_le", 1000000.0)), k = 64)
+        .orderBy(col("kind"))
+    }),
+
     // Hill tail index of document lengths: the heavy-tail exponent that
     // decides whether mean-based curation budgets are even meaningful
     // (α ≤ 1: no mean; α ≤ 2: no variance). One k-bounded TakeOrdered +
@@ -1677,6 +1699,31 @@ object StatsPack extends QueryPack {
         UNION ALL
         SELECT 'value', 'null_frac_le', CAST(0.25 AS DOUBLE), nf,
                coalesce(nf <= CAST(0.25 AS DOUBLE), false) FROM s)
+      ORDER BY kind""",
+
+    // q275: the KMV estimator re-derived from scratch — distinct 60-bit
+    // md5 hashes, 64 smallest, (k-1)·2^60/h_k (exact count when the
+    // sketch never filled), 1e-6 grid, rule rows with the estimate flag.
+    "q275_streaming_distinct" -> s"""
+      WITH h AS (SELECT DISTINCT ${PackShared.duckKeyHash("doc_id", "card1")} AS hv
+                 FROM documents),
+      tk AS (SELECT hv FROM h ORDER BY hv LIMIT 64),
+      est AS (SELECT count(*) AS c, max(hv) AS hk FROM tk),
+      o AS (SELECT
+        CAST(floor((CASE WHEN c < 64 THEN CAST(c AS DOUBLE)
+                         ELSE 63.0 * 1152921504606846976.0 / CAST(hk AS DOUBLE) END)
+                   * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS observed,
+        (c = 64) AS estimated
+      FROM est)
+      SELECT col_name, kind, bound, observed, pass, estimated FROM (
+        SELECT 'doc_id' AS col_name, 'distinct_ge' AS kind,
+               CAST(100.0 AS DOUBLE) AS bound, observed,
+               coalesce(observed >= CAST(100.0 AS DOUBLE), false) AS pass,
+               estimated FROM o
+        UNION ALL
+        SELECT 'doc_id', 'distinct_le', CAST(1000000.0 AS DOUBLE), observed,
+               coalesce(observed <= CAST(1000000.0 AS DOUBLE), false),
+               estimated FROM o)
       ORDER BY kind""",
 
     // q266: each expectation mirrored as one row off a single stats CTE;

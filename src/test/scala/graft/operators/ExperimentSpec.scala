@@ -234,6 +234,62 @@ class ExperimentSpec extends AnyFunSuite {
       Experiment.msprtReadout(nullCuts, "cut", tau2 = 0.0))
   }
 
+  test("msprtMeanReadout: detects a mean shift, passes degenerate cuts through, null effect stays high") {
+    // moments for arm a ~ N-ish around 10 and arm b around 13 built from
+    // integral samples: a = {8,10,12,...}, b = {11,13,15,...} — exact
+    // (n, Σx, Σx²) cumulative cuts
+    def moments(xs: Seq[Long]) = (xs.length.toLong, xs.sum, xs.map(x => x * x).sum)
+    val a1 = Seq(8L, 10L, 12L); val b1 = Seq(11L, 13L, 15L)
+    val aBig = (1 to 400).map(i => 8L + (i % 5)); val bBig = (1 to 400).map(i => 11L + (i % 5))
+    val (na1, sa1, qa1) = moments(a1); val (nb1, sb1, qb1) = moments(b1)
+    val (na2, sa2, qa2) = moments(a1 ++ aBig); val (nb2, sb2, qb2) = moments(b1 ++ bBig)
+    val cuts = Seq(
+      (1L, na1, sa1, qa1, nb1, sb1, qb1),
+      (2L, 2L, 20L, 200L, 2L, 26L, 338L), // both arms constant -> s2 = 0: degenerate
+      (3L, na2, sa2, qa2, nb2, sb2, qb2))
+      .toDF("cut", "n_a", "sum_a", "sumsq_a", "n_b", "sum_b", "sumsq_b")
+    val rows = Experiment.msprtMeanReadout(cuts, "cut", tau2 = 1.0)
+      .orderBy(col("cut")).collect()
+    val ps = rows.map(_.getDouble(5))
+    assert(ps.zip(ps.tail).forall { case (x, y) => y <= x }, s"p must never rise: ${ps.toSeq}")
+    assert(rows(1).isNullAt(4), "zero-variance cut must carry null log_lambda")
+    assert(ps(1) == ps(0), "degenerate cut must not move the running p")
+    assert(ps(2) < 0.05, s"persistent 3-unit shift at n=400 must reject, got ${ps(2)}")
+    // equal-mean arms: p stays near 1
+    val (nn, sn, qn) = moments(aBig)
+    val nullCuts = Seq((1L, nn, sn, qn, nn, sn, qn))
+      .toDF("cut", "n_a", "sum_a", "sumsq_a", "n_b", "sum_b", "sumsq_b")
+    val pNull = Experiment.msprtMeanReadout(nullCuts, "cut", tau2 = 1.0)
+      .collect().head.getDouble(5)
+    assert(pNull > 0.5, s"null effect must not reject, got $pNull")
+    intercept[IllegalArgumentException](
+      Experiment.msprtMeanReadout(nullCuts, "cut", tau2 = 0.0))
+  }
+
+  test("powerAnalysisMean: textbook normal-mean n, monotone in MDE, n<2 nulls, integral gate") {
+    // variance exactly 1 (alternating ±1 around mean 10: values 9,11):
+    // n = 2·1·(1.959964+0.841621)²/δ²; δ=0.5 -> ~62.79 per arm
+    val obs = (1 to 100).map(i => (if (i % 2 == 0) 9L else 11L, "g1")).toDF("v", "g")
+    val rows = Experiment.powerAnalysisMean(obs, Seq("g"), "v", mdes = Seq(0.5, 1.0))
+      .orderBy(col("mde")).collect()
+    val varQ = rows.head.getDouble(1)
+    // sample variance of 50×9 + 50×11 around 10: 100/99 ≈ 1.010101
+    assert(math.abs(varQ - 1.010101) < 1e-6, s"variance grid point: $varQ")
+    val z = 1.959964 + 0.841621
+    val expect05 = 2.0 * z * z * varQ / 0.25
+    assert(math.abs(rows(0).getDouble(3) - expect05) < 1e-3)
+    assert(rows(1).getDouble(3) < rows(0).getDouble(3), "bigger effect, smaller test")
+    // a 1-observation group cannot estimate variance
+    val tiny = Seq((5L, "g1")).toDF("v", "g")
+    val t = Experiment.powerAnalysisMean(tiny, Seq("g"), "v", mdes = Seq(1.0)).collect().head
+    assert(t.isNullAt(1) && t.isNullAt(3))
+    intercept[IllegalArgumentException](
+      Experiment.powerAnalysisMean(obs, Seq("g"), "v", mdes = Seq(-1.0)))
+    intercept[IllegalArgumentException](
+      Experiment.powerAnalysisMean(
+        Seq((1.5, "g")).toDF("v", "g"), Seq("g"), "v", mdes = Seq(1.0)))
+  }
+
   test("matchedOutcomes: control-free stratum emits zero matches and null ATT") {
     val units = Seq(("s", 1L, true, 1.0, 10), ("s", 2L, true, 2.0, 20))
       .toDF("st", "id", "t", "score", "y")
