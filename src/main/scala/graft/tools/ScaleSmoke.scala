@@ -1125,6 +1125,33 @@ object ScaleSmoke {
       }
     }
 
+    // r14: the Confluent wire serde round-trip with the DLQ routing under
+    // a mult-widened corpus — one mapPartitions encode + one tagged decode,
+    // zero shuffle; anything superlinear here would mean per-row registry /
+    // datum-reader churn crept back in.
+    locally {
+      import graft.serde.{ConfluentAvroFrames, ConfluentWire, ConfluentWireColumns}
+      val schemaJson =
+        """{"type":"record","name":"DocMeta","namespace":"graft",
+           |"fields":[{"name":"lang","type":"string"},{"name":"n_chars","type":"long"}]}""".stripMargin
+      time("avro wire serde + dlq route") {
+        val wired = ConfluentAvroFrames.serializeAppend(
+            docs.select(col("doc_id"), col("lang"), col("n_chars")),
+            topic = "docs", isKey = false, schemaJson = schemaJson)
+          .select(col("doc_id"),
+            when(col("doc_id") % 41 === 0,
+              concat(lit(Array(0x21.toByte)), substring(col("wire"), 2, Int.MaxValue)))
+            .when(col("doc_id") % 31 === 0,
+              ConfluentWireColumns.withWireHeader(
+                ConfluentWireColumns.wirePayload(col("wire")), 999))
+            .when(col("doc_id") % 29 === 0,
+              substring(col("wire"), 1, ConfluentWire.HeaderSize + 1))
+            .otherwise(col("wire")).as("wire"))
+        ConfluentAvroFrames.deserializeTagged(
+          wired, "wire", topic = "docs", isKey = false, schemaJson)
+      }
+    }
+
     spark.stop()
   }
 }
