@@ -553,6 +553,92 @@ object Experiment {
     * Shape: one map-side-combined keyed aggregation (groups-sized) + a
     * |mdes|-wide literal explode. Output: (groups…, variance, mde,
     * n_per_arm), one row per group × MDE. */
+  /** Bradley–Terry preference strengths from pairwise duels — the
+    * aggregation step of every pairwise-human-preference pipeline
+    * (annotator A/B votes, model-output win/loss logs): given one row
+    * per duel (winner, loser), the MM fixed-point (Hunter 2004)
+    *
+    * `p_i ← W_i / Σ_j n_ij / (p_i + p_j)`
+    *
+    * run for a FIXED number of iterations with per-step normalization
+    * (Σp = |items|), so strengths are comparable across runs.
+    *
+    * Engine-exactness: the classic float iteration is a corpus-order
+    * trap (the Σ_j is a float sum), so every p lives on an INTEGER
+    * nano-grid (units of 1e-9): per-pair terms are computed in double
+    * off exact integer inputs, floor-quantized BACK to long units, and
+    * the Σ_j is then an exact long sum — order-free, bit-identical in
+    * any engine; normalization keeps units ≤ |items|·1e9, so nothing
+    * approaches long range. Items that never win are floored at one
+    * unit (p = 1e-9) instead of collapsing to a 0/0 death spiral.
+    *
+    * Shape: ONE corpus-sized counting aggregation (map-side combined)
+    * up front; every iteration is two items-bounded SMJ joins + one
+    * exact long-sum aggregation over the PAIRS-bounded symmetric count
+    * frame, localCheckpoint'd so the plan stays linear in iterations
+    * (the [[graft.operators.Graph.hits]] discipline). Output: (item,
+    * strength [1e-6 grid], wins, duels), one row per item. */
+  def bradleyTerry(
+      duels: DataFrame,
+      winnerCol: String,
+      loserCol: String,
+      iterations: Int = 8
+  ): DataFrame = {
+    require(iterations >= 1 && iterations <= 32,
+      s"iterations=$iterations out of [1,32] — deep fixed-point chains should checkpoint")
+    val q6 = (c: Column) => graft.functions.Quantize.scaledFloor(c, 6)
+    val d = duels.select(col(winnerCol).cast("string").as("__w"),
+      col(loserCol).cast("string").as("__l"))
+    // corpus → pairs-bounded exact counts; everything below is items/pairs-sized
+    val ordered = d.groupBy(col("__w"), col("__l")).agg(count(lit(1)).as("__n"))
+      .localCheckpoint(true)
+    val items = ordered.select(col("__w").as("item"))
+      .union(ordered.select(col("__l").as("item"))).distinct()
+    val wins = items.join(
+        ordered.groupBy(col("__w").as("item")).agg(sum(col("__n")).as("__wn"))
+          .hint("shuffle_merge"),
+        Seq("item"), "left")
+      .select(col("item"), coalesce(col("__wn"), lit(0L)).as("wins"))
+      .localCheckpoint(true)
+    val sym = ordered.select(col("__w").as("i"), col("__l").as("j"), col("__n"))
+      .unionByName(ordered.select(col("__l").as("i"), col("__w").as("j"), col("__n")))
+      .groupBy(col("i"), col("j")).agg(sum(col("__n")).as("nij"))
+      .localCheckpoint(true)
+    val init = wins.select(col("item"), lit(1000000000L).as("u"))
+    val fitted = (1 to iterations).foldLeft(init) { (p, _) =>
+      val terms = sym
+        .join(p.select(col("item").as("i"), col("u").as("__ui")).hint("shuffle_merge"), "i")
+        .join(p.select(col("item").as("j"), col("u").as("__uj")).hint("shuffle_merge"), "j")
+        .select(col("i"),
+          // exact long add inside the cast, then one double divide/multiply
+          // — floor back to units so the Σ_j below is an exact long sum
+          floor(col("nij").cast("double")
+            / ((col("__ui") + col("__uj")).cast("double") / lit(1.0e9))
+            * lit(1.0e9) + lit(0.5)).as("tu"))
+      val denom = terms.groupBy(col("i")).agg(sum(col("tu")).as("__du"))
+      val raw = wins
+        .join(denom.hint("shuffle_merge"), wins("item") === denom("i"), "left")
+        .select(col("item"),
+          greatest(floor(
+            when(col("__du").isNotNull && col("__du") > 0L,
+              col("wins").cast("double") / (col("__du").cast("double") / lit(1.0e9)))
+              .otherwise(lit(0.0)) * lit(1.0e9) + lit(0.5)), lit(1L)).as("__u0"))
+      val norm = raw.agg(sum(col("__u0")).as("__su"), count(lit(1)).as("__c"))
+      raw.crossJoin(broadcast(norm))
+        .select(col("item"),
+          greatest(floor(col("__u0").cast("double")
+            * ((col("__c") * lit(1000000000L)).cast("double") / col("__su").cast("double"))
+            + lit(0.5)), lit(1L)).as("u"))
+        .localCheckpoint(true)
+    }
+    val duelCounts = sym.groupBy(col("i").as("item")).agg(sum(col("nij")).as("duels"))
+    fitted
+      .join(wins.hint("shuffle_merge"), "item")
+      .join(duelCounts.hint("shuffle_merge"), "item")
+      .select(col("item"), q6(col("u").cast("double") / lit(1.0e9)).as("strength"),
+        col("wins"), col("duels"))
+  }
+
   def powerAnalysisMean(
       df: DataFrame,
       groupCols: Seq[String],

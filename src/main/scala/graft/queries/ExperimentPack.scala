@@ -213,6 +213,30 @@ object ExperimentPack extends QueryPack {
       graft.streaming.StreamingMeanMonitor.welchReadout(snaps)
     }),
 
+    // Bradley–Terry preference fit over planted duels: each user's
+    // per-event-type activity counts generate pairwise "preferences"
+    // (the more-active type wins, ties skip), and the MM fixed point
+    // recovers a global strength ranking. The oracle replays every
+    // iteration on the integer nano-grid (the HITS-unroll discipline) —
+    // the whole fit is engine-exact, so one drifted floor/normalize
+    // step anywhere in 8 iterations fails the hash gate.
+    "q279_bradley_terry" -> ((s, d) => {
+      val perUser = Tables.events(s, d).groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      val a = perUser.as("a"); val b = perUser.as("b")
+      val duels = a.join(b,
+          col("a.user_id") === col("b.user_id") &&
+            col("a.event_type") < col("b.event_type"))
+        .filter(col("a.cnt") =!= col("b.cnt"))
+        .select(
+          when(col("a.cnt") > col("b.cnt"), col("a.event_type"))
+            .otherwise(col("b.event_type")).as("winner"),
+          when(col("a.cnt") > col("b.cnt"), col("b.event_type"))
+            .otherwise(col("a.event_type")).as("loser"))
+      graft.operators.Experiment.bradleyTerry(duels, "winner", "loser", iterations = 8)
+        .orderBy(col("item"))
+    }),
+
     // CUPED variance reduction: per-user pre-period (before Jan 16)
     // activity as the covariate for post-period activity — theta and the
     // achieved rho^2 reduction from exact decimal sufficient statistics.
@@ -366,6 +390,17 @@ object ExperimentPack extends QueryPack {
     // q278: the drained monitor's readout vs Welch-from-scratch on the
     // whole-dollar metric — drain ≡ batch under the hash gate.
     "q278_streaming_welch" -> PackShared.streamingWelchOracle,
+
+    // q279: the full MM iteration unrolled on the integer nano-grid.
+    "q279_bradley_terry" -> PackShared.bradleyTerryCtes(
+      """SELECT CASE WHEN a.cnt > b.cnt THEN a.event_type ELSE b.event_type END AS w,
+                CASE WHEN a.cnt > b.cnt THEN b.event_type ELSE a.event_type END AS l
+         FROM (SELECT user_id, event_type, count(*) AS cnt
+               FROM events GROUP BY user_id, event_type) a
+         JOIN (SELECT user_id, event_type, count(*) AS cnt
+               FROM events GROUP BY user_id, event_type) b
+           ON a.user_id = b.user_id AND a.event_type < b.event_type
+         WHERE a.cnt <> b.cnt""", iterations = 8),
     "q235_permutation_test" -> permutationOracle,
     "q246_raking" -> rakingOracle,
     "q248_experiment_scorecard" -> scorecardOracle,

@@ -625,6 +625,64 @@ private[graft] object PackShared {
       FROM t"""
   }
 
+  /** q279's oracle is GENERATED like the HITS/LPA unrolls: the full
+    * Bradley–Terry MM iteration replayed CTE-by-CTE on the integer
+    * nano-grid — per-pair terms floor-quantized to long units before the
+    * Σ_j (exact BIGINT sums, order-free), per-step normalization, the
+    * zero-win floor — every double op in the operator's evaluation
+    * order, so the fit is engine-exact by construction. `duelSql` must
+    * yield (w, l). */
+  def bradleyTerryCtes(duelSql: String, iterations: Int): String = {
+    val iters = (1 to iterations).map { k =>
+      s"""t$k AS MATERIALIZED (SELECT s.i,
+               CAST(floor(CAST(s.nij AS DOUBLE)
+                    / (CAST(pa.u + pb.u AS DOUBLE) / 1000000000.0)
+                    * 1000000000.0 + 0.5) AS BIGINT) AS tu
+             FROM sym s
+             JOIN p${k - 1} pa ON pa.item = s.i
+             JOIN p${k - 1} pb ON pb.item = s.j),
+      de$k AS MATERIALIZED (SELECT i, CAST(sum(tu) AS BIGINT) AS du FROM t$k GROUP BY i),
+      r$k AS MATERIALIZED (SELECT w.item,
+               greatest(CAST(floor(
+                   CASE WHEN d.du IS NOT NULL AND d.du > 0
+                        THEN CAST(w.wins AS DOUBLE)
+                             / (CAST(d.du AS DOUBLE) / 1000000000.0)
+                        ELSE CAST(0.0 AS DOUBLE) END
+                   * 1000000000.0 + 0.5) AS BIGINT),
+                 CAST(1 AS BIGINT)) AS u0
+             FROM wn w LEFT JOIN de$k d ON d.i = w.item),
+      n$k AS MATERIALIZED (SELECT CAST(sum(u0) AS BIGINT) AS su,
+                     CAST(count(*) AS BIGINT) AS c FROM r$k),
+      p$k AS MATERIALIZED (SELECT r.item,
+               greatest(CAST(floor(CAST(r.u0 AS DOUBLE)
+                    * (CAST(n.c * 1000000000 AS DOUBLE) / CAST(n.su AS DOUBLE))
+                    + 0.5) AS BIGINT),
+                 CAST(1 AS BIGINT)) AS u
+             FROM r$k r CROSS JOIN n$k n)"""
+    }.mkString(",\n      ")
+    s"""
+      WITH d AS ($duelSql),
+      oc AS MATERIALIZED (SELECT w, l, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY w, l),
+      it AS (SELECT w AS item FROM oc UNION SELECT l FROM oc),
+      wn AS MATERIALIZED (SELECT i.item, coalesce(s.wsum, CAST(0 AS BIGINT)) AS wins
+             FROM it i LEFT JOIN (SELECT w AS item, CAST(sum(n) AS BIGINT) AS wsum
+                                  FROM oc GROUP BY w) s ON s.item = i.item),
+      sym AS MATERIALIZED (SELECT i, j, CAST(sum(n) AS BIGINT) AS nij FROM (
+                SELECT w AS i, l AS j, n FROM oc
+                UNION ALL SELECT l, w, n FROM oc) GROUP BY i, j),
+      dc AS (SELECT i AS item, CAST(sum(nij) AS BIGINT) AS duels FROM sym GROUP BY i),
+      p0 AS MATERIALIZED (SELECT item, CAST(1000000000 AS BIGINT) AS u FROM wn),
+      $iters
+      SELECT p.item,
+             CAST(floor(CAST(p.u AS DOUBLE) / 1000000000.0 * 1000000.0 + 0.5)
+               AS DOUBLE) / 1000000.0 AS strength,
+             w.wins, dc.duels
+      FROM p$iterations p
+      JOIN wn w ON w.item = p.item
+      JOIN dc ON dc.item = p.item
+      ORDER BY p.item"""
+  }
+
   def welchOracle: String = {
     val b = Sampling.splitBoundaries(Seq("a" -> 0.5, "b" -> 0.5)).head._2
     val h = duckKeyHash("user_id", "exp1")

@@ -290,6 +290,36 @@ class ExperimentSpec extends AnyFunSuite {
         Seq((1.5, "g")).toDF("v", "g"), Seq("g"), "v", mdes = Seq(1.0)))
   }
 
+  test("bradleyTerry: transitive dominance orders strengths; symmetric duels tie; zero-win floor") {
+    // A beats B 9:1, B beats C 9:1, A beats C 9:1 — strict dominance
+    def rep(w: String, l: String, n: Int) = Seq.fill(n)((w, l))
+    val duels = (rep("A", "B", 9) ++ rep("B", "A", 1) ++
+      rep("B", "C", 9) ++ rep("C", "B", 1) ++
+      rep("A", "C", 9) ++ rep("C", "A", 1)).toDF("w", "l")
+    val out = Experiment.bradleyTerry(duels, "w", "l")
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("A")._1 > out("B")._1 && out("B")._1 > out("C")._1,
+      s"dominance must order strengths: $out")
+    assert(out("A")._2 == 18L && out("C")._2 == 2L)
+    assert(out.values.forall(_._3 == 20L), "each item fought 20 duels")
+    // symmetric record -> equal strengths (normalized to 1.0 each)
+    val even = (rep("X", "Y", 5) ++ rep("Y", "X", 5)).toDF("w", "l")
+    val evenOut = Experiment.bradleyTerry(even, "w", "l")
+      .collect().map(_.getDouble(1)).toSeq
+    assert(evenOut == Seq(1.0, 1.0), s"symmetric duels must tie at 1.0: $evenOut")
+    // an item that never wins floors at the nano-grid, never NaN/negative
+    val shutout = rep("P", "Q", 4).toDF("w", "l")
+    val so = Experiment.bradleyTerry(shutout, "w", "l")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(so("Q") >= 0.0 && so("Q") < so("P"), s"shutout must floor, not die: $so")
+    // determinism: identical input, identical bits
+    val a = Experiment.bradleyTerry(duels, "w", "l").orderBy(col("item")).collect().toSeq
+    val b = Experiment.bradleyTerry(duels, "w", "l").orderBy(col("item")).collect().toSeq
+    assert(a == b)
+    intercept[IllegalArgumentException](
+      Experiment.bradleyTerry(duels, "w", "l", iterations = 0))
+  }
+
   test("matchedOutcomes: control-free stratum emits zero matches and null ATT") {
     val units = Seq(("s", 1L, true, 1.0, 10), ("s", 2L, true, 2.0, 20))
       .toDF("st", "id", "t", "score", "y")
