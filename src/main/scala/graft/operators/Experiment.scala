@@ -639,6 +639,96 @@ object Experiment {
         col("wins"), col("duels"))
   }
 
+  /** Position-bias audit for pairwise-preference data — the first QC
+    * check on any A/B annotation stream: if the item shown FIRST wins
+    * materially more than half the time, the labels measure layout, not
+    * preference. Input: one row per duel with the winner and the item
+    * that was presented first; output one row (n_duels, first_wins,
+    * first_rate, z_position) — the exact binomial z against the fair
+    * coin, `z = (2k − n)/√n`, rate and z on the 1e-6 grid off exact
+    * integer counts (engine-exact: one counting aggregation, a closed
+    * form of two longs). */
+  def positionBias(
+      duels: DataFrame,
+      winnerCol: String,
+      firstCol: String
+  ): DataFrame = {
+    val q6 = (c: Column) => graft.functions.Quantize.scaledFloor(c, 6)
+    val counts = duels.agg(
+      count(lit(1)).as("n_duels"),
+      count(when(col(winnerCol) === col(firstCol), 1)).as("first_wins"))
+    val n = col("n_duels").cast("double"); val k = col("first_wins").cast("double")
+    counts.select(col("n_duels"), col("first_wins"),
+      when(col("n_duels") >= 1L, q6(k / n)).as("first_rate"),
+      when(col("n_duels") >= 1L,
+        q6((lit(2.0) * k - n) / sqrt(n))).as("z_position"))
+  }
+
+  /** Transitivity audit for pairwise-preference data — does a single
+    * global ranking even exist? Majority-vote each unordered pair
+    * (ties undecided), then count CIRCULAR TRIADS (i beats j beats k
+    * beats i) among the triples whose three pairs are all decided —
+    * the classic consistency statistic (Kendall–Babington Smith): a
+    * high circular share means the Bradley–Terry/ranking model is
+    * fitting noise. Output one row: (items, decided_pairs,
+    * decided_triads, circular_triads, circular_share [1e-6 grid]).
+    *
+    * Shape: one corpus-sized counting aggregation, then joins over the
+    * ITEMS-bounded majority digraph (triads are |items|³ with items
+    * bounded by contract — event types, model variants, never users).
+    * All counts exact longs; the share is one exact-input division. */
+  def transitivityAudit(
+      duels: DataFrame,
+      winnerCol: String,
+      loserCol: String
+  ): DataFrame = {
+    val q6 = (c: Column) => graft.functions.Quantize.scaledFloor(c, 6)
+    val d = duels.select(col(winnerCol).cast("string").as("__w"),
+      col(loserCol).cast("string").as("__l"))
+    val ordered = d.groupBy(col("__w"), col("__l")).agg(count(lit(1)).as("__n"))
+      .localCheckpoint(true)
+    val items = ordered.select(col("__w").as("item"))
+      .union(ordered.select(col("__l").as("item"))).distinct()
+    // per unordered pair: wins in each direction; majority = decided edge
+    val lo = least(col("__w"), col("__l")); val hi = greatest(col("__w"), col("__l"))
+    val pairs = ordered
+      .groupBy(lo.as("a"), hi.as("b"))
+      .agg(sum(when(col("__w") === least(col("__w"), col("__l")), col("__n"))
+          .otherwise(0L)).as("__ab"),
+        sum(when(col("__w") === greatest(col("__w"), col("__l")), col("__n"))
+          .otherwise(0L)).as("__ba"))
+    val decided = pairs.filter(col("__ab") =!= col("__ba"))
+      .select(
+        when(col("__ab") > col("__ba"), col("a")).otherwise(col("b")).as("src"),
+        when(col("__ab") > col("__ba"), col("b")).otherwise(col("a")).as("dst"))
+      .localCheckpoint(true)
+    // undirected decided pairs (a < b) for the triad universe
+    val und = decided.select(least(col("src"), col("dst")).as("a"),
+      greatest(col("src"), col("dst")).as("b"))
+    // triples i<j<k with all three pairs decided
+    val triads = und.as("ij")
+      .join(und.as("jk"), col("ij.b") === col("jk.a"))
+      .join(und.as("ik"),
+        col("ik.a") === col("ij.a") && col("ik.b") === col("jk.b"))
+      .agg(count(lit(1)).as("decided_triads"))
+    // directed 3-cycles, each counted 3 times (one per rotation)
+    val cycles = decided.as("e1")
+      .join(decided.as("e2"), col("e1.dst") === col("e2.src"))
+      .join(decided.as("e3"),
+        col("e2.dst") === col("e3.src") && col("e3.dst") === col("e1.src"))
+      // count each cycle once: anchor at its least item
+      .filter(col("e1.src") < col("e2.src") && col("e1.src") < col("e3.src"))
+      .agg(count(lit(1)).as("circular_triads"))
+    val nItems = items.agg(count(lit(1)).as("items"))
+    val nDecided = decided.agg(count(lit(1)).as("decided_pairs"))
+    nItems.crossJoin(nDecided).crossJoin(triads).crossJoin(cycles)
+      .select(col("items"), col("decided_pairs"), col("decided_triads"),
+        col("circular_triads"),
+        when(col("decided_triads") >= 1L,
+          q6(col("circular_triads").cast("double")
+            / col("decided_triads").cast("double"))).as("circular_share"))
+  }
+
   def powerAnalysisMean(
       df: DataFrame,
       groupCols: Seq[String],

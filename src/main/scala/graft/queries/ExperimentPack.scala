@@ -237,6 +237,44 @@ object ExperimentPack extends QueryPack {
         .orderBy(col("item"))
     }),
 
+    // Position-bias audit over the q279 duel stream: "first" is the
+    // alphabetically-earlier type (the join's presentation slot), and
+    // the exact binomial z says whether slot-one wins depart from the
+    // fair coin — the first QC gate on any A/B annotation stream.
+    "q280_position_bias" -> ((s, d) => {
+      val perUser = Tables.events(s, d).groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      val a = perUser.as("a"); val b = perUser.as("b")
+      val duels = a.join(b,
+          col("a.user_id") === col("b.user_id") &&
+            col("a.event_type") < col("b.event_type"))
+        .filter(col("a.cnt") =!= col("b.cnt"))
+        .select(
+          when(col("a.cnt") > col("b.cnt"), col("a.event_type"))
+            .otherwise(col("b.event_type")).as("winner"),
+          col("a.event_type").as("first"))
+      graft.operators.Experiment.positionBias(duels, "winner", "first")
+    }),
+
+    // Transitivity audit over the same duels: majority-vote each pair,
+    // count circular triads among fully-decided triples — whether a
+    // global ranking (q279's model) even exists for this data.
+    "q281_transitivity" -> ((s, d) => {
+      val perUser = Tables.events(s, d).groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      val a = perUser.as("a"); val b = perUser.as("b")
+      val duels = a.join(b,
+          col("a.user_id") === col("b.user_id") &&
+            col("a.event_type") < col("b.event_type"))
+        .filter(col("a.cnt") =!= col("b.cnt"))
+        .select(
+          when(col("a.cnt") > col("b.cnt"), col("a.event_type"))
+            .otherwise(col("b.event_type")).as("winner"),
+          when(col("a.cnt") > col("b.cnt"), col("b.event_type"))
+            .otherwise(col("a.event_type")).as("loser"))
+      graft.operators.Experiment.transitivityAudit(duels, "winner", "loser")
+    }),
+
     // CUPED variance reduction: per-user pre-period (before Jan 16)
     // activity as the covariate for post-period activity — theta and the
     // achieved rho^2 reduction from exact decimal sufficient statistics.
@@ -564,6 +602,77 @@ object ExperimentPack extends QueryPack {
                   * variance / (mde * mde) * 1000000.0 + 0.5) AS DOUBLE)
                / 1000000.0 AS n_per_arm
       FROM v CROSS JOIN md ORDER BY l_returnflag, mde""",
+
+    // q280: exact integer counts into the binomial closed form on the
+    // 1e-6 grid.
+    "q280_position_bias" -> """
+      WITH pu AS (SELECT user_id, event_type, count(*) AS cnt
+                  FROM events GROUP BY user_id, event_type),
+      dd AS (SELECT CASE WHEN a.cnt > b.cnt THEN a.event_type
+                         ELSE b.event_type END AS w,
+                    a.event_type AS f
+             FROM pu a JOIN pu b
+               ON a.user_id = b.user_id AND a.event_type < b.event_type
+             WHERE a.cnt <> b.cnt),
+      c AS (SELECT CAST(count(*) AS BIGINT) AS n_duels,
+                   CAST(count(*) FILTER (WHERE w = f) AS BIGINT) AS first_wins
+            FROM dd)
+      SELECT n_duels, first_wins,
+             CASE WHEN n_duels >= 1
+                  THEN CAST(floor(CAST(first_wins AS DOUBLE)
+                       / CAST(n_duels AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE)
+                       / 1000000.0
+             END AS first_rate,
+             CASE WHEN n_duels >= 1
+                  THEN CAST(floor((CAST(2.0 AS DOUBLE) * CAST(first_wins AS DOUBLE)
+                         - CAST(n_duels AS DOUBLE))
+                       / sqrt(CAST(n_duels AS DOUBLE)) * 1000000.0 + 0.5) AS DOUBLE)
+                       / 1000000.0
+             END AS z_position
+      FROM c""",
+
+    // q281: majority digraph + triad counting in exact integers; the
+    // cycle anchor rule (least item) mirrored.
+    "q281_transitivity" -> """
+      WITH pu AS (SELECT user_id, event_type, count(*) AS cnt
+                  FROM events GROUP BY user_id, event_type),
+      dd AS (SELECT CASE WHEN a.cnt > b.cnt THEN a.event_type
+                         ELSE b.event_type END AS w,
+                    CASE WHEN a.cnt > b.cnt THEN b.event_type
+                         ELSE a.event_type END AS l
+             FROM pu a JOIN pu b
+               ON a.user_id = b.user_id AND a.event_type < b.event_type
+             WHERE a.cnt <> b.cnt),
+      oc AS MATERIALIZED (SELECT w, l, CAST(count(*) AS BIGINT) AS n
+                          FROM dd GROUP BY w, l),
+      pr AS (SELECT least(w, l) AS a, greatest(w, l) AS b,
+                    sum(CASE WHEN w = least(w, l) THEN n ELSE 0 END) AS ab,
+                    sum(CASE WHEN w = greatest(w, l) THEN n ELSE 0 END) AS ba
+             FROM oc GROUP BY least(w, l), greatest(w, l)),
+      decided AS MATERIALIZED (
+        SELECT CASE WHEN ab > ba THEN a ELSE b END AS src,
+               CASE WHEN ab > ba THEN b ELSE a END AS dst
+        FROM pr WHERE ab <> ba),
+      und AS MATERIALIZED (SELECT least(src, dst) AS a, greatest(src, dst) AS b
+                           FROM decided),
+      tri AS (SELECT CAST(count(*) AS BIGINT) AS decided_triads
+              FROM und ij JOIN und jk ON ij.b = jk.a
+              JOIN und ik ON ik.a = ij.a AND ik.b = jk.b),
+      cyc AS (SELECT CAST(count(*) AS BIGINT) AS circular_triads
+              FROM decided e1
+              JOIN decided e2 ON e1.dst = e2.src
+              JOIN decided e3 ON e2.dst = e3.src AND e3.dst = e1.src
+              WHERE e1.src < e2.src AND e1.src < e3.src),
+      it AS (SELECT CAST(count(DISTINCT item) AS BIGINT) AS items
+             FROM (SELECT w AS item FROM oc UNION SELECT l FROM oc)),
+      dp AS (SELECT CAST(count(*) AS BIGINT) AS decided_pairs FROM decided)
+      SELECT items, decided_pairs, decided_triads, circular_triads,
+             CASE WHEN decided_triads >= 1
+                  THEN CAST(floor(CAST(circular_triads AS DOUBLE)
+                       / CAST(decided_triads AS DOUBLE) * 1000000.0 + 0.5)
+                       AS DOUBLE) / 1000000.0
+             END AS circular_share
+      FROM it CROSS JOIN dp CROSS JOIN tri CROSS JOIN cyc""",
 
     // q264: base rates quantized BEFORE the closed form, z constants =
     // the operator's shared literals, every float op mirrored in the

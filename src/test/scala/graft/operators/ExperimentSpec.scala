@@ -320,6 +320,32 @@ class ExperimentSpec extends AnyFunSuite {
       Experiment.bradleyTerry(duels, "w", "l", iterations = 0))
   }
 
+  test("positionBias: exact binomial z off integer counts; empty input nulls") {
+    // 75 first-position wins in 100 duels: rate 0.75, z = (150-100)/10 = 5.0
+    val duels = ((1 to 75).map(_ => ("x", "x")) ++ (1 to 25).map(_ => ("y", "x")))
+      .toDF("winner", "first")
+    val r = Experiment.positionBias(duels, "winner", "first").collect().head
+    assert(r.getLong(0) == 100L && r.getLong(1) == 75L)
+    assert(r.getDouble(2) == 0.75 && r.getDouble(3) == 5.0)
+    val empty = Seq.empty[(String, String)].toDF("winner", "first")
+    val e = Experiment.positionBias(empty, "winner", "first").collect().head
+    assert(e.getLong(0) == 0L && e.isNullAt(2) && e.isNullAt(3))
+  }
+
+  test("transitivityAudit: consistent triad clean, planted cycle counted once, ties undecided") {
+    def rep(w: String, l: String, n: Int) = Seq.fill(n)((w, l))
+    // consistent: A>B>C with A>C; cyclic: D>E>F>D; tie pair: G~H (2:2)
+    val duels = (rep("A", "B", 3) ++ rep("B", "C", 3) ++ rep("A", "C", 3) ++
+      rep("D", "E", 3) ++ rep("E", "F", 3) ++ rep("F", "D", 3) ++
+      rep("G", "H", 2) ++ rep("H", "G", 2)).toDF("w", "l")
+    val r = Experiment.transitivityAudit(duels, "w", "l").collect().head
+    assert(r.getLong(0) == 8L, s"items: $r")
+    assert(r.getLong(1) == 6L, s"decided pairs (tie excluded): $r")
+    assert(r.getLong(2) == 2L, s"decided triads: $r")
+    assert(r.getLong(3) == 1L, s"the D-E-F cycle counted exactly once: $r")
+    assert(r.getDouble(4) == 0.5)
+  }
+
   test("matchedOutcomes: control-free stratum emits zero matches and null ATT") {
     val units = Seq(("s", 1L, true, 1.0, 10), ("s", 2L, true, 2.0, 20))
       .toDF("st", "id", "t", "score", "y")
