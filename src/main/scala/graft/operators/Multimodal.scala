@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row}
 import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -283,6 +283,100 @@ object Multimodal {
     */
   def asEmbeddingTable(media: DataFrame, dim: Int = 64): DataFrame =
     extractFeatures(media, dim).withColumnRenamed("media_id", "vec_id").withColumnRenamed("features", "embedding")
+
+  // ----- audio: raw PCM16LE needs NO codec library — this leg is REAL -------
+
+  /** Deterministic synthetic s16le PCM (the byte layout a decoded WAV /
+    * ffmpeg `-f s16le` pipe hands a pipeline): sample k of row `id` is
+    * the pure-integer pseudo-signal `((id·31 + k·7) mod 65536) − 32768`,
+    * little-endian two's-complement encoded — closed-form, so a SQL
+    * oracle can regenerate the sample VALUES without parsing bytes while
+    * the Spark side proves the real byte round-trip. Built entirely from
+    * codegen'd expressions (format_string/unhex — no UDF, no driver
+    * loop). */
+  def synthPcm16(ids: DataFrame, idCol: String, nSamples: Int): DataFrame = {
+    require(nSamples >= 1, s"nSamples must be >= 1, got $nSamples")
+    val id = col(idCol).cast("long")
+    val sample = (k: Column) => pmod(id * 31 + k * 7, lit(65536L)) - 32768L
+    val stored = (s: Column) => when(s < 0L, s + 65536L).otherwise(s)
+    ids.withColumn("audio",
+      unhex(array_join(
+        transform(sequence(lit(0), lit(nSamples - 1)), { k =>
+          val u = stored(sample(k))
+          format_string("%02x%02x", pmod(u, lit(256L)), (u / 256L).cast("long"))
+        }), "")))
+  }
+
+  /** Audio features from a raw PCM16LE binary column — RMS level, peak,
+    * zero-crossing rate, and a frame-energy voice-activity fraction: the
+    * four signals an audio-corpus curation pass gates on (silence /
+    * clipping / constant-tone junk) — computed WITHOUT any codec
+    * dependency, as pure nested higher-order expressions (samples never
+    * leave the row, nothing shuffles, whole-stage codegen applies):
+    *
+    *  - `n_samples`, `peak` (max |s|), `zero_crossings` (sign flips,
+    *    zero counted positive) — exact integers;
+    *  - `rms` = √(Σs²/n) on the 1e-6 grid (Σs² an exact long —
+    *    engine-reproducible);
+    *  - `n_frames` FULL frames of `frameSamples`, `active_frames` =
+    *    frames whose energy Σs² exceeds `energyThreshold` (an exact
+    *    long compare — no float in the gate), `activity` their ratio on
+    *    the 1e-6 grid.
+    *
+    * Decode is the standard signed conversion `raw < 2¹⁵ ? raw :
+    * raw − 2¹⁶` off `lo + 256·hi`. Rows whose byte length is odd keep
+    * the trailing byte out of the sample stream (truncated tail — the
+    * upstream-corruption case — degrades to one lost sample, never an
+    * error). */
+  def audioFeatures(
+      media: DataFrame,
+      binCol: String,
+      frameSamples: Int = 160,
+      energyThreshold: Long = 1L << 32
+  ): DataFrame = {
+    require(frameSamples >= 1, s"frameSamples must be >= 1, got $frameSamples")
+    val q6 = (c: Column) => graft.functions.Quantize.scaledFloor(c, 6)
+    val bin = col(binCol)
+    val nExpr = (length(bin) / 2).cast("int")
+    val byteAt = (i: Column) => conv(hex(bin.substr(i + 1, lit(1))), 16, 10).cast("long")
+    val sampleAt = (i: Column) => {
+      val raw = byteAt(i * 2) + byteAt(i * 2 + 1) * 256L
+      when(raw < 32768L, raw).otherwise(raw - 65536L)
+    }
+    // decode ONCE into a row-local array column; every stat below reads it
+    // (sequence(0, -1) would generate a DESCENDING ramp, hence the guard)
+    val withSamples = media
+      .withColumn("__n", nExpr)
+      .withColumn("__smp",
+        when(col("__n") >= 1, transform(sequence(lit(0), col("__n") - 1), sampleAt))
+          .otherwise(array().cast("array<bigint>")))
+    val smp = col("__smp"); val n = col("__n")
+    val sumSq = aggregate(smp, lit(0L), (acc, s) => acc + s * s)
+    val crossings = when(n >= 2,
+      aggregate(
+        zip_with(slice(smp, lit(1), n - 1), slice(smp, lit(2), n - 1),
+          (a, b) => when((a >= 0L && b < 0L) || (a < 0L && b >= 0L), 1L).otherwise(0L)),
+        lit(0L), (acc, c) => acc + c)).otherwise(lit(0L))
+    val nFrames = (n / frameSamples).cast("int")
+    val frameEnergy = when(nFrames >= 1,
+      transform(sequence(lit(0), nFrames - 1), f =>
+        aggregate(slice(smp, f * frameSamples + 1, lit(frameSamples)),
+          lit(0L), (acc, s) => acc + s * s)))
+      .otherwise(array().cast("array<bigint>"))
+    val activeFrames = size(filter(frameEnergy, e => e > energyThreshold))
+    withSamples
+      .withColumn("n_samples", n.cast("long"))
+      .withColumn("rms",
+        when(n >= 1, q6(sqrt(sumSq.cast("double") / n.cast("double")))))
+      .withColumn("peak", when(n >= 1, array_max(transform(smp, s => abs(s)))))
+      .withColumn("zero_crossings", crossings)
+      .withColumn("n_frames", nFrames.cast("long"))
+      .withColumn("active_frames",
+        when(nFrames >= 1, activeFrames.cast("long")).otherwise(lit(0L)))
+      .withColumn("activity",
+        when(nFrames >= 1, q6(activeFrames.cast("double") / nFrames.cast("double"))))
+      .drop("__smp", "__n")
+  }
 
   /** Deterministic synthetic 8x8 grayscale PNGs — REAL `ImageIO` encode, so
     * everything downstream (decode, feature grid, similarity) exercises the

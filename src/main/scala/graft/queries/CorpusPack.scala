@@ -174,6 +174,26 @@ object CorpusPack extends QueryPack {
         .orderBy(col("media_id"))
     }),
 
+    // REAL audio-leg gate (r14): raw PCM16LE needs no codec library, so
+    // this leg runs actual byte decode — synthesize s16le audio per doc
+    // from a closed-form integer signal (real little-endian bytes via
+    // format_string/unhex), then extract RMS / peak / zero-crossings /
+    // frame-energy activity as pure nested higher-order expressions.
+    // The oracle regenerates the sample VALUES from the same formula
+    // (never parsing bytes), so the hash gate proves the byte round-trip
+    // AND the feature math: one drifted two's-complement bit, sign rule,
+    // or frame boundary fails it.
+    "q282_audio_features" -> ((s, d) => {
+      val pcm = Multimodal.synthPcm16(
+        Tables.documents(s, d).select(col("doc_id")), "doc_id", nSamples = 480)
+      Multimodal.audioFeatures(pcm, "audio",
+          frameSamples = 160, energyThreshold = 1L << 36)
+        .select(col("doc_id"), col("n_samples"), col("rms"), col("peak"),
+          col("zero_crossings"), col("n_frames"), col("active_frames"),
+          col("activity"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Cluster-aware train/val/test split (split-leakage prevention): q43's
     // near-dup clusters drive split membership, so no near-dup pair ever
     // straddles train and eval. Membership hashes the CC cluster id with
@@ -1403,6 +1423,41 @@ object CorpusPack extends QueryPack {
              CASE WHEN doc_id % 37 = 0 THEN NULL ELSE n_chars END AS n_chars,
              (doc_id % 37 = 0) AS is_dead
       FROM documents ORDER BY doc_id""",
+
+    // q282: the sample stream regenerated from the closed form (never
+    // parsing bytes); exact integer energy/crossing counts, rms and
+    // activity on the 1e-6 grid.
+    "q282_audio_features" -> """
+      WITH ks AS (SELECT unnest(range(0, 480)) AS k),
+      s AS (SELECT d.doc_id, ks.k,
+                   ((d.doc_id * 31 + ks.k * 7) % 65536) - 32768 AS sv
+            FROM documents d CROSS JOIN ks),
+      lagd AS (SELECT doc_id, k, sv,
+                      LAG(sv) OVER (PARTITION BY doc_id ORDER BY k) AS pv
+               FROM s),
+      agg AS (SELECT doc_id,
+                     CAST(count(*) AS BIGINT) AS n_samples,
+                     sum(sv * sv) AS ss,
+                     CAST(max(abs(sv)) AS BIGINT) AS peak,
+                     CAST(count(*) FILTER (WHERE pv IS NOT NULL AND
+                       ((pv >= 0 AND sv < 0) OR (pv < 0 AND sv >= 0)))
+                       AS BIGINT) AS zero_crossings
+              FROM lagd GROUP BY doc_id),
+      fr AS (SELECT doc_id, k // 160 AS f, sum(sv * sv) AS fe
+             FROM s GROUP BY doc_id, k // 160),
+      fa AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+                    CAST(count(*) FILTER (WHERE fe > 68719476736) AS BIGINT)
+                      AS active_frames
+             FROM fr GROUP BY doc_id)
+      SELECT a.doc_id, a.n_samples,
+             CAST(floor(sqrt(CAST(a.ss AS DOUBLE) / CAST(a.n_samples AS DOUBLE))
+                  * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS rms,
+             a.peak, a.zero_crossings, f.n_frames, f.active_frames,
+             CAST(floor(CAST(f.active_frames AS DOUBLE)
+                  / CAST(f.n_frames AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE)
+               / 1000000.0 AS activity
+      FROM agg a JOIN fa f ON f.doc_id = a.doc_id
+      ORDER BY a.doc_id""",
 
     // q272: routing and reason are pure doc_id predicates (chain priority
     // mirrors the injection's when-chain); clean rows round-trip exactly.

@@ -242,4 +242,50 @@ class MultimodalSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("synthPcm16 bytes decode back to the closed-form samples via audioFeatures' own path") {
+    import spark.implicits._
+    val pcm = Multimodal.synthPcm16(Seq(5L, 6L).toDF("doc_id"), "doc_id", nSamples = 8)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("audio")).toMap
+    assert(pcm(5L).length == 16, "8 samples = 16 bytes")
+    // hand-decode s16le and compare to the formula
+    (0 until 8).foreach { k =>
+      val lo = pcm(5L)(2 * k) & 0xff; val hi = pcm(5L)(2 * k + 1) & 0xff
+      val raw = lo + 256 * hi
+      val s0 = if (raw < 32768) raw else raw - 65536
+      val expect = Math.floorMod(5L * 31 + k * 7, 65536L) - 32768L
+      assert(s0.toLong == expect, s"sample $k: $s0 vs $expect")
+    }
+  }
+
+  test("audioFeatures: exact stats on a hand-built PCM fixture; odd tail byte tolerated; empty null-safe") {
+    import spark.implicits._
+    def enc(samples: Seq[Int]): Array[Byte] = samples.flatMap { s =>
+      val u = if (s < 0) s + 65536 else s
+      Seq((u % 256).toByte, (u / 256).toByte)
+    }.toArray
+    // 6 samples: peak 30000, crossings: 100->-100 (1), -100->0 (2), 30000->-30000 (3)
+    val fx = Seq(0, 100, -100, 0, 30000, -30000)
+    val df = Seq((1L, enc(fx)), (2L, enc(fx) :+ 0x7f.toByte), (3L, Array.empty[Byte]))
+      .toDF("id", "audio")
+    val out = Multimodal.audioFeatures(df, "audio", frameSamples = 3, energyThreshold = 1000000L)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getAs[Long]("n_samples") == 6L)
+    assert(r1.getAs[Long]("peak") == 30000L)
+    assert(r1.getAs[Long]("zero_crossings") == 3L)
+    val expectedRms = graft.functions.Quantize.scaledFloorDouble(
+      math.sqrt(fx.map(s => s.toLong * s).sum.toDouble / 6.0), 6)
+    assert(r1.getAs[Double]("rms") == expectedRms)
+    // frames of 3: [0,100,-100] energy 20000 <= 1e6 inactive; [0,30000,-30000] energy 1.8e9 active
+    assert(r1.getAs[Long]("n_frames") == 2L && r1.getAs[Long]("active_frames") == 1L)
+    assert(r1.getAs[Double]("activity") == 0.5)
+    // odd trailing byte: one byte ignored, same sample stream
+    assert(out(2L).getAs[Long]("n_samples") == 6L &&
+      out(2L).getAs[Long]("peak") == 30000L)
+    // empty binary: zero samples, null rms/activity, zero counts
+    val r3 = out(3L)
+    assert(r3.getAs[Long]("n_samples") == 0L && r3.isNullAt(r3.fieldIndex("rms")) &&
+      r3.getAs[Long]("zero_crossings") == 0L && r3.getAs[Long]("active_frames") == 0L)
+  }
 }
