@@ -307,6 +307,76 @@ object Multimodal {
         }), "")))
   }
 
+  private def leByte(v: Column, divisor: Long): Column =
+    pmod((v / divisor).cast("long"), lit(256L))
+  private def le16Hex(v: Column): Column =
+    format_string("%02x%02x", leByte(v, 1L), leByte(v, 256L))
+  private def le32Hex(v: Column): Column =
+    format_string("%02x%02x%02x%02x",
+      leByte(v, 1L), leByte(v, 256L), leByte(v, 65536L), leByte(v, 16777216L))
+
+  /** Wrap a raw PCM16LE column in a canonical 44-byte RIFF/WAVE header —
+    * the container layer is plain byte structure (no codec), so the WAV
+    * path is REAL end-to-end: magic chunks, little-endian fmt fields
+    * (PCM tag 1, 16-bit), sizes derived from the payload — all built as
+    * codegen'd expressions. Output replaces nothing: appends `wav`. */
+  def wrapWav(
+      df: DataFrame,
+      pcmCol: String,
+      sampleRate: Int,
+      channels: Int = 1
+  ): DataFrame = {
+    require(sampleRate >= 1 && channels >= 1, "sampleRate and channels must be >= 1")
+    val dataSize = length(col(pcmCol)).cast("long")
+    val byteRate = lit(sampleRate.toLong * channels * 2)
+    val blockAlign = lit(channels.toLong * 2)
+    val headerHex = concat(
+      lit("52494646"),                    // "RIFF"
+      le32Hex(dataSize + 36L),
+      lit("57415645666d7420"),            // "WAVE" ++ "fmt "
+      le32Hex(lit(16L)),                  // fmt chunk size
+      le16Hex(lit(1L)),                   // PCM
+      le16Hex(lit(channels.toLong)),
+      le32Hex(lit(sampleRate.toLong)),
+      le32Hex(byteRate),
+      le16Hex(blockAlign),
+      le16Hex(lit(16L)),                  // bits per sample
+      lit("64617461"),                    // "data"
+      le32Hex(dataSize))
+    df.withColumn("wav", concat(unhex(headerHex), col(pcmCol)))
+  }
+
+  /** Parse a canonical-layout WAV (the 44-byte header [[wrapWav]] emits
+    * and every plain PCM16 recorder writes): verifies the four chunk
+    * magics at their canonical offsets and the PCM/16-bit fmt tags, and
+    * appends (wav_valid, channels, sample_rate, data_bytes, pcm) — all
+    * null except the flag when the header is foreign (extra-chunk WAVs,
+    * truncation, non-PCM codecs: a corrupt container must degrade to a
+    * flag, never fail the stage — the [[decodeImages]] contract). Pure
+    * expressions; the body never leaves the row. */
+  def parseWav(df: DataFrame, wavCol: String): DataFrame = {
+    val bin = col(wavCol)
+    val at = (off: Int, len: Int) => bin.substr(lit(off), lit(len))
+    val leAt = (off: Int, len: Int) =>
+      (0 until len).map(i =>
+        conv(hex(bin.substr(lit(off + i), lit(1))), 16, 10).cast("long") *
+          lit(1L << (8 * i))).reduce(_ + _)
+    val magicOk =
+      at(1, 4) === lit("RIFF".getBytes("US-ASCII")) &&
+        at(9, 4) === lit("WAVE".getBytes("US-ASCII")) &&
+        at(13, 4) === lit("fmt ".getBytes("US-ASCII")) &&
+        at(37, 4) === lit("data".getBytes("US-ASCII"))
+    val valid = bin.isNotNull && length(bin) >= 44 && magicOk &&
+      leAt(21, 2) === 1L && leAt(35, 2) === 16L &&
+      leAt(41, 4) <= length(bin).cast("long") - 44L
+    df
+      .withColumn("wav_valid", coalesce(valid, lit(false)))
+      .withColumn("channels", when(col("wav_valid"), leAt(23, 2)))
+      .withColumn("sample_rate", when(col("wav_valid"), leAt(25, 4)))
+      .withColumn("data_bytes", when(col("wav_valid"), leAt(41, 4)))
+      .withColumn("pcm", when(col("wav_valid"), bin.substr(lit(45), leAt(41, 4).cast("int"))))
+  }
+
   /** Audio features from a raw PCM16LE binary column — RMS level, peak,
     * zero-crossing rate, and a frame-energy voice-activity fraction: the
     * four signals an audio-corpus curation pass gates on (silence /

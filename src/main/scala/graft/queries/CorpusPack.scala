@@ -194,6 +194,27 @@ object CorpusPack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // The WAV container layer end-to-end (r14): synth PCM → canonical
+    // RIFF wrap → parse (magic/fmt verification, body extraction) →
+    // features off the EXTRACTED body, with every 43rd container
+    // replaced by junk that must degrade to wav_valid=false with null
+    // features — the corrupt-blob contract — while clean rows reproduce
+    // q282's feature math plus the header constants.
+    "q283_wav_container" -> ((s, d) => {
+      val pcm = Multimodal.synthPcm16(
+        Tables.documents(s, d).select(col("doc_id")), "doc_id", nSamples = 480)
+      val wav = Multimodal.wrapWav(pcm, "audio", sampleRate = 8000)
+        .select(col("doc_id"),
+          when(col("doc_id") % 43 === 0, lit("NOTAWAVFILE!".getBytes("US-ASCII")))
+            .otherwise(col("wav")).as("wav"))
+      Multimodal.audioFeatures(Multimodal.parseWav(wav, "wav"), "pcm",
+          frameSamples = 160, energyThreshold = 1L << 36)
+        .select(col("doc_id"), col("wav_valid"), col("sample_rate"),
+          col("data_bytes"), col("n_samples"), col("rms"), col("peak"),
+          col("zero_crossings"), col("activity"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Cluster-aware train/val/test split (split-leakage prevention): q43's
     // near-dup clusters drive split membership, so no near-dup pair ever
     // straddles train and eval. Membership hashes the CC cluster id with
@@ -1458,6 +1479,50 @@ object CorpusPack extends QueryPack {
                / 1000000.0 AS activity
       FROM agg a JOIN fa f ON f.doc_id = a.doc_id
       ORDER BY a.doc_id""",
+
+    // q283: clean rows = the q282 formulas + header constants; corrupt
+    // rows = the flag with nulls (and the operator's documented
+    // zero-not-null counting columns).
+    "q283_wav_container" -> """
+      WITH ks AS (SELECT unnest(range(0, 480)) AS k),
+      s AS (SELECT d.doc_id, ks.k,
+                   ((d.doc_id * 31 + ks.k * 7) % 65536) - 32768 AS sv
+            FROM documents d CROSS JOIN ks
+            WHERE d.doc_id % 43 <> 0),
+      lagd AS (SELECT doc_id, k, sv,
+                      LAG(sv) OVER (PARTITION BY doc_id ORDER BY k) AS pv
+               FROM s),
+      agg AS (SELECT doc_id,
+                     CAST(count(*) AS BIGINT) AS n_samples,
+                     sum(sv * sv) AS ss,
+                     CAST(max(abs(sv)) AS BIGINT) AS peak,
+                     CAST(count(*) FILTER (WHERE pv IS NOT NULL AND
+                       ((pv >= 0 AND sv < 0) OR (pv < 0 AND sv >= 0)))
+                       AS BIGINT) AS zero_crossings
+              FROM lagd GROUP BY doc_id),
+      fr AS (SELECT doc_id, k // 160 AS f, sum(sv * sv) AS fe
+             FROM s GROUP BY doc_id, k // 160),
+      fa AS (SELECT doc_id,
+                    CAST(count(*) AS BIGINT) AS n_frames,
+                    CAST(count(*) FILTER (WHERE fe > 68719476736) AS BIGINT)
+                      AS active_frames
+             FROM fr GROUP BY doc_id)
+      SELECT a.doc_id, true AS wav_valid,
+             CAST(8000 AS BIGINT) AS sample_rate,
+             CAST(960 AS BIGINT) AS data_bytes,
+             a.n_samples,
+             CAST(floor(sqrt(CAST(a.ss AS DOUBLE) / CAST(a.n_samples AS DOUBLE))
+                  * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS rms,
+             a.peak, a.zero_crossings,
+             CAST(floor(CAST(f.active_frames AS DOUBLE)
+                  / CAST(f.n_frames AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE)
+               / 1000000.0 AS activity
+      FROM agg a JOIN fa f ON f.doc_id = a.doc_id
+      UNION ALL
+      SELECT doc_id, false, NULL, NULL, NULL, NULL, NULL,
+             CAST(0 AS BIGINT), NULL
+      FROM documents WHERE doc_id % 43 = 0
+      ORDER BY doc_id""",
 
     // q272: routing and reason are pure doc_id predicates (chain priority
     // mirrors the injection's when-chain); clean rows round-trip exactly.

@@ -288,4 +288,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r3.getAs[Long]("n_samples") == 0L && r3.isNullAt(r3.fieldIndex("rms")) &&
       r3.getAs[Long]("zero_crossings") == 0L && r3.getAs[Long]("active_frames") == 0L)
   }
+
+  test("wrapWav emits a canonical RIFF header javax.sound can read; parseWav round-trips; corrupt degrades") {
+    import spark.implicits._
+    val pcm = Multimodal.synthPcm16(Seq(9L).toDF("doc_id"), "doc_id", nSamples = 32)
+    val wav = Multimodal.wrapWav(pcm, "audio", sampleRate = 8000).collect().head
+      .getAs[Array[Byte]]("wav")
+    assert(wav.length == 44 + 64)
+    // the JDK's own WAV reader accepts the header — container parity with
+    // a real consumer, not just our own parser
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    assert(ais.getFormat.getSampleRate == 8000f &&
+      ais.getFormat.getChannels == 1 &&
+      ais.getFormat.getSampleSizeInBits == 16)
+    assert(ais.getFrameLength == 32L)
+
+    val parsed = Multimodal.parseWav(
+      Seq((1L, wav), (2L, "JUNKJUNKJUNK".getBytes), (3L, null.asInstanceOf[Array[Byte]]))
+        .toDF("id", "wav"), "wav")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val ok = parsed(1L)
+    assert(ok.getAs[Boolean]("wav_valid") && ok.getAs[Long]("channels") == 1L &&
+      ok.getAs[Long]("sample_rate") == 8000L && ok.getAs[Long]("data_bytes") == 64L)
+    // the extracted body is byte-identical to the original PCM
+    val body = ok.getAs[Array[Byte]]("pcm")
+    assert(body.toSeq == wav.drop(44).toSeq)
+    assert(!parsed(2L).getAs[Boolean]("wav_valid") && parsed(2L).isNullAt(parsed(2L).fieldIndex("pcm")))
+    assert(!parsed(3L).getAs[Boolean]("wav_valid"))
+  }
 }
