@@ -296,15 +296,8 @@ object Multimodal {
     * loop). */
   def synthPcm16(ids: DataFrame, idCol: String, nSamples: Int): DataFrame = {
     require(nSamples >= 1, s"nSamples must be >= 1, got $nSamples")
-    val id = col(idCol).cast("long")
-    val sample = (k: Column) => pmod(id * 31 + k * 7, lit(65536L)) - 32768L
-    val stored = (s: Column) => when(s < 0L, s + 65536L).otherwise(s)
     ids.withColumn("audio",
-      unhex(array_join(
-        transform(sequence(lit(0), lit(nSamples - 1)), { k =>
-          val u = stored(sample(k))
-          format_string("%02x%02x", pmod(u, lit(256L)), (u / 256L).cast("long"))
-        }), "")))
+      graft.functions.PcmExpressions.synthPcm16(col(idCol).cast("long"), nSamples))
   }
 
   private def leByte(v: Column, divisor: Long): Column =
@@ -406,46 +399,24 @@ object Multimodal {
   ): DataFrame = {
     require(frameSamples >= 1, s"frameSamples must be >= 1, got $frameSamples")
     val q6 = (c: Column) => graft.functions.Quantize.scaledFloor(c, 6)
-    val bin = col(binCol)
-    val nExpr = (length(bin) / 2).cast("int")
-    val byteAt = (i: Column) => conv(hex(bin.substr(i + 1, lit(1))), 16, 10).cast("long")
-    val sampleAt = (i: Column) => {
-      val raw = byteAt(i * 2) + byteAt(i * 2 + 1) * 256L
-      when(raw < 32768L, raw).otherwise(raw - 65536L)
-    }
-    // decode ONCE into a row-local array column; every stat below reads it
-    // (sequence(0, -1) would generate a DESCENDING ramp, hence the guard)
-    val withSamples = media
-      .withColumn("__n", nExpr)
-      .withColumn("__smp",
-        when(col("__n") >= 1, transform(sequence(lit(0), col("__n") - 1), sampleAt))
-          .otherwise(array().cast("array<bigint>")))
-    val smp = col("__smp"); val n = col("__n")
-    val sumSq = aggregate(smp, lit(0L), (acc, s) => acc + s * s)
-    val crossings = when(n >= 2,
-      aggregate(
-        zip_with(slice(smp, lit(1), n - 1), slice(smp, lit(2), n - 1),
-          (a, b) => when((a >= 0L && b < 0L) || (a < 0L && b >= 0L), 1L).otherwise(0L)),
-        lit(0L), (acc, c) => acc + c)).otherwise(lit(0L))
-    val nFrames = (n / frameSamples).cast("int")
-    val frameEnergy = when(nFrames >= 1,
-      transform(sequence(lit(0), nFrames - 1), f =>
-        aggregate(slice(smp, f * frameSamples + 1, lit(frameSamples)),
-          lit(0L), (acc, s) => acc + s * s)))
-      .otherwise(array().cast("array<bigint>"))
-    val activeFrames = size(filter(frameEnergy, e => e > energyThreshold))
-    withSamples
-      .withColumn("n_samples", n.cast("long"))
-      .withColumn("rms",
-        when(n >= 1, q6(sqrt(sumSq.cast("double") / n.cast("double")))))
-      .withColumn("peak", when(n >= 1, array_max(transform(smp, s => abs(s)))))
-      .withColumn("zero_crossings", crossings)
-      .withColumn("n_frames", nFrames.cast("long"))
-      .withColumn("active_frames",
-        when(nFrames >= 1, activeFrames.cast("long")).otherwise(lit(0L)))
+    // ONE fused kernel call per row ([[graft.functions.PcmStatsExpr]]):
+    // the higher-order-function formulation this replaces evaluated its
+    // lambdas interpretively per SAMPLE (~20 s for 5k docs at sf0.1) —
+    // a native expression keeps the whole stat pass inside codegen
+    val withStats = media.withColumn("__st",
+      graft.functions.PcmExpressions.pcmStats(col(binCol), frameSamples, energyThreshold))
+    val st = (i: Int) => element_at(col("__st"), i + 1)
+    val n = st(0); val ss = st(1); val nFrames = st(4); val active = st(5)
+    withStats
+      .withColumn("n_samples", n)
+      .withColumn("rms", when(n >= 1L, q6(sqrt(ss.cast("double") / n.cast("double")))))
+      .withColumn("peak", when(n >= 1L, st(2)))
+      .withColumn("zero_crossings", coalesce(st(3), lit(0L)))
+      .withColumn("n_frames", nFrames)
+      .withColumn("active_frames", coalesce(when(nFrames >= 1L, active), lit(0L)))
       .withColumn("activity",
-        when(nFrames >= 1, q6(activeFrames.cast("double") / nFrames.cast("double"))))
-      .drop("__smp", "__n")
+        when(nFrames >= 1L, q6(active.cast("double") / nFrames.cast("double"))))
+      .drop("__st")
   }
 
   /** Deterministic synthetic 8x8 grayscale PNGs — REAL `ImageIO` encode, so

@@ -1125,6 +1125,29 @@ object ScaleSmoke {
       }
     }
 
+    // r14: PCM synthesis + decode + features — per-row nested
+    // higher-order expressions, zero shuffle; superlinear growth would
+    // mean the sample array is being recomputed per statistic.
+    time("pcm synth + wav + features") {
+      val pcm = graft.operators.Multimodal.synthPcm16(
+        docs.select(col("doc_id")), "doc_id", nSamples = 480)
+      val wav = graft.operators.Multimodal.wrapWav(pcm, "audio", sampleRate = 8000)
+      graft.operators.Multimodal.audioFeatures(
+        graft.operators.Multimodal.parseWav(wav, "wav"), "pcm",
+        frameSamples = 160, energyThreshold = 1L << 36)
+    }
+
+    // r14: Bradley-Terry over corpus-scaled duels — the up-front duel
+    // count aggregation is the only corpus-shaped stage; 8 MM iterations
+    // ride the items-bounded majority frame and must be mult-invariant.
+    time("bradley-terry (8 iters)") {
+      val duels = docs.select(
+        concat(lit("s"), pmod(col("doc_id"), lit(7L))).as("w"),
+        concat(lit("s"), pmod(col("doc_id") * 13L + 5L, lit(7L))).as("l"))
+        .filter(col("w") =!= col("l"))
+      graft.operators.Experiment.bradleyTerry(duels, "w", "l", iterations = 8)
+    }
+
     // r14: the Confluent wire serde round-trip with the DLQ routing under
     // a mult-widened corpus — one mapPartitions encode + one tagged decode,
     // zero shuffle; anything superlinear here would mean per-row registry /
