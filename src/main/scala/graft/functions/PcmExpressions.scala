@@ -117,7 +117,95 @@ case class SynthPcm16Expr(child: Expression, nSamples: Int) extends UnaryExpress
     copy(child = newChild)
 }
 
+/** G.711 µ-law → PCM16LE transcode: one byte per sample in, two bytes
+  * per sample out — the telephony codec whose decode is PURE integer
+  * math (ITU G.711: complement, unpack sign/exponent/mantissa, bias
+  * 0x84), so this audio format is fully real with zero dependencies.
+  * Kernel shared by the interpreted and generated paths and by the SQL
+  * oracle's formula mirror. */
+object MulawKernel {
+  /** The canonical ulaw2linear: `~u`; `t = ((u&0x0f)<<3 + 0x84) << exp`;
+    * `±(t − 0x84)` by the sign bit. Output range ±32124. */
+  def decodeSample(b: Byte): Int = {
+    val u = (~b) & 0xff
+    val t = (((u & 0x0f) << 3) + 0x84) << ((u & 0x70) >> 4)
+    if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** µ-law byte stream → s16le byte stream. */
+  def toPcm16(bytes: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      val s = decodeSample(bytes(i))
+      val u = if (s < 0) s + 65536 else s
+      out(2 * i) = (u & 0xff).toByte
+      out(2 * i + 1) = ((u >> 8) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Deterministic µ-law byte synthesis: `(id·17 + k·11) mod 256` —
+    * every byte value is a valid µ-law code, and the closed form lets a
+    * SQL oracle regenerate the codes without parsing bytes. */
+  def synth(id: Long, n: Int): Array[Byte] = {
+    val out = new Array[Byte](n)
+    var k = 0
+    while (k < n) {
+      out(k) = java.lang.Math.floorMod(id * 17 + k.toLong * 11, 256L).toByte
+      k += 1
+    }
+    out
+  }
+}
+
+/** µ-law binary → PCM16LE binary, one fused kernel call per row. */
+case class MulawToPcm16Expr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_mulaw_to_pcm16 requires a binary argument, got ${t.sql}")
+  }
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_mulaw_to_pcm16"
+  override def nullSafeEval(b: Any): Any =
+    MulawKernel.toPcm16(b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b =>
+      s"${ev.value} = graft.functions.MulawKernel.toPcm16($b);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Deterministic µ-law synthesis: long id → n µ-law bytes. */
+case class SynthMulawExpr(child: Expression, nSamples: Int) extends UnaryExpression {
+  require(nSamples >= 1, s"nSamples must be >= 1, got $nSamples")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_synth_mulaw requires a bigint argument, got ${t.sql}")
+  }
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_synth_mulaw"
+  override def nullSafeEval(id: Any): Any =
+    MulawKernel.synth(id.asInstanceOf[Long], nSamples)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, id =>
+      s"${ev.value} = graft.functions.MulawKernel.synth($id, $nSamples);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object PcmExpressions {
+  /** µ-law bytes → s16le bytes. */
+  def mulawToPcm16(bin: Column): Column =
+    GraftShims.column(MulawToPcm16Expr(GraftShims.expression(bin)))
+
+  /** Synth µ-law bytes from a long id column. */
+  def synthMulaw(id: Column, nSamples: Int): Column =
+    GraftShims.column(SynthMulawExpr(GraftShims.expression(id), nSamples))
+
   /** Fused PCM stats column: array<long> of
     * (n_samples, sum_sq, peak, zero_crossings, n_frames, active_frames). */
   def pcmStats(bin: Column, frameSamples: Int, energyThreshold: Long): Column =

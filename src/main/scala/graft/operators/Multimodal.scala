@@ -300,6 +300,19 @@ object Multimodal {
       graft.functions.PcmExpressions.synthPcm16(col(idCol).cast("long"), nSamples))
   }
 
+  /** G.711 µ-law → PCM16LE ([[graft.functions.MulawKernel]]): the
+    * telephony codec is pure integer math, so this decode is REAL with
+    * zero dependencies — compose with [[audioFeatures]] for µ-law
+    * corpus QC. Appends `pcm`. */
+  def decodeMulaw(df: DataFrame, mulawCol: String): DataFrame =
+    df.withColumn("pcm", graft.functions.PcmExpressions.mulawToPcm16(col(mulawCol)))
+
+  /** Deterministic synthetic µ-law stream per row (closed form
+    * `(id·17 + k·11) mod 256` — SQL-regenerable). Appends `mulaw`. */
+  def synthMulaw(ids: DataFrame, idCol: String, nSamples: Int): DataFrame =
+    ids.withColumn("mulaw",
+      graft.functions.PcmExpressions.synthMulaw(col(idCol).cast("long"), nSamples))
+
   private def leByte(v: Column, divisor: Long): Column =
     pmod((v / divisor).cast("long"), lit(256L))
   private def le16Hex(v: Column): Column =

@@ -215,6 +215,22 @@ object CorpusPack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // G.711 µ-law decode end-to-end (r14): the telephony codec is pure
+    // integer math (complement / unpack / bias), so this audio FORMAT
+    // decode is real with zero dependencies — synth µ-law codes per doc,
+    // transcode to PCM16 in one fused kernel, extract features. The
+    // oracle replays the ITU decode formula per code and the feature
+    // math — one wrong bias, shift, or sign rule fails the hash gate.
+    "q284_mulaw_decode" -> ((s, d) => {
+      val mu = Multimodal.synthMulaw(
+        Tables.documents(s, d).select(col("doc_id")), "doc_id", nSamples = 480)
+      Multimodal.audioFeatures(Multimodal.decodeMulaw(mu, "mulaw"), "pcm",
+          frameSamples = 160, energyThreshold = 1L << 36)
+        .select(col("doc_id"), col("n_samples"), col("rms"), col("peak"),
+          col("zero_crossings"), col("activity"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Cluster-aware train/val/test split (split-leakage prevention): q43's
     // near-dup clusters drive split membership, so no near-dup pair ever
     // straddles train and eval. Membership hashes the CC cluster id with
@@ -1523,6 +1539,49 @@ object CorpusPack extends QueryPack {
              CAST(0 AS BIGINT), NULL
       FROM documents WHERE doc_id % 43 = 0
       ORDER BY doc_id""",
+
+    // q284: the ITU G.711 decode formula replayed per code (complement,
+    // sign/exponent/mantissa unpack, bias 0x84), then the q282 stats.
+    "q284_mulaw_decode" -> """
+      WITH ks AS (SELECT unnest(range(0, 480)) AS k),
+      cd AS (SELECT d.doc_id, ks.k,
+                    ((d.doc_id * 17 + ks.k * 11) % 256) AS bb
+             FROM documents d CROSS JOIN ks),
+      s AS (SELECT doc_id, k,
+                   CASE WHEN (255 - bb) // 128 = 1
+                        THEN 132 - ((((255 - bb) % 16) * 8 + 132)
+                                    << (((255 - bb) // 16) % 8))
+                        ELSE ((((255 - bb) % 16) * 8 + 132)
+                              << (((255 - bb) // 16) % 8)) - 132
+                   END AS sv
+            FROM cd),
+      lagd AS (SELECT doc_id, k, sv,
+                      LAG(sv) OVER (PARTITION BY doc_id ORDER BY k) AS pv
+               FROM s),
+      agg AS (SELECT doc_id,
+                     CAST(count(*) AS BIGINT) AS n_samples,
+                     sum(sv * sv) AS ss,
+                     CAST(max(abs(sv)) AS BIGINT) AS peak,
+                     CAST(count(*) FILTER (WHERE pv IS NOT NULL AND
+                       ((pv >= 0 AND sv < 0) OR (pv < 0 AND sv >= 0)))
+                       AS BIGINT) AS zero_crossings
+              FROM lagd GROUP BY doc_id),
+      fr AS (SELECT doc_id, k // 160 AS f, sum(sv * sv) AS fe
+             FROM s GROUP BY doc_id, k // 160),
+      fa AS (SELECT doc_id,
+                    CAST(count(*) AS BIGINT) AS n_frames,
+                    CAST(count(*) FILTER (WHERE fe > 68719476736) AS BIGINT)
+                      AS active_frames
+             FROM fr GROUP BY doc_id)
+      SELECT a.doc_id, a.n_samples,
+             CAST(floor(sqrt(CAST(a.ss AS DOUBLE) / CAST(a.n_samples AS DOUBLE))
+                  * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS rms,
+             a.peak, a.zero_crossings,
+             CAST(floor(CAST(f.active_frames AS DOUBLE)
+                  / CAST(f.n_frames AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE)
+               / 1000000.0 AS activity
+      FROM agg a JOIN fa f ON f.doc_id = a.doc_id
+      ORDER BY a.doc_id""",
 
     // q272: routing and reason are pure doc_id predicates (chain priority
     // mirrors the injection's when-chain); clean rows round-trip exactly.

@@ -317,4 +317,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!parsed(2L).getAs[Boolean]("wav_valid") && parsed(2L).isNullAt(parsed(2L).fieldIndex("pcm")))
     assert(!parsed(3L).getAs[Boolean]("wav_valid"))
   }
+
+  test("mulaw decode: canonical G.711 vectors, full-range round-trip via features") {
+    import spark.implicits._
+    import graft.functions.MulawKernel
+    // canonical table endpoints: 0x00 -> -32124, 0x80 -> +32124, 0xFF/0x7F -> 0
+    assert(MulawKernel.decodeSample(0x00.toByte) == -32124)
+    assert(MulawKernel.decodeSample(0x80.toByte) == 32124)
+    assert(MulawKernel.decodeSample(0xFF.toByte) == 0)
+    assert(MulawKernel.decodeSample(0x7F.toByte) == 0)
+    // monotone within a sign: codes 0..0x7f decode nondecreasing
+    val negs = (0 to 0x7f).map(b => MulawKernel.decodeSample(b.toByte))
+    assert(negs.zip(negs.tail).forall { case (a, b) => a <= b },
+      "negative half must decode monotone")
+    // DataFrame path: all 256 codes through decodeMulaw + audioFeatures;
+    // peak must be the table max and the sample count all 256
+    val allCodes = Seq((1L, (0 until 256).map(_.toByte).toArray)).toDF("id", "mulaw")
+    val out = Multimodal.audioFeatures(
+      Multimodal.decodeMulaw(allCodes, "mulaw"), "pcm",
+      frameSamples = 64, energyThreshold = 1L).collect().head
+    assert(out.getAs[Long]("n_samples") == 256L)
+    assert(out.getAs[Long]("peak") == 32124L)
+    assert(out.getAs[Long]("n_frames") == 4L && out.getAs[Long]("active_frames") == 4L)
+  }
 }
