@@ -197,7 +197,67 @@ case class SynthMulawExpr(child: Expression, nSamples: Int) extends UnaryExpress
     copy(child = newChild)
 }
 
+/** Byte-stream frame splitting on a magic signature — the container
+  * step of a frame pipeline (concatenated PNG/JPEG streams, MJPEG-style
+  * captures): scan for every occurrence of the marker, emit one frame
+  * per occurrence running to the next (garbage before the first marker
+  * is ignored — a stream picked up mid-capture must not poison the
+  * split). Kernel + fused expression, one scan per row. */
+object FrameSplitKernel {
+  def split(bytes: Array[Byte], magic: Array[Byte]): Array[Array[Byte]] = {
+    if (bytes.length < magic.length || magic.length == 0) return Array.empty
+    val starts = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var i = 0
+    while (i <= bytes.length - magic.length) {
+      var j = 0
+      while (j < magic.length && bytes(i + j) == magic(j)) j += 1
+      if (j == magic.length) { starts += i; i += magic.length } else i += 1
+    }
+    val out = new Array[Array[Byte]](starts.length)
+    var f = 0
+    while (f < starts.length) {
+      val end = if (f + 1 < starts.length) starts(f + 1) else bytes.length
+      out(f) = java.util.Arrays.copyOfRange(bytes, starts(f), end)
+      f += 1
+    }
+    out
+  }
+}
+
+/** binary → array<binary> of frames split on `magic`. */
+case class SplitByMagicExpr(child: Expression, magic: Seq[Byte]) extends UnaryExpression {
+  require(magic.nonEmpty, "magic must be non-empty")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_split_frames requires a binary argument, got ${t.sql}")
+  }
+  override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+  override def prettyName: String = "graft_split_frames"
+
+  @transient private lazy val magicArr: Array[Byte] = magic.toArray
+
+  override def nullSafeEval(b: Any): Any =
+    ArrayData.toArrayData(
+      FrameSplitKernel.split(b.asInstanceOf[Array[Byte]], magicArr)
+        .asInstanceOf[Array[Any]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val magicRef = ctx.addReferenceObj("magicBytes", magicArr, "byte[]")
+    nullSafeCodeGen(ctx, ev, b =>
+      s"""${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+         |  (Object[]) graft.functions.FrameSplitKernel.split($b, $magicRef));""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object PcmExpressions {
+  /** Frames split on a magic byte signature: binary → array<binary>. */
+  def splitFrames(bin: Column, magic: Array[Byte]): Column =
+    GraftShims.column(SplitByMagicExpr(GraftShims.expression(bin), magic.toSeq))
+
   /** µ-law bytes → s16le bytes. */
   def mulawToPcm16(bin: Column): Column =
     GraftShims.column(MulawToPcm16Expr(GraftShims.expression(bin)))

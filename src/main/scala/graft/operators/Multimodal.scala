@@ -300,6 +300,23 @@ object Multimodal {
       graft.functions.PcmExpressions.synthPcm16(col(idCol).cast("long"), nSamples))
   }
 
+  /** The 8-byte PNG file signature — the frame marker of a concatenated
+    * PNG stream. */
+  val PngMagic: Array[Byte] =
+    Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte, 0x0d, 0x0a, 0x1a, 0x0a)
+
+  /** REAL frame extraction from a concatenated image stream (MJPEG-style
+    * captures, multi-PNG dumps): one fused byte-scan per row splits the
+    * stream at every `magic` occurrence
+    * ([[graft.functions.SplitByMagicExpr]] — garbage before the first
+    * marker is ignored, a mid-capture pickup must not poison the
+    * split), appending an `frames` array<binary> column; explode it and
+    * feed [[decodeImages]] for real per-frame decode. */
+  def splitFrameStream(df: DataFrame, binCol: String,
+      magic: Array[Byte] = PngMagic): DataFrame =
+    df.withColumn("frames",
+      graft.functions.PcmExpressions.splitFrames(col(binCol), magic))
+
   /** G.711 µ-law → PCM16LE ([[graft.functions.MulawKernel]]): the
     * telephony codec is pure integer math, so this decode is REAL with
     * zero dependencies — compose with [[audioFeatures]] for µ-law

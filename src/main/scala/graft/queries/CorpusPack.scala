@@ -231,6 +231,42 @@ object CorpusPack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Frame extraction from a concatenated image stream (r14): per doc,
+    // three REAL PNGs (ImageIO-encoded from the closed-form gray
+    // formula) are concatenated into one binary "capture", split back by
+    // the fused magic-scan, and each frame REAL-decoded — the video-leg
+    // shape (container split → per-frame decode → per-frame features)
+    // with the only codec the JDK ships. The oracle regenerates each
+    // frame's pixel sum from the formula: a wrong split boundary, frame
+    // order, or decode drift fails the hash gate.
+    "q285_frame_stream" -> ((s, d) => {
+      val frameIds = Tables.documents(s, d).select(col("doc_id"))
+        .select(col("doc_id"), explode(sequence(lit(0L), lit(2L))).as("j"))
+        .select((col("doc_id") * 4 + col("j")).as("media_id"),
+          (col("doc_id") * 3 + col("j")).as("seed"), lit(false).as("perturb"))
+      val streams = Multimodal.syntheticGrayPngs(frameIds)
+        .select(expr("media_id div 4").as("doc_id"),
+          pmod(col("media_id"), lit(4L)).as("j"), col("content"))
+        .groupBy(col("doc_id"))
+        .agg(collect_list(struct(col("j"), col("content"))).as("__fl"))
+        .select(col("doc_id"),
+          aggregate(
+            transform(array_sort(col("__fl")), f => f.getField("content")),
+            lit(Array.empty[Byte]), (acc, b) => concat(acc, b)).as("stream"))
+      val frames = Multimodal.splitFrameStream(streams, "stream")
+        .select(col("doc_id"), posexplode(col("frames")).as(Seq("frame_idx", "frame")))
+      Multimodal.decodeImages(
+          frames.select((col("doc_id") * 4 + col("frame_idx")).as("media_id"),
+            col("frame").as("content")),
+          includePixels = true)
+        .select(expr("media_id div 4").as("doc_id"),
+          pmod(col("media_id"), lit(4L)).cast("int").as("frame_idx"),
+          col("decoded"), col("width"), col("height"),
+          aggregate(col("argb"), lit(0L),
+            (acc, x) => acc + x.bitwiseAND(lit(255)).cast("long")).as("gray_sum"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
     // Cluster-aware train/val/test split (split-leakage prevention): q43's
     // near-dup clusters drive split membership, so no near-dup pair ever
     // straddles train and eval. Membership hashes the CC cluster id with
@@ -1582,6 +1618,20 @@ object CorpusPack extends QueryPack {
                / 1000000.0 AS activity
       FROM agg a JOIN fa f ON f.doc_id = a.doc_id
       ORDER BY a.doc_id""",
+
+    // q285: per-frame pixel sums regenerated from the synthetic-PNG gray
+    // formula — the split/order/decode chain must reproduce them exactly.
+    "q285_frame_stream" -> """
+      WITH js AS (SELECT unnest(range(0, 3)) AS j),
+      ks AS (SELECT unnest(range(0, 64)) AS k),
+      px AS (SELECT d.doc_id, js.j,
+                    1 + (((d.doc_id * 3 + js.j + 1) * (ks.k + 2)) % 257) % 255 AS g
+             FROM documents d CROSS JOIN js CROSS JOIN ks),
+      gs AS (SELECT doc_id, j, sum(g) AS gray_sum FROM px GROUP BY doc_id, j)
+      SELECT doc_id, CAST(j AS INTEGER) AS frame_idx, true AS decoded,
+             CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+             CAST(gray_sum AS BIGINT) AS gray_sum
+      FROM gs ORDER BY doc_id, frame_idx""",
 
     // q272: routing and reason are pure doc_id predicates (chain priority
     // mirrors the injection's when-chain); clean rows round-trip exactly.

@@ -340,4 +340,31 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.getAs[Long]("peak") == 32124L)
     assert(out.getAs[Long]("n_frames") == 4L && out.getAs[Long]("active_frames") == 4L)
   }
+
+  test("splitFrameStream: magic-scan splitting — garbage prefix ignored, adjacent magics, no magic") {
+    import spark.implicits._
+    import graft.functions.FrameSplitKernel
+    val m = "MG".getBytes("US-ASCII")
+    def sp(s0: String) = FrameSplitKernel.split(s0.getBytes("US-ASCII"), m)
+      .map(new String(_, "US-ASCII")).toSeq
+    assert(sp("MGaaMGbb") == Seq("MGaa", "MGbb"))
+    assert(sp("junkMGaaMGbb") == Seq("MGaa", "MGbb"), "garbage before first marker ignored")
+    assert(sp("MGMGx") == Seq("MG", "MGx"), "adjacent markers yield an empty-body frame")
+    assert(sp("nothing here") == Seq())
+    assert(sp("") == Seq())
+    // DataFrame path: three real PNGs concatenated split back to three
+    // decodable frames with the right pixel content
+    val pngs = Multimodal.syntheticGrayPngs(
+      Seq((0L, 7L, false), (1L, 8L, false), (2L, 9L, false))
+        .toDF("media_id", "seed", "perturb"))
+      .orderBy("media_id").collect().map(_.getAs[Array[Byte]]("content"))
+    val stream = pngs.reduce(_ ++ _)
+    val frames = Multimodal.splitFrameStream(
+      Seq((1L, stream)).toDF("id", "stream"), "stream")
+      .select(posexplode(org.apache.spark.sql.functions.col("frames")))
+      .collect()
+    assert(frames.length == 3)
+    frames.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Array[Byte]](1).toSeq == pngs(i).toSeq, s"frame $i bytes") }
+  }
 }
