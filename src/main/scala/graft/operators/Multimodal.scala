@@ -117,6 +117,54 @@ object Multimodal {
       }(enc)
   }
 
+  /** REAL image resize — not the [[resize]] stub: decode via ImageIO,
+    * NEAREST-NEIGHBOR resample with explicit integer index mapping
+    * (`src = floor(dst · srcDim / dstDim)` — deterministic by
+    * construction, where Graphics2D interpolation would be
+    * implementation-defined), re-encode PNG. Rows whose bytes no reader
+    * accepts pass through with `resized = false` and their original
+    * content (the corrupt-blob contract: flag, don't fail, don't drop).
+    * Output: mediaSchema + `resized`. */
+  def resizeImages(media: DataFrame, width: Int, height: Int): DataFrame = {
+    require(width >= 1 && height >= 1, "target dims must be >= 1")
+    val outSchema = StructType(mediaSchema.fields :+
+      StructField("resized", BooleanType, nullable = false))
+    val enc = RowEncoder.encoderFor(outSchema)
+    media.select(col("media_id"), col("mime"), col("content"), col("meta"))
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { r =>
+          val bytes = r.getAs[Array[Byte]](2)
+          val img =
+            if (bytes == null) null
+            else
+              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+              catch { case scala.util.control.NonFatal(_) => null }
+          if (img == null)
+            Row(r.getLong(0), r.getString(1), bytes, r.get(3), false)
+          else {
+            val out = new java.awt.image.BufferedImage(
+              width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < height) {
+              val sy = y * img.getHeight / height
+              var x = 0
+              while (x < width) {
+                out.setRGB(x, y, img.getRGB(x * img.getWidth / width, sy))
+                x += 1
+              }
+              y += 1
+            }
+            val baos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", baos)
+            val oldMeta = r.getAs[Row](3)
+            val duration = if (oldMeta == null) null else oldMeta.get(2)
+            Row(r.getLong(0), "image/png", baos.toByteArray, Row(width, height, duration), true)
+          }
+        }
+      }(enc)
+  }
+
   /** REAL image decode — not a stub: `javax.imageio.ImageIO` ships PNG, BMP,
     * GIF and JPEG readers in every JRE, so this decodes actual image bytes
     * with zero added dependencies. Same batch shape as the stubs (one

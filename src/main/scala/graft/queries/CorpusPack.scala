@@ -267,6 +267,32 @@ object CorpusPack extends QueryPack {
         .orderBy(col("doc_id"), col("frame_idx"))
     }),
 
+    // REAL image resize under the gate (r14): synthetic PNGs downscaled
+    // 8×8 → 4×4 by explicit nearest-neighbor index mapping, re-encoded
+    // PNG, re-decoded — the oracle samples the gray formula at the
+    // mapped indices (src = 2·dst), so a drifted sampling rule, encode
+    // loss, or axis swap fails the hash gate. Every 41st doc's bytes
+    // are corrupted first and must pass through flagged.
+    "q286_image_resize" -> ((s, d) => {
+      val ids = Tables.documents(s, d).select(
+        col("doc_id").as("media_id"), col("doc_id").as("seed"),
+        lit(false).as("perturb"))
+      val media = Multimodal.syntheticGrayPngs(ids)
+        .withColumn("content",
+          when(col("media_id") % 41 === 0, lit("NOTAPNG".getBytes("US-ASCII")))
+            .otherwise(col("content")))
+      val resized = Multimodal.resizeImages(media, width = 4, height = 4)
+      Multimodal.decodeImages(
+          resized.select(col("media_id"), col("content")), includePixels = true)
+        .join(resized.select(col("media_id"), col("resized")), "media_id")
+        .select(col("media_id").as("doc_id"), col("resized"), col("decoded"),
+          col("width"), col("height"),
+          when(col("decoded"),
+            aggregate(col("argb"), lit(0L),
+              (acc, x) => acc + x.bitwiseAND(lit(255)).cast("long"))).as("gray_sum"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Cluster-aware train/val/test split (split-leakage prevention): q43's
     // near-dup clusters drive split membership, so no near-dup pair ever
     // straddles train and eval. Membership hashes the CC cluster id with
@@ -1632,6 +1658,25 @@ object CorpusPack extends QueryPack {
              CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
              CAST(gray_sum AS BIGINT) AS gray_sum
       FROM gs ORDER BY doc_id, frame_idx""",
+
+    // q286: output pixels are the formula sampled at src = 2·dst.
+    "q286_image_resize" -> """
+      WITH xs AS (SELECT unnest(range(0, 4)) AS x),
+      ys AS (SELECT unnest(range(0, 4)) AS y),
+      px AS (SELECT d.doc_id, (2 * ys.y) * 8 + 2 * xs.x AS k
+             FROM documents d CROSS JOIN xs CROSS JOIN ys
+             WHERE d.doc_id % 41 <> 0),
+      g AS (SELECT doc_id,
+                   sum(1 + (((doc_id + 1) * (k + 2)) % 257) % 255) AS gs
+            FROM px GROUP BY doc_id)
+      SELECT doc_id, true AS resized, true AS decoded,
+             CAST(4 AS INTEGER) AS width, CAST(4 AS INTEGER) AS height,
+             CAST(gs AS BIGINT) AS gray_sum
+      FROM g
+      UNION ALL
+      SELECT doc_id, false, false, NULL, NULL, NULL
+      FROM documents WHERE doc_id % 41 = 0
+      ORDER BY doc_id""",
 
     // q272: routing and reason are pure doc_id predicates (chain priority
     // mirrors the injection's when-chain); clean rows round-trip exactly.
