@@ -258,6 +258,19 @@ object StatsPack extends QueryPack {
         .orderBy(col("kind"))
     }),
 
+    // Sliding event-time windows (the q21 tumbling sibling): every event
+    // lands in windowLength/slide = 4 hourly windows at 15-min offsets.
+    // The oracle expands each event into its 4 epoch-aligned window
+    // starts — a drifted alignment, span, or off-by-one-window fails the
+    // hash gate. (Batch execution of the same streaming-shape operator;
+    // the watermark is a no-op on batch.)
+    "q287_sliding_window" -> ((s, d) =>
+      graft.streaming.Streams.slidingCounts(
+          Tables.events(s, d).filter(col("ts").isNotNull),
+          "ts", windowLength = "1 hour", slide = "15 minutes",
+          watermarkDelay = "1 minute", col("event_type"))
+        .orderBy(col("bucket"), col("event_type"))),
+
     // Hill tail index of document lengths: the heavy-tail exponent that
     // decides whether mean-based curation budgets are even meaningful
     // (α ≤ 1: no mean; α ≤ 2: no variance). One k-bounded TakeOrdered +
@@ -1725,6 +1738,18 @@ object StatsPack extends QueryPack {
                coalesce(observed <= CAST(1000000.0 AS DOUBLE), false),
                estimated FROM o)
       ORDER BY kind""",
+
+    // q287: each event expanded to its 4 epoch-aligned sliding-window
+    // starts (15-min grid, 1-hour span).
+    "q287_sliding_window" -> """
+      WITH offs AS (SELECT unnest(range(0, 4)) AS o),
+      w AS (SELECT to_timestamp((epoch_us(ts) // 900000000 - o.o) * 900) AS bucket,
+                   event_type
+            FROM events CROSS JOIN offs o
+            WHERE ts IS NOT NULL)
+      SELECT bucket, event_type, count(*) AS cnt
+      FROM w GROUP BY bucket, event_type
+      ORDER BY bucket, event_type""",
 
     // q266: each expectation mirrored as one row off a single stats CTE;
     // observed values on the same 1e-6 grid / exact distinct counts.
