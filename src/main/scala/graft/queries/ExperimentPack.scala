@@ -245,7 +245,9 @@ object ExperimentPack extends QueryPack {
       val perUser = Tables.events(s, d).groupBy(col("user_id"), col("event_type"))
         .agg(count(lit(1)).as("cnt"))
       val a = perUser.as("a"); val b = perUser.as("b")
-      val duels = a.join(b,
+      // SMJ-pinned: both sides are the users-shaped aggregate — a derived
+      // broadcast here only looks safe at test SF (the q64 discipline)
+      val duels = a.join(b.hint("shuffle_merge"),
           col("a.user_id") === col("b.user_id") &&
             col("a.event_type") < col("b.event_type"))
         .filter(col("a.cnt") =!= col("b.cnt"))

@@ -336,7 +336,14 @@ class PlanAuditSpec extends AnyFunSuite {
     // train half) plus the final 1-row n_train scalar crossJoin — the
     // one derived broadcast (q35's N class); everything else is the
     // single (is_train, bin) corpus aggregation and bins-sized SMJs.
-    "q258_oos_calibration" -> (0, 3, 1)
+    "q258_oos_calibration" -> (0, 3, 1),
+    // q281: the final readout crossJoins four 1-row aggregates (items,
+    // decided pairs, decided triads, circular triads) — three scalar
+    // crossJoins and their 1-row broadcasts, q228's modularity class.
+    // The corpus-shaped duel stream collapses in the eagerly
+    // checkpointed pair-count aggregation inside the operator; the
+    // triad/cycle joins ride the items-bounded majority digraph as SMJs.
+    "q281_transitivity" -> (0, 3, 3)
   )
 
   test("no query plans an unjustified cartesian / BNLJ / derived broadcast, and none a ScalaUDF") {
