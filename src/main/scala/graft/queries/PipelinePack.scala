@@ -352,6 +352,56 @@ object PipelinePack extends QueryPack {
       } finally PackShared.deleteRecursively(tmp.toString)
     }),
 
+    // The stream-stream interval join driven for REAL (previously the
+    // only §2.2 streaming row that was spec-gated without a CORRECTNESS
+    // entry): purchases and clicks staged to two parquet directories,
+    // drained by TWO readStreams through Streams.intervalJoin
+    // (click within the hour before the purchase), aggregated per user.
+    // The watermark delay deliberately spans the whole data range: the
+    // staged files are not time-ordered, so a tight watermark would drop
+    // rows nondeterministically (state-pruning semantics are spec-gated;
+    // this row gates JOIN correctness). Oracle = the same interval join
+    // in plain SQL.
+    "q288_stream_interval_join" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val ev = Tables.events(s, d).filter(col("ts").isNotNull)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("pts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("cts"))
+      val t1 = java.nio.file.Files.createTempDirectory("graft-q288-l").toString
+      val t2 = java.nio.file.Files.createTempDirectory("graft-q288-r").toString
+      try {
+        purchases.repartition(3).write.mode("overwrite").parquet(t1)
+        clicks.repartition(3).write.mode("overwrite").parquet(t2)
+        val sinkName = "q288_sink"
+        try s.catalog.dropTempView(sinkName) catch { case _: Exception => () }
+        val ls = s.readStream.schema(purchases.schema)
+          .option("maxFilesPerTrigger", 1).parquet(t1)
+        val rs = s.readStream.schema(clicks.schema)
+          .option("maxFilesPerTrigger", 1).parquet(t2)
+        val joined = graft.streaming.Streams.intervalJoin(ls, rs,
+          keyCol = "user_id", leftTs = "pts", rightTs = "cts",
+          lookback = "1 hour", watermarkDelay = "3650 days")
+        PackShared.withShufflePartitions(s, 4) {
+          val q = joined.writeStream.format("memory").queryName(sinkName)
+            .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          try {
+            if (!q.awaitTermination(300000))
+              throw graft.core.GraftError("q288 drain timed out")
+          } finally q.stop()
+        }
+        s.table(sinkName)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("pairs"),
+            sum(unix_micros(col("pts")) - unix_micros(col("cts"))).as("lag_us_sum"))
+          .localCheckpoint(true)
+          .orderBy(col("user_id"))
+      } finally {
+        PackShared.deleteRecursively(t1); PackShared.deleteRecursively(t2)
+      }
+    }),
+
     // The same drain as q44, but over REAL HTTP: an in-process fixture server
     // (JDK HttpServer, port of the reference's RESTServer semantics) serves
     // `documents` in fixed pages behind a bearer token that rotates ONCE,
@@ -439,6 +489,19 @@ object PipelinePack extends QueryPack {
     "q274_object_cursor_ingest" -> """
       SELECT doc_id, md5(text) AS fp_md5
       FROM documents ORDER BY doc_id""",
+
+    // q288: the same key + interval predicate in plain SQL; exact
+    // microsecond lag sums (HUGEINT cast to BIGINT for dtype parity).
+    "q288_stream_interval_join" -> """
+      WITH p AS (SELECT user_id, ts AS pts FROM events
+                 WHERE event_type = 'purchase' AND ts IS NOT NULL),
+      c AS (SELECT user_id, ts AS cts FROM events
+            WHERE event_type = 'click' AND ts IS NOT NULL)
+      SELECT p.user_id, count(*) AS pairs,
+             CAST(sum(epoch_us(pts) - epoch_us(cts)) AS BIGINT) AS lag_us_sum
+      FROM p JOIN c ON c.user_id = p.user_id
+        AND cts >= pts - INTERVAL 1 HOUR AND cts <= pts
+      GROUP BY p.user_id ORDER BY p.user_id""",
 
     // two periods drained → the whole corpus exactly once per period
     "q55_periodic_ingest" -> """
