@@ -402,6 +402,49 @@ object PipelinePack extends QueryPack {
       }
     }),
 
+    // The exactly-once sink driven for REAL (previously spec-only):
+    // events staged to 3 files, drained by readStream → foreachBatch →
+    // ExactlyOnceParquetWriter with BOTH failure modes planted — a
+    // crash-before-marker leftover (junk `batch=0` data, no marker: the
+    // replay must OVERWRITE it completely) and an at-least-once
+    // redelivery of a committed id after the drain (must be a no-op).
+    // Oracle = the plain full-scan aggregate: any junk survivor,
+    // duplicate, or dropped batch changes cnt/sum_value.
+    "q289_exactly_once_sink" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val ev = Tables.events(s, d).select(
+        col("event_id"), col("event_type"), col("value"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q289")
+      val stage = tmp.resolve("stage").toString
+      val sinkDir = tmp.resolve("sink").toString
+      try {
+        ev.repartition(3).write.mode("overwrite").parquet(stage)
+        val writer = new graft.sinks.ExactlyOnceParquetWriter(sinkDir)
+        // planted mid-write crash: data dir exists, marker does not
+        s.range(5).select(lit(-1L).as("event_id"), lit("junk").as("event_type"),
+            lit(0.0).as("value"))
+          .write.mode("overwrite").parquet(s"$sinkDir/batch=0")
+        val writeBatch: (DataFrame, Long) => Unit = (df, id) => writer.write(df, id)
+        val q = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(stage)
+          .writeStream.foreachBatch(writeBatch)
+          .option("checkpointLocation", tmp.resolve("ckpt").toString)
+          .trigger(Trigger.AvailableNow()).start()
+        try {
+          if (!q.awaitTermination(300000))
+            throw graft.core.GraftError("q289 drain timed out")
+        } finally q.stop()
+        // at-least-once redelivery of a COMMITTED id: must skip entirely
+        writer.write(ev.limit(7), 0L)
+        s.read.parquet(sinkDir)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("value").cast("decimal(28,4)")).cast("double").as("sum_value"))
+          .localCheckpoint(true)
+          .orderBy(col("event_type"))
+      } finally PackShared.deleteRecursively(tmp.toString)
+    }),
+
     // The same drain as q44, but over REAL HTTP: an in-process fixture server
     // (JDK HttpServer, port of the reference's RESTServer semantics) serves
     // `documents` in fixed pages behind a bearer token that rotates ONCE,
@@ -502,6 +545,13 @@ object PipelinePack extends QueryPack {
       FROM p JOIN c ON c.user_id = p.user_id
         AND cts >= pts - INTERVAL 1 HOUR AND cts <= pts
       GROUP BY p.user_id ORDER BY p.user_id""",
+
+    // q289: identical to q23's oracle — the sink must hold the whole
+    // table exactly once despite the planted crash leftover and replay
+    "q289_exactly_once_sink" -> """
+      SELECT event_type, count(*) AS cnt,
+             CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY event_type ORDER BY event_type""",
 
     // two periods drained → the whole corpus exactly once per period
     "q55_periodic_ingest" -> """
