@@ -160,6 +160,55 @@ object MulawKernel {
   }
 }
 
+/** G.711 A-law → PCM16LE — the European-trunk sibling of [[MulawKernel]]
+  * (ITU G.711: XOR 0x55, segment/mantissa unpack; note the INVERTED sign
+  * convention vs µ-law — bit 7 set means positive). Pure integer math,
+  * zero dependencies. */
+object AlawKernel {
+  /** Canonical alaw2linear. Output range ±32256. */
+  def decodeSample(b: Byte): Int = {
+    val v = (b ^ 0x55) & 0xff
+    val mant = v & 0x0f
+    val seg = (v & 0x70) >> 4
+    val t =
+      if (seg == 0) (mant << 4) + 8
+      else ((mant << 4) + 0x108) << (seg - 1)
+    if ((v & 0x80) != 0) t else -t
+  }
+
+  /** A-law byte stream → s16le byte stream. */
+  def toPcm16(bytes: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      val s = decodeSample(bytes(i))
+      val u = if (s < 0) s + 65536 else s
+      out(2 * i) = (u & 0xff).toByte
+      out(2 * i + 1) = ((u >> 8) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+}
+
+/** A-law binary → PCM16LE binary, one fused kernel call per row. */
+case class AlawToPcm16Expr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_alaw_to_pcm16 requires a binary argument, got ${t.sql}")
+  }
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_alaw_to_pcm16"
+  override def nullSafeEval(b: Any): Any =
+    AlawKernel.toPcm16(b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b =>
+      s"${ev.value} = graft.functions.AlawKernel.toPcm16($b);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** µ-law binary → PCM16LE binary, one fused kernel call per row. */
 case class MulawToPcm16Expr(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -261,6 +310,10 @@ object PcmExpressions {
   /** µ-law bytes → s16le bytes. */
   def mulawToPcm16(bin: Column): Column =
     GraftShims.column(MulawToPcm16Expr(GraftShims.expression(bin)))
+
+  /** A-law bytes → s16le bytes. */
+  def alawToPcm16(bin: Column): Column =
+    GraftShims.column(AlawToPcm16Expr(GraftShims.expression(bin)))
 
   /** Synth µ-law bytes from a long id column. */
   def synthMulaw(id: Column, nSamples: Int): Column =

@@ -372,6 +372,12 @@ object Multimodal {
   def decodeMulaw(df: DataFrame, mulawCol: String): DataFrame =
     df.withColumn("pcm", graft.functions.PcmExpressions.mulawToPcm16(col(mulawCol)))
 
+  /** G.711 A-law → PCM16LE ([[graft.functions.AlawKernel]]) — the
+    * European-trunk sibling of [[decodeMulaw]] (inverted sign
+    * convention, XOR-0x55 unpack). Appends `pcm`. */
+  def decodeAlaw(df: DataFrame, alawCol: String): DataFrame =
+    df.withColumn("pcm", graft.functions.PcmExpressions.alawToPcm16(col(alawCol)))
+
   /** Deterministic synthetic µ-law stream per row (closed form
     * `(id·17 + k·11) mod 256` — SQL-regenerable). Appends `mulaw`. */
   def synthMulaw(ids: DataFrame, idCol: String, nSamples: Int): DataFrame =

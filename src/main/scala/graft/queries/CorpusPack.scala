@@ -293,6 +293,21 @@ object CorpusPack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // G.711 A-law decode end-to-end (r14) — the q284 gate for the
+    // European-trunk codec: XOR-0x55 unpack, segment shift, INVERTED
+    // sign convention vs µ-law; the same synthetic code stream decodes
+    // to a DIFFERENT exact sample stream, so a copy-paste of the µ-law
+    // formula anywhere fails this gate while passing q284.
+    "q290_alaw_decode" -> ((s, d) => {
+      val mu = Multimodal.synthMulaw(
+        Tables.documents(s, d).select(col("doc_id")), "doc_id", nSamples = 480)
+      Multimodal.audioFeatures(Multimodal.decodeAlaw(mu, "mulaw"), "pcm",
+          frameSamples = 160, energyThreshold = 1L << 36)
+        .select(col("doc_id"), col("n_samples"), col("rms"), col("peak"),
+          col("zero_crossings"), col("activity"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Cluster-aware train/val/test split (split-leakage prevention): q43's
     // near-dup clusters drive split membership, so no near-dup pair ever
     // straddles train and eval. Membership hashes the CC cluster id with
@@ -1677,6 +1692,51 @@ object CorpusPack extends QueryPack {
       SELECT doc_id, false, false, NULL, NULL, NULL
       FROM documents WHERE doc_id % 41 = 0
       ORDER BY doc_id""",
+
+    // q290: the ITU A-law decode formula (XOR 0x55, segment shift,
+    // positive-when-bit7 sign) replayed per code, then the q282 stats.
+    "q290_alaw_decode" -> """
+      WITH ks AS (SELECT unnest(range(0, 480)) AS k),
+      cd AS (SELECT d.doc_id, ks.k,
+                    xor(((d.doc_id * 17 + ks.k * 11) % 256), 85) AS v
+             FROM documents d CROSS JOIN ks),
+      s AS (SELECT doc_id, k,
+                   CASE WHEN v // 128 = 1
+                        THEN CASE WHEN (v // 16) % 8 = 0 THEN (v % 16) * 16 + 8
+                                  ELSE ((v % 16) * 16 + 264) << ((v // 16) % 8 - 1)
+                             END
+                        ELSE -(CASE WHEN (v // 16) % 8 = 0 THEN (v % 16) * 16 + 8
+                                    ELSE ((v % 16) * 16 + 264) << ((v // 16) % 8 - 1)
+                               END)
+                   END AS sv
+            FROM cd),
+      lagd AS (SELECT doc_id, k, sv,
+                      LAG(sv) OVER (PARTITION BY doc_id ORDER BY k) AS pv
+               FROM s),
+      agg AS (SELECT doc_id,
+                     CAST(count(*) AS BIGINT) AS n_samples,
+                     sum(sv * sv) AS ss,
+                     CAST(max(abs(sv)) AS BIGINT) AS peak,
+                     CAST(count(*) FILTER (WHERE pv IS NOT NULL AND
+                       ((pv >= 0 AND sv < 0) OR (pv < 0 AND sv >= 0)))
+                       AS BIGINT) AS zero_crossings
+              FROM lagd GROUP BY doc_id),
+      fr AS (SELECT doc_id, k // 160 AS f, sum(sv * sv) AS fe
+             FROM s GROUP BY doc_id, k // 160),
+      fa AS (SELECT doc_id,
+                    CAST(count(*) AS BIGINT) AS n_frames,
+                    CAST(count(*) FILTER (WHERE fe > 68719476736) AS BIGINT)
+                      AS active_frames
+             FROM fr GROUP BY doc_id)
+      SELECT a.doc_id, a.n_samples,
+             CAST(floor(sqrt(CAST(a.ss AS DOUBLE) / CAST(a.n_samples AS DOUBLE))
+                  * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS rms,
+             a.peak, a.zero_crossings,
+             CAST(floor(CAST(f.active_frames AS DOUBLE)
+                  / CAST(f.n_frames AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE)
+               / 1000000.0 AS activity
+      FROM agg a JOIN fa f ON f.doc_id = a.doc_id
+      ORDER BY a.doc_id""",
 
     // q272: routing and reason are pure doc_id predicates (chain priority
     // mirrors the injection's when-chain); clean rows round-trip exactly.

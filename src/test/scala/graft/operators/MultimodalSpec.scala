@@ -367,4 +367,29 @@ class MultimodalSpec extends AnyFunSuite {
     frames.zipWithIndex.foreach { case (r, i) =>
       assert(r.getAs[Array[Byte]](1).toSeq == pngs(i).toSeq, s"frame $i bytes") }
   }
+
+  test("alaw decode: canonical G.711 vectors, inverted sign vs mulaw, segment-0 path") {
+    import spark.implicits._
+    import graft.functions.AlawKernel
+    // canonical endpoints: 0x55 -> XOR 0x00 -> seg0 mant0 negative -> -8;
+    // 0xD5 -> XOR 0x80 -> positive -> +8; 0x2A -> XOR 0x7F -> seg7 mant15 -> -32256
+    assert(AlawKernel.decodeSample(0x55.toByte) == -8)
+    assert(AlawKernel.decodeSample(0xD5.toByte) == 8)
+    assert(AlawKernel.decodeSample(0x2A.toByte) == -32256)
+    assert(AlawKernel.decodeSample(0xAA.toByte) == 32256)
+    // A-law and mu-law must NOT agree on the same code stream (inverted
+    // sign + different bias): all 256 codes decode to distinct tables
+    val codes = (0 until 256).map(_.toByte)
+    val alaw = codes.map(AlawKernel.decodeSample)
+    val mu = codes.map(graft.functions.MulawKernel.decodeSample)
+    assert(alaw != mu)
+    assert(alaw.max == 32256 && alaw.min == -32256)
+    // DataFrame path composes with audioFeatures
+    val df = Seq((1L, codes.toArray)).toDF("id", "alaw")
+    val out = Multimodal.audioFeatures(
+      Multimodal.decodeAlaw(df, "alaw"), "pcm",
+      frameSamples = 64, energyThreshold = 1L).collect().head
+    assert(out.getAs[Long]("n_samples") == 256L &&
+      out.getAs[Long]("peak") == 32256L)
+  }
 }
