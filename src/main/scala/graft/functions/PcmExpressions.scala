@@ -146,6 +146,36 @@ object MulawKernel {
     out
   }
 
+  /** The canonical linear2ulaw (Sun g711.c lineage: >>2 to 14 bits,
+    * CLIP 8159, BIAS>>2 = 33, segment search over 0x3F<<seg): the WRITE
+    * path of the telephony codec. `encodeSample(decodeSample(c)) == c`
+    * for every code except negative zero 0x7F → 0xFF (both decode to
+    * 0 — the canonical-zero collapse), spec-pinned over all 256. */
+  def encodeSample(pcm: Int): Byte = {
+    var p = pcm >> 2
+    val mask = if (p < 0) { p = -p; 0x7f } else 0xff
+    if (p > 8159) p = 8159
+    p += 33
+    var seg = 0
+    while (seg < 8 && p > (0x3f << seg)) seg += 1
+    val u = if (seg >= 8) 0x7f else (seg << 4) | ((p >> (seg + 1)) & 0xf)
+    (u ^ mask).toByte
+  }
+
+  /** s16le byte stream → µ-law byte stream (two bytes in, one out). Odd
+    * trailing bytes stay out, mirroring [[PcmKernel.stats]]. */
+  def fromPcm16(bytes: Array[Byte]): Array[Byte] = {
+    val n = bytes.length / 2
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      val raw = (bytes(2 * i) & 0xff) | ((bytes(2 * i + 1) & 0xff) << 8)
+      out(i) = encodeSample(if (raw < 32768) raw else raw - 65536)
+      i += 1
+    }
+    out
+  }
+
   /** Deterministic µ-law byte synthesis: `(id·17 + k·11) mod 256` —
     * every byte value is a valid µ-law code, and the closed form lets a
     * SQL oracle regenerate the codes without parsing bytes. */
@@ -189,6 +219,25 @@ object AlawKernel {
     }
     out
   }
+}
+
+/** PCM16LE binary → µ-law binary (the encode/write path), one fused
+  * kernel call per row. */
+case class MulawFromPcm16Expr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_pcm16_to_mulaw requires a binary argument, got ${t.sql}")
+  }
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_pcm16_to_mulaw"
+  override def nullSafeEval(b: Any): Any =
+    MulawKernel.fromPcm16(b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b =>
+      s"${ev.value} = graft.functions.MulawKernel.fromPcm16($b);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** A-law binary → PCM16LE binary, one fused kernel call per row. */
@@ -314,6 +363,10 @@ object PcmExpressions {
   /** A-law bytes → s16le bytes. */
   def alawToPcm16(bin: Column): Column =
     GraftShims.column(AlawToPcm16Expr(GraftShims.expression(bin)))
+
+  /** s16le bytes → µ-law bytes (the encode/write path). */
+  def pcm16ToMulaw(bin: Column): Column =
+    GraftShims.column(MulawFromPcm16Expr(GraftShims.expression(bin)))
 
   /** Synth µ-law bytes from a long id column. */
   def synthMulaw(id: Column, nSamples: Int): Column =

@@ -378,6 +378,12 @@ object Multimodal {
   def decodeAlaw(df: DataFrame, alawCol: String): DataFrame =
     df.withColumn("pcm", graft.functions.PcmExpressions.alawToPcm16(col(alawCol)))
 
+  /** PCM16LE → µ-law (the encode/WRITE path — a telephony-bound sink
+    * leg): [[graft.functions.MulawKernel.encodeSample]], canonical Sun
+    * g711.c quantization. Appends `mulaw_out`. */
+  def encodeMulaw(df: DataFrame, pcmCol: String): DataFrame =
+    df.withColumn("mulaw_out", graft.functions.PcmExpressions.pcm16ToMulaw(col(pcmCol)))
+
   /** Deterministic synthetic µ-law stream per row (closed form
     * `(id·17 + k·11) mod 256` — SQL-regenerable). Appends `mulaw`. */
   def synthMulaw(ids: DataFrame, idCol: String, nSamples: Int): DataFrame =

@@ -308,6 +308,25 @@ object CorpusPack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // The µ-law ENCODE path (r14): synth codes → decode → RE-ENCODE →
+    // decode again → features. encode∘decode is the identity on every
+    // code except negative zero (0x7F → 0xFF, both decode to 0), so the
+    // second decode must reproduce the first sample stream EXACTLY and
+    // the oracle is q284's formula verbatim — any wrong clip, bias,
+    // segment boundary, or mask in the encoder shifts quantization and
+    // fails the hash gate.
+    "q291_mulaw_encode" -> ((s, d) => {
+      val mu = Multimodal.synthMulaw(
+        Tables.documents(s, d).select(col("doc_id")), "doc_id", nSamples = 480)
+      val reenc = Multimodal.encodeMulaw(
+        Multimodal.decodeMulaw(mu, "mulaw"), "pcm").drop("pcm")
+      Multimodal.audioFeatures(Multimodal.decodeMulaw(reenc, "mulaw_out"), "pcm",
+          frameSamples = 160, energyThreshold = 1L << 36)
+        .select(col("doc_id"), col("n_samples"), col("rms"), col("peak"),
+          col("zero_crossings"), col("activity"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Cluster-aware train/val/test split (split-leakage prevention): q43's
     // near-dup clusters drive split membership, so no near-dup pair ever
     // straddles train and eval. Membership hashes the CC cluster id with
@@ -936,6 +955,49 @@ object CorpusPack extends QueryPack {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
   )
+
+  /** q284/q291 shared oracle: the ITU mu-law decode formula replayed
+    * per synthesized code, then the q282 stats. */
+  private def mulawStatsOracle: String = """
+      WITH ks AS (SELECT unnest(range(0, 480)) AS k),
+      cd AS (SELECT d.doc_id, ks.k,
+                    ((d.doc_id * 17 + ks.k * 11) % 256) AS bb
+             FROM documents d CROSS JOIN ks),
+      s AS (SELECT doc_id, k,
+                   CASE WHEN (255 - bb) // 128 = 1
+                        THEN 132 - ((((255 - bb) % 16) * 8 + 132)
+                                    << (((255 - bb) // 16) % 8))
+                        ELSE ((((255 - bb) % 16) * 8 + 132)
+                              << (((255 - bb) // 16) % 8)) - 132
+                   END AS sv
+            FROM cd),
+      lagd AS (SELECT doc_id, k, sv,
+                      LAG(sv) OVER (PARTITION BY doc_id ORDER BY k) AS pv
+               FROM s),
+      agg AS (SELECT doc_id,
+                     CAST(count(*) AS BIGINT) AS n_samples,
+                     sum(sv * sv) AS ss,
+                     CAST(max(abs(sv)) AS BIGINT) AS peak,
+                     CAST(count(*) FILTER (WHERE pv IS NOT NULL AND
+                       ((pv >= 0 AND sv < 0) OR (pv < 0 AND sv >= 0)))
+                       AS BIGINT) AS zero_crossings
+              FROM lagd GROUP BY doc_id),
+      fr AS (SELECT doc_id, k // 160 AS f, sum(sv * sv) AS fe
+             FROM s GROUP BY doc_id, k // 160),
+      fa AS (SELECT doc_id,
+                    CAST(count(*) AS BIGINT) AS n_frames,
+                    CAST(count(*) FILTER (WHERE fe > 68719476736) AS BIGINT)
+                      AS active_frames
+             FROM fr GROUP BY doc_id)
+      SELECT a.doc_id, a.n_samples,
+             CAST(floor(sqrt(CAST(a.ss AS DOUBLE) / CAST(a.n_samples AS DOUBLE))
+                  * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS rms,
+             a.peak, a.zero_crossings,
+             CAST(floor(CAST(f.active_frames AS DOUBLE)
+                  / CAST(f.n_frames AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE)
+               / 1000000.0 AS activity
+      FROM agg a JOIN fa f ON f.doc_id = a.doc_id
+      ORDER BY a.doc_id"""
 
   def oracles: Map[String, String] = Map(
 
@@ -1619,46 +1681,13 @@ object CorpusPack extends QueryPack {
 
     // q284: the ITU G.711 decode formula replayed per code (complement,
     // sign/exponent/mantissa unpack, bias 0x84), then the q282 stats.
-    "q284_mulaw_decode" -> """
-      WITH ks AS (SELECT unnest(range(0, 480)) AS k),
-      cd AS (SELECT d.doc_id, ks.k,
-                    ((d.doc_id * 17 + ks.k * 11) % 256) AS bb
-             FROM documents d CROSS JOIN ks),
-      s AS (SELECT doc_id, k,
-                   CASE WHEN (255 - bb) // 128 = 1
-                        THEN 132 - ((((255 - bb) % 16) * 8 + 132)
-                                    << (((255 - bb) // 16) % 8))
-                        ELSE ((((255 - bb) % 16) * 8 + 132)
-                              << (((255 - bb) // 16) % 8)) - 132
-                   END AS sv
-            FROM cd),
-      lagd AS (SELECT doc_id, k, sv,
-                      LAG(sv) OVER (PARTITION BY doc_id ORDER BY k) AS pv
-               FROM s),
-      agg AS (SELECT doc_id,
-                     CAST(count(*) AS BIGINT) AS n_samples,
-                     sum(sv * sv) AS ss,
-                     CAST(max(abs(sv)) AS BIGINT) AS peak,
-                     CAST(count(*) FILTER (WHERE pv IS NOT NULL AND
-                       ((pv >= 0 AND sv < 0) OR (pv < 0 AND sv >= 0)))
-                       AS BIGINT) AS zero_crossings
-              FROM lagd GROUP BY doc_id),
-      fr AS (SELECT doc_id, k // 160 AS f, sum(sv * sv) AS fe
-             FROM s GROUP BY doc_id, k // 160),
-      fa AS (SELECT doc_id,
-                    CAST(count(*) AS BIGINT) AS n_frames,
-                    CAST(count(*) FILTER (WHERE fe > 68719476736) AS BIGINT)
-                      AS active_frames
-             FROM fr GROUP BY doc_id)
-      SELECT a.doc_id, a.n_samples,
-             CAST(floor(sqrt(CAST(a.ss AS DOUBLE) / CAST(a.n_samples AS DOUBLE))
-                  * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS rms,
-             a.peak, a.zero_crossings,
-             CAST(floor(CAST(f.active_frames AS DOUBLE)
-                  / CAST(f.n_frames AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE)
-               / 1000000.0 AS activity
-      FROM agg a JOIN fa f ON f.doc_id = a.doc_id
-      ORDER BY a.doc_id""",
+    "q284_mulaw_decode" -> mulawStatsOracle,
+
+    // q291: encode∘decode is the identity on the decoded sample
+    // lattice (negative zero collapses to canonical zero, which
+    // decodes identically), so the re-encoded stream's features equal
+    // q284's exactly.
+    "q291_mulaw_encode" -> mulawStatsOracle,
 
     // q285: per-frame pixel sums regenerated from the synthetic-PNG gray
     // formula — the split/order/decode chain must reproduce them exactly.

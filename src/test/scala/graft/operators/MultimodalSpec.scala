@@ -392,4 +392,25 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.getAs[Long]("n_samples") == 256L &&
       out.getAs[Long]("peak") == 32256L)
   }
+
+  test("mulaw encode: canonical vectors, encode∘decode identity over all 256 codes except negative zero") {
+    import graft.functions.MulawKernel
+    assert((MulawKernel.encodeSample(0) & 0xff) == 0xFF)
+    assert((MulawKernel.encodeSample(-32124) & 0xff) == 0x00)
+    assert((MulawKernel.encodeSample(32124) & 0xff) == 0x80)
+    assert((MulawKernel.encodeSample(40000) & 0xff) == 0x80, "clip saturates to the max code")
+    val exceptions = (0 until 256).filter { c =>
+      (MulawKernel.encodeSample(MulawKernel.decodeSample(c.toByte)) & 0xff) != c
+    }
+    assert(exceptions == Seq(0x7f),
+      s"identity must hold except negative zero: $exceptions")
+    // and the collapse is harmless: both zero codes decode to 0
+    assert(MulawKernel.decodeSample(0x7f.toByte) == 0 &&
+      MulawKernel.decodeSample(0xff.toByte) == 0)
+    // stream form round-trips PCM -> mulaw -> PCM onto the quantization
+    // lattice: decode(encode(x)) is a fixed point for decoded values
+    val bytes = MulawKernel.toPcm16((0 until 256).map(_.toByte).toArray)
+    val once = MulawKernel.toPcm16(MulawKernel.fromPcm16(bytes))
+    assert(once.toSeq == bytes.toSeq, "lattice values must be fixed points")
+  }
 }
