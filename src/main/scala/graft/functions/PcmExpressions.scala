@@ -206,6 +206,35 @@ object AlawKernel {
     if ((v & 0x80) != 0) t else -t
   }
 
+  /** The canonical linear2alaw (Sun g711.c lineage: >>3 to 13 bits,
+    * `-p-1` negative fold, segment table 0x1F..0xFFF, XOR 0x55/0xD5):
+    * the WRITE path. Unlike µ-law, `encodeSample(decodeSample(c)) == c`
+    * for ALL 256 codes (A-law has no ±0 collapse) — spec-pinned. */
+  def encodeSample(pcm: Int): Byte = {
+    var p = pcm >> 3
+    val mask = if (p >= 0) 0xd5 else { p = -p - 1; 0x55 }
+    var seg = 0
+    while (seg < 8 && p > (segAEnd(seg))) seg += 1
+    val a =
+      if (seg >= 8) 0x7f
+      else (seg << 4) | (if (seg < 2) (p >> 1) & 0xf else (p >> seg) & 0xf)
+    (a ^ mask).toByte
+  }
+  private val segAEnd = Array(0x1f, 0x3f, 0x7f, 0xff, 0x1ff, 0x3ff, 0x7ff, 0xfff)
+
+  /** s16le byte stream → A-law byte stream (two bytes in, one out). */
+  def fromPcm16(bytes: Array[Byte]): Array[Byte] = {
+    val n = bytes.length / 2
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      val raw = (bytes(2 * i) & 0xff) | ((bytes(2 * i + 1) & 0xff) << 8)
+      out(i) = encodeSample(if (raw < 32768) raw else raw - 65536)
+      i += 1
+    }
+    out
+  }
+
   /** A-law byte stream → s16le byte stream. */
   def toPcm16(bytes: Array[Byte]): Array[Byte] = {
     val out = new Array[Byte](bytes.length * 2)
@@ -236,6 +265,25 @@ case class MulawFromPcm16Expr(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, b =>
       s"${ev.value} = graft.functions.MulawKernel.fromPcm16($b);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** PCM16LE binary → A-law binary (the encode/write path), one fused
+  * kernel call per row. */
+case class AlawFromPcm16Expr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_pcm16_to_alaw requires a binary argument, got ${t.sql}")
+  }
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_pcm16_to_alaw"
+  override def nullSafeEval(b: Any): Any =
+    AlawKernel.fromPcm16(b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b =>
+      s"${ev.value} = graft.functions.AlawKernel.fromPcm16($b);")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -367,6 +415,10 @@ object PcmExpressions {
   /** s16le bytes → µ-law bytes (the encode/write path). */
   def pcm16ToMulaw(bin: Column): Column =
     GraftShims.column(MulawFromPcm16Expr(GraftShims.expression(bin)))
+
+  /** s16le bytes → A-law bytes (the encode/write path). */
+  def pcm16ToAlaw(bin: Column): Column =
+    GraftShims.column(AlawFromPcm16Expr(GraftShims.expression(bin)))
 
   /** Synth µ-law bytes from a long id column. */
   def synthMulaw(id: Column, nSamples: Int): Column =

@@ -384,6 +384,11 @@ object Multimodal {
   def encodeMulaw(df: DataFrame, pcmCol: String): DataFrame =
     df.withColumn("mulaw_out", graft.functions.PcmExpressions.pcm16ToMulaw(col(pcmCol)))
 
+  /** PCM16LE → A-law (the encode/WRITE path): exact-identity partner of
+    * [[decodeAlaw]] on the code lattice. Appends `alaw_out`. */
+  def encodeAlaw(df: DataFrame, pcmCol: String): DataFrame =
+    df.withColumn("alaw_out", graft.functions.PcmExpressions.pcm16ToAlaw(col(pcmCol)))
+
   /** Deterministic synthetic µ-law stream per row (closed form
     * `(id·17 + k·11) mod 256` — SQL-regenerable). Appends `mulaw`. */
   def synthMulaw(ids: DataFrame, idCol: String, nSamples: Int): DataFrame =

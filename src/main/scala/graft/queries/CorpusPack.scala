@@ -327,6 +327,21 @@ object CorpusPack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // The A-law ENCODE path (r14): same mold as q291, but the identity
+    // is EXACT on all 256 codes, so the second decode reproduces the
+    // first bit-for-bit and the oracle is q290's verbatim.
+    "q292_alaw_encode" -> ((s, d) => {
+      val mu = Multimodal.synthMulaw(
+        Tables.documents(s, d).select(col("doc_id")), "doc_id", nSamples = 480)
+      val reenc = Multimodal.encodeAlaw(
+        Multimodal.decodeAlaw(mu, "mulaw"), "pcm").drop("pcm")
+      Multimodal.audioFeatures(Multimodal.decodeAlaw(reenc, "alaw_out"), "pcm",
+          frameSamples = 160, energyThreshold = 1L << 36)
+        .select(col("doc_id"), col("n_samples"), col("rms"), col("peak"),
+          col("zero_crossings"), col("activity"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Cluster-aware train/val/test split (split-leakage prevention): q43's
     // near-dup clusters drive split membership, so no near-dup pair ever
     // straddles train and eval. Membership hashes the CC cluster id with
@@ -955,6 +970,51 @@ object CorpusPack extends QueryPack {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
   )
+
+  /** q290/q292 shared oracle: the ITU A-law decode formula replayed
+    * per synthesized code, then the q282 stats. */
+  private def alawStatsOracle: String = """
+      WITH ks AS (SELECT unnest(range(0, 480)) AS k),
+      cd AS (SELECT d.doc_id, ks.k,
+                    xor(((d.doc_id * 17 + ks.k * 11) % 256), 85) AS v
+             FROM documents d CROSS JOIN ks),
+      s AS (SELECT doc_id, k,
+                   CASE WHEN v // 128 = 1
+                        THEN CASE WHEN (v // 16) % 8 = 0 THEN (v % 16) * 16 + 8
+                                  ELSE ((v % 16) * 16 + 264) << ((v // 16) % 8 - 1)
+                             END
+                        ELSE -(CASE WHEN (v // 16) % 8 = 0 THEN (v % 16) * 16 + 8
+                                    ELSE ((v % 16) * 16 + 264) << ((v // 16) % 8 - 1)
+                               END)
+                   END AS sv
+            FROM cd),
+      lagd AS (SELECT doc_id, k, sv,
+                      LAG(sv) OVER (PARTITION BY doc_id ORDER BY k) AS pv
+               FROM s),
+      agg AS (SELECT doc_id,
+                     CAST(count(*) AS BIGINT) AS n_samples,
+                     sum(sv * sv) AS ss,
+                     CAST(max(abs(sv)) AS BIGINT) AS peak,
+                     CAST(count(*) FILTER (WHERE pv IS NOT NULL AND
+                       ((pv >= 0 AND sv < 0) OR (pv < 0 AND sv >= 0)))
+                       AS BIGINT) AS zero_crossings
+              FROM lagd GROUP BY doc_id),
+      fr AS (SELECT doc_id, k // 160 AS f, sum(sv * sv) AS fe
+             FROM s GROUP BY doc_id, k // 160),
+      fa AS (SELECT doc_id,
+                    CAST(count(*) AS BIGINT) AS n_frames,
+                    CAST(count(*) FILTER (WHERE fe > 68719476736) AS BIGINT)
+                      AS active_frames
+             FROM fr GROUP BY doc_id)
+      SELECT a.doc_id, a.n_samples,
+             CAST(floor(sqrt(CAST(a.ss AS DOUBLE) / CAST(a.n_samples AS DOUBLE))
+                  * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS rms,
+             a.peak, a.zero_crossings,
+             CAST(floor(CAST(f.active_frames AS DOUBLE)
+                  / CAST(f.n_frames AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE)
+               / 1000000.0 AS activity
+      FROM agg a JOIN fa f ON f.doc_id = a.doc_id
+      ORDER BY a.doc_id"""
 
   /** q284/q291 shared oracle: the ITU mu-law decode formula replayed
     * per synthesized code, then the q282 stats. */
@@ -1724,48 +1784,12 @@ object CorpusPack extends QueryPack {
 
     // q290: the ITU A-law decode formula (XOR 0x55, segment shift,
     // positive-when-bit7 sign) replayed per code, then the q282 stats.
-    "q290_alaw_decode" -> """
-      WITH ks AS (SELECT unnest(range(0, 480)) AS k),
-      cd AS (SELECT d.doc_id, ks.k,
-                    xor(((d.doc_id * 17 + ks.k * 11) % 256), 85) AS v
-             FROM documents d CROSS JOIN ks),
-      s AS (SELECT doc_id, k,
-                   CASE WHEN v // 128 = 1
-                        THEN CASE WHEN (v // 16) % 8 = 0 THEN (v % 16) * 16 + 8
-                                  ELSE ((v % 16) * 16 + 264) << ((v // 16) % 8 - 1)
-                             END
-                        ELSE -(CASE WHEN (v // 16) % 8 = 0 THEN (v % 16) * 16 + 8
-                                    ELSE ((v % 16) * 16 + 264) << ((v // 16) % 8 - 1)
-                               END)
-                   END AS sv
-            FROM cd),
-      lagd AS (SELECT doc_id, k, sv,
-                      LAG(sv) OVER (PARTITION BY doc_id ORDER BY k) AS pv
-               FROM s),
-      agg AS (SELECT doc_id,
-                     CAST(count(*) AS BIGINT) AS n_samples,
-                     sum(sv * sv) AS ss,
-                     CAST(max(abs(sv)) AS BIGINT) AS peak,
-                     CAST(count(*) FILTER (WHERE pv IS NOT NULL AND
-                       ((pv >= 0 AND sv < 0) OR (pv < 0 AND sv >= 0)))
-                       AS BIGINT) AS zero_crossings
-              FROM lagd GROUP BY doc_id),
-      fr AS (SELECT doc_id, k // 160 AS f, sum(sv * sv) AS fe
-             FROM s GROUP BY doc_id, k // 160),
-      fa AS (SELECT doc_id,
-                    CAST(count(*) AS BIGINT) AS n_frames,
-                    CAST(count(*) FILTER (WHERE fe > 68719476736) AS BIGINT)
-                      AS active_frames
-             FROM fr GROUP BY doc_id)
-      SELECT a.doc_id, a.n_samples,
-             CAST(floor(sqrt(CAST(a.ss AS DOUBLE) / CAST(a.n_samples AS DOUBLE))
-                  * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS rms,
-             a.peak, a.zero_crossings,
-             CAST(floor(CAST(f.active_frames AS DOUBLE)
-                  / CAST(f.n_frames AS DOUBLE) * 1000000.0 + 0.5) AS DOUBLE)
-               / 1000000.0 AS activity
-      FROM agg a JOIN fa f ON f.doc_id = a.doc_id
-      ORDER BY a.doc_id""",
+    "q290_alaw_decode" -> alawStatsOracle,
+
+    // q292: A-law encode∘decode is the EXACT identity on all 256
+    // codes (no ±0 collapse), so the re-encoded stream's features
+    // equal q290's verbatim.
+    "q292_alaw_encode" -> alawStatsOracle,
 
     // q272: routing and reason are pure doc_id predicates (chain priority
     // mirrors the injection's when-chain); clean rows round-trip exactly.

@@ -413,4 +413,20 @@ class MultimodalSpec extends AnyFunSuite {
     val once = MulawKernel.toPcm16(MulawKernel.fromPcm16(bytes))
     assert(once.toSeq == bytes.toSeq, "lattice values must be fixed points")
   }
+
+  test("alaw encode: canonical vectors, exact encode∘decode identity over all 256 codes") {
+    import graft.functions.AlawKernel
+    assert((AlawKernel.encodeSample(0) & 0xff) == 0xD5)
+    assert((AlawKernel.encodeSample(32256) & 0xff) == 0xAA)
+    assert((AlawKernel.encodeSample(-32256) & 0xff) == 0x2A)
+    assert((AlawKernel.encodeSample(40000) & 0xff) == 0xAA, "clip saturates")
+    val exceptions = (0 until 256).filter { c =>
+      (AlawKernel.encodeSample(AlawKernel.decodeSample(c.toByte)) & 0xff) != c
+    }
+    assert(exceptions.isEmpty, s"A-law identity must be exact: $exceptions")
+    // stream form: decoded-lattice values are fixed points
+    val bytes = AlawKernel.toPcm16((0 until 256).map(_.toByte).toArray)
+    val once = AlawKernel.toPcm16(AlawKernel.fromPcm16(bytes))
+    assert(once.toSeq == bytes.toSeq)
+  }
 }
