@@ -1137,6 +1137,20 @@ object ScaleSmoke {
         frameSamples = 160, energyThreshold = 1L << 36)
     }
 
+    // r14: the full G.711 chain (decode → encode → decode for BOTH codecs
+    // off one synthetic code stream) — four fused kernel passes per row,
+    // zero shuffle; must stay corpus-linear like the pcm stage.
+    time("g711 mulaw+alaw codec chain") {
+      val m = graft.operators.Multimodal
+      val codes = m.synthMulaw(docs.select(col("doc_id")), "doc_id", nSamples = 480)
+      val mu = m.decodeMulaw(m.encodeMulaw(m.decodeMulaw(codes, "mulaw"), "pcm")
+        .drop("pcm"), "mulaw_out")
+        .withColumnRenamed("pcm", "mu_pcm")
+      val both = m.decodeAlaw(m.encodeAlaw(m.decodeAlaw(mu, "mulaw"), "pcm")
+        .drop("pcm"), "alaw_out")
+      m.audioFeatures(both, "pcm", frameSamples = 160, energyThreshold = 1L << 36)
+    }
+
     // r14: Bradley-Terry over corpus-scaled duels — the up-front duel
     // count aggregation is the only corpus-shaped stage; 8 MM iterations
     // ride the items-bounded majority frame and must be mult-invariant.
