@@ -271,6 +271,16 @@ object StatsPack extends QueryPack {
           watermarkDelay = "1 minute", col("event_type"))
         .orderBy(col("bucket"), col("event_type"))),
 
+    // Session-window counts (the count-only sibling of q42's full
+    // session aggregate, closing the last audit-flagged public def):
+    // same native session_window operator batch-mode, 3-hour gap,
+    // gaps-and-islands oracle.
+    "q293_session_counts" -> ((s, d) =>
+      graft.streaming.Streams.sessionCounts(
+          Tables.events(s, d).filter(col("ts").isNotNull), "ts",
+          gap = "3 hours", watermarkDelay = "1 minute", col("user_id"))
+        .orderBy(col("user_id"), col("session_start"))),
+
     // Hill tail index of document lengths: the heavy-tail exponent that
     // decides whether mean-based curation budgets are even meaningful
     // (α ≤ 1: no mean; α ≤ 2: no variance). One k-bounded TakeOrdered +
@@ -1750,6 +1760,23 @@ object StatsPack extends QueryPack {
       SELECT bucket, event_type, count(*) AS cnt
       FROM w GROUP BY bucket, event_type
       ORDER BY bucket, event_type""",
+
+    // q293: q42's gaps-and-islands, counts only.
+    "q293_session_counts" -> """
+      WITH g AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                      OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL 3 HOUR
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events WHERE ts IS NOT NULL),
+      i AS (
+        SELECT user_id, ts,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM g)
+      SELECT min(ts) AS session_start, user_id, CAST(count(*) AS BIGINT) AS cnt
+      FROM i GROUP BY user_id, sid ORDER BY user_id, session_start""",
 
     // q266: each expectation mirrored as one row off a single stats CTE;
     // observed values on the same 1e-6 grid / exact distinct counts.
