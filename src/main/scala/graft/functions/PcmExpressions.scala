@@ -147,17 +147,19 @@ object MulawKernel {
   }
 
   /** The canonical linear2ulaw (Sun g711.c lineage: >>2 to 14 bits,
-    * CLIP 8159, BIAS>>2 = 33, segment search over 0x3F<<seg): the WRITE
-    * path of the telephony codec. `encodeSample(decodeSample(c)) == c`
-    * for every code except negative zero 0x7F → 0xFF (both decode to
-    * 0 — the canonical-zero collapse), spec-pinned over all 256. */
+    * CLIP 8159, BIAS>>2 = 33, segment search over seg_uend
+    * {0x3F,0x7F,0xFF,0x1FF,…} = (0x40<<seg)−1): the WRITE path of the
+    * telephony codec. `encodeSample(decodeSample(c)) == c` for every
+    * code except negative zero 0x7F → 0xFF (both decode to 0 — the
+    * canonical-zero collapse), spec-pinned over all 256, plus
+    * mid-segment vectors pinning the segment boundaries themselves. */
   def encodeSample(pcm: Int): Byte = {
     var p = pcm >> 2
     val mask = if (p < 0) { p = -p; 0x7f } else 0xff
     if (p > 8159) p = 8159
     p += 33
     var seg = 0
-    while (seg < 8 && p > (0x3f << seg)) seg += 1
+    while (seg < 8 && p > ((0x40 << seg) - 1)) seg += 1
     val u = if (seg >= 8) 0x7f else (seg << 4) | ((p >> (seg + 1)) & 0xf)
     (u ^ mask).toByte
   }

@@ -532,27 +532,6 @@ object Experiment {
         when(p2 < 1.0, q6(num * num / (col("mde") * col("mde")))))
   }
 
-  /** Continuous-metric sibling of [[powerAnalysis]] — sample size for a
-    * two-arm MEAN test: given each group's observed metric variance and
-    * a grid of minimum detectable effects (absolute deltas in metric
-    * units), the observations per arm for a two-sided α test at the
-    * given power:
-    *
-    * `n = 2·σ²·(z_{1−α/2} + z_{1−β})² / δ²`
-    *
-    * σ² is the sample variance off exact decimal moments (the metric
-    * must be INTEGRAL — the [[permutationTest]] rule — so Σx/Σx² are
-    * exact and both engines feed the closed form identical inputs),
-    * quantized to the 1e-6 grid BEFORE the closed form; z constants are
-    * the shared literals. The unit of analysis is the OBSERVATION (one
-    * row = one sample); pre-aggregate per user first when the design
-    * randomizes users. Groups with fewer than 2 observations emit a null
-    * variance and null n. `n_per_arm` stays on the 1e-6 double grid
-    * (planning readout, not an allocator).
-    *
-    * Shape: one map-side-combined keyed aggregation (groups-sized) + a
-    * |mdes|-wide literal explode. Output: (groups…, variance, mde,
-    * n_per_arm), one row per group × MDE. */
   /** Bradley–Terry preference strengths from pairwise duels — the
     * aggregation step of every pairwise-human-preference pipeline
     * (annotator A/B votes, model-output win/loss logs): given one row
@@ -729,6 +708,27 @@ object Experiment {
             / col("decided_triads").cast("double"))).as("circular_share"))
   }
 
+  /** Continuous-metric sibling of [[powerAnalysis]] — sample size for a
+    * two-arm MEAN test: given each group's observed metric variance and
+    * a grid of minimum detectable effects (absolute deltas in metric
+    * units), the observations per arm for a two-sided α test at the
+    * given power:
+    *
+    * `n = 2·σ²·(z_{1−α/2} + z_{1−β})² / δ²`
+    *
+    * σ² is the sample variance off exact decimal moments (the metric
+    * must be INTEGRAL — the [[permutationTest]] rule — so Σx/Σx² are
+    * exact and both engines feed the closed form identical inputs),
+    * quantized to the 1e-6 grid BEFORE the closed form; z constants are
+    * the shared literals. The unit of analysis is the OBSERVATION (one
+    * row = one sample); pre-aggregate per user first when the design
+    * randomizes users. Groups with fewer than 2 observations emit a null
+    * variance and null n. `n_per_arm` stays on the 1e-6 double grid
+    * (planning readout, not an allocator).
+    *
+    * Shape: one map-side-combined keyed aggregation (groups-sized) + a
+    * |mdes|-wide literal explode. Output: (groups…, variance, mde,
+    * n_per_arm), one row per group × MDE. */
   def powerAnalysisMean(
       df: DataFrame,
       groupCols: Seq[String],

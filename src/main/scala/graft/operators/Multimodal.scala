@@ -339,9 +339,10 @@ object Multimodal {
     * the pure-integer pseudo-signal `((id·31 + k·7) mod 65536) − 32768`,
     * little-endian two's-complement encoded — closed-form, so a SQL
     * oracle can regenerate the sample VALUES without parsing bytes while
-    * the Spark side proves the real byte round-trip. Built entirely from
-    * codegen'd expressions (format_string/unhex — no UDF, no driver
-    * loop). */
+    * the Spark side proves the real byte round-trip. Delegates to the
+    * fused native [[graft.functions.SynthPcm16Expr]] kernel (codegen'd
+    * whole-array synthesis — no UDF, no driver loop, no per-sample HOF
+    * lambda). */
   def synthPcm16(ids: DataFrame, idCol: String, nSamples: Int): DataFrame = {
     require(nSamples >= 1, s"nSamples must be >= 1, got $nSamples")
     ids.withColumn("audio",

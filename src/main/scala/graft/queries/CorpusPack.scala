@@ -177,8 +177,8 @@ object CorpusPack extends QueryPack {
     // REAL audio-leg gate (r14): raw PCM16LE needs no codec library, so
     // this leg runs actual byte decode — synthesize s16le audio per doc
     // from a closed-form integer signal (real little-endian bytes via
-    // format_string/unhex), then extract RMS / peak / zero-crossings /
-    // frame-energy activity as pure nested higher-order expressions.
+    // the fused native SynthPcm16Expr kernel), then extract RMS / peak /
+    // zero-crossings / frame-energy activity via the fused PcmStatsExpr.
     // The oracle regenerates the sample VALUES from the same formula
     // (never parsing bytes), so the hash gate proves the byte round-trip
     // AND the feature math: one drifted two's-complement bit, sign rule,

@@ -1753,7 +1753,7 @@ object StatsPack extends QueryPack {
     // starts (15-min grid, 1-hour span).
     "q287_sliding_window" -> """
       WITH offs AS (SELECT unnest(range(0, 4)) AS o),
-      w AS (SELECT to_timestamp((epoch_us(ts) // 900000000 - o.o) * 900) AS bucket,
+      w AS (SELECT CAST(to_timestamp((epoch_us(ts) // 900000000 - o.o) * 900) AS TIMESTAMP) AS bucket,
                    event_type
             FROM events CROSS JOIN offs o
             WHERE ts IS NOT NULL)

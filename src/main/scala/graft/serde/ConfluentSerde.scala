@@ -251,7 +251,10 @@ object ConfluentAvroFrames {
         else if (data(0) != ConfluentWire.Magic) dead("bad_magic")
         else {
           val id = ByteBuffer.wrap(data, 1, 4).getInt
-          val writer = try Some(registry.getSchemaById(id)) catch { case _: GraftError => None }
+          // Only the registry's AUTHORITATIVE not-found routes to the DLQ;
+          // transient failures (5xx, transport) throw GraftError and fail
+          // the task for retry — a registry blip must not quarantine rows.
+          val writer = try Some(registry.getSchemaById(id)) catch { case _: SchemaNotFound => None }
           writer match {
             case None => dead("unknown_schema_id")
             case Some(w) =>

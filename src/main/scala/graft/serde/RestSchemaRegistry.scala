@@ -113,7 +113,8 @@ final class RestSchemaRegistry(
       if (node == null || !node.isTextual)
         throw GraftError(s"schema registry: no 'schema' in fetch response: $body")
       new Schema.Parser().parse(node.asText())
-    } else throw GraftError(s"schema registry: no schema for id $id: HTTP $code: $body")
+    } else if (code == 404) throw SchemaNotFound(id) // authoritative: routable
+    else throw GraftError(s"schema registry: schema fetch failed (id $id): HTTP $code: $body")
   }
 }
 

@@ -14,6 +14,13 @@ import scala.jdk.CollectionConverters._
   */
 trait SchemaRegistry {
   def getOrRegisterId(subject: String, schema: Schema): Int
+
+  /** Fetch the writer schema for `id`. Throws [[SchemaNotFound]] when the
+    * registry AUTHORITATIVELY does not know the id (a 404 / missing entry
+    * — row-level corruption, routable to a DLQ) and [[graft.core.GraftError]]
+    * for everything else (transport failures, 5xx, malformed responses —
+    * infrastructure faults that must FAIL the task for retry, never
+    * quarantine healthy rows). */
   def getSchemaById(id: Int): Schema
 
   /** Fail unless `reader` can read data written with schema `id`
@@ -30,6 +37,12 @@ trait SchemaRegistry {
     }
   }
 }
+
+/** The registry's authoritative "no such schema id" answer — distinct from
+  * [[graft.core.GraftError]] so deserializers can dead-letter the ROW
+  * without swallowing transient registry outages (which stay fatal). */
+final case class SchemaNotFound(id: Int)
+    extends RuntimeException(s"schema registry: no schema for id $id")
 
 /** In-memory registry with the same id semantics as a Confluent deployment
   * (monotonic ids, one id per distinct schema per subject). Doubles as the
@@ -51,7 +64,7 @@ final class InMemorySchemaRegistry extends SchemaRegistry {
     })
 
   def getSchemaById(id: Int): Schema =
-    Option(byId.get(id)).getOrElse(throw GraftError(s"no schema registered under id $id"))
+    Option(byId.get(id)).getOrElse(throw SchemaNotFound(id))
 }
 
 /** Memoizing decorator — the reference memoizes both directions of the
@@ -61,13 +74,21 @@ final class InMemorySchemaRegistry extends SchemaRegistry {
 final class CachingSchemaRegistry(underlying: SchemaRegistry) extends SchemaRegistry {
   private val ids = new ConcurrentHashMap[(String, Schema), Int]()
   private val schemas = new ConcurrentHashMap[Int, Schema]()
+  private val notFound = ConcurrentHashMap.newKeySet[Int]()
   private val verified = ConcurrentHashMap.newKeySet[(Int, Schema)]()
 
   def getOrRegisterId(subject: String, schema: Schema): Int =
     ids.computeIfAbsent((subject, schema), _ => underlying.getOrRegisterId(subject, schema))
 
-  def getSchemaById(id: Int): Schema =
-    schemas.computeIfAbsent(id, underlying.getSchemaById)
+  /** Memoizes the authoritative [[SchemaNotFound]] too — a corrupt id that
+    * repeats across a partition's rows must not re-hit the registry per
+    * row. Transient failures (GraftError) are NOT cached: they propagate
+    * and the retried task starts clean. */
+  def getSchemaById(id: Int): Schema = {
+    if (notFound.contains(id)) throw SchemaNotFound(id)
+    try schemas.computeIfAbsent(id, underlying.getSchemaById)
+    catch { case e: SchemaNotFound => notFound.add(id); throw e }
+  }
 
   override def verifySchema(id: Int, reader: Schema): Unit =
     if (!verified.contains((id, reader))) {

@@ -414,6 +414,30 @@ class MultimodalSpec extends AnyFunSuite {
     assert(once.toSeq == bytes.toSeq, "lattice values must be fixed points")
   }
 
+  test("mulaw encode: mid-segment boundaries match the canonical seg_uend table") {
+    import graft.functions.MulawKernel
+    // Mid-segment PCM values that a wrong segment table (0x3F<<seg
+    // instead of (0x40<<seg)-1) pushes into the next-higher segment:
+    // canonical codes computed from Sun g711.c's algorithm.
+    val vectors = Seq(
+      376 -> 0xE0, 379 -> 0xE0, 880 -> 0xD0, 891 -> 0xD0,
+      500 -> 0xDC, 4000 -> 0xAF, -376 -> 0x60, -5000 -> 0x2B)
+    for ((pcm, code) <- vectors)
+      assert((MulawKernel.encodeSample(pcm) & 0xff) == code,
+        s"pcm $pcm must encode to 0x${code.toHexString}")
+    // Exhaustive quantization bound: the wrong table produced errors up
+    // to ~16000; canonical µ-law never exceeds half the widest step.
+    var worst = 0
+    var pcm = -32768
+    while (pcm < 32768) {
+      val d = MulawKernel.decodeSample(MulawKernel.encodeSample(pcm))
+      val clip = math.max(-32635, math.min(32635, pcm))
+      worst = math.max(worst, math.abs(d - clip))
+      pcm += 1
+    }
+    assert(worst == 515, s"max quantization error must be 515, got $worst")
+  }
+
   test("alaw encode: canonical vectors, exact encode∘decode identity over all 256 codes") {
     import graft.functions.AlawKernel
     assert((AlawKernel.encodeSample(0) & 0xff) == 0xD5)

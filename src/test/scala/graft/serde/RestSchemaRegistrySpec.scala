@@ -39,13 +39,34 @@ class RestSchemaRegistrySpec extends AnyFunSuite {
     }
   }
 
-  test("getSchemaById round-trips the registered schema; unknown id fails loudly") {
+  test("getSchemaById round-trips the registered schema; 404 is SchemaNotFound, 5xx stays fatal") {
     withServer() { server =>
       val reg = new RestSchemaRegistry(server.url)
       val id = reg.getOrRegisterId("users-value", userV1)
       assert(reg.getSchemaById(id) == userV1)
-      val e = intercept[GraftError](reg.getSchemaById(99))
-      assert(e.getMessage.contains("99"))
+      // authoritative not-found: the routable (DLQ-able) error type
+      val nf = intercept[SchemaNotFound](reg.getSchemaById(99))
+      assert(nf.getMessage.contains("99"))
+      // registry outage: NOT routable — must surface as a fatal GraftError
+      server.failFetches.set(true)
+      val e = intercept[GraftError](reg.getSchemaById(id + 1000))
+      assert(e.getMessage.contains("500"))
+      server.failFetches.set(false)
+    }
+  }
+
+  test("caching decorator memoizes not-found but never a transient failure") {
+    withServer() { server =>
+      val reg = new CachingSchemaRegistry(new RestSchemaRegistry(server.url))
+      intercept[SchemaNotFound](reg.getSchemaById(77))
+      val f0 = server.fetchCalls.get()
+      intercept[SchemaNotFound](reg.getSchemaById(77))
+      assert(server.fetchCalls.get() == f0, "repeat not-found must not re-hit the wire")
+      server.failFetches.set(true)
+      intercept[GraftError](reg.getSchemaById(78))
+      server.failFetches.set(false)
+      // the outage was not cached: the retry reaches the recovered registry
+      intercept[SchemaNotFound](reg.getSchemaById(78))
     }
   }
 

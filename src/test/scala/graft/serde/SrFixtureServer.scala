@@ -35,6 +35,11 @@ final class SrFixtureServer(requiredAuth: Option[String] = None) {
   val registerCalls = new AtomicInteger(0)
   val fetchCalls = new AtomicInteger(0)
 
+  /** When set, `GET /schemas/ids/{id}` answers 500 — simulates a registry
+    * outage so specs can pin that transient failure stays FATAL (GraftError)
+    * rather than dead-lettering like an authoritative 404. */
+  val failFetches = new java.util.concurrent.atomic.AtomicBoolean(false)
+
   def port: Int = server.getAddress.getPort
   def url: String = s"http://127.0.0.1:$port"
 
@@ -95,11 +100,15 @@ final class SrFixtureServer(requiredAuth: Option[String] = None) {
     if (!authorized(ex)) respond(ex, 401, """{"error_code":401,"message":"unauthorized"}""")
     else {
       fetchCalls.incrementAndGet()
-      val id = ex.getRequestURI.getPath.stripPrefix("/schemas/ids/").toInt
-      Option(byId.get(id)) match {
-        case Some(schema) =>
-          respond(ex, 200, mapper.writeValueAsString(mapper.createObjectNode().put("schema", schema)))
-        case None => notFound(ex, s"Schema $id not found")
+      if (failFetches.get())
+        respond(ex, 500, """{"error_code":50001,"message":"store down"}""")
+      else {
+        val id = ex.getRequestURI.getPath.stripPrefix("/schemas/ids/").toInt
+        Option(byId.get(id)) match {
+          case Some(schema) =>
+            respond(ex, 200, mapper.writeValueAsString(mapper.createObjectNode().put("schema", schema)))
+          case None => notFound(ex, s"Schema $id not found")
+        }
       }
     }
   })

@@ -23,7 +23,10 @@ def kind_of(s: pd.Series) -> str:
     if pd.api.types.is_bool_dtype(s): return "bool"
     if pd.api.types.is_float_dtype(s): return "float"
     if pd.api.types.is_integer_dtype(s): return "int"
-    if pd.api.types.is_datetime64_any_dtype(s): return "datetime"
+    if pd.api.types.is_datetime64_any_dtype(s):
+        # tz-aware vs naive is a SCHEMA fail at the driver (it hashes the
+        # arrow type, which carries the tz) -- do not collapse the two.
+        return "datetime[tz]" if getattr(s.dt, "tz", None) is not None else "datetime"
     return "object"
 
 def canon(df: pd.DataFrame):
