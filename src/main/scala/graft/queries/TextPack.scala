@@ -401,6 +401,69 @@ object TextPack extends QueryPack {
         docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", profiles, topN = 20)
         .orderBy(col("doc_id"))
     }),
+
+    // Unigram-LM tokenization on REAL text under a fixed vocabulary whose
+    // optimum has a closed form: the pieces th/er/on are built from six
+    // DISTINCT letters, so no two piece occurrences can ever overlap and
+    // the Viterbi optimum provably takes every occurrence (each replaces
+    // two -3.0 chars with one -5.5 piece: +0.5 per occurrence). The
+    // oracle counts occurrences per original word with replace() — any
+    // DP drift (wrong transition, wrong tie-break, missed occurrence)
+    // changes score or token count and fails the hash. Pure per-row
+    // fused-kernel projection: zero shuffle at any scale.
+    "q294_unigram_tokens" -> ((s, d) => {
+      val chars = (('a' to 'z') ++ ('0' to '9')).map(c => c.toString -> -3000000L)
+      val v = graft.operators.UnigramLm.fixedVocab(
+        chars ++ Seq("th" -> -5500000L, "er" -> -5500000L, "on" -> -5500000L),
+        maxPieceLen = 2)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.operators.UnigramLm.docStats(coalesce(col("text"), lit("")), v).as("__s"))
+        .select(col("doc_id"),
+          element_at(col("__s"), 1).as("score_micro"),
+          element_at(col("__s"), 2).as("n_tokens"),
+          element_at(col("__s"), 3).as("n_words"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Unigram-LM Viterbi on PLANTED bounded words (length 4..8 over
+    // {a,b}, characters = the binary expansion of doc_id) under a vocab
+    // with genuinely OVERLAPPING pieces (ab/ba/aa/bab/aab) — the DP-hard
+    // case q294's closed form can't reach. The oracle unrolls the exact
+    // DP positionally in SQL: per position, the three candidate
+    // transitions, max score then min tokens — the engine's tie-break
+    // rule replayed literally.
+    "q295_unigram_viterbi" -> ((s, d) => {
+      val v = graft.operators.UnigramLm.fixedVocab(
+        Seq("a" -> -3000000L, "b" -> -3100000L,
+          "ab" -> -5500000L, "ba" -> -5400000L, "aa" -> -5900000L,
+          "bab" -> -8000000L, "aab" -> -8100000L),
+        maxPieceLen = 3)
+      val w8 = concat((0 to 7).map(k =>
+        expr(s"CASE WHEN (doc_id div ${1 << k}) % 2 = 0 THEN 'a' ELSE 'b' END")): _*)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr("4 + CAST(doc_id % 5 AS INT)").as("__n"), w8.as("__w8"))
+        .select(col("doc_id"), expr("substring(__w8, 1, __n)").as("__w"))
+        .select(col("doc_id"),
+          graft.operators.UnigramLm.docStats(col("__w"), v).as("__s"))
+        .select(col("doc_id"),
+          element_at(col("__s"), 1).as("score_micro"),
+          element_at(col("__s"), 2).as("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Unigram-LM SEED vocabulary (training stage 1) on real text: every
+    // substring of length <= 3 of every corpus word, weighted by word
+    // count; top-40 by (count desc, piece asc) with single characters
+    // forced in. Exact integer counts, total-order tie-break — the
+    // oracle re-derives the table with its own substring explode.
+    "q296_unigram_seed" -> ((s, d) => {
+      graft.operators.UnigramLm.seedVocab(
+          Tables.documents(s, d).select(col("text")), "text",
+          maxPieceLen = 3, seedSize = 40)
+        .orderBy(col("piece"))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -1205,5 +1268,132 @@ object TextPack extends QueryPack {
                      CAST(CAST(concat('0x', substring(md5(t), 1, 15)) AS BIGINT) % 64 AS INTEGER) + 1])),
                  (acc, x) -> acc + x)))), 4) AS quality_score
       FROM toks CROSS JOIN wv ORDER BY doc_id""",
+
+    // q294: per-word piece occurrences have a closed form (see the query
+    // comment): score = -3e6*len + 5e5*occ, tokens = len - occ, occ
+    // counted per piece on the ORIGINAL word via replace().
+    "q294_unigram_tokens" -> """
+      WITH w AS (
+        SELECT doc_id, w FROM (
+          SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS w
+          FROM documents)
+        WHERE len(w) > 0),
+      o AS (SELECT doc_id,
+              CAST(sum(-3000000 * len(w)
+                + 500000 * ((len(w) - len(replace(w, 'th', ''))) // 2
+                          + (len(w) - len(replace(w, 'er', ''))) // 2
+                          + (len(w) - len(replace(w, 'on', ''))) // 2)) AS BIGINT) AS score_micro,
+              CAST(sum(len(w) - ((len(w) - len(replace(w, 'th', ''))) // 2
+                               + (len(w) - len(replace(w, 'er', ''))) // 2
+                               + (len(w) - len(replace(w, 'on', ''))) // 2)) AS BIGINT) AS n_tokens,
+              CAST(count(*) AS BIGINT) AS n_words
+            FROM w GROUP BY doc_id)
+      SELECT d.doc_id,
+             CAST(coalesce(o.score_micro, 0) AS BIGINT) AS score_micro,
+             CAST(coalesce(o.n_tokens, 0) AS BIGINT) AS n_tokens,
+             CAST(coalesce(o.n_words, 0) AS BIGINT) AS n_words
+      FROM documents d LEFT JOIN o USING (doc_id)
+      ORDER BY d.doc_id""",
+
+    // q295: the Viterbi DP unrolled positionally (max score, then min
+    // tokens per prefix) over the planted 4..8-char binary-expansion
+    // words -- generated mechanically, verified against an independent
+    // reference DP over all 500 sf0.001 ids.
+    "q295_unigram_viterbi" -> """
+      WITH base AS (
+        SELECT doc_id,
+               substr(c0||c1||c2||c3||c4||c5||c6||c7, 1, CAST(4 + doc_id % 5 AS INTEGER)) AS w
+        FROM (SELECT doc_id,
+                CASE WHEN (doc_id // 1) % 2 = 0 THEN 'a' ELSE 'b' END AS c0,
+                CASE WHEN (doc_id // 2) % 2 = 0 THEN 'a' ELSE 'b' END AS c1,
+                CASE WHEN (doc_id // 4) % 2 = 0 THEN 'a' ELSE 'b' END AS c2,
+                CASE WHEN (doc_id // 8) % 2 = 0 THEN 'a' ELSE 'b' END AS c3,
+                CASE WHEN (doc_id // 16) % 2 = 0 THEN 'a' ELSE 'b' END AS c4,
+                CASE WHEN (doc_id // 32) % 2 = 0 THEN 'a' ELSE 'b' END AS c5,
+                CASE WHEN (doc_id // 64) % 2 = 0 THEN 'a' ELSE 'b' END AS c6,
+                CASE WHEN (doc_id // 128) % 2 = 0 THEN 'a' ELSE 'b' END AS c7
+              FROM documents)),
+      d0 AS (SELECT doc_id, w, CAST(0 AS BIGINT) AS s0, 0 AS t0 FROM base),
+      e1 AS (SELECT *,
+         s0 + (CASE substr(w,1,1) WHEN 'a' THEN -3000000 WHEN 'b' THEN -3100000 END) AS a1
+       FROM d0),
+      f1 AS (SELECT *, coalesce(a1,-900000000000000) AS s1 FROM e1),
+      d1 AS (SELECT *, CASE WHEN a1 = s1 THEN t0 + 1 ELSE 9999 END AS t1 FROM f1),
+      e2 AS (SELECT *,
+         s1 + (CASE substr(w,2,1) WHEN 'a' THEN -3000000 WHEN 'b' THEN -3100000 END) AS a2,
+         s0 + (CASE substr(w,1,2) WHEN 'ab' THEN -5500000 WHEN 'ba' THEN -5400000 WHEN 'aa' THEN -5900000 END) AS b2
+       FROM d1),
+      f2 AS (SELECT *, greatest(coalesce(a2,-900000000000000), coalesce(b2,-900000000000000)) AS s2 FROM e2),
+      d2 AS (SELECT *, least(CASE WHEN a2 = s2 THEN t1 + 1 ELSE 9999 END, CASE WHEN b2 = s2 THEN t0 + 1 ELSE 9999 END) AS t2 FROM f2),
+      e3 AS (SELECT *,
+         s2 + (CASE substr(w,3,1) WHEN 'a' THEN -3000000 WHEN 'b' THEN -3100000 END) AS a3,
+         s1 + (CASE substr(w,2,2) WHEN 'ab' THEN -5500000 WHEN 'ba' THEN -5400000 WHEN 'aa' THEN -5900000 END) AS b3,
+         s0 + (CASE substr(w,1,3) WHEN 'bab' THEN -8000000 WHEN 'aab' THEN -8100000 END) AS c3
+       FROM d2),
+      f3 AS (SELECT *, greatest(coalesce(a3,-900000000000000), coalesce(b3,-900000000000000), coalesce(c3,-900000000000000)) AS s3 FROM e3),
+      d3 AS (SELECT *, least(CASE WHEN a3 = s3 THEN t2 + 1 ELSE 9999 END, CASE WHEN b3 = s3 THEN t1 + 1 ELSE 9999 END, CASE WHEN c3 = s3 THEN t0 + 1 ELSE 9999 END) AS t3 FROM f3),
+      e4 AS (SELECT *,
+         s3 + (CASE substr(w,4,1) WHEN 'a' THEN -3000000 WHEN 'b' THEN -3100000 END) AS a4,
+         s2 + (CASE substr(w,3,2) WHEN 'ab' THEN -5500000 WHEN 'ba' THEN -5400000 WHEN 'aa' THEN -5900000 END) AS b4,
+         s1 + (CASE substr(w,2,3) WHEN 'bab' THEN -8000000 WHEN 'aab' THEN -8100000 END) AS c4
+       FROM d3),
+      f4 AS (SELECT *, greatest(coalesce(a4,-900000000000000), coalesce(b4,-900000000000000), coalesce(c4,-900000000000000)) AS s4 FROM e4),
+      d4 AS (SELECT *, least(CASE WHEN a4 = s4 THEN t3 + 1 ELSE 9999 END, CASE WHEN b4 = s4 THEN t2 + 1 ELSE 9999 END, CASE WHEN c4 = s4 THEN t1 + 1 ELSE 9999 END) AS t4 FROM f4),
+      e5 AS (SELECT *,
+         s4 + (CASE substr(w,5,1) WHEN 'a' THEN -3000000 WHEN 'b' THEN -3100000 END) AS a5,
+         s3 + (CASE substr(w,4,2) WHEN 'ab' THEN -5500000 WHEN 'ba' THEN -5400000 WHEN 'aa' THEN -5900000 END) AS b5,
+         s2 + (CASE substr(w,3,3) WHEN 'bab' THEN -8000000 WHEN 'aab' THEN -8100000 END) AS c5
+       FROM d4),
+      f5 AS (SELECT *, greatest(coalesce(a5,-900000000000000), coalesce(b5,-900000000000000), coalesce(c5,-900000000000000)) AS s5 FROM e5),
+      d5 AS (SELECT *, least(CASE WHEN a5 = s5 THEN t4 + 1 ELSE 9999 END, CASE WHEN b5 = s5 THEN t3 + 1 ELSE 9999 END, CASE WHEN c5 = s5 THEN t2 + 1 ELSE 9999 END) AS t5 FROM f5),
+      e6 AS (SELECT *,
+         s5 + (CASE substr(w,6,1) WHEN 'a' THEN -3000000 WHEN 'b' THEN -3100000 END) AS a6,
+         s4 + (CASE substr(w,5,2) WHEN 'ab' THEN -5500000 WHEN 'ba' THEN -5400000 WHEN 'aa' THEN -5900000 END) AS b6,
+         s3 + (CASE substr(w,4,3) WHEN 'bab' THEN -8000000 WHEN 'aab' THEN -8100000 END) AS c6
+       FROM d5),
+      f6 AS (SELECT *, greatest(coalesce(a6,-900000000000000), coalesce(b6,-900000000000000), coalesce(c6,-900000000000000)) AS s6 FROM e6),
+      d6 AS (SELECT *, least(CASE WHEN a6 = s6 THEN t5 + 1 ELSE 9999 END, CASE WHEN b6 = s6 THEN t4 + 1 ELSE 9999 END, CASE WHEN c6 = s6 THEN t3 + 1 ELSE 9999 END) AS t6 FROM f6),
+      e7 AS (SELECT *,
+         s6 + (CASE substr(w,7,1) WHEN 'a' THEN -3000000 WHEN 'b' THEN -3100000 END) AS a7,
+         s5 + (CASE substr(w,6,2) WHEN 'ab' THEN -5500000 WHEN 'ba' THEN -5400000 WHEN 'aa' THEN -5900000 END) AS b7,
+         s4 + (CASE substr(w,5,3) WHEN 'bab' THEN -8000000 WHEN 'aab' THEN -8100000 END) AS c7
+       FROM d6),
+      f7 AS (SELECT *, greatest(coalesce(a7,-900000000000000), coalesce(b7,-900000000000000), coalesce(c7,-900000000000000)) AS s7 FROM e7),
+      d7 AS (SELECT *, least(CASE WHEN a7 = s7 THEN t6 + 1 ELSE 9999 END, CASE WHEN b7 = s7 THEN t5 + 1 ELSE 9999 END, CASE WHEN c7 = s7 THEN t4 + 1 ELSE 9999 END) AS t7 FROM f7),
+      e8 AS (SELECT *,
+         s7 + (CASE substr(w,8,1) WHEN 'a' THEN -3000000 WHEN 'b' THEN -3100000 END) AS a8,
+         s6 + (CASE substr(w,7,2) WHEN 'ab' THEN -5500000 WHEN 'ba' THEN -5400000 WHEN 'aa' THEN -5900000 END) AS b8,
+         s5 + (CASE substr(w,6,3) WHEN 'bab' THEN -8000000 WHEN 'aab' THEN -8100000 END) AS c8
+       FROM d7),
+      f8 AS (SELECT *, greatest(coalesce(a8,-900000000000000), coalesce(b8,-900000000000000), coalesce(c8,-900000000000000)) AS s8 FROM e8),
+      d8 AS (SELECT *, least(CASE WHEN a8 = s8 THEN t7 + 1 ELSE 9999 END, CASE WHEN b8 = s8 THEN t6 + 1 ELSE 9999 END, CASE WHEN c8 = s8 THEN t5 + 1 ELSE 9999 END) AS t8 FROM f8),
+      fin AS (SELECT doc_id, len(w) AS n,
+        CASE len(w) WHEN 4 THEN s4 WHEN 5 THEN s5 WHEN 6 THEN s6 WHEN 7 THEN s7 ELSE s8 END AS sc,
+        CASE len(w) WHEN 4 THEN t4 WHEN 5 THEN t5 WHEN 6 THEN t6 WHEN 7 THEN t7 ELSE t8 END AS tk
+        FROM d8)
+      SELECT doc_id, CAST(sc AS BIGINT) AS score_micro, CAST(tk AS BIGINT) AS n_tokens
+      FROM fin ORDER BY doc_id""",
+
+    // q296: the seed-vocabulary substring explode re-derived: positions x
+    // lengths <= 3, exact integer counts, (count desc, piece asc) top-40
+    // with single chars forced in.
+    "q296_unigram_seed" -> """
+      WITH words AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS wc FROM (
+          SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS w
+          FROM documents)
+        WHERE len(w) > 0 GROUP BY w),
+      pos AS (SELECT w, wc, unnest(generate_series(1, len(w))) AS p FROM words),
+      sub AS (SELECT substring(w, CAST(p AS INTEGER), CAST(l AS INTEGER)) AS piece, wc
+              FROM (SELECT w, wc, p,
+                      unnest(generate_series(1, least(3, len(w) - p + 1))) AS l
+                    FROM pos)),
+      counts AS (SELECT piece, CAST(sum(wc) AS BIGINT) AS piece_count FROM sub GROUP BY piece),
+      top AS (SELECT piece, piece_count FROM counts
+              ORDER BY piece_count DESC, piece LIMIT 40),
+      chars AS (SELECT piece, piece_count FROM counts WHERE len(piece) = 1)
+      SELECT piece, CAST(max(piece_count) AS BIGINT) AS piece_count
+      FROM (SELECT * FROM top UNION ALL SELECT * FROM chars)
+      GROUP BY piece ORDER BY piece""",
   )
 }

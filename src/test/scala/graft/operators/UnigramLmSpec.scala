@@ -1,0 +1,137 @@
+package graft.operators
+
+import graft.TestSpark
+import graft.functions.{UnigramKernel, UnigramVocab}
+import graft.operators.UnigramLm.UnigramPiece
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class UnigramLmSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  // ---- brute-force reference: enumerate EVERY segmentation ----------
+
+  /** All segmentations of w into vocabulary pieces (single chars fall
+    * back to unkLp), best by (max score, min tokens) — the spec oracle
+    * the DP must match exactly. */
+  private def bruteBest(w: String, vocab: Map[String, Long], unkLp: Long, maxLen: Int): (Long, Int) = {
+    def segs(i: Int): Seq[(Long, Int)] =
+      if (i == w.length) Seq((0L, 0))
+      else (1 to math.min(maxLen, w.length - i)).flatMap { len =>
+        val piece = w.substring(i, i + len)
+        val lp =
+          if (vocab.contains(piece)) Some(vocab(piece))
+          else if (len == 1) Some(unkLp)
+          else None
+        lp.toSeq.flatMap(l => segs(i + len).map { case (s, t) => (s + l, t + 1) })
+      }
+    segs(0).minBy { case (s, t) => (-s, t) }
+  }
+
+  private val overlappy = Map( // pieces that chain and overlap: the DP-hard case
+    "a" -> -3000000L, "b" -> -3100000L,
+    "ab" -> -5500000L, "ba" -> -5400000L, "aa" -> -5900000L,
+    "bab" -> -8000000L, "aab" -> -8100000L)
+
+  test("viterbi matches brute-force enumeration over every a/b string up to length 10") {
+    val vocab = UnigramVocab(overlappy.toSeq, unkLp = -30000000L, maxPieceLen = 3)
+    for (n <- 1 to 10; bits <- 0 until (1 << n)) {
+      val w = (0 until n).map(k => if (((bits >> k) & 1) == 0) 'a' else 'b').mkString
+      val Array(score, toks, words) = UnigramKernel.docStats(w, vocab)
+      val (bs, bt) = bruteBest(w, overlappy, -30000000L, 3)
+      assert(words == 1L)
+      assert(score == bs && toks == bt.toLong, s"word '$w': dp ($score,$toks) vs brute ($bs,$bt)")
+      // the emitted tokens re-sum to the optimal score and count
+      val pieces = UnigramKernel.docTokens(w, vocab)
+      assert(pieces.mkString == w, "tokens must concatenate back to the word")
+      assert(pieces.length == toks)
+      assert(pieces.map(p => overlappy.getOrElse(p, -30000000L)).sum == score)
+    }
+  }
+
+  test("unknown characters segment at unkLp — coverage never fails") {
+    val vocab = UnigramVocab(Seq("a" -> -1000000L), unkLp = -9000000L, maxPieceLen = 2)
+    val Array(score, toks, words) = UnigramKernel.docStats("axa", vocab)
+    assert(words == 1L && toks == 3L && score == -1000000L * 2 - 9000000L)
+  }
+
+  test("docStats splits words exactly like split(lower(text), '[^a-z0-9]+')") {
+    val vocab = UnigramVocab(Seq("a" -> -1000000L), unkLp = -2000000L, maxPieceLen = 2)
+    assert(UnigramKernel.words("Hello, World! 42").toSeq == Seq("hello", "world", "42"))
+    assert(UnigramKernel.words("  ").isEmpty && UnigramKernel.words("").isEmpty)
+    val Array(s, t, w) = UnigramKernel.docStats("A a; a.", vocab)
+    assert(w == 3L && t == 3L && s == -3000000L)
+    // null-free empty doc: zero everything
+    assert(UnigramKernel.docStats("", vocab).toSeq == Seq(0L, 0L, 0L))
+  }
+
+  test("hard-EM learns the repeated piece and the two trainers agree piece-for-piece") {
+    import spark.implicits._
+    val docs = Seq(
+      "abab abab baba", "abab abab abab", "baba abab", "ab ba abab",
+      "abba abab abab", "abab").toDF("text")
+    val local = UnigramLm.trainUnigramLocal(docs, "text",
+      vocabSize = 8, maxPieceLen = 3, seedSize = 16, emIters = 3)
+    val dist = UnigramLm.trainUnigram(docs, "text",
+      vocabSize = 8, maxPieceLen = 3, seedSize = 16, emIters = 3)
+    assert(local == dist, s"trainers diverged:\nlocal=$local\ndist=$dist")
+    // 'ab' dominates the corpus: it must survive pruning with a top count
+    val byPiece = local.map(p => p.piece -> p).toMap
+    assert(byPiece.contains("ab"), s"expected 'ab' in $local")
+    assert(local.head.count == local.map(_.count).max)
+    // single chars always survive (coverage)
+    assert(byPiece.contains("a") && byPiece.contains("b"))
+    // scores are the quantized log of count/total — spot-check the head
+    val total = local.map(_.count).sum
+    assert(local.head.lp_micro == UnigramLm.lpMicro(local.head.count, total))
+  }
+
+  test("token counting under a trained vocab is consistent between stats and tokens") {
+    import spark.implicits._
+    val docs = Seq("the cat sat", "the bat", "catcat the").toDF("text")
+    val pieces = UnigramLm.trainUnigramLocal(docs, "text",
+      vocabSize = 12, maxPieceLen = 3, seedSize = 32, emIters = 2)
+    val v = UnigramLm.vocab(pieces, maxPieceLen = 3)
+    val out = docs.select(
+      UnigramLm.tokenCount(col("text"), v).as("n"),
+      size(UnigramLm.tokens(col("text"), v)).as("m")).collect()
+    out.foreach(r => assert(r.getLong(0) == r.getInt(1).toLong))
+  }
+
+  test("seedVocab: top-K by (count desc, piece asc) with single chars forced in") {
+    import spark.implicits._
+    val docs = Seq("aab aab", "ab b").toDF("text")
+    // words: aab x2, ab x1, b x1
+    // substrings (len<=2): aab: a(2x2),a? -> per word aab: a,a,b,aa,ab ; ab: a,b,ab ; b: b
+    val seed = UnigramLm.seedVocab(docs, "text", maxPieceLen = 2, seedSize = 2)
+      .orderBy(desc("piece_count"), asc("piece")).collect()
+    val asMap = seed.map(r => r.getString(0) -> r.getLong(1)).toMap
+    // counts: a: 2*2(from aab) + 1(ab) = 5; b: 2+1+1 = 4; aa: 2; ab: 2+1 = 3
+    assert(asMap("a") == 5L && asMap("b") == 4L)
+    // top-2 is {a, b}; chars already in — seed is exactly the union
+    assert(asMap.keySet == Set("a", "b"))
+    val bigger = UnigramLm.seedVocab(docs, "text", maxPieceLen = 2, seedSize = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bigger == Map("a" -> 5L, "b" -> 4L, "ab" -> 3L))
+  }
+
+  test("fixedVocab application plan is a pure projection — no shuffle, no UDF") {
+    import spark.implicits._
+    val v = UnigramLm.fixedVocab(Seq("th" -> -5500000L, "t" -> -3000000L, "h" -> -3000000L),
+      maxPieceLen = 2)
+    // parallelize (not a local relation) so the projection can't constant-fold away
+    val df = spark.createDataset(
+        spark.sparkContext.parallelize(Seq("the that", "tooth"), 2)).toDF("text")
+      .select(UnigramLm.docStats(col("text"), v).as("s"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"application must not shuffle:\n$plan")
+    assert(df.queryExecution.executedPlan.toString.contains("Project"))
+  }
+
+  test("quantized lp grid: floor onto 1e-6, exact for round ratios") {
+    assert(UnigramLm.lpMicro(1, 1) == 0L)
+    // ln(1/2) = -0.6931471805599453 -> floored micro
+    assert(UnigramLm.lpMicro(1, 2) == -693148L)
+    assert(UnigramLm.lpMicro(1, 2) == math.floor(math.log(0.5) * 1e6).toLong)
+  }
+}
