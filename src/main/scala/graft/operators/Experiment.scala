@@ -563,13 +563,31 @@ object Experiment {
       loserCol: String,
       iterations: Int = 8
   ): DataFrame = {
-    require(iterations >= 1 && iterations <= 32,
-      s"iterations=$iterations out of [1,32] — deep fixed-point chains should checkpoint")
-    val q6 = (c: Column) => graft.functions.Quantize.scaledFloor(c, 6)
     val d = duels.select(col(winnerCol).cast("string").as("__w"),
       col(loserCol).cast("string").as("__l"))
     // corpus → pairs-bounded exact counts; everything below is items/pairs-sized
     val ordered = d.groupBy(col("__w"), col("__l")).agg(count(lit(1)).as("__n"))
+    bradleyTerryFromCounts(ordered, "__w", "__l", "__n", iterations)
+  }
+
+  /** The MM fixed point of [[bradleyTerry]] starting FROM an exact
+    * (winner, loser, n) pair-count table — the composition point for
+    * streams: [[graft.streaming.StreamingBradleyTerry]] folds duels into
+    * pairs-bounded per-shard counts, and the drained merge feeds this
+    * shared fit, so drain ≡ batch by construction (counts are
+    * associative; everything downstream is the same expressions). */
+  def bradleyTerryFromCounts(
+      counts: DataFrame,
+      winnerCol: String,
+      loserCol: String,
+      nCol: String,
+      iterations: Int = 8
+  ): DataFrame = {
+    require(iterations >= 1 && iterations <= 32,
+      s"iterations=$iterations out of [1,32] — deep fixed-point chains should checkpoint")
+    val q6 = (c: Column) => graft.functions.Quantize.scaledFloor(c, 6)
+    val ordered = counts.select(col(winnerCol).cast("string").as("__w"),
+        col(loserCol).cast("string").as("__l"), col(nCol).cast("long").as("__n"))
       .localCheckpoint(true)
     val items = ordered.select(col("__w").as("item"))
       .union(ordered.select(col("__l").as("item"))).distinct()
