@@ -62,6 +62,57 @@ private[graft] object PackShared {
     s.table(sinkName)
   }
 
+  /** [[drainStaged]] with a GUARANTEED-LAST final batch — the harness for
+    * event-time window drains (q298): append-mode windowed aggregations
+    * only emit a window once the watermark passes its end, so the drain
+    * plants a far-future sentinel event to flush every real window, and
+    * that sentinel MUST be the last micro-batch (a sentinel processed
+    * early would advance the watermark and drop every later real event
+    * as late). FileStreamSource orders new files by modification time,
+    * so the sentinel file's mtime is explicitly bumped past every staged
+    * file — deterministic ordering with no sleeps. */
+  def drainStagedLast(s: SparkSession, staged: DataFrame, lastBatch: DataFrame,
+      sinkName: String, label: String)(fold: DataFrame => DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val stage = java.nio.file.Files
+      .createTempDirectory(s"graft-$label").toString
+    try {
+      staged.repartition(3).write.mode("overwrite").parquet(stage)
+      // stage the final batch aside, then move its part file in with an
+      // mtime strictly after every real file's
+      val side = java.nio.file.Files.createTempDirectory(s"graft-$label-last").toString
+      try {
+        lastBatch.coalesce(1).write.mode("overwrite").parquet(side)
+        val part = java.nio.file.Files.list(java.nio.file.Paths.get(side))
+          .filter(p => p.getFileName.toString.startsWith("part-") &&
+            p.getFileName.toString.endsWith(".parquet"))
+          .findFirst().orElseThrow(() => graft.core.GraftError(s"$label: no sentinel part file"))
+        val dest = java.nio.file.Paths.get(stage, "z-last-batch.parquet")
+        java.nio.file.Files.move(part, dest)
+        import scala.jdk.CollectionConverters._
+        val maxReal = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+          .iterator().asScala.filter(_ != dest)
+          .map(p => java.nio.file.Files.getLastModifiedTime(p).toMillis)
+          .maxOption.getOrElse(0L)
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(maxReal + 10000L))
+      } finally deleteRecursively(side)
+      try s.catalog.dropTempView(sinkName) catch { case _: Exception => () }
+      val in = s.readStream.schema(staged.schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+      withShufflePartitions(s, 4) {
+        val q = fold(in)
+          .writeStream.format("memory").queryName(sinkName).outputMode("append")
+          .trigger(Trigger.AvailableNow()).start()
+        try {
+          if (!q.awaitTermination(300000))
+            throw graft.core.GraftError(s"$label drain timed out")
+        } finally q.stop()
+      }
+    } finally deleteRecursively(stage)
+    s.table(sinkName)
+  }
+
   /** Best-effort recursive delete of a staging directory (never throws:
     * cleanup must not mask the drain's own result/failure). */
   def deleteRecursively(dir: String): Unit =

@@ -271,6 +271,33 @@ object StatsPack extends QueryPack {
           watermarkDelay = "1 minute", col("event_type"))
         .orderBy(col("bucket"), col("event_type"))),
 
+    // q287's operator driven through a REAL readStream drain (4 micro-
+    // batches): append-mode windowed aggregation only emits a window
+    // once the watermark passes its end, so a far-future sentinel event
+    // (guaranteed-last file via drainStagedLast's mtime bump) flushes
+    // every real window, and the full-span watermark delay keeps the
+    // unordered staged files from dropping anything as late. Gated
+    // against q287's exact oracle: micro-batch boundaries must not
+    // change window assignment.
+    "q298_sliding_drain" -> ((s, d) => {
+      val ev = Tables.events(s, d).filter(col("ts").isNotNull)
+        .select(col("ts"), col("event_type"))
+      // 1-row scalar collect (the justified class): the sentinel must
+      // clear every real window end under the full-span delay
+      val maxTs = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+      val sentinelTs = java.sql.Timestamp.from(
+        maxTs.toInstant.plus(java.time.Duration.ofDays(3651)))
+      val sentinel = s.createDataFrame(
+        java.util.Arrays.asList(
+          org.apache.spark.sql.Row(sentinelTs, "__sentinel")), ev.schema)
+      PackShared.drainStagedLast(s, ev, sentinel, "q298_sink", "q298-events")(
+          in => graft.streaming.Streams.slidingCounts(
+            in, "ts", windowLength = "1 hour", slide = "15 minutes",
+            watermarkDelay = "3650 days", col("event_type")))
+        .filter(col("event_type") =!= "__sentinel")
+        .orderBy(col("bucket"), col("event_type"))
+    }),
+
     // Session-window counts (the count-only sibling of q42's full
     // session aggregate, closing the last audit-flagged public def):
     // same native session_window operator batch-mode, 3-hour gap,
@@ -1752,6 +1779,18 @@ object StatsPack extends QueryPack {
     // q287: each event expanded to its 4 epoch-aligned sliding-window
     // starts (15-min grid, 1-hour span).
     "q287_sliding_window" -> """
+      WITH offs AS (SELECT unnest(range(0, 4)) AS o),
+      w AS (SELECT CAST(to_timestamp((epoch_us(ts) // 900000000 - o.o) * 900) AS TIMESTAMP) AS bucket,
+                   event_type
+            FROM events CROSS JOIN offs o
+            WHERE ts IS NOT NULL)
+      SELECT bucket, event_type, count(*) AS cnt
+      FROM w GROUP BY bucket, event_type
+      ORDER BY bucket, event_type""",
+
+    // q298: the drained form answers to q287's exact oracle — the drain
+    // must produce the batch window assignment.
+    "q298_sliding_drain" -> """
       WITH offs AS (SELECT unnest(range(0, 4)) AS o),
       w AS (SELECT CAST(to_timestamp((epoch_us(ts) // 900000000 - o.o) * 900) AS TIMESTAMP) AS bucket,
                    event_type
