@@ -49,6 +49,48 @@ object PcmKernel {
     Array(n.toLong, ss, peak, zc, nFrames, active)
   }
 
+  /** Deterministic integer-ratio LINEAR resample of an s16le stream —
+    * the 8 kHz-telephony → 16 kHz-model-rate step of a speech pipeline.
+    * Output sample j sits at rational input position j·from/to:
+    * `idx = floorDiv(j·from, to)`, `frac = j·from mod to`,
+    * `out[j] = s[idx] + floorDiv((s[idx+1] − s[idx])·frac, to)` —
+    * pure integer math (floorDiv, exact in any engine), linear
+    * interpolation floored onto the PCM lattice, so the SQL oracle
+    * regenerates every output sample from the closed-form input signal.
+    * `n_out = floorDiv((n_in−1)·to, from) + 1` — the output covers
+    * exactly the input span (last output lands ON the last input when
+    * the ratio divides evenly). Odd trailing bytes stay out, mirroring
+    * [[stats]]. Empty/one-sample inputs pass through unchanged. */
+  def resample(bytes: Array[Byte], fromRate: Int, toRate: Int): Array[Byte] = {
+    val nIn = bytes.length / 2
+    if (nIn <= 1 || fromRate == toRate) {
+      val out = new Array[Byte](nIn * 2)
+      System.arraycopy(bytes, 0, out, 0, nIn * 2)
+      return out
+    }
+    def sample(k: Int): Int = {
+      val raw = (bytes(2 * k) & 0xff) | ((bytes(2 * k + 1) & 0xff) << 8)
+      if (raw < 32768) raw else raw - 65536
+    }
+    val nOut = (Math.floorDiv((nIn - 1).toLong * toRate, fromRate) + 1L).toInt
+    val out = new Array[Byte](nOut * 2)
+    var j = 0
+    while (j < nOut) {
+      val num = j.toLong * fromRate
+      val idx = Math.floorDiv(num, toRate).toInt
+      val frac = Math.floorMod(num, toRate.toLong)
+      val s0 = sample(idx)
+      val v =
+        if (frac == 0L) s0
+        else s0 + Math.floorDiv((sample(idx + 1) - s0).toLong * frac, toRate.toLong).toInt
+      val u = if (v < 0) v + 65536 else v
+      out(2 * j) = (u & 0xff).toByte
+      out(2 * j + 1) = ((u >> 8) & 0xff).toByte
+      j += 1
+    }
+    out
+  }
+
   /** s16le bytes of the closed-form pseudo-signal
     * `((id·31 + k·7) mod 65536) − 32768` — the [[SynthPcm16Expr]] body;
     * bit-identical to the format_string/unhex formulation it replaces. */
@@ -112,6 +154,34 @@ case class SynthPcm16Expr(child: Expression, nSamples: Int) extends UnaryExpress
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, id =>
       s"${ev.value} = graft.functions.PcmKernel.synth($id, $nSamples);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Deterministic integer-ratio linear sample-rate conversion: s16le
+  * binary → s16le binary at `toRate`. One fused kernel call per row
+  * inside WholeStageCodegen — the zero-shuffle per-row projection shape
+  * (stream-safe, embarrassingly parallel at 100 TB). */
+case class ResamplePcm16Expr(child: Expression, fromRate: Int, toRate: Int)
+  extends UnaryExpression {
+  require(fromRate >= 1 && toRate >= 1,
+    s"rates must be positive, got $fromRate -> $toRate")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_resample_pcm16 requires a binary argument, got ${t.sql}")
+  }
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_resample_pcm16"
+
+  override def nullSafeEval(b: Any): Any =
+    PcmKernel.resample(b.asInstanceOf[Array[Byte]], fromRate, toRate)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b =>
+      s"${ev.value} = graft.functions.PcmKernel.resample($b, $fromRate, $toRate);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -434,4 +504,8 @@ object PcmExpressions {
   /** Synth s16le bytes from a long id column. */
   def synthPcm16(id: Column, nSamples: Int): Column =
     GraftShims.column(SynthPcm16Expr(GraftShims.expression(id), nSamples))
+
+  /** Integer-ratio linear resample of s16le bytes (e.g. 8000 → 16000). */
+  def resamplePcm16(bin: Column, fromRate: Int, toRate: Int): Column =
+    GraftShims.column(ResamplePcm16Expr(GraftShims.expression(bin), fromRate, toRate))
 }

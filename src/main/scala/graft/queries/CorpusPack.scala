@@ -194,6 +194,30 @@ object CorpusPack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Sample-rate conversion (r15): the 8 kHz-telephony → model-rate
+    // step between the G.711 legs and a usable speech pipeline. The
+    // 8000→12000 ratio (3/2) exercises both exact-hit (frac=0) and
+    // interpolated (frac=4000/8000) output positions; the oracle
+    // regenerates every RESAMPLED sample from the closed-form input
+    // signal with the same integer floor-div interpolation, then
+    // aggregates exact stats — one drifted index, fraction, or floor
+    // fails the hash. Pure per-row fused-kernel projection chain
+    // (synth → resample → stats): zero shuffle at any scale.
+    "q299_resample_pcm16" -> ((s, d) => {
+      val pcm = Multimodal.synthPcm16(
+        Tables.documents(s, d).select(col("doc_id")), "doc_id", nSamples = 480)
+      pcm.select(col("doc_id"),
+          graft.functions.PcmExpressions.pcmStats(
+            graft.functions.PcmExpressions.resamplePcm16(col("audio"), 8000, 12000),
+            160, 1L << 36).as("__st"))
+        .select(col("doc_id"),
+          element_at(col("__st"), 1).as("n_samples"),
+          element_at(col("__st"), 2).as("sum_sq"),
+          element_at(col("__st"), 3).as("peak"),
+          element_at(col("__st"), 4).as("zero_crossings"))
+        .orderBy(col("doc_id"))
+    }),
+
     // The WAV container layer end-to-end (r14): synth PCM → canonical
     // RIFF wrap → parse (magic/fmt verification, body extraction) →
     // features off the EXTRACTED body, with every 43rd container
@@ -1694,6 +1718,38 @@ object CorpusPack extends QueryPack {
                / 1000000.0 AS activity
       FROM agg a JOIN fa f ON f.doc_id = a.doc_id
       ORDER BY a.doc_id""",
+
+    // q299: every resampled sample regenerated from the closed form —
+    // idx/frac by exact integer division, interpolation with the
+    // explicit floor-div idiom (DuckDB's // truncates toward zero, so
+    // floor is spelled out), stats aggregated like q282's.
+    "q299_resample_pcm16" -> """
+      WITH js AS (SELECT unnest(range(0, 719)) AS j),
+      r AS (SELECT d.doc_id, js.j,
+              (js.j * 8000) // 12000 AS idx,
+              (js.j * 8000) % 12000 AS frac
+            FROM documents d CROSS JOIN js),
+      v AS (SELECT doc_id, j, frac,
+              ((doc_id * 31 + idx * 7) % 65536) - 32768 AS s0,
+              ((doc_id * 31 + (idx + 1) * 7) % 65536) - 32768 AS s1
+            FROM r),
+      o AS (SELECT doc_id, j,
+              CASE WHEN frac = 0 THEN s0
+                   ELSE s0 + (((s1 - s0) * frac)
+                     - ((((s1 - s0) * frac) % 12000 + 12000) % 12000)) // 12000
+              END AS rv
+            FROM v),
+      lagd AS (SELECT doc_id, j, rv,
+                      LAG(rv) OVER (PARTITION BY doc_id ORDER BY j) AS pv
+               FROM o)
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_samples,
+             CAST(sum(rv * rv) AS BIGINT) AS sum_sq,
+             CAST(max(abs(rv)) AS BIGINT) AS peak,
+             CAST(count(*) FILTER (WHERE pv IS NOT NULL AND
+               ((pv >= 0 AND rv < 0) OR (pv < 0 AND rv >= 0)))
+               AS BIGINT) AS zero_crossings
+      FROM lagd GROUP BY doc_id ORDER BY doc_id""",
 
     // q283: clean rows = the q282 formulas + header constants; corrupt
     // rows = the flag with nulls (and the operator's documented

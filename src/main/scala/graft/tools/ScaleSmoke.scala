@@ -1151,6 +1151,21 @@ object ScaleSmoke {
       m.audioFeatures(both, "pcm", frameSamples = 160, energyThreshold = 1L << 36)
     }
 
+    // r15: the full telephony ingest chain — G.711 µ-law decode →
+    // 8 kHz→16 kHz resample → WAV wrap → parse → features — five fused
+    // kernel passes per row, zero shuffle; superlinear growth would mean
+    // an intermediate byte array is being recomputed per stage.
+    time("g711 -> resample -> wav chain") {
+      val m = graft.operators.Multimodal
+      val codes = m.synthMulaw(docs.select(col("doc_id")), "doc_id", nSamples = 480)
+      val pcm8k = m.decodeMulaw(codes, "mulaw")
+      val pcm16k = pcm8k.select(col("doc_id"),
+        graft.functions.PcmExpressions.resamplePcm16(col("pcm"), 8000, 16000).as("audio"))
+      val wav = m.wrapWav(pcm16k, "audio", sampleRate = 16000)
+      m.audioFeatures(m.parseWav(wav, "wav"), "pcm",
+        frameSamples = 160, energyThreshold = 1L << 36)
+    }
+
     // r14: Bradley-Terry over corpus-scaled duels — the up-front duel
     // count aggregation is the only corpus-shaped stage; 8 MM iterations
     // ride the items-bounded majority frame and must be mult-invariant.

@@ -438,6 +438,44 @@ class MultimodalSpec extends AnyFunSuite {
     assert(worst == 515, s"max quantization error must be 515, got $worst")
   }
 
+  test("resample: identity, 1:2 midpoints, 2:1 decimation, span endpoints, floor on negatives") {
+    import graft.functions.PcmKernel
+    def toBytes(ss: Seq[Int]): Array[Byte] = {
+      val out = new Array[Byte](ss.length * 2)
+      ss.zipWithIndex.foreach { case (s, i) =>
+        val u = if (s < 0) s + 65536 else s
+        out(2 * i) = (u & 0xff).toByte; out(2 * i + 1) = ((u >> 8) & 0xff).toByte
+      }
+      out
+    }
+    def toSamples(b: Array[Byte]): Seq[Int] = (0 until b.length / 2).map { i =>
+      val raw = (b(2 * i) & 0xff) | ((b(2 * i + 1) & 0xff) << 8)
+      if (raw < 32768) raw else raw - 65536
+    }
+    val in = Seq(0, 100, -100, 32000, -32768, 7)
+    // same rate: bit-identical passthrough
+    assert(toSamples(PcmKernel.resample(toBytes(in), 8000, 8000)) == in)
+    // 1:2 upsample: originals at even j, floor-midpoints at odd j
+    val up = toSamples(PcmKernel.resample(toBytes(in), 8000, 16000))
+    assert(up.length == (in.length - 1) * 2 + 1)
+    in.zipWithIndex.foreach { case (s, k) => assert(up(2 * k) == s) }
+    assert(up(1) == 50 && up(3) == 0 && up(5) == 15950)
+    // floor (not truncate) on a negative midpoint: (100 + -100-100... ) -100->-32768 mid
+    assert(up(7) == Math.floorDiv(32000 + -32768, 2), s"got ${up(7)}")
+    // 2:1 decimation: every other sample exactly
+    val down = toSamples(PcmKernel.resample(toBytes(in), 16000, 8000))
+    assert(down == Seq(0, -100, -32768))
+    // non-trivial 3/2 ratio: endpoints ON input samples, length formula
+    val r32 = toSamples(PcmKernel.resample(toBytes(in), 8000, 12000))
+    assert(r32.length == Math.floorDiv((in.length - 1) * 12000, 8000) + 1)
+    assert(r32.head == in.head)
+    // j where j*8000 % 12000 == 0 hit inputs exactly: j=3 -> input 2
+    assert(r32(3) == in(2))
+    // empty and single-sample inputs pass through
+    assert(PcmKernel.resample(Array.empty[Byte], 8000, 16000).isEmpty)
+    assert(toSamples(PcmKernel.resample(toBytes(Seq(42)), 8000, 16000)) == Seq(42))
+  }
+
   test("alaw encode: canonical vectors, exact encode∘decode identity over all 256 codes") {
     import graft.functions.AlawKernel
     assert((AlawKernel.encodeSample(0) & 0xff) == 0xD5)
