@@ -269,4 +269,30 @@ object UnigramLm {
   /** Token count under the vocabulary (0 for empty/no-word documents). */
   def tokenCount(text: Column, v: UnigramVocab): Column =
     element_at(UnigramExpressions.unigramDocStats(text, v), 2)
+
+  /** Vocabulary-TRANSFER data card — the domain-shift readout when an
+    * existing vocabulary is applied to a NEW corpus (the first question
+    * before reusing a tokenizer across domains): per group, document /
+    * word / token / score totals and tokens-per-word (fragmentation —
+    * it rises sharply on out-of-domain text as the DP falls back to
+    * chars). Every total is an exact long sum off the fused
+    * [[docStats]] kernel; the ratio is ONE division of two exact sums
+    * (the [[Tokenizer.compressionCard]] rule). One scan + one
+    * |groups|-row aggregation — zero extra shuffles at any scale. */
+  def transferCard(
+      df: DataFrame, textCol: String, groupCol: String, v: UnigramVocab): DataFrame =
+    df.select(col(groupCol),
+        docStats(coalesce(col(textCol), lit("")), v).as("__s"))
+      .select(col(groupCol),
+        element_at(col("__s"), 1).as("__score"),
+        element_at(col("__s"), 2).as("__tok"),
+        element_at(col("__s"), 3).as("__w"))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__w")).as("total_words"),
+        sum(col("__tok")).as("total_tokens"),
+        sum(col("__score")).as("total_score_micro"),
+        round(sum(col("__tok")).cast("double")
+          / sum(col("__w")).cast("double"), 4).as("tokens_per_word"))
 }

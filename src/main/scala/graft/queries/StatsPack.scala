@@ -308,6 +308,30 @@ object StatsPack extends QueryPack {
           gap = "3 hours", watermarkDelay = "1 minute", col("user_id"))
         .orderBy(col("user_id"), col("session_start"))),
 
+    // q293's operator driven through a REAL readStream drain — a sharper
+    // test of the sentinel-flush pattern than q298's fixed sliding grid,
+    // because session windows MERGE in state as unordered micro-batches
+    // land (an early event can fuse two open sessions); the final merged
+    // sessions must still equal the batch gaps-and-islands oracle. Same
+    // full-span watermark delay + guaranteed-last far-future sentinel
+    // (user -1, filtered from the output).
+    "q300_session_drain" -> ((s, d) => {
+      val ev = Tables.events(s, d).filter(col("ts").isNotNull)
+        .select(col("ts"), col("user_id"))
+      val maxTs = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+      val sentinelTs = java.sql.Timestamp.from(
+        maxTs.toInstant.plus(java.time.Duration.ofDays(3651)))
+      val sentinel = s.createDataFrame(
+        java.util.Arrays.asList(
+          org.apache.spark.sql.Row(sentinelTs, -1L)), ev.schema)
+      PackShared.drainStagedLast(s, ev, sentinel, "q300_sink", "q300-events")(
+          in => graft.streaming.Streams.sessionCounts(
+            in, "ts", gap = "3 hours", watermarkDelay = "3650 days",
+            col("user_id")))
+        .filter(col("user_id") =!= -1L)
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
     // Hill tail index of document lengths: the heavy-tail exponent that
     // decides whether mean-based curation budgets are even meaningful
     // (α ≤ 1: no mean; α ≤ 2: no variance). One k-bounded TakeOrdered +
@@ -1802,6 +1826,24 @@ object StatsPack extends QueryPack {
 
     // q293: q42's gaps-and-islands, counts only.
     "q293_session_counts" -> """
+      WITH g AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                      OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL 3 HOUR
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events WHERE ts IS NOT NULL),
+      i AS (
+        SELECT user_id, ts,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM g)
+      SELECT min(ts) AS session_start, user_id, CAST(count(*) AS BIGINT) AS cnt
+      FROM i GROUP BY user_id, sid ORDER BY user_id, session_start""",
+
+    // q300: the drained form answers to q293's exact oracle — session
+    // merging across micro-batches must converge on the batch islands.
+    "q300_session_drain" -> """
       WITH g AS (
         SELECT user_id, ts,
                CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL

@@ -453,6 +453,43 @@ object TextPack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Vocabulary-transfer card: q294's fixed vocabulary applied per
+    // language group — doc/word/token/score totals (exact long sums off
+    // the fused kernel) and the tokens-per-word fragmentation ratio (one
+    // division of two exact sums). The oracle re-derives every total
+    // from the q294 closed form grouped by lang.
+    "q301_unigram_transfer_card" -> ((s, d) => {
+      val chars = (('a' to 'z') ++ ('0' to '9')).map(c => c.toString -> -3000000L)
+      val v = graft.operators.UnigramLm.fixedVocab(
+        chars ++ Seq("th" -> -5500000L, "er" -> -5500000L, "on" -> -5500000L),
+        maxPieceLen = 2)
+      graft.operators.UnigramLm.transferCard(
+          Tables.documents(s, d).select(col("lang"), col("text")), "text", "lang", v)
+        .orderBy(col("lang"))
+    }),
+
+    // q301's card driven CONTINUOUSLY: documents drained through the
+    // per-shard O(1) moment fold (same fused docStats kernel row for
+    // row), max-epoch snapshots long-summed and finished with the batch
+    // card's one-division ratio — the readout must be bit-identical to
+    // the q294 closed form's global totals.
+    "q302_streaming_unigram" -> ((s, d) => {
+      import s.implicits._
+      val chars = (('a' to 'z') ++ ('0' to '9')).map(c => c.toString -> -3000000L)
+      val v = graft.operators.UnigramLm.fixedVocab(
+        chars ++ Seq("th" -> -5500000L, "er" -> -5500000L, "on" -> -5500000L),
+        maxPieceLen = 2)
+      val staged = Tables.documents(s, d).select(
+        pmod(col("doc_id"), lit(4)).cast("int").as("_1"),
+        col("doc_id").cast("long").as("_2"),
+        col("text").cast("string").as("_3"))
+      val snaps = PackShared.drainStaged(s, staged, "q302_sink", "q302-docs")(
+        in => graft.streaming.StreamingUnigramMonitor
+          .stats(in.as[(Int, Long, String)], v)
+          .toDF("shard", "epoch", "n_docs", "n_words", "n_tokens", "score_micro"))
+      graft.streaming.StreamingUnigramMonitor.readout(snaps)
+    }),
+
     // Unigram-LM SEED vocabulary (training stage 1) on real text: every
     // substring of length <= 3 of every corpus word, weighted by word
     // count; top-40 by (count desc, piece asc) with single characters
@@ -1373,6 +1410,57 @@ object TextPack extends QueryPack {
         FROM d8)
       SELECT doc_id, CAST(sc AS BIGINT) AS score_micro, CAST(tk AS BIGINT) AS n_tokens
       FROM fin ORDER BY doc_id""",
+
+    // q301: q294's per-word closed form grouped by lang; n_docs counted
+    // over ALL documents (wordless docs still sit in the card).
+    "q301_unigram_transfer_card" -> """
+      WITH w AS (
+        SELECT lang, w FROM (
+          SELECT lang, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS w
+          FROM documents)
+        WHERE len(w) > 0),
+      p AS (SELECT lang, len(w) AS n,
+              (len(w) - len(replace(w, 'th', ''))) // 2
+            + (len(w) - len(replace(w, 'er', ''))) // 2
+            + (len(w) - len(replace(w, 'on', ''))) // 2 AS occ
+            FROM w),
+      t AS (SELECT lang,
+              CAST(sum(-3000000 * n + 500000 * occ) AS BIGINT) AS total_score_micro,
+              CAST(sum(n - occ) AS BIGINT) AS total_tokens,
+              CAST(count(*) AS BIGINT) AS total_words
+            FROM p GROUP BY lang),
+      d AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY lang)
+      SELECT d.lang, d.n_docs,
+             CAST(coalesce(t.total_words, 0) AS BIGINT) AS total_words,
+             CAST(coalesce(t.total_tokens, 0) AS BIGINT) AS total_tokens,
+             CAST(coalesce(t.total_score_micro, 0) AS BIGINT) AS total_score_micro,
+             round(t.total_tokens * 1.0 / t.total_words, 4) AS tokens_per_word
+      FROM d LEFT JOIN t USING (lang)
+      ORDER BY d.lang""",
+
+    // q302: the q294 closed form's GLOBAL totals — the drained monitor's
+    // readout must land on them exactly.
+    "q302_streaming_unigram" -> """
+      WITH w AS (
+        SELECT w FROM (
+          SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS w
+          FROM documents)
+        WHERE len(w) > 0),
+      p AS (SELECT len(w) AS n,
+              (len(w) - len(replace(w, 'th', ''))) // 2
+            + (len(w) - len(replace(w, 'er', ''))) // 2
+            + (len(w) - len(replace(w, 'on', ''))) // 2 AS occ
+            FROM w),
+      t AS (SELECT
+              CAST(sum(-3000000 * n + 500000 * occ) AS BIGINT) AS total_score_micro,
+              CAST(sum(n - occ) AS BIGINT) AS total_tokens,
+              CAST(count(*) AS BIGINT) AS total_words
+            FROM p),
+      d AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+      SELECT d.n_docs, t.total_words, t.total_tokens, t.total_score_micro,
+             round(t.total_tokens * 1.0 / t.total_words, 4) AS tokens_per_word
+      FROM d, t""",
 
     // q296: the seed-vocabulary substring explode re-derived: positions x
     // lengths <= 3, exact integer counts, (count desc, piece asc) top-40
