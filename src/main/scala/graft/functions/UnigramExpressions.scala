@@ -112,6 +112,138 @@ object UnigramKernel {
     Array(score, tokens, nWords)
   }
 
+  /** One n-best candidate: exact score, token count, the rank KEY
+    * (piece lengths newest-first as digit chars — compared DESCENDING,
+    * so a longer final piece ranks first among score/token ties; keys
+    * are compared only among equal token counts, hence equal length,
+    * and two distinct segmentations of one word can never collide), and
+    * the (prevRank, len) backpointer. The induced order is a monotone
+    * prefix order (extending two candidates by the same piece preserves
+    * their relative rank), so keeping top-n per position is exact. */
+  private final case class NCand(score: Long, tokens: Int, key: String, prevRank: Int, len: Int)
+
+  private val candOrd: Ordering[NCand] = new Ordering[NCand] {
+    def compare(a: NCand, b: NCand): Int = {
+      val s = java.lang.Long.compare(b.score, a.score)
+      if (s != 0) s
+      else {
+        val t = Integer.compare(a.tokens, b.tokens)
+        if (t != 0) t else b.key.compareTo(a.key)
+      }
+    }
+  }
+
+  /** The full n-best DP table over ONE word: position i holds the top-n
+    * candidates for the length-i prefix, rank-ordered. */
+  private def nbestTable(w: String, vocab: UnigramVocab, n: Int): Array[Array[NCand]] = {
+    val table = new Array[Array[NCand]](w.length + 1)
+    table(0) = Array(NCand(0L, 0, "", -1, 0))
+    var i = 1
+    while (i <= w.length) {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[NCand]
+      val maxL = math.min(vocab.maxPieceLen, i)
+      var len = 1
+      while (len <= maxL) {
+        val lp =
+          if (len == 1) {
+            val single = vocab.lpOf(w, i - 1, i)
+            if (single == UnigramVocab.Missing) vocab.unkLp else single
+          } else vocab.lpOf(w, i - len, i)
+        if (lp != UnigramVocab.Missing) {
+          val prevs = table(i - len)
+          var r = 0
+          while (r < prevs.length) {
+            val p = prevs(r)
+            buf += NCand(p.score + lp, p.tokens + 1, ('0' + len).toChar.toString + p.key, r, len)
+            r += 1
+          }
+        }
+        len += 1
+      }
+      table(i) = buf.sorted(candOrd).take(n).toArray
+      i += 1
+    }
+    table
+  }
+
+  /** Rank-ordered n-best segmentations of ONE word (the input must
+    * normalize to a single word — the word-frequency-table shape; zero
+    * words → empty): flattened (score, tokens) pairs
+    * [s1, t1, s2, t2, …], fewer than n pairs when the word has fewer
+    * valid segmentations. */
+  def wordNBest(text: String, vocab: UnigramVocab, n: Int): Array[Long] = {
+    val ws = words(text)
+    if (ws.length != 1) return Array.empty[Long]
+    val table = nbestTable(ws(0), vocab, n)
+    val last = table(ws(0).length)
+    val out = new Array[Long](last.length * 2)
+    var k = 0
+    while (k < last.length) {
+      out(2 * k) = last(k).score; out(2 * k + 1) = last(k).tokens.toLong
+      k += 1
+    }
+    out
+  }
+
+  private def backtrace(
+      w: String, table: Array[Array[NCand]], rank: Int,
+      out: scala.collection.mutable.ArrayBuffer[String]): Unit = {
+    val start = out.length
+    var i = w.length
+    var r = rank
+    while (i > 0) {
+      val c = table(i)(r)
+      out += w.substring(i - c.len, i)
+      r = c.prevRank
+      i -= c.len
+    }
+    var a = start; var b = out.length - 1
+    while (a < b) { val t = out(a); out(a) = out(b); out(b) = t; a += 1; b -= 1 }
+  }
+
+  /** SAMPLED segmentation stats — the deterministic subword-
+    * regularization form (Kudo 2018 §3 with hash-based choice instead of
+    * temperature randomness, so the augmentation is replayable and
+    * oracle-checkable): per word, rank
+    * `floorMod(keyHash(word, salt), numCandidates)` of the word's n-best
+    * is used instead of rank 1. Returns (total_score, total_tokens,
+    * n_words); salt varieties give distinct augmented epochs. */
+  def docStatsSampled(text: String, vocab: UnigramVocab, n: Int, salt: String): Array[Long] = {
+    var score = 0L; var tokens = 0L; var nWords = 0L
+    val ws = words(text)
+    var wi = 0
+    while (wi < ws.length) {
+      val w = ws(wi)
+      val table = nbestTable(w, vocab, n)
+      val last = table(w.length)
+      val k = java.lang.Math.floorMod(
+        graft.streaming.StreamingSrmMonitor.keyHashLong(w, salt), last.length.toLong).toInt
+      score += last(k).score
+      tokens += last(k).tokens.toLong
+      nWords += 1L
+      wi += 1
+    }
+    Array(score, tokens, nWords)
+  }
+
+  /** The sampled segmentation's pieces, words flattened in order —
+    * [[docStatsSampled]]'s token-identity sibling. */
+  def docTokensSampled(text: String, vocab: UnigramVocab, n: Int, salt: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val ws = words(text)
+    var wi = 0
+    while (wi < ws.length) {
+      val w = ws(wi)
+      val table = nbestTable(w, vocab, n)
+      val k = java.lang.Math.floorMod(
+        graft.streaming.StreamingSrmMonitor.keyHashLong(w, salt),
+        table(w.length).length.toLong).toInt
+      backtrace(w, table, k, out)
+      wi += 1
+    }
+    out.toArray
+  }
+
   /** The pieces of the optimal segmentation, words flattened in order —
     * the [[graft.operators.Tokenizer.bpeTokens]] parity surface and the
     * E-step workhorse (explode + count = expected piece counts under
@@ -245,6 +377,67 @@ case class UnigramTokensExpr(child: Expression, vocab: UnigramVocab)
     copy(child = newChild)
 }
 
+/** Fused n-best segmentation of a WORD column: string → array<long> of
+  * flattened rank-ordered (score, tokens) pairs. */
+case class UnigramNBestExpr(child: Expression, vocab: UnigramVocab, n: Int)
+  extends UnaryExpression {
+  require(n >= 1 && n <= 64, s"nBest out of [1,64]: $n")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_unigram_nbest requires a string argument, got ${t.sql}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_unigram_nbest"
+
+  override def nullSafeEval(s: Any): Any =
+    ArrayData.toArrayData(
+      UnigramKernel.wordNBest(s.asInstanceOf[UTF8String].toString, vocab, n))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val vocabRef = ctx.addReferenceObj("unigramVocab", vocab, classOf[UnigramVocab].getName)
+    nullSafeCodeGen(ctx, ev, s =>
+      s"""${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+         |  graft.functions.UnigramKernel.wordNBest($s.toString(), $vocabRef, $n));""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Fused sampled-segmentation stats (deterministic subword
+  * regularization): string → array<long>(total_score, total_tokens,
+  * n_words) under per-word hash-chosen n-best ranks. */
+case class UnigramSampledStatsExpr(
+    child: Expression, vocab: UnigramVocab, n: Int, salt: String)
+  extends UnaryExpression {
+  require(n >= 1 && n <= 64, s"nBest out of [1,64]: $n")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_unigram_sampled_stats requires a string argument, got ${t.sql}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_unigram_sampled_stats"
+
+  override def nullSafeEval(s: Any): Any =
+    ArrayData.toArrayData(
+      UnigramKernel.docStatsSampled(s.asInstanceOf[UTF8String].toString, vocab, n, salt))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val vocabRef = ctx.addReferenceObj("unigramVocab", vocab, classOf[UnigramVocab].getName)
+    val saltRef = ctx.addReferenceObj("salt", salt, "java.lang.String")
+    nullSafeCodeGen(ctx, ev, s =>
+      s"""${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+         |  graft.functions.UnigramKernel.docStatsSampled($s.toString(), $vocabRef, $n, $saltRef));""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column wrappers for the unigram expressions. */
 object UnigramExpressions {
 
@@ -255,4 +448,13 @@ object UnigramExpressions {
   /** array<string> of the optimal segmentation's pieces. */
   def unigramTokens(text: Column, vocab: UnigramVocab): Column =
     GraftShims.column(UnigramTokensExpr(GraftShims.expression(text), vocab))
+
+  /** Flattened rank-ordered (score, tokens) pairs of a word's n-best. */
+  def unigramNBest(word: Column, vocab: UnigramVocab, n: Int): Column =
+    GraftShims.column(UnigramNBestExpr(GraftShims.expression(word), vocab, n))
+
+  /** array<long>(total_score, total_tokens, n_words) under hash-sampled
+    * per-word n-best ranks (deterministic subword regularization). */
+  def unigramSampledStats(text: Column, vocab: UnigramVocab, n: Int, salt: String): Column =
+    GraftShims.column(UnigramSampledStatsExpr(GraftShims.expression(text), vocab, n, salt))
 }

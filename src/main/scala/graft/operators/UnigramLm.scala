@@ -270,6 +270,27 @@ object UnigramLm {
   def tokenCount(text: Column, v: UnigramVocab): Column =
     element_at(UnigramExpressions.unigramDocStats(text, v), 2)
 
+  /** Rank-ordered n-best segmentations of a WORD column — flattened
+    * (score, tokens) pairs, rank order (score desc, tokens asc, longest-
+    * final-piece): the word-level table behind subword-regularization
+    * sampling and n-best E-steps. Input is the word-frequency-table
+    * shape (one word per row). */
+  def nBest(word: Column, v: UnigramVocab, n: Int): Column =
+    UnigramExpressions.unigramNBest(word, v, n)
+
+  /** SAMPLED-segmentation stats — deterministic subword regularization
+    * (Kudo 2018 §3): per word the hash-chosen rank
+    * `floorMod(keyHash(word, salt), numCandidates)` of its n-best is
+    * used, so one corpus yields distinct replayable augmented epochs per
+    * salt while staying oracle-checkable. array<long>(total_score_micro,
+    * total_tokens, n_words). */
+  def sampledStats(text: Column, v: UnigramVocab, n: Int, salt: String): Column =
+    UnigramExpressions.unigramSampledStats(text, v, n, salt)
+
+  /** Token count under the sampled segmentation. */
+  def sampledTokenCount(text: Column, v: UnigramVocab, n: Int, salt: String): Column =
+    element_at(UnigramExpressions.unigramSampledStats(text, v, n, salt), 2)
+
   /** Vocabulary-TRANSFER data card — the domain-shift readout when an
     * existing vocabulary is applied to a NEW corpus (the first question
     * before reusing a tokenizer across domains): per group, document /

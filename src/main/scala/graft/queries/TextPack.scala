@@ -490,6 +490,60 @@ object TextPack extends QueryPack {
       graft.streaming.StreamingUnigramMonitor.readout(snaps)
     }),
 
+    // N-BEST unigram segmentations (the machinery behind subword
+    // regularization and n-best E-steps) on the q295 planted words under
+    // the overlapping-piece vocab: top-3 (score, tokens) per word in the
+    // engine's total order (score desc, tokens asc, longest-final-piece).
+    // The oracle enumerates EVERY segmentation with a recursive CTE and
+    // ranks by the same order — a drifted candidate, cap, or tie-break
+    // anywhere in the n-best DP fails the hash.
+    "q303_unigram_nbest" -> ((s, d) => {
+      val v = graft.operators.UnigramLm.fixedVocab(
+        Seq("a" -> -3000000L, "b" -> -3100000L,
+          "ab" -> -5500000L, "ba" -> -5400000L, "aa" -> -5900000L,
+          "bab" -> -8000000L, "aab" -> -8100000L),
+        maxPieceLen = 3)
+      val w8 = concat((0 to 7).map(k =>
+        expr(s"CASE WHEN (doc_id div ${1 << k}) % 2 = 0 THEN 'a' ELSE 'b' END")): _*)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr("4 + CAST(doc_id % 5 AS INT)").as("__n"), w8.as("__w8"))
+        .select(col("doc_id"),
+          graft.operators.UnigramLm.nBest(expr("substring(__w8, 1, __n)"), v, 3).as("__nb"))
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(0, size(__nb) div 2 - 1),
+            |  i -> struct(CAST(i + 1 AS BIGINT) AS rank,
+            |              __nb[CAST(2 * i AS INT)] AS score_micro,
+            |              __nb[CAST(2 * i + 1 AS INT)] AS n_tokens))""".stripMargin)).as("__r"))
+        .select(col("doc_id"), col("__r.rank").as("rank"),
+          col("__r.score_micro").as("score_micro"), col("__r.n_tokens").as("n_tokens"))
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+
+    // SAMPLED segmentation (deterministic subword regularization): per
+    // planted word, the hash-chosen rank of its 3-best replaces rank 1 —
+    // the replayable augmentation epoch. The oracle enumerates, ranks,
+    // and picks the SAME rank via the shared md5 60-bit keyHash grid.
+    "q304_unigram_sampled" -> ((s, d) => {
+      val v = graft.operators.UnigramLm.fixedVocab(
+        Seq("a" -> -3000000L, "b" -> -3100000L,
+          "ab" -> -5500000L, "ba" -> -5400000L, "aa" -> -5900000L,
+          "bab" -> -8000000L, "aab" -> -8100000L),
+        maxPieceLen = 3)
+      val w8 = concat((0 to 7).map(k =>
+        expr(s"CASE WHEN (doc_id div ${1 << k}) % 2 = 0 THEN 'a' ELSE 'b' END")): _*)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr("4 + CAST(doc_id % 5 AS INT)").as("__n"), w8.as("__w8"))
+        .select(col("doc_id"),
+          graft.operators.UnigramLm.sampledStats(
+            expr("substring(__w8, 1, __n)"), v, n = 3, salt = "aug1").as("__s"))
+        .select(col("doc_id"),
+          element_at(col("__s"), 1).as("score_micro"),
+          element_at(col("__s"), 2).as("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Unigram-LM SEED vocabulary (training stage 1) on real text: every
     // substring of length <= 3 of every corpus word, weighted by word
     // count; top-40 by (count desc, piece asc) with single characters
@@ -1461,6 +1515,111 @@ object TextPack extends QueryPack {
       SELECT d.n_docs, t.total_words, t.total_tokens, t.total_score_micro,
              round(t.total_tokens * 1.0 / t.total_words, 4) AS tokens_per_word
       FROM d, t""",
+
+    // q303: EVERY segmentation enumerated by a recursive CTE (lengths
+    // 1..3 with piece-existence constraints), ranked by the engine's
+    // total order (score desc, tokens asc, reversed-length-string desc =
+    // longest final piece first), top-3 -- generated and verified against
+    // an independent reference enumerator over all 500 ids.
+    "q303_unigram_nbest" -> """
+      WITH RECURSIVE base AS (
+        SELECT doc_id,
+               substr(c0||c1||c2||c3||c4||c5||c6||c7, 1, CAST(4 + doc_id % 5 AS INTEGER)) AS w
+        FROM (SELECT doc_id,
+                CASE WHEN (doc_id // 1) % 2 = 0 THEN 'a' ELSE 'b' END AS c0,
+                CASE WHEN (doc_id // 2) % 2 = 0 THEN 'a' ELSE 'b' END AS c1,
+                CASE WHEN (doc_id // 4) % 2 = 0 THEN 'a' ELSE 'b' END AS c2,
+                CASE WHEN (doc_id // 8) % 2 = 0 THEN 'a' ELSE 'b' END AS c3,
+                CASE WHEN (doc_id // 16) % 2 = 0 THEN 'a' ELSE 'b' END AS c4,
+                CASE WHEN (doc_id // 32) % 2 = 0 THEN 'a' ELSE 'b' END AS c5,
+                CASE WHEN (doc_id // 64) % 2 = 0 THEN 'a' ELSE 'b' END AS c6,
+                CASE WHEN (doc_id // 128) % 2 = 0 THEN 'a' ELSE 'b' END AS c7
+              FROM documents)),
+      paths AS (
+        SELECT doc_id, w, 0 AS pos, CAST(0 AS BIGINT) AS score, 0 AS tk, '' AS lenstr
+        FROM base
+        UNION ALL
+        SELECT p.doc_id, p.w, p.pos + lens.l,
+               p.score + CASE lens.l
+                 WHEN 1 THEN CASE substr(p.w, p.pos + 1, 1)
+                               WHEN 'a' THEN -3000000 WHEN 'b' THEN -3100000 END
+                 WHEN 2 THEN CASE substr(p.w, p.pos + 1, 2)
+                               WHEN 'ab' THEN -5500000 WHEN 'ba' THEN -5400000
+                               WHEN 'aa' THEN -5900000 END
+                 WHEN 3 THEN CASE substr(p.w, p.pos + 1, 3)
+                               WHEN 'bab' THEN -8000000 WHEN 'aab' THEN -8100000 END
+               END,
+               p.tk + 1, p.lenstr || CAST(lens.l AS VARCHAR)
+        FROM paths p, (VALUES (1), (2), (3)) AS lens(l)
+        WHERE p.pos + lens.l <= len(p.w)
+          AND CASE lens.l
+                WHEN 1 THEN substr(p.w, p.pos + 1, 1) IN ('a', 'b')
+                WHEN 2 THEN substr(p.w, p.pos + 1, 2) IN ('ab', 'ba', 'aa')
+                WHEN 3 THEN substr(p.w, p.pos + 1, 3) IN ('bab', 'aab')
+              END),
+      done AS (SELECT doc_id, score, tk, reverse(lenstr) AS key
+               FROM paths WHERE pos = len(w)),
+      ranked AS (SELECT doc_id, score, tk,
+                        row_number() OVER (PARTITION BY doc_id
+                          ORDER BY score DESC, tk, key DESC) AS rnk
+                 FROM done)
+      SELECT doc_id, CAST(rnk AS BIGINT) AS rank, CAST(score AS BIGINT) AS score_micro,
+             CAST(tk AS BIGINT) AS n_tokens
+      FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rank""",
+
+    // q304: the same enumeration, picking the hash-chosen rank via the
+    // shared md5 60-bit keyHash grid (salt 'aug1', modulo the capped
+    // candidate count) -- the deterministic-augmentation contract.
+    "q304_unigram_sampled" -> """
+      WITH RECURSIVE base AS (
+        SELECT doc_id,
+               substr(c0||c1||c2||c3||c4||c5||c6||c7, 1, CAST(4 + doc_id % 5 AS INTEGER)) AS w
+        FROM (SELECT doc_id,
+                CASE WHEN (doc_id // 1) % 2 = 0 THEN 'a' ELSE 'b' END AS c0,
+                CASE WHEN (doc_id // 2) % 2 = 0 THEN 'a' ELSE 'b' END AS c1,
+                CASE WHEN (doc_id // 4) % 2 = 0 THEN 'a' ELSE 'b' END AS c2,
+                CASE WHEN (doc_id // 8) % 2 = 0 THEN 'a' ELSE 'b' END AS c3,
+                CASE WHEN (doc_id // 16) % 2 = 0 THEN 'a' ELSE 'b' END AS c4,
+                CASE WHEN (doc_id // 32) % 2 = 0 THEN 'a' ELSE 'b' END AS c5,
+                CASE WHEN (doc_id // 64) % 2 = 0 THEN 'a' ELSE 'b' END AS c6,
+                CASE WHEN (doc_id // 128) % 2 = 0 THEN 'a' ELSE 'b' END AS c7
+              FROM documents)),
+      paths AS (
+        SELECT doc_id, w, 0 AS pos, CAST(0 AS BIGINT) AS score, 0 AS tk, '' AS lenstr
+        FROM base
+        UNION ALL
+        SELECT p.doc_id, p.w, p.pos + lens.l,
+               p.score + CASE lens.l
+                 WHEN 1 THEN CASE substr(p.w, p.pos + 1, 1)
+                               WHEN 'a' THEN -3000000 WHEN 'b' THEN -3100000 END
+                 WHEN 2 THEN CASE substr(p.w, p.pos + 1, 2)
+                               WHEN 'ab' THEN -5500000 WHEN 'ba' THEN -5400000
+                               WHEN 'aa' THEN -5900000 END
+                 WHEN 3 THEN CASE substr(p.w, p.pos + 1, 3)
+                               WHEN 'bab' THEN -8000000 WHEN 'aab' THEN -8100000 END
+               END,
+               p.tk + 1, p.lenstr || CAST(lens.l AS VARCHAR)
+        FROM paths p, (VALUES (1), (2), (3)) AS lens(l)
+        WHERE p.pos + lens.l <= len(p.w)
+          AND CASE lens.l
+                WHEN 1 THEN substr(p.w, p.pos + 1, 1) IN ('a', 'b')
+                WHEN 2 THEN substr(p.w, p.pos + 1, 2) IN ('ab', 'ba', 'aa')
+                WHEN 3 THEN substr(p.w, p.pos + 1, 3) IN ('bab', 'aab')
+              END),
+      done AS (SELECT doc_id, score, tk, reverse(lenstr) AS key
+               FROM paths WHERE pos = len(w)),
+      ranked AS (SELECT doc_id, score, tk,
+                        row_number() OVER (PARTITION BY doc_id
+                          ORDER BY score DESC, tk, key DESC) AS rnk
+                 FROM done),
+      cnt AS (SELECT doc_id, least(3, count(*)) AS m FROM done GROUP BY doc_id),
+      pick AS (SELECT r.doc_id, r.score, r.tk
+               FROM ranked r
+               JOIN cnt c ON c.doc_id = r.doc_id
+               JOIN base b ON b.doc_id = r.doc_id
+               WHERE r.rnk = (CAST(concat('0x', substring(md5('aug1' || b.w), 1, 15)) AS BIGINT) % c.m) + 1)
+      SELECT doc_id, CAST(score AS BIGINT) AS score_micro, CAST(tk AS BIGINT) AS n_tokens
+      FROM pick ORDER BY doc_id""",
 
     // q296: the seed-vocabulary substring explode re-derived: positions x
     // lengths <= 3, exact integer counts, (count desc, piece asc) top-40

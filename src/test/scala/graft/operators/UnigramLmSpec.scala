@@ -128,6 +128,70 @@ class UnigramLmSpec extends AnyFunSuite {
     assert(df.queryExecution.executedPlan.toString.contains("Project"))
   }
 
+  /** All segmentations of w, sorted by the engine's total order:
+    * (score desc, tokens asc, reversed-length-sequence desc). */
+  private def bruteAll(w: String, vocab: Map[String, Long], unkLp: Long, maxLen: Int): Seq[(Long, Int)] = {
+    def rec(i: Int, sc: Long, lens: List[Int]): Seq[(Long, Int, String)] =
+      if (i == w.length) Seq((sc, lens.length, lens.reverse.map(l => ('0' + l).toChar).mkString))
+      else (1 to math.min(maxLen, w.length - i)).flatMap { len =>
+        val piece = w.substring(i, i + len)
+        val lp =
+          if (vocab.contains(piece)) Some(vocab(piece))
+          else if (len == 1) Some(unkLp)
+          else None
+        lp.toSeq.flatMap(l => rec(i + len, sc + l, len :: lens))
+      }
+    // key desc: reversed length string, higher digit first
+    rec(0, 0L, Nil).sortWith { (a, b) =>
+      if (a._1 != b._1) a._1 > b._1
+      else if (a._2 != b._2) a._2 < b._2
+      else a._3 > b._3
+    }.map(s => (s._1, s._2))
+  }
+
+  test("n-best matches the full enumeration's top-n order over every a/b string up to length 9") {
+    val vocab = UnigramVocab(overlappy.toSeq, unkLp = -30000000L, maxPieceLen = 3)
+    for (n <- Seq(1, 3, 5); len <- 1 to 9; bits <- 0 until (1 << len)) {
+      val w = (0 until len).map(k => if (((bits >> k) & 1) == 0) 'a' else 'b').mkString
+      val flat = UnigramKernel.wordNBest(w, vocab, n)
+      val got = (0 until flat.length / 2).map(i => (flat(2 * i), flat(2 * i + 1).toInt))
+      val want = bruteAll(w, overlappy, -30000000L, 3).take(n)
+      assert(got == want, s"word '$w' n=$n: dp $got vs brute $want")
+    }
+  }
+
+  test("n-best rank 1 equals the single-best DP; sampled with n=1 equals docStats") {
+    val vocab = UnigramVocab(overlappy.toSeq, unkLp = -30000000L, maxPieceLen = 3)
+    for (bits <- 0 until 256) {
+      val w = (0 until 8).map(k => if (((bits >> k) & 1) == 0) 'a' else 'b').mkString
+      val nb = UnigramKernel.wordNBest(w, vocab, 4)
+      val Array(s, t, _) = UnigramKernel.docStats(w, vocab)
+      assert(nb(0) == s && nb(1) == t)
+      val Array(ss, st, sw) = UnigramKernel.docStatsSampled(w, vocab, 1, "anysalt")
+      assert(ss == s && st == t && sw == 1L)
+    }
+  }
+
+  test("sampled segmentation: pieces concatenate back, stats match the chosen rank, salts vary") {
+    val vocab = UnigramVocab(overlappy.toSeq, unkLp = -30000000L, maxPieceLen = 3)
+    var anyDiff = false
+    for (bits <- 0 until 128) {
+      val w = (0 until 7).map(k => if (((bits >> k) & 1) == 0) 'a' else 'b').mkString
+      val pieces = UnigramKernel.docTokensSampled(w, vocab, 3, "s1")
+      assert(pieces.mkString == w)
+      val Array(sc, tk, _) = UnigramKernel.docStatsSampled(w, vocab, 3, "s1")
+      assert(pieces.length.toLong == tk)
+      assert(pieces.map(p => overlappy.getOrElse(p, -30000000L)).sum == sc)
+      // the chosen (score, tokens) must be one of the word's 3-best
+      val nb = UnigramKernel.wordNBest(w, vocab, 3)
+      val cands = (0 until nb.length / 2).map(i => (nb(2 * i), nb(2 * i + 1)))
+      assert(cands.contains((sc, tk)))
+      if (UnigramKernel.docStatsSampled(w, vocab, 3, "s2").toSeq !=
+        Seq(sc, tk, 1L)) anyDiff = true
+    }
+    assert(anyDiff, "different salts must pick different ranks somewhere")
+  }
+
   test("quantized lp grid: floor onto 1e-6, exact for round ratios") {
     assert(UnigramLm.lpMicro(1, 1) == 0L)
     // ln(1/2) = -0.6931471805599453 -> floored micro
