@@ -197,6 +197,46 @@ object Tokenizer {
   def bpeTokenCount(textCol: Column, merges: Seq[(String, String)]): Column =
     coalesce(size(bpeTokens(textCol, merges)), lit(0))
 
+  /** BPE-DROPOUT application (Provilkov et al. 2020, "BPE-Dropout:
+    * Simple and Effective Subword Regularization") — the BPE sibling of
+    * [[UnigramLm.sampledStats]]'s deterministic subword regularization:
+    * merge `i` is SKIPPED for word `w` iff
+    * `keyHash(w ++ "#" ++ i, salt) mod 1e6 < dropMicro`, so one corpus
+    * yields distinct REPLAYABLE augmented segmentations per salt (one
+    * salt per epoch) while staying oracle-checkable (the same md5 60-bit
+    * keyHash grid as [[Sampling.hashSplit]], mirrored in SQL). Dropout
+    * is decided per (word, merge) — coarser than Provilkov's
+    * per-occurrence coin, but the occurrence-level form cannot be a
+    * deterministic pure projection (occurrence positions shift as
+    * earlier merges land), and the word-level form preserves the paper's
+    * property that dropped merges expose finer subwords. `dropMicro = 0`
+    * degrades to [[bpeTokens]] exactly. Still a pure codegen'd
+    * projection: one conditional replace per merge, zero shuffle,
+    * stream-safe. */
+  def bpeDropoutTokens(
+      textCol: Column,
+      merges: Seq[(String, String)],
+      dropMicro: Int,
+      salt: String): Column = {
+    require(merges.size <= 512,
+      s"bpeDropoutTokens folds one replace per merge — ${merges.size} exceeds 512")
+    require(dropMicro >= 0 && dropMicro <= 1000000,
+      s"dropMicro is a probability on the 1e-6 grid, got $dropMicro")
+    flatten(transform(words(textCol), w => {
+      val rep = merges.zipWithIndex.foldLeft(wrapped(w)) { case (c, ((l, r), i)) =>
+        when(
+          Sampling.keyHash(concat(w, lit(s"#$i")), salt) % 1000000L >= dropMicro.toLong,
+          replace(c, lit(s"|$l||$r|"), lit(s"|$l$r|"))).otherwise(c)
+      }
+      tokensOfRep(rep)
+    }))
+  }
+
+  /** `size(bpeDropoutTokens)` with the empty-document guard. */
+  def bpeDropoutTokenCount(
+      textCol: Column, merges: Seq[(String, String)], dropMicro: Int, salt: String): Column =
+    coalesce(size(bpeDropoutTokens(textCol, merges, dropMicro, salt)), lit(0))
+
   /** Per-group tokenizer DATA CARD — the compression summary a corpus
     * ships with once a tokenizer is chosen: document count, total chars,
     * total whitespace tokens, total subword tokens under the learned merge

@@ -490,6 +490,23 @@ object TextPack extends QueryPack {
       graft.streaming.StreamingUnigramMonitor.readout(snaps)
     }),
 
+    // BPE-DROPOUT (Provilkov 2020) — the BPE sibling of q304's
+    // deterministic subword regularization: the two q101 merges, each
+    // SKIPPED per (word, merge) on the shared md5 keyHash grid at
+    // p=0.5, salt 'ep1'. Emitted next to the undropped count (dropout
+    // can only split finer: n_dropout_tokens >= n_bpe_tokens). The
+    // oracle inlines the same drop predicate into q101's CTE chain.
+    "q305_bpe_dropout" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val merges = Tokenizer.mergesOf(
+        Tokenizer.trainBpe(docs.select(col("text")), "text", merges = 2))
+      docs.select(col("doc_id"),
+          Tokenizer.bpeTokenCount(col("text"), merges).as("n_bpe_tokens"),
+          Tokenizer.bpeDropoutTokenCount(col("text"), merges,
+            dropMicro = 500000, salt = "ep1").as("n_dropout_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     // N-BEST unigram segmentations (the machinery behind subword
     // regularization and n-best E-steps) on the q295 planted words under
     // the overlapping-piece vocab: top-3 (score, tokens) per word in the
@@ -1515,6 +1532,54 @@ object TextPack extends QueryPack {
       SELECT d.n_docs, t.total_words, t.total_tokens, t.total_score_micro,
              round(t.total_tokens * 1.0 / t.total_words, 4) AS tokens_per_word
       FROM d, t""",
+
+    // q305: q101's chain + the inlined per-(word, merge) drop predicate
+    // on the shared md5 keyHash grid.
+    "q305_bpe_dropout" -> """
+      WITH words AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS wc FROM (
+          SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS w
+          FROM documents)
+        WHERE len(w) > 0 GROUP BY w),
+      r0 AS (SELECT regexp_replace(w, '(.)', '|\1|', 'g') AS rep, wc FROM words),
+      t1 AS (SELECT string_split(trim(rep, '|'), '||') AS t, wc FROM r0),
+      p1 AS (SELECT t[p] AS l_sym, t[p+1] AS r_sym, CAST(sum(wc) AS BIGINT) AS pair_count
+             FROM (SELECT t, wc, unnest(generate_series(1, len(t) - 1)) AS p
+                   FROM t1 WHERE len(t) >= 2)
+             GROUP BY 1, 2),
+      b1 AS (SELECT l_sym, r_sym FROM p1
+             ORDER BY pair_count DESC, l_sym, r_sym LIMIT 1),
+      r1 AS (SELECT replace(rep,
+               '|' || (SELECT l_sym FROM b1) || '||' || (SELECT r_sym FROM b1) || '|',
+               '|' || (SELECT l_sym FROM b1) || (SELECT r_sym FROM b1) || '|') AS rep, wc
+             FROM r0),
+      t2 AS (SELECT string_split(trim(rep, '|'), '||') AS t, wc FROM r1),
+      p2 AS (SELECT t[p] AS l_sym, t[p+1] AS r_sym, CAST(sum(wc) AS BIGINT) AS pair_count
+             FROM (SELECT t, wc, unnest(generate_series(1, len(t) - 1)) AS p
+                   FROM t2 WHERE len(t) >= 2)
+             GROUP BY 1, 2),
+      b2 AS (SELECT l_sym, r_sym FROM p2
+             ORDER BY pair_count DESC, l_sym, r_sym LIMIT 1),
+      pats AS (SELECT
+        '|' || b1.l_sym || '||' || b1.r_sym || '|' AS f1,
+        '|' || b1.l_sym || b1.r_sym || '|' AS m1,
+        '|' || b2.l_sym || '||' || b2.r_sym || '|' AS f2,
+        '|' || b2.l_sym || b2.r_sym || '|' AS m2
+        FROM b1, b2)
+      SELECT d.doc_id,
+             CAST(coalesce(list_sum(list_transform(
+               [x for x in regexp_split_to_array(lower(d.text), '[^a-z0-9]+')
+                  if len(x) > 0],
+               w -> len(string_split(trim(
+                 replace(replace(regexp_replace(w, '(.)', '|\1|', 'g'), f1, m1), f2, m2),
+                 '|'), '||')))), 0) AS INTEGER) AS n_bpe_tokens,
+             CAST(coalesce(list_sum(list_transform(
+               [x for x in regexp_split_to_array(lower(d.text), '[^a-z0-9]+')
+                  if len(x) > 0],
+               w -> len(string_split(trim(
+                 CASE WHEN CAST(concat('0x', substring(md5('ep1' || w || '#1'), 1, 15)) AS BIGINT) % 1000000 >= 500000 THEN replace(CASE WHEN CAST(concat('0x', substring(md5('ep1' || w || '#0'), 1, 15)) AS BIGINT) % 1000000 >= 500000 THEN replace(regexp_replace(w, '(.)', '|\1|', 'g'), f1, m1) ELSE regexp_replace(w, '(.)', '|\1|', 'g') END, f2, m2) ELSE CASE WHEN CAST(concat('0x', substring(md5('ep1' || w || '#0'), 1, 15)) AS BIGINT) % 1000000 >= 500000 THEN replace(regexp_replace(w, '(.)', '|\1|', 'g'), f1, m1) ELSE regexp_replace(w, '(.)', '|\1|', 'g') END END,
+                 '|'), '||')))), 0) AS INTEGER) AS n_dropout_tokens
+      FROM documents d CROSS JOIN pats ORDER BY d.doc_id""",
 
     // q303: EVERY segmentation enumerated by a recursive CTE (lengths
     // 1..3 with piece-existence constraints), ranked by the engine's

@@ -112,4 +112,31 @@ class TokenizerSpec extends AnyFunSuite {
     assert(en.getLong(4) == 4)      // [er, er] + [a, b]
     assert(en.getAs[Double]("chars_per_token") == 1.75)
   }
+
+  test("bpeDropoutTokens: p=0 is bpeTokens exactly, p=1 is the char split, pieces re-concatenate") {
+    val merges = Seq(("e", "r"), ("er", "s"))
+    val df = corpus("er ers erser", "unrelated words here", "ererer")
+    val rows = df.select(
+      Tokenizer.bpeTokens(col("text"), merges).as("plain"),
+      Tokenizer.bpeDropoutTokens(col("text"), merges, dropMicro = 0, salt = "e0").as("p0"),
+      Tokenizer.bpeDropoutTokens(col("text"), merges, dropMicro = 1000000, salt = "e0").as("p1"),
+      Tokenizer.bpeDropoutTokens(col("text"), merges, dropMicro = 500000, salt = "e0").as("half"),
+      Tokenizer.bpeDropoutTokens(col("text"), merges, dropMicro = 500000, salt = "e1").as("half2"),
+      col("text")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](0), "p=0 must equal bpeTokens")
+      val chars = r.getString(5).toLowerCase.replaceAll("[^a-z0-9]", "")
+      assert(r.getSeq[String](2).mkString == chars && r.getSeq[String](2).forall(_.length == 1),
+        "p=1 must be the pure character split")
+      // any dropout level still re-concatenates to the same characters
+      assert(r.getSeq[String](3).mkString == chars)
+      assert(r.getSeq[String](4).mkString == chars)
+    }
+    // dropout can only split finer: count(p) >= count(plain), <= count(chars)
+    val counts = df.select(
+      size(Tokenizer.bpeTokens(col("text"), merges)).as("a"),
+      size(Tokenizer.bpeDropoutTokens(col("text"), merges, 500000, "e0")).as("b"),
+      size(Tokenizer.bpeDropoutTokens(col("text"), merges, 1000000, "e0")).as("c")).collect()
+    counts.foreach(r => assert(r.getInt(0) <= r.getInt(1) && r.getInt(1) <= r.getInt(2)))
+  }
 }
