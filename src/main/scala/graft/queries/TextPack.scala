@@ -507,6 +507,33 @@ object TextPack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // PACKING under SAMPLED token counts — the epoch-varying composition
+    // (q304's deterministic augmentation feeding q60's distributed
+    // prefix-sum packer): per planted word the hash-chosen 3-best rank's
+    // token count, binned into 16-token packs across 8 order-aligned
+    // buckets; the oracle re-derives the counts from the enumeration and
+    // packs with a single global cumsum — bucketing moves work, never
+    // results.
+    "q306_sampled_packing" -> ((s, d) => {
+      val v = graft.operators.UnigramLm.fixedVocab(
+        Seq("a" -> -3000000L, "b" -> -3100000L,
+          "ab" -> -5500000L, "ba" -> -5400000L, "aa" -> -5900000L,
+          "bab" -> -8000000L, "aab" -> -8100000L),
+        maxPieceLen = 3)
+      val w8 = concat((0 to 7).map(k =>
+        expr(s"CASE WHEN (doc_id div ${1 << k}) % 2 = 0 THEN 'a' ELSE 'b' END")): _*)
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr("4 + CAST(doc_id % 5 AS INT)").as("__n"), w8.as("__w8"))
+        .select(col("doc_id"), lit(0).as("chunk_idx"),
+          graft.operators.UnigramLm.sampledTokenCount(
+            expr("substring(__w8, 1, __n)"), v, n = 3, salt = "aug1").as("n_tokens"))
+      Chunking.packSequences(toks, "doc_id", "chunk_idx", "n_tokens",
+          capacity = 16, buckets = 8)
+        .select(col("doc_id"), col("n_tokens"), col("pack_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // N-BEST unigram segmentations (the machinery behind subword
     // regularization and n-best E-steps) on the q295 planted words under
     // the overlapping-piece vocab: top-3 (score, tokens) per word in the
@@ -1580,6 +1607,60 @@ object TextPack extends QueryPack {
                  CASE WHEN CAST(concat('0x', substring(md5('ep1' || w || '#1'), 1, 15)) AS BIGINT) % 1000000 >= 500000 THEN replace(CASE WHEN CAST(concat('0x', substring(md5('ep1' || w || '#0'), 1, 15)) AS BIGINT) % 1000000 >= 500000 THEN replace(regexp_replace(w, '(.)', '|\1|', 'g'), f1, m1) ELSE regexp_replace(w, '(.)', '|\1|', 'g') END, f2, m2) ELSE CASE WHEN CAST(concat('0x', substring(md5('ep1' || w || '#0'), 1, 15)) AS BIGINT) % 1000000 >= 500000 THEN replace(regexp_replace(w, '(.)', '|\1|', 'g'), f1, m1) ELSE regexp_replace(w, '(.)', '|\1|', 'g') END END,
                  '|'), '||')))), 0) AS INTEGER) AS n_dropout_tokens
       FROM documents d CROSS JOIN pats ORDER BY d.doc_id""",
+
+    // q306: q304's enumeration + pick, packed by one global cumsum.
+    "q306_sampled_packing" -> """
+      WITH RECURSIVE base AS (
+        SELECT doc_id,
+               substr(c0||c1||c2||c3||c4||c5||c6||c7, 1, CAST(4 + doc_id % 5 AS INTEGER)) AS w
+        FROM (SELECT doc_id,
+                CASE WHEN (doc_id // 1) % 2 = 0 THEN 'a' ELSE 'b' END AS c0,
+                CASE WHEN (doc_id // 2) % 2 = 0 THEN 'a' ELSE 'b' END AS c1,
+                CASE WHEN (doc_id // 4) % 2 = 0 THEN 'a' ELSE 'b' END AS c2,
+                CASE WHEN (doc_id // 8) % 2 = 0 THEN 'a' ELSE 'b' END AS c3,
+                CASE WHEN (doc_id // 16) % 2 = 0 THEN 'a' ELSE 'b' END AS c4,
+                CASE WHEN (doc_id // 32) % 2 = 0 THEN 'a' ELSE 'b' END AS c5,
+                CASE WHEN (doc_id // 64) % 2 = 0 THEN 'a' ELSE 'b' END AS c6,
+                CASE WHEN (doc_id // 128) % 2 = 0 THEN 'a' ELSE 'b' END AS c7
+              FROM documents)),
+      paths AS (
+        SELECT doc_id, w, 0 AS pos, CAST(0 AS BIGINT) AS score, 0 AS tk, '' AS lenstr
+        FROM base
+        UNION ALL
+        SELECT p.doc_id, p.w, p.pos + lens.l,
+               p.score + CASE lens.l
+                 WHEN 1 THEN CASE substr(p.w, p.pos + 1, 1)
+                               WHEN 'a' THEN -3000000 WHEN 'b' THEN -3100000 END
+                 WHEN 2 THEN CASE substr(p.w, p.pos + 1, 2)
+                               WHEN 'ab' THEN -5500000 WHEN 'ba' THEN -5400000
+                               WHEN 'aa' THEN -5900000 END
+                 WHEN 3 THEN CASE substr(p.w, p.pos + 1, 3)
+                               WHEN 'bab' THEN -8000000 WHEN 'aab' THEN -8100000 END
+               END,
+               p.tk + 1, p.lenstr || CAST(lens.l AS VARCHAR)
+        FROM paths p, (VALUES (1), (2), (3)) AS lens(l)
+        WHERE p.pos + lens.l <= len(p.w)
+          AND CASE lens.l
+                WHEN 1 THEN substr(p.w, p.pos + 1, 1) IN ('a', 'b')
+                WHEN 2 THEN substr(p.w, p.pos + 1, 2) IN ('ab', 'ba', 'aa')
+                WHEN 3 THEN substr(p.w, p.pos + 1, 3) IN ('bab', 'aab')
+              END),
+      done AS (SELECT doc_id, score, tk, reverse(lenstr) AS key
+               FROM paths WHERE pos = len(w)),
+      ranked AS (SELECT doc_id, score, tk,
+                        row_number() OVER (PARTITION BY doc_id
+                          ORDER BY score DESC, tk, key DESC) AS rnk
+                 FROM done),
+      cnt AS (SELECT doc_id, least(3, count(*)) AS m FROM done GROUP BY doc_id),
+      pick AS (SELECT r.doc_id, r.score, r.tk
+               FROM ranked r
+               JOIN cnt c ON c.doc_id = r.doc_id
+               JOIN base b ON b.doc_id = r.doc_id
+               WHERE r.rnk = (CAST(concat('0x', substring(md5('aug1' || b.w), 1, 15)) AS BIGINT) % c.m) + 1)
+      SELECT doc_id, CAST(tk AS BIGINT) AS n_tokens,
+             CAST((sum(tk) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - tk) // 16
+               AS BIGINT) AS pack_id
+      FROM pick ORDER BY doc_id""",
 
     // q303: EVERY segmentation enumerated by a recursive CTE (lengths
     // 1..3 with piece-existence constraints), ranked by the engine's
