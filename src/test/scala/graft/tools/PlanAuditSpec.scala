@@ -45,6 +45,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // q60: two-phase distributed prefix sum — per-bucket offset tables
     // (`buckets` rows, a knob) broadcast back; BNLJ against scalar bounds.
     "q60_packing" -> (0, 2, 3),
+    // q306: the same packSequences prefix-sum shape as q60 (scalar maxDoc
+    // bound + buckets-row offset table broadcast back).
+    "q306_sampled_packing" -> (0, 2, 3),
     // q61: recall summary assembles four ONE-ROW count aggregates via
     // scalar crossJoins; the corpus-sized paths (candidates, verify,
     // truth semi-probe) are all SMJ-pinned inside the operator/query.
