@@ -151,6 +151,65 @@ object UnigramLm {
       .sortBy(p => (-p.count, p.piece))
   }
 
+  /** One piece's likelihood-LOSS readout: `alt_micro` = the Viterbi score
+    * of the piece's own string under the vocabulary WITH THE PIECE
+    * REMOVED (for a string s, no segmentation of s into >1 pieces can use
+    * s itself, so masking the vocab is exactly "best alternative
+    * segmentation"; single chars fall to `unkLp`), and
+    * `loss_micro = count · (lp − alt)` — SentencePiece's prune criterion
+    * on the exact integer grid (the corpus log-likelihood drop if every
+    * use of the piece re-segments its string the next-best way). Exact
+    * while `count · |lp − alt| < 2^63` — at the 1e-6 grid that is
+    * count·|Δlp| below ~9·10^18, i.e. any corpus under ~10^11 uses even
+    * at the unk-floor gap. */
+  final case class PieceLoss(
+      piece: String, count: Long, lp_micro: Long, alt_micro: Long,
+      loss_micro: Long, kept: Boolean)
+
+  /** The per-piece loss table + keep decision at `vocabSize`: single
+    * chars always kept (coverage); multi-char pieces ranked by
+    * (loss desc, piece asc) — the highest-loss pieces are the ones whose
+    * removal hurts most, so they survive. Vocab-bounded driver work (one
+    * masked ≤maxPieceLen-char Viterbi per piece, zero Spark jobs). */
+  def pieceLosses(
+      pieces: Seq[UnigramPiece],
+      vocabSize: Int,
+      maxPieceLen: Int,
+      unkLp: Long = DefaultUnkLp): Seq[PieceLoss] = {
+    require(vocabSize >= 1, s"vocabSize must be positive, got $vocabSize")
+    val entries = pieces.map(p => (p.piece, p.lp_micro))
+    val losses = pieces.map { p =>
+      val masked = UnigramVocab(entries.filterNot(_._1 == p.piece), unkLp, maxPieceLen)
+      val alt = UnigramKernel.docStats(p.piece, masked)(0)
+      PieceLoss(p.piece, p.count, p.lp_micro, alt,
+        p.count * (p.lp_micro - alt), kept = false)
+    }
+    val (chars, multi) = losses.partition(_.piece.length == 1)
+    val budget = math.max(0, vocabSize - chars.size)
+    val keptMulti = multi.sortBy(l => (-l.loss_micro, l.piece)).take(budget)
+      .map(_.piece).toSet
+    losses.map(l => l.copy(kept = l.piece.length == 1 || keptMulti(l.piece)))
+      .sortBy(_.piece)
+  }
+
+  /** [[prune]]'s likelihood-loss sibling — keep the pieces whose removal
+    * costs the corpus the most log-likelihood instead of the raw most-
+    * counted (a high-count piece whose string re-segments almost as well
+    * is cheap to drop; a mid-count piece with no good alternative is
+    * not). Final scores re-quantized over the survivors. */
+  def pruneByLoss(
+      pieces: Seq[UnigramPiece],
+      vocabSize: Int,
+      maxPieceLen: Int,
+      unkLp: Long = DefaultUnkLp): Seq[UnigramPiece] = {
+    val kept = pieceLosses(pieces, vocabSize, maxPieceLen, unkLp)
+      .filter(_.kept).map(_.piece).toSet
+    val surv = pieces.filter(p => kept(p.piece))
+    val total = surv.map(_.count).sum
+    surv.map(p => p.copy(lp_micro = lpMicro(p.count, total)))
+      .sortBy(p => (-p.count, p.piece))
+  }
+
   /** Driver-side hard-EM trainer — the production path (the
     * [[Tokenizer.trainBpeLocal]] precedent): word counting is the
     * distributed [[Tokenizer.wordCounts]]; seeding, every EM iteration,
@@ -165,7 +224,8 @@ object UnigramLm {
       seedSize: Int = 4096,
       emIters: Int = 4,
       unkLp: Long = DefaultUnkLp,
-      maxVocab: Int = 2000000): Seq[UnigramPiece] = {
+      maxVocab: Int = 2000000,
+      lossPrune: Boolean = false): Seq[UnigramPiece] = {
     require(vocabSize >= 1 && emIters >= 1, s"bad vocabSize=$vocabSize/emIters=$emIters")
     require(maxPieceLen >= 1 && maxPieceLen <= 16, s"maxPieceLen out of [1,16]: $maxPieceLen")
     val rows = Tokenizer.wordCounts(docs, textCol).limit(maxVocab + 1).collect()
@@ -198,7 +258,8 @@ object UnigramLm {
       pieces = emStep(words, pieces, maxPieceLen, unkLp)
       it += 1
     }
-    prune(pieces, vocabSize)
+    if (lossPrune) pruneByLoss(pieces, vocabSize, maxPieceLen, unkLp)
+    else prune(pieces, vocabSize)
   }
 
   /** All-Spark hard-EM trainer: the word-count table stays DISTRIBUTED and
@@ -216,7 +277,8 @@ object UnigramLm {
       maxPieceLen: Int = 4,
       seedSize: Int = 4096,
       emIters: Int = 4,
-      unkLp: Long = DefaultUnkLp): Seq[UnigramPiece] = {
+      unkLp: Long = DefaultUnkLp,
+      lossPrune: Boolean = false): Seq[UnigramPiece] = {
     require(vocabSize >= 1, s"vocabSize must be positive, got $vocabSize")
     require(emIters >= 1 && emIters <= 16,
       s"trainUnigram runs one vocab aggregation per EM iteration — emIters=$emIters " +
@@ -242,7 +304,8 @@ object UnigramLm {
         pieces = keepChars(counts, pieces)
         it += 1
       }
-      prune(pieces, vocabSize)
+      if (lossPrune) pruneByLoss(pieces, vocabSize, maxPieceLen, unkLp)
+      else prune(pieces, vocabSize)
     } finally { wc.unpersist(false); () }
   }
 

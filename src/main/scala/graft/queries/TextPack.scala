@@ -534,6 +534,37 @@ object TextPack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Likelihood-loss PRUNING (SentencePiece's real criterion): the
+    // planted corpus is Viterbi-decoded (distributed E-step: explode the
+    // fused tokens, one counting aggregation), and each piece's loss =
+    // count x (lp - best-alternative-score of its own string) decides
+    // survival at vocabSize=4. On this corpus the loss rule keeps
+    // {ab, ba} where the count rule would keep {aab, ba} -- the gate
+    // distinguishes the criteria. The oracle re-derives the decode, the
+    // counts, the alternatives (a second recursive enumeration, tk >= 2
+    // = the piece itself masked), and the keep ranking.
+    "q307_unigram_prune_loss" -> ((s, d) => {
+      import s.implicits._
+      val lps = Seq("a" -> -3000000L, "b" -> -3100000L,
+        "ab" -> -5500000L, "ba" -> -5400000L, "aa" -> -5900000L,
+        "bab" -> -8000000L, "aab" -> -8100000L)
+      val v = graft.operators.UnigramLm.fixedVocab(lps, maxPieceLen = 3)
+      val w8 = concat((0 to 7).map(k =>
+        expr(s"CASE WHEN (doc_id div ${1 << k}) % 2 = 0 THEN 'a' ELSE 'b' END")): _*)
+      val counted = Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr("4 + CAST(doc_id % 5 AS INT)").as("__n"), w8.as("__w8"))
+        .select(explode(graft.operators.UnigramLm.tokens(
+          expr("substring(__w8, 1, __n)"), v)).as("piece"))
+        .groupBy(col("piece")).agg(count(lit(1)).as("cnt"))
+        .collect() // pieces-bounded: <= |vocab| rows
+      val lpMap = lps.toMap
+      val pieces = counted.map(r => graft.operators.UnigramLm.UnigramPiece(
+        r.getString(0), r.getLong(1), lpMap(r.getString(0)))).toSeq
+      graft.operators.UnigramLm.pieceLosses(pieces, vocabSize = 4, maxPieceLen = 3)
+        .toDF().orderBy(col("piece"))
+    }),
+
     // N-BEST unigram segmentations (the machinery behind subword
     // regularization and n-best E-steps) on the q295 planted words under
     // the overlapping-piece vocab: top-3 (score, tokens) per word in the
@@ -1661,6 +1692,112 @@ object TextPack extends QueryPack {
              CAST((sum(tk) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - tk) // 16
                AS BIGINT) AS pack_id
       FROM pick ORDER BY doc_id""",
+
+    // q307: decode (the q303 enumeration, rank 1 with the length string
+    // kept), piece extraction by running offsets, counts, then a SECOND
+    // enumeration over the counted pieces' own strings (tk >= 2 = the
+    // piece itself masked; single chars fall to the unk floor) and the
+    // (loss desc, piece asc) keep ranking at vocabSize 4. All seven
+    // vocabulary pieces appear in this corpus's decode (verified), so
+    // the observed and full vocabularies coincide.
+    "q307_unigram_prune_loss" -> """
+      WITH RECURSIVE base AS (
+        SELECT doc_id,
+               substr(c0||c1||c2||c3||c4||c5||c6||c7, 1, CAST(4 + doc_id % 5 AS INTEGER)) AS w
+        FROM (SELECT doc_id,
+                CASE WHEN (doc_id // 1) % 2 = 0 THEN 'a' ELSE 'b' END AS c0,
+                CASE WHEN (doc_id // 2) % 2 = 0 THEN 'a' ELSE 'b' END AS c1,
+                CASE WHEN (doc_id // 4) % 2 = 0 THEN 'a' ELSE 'b' END AS c2,
+                CASE WHEN (doc_id // 8) % 2 = 0 THEN 'a' ELSE 'b' END AS c3,
+                CASE WHEN (doc_id // 16) % 2 = 0 THEN 'a' ELSE 'b' END AS c4,
+                CASE WHEN (doc_id // 32) % 2 = 0 THEN 'a' ELSE 'b' END AS c5,
+                CASE WHEN (doc_id // 64) % 2 = 0 THEN 'a' ELSE 'b' END AS c6,
+                CASE WHEN (doc_id // 128) % 2 = 0 THEN 'a' ELSE 'b' END AS c7
+              FROM documents)),
+      paths AS (
+        SELECT doc_id, w, 0 AS pos, CAST(0 AS BIGINT) AS score, 0 AS tk, '' AS lenstr
+        FROM base
+        UNION ALL
+        SELECT p.doc_id, p.w, p.pos + lens.l,
+               p.score + CASE lens.l
+           WHEN 1 THEN CASE substr(p.w, p.pos + 1, 1)
+                         WHEN 'a' THEN -3000000 WHEN 'b' THEN -3100000 END
+           WHEN 2 THEN CASE substr(p.w, p.pos + 1, 2)
+                         WHEN 'ab' THEN -5500000 WHEN 'ba' THEN -5400000
+                         WHEN 'aa' THEN -5900000 END
+           WHEN 3 THEN CASE substr(p.w, p.pos + 1, 3)
+                         WHEN 'bab' THEN -8000000 WHEN 'aab' THEN -8100000 END
+         END,
+               p.tk + 1, p.lenstr || CAST(lens.l AS VARCHAR)
+        FROM paths p, (VALUES (1), (2), (3)) AS lens(l)
+        WHERE p.pos + lens.l <= len(p.w)
+          AND CASE lens.l
+          WHEN 1 THEN substr(p.w, p.pos + 1, 1) IN ('a', 'b')
+          WHEN 2 THEN substr(p.w, p.pos + 1, 2) IN ('ab', 'ba', 'aa')
+          WHEN 3 THEN substr(p.w, p.pos + 1, 3) IN ('bab', 'aab')
+        END),
+      r1 AS (SELECT doc_id, w, lenstr FROM (
+               SELECT doc_id, w, lenstr,
+                      row_number() OVER (PARTITION BY doc_id
+                        ORDER BY score DESC, tk, reverse(lenstr) DESC) AS rnk
+               FROM paths WHERE pos = len(w)) WHERE rnk = 1),
+      pp AS (SELECT doc_id, w, lenstr, unnest(generate_series(1, len(lenstr))) AS i FROM r1),
+      px0 AS (SELECT doc_id, w, i,
+                     CAST(substr(lenstr, CAST(i AS INTEGER), 1) AS INTEGER) AS l
+              FROM pp),
+      px AS (SELECT doc_id, w, i, l,
+                    coalesce(sum(l) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
+             FROM px0),
+      counts AS (SELECT substr(w, CAST(st + 1 AS INTEGER), l) AS piece,
+                        CAST(count(*) AS BIGINT) AS cnt
+                 FROM px GROUP BY 1),
+      lps AS (SELECT * FROM (VALUES ('a', -3000000), ('b', -3100000),
+                ('ab', -5500000), ('ba', -5400000), ('aa', -5900000),
+                ('bab', -8000000), ('aab', -8100000)) AS t(piece, lp)),
+      paths2 AS (
+        SELECT piece AS w, 0 AS pos, CAST(0 AS BIGINT) AS score, 0 AS tk, '' AS lenstr
+        FROM counts WHERE len(piece) > 1
+        UNION ALL
+        SELECT p.w, p.pos + lens.l,
+               p.score + CASE lens.l
+           WHEN 1 THEN CASE substr(p.w, p.pos + 1, 1)
+                         WHEN 'a' THEN -3000000 WHEN 'b' THEN -3100000 END
+           WHEN 2 THEN CASE substr(p.w, p.pos + 1, 2)
+                         WHEN 'ab' THEN -5500000 WHEN 'ba' THEN -5400000
+                         WHEN 'aa' THEN -5900000 END
+           WHEN 3 THEN CASE substr(p.w, p.pos + 1, 3)
+                         WHEN 'bab' THEN -8000000 WHEN 'aab' THEN -8100000 END
+         END,
+               p.tk + 1, p.lenstr || CAST(lens.l AS VARCHAR)
+        FROM paths2 p, (VALUES (1), (2), (3)) AS lens(l)
+        WHERE p.pos + lens.l <= len(p.w)
+          AND CASE lens.l
+          WHEN 1 THEN substr(p.w, p.pos + 1, 1) IN ('a', 'b')
+          WHEN 2 THEN substr(p.w, p.pos + 1, 2) IN ('ab', 'ba', 'aa')
+          WHEN 3 THEN substr(p.w, p.pos + 1, 3) IN ('bab', 'aab')
+        END),
+      alt AS (SELECT w AS piece, max(score) AS alt_raw
+              FROM paths2 WHERE pos = len(w) AND tk >= 2 GROUP BY w),
+      tbl AS (SELECT c.piece, c.cnt,
+                     CAST(l.lp AS BIGINT) AS lp_micro,
+                     CAST(CASE WHEN len(c.piece) = 1 THEN -30000000
+                               ELSE a.alt_raw END AS BIGINT) AS alt_micro
+              FROM counts c JOIN lps l ON l.piece = c.piece
+              LEFT JOIN alt a ON a.piece = c.piece),
+      lossed AS (SELECT piece, cnt AS count, lp_micro, alt_micro,
+                        cnt * (lp_micro - alt_micro) AS loss_micro
+                 FROM tbl),
+      budget AS (SELECT greatest(0, 4 - count(*) FILTER (WHERE len(piece) = 1)) AS b
+                 FROM lossed),
+      ranked AS (SELECT piece,
+                        row_number() OVER (ORDER BY loss_micro DESC, piece) AS rn
+                 FROM lossed WHERE len(piece) > 1)
+      SELECT l.piece, l.count, l.lp_micro, l.alt_micro,
+             CAST(l.loss_micro AS BIGINT) AS loss_micro,
+             (len(l.piece) = 1 OR r.rn <= (SELECT b FROM budget)) AS kept
+      FROM lossed l LEFT JOIN ranked r ON r.piece = l.piece
+      ORDER BY l.piece""",
 
     // q303: EVERY segmentation enumerated by a recursive CTE (lengths
     // 1..3 with piece-existence constraints), ranked by the engine's

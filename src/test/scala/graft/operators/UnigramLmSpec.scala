@@ -192,6 +192,45 @@ class UnigramLmSpec extends AnyFunSuite {
     assert(anyDiff, "different salts must pick different ranks somewhere")
   }
 
+  test("pieceLosses: alt is the masked-vocab Viterbi, loss ranking decides keeps") {
+    import UnigramLm.UnigramPiece
+    val pieces = Seq(
+      UnigramPiece("a", 400, -3000000L), UnigramPiece("b", 300, -3100000L),
+      UnigramPiece("ab", 120, -5500000L), UnigramPiece("ba", 110, -5400000L),
+      UnigramPiece("bab", 25, -8000000L))
+    val t = UnigramLm.pieceLosses(pieces, vocabSize = 3, maxPieceLen = 3)
+      .map(l => l.piece -> l).toMap
+    // single chars: alt = unk floor, always kept
+    assert(t("a").alt_micro == UnigramLm.DefaultUnkLp && t("a").kept)
+    assert(t("b").kept)
+    // ab's alternative: [a, b] = -6.1e6; loss = 120 * (-5.5e6 + 6.1e6)
+    assert(t("ab").alt_micro == -6100000L && t("ab").loss_micro == 120L * 600000L)
+    assert(t("ba").alt_micro == -6100000L && t("ba").loss_micro == 110L * 700000L)
+    // bab's alternative may NOT use bab itself: best of [ba,b]=-8.5e6 / [b,ab]=-8.6e6
+    assert(t("bab").alt_micro == -8500000L && t("bab").loss_micro == 25L * 500000L)
+    // budget 1 (3 - 2 chars): highest loss wins -> ba (77e6) over ab (72e6)
+    assert(t("ba").kept && !t("ab").kept && !t("bab").kept)
+    // count-based prune would keep ab (120 > 110) -- the criteria differ
+    val byLoss = UnigramLm.pruneByLoss(pieces, vocabSize = 3, maxPieceLen = 3)
+    assert(byLoss.map(_.piece).toSet == Set("a", "b", "ba"))
+    // survivors re-quantized over their own total
+    val total = byLoss.map(_.count).sum
+    byLoss.foreach(p => assert(p.lp_micro == UnigramLm.lpMicro(p.count, total)))
+  }
+
+  test("lossPrune trainers agree piece-for-piece (local == distributed)") {
+    import spark.implicits._
+    val docs = Seq(
+      "abab abab baba", "abab abab abab", "baba abab", "ab ba abab",
+      "abba abab abab", "abab").toDF("text")
+    val local = UnigramLm.trainUnigramLocal(docs, "text",
+      vocabSize = 6, maxPieceLen = 3, seedSize = 16, emIters = 3, lossPrune = true)
+    val dist = UnigramLm.trainUnigram(docs, "text",
+      vocabSize = 6, maxPieceLen = 3, seedSize = 16, emIters = 3, lossPrune = true)
+    assert(local == dist, s"lossPrune trainers diverged:\nlocal=$local\ndist=$dist")
+    assert(local.exists(_.piece == "a") && local.exists(_.piece == "b"))
+  }
+
   test("quantized lp grid: floor onto 1e-6, exact for round ratios") {
     assert(UnigramLm.lpMicro(1, 1) == 0L)
     // ln(1/2) = -0.6931471805599453 -> floored micro
