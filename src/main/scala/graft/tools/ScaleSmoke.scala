@@ -1151,6 +1151,26 @@ object ScaleSmoke {
       m.audioFeatures(both, "pcm", frameSamples = 160, energyThreshold = 1L << 36)
     }
 
+    // r15: the unigram-tokenizer application surface over the widened
+    // corpus — fused Viterbi docStats + hash-sampled 3-best stats per
+    // row (two kernel passes), folded into the per-lang transfer card.
+    // Zero shuffle until the |langs|-row aggregation; superlinear growth
+    // would mean the DP is re-running per statistic.
+    time("unigram viterbi + sampled card") {
+      val chars = (('a' to 'z') ++ ('0' to '9')).map(c => c.toString -> -3000000L)
+      val v = graft.operators.UnigramLm.fixedVocab(
+        chars ++ Seq("th" -> -5500000L, "er" -> -5500000L, "on" -> -5500000L),
+        maxPieceLen = 2)
+      docs.select(col("lang"),
+          graft.operators.UnigramLm.docStats(coalesce(col("text"), lit("")), v).as("__s"),
+          graft.operators.UnigramLm.sampledStats(
+            coalesce(col("text"), lit("")), v, n = 3, salt = "ep1").as("__ss"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(element_at(col("__s"), 2)).as("viterbi_tokens"),
+          sum(element_at(col("__ss"), 2)).as("sampled_tokens"))
+    }
+
     // r15: the full telephony ingest chain — G.711 µ-law decode →
     // 8 kHz→16 kHz resample → WAV wrap → parse → features — five fused
     // kernel passes per row, zero shuffle; superlinear growth would mean
