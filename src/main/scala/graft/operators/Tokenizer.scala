@@ -174,24 +174,33 @@ object Tokenizer {
   def mergesOf(trained: DataFrame): Seq[(String, String)] =
     trained.orderBy(col("iter")).collect().map(r => (r.getString(1), r.getString(2))).toSeq
 
-  /** Subword tokens of a text column under a learned merge list: per word,
-    * wrap symbols and fold the merges as left-to-right replaces (training
-    * order — identical semantics to the trainer's own application), then
-    * flatten across words. A pure codegen'd projection — stream-safe, no
-    * UDF, no state; the merge list rides the plan as literals, so the cap
-    * keeps expression depth sane (one replace node per merge). Tokenizer
-    * runtimes with full 30k+ vocabularies belong in a broadcast-ranks
-    * encoder (the bpeEncode UDF form), not an expression fold. */
+  /** Subword tokens of a text column under a learned merge list: per
+    * word, the merges apply in training order, each as one left-to-right
+    * non-overlapping pass, then words flatten in order. Since r15 this
+    * is the fused native [[graft.functions.BpeTokensExpr]] kernel — ONE
+    * call per row inside WholeStageCodegen (the HOF fold it replaces
+    * evaluated a regexp wrap + an interpreted replace chain per word;
+    * spec-pinned token-for-token identical, and q100/q101/q123/q305's
+    * oracles pin the semantics cross-engine). Stream-safe, no UDF, no
+    * state. The 512 cap bounds the per-word sequential merge scan;
+    * tokenizer runtimes with full 30k+ vocabularies belong in a
+    * broadcast-ranks encoder, not a sequential merge list. */
   def bpeTokens(textCol: Column, merges: Seq[(String, String)]): Column = {
     require(merges.size <= 512,
-      s"bpeTokens folds one replace expression per merge — ${merges.size} exceeds 512")
+      s"bpeTokens scans one merge pass per word per merge — ${merges.size} exceeds 512")
+    graft.functions.BpeExpressions.bpeTokens(textCol, merges)
+  }
+
+  /** The pre-r15 HOF formulation of [[bpeTokens]] (pipe-wrapped replace
+    * fold) — retained as the independent reference the parity spec pins
+    * the fused kernel against. */
+  private[operators] def bpeTokensHof(textCol: Column, merges: Seq[(String, String)]): Column =
     flatten(transform(words(textCol), w => {
       val rep = merges.foldLeft(wrapped(w)) { case (c, (l, r)) =>
         replace(c, lit(s"|$l||$r|"), lit(s"|$l$r|"))
       }
       tokensOfRep(rep)
     }))
-  }
 
   /** `size(bpeTokens)` with an empty-document guard (0, not size(null)). */
   def bpeTokenCount(textCol: Column, merges: Seq[(String, String)]): Column =
@@ -210,18 +219,29 @@ object Tokenizer {
     * deterministic pure projection (occurrence positions shift as
     * earlier merges land), and the word-level form preserves the paper's
     * property that dropped merges expose finer subwords. `dropMicro = 0`
-    * degrades to [[bpeTokens]] exactly. Still a pure codegen'd
-    * projection: one conditional replace per merge, zero shuffle,
-    * stream-safe. */
+    * degrades to [[bpeTokens]] exactly. Since r15 the fused native
+    * kernel ([[graft.functions.BpeTokensExpr]] with the dropout leg —
+    * one keyHash per (word, merge), the same md5 grid as the Column
+    * form, spec-pinned identical); still zero shuffle, stream-safe. */
   def bpeDropoutTokens(
       textCol: Column,
       merges: Seq[(String, String)],
       dropMicro: Int,
       salt: String): Column = {
     require(merges.size <= 512,
-      s"bpeDropoutTokens folds one replace per merge — ${merges.size} exceeds 512")
+      s"bpeDropoutTokens scans one merge pass per word per merge — ${merges.size} exceeds 512")
     require(dropMicro >= 0 && dropMicro <= 1000000,
       s"dropMicro is a probability on the 1e-6 grid, got $dropMicro")
+    graft.functions.BpeExpressions.bpeTokens(textCol, merges, dropMicro, salt)
+  }
+
+  /** The HOF formulation of [[bpeDropoutTokens]] (conditional replace
+    * fold over the Column keyHash) — the parity-spec reference. */
+  private[operators] def bpeDropoutTokensHof(
+      textCol: Column,
+      merges: Seq[(String, String)],
+      dropMicro: Int,
+      salt: String): Column =
     flatten(transform(words(textCol), w => {
       val rep = merges.zipWithIndex.foldLeft(wrapped(w)) { case (c, ((l, r), i)) =>
         when(
@@ -230,7 +250,6 @@ object Tokenizer {
       }
       tokensOfRep(rep)
     }))
-  }
 
   /** `size(bpeDropoutTokens)` with the empty-document guard. */
   def bpeDropoutTokenCount(

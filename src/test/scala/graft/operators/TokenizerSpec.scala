@@ -139,4 +139,28 @@ class TokenizerSpec extends AnyFunSuite {
       size(Tokenizer.bpeDropoutTokens(col("text"), merges, 1000000, "e0")).as("c")).collect()
     counts.foreach(r => assert(r.getInt(0) <= r.getInt(1) && r.getInt(1) <= r.getInt(2)))
   }
+
+  test("fused BPE kernel is token-for-token identical to the HOF replace fold (plain and dropout)") {
+    val docs = graft.TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val merges = Tokenizer.mergesOf(
+      Tokenizer.trainBpe(docs.select(col("text")), "text", merges = 3))
+    val cmp = docs.select(
+      Tokenizer.bpeTokens(col("text"), merges).as("fused"),
+      Tokenizer.bpeTokensHof(col("text"), merges).as("hof"),
+      Tokenizer.bpeDropoutTokens(col("text"), merges, 400000, "ep7").as("dfused"),
+      Tokenizer.bpeDropoutTokensHof(col("text"), merges, 400000, "ep7").as("dhof"))
+    assert(cmp.filter(col("fused") =!= col("hof")).count() == 0,
+      "fused kernel diverged from the HOF fold")
+    assert(cmp.filter(col("dfused") =!= col("dhof")).count() == 0,
+      "fused dropout kernel diverged from the HOF fold")
+    // and on crafted edges: self-pair runs, chained merges, empty/null-ish docs
+    val edge = corpus("aaa aaaa b", "", "xyzzy abab", "A-B c.d")
+    val em = Seq(("a", "a"), ("aa", "a"), ("b", "c"))
+    val e = edge.select(
+      Tokenizer.bpeTokens(col("text"), em).as("fused"),
+      Tokenizer.bpeTokensHof(col("text"), em).as("hof"))
+    assert(e.filter(col("fused") =!= col("hof")).count() == 0)
+  }
 }
