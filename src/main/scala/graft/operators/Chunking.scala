@@ -173,6 +173,39 @@ object Chunking {
     require(!maskToken.contains(" ") && !sepToken.contains(" "),
       "mask/sep tokens must be whitespace-free")
     val thr = Sampling.threshold(startRate)
+    // Since r15 the per-token mask derivation is the fused native
+    // SpanCorruptExpr kernel (one keyHash per POSITION instead of the
+    // HOF's ~2·spanTokens interpreted md5 Columns per token — q121 went
+    // ~6 s → ~1 s at sf0.1); spec-pinned token-for-token identical to
+    // the HOF fold below, which survives as the parity reference. Null
+    // text degrades to the HOF's exact row ("", "", null).
+    val fused = graft.functions.SpanExpressions.spanCorrupt(
+      col(idCol).cast("string"), col(textCol), salt, thr, spanTokens, maskToken, sepToken)
+    val corrupted = when(col(textCol).isNull,
+        struct(lit("").as("input"), lit("").as("target"),
+          lit(null).cast("int").as("n_masked")))
+      .otherwise(fused)
+    df.select(col(idCol), corrupted.as("__c"))
+      .select(col(idCol),
+        col("__c.input").as("input"),
+        col("__c.target").as("target"),
+        col("__c.n_masked").as("n_masked"))
+  }
+
+  /** The pre-r15 HOF formulation of [[spanCorruption]] — retained as the
+    * independent reference the parity spec pins the fused kernel
+    * against. */
+  private[operators] def spanCorruptionHof(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      startRate: Double,
+      spanTokens: Int = 3,
+      salt: String = "span",
+      maskToken: String = "<MASK>",
+      sepToken: String = "<SEP>"
+  ): DataFrame = {
+    val thr = Sampling.threshold(startRate)
     // pos1 is the 1-based position; positions < 1 test false (And does not
     // short-circuit, but hashing "id#0" is merely wasted, never an error)
     def startTest(pos1: Column) =

@@ -152,4 +152,27 @@ class ChunkingSpec extends AnyFunSuite {
       assert(streamedOut == batch)
     } finally q.stop()
   }
+
+  test("fused span kernel is byte-identical to the HOF fold on real text and crafted edges") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val f = Chunking.spanCorruption(real, "doc_id", "text",
+      startRate = 0.08, spanTokens = 3, salt = "sc1").orderBy("doc_id")
+    val h = Chunking.spanCorruptionHof(real, "doc_id", "text",
+      startRate = 0.08, spanTokens = 3, salt = "sc1").orderBy("doc_id")
+    assert(f.collect().toSeq == h.collect().toSeq,
+      "fused span kernel diverged from the HOF fold on real text")
+    // crafted edges: consecutive/leading/trailing spaces, empty and null
+    // text, single token, span longer than the doc
+    val edge = Seq(
+      (1L, "a  b   c "), (2L, ""), (3L, null), (4L, "solo"),
+      (5L, " lead"), (6L, "x y")).toDF("doc_id", "text")
+    for (span <- Seq(1, 3, 8); rate <- Seq(0.05, 0.5)) {
+      val ef = Chunking.spanCorruption(edge, "doc_id", "text",
+        startRate = rate, spanTokens = span, salt = "e").orderBy("doc_id").collect().toSeq
+      val eh = Chunking.spanCorruptionHof(edge, "doc_id", "text",
+        startRate = rate, spanTokens = span, salt = "e").orderBy("doc_id").collect().toSeq
+      assert(ef == eh, s"edge divergence at span=$span rate=$rate:\n$ef\nvs\n$eh")
+    }
+  }
 }
