@@ -63,6 +63,29 @@ object GraphPack extends QueryPack {
         .orderBy(col("user_id"), col("session_start"))
     }),
 
+    // q42's operator driven through a REAL readStream drain (the q300
+    // pattern, now with the DECIMAL value-sum leg): session windows
+    // MERGE in state as unordered micro-batches land, and the merged
+    // aggregates (count + decimal sum cast back to double) must equal
+    // the batch gaps-and-islands oracle. Full-span watermark delay +
+    // guaranteed-last far-future sentinel (user -1, filtered).
+    "q308_session_agg_drain" -> ((s, d) => {
+      val ev = Tables.events(s, d).filter(col("ts").isNotNull)
+        .select(col("ts"), col("user_id"), col("value"))
+      val maxTs = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+      val sentinelTs = java.sql.Timestamp.from(
+        maxTs.toInstant.plus(java.time.Duration.ofDays(3651)))
+      val sentinel = s.createDataFrame(
+        java.util.Arrays.asList(
+          org.apache.spark.sql.Row(sentinelTs, -1L, null)), ev.schema)
+      PackShared.drainStagedLast(s, ev, sentinel, "q308_sink", "q308-events")(
+          in => graft.streaming.Streams.sessionAggregate(
+            in.withWatermark("ts", "3650 days"),
+            keyCol = "user_id", tsCol = "ts", valueCol = "value", gap = "3 hours"))
+        .filter(col("user_id") =!= -1L)
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
     // User-journey paths: each user's first 5 event types in order,
     // counted across users — the behavioral fingerprint report.
     "q161_journeys" -> ((s, d) => {
@@ -721,6 +744,27 @@ object GraphPack extends QueryPack {
                       OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 3 HOUR
                     THEN 1 ELSE 0 END AS new_s
         FROM events),
+      i AS (
+        SELECT user_id, ts, value,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM g)
+      SELECT user_id,
+             min(ts) AS session_start,
+             max(ts) + INTERVAL 3 HOUR AS session_end,
+             CAST(count(*) AS INTEGER) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
+      FROM i GROUP BY user_id, sid ORDER BY user_id, session_start""",
+
+    // q308: q42's oracle over the non-null-ts slice — the drain must
+    // converge on the batch islands and sums.
+    "q308_session_agg_drain" -> """
+      WITH g AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                      OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 3 HOUR
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events WHERE ts IS NOT NULL),
       i AS (
         SELECT user_id, ts, value,
                sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
