@@ -83,15 +83,20 @@ private[graft] object PackShared {
       val side = java.nio.file.Files.createTempDirectory(s"graft-$label-last").toString
       try {
         lastBatch.coalesce(1).write.mode("overwrite").parquet(side)
-        val part = java.nio.file.Files.list(java.nio.file.Paths.get(side))
-          .filter(p => p.getFileName.toString.startsWith("part-") &&
+        def listDir(dir: String): Seq[java.nio.file.Path] = {
+          val s = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+          try {
+            import scala.jdk.CollectionConverters._
+            s.iterator().asScala.toVector
+          } finally s.close()
+        }
+        val part = listDir(side)
+          .find(p => p.getFileName.toString.startsWith("part-") &&
             p.getFileName.toString.endsWith(".parquet"))
-          .findFirst().orElseThrow(() => graft.core.GraftError(s"$label: no sentinel part file"))
+          .getOrElse(throw graft.core.GraftError(s"$label: no sentinel part file"))
         val dest = java.nio.file.Paths.get(stage, "z-last-batch.parquet")
         java.nio.file.Files.move(part, dest)
-        import scala.jdk.CollectionConverters._
-        val maxReal = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
-          .iterator().asScala.filter(_ != dest)
+        val maxReal = listDir(stage).filter(_ != dest)
           .map(p => java.nio.file.Files.getLastModifiedTime(p).toMillis)
           .maxOption.getOrElse(0L)
         java.nio.file.Files.setLastModifiedTime(dest,

@@ -271,6 +271,18 @@ object StatsPack extends QueryPack {
           watermarkDelay = "1 minute", col("event_type"))
         .orderBy(col("bucket"), col("event_type"))),
 
+    // Tumbling event-time counts (the operator q287's sliding form
+    // generalizes; previously spec-only): hourly epoch-aligned buckets
+    // per event type, batch execution of the same streaming-shape
+    // operator (watermark no-op on batch). Oracle: each event's single
+    // epoch-aligned window start.
+    "q309_tumbling_counts" -> ((s, d) =>
+      graft.streaming.Streams.tumblingCounts(
+          Tables.events(s, d).filter(col("ts").isNotNull),
+          "ts", windowLength = "1 hour",
+          watermarkDelay = "1 minute", col("event_type"))
+        .orderBy(col("bucket"), col("event_type"))),
+
     // q287's operator driven through a REAL readStream drain (4 micro-
     // batches): append-mode windowed aggregation only emits a window
     // once the watermark passes its end, so a far-future sentinel event
@@ -1810,6 +1822,14 @@ object StatsPack extends QueryPack {
             WHERE ts IS NOT NULL)
       SELECT bucket, event_type, count(*) AS cnt
       FROM w GROUP BY bucket, event_type
+      ORDER BY bucket, event_type""",
+
+    // q309: one epoch-aligned hourly bucket per event.
+    "q309_tumbling_counts" -> """
+      SELECT CAST(to_timestamp((epoch_us(ts) // 3600000000) * 3600) AS TIMESTAMP) AS bucket,
+             event_type, count(*) AS cnt
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY bucket, event_type
       ORDER BY bucket, event_type""",
 
     // q298: the drained form answers to q287's exact oracle — the drain
