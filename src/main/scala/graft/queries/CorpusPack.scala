@@ -218,6 +218,27 @@ object CorpusPack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // The FULL telephony ingest chain as one gate (r15): synthetic
+    // G.711 µ-law codes → fused decode → fused 8→16 kHz resample →
+    // fused stats — three kernel passes per row, zero shuffle. The
+    // oracle replays the decode formula AND the floor-div interpolation
+    // per output sample; one drifted bit anywhere in the chain fails it.
+    "q310_telephony_chain" -> ((s, d) => {
+      val mu = Multimodal.synthMulaw(
+        Tables.documents(s, d).select(col("doc_id")), "doc_id", nSamples = 480)
+      Multimodal.decodeMulaw(mu, "mulaw")
+        .select(col("doc_id"),
+          graft.functions.PcmExpressions.pcmStats(
+            graft.functions.PcmExpressions.resamplePcm16(col("pcm"), 8000, 16000),
+            160, 1L << 36).as("__st"))
+        .select(col("doc_id"),
+          element_at(col("__st"), 1).as("n_samples"),
+          element_at(col("__st"), 2).as("sum_sq"),
+          element_at(col("__st"), 3).as("peak"),
+          element_at(col("__st"), 4).as("zero_crossings"))
+        .orderBy(col("doc_id"))
+    }),
+
     // The WAV container layer end-to-end (r14): synth PCM → canonical
     // RIFF wrap → parse (magic/fmt verification, body extraction) →
     // features off the EXTRACTED body, with every 43rd container
@@ -1797,6 +1818,37 @@ object CorpusPack extends QueryPack {
 
     // q284: the ITU G.711 decode formula replayed per code (complement,
     // sign/exponent/mantissa unpack, bias 0x84), then the q282 stats.
+    // q310: the decode formula (q284's mirror) sampled at idx and idx+1,
+    // interpolated with the explicit floor-div idiom at ratio 2
+    // (odd outputs are floor midpoints), then the exact stats.
+    "q310_telephony_chain" -> """
+      WITH js AS (SELECT unnest(range(0, 959)) AS j),
+      r AS (SELECT d.doc_id, js.j, js.j // 2 AS idx, js.j % 2 AS odd
+            FROM documents d CROSS JOIN js),
+      v AS (SELECT doc_id, j, odd,
+              CASE WHEN (255 - ((doc_id * 17 + (idx) * 11) % 256)) // 128 = 1
+                   THEN 132 - ((((255 - ((doc_id * 17 + (idx) * 11) % 256)) % 16) * 8 + 132) << (((255 - ((doc_id * 17 + (idx) * 11) % 256)) // 16) % 8))
+                   ELSE ((((255 - ((doc_id * 17 + (idx) * 11) % 256)) % 16) * 8 + 132) << (((255 - ((doc_id * 17 + (idx) * 11) % 256)) // 16) % 8)) - 132 END AS s0,
+              CASE WHEN (255 - ((doc_id * 17 + (idx + 1) * 11) % 256)) // 128 = 1
+                   THEN 132 - ((((255 - ((doc_id * 17 + (idx + 1) * 11) % 256)) % 16) * 8 + 132) << (((255 - ((doc_id * 17 + (idx + 1) * 11) % 256)) // 16) % 8))
+                   ELSE ((((255 - ((doc_id * 17 + (idx + 1) * 11) % 256)) % 16) * 8 + 132) << (((255 - ((doc_id * 17 + (idx + 1) * 11) % 256)) // 16) % 8)) - 132 END AS s1
+            FROM r),
+      o AS (SELECT doc_id, j,
+              CASE WHEN odd = 0 THEN s0
+                   ELSE s0 + ((s1 - s0) - (((s1 - s0) % 2 + 2) % 2)) // 2 END AS rv
+            FROM v),
+      lagd AS (SELECT doc_id, j, rv,
+                      LAG(rv) OVER (PARTITION BY doc_id ORDER BY j) AS pv
+               FROM o)
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_samples,
+             CAST(sum(rv * rv) AS BIGINT) AS sum_sq,
+             CAST(max(abs(rv)) AS BIGINT) AS peak,
+             CAST(count(*) FILTER (WHERE pv IS NOT NULL AND
+               ((pv >= 0 AND rv < 0) OR (pv < 0 AND rv >= 0)))
+               AS BIGINT) AS zero_crossings
+      FROM lagd GROUP BY doc_id ORDER BY doc_id""",
+
     "q284_mulaw_decode" -> mulawStatsOracle,
 
     // q291: encode∘decode is the identity on the decoded sample
