@@ -91,6 +91,59 @@ object PcmKernel {
     out
   }
 
+  /** Energy-VAD SPEECH SEGMENTS of an s16le stream — the utterance
+    * extraction step between decode/resample and a usable speech-data
+    * pipeline (split long telephony audio into trainable utterances,
+    * drop silence). One pass, flattened `(start_frame, span_frames)`
+    * pairs:
+    *
+    *  1. frame energies: Σs² per FULL frame of `frame` samples (the
+    *     [[stats]] rule — odd trailing bytes and a partial tail frame
+    *     stay out);
+    *  2. a frame is ACTIVE iff its energy STRICTLY exceeds `threshold`
+    *     (exact long compare, the [[stats]] activity rule);
+    *  3. active frames separated by ≤ `maxGap` inactive frames merge
+    *     into one segment (hangover — a clap of silence inside an
+    *     utterance must not split it);
+    *  4. merged segments SPANNING fewer than `minFrames` frames drop
+    *     (an isolated energy blip is not speech).
+    *
+    * All-integer and positional, so a SQL oracle replays it with one
+    * gaps-and-islands pass over the closed-form frame energies. */
+  def vadSegments(
+      bytes: Array[Byte], frame: Int, threshold: Long,
+      maxGap: Int, minFrames: Int): Array[Long] = {
+    val n = bytes.length / 2
+    val nFrames = n / frame
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var segStart = -1; var lastActive = -1
+    def close(): Unit = {
+      if (segStart >= 0 && lastActive - segStart + 1 >= minFrames) {
+        out += segStart.toLong; out += (lastActive - segStart + 1).toLong
+      }
+    }
+    var f = 0
+    while (f < nFrames) {
+      var e = 0L
+      var i = f * frame
+      val end = i + frame
+      while (i < end) {
+        val raw = (bytes(2 * i) & 0xff) | ((bytes(2 * i + 1) & 0xff) << 8)
+        val s = (if (raw < 32768) raw else raw - 65536).toLong
+        e += s * s
+        i += 1
+      }
+      if (e > threshold) {
+        if (segStart < 0) { segStart = f; lastActive = f }
+        else if (f - lastActive - 1 <= maxGap) lastActive = f
+        else { close(); segStart = f; lastActive = f }
+      }
+      f += 1
+    }
+    close()
+    out.toArray
+  }
+
   /** s16le bytes of the closed-form pseudo-signal
     * `((id·31 + k·7) mod 65536) − 32768` — the [[SynthPcm16Expr]] body;
     * bit-identical to the format_string/unhex formulation it replaces. */
@@ -471,6 +524,39 @@ case class SplitByMagicExpr(child: Expression, magic: Seq[Byte]) extends UnaryEx
     copy(child = newChild)
 }
 
+/** Fused energy-VAD segmentation: binary → array<long> of flattened
+  * (start_frame, span_frames) speech segments — [[PcmKernel.vadSegments]]
+  * as one kernel call per row inside WholeStageCodegen. */
+case class VadSegmentsExpr(
+    child: Expression, frameSamples: Int, energyThreshold: Long,
+    maxGapFrames: Int, minSpanFrames: Int) extends UnaryExpression {
+  require(frameSamples >= 1, s"frameSamples must be >= 1, got $frameSamples")
+  require(maxGapFrames >= 0, s"maxGapFrames must be >= 0, got $maxGapFrames")
+  require(minSpanFrames >= 1, s"minSpanFrames must be >= 1, got $minSpanFrames")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_vad_segments requires a binary argument, got ${t.sql}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_vad_segments"
+
+  override def nullSafeEval(b: Any): Any =
+    ArrayData.toArrayData(PcmKernel.vadSegments(
+      b.asInstanceOf[Array[Byte]], frameSamples, energyThreshold,
+      maxGapFrames, minSpanFrames))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b =>
+      s"""${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+         |  graft.functions.PcmKernel.vadSegments(
+         |    $b, $frameSamples, ${energyThreshold}L, $maxGapFrames, $minSpanFrames));""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object PcmExpressions {
   /** Frames split on a magic byte signature: binary → array<binary>. */
   def splitFrames(bin: Column, magic: Array[Byte]): Column =
@@ -508,4 +594,12 @@ object PcmExpressions {
   /** Integer-ratio linear resample of s16le bytes (e.g. 8000 → 16000). */
   def resamplePcm16(bin: Column, fromRate: Int, toRate: Int): Column =
     GraftShims.column(ResamplePcm16Expr(GraftShims.expression(bin), fromRate, toRate))
+
+  /** Energy-VAD speech segments: binary → array<long> of flattened
+    * (start_frame, span_frames) pairs. */
+  def vadSegments(
+      bin: Column, frameSamples: Int, energyThreshold: Long,
+      maxGapFrames: Int, minSpanFrames: Int): Column =
+    GraftShims.column(VadSegmentsExpr(GraftShims.expression(bin),
+      frameSamples, energyThreshold, maxGapFrames, minSpanFrames))
 }

@@ -515,6 +515,48 @@ object Multimodal {
       .drop("__st")
   }
 
+  /** Energy-VAD SPEECH SEGMENTS of a PCM16LE column — the utterance
+    * extraction step of a speech-data pipeline (split long telephony
+    * audio into trainable utterances, drop silence): frames of
+    * `frameSamples` are active iff their energy Σs² strictly exceeds
+    * `energyThreshold` (exact long compare, [[audioFeatures]]'s rule);
+    * active frames separated by ≤ `maxGapFrames` inactive frames merge
+    * into one segment (hangover); segments spanning < `minSpanFrames`
+    * frames drop. One row per segment: the input row's columns (binary
+    * kept for downstream slicing) + `seg_idx` (1-based, in stream
+    * order), `start_frame`, `span_frames`. Rows with no segment drop
+    * (all-silence audio leaves the corpus — the curation semantics).
+    *
+    * Scale shape: ONE fused kernel call per row
+    * ([[graft.functions.VadSegmentsExpr]]) inside whole-stage codegen +
+    * a posexplode — a pure per-row projection, zero shuffle,
+    * stream-safe, embarrassingly parallel at 100 TB. */
+  def speechSegments(
+      media: DataFrame,
+      binCol: String,
+      frameSamples: Int = 160,
+      energyThreshold: Long = 1L << 32,
+      maxGapFrames: Int = 1,
+      minSpanFrames: Int = 2
+  ): DataFrame =
+    media
+      .withColumn("__segs", graft.functions.PcmExpressions.vadSegments(
+        col(binCol), frameSamples, energyThreshold, maxGapFrames, minSpanFrames))
+      .select(media.columns.map(col).toSeq :+
+        // sequence(0, -1) DESCENDS in Spark — an empty segment array must
+        // short-circuit to an empty struct array, not a bogus two-row one
+        posexplode(expr(
+          """CASE WHEN size(__segs) = 0
+            |THEN CAST(array() AS array<struct<start_frame:bigint,span_frames:bigint>>)
+            |ELSE transform(sequence(0, size(__segs) div 2 - 1),
+            |  i -> struct(__segs[CAST(2 * i AS INT)] AS start_frame,
+            |              __segs[CAST(2 * i + 1 AS INT)] AS span_frames)) END""".stripMargin))
+          .as(Seq("__i", "__seg")): _*)
+      .withColumn("seg_idx", (col("__i") + 1).cast("long"))
+      .withColumn("start_frame", col("__seg.start_frame"))
+      .withColumn("span_frames", col("__seg.span_frames"))
+      .drop("__i", "__seg")
+
   /** Deterministic synthetic 8x8 grayscale PNGs — REAL `ImageIO` encode, so
     * everything downstream (decode, feature grid, similarity) exercises the
     * actual codec path on reproducible content. Input columns:

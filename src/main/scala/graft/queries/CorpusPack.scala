@@ -239,6 +239,29 @@ object CorpusPack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Energy-VAD speech segmentation (r15): the utterance-extraction
+    // step after decode/resample — per doc a composite signal (ramp A,
+    // one constant low-energy frame, ramp B) so the gate exercises ALL
+    // the VAD mechanics on real variety (2-3 segments/doc, spans 3..40,
+    // 186 in-corpus hangover merges across the single low frame, 24
+    // min-span drops at sf0.01). The oracle replays frame energies from
+    // the closed form and runs one gaps-and-islands pass with the same
+    // merge/filter rule — a drifted frame boundary, strictness, gap or
+    // span rule fails the hash. Pure per-row fused kernel + posexplode:
+    // zero shuffle at any scale.
+    "q311_vad_segments" -> ((s, d) => {
+      val pcm = Tables.documents(s, d).select(col("doc_id"),
+        concat(
+          graft.functions.PcmExpressions.synthPcm16(col("doc_id").cast("long"), 4800),
+          graft.functions.PcmExpressions.synthPcm16(lit(1057L), 160),
+          graft.functions.PcmExpressions.synthPcm16(
+            col("doc_id").cast("long") * 3 + 7, 4800)).as("audio"))
+      Multimodal.speechSegments(pcm, "audio", frameSamples = 160,
+          energyThreshold = 5760000000L, maxGapFrames = 1, minSpanFrames = 3)
+        .select(col("doc_id"), col("seg_idx"), col("start_frame"), col("span_frames"))
+        .orderBy(col("doc_id"), col("seg_idx"))
+    }),
+
     // The WAV container layer end-to-end (r14): synth PCM → canonical
     // RIFF wrap → parse (magic/fmt verification, body extraction) →
     // features off the EXTRACTED body, with every 43rd container
@@ -1771,6 +1794,41 @@ object CorpusPack extends QueryPack {
                ((pv >= 0 AND rv < 0) OR (pv < 0 AND rv >= 0)))
                AS BIGINT) AS zero_crossings
       FROM lagd GROUP BY doc_id ORDER BY doc_id""",
+
+    // q311: frame energies replayed from the composite closed form
+    // (ramp A | low frame | ramp B), active frames thresholded with the
+    // same strict compare, one gaps-and-islands pass with the gap<=1
+    // merge and span>=3 filter, segments re-indexed per doc.
+    "q311_vad_segments" -> """
+      WITH ks AS (SELECT unnest(range(0, 9760)) AS k),
+      s AS (SELECT d.doc_id, ks.k,
+              CASE WHEN ks.k < 4800
+                     THEN ((d.doc_id * 31 + ks.k * 7) % 65536) - 32768
+                   WHEN ks.k < 4960
+                     THEN ((1057 * 31 + (ks.k - 4800) * 7) % 65536) - 32768
+                   ELSE (((d.doc_id * 3 + 7) * 31 + (ks.k - 4960) * 7) % 65536) - 32768
+              END AS sv
+            FROM documents d CROSS JOIN ks),
+      fr AS (SELECT doc_id, k // 160 AS f, sum(sv * sv) AS fe
+             FROM s GROUP BY doc_id, k // 160),
+      act AS (SELECT doc_id, f FROM fr WHERE fe > 5760000000),
+      isl AS (SELECT doc_id, f,
+                CASE WHEN f - LAG(f) OVER (PARTITION BY doc_id ORDER BY f) - 1 <= 1
+                     THEN 0 ELSE 1 END AS brk
+              FROM act),
+      grp AS (SELECT doc_id, f,
+                sum(brk) OVER (PARTITION BY doc_id ORDER BY f) AS seg
+              FROM isl),
+      seg AS (SELECT doc_id, seg, min(f) AS start_frame,
+                     max(f) - min(f) + 1 AS span_frames
+              FROM grp GROUP BY doc_id, seg
+              HAVING max(f) - min(f) + 1 >= 3)
+      SELECT doc_id,
+             CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_frame)
+               AS BIGINT) AS seg_idx,
+             CAST(start_frame AS BIGINT) AS start_frame,
+             CAST(span_frames AS BIGINT) AS span_frames
+      FROM seg ORDER BY doc_id, seg_idx""",
 
     // q283: clean rows = the q282 formulas + header constants; corrupt
     // rows = the flag with nulls (and the operator's documented

@@ -289,6 +289,57 @@ class MultimodalSpec extends AnyFunSuite {
       r3.getAs[Long]("zero_crossings") == 0L && r3.getAs[Long]("active_frames") == 0L)
   }
 
+  test("vadSegments kernel: hangover merge, min-span filter, strict threshold, tail exclusion") {
+    def enc(samples: Seq[Int]): Array[Byte] = samples.flatMap { s =>
+      val u = if (s < 0) s + 65536 else s
+      Seq((u % 256).toByte, (u / 256).toByte)
+    }.toArray
+    import graft.functions.PcmKernel.vadSegments
+    // frames of 2 samples at value v have energy 2v²; threshold 1000:
+    // v=100 active (20000), v=1/0 inactive. Pattern per frame:
+    // A A . A . . A A A .  with maxGap=1, minSpan=2
+    val active = Seq(100, 100); val quiet = Seq(1, 1)
+    val sig = Seq(active, active, quiet, active, quiet, quiet,
+      active, active, active, quiet).flatten
+    // frame 3 merges across the single quiet frame 2 (hangover);
+    // frames 4-5 (gap 2 > maxGap) split; spans 4 and 3 both survive
+    assert(vadSegments(enc(sig), 2, 1000L, 1, 2).toSeq == Seq(0L, 4L, 6L, 3L))
+    // maxGap 0: the same signal splits at frame 2 -> (0,2),(3,1 dropped),(6,3)
+    assert(vadSegments(enc(sig), 2, 1000L, 0, 2).toSeq == Seq(0L, 2L, 6L, 3L))
+    // min-span: an isolated active frame drops at minSpan=2, kept at 1
+    val blip = Seq(quiet, active, quiet).flatten
+    assert(vadSegments(enc(blip), 2, 1000L, 1, 2).isEmpty)
+    assert(vadSegments(enc(blip), 2, 1000L, 1, 1).toSeq == Seq(1L, 1L))
+    // threshold is STRICT: energy exactly == threshold is inactive
+    assert(vadSegments(enc(active), 2, 20000L, 0, 1).isEmpty)
+    assert(vadSegments(enc(active), 2, 19999L, 0, 1).toSeq == Seq(0L, 1L))
+    // a partial tail frame and an odd trailing byte stay out
+    assert(vadSegments(enc(sig :+ 100) :+ 0x7f.toByte, 2, 1000L, 1, 2).toSeq
+      == Seq(0L, 4L, 6L, 3L))
+    assert(vadSegments(Array.empty[Byte], 2, 1000L, 1, 2).isEmpty)
+  }
+
+  test("speechSegments: exploded rows match the kernel; all-silence rows drop; seg_idx is 1-based") {
+    import spark.implicits._
+    val pcm = Multimodal.synthPcm16(Seq(3L, 4L, 1057L).toDF("doc_id"), "doc_id", nSamples = 480)
+    val out = Multimodal.speechSegments(pcm, "audio", frameSamples = 40,
+      energyThreshold = 40L * 6000 * 6000, maxGapFrames = 1, minSpanFrames = 2)
+    val rows = out.select("doc_id", "seg_idx", "start_frame", "span_frames")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // parity with the kernel run locally on the same synth bytes
+    val expected = Seq(3L, 4L, 1057L).flatMap { id =>
+      val segs = graft.functions.PcmKernel.vadSegments(
+        graft.functions.PcmKernel.synth(id, 480), 40, 40L * 6000 * 6000, 1, 2)
+      segs.grouped(2).zipWithIndex.map { case (Array(st, sp), i) => (id, i + 1L, st, sp) }
+    }
+    assert(rows.sorted.toSeq == expected.sorted)
+    // id 1057's ramp sits near zero: every frame inactive, the row drops
+    assert(!rows.exists(_._1 == 1057L))
+    assert(rows.exists(_._1 == 3L), "active docs must survive")
+    // the binary column survives the explode for downstream slicing
+    assert(out.columns.contains("audio"))
+  }
+
   test("wrapWav emits a canonical RIFF header javax.sound can read; parseWav round-trips; corrupt degrades") {
     import spark.implicits._
     val pcm = Multimodal.synthPcm16(Seq(9L).toDF("doc_id"), "doc_id", nSamples = 32)
