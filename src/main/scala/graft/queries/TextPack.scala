@@ -619,6 +619,67 @@ object TextPack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // WordPiece (BERT-family) greedy tokenization on REAL text — the
+    // q294 closed-form trick carries over: with char-disjoint pieces
+    // th/er/on (in BOTH the initial and ## continuation sets) no piece
+    // occurrence can be preempted by another (second chars h/r/n are
+    // disjoint from first chars t/e/o), so greedy longest-match takes
+    // exactly every occurrence and n_tokens = len − Σocc. Full char
+    // coverage → zero UNKs on [a-z0-9] words. Pure per-row fused-kernel
+    // projection — zero shuffle at any scale.
+    "q312_wordpiece_tokens" -> ((s, d) => {
+      val chars = (('a' to 'z') ++ ('0' to '9')).map(_.toString)
+      val v = graft.operators.WordPiece.fixedVocab(
+        initial = chars ++ Seq("th", "er", "on"),
+        continuation = chars ++ Seq("th", "er", "on"), maxPieceLen = 2)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.operators.WordPiece.docStats(coalesce(col("text"), lit("")), v).as("__s"))
+        .select(col("doc_id"),
+          element_at(col("__s"), 1).as("n_tokens"),
+          element_at(col("__s"), 2).as("n_unk_words"),
+          element_at(col("__s"), 3).as("n_words"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // WordPiece greedy on PLANTED bounded words (q295's binary-expansion
+    // construction) under a vocab with position-dependent sets and a
+    // coverage GAP (no lone '##a'): greedy must pick 'bab'/'aa'/'ab' at
+    // word start, 2-char continuations before '##b', and degrade the
+    // WHOLE word to [UNK] on a trailing lone 'a' (126 of 500 ids at
+    // sf0.01; token counts spread 1..5). The oracle unrolls the greedy
+    // consumption positionally as an 8-stage machine — pre-verified
+    // against an independent reference over all 500 ids.
+    "q313_wordpiece_greedy" -> ((s, d) => {
+      val v = graft.operators.WordPiece.fixedVocab(
+        initial = Seq("a", "b", "aa", "ab", "bab"),
+        continuation = Seq("b", "ab", "ba", "bb", "aa"), maxPieceLen = 3)
+      val w8 = concat((0 to 7).map(k =>
+        expr(s"CASE WHEN (doc_id div ${1 << k}) % 2 = 0 THEN 'a' ELSE 'b' END")): _*)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr("4 + CAST(doc_id % 5 AS INT)").as("__n"), w8.as("__w8"))
+        .select(col("doc_id"),
+          graft.operators.WordPiece.docStats(expr("substring(__w8, 1, __n)"), v).as("__s"))
+        .select(col("doc_id"),
+          element_at(col("__s"), 1).as("n_tokens"),
+          (element_at(col("__s"), 2) === 1L).as("is_unk"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Distributed WordPiece training (the BERT-family criterion): 2
+    // merges over the ##-marked word-frequency table, each merge chosen
+    // by the QUANTIZED likelihood ratio ⌊pair·10¹²/(l_count·r_count)⌋ —
+    // exact integer division (DECIMAL(38,0) div here, HUGEINT // in the
+    // oracle), ties (score desc, l, r). The oracle unrolls both
+    // iterations with the same pair/symbol recounts — a drifted count,
+    // rounding, or tie-break anywhere fails the hash.
+    "q314_wordpiece_train" -> ((s, d) => {
+      graft.operators.WordPiece.trainWordPiece(
+          Tables.documents(s, d).select(col("text")), "text", merges = 2)
+        .orderBy(col("iter"))
+    }),
+
     // Unigram-LM SEED vocabulary (training stage 1) on real text: every
     // substring of length <= 3 of every corpus word, weighted by word
     // count; top-40 by (count desc, piece asc) with single characters
@@ -632,7 +693,109 @@ object TextPack extends QueryPack {
     }),
   )
 
+  /** One stage of the q313 greedy machine: consume the longest matching
+    * piece at `pos` (1-based), or latch `unk` — pre-verified against an
+    * independent reference greedy over all 500 ids. */
+  private def wpGreedyStage(k: Int): String =
+    s"""s$k AS (SELECT *, CASE WHEN unk OR pos > wlen THEN 0
+       |     WHEN pos = 1 THEN (CASE WHEN substr(w, 1, 3) = 'bab' THEN 3
+       |                             WHEN substr(w, 1, 2) IN ('aa','ab') THEN 2
+       |                             ELSE 1 END)
+       |     ELSE (CASE WHEN substr(w, pos, 2) IN ('ab','ba','bb','aa') THEN 2
+       |                WHEN substr(w, pos, 1) = 'b' THEN 1 ELSE -1 END) END AS st
+       |   FROM g${k - 1}),
+       |g$k AS (SELECT doc_id, w, wlen,
+       |     CASE WHEN st > 0 THEN pos + st ELSE pos END AS pos,
+       |     CASE WHEN st > 0 THEN toks + 1 ELSE toks END AS toks,
+       |     (unk OR st = -1) AS unk FROM s$k)""".stripMargin
+
+  /** One unrolled WordPiece training iteration (the q100 CTE shape plus
+    * symbol counts and the HUGEINT quantized-ratio argmax). */
+  private def wpTrainIter(i: Int): String = {
+    val prev = s"r${i - 1}"
+    s"""t$i AS (SELECT string_split(trim(rep, '|'), '||') AS t, wc FROM $prev),
+       |p$i AS (SELECT t[p] AS l_sym, t[p+1] AS r_sym, CAST(sum(wc) AS BIGINT) AS pair_count
+       |       FROM (SELECT t, wc, unnest(generate_series(1, len(t) - 1)) AS p
+       |             FROM t$i WHERE len(t) >= 2)
+       |       GROUP BY 1, 2),
+       |y$i AS (SELECT sym, CAST(sum(wc) AS BIGINT) AS sym_count
+       |       FROM (SELECT unnest(t) AS sym, wc FROM t$i) GROUP BY sym),
+       |b$i AS (SELECT l_sym, r_sym, pair_count,
+       |              sl.sym_count AS l_count, sr.sym_count AS r_count,
+       |              CAST((CAST(pair_count AS HUGEINT) * 1000000000000)
+       |                // (CAST(sl.sym_count AS HUGEINT) * sr.sym_count) AS BIGINT) AS score_e12,
+       |              l_sym || (CASE WHEN starts_with(r_sym, '##')
+       |                             THEN substr(r_sym, 3) ELSE r_sym END) AS merged
+       |       FROM p$i JOIN y$i sl ON p$i.l_sym = sl.sym JOIN y$i sr ON p$i.r_sym = sr.sym
+       |       ORDER BY score_e12 DESC, l_sym, r_sym LIMIT 1),
+       |r$i AS (SELECT replace(rep,
+       |         '|' || (SELECT l_sym FROM b$i) || '||' || (SELECT r_sym FROM b$i) || '|',
+       |         '|' || (SELECT merged FROM b$i) || '|') AS rep, wc
+       |       FROM $prev)""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    // q312: the q294 closed form — greedy takes exactly every
+    // occurrence of the char-disjoint pieces, n_tokens = len − Σocc,
+    // zero UNKs under full char coverage.
+    "q312_wordpiece_tokens" -> """
+      WITH w AS (
+        SELECT doc_id, w FROM (
+          SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS w
+          FROM documents)
+        WHERE len(w) > 0),
+      o AS (SELECT doc_id,
+              CAST(sum(len(w) - ((len(w) - len(replace(w, 'th', ''))) // 2
+                               + (len(w) - len(replace(w, 'er', ''))) // 2
+                               + (len(w) - len(replace(w, 'on', ''))) // 2)) AS BIGINT) AS n_tokens,
+              CAST(count(*) AS BIGINT) AS n_words
+            FROM w GROUP BY doc_id)
+      SELECT d.doc_id,
+             CAST(coalesce(o.n_tokens, 0) AS BIGINT) AS n_tokens,
+             CAST(0 AS BIGINT) AS n_unk_words,
+             CAST(coalesce(o.n_words, 0) AS BIGINT) AS n_words
+      FROM documents d LEFT JOIN o USING (doc_id)
+      ORDER BY d.doc_id""",
+
+    // q313: the greedy consumption unrolled as an 8-stage positional
+    // machine over the planted words (a word of <= 8 chars consumes at
+    // most 8 pieces), UNK latched on the first unmatchable position.
+    "q313_wordpiece_greedy" -> s"""
+      WITH base AS (
+        SELECT doc_id,
+               substr(c0||c1||c2||c3||c4||c5||c6||c7, 1, CAST(4 + doc_id % 5 AS INTEGER)) AS w
+        FROM (SELECT doc_id,
+                ${(0 to 7).map(k =>
+                  s"CASE WHEN (doc_id // ${1 << k}) % 2 = 0 THEN 'a' ELSE 'b' END AS c$k")
+                  .mkString(",\n                ")}
+              FROM documents)),
+      g0 AS (SELECT doc_id, w, len(w) AS wlen, 1 AS pos, 0 AS toks, false AS unk FROM base),
+      ${(1 to 8).map(wpGreedyStage).mkString(",\n      ")}
+      SELECT doc_id,
+             CAST(CASE WHEN unk THEN 1 ELSE toks END AS BIGINT) AS n_tokens,
+             unk AS is_unk
+      FROM g8 ORDER BY doc_id""",
+
+    // q314: both training iterations unrolled — ##-marked reps, pair +
+    // symbol recounts per iteration, HUGEINT quantized-ratio argmax with
+    // the (score desc, l, r) tie-break, WordPiece's ##-stripping merge.
+    "q314_wordpiece_train" -> s"""
+      WITH words AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS wc FROM (
+          SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS w
+          FROM documents)
+        WHERE len(w) > 0 GROUP BY w),
+      r0 AS (SELECT CASE WHEN len(w) <= 1 THEN '|' || w || '|'
+                    ELSE '|' || substr(w, 1, 1) || '|'
+                         || regexp_replace(substr(w, 2), '(.)', '|##\\1|', 'g')
+                    END AS rep, wc FROM words),
+      ${Seq(1, 2).map(wpTrainIter).mkString(",\n      ")}
+      SELECT * FROM (
+        SELECT 1 AS iter, l_sym, r_sym, merged, pair_count, l_count, r_count, score_e12 FROM b1
+        UNION ALL
+        SELECT 2, l_sym, r_sym, merged, pair_count, l_count, r_count, score_e12 FROM b2)
+      ORDER BY iter""",
+
     "q57_pii_redaction" -> piiOracle,
 
     "q164_template_mining" -> """
