@@ -577,6 +577,100 @@ object Similarity {
   def dequantize(qvec: Column, scale: Column): Column =
     transform(qvec, q => q.cast("double") * scale)
 
+  // --- 1-bit (sign) quantization + Hamming search ------------------------
+
+  /** 1-BIT sign quantization (Charikar 2002's SimHash applied to the raw
+    * embedding axes): bit `k` of packed 32-bit word `w` is set iff
+    * `vec[32w+k] >= 0`. At 100 TB this is the memory-bound extreme of the
+    * quantization ladder ([[quantizeInt8]] 4×, [[pqEncode]] ~dim×/m, sign
+    * 32×): a 64-dim float32 corpus drops from 256 B to 8 B per vector, and
+    * Hamming distance (one xor+popcount per word) approximates angular
+    * distance — `cos(θ) ≈ cos(π·h/dim)`. One fused kernel call per row
+    * ([[graft.functions.SignPackExpr]]), zero shuffle, stream-safe.
+    * Output: (vectorId, code array<long> of ⌈dim/32⌉ positive words). */
+  def signQuantize(vectors: DataFrame, vectorId: String, vectorCol: String): DataFrame =
+    vectors.select(col(vectorId),
+      graft.functions.VectorExpressions.signPack(col(vectorCol)).as("code"))
+
+  /** Hamming distance between two packed codes (exact integer — the
+    * oracle-friendly scoring primitive). */
+  def hammingDist(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.hamming(a, b)
+
+  /** EXACT all-pairs Hamming-radius search via multi-index hashing
+    * (Norouzi et al. 2012, "Fast Search in Hamming Space with Multi-Index
+    * Hashing"): the `dim` code bits split into ⌈dim/bandBits⌉ disjoint
+    * bands; by pigeonhole two codes within Hamming distance `maxHamming <
+    * bands` agree EXACTLY on at least one band, so a band-value equi-join
+    * finds every qualifying pair — guaranteed recall 1 (unlike sign-LSH
+    * banding, whose recall is probabilistic) — and the verify step makes
+    * precision 1. Scale shape: |corpus|·bands rows shuffle on (band,
+    * value); candidates per bucket are corpus-dependent but bounded by the
+    * band width (2^bandBits buckets per band); the exact Hamming check is
+    * one fused xor+popcount per candidate. SMJ-pinned self-join under the
+    * explode (the [[Dedup.simHashPairsFromSignatures]] rule — static size
+    * estimates under explodes are garbage, broadcasting the corpus is
+    * wrong at scale). */
+  def signHammingPairs(
+      df: DataFrame,
+      idCol: String,
+      codeCol: String,
+      dim: Int,
+      maxHamming: Int,
+      bandBits: Int = 8
+  ): DataFrame = {
+    require(bandBits >= 1 && bandBits <= 32 && 32 % bandBits == 0,
+      s"bandBits must divide 32, got $bandBits")
+    val bands = (dim + bandBits - 1) / bandBits
+    require(maxHamming >= 0 && maxHamming < bands,
+      s"pigeonhole needs maxHamming < bands: $maxHamming >= $bands " +
+        s"(dim=$dim, bandBits=$bandBits) — narrow the radius or the bands")
+    val bandVals = (0 until bands).map { j =>
+      shiftright(element_at(col(codeCol), j * bandBits / 32 + 1),
+        (j * bandBits) % 32).bitwiseAND((1L << bandBits) - 1)
+    }
+    val banded = df.select(col(idCol), col(codeCol),
+      posexplode(array(bandVals: _*)).as(Seq("__band", "__bv")))
+    val a = banded.select(col("__band"), col("__bv"),
+      col(idCol).as("id_a"), col(codeCol).as("__ca"))
+    val b = banded.select(col("__band"), col("__bv"),
+      col(idCol).as("id_b"), col(codeCol).as("__cb"))
+    a.join(b.hint("shuffle_merge"), Seq("__band", "__bv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hammingDist(col("__ca"), col("__cb")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact Hamming top-k over packed codes — [[bruteForceTopK]]'s 1-bit
+    * sibling (broadcast probes, scan the corpus once, per-probe top-k; the
+    * per-pair cost drops from `dim` float multiplies to ⌈dim/32⌉
+    * xor+popcounts). Rank by (hamming asc, nbr id asc) — all-integer, so
+    * even the ranking is engine-exact. */
+  def signHammingTopK(
+      vectors: DataFrame,
+      vectorId: String,
+      codeCol: String,
+      probes: DataFrame,
+      probeId: String,
+      probeCol: String,
+      k: Int
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = Dedup.withComputeParallelism(
+      vectors.select(col(vectorId).as("nbr_id"), col(codeCol).as("__c")))
+    val p = probes.select(col(probeId).as("probe_id"), col(probeCol).as("__p"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("hamming"), col("nbr_id"))
+    v.crossJoin(broadcast(p))
+      .filter(col("nbr_id") =!= col("probe_id"))
+      .withColumn("hamming", hammingDist(col("__p"), col("__c")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("rnk").cast("long").as("rnk"),
+        col("nbr_id"), col("hamming"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a similarity threshold.
     * Exact over all pairs below `maxIdForExact` table sizes it is meant for
     * oracle checking; the scale path is the same computation restricted to

@@ -107,6 +107,59 @@ object RetrievalPack extends QueryPack {
             col("found").cast("double") / col("eligible").cast("double"), 4).as("recall"))
     }),
 
+    // 1-BIT sign quantization (r15): the 32x-storage extreme of the
+    // quantization ladder (int8 4x, PQ ~16x, sign 32x) — pack the sign
+    // bit of every component into 32-bit words via the fused kernel.
+    // The oracle re-derives every word as an integer sum of powers of
+    // two — one drifted bit position, word boundary, or >= 0 sign rule
+    // fails the hash. Pure per-row projection, zero shuffle.
+    "q315_sign_quantize" -> ((s, d) => {
+      Similarity.signQuantize(Tables.embeddings(s, d), "vec_id", "embedding")
+        .select(col("vec_id"),
+          element_at(col("code"), 1).as("w0"),
+          element_at(col("code"), 2).as("w1"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // EXACT Hamming-radius search via multi-index hashing (Norouzi 2012):
+    // 8 disjoint 8-bit bands over the 64-bit sign codes — pigeonhole
+    // guarantees every pair within radius 7 agrees on some band, so the
+    // band equi-join + exact verify has recall AND precision exactly 1
+    // (unlike probabilistic LSH banding). The corpus plants a perturbed
+    // twin per vec_id % 5 == 0 with a VARIED number of sign flips
+    // (3..8 — the 8s fall outside the radius and must be excluded; the
+    // background minimum is 15, measured). The oracle re-derives the
+    // planted corpus, the packed codes, and ALL qualifying pairs by
+    // brute force — set equality proves the pigeonhole path complete.
+    "q316_hamming_pairs" -> ((s, d) => {
+      val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      // `__orig` keeps the perturbation seed unambiguous (the q61 rule)
+      val planted = base.filter(pmod(col("vec_id"), lit(5)) === 0)
+        .select(col("vec_id").as("__orig"), col("embedding"))
+        .select((col("__orig") + 100000000L).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            when(pmod((col("__orig") + i.cast("long"))
+                * (col("__orig") + lit(2L) * i.cast("long") + 1L), lit(19)) === 0,
+              -x).otherwise(x)).as("embedding"))
+      val codes = Similarity.signQuantize(
+        base.unionByName(planted), "vec_id", "embedding")
+      Similarity.signHammingPairs(codes, "vec_id", "code",
+          dim = 64, maxHamming = 7, bandBits = 8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Exact Hamming top-k over the packed codes — q26's 1-bit sibling
+    // (broadcast probes, one corpus scan, per-probe rank). All-integer
+    // distances with the (hamming, nbr_id) tie-break, so even the
+    // RANKING is oracle-exact — no score quantization needed.
+    "q317_hamming_topk" -> ((s, d) => {
+      val codes = Similarity.signQuantize(Tables.embeddings(s, d), "vec_id", "embedding")
+      Similarity.signHammingTopK(
+          codes, "vec_id", "code",
+          codes.filter(col("vec_id") < 10), "vec_id", "code", k = 5)
+        .orderBy(col("probe_id"), col("rnk"))
+    }),
+
     // ANN over the INT8-DEQUANTIZED vectors — the quantized-storage
     // retrieval path end-to-end under the oracle: quantize (q66's exact
     // arithmetic) → dequantize → brute-force cosine top-k (q26's shape).
@@ -822,6 +875,71 @@ object RetrievalPack extends QueryPack {
       FROM e a JOIN e b ON a.vec_id < b.vec_id
       WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.3
       ORDER BY id_a, id_b""",
+
+    // q315: every packed word re-derived as an integer sum of powers of
+    // two over the >= 0 sign tests.
+    "q315_sign_quantize" -> """
+      WITH bits AS (
+        SELECT vec_id, k,
+               CASE WHEN embedding[k + 1] >= 0 THEN 1::BIGINT << (k % 32) ELSE 0 END AS bv,
+               k // 32 AS w
+        FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS k))
+      SELECT vec_id,
+             CAST(sum(CASE WHEN w = 0 THEN bv ELSE 0 END) AS BIGINT) AS w0,
+             CAST(sum(CASE WHEN w = 1 THEN bv ELSE 0 END) AS BIGINT) AS w1
+      FROM bits GROUP BY vec_id ORDER BY vec_id""",
+
+    // q316: the planted corpus re-derived (sign flips where
+    // (v+k)(v+2k+1) % 19 = 0), packed, and ALL pairs within radius 7 by
+    // brute force — set equality with the banded join proves MIH
+    // complete (pigeonhole) and the verify precise.
+    "q316_hamming_pairs" -> """
+      WITH corpus AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 100000000,
+               list_transform(generate_series(1, 64), j ->
+                 CASE WHEN ((vec_id + (j - 1)) * (vec_id + 2 * (j - 1) + 1)) % 19 = 0
+                      THEN -embedding[j] ELSE embedding[j] END)
+        FROM embeddings WHERE vec_id % 5 = 0),
+      bits AS (
+        SELECT vec_id, k,
+               CASE WHEN embedding[k + 1] >= 0 THEN 1::BIGINT << (k % 32) ELSE 0 END AS bv,
+               k // 32 AS w
+        FROM corpus CROSS JOIN (SELECT unnest(range(0, 64)) AS k)),
+      codes AS (
+        SELECT vec_id,
+               CAST(sum(CASE WHEN w = 0 THEN bv ELSE 0 END) AS BIGINT) AS w0,
+               CAST(sum(CASE WHEN w = 1 THEN bv ELSE 0 END) AS BIGINT) AS w1
+        FROM bits GROUP BY vec_id)
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             CAST(bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) AS BIGINT) AS hamming
+      FROM codes a JOIN codes b ON a.vec_id < b.vec_id
+      WHERE bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) <= 7
+      ORDER BY id_a, id_b""",
+
+    // q317: brute-force Hamming top-5 with the all-integer
+    // (hamming, nbr_id) rank — even the ranking is engine-exact.
+    "q317_hamming_topk" -> """
+      WITH bits AS (
+        SELECT vec_id, k,
+               CASE WHEN embedding[k + 1] >= 0 THEN 1::BIGINT << (k % 32) ELSE 0 END AS bv,
+               k // 32 AS w
+        FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS k)),
+      codes AS (
+        SELECT vec_id,
+               CAST(sum(CASE WHEN w = 0 THEN bv ELSE 0 END) AS BIGINT) AS w0,
+               CAST(sum(CASE WHEN w = 1 THEN bv ELSE 0 END) AS BIGINT) AS w1
+        FROM bits GROUP BY vec_id),
+      s AS (SELECT p.vec_id AS probe_id, e.vec_id AS nbr_id,
+                   CAST(bit_count(xor(p.w0, e.w0)) + bit_count(xor(p.w1, e.w1)) AS BIGINT) AS hamming
+            FROM codes p CROSS JOIN codes e
+            WHERE p.vec_id < 10 AND e.vec_id != p.vec_id),
+      r AS (SELECT probe_id, nbr_id, hamming,
+                   row_number() OVER (PARTITION BY probe_id ORDER BY hamming, nbr_id) AS rnk
+            FROM s)
+      SELECT probe_id, CAST(rnk AS BIGINT) AS rnk, nbr_id, hamming
+      FROM r WHERE rnk <= 5 ORDER BY probe_id, rnk""",
 
     // q48 must EQUAL the exact all-pairs answer (recall 1 at these band
     // parameters on this corpus; precision 1 by construction), so its

@@ -63,6 +63,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // q81: q26's brute-force shape over the dequantized vectors — the
     // probe set is parameter-bounded and broadcast by design.
     "q81_ann_quantized" -> (0, 1, 0),
+    // q317: q26's brute-force probe class over the packed sign codes —
+    // the probe set (vec_id < 10) is parameter-bounded and broadcast by
+    // design; the corpus side is one scan.
+    "q317_hamming_topk" -> (0, 1, 0),
     // q82: q73's offset-table broadcast, same bounded class.
     "q82_token_budget_by_group" -> (0, 0, 1),
     // q84: centerForBuckets' 1-row mean aggregate crossJoined back into the
