@@ -144,6 +144,44 @@ object PcmKernel {
     out.toArray
   }
 
+  /** PEAK-NORMALIZE an s16le stream — the loudness-alignment step of a
+    * speech-data pipeline (mixed-gain telephony captures must match the
+    * model's expected level before features are comparable): one pass
+    * finds `peak = max|s|`, a second rescales every sample to
+    * `out_i = floorDiv(s_i · targetPeak, peak)` — exact integer math
+    * (the [[resample]] floor-div discipline; the peak sample maps to
+    * ±targetPeak exactly, everything else scales proportionally, floored
+    * onto the PCM lattice). All-zero/empty streams pass through
+    * unchanged (no gain can be defined); odd trailing bytes stay out. */
+  def gainNormalize(bytes: Array[Byte], targetPeak: Int): Array[Byte] = {
+    val n = bytes.length / 2
+    def sample(k: Int): Int = {
+      val raw = (bytes(2 * k) & 0xff) | ((bytes(2 * k + 1) & 0xff) << 8)
+      if (raw < 32768) raw else raw - 65536
+    }
+    var peak = 0L
+    var i = 0
+    while (i < n) {
+      val a = math.abs(sample(i).toLong)
+      if (a > peak) peak = a
+      i += 1
+    }
+    val out = new Array[Byte](n * 2)
+    if (peak == 0L) {
+      System.arraycopy(bytes, 0, out, 0, n * 2)
+      return out
+    }
+    i = 0
+    while (i < n) {
+      val v = Math.floorDiv(sample(i).toLong * targetPeak, peak).toInt
+      val u = if (v < 0) v + 65536 else v
+      out(2 * i) = (u & 0xff).toByte
+      out(2 * i + 1) = ((u >> 8) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
   /** s16le bytes of the closed-form pseudo-signal
     * `((id·31 + k·7) mod 65536) − 32768` — the [[SynthPcm16Expr]] body;
     * bit-identical to the format_string/unhex formulation it replaces. */
@@ -524,6 +562,31 @@ case class SplitByMagicExpr(child: Expression, magic: Seq[Byte]) extends UnaryEx
     copy(child = newChild)
 }
 
+/** Fused peak normalization: binary → binary rescaled so max|s| =
+  * targetPeak ([[PcmKernel.gainNormalize]] — exact floor-div integer
+  * scaling; all-zero streams pass through). */
+case class GainNormalizeExpr(child: Expression, targetPeak: Int) extends UnaryExpression {
+  require(targetPeak >= 1 && targetPeak <= 32767,
+    s"targetPeak out of [1, 32767]: $targetPeak")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_pcm16_gain requires a binary argument, got ${t.sql}")
+  }
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_pcm16_gain"
+
+  override def nullSafeEval(b: Any): Any =
+    PcmKernel.gainNormalize(b.asInstanceOf[Array[Byte]], targetPeak)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b =>
+      s"${ev.value} = graft.functions.PcmKernel.gainNormalize($b, $targetPeak);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Fused energy-VAD segmentation: binary → array<long> of flattened
   * (start_frame, span_frames) speech segments — [[PcmKernel.vadSegments]]
   * as one kernel call per row inside WholeStageCodegen. */
@@ -594,6 +657,11 @@ object PcmExpressions {
   /** Integer-ratio linear resample of s16le bytes (e.g. 8000 → 16000). */
   def resamplePcm16(bin: Column, fromRate: Int, toRate: Int): Column =
     GraftShims.column(ResamplePcm16Expr(GraftShims.expression(bin), fromRate, toRate))
+
+  /** Peak-normalize s16le bytes so max|s| = targetPeak (exact floor-div
+    * scaling; all-zero streams pass through). */
+  def gainNormalize(bin: Column, targetPeak: Int): Column =
+    GraftShims.column(GainNormalizeExpr(GraftShims.expression(bin), targetPeak))
 
   /** Energy-VAD speech segments: binary → array<long> of flattened
     * (start_frame, span_frames) pairs. */

@@ -85,9 +85,6 @@ final class WordPieceVocab(
     val sub = w.substring(from, until)
     if (initial) initialSet.contains(sub) else contSet.contains(sub)
   }
-
-  def sizeInitial: Int = initialSet.size
-  def sizeCont: Int = contSet.size
 }
 
 object WordPieceVocab {

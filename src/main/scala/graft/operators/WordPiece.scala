@@ -225,4 +225,29 @@ object WordPiece {
     * [[graft.functions.WordPieceKernel.greedy]] for driver-side checks. */
   def greedyLocal(word: String, v: WordPieceVocab): Seq[String] =
     WordPieceKernel.greedy(word, v).toSeq
+
+  /** Vocabulary-COVERAGE data card — the first question before reusing a
+    * BERT-family tokenizer on a new corpus: per group, document / word /
+    * token / UNK totals and the UNK rate (it spikes on out-of-alphabet
+    * text, where [[UnigramLm.transferCard]]'s fragmentation ratio would
+    * merely creep). Every total is an exact long sum off the fused
+    * [[docStats]] kernel; the rate is ONE division of two exact sums
+    * (the [[Tokenizer.compressionCard]] rule). One scan + one
+    * |groups|-row aggregation — zero extra shuffle at any scale. */
+  def coverageCard(
+      df: DataFrame, textCol: String, groupCol: String, v: WordPieceVocab): DataFrame =
+    df.select(col(groupCol),
+        docStats(coalesce(col(textCol), lit("")), v).as("__s"))
+      .select(col(groupCol),
+        element_at(col("__s"), 1).as("__tok"),
+        element_at(col("__s"), 2).as("__unk"),
+        element_at(col("__s"), 3).as("__w"))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__w")).as("total_words"),
+        sum(col("__tok")).as("total_tokens"),
+        sum(col("__unk")).as("total_unk_words"),
+        round(sum(col("__unk")).cast("double")
+          / sum(col("__w")).cast("double"), 4).as("unk_rate"))
 }

@@ -262,6 +262,59 @@ object CorpusPack extends QueryPack {
         .orderBy(col("doc_id"), col("seg_idx"))
     }),
 
+    // The UTTERANCE-EXTRACTION chain (r15): q311's segments drive real
+    // BYTE slicing — each segment's PCM is cut out of the stream
+    // (start_frame·320 bytes in, span·320 long) and re-analyzed with the
+    // fused stats kernel. The oracle aggregates the same sample ranges
+    // from the closed form, so a segment index that doesn't address
+    // exactly its own bytes (off-by-one frame, byte-vs-sample confusion)
+    // fails the hash. Chain of three per-row kernels + one posexplode —
+    // zero shuffle at any scale.
+    "q318_utterance_chain" -> ((s, d) => {
+      val pcm = Tables.documents(s, d).select(col("doc_id"),
+        concat(
+          graft.functions.PcmExpressions.synthPcm16(col("doc_id").cast("long"), 4800),
+          graft.functions.PcmExpressions.synthPcm16(lit(1057L), 160),
+          graft.functions.PcmExpressions.synthPcm16(
+            col("doc_id").cast("long") * 3 + 7, 4800)).as("audio"))
+      Multimodal.speechSegments(pcm, "audio", frameSamples = 160,
+          energyThreshold = 5760000000L, maxGapFrames = 1, minSpanFrames = 3)
+        .select(col("doc_id"), col("seg_idx"),
+          graft.functions.PcmExpressions.pcmStats(
+            col("audio").substr(
+              (col("start_frame") * 320 + 1).cast("int"),
+              (col("span_frames") * 320).cast("int")),
+            160, 5760000000L).as("__st"))
+        .select(col("doc_id"), col("seg_idx"),
+          element_at(col("__st"), 1).as("n_samples"),
+          element_at(col("__st"), 2).as("sum_sq"),
+          element_at(col("__st"), 3).as("peak"),
+          element_at(col("__st"), 4).as("zero_crossings"))
+        .orderBy(col("doc_id"), col("seg_idx"))
+    }),
+
+    // PEAK normalization (r15): the loudness-alignment step before
+    // mixed-gain captures are comparable — every stream rescaled so
+    // max|s| = 16384 by exact floor-div integer scaling. The oracle
+    // re-derives each doc's peak and every normalized sample with the
+    // explicit SQL floor-div idiom, then aggregates stats — a drifted
+    // peak, rounding mode, or sign rule fails the hash. Two fused
+    // kernel passes per row, zero shuffle.
+    "q321_gain_normalize" -> ((s, d) => {
+      val pcm = Multimodal.synthPcm16(
+        Tables.documents(s, d).select(col("doc_id")), "doc_id", nSamples = 480)
+      pcm.select(col("doc_id"),
+          graft.functions.PcmExpressions.pcmStats(
+            graft.functions.PcmExpressions.gainNormalize(col("audio"), 16384),
+            160, 1L << 36).as("__st"))
+        .select(col("doc_id"),
+          element_at(col("__st"), 1).as("n_samples"),
+          element_at(col("__st"), 2).as("sum_sq"),
+          element_at(col("__st"), 3).as("peak"),
+          element_at(col("__st"), 4).as("zero_crossings"))
+        .orderBy(col("doc_id"))
+    }),
+
     // The WAV container layer end-to-end (r14): synth PCM → canonical
     // RIFF wrap → parse (magic/fmt verification, body extraction) →
     // features off the EXTRACTED body, with every 43rd container
@@ -1829,6 +1882,79 @@ object CorpusPack extends QueryPack {
              CAST(start_frame AS BIGINT) AS start_frame,
              CAST(span_frames AS BIGINT) AS span_frames
       FROM seg ORDER BY doc_id, seg_idx""",
+
+    // q318: q311's gaps-and-islands segments joined back to the sample
+    // stream — per segment, exact counts over k in
+    // [start·160, (start+span)·160), zero crossings from the in-segment
+    // LAG (the slice's first sample has no predecessor, as in the
+    // kernel's fresh scan of the sliced bytes).
+    "q318_utterance_chain" -> """
+      WITH ks AS (SELECT unnest(range(0, 9760)) AS k),
+      s AS (SELECT d.doc_id, ks.k,
+              CASE WHEN ks.k < 4800
+                     THEN ((d.doc_id * 31 + ks.k * 7) % 65536) - 32768
+                   WHEN ks.k < 4960
+                     THEN ((1057 * 31 + (ks.k - 4800) * 7) % 65536) - 32768
+                   ELSE (((d.doc_id * 3 + 7) * 31 + (ks.k - 4960) * 7) % 65536) - 32768
+              END AS sv
+            FROM documents d CROSS JOIN ks),
+      fr AS (SELECT doc_id, k // 160 AS f, sum(sv * sv) AS fe
+             FROM s GROUP BY doc_id, k // 160),
+      act AS (SELECT doc_id, f FROM fr WHERE fe > 5760000000),
+      isl AS (SELECT doc_id, f,
+                CASE WHEN f - LAG(f) OVER (PARTITION BY doc_id ORDER BY f) - 1 <= 1
+                     THEN 0 ELSE 1 END AS brk
+              FROM act),
+      grp AS (SELECT doc_id, f,
+                sum(brk) OVER (PARTITION BY doc_id ORDER BY f) AS seg
+              FROM isl),
+      seg AS (SELECT doc_id, seg, min(f) AS start_frame,
+                     max(f) - min(f) + 1 AS span_frames
+              FROM grp GROUP BY doc_id, seg
+              HAVING max(f) - min(f) + 1 >= 3),
+      idx AS (SELECT doc_id,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY start_frame)
+                       AS seg_idx,
+                     start_frame, span_frames
+              FROM seg),
+      joined AS (SELECT i.doc_id, i.seg_idx, s.k, s.sv,
+                        LAG(s.sv) OVER (PARTITION BY i.doc_id, i.seg_idx ORDER BY s.k)
+                          AS pv
+                 FROM idx i JOIN s ON s.doc_id = i.doc_id
+                   AND s.k >= i.start_frame * 160
+                   AND s.k < (i.start_frame + i.span_frames) * 160)
+      SELECT doc_id, CAST(seg_idx AS BIGINT) AS seg_idx,
+             CAST(count(*) AS BIGINT) AS n_samples,
+             CAST(sum(sv * sv) AS BIGINT) AS sum_sq,
+             CAST(max(abs(sv)) AS BIGINT) AS peak,
+             CAST(count(*) FILTER (WHERE pv IS NOT NULL AND
+               ((pv >= 0 AND sv < 0) OR (pv < 0 AND sv >= 0)))
+               AS BIGINT) AS zero_crossings
+      FROM joined GROUP BY doc_id, seg_idx
+      ORDER BY doc_id, seg_idx""",
+
+    // q321: per-doc peak from the closed form, every normalized sample
+    // via the explicit floor-div idiom (q299's), stats like q282's.
+    "q321_gain_normalize" -> """
+      WITH ks AS (SELECT unnest(range(0, 480)) AS k),
+      s AS (SELECT d.doc_id, ks.k,
+                   ((d.doc_id * 31 + ks.k * 7) % 65536) - 32768 AS sv
+            FROM documents d CROSS JOIN ks),
+      pk AS (SELECT doc_id, max(abs(sv)) AS peak FROM s GROUP BY doc_id),
+      o AS (SELECT s.doc_id, s.k,
+              ((sv * 16384) - (((sv * 16384) % peak + peak) % peak)) // peak AS nv
+            FROM s JOIN pk USING (doc_id)),
+      lagd AS (SELECT doc_id, k, nv,
+                      LAG(nv) OVER (PARTITION BY doc_id ORDER BY k) AS pv
+               FROM o)
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_samples,
+             CAST(sum(nv * nv) AS BIGINT) AS sum_sq,
+             CAST(max(abs(nv)) AS BIGINT) AS peak,
+             CAST(count(*) FILTER (WHERE pv IS NOT NULL AND
+               ((pv >= 0 AND nv < 0) OR (pv < 0 AND nv >= 0)))
+               AS BIGINT) AS zero_crossings
+      FROM lagd GROUP BY doc_id ORDER BY doc_id""",
 
     // q283: clean rows = the q282 formulas + header constants; corrupt
     // rows = the flag with nulls (and the operator's documented

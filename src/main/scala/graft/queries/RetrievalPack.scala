@@ -160,6 +160,29 @@ object RetrievalPack extends QueryPack {
         .orderBy(col("probe_id"), col("rnk"))
     }),
 
+    // BINARY semdedup end-to-end (r15): the 32x-memory dedup pipeline —
+    // sign codes → exact MIH pairs at radius 7 → connected components →
+    // cluster labels. q316's planted corpus (so clusters exist: each
+    // orig+twin within radius forms one), q43's CC machinery. The
+    // oracle replays pack + brute-force pairs + a recursive-CTE walk.
+    "q322_binary_semdedup" -> ((s, d) => {
+      val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val planted = base.filter(pmod(col("vec_id"), lit(5)) === 0)
+        .select(col("vec_id").as("__orig"), col("embedding"))
+        .select((col("__orig") + 100000000L).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            when(pmod((col("__orig") + i.cast("long"))
+                * (col("__orig") + lit(2L) * i.cast("long") + 1L), lit(19)) === 0,
+              -x).otherwise(x)).as("embedding"))
+      val corpus = base.unionByName(planted)
+      val codes = Similarity.signQuantize(corpus, "vec_id", "embedding")
+      val pairs = Similarity.signHammingPairs(codes, "vec_id", "code",
+        dim = 64, maxHamming = 7, bandBits = 8).select("id_a", "id_b")
+      Dedup.connectedComponents(corpus.select(col("vec_id")), "vec_id",
+          pairs, "id_a", "id_b")
+        .orderBy(col("vec_id"))
+    }),
+
     // ANN over the INT8-DEQUANTIZED vectors — the quantized-storage
     // retrieval path end-to-end under the oracle: quantize (q66's exact
     // arithmetic) → dequantize → brute-force cosine top-k (q26's shape).
@@ -917,6 +940,42 @@ object RetrievalPack extends QueryPack {
       FROM codes a JOIN codes b ON a.vec_id < b.vec_id
       WHERE bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) <= 7
       ORDER BY id_a, id_b""",
+
+    // q322: q316's pack + brute-force pairs, clustered by the q43
+    // recursive-CTE min-label walk.
+    "q322_binary_semdedup" -> """
+      WITH RECURSIVE corpus AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 100000000,
+               list_transform(generate_series(1, 64), j ->
+                 CASE WHEN ((vec_id + (j - 1)) * (vec_id + 2 * (j - 1) + 1)) % 19 = 0
+                      THEN -embedding[j] ELSE embedding[j] END)
+        FROM embeddings WHERE vec_id % 5 = 0),
+      bits AS (
+        SELECT vec_id, k,
+               CASE WHEN embedding[k + 1] >= 0 THEN 1::BIGINT << (k % 32) ELSE 0 END AS bv,
+               k // 32 AS w
+        FROM corpus CROSS JOIN (SELECT unnest(range(0, 64)) AS k)),
+      codes AS (
+        SELECT vec_id,
+               CAST(sum(CASE WHEN w = 0 THEN bv ELSE 0 END) AS BIGINT) AS w0,
+               CAST(sum(CASE WHEN w = 1 THEN bv ELSE 0 END) AS BIGINT) AS w1
+        FROM bits GROUP BY vec_id),
+      pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM codes a JOIN codes b ON a.vec_id < b.vec_id
+        WHERE bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) <= 7),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL
+        SELECT id_b, id_a FROM pairs),
+      walk(id, label) AS (
+        SELECT vec_id, vec_id FROM corpus
+        UNION
+        SELECT e.dst, w.label FROM walk w JOIN edges e ON w.id = e.src)
+      SELECT id AS vec_id, min(label) AS cluster_id
+      FROM walk GROUP BY id ORDER BY vec_id""",
 
     // q317: brute-force Hamming top-5 with the all-integer
     // (hamming, nbr_id) rank — even the ranking is engine-exact.

@@ -667,6 +667,47 @@ object TextPack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // WordPiece vocabulary-COVERAGE card (r15): the q312 vocabulary with
+    // the alphabet GAPPED (no q/x/z in either set), so a word is UNK iff
+    // it contains one of those letters — a closed form the oracle
+    // replays with one regex per word — and covered words keep the
+    // occurrence-count token formula. Per-lang exact totals + the UNK
+    // rate as one division of two exact sums. One scan + one
+    // |groups|-row aggregation.
+    "q319_wordpiece_card" -> ((s, d) => {
+      val chars = (('a' to 'z') ++ ('0' to '9')).map(_.toString)
+        .filterNot(Set("q", "x", "z"))
+      val v = graft.operators.WordPiece.fixedVocab(
+        initial = chars ++ Seq("th", "er", "on"),
+        continuation = chars ++ Seq("th", "er", "on"), maxPieceLen = 2)
+      graft.operators.WordPiece.coverageCard(
+          Tables.documents(s, d).select(col("lang"), col("text")), "text", "lang", v)
+        .orderBy(col("lang"))
+    }),
+
+    // q319's card driven CONTINUOUSLY (the q302 pattern): documents
+    // drained through the per-shard O(1) coverage fold (same fused
+    // greedy kernel row for row), max-epoch snapshots long-summed and
+    // finished with the batch card's one-division UNK rate — the
+    // readout must be bit-identical to q319's closed form globally.
+    "q320_streaming_wordpiece" -> ((s, d) => {
+      import s.implicits._
+      val chars = (('a' to 'z') ++ ('0' to '9')).map(_.toString)
+        .filterNot(Set("q", "x", "z"))
+      val v = graft.operators.WordPiece.fixedVocab(
+        initial = chars ++ Seq("th", "er", "on"),
+        continuation = chars ++ Seq("th", "er", "on"), maxPieceLen = 2)
+      val staged = Tables.documents(s, d).select(
+        pmod(col("doc_id"), lit(4)).cast("int").as("_1"),
+        col("doc_id").cast("long").as("_2"),
+        col("text").cast("string").as("_3"))
+      val snaps = PackShared.drainStaged(s, staged, "q320_sink", "q320-docs")(
+        in => graft.streaming.StreamingWordPieceMonitor
+          .stats(in.as[(Int, Long, String)], v)
+          .toDF("shard", "epoch", "n_docs", "n_words", "n_tokens", "n_unk_words"))
+      graft.streaming.StreamingWordPieceMonitor.readout(snaps)
+    }),
+
     // Distributed WordPiece training (the BERT-family criterion): 2
     // merges over the ##-marked word-frequency table, each merge chosen
     // by the QUANTIZED likelihood ratio ⌊pair·10¹²/(l_count·r_count)⌋ —
@@ -756,6 +797,60 @@ object TextPack extends QueryPack {
              CAST(coalesce(o.n_words, 0) AS BIGINT) AS n_words
       FROM documents d LEFT JOIN o USING (doc_id)
       ORDER BY d.doc_id""",
+
+    // q319: a word is UNK iff it contains q/x/z (the gapped alphabet);
+    // covered words tokenize by the q312 occurrence formula; per-lang
+    // exact sums, the rate rounded at 4 off one division.
+    "q319_wordpiece_card" -> """
+      WITH w AS (
+        SELECT doc_id, w FROM (
+          SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS w
+          FROM documents)
+        WHERE len(w) > 0),
+      per AS (SELECT d.lang,
+                CASE WHEN regexp_matches(w.w, '[qxz]') THEN 1
+                     ELSE 0 END AS unk,
+                CASE WHEN regexp_matches(w.w, '[qxz]') THEN 1
+                     ELSE len(w.w) - ((len(w.w) - len(replace(w.w, 'th', ''))) // 2
+                                    + (len(w.w) - len(replace(w.w, 'er', ''))) // 2
+                                    + (len(w.w) - len(replace(w.w, 'on', ''))) // 2)
+                END AS toks
+              FROM w JOIN documents d USING (doc_id)),
+      agg AS (SELECT lang,
+                CAST(count(*) AS BIGINT) AS total_words,
+                CAST(sum(toks) AS BIGINT) AS total_tokens,
+                CAST(sum(unk) AS BIGINT) AS total_unk_words
+              FROM per GROUP BY lang),
+      docs AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+               FROM documents GROUP BY lang)
+      SELECT d.lang, d.n_docs, a.total_words, a.total_tokens, a.total_unk_words,
+             round(CAST(a.total_unk_words AS DOUBLE)
+                   / CAST(a.total_words AS DOUBLE), 4) AS unk_rate
+      FROM docs d JOIN agg a USING (lang)
+      ORDER BY d.lang""",
+
+    // q320: q319's closed form WITHOUT the lang grouping — the global
+    // totals the drained readout must reproduce bit for bit.
+    "q320_streaming_wordpiece" -> """
+      WITH w AS (
+        SELECT doc_id, w FROM (
+          SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS w
+          FROM documents)
+        WHERE len(w) > 0),
+      per AS (SELECT
+                CASE WHEN regexp_matches(w, '[qxz]') THEN 1 ELSE 0 END AS unk,
+                CASE WHEN regexp_matches(w, '[qxz]') THEN 1
+                     ELSE len(w) - ((len(w) - len(replace(w, 'th', ''))) // 2
+                                  + (len(w) - len(replace(w, 'er', ''))) // 2
+                                  + (len(w) - len(replace(w, 'on', ''))) // 2)
+                END AS toks
+              FROM w)
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+             CAST(count(*) AS BIGINT) AS total_words,
+             CAST(sum(toks) AS BIGINT) AS total_tokens,
+             CAST(sum(unk) AS BIGINT) AS total_unk_words,
+             round(CAST(sum(unk) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS unk_rate
+      FROM per""",
 
     // q313: the greedy consumption unrolled as an 8-stage positional
     // machine over the planted words (a word of <= 8 chars consumes at

@@ -1186,6 +1186,56 @@ object ScaleSmoke {
         frameSamples = 160, energyThreshold = 1L << 36)
     }
 
+    // r15: the utterance-extraction chain — composite synth (two ramps
+    // around a low frame) → fused VAD segmentation → posexplode → byte
+    // slice → per-segment stats. Three kernel passes + one explode per
+    // row, zero shuffle; superlinear growth would mean the composite
+    // binary is rebuilt per segment.
+    time("vad segments + utterance slice") {
+      val pcm = docs.select(col("doc_id"),
+        concat(
+          graft.functions.PcmExpressions.synthPcm16(col("doc_id").cast("long"), 4800),
+          graft.functions.PcmExpressions.synthPcm16(lit(1057L), 160),
+          graft.functions.PcmExpressions.synthPcm16(
+            col("doc_id").cast("long") * 3 + 7, 4800)).as("audio"))
+      graft.operators.Multimodal.speechSegments(pcm, "audio", frameSamples = 160,
+          energyThreshold = 5760000000L, maxGapFrames = 1, minSpanFrames = 3)
+        .select(col("doc_id"), col("seg_idx"),
+          graft.functions.PcmExpressions.pcmStats(
+            col("audio").substr(
+              (col("start_frame") * 320 + 1).cast("int"),
+              (col("span_frames") * 320).cast("int")),
+            160, 5760000000L).as("st"))
+    }
+
+    // r15: WordPiece greedy application + coverage card over the widened
+    // corpus — one fused kernel pass per row into the |langs|-row card.
+    time("wordpiece greedy + coverage card") {
+      val wchars = (('a' to 'z') ++ ('0' to '9')).map(_.toString)
+        .filterNot(Set("q", "x", "z"))
+      val v = graft.operators.WordPiece.fixedVocab(
+        initial = wchars ++ Seq("th", "er", "on"),
+        continuation = wchars ++ Seq("th", "er", "on"), maxPieceLen = 2)
+      graft.operators.WordPiece.coverageCard(
+        docs.select(col("lang"), col("text")), "text", "lang", v)
+    }
+
+    // r15: sign quantization + MIH Hamming pairs over the widened vector
+    // table — the mult-wide duplicate clusters are the adversarial case
+    // for the band buckets (every bucket widens by mult, candidates by
+    // mult²); band bits sized with the corpus like the cosine-LSH stage.
+    locally {
+      // bandBits must divide 32; step the {8,16,32} ladder with corpus
+      // size (target <= ~16 per bucket, the cosine-LSH sizing rule)
+      val hBandBits = if (nVecs <= 4096) 8 else if (nVecs <= (1L << 20)) 16 else 32
+      if (active("hamming")) println(s"[smoke] hamming bandBits=$hBandBits")
+      time("sign quantize + hamming pairs") {
+        val codes = Similarity.signQuantize(vecs, "vec_id", "embedding")
+        Similarity.signHammingPairs(codes, "vec_id", "code",
+          dim = 64, maxHamming = 64 / hBandBits - 1, bandBits = hBandBits)
+      }
+    }
+
     // r14: Bradley-Terry over corpus-scaled duels — the up-front duel
     // count aggregation is the only corpus-shaped stage; 8 MM iterations
     // ride the items-bounded majority frame and must be mult-invariant.

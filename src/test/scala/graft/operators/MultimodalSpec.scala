@@ -340,6 +340,29 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.columns.contains("audio"))
   }
 
+  test("gainNormalize: peak maps to target exactly, floor on negatives, all-zero passthrough") {
+    import graft.functions.PcmKernel.gainNormalize
+    def enc(samples: Seq[Int]): Array[Byte] = samples.flatMap { s =>
+      val u = if (s < 0) s + 65536 else s
+      Seq((u % 256).toByte, (u / 256).toByte)
+    }.toArray
+    def dec(bytes: Array[Byte]): Seq[Int] = (0 until bytes.length / 2).map { k =>
+      val raw = (bytes(2 * k) & 0xff) | ((bytes(2 * k + 1) & 0xff) << 8)
+      if (raw < 32768) raw else raw - 65536
+    }
+    // peak 1000 -> target 16384: peak sample exact, others floor-divided
+    assert(dec(gainNormalize(enc(Seq(1000, -1000, 3, -3, 0)), 16384))
+      == Seq(16384, -16384, 49, -50, 0)) // 3*16384/1000 = 49.152 -> 49; -49.152 -> -50 (floor)
+    // negative-only peak still maps to -target
+    assert(dec(gainNormalize(enc(Seq(-2048, 17)), 16384)) == Seq(-16384, 136))
+    // all-zero stream passes through (no definable gain)
+    assert(dec(gainNormalize(enc(Seq(0, 0)), 16384)) == Seq(0, 0))
+    // odd trailing byte stays out
+    assert(gainNormalize(enc(Seq(100)) :+ 0x7f.toByte, 16384).length == 2)
+    // downscaling works too (peak above target)
+    assert(dec(gainNormalize(enc(Seq(32767, -32767, 1)), 1000)) == Seq(1000, -1000, 0))
+  }
+
   test("wrapWav emits a canonical RIFF header javax.sound can read; parseWav round-trips; corrupt degrades") {
     import spark.implicits._
     val pcm = Multimodal.synthPcm16(Seq(9L).toDF("doc_id"), "doc_id", nSamples = 32)

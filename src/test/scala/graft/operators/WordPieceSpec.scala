@@ -38,6 +38,10 @@ class WordPieceSpec extends AnyFunSuite {
     assert(got(2L)._2 == Seq(0L, 0L, 0L))
     // lowercasing + separator split mirror the shared words() rule
     assert(got(3L)._1 == Seq("hug", "##s", "h"))
+    // the tokenCount shortcut is stats element 1 (0 on empty docs)
+    val counts = df.select(col("id"), WordPiece.tokenCount(col("text"), v))
+      .as[(Long, Long)].collect().toMap
+    assert(counts == Map(1L -> 6L, 2L -> 0L, 3L -> 3L))
   }
 
   test("trainWordPieceLocal: hand-computed ratio argmax with the lexicographic tie-break") {
