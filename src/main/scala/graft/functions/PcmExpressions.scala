@@ -182,6 +182,46 @@ object PcmKernel {
     out
   }
 
+  /** DOWNMIX an interleaved-stereo s16le stream (L R L R …) to mono:
+    * `m_i = floorDiv(L_i + R_i, 2)` — the telephony two-leg capture →
+    * one-model-channel step. Exact integer math (floor keeps both
+    * engines identical on odd sums of mixed sign); a trailing
+    * incomplete pair (and any odd byte) stays out, mirroring
+    * [[stats]]. */
+  def stereoDownmix(bytes: Array[Byte]): Array[Byte] = {
+    val nPairs = bytes.length / 4
+    val out = new Array[Byte](nPairs * 2)
+    var i = 0
+    while (i < nPairs) {
+      def sample(k: Int): Int = {
+        val raw = (bytes(2 * k) & 0xff) | ((bytes(2 * k + 1) & 0xff) << 8)
+        if (raw < 32768) raw else raw - 65536
+      }
+      val m = Math.floorDiv(sample(2 * i) + sample(2 * i + 1), 2)
+      val u = if (m < 0) m + 65536 else m
+      out(2 * i) = (u & 0xff).toByte
+      out(2 * i + 1) = ((u >> 8) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Extract ONE channel (0 = left, 1 = right) of an interleaved-stereo
+    * s16le stream — the per-leg analysis path next to [[stereoDownmix]].
+    * A trailing incomplete pair stays out (channel lengths always
+    * match). */
+  def deinterleave(bytes: Array[Byte], channel: Int): Array[Byte] = {
+    val nPairs = bytes.length / 4
+    val out = new Array[Byte](nPairs * 2)
+    var i = 0
+    while (i < nPairs) {
+      out(2 * i) = bytes(4 * i + 2 * channel)
+      out(2 * i + 1) = bytes(4 * i + 2 * channel + 1)
+      i += 1
+    }
+    out
+  }
+
   /** s16le bytes of the closed-form pseudo-signal
     * `((id·31 + k·7) mod 65536) − 32768` — the [[SynthPcm16Expr]] body;
     * bit-identical to the format_string/unhex formulation it replaces. */
@@ -587,6 +627,45 @@ case class GainNormalizeExpr(child: Expression, targetPeak: Int) extends UnaryEx
     copy(child = newChild)
 }
 
+/** Fused stereo→mono downmix: binary → binary
+  * ([[PcmKernel.stereoDownmix]] — floorDiv average per pair). */
+case class StereoDownmixExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_stereo_downmix requires a binary argument, got ${t.sql}")
+  }
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_stereo_downmix"
+  override def nullSafeEval(b: Any): Any =
+    PcmKernel.stereoDownmix(b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b =>
+      s"${ev.value} = graft.functions.PcmKernel.stereoDownmix($b);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Fused channel extraction from interleaved stereo: binary → binary
+  * ([[PcmKernel.deinterleave]]). */
+case class DeinterleaveExpr(child: Expression, channel: Int) extends UnaryExpression {
+  require(channel == 0 || channel == 1, s"channel must be 0 or 1, got $channel")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_deinterleave requires a binary argument, got ${t.sql}")
+  }
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_deinterleave"
+  override def nullSafeEval(b: Any): Any =
+    PcmKernel.deinterleave(b.asInstanceOf[Array[Byte]], channel)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b =>
+      s"${ev.value} = graft.functions.PcmKernel.deinterleave($b, $channel);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Fused energy-VAD segmentation: binary → array<long> of flattened
   * (start_frame, span_frames) speech segments — [[PcmKernel.vadSegments]]
   * as one kernel call per row inside WholeStageCodegen. */
@@ -657,6 +736,14 @@ object PcmExpressions {
   /** Integer-ratio linear resample of s16le bytes (e.g. 8000 → 16000). */
   def resamplePcm16(bin: Column, fromRate: Int, toRate: Int): Column =
     GraftShims.column(ResamplePcm16Expr(GraftShims.expression(bin), fromRate, toRate))
+
+  /** Interleaved-stereo s16le → mono (floorDiv pair average). */
+  def stereoDownmix(bin: Column): Column =
+    GraftShims.column(StereoDownmixExpr(GraftShims.expression(bin)))
+
+  /** One channel (0 = left, 1 = right) of interleaved-stereo s16le. */
+  def deinterleave(bin: Column, channel: Int): Column =
+    GraftShims.column(DeinterleaveExpr(GraftShims.expression(bin), channel))
 
   /** Peak-normalize s16le bytes so max|s| = targetPeak (exact floor-div
     * scaling; all-zero streams pass through). */

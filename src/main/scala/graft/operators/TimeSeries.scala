@@ -692,4 +692,58 @@ object TimeSeries {
         :+ when(col("__trend").isNotNull,
           q6(col("__detr") - col("__seasonal"))).as("remainder"): _*)
   }
+  /** Seasonal-naive forecast BACKTEST card — the "is this series even
+    * forecastable, and does seasonality help" readout (Hyndman &
+    * Koehler 2006's MASE) that gates whether a capacity-planning or
+    * anomaly-baseline model is worth fitting at all. Per key, the LAST
+    * `horizon` points (by `tCol`) form the test window; the forecast
+    * for test point t is the actual at t − `period` (seasonal naive);
+    * the MASE scale is the mean one-step naive error over the TRAIN
+    * window. `horizon <= period` is REQUIRED so every forecast source
+    * lies in train (no test leakage), and keys with fewer than
+    * `period + horizon + 1` points drop (scale needs >= period train
+    * intervals).
+    *
+    * Engine-exactness: `valCol` is cast to long (integral-series
+    * contract — the daily-count series the q242/q243/q250 family runs
+    * on; the rfm integral-monetary precedent), so every error term and
+    * both sums are exact; `mase = (Σerr · n_scale) / (Σscale · n_test)`
+    * is ONE division of two exact long products, rounded at 6. Scale
+    * shape: two keyed window passes + one |keys|-row aggregation — a
+    * single shuffle on the key at any corpus size. */
+  def forecastBacktest(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tCol: String,
+      valCol: String,
+      period: Int,
+      horizon: Int): DataFrame = {
+    require(period >= 1 && horizon >= 1 && horizon <= period,
+      s"horizon must be in [1, period] so every seasonal-naive source is in train: " +
+        s"period=$period horizon=$horizon")
+    val keys = keyCols.map(col)
+    val w = Window.partitionBy(keys: _*).orderBy(col(tCol))
+    val wAll = Window.partitionBy(keys: _*)
+    val base = df
+      .select(keys :+ col(tCol) :+ col(valCol).cast("long").as("__v"): _*)
+      .withColumn("__idx", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__prev", lag(col("__v"), 1).over(w))
+      .withColumn("__src", lag(col("__v"), period).over(w))
+    val isTest = col("__idx") > col("__n") - horizon
+    base
+      .filter(col("__n") >= period + horizon + 1)
+      .groupBy(keys: _*)
+      .agg(
+        max(col("__n") - horizon).as("n_train"),
+        sum(when(isTest, lit(1L)).otherwise(lit(0L))).as("n_test"),
+        sum(when(isTest, abs(col("__v") - col("__src")))).as("__sum_err"),
+        sum(when(!isTest && col("__idx") >= 2,
+          abs(col("__v") - col("__prev")))).as("__sum_scale"))
+      .select(keys :+ col("n_train") :+ col("n_test")
+        :+ round(col("__sum_err").cast("double") / col("n_test").cast("double"), 6)
+          .as("mae")
+        :+ round((col("__sum_err") * (col("n_train") - 1L)).cast("double")
+            / (col("__sum_scale") * col("n_test")).cast("double"), 6).as("mase"): _*)
+  }
 }

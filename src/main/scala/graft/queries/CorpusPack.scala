@@ -315,6 +315,32 @@ object CorpusPack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // STEREO handling (r15): the synth stream read as interleaved L/R —
+    // floorDiv-average downmix to mono plus per-channel extraction, all
+    // three legs re-analyzed with the fused stats kernel. The oracle
+    // regenerates L_i/R_i from the closed form at positions 2i/2i+1 and
+    // replays the floor-div average — a drifted interleave offset, pair
+    // boundary, or rounding mode fails the hash. Three fused kernel
+    // chains per row, zero shuffle.
+    "q323_stereo_downmix" -> ((s, d) => {
+      val pcm = Multimodal.synthPcm16(
+        Tables.documents(s, d).select(col("doc_id")), "doc_id", nSamples = 960)
+      val st = (c: org.apache.spark.sql.Column) =>
+        graft.functions.PcmExpressions.pcmStats(c, 160, 1L << 36)
+      pcm.select(col("doc_id"),
+          st(graft.functions.PcmExpressions.stereoDownmix(col("audio"))).as("__m"),
+          st(graft.functions.PcmExpressions.deinterleave(col("audio"), 0)).as("__l"),
+          st(graft.functions.PcmExpressions.deinterleave(col("audio"), 1)).as("__r"))
+        .select(col("doc_id"),
+          element_at(col("__m"), 1).as("n_samples"),
+          element_at(col("__m"), 2).as("mono_sum_sq"),
+          element_at(col("__m"), 3).as("mono_peak"),
+          element_at(col("__m"), 4).as("mono_zc"),
+          element_at(col("__l"), 2).as("left_sum_sq"),
+          element_at(col("__r"), 2).as("right_sum_sq"))
+        .orderBy(col("doc_id"))
+    }),
+
     // The WAV container layer end-to-end (r14): synth PCM → canonical
     // RIFF wrap → parse (magic/fmt verification, body extraction) →
     // features off the EXTRACTED body, with every 43rd container
@@ -1954,6 +1980,31 @@ object CorpusPack extends QueryPack {
              CAST(count(*) FILTER (WHERE pv IS NOT NULL AND
                ((pv >= 0 AND nv < 0) OR (pv < 0 AND nv >= 0)))
                AS BIGINT) AS zero_crossings
+      FROM lagd GROUP BY doc_id ORDER BY doc_id""",
+
+    // q323: L/R regenerated at interleaved positions 2i/2i+1, the mono
+    // sample via the explicit floor-div-by-2 idiom, stats like q282's.
+    "q323_stereo_downmix" -> """
+      WITH ps AS (SELECT unnest(range(0, 480)) AS i),
+      v AS (SELECT d.doc_id, ps.i,
+              ((d.doc_id * 31 + (2 * ps.i) * 7) % 65536) - 32768 AS lv,
+              ((d.doc_id * 31 + (2 * ps.i + 1) * 7) % 65536) - 32768 AS rv
+            FROM documents d CROSS JOIN ps),
+      m AS (SELECT doc_id, i, lv, rv,
+              ((lv + rv) - (((lv + rv) % 2 + 2) % 2)) // 2 AS mv
+            FROM v),
+      lagd AS (SELECT doc_id, i, lv, rv, mv,
+                      LAG(mv) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+               FROM m)
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_samples,
+             CAST(sum(mv * mv) AS BIGINT) AS mono_sum_sq,
+             CAST(max(abs(mv)) AS BIGINT) AS mono_peak,
+             CAST(count(*) FILTER (WHERE pv IS NOT NULL AND
+               ((pv >= 0 AND mv < 0) OR (pv < 0 AND mv >= 0)))
+               AS BIGINT) AS mono_zc,
+             CAST(sum(lv * lv) AS BIGINT) AS left_sum_sq,
+             CAST(sum(rv * rv) AS BIGINT) AS right_sum_sq
       FROM lagd GROUP BY doc_id ORDER BY doc_id""",
 
     // q283: clean rows = the q282 formulas + header constants; corrupt

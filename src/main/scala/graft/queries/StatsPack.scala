@@ -653,6 +653,21 @@ object StatsPack extends QueryPack {
         .orderBy(col("event_type"), col("day"))
     }),
 
+    // Seasonal-naive forecast BACKTEST (r15): MASE/MAE over the last-7
+    // test window of the daily count series (period 7) — the
+    // "forecastable at all?" gate in front of q242/q243/q250. Exact
+    // long errors, one division of two exact products.
+    "q324_forecast_backtest" -> ((s, d) => {
+      val daily = Tables.events(s, d).filter(col("ts").isNotNull)
+        .groupBy(col("event_type"),
+          datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+            .cast("long").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.operators.TimeSeries.forecastBacktest(daily, Seq("event_type"),
+          "day", "cnt", period = 7, horizon = 7)
+        .orderBy(col("event_type"))
+    }),
+
     // Mann–Kendall monotone-trend test on the daily series — theilSen's
     // slope (q219) gets its significance gate.
     "q250_mann_kendall" -> ((s, d) => {
@@ -1352,6 +1367,34 @@ object StatsPack extends QueryPack {
                          * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0
              END AS se_jack
       FROM a ORDER BY event_type""",
+
+    // q324: the daily-count series indexed per key; test = last 7 rows,
+    // forecast source = lag 7 (always train), scale = train one-step
+    // diffs; MASE as one division of two exact long products.
+    "q324_forecast_backtest" -> """
+      WITH daily AS (SELECT event_type,
+                            CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                              AS BIGINT) AS day,
+                            CAST(count(*) AS BIGINT) AS cnt
+                     FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+      idx AS (SELECT event_type, day, cnt,
+                     row_number() OVER (PARTITION BY event_type ORDER BY day) AS i,
+                     count(*) OVER (PARTITION BY event_type) AS n,
+                     lag(cnt, 1) OVER (PARTITION BY event_type ORDER BY day) AS prev,
+                     lag(cnt, 7) OVER (PARTITION BY event_type ORDER BY day) AS src
+              FROM daily),
+      agg AS (SELECT event_type,
+                     CAST(max(n - 7) AS BIGINT) AS n_train,
+                     CAST(sum(CASE WHEN i > n - 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+                     CAST(sum(CASE WHEN i > n - 7 THEN abs(cnt - src) END) AS BIGINT) AS sum_err,
+                     CAST(sum(CASE WHEN i <= n - 7 AND i >= 2 THEN abs(cnt - prev) END)
+                       AS BIGINT) AS sum_scale
+              FROM idx WHERE n >= 15 GROUP BY event_type)
+      SELECT event_type, n_train, n_test,
+             round(CAST(sum_err AS DOUBLE) / CAST(n_test AS DOUBLE), 6) AS mae,
+             round(CAST(sum_err * (n_train - 1) AS DOUBLE)
+                   / CAST(sum_scale * n_test AS DOUBLE), 6) AS mase
+      FROM agg ORDER BY event_type""",
 
     // q242: exact decimal prefix sums per key, per-split two-sided SSE in
     // doubles, earliest-time argmin.

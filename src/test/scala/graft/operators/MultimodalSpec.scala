@@ -363,6 +363,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(dec(gainNormalize(enc(Seq(32767, -32767, 1)), 1000)) == Seq(1000, -1000, 0))
   }
 
+  test("stereo: downmix floor-averages pairs, deinterleave splits channels, odd pair dropped") {
+    import graft.functions.PcmKernel.{deinterleave, stereoDownmix}
+    def enc(samples: Seq[Int]): Array[Byte] = samples.flatMap { s =>
+      val u = if (s < 0) s + 65536 else s
+      Seq((u % 256).toByte, (u / 256).toByte)
+    }.toArray
+    def dec(bytes: Array[Byte]): Seq[Int] = (0 until bytes.length / 2).map { k =>
+      val raw = (bytes(2 * k) & 0xff) | ((bytes(2 * k + 1) & 0xff) << 8)
+      if (raw < 32768) raw else raw - 65536
+    }
+    // L R L R: downmix floors toward -inf on odd sums (1 + -2 = -1 -> -1/2 -> -1)
+    val st = Seq(100, 200, 1, -2, -1000, -3000)
+    assert(dec(stereoDownmix(enc(st))) == Seq(150, -1, -2000))
+    assert(dec(deinterleave(enc(st), 0)) == Seq(100, 1, -1000))
+    assert(dec(deinterleave(enc(st), 1)) == Seq(200, -2, -3000))
+    // a trailing incomplete pair (one lone sample) stays out of all legs
+    assert(dec(stereoDownmix(enc(st :+ 777))) == Seq(150, -1, -2000))
+    assert(dec(deinterleave(enc(st :+ 777), 0)) == Seq(100, 1, -1000))
+    assert(stereoDownmix(Array.empty[Byte]).isEmpty)
+  }
+
   test("wrapWav emits a canonical RIFF header javax.sound can read; parseWav round-trips; corrupt degrades") {
     import spark.implicits._
     val pcm = Multimodal.synthPcm16(Seq(9L).toDF("doc_id"), "doc_id", nSamples = 32)

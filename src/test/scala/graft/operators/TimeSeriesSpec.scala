@@ -281,4 +281,23 @@ class TimeSeriesSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       TimeSeries.stlDecompose(s, Seq("k"), "day", "v", period = 6))
   }
+  test("forecastBacktest: hand-computed MASE, short keys drop, horizon > period rejected") {
+    // key A: 10 points, period 3, horizon 2 -> train idx 1..8, test idx 9..10
+    // values: 1 2 3 4 5 6 7 8 | 9 10
+    // test errors: |9 - y(idx 6)| = |9-6| = 3, |10 - y(idx 7)| = 3 -> sum 6
+    // scale: train one-step diffs (idx 2..8) all 1 -> sum 7, n_scale 7
+    // mae = 6/2 = 3; mase = 6*7 / (7*2) = 3.0
+    val a = (1 to 10).map(i => ("A", i.toLong, i.toLong))
+    // key B: too short (9 points < period + horizon + 1 = 6? no -- use 5 points
+    // with period 3 horizon 2: needs >= 6, so 5 drops)
+    val b = (1 to 5).map(i => ("B", i.toLong, i.toLong))
+    val df = (a ++ b).toDF("k", "t", "v")
+    val got = TimeSeries.forecastBacktest(df, Seq("k"), "t", "v", period = 3, horizon = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got.toSeq == Seq(("A", 8L, 2L, 3.0, 3.0)))
+    intercept[IllegalArgumentException] {
+      TimeSeries.forecastBacktest(df, Seq("k"), "t", "v", period = 3, horizon = 4)
+    }
+  }
 }
