@@ -1138,6 +1138,49 @@ object Dedup {
     * is per-doc bounded; one shuffle on the doc key. Output:
     * (idCol, pos, wh).
     */
+  /** CONTENT-DEFINED CHUNKING of a text column
+    * ([[graft.functions.CdcKernel]] — boundaries wherever the rolling
+    * window hash masks to zero, so chunking SELF-SYNCHRONIZES across
+    * documents sharing long substrings regardless of differing
+    * prefixes; the storage-dedup modality the fixed-window family
+    * can't express). One fused kernel call + posexplode per row, the
+    * chunk carried as its md5 so downstream grouping shuffles 32 hex
+    * chars, not chunk text. Output: (idCol, chunk_idx 1-based, start
+    * 1-based, len, chunk_md5). Empty/null texts contribute no chunks. */
+  def cdcChunks(
+      df: DataFrame, idCol: String, textCol: String,
+      window: Int = 4, maskBits: Int = 6): DataFrame =
+    df.select(col(idCol), col(textCol),
+        graft.functions.CdcExpressions.cdcChunkSpans(
+          coalesce(col(textCol), lit("")), window, maskBits).as("__sp"))
+      .select(col(idCol), col(textCol),
+        // sequence(0, -1) DESCENDS in Spark — empty span arrays must
+        // short-circuit to an empty struct array (the speechSegments rule)
+        posexplode(expr(
+          """CASE WHEN size(__sp) = 0
+            |THEN CAST(array() AS array<struct<start:bigint,len:bigint>>)
+            |ELSE transform(sequence(0, size(__sp) div 2 - 1),
+            |  i -> struct(__sp[CAST(2 * i AS INT)] AS start,
+            |              __sp[CAST(2 * i + 1 AS INT)] AS len)) END""".stripMargin))
+          .as(Seq("__i", "__c")))
+      .select(col(idCol), (col("__i") + 1).cast("long").as("chunk_idx"),
+        col("__c.start").as("start"), col("__c.len").as("len"),
+        md5(expr(s"substring($textCol, CAST(__c.start AS INT), CAST(__c.len AS INT))"))
+          .as("chunk_md5"))
+
+  /** Cross-document duplicated-chunk table over [[cdcChunks]]: chunk
+    * hashes appearing in 2+ documents, with the document and occurrence
+    * counts — the "how much of this corpus is shared byte ranges"
+    * readout. One keyed aggregation on the 32-char hash. */
+  def cdcDuplicateChunks(
+      df: DataFrame, idCol: String, textCol: String,
+      window: Int = 4, maskBits: Int = 6): DataFrame =
+    cdcChunks(df, idCol, textCol, window, maskBits)
+      .groupBy(col("chunk_md5"))
+      .agg(countDistinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .filter(col("n_docs") >= 2)
+
   def winnowingFingerprints(
       df: DataFrame,
       idCol: String,

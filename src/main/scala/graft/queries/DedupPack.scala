@@ -295,6 +295,37 @@ object DedupPack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // CONTENT-DEFINED CHUNKING (r15): every doc gets one of three shared
+    // boilerplate tails; CDC boundaries depend only on the local window
+    // hash, so chunking SELF-SYNCHRONIZES inside the shared tail despite
+    // every doc's different prefix — the property the gate proves (q326
+    // shows the shared chunks dedup across ~167 docs each). The oracle
+    // replays every boundary positionally (the 31-power window hash as
+    // unicode() arithmetic) and slices chunks with lead()-delimited
+    // spans; one drifted weight, offset, or mask fails the hash.
+    "q325_cdc_chunks" -> ((s, d) => {
+      val planted = Tables.documents(s, d).select(col("doc_id"),
+        concat(coalesce(col("text"), lit("")), lit(" "),
+          when(pmod(col("doc_id"), lit(3)) === 0, lit(PackShared.cdcBoiler0))
+            .when(pmod(col("doc_id"), lit(3)) === 1, lit(PackShared.cdcBoiler1))
+            .otherwise(lit(PackShared.cdcBoiler2))).as("text"))
+      Dedup.cdcChunks(planted, "doc_id", "text", window = 4, maskBits = 6)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
+    // q325's chunks deduplicated ACROSS documents: chunk hashes shared
+    // by 2+ docs with doc/occurrence counts — the storage-dedup readout
+    // (the boilerplate tails' synchronized chunks surface here).
+    "q326_cdc_dup_chunks" -> ((s, d) => {
+      val planted = Tables.documents(s, d).select(col("doc_id"),
+        concat(coalesce(col("text"), lit("")), lit(" "),
+          when(pmod(col("doc_id"), lit(3)) === 0, lit(PackShared.cdcBoiler0))
+            .when(pmod(col("doc_id"), lit(3)) === 1, lit(PackShared.cdcBoiler1))
+            .otherwise(lit(PackShared.cdcBoiler2))).as("text"))
+      Dedup.cdcDuplicateChunks(planted, "doc_id", "text", window = 4, maskBits = 6)
+        .orderBy(col("chunk_md5"))
+    }),
+
     // Near-dup pairs -> dedup clusters: connected components by min-label
     // propagation over the exact Jaccard pair graph.
     "q43_dedup_clusters" -> ((s, d) => {
@@ -451,7 +482,54 @@ object DedupPack extends QueryPack {
     }),
   )
 
+  /** The shared q325/q326 oracle CTE chain: planted boilerplate tails,
+    * every CDC boundary replayed positionally (1-based p in [4, n−1],
+    * window chars p−3..p weighted 31³..31⁰, mask 63), chunks as
+    * lead()-delimited spans from the boundary starts. */
+  private def cdcOracleChain: String =
+    s"""planted AS (SELECT doc_id,
+       |    coalesce(text, '') || ' ' ||
+       |    (CASE CAST(doc_id % 3 AS INTEGER)
+       |       WHEN 0 THEN '${PackShared.cdcBoiler0}'
+       |       WHEN 1 THEN '${PackShared.cdcBoiler1}'
+       |       ELSE '${PackShared.cdcBoiler2}' END) AS t
+       |  FROM documents),
+       |pos AS (SELECT doc_id, t, unnest(range(4, len(t))) AS p FROM planted),
+       |b AS (SELECT doc_id, p FROM pos
+       |      WHERE (CAST(unicode(substr(t, p - 3, 1)) AS BIGINT) * 29791
+       |           + CAST(unicode(substr(t, p - 2, 1)) AS BIGINT) * 961
+       |           + CAST(unicode(substr(t, p - 1, 1)) AS BIGINT) * 31
+       |           + CAST(unicode(substr(t, p, 1)) AS BIGINT)) % 64 = 0),
+       |starts AS (SELECT doc_id, 1 AS s FROM planted
+       |           UNION ALL SELECT doc_id, p + 1 FROM b),
+       |st AS (SELECT doc_id, s,
+       |              row_number() OVER (PARTITION BY doc_id ORDER BY s) AS ci,
+       |              lead(s) OVER (PARTITION BY doc_id ORDER BY s) AS nxt
+       |       FROM starts),
+       |ch AS (SELECT st.doc_id, st.ci AS chunk_idx, st.s AS start,
+       |              coalesce(st.nxt - 1, len(p.t)) - st.s + 1 AS len,
+       |              md5(substr(p.t, st.s, coalesce(st.nxt - 1, len(p.t)) - st.s + 1))
+       |                AS chunk_md5
+       |       FROM st JOIN planted p USING (doc_id))""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    // q325: every chunk span + md5 from the positional boundary replay.
+    "q325_cdc_chunks" -> s"""
+      WITH $cdcOracleChain
+      SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+             CAST(start AS BIGINT) AS start, CAST(len AS BIGINT) AS len,
+             chunk_md5
+      FROM ch ORDER BY doc_id, chunk_idx""",
+
+    // q326: the cross-document duplicated-chunk readout off the same
+    // chain.
+    "q326_cdc_dup_chunks" -> s"""
+      WITH $cdcOracleChain
+      SELECT chunk_md5,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS n_occurrences
+      FROM ch GROUP BY chunk_md5 HAVING count(DISTINCT doc_id) >= 2
+      ORDER BY chunk_md5""",
 
     "q163_canary_audit" -> """
       WITH planted AS (

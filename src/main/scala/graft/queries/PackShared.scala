@@ -11,6 +11,23 @@ import org.apache.spark.sql.functions._
   * the graft.tools smoke harnesses) read these. */
 private[graft] object PackShared {
 
+  /** Shared boilerplate tails for the q325/q326 CDC gates — three ASCII
+    * variants (~175 chars each, several expected chunks at maskBits 6)
+    * embedded VERBATIM in the DuckDB oracles, so they must stay
+    * single-quote-free and ASCII. */
+  val cdcBoiler0: String =
+    "all rights reserved this transcript was generated automatically and may " +
+      "contain errors please verify important details against the original " +
+      "recording before citing it anywhere"
+  val cdcBoiler1: String =
+    "subscribe to our newsletter for weekly updates on data engineering " +
+      "practices tooling reviews and long form interviews with practitioners " +
+      "shipping large scale systems today"
+  val cdcBoiler2: String =
+    "the opinions expressed in this document are those of the author alone " +
+      "and do not necessarily reflect the views of the publisher its " +
+      "affiliates or any sponsoring organization"
+
   /** Scoped shuffle-partition override for the streaming-drain queries
     * (q260/q262/q263): a stateful streaming query creates ONE state
     * store per shuffle partition at first run, so a 4-shard monitor

@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.TestSpark
+import graft.functions.CdcKernel
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CdcSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def spans(t: String, w: Int = 4, m: Int = 6): Seq[(Long, Long)] =
+    CdcKernel.chunkSpans(t, w, m).grouped(2).map { case Array(s, l) => (s, l) }.toSeq
+
+  test("chunkSpans: spans tile the text exactly; short/empty edges") {
+    val t = "the quick brown fox jumps over the lazy dog and keeps running onward"
+    val sp = spans(t)
+    assert(sp.head._1 == 1L && sp.map(_._2).sum == t.length)
+    // spans are contiguous 1-based tiles
+    sp.sliding(2).foreach {
+      case Seq((s1, l1), (s2, _)) => assert(s2 == s1 + l1)
+      case _ =>
+    }
+    // shorter than the window: one chunk, no hash defined
+    assert(spans("abc") == Seq((1L, 3L)))
+    assert(spans("") == Seq())
+    // boundary replay: a boundary after 0-based i means the window hash
+    // masks to zero — recompute independently for every interior cut
+    sp.dropRight(1).foreach { case (s, l) =>
+      val i = (s + l - 1).toInt - 1 // 0-based end of chunk
+      val h = (0 until 4).map(j => t.charAt(i - j).toLong * math.pow(31, j).toLong).sum
+      assert((h & 63L) == 0L, s"cut after $i is not a masked-zero window")
+    }
+  }
+
+  test("CDC self-synchronizes: different prefixes, same tail -> shared chunk hashes") {
+    val tail = "all rights reserved this transcript was generated automatically and " +
+      "may contain errors please verify details against the original recording"
+    val docs = Seq(
+      (1L, "completely different opening words here " + tail),
+      (2L, "zzz qqq unrelated prefix of another length entirely " + tail),
+      (3L, "third doc " + tail)).toDF("id", "text")
+    val dup = Dedup.cdcDuplicateChunks(docs, "id", "text")
+      .as[(String, Long, Long)].collect()
+    // at least one tail chunk re-aligns across all three docs
+    assert(dup.exists(_._2 == 3L),
+      s"expected a chunk shared by all 3 docs, got ${dup.mkString(", ")}")
+    // and the exploded form matches the kernel spans row for row
+    val got = Dedup.cdcChunks(docs.filter(col("id") === 1L), "id", "text")
+      .orderBy(col("chunk_idx"))
+      .as[(Long, Long, Long, Long, String)].collect()
+    val txt = "completely different opening words here " + tail
+    val want = spans(txt).zipWithIndex.map { case ((s, l), i) =>
+      (1L, i + 1L, s, l,
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(txt.substring(s.toInt - 1, (s + l - 1).toInt).getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString)
+    }
+    assert(got.toSeq == want)
+  }
+}
