@@ -1236,6 +1236,27 @@ object ScaleSmoke {
       }
     }
 
+    // r15: CDC chunking + cross-doc chunk dedup under the widened corpus
+    // — the adversarial case: every chunk occurs mult times, so the
+    // md5 group-by's hot keys widen by mult. Chunk volume is
+    // corpus-linear (one fused kernel + explode per row); the dedup is
+    // one keyed aggregation with map-side combine.
+    time("cdc chunks + dup group-by")(
+      Dedup.cdcDuplicateChunks(docs, "doc_id", "text"))
+
+    // r15: the full mono-prep audio chain — stereo downmix → peak
+    // normalize → VAD stats — three fused kernel passes per row, zero
+    // shuffle, must stay corpus-linear.
+    time("stereo -> gain -> vad chain") {
+      val pcm = graft.operators.Multimodal.synthPcm16(
+        docs.select(col("doc_id")), "doc_id", nSamples = 960)
+      pcm.select(col("doc_id"),
+        graft.functions.PcmExpressions.vadSegments(
+          graft.functions.PcmExpressions.gainNormalize(
+            graft.functions.PcmExpressions.stereoDownmix(col("audio")), 16384),
+          40, 40L * 8000 * 8000, 1, 2).as("segs"))
+    }
+
     // r14: Bradley-Terry over corpus-scaled duels — the up-front duel
     // count aggregation is the only corpus-shaped stage; 8 MM iterations
     // ride the items-bounded majority frame and must be mult-invariant.
