@@ -183,6 +183,50 @@ object RetrievalPack extends QueryPack {
         .orderBy(col("vec_id"))
     }),
 
+    // SIGN-CODE FIDELITY card (r15): the production question behind the
+    // 32x path — how well does the Hamming screen (radius 7) agree with
+    // the true cosine gate (tau 0.8) on the planted-twin corpus? ONE
+    // summary row: pair counts, the confusion overlap, and
+    // recall/precision of the screen, every ratio one division of exact
+    // counts (cosine thresholded on the q31/q61 round-6 grid). All-pairs
+    // BY DESIGN — fidelity measurement is exhaustive at eval scale (the
+    // q31 cartesian class); the production screen itself is q316's
+    // banded join.
+    "q327_sign_fidelity" -> ((s, d) => {
+      val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val planted = base.filter(pmod(col("vec_id"), lit(5)) === 0)
+        .select(col("vec_id").as("__orig"), col("embedding"))
+        .select((col("__orig") + 100000000L).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            when(pmod((col("__orig") + i.cast("long"))
+                * (col("__orig") + lit(2L) * i.cast("long") + 1L), lit(19)) === 0,
+              -x).otherwise(x)).as("embedding"))
+      val corpus = base.unionByName(planted)
+      val withCode = Similarity.signQuantize(corpus, "vec_id", "embedding")
+        .join(corpus, "vec_id")
+        .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("__v"),
+          col("code"))
+        .withColumn("__n", Similarity.norm(col("__v")))
+      val a = withCode.select(col("vec_id").as("id_a"), col("__v").as("__va"),
+        col("__n").as("__na"), col("code").as("__ca"))
+      val b = withCode.select(col("vec_id").as("id_b"), col("__v").as("__vb"),
+        col("__n").as("__nb"), col("code").as("__cb"))
+      val cos = Similarity.fastDot(col("__va"), col("__vb")) / (col("__na") * col("__nb"))
+      a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .select((round(cos, 6) >= 0.8).as("__cp"),
+          (Similarity.hammingDist(col("__ca"), col("__cb")) <= 7L).as("__hp"))
+        .agg(
+          count(lit(1)).as("pairs_total"),
+          count(when(col("__cp"), 1)).as("cos_pairs"),
+          count(when(col("__hp"), 1)).as("ham_pairs"),
+          count(when(col("__cp") && col("__hp"), 1)).as("both_pairs"))
+        .select(col("pairs_total"), col("cos_pairs"), col("ham_pairs"), col("both_pairs"),
+          round(col("both_pairs").cast("double") / col("cos_pairs").cast("double"), 4)
+            .as("screen_recall"),
+          round(col("both_pairs").cast("double") / col("ham_pairs").cast("double"), 4)
+            .as("screen_precision"))
+    }),
+
     // ANN over the INT8-DEQUANTIZED vectors — the quantized-storage
     // retrieval path end-to-end under the oracle: quantize (q66's exact
     // arithmetic) → dequantize → brute-force cosine top-k (q26's shape).
@@ -976,6 +1020,43 @@ object RetrievalPack extends QueryPack {
         SELECT e.dst, w.label FROM walk w JOIN edges e ON w.id = e.src)
       SELECT id AS vec_id, min(label) AS cluster_id
       FROM walk GROUP BY id ORDER BY vec_id""",
+
+    // q327: the same planted corpus, cosine on the q31 round-6 grid vs
+    // the packed-code Hamming screen, one confusion-summary row.
+    "q327_sign_fidelity" -> """
+      WITH corpus AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 100000000,
+               list_transform(generate_series(1, 64), j ->
+                 CASE WHEN ((vec_id + (j - 1)) * (vec_id + 2 * (j - 1) + 1)) % 19 = 0
+                      THEN -embedding[j] ELSE embedding[j] END)
+        FROM embeddings WHERE vec_id % 5 = 0),
+      bits AS (
+        SELECT vec_id, k,
+               CASE WHEN embedding[k + 1] >= 0 THEN 1::BIGINT << (k % 32) ELSE 0 END AS bv,
+               k // 32 AS w
+        FROM corpus CROSS JOIN (SELECT unnest(range(0, 64)) AS k)),
+      codes AS (
+        SELECT vec_id,
+               CAST(sum(CASE WHEN w = 0 THEN bv ELSE 0 END) AS BIGINT) AS w0,
+               CAST(sum(CASE WHEN w = 1 THEN bv ELSE 0 END) AS BIGINT) AS w1
+        FROM bits GROUP BY vec_id),
+      e AS (SELECT c.vec_id, CAST(c.embedding AS DOUBLE[]) AS v, d.w0, d.w1
+            FROM corpus c JOIN codes d USING (vec_id)),
+      p AS (SELECT
+              (round(list_cosine_similarity(a.v, b.v), 6) >= 0.8) AS cp,
+              (bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) <= 7) AS hp
+            FROM e a JOIN e b ON a.vec_id < b.vec_id)
+      SELECT CAST(count(*) AS BIGINT) AS pairs_total,
+             CAST(count(*) FILTER (WHERE cp) AS BIGINT) AS cos_pairs,
+             CAST(count(*) FILTER (WHERE hp) AS BIGINT) AS ham_pairs,
+             CAST(count(*) FILTER (WHERE cp AND hp) AS BIGINT) AS both_pairs,
+             round(CAST(count(*) FILTER (WHERE cp AND hp) AS DOUBLE)
+                   / CAST(count(*) FILTER (WHERE cp) AS DOUBLE), 4) AS screen_recall,
+             round(CAST(count(*) FILTER (WHERE cp AND hp) AS DOUBLE)
+                   / CAST(count(*) FILTER (WHERE hp) AS DOUBLE), 4) AS screen_precision
+      FROM p""",
 
     // q317: brute-force Hamming top-5 with the all-integer
     // (hamming, nbr_id) rank — even the ranking is engine-exact.

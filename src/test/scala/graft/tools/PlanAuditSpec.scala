@@ -67,6 +67,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // the probe set (vec_id < 10) is parameter-bounded and broadcast by
     // design; the corpus side is one scan.
     "q317_hamming_topk" -> (0, 1, 0),
+    // q327: q31's documented all-pairs class — screen-fidelity
+    // measurement is exhaustive BY DEFINITION at eval scale (the
+    // production screen itself is q316's banded equi-join).
+    "q327_sign_fidelity" -> (1, 1, 1),
     // q82: q73's offset-table broadcast, same bounded class.
     "q82_token_budget_by_group" -> (0, 0, 1),
     // q84: centerForBuckets' 1-row mean aggregate crossJoined back into the
