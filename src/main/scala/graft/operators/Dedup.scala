@@ -1181,6 +1181,41 @@ object Dedup {
         count(lit(1)).as("n_occurrences"))
       .filter(col("n_docs") >= 2)
 
+  /** Distinct chunk-hash index over a corpus — the persistable side of
+    * incremental CDC dedup ([[buildFingerprintIndex]]'s chunk-level
+    * sibling): at 100 TB the historical corpus is chunked ONCE and only
+    * new arrivals re-chunk. */
+  def buildChunkIndex(
+      df: DataFrame, idCol: String, textCol: String,
+      window: Int = 4, maskBits: Int = 6): DataFrame =
+    cdcChunks(df, idCol, textCol, window, maskBits)
+      .select(col("chunk_md5")).distinct()
+
+  /** CONTAINMENT audit of new documents against a chunk index: per new
+    * doc, how many of its CDC chunks are already known, and the drop
+    * decision `n_known · 10000 >= thresholdBp · n_chunks` (basis-point
+    * threshold as an EXACT integer cross-multiplication — no float
+    * ratio anywhere, so two engines agree on every drop). The
+    * mostly-boilerplate / mostly-recycled arrival is the case chunk
+    * containment catches that whole-document hashing misses. Scale
+    * shape: one fused chunking pass + one chunk-keyed join against the
+    * (corpus-sized, so never broadcast) index + one per-doc count
+    * aggregation. */
+  def cdcContainmentAudit(
+      newDocs: DataFrame, idCol: String, textCol: String,
+      knownChunks: DataFrame, thresholdBp: Int,
+      window: Int = 4, maskBits: Int = 6): DataFrame = {
+    require(thresholdBp >= 0 && thresholdBp <= 10000,
+      s"thresholdBp is basis points in [0, 10000], got $thresholdBp")
+    cdcChunks(newDocs, idCol, textCol, window, maskBits)
+      .join(knownChunks.select(col("chunk_md5")).distinct()
+        .withColumn("__k", lit(1)).hint("shuffle_merge"), Seq("chunk_md5"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"), count(col("__k")).as("n_known"))
+      .withColumn("is_dropped",
+        col("n_known") * 10000L >= lit(thresholdBp.toLong) * col("n_chunks"))
+  }
+
   def winnowingFingerprints(
       df: DataFrame,
       idCol: String,

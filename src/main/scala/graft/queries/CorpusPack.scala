@@ -341,6 +341,28 @@ object CorpusPack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // q282's audio card driven CONTINUOUSLY (r15): synthetic PCM rows
+    // drained through the per-shard O(1) audio-quality fold (same fused
+    // stats kernel row for row), max-epoch snapshots merged and
+    // finished with the batch card's quantized rms/activity divisions —
+    // the readout must be bit-identical to q282's closed form
+    // aggregated globally.
+    "q328_streaming_audio" -> ((s, d) => {
+      import s.implicits._
+      val staged = Multimodal.synthPcm16(
+          Tables.documents(s, d).select(col("doc_id")), "doc_id", nSamples = 480)
+        .select(pmod(col("doc_id"), lit(4)).cast("int").as("_1"),
+          col("doc_id").cast("long").as("_2"),
+          col("audio").as("_3"))
+      val snaps = PackShared.drainStaged(s, staged, "q328_sink", "q328-audio")(
+        in => graft.streaming.StreamingAudioMonitor
+          .stats(in.as[(Int, Long, Array[Byte])], frameSamples = 160,
+            energyThreshold = 1L << 36)
+          .toDF("shard", "epoch", "n_rows", "n_samples", "sum_sq", "peak",
+            "zero_crossings", "n_frames", "active_frames"))
+      graft.streaming.StreamingAudioMonitor.readout(snaps)
+    }),
+
     // The WAV container layer end-to-end (r14): synth PCM → canonical
     // RIFF wrap → parse (magic/fmt verification, body extraction) →
     // features off the EXTRACTED body, with every 43rd container
@@ -2006,6 +2028,38 @@ object CorpusPack extends QueryPack {
              CAST(sum(lv * lv) AS BIGINT) AS left_sum_sq,
              CAST(sum(rv * rv) AS BIGINT) AS right_sum_sq
       FROM lagd GROUP BY doc_id ORDER BY doc_id""",
+
+    // q328: q282's closed form aggregated GLOBALLY (zero crossings stay
+    // per-row — the kernel's scan resets per blob), the same quantized
+    // rms/activity finishes.
+    "q328_streaming_audio" -> """
+      WITH ks AS (SELECT unnest(range(0, 480)) AS k),
+      s AS (SELECT d.doc_id, ks.k,
+                   ((d.doc_id * 31 + ks.k * 7) % 65536) - 32768 AS sv
+            FROM documents d CROSS JOIN ks),
+      lagd AS (SELECT doc_id, k, sv,
+                      LAG(sv) OVER (PARTITION BY doc_id ORDER BY k) AS pv
+               FROM s),
+      fr AS (SELECT doc_id, k // 160 AS f, sum(sv * sv) AS fe
+             FROM s GROUP BY doc_id, k // 160),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(sv * sv) AS BIGINT) AS ss,
+                     CAST(max(abs(sv)) AS BIGINT) AS peak,
+                     CAST(count(*) FILTER (WHERE pv IS NOT NULL AND
+                       ((pv >= 0 AND sv < 0) OR (pv < 0 AND sv >= 0)))
+                       AS BIGINT) AS zc
+              FROM lagd),
+      fa AS (SELECT CAST(count(*) AS BIGINT) AS nf,
+                    CAST(count(*) FILTER (WHERE fe > 68719476736) AS BIGINT) AS af
+             FROM fr)
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_rows,
+             t.n AS total_samples, t.peak,
+             t.zc AS total_zero_crossings,
+             CAST(floor(sqrt(CAST(t.ss AS DOUBLE) / CAST(t.n AS DOUBLE))
+                  * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS rms,
+             CAST(floor(CAST(f.af AS DOUBLE) / CAST(f.nf AS DOUBLE)
+                  * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS activity
+      FROM tot t, fa f""",
 
     // q283: clean rows = the q282 formulas + header constants; corrupt
     // rows = the flag with nulls (and the operator's documented

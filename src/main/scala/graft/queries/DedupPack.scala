@@ -326,6 +326,28 @@ object DedupPack extends QueryPack {
         .orderBy(col("chunk_md5"))
     }),
 
+    // INCREMENTAL CDC dedup (r15): the even half of the corpus is
+    // chunked ONCE into a chunk index; the odd half arrives later and is
+    // audited by CHUNK CONTAINMENT — shared boilerplate tails
+    // re-synchronize, so every arrival has known chunks, and the drop
+    // rule is the exact basis-point cross-multiplication
+    // n_known·10000 >= 3000·n_chunks (no float ratio). The at-scale
+    // story: history never re-chunks; arrivals pay one kernel pass +
+    // one chunk-keyed join.
+    "q329_cdc_incremental" -> ((s, d) => {
+      val planted = Tables.documents(s, d).select(col("doc_id"),
+        concat(coalesce(col("text"), lit("")), lit(" "),
+          when(pmod(col("doc_id"), lit(3)) === 0, lit(PackShared.cdcBoiler0))
+            .when(pmod(col("doc_id"), lit(3)) === 1, lit(PackShared.cdcBoiler1))
+            .otherwise(lit(PackShared.cdcBoiler2))).as("text"))
+      val index = Dedup.buildChunkIndex(
+        planted.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text")
+      Dedup.cdcContainmentAudit(
+          planted.filter(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "text",
+          index, thresholdBp = 3000)
+        .orderBy(col("doc_id"))
+    }),
+
     // Near-dup pairs -> dedup clusters: connected components by min-label
     // propagation over the exact Jaccard pair graph.
     "q43_dedup_clusters" -> ((s, d) => {
@@ -482,40 +504,55 @@ object DedupPack extends QueryPack {
     }),
   )
 
-  /** The shared q325/q326 oracle CTE chain: planted boilerplate tails,
-    * every CDC boundary replayed positionally (1-based p in [4, n−1],
-    * window chars p−3..p weighted 31³..31⁰, mask 63), chunks as
-    * lead()-delimited spans from the boundary starts. */
-  private def cdcOracleChain: String =
-    s"""planted AS (SELECT doc_id,
+  /** The shared q325/q326/q329 oracle CTE chain: planted boilerplate
+    * tails, every CDC boundary replayed positionally (1-based p in
+    * [4, n−1], window chars p−3..p weighted 31³..31⁰, mask 63), chunks
+    * as lead()-delimited spans from the boundary starts. `pred` filters
+    * the document slice; `sfx` disambiguates CTE names when two chains
+    * coexist (q329's old/new halves). */
+  private def cdcOracleChain(pred: String = "true", sfx: String = ""): String =
+    s"""planted$sfx AS (SELECT doc_id,
        |    coalesce(text, '') || ' ' ||
        |    (CASE CAST(doc_id % 3 AS INTEGER)
        |       WHEN 0 THEN '${PackShared.cdcBoiler0}'
        |       WHEN 1 THEN '${PackShared.cdcBoiler1}'
        |       ELSE '${PackShared.cdcBoiler2}' END) AS t
-       |  FROM documents),
-       |pos AS (SELECT doc_id, t, unnest(range(4, len(t))) AS p FROM planted),
-       |b AS (SELECT doc_id, p FROM pos
+       |  FROM documents WHERE $pred),
+       |pos$sfx AS (SELECT doc_id, t, unnest(range(4, len(t))) AS p FROM planted$sfx),
+       |b$sfx AS (SELECT doc_id, p FROM pos$sfx
        |      WHERE (CAST(unicode(substr(t, p - 3, 1)) AS BIGINT) * 29791
        |           + CAST(unicode(substr(t, p - 2, 1)) AS BIGINT) * 961
        |           + CAST(unicode(substr(t, p - 1, 1)) AS BIGINT) * 31
        |           + CAST(unicode(substr(t, p, 1)) AS BIGINT)) % 64 = 0),
-       |starts AS (SELECT doc_id, 1 AS s FROM planted
-       |           UNION ALL SELECT doc_id, p + 1 FROM b),
-       |st AS (SELECT doc_id, s,
+       |starts$sfx AS (SELECT doc_id, 1 AS s FROM planted$sfx
+       |           UNION ALL SELECT doc_id, p + 1 FROM b$sfx),
+       |st$sfx AS (SELECT doc_id, s,
        |              row_number() OVER (PARTITION BY doc_id ORDER BY s) AS ci,
        |              lead(s) OVER (PARTITION BY doc_id ORDER BY s) AS nxt
-       |       FROM starts),
-       |ch AS (SELECT st.doc_id, st.ci AS chunk_idx, st.s AS start,
+       |       FROM starts$sfx),
+       |ch$sfx AS (SELECT st.doc_id, st.ci AS chunk_idx, st.s AS start,
        |              coalesce(st.nxt - 1, len(p.t)) - st.s + 1 AS len,
        |              md5(substr(p.t, st.s, coalesce(st.nxt - 1, len(p.t)) - st.s + 1))
        |                AS chunk_md5
-       |       FROM st JOIN planted p USING (doc_id))""".stripMargin
+       |       FROM st$sfx st JOIN planted$sfx p USING (doc_id))""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // q329: two chains (old/new halves), the known set from the old
+    // chunks, per-new-doc counts and the exact basis-point drop rule.
+    "q329_cdc_incremental" -> s"""
+      WITH ${cdcOracleChain("doc_id % 2 = 0", "o")},
+      ${cdcOracleChain("doc_id % 2 = 1", "n")},
+      known AS (SELECT DISTINCT chunk_md5 FROM cho)
+      SELECT c.doc_id,
+             CAST(count(*) AS BIGINT) AS n_chunks,
+             CAST(count(k.chunk_md5) AS BIGINT) AS n_known,
+             (count(k.chunk_md5) * 10000 >= 3000 * count(*)) AS is_dropped
+      FROM chn c LEFT JOIN known k USING (chunk_md5)
+      GROUP BY c.doc_id ORDER BY c.doc_id""",
+
     // q325: every chunk span + md5 from the positional boundary replay.
     "q325_cdc_chunks" -> s"""
-      WITH $cdcOracleChain
+      WITH ${cdcOracleChain()}
       SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
              CAST(start AS BIGINT) AS start, CAST(len AS BIGINT) AS len,
              chunk_md5
@@ -524,7 +561,7 @@ object DedupPack extends QueryPack {
     // q326: the cross-document duplicated-chunk readout off the same
     // chain.
     "q326_cdc_dup_chunks" -> s"""
-      WITH $cdcOracleChain
+      WITH ${cdcOracleChain()}
       SELECT chunk_md5,
              CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
              CAST(count(*) AS BIGINT) AS n_occurrences

@@ -33,6 +33,27 @@ class CdcSpec extends AnyFunSuite {
     }
   }
 
+  test("containment audit: exact basis-point boundary, fully-known drops, novel survives") {
+    val tail = "the quick brown fox jumps over the lazy dog and keeps running onward today"
+    val old = Seq((1L, "some old document carrying " + tail)).toDF("id", "text")
+    val idx = Dedup.buildChunkIndex(old, "id", "text")
+    val nw = Seq(
+      (10L, "some old document carrying " + tail), // identical -> containment 1
+      (11L, "entirely novel words never seen before anywhere at all in history"),
+      (12L, "fresh opening then " + tail)          // partial: synced tail chunks known
+    ).toDF("id", "text")
+    val got = Dedup.cdcContainmentAudit(nw, "id", "text", idx, thresholdBp = 3000)
+      .as[(Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(got(10L)._2 == got(10L)._3 && got(10L)._4, "identical doc must be fully known + dropped")
+    assert(got(11L)._3 == 0L && !got(11L)._4, "novel doc has zero known chunks")
+    assert(got(12L)._3 >= 1L && got(12L)._3 < got(12L)._2, "partial doc is partially known")
+    // exact boundary: n_known*10000 >= bp*n_chunks decides, no float —
+    // with thresholdBp = 10000 only the identical doc drops
+    val strict = Dedup.cdcContainmentAudit(nw, "id", "text", idx, thresholdBp = 10000)
+      .as[(Long, Long, Long, Boolean)].collect().map(r => r._1 -> r._4).toMap
+    assert(strict(10L) && !strict(11L) && !strict(12L))
+  }
+
   test("CDC self-synchronizes: different prefixes, same tail -> shared chunk hashes") {
     val tail = "all rights reserved this transcript was generated automatically and " +
       "may contain errors please verify details against the original recording"
