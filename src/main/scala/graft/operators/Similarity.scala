@@ -597,6 +597,46 @@ object Similarity {
   def hammingDist(a: Column, b: Column): Column =
     graft.functions.VectorExpressions.hamming(a, b)
 
+  /** HARD-NEGATIVE mining for embedding training — per probe, the top-k
+    * most-similar vectors that are NOT near-duplicates: the highest-value
+    * contrastive negatives are the ones closest to the anchor, but a
+    * near-dup in the negative set poisons the loss (it IS the anchor), so
+    * the candidate set anti-joins an exclusion pair table first
+    * ([[signHammingPairs]] is the cheap screen that builds it at scale).
+    * [[bruteForceTopK]]'s shape with the exclusion applied BEFORE the
+    * rank window (excluding after would leave rank gaps). Exclusions are
+    * matched in both orientations; self always excluded. */
+  def hardNegatives(
+      vectors: DataFrame,
+      vectorId: String,
+      vectorCol: String,
+      probes: DataFrame,
+      probeId: String,
+      probeCol: String,
+      exclude: DataFrame, // (id_a, id_b) near-dup pairs, either orientation
+      k: Int
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = Dedup.withComputeParallelism(
+        vectors.select(col(vectorId).as("nbr_id"), asDouble(col(vectorCol)).as("__v")))
+      .withColumn("__vn", norm(col("__v")))
+    val p = probes.select(col(probeId).as("probe_id"), asDouble(col(probeCol)).as("__p"))
+      .withColumn("__pn", norm(col("__p")))
+    val ex = exclude.select(col("id_a").as("probe_id"), col("id_b").as("nbr_id"))
+      .unionByName(exclude.select(col("id_b").as("probe_id"), col("id_a").as("nbr_id")))
+      .distinct()
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("__sim").desc, col("nbr_id"))
+    v.crossJoin(broadcast(p))
+      .filter(col("nbr_id") =!= col("probe_id"))
+      // near-dup exclusion pairs are a join derivative with garbage size
+      // estimates — pin the anti-join to SMJ (the q61 eligible rule)
+      .join(ex.hint("shuffle_merge"), Seq("probe_id", "nbr_id"), "left_anti")
+      .withColumn("__sim", fastDot(col("__p"), col("__v")) / (col("__pn") * col("__vn")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("rnk"), col("nbr_id"), round(col("__sim"), 4).as("cos_sim"))
+  }
+
   /** EXACT all-pairs Hamming-radius search via multi-index hashing
     * (Norouzi et al. 2012, "Fast Search in Hamming Space with Multi-Index
     * Hashing"): the `dim` code bits split into ⌈dim/bandBits⌉ disjoint

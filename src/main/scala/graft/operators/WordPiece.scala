@@ -46,7 +46,7 @@ object WordPiece {
     when(length(wordCol) <= 1, concat(lit("|"), wordCol, lit("|")))
       .otherwise(concat(
         lit("|"), substring(wordCol, 1, 1), lit("|"),
-        regexp_replace(expr("substring(word, 2)"), "(.)", "|##$1|")))
+        regexp_replace(wordCol.substr(lit(2), length(wordCol)), "(.)", "|##$1|")))
 
   /** Adjacent-pair counts over a (__rep, __wc) vocabulary frame. */
   private def pairCounts(rep: DataFrame): DataFrame =

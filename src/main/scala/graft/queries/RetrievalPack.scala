@@ -227,6 +227,33 @@ object RetrievalPack extends QueryPack {
             .as("screen_precision"))
     }),
 
+    // HARD-NEGATIVE mining (r15): top-5 cosine negatives per probe with
+    // near-duplicates EXCLUDED before the rank — the contrastive-
+    // training prep where a near-dup in the negative set poisons the
+    // loss. Exclusions come from the 32x Hamming screen (q316's banded
+    // pairs); probes 0 and 5 have planted twins at cosine ~0.9 that
+    // must vanish from their top-5 (the gate's teeth). The oracle
+    // replays pack, pairs, the NOT EXISTS exclusion, and the rank.
+    "q330_hard_negatives" -> ((s, d) => {
+      val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val planted = base.filter(pmod(col("vec_id"), lit(5)) === 0)
+        .select(col("vec_id").as("__orig"), col("embedding"))
+        .select((col("__orig") + 100000000L).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            when(pmod((col("__orig") + i.cast("long"))
+                * (col("__orig") + lit(2L) * i.cast("long") + 1L), lit(19)) === 0,
+              -x).otherwise(x)).as("embedding"))
+      val corpus = base.unionByName(planted)
+      val codes = Similarity.signQuantize(corpus, "vec_id", "embedding")
+      val exclude = Similarity.signHammingPairs(codes, "vec_id", "code",
+        dim = 64, maxHamming = 7, bandBits = 8).select("id_a", "id_b")
+      Similarity.hardNegatives(
+          corpus, "vec_id", "embedding",
+          corpus.filter(col("vec_id") < 10), "vec_id", "embedding",
+          exclude, k = 5)
+        .orderBy(col("probe_id"), col("rnk"))
+    }),
+
     // ANN over the INT8-DEQUANTIZED vectors — the quantized-storage
     // retrieval path end-to-end under the oracle: quantize (q66's exact
     // arithmetic) → dequantize → brute-force cosine top-k (q26's shape).
@@ -1057,6 +1084,49 @@ object RetrievalPack extends QueryPack {
              round(CAST(count(*) FILTER (WHERE cp AND hp) AS DOUBLE)
                    / CAST(count(*) FILTER (WHERE hp) AS DOUBLE), 4) AS screen_precision
       FROM p""",
+
+    // q330: q316's pack + pairs as the exclusion set, q26's cosine rank
+    // with the NOT EXISTS anti-join applied before row_number.
+    "q330_hard_negatives" -> """
+      WITH corpus AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 100000000,
+               list_transform(generate_series(1, 64), j ->
+                 CASE WHEN ((vec_id + (j - 1)) * (vec_id + 2 * (j - 1) + 1)) % 19 = 0
+                      THEN -embedding[j] ELSE embedding[j] END)
+        FROM embeddings WHERE vec_id % 5 = 0),
+      bits AS (
+        SELECT vec_id, k,
+               CASE WHEN embedding[k + 1] >= 0 THEN 1::BIGINT << (k % 32) ELSE 0 END AS bv,
+               k // 32 AS w
+        FROM corpus CROSS JOIN (SELECT unnest(range(0, 64)) AS k)),
+      codes AS (
+        SELECT vec_id,
+               CAST(sum(CASE WHEN w = 0 THEN bv ELSE 0 END) AS BIGINT) AS w0,
+               CAST(sum(CASE WHEN w = 1 THEN bv ELSE 0 END) AS BIGINT) AS w1
+        FROM bits GROUP BY vec_id),
+      pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM codes a JOIN codes b ON a.vec_id < b.vec_id
+        WHERE bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) <= 7),
+      ex AS (SELECT id_a AS pid, id_b AS nid FROM pairs
+             UNION SELECT id_b, id_a FROM pairs),
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM corpus),
+      p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 10),
+      s AS (SELECT probe_id, e.vec_id AS nbr_id,
+                   list_cosine_similarity(pv, e.v) AS sim
+            FROM p CROSS JOIN e
+            WHERE e.vec_id != probe_id
+              AND NOT EXISTS (SELECT 1 FROM ex
+                              WHERE ex.pid = probe_id AND ex.nid = e.vec_id)),
+      r AS (SELECT probe_id, nbr_id, sim,
+                   row_number() OVER (PARTITION BY probe_id
+                                      ORDER BY sim DESC, nbr_id) AS rnk
+            FROM s)
+      SELECT probe_id, CAST(rnk AS INTEGER) AS rnk, nbr_id,
+             round(sim, 4) + 0.0 AS cos_sim
+      FROM r WHERE rnk <= 5 ORDER BY probe_id, rnk""",
 
     // q317: brute-force Hamming top-5 with the all-integer
     // (hamming, nbr_id) rank — even the ranking is engine-exact.

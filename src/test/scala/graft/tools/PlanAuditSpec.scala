@@ -71,6 +71,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // measurement is exhaustive BY DEFINITION at eval scale (the
     // production screen itself is q316's banded equi-join).
     "q327_sign_fidelity" -> (1, 1, 1),
+    // q330: q26's probe class (vec_id < 10, parameter-bounded, broadcast
+    // by design); the near-dup exclusion set is SMJ-pinned inside the
+    // operator.
+    "q330_hard_negatives" -> (0, 1, 0),
     // q82: q73's offset-table broadcast, same bounded class.
     "q82_token_budget_by_group" -> (0, 0, 1),
     // q84: centerForBuckets' 1-row mean aggregate crossJoined back into the
