@@ -63,6 +63,53 @@ object CdcKernel {
     out += (start + 1).toLong; out += (n - start).toLong
     out.toArray
   }
+
+  /** The PRODUCTION clamped variant: a hash boundary is honored only
+    * once the current chunk spans >= `minLen` characters, and a chunk
+    * reaching `maxLen` splits unconditionally — the bounds every
+    * deployed CDC runs with (they bound index entries per byte and the
+    * worst-case chunk a task must buffer). Clamps make boundaries
+    * SEQUENTIAL state (each depends on where the previous one fell), so
+    * this variant is un-replayable in set-based SQL and stays SPEC-gated
+    * (`CdcSpec` pins clamped ≡ [[chunkSpans]] when no clamp binds, the
+    * min-suppression / max-forcing behaviors, and that
+    * self-synchronization still holds after one resync boundary). The
+    * window hash itself stays stream-global — identical to the unclamped
+    * form. */
+  def chunkSpansClamped(
+      text: String, window: Int, maskBits: Int,
+      minLen: Int, maxLen: Int): Array[Long] = {
+    require(minLen >= 1 && maxLen >= minLen,
+      s"need 1 <= minLen <= maxLen, got [$minLen, $maxLen]")
+    val n = text.length
+    if (n == 0) return Array.empty
+    val mask = (1L << maskBits) - 1L
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var start = 0
+    var i = 0
+    while (i < n - 1) {
+      val curLen = i - start + 1
+      var cut = curLen >= maxLen
+      if (!cut && curLen >= minLen && i >= window - 1) {
+        var h = 0L
+        var j = 0
+        var p = 1L
+        while (j < window) {
+          h += text.charAt(i - j).toLong * p
+          p *= 31L
+          j += 1
+        }
+        cut = (h & mask) == 0L
+      }
+      if (cut) {
+        out += (start + 1).toLong; out += curLen.toLong
+        start = i + 1
+      }
+      i += 1
+    }
+    out += (start + 1).toLong; out += (n - start).toLong
+    out.toArray
+  }
 }
 
 /** string → array<long> of flattened 1-based (start, len) CDC chunk

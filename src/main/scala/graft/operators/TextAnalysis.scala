@@ -675,6 +675,73 @@ object TextAnalysis {
         round(col("__ppl"), 4).as("ppl"))
   }
 
+  /** Interpolated KNESER–NEY bigram perplexity — the classic smoothing
+    * beyond [[bigramPerplexityInterpolated]]'s mixture (Kneser & Ney
+    * 1995; Chen & Goodman 1999's interpolated form): instead of mixing
+    * in raw unigram frequency, the backoff weight is the CONTINUATION
+    * probability `N1+(•w2) / |bigram types|` — "how many contexts does
+    * w2 complete" — which stops high-frequency-but-context-bound tokens
+    * (the "Francisco" effect) from soaking up backoff mass:
+    *
+    *   p(w2|w1) = max(c12 − d, 0)/c1 + d·N1+(w1•)/c1 · p_cont(w2)
+    *
+    * with absolute discount `d` and, for OOV coverage, the continuation
+    * distribution add-k smoothed over the vocabulary (the
+    * [[bigramPerplexityInterpolated]] `punit` rule — an unseen scored
+    * token must not produce log 0). Unseen contexts (c1 = 0) back off to
+    * p_cont alone. All counts are exact longs; the floating expression
+    * is one fixed shape replayed literally by the q331 oracle (the q162
+    * discipline). Same scale shape as the interpolated form: count
+    * tables shuffle on their keys, scored bigrams join against them,
+    * one per-doc aggregation. */
+  def bigramPerplexityKneserNey(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      discount: Double = 0.75,
+      k: Double = 1.0,
+      trainOn: Option[DataFrame] = None
+  ): DataFrame = {
+    require(discount > 0.0 && discount < 1.0, s"discount must be in (0,1), got $discount")
+    require(k > 0.0, s"smoothing k must be positive, got $k")
+    def bigramsOf(df: DataFrame, cols: Seq[Column]): DataFrame = df
+      .select(cols :+ tokens(col(textCol)).as("__toks"): _*)
+      .filter(size(col("__toks")) >= 2)
+      .select(cols :+ explode(transform(sequence(lit(0), size(col("__toks")) - 2),
+        i => struct(element_at(col("__toks"), i + 1).as("w1"),
+          element_at(col("__toks"), i + 2).as("w2")))).as("__bg"): _*)
+      .select(cols :+ col("__bg.w1").as("__w1") :+ col("__bg.w2").as("__w2"): _*)
+    val train = trainOn.getOrElse(docs)
+    val trainBg = bigramsOf(train, Seq.empty)
+    val c12 = trainBg.groupBy(col("__w1"), col("__w2")).agg(count(lit(1)).as("__c12"))
+    val c1 = trainBg.groupBy(col("__w1")).agg(count(lit(1)).as("__c1"))
+    val n1l = trainBg.groupBy(col("__w1")).agg(count_distinct(col("__w2")).as("__n1l"))
+    val n1r = trainBg.groupBy(col("__w2")).agg(count_distinct(col("__w1")).as("__n1r"))
+    val totals = c12.agg(count(lit(1)).cast("double").as("__T"))
+      .crossJoin(train.select(explode(tokens(col(textCol))).as("__t"))
+        .agg(count_distinct(col("__t")).cast("double").as("__v")))
+    val pcont = (coalesce(col("__n1r"), lit(0L)) + lit(k)) / (col("__T") + lit(k) * col("__v"))
+    val p = when(coalesce(col("__c1"), lit(0L)) > 0L,
+      greatest(coalesce(col("__c12"), lit(0L)).cast("double") - lit(discount), lit(0.0))
+        / col("__c1").cast("double")
+        + lit(discount) * col("__n1l").cast("double") / col("__c1").cast("double") * pcont)
+      .otherwise(pcont)
+    val scored = bigramsOf(docs, Seq(col(idCol)))
+      .join(c12.hint("shuffle_merge"), Seq("__w1", "__w2"), "left")
+      .join(c1.hint("shuffle_merge"), Seq("__w1"), "left")
+      .join(n1l.hint("shuffle_merge"), Seq("__w1"), "left")
+      .join(n1r.hint("shuffle_merge"), Seq("__w2"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("__lp", log(p))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), exp(-avg(col("__lp"))).as("__ppl"))
+    docs.select(col(idCol))
+      .join(scored.hint("shuffle_merge"), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(col("__ppl"), 4).as("ppl"))
+  }
+
   /** A collected bigram LM for STREAM-side scoring: the
     * [[bigramPerplexity]] count tables as executor-broadcast maps — the
     * same collect-guard-broadcast lifetime pattern as

@@ -721,6 +721,22 @@ object TextPack extends QueryPack {
         .orderBy(col("iter"))
     }),
 
+    // Interpolated KNESER-NEY bigram perplexity (r15, forward-list #2
+    // shipped early): absolute discount 0.75 (exactly 3/4) + the
+    // CONTINUATION-probability backoff — the classic smoothing the
+    // interpolated-unigram form (q162) approximates. Train on even
+    // docs, score odd; the oracle replays the discounted formula, the
+    // continuation counts, and the add-k OOV guard expression for
+    // expression (the q162 ln/exp discipline, round 4).
+    "q331_kneser_ney_ppl" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.bigramPerplexityKneserNey(
+          docs.filter(col("doc_id") % 2 === 1).select(col("doc_id"), col("text")),
+          "doc_id", "text",
+          trainOn = Some(docs.filter(col("doc_id") % 2 === 0)))
+        .orderBy(col("doc_id"))
+    }),
+
     // Unigram-LM SEED vocabulary (training stage 1) on real text: every
     // substring of length <= 3 of every corpus word, weighted by word
     // count; top-40 by (count desc, piece asc) with single characters
@@ -851,6 +867,48 @@ object TextPack extends QueryPack {
              CAST(sum(unk) AS BIGINT) AS total_unk_words,
              round(CAST(sum(unk) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS unk_rate
       FROM per""",
+
+    // q331: q162's CTE shape with the Kneser-Ney formula — discounted
+    // bigram mass, continuation-count backoff, add-k continuation
+    // smoothing as the OOV guard; the float expression replayed
+    // literally.
+    "q331_kneser_ney_ppl" -> """
+      WITH tr AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+                  WHERE doc_id % 2 = 0),
+      sc AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+             WHERE doc_id % 2 = 1),
+      trbg AS (SELECT w[p] AS w1, w[p + 1] AS w2
+               FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS p
+                     FROM tr WHERE len(w) >= 2)),
+      c12 AS (SELECT w1, w2, count(*) AS c12 FROM trbg GROUP BY w1, w2),
+      c1 AS (SELECT w1, count(*) AS c1 FROM trbg GROUP BY w1),
+      n1l AS (SELECT w1, count(DISTINCT w2) AS n1l FROM trbg GROUP BY w1),
+      n1r AS (SELECT w2, count(DISTINCT w1) AS n1r FROM trbg GROUP BY w2),
+      tot AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM c12) AS tt,
+                     (SELECT CAST(count(DISTINCT t) AS DOUBLE)
+                      FROM (SELECT unnest(w) AS t FROM tr)) AS v),
+      scbg AS (SELECT doc_id, w[p] AS w1, w[p + 1] AS w2
+               FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS p
+                     FROM sc WHERE len(w) >= 2)),
+      scored AS (
+        SELECT scbg.doc_id, count(*) AS n_bigrams,
+               exp(-avg(ln(
+                 CASE WHEN coalesce(c1.c1, 0) > 0
+                      THEN greatest(CAST(coalesce(c12.c12, 0) AS DOUBLE) - 0.75, 0.0)
+                             / c1.c1
+                           + 0.75 * n1l.n1l / c1.c1
+                             * ((coalesce(n1r.n1r, 0) + 1.0) / (tot.tt + 1.0 * tot.v))
+                      ELSE (coalesce(n1r.n1r, 0) + 1.0) / (tot.tt + 1.0 * tot.v)
+                 END))) AS ppl
+        FROM scbg LEFT JOIN c12 USING (w1, w2) LEFT JOIN c1 USING (w1)
+             LEFT JOIN n1l USING (w1) LEFT JOIN n1r USING (w2) CROSS JOIN tot
+        GROUP BY scbg.doc_id)
+      SELECT d.doc_id,
+             CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+             round(s.ppl, 4) AS ppl
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+           LEFT JOIN scored s USING (doc_id)
+      ORDER BY d.doc_id""",
 
     // q313: the greedy consumption unrolled as an 8-stage positional
     // machine over the planted words (a word of <= 8 chars consumes at

@@ -33,6 +33,32 @@ class CdcSpec extends AnyFunSuite {
     }
   }
 
+  test("clamped chunking: no-clamp parity, min suppresses, max forces, resync survives clamps") {
+    import graft.functions.CdcKernel.{chunkSpans, chunkSpansClamped}
+    val t = "the quick brown fox jumps over the lazy dog and keeps running onward" +
+      " while the band plays something slow and the crowd hums along quietly"
+    // clamps that cannot bind reproduce the unclamped spans exactly
+    assert(chunkSpansClamped(t, 4, 6, 1, Int.MaxValue).toSeq == chunkSpans(t, 4, 6).toSeq)
+    // minLen suppresses every boundary closer than minLen to the last cut
+    val mn = chunkSpansClamped(t, 4, 6, 24, Int.MaxValue)
+    assert(mn.grouped(2).toSeq.dropRight(1).forall { case Array(_, l) => l >= 24 })
+    // maxLen forces: no chunk exceeds it, even where no hash boundary fell
+    val mx = chunkSpansClamped(t, 4, 6, 1, 16)
+    assert(mx.grouped(2).toSeq.forall { case Array(_, l) => l <= 16 })
+    assert(mx.grouped(2).map { case Array(_, l) => l }.sum == t.length, "tiling holds")
+    // self-synchronization under clamps: two docs sharing a long tail
+    // still align on identical chunks once past the first resync cut
+    val tail = "all rights reserved this transcript was generated automatically" +
+      " and may contain errors please verify details against the recording"
+    def chunksOf(s: String) = {
+      val sp = chunkSpansClamped(s, 4, 6, 8, 48)
+      sp.grouped(2).map { case Array(st, l) => s.substring(st.toInt - 1, (st + l - 1).toInt) }.toSeq
+    }
+    val shared = chunksOf("one prefix here " + tail).toSet
+      .intersect(chunksOf("a totally different and longer opening sequence " + tail).toSet)
+    assert(shared.nonEmpty, "clamped CDC must still re-align inside the shared tail")
+  }
+
   test("containment audit: exact basis-point boundary, fully-known drops, novel survives") {
     val tail = "the quick brown fox jumps over the lazy dog and keeps running onward today"
     val old = Seq((1L, "some old document carrying " + tail)).toDF("id", "text")

@@ -759,4 +759,35 @@ class TextAnalysisSpec extends AnyFunSuite {
     val pad = TextAnalysis.coverageCard(Seq("a  b   a").toDF("text"), "text").collect().head
     assert((pad.getLong(0), pad.getLong(1), pad.getLong(2)) == ((3L, 2L, 1L)))
   }
+  test("Kneser-Ney: continuation backoff beats raw frequency (the Francisco effect); discount math exact") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // "francisco" is FREQUENT but only ever follows "san" (one context);
+    // "x" is rarer as a unigram but completes three contexts
+    val train = Seq("san francisco san francisco san francisco a x b x c x").toDF("text")
+    val score = Seq((1L, "zzz francisco"), (2L, "zzz x")).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramPerplexityKneserNey(score, "doc_id", "text",
+        trainOn = Some(train))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // unseen context "zzz" backs off to p_cont: N1r(x)=3 > N1r(francisco)=1,
+    // so the versatile token scores LOWER perplexity despite lower frequency
+    assert(got(2L) < got(1L),
+      s"continuation backoff must prefer x (ppl ${got(2L)}) over francisco (ppl ${got(1L)})")
+    // exact discount arithmetic on a seen bigram: doc = "san francisco";
+    // c12=3, c1(san)=3, N1l(san)=1, pcont(francisco)=(1+1)/(T+V).
+    // the train text is ONE token stream, so cross-phrase bigrams count:
+    // (san,francisco)x3 (francisco,san)x2 (francisco,a) (a,x) (x,b)
+    // (b,x) (x,c) (c,x) -> 8 distinct types over 6 distinct unigrams
+    val tTypes = 8.0
+    val v = 6.0
+    val pcont = (1.0 + 1.0) / (tTypes + 1.0 * v)
+    val expectP = (3.0 - 0.75) / 3.0 + 0.75 * 1.0 / 3.0 * pcont
+    val one = TextAnalysis.bigramPerplexityKneserNey(
+        Seq((9L, "san francisco")).toDF("doc_id", "text"), "doc_id", "text",
+        trainOn = Some(train))
+      .collect().head
+    assert(one.getLong(1) == 1L)
+    assert(math.abs(one.getDouble(2) - math.rint(1.0 / expectP * 1e4) / 1e4) < 1e-9,
+      s"ppl ${one.getDouble(2)} vs expected ${1.0 / expectP}")
+  }
 }
