@@ -123,6 +123,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // corpus-count scalar (its crossJoin is the BNLJ — q35's N class).
     // The corpus-shaped draws⋈positions match is SMJ-pinned both sides.
     "q140_negative_sample" -> (0, 1, 2),
+    // q331: q162's class, doubled — the totals frame is TWO 1-row
+    // scalars (bigram-type count x distinct-unigram count) crossJoined
+    // together, then broadcast into the scored-bigram join: 2 BNLJ +
+    // 2 derived broadcasts, every flagged relation exactly one row.
+    "q331_kneser_ney_ppl" -> (0, 2, 2),
     // q162: q95/q98's 1-row T/V scalar (its crossJoin is the BNLJ); the
     // vocabulary-shaped count tables (c12, c1, unigram) are SMJ-pinned.
     "q162_interpolated_ppl" -> (0, 1, 1),
