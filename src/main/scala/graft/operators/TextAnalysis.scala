@@ -742,6 +742,93 @@ object TextAnalysis {
         round(col("__ppl"), 4).as("ppl"))
   }
 
+  /** TRIGRAM interpolated Kneser–Ney — [[bigramPerplexityKneserNey]]'s
+    * order-3 form, with the textbook structure: the TOP level discounts
+    * raw trigram counts and backs off (weighted by the left-off mass
+    * `d·N1+(w1w2•)/c(w1w2•)`) into a bigram level built from
+    * CONTINUATION counts (`N1+(•w2w3)` over `N1+(•w2•)` — at the lower
+    * level "how many contexts completed this" replaces raw frequency,
+    * the defining KN move), which itself backs off into the add-k
+    * continuation unigram (the OOV guard). Unseen contexts at either
+    * level skip straight to the level below. All nine count tables are
+    * exact longs off one trigram pass + one bigram pass over train;
+    * the float expression is one fixed shape replayed literally by the
+    * q332 oracle. Scale: count tables shuffle on their keys, scored
+    * trigrams left-join each (SMJ-pinned), one per-doc aggregation. */
+  def trigramPerplexityKneserNey(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      discount: Double = 0.75,
+      k: Double = 1.0,
+      trainOn: Option[DataFrame] = None
+  ): DataFrame = {
+    require(discount > 0.0 && discount < 1.0, s"discount must be in (0,1), got $discount")
+    require(k > 0.0, s"smoothing k must be positive, got $k")
+    def trigramsOf(df: DataFrame, cols: Seq[Column]): DataFrame = df
+      .select(cols :+ tokens(col(textCol)).as("__toks"): _*)
+      .filter(size(col("__toks")) >= 3)
+      .select(cols :+ explode(transform(sequence(lit(0), size(col("__toks")) - 3),
+        i => struct(element_at(col("__toks"), i + 1).as("w1"),
+          element_at(col("__toks"), i + 2).as("w2"),
+          element_at(col("__toks"), i + 3).as("w3")))).as("__tg"): _*)
+      .select(cols :+ col("__tg.w1").as("__w1") :+ col("__tg.w2").as("__w2")
+        :+ col("__tg.w3").as("__w3"): _*)
+    val train = trainOn.getOrElse(docs)
+    val trainTg = trigramsOf(train, Seq.empty)
+    val c123 = trainTg.groupBy(col("__w1"), col("__w2"), col("__w3"))
+      .agg(count(lit(1)).as("__c123"))
+    val ctx12 = trainTg.groupBy(col("__w1"), col("__w2")).agg(count(lit(1)).as("__ctx12"))
+    val n3 = trainTg.groupBy(col("__w1"), col("__w2"))
+      .agg(count_distinct(col("__w3")).as("__n3"))
+    // continuation tables: distinct left contexts per (w2,w3), then per w2
+    val n12 = trainTg.groupBy(col("__w2"), col("__w3"))
+      .agg(count_distinct(col("__w1")).as("__n12"))
+    val nctx2 = n12.groupBy(col("__w2")).agg(sum(col("__n12")).as("__nctx2"))
+    val nl2 = n12.groupBy(col("__w2")).agg(count(lit(1)).as("__nl2"))
+    // unigram continuation off plain bigrams (the bigram-KN pcont)
+    val trainBg = train
+      .select(tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= 2)
+      .select(explode(transform(sequence(lit(0), size(col("__toks")) - 2),
+        i => struct(element_at(col("__toks"), i + 1).as("w2"),
+          element_at(col("__toks"), i + 2).as("w3")))).as("__bg"))
+      .select(col("__bg.w2").as("__w2"), col("__bg.w3").as("__w3"))
+    val n1r = trainBg.groupBy(col("__w3")).agg(count_distinct(col("__w2")).as("__n1r"))
+    val totals = trainBg.select(col("__w2"), col("__w3")).distinct()
+      .agg(count(lit(1)).cast("double").as("__T"))
+      .crossJoin(train.select(explode(tokens(col(textCol))).as("__t"))
+        .agg(count_distinct(col("__t")).cast("double").as("__v")))
+    val pcont = (coalesce(col("__n1r"), lit(0L)) + lit(k)) / (col("__T") + lit(k) * col("__v"))
+    val p2 = when(coalesce(col("__nctx2"), lit(0L)) > 0L,
+      greatest(coalesce(col("__n12"), lit(0L)).cast("double") - lit(discount), lit(0.0))
+        / col("__nctx2").cast("double")
+        + lit(discount) * col("__nl2").cast("double") / col("__nctx2").cast("double") * pcont)
+      .otherwise(pcont)
+    val p3 = when(coalesce(col("__ctx12"), lit(0L)) > 0L,
+      greatest(coalesce(col("__c123"), lit(0L)).cast("double") - lit(discount), lit(0.0))
+        / col("__ctx12").cast("double")
+        + lit(discount) * col("__n3").cast("double") / col("__ctx12").cast("double") * p2)
+      .otherwise(p2)
+    val scored = trigramsOf(docs, Seq(col(idCol)))
+      .join(c123.hint("shuffle_merge"), Seq("__w1", "__w2", "__w3"), "left")
+      .join(ctx12.hint("shuffle_merge"), Seq("__w1", "__w2"), "left")
+      .join(n3.hint("shuffle_merge"), Seq("__w1", "__w2"), "left")
+      .join(n12.hint("shuffle_merge"), Seq("__w2", "__w3"), "left")
+      .join(nctx2.hint("shuffle_merge"), Seq("__w2"), "left")
+      .join(nl2.hint("shuffle_merge"), Seq("__w2"), "left")
+      .join(n1r.hint("shuffle_merge"), Seq("__w3"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("__lp", log(p3))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_trigrams"), exp(-avg(col("__lp"))).as("__ppl"))
+    docs.select(col(idCol))
+      .join(scored.hint("shuffle_merge"), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        round(col("__ppl"), 4).as("ppl"))
+  }
+
   /** A collected bigram LM for STREAM-side scoring: the
     * [[bigramPerplexity]] count tables as executor-broadcast maps — the
     * same collect-guard-broadcast lifetime pattern as

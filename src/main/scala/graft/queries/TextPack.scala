@@ -737,6 +737,20 @@ object TextPack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // TRIGRAM Kneser-Ney (r15): the order-3 form — discounted trigram
+    // mass backing off into a CONTINUATION-count bigram level, then the
+    // add-k continuation unigram. Nine exact count tables, one fixed
+    // float expression replayed literally by the oracle. Train even,
+    // score odd (the q162/q331 construction).
+    "q332_kn_trigram_ppl" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.trigramPerplexityKneserNey(
+          docs.filter(col("doc_id") % 2 === 1).select(col("doc_id"), col("text")),
+          "doc_id", "text",
+          trainOn = Some(docs.filter(col("doc_id") % 2 === 0)))
+        .orderBy(col("doc_id"))
+    }),
+
     // Unigram-LM SEED vocabulary (training stage 1) on real text: every
     // substring of length <= 3 of every corpus word, weighted by word
     // count; top-40 by (count desc, piece asc) with single characters
@@ -905,6 +919,69 @@ object TextPack extends QueryPack {
         GROUP BY scbg.doc_id)
       SELECT d.doc_id,
              CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+             round(s.ppl, 4) AS ppl
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+           LEFT JOIN scored s USING (doc_id)
+      ORDER BY d.doc_id""",
+
+    // q332: the trigram-KN count tables and the two-level backoff
+    // expression transcribed literally (the q331 discipline).
+    "q332_kn_trigram_ppl" -> """
+      WITH tr AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+                  WHERE doc_id % 2 = 0),
+      sc AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+             WHERE doc_id % 2 = 1),
+      trtg AS (SELECT w[p] AS w1, w[p + 1] AS w2, w[p + 2] AS w3
+               FROM (SELECT w, unnest(generate_series(1, len(w) - 2)) AS p
+                     FROM tr WHERE len(w) >= 3)),
+      c123 AS (SELECT w1, w2, w3, count(*) AS c123 FROM trtg GROUP BY w1, w2, w3),
+      ctx12 AS (SELECT w1, w2, count(*) AS ctx12 FROM trtg GROUP BY w1, w2),
+      n3 AS (SELECT w1, w2, count(DISTINCT w3) AS n3 FROM trtg GROUP BY w1, w2),
+      n12 AS (SELECT w2, w3, count(DISTINCT w1) AS n12 FROM trtg GROUP BY w2, w3),
+      nctx2 AS (SELECT w2, sum(n12) AS nctx2 FROM n12 GROUP BY w2),
+      nl2 AS (SELECT w2, count(*) AS nl2 FROM n12 GROUP BY w2),
+      trbg AS (SELECT w[p] AS w2, w[p + 1] AS w3
+               FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS p
+                     FROM tr WHERE len(w) >= 2)),
+      n1r AS (SELECT w3, count(DISTINCT w2) AS n1r FROM trbg GROUP BY w3),
+      tot AS (SELECT (SELECT CAST(count(*) AS DOUBLE)
+                      FROM (SELECT DISTINCT w2, w3 FROM trbg)) AS tt,
+                     (SELECT CAST(count(DISTINCT t) AS DOUBLE)
+                      FROM (SELECT unnest(w) AS t FROM tr)) AS v),
+      sctg AS (SELECT doc_id, w[p] AS w1, w[p + 1] AS w2, w[p + 2] AS w3
+               FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS p
+                     FROM sc WHERE len(w) >= 3)),
+      scored AS (
+        SELECT sctg.doc_id, count(*) AS n_trigrams,
+               exp(-avg(ln(
+                 CASE WHEN coalesce(ctx12.ctx12, 0) > 0
+                      THEN greatest(CAST(coalesce(c123.c123, 0) AS DOUBLE) - 0.75, 0.0)
+                             / ctx12.ctx12
+                           + 0.75 * n3.n3 / ctx12.ctx12
+                             * (CASE WHEN coalesce(nctx2.nctx2, 0) > 0
+                                     THEN greatest(CAST(coalesce(n12.n12, 0) AS DOUBLE) - 0.75, 0.0)
+                                            / nctx2.nctx2
+                                          + 0.75 * nl2.nl2 / nctx2.nctx2
+                                            * ((coalesce(n1r.n1r, 0) + 1.0)
+                                               / (tot.tt + 1.0 * tot.v))
+                                     ELSE (coalesce(n1r.n1r, 0) + 1.0)
+                                          / (tot.tt + 1.0 * tot.v) END)
+                      ELSE (CASE WHEN coalesce(nctx2.nctx2, 0) > 0
+                                 THEN greatest(CAST(coalesce(n12.n12, 0) AS DOUBLE) - 0.75, 0.0)
+                                        / nctx2.nctx2
+                                      + 0.75 * nl2.nl2 / nctx2.nctx2
+                                        * ((coalesce(n1r.n1r, 0) + 1.0)
+                                           / (tot.tt + 1.0 * tot.v))
+                                 ELSE (coalesce(n1r.n1r, 0) + 1.0)
+                                      / (tot.tt + 1.0 * tot.v) END)
+                 END))) AS ppl
+        FROM sctg LEFT JOIN c123 USING (w1, w2, w3) LEFT JOIN ctx12 USING (w1, w2)
+             LEFT JOIN n3 USING (w1, w2) LEFT JOIN n12 USING (w2, w3)
+             LEFT JOIN nctx2 USING (w2) LEFT JOIN nl2 USING (w2)
+             LEFT JOIN n1r USING (w3) CROSS JOIN tot
+        GROUP BY sctg.doc_id)
+      SELECT d.doc_id,
+             CAST(coalesce(s.n_trigrams, 0) AS BIGINT) AS n_trigrams,
              round(s.ppl, 4) AS ppl
       FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
            LEFT JOIN scored s USING (doc_id)

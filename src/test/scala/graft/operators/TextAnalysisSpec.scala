@@ -790,4 +790,26 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(math.abs(one.getDouble(2) - math.rint(1.0 / expectP * 1e4) / 1e4) < 1e-9,
       s"ppl ${one.getDouble(2)} vs expected ${1.0 / expectP}")
   }
+  test("trigram Kneser-Ney: two-level backoff arithmetic exact on a hand-derived corpus") {
+    import spark.implicits._
+    // train "a b c a b c a b d": c123(a,b,c)=2, ctx12(a,b)=3, n3(a,b)=2;
+    // level 2 for (b,c): n12=1 (only w1=a), nctx2(b)=2, nl2(b)=2;
+    // pcont(c)=(1+1)/(T2=4 + V=4)=0.25
+    val train = Seq("a b c a b c a b d").toDF("text")
+    val got = TextAnalysis.trigramPerplexityKneserNey(
+        Seq((1L, "a b c")).toDF("doc_id", "text"), "doc_id", "text",
+        trainOn = Some(train))
+      .collect().head
+    assert(got.getLong(1) == 1L)
+    val pcont = (1.0 + 1.0) / (4.0 + 1.0 * 4.0)
+    val p2 = math.max(1.0 - 0.75, 0.0) / 2.0 + 0.75 * 2.0 / 2.0 * pcont
+    val p3 = math.max(2.0 - 0.75, 0.0) / 3.0 + 0.75 * 2.0 / 3.0 * p2
+    assert(math.abs(got.getDouble(2) - math.rint(1.0 / p3 * 1e4) / 1e4) < 1e-9,
+      s"ppl ${got.getDouble(2)} vs expected ${1.0 / p3}")
+    // an unseen (w1,w2) context must skip to the continuation level, not crash
+    val oov = TextAnalysis.trigramPerplexityKneserNey(
+        Seq((2L, "zz qq c")).toDF("doc_id", "text"), "doc_id", "text",
+        trainOn = Some(train)).collect().head
+    assert(oov.getLong(1) == 1L && !oov.isNullAt(2))
+  }
 }

@@ -128,6 +128,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // together, then broadcast into the scored-bigram join: 2 BNLJ +
     // 2 derived broadcasts, every flagged relation exactly one row.
     "q331_kneser_ney_ppl" -> (0, 2, 2),
+    // q332: the same two-scalar totals class at order 3.
+    "q332_kn_trigram_ppl" -> (0, 2, 2),
     // q162: q95/q98's 1-row T/V scalar (its crossJoin is the BNLJ); the
     // vocabulary-shaped count tables (c12, c1, unigram) are SMJ-pinned.
     "q162_interpolated_ppl" -> (0, 1, 1),
