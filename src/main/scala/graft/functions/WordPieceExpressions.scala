@@ -29,9 +29,17 @@ object WordPieceKernel {
 
   val Unk = "[UNK]"
 
+  /** HuggingFace's `max_input_chars_per_word`: a longer word degrades to
+    * `[UNK]` without scanning — pathological mega-"words" (minified JS,
+    * base64 blobs) would otherwise cost O(len · maxPieceLen) each and
+    * diverge from real BERT tokenizers, which apply this exact cutoff. */
+  val MaxWordLen = 100
+
   /** Greedy longest-match tokens of ONE word, `##`-prefixed continuations;
-    * `[UNK]` alone if any position fails to match. */
-  def greedy(w: String, vocab: WordPieceVocab): Array[String] = {
+    * `[UNK]` alone if any position fails to match OR the word exceeds
+    * `maxWordLen` (HF's all-or-nothing rules, both of them). */
+  def greedy(w: String, vocab: WordPieceVocab, maxWordLen: Int = MaxWordLen): Array[String] = {
+    if (w.length > maxWordLen) return Array(Unk)
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var pos = 0
     while (pos < w.length) {

@@ -1205,8 +1205,13 @@ object Dedup {
       newDocs: DataFrame, idCol: String, textCol: String,
       knownChunks: DataFrame, thresholdBp: Int,
       window: Int = 4, maskBits: Int = 6): DataFrame = {
-    require(thresholdBp >= 0 && thresholdBp <= 10000,
-      s"thresholdBp is basis points in [0, 10000], got $thresholdBp")
+    // >= 1, not >= 0: at 0 the cross-multiplication `n_known·10⁴ >= 0`
+    // holds for EVERY doc (zero known chunks included), silently turning
+    // the audit into drop-everything (r15 ADVICE) — an always-drop knob
+    // is a config bug, so reject it loudly
+    require(thresholdBp >= 1 && thresholdBp <= 10000,
+      s"thresholdBp is basis points in [1, 10000], got $thresholdBp " +
+        "(0 would mark every document dropped)")
     cdcChunks(newDocs, idCol, textCol, window, maskBits)
       .join(knownChunks.select(col("chunk_md5")).distinct()
         .withColumn("__k", lit(1)).hint("shuffle_merge"), Seq("chunk_md5"), "left")

@@ -679,8 +679,12 @@ object Similarity {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         hammingDist(col("__ca"), col("__cb")).as("hamming"))
-      .distinct()
+      // filter BEFORE the dedup shuffle: hamming is a function of the
+      // pair, so far-apart band-collision candidates can be dropped
+      // map-side instead of riding through the distinct with both
+      // packed codes attached (r15 ADVICE)
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Exact Hamming top-k over packed codes — [[bruteForceTopK]]'s 1-bit

@@ -743,7 +743,11 @@ object TimeSeries {
       .select(keys :+ col("n_train") :+ col("n_test")
         :+ round(col("__sum_err").cast("double") / col("n_test").cast("double"), 6)
           .as("mae")
-        :+ round((col("__sum_err") * (col("n_train") - 1L)).cast("double")
-            / (col("__sum_scale") * col("n_test")).cast("double"), 6).as("mase"): _*)
+        // degenerate-scale guard: a constant train window (all one-step
+        // diffs zero) has no naive error to scale by — emit null, never
+        // Infinity/NaN (engines disagree on double x/0; r15 ADVICE)
+        :+ when(col("__sum_scale") > 0L,
+            round((col("__sum_err") * (col("n_train") - 1L)).cast("double")
+              / (col("__sum_scale") * col("n_test")).cast("double"), 6)).as("mase"): _*)
   }
 }

@@ -1072,7 +1072,9 @@ object RetrievalPack extends QueryPack {
       e AS (SELECT c.vec_id, CAST(c.embedding AS DOUBLE[]) AS v, d.w0, d.w1
             FROM corpus c JOIN codes d USING (vec_id)),
       p AS (SELECT
-              (round(list_cosine_similarity(a.v, b.v), 6) >= 0.8) AS cp,
+              (round(list_dot_product(a.v, b.v)
+                     / (sqrt(list_dot_product(a.v, a.v))
+                        * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.8) AS cp,
               (bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) <= 7) AS hp
             FROM e a JOIN e b ON a.vec_id < b.vec_id)
       SELECT CAST(count(*) AS BIGINT) AS pairs_total,
@@ -1115,7 +1117,9 @@ object RetrievalPack extends QueryPack {
       e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM corpus),
       p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 10),
       s AS (SELECT probe_id, e.vec_id AS nbr_id,
-                   list_cosine_similarity(pv, e.v) AS sim
+                   list_dot_product(pv, e.v)
+                     / (sqrt(list_dot_product(pv, pv))
+                        * sqrt(list_dot_product(e.v, e.v))) AS sim
             FROM p CROSS JOIN e
             WHERE e.vec_id != probe_id
               AND NOT EXISTS (SELECT 1 FROM ex

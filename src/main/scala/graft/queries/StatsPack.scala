@@ -1392,8 +1392,10 @@ object StatsPack extends QueryPack {
               FROM idx WHERE n >= 15 GROUP BY event_type)
       SELECT event_type, n_train, n_test,
              round(CAST(sum_err AS DOUBLE) / CAST(n_test AS DOUBLE), 6) AS mae,
-             round(CAST(sum_err * (n_train - 1) AS DOUBLE)
-                   / CAST(sum_scale * n_test AS DOUBLE), 6) AS mase
+             CASE WHEN sum_scale > 0
+                  THEN round(CAST(sum_err * (n_train - 1) AS DOUBLE)
+                             / CAST(sum_scale * n_test AS DOUBLE), 6)
+             END AS mase
       FROM agg ORDER BY event_type""",
 
     // q242: exact decimal prefix sums per key, per-split two-sided SSE in

@@ -1,0 +1,173 @@
+package graft.tools
+
+import graft.{GraftSession, SparkEntry, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Measured scaling exponents for the suite's most expensive GATED queries
+  * (r15 verdict #1): run each query unmodified — same `(spark, sfDir)`
+  * entry point the correctness gate uses — against corpus-widened COPIES
+  * of its input tables at multipliers `1, 2, 4, …`, time full executions
+  * (noop write, the Bench discipline), and fit the per-query scaling
+  * exponent `e` in `t ∝ n^e` by least squares on (ln k, ln t).
+  *
+  * Widening is REALISTIC, not adversarial (that's [[ScaleSmoke]]'s job):
+  * a 10× corpus has 10× the duplicate CLUSTERS, not 10×-wider clusters, so
+  * every copy is structure-preserving but cross-copy DISJOINT:
+  *
+  *  - `documents`: copy `i` prefixes every token with `c{i}` — a bijective
+  *    token rename, so within-copy shingle/Jaccard/MinHash structure is
+  *    EXACTLY the original's, while cross-copy vocabularies are disjoint
+  *    (no cross-copy near-dup pairs, cluster count grows ×k).
+  *  - `embeddings`: copy `i` cyclically rotates the 64-dim vector by
+  *    `7i mod 64` — an orthogonal transform, so within-copy cosines (and
+  *    the planted-twin geometry q61 relies on) are EXACTLY preserved.
+  *  - `customer`: copy `i` shifts `c_custkey` by `i·10⁸` and `c_nationkey`
+  *    by `i·100` — q168's blocking keys replicate, so block COUNT grows ×k
+  *    at constant block size (how a deployment's blocking actually scales).
+  *  - `events`: copy `i` shifts `user_id`/`event_id` — new users, same
+  *    per-user behavior; q297's duel volume grows ×k at constant item set.
+  *
+  * Copy 0 is byte-identical input, so the ×1 point cross-checks BENCH.
+  *
+  * `runMain graft.tools.ScaleProbe [sfDir] [outJson] [multsCsv] [queriesCsv]`
+  * Output: one JSON object per query with per-mult seconds, the OLS
+  * exponent over all points, and the tail exponent (last two points —
+  * where fixed per-query overhead matters least).
+  */
+object ScaleProbe {
+
+  /** r15 verdict's top-10 by bench cost. */
+  val DefaultQueries: Seq[String] = Seq(
+    "q194_ppjoin", "q168_er_canonical", "q48_cosine_pairs_lsh",
+    "q114_dedup_keep_best", "q108_kmv_distinct", "q61_cosine_lsh_prod",
+    "q155_cross_ann", "q297_streaming_bradley_terry",
+    "q147_incremental_cc", "q111_cms_freq")
+
+  private val widened = Set("documents", "embeddings", "customer", "events")
+
+  /** One widened copy (`i` of `k`); `i = 0` is the identity so the ×1 dir
+    * replays the gate input bit-for-bit. */
+  private def copyOf(spark: SparkSession, sfDir: String, table: String, i: Int): DataFrame = {
+    val df = Tables.load(spark, sfDir, table)
+    if (i == 0) df
+    else table match {
+      case "documents" =>
+        df.withColumn("doc_id", col("doc_id") + lit(i.toLong * 100000000L))
+          .withColumn("text", regexp_replace(col("text"), "(^| )", "$1c" + i))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+      case "embeddings" =>
+        val s = (i * 7) % 64
+        val rotated =
+          if (s == 0) col("embedding")
+          else concat(slice(col("embedding"), s + 1, 64 - s), slice(col("embedding"), 1, s))
+        df.withColumn("vec_id", col("vec_id") + lit(i.toLong * 200000000L))
+          .withColumn("embedding", rotated)
+      case "customer" =>
+        df.withColumn("c_custkey", col("c_custkey") + lit(i.toLong * 100000000L))
+          .withColumn("c_nationkey", col("c_nationkey") + lit(i * 100))
+      case "events" =>
+        df.withColumn("event_id", col("event_id") + lit(i.toLong * 1000000000L))
+          .withColumn("user_id", col("user_id") + lit(i.toLong * 100000L))
+      case other => throw graft.core.GraftError(s"no widening rule for $other")
+    }
+  }
+
+  /** Materialize the ×k input dir: widened tables as parquet, the rest as
+    * filesystem copies (single-file tables in the driver's testdata). */
+  private def buildDir(spark: SparkSession, sfDir: String, outDir: String, k: Int): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    Tables.all.foreach { t =>
+      val dst = s"$outDir/$t.parquet"
+      if (widened(t) && k > 1)
+        (0 until k).map(copyOf(spark, sfDir, t, _)).reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(dst)
+      else
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$sfDir/$t.parquet"), java.nio.file.Paths.get(dst),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  /** OLS slope of ln t on ln k. */
+  private def fit(points: Seq[(Int, Double)]): Double = {
+    val xs = points.map(p => math.log(p._1.toDouble))
+    val ys = points.map(p => math.log(p._2))
+    val (mx, my) = (xs.sum / xs.size, ys.sum / ys.size)
+    val num = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
+    val den = xs.map(x => (x - mx) * (x - mx)).sum
+    num / den
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val outJson = args.drop(1).headOption.getOrElse("/tmp/scaleprobe.json")
+    val mults = args.drop(2).headOption.getOrElse("1,2,4,10")
+      .split(',').map(_.trim.toInt).toSeq.sorted
+    val names = args.drop(3).headOption
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(DefaultQueries)
+    require(mults.nonEmpty && mults.head >= 1, s"bad mults: $mults")
+    names.foreach(n => require(SparkEntry.queries.contains(n), s"unknown query $n"))
+
+    val spark = GraftSession.local("graft-scale-probe")
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val load0 = osBean.getSystemLoadAverage
+
+    val work = java.nio.file.Files.createTempDirectory("graft-scaleprobe").toString
+    mults.foreach { k =>
+      buildDir(spark, sfDir, s"$work/x$k", k)
+      println(s"[probe] built x$k")
+    }
+
+    // per-(query, mult) timing with ScaleSmoke's untimed inter-stage
+    // cleanup: unpersist only RDDs the stage itself pinned, then GC
+    def timeOne(name: String, dir: String): Double = {
+      val preexisting = spark.sparkContext.getPersistentRDDs.keySet
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!preexisting.contains(id)) rdd.unpersist(blocking = false)
+      }
+      System.gc()
+      dt
+    }
+
+    val results = names.map { name =>
+      // untimed per-query warm-up at the smallest mult: JVM/Spark startup,
+      // codegen, and (for streaming drains) the first-stream init otherwise
+      // bill to the ×1 cell and corrupt the fit (measured: q297's ×1 read
+      // 2× its warm time when only a foreign query had warmed the session)
+      timeOne(name, s"$work/x${mults.head}")
+      val times = mults.map { k =>
+        val t = timeOne(name, s"$work/x$k")
+        println(f"[probe] $name%-30s x$k%-3d $t%8.2f s")
+        k -> t
+      }
+      val expAll = fit(times)
+      val expTail =
+        if (times.size >= 2) {
+          val Seq(a, b) = times.takeRight(2).toSeq
+          math.log(b._2 / a._2) / math.log(b._1.toDouble / a._1)
+        } else Double.NaN
+      println(f"[probe] $name%-30s exponent=$expAll%5.2f tail=$expTail%5.2f")
+      (name, times, expAll, expTail)
+    }
+
+    val load1 = osBean.getSystemLoadAverage
+    val json = new StringBuilder("{\"sf_base\":\"").append(sfDir)
+      .append("\",\"mults\":[").append(mults.mkString(","))
+      .append(s"],\"loadavg\":[$load0,$load1],\"queries\":{")
+    json.append(results.map { case (name, times, e, et) =>
+      s""""$name":{"times":{${times.map(t => s""""${t._1}":${f"${t._2}%.3f"}""").mkString(",")}},""" +
+        s""""exponent":${f"$e%.3f"},"exponent_tail":${f"$et%.3f"}}"""
+    }.mkString(","))
+    json.append("}}")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outJson),
+      json.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(json.toString)
+    spark.stop()
+  }
+}

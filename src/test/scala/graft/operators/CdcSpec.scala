@@ -78,6 +78,11 @@ class CdcSpec extends AnyFunSuite {
     val strict = Dedup.cdcContainmentAudit(nw, "id", "text", idx, thresholdBp = 10000)
       .as[(Long, Long, Long, Boolean)].collect().map(r => r._1 -> r._4).toMap
     assert(strict(10L) && !strict(11L) && !strict(12L))
+    // thresholdBp = 0 would mark EVERY doc dropped (n_known*10^4 >= 0
+    // always) — an always-drop knob is rejected loudly (r15 advice)
+    intercept[IllegalArgumentException] {
+      Dedup.cdcContainmentAudit(nw, "id", "text", idx, thresholdBp = 0)
+    }
   }
 
   test("CDC self-synchronizes: different prefixes, same tail -> shared chunk hashes") {

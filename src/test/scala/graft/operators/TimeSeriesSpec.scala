@@ -300,4 +300,17 @@ class TimeSeriesSpec extends AnyFunSuite {
       TimeSeries.forecastBacktest(df, Seq("k"), "t", "v", period = 3, horizon = 4)
     }
   }
+  test("forecastBacktest: constant train window yields null mase, never Infinity") {
+    // key C: constant 5s through train, jump in test -> sum_scale = 0,
+    // sum_err > 0; the unguarded division would be Infinity (r15 advice)
+    val c = (1 to 8).map(i => ("C", i.toLong, 5L)) ++
+      Seq(("C", 9L, 9L), ("C", 10L, 9L))
+    val got = TimeSeries.forecastBacktest(c.toDF("k", "t", "v"),
+        Seq("k"), "t", "v", period = 3, horizon = 2)
+      .collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getDouble(r.fieldIndex("mae")) == 4.0) // |9-5| + |9-5| over 2
+    assert(r.isNullAt(r.fieldIndex("mase")), "degenerate scale must be null")
+  }
 }

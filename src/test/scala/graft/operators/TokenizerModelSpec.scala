@@ -78,4 +78,33 @@ class TokenizerModelSpec extends AnyFunSuite {
     // the inspection surface reads back as a table
     assert(TokenizerModel.asTable(spark, path).count() == merges.size.toLong)
   }
+
+  test("loaders select by NAME: a reordered-column artifact still loads (r15 verdict)") {
+    val merges = WordPiece.trainWordPieceLocal(docs.select(col("text")), "text", merges = 3)
+    val path = tmp("wp-reordered")
+    // write the same rows with the physical column order REVERSED — the
+    // artifact an older/newer writer with different WpMerge field order
+    // (or an external producer) would leave on disk
+    merges.map(m =>
+        (m.score_e12, m.r_count, m.l_count, m.pair_count, m.merged, m.r_sym, m.l_sym, m.iter))
+      .toDF("score_e12", "r_count", "l_count", "pair_count", "merged", "r_sym", "l_sym", "iter")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+    assert(TokenizerModel.loadWordPiece(spark, path) == merges,
+      "by-name selection must survive any physical column order")
+
+    val bpe = Seq(("er", "a"), ("th", "e"))
+    val bpePath = tmp("bpe-reordered")
+    bpe.zipWithIndex.map { case ((l, r), i) => (r, l, i + 1) }
+      .toDF("r_sym", "l_sym", "iter")
+      .coalesce(1).write.mode("overwrite").parquet(bpePath)
+    assert(TokenizerModel.loadBpe(spark, bpePath) == bpe)
+
+    val pieces = Seq(UnigramLm.UnigramPiece("ab", 7L, -1200L),
+      UnigramLm.UnigramPiece("a", 5L, -3400L))
+    val uniPath = tmp("uni-reordered")
+    pieces.zipWithIndex.map { case (p, i) => (p.lp_micro, p.count, p.piece, i + 1) }
+      .toDF("lp_micro", "count", "piece", "rank")
+      .coalesce(1).write.mode("overwrite").parquet(uniPath)
+    assert(TokenizerModel.loadUnigram(spark, uniPath) == pieces)
+  }
 }

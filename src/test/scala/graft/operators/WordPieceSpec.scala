@@ -24,6 +24,20 @@ class WordPieceSpec extends AnyFunSuite {
     assert(WordPiece.greedyLocal("g", v) == Seq("[UNK]"))
   }
 
+  test("max_input_chars_per_word: a >100-char word is [UNK] without scanning (HF rule)") {
+    val v = WordPiece.fixedVocab(
+      initial = Seq("a"), continuation = Seq("a"), maxPieceLen = 1)
+    // fully coverable by the vocab, but over HF's 100-char cutoff -> [UNK]
+    assert(WordPiece.greedyLocal("a" * 101, v) == Seq("[UNK]"))
+    // exactly at the boundary still tokenizes
+    assert(WordPiece.greedyLocal("a" * 100, v).length == 100)
+    // the fused doc expression applies the same cutoff
+    val got = Seq((1L, ("a" * 101) + " aa")).toDF("id", "text")
+      .select(WordPiece.docStats(col("text"), v))
+      .as[Seq[Long]].collect().head
+    assert(got == Seq(3L, 1L, 2L)) // [UNK] + (a ##a); 1 UNK word of 2
+  }
+
   test("docStats/tokens: fused expressions match the local greedy; UNK words count one token") {
     val v = WordPiece.fixedVocab(
       initial = Seq("h", "hug"), continuation = Seq("s"), maxPieceLen = 3)
