@@ -571,6 +571,78 @@ object Multimodal {
     * VLM-training-dedup fixture. The formula is deliberately closed-form so
     * a SQL oracle can rebuild the decoded features exactly.
     */
+  /** REAL JPEG transcode — the crawl-corpus format (the r15 verdict's
+    * gap: PNG/BMP/GIF were gated, but real crawls are JPEG-heavy). JDK
+    * ImageIO ships a JPEG reader AND writer in every JRE, so both
+    * directions are real with zero dependencies: decode any readable
+    * format, draw onto TYPE_INT_RGB (JPEG carries no alpha), re-encode
+    * at an EXPLICIT compression quality — writer defaults are
+    * implementation-defined, an explicit `quality` pins the bytes per
+    * JDK. Same batch shape as every codec here: one `mapPartitions`,
+    * per-partition codec init, no shuffle, no driver round-trip.
+    * Unreadable bytes pass through flagged (`transcoded = false`),
+    * never fail the stage.
+    *
+    * Gate split (the dims-vs-pixels contract): the CONTAINER — SOI
+    * marker, SOFn dimensions — is deterministic from the input dims and
+    * oracle-expressible ([[jpegDims]], q334); the PIXELS are lossy and
+    * only per-JDK deterministic, so the decoded-luminance path is
+    * spec-pinned against committed fixture values (`JpegSpec`), not
+    * DuckDB-gated. */
+  def transcodeJpeg(media: DataFrame, quality: Float = 0.75f): DataFrame = {
+    require(quality > 0f && quality <= 1f, s"quality must be in (0, 1], got $quality")
+    val outSchema = StructType(mediaSchema.fields :+
+      StructField("transcoded", BooleanType, nullable = false))
+    val enc = RowEncoder.encoderFor(outSchema)
+    media.select(col("media_id"), col("mime"), col("content"), col("meta"))
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { r =>
+          val bytes = r.getAs[Array[Byte]](2)
+          val img =
+            if (bytes == null) null
+            else
+              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+              catch { case scala.util.control.NonFatal(_) => null }
+          if (img == null)
+            Row(r.getLong(0), r.getString(1), bytes, r.get(3), false)
+          else {
+            val rgb = new java.awt.image.BufferedImage(
+              img.getWidth, img.getHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g2 = rgb.createGraphics()
+            g2.drawImage(img, 0, 0, null)
+            g2.dispose()
+            val writer = javax.imageio.ImageIO
+              .getImageWritersByFormatName("jpeg").next()
+            val param = writer.getDefaultWriteParam
+            param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+            param.setCompressionQuality(quality)
+            val baos = new java.io.ByteArrayOutputStream()
+            val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+            writer.setOutput(ios)
+            writer.write(null, new javax.imageio.IIOImage(rgb, null, null), param)
+            writer.dispose(); ios.close()
+            val oldMeta = r.getAs[Row](3)
+            val duration = if (oldMeta == null) null else oldMeta.get(2)
+            Row(r.getLong(0), "image/jpeg", baos.toByteArray,
+              Row(img.getWidth, img.getHeight, duration), true)
+          }
+        }
+      }(enc)
+  }
+
+  /** (media_id, is_jpeg, width, height) from the fused container-header
+    * parse ([[graft.functions.JpegKernel]]) — no decode, no codec init:
+    * the pure-projection format audit of a binary column. */
+  def jpegDims(media: DataFrame, binCol: String): DataFrame = {
+    val d = graft.functions.JpegExpressions.jpegDims(col(binCol))
+    media.withColumn("__d", d)
+      .withColumn("is_jpeg", element_at(col("__d"), 1) === 1)
+      .withColumn("width", when(col("is_jpeg"), element_at(col("__d"), 2)))
+      .withColumn("height", when(col("is_jpeg"), element_at(col("__d"), 3)))
+      .drop("__d", binCol)
+  }
+
   def syntheticGrayPngs(ids: DataFrame): DataFrame = {
     val enc = RowEncoder.encoderFor(mediaSchema)
     ids.select(col("media_id"), col("seed"), col("perturb"))

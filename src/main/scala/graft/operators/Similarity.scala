@@ -597,6 +597,70 @@ object Similarity {
   def hammingDist(a: Column, b: Column): Column =
     graft.functions.VectorExpressions.hamming(a, b)
 
+  /** Sign-code FIDELITY card — the one-row confusion summary of the
+    * Hamming screen vs exact cosine (pairs_total / cos_pairs / ham_pairs /
+    * both_pairs + screen recall/precision): the diagnostics a deployment
+    * reads before trusting [[signHammingPairs]] as its candidate screen.
+    *
+    * DELIBERATELY ALL-PAIRS over the vectors it is given (the q31
+    * allowance class): a fidelity measurement must see the misses, and a
+    * banded screen cannot report its own false-negative rate. That makes
+    * the contract explicit: **at scale this card runs on a SAMPLE, never
+    * the corpus** — `sampleMod` keeps every id with
+    * `keyHash(id) % sampleMod == 0` (deterministic, layout-invariant, the
+    * [[Sampling.keyHash]] grid), so `sampleMod = 200` measures fidelity on
+    * ~0.5 % of a 100 TB corpus at ~1/40000 of the pair cost, and the
+    * estimate is unbiased because the sample is uniform over ids.
+    * `sampleMod = 1` (full corpus) is the gate-scale diagnostics setting;
+    * the guard refuses it beyond `maxFullRows` vectors so the quadratic
+    * cannot ride a config default into production. */
+  def signFidelityCard(
+      vectors: DataFrame,
+      vectorId: String,
+      vectorCol: String,
+      cosineThreshold: Double,
+      maxHamming: Int,
+      sampleMod: Int = 1,
+      maxFullRows: Long = 200000L
+  ): DataFrame = {
+    require(sampleMod >= 1, s"sampleMod must be >= 1, got $sampleMod")
+    val sampled =
+      if (sampleMod == 1) vectors
+      else vectors.filter(
+        pmod(Sampling.keyHash(col(vectorId), "signfid"), lit(sampleMod.toLong)) === 0L)
+    if (sampleMod == 1) {
+      // all-pairs on the FULL input is a diagnostics-only setting: refuse
+      // loudly past the cap instead of launching an n² shuffle (the count
+      // is one cheap scan next to the pair volume it prevents)
+      val n = vectors.select(col(vectorId)).count()
+      require(n <= maxFullRows,
+        s"signFidelityCard over all pairs of $n rows — pass sampleMod > 1 " +
+          s"(deterministic hash sample) above $maxFullRows vectors")
+    }
+    val withCode = signQuantize(sampled, vectorId, vectorCol)
+      .join(sampled, vectorId)
+      .select(col(vectorId), asDouble(col(vectorCol)).as("__v"), col("code"))
+      .withColumn("__n", norm(col("__v")))
+    val a = withCode.select(col(vectorId).as("id_a"), col("__v").as("__va"),
+      col("__n").as("__na"), col("code").as("__ca"))
+    val b = withCode.select(col(vectorId).as("id_b"), col("__v").as("__vb"),
+      col("__n").as("__nb"), col("code").as("__cb"))
+    val cos = fastDot(col("__va"), col("__vb")) / (col("__na") * col("__nb"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select((round(cos, 6) >= cosineThreshold).as("__cp"),
+        (hammingDist(col("__ca"), col("__cb")) <= maxHamming.toLong).as("__hp"))
+      .agg(
+        count(lit(1)).as("pairs_total"),
+        count(when(col("__cp"), 1)).as("cos_pairs"),
+        count(when(col("__hp"), 1)).as("ham_pairs"),
+        count(when(col("__cp") && col("__hp"), 1)).as("both_pairs"))
+      .select(col("pairs_total"), col("cos_pairs"), col("ham_pairs"), col("both_pairs"),
+        round(col("both_pairs").cast("double") / col("cos_pairs").cast("double"), 4)
+          .as("screen_recall"),
+        round(col("both_pairs").cast("double") / col("ham_pairs").cast("double"), 4)
+          .as("screen_precision"))
+  }
+
   /** HARD-NEGATIVE mining for embedding training — per probe, the top-k
     * most-similar vectors that are NOT near-duplicates: the highest-value
     * contrastive negatives are the ones closest to the anchor, but a

@@ -462,6 +462,35 @@ object CorpusPack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // JPEG leg (r16): synth PNGs (8×8; every 3rd nearest-neighbor
+    // resized to 4×4 first) → REAL ImageIO JPEG re-encode at explicit
+    // quality → fused SOI/SOFn header parse. The CONTAINER is
+    // deterministic from the input dims, so the oracle regenerates
+    // is_jpeg/width/height from the plant formulas — a wrong encoder,
+    // marker walk, or dimension byte order fails the hash. The lossy
+    // PIXEL path is spec-pinned per JDK (JpegSpec), not DuckDB-gated.
+    // Every 43rd doc's bytes are corrupted first and must pass through
+    // flagged with null dims.
+    "q334_jpeg_dims" -> ((s, d) => {
+      val ids = Tables.documents(s, d).select(
+        col("doc_id").as("media_id"), col("doc_id").as("seed"),
+        lit(false).as("perturb"))
+      val media = Multimodal.syntheticGrayPngs(ids)
+        .withColumn("content",
+          when(col("media_id") % 43 === 0, lit("NOTAJPEG".getBytes("US-ASCII")))
+            .otherwise(col("content")))
+      val small = Multimodal
+        .resizeImages(media.filter(col("media_id") % 3 === 0), width = 4, height = 4)
+        .drop("resized")
+      val mixed = media.filter(col("media_id") % 3 =!= 0).unionByName(small)
+      val jp = Multimodal.transcodeJpeg(mixed)
+      Multimodal.jpegDims(
+          jp.select(col("media_id"), col("transcoded"), col("content")), "content")
+        .select(col("media_id").as("doc_id"), col("transcoded"), col("is_jpeg"),
+          col("width"), col("height"))
+        .orderBy(col("doc_id"))
+    }),
+
     // G.711 A-law decode end-to-end (r14) — the q284 gate for the
     // European-trunk codec: XOR-0x55 unpack, segment shift, INVERTED
     // sign convention vs µ-law; the same synthetic code stream decodes
@@ -2159,6 +2188,21 @@ object CorpusPack extends QueryPack {
              CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
              CAST(gray_sum AS BIGINT) AS gray_sum
       FROM gs ORDER BY doc_id, frame_idx""",
+
+    // q334: the JPEG container is deterministic from the input dims —
+    // regenerate flags + dims from the plant formulas (corrupt every
+    // 43rd; 4×4 for every 3rd, else 8×8).
+    "q334_jpeg_dims" -> """
+      SELECT doc_id,
+             (doc_id % 43 <> 0) AS transcoded,
+             (doc_id % 43 <> 0) AS is_jpeg,
+             CASE WHEN doc_id % 43 <> 0
+                  THEN CAST(CASE WHEN doc_id % 3 = 0 THEN 4 ELSE 8 END AS INTEGER)
+             END AS width,
+             CASE WHEN doc_id % 43 <> 0
+                  THEN CAST(CASE WHEN doc_id % 3 = 0 THEN 4 ELSE 8 END AS INTEGER)
+             END AS height
+      FROM documents ORDER BY doc_id""",
 
     // q286: output pixels are the formula sampled at src = 2·dst.
     "q286_image_resize" -> """

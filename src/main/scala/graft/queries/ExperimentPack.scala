@@ -266,6 +266,38 @@ object ExperimentPack extends QueryPack {
         .orderBy(col("item"))
     }),
 
+    // q297 KILLED AND RESUMED mid-corpus (r15 verdict #2): the same duel
+    // stream drained as two queries over one checkpoint — leg 1 stops
+    // after half the files, leg 2 is a fresh query instance that must
+    // recover the per-shard (epoch, pair-count) state from the state
+    // store and the seen-file set from the source log. The resumed fit
+    // answers to q279's exact unrolled-MM oracle: restart must be
+    // invisible in the readout (the reference's resumable run-loop
+    // contract, tamer/Tamer.scala:108-148).
+    "q333_bt_restart" -> ((s, d) => {
+      import s.implicits._
+      val perUser = Tables.events(s, d).groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      val a = perUser.as("a"); val b = perUser.as("b")
+      val staged = a.join(b,
+          col("a.user_id") === col("b.user_id") &&
+            col("a.event_type") < col("b.event_type"))
+        .filter(col("a.cnt") =!= col("b.cnt"))
+        .select(
+          pmod(col("a.user_id"), lit(3)).cast("int").as("_1"),
+          col("a.user_id").cast("long").as("_2"),
+          when(col("a.cnt") > col("b.cnt"), col("a.event_type"))
+            .otherwise(col("b.event_type")).cast("string").as("_3"),
+          when(col("a.cnt") > col("b.cnt"), col("b.event_type"))
+            .otherwise(col("a.event_type")).cast("string").as("_4"))
+      val snaps = PackShared.drainStagedResumed(s, staged, "q333-bt-restart")(
+        in => graft.streaming.StreamingBradleyTerry
+          .pairCounts(in.as[(Int, Long, String, String)])
+          .toDF("shard", "epoch", "winner", "loser", "n"))
+      graft.streaming.StreamingBradleyTerry.fitFromDrained(snaps, iterations = 8)
+        .orderBy(col("item"))
+    }),
+
     // Position-bias audit over the q279 duel stream: "first" is the
     // alphabetically-earlier type (the join's presentation slot), and
     // the exact binomial z says whether slot-one wins depart from the
@@ -474,6 +506,17 @@ object ExperimentPack extends QueryPack {
     // q297: drain ≡ batch — the merged pair counts equal the batch
     // groupBy, so the drained fit answers to q279's exact oracle.
     "q297_streaming_bradley_terry" -> PackShared.bradleyTerryCtes(
+      """SELECT CASE WHEN a.cnt > b.cnt THEN a.event_type ELSE b.event_type END AS w,
+                CASE WHEN a.cnt > b.cnt THEN b.event_type ELSE a.event_type END AS l
+         FROM (SELECT user_id, event_type, count(*) AS cnt
+               FROM events GROUP BY user_id, event_type) a
+         JOIN (SELECT user_id, event_type, count(*) AS cnt
+               FROM events GROUP BY user_id, event_type) b
+           ON a.user_id = b.user_id AND a.event_type < b.event_type
+         WHERE a.cnt <> b.cnt""", iterations = 8),
+    // q333: restart-invisibility — the resumed drain's merged counts
+    // equal the batch groupBy, so the fit answers to q279's oracle too.
+    "q333_bt_restart" -> PackShared.bradleyTerryCtes(
       """SELECT CASE WHEN a.cnt > b.cnt THEN a.event_type ELSE b.event_type END AS w,
                 CASE WHEN a.cnt > b.cnt THEN b.event_type ELSE a.event_type END AS l
          FROM (SELECT user_id, event_type, count(*) AS cnt

@@ -135,6 +135,69 @@ private[graft] object PackShared {
     s.table(sinkName)
   }
 
+  /** [[drainStaged]] with a REAL mid-corpus RESTART (r15 verdict #2): the
+    * drain runs as TWO stream queries against one checkpoint. Leg 1 sees
+    * only the first half of the staged files and terminates (the stop —
+    * deterministic, unlike a hard mid-batch kill, but the same recovery
+    * path: the leg-2 query is a brand-new instance that must rebuild its
+    * `flatMapGroupsWithState` state from the state store, not from the
+    * JVM); then the remaining files are moved into the stage dir and leg 2
+    * resumes from the checkpoint, processing ONLY the unseen files. The
+    * sink is a durable parquet FILE sink (exactly-once via its metadata
+    * log — the memory sink would forget leg 1's rows on restart), loaded
+    * once and `localCheckpoint`ed so the returned frame outlives the
+    * temp-dir cleanup without any driver-side collect. Mirrors the
+    * reference's resumable exactly-once run loop
+    * (reference/core/src/main/scala/tamer/Tamer.scala:108-148): state
+    * lives in durable storage, a restarted worker continues where the
+    * last commit left off, and the readout equals the never-restarted
+    * run's bit for bit. */
+  def drainStagedResumed(s: SparkSession, staged: DataFrame, label: String)(
+      fold: DataFrame => DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import java.nio.file.{Files, Paths}
+    val stage = Files.createTempDirectory(s"graft-$label").toString
+    val side = Files.createTempDirectory(s"graft-$label-side").toString
+    val out = Files.createTempDirectory(s"graft-$label-out").toString
+    val ckpt = Files.createTempDirectory(s"graft-$label-ckpt").toString
+    try {
+      staged.repartition(6).write.mode("overwrite").parquet(stage)
+      val parts = {
+        val l = Files.list(Paths.get(stage))
+        try {
+          import scala.jdk.CollectionConverters._
+          l.iterator().asScala.toVector
+            .filter(_.getFileName.toString.endsWith(".parquet")).sortBy(_.getFileName.toString)
+        } finally l.close()
+      }
+      require(parts.size >= 2, s"$label: need >= 2 staged files to restart between")
+      // second half waits out leg 1 in the side dir
+      val held = parts.drop(parts.size / 2)
+      held.foreach(p => Files.move(p, Paths.get(side, p.getFileName.toString)))
+      def leg(): Unit = withShufflePartitions(s, 4) {
+        val in = s.readStream.schema(staged.schema)
+          .option("maxFilesPerTrigger", 1).parquet(stage)
+        val q = fold(in).writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        try {
+          if (!q.awaitTermination(300000))
+            throw graft.core.GraftError(s"$label drain leg timed out")
+        } finally q.stop()
+      }
+      leg() // leg 1: first half, then the query object dies
+      held.foreach(p => Files.move(Paths.get(side, p.getFileName.toString),
+        Paths.get(stage, p.getFileName.toString)))
+      leg() // leg 2: a NEW query recovers state + seen-files from ckpt
+      // pin the drained rows to executor storage so the frame survives
+      // the temp-dir cleanup below (bounded: snapshot rows, not corpus)
+      s.read.parquet(out).localCheckpoint(true)
+    } finally {
+      deleteRecursively(stage); deleteRecursively(side)
+      deleteRecursively(out); deleteRecursively(ckpt)
+    }
+  }
+
   /** Best-effort recursive delete of a staging directory (never throws:
     * cleanup must not mask the drain's own result/failure). */
   def deleteRecursively(dir: String): Unit =

@@ -202,29 +202,11 @@ object RetrievalPack extends QueryPack {
                 * (col("__orig") + lit(2L) * i.cast("long") + 1L), lit(19)) === 0,
               -x).otherwise(x)).as("embedding"))
       val corpus = base.unionByName(planted)
-      val withCode = Similarity.signQuantize(corpus, "vec_id", "embedding")
-        .join(corpus, "vec_id")
-        .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("__v"),
-          col("code"))
-        .withColumn("__n", Similarity.norm(col("__v")))
-      val a = withCode.select(col("vec_id").as("id_a"), col("__v").as("__va"),
-        col("__n").as("__na"), col("code").as("__ca"))
-      val b = withCode.select(col("vec_id").as("id_b"), col("__v").as("__vb"),
-        col("__n").as("__nb"), col("code").as("__cb"))
-      val cos = Similarity.fastDot(col("__va"), col("__vb")) / (col("__na") * col("__nb"))
-      a.crossJoin(b).filter(col("id_a") < col("id_b"))
-        .select((round(cos, 6) >= 0.8).as("__cp"),
-          (Similarity.hammingDist(col("__ca"), col("__cb")) <= 7L).as("__hp"))
-        .agg(
-          count(lit(1)).as("pairs_total"),
-          count(when(col("__cp"), 1)).as("cos_pairs"),
-          count(when(col("__hp"), 1)).as("ham_pairs"),
-          count(when(col("__cp") && col("__hp"), 1)).as("both_pairs"))
-        .select(col("pairs_total"), col("cos_pairs"), col("ham_pairs"), col("both_pairs"),
-          round(col("both_pairs").cast("double") / col("cos_pairs").cast("double"), 4)
-            .as("screen_recall"),
-          round(col("both_pairs").cast("double") / col("ham_pairs").cast("double"), 4)
-            .as("screen_precision"))
+      // sampleMod = 1 (full corpus) is the gate-scale diagnostics
+      // setting; at deployment scale the card runs on the operator's
+      // deterministic hash sample (sampleMod > 1) — see the scaladoc
+      Similarity.signFidelityCard(corpus, "vec_id", "embedding",
+        cosineThreshold = 0.8, maxHamming = 7, sampleMod = 1)
     }),
 
     // HARD-NEGATIVE mining (r15): top-5 cosine negatives per probe with

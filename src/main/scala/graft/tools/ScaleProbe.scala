@@ -44,6 +44,42 @@ object ScaleProbe {
     "q155_cross_ann", "q297_streaming_bradley_terry",
     "q147_incremental_cc", "q111_cms_freq")
 
+  /** SIZED variants of the queries whose GATE configuration deliberately
+    * pins a corpus-dependent knob at its recall-1 gate-SF value: q48 and
+    * q155 fix `bandBits = 3` (8 buckets per band), so bucket occupancy —
+    * and candidate volume, quadratically — grows with the corpus (the
+    * §8.1 finding-2 trap, here MEASURED on the full queries: e ≈ 2.0 at
+    * ×10). A deployment steps the bucket count with n
+    * (`bandBits ≈ log2(n/16)`); these variants apply exactly that rule
+    * (`3 + ⌈log2 mult⌉`, capped by the dim) so the probe records the
+    * sized exponent NEXT to the gate-config one — the fix measured, not
+    * argued. q61's production config (bandBits 8) gets the same step. */
+  val SizedVariants: Map[String, (SparkSession, String, Int) => DataFrame] = Map(
+    "q48_sized_bands" -> ((s: SparkSession, d: String, mult: Int) => {
+      val bb = 3 + ceilLog2(mult)
+      graft.operators.Similarity.cosineNearDupPairsLsh(
+        Tables.embeddings(s, d), "vec_id", "embedding",
+        threshold = 0.3, dim = 64, bandBits = bb, bands = 32)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    "q155_sized_bands" -> ((s: SparkSession, d: String, mult: Int) => {
+      val bb = 3 + ceilLog2(mult)
+      val e = Tables.embeddings(s, d)
+      graft.operators.Similarity.crossCosinePairsLsh(
+        e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+        e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding",
+        threshold = 0.3, dim = 64, bandBits = bb, bands = 32)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    "q61_sized_bands" -> ((s: SparkSession, d: String, mult: Int) => {
+      val bb = math.min(16, 8 + ceilLog2(mult))
+      val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      graft.operators.Similarity.cosineNearDupPairsLsh(base, "vec_id", "embedding",
+        threshold = 0.8, dim = 64, bandBits = bb, bands = 16)
+    }))
+
+  private def ceilLog2(n: Int): Int = 32 - Integer.numberOfLeadingZeros(math.max(1, n - 1))
+
   private val widened = Set("documents", "embeddings", "customer", "events")
 
   /** One widened copy (`i` of `k`); `i = 0` is the identity so the ×1 dir
@@ -108,7 +144,8 @@ object ScaleProbe {
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(DefaultQueries)
     require(mults.nonEmpty && mults.head >= 1, s"bad mults: $mults")
-    names.foreach(n => require(SparkEntry.queries.contains(n), s"unknown query $n"))
+    names.foreach(n => require(
+      SparkEntry.queries.contains(n) || SizedVariants.contains(n), s"unknown query $n"))
 
     val spark = GraftSession.local("graft-scale-probe")
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
@@ -122,10 +159,12 @@ object ScaleProbe {
 
     // per-(query, mult) timing with ScaleSmoke's untimed inter-stage
     // cleanup: unpersist only RDDs the stage itself pinned, then GC
-    def timeOne(name: String, dir: String): Double = {
+    def timeOne(name: String, dir: String, mult: Int): Double = {
       val preexisting = spark.sparkContext.getPersistentRDDs.keySet
       val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, dir)
+      SizedVariants.get(name)
+        .map(_(spark, dir, mult))
+        .getOrElse(SparkEntry.queries(name)(spark, dir))
         .write.format("noop").mode("overwrite").save()
       val dt = (System.nanoTime() - t0) / 1e9
       spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
@@ -140,9 +179,9 @@ object ScaleProbe {
       // codegen, and (for streaming drains) the first-stream init otherwise
       // bill to the ×1 cell and corrupt the fit (measured: q297's ×1 read
       // 2× its warm time when only a foreign query had warmed the session)
-      timeOne(name, s"$work/x${mults.head}")
+      timeOne(name, s"$work/x${mults.head}", mults.head)
       val times = mults.map { k =>
-        val t = timeOne(name, s"$work/x$k")
+        val t = timeOne(name, s"$work/x$k", k)
         println(f"[probe] $name%-30s x$k%-3d $t%8.2f s")
         k -> t
       }

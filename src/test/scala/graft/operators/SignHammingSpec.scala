@@ -73,4 +73,26 @@ class SignHammingSpec extends AnyFunSuite {
     // have bits only in 0..4) — distance 1 ids are 1,2,4,8; ties break low id
     assert(got == Seq((0L, 1L, 1L, 1L), (0L, 2L, 2L, 1L), (0L, 3L, 4L, 1L)))
   }
+
+  test("signFidelityCard: sampled card == card over the hash-selected subset; full-mode guard") {
+    val vecs = (0L until 64L).map { i =>
+      (i, Array.tabulate(8)(j => if (((i >> j) & 1L) == 1L) 1.0f else -1.0f))
+    }.toDF("id", "vec")
+    val sampled = Similarity.signFidelityCard(vecs, "id", "vec",
+      cosineThreshold = 0.5, maxHamming = 2, sampleMod = 3)
+    // the sample is the deterministic keyHash grid — reproduce it and
+    // run the full card over exactly that subset
+    val subset = vecs.filter(
+      pmod(Sampling.keyHash(col("id"), "signfid"), lit(3L)) === 0L)
+    val direct = Similarity.signFidelityCard(subset, "id", "vec",
+      cosineThreshold = 0.5, maxHamming = 2, sampleMod = 1)
+    assert(sampled.collect().toSeq == direct.collect().toSeq)
+    assert(sampled.head.getLong(0) > 0L, "sampled card must still see pairs")
+    // all-pairs over the full input refuses loudly past the cap
+    intercept[IllegalArgumentException] {
+      Similarity.signFidelityCard(vecs, "id", "vec",
+        cosineThreshold = 0.5, maxHamming = 2, sampleMod = 1, maxFullRows = 10L)
+        .collect()
+    }
+  }
 }
