@@ -78,7 +78,8 @@ object ScaleProbe {
         threshold = 0.8, dim = 64, bandBits = bb, bands = 16)
     }))
 
-  private def ceilLog2(n: Int): Int = 32 - Integer.numberOfLeadingZeros(math.max(1, n - 1))
+  private def ceilLog2(n: Int): Int =
+    if (n <= 1) 0 else 32 - Integer.numberOfLeadingZeros(n - 1)
 
   private val widened = Set("documents", "embeddings", "customer", "events")
 

@@ -1295,6 +1295,30 @@ object ScaleSmoke {
       }
     }
 
+    // r16: the JPEG chain — real ImageIO encode per row + the fused
+    // header parse; per-row codec work, zero shuffle, so the stage
+    // must track scan speed (corpus-linear).
+    time("jpeg transcode + dims parse") {
+      val pngs = graft.operators.Multimodal.syntheticGrayPngs(
+        docs.select(col("doc_id").as("media_id"), col("doc_id").as("seed"),
+          lit(false).as("perturb")))
+      val jp = graft.operators.Multimodal.transcodeJpeg(pngs)
+      graft.operators.Multimodal.jpegDims(
+          jp.select(col("media_id"), col("content")), "content")
+        .groupBy(col("is_jpeg"), col("width"))
+        .agg(count(lit(1)).as("n"))
+    }
+
+    // r16: the sampled fidelity card at a mult-scaled sampleMod — the
+    // deployment shape: sample size (and the quadratic pair volume)
+    // stays ~constant as the corpus widens, so the stage must be FLAT
+    // in mult (the whole point of the sampled entry point).
+    time("sign fidelity sampled card") {
+      graft.operators.Similarity.signFidelityCard(
+        vecs, "vec_id", "embedding",
+        cosineThreshold = 0.8, maxHamming = 7, sampleMod = 2 * mult)
+    }
+
     spark.stop()
   }
 }
