@@ -76,12 +76,44 @@ object ScaleProbe {
       val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
       graft.operators.Similarity.cosineNearDupPairsLsh(base, "vec_id", "embedding",
         threshold = 0.8, dim = 64, bandBits = bb, bands = 16)
+    }),
+    // q84's image near-dup at stepped bandBits (tier-2 measured the
+    // gate shape's bandBits=3 at tail 2.16 — the same occupancy law)
+    "q84_sized_bands" -> ((s: SparkSession, d: String, mult: Int) => {
+      val bb = 3 + ceilLog2(mult)
+      val base = Tables.documents(s, d).select(col("doc_id"))
+        .filter(col("doc_id") % 10 === 0)
+      val ids = base.select(col("doc_id").as("media_id"),
+          col("doc_id").as("seed"), lit(false).as("perturb"))
+        .unionByName(base.filter(col("doc_id") % 20 === 0)
+          .select((col("doc_id") + 1000000L).as("media_id"),
+            col("doc_id").as("seed"), lit(true).as("perturb")))
+      val media = graft.operators.Multimodal.syntheticGrayPngs(ids)
+      val feats = graft.operators.Multimodal
+        .extractImageFeatures(media, gridW = 8, gridH = 8)
+        .select(col("media_id").as("vec_id"), col("features").as("embedding"))
+      graft.operators.Similarity.cosineNearDupPairsLsh(feats, "vec_id", "embedding",
+        threshold = 0.99, dim = 64, bandBits = bb, bands = 32,
+        centerForBuckets = true)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    // q96's SemDeDup at k ∝ n (tier-2 measured the gate shape's k=4 at
+    // tail 1.84 — a fixed cell count means occupancy, and within-cell
+    // pair volume, grows with the corpus; the SemDeDup paper's own
+    // answer is k scaled with corpus size)
+    "q96_sized_k" -> ((s: SparkSession, d: String, mult: Int) => {
+      val e = Tables.embeddings(s, d)
+      val cents = graft.operators.Similarity.trainKMeans(
+        e, "vec_id", "embedding", k = 4 * mult, iterations = 2, dim = 64)
+      graft.operators.Similarity.semDedup(
+          e, "vec_id", "embedding", cents, "cid", "centroid", threshold = 0.3)
+        .orderBy(col("vec_id"))
     }))
 
   private def ceilLog2(n: Int): Int =
     if (n <= 1) 0 else 32 - Integer.numberOfLeadingZeros(n - 1)
 
-  private val widened = Set("documents", "embeddings", "customer", "events")
+  private val widened = Set("documents", "embeddings", "customer", "events", "lineitem")
 
   /** One widened copy (`i` of `k`); `i = 0` is the identity so the ×1 dir
     * replays the gate input bit-for-bit. */
@@ -106,6 +138,10 @@ object ScaleProbe {
       case "events" =>
         df.withColumn("event_id", col("event_id") + lit(i.toLong * 1000000000L))
           .withColumn("user_id", col("user_id") + lit(i.toLong * 100000L))
+      case "lineitem" =>
+        // fresh orders, same per-order line structure; flag/status/value
+        // distributions (the analytics strata) replicate untouched
+        df.withColumn("l_orderkey", col("l_orderkey") + lit(i.toLong * 1000000000L))
       case other => throw graft.core.GraftError(s"no widening rule for $other")
     }
   }
