@@ -4,6 +4,7 @@ import graft.TestSpark
 import graft.operators.Experiment
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Streaming Bradley–Terry: the 3-micro-batch drained fit is
@@ -118,6 +119,65 @@ class StreamingBradleyTerrySpec extends AnyFunSuite {
       val want = Experiment.bradleyTerry(duels.toDF("winner", "loser"),
         "winner", "loser", iterations = 8).orderBy("item").collect().toSeq
       assert(got == want, s"checkpoint-resumed fit diverged:\n$got\nvs\n$want")
+    } finally Seq(stage, ckpt, out).foreach(graft.queries.PackShared.deleteRecursively)
+  }
+
+  test("hard stop MID-DRAIN: killed right after the first commit, the resume is exactly-once") {
+    // q333 (drainStagedResumed) restarts BETWEEN legs — deterministic by
+    // design. This test covers the remaining axis: the stop lands while
+    // later micro-batches are still in flight (a listener fires q.stop()
+    // on the FIRST commit of a 24-file drain), so the killed attempt may
+    // die mid-batch. The file sink's metadata log must never expose a
+    // partial batch and the resumed run must neither skip nor recount.
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    val stage = java.nio.file.Files.createTempDirectory("graft-bt-kill-in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-bt-kill-ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-bt-kill-out").toString
+    val all = tuples(duels, 0L)
+    val df = all.toDF("_1", "_2", "_3", "_4")
+    def start() = {
+      val in = spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+        .as[(Int, Long, String, String)]
+      StreamingBradleyTerry.pairCounts(in)
+        .toDF("shard", "epoch", "winner", "loser", "n")
+        .writeStream.format("parquet").option("path", out)
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+    }
+    try {
+      df.repartition(24).write.mode("overwrite").parquet(stage)
+      val q1 = start()
+      val listener = new StreamingQueryListener {
+        override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+        override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
+          if (e.progress.id == q1.id && e.progress.numInputRows > 0) q1.stop()
+      }
+      spark.streams.addListener(listener)
+      try {
+        q1.awaitTermination(300000)
+      } finally {
+        q1.stop()
+        spark.streams.removeListener(listener)
+      }
+      val committed = spark.read.parquet(out).count()
+      // resume: a fresh query drains whatever the killed one left
+      val q2 = start()
+      try { assert(q2.awaitTermination(300000), "resume drain timed out") }
+      finally q2.stop()
+      val snaps = spark.read.parquet(out)
+      assert(snaps.count() > committed, "the resumed run must process the remaining files")
+      // exactly-once at the row level: no snapshot row delivered twice
+      assert(snaps.groupBy("shard", "epoch", "winner", "loser")
+        .count().filter(col("count") > 1).isEmpty,
+        "metadata log exposed a duplicated snapshot row")
+      val got = StreamingBradleyTerry.fitFromDrained(snaps, iterations = 8)
+        .orderBy("item").collect().toSeq
+      val want = Experiment.bradleyTerry(duels.toDF("winner", "loser"),
+        "winner", "loser", iterations = 8).orderBy("item").collect().toSeq
+      assert(got == want, s"kill-resumed fit diverged:\n$got\nvs\n$want")
     } finally Seq(stage, ckpt, out).foreach(graft.queries.PackShared.deleteRecursively)
   }
 }
