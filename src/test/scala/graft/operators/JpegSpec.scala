@@ -71,6 +71,38 @@ class JpegSpec extends AnyFunSuite {
     assert(g1.toSeq == g2.toSeq)
   }
 
+  test("near-dup chain through the LOSSY codec: planted twins survive JPEG, nothing else joins") {
+    // The full crawl-image chain — synth PNGs + one-pixel twins → REAL
+    // JPEG transcode → REAL decode → luminance-grid features → centered
+    // sign-LSH near-dup — asserting the DEDUP DECISION is codec-noise
+    // robust on the planted corpus: the pair set equals exactly the
+    // planted twin set. Threshold 0.97, not q84's 0.99: JPEG at q=0.75
+    // degrades one twin's cosine to 0.9777 (measured; the rest sit
+    // ≥ 0.9992), and the nearest non-twin pair on this corpus is far
+    // below. Not DuckDB-gated BY DESIGN — the decode is lossy, so no SQL
+    // oracle can re-derive the features; per-JDK determinism makes the
+    // spec the right gate (the q334 dims row covers the cross-engine
+    // half of the JPEG leg).
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id")).filter(col("doc_id") % 10 === 0)
+    val ids = docs.select(col("doc_id").as("media_id"),
+        col("doc_id").as("seed"), lit(false).as("perturb"))
+      .unionByName(docs.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 1000000L).as("media_id"),
+          col("doc_id").as("seed"), lit(true).as("perturb")))
+    val jp = Multimodal.transcodeJpeg(Multimodal.syntheticGrayPngs(ids))
+    val feats = Multimodal.extractImageFeatures(
+        jp.select(col("media_id"), col("content")), gridW = 8, gridH = 8)
+      .select(col("media_id").as("vec_id"), col("features").as("embedding"))
+    val got = Similarity.cosineNearDupPairsLsh(feats, "vec_id", "embedding",
+        threshold = 0.97, dim = 64, bandBits = 3, bands = 32, centerForBuckets = true)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val want = docs.filter(col("doc_id") % 20 === 0).collect().map(_.getLong(0))
+      .map(i => (i, i + 1000000L)).sorted.toSeq
+    assert(got == want,
+      s"JPEG near-dup decision drifted: missing=${want.diff(got)} extra=${got.diff(want)}")
+  }
+
   private def decodedGrays(bytes: Array[Byte]): Array[Int] = {
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
     img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0, img.getWidth)
