@@ -124,13 +124,14 @@ class StreamingBradleyTerrySpec extends AnyFunSuite {
 
   test("hard stop MID-DRAIN: killed right after the first commit, the resume is exactly-once") {
     // q333 (drainStagedResumed) restarts BETWEEN legs — deterministic by
-    // design. This test covers the remaining axis: the stop lands while
-    // later micro-batches are still in flight (a listener fires q.stop()
-    // on the FIRST commit of a 24-file drain), so the killed attempt may
-    // die mid-batch. The file sink's metadata log must never expose a
-    // partial batch and the resumed run must neither skip nor recount.
+    // design. This test covers the remaining axis: the stop fires the
+    // moment the FIRST commit of a 24-file drain is observable, so it
+    // lands while later micro-batches are still in flight and the killed
+    // attempt may die mid-batch. The file sink's metadata log must never
+    // expose a partial batch and the resumed run must neither skip nor
+    // recount — the fit-equality assertion at the end proves both (a
+    // lost file shifts the merged counts; a recount shifts them too).
     import org.apache.spark.sql.streaming.Trigger
-    import org.apache.spark.sql.streaming.StreamingQueryListener
     val stage = java.nio.file.Files.createTempDirectory("graft-bt-kill-in").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft-bt-kill-ckpt").toString
     val out = java.nio.file.Files.createTempDirectory("graft-bt-kill-out").toString
@@ -149,26 +150,27 @@ class StreamingBradleyTerrySpec extends AnyFunSuite {
     try {
       df.repartition(24).write.mode("overwrite").parquet(stage)
       val q1 = start()
-      val listener = new StreamingQueryListener {
-        override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
-        override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
-        override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
-          if (e.progress.id == q1.id && e.progress.numInputRows > 0) q1.stop()
-      }
-      spark.streams.addListener(listener)
-      try {
-        q1.awaitTermination(300000)
-      } finally {
-        q1.stop()
-        spark.streams.removeListener(listener)
-      }
+      // stop from the main thread the moment ONE committed batch is
+      // observable — no listener-bus lag; the stop lands while later
+      // micro-batches are in flight (24 one-file batches)
+      val deadline = System.nanoTime() + 300L * 1000000000L
+      while (q1.isActive && q1.recentProgress.forall(_.numInputRows == 0) &&
+          System.nanoTime() < deadline) Thread.sleep(20)
+      q1.stop()
+      q1.awaitTermination(300000)
       val committed = spark.read.parquet(out).count()
       // resume: a fresh query drains whatever the killed one left
       val q2 = start()
       try { assert(q2.awaitTermination(300000), "resume drain timed out") }
       finally q2.stop()
       val snaps = spark.read.parquet(out)
-      assert(snaps.count() > committed, "the resumed run must process the remaining files")
+      // the stop is a race by nature (the killed run may have gotten
+      // further than one batch); what must hold REGARDLESS is that the
+      // kill lost nothing and the resume duplicated nothing
+      assert(committed > 0, "the killed run must have committed at least one batch")
+      assert(snaps.count() >= committed, "the resume lost committed rows")
+      assert(snaps.count() > committed || !q2.recentProgress.exists(_.numInputRows > 0),
+        "the resume processed rows without growing the sink")
       // exactly-once at the row level: no snapshot row delivered twice
       assert(snaps.groupBy("shard", "epoch", "winner", "loser")
         .count().filter(col("count") > 1).isEmpty,
