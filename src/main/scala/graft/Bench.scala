@@ -145,9 +145,41 @@ object Bench {
       .mkString("{", ",", "}")
     val load = s"""{"start":$loadStart,"end":$loadEnd}"""
     val total = results.map(_._2).filter(_ >= 0).sum
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","protocol":"$protocol","loadavg":$load,"queries":$qs,"slowest_samples":$slowSamples,"sf":${jstr(sfDir)}}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    // Mechanical cross-round adjudication (r16 verdict #6): the §8.0
+    // load-vs-code call as COMPUTED fields instead of a per-round
+    // argument. The previous round's committed bench_out.json (same path,
+    // read BEFORE this run overwrites it, or SPARK_GRAFT_BENCH_PREV)
+    // supplies the shared-query baseline and ITS load averages; the
+    // verdict classifies the shared-median movement against the measured
+    // load delta: <= 1.10x is in-band (the §8.0 swing window), above that
+    // a >= 1.25x mean-load increase points at the box, else at the code.
+    val prevPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", out)
+    val prev = parsePrev(prevPath)
+    val (ratioJson, sharedN, verdict) = prev match {
+      case None => ("null", 0, "no-prev")
+      case Some((pq, pl0, pl1)) =>
+        val ratios = results.collect {
+          case (n, v) if v > 0 && pq.get(n).exists(_ > 0) => v / pq(n)
+        }.sorted
+        if (ratios.isEmpty) ("null", 0, "no-shared")
+        else {
+          val m =
+            if (ratios.size % 2 == 1) ratios(ratios.size / 2)
+            else (ratios(ratios.size / 2 - 1) + ratios(ratios.size / 2)) / 2
+          val curLoad = (loadStart + loadEnd) / 2
+          val prevLoad = math.max(0.01, (pl0 + pl1) / 2)
+          val v =
+            if (m <= 1.10) "in-band"
+            else if (curLoad > prevLoad * 1.25) "load-suspect"
+            else "regression-suspect"
+          (f"$m%.4f", ratios.size, v)
+        }
+    }
+    val adjudication =
+      s""""shared_median_ratio":$ratioJson,"shared_n":$sharedN,"load_verdict":${jstr(verdict)}"""
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","protocol":"$protocol","loadavg":$load,$adjudication,"queries":$qs,"slowest_samples":$slowSamples,"sf":${jstr(sfDir)}}"""
     Files.writeString(Paths.get(out), json + "\n")
     println(json)
     // The driver snapshots only the last ~2000 log chars; the full line
@@ -160,7 +192,26 @@ object Bench {
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
       .map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","protocol":"$protocol","loadavg":$load,"n_queries":${names.size},"failed":${failed.map(jstr).mkString("[", ",", "]")},"slowest5":$slowest,"queries_in":${jstr(out)},"sf":${jstr(sfDir)}}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","protocol":"$protocol","loadavg":$load,$adjudication,"n_queries":${names.size},"failed":${failed.map(jstr).mkString("[", ",", "]")},"slowest5":$slowest,"queries_in":${jstr(out)},"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
+
+  /** Minimal parse of a previous bench_out.json (our own known shape — no
+    * JSON lib on the classpath): the per-query seconds map and the run's
+    * load averages. Any malformed/missing file degrades to None (the
+    * adjudication then reports "no-prev", never fails the bench). */
+  private def parsePrev(path: String): Option[(Map[String, Double], Double, Double)] =
+    try {
+      if (!Files.exists(Paths.get(path))) None
+      else {
+        val s = Files.readString(Paths.get(path))
+        val qBlock = """"queries":\{([^}]*)\}""".r.findFirstMatchIn(s).map(_.group(1))
+        val pair = """"([^"]+)":(-?[0-9][0-9.eE+-]*)""".r
+        val qs = qBlock.map(b =>
+          pair.findAllMatchIn(b).map(m => m.group(1) -> m.group(2).toDouble).toMap)
+        val la = """"loadavg":\{"start":([0-9.eE+-]+),"end":([0-9.eE+-]+)\}""".r
+          .findFirstMatchIn(s)
+        for (q <- qs; l <- la) yield (q, l.group(1).toDouble, l.group(2).toDouble)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
 }

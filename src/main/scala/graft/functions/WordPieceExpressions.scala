@@ -37,9 +37,13 @@ object WordPieceKernel {
 
   /** Greedy longest-match tokens of ONE word, `##`-prefixed continuations;
     * `[UNK]` alone if any position fails to match OR the word exceeds
-    * `maxWordLen` (HF's all-or-nothing rules, both of them). */
+    * `maxWordLen` (HF's all-or-nothing rules, both of them). The cutoff
+    * counts CODE POINTS (`codePointCount`), matching HF's
+    * `max_input_chars_per_word` on Python strings — a UTF-16 `.length`
+    * would over-count astral-plane characters (emoji, rare CJK) and
+    * diverge from real BERT tokenizers right at the boundary. */
   def greedy(w: String, vocab: WordPieceVocab, maxWordLen: Int = MaxWordLen): Array[String] = {
-    if (w.length > maxWordLen) return Array(Unk)
+    if (w.codePointCount(0, w.length) > maxWordLen) return Array(Unk)
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var pos = 0
     while (pos < w.length) {

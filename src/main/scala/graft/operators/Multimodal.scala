@@ -561,15 +561,23 @@ object Multimodal {
     * everything downstream (decode, feature grid, similarity) exercises the
     * actual codec path on reproducible content. Input columns:
     * (`media_id` long, `seed` long, `perturb` boolean). Pixel `k`
-    * (row-major) of a seed's image is gray level
-    * `1 + ((seed+1)*(k+2) % 257) % 255` (multiplicative-mod scrambling: an
-    * additive `f(i)+g(k)` pattern would relate every pair of images by a
-    * constant mod-shift and litter the corpus with accidental near-dups;
-    * range 1..255 keeps every vector nonzero so cosine is never NaN — the
-    * engines disagree on NaN ordering). `perturb` shifts pixel 0 by +8
-    * within 1..255: a planted near-duplicate at cosine ~ 0.9999, the
-    * VLM-training-dedup fixture. The formula is deliberately closed-form so
-    * a SQL oracle can rebuild the decoded features exactly.
+    * (row-major) of a seed's image is gray level `1 + mix32(x) % 255` with
+    * `x = (seed+1)·4096 + (k+2)` (unique per (seed, k)) and `mix32` a
+    * murmur-style xor-shift/multiply finalizer kept in 2³² (two odd
+    * multipliers 49632349 / 85624441 small enough that every intermediate
+    * fits a signed 64-bit engine — DuckDB BIGINT replays it exactly).
+    * r16's `1 + ((seed+1)*(k+2) % 257) % 255` collided cross-seed at sf0.1
+    * density (seeds ≡ mod 257 produced IDENTICAL images — 543 spurious
+    * near-dup pairs in the JPEG chain probe); the finalizer's avalanche
+    * holds the max cross-seed cosine at 0.92 over 15 001 seeds (measured,
+    * ≤ the 0.925 of ideal-uniform vectors), well under every gate
+    * threshold, while range 1..255 still keeps every vector nonzero so
+    * cosine is never NaN — the engines disagree on NaN ordering.
+    * `perturb` shifts pixel 0 by +8 (−8 when +8 would leave 1..255, so
+    * the delta never wraps): a planted near-duplicate at cosine ≥ 0.9999
+    * for every seed (≳ 0.99 after JPEG at q = 0.75), the
+    * VLM-training-dedup fixture. The formula stays closed-form so a
+    * SQL oracle can rebuild the decoded features exactly.
     */
   /** REAL JPEG transcode — the crawl-corpus format (the r15 verdict's
     * gap: PNG/BMP/GIF were gated, but real crawls are JPEG-heavy). JDK
@@ -597,36 +605,64 @@ object Multimodal {
     media.select(col("media_id"), col("mime"), col("content"), col("meta"))
       .mapPartitions { rows =>
         javax.imageio.ImageIO.setUseCache(false)
-        rows.map { r =>
+        // per-partition codec init (the scaladoc contract): ONE writer
+        // reused across rows (reset + fresh output per row), disposed
+        // when the partition's iterator drains
+        lazy val writer = javax.imageio.ImageIO
+          .getImageWritersByFormatName("jpeg").next()
+        var usedWriter = false
+        def encode(rgb: java.awt.image.BufferedImage): Array[Byte] = {
+          usedWriter = true
+          writer.reset()
+          val param = writer.getDefaultWriteParam
+          param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+          param.setCompressionQuality(quality)
+          val baos = new java.io.ByteArrayOutputStream()
+          val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+          // finally, so an encode exception cannot leak the stream (the
+          // caller degrades it to transcoded = false like unreadable input)
+          try {
+            writer.setOutput(ios)
+            writer.write(null, new javax.imageio.IIOImage(rgb, null, null), param)
+          } finally ios.close()
+          baos.toByteArray
+        }
+        val out = rows.map { r =>
           val bytes = r.getAs[Array[Byte]](2)
           val img =
             if (bytes == null) null
             else
               try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
               catch { case scala.util.control.NonFatal(_) => null }
-          if (img == null)
+          val jpeg =
+            if (img == null) null
+            else {
+              val rgb = new java.awt.image.BufferedImage(
+                img.getWidth, img.getHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g2 = rgb.createGraphics()
+              g2.drawImage(img, 0, 0, null)
+              g2.dispose()
+              // encode failure degrades like unreadable input — flagged
+              // pass-through, never a failed stage
+              try encode(rgb)
+              catch { case scala.util.control.NonFatal(_) => null }
+            }
+          if (jpeg == null)
             Row(r.getLong(0), r.getString(1), bytes, r.get(3), false)
           else {
-            val rgb = new java.awt.image.BufferedImage(
-              img.getWidth, img.getHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
-            val g2 = rgb.createGraphics()
-            g2.drawImage(img, 0, 0, null)
-            g2.dispose()
-            val writer = javax.imageio.ImageIO
-              .getImageWritersByFormatName("jpeg").next()
-            val param = writer.getDefaultWriteParam
-            param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
-            param.setCompressionQuality(quality)
-            val baos = new java.io.ByteArrayOutputStream()
-            val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
-            writer.setOutput(ios)
-            writer.write(null, new javax.imageio.IIOImage(rgb, null, null), param)
-            writer.dispose(); ios.close()
             val oldMeta = r.getAs[Row](3)
             val duration = if (oldMeta == null) null else oldMeta.get(2)
-            Row(r.getLong(0), "image/jpeg", baos.toByteArray,
+            Row(r.getLong(0), "image/jpeg", jpeg,
               Row(img.getWidth, img.getHeight, duration), true)
           }
+        }
+        new Iterator[Row] {
+          def hasNext: Boolean = {
+            val h = out.hasNext
+            if (!h && usedWriter) { writer.dispose(); usedWriter = false }
+            h
+          }
+          def next(): Row = out.next()
         }
       }(enc)
   }
@@ -643,6 +679,92 @@ object Multimodal {
       .drop("__d", binCol)
   }
 
+  /** (media_id, is_mp3, version, sample_rate, bitrate_kbps, channels,
+    * n_frames, duration_ms) from the fused MPEG-audio container walk
+    * ([[graft.functions.Mp3Kernel]]) — no decode, no codec init: the
+    * pure-projection format audit of a binary audio column (the q335
+    * gate; the JDK ships no MP3 decoder — probed + dated in SURVEY §8.3 —
+    * so the payload stays env-blocked while the container is exact). */
+  def mp3Info(media: DataFrame, binCol: String): DataFrame = {
+    val d = graft.functions.Mp3Expressions.mp3Info(col(binCol))
+    media.withColumn("__d", d)
+      .withColumn("is_mp3", element_at(col("__d"), 1) === 1L)
+      .withColumn("version", when(col("is_mp3"), element_at(col("__d"), 2)))
+      .withColumn("sample_rate", when(col("is_mp3"), element_at(col("__d"), 3)))
+      .withColumn("bitrate_kbps", when(col("is_mp3"), element_at(col("__d"), 4)))
+      .withColumn("channels", when(col("is_mp3"), element_at(col("__d"), 5)))
+      .withColumn("n_frames", when(col("is_mp3"), element_at(col("__d"), 6)))
+      .withColumn("duration_ms", when(col("is_mp3"), element_at(col("__d"), 7)))
+      .drop("__d", binCol)
+  }
+
+  /** Deterministic synthetic MPEG Layer III streams — REAL container
+    * bytes (the published ISO 11172-3/13818-3 framing [[graft.functions.Mp3Kernel]]
+    * walks): writing a VALID frame sequence needs no codec, only the
+    * header fields and the frame-size formula, so the q335 gate
+    * round-trips synth → parse against a SQL oracle that regenerates the
+    * fields from the plant parameters with ITS OWN bitrate/samplerate
+    * tables (a drifted table entry on either side fails the hash).
+    * Input columns: (media_id long, version int (1|2), bitrate_idx int
+    * 1..14, rate_idx int 0..2, n_frames int, with_id3 boolean,
+    * mono boolean). Payload bytes are deterministic filler — the walk
+    * (and any real parser) steps whole frames by the size formula and
+    * never scans payload. Same batch shape as every codec here: one
+    * `mapPartitions`, zero shuffle, no driver round-trip. */
+  def syntheticMp3s(ids: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(mediaSchema)
+    ids.select(col("media_id"), col("version"), col("bitrate_idx"),
+        col("rate_idx"), col("n_frames"), col("with_id3"), col("mono"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val mediaId = r.getLong(0)
+          val ver = r.getInt(1); val bIdx = r.getInt(2); val rIdx = r.getInt(3)
+          val nf = r.getInt(4); val withId3 = r.getBoolean(5); val mono = r.getBoolean(6)
+          require(ver == 1 || ver == 2, s"version must be 1|2, got $ver")
+          require(bIdx >= 1 && bIdx <= 14 && rIdx >= 0 && rIdx <= 2 && nf >= 1,
+            s"bad plant params ($bIdx, $rIdx, $nf)")
+          val buf = new java.io.ByteArrayOutputStream()
+          if (withId3) {
+            // ID3v2.3 tag with a 17-byte body (syncsafe size)
+            buf.write(Array[Byte]('I', 'D', '3', 3, 0, 0, 0, 0, 0, 17))
+            var j = 0
+            while (j < 17) { buf.write('x'); j += 1 }
+          }
+          val verBits = if (ver == 1) 3 else 2
+          val b2 = 0xe0 | (verBits << 3) | (1 << 1) | 1 // sync tail + Layer III + no CRC
+          val b3 = (bIdx << 4) | (rIdx << 2) // padding 0
+          val b4 = (if (mono) 3 else 0) << 6
+          val fb = graft.functions.Mp3Kernel.frameBytes(ver, bIdx, rIdx, padding = 0)
+          var f = 0
+          while (f < nf) {
+            buf.write(0xff); buf.write(b2); buf.write(b3); buf.write(b4)
+            var j = 4
+            while (j < fb) { buf.write(((mediaId * 31 + f * 7 + j) & 0xff).toInt); j += 1 }
+            f += 1
+          }
+          val spf = if (ver == 1) 1152L else 576L
+          val rate = graft.functions.Mp3Kernel.sampleRate(ver, rIdx)
+          Row(mediaId, "audio/mpeg", buf.toByteArray,
+            Row(null, null, nf * spf * 1000L / rate))
+        }
+      }(enc)
+  }
+
+  /** The closed-form pixel generator behind [[syntheticGrayPngs]] (see its
+    * scaladoc for the design): gray level of pixel `k` (row-major) for
+    * `seed`, in 1..255. floorMod on the seeding step, not `%`: Java `%`
+    * keeps the dividend's sign, so a negative seed would otherwise leave
+    * the documented range (and the SQL oracle's model). */
+  def synthGray(seed: Long, k: Int): Int = {
+    val x = Math.floorMod((seed + 1L) * 4096L + (k + 2L), 4294967296L)
+    val h1 = x ^ (x >>> 16)
+    val h2 = (h1 * 49632349L) % 4294967296L
+    val h3 = h2 ^ (h2 >>> 13)
+    val h4 = (h3 * 85624441L) % 4294967296L
+    val h5 = h4 ^ (h4 >>> 16)
+    (1L + h5 % 255L).toInt
+  }
+
   def syntheticGrayPngs(ids: DataFrame): DataFrame = {
     val enc = RowEncoder.encoderFor(mediaSchema)
     ids.select(col("media_id"), col("seed"), col("perturb"))
@@ -654,11 +776,11 @@ object Multimodal {
           val img = new java.awt.image.BufferedImage(8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
           var k = 0
           while (k < 64) {
-            // floorMod, not %: Java % keeps the dividend's sign, so a
-            // negative seed would yield non-positive gray levels (out of
-            // the documented 1..255 range and off the SQL oracle's model)
-            val base = (1 + Math.floorMod(Math.floorMod((seed + 1) * (k + 2), 257L), 255L)).toInt
-            val g = if (perturb && k == 0) 1 + (base - 1 + 8) % 255 else base
+            val base = synthGray(seed, k)
+            // no-wrap twin shift (r17): +8, or -8 when +8 would leave
+            // 1..255 — a wrapped pixel (255 -> 8) made one twin's cosine
+            // dip to ~0.977 pre-JPEG, fragile under the lossy chain
+            val g = if (perturb && k == 0) { if (base <= 247) base + 8 else base - 8 } else base
             img.setRGB(k % 8, k / 8, (g << 16) | (g << 8) | g)
             k += 1
           }

@@ -302,6 +302,69 @@ object Similarity {
       .select(col("probe_id"), col("rnk"), col("nbr_id"), round(col("__sim"), 4).as("cos_sim"))
   }
 
+  /** Sentinel default for the banded-LSH `bandBits` knob: resolve the
+    * band width from a corpus count via [[sizedBandBits]] (one bounded
+    * count job — a single long back to the driver — before planning the
+    * pair mining). Pass an explicit width to skip the count, e.g. when
+    * the corpus size is known or the recall calibration differs from the
+    * default (base 3 at 2 000 rows, the §8.5 gate calibration). */
+  val AutoBands: Int = -1
+
+  /** Sentinel for [[trainKMeans]]'s `k`: resolve the cell count from the
+    * corpus count via [[sizedKMeansK]] — the SemDeDup paper's own `k ∝ n`
+    * sizing, which keeps within-cell pair volume linear in the corpus. */
+  val AutoK: Int = -1
+
+  /** `base` is recall-calibrated at this corpus size (the gate corpus the
+    * §8.5 scale probe measured: 2 000 embeddings at sf0.1). */
+  val SizedBandBitsN0: Long = 2000L
+
+  /** Target vectors per k-means cell for [[sizedKMeansK]] — the occupancy
+    * the committed SCALEPROBE_r16_sized q96 ladder held constant
+    * (k = 4·mult over 2 000·mult vectors). */
+  val SizedCellTarget: Long = 500L
+
+  private[graft] def ceilLog2(n: Long): Int =
+    if (n <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
+
+  /** The measured §8.5 occupancy law, as code: the band width that holds
+    * per-band bucket occupancy at (or under) its recall-calibrated
+    * reference as the corpus grows — `base + ⌈log₂(n/n₀)⌉` for `n > n₀`,
+    * `base` below it (fewer bits than the calibrated floor only add cost
+    * at sizes where cost is already negligible). Each doubling past `n₀`
+    * adds one bit, which doubles the bucket count and returns expected
+    * occupancy — and with it the candidate-pair volume the verify join
+    * scans — to the reference shape, the difference between the measured
+    * exponent 1.96 (bandBits pinned at 3) and 0.93 (stepped) on the q48
+    * ladder (SCALEPROBE_r16 vs _sized). Capped at min(24, dim): sign-LSH
+    * keys carry at most one useful bit per dimension, and past 2²⁴
+    * buckets per band the keys outnumber any real corpus's rows. */
+  def sizedBandBits(n: Long, dim: Int, base: Int = 3, n0: Long = SizedBandBitsN0): Int = {
+    require(n >= 0 && base >= 1 && n0 >= 1,
+      s"sizedBandBits needs n >= 0, base >= 1, n0 >= 1; got ($n, $base, $n0)")
+    val growth = if (n <= n0) 0 else ceilLog2((n + n0 - 1) / n0)
+    math.min(math.min(24, dim), base + growth)
+  }
+
+  /** `k ∝ n` (SemDeDup's own sizing): cells scaled so expected occupancy
+    * stays at `targetCellSize` — within-cell pair volume, the quadratic
+    * term of [[semDedup]]/[[trainKMeans]] pipelines, then grows linearly
+    * with the corpus (measured: exponent 1.03/tail 1.84 at fixed k = 4 vs
+    * 0.25 at k ∝ n on the q96 ladder, SCALEPROBE_r16_tier2 vs _sized). */
+  def sizedKMeansK(n: Long, targetCellSize: Long = SizedCellTarget): Int = {
+    require(n >= 1 && targetCellSize >= 1,
+      s"sizedKMeansK needs n >= 1 and targetCellSize >= 1; got ($n, $targetCellSize)")
+    math.max(1L, (n + targetCellSize - 1) / targetCellSize).toInt
+  }
+
+  /** Resolve a possibly-[[AutoBands]] band width against the corpus:
+    * explicit widths pass through untouched; the sentinel costs one
+    * bounded count job (a single long to the driver) and applies
+    * [[sizedBandBits]] at the default calibration. */
+  private def resolveBandBits(bandBits: Int, corpus: => DataFrame, dim: Int): Int =
+    if (bandBits != AutoBands) bandBits
+    else sizedBandBits(corpus.count(), dim)
+
   /** Per-band sign-LSH keys for the banded (OR-amplified) pairs operator:
     * band `k`'s key packs `bandBits` sign bits from planes
     * `k*bandBits .. k*bandBits + bandBits - 1` — the SAME deterministic
@@ -462,7 +525,7 @@ object Similarity {
       rightVecCol: String,
       threshold: Double,
       dim: Int,
-      bandBits: Int = 3,
+      bandBits: Int = AutoBands,
       bands: Int = 32
   ): DataFrame = {
     val l = Dedup.withComputeParallelism(
@@ -471,10 +534,14 @@ object Similarity {
     val r = Dedup.withComputeParallelism(
       right.select(col(rightId).as("id_b"), asDouble(col(rightVecCol)).as("__vb")))
       .withColumn("__nb", norm(col("__vb")))
+    // auto width sizes on TOTAL rows hashed into the shared bucket space
+    // (both corpora land in the same (band, key) buckets)
+    val bb = resolveBandBits(bandBits,
+      l.select(col("id_a")).unionAll(r.select(col("id_b").as("id_a"))), dim)
     val lKeys = l.select(col("id_a"),
-      posexplode(bandKeys(col("__va"), dim, bandBits, bands)).as(Seq("__band", "__key")))
+      posexplode(bandKeys(col("__va"), dim, bb, bands)).as(Seq("__band", "__key")))
     val rKeys = r.select(col("id_b"),
-      posexplode(bandKeys(col("__vb"), dim, bandBits, bands)).as(Seq("__band", "__key")))
+      posexplode(bandKeys(col("__vb"), dim, bb, bands)).as(Seq("__band", "__key")))
     // BOTH key frames are corpus-shaped explode derivatives with garbage
     // static size estimates — the §8.1 derived-broadcast class; pin the
     // candidate join to sort-merge (PlanAudit caught the right side being
@@ -513,6 +580,15 @@ object Similarity {
     * the measured recall on that corpus is exactly 1 and the output
     * hash-matches the all-pairs oracle; the docstring math, not the gate
     * corpus, is the 100 TB sizing guide.
+    *
+    * `bandBits` DEFAULTS TO [[AutoBands]] (r17): the width is derived from
+    * a corpus count via [[sizedBandBits]], so a default-config deployment
+    * gets the measured-linear occupancy-law shape at any corpus size (at
+    * the gate corpora the auto width resolves to the same 3 bits the
+    * oracle calibration pins, so auto ≡ gate shape there). The count is
+    * one extra pass over `vectors` — callers with an expensive upstream
+    * (decode chains) should persist their features or pass an explicit
+    * calibrated width.
     */
   def cosineNearDupPairsLsh(
       vectors: DataFrame,
@@ -520,7 +596,7 @@ object Similarity {
       vectorCol: String,
       threshold: Double,
       dim: Int,
-      bandBits: Int = 3,
+      bandBits: Int = AutoBands,
       bands: Int = 32,
       centerForBuckets: Boolean = false
   ): DataFrame = {
@@ -530,7 +606,8 @@ object Similarity {
     val projected = Dedup.withComputeParallelism(
       vectors.select(col(vectorId), asDouble(col(vectorCol)).as("__v")))
     val v = projected.withColumn("__n", norm(col("__v")))
-    val cands = candidatePairsFromProjected(projected, vectorId, dim, bandBits, bands, centerForBuckets)
+    val bb = resolveBandBits(bandBits, projected.select(col(vectorId)), dim)
+    val cands = candidatePairsFromProjected(projected, vectorId, dim, bb, bands, centerForBuckets)
     // SHUFFLE_MERGE pins the verify joins to sort-merge: the candidate table
     // comes out of an explode->aggregate chain whose STATIC size estimate is
     // garbage (Catalyst propagates the pre-explode scan size), so the
@@ -1034,7 +1111,8 @@ object Similarity {
       init: String = "lowest-id",
       spherical: Boolean = false
   ): DataFrame = {
-    require(k > 0 && iterations >= 0, "k must be positive, iterations non-negative")
+    require(k == AutoK || k > 0, s"k must be positive or AutoK, got $k")
+    require(iterations >= 0, "iterations must be non-negative")
     require(init == "lowest-id" || init == "farthest", s"unknown init '$init'")
     val spark = vectors.sparkSession
     import spark.implicits._
@@ -1044,12 +1122,29 @@ object Similarity {
       // no-direction vectors would make every cosine NaN and poison the
       // assignment sort (the NaN-ordering cross-engine divergence class)
       .filter(col("__n") > lit(0.0))
+    // AutoK resolution / k ∝ n guidance guard (r17): a FIXED cell count is
+    // the q96-class scale trap — occupancy, and within-cell pair volume
+    // downstream ([[semDedup]]), grows with the corpus. One bounded count
+    // job resolves the sentinel and audits an explicit k against the
+    // measured occupancy target.
+    val k0 = {
+      val n = projected.count()
+      if (k == AutoK) sizedKMeansK(n)
+      else {
+        if (k > 0 && n / k > 2L * SizedCellTarget)
+          System.err.println(
+            s"[graft][sizing] trainKMeans: $n vectors over k=$k cells = ${n / k} per cell " +
+              s"(over 2x the $SizedCellTarget-row target); within-cell pair stages downstream " +
+              s"scale superlinearly at this occupancy - size k with sizedKMeansK(n) or AutoK")
+        k
+      }
+    }
     def asCentroid(idx: Long, arr: Array[Double]): (Long, Array[Double], Double) =
       (idx, arr, math.sqrt(arr.map(x => x * x).sum))
     val initCents: Seq[(Long, Array[Double], Double)] = init match {
       case "lowest-id" =>
-        val got = projected.orderBy(col("__id")).limit(k).collect()
-        require(got.length == k, s"corpus has fewer than k=$k usable vectors")
+        val got = projected.orderBy(col("__id")).limit(k0).collect()
+        require(got.length == k0, s"corpus has fewer than k=$k0 usable vectors")
         require(!got.exists(_.isNullAt(0)),
           s"id column '$vectorId' does not cast to long (null in init head); trainKMeans needs a numeric-castable id")
         got.zipWithIndex.map { case (r, i) => asCentroid(i.toLong, r.getSeq[Double](1).toArray) }.toSeq
@@ -1057,14 +1152,14 @@ object Similarity {
         val first = projected.orderBy(col("__id")).limit(1).collect()
         require(first.nonEmpty, "corpus has no usable vectors")
         val seed = Seq(asCentroid(0L, first(0).getSeq[Double](1).toArray))
-        (1 until k).foldLeft(seed) { case (chosen, j) =>
+        (1 until k0).foldLeft(seed) { case (chosen, j) =>
           // nearest-chosen similarity = -ns of the sorted head; the NEXT
           // seed minimizes it (farthest point), ties to the lowest id
           val next = projected
             .withColumn("__best",
               -centroidsByDistance(chosen, col("__v"), col("__n")).getItem(0).getField("ns"))
             .orderBy(col("__best"), col("__id")).limit(1).collect()
-          require(next.nonEmpty, s"corpus has fewer than k=$k usable vectors")
+          require(next.nonEmpty, s"corpus has fewer than k=$k0 usable vectors")
           chosen :+ asCentroid(j.toLong, next(0).getSeq[Double](1).toArray)
         }
     }
@@ -1487,6 +1582,19 @@ object Similarity {
       threshold: Double
   ): DataFrame = {
     val cents = collectCentroids(centroids, centroidId, centroidCol)
+    // k ∝ n guidance guard (r17): the within-cell pair join below is the
+    // quadratic term of the SemDeDup pipeline — a cell count that didn't
+    // grow with the corpus (the q96 gate shape, measured tail 1.84) blows
+    // expected occupancy, and occupancy² is what the join emits. One
+    // bounded count audits the model against the measured target before
+    // the expensive stage runs.
+    val nVecs = vectors.count()
+    if (cents.nonEmpty && nVecs / cents.length > 2L * SizedCellTarget)
+      System.err.println(
+        s"[graft][sizing] semDedup: $nVecs vectors over k=${cents.length} cells = " +
+          s"${nVecs / cents.length} per cell (over 2x the $SizedCellTarget-row target); " +
+          s"within-cell pair volume scales with occupancy^2 - retrain with " +
+          s"trainKMeans(k = AutoK) / sizedKMeansK(n)")
     val v = Dedup.withComputeParallelism(
         vectors.select(col(vectorId), asDouble(col(vectorCol)).as("__v")))
       .withColumn("__n", norm(col("__v")))

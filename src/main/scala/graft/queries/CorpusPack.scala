@@ -491,6 +491,36 @@ object CorpusPack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // MP3 container leg (r17, the q334 mold on audio): synthetic MPEG
+    // Layer III streams — REAL published framing bytes, ID3v2 tag on
+    // every 5th, MPEG2 on every 7th, mono on evens, bitrate/rate/frame
+    // count planted from doc_id — through the fused frame-header walk.
+    // The oracle regenerates every field from the plant formulas with
+    // ITS OWN bitrate/samplerate tables, so a wrong table entry, sync
+    // mask, frame-size step, ID3 skip, or duration rounding fails the
+    // hash. The payload decode is env-blocked (the JDK ships no MP3
+    // decoder — dated probe in SURVEY §8.3; Mp3Spec pins the block).
+    // Every 43rd doc's bytes are corrupted and must pass flagged.
+    "q335_mp3_info" -> ((s, d) => {
+      val ids = Tables.documents(s, d).select(
+        col("doc_id").as("media_id"),
+        when(col("doc_id") % 7 === 0, lit(2)).otherwise(lit(1)).cast("int").as("version"),
+        (lit(1) + pmod(col("doc_id"), lit(14))).cast("int").as("bitrate_idx"),
+        pmod(col("doc_id"), lit(3)).cast("int").as("rate_idx"),
+        (lit(2) + pmod(col("doc_id"), lit(4))).cast("int").as("n_frames"),
+        (col("doc_id") % 5 === 0).as("with_id3"),
+        (col("doc_id") % 2 === 0).as("mono"))
+      val media = Multimodal.syntheticMp3s(ids)
+        .withColumn("content",
+          when(col("media_id") % 43 === 0, lit("NOTANMP3".getBytes("US-ASCII")))
+            .otherwise(col("content")))
+      Multimodal.mp3Info(media.select(col("media_id"), col("content")), "content")
+        .select(col("media_id").as("doc_id"), col("is_mp3"), col("version"),
+          col("sample_rate"), col("bitrate_kbps"), col("channels"),
+          col("n_frames"), col("duration_ms"))
+        .orderBy(col("doc_id"))
+    }),
+
     // G.711 A-law decode end-to-end (r14) — the q284 gate for the
     // European-trunk codec: XOR-0x55 unpack, segment shift, INVERTED
     // sign convention vs µ-law; the same synthetic code stream decodes
@@ -2175,14 +2205,19 @@ object CorpusPack extends QueryPack {
     // q284's exactly.
     "q291_mulaw_encode" -> mulawStatsOracle,
 
-    // q285: per-frame pixel sums regenerated from the synthetic-PNG gray
-    // formula — the split/order/decode chain must reproduce them exactly.
+    // q285: per-frame pixel sums regenerated from the synthetic-PNG mix32
+    // chain — the split/order/decode chain must reproduce them exactly.
     "q285_frame_stream" -> """
       WITH js AS (SELECT unnest(range(0, 3)) AS j),
       ks AS (SELECT unnest(range(0, 64)) AS k),
-      px AS (SELECT d.doc_id, js.j,
-                    1 + (((d.doc_id * 3 + js.j + 1) * (ks.k + 2)) % 257) % 255 AS g
+      hx AS (SELECT d.doc_id, js.j,
+                    ((d.doc_id * 3 + js.j + 1)*4096 + (ks.k + 2)) % 4294967296 AS h
              FROM documents d CROSS JOIN js CROSS JOIN ks),
+      h1 AS (SELECT doc_id, j, xor(h, h // 65536) AS h FROM hx),
+      h2 AS (SELECT doc_id, j, (h * 49632349) % 4294967296 AS h FROM h1),
+      h3 AS (SELECT doc_id, j, xor(h, h // 8192) AS h FROM h2),
+      h4 AS (SELECT doc_id, j, (h * 85624441) % 4294967296 AS h FROM h3),
+      px AS (SELECT doc_id, j, 1 + xor(h, h // 65536) % 255 AS g FROM h4),
       gs AS (SELECT doc_id, j, sum(g) AS gray_sum FROM px GROUP BY doc_id, j)
       SELECT doc_id, CAST(j AS INTEGER) AS frame_idx, true AS decoded,
              CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
@@ -2204,6 +2239,40 @@ object CorpusPack extends QueryPack {
              END AS height
       FROM documents ORDER BY doc_id""",
 
+    // q335: every container field regenerated from the plant formulas
+    // with the oracle's OWN Layer III tables (ISO 11172-3/13818-3);
+    // duration is the exact integer floor n_frames·spf·1000 // rate.
+    "q335_mp3_info" -> """
+      WITH p AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN 2 ELSE 1 END AS ver,
+               1 + doc_id % 14 AS bidx,
+               doc_id % 3 AS ridx,
+               2 + doc_id % 4 AS nf,
+               doc_id % 2 = 0 AS mono
+        FROM documents),
+      f AS (
+        SELECT doc_id, ver, nf, mono,
+               CASE WHEN ver = 1
+                    THEN [44100, 48000, 32000][CAST(ridx + 1 AS INT)]
+                    ELSE [22050, 24000, 16000][CAST(ridx + 1 AS INT)] END AS rate,
+               CASE WHEN ver = 1
+                    THEN [32,40,48,56,64,80,96,112,128,160,192,224,256,320][CAST(bidx AS INT)]
+                    ELSE [8,16,24,32,40,48,56,64,80,96,112,128,144,160][CAST(bidx AS INT)] END AS kbps
+        FROM p)
+      SELECT doc_id,
+             (doc_id % 43 <> 0) AS is_mp3,
+             CASE WHEN doc_id % 43 <> 0 THEN CAST(ver AS BIGINT) END AS version,
+             CASE WHEN doc_id % 43 <> 0 THEN CAST(rate AS BIGINT) END AS sample_rate,
+             CASE WHEN doc_id % 43 <> 0 THEN CAST(kbps AS BIGINT) END AS bitrate_kbps,
+             CASE WHEN doc_id % 43 <> 0
+                  THEN CAST(CASE WHEN mono THEN 1 ELSE 2 END AS BIGINT) END AS channels,
+             CASE WHEN doc_id % 43 <> 0 THEN CAST(nf AS BIGINT) END AS n_frames,
+             CASE WHEN doc_id % 43 <> 0
+                  THEN CAST((nf * (CASE WHEN ver = 1 THEN 1152 ELSE 576 END) * 1000) // rate
+                       AS BIGINT) END AS duration_ms
+      FROM f ORDER BY doc_id""",
+
     // q286: output pixels are the formula sampled at src = 2·dst.
     "q286_image_resize" -> """
       WITH xs AS (SELECT unnest(range(0, 4)) AS x),
@@ -2211,9 +2280,14 @@ object CorpusPack extends QueryPack {
       px AS (SELECT d.doc_id, (2 * ys.y) * 8 + 2 * xs.x AS k
              FROM documents d CROSS JOIN xs CROSS JOIN ys
              WHERE d.doc_id % 41 <> 0),
+      hx AS (SELECT doc_id, ((doc_id + 1)*4096 + (k + 2)) % 4294967296 AS h FROM px),
+      h1 AS (SELECT doc_id, xor(h, h // 65536) AS h FROM hx),
+      h2 AS (SELECT doc_id, (h * 49632349) % 4294967296 AS h FROM h1),
+      h3 AS (SELECT doc_id, xor(h, h // 8192) AS h FROM h2),
+      h4 AS (SELECT doc_id, (h * 85624441) % 4294967296 AS h FROM h3),
       g AS (SELECT doc_id,
-                   sum(1 + (((doc_id + 1) * (k + 2)) % 257) % 255) AS gs
-            FROM px GROUP BY doc_id)
+                   sum(1 + xor(h, h // 65536) % 255) AS gs
+            FROM h4 GROUP BY doc_id)
       SELECT doc_id, true AS resized, true AS decoded,
              CAST(4 AS INTEGER) AS width, CAST(4 AS INTEGER) AS height,
              CAST(gs AS BIGINT) AS gray_sum

@@ -933,8 +933,9 @@ object DedupPack extends QueryPack {
       FROM pairs WHERE 2 * inter_cnt >= union_cnt
       ORDER BY id_a, id_b""",
 
-    // Rebuilds the DECODED pixel grid closed-form (the synthetic generator
-    // formula), then mirrors the Spark luminance kernel's exact double
+    // Rebuilds the DECODED pixel grid closed-form (the synthetic generator's
+    // mix32 chain — xor(h, h // 2^s) is h ^ (h >>> s) on these nonnegative
+    // BIGINTs), then mirrors the Spark luminance kernel's exact double
     // expression tree — (0.299*g + 0.587*g + 0.114*g)/255, left-assoc —
     // and the Float cast (CAST AS REAL), so the feature lists are
     // bit-identical before the all-pairs cosine.
@@ -945,12 +946,22 @@ object DedupPack extends QueryPack {
         UNION ALL
         SELECT seed + 1000000 AS media_id, seed, TRUE AS pert
         FROM base WHERE seed % 20 = 0),
-      px AS (
-        SELECT i.media_id, k.k,
-               CASE WHEN i.pert AND k.k = 0
-                    THEN 1 + ((1 + ((i.seed+1)*(k.k+2) % 257) % 255) - 1 + 8) % 255
-                    ELSE 1 + ((i.seed+1)*(k.k+2) % 257) % 255 END AS g
+      hx AS (
+        SELECT i.media_id, i.pert, k.k,
+               ((i.seed+1)*4096 + (k.k+2)) % 4294967296 AS h
         FROM imgs i, (SELECT unnest(range(0, 64)) AS k) k),
+      h1 AS (SELECT media_id, pert, k, xor(h, h // 65536) AS h FROM hx),
+      h2 AS (SELECT media_id, pert, k, (h * 49632349) % 4294967296 AS h FROM h1),
+      h3 AS (SELECT media_id, pert, k, xor(h, h // 8192) AS h FROM h2),
+      h4 AS (SELECT media_id, pert, k, (h * 85624441) % 4294967296 AS h FROM h3),
+      h5 AS (SELECT media_id, pert, k, xor(h, h // 65536) AS h FROM h4),
+      px AS (
+        SELECT media_id, k,
+               CASE WHEN pert AND k = 0
+                    THEN CASE WHEN 1 + h % 255 <= 247 THEN 1 + h % 255 + 8
+                              ELSE 1 + h % 255 - 8 END
+                    ELSE 1 + h % 255 END AS g
+        FROM h5),
       feats AS (
         SELECT media_id,
                list(CAST((0.299*g + 0.587*g + 0.114*g)/255 AS REAL) ORDER BY k) AS v

@@ -189,9 +189,20 @@ private[graft] object PackShared {
       held.foreach(p => Files.move(Paths.get(side, p.getFileName.toString),
         Paths.get(stage, p.getFileName.toString)))
       leg() // leg 2: a NEW query recovers state + seen-files from ckpt
-      // pin the drained rows to executor storage so the frame survives
-      // the temp-dir cleanup below (bounded: snapshot rows, not corpus)
-      s.read.parquet(out).localCheckpoint(true)
+      // the drained rows COPY (one bounded batch write — snapshot rows,
+      // not corpus) to a session-scoped dir that outlives this call
+      // (freed by a JVM shutdown hook) and come back as a plain parquet
+      // read — r16's localCheckpoint(true) here pinned snapshot blocks in
+      // executor storage for the rest of the session, which accumulates
+      // across a long gate run (r16 ADVICE). A rename instead of a copy
+      // would break the read: the sink's _spark_metadata log records the
+      // ABSOLUTE committed-file paths, and reading THROUGH the log is
+      // what keeps an aborted task's orphan part files invisible.
+      val keep = Files.createTempDirectory(s"graft-$label-keep").toString
+      Runtime.getRuntime.addShutdownHook(
+        new Thread(() => deleteRecursively(keep)))
+      s.read.parquet(out).write.mode("overwrite").parquet(keep)
+      s.read.parquet(keep)
     } finally {
       deleteRecursively(stage); deleteRecursively(side)
       deleteRecursively(out); deleteRecursively(ckpt)

@@ -36,10 +36,13 @@ object RetrievalPack extends QueryPack {
     // exact verification. Gate = EQUALITY with the all-pairs oracle (the
     // band parameters give measured recall 1 on this corpus, and
     // verification makes precision exactly 1), through a bucket-join plan
-    // with no BroadcastNestedLoopJoin.
+    // with no BroadcastNestedLoopJoin. r17: the query ships the AUTO
+    // default — sizedBandBits resolves to the recall-1 width (3) at the
+    // gate corpora and steps with the corpus past them, so the gated
+    // entry point IS the deployment shape (SCALEPROBE_r16_sized's rule).
     "q48_cosine_pairs_lsh" -> ((s, d) => {
       Similarity.cosineNearDupPairsLsh(Tables.embeddings(s, d), "vec_id", "embedding",
-        threshold = 0.3, dim = 64, bandBits = 3, bands = 32)
+        threshold = 0.3, dim = 64, bands = 32)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -536,13 +539,15 @@ object RetrievalPack extends QueryPack {
     // Cross-CORPUS ANN pair mining: even vs odd embeddings through the
     // banded sign-LSH equi-join (never a cross join), exact verification;
     // q48's recall-1 band shape on this corpus, so the output equals the
-    // exact cross-pair oracle.
+    // exact cross-pair oracle. r17: ships the AUTO default — total rows
+    // hashed (both corpora) resolve to the recall-1 width (3) at the gate
+    // corpora and step with the corpus past them.
     "q155_cross_ann" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       Similarity.crossCosinePairsLsh(
         e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
         e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding",
-        threshold = 0.3, dim = 64, bandBits = 3, bands = 32)
+        threshold = 0.3, dim = 64, bands = 32)
         .orderBy(col("id_a"), col("id_b"))
     }),
 

@@ -632,7 +632,14 @@ object TextPack extends QueryPack {
       val v = graft.operators.WordPiece.fixedVocab(
         initial = chars ++ Seq("th", "er", "on"),
         continuation = chars ++ Seq("th", "er", "on"), maxPieceLen = 2)
-      Tables.documents(s, d)
+      // Planted mega-word (120 chars of fully-covered pieces): WITHOUT
+      // HF's max_input_chars_per_word=100 cutoff it would tokenize to 60
+      // 'th' pieces; WITH it the whole word is one [UNK] — so the
+      // cross-engine gate exercises the cutoff, not just the formula.
+      val planted = s.range(1).select(lit(1000001L).as("doc_id"),
+        concat(lit("the "), lit("th" * 60), lit(" on")).as("text"))
+      Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .unionByName(planted)
         .select(col("doc_id"),
           graft.operators.WordPiece.docStats(coalesce(col("text"), lit("")), v).as("__s"))
         .select(col("doc_id"),
@@ -680,8 +687,13 @@ object TextPack extends QueryPack {
       val v = graft.operators.WordPiece.fixedVocab(
         initial = chars ++ Seq("th", "er", "on"),
         continuation = chars ++ Seq("th", "er", "on"), maxPieceLen = 2)
+      // q312's planted mega-word (no q/x/z, so only the LENGTH cutoff can
+      // UNK it) — the per-lang card must count it as 1 UNK word / 1 token.
+      val planted = s.range(1).select(lit("en").as("lang"),
+        concat(lit("the "), lit("th" * 60), lit(" on")).as("text"))
       graft.operators.WordPiece.coverageCard(
-          Tables.documents(s, d).select(col("lang"), col("text")), "text", "lang", v)
+          Tables.documents(s, d).select(col("lang"), col("text"))
+            .unionByName(planted), "text", "lang", v)
         .orderBy(col("lang"))
     }),
 
@@ -697,10 +709,15 @@ object TextPack extends QueryPack {
       val v = graft.operators.WordPiece.fixedVocab(
         initial = chars ++ Seq("th", "er", "on"),
         continuation = chars ++ Seq("th", "er", "on"), maxPieceLen = 2)
-      val staged = Tables.documents(s, d).select(
-        pmod(col("doc_id"), lit(4)).cast("int").as("_1"),
-        col("doc_id").cast("long").as("_2"),
-        col("text").cast("string").as("_3"))
+      // q312's planted mega-word flows through the same per-shard fold —
+      // the drained readout must count it under the length cutoff too
+      val staged = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .unionByName(s.range(1).select(lit(1000001L).as("doc_id"),
+          concat(lit("the "), lit("th" * 60), lit(" on")).as("text")))
+        .select(
+          pmod(col("doc_id"), lit(4)).cast("int").as("_1"),
+          col("doc_id").cast("long").as("_2"),
+          col("text").cast("string").as("_3"))
       val snaps = PackShared.drainStaged(s, staged, "q320_sink", "q320-docs")(
         in => graft.streaming.StreamingWordPieceMonitor
           .stats(in.as[(Int, Long, String)], v)
@@ -807,52 +824,64 @@ object TextPack extends QueryPack {
 
   def oracles: Map[String, String] = Map(
     // q312: the q294 closed form — greedy takes exactly every
-    // occurrence of the char-disjoint pieces, n_tokens = len − Σocc,
-    // zero UNKs under full char coverage.
+    // occurrence of the char-disjoint pieces, n_tokens = len − Σocc —
+    // EXCEPT words over HF's max_input_chars_per_word=100 (DuckDB len()
+    // counts code points, as does the kernel's codePointCount), which
+    // degrade to one [UNK]; the planted 120-char mega-word exercises it.
     "q312_wordpiece_tokens" -> """
-      WITH w AS (
+      WITH docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT 1000001, 'the ' || repeat('th', 60) || ' on'),
+      w AS (
         SELECT doc_id, w FROM (
           SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS w
-          FROM documents)
+          FROM docs)
         WHERE len(w) > 0),
       o AS (SELECT doc_id,
-              CAST(sum(len(w) - ((len(w) - len(replace(w, 'th', ''))) // 2
-                               + (len(w) - len(replace(w, 'er', ''))) // 2
-                               + (len(w) - len(replace(w, 'on', ''))) // 2)) AS BIGINT) AS n_tokens,
+              CAST(sum(CASE WHEN len(w) > 100 THEN 1
+                ELSE len(w) - ((len(w) - len(replace(w, 'th', ''))) // 2
+                             + (len(w) - len(replace(w, 'er', ''))) // 2
+                             + (len(w) - len(replace(w, 'on', ''))) // 2)
+                END) AS BIGINT) AS n_tokens,
+              CAST(sum(CASE WHEN len(w) > 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_unk_words,
               CAST(count(*) AS BIGINT) AS n_words
             FROM w GROUP BY doc_id)
       SELECT d.doc_id,
              CAST(coalesce(o.n_tokens, 0) AS BIGINT) AS n_tokens,
-             CAST(0 AS BIGINT) AS n_unk_words,
+             CAST(coalesce(o.n_unk_words, 0) AS BIGINT) AS n_unk_words,
              CAST(coalesce(o.n_words, 0) AS BIGINT) AS n_words
-      FROM documents d LEFT JOIN o USING (doc_id)
+      FROM docs d LEFT JOIN o USING (doc_id)
       ORDER BY d.doc_id""",
 
-    // q319: a word is UNK iff it contains q/x/z (the gapped alphabet);
+    // q319: a word is UNK iff it contains q/x/z (the gapped alphabet) OR
+    // exceeds HF's 100-code-point cutoff (the planted mega-word);
     // covered words tokenize by the q312 occurrence formula; per-lang
     // exact sums, the rate rounded at 4 off one division.
     "q319_wordpiece_card" -> """
-      WITH w AS (
+      WITH alldocs AS (
+        SELECT doc_id, lang, text FROM documents
+        UNION ALL SELECT 1000001, 'en', 'the ' || repeat('th', 60) || ' on'),
+      w AS (
         SELECT doc_id, w FROM (
           SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS w
-          FROM documents)
+          FROM alldocs)
         WHERE len(w) > 0),
       per AS (SELECT d.lang,
-                CASE WHEN regexp_matches(w.w, '[qxz]') THEN 1
+                CASE WHEN len(w.w) > 100 OR regexp_matches(w.w, '[qxz]') THEN 1
                      ELSE 0 END AS unk,
-                CASE WHEN regexp_matches(w.w, '[qxz]') THEN 1
+                CASE WHEN len(w.w) > 100 OR regexp_matches(w.w, '[qxz]') THEN 1
                      ELSE len(w.w) - ((len(w.w) - len(replace(w.w, 'th', ''))) // 2
                                     + (len(w.w) - len(replace(w.w, 'er', ''))) // 2
                                     + (len(w.w) - len(replace(w.w, 'on', ''))) // 2)
                 END AS toks
-              FROM w JOIN documents d USING (doc_id)),
+              FROM w JOIN alldocs d USING (doc_id)),
       agg AS (SELECT lang,
                 CAST(count(*) AS BIGINT) AS total_words,
                 CAST(sum(toks) AS BIGINT) AS total_tokens,
                 CAST(sum(unk) AS BIGINT) AS total_unk_words
               FROM per GROUP BY lang),
       docs AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
-               FROM documents GROUP BY lang)
+               FROM alldocs GROUP BY lang)
       SELECT d.lang, d.n_docs, a.total_words, a.total_tokens, a.total_unk_words,
              round(CAST(a.total_unk_words AS DOUBLE)
                    / CAST(a.total_words AS DOUBLE), 4) AS unk_rate
@@ -860,22 +889,26 @@ object TextPack extends QueryPack {
       ORDER BY d.lang""",
 
     // q320: q319's closed form WITHOUT the lang grouping — the global
-    // totals the drained readout must reproduce bit for bit.
+    // totals the drained readout must reproduce bit for bit (length
+    // cutoff and planted mega-word included).
     "q320_streaming_wordpiece" -> """
-      WITH w AS (
+      WITH alldocs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT 1000001, 'the ' || repeat('th', 60) || ' on'),
+      w AS (
         SELECT doc_id, w FROM (
           SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS w
-          FROM documents)
+          FROM alldocs)
         WHERE len(w) > 0),
       per AS (SELECT
-                CASE WHEN regexp_matches(w, '[qxz]') THEN 1 ELSE 0 END AS unk,
-                CASE WHEN regexp_matches(w, '[qxz]') THEN 1
+                CASE WHEN len(w) > 100 OR regexp_matches(w, '[qxz]') THEN 1 ELSE 0 END AS unk,
+                CASE WHEN len(w) > 100 OR regexp_matches(w, '[qxz]') THEN 1
                      ELSE len(w) - ((len(w) - len(replace(w, 'th', ''))) // 2
                                   + (len(w) - len(replace(w, 'er', ''))) // 2
                                   + (len(w) - len(replace(w, 'on', ''))) // 2)
                 END AS toks
               FROM w)
-      SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM alldocs) AS n_docs,
              CAST(count(*) AS BIGINT) AS total_words,
              CAST(sum(toks) AS BIGINT) AS total_tokens,
              CAST(sum(unk) AS BIGINT) AS total_unk_words,

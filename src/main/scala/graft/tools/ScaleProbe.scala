@@ -15,9 +15,10 @@ import org.apache.spark.sql.functions._
   * a 10× corpus has 10× the duplicate CLUSTERS, not 10×-wider clusters, so
   * every copy is structure-preserving but cross-copy DISJOINT:
   *
-  *  - `documents`: copy `i` prefixes every token with `c{i}` — a bijective
-  *    token rename, so within-copy shingle/Jaccard/MinHash structure is
-  *    EXACTLY the original's, while cross-copy vocabularies are disjoint
+  *  - `documents`: copy `i` prefixes every token with `c{i}_` — a
+  *    bijective token rename (the `_` keeps copy indices prefix-free), so
+  *    within-copy shingle/Jaccard/MinHash structure is EXACTLY the
+  *    original's, while cross-copy vocabularies are disjoint
   *    (no cross-copy near-dup pairs, cluster count grows ×k).
   *  - `embeddings`: copy `i` cyclically rotates the 64-dim vector by
   *    `7i mod 64` — an orthogonal transform, so within-copy cosines (and
@@ -44,43 +45,27 @@ object ScaleProbe {
     "q155_cross_ann", "q297_streaming_bradley_terry",
     "q147_incremental_cc", "q111_cms_freq")
 
-  /** SIZED variants of the queries whose GATE configuration deliberately
-    * pins a corpus-dependent knob at its recall-1 gate-SF value: q48 and
-    * q155 fix `bandBits = 3` (8 buckets per band), so bucket occupancy —
-    * and candidate volume, quadratically — grows with the corpus (the
-    * §8.1 finding-2 trap, here MEASURED on the full queries: e ≈ 2.0 at
-    * ×10). A deployment steps the bucket count with n
-    * (`bandBits ≈ log2(n/16)`); these variants apply exactly that rule
-    * (`3 + ⌈log2 mult⌉`, capped by the dim) so the probe records the
-    * sized exponent NEXT to the gate-config one — the fix measured, not
-    * argued. q61's production config (bandBits 8) gets the same step. */
+  /** AUTO/SIZED variants (r17): the gate queries for q48/q155 now SHIP the
+    * auto-sized default (bandBits = AutoBands -> sizedBandBits from a
+    * corpus count), so their DefaultQueries ladders measure the deployment
+    * shape directly. These variants cover the knobs whose gate queries
+    * keep an EXPLICIT calibration: q61's production base (bandBits 8 at
+    * the gate corpus, stepped by the same occupancy law), q84's image
+    * chain through the auto default (its gate query pins 3 to stay
+    * recall-calibrated against the all-pairs oracle), and q96's SemDeDup
+    * at k = AutoK (the gate query pins k = 4, the trained-model shape its
+    * oracle unrolls). */
   val SizedVariants: Map[String, (SparkSession, String, Int) => DataFrame] = Map(
-    "q48_sized_bands" -> ((s: SparkSession, d: String, mult: Int) => {
-      val bb = 3 + ceilLog2(mult)
-      graft.operators.Similarity.cosineNearDupPairsLsh(
-        Tables.embeddings(s, d), "vec_id", "embedding",
-        threshold = 0.3, dim = 64, bandBits = bb, bands = 32)
-        .orderBy(col("id_a"), col("id_b"))
-    }),
-    "q155_sized_bands" -> ((s: SparkSession, d: String, mult: Int) => {
-      val bb = 3 + ceilLog2(mult)
-      val e = Tables.embeddings(s, d)
-      graft.operators.Similarity.crossCosinePairsLsh(
-        e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
-        e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding",
-        threshold = 0.3, dim = 64, bandBits = bb, bands = 32)
-        .orderBy(col("id_a"), col("id_b"))
-    }),
     "q61_sized_bands" -> ((s: SparkSession, d: String, mult: Int) => {
       val bb = math.min(16, 8 + ceilLog2(mult))
       val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
       graft.operators.Similarity.cosineNearDupPairsLsh(base, "vec_id", "embedding",
         threshold = 0.8, dim = 64, bandBits = bb, bands = 16)
     }),
-    // q84's image near-dup at stepped bandBits (tier-2 measured the
-    // gate shape's bandBits=3 at tail 2.16 — the same occupancy law)
-    "q84_sized_bands" -> ((s: SparkSession, d: String, mult: Int) => {
-      val bb = 3 + ceilLog2(mult)
+    // q84's image near-dup through the AUTO default (tier-2 measured the
+    // gate shape's bandBits=3 at tail 2.16 — the occupancy law; auto
+    // derives the width from the image-corpus count)
+    "q84_auto_bands" -> ((s: SparkSession, d: String, mult: Int) => {
       val base = Tables.documents(s, d).select(col("doc_id"))
         .filter(col("doc_id") % 10 === 0)
       val ids = base.select(col("doc_id").as("media_id"),
@@ -93,18 +78,18 @@ object ScaleProbe {
         .extractImageFeatures(media, gridW = 8, gridH = 8)
         .select(col("media_id").as("vec_id"), col("features").as("embedding"))
       graft.operators.Similarity.cosineNearDupPairsLsh(feats, "vec_id", "embedding",
-        threshold = 0.99, dim = 64, bandBits = bb, bands = 32,
+        threshold = 0.99, dim = 64, bands = 32,
         centerForBuckets = true)
         .orderBy(col("id_a"), col("id_b"))
     }),
-    // q96's SemDeDup at k ∝ n (tier-2 measured the gate shape's k=4 at
-    // tail 1.84 — a fixed cell count means occupancy, and within-cell
-    // pair volume, grows with the corpus; the SemDeDup paper's own
-    // answer is k scaled with corpus size)
-    "q96_sized_k" -> ((s: SparkSession, d: String, mult: Int) => {
+    // q96's SemDeDup at k = AutoK (tier-2 measured the gate shape's k=4
+    // at tail 1.84 — fixed cells mean occupancy, and within-cell pair
+    // volume, grow with the corpus; AutoK applies sizedKMeansK's k ∝ n)
+    "q96_auto_k" -> ((s: SparkSession, d: String, mult: Int) => {
       val e = Tables.embeddings(s, d)
       val cents = graft.operators.Similarity.trainKMeans(
-        e, "vec_id", "embedding", k = 4 * mult, iterations = 2, dim = 64)
+        e, "vec_id", "embedding", k = graft.operators.Similarity.AutoK,
+        iterations = 2, dim = 64)
       graft.operators.Similarity.semDedup(
           e, "vec_id", "embedding", cents, "cid", "centroid", threshold = 0.3)
         .orderBy(col("vec_id"))
@@ -122,8 +107,14 @@ object ScaleProbe {
     if (i == 0) df
     else table match {
       case "documents" =>
+        // token-boundary-safe rename: "c{i}_" prepends to the FIRST
+        // non-space char of each token, so runs of spaces can't mint
+        // standalone tokens, and the "_" terminator keeps copy indices
+        // prefix-free ("c1_1x" from copy 1 can never equal "c11_x" from
+        // copy 11) — the r16 "(^| )" form failed both (r16 ADVICE)
         df.withColumn("doc_id", col("doc_id") + lit(i.toLong * 100000000L))
-          .withColumn("text", regexp_replace(col("text"), "(^| )", "$1c" + i))
+          .withColumn("text",
+            regexp_replace(col("text"), "(^|\\s)(\\S)", "$1c" + i + "_$2"))
           .withColumn("n_chars", length(col("text")).cast("long"))
       case "embeddings" =>
         val s = (i * 7) % 64
@@ -148,7 +139,7 @@ object ScaleProbe {
 
   /** Materialize the ×k input dir: widened tables as parquet, the rest as
     * filesystem copies (single-file tables in the driver's testdata). */
-  private def buildDir(spark: SparkSession, sfDir: String, outDir: String, k: Int): Unit = {
+  private[tools] def buildDir(spark: SparkSession, sfDir: String, outDir: String, k: Int): Unit = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     Tables.all.foreach { t =>
       val dst = s"$outDir/$t.parquet"
@@ -211,17 +202,23 @@ object ScaleProbe {
       dt
     }
 
+    // min-of-3 per ladder cell (r16 verdict #5): the bench's own protocol,
+    // so a single noisy cell (the r16 q168 ×4 inversion) self-adjudicates —
+    // the fit runs on per-cell minima and the JSON carries every sample
+    val samplesPerCell = 3
     val results = names.map { name =>
       // untimed per-query warm-up at the smallest mult: JVM/Spark startup,
       // codegen, and (for streaming drains) the first-stream init otherwise
       // bill to the ×1 cell and corrupt the fit (measured: q297's ×1 read
       // 2× its warm time when only a foreign query had warmed the session)
       timeOne(name, s"$work/x${mults.head}", mults.head)
-      val times = mults.map { k =>
-        val t = timeOne(name, s"$work/x$k", k)
-        println(f"[probe] $name%-30s x$k%-3d $t%8.2f s")
-        k -> t
+      val cells = mults.map { k =>
+        val samples = (1 to samplesPerCell).map(_ => timeOne(name, s"$work/x$k", k))
+        println(f"[probe] $name%-30s x$k%-3d min=${samples.min}%8.2f s " +
+          s"samples=${samples.map(t => f"$t%.2f").mkString("[", ",", "]")}")
+        (k, samples.min, samples)
       }
+      val times = cells.map(c => c._1 -> c._2)
       val expAll = fit(times)
       val expTail =
         if (times.size >= 2) {
@@ -229,15 +226,18 @@ object ScaleProbe {
           math.log(b._2 / a._2) / math.log(b._1.toDouble / a._1)
         } else Double.NaN
       println(f"[probe] $name%-30s exponent=$expAll%5.2f tail=$expTail%5.2f")
-      (name, times, expAll, expTail)
+      (name, cells, expAll, expTail)
     }
 
     val load1 = osBean.getSystemLoadAverage
     val json = new StringBuilder("{\"sf_base\":\"").append(sfDir)
       .append("\",\"mults\":[").append(mults.mkString(","))
-      .append(s"],\"loadavg\":[$load0,$load1],\"queries\":{")
-    json.append(results.map { case (name, times, e, et) =>
-      s""""$name":{"times":{${times.map(t => s""""${t._1}":${f"${t._2}%.3f"}""").mkString(",")}},""" +
+      .append(s"],\"samples_per_cell\":$samplesPerCell")
+      .append(s",\"loadavg\":[$load0,$load1],\"queries\":{")
+    json.append(results.map { case (name, cells, e, et) =>
+      s""""$name":{"times":{${cells.map(c => s""""${c._1}":${f"${c._2}%.3f"}""").mkString(",")}},""" +
+        s""""samples":{${cells.map(c =>
+          s""""${c._1}":[${c._3.map(t => f"$t%.3f").mkString(",")}]""").mkString(",")}},""" +
         s""""exponent":${f"$e%.3f"},"exponent_tail":${f"$et%.3f"}}"""
     }.mkString(","))
     json.append("}}")

@@ -5,11 +5,13 @@ package graft.operators
   * this JDK's ImageIO, luminance channel, row-major. Harvested once and
   * committed — lossy-codec bytes are not cross-engine-oracle-expressible
   * but ARE deterministic per JDK, so any quality drift, subsampling
-  * change, or codec swap moves these values and fails the spec loudly. */
+  * change, or codec swap moves these values and fails the spec loudly.
+  * Re-harvested r17 for the mix32 pixel generator (the r16 mod-257 form
+  * collided cross-seed at sf0.1 density). */
 object JpegFixture {
   val Seed7Quality075: Array[Int] = Array(
-    18, 22, 40, 42, 49, 51, 69, 73, 82, 83, 93, 102, 111, 126, 125, 134,
-    147, 146, 167, 173, 186, 175, 209, 192, 201, 223, 221, 231, 237, 248, 0, 9,
-    21, 22, 37, 38, 51, 58, 70, 76, 78, 83, 93, 103, 101, 125, 118, 138,
-    143, 147, 167, 175, 176, 174, 202, 196, 204, 223, 217, 227, 240, 255, 0, 13)
+    137, 131, 190, 250, 216, 82, 174, 140, 166, 202, 171, 175, 150, 95, 50, 56,
+    150, 168, 123, 166, 38, 131, 0, 71, 234, 103, 156, 166, 43, 174, 85, 255,
+    86, 136, 40, 134, 20, 212, 209, 202, 193, 158, 188, 242, 79, 57, 35, 92,
+    139, 4, 11, 126, 135, 116, 108, 208, 229, 81, 33, 13, 219, 101, 99, 235)
 }

@@ -76,14 +76,16 @@ class JpegSpec extends AnyFunSuite {
     // JPEG transcode → REAL decode → luminance-grid features → centered
     // sign-LSH near-dup — asserting the DEDUP DECISION is codec-noise
     // robust on the planted corpus: the pair set equals exactly the
-    // planted twin set. Threshold 0.97, not q84's 0.99: JPEG at q=0.75
-    // degrades one twin's cosine to 0.9777 (measured; the rest sit
-    // ≥ 0.9992), and the nearest non-twin pair on this corpus is far
-    // below. Not DuckDB-gated BY DESIGN — the decode is lossy, so no SQL
-    // oracle can re-derive the features; per-JDK determinism makes the
-    // spec the right gate (the q334 dims row covers the cross-engine
-    // half of the JPEG leg).
-    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // planted twin set. Runs at GATE SF (sf0.1: 500 base images + 250
+    // twins — r16 ran sf0.001 because the mod-257 generator collided
+    // cross-seed at this density; the r17 mix32 generator holds the max
+    // cross-seed cosine at ~0.92 over 15 001 seeds, and the no-wrap
+    // perturb keeps every twin ≥ 0.9999 pre-JPEG). Threshold 0.97 leaves
+    // margin for JPEG noise at q=0.75 on both sides. Not DuckDB-gated BY
+    // DESIGN — the decode is lossy, so no SQL oracle can re-derive the
+    // features; per-JDK determinism makes the spec the right gate (the
+    // q334 dims row covers the cross-engine half of the JPEG leg).
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
       .select(col("doc_id")).filter(col("doc_id") % 10 === 0)
     val ids = docs.select(col("doc_id").as("media_id"),
         col("doc_id").as("seed"), lit(false).as("perturb"))
@@ -115,8 +117,8 @@ class JpegSpec extends AnyFunSuite {
     // outputs are NOT cross-engine-oracle-expressible, but they ARE
     // deterministic per JDK — a quality drift, chroma-subsampling
     // change, or codec swap moves these values and fails loudly. The
-    // PNG-side values (pre-JPEG) come from the q41 closed form:
-    // gray(k) = 1 + (((seed+1)(k+2)) mod 257) mod 255, seed 7.
+    // PNG-side values (pre-JPEG) come from the mix32 closed form
+    // (Multimodal.synthGray scaladoc), seed 7.
     val bytes = Multimodal.transcodeJpeg(synthOne(7L))
       .select("content").head.getAs[Array[Byte]](0)
     val got = decodedGrays(bytes)

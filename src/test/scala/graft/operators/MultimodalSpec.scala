@@ -202,7 +202,16 @@ class MultimodalSpec extends AnyFunSuite {
       .toDF("media_id", "seed", "perturb")
     val decoded = Multimodal.decodeImages(Multimodal.syntheticGrayPngs(ids), includePixels = true)
       .collect().map(r => r.getAs[Long]("media_id") -> r).toMap
-    def gray(seed: Long, k: Int) = (1 + (((seed + 1) * (k + 2)) % 257) % 255).toInt
+    // independent replay of the mix32 generator (NOT a call into main —
+    // a drifted constant in either copy fails the comparison)
+    def gray(seed: Long, k: Int): Int = {
+      val x = Math.floorMod((seed + 1L) * 4096L + (k + 2L), 4294967296L)
+      val h1 = x ^ (x >>> 16)
+      val h2 = (h1 * 49632349L) % 4294967296L
+      val h3 = h2 ^ (h2 >>> 13)
+      val h4 = (h3 * 85624441L) % 4294967296L
+      (1L + (h4 ^ (h4 >>> 16)) % 255L).toInt
+    }
     (1L to 3L).foreach { id =>
       val r = decoded(id)
       assert(r.getAs[Boolean]("decoded"), s"image $id failed to decode")
@@ -214,9 +223,13 @@ class MultimodalSpec extends AnyFunSuite {
       val g = gray(seed, k); (g << 16) | (g << 8) | g
     }
     assert(px(1L) == grayAll(7L), "decoded pixels diverge from the generator formula")
-    assert(px(3L) == grayAll(256L), "seed+1 = 257 = 0 mod 257 must still yield the all-ones (gray 1) image")
-    // perturb: pixel 0 shifted +8 within 1..255, every other pixel identical
-    val g0p = 1 + (gray(7L, 0) - 1 + 8) % 255
+    // the r16 mod-257 trap: seeds 7 and 264 (= 7 + 257) produced IDENTICAL
+    // images; the mix32 generator must separate them
+    assert(px(3L) == grayAll(256L), "decoded pixels diverge for the second seed")
+    assert(grayAll(7L) != grayAll(7L + 257L), "mix32 must not collide on seed + 257 (the r16 trap)")
+    // perturb: pixel 0 shifted by a no-wrap +/-8, every other pixel identical
+    val g0 = gray(7L, 0)
+    val g0p = if (g0 <= 247) g0 + 8 else g0 - 8
     assert(px(2L).head == ((g0p << 16) | (g0p << 8) | g0p))
     assert(px(2L).tail == px(1L).tail, "perturbation leaked past pixel 0")
   }
@@ -227,7 +240,12 @@ class MultimodalSpec extends AnyFunSuite {
     val decoded = Multimodal.decodeImages(Multimodal.syntheticGrayPngs(ids), includePixels = true)
       .collect().map(r => r.getAs[Long]("media_id") -> r).toMap
     def grayAll(seed: Long) = (0 until 64).map { k =>
-      val g = (1 + Math.floorMod(Math.floorMod((seed + 1) * (k + 2), 257L), 255L)).toInt
+      val x = Math.floorMod((seed + 1L) * 4096L + (k + 2L), 4294967296L)
+      val h1 = x ^ (x >>> 16)
+      val h2 = (h1 * 49632349L) % 4294967296L
+      val h3 = h2 ^ (h2 >>> 13)
+      val h4 = (h3 * 85624441L) % 4294967296L
+      val g = (1L + (h4 ^ (h4 >>> 16)) % 255L).toInt
       (g << 16) | (g << 8) | g
     }
     (1L to 2L).foreach { id =>

@@ -1,0 +1,88 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The r16 verdict-#1 gate: the scale knobs the §8.5 SCALEPROBE table
+  * names (LSH `bandBits`, k-means `k`) are SELF-SIZING by default, and
+  * the auto rule reproduces the committed `SCALEPROBE_r16_sized.json`
+  * configurations at the probe corpus sizes — the measured-linear shapes,
+  * pinned as code instead of prose. */
+class SizingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("sizedBandBits reproduces the committed r16 sized-ladder configs at the probe corpus sizes") {
+    // SCALEPROBE_r16_sized ran bandBits = 3 + ceilLog2(mult) over the
+    // sf0.1 embeddings ladder (2000·mult rows). The auto rule must land on
+    // exactly those widths at exactly those corpus sizes — q48/q155's
+    // measured-linear configs (tail 0.93 / 0.20 vs 2.22 / 2.75 gated).
+    assert(Similarity.sizedBandBits(2000L, 64) == 3) //  x1
+    assert(Similarity.sizedBandBits(4000L, 64) == 4) //  x2
+    assert(Similarity.sizedBandBits(8000L, 64) == 5) //  x4
+    assert(Similarity.sizedBandBits(20000L, 64) == 7) // x10
+    // q61's production calibration (base 8 at the same corpus): the
+    // committed q61_sized_bands ladder = min(16, 8 + ceilLog2(mult))
+    assert(Similarity.sizedBandBits(2000L, 64, base = 8) == 8)
+    assert(Similarity.sizedBandBits(20000L, 64, base = 8) == 12)
+    // below the calibration corpus the base IS the width (gate SF: the
+    // auto default resolves to the oracle-calibrated recall-1 shape)
+    assert(Similarity.sizedBandBits(200L, 64) == 3)
+    assert(Similarity.sizedBandBits(0L, 64) == 3)
+    // capped at min(24, dim): keys carry at most one useful bit per dim
+    assert(Similarity.sizedBandBits(Long.MaxValue / 2, 16) == 16)
+    assert(Similarity.sizedBandBits(Long.MaxValue / 2, 64) == 24)
+    // monotone non-decreasing across a doubling ladder (no step back)
+    val ladder = Seq(1L, 100L, 2000L, 2001L, 5000L, 64000L, 1000000L)
+      .map(n => Similarity.sizedBandBits(n, 64))
+    assert(ladder == ladder.sorted, s"non-monotone: $ladder")
+  }
+
+  test("sizedKMeansK reproduces the committed q96 sized ladder (k = 4·mult at 2000·mult rows)") {
+    // SCALEPROBE_r16_sized's q96_sized_k ran k = 4·mult over 2000·mult
+    // vectors = one cell per 500 rows, the config measured at exponent
+    // 0.25 (vs 1.84 tail at fixed k = 4)
+    assert(Similarity.sizedKMeansK(2000L) == 4) //  x1
+    assert(Similarity.sizedKMeansK(4000L) == 8) //  x2
+    assert(Similarity.sizedKMeansK(8000L) == 16) //  x4
+    assert(Similarity.sizedKMeansK(20000L) == 40) // x10
+    assert(Similarity.sizedKMeansK(1L) == 1)
+    assert(Similarity.sizedKMeansK(501L) == 2)
+  }
+
+  test("AutoBands end to end: the auto entry point's output equals the explicit resolved width's") {
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // self-join form: 200 rows -> auto resolves to the calibrated 3
+    val auto = Similarity.cosineNearDupPairsLsh(
+      e, "vec_id", "embedding", threshold = 0.3, dim = 64, bands = 32)
+    val explicit = Similarity.cosineNearDupPairsLsh(
+      e, "vec_id", "embedding", threshold = 0.3, dim = 64, bandBits = 3, bands = 32)
+    assert(pairs(auto) == pairs(explicit))
+    // cross form sizes on TOTAL rows hashed (both corpora share buckets)
+    val even = e.filter(col("vec_id") % 2 === 0)
+    val odd = e.filter(col("vec_id") % 2 === 1)
+    val autoX = Similarity.crossCosinePairsLsh(
+      even, "vec_id", "embedding", odd, "vec_id", "embedding",
+      threshold = 0.3, dim = 64, bands = 32)
+    val explicitX = Similarity.crossCosinePairsLsh(
+      even, "vec_id", "embedding", odd, "vec_id", "embedding",
+      threshold = 0.3, dim = 64, bandBits = 3, bands = 32)
+    assert(pairs(autoX) == pairs(explicitX))
+  }
+
+  test("AutoK end to end: trainKMeans(k = AutoK) equals trainKMeans(k = sizedKMeansK(n))") {
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    def model(k: Int) = Similarity.trainKMeans(
+        e, "vec_id", "embedding", k = k, iterations = 2, dim = 64)
+      .orderBy("cid").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toVector, r.getLong(2))).toSeq
+    val n = e.count()
+    val auto = model(Similarity.AutoK)
+    val sized = model(Similarity.sizedKMeansK(n))
+    assert(auto == sized)
+    assert(auto.nonEmpty)
+  }
+}

@@ -36,6 +36,18 @@ class WordPieceSpec extends AnyFunSuite {
       .select(WordPiece.docStats(col("text"), v))
       .as[Seq[Long]].collect().head
     assert(got == Seq(3L, 1L, 2L)) // [UNK] + (a ##a); 1 UNK word of 2
+    // the cutoff counts CODE POINTS, not UTF-16 units (HF counts Python
+    // chars): 99 BMP 'a's + one astral char = 100 code points but 101
+    // UTF-16 units — must still TOKENIZE under a vocab covering both
+    val astral = new String(Character.toChars(0x1D400)) // 𝐀, 2 UTF-16 units
+    val va = WordPiece.fixedVocab(
+      initial = Seq("a", astral), continuation = Seq("a", astral), maxPieceLen = 2)
+    val w100cp = ("a" * 99) + astral
+    assert(w100cp.length == 101 && w100cp.codePointCount(0, w100cp.length) == 100)
+    assert(WordPiece.greedyLocal(w100cp, va).length == 100,
+      "100-code-point word with an astral char must tokenize (UTF-16 .length would UNK it)")
+    // one more code point over -> [UNK]
+    assert(WordPiece.greedyLocal("a" + w100cp, va) == Seq("[UNK]"))
   }
 
   test("docStats/tokens: fused expressions match the local greedy; UNK words count one token") {
