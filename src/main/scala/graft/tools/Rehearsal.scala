@@ -86,9 +86,29 @@ object Rehearsal {
     }
 
     val dir = s"$work/x$mult"
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id").cast("long"), col("text"))
-    val docsIn = docs.count()
+    // LANGUAGE-PRESERVING widening for the curation chain: ScaleProbe's
+    // all-token rename is right for the dedup/similarity operators (they
+    // treat tokens as opaque) but semantically wrong for a curation
+    // rehearsal — renamed copies stop being "English" and the language
+    // gate (correctly) drops 9/10 of the corpus, measuring the gate, not
+    // the pipeline. Here copy i renames every token EXCEPT the language
+    // profiles' stopwords: detection profiles are untouched per copy,
+    // quality/repetition structure is exactly the original's (bijective
+    // rename), and cross-copy near-dup shingles need >= 3 CONSECUTIVE
+    // stopwords — so a x10 corpus still means 10x the dedup clusters.
+    val stop = graft.operators.TextAnalysis.stopwordProfiles.values.flatten.toSeq.distinct
+    val base = Tables.documents(spark, sfDir).select(col("doc_id").cast("long"), col("text"))
+    val docs = (0 until mult).map { i =>
+      if (i == 0) base
+      else base
+        .withColumn("doc_id", col("doc_id") + lit(i.toLong * 100000000L))
+        .withColumn("text", array_join(transform(split(col("text"), " "),
+          t => when(t.isin(stop: _*) || t === "", t)
+            .otherwise(concat(lit(s"c${i}_"), t))), " "))
+    }.reduce(_ unionByName _)
+    docs.write.mode("overwrite").parquet(s"$work/documents_curation.parquet")
+    val curationDocs = spark.read.parquet(s"$work/documents_curation.parquet")
+    val docsIn = curationDocs.count()
 
     // benchmark corpus for the decontamination leg: the ×1 corpus's texts
     // (every widened copy of them must flag and drop — the worst case for
@@ -98,16 +118,19 @@ object Rehearsal {
     // ---- text curation: every leg of the composed pipeline ON ----
     stage("curate_full")(
       graft.examples.TrainingDataPipeline.curate(
-        docs, benchmark = Some(bench), lineDedupFirst = true, stripSubstrings = true))
+        curationDocs, benchmark = Some(bench), lineDedupFirst = true, stripSubstrings = true))
 
     // ---- embedding hygiene at the AUTO knobs (r17 verdict #1) ----
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val nEmb = emb.count()
     val autoBands = Similarity.sizedBandBits(nEmb, dim = 64)
     val autoK = Similarity.sizedKMeansK(nEmb)
+    // tau = 0.3, the q48 gate/ladder semantics (worst case for sign-LSH,
+    // nonzero output at every mult — a 0.8 pass finds nothing on this
+    // corpus and would record only the candidate stage's cost)
     stage("embed_neardup_auto")(
       Similarity.cosineNearDupPairsLsh(
-        emb, "vec_id", "embedding", threshold = 0.8, dim = 64, bands = 32))
+        emb, "vec_id", "embedding", threshold = 0.3, dim = 64, bands = 32))
     val cents = Similarity.trainKMeans(
       emb, "vec_id", "embedding", k = Similarity.AutoK, iterations = 2, dim = 64)
     stage("semdedup_autok")(
