@@ -750,6 +750,91 @@ object Multimodal {
       }(enc)
   }
 
+  /** (media_id, is_ogg, is_opus, channels, pre_skip, n_pages,
+    * last_granule, duration_ms) from the fused Ogg page walk
+    * ([[graft.functions.OggKernel]]) — CRC-verifying, no decode: the
+    * q336 container gate (the JDK ships no Opus decoder — `OggSpec`
+    * pins the block as a dated probe, the [[mp3Info]] discipline). */
+  def oggInfo(media: DataFrame, binCol: String): DataFrame = {
+    val d = graft.functions.OggExpressions.oggInfo(col(binCol))
+    media.withColumn("__d", d)
+      .withColumn("is_ogg", element_at(col("__d"), 1) === 1L)
+      .withColumn("is_opus", when(col("is_ogg"), element_at(col("__d"), 2) === 1L))
+      .withColumn("channels", when(col("is_ogg"), element_at(col("__d"), 3)))
+      .withColumn("pre_skip", when(col("is_ogg"), element_at(col("__d"), 4)))
+      .withColumn("n_pages", when(col("is_ogg"), element_at(col("__d"), 5)))
+      .withColumn("last_granule", when(col("is_ogg"), element_at(col("__d"), 6)))
+      .withColumn("duration_ms", when(col("is_ogg"), element_at(col("__d"), 7)))
+      .drop("__d", binCol)
+  }
+
+  /** Deterministic synthetic Opus-in-Ogg streams — REAL RFC 3533/7845
+    * container bytes (BOS page with an `OpusHead` payload, then audio
+    * pages with Opus 48 kHz granule positions, every page carrying the
+    * real Ogg CRC-32), no codec needed to WRITE valid pages. Input
+    * columns: (media_id long, channels int, pre_skip int,
+    * n_audio_pages int, samples_per_page int, corrupt_crc boolean —
+    * flips one CRC byte on the LAST audio page, so the walk must stop
+    * there and neither count the page nor take its granule: the CRC
+    * check is gate-visible through n_pages/duration, not just a spec
+    * claim). Payload bytes are deterministic filler (parsers step pages
+    * by the segment table, never payload content). One `mapPartitions`,
+    * zero shuffle. */
+  def syntheticOpusOggs(ids: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(mediaSchema)
+    ids.select(col("media_id"), col("channels"), col("pre_skip"),
+        col("n_audio_pages"), col("samples_per_page"), col("corrupt_crc"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val mediaId = r.getLong(0)
+          val ch = r.getInt(1); val preSkip = r.getInt(2)
+          val pages = r.getInt(3); val spp = r.getInt(4)
+          val corrupt = r.getBoolean(5)
+          require(ch >= 1 && preSkip >= 0 && pages >= 1 && spp >= 1,
+            s"bad plant params ($ch, $preSkip, $pages, $spp)")
+          def page(headerType: Int, granule: Long, seq: Int,
+              payload: Array[Byte]): Array[Byte] = {
+            require(payload.length <= 254, "single-lacing pages only")
+            val out = new Array[Byte](28 + payload.length)
+            out(0) = 'O'; out(1) = 'g'; out(2) = 'g'; out(3) = 'S'
+            out(4) = 0; out(5) = headerType.toByte
+            var g = granule; var j = 0
+            while (j < 8) { out(6 + j) = (g & 0xff).toByte; g >>>= 8; j += 1 }
+            var s = mediaId; j = 0
+            while (j < 4) { out(14 + j) = (s & 0xff).toByte; s >>>= 8; j += 1 }
+            var q = seq; j = 0
+            while (j < 4) { out(18 + j) = (q & 0xff).toByte; q >>>= 8; j += 1 }
+            out(26) = 1; out(27) = payload.length.toByte
+            System.arraycopy(payload, 0, out, 28, payload.length)
+            val crc = graft.functions.OggKernel.pageCrc(out, 0, out.length, 22)
+            var c = crc.toLong & 0xffffffffL; j = 0
+            while (j < 4) { out(22 + j) = (c & 0xff).toByte; c >>>= 8; j += 1 }
+            out
+          }
+          val head = new Array[Byte](19)
+          "OpusHead".getBytes("US-ASCII").copyToArray(head)
+          head(8) = 1 // version
+          head(9) = ch.toByte
+          head(10) = (preSkip & 0xff).toByte; head(11) = ((preSkip >> 8) & 0xff).toByte
+          head(12) = 0x80.toByte; head(13) = 0xbb.toByte // input rate 48000 LE
+          // gain 0 (14-15), mapping family 0 (16); 17-18 stay 0 filler
+          val buf = new java.io.ByteArrayOutputStream()
+          buf.write(page(0x02, 0L, 0, head))
+          var j = 1
+          while (j <= pages) {
+            val payload = Array.tabulate[Byte](50)(k => ((mediaId + j * 13 + k) & 0xff).toByte)
+            val p = page(if (j == pages) 0x04 else 0x00,
+              preSkip.toLong + j.toLong * spp, j, payload)
+            if (corrupt && j == pages) p(22) = (p(22) ^ 0xff).toByte
+            buf.write(p)
+            j += 1
+          }
+          Row(mediaId, "audio/ogg", buf.toByteArray,
+            Row(null, null, math.max(0L, pages.toLong * spp) * 1000L / 48000L))
+        }
+      }(enc)
+  }
+
   /** The closed-form pixel generator behind [[syntheticGrayPngs]] (see its
     * scaladoc for the design): gray level of pixel `k` (row-major) for
     * `seed`, in 1..255. floorMod on the seeding step, not `%`: Java `%`

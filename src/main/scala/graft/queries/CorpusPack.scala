@@ -521,6 +521,34 @@ object CorpusPack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Ogg/Opus container leg (r17, q335's sibling): synthetic
+    // Opus-in-Ogg streams — REAL RFC 3533/7845 pages with real Ogg
+    // CRC-32s, OpusHead BOS, 48 kHz granule positions — through the
+    // CRC-VERIFYING fused page walk. Every 11th doc's LAST audio page
+    // gets a flipped CRC byte: the walk must stop there, so the CRC
+    // check is gate-visible through n_pages/last_granule/duration (a
+    // parser that skips CRC fails the hash). Every 43rd doc's bytes are
+    // corrupted wholesale and must pass flagged. The payload decode is
+    // env-blocked (no JDK Opus decoder — OggSpec pins the dated probe).
+    "q336_ogg_opus_info" -> ((s, d) => {
+      val ids = Tables.documents(s, d).select(
+        col("doc_id").as("media_id"),
+        (lit(1) + pmod(col("doc_id"), lit(2))).cast("int").as("channels"),
+        (lit(312) + pmod(col("doc_id"), lit(100))).cast("int").as("pre_skip"),
+        (lit(1) + pmod(col("doc_id"), lit(3))).cast("int").as("n_audio_pages"),
+        (lit(960) * (lit(1) + pmod(col("doc_id"), lit(4)))).cast("int").as("samples_per_page"),
+        (col("doc_id") % 11 === 0).as("corrupt_crc"))
+      val media = Multimodal.syntheticOpusOggs(ids)
+        .withColumn("content",
+          when(col("media_id") % 43 === 0, lit("NOTANOGG".getBytes("US-ASCII")))
+            .otherwise(col("content")))
+      Multimodal.oggInfo(media.select(col("media_id"), col("content")), "content")
+        .select(col("media_id").as("doc_id"), col("is_ogg"), col("is_opus"),
+          col("channels"), col("pre_skip"), col("n_pages"),
+          col("last_granule"), col("duration_ms"))
+        .orderBy(col("doc_id"))
+    }),
+
     // G.711 A-law decode end-to-end (r14) — the q284 gate for the
     // European-trunk codec: XOR-0x55 unpack, segment shift, INVERTED
     // sign convention vs µ-law; the same synthetic code stream decodes
@@ -2271,6 +2299,40 @@ object CorpusPack extends QueryPack {
              CASE WHEN doc_id % 43 <> 0
                   THEN CAST((nf * (CASE WHEN ver = 1 THEN 1152 ELSE 576 END) * 1000) // rate
                        AS BIGINT) END AS duration_ms
+      FROM f ORDER BY doc_id""",
+
+    // q336: every container field regenerated from the plant formulas;
+    // the CRC-corrupt plant (every 11th) surfaces as one fewer counted
+    // page and the PREVIOUS page's granule (or the BOS's 0 when the only
+    // audio page is the corrupt one — duration clamps at 0); Opus
+    // duration is the exact RFC 7845 form max(0, granule − preskip)·
+    // 1000 // 48000.
+    "q336_ogg_opus_info" -> """
+      WITH p AS (
+        SELECT doc_id,
+               1 + doc_id % 2 AS ch,
+               312 + doc_id % 100 AS preskip,
+               1 + doc_id % 3 AS np,
+               960 * (1 + doc_id % 4) AS spp,
+               doc_id % 11 = 0 AS bad_crc
+        FROM documents),
+      f AS (
+        SELECT doc_id, ch, preskip,
+               1 + np - CASE WHEN bad_crc THEN 1 ELSE 0 END AS n_pages,
+               CASE WHEN bad_crc THEN
+                      CASE WHEN np = 1 THEN 0 ELSE preskip + (np - 1) * spp END
+                    ELSE preskip + np * spp END AS last_granule
+        FROM p)
+      SELECT doc_id,
+             (doc_id % 43 <> 0) AS is_ogg,
+             CASE WHEN doc_id % 43 <> 0 THEN TRUE END AS is_opus,
+             CASE WHEN doc_id % 43 <> 0 THEN CAST(ch AS BIGINT) END AS channels,
+             CASE WHEN doc_id % 43 <> 0 THEN CAST(preskip AS BIGINT) END AS pre_skip,
+             CASE WHEN doc_id % 43 <> 0 THEN CAST(n_pages AS BIGINT) END AS n_pages,
+             CASE WHEN doc_id % 43 <> 0 THEN CAST(last_granule AS BIGINT) END AS last_granule,
+             CASE WHEN doc_id % 43 <> 0
+                  THEN CAST((greatest(0, last_granule - preskip) * 1000) // 48000 AS BIGINT)
+             END AS duration_ms
       FROM f ORDER BY doc_id""",
 
     // q286: output pixels are the formula sampled at src = 2·dst.
