@@ -1319,6 +1319,37 @@ object ScaleSmoke {
         cosineThreshold = 0.8, maxHamming = 7, sampleMod = 2 * mult)
     }
 
+    // r17: the audio container walks — synth + parse are both pure
+    // per-row kernels (zero shuffle until the tiny audit groupBy), so
+    // the stages must scan-scale. The Ogg stage runs the CRC check per
+    // page — the most expensive part of the walk, deliberately in the
+    // smoke's hot loop.
+    time("mp3 synth + frame walk") {
+      val ids = docs.select(col("doc_id").as("media_id"),
+        when(col("doc_id") % 7 === 0, lit(2)).otherwise(lit(1)).cast("int").as("version"),
+        (lit(1) + pmod(col("doc_id"), lit(14))).cast("int").as("bitrate_idx"),
+        pmod(col("doc_id"), lit(3)).cast("int").as("rate_idx"),
+        (lit(2) + pmod(col("doc_id"), lit(4))).cast("int").as("n_frames"),
+        (col("doc_id") % 5 === 0).as("with_id3"),
+        (col("doc_id") % 2 === 0).as("mono"))
+      val media = graft.operators.Multimodal.syntheticMp3s(ids)
+      graft.operators.Multimodal.mp3Info(
+          media.select(col("media_id"), col("content")), "content")
+        .groupBy(col("sample_rate")).agg(sum(col("duration_ms")).as("ms"))
+    }
+    time("ogg synth + crc page walk") {
+      val ids = docs.select(col("doc_id").as("media_id"),
+        (lit(1) + pmod(col("doc_id"), lit(2))).cast("int").as("channels"),
+        (lit(312) + pmod(col("doc_id"), lit(100))).cast("int").as("pre_skip"),
+        (lit(1) + pmod(col("doc_id"), lit(3))).cast("int").as("n_audio_pages"),
+        (lit(960) * (lit(1) + pmod(col("doc_id"), lit(4)))).cast("int").as("samples_per_page"),
+        (col("doc_id") % 11 === 0).as("corrupt_crc"))
+      val media = graft.operators.Multimodal.syntheticOpusOggs(ids)
+      graft.operators.Multimodal.oggInfo(
+          media.select(col("media_id"), col("content")), "content")
+        .groupBy(col("n_pages")).agg(sum(col("duration_ms")).as("ms"))
+    }
+
     spark.stop()
   }
 }
