@@ -835,6 +835,56 @@ object Multimodal {
       }(enc)
   }
 
+  /** (media_id, is_gzip, mtime, xfl, os, has_name, isize, crc_ok,
+    * n_decoded) from the fused gzip member audit
+    * ([[graft.functions.GzipKernel]]) — a REAL `Inflater` decode plus
+    * CRC32/ISIZE trailer verification per row: the format-verification
+    * scan of a compressed crawl shard (q337). Unlike the other codec
+    * legs there is NO env-blocked half — the JDK ships the whole
+    * codec. */
+  def gzipInfo(media: DataFrame, binCol: String): DataFrame = {
+    val d = graft.functions.GzipExpressions.gzipInfo(col(binCol))
+    media.withColumn("__d", d)
+      .withColumn("is_gzip", element_at(col("__d"), 1) === 1L)
+      .withColumn("mtime", when(col("is_gzip"), element_at(col("__d"), 2)))
+      .withColumn("xfl", when(col("is_gzip"), element_at(col("__d"), 3)))
+      .withColumn("os", when(col("is_gzip"), element_at(col("__d"), 4)))
+      .withColumn("has_name", when(col("is_gzip"), element_at(col("__d"), 5) === 1L))
+      .withColumn("isize", when(col("is_gzip"), element_at(col("__d"), 6)))
+      .withColumn("crc_ok", when(col("is_gzip"), element_at(col("__d"), 7) === 1L))
+      .withColumn("n_decoded", when(col("is_gzip"), element_at(col("__d"), 8)))
+      .drop("__d", binCol)
+  }
+
+  /** REAL gzip members over a text column — `Deflater` compression with
+    * explicit RFC 1952 header fields (mtime, xfl, os, optional FNAME)
+    * and the CRC32/ISIZE trailer ([[graft.functions.GzipKernel.gzip]]).
+    * `corrupt_crc` flips one byte of the stored CRC32 AFTER the member
+    * is built, so the REAL inflate still round-trips but the trailer
+    * check must report `crc_ok = false` — the tamper case made
+    * gate-visible (q337's every-11th plant). Input columns:
+    * (media_id long, text string, mtime long, xfl int, os int,
+    * fname string nullable, corrupt_crc boolean). One `mapPartitions`,
+    * zero shuffle. */
+  def gzipDocuments(ids: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(mediaSchema)
+    ids.select(col("media_id"), col("text"), col("mtime"), col("xfl"),
+        col("os"), col("fname"), col("corrupt_crc"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val payload = (if (r.isNullAt(1)) "" else r.getString(1)).getBytes("UTF-8")
+          val bytes = graft.functions.GzipKernel.gzip(
+            payload, r.getLong(2), r.getInt(3), r.getInt(4),
+            if (r.isNullAt(5)) null else r.getString(5))
+          if (r.getBoolean(6)) {
+            val at = bytes.length - 8
+            bytes(at) = (bytes(at) ^ 0xff).toByte
+          }
+          Row(r.getLong(0), "application/gzip", bytes, Row(null, null, null))
+        }
+      }(enc)
+  }
+
   /** The closed-form pixel generator behind [[syntheticGrayPngs]] (see its
     * scaladoc for the design): gray level of pixel `k` (row-major) for
     * `seed`, in 1..255. floorMod on the seeding step, not `%`: Java `%`

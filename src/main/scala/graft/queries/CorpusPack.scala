@@ -549,6 +549,34 @@ object CorpusPack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Gzip member leg (r17): the compressed-corpus ingestion scan with
+    // NO env-blocked half — the JDK ships the whole codec, so the gate
+    // covers REAL Deflater compression (explicit RFC 1952 header
+    // fields, FNAME on every 5th), the structural header walk, a REAL
+    // Inflater decode, and the CRC32/ISIZE trailer verification. Every
+    // 11th doc's stored CRC byte is flipped post-build: the inflate
+    // still round-trips (n_decoded intact) but crc_ok must read false —
+    // a parser that skips trailer verification fails the hash. Every
+    // 43rd doc's bytes are corrupted wholesale and must pass flagged.
+    "q337_gzip_info" -> ((s, d) => {
+      val ids = Tables.documents(s, d).select(
+        col("doc_id").as("media_id"), col("text"),
+        pmod(col("doc_id"), lit(100000)).cast("long").as("mtime"),
+        (pmod(col("doc_id"), lit(3)) * 2).cast("int").as("xfl"),
+        when(col("doc_id") % 2 === 0, lit(3)).otherwise(lit(255)).cast("int").as("os"),
+        when(col("doc_id") % 5 === 0, concat(lit("d"), col("doc_id"))).as("fname"),
+        (col("doc_id") % 11 === 0).as("corrupt_crc"))
+      val media = Multimodal.gzipDocuments(ids)
+        .withColumn("content",
+          when(col("media_id") % 43 === 0, lit("NOTAGZIP".getBytes("US-ASCII")))
+            .otherwise(col("content")))
+      Multimodal.gzipInfo(media.select(col("media_id"), col("content")), "content")
+        .select(col("media_id").as("doc_id"), col("is_gzip"), col("mtime"),
+          col("xfl"), col("os"), col("has_name"), col("isize"),
+          col("crc_ok"), col("n_decoded"))
+        .orderBy(col("doc_id"))
+    }),
+
     // G.711 A-law decode end-to-end (r14) — the q284 gate for the
     // European-trunk codec: XOR-0x55 unpack, segment shift, INVERTED
     // sign convention vs µ-law; the same synthetic code stream decodes
@@ -2334,6 +2362,26 @@ object CorpusPack extends QueryPack {
                   THEN CAST((greatest(0, last_granule - preskip) * 1000) // 48000 AS BIGINT)
              END AS duration_ms
       FROM f ORDER BY doc_id""",
+
+    // q337: every field regenerated from the plant formulas; the sizes
+    // come from the REAL round trip (isize/n_decoded = the text's UTF-8
+    // byte length — DuckDB's octet_length(encode(text))), and the
+    // CRC-tamper plant surfaces as crc_ok = false with the decode
+    // intact.
+    "q337_gzip_info" -> """
+      SELECT doc_id,
+             (doc_id % 43 <> 0) AS is_gzip,
+             CASE WHEN doc_id % 43 <> 0 THEN CAST(doc_id % 100000 AS BIGINT) END AS mtime,
+             CASE WHEN doc_id % 43 <> 0 THEN CAST((doc_id % 3) * 2 AS BIGINT) END AS xfl,
+             CASE WHEN doc_id % 43 <> 0
+                  THEN CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 255 END AS BIGINT) END AS os,
+             CASE WHEN doc_id % 43 <> 0 THEN doc_id % 5 = 0 END AS has_name,
+             CASE WHEN doc_id % 43 <> 0
+                  THEN CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) END AS isize,
+             CASE WHEN doc_id % 43 <> 0 THEN doc_id % 11 <> 0 END AS crc_ok,
+             CASE WHEN doc_id % 43 <> 0
+                  THEN CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) END AS n_decoded
+      FROM documents ORDER BY doc_id""",
 
     // q286: output pixels are the formula sampled at src = 2·dst.
     "q286_image_resize" -> """
