@@ -1337,6 +1337,18 @@ object ScaleSmoke {
           media.select(col("media_id"), col("content")), "content")
         .groupBy(col("sample_rate")).agg(sum(col("duration_ms")).as("ms"))
     }
+    time("gzip synth + inflate audit") {
+      val ids = docs.select(col("doc_id").as("media_id"), col("text"),
+        pmod(col("doc_id"), lit(100000)).cast("long").as("mtime"),
+        (pmod(col("doc_id"), lit(3)) * 2).cast("int").as("xfl"),
+        when(col("doc_id") % 2 === 0, lit(3)).otherwise(lit(255)).cast("int").as("os"),
+        when(col("doc_id") % 5 === 0, concat(lit("d"), col("doc_id"))).as("fname"),
+        (col("doc_id") % 11 === 0).as("corrupt_crc"))
+      val media = graft.operators.Multimodal.gzipDocuments(ids)
+      graft.operators.Multimodal.gzipInfo(
+          media.select(col("media_id"), col("content")), "content")
+        .groupBy(col("crc_ok")).agg(sum(col("n_decoded")).as("b"))
+    }
     time("ogg synth + crc page walk") {
       val ids = docs.select(col("doc_id").as("media_id"),
         (lit(1) + pmod(col("doc_id"), lit(2))).cast("int").as("channels"),
