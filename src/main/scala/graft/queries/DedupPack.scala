@@ -179,11 +179,18 @@ object DedupPack extends QueryPack {
       val media = Multimodal.syntheticGrayPngs(ids)
       val feats = Multimodal.extractImageFeatures(media, gridW = 8, gridH = 8)
         .select(col("media_id").as("vec_id"), col("features").as("embedding"))
+      // Band width from the measured §8.5 occupancy law, like every other
+      // LSH gate (r17): the vector count equals the ids count, so sizing
+      // costs one doc_id-column scan — the ImageIO decode chain never runs
+      // twice. At the gate corpora this resolves to the same 3 bits the
+      // all-pairs oracle calibration pinned (recall 1 there), so the gate
+      // output is unchanged while a 100x corpus gets the stepped width.
+      val sizedBits = Similarity.sizedBandBits(ids.count(), dim = 64)
       // centerForBuckets: luminance features are single-orthant, the case
       // where raw sign-LSH buckets collapse; verification is unchanged so
       // the all-pairs oracle still holds row for row
       Similarity.cosineNearDupPairsLsh(feats, "vec_id", "embedding",
-        threshold = 0.99, dim = 64, bandBits = 3, bands = 32,
+        threshold = 0.99, dim = 64, bandBits = sizedBits, bands = 32,
         centerForBuckets = true)
         .orderBy(col("id_a"), col("id_b"))
     }),
