@@ -885,6 +885,216 @@ object Multimodal {
       }(enc)
   }
 
+  /** (media_id, is_warc, n_members, n_records, n_response, n_request,
+    * n_metadata, n_http_ok, content_total, n_crc_bad) from the fused WARC
+    * shard walk ([[graft.functions.WarcKernel]]) — per row: the
+    * concatenated-gzip-member walk (one REAL `Inflater` decode +
+    * CRC32/ISIZE trailer verification PER MEMBER, q337's machinery) plus
+    * a WARC/1.0 record parse and HTTP status read per inflated member:
+    * the shard-manifest scan of a crawl-scale corpus (q338). */
+  def warcInfo(media: DataFrame, binCol: String): DataFrame = {
+    val d = graft.functions.WarcExpressions.warcInfo(col(binCol))
+    media.withColumn("__d", d)
+      .withColumn("is_warc", element_at(col("__d"), 1) === 1L)
+      .withColumn("n_members", when(col("is_warc"), element_at(col("__d"), 2)))
+      .withColumn("n_records", when(col("is_warc"), element_at(col("__d"), 3)))
+      .withColumn("n_response", when(col("is_warc"), element_at(col("__d"), 4)))
+      .withColumn("n_request", when(col("is_warc"), element_at(col("__d"), 5)))
+      .withColumn("n_metadata", when(col("is_warc"), element_at(col("__d"), 6)))
+      .withColumn("n_http_ok", when(col("is_warc"), element_at(col("__d"), 7)))
+      .withColumn("content_total", when(col("is_warc"), element_at(col("__d"), 8)))
+      .withColumn("n_crc_bad", when(col("is_warc"), element_at(col("__d"), 9)))
+      .drop("__d", binCol)
+  }
+
+  /** Deterministic synthetic WARC shards in the Common Crawl on-disk form
+    * — CONCATENATED GZIP MEMBERS, one WARC/1.0 record per member (ISO
+    * 28500 record-at-time compression), every member a REAL `Deflater`
+    * round trip with a REAL CRC32/ISIZE trailer
+    * ([[graft.functions.GzipKernel.gzip]]). Record `j` of `n_rec` cycles
+    * type response/request/metadata by `j % 3`; response blocks carry an
+    * HTTP message whose status line is 200 except 404 when
+    * `(media_id + j) % 6 == 0` (so the HTTP layer is gate-visible, not
+    * constant-true); block bodies are `'x' * (10 + (media_id*7 + j*13) %
+    * 90)` — every Content-Length closed-form for the SQL oracle.
+    * `corrupt_crc` flips one byte of the LAST member's stored CRC32
+    * after the member is built: the inflate still round-trips and the
+    * record still counts, but `n_crc_bad` must tick (q337's tamper
+    * discipline at the member level). Input columns: (media_id long,
+    * n_rec int, corrupt_crc boolean). One `mapPartitions`, zero
+    * shuffle. */
+  def syntheticWarcShards(ids: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(mediaSchema)
+    ids.select(col("media_id"), col("n_rec"), col("corrupt_crc"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val mediaId = r.getLong(0)
+          val nRec = r.getInt(1)
+          val corrupt = r.getBoolean(2)
+          require(nRec >= 1, s"n_rec must be >= 1, got $nRec")
+          val buf = new java.io.ByteArrayOutputStream()
+          var j = 0
+          while (j < nRec) {
+            val bodyLen = (10L + (mediaId * 7L + j * 13L) % 90L).toInt
+            val body = "x" * bodyLen
+            val (warcType, uri, payload) = (j % 3) match {
+              case 0 =>
+                val status =
+                  if ((mediaId + j) % 6 == 0) "HTTP/1.1 404 Not Found\r\n\r\n"
+                  else "HTTP/1.1 200 OK\r\n\r\n"
+                ("response", s"http://example.com/$mediaId/$j", status + body)
+              case 1 => ("request", s"http://example.com/$mediaId/$j", body)
+              case _ => ("metadata", null, body)
+            }
+            val rec = graft.functions.WarcKernel.record(
+              warcType, s"<urn:uuid:$mediaId-$j>", "2026-08-16T00:00:00Z",
+              uri, payload.getBytes("US-ASCII"))
+            val member = graft.functions.GzipKernel.gzip(
+              rec, mtime = 0L, xfl = 0, os = 255, fname = null)
+            if (corrupt && j == nRec - 1) {
+              val at = member.length - 8
+              member(at) = (member(at) ^ 0xff).toByte
+            }
+            buf.write(member)
+            j += 1
+          }
+          Row(mediaId, "application/warc", buf.toByteArray, Row(null, null, null))
+        }
+      }(enc)
+  }
+
+  /** (media_id, is_tar, n_entries, n_keys, total_size, n_txt, n_bin,
+    * n_chksum_bad) from the fused ustar shard walk
+    * ([[graft.functions.TarKernel]]) — checksum-verifying 512-byte
+    * header steps, payloads never read, WebDataset sample keys grouped
+    * by basename: the manifest scan of a training-shard corpus
+    * (q339). */
+  def tarInfo(media: DataFrame, binCol: String): DataFrame = {
+    val d = graft.functions.TarExpressions.tarInfo(col(binCol))
+    media.withColumn("__d", d)
+      .withColumn("is_tar", element_at(col("__d"), 1) === 1L)
+      .withColumn("n_entries", when(col("is_tar"), element_at(col("__d"), 2)))
+      .withColumn("n_keys", when(col("is_tar"), element_at(col("__d"), 3)))
+      .withColumn("total_size", when(col("is_tar"), element_at(col("__d"), 4)))
+      .withColumn("n_txt", when(col("is_tar"), element_at(col("__d"), 5)))
+      .withColumn("n_bin", when(col("is_tar"), element_at(col("__d"), 6)))
+      .withColumn("n_chksum_bad", when(col("is_tar"), element_at(col("__d"), 7)))
+      .drop("__d", binCol)
+  }
+
+  /** Deterministic synthetic WebDataset shards — REAL POSIX ustar bytes
+    * ([[graft.functions.TarKernel.entry]]): `n_samples` samples per
+    * shard, each sample key `s{media_id}/{k}` carrying a `.txt` file of
+    * `5 + (media_id*3 + k*7) % 60` bytes and a `.bin` file of
+    * `20 + (media_id*5 + k*11) % 100` bytes (every size closed-form for
+    * the SQL oracle), mtime `media_id % 100000`, two end-of-archive zero
+    * blocks. `corrupt_chksum` overwrites the LAST entry's stored
+    * checksum field with zeros after the shard is built: the size field
+    * stays parseable so the walk steps past it, but the entry must be
+    * excluded from every tally except `n_chksum_bad` — the tar-native
+    * tamper channel made gate-visible (the q337/q338 discipline). Input
+    * columns: (media_id long, n_samples int, corrupt_chksum boolean).
+    * One `mapPartitions`, zero shuffle. */
+  def syntheticTarShards(ids: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(mediaSchema)
+    ids.select(col("media_id"), col("n_samples"), col("corrupt_chksum"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val mediaId = r.getLong(0)
+          val nSamples = r.getInt(1)
+          val corrupt = r.getBoolean(2)
+          require(nSamples >= 1, s"n_samples must be >= 1, got $nSamples")
+          val mtime = mediaId % 100000L
+          val buf = new java.io.ByteArrayOutputStream()
+          var lastOff = 0
+          var k = 0
+          while (k < nSamples) {
+            val lt = (5L + (mediaId * 3L + k * 7L) % 60L).toInt
+            val lb = (20L + (mediaId * 5L + k * 11L) % 100L).toInt
+            buf.write(graft.functions.TarKernel.entry(
+              s"s$mediaId/$k.txt", Array.fill[Byte](lt)('x'), mtime))
+            lastOff = buf.size()
+            buf.write(graft.functions.TarKernel.entry(
+              s"s$mediaId/$k.bin", Array.fill[Byte](lb)('y'), mtime))
+            k += 1
+          }
+          buf.write(new Array[Byte](1024)) // end-of-archive
+          val bytes = buf.toByteArray
+          if (corrupt) {
+            var i = 0
+            while (i < 8) { bytes(lastOff + 148 + i) = 0; i += 1 }
+          }
+          Row(mediaId, "application/x-tar", bytes, Row(null, null, null))
+        }
+      }(enc)
+  }
+
+  /** (media_id, is_html, title, n_links, n_tags, text) from the fused
+    * HTML main-content extraction ([[graft.functions.HtmlKernel]]) — the
+    * step between the q338 WARC walk (whose `response` blocks are HTML)
+    * and every text operator downstream: markup stripped, script/style/
+    * comments and the nav/header/footer/aside BOILERPLATE containers
+    * dropped wholesale, the five predefined entities decoded, whitespace
+    * normalized; title and the link/tag tallies (link density is a
+    * classic boilerplate signal) ride along (q340). */
+  def htmlExtract(pages: DataFrame, htmlCol: String): DataFrame = {
+    val d = graft.functions.HtmlExpressions.htmlExtract(col(htmlCol))
+    pages.withColumn("__d", d)
+      .withColumn("is_html", col("__d").isNotNull)
+      .withColumn("title", col("__d.title"))
+      .withColumn("n_links", col("__d.n_links"))
+      .withColumn("n_tags", col("__d.n_tags"))
+      .withColumn("text", col("__d.text"))
+      .drop("__d", htmlCol)
+  }
+
+  /** Deterministic synthetic HTML pages around a text column — the q340
+    * plant: the document text split across two `<p>` blocks (at the
+    * first space past the midpoint, so tag-as-whitespace reassembly is
+    * the EXACT original text), `n_nav` nav links + one footer link, an
+    * entity-bearing title (`&amp;` must decode), and three traps that
+    * fail any extractor that tag-strips without region awareness — a
+    * `"<p>trap</p>"` inside a script STRING, CSS rule text inside
+    * `<style>`, and heading/anchor/footer text inside boilerplate
+    * containers. Input columns: (media_id long, text string,
+    * n_nav int); output (media_id, html). One `mapPartitions`, zero
+    * shuffle. */
+  def syntheticHtmlPages(ids: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("html", StringType, nullable = false)))
+    val enc = RowEncoder.encoderFor(schema)
+    ids.select(col("media_id"), col("text"), col("n_nav"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val text = if (r.isNullAt(1)) "" else r.getString(1)
+          val m = r.getInt(2)
+          require(m >= 1, s"n_nav must be >= 1, got $m")
+          val mid = text.length / 2
+          val sp = text.indexOf(' ', mid)
+          val (a, b) =
+            if (sp < 0) (text, "")
+            else (text.substring(0, sp), text.substring(sp + 1))
+          val nav = (0 until m).map(j => s"""<a href="/n/$j">n$j</a>""").mkString
+          val html =
+            s"""<!DOCTYPE html>
+               |<html><head><title>doc $id &amp; co</title>
+               |<style>body { color: #000; }</style>
+               |<script>var x = "<p>trap</p>";</script>
+               |</head>
+               |<body>
+               |<nav>$nav</nav>
+               |<header><h1>site $id</h1></header>
+               |<p>$a</p><div><p>$b</p></div>
+               |<aside>sponsored trap</aside>
+               |<footer>&copy; 2026 <a href="/tos">terms</a></footer>
+               |</body></html>""".stripMargin
+          Row(id, html)
+        }
+      }(enc)
+  }
+
   /** The closed-form pixel generator behind [[syntheticGrayPngs]] (see its
     * scaladoc for the design): gray level of pixel `k` (row-major) for
     * `seed`, in 1..255. floorMod on the seeding step, not `%`: Java `%`

@@ -577,6 +577,88 @@ object CorpusPack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // WARC shard leg (r17, the crawl-ingestion capstone): synthetic
+    // web-archive shards in the COMMON CRAWL on-disk form — concatenated
+    // gzip members, one WARC/1.0 record per member, every member a REAL
+    // Deflater round trip with a REAL CRC32/ISIZE trailer — through the
+    // fused member walk + record parse + HTTP status read. The oracle
+    // regenerates every count and Content-Length closed-form from the
+    // plant formulas, so a wrong member step, header skip, version line,
+    // Content-Length frame, type tally, or status read fails the hash.
+    // Every 11th doc's LAST member gets a flipped stored-CRC byte: the
+    // record still counts but n_crc_bad must tick (trailer verification
+    // is gate-visible, q337's discipline). Every 43rd doc's bytes are
+    // corrupted wholesale and must pass flagged.
+    "q338_warc_info" -> ((s, d) => {
+      val ids = Tables.documents(s, d).select(
+        col("doc_id").as("media_id"),
+        (lit(1) + pmod(col("doc_id"), lit(4))).cast("int").as("n_rec"),
+        (col("doc_id") % 11 === 0).as("corrupt_crc"))
+      val media = Multimodal.syntheticWarcShards(ids)
+        .withColumn("content",
+          when(col("media_id") % 43 === 0, lit("NOTAWARC".getBytes("US-ASCII")))
+            .otherwise(col("content")))
+      Multimodal.warcInfo(media.select(col("media_id"), col("content")), "content")
+        .select(col("media_id").as("doc_id"), col("is_warc"), col("n_members"),
+          col("n_records"), col("n_response"), col("n_request"),
+          col("n_metadata"), col("n_http_ok"), col("content_total"),
+          col("n_crc_bad"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // WebDataset tar-shard leg (r17, q338's sibling on the OUTPUT side
+    // of the pipeline): synthetic training shards — REAL POSIX ustar
+    // bytes, one .txt + one .bin file per sample key — through the fused
+    // checksum-verifying header walk. The oracle regenerates every
+    // count and size closed-form from the plant formulas, so a wrong
+    // 512-block step, octal parse, checksum sum, key grouping, or
+    // extension tally fails the hash. Every 11th doc's LAST entry gets
+    // its stored checksum field zeroed: the walk must step past it but
+    // exclude it from every tally except n_chksum_bad (that entry is a
+    // .bin, so n_bin/total_size/n_entries all shift — the exclusion is
+    // hash-visible, not just the counter). Every 43rd doc's bytes are
+    // corrupted wholesale and must pass flagged.
+    "q339_tar_shard_info" -> ((s, d) => {
+      val ids = Tables.documents(s, d).select(
+        col("doc_id").as("media_id"),
+        (lit(1) + pmod(col("doc_id"), lit(3))).cast("int").as("n_samples"),
+        (col("doc_id") % 11 === 0).as("corrupt_chksum"))
+      val media = Multimodal.syntheticTarShards(ids)
+        .withColumn("content",
+          when(col("media_id") % 43 === 0, lit("NOTATAR!".getBytes("US-ASCII")))
+            .otherwise(col("content")))
+      Multimodal.tarInfo(media.select(col("media_id"), col("content")), "content")
+        .select(col("media_id").as("doc_id"), col("is_tar"), col("n_entries"),
+          col("n_keys"), col("total_size"), col("n_txt"), col("n_bin"),
+          col("n_chksum_bad"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // HTML main-content extraction (r17, the step between q338's WARC
+    // walk and the text pipeline): synthetic pages wrap each document's
+    // text in real markup with three planted traps — a "<p>trap</p>"
+    // inside a script STRING, CSS text inside <style>, and heading/
+    // anchor/footer text inside boilerplate containers — plus an
+    // entity-bearing title. The fused state machine must return the
+    // EXACT original text (hash-compared against the documents table),
+    // the decoded title, and the closed-form link/tag tallies; any
+    // region-unaware tag-stripper leaks a trap and fails the hash.
+    // Every 43rd doc's page is replaced by markup-free text and must
+    // pass flagged (no doctype -> not HTML).
+    "q340_html_extract" -> ((s, d) => {
+      val ids = Tables.documents(s, d).select(
+        col("doc_id").as("media_id"), col("text"),
+        (lit(1) + pmod(col("doc_id"), lit(5))).cast("int").as("n_nav"))
+      val pages = Multimodal.syntheticHtmlPages(ids)
+        .withColumn("html",
+          when(col("media_id") % 43 === 0, lit("no markup here at all"))
+            .otherwise(col("html")))
+      Multimodal.htmlExtract(pages, "html")
+        .select(col("media_id").as("doc_id"), col("is_html"), col("title"),
+          col("n_links"), col("n_tags"), col("text"))
+        .orderBy(col("doc_id"))
+    }),
+
     // G.711 A-law decode end-to-end (r14) — the q284 gate for the
     // European-trunk codec: XOR-0x55 unpack, segment shift, INVERTED
     // sign convention vs µ-law; the same synthetic code stream decodes
@@ -2381,6 +2463,106 @@ object CorpusPack extends QueryPack {
              CASE WHEN doc_id % 43 <> 0 THEN doc_id % 11 <> 0 END AS crc_ok,
              CASE WHEN doc_id % 43 <> 0
                   THEN CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) END AS n_decoded
+      FROM documents ORDER BY doc_id""",
+
+    // q338: every count and Content-Length regenerated closed-form from
+    // the plant formulas (record j of 1 + doc_id % 4 cycles type by
+    // j % 3; body 'x'·(10 + (doc_id·7 + j·13) % 90); response blocks
+    // prepend a 19-byte 200 or 26-byte 404 HTTP status frame by
+    // (doc_id + j) % 6); the CRC-tamper plant (every 11th, last member)
+    // surfaces ONLY in n_crc_bad — counts and totals must hold through
+    // it.
+    "q338_warc_info" -> """
+      WITH p AS (
+        SELECT doc_id, 1 + doc_id % 4 AS n_rec FROM documents),
+      r AS (
+        SELECT doc_id, n_rec, unnest(generate_series(0, n_rec - 1)) AS j
+        FROM p),
+      f AS (
+        SELECT doc_id, n_rec, j, j % 3 AS ty,
+               10 + (doc_id*7 + j*13) % 90 AS body_len,
+               (j % 3 = 0 AND (doc_id + j) % 6 <> 0) AS http_ok,
+               CASE WHEN j % 3 = 0
+                    THEN CASE WHEN (doc_id + j) % 6 = 0 THEN 26 ELSE 19 END
+                    ELSE 0 END AS prefix_len
+        FROM r),
+      agg AS (
+        SELECT doc_id, max(n_rec) AS n_rec, count(*) AS n_records,
+               sum(CASE WHEN ty = 0 THEN 1 ELSE 0 END) AS n_response,
+               sum(CASE WHEN ty = 1 THEN 1 ELSE 0 END) AS n_request,
+               sum(CASE WHEN ty = 2 THEN 1 ELSE 0 END) AS n_metadata,
+               sum(CASE WHEN http_ok THEN 1 ELSE 0 END) AS n_http_ok,
+               sum(body_len + prefix_len) AS content_total
+        FROM f GROUP BY doc_id)
+      SELECT doc_id,
+             (doc_id % 43 <> 0) AS is_warc,
+             CASE WHEN doc_id % 43 <> 0 THEN CAST(n_rec AS BIGINT) END AS n_members,
+             CASE WHEN doc_id % 43 <> 0 THEN CAST(n_records AS BIGINT) END AS n_records,
+             CASE WHEN doc_id % 43 <> 0 THEN CAST(n_response AS BIGINT) END AS n_response,
+             CASE WHEN doc_id % 43 <> 0 THEN CAST(n_request AS BIGINT) END AS n_request,
+             CASE WHEN doc_id % 43 <> 0 THEN CAST(n_metadata AS BIGINT) END AS n_metadata,
+             CASE WHEN doc_id % 43 <> 0 THEN CAST(n_http_ok AS BIGINT) END AS n_http_ok,
+             CASE WHEN doc_id % 43 <> 0 THEN CAST(content_total AS BIGINT) END AS content_total,
+             CASE WHEN doc_id % 43 <> 0
+                  THEN CAST(CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END AS BIGINT)
+             END AS n_crc_bad
+      FROM agg ORDER BY doc_id""",
+
+    // q339: every count and size regenerated closed-form from the plant
+    // formulas (sample k of 1 + doc_id % 3 carries a .txt of
+    // 5 + (doc_id·3 + k·7) % 60 bytes and a .bin of
+    // 20 + (doc_id·5 + k·11) % 100 bytes); the checksum-tamper plant
+    // (every 11th, last entry = the last sample's .bin) drops that entry
+    // from n_entries/n_bin/total_size while its key survives via the
+    // sibling .txt — the exclusion semantics are hash-visible.
+    "q339_tar_shard_info" -> """
+      WITH p AS (
+        SELECT doc_id, 1 + doc_id % 3 AS ns, doc_id % 11 = 0 AS bad
+        FROM documents),
+      r AS (
+        SELECT doc_id, ns, bad, unnest(generate_series(0, ns - 1)) AS k
+        FROM p),
+      f AS (
+        SELECT doc_id, ns, k,
+               5 + (doc_id*3 + k*7) % 60 AS lt,
+               20 + (doc_id*5 + k*11) % 100 AS lb,
+               (bad AND k = ns - 1) AS drop_bin
+        FROM r),
+      agg AS (
+        SELECT doc_id, max(ns) AS ns,
+               sum(2 - CASE WHEN drop_bin THEN 1 ELSE 0 END) AS n_entries,
+               sum(lt + CASE WHEN drop_bin THEN 0 ELSE lb END) AS total_size,
+               count(*) AS n_txt,
+               sum(CASE WHEN drop_bin THEN 0 ELSE 1 END) AS n_bin
+        FROM f GROUP BY doc_id)
+      SELECT doc_id,
+             (doc_id % 43 <> 0) AS is_tar,
+             CASE WHEN doc_id % 43 <> 0 THEN CAST(n_entries AS BIGINT) END AS n_entries,
+             CASE WHEN doc_id % 43 <> 0 THEN CAST(ns AS BIGINT) END AS n_keys,
+             CASE WHEN doc_id % 43 <> 0 THEN CAST(total_size AS BIGINT) END AS total_size,
+             CASE WHEN doc_id % 43 <> 0 THEN CAST(n_txt AS BIGINT) END AS n_txt,
+             CASE WHEN doc_id % 43 <> 0 THEN CAST(n_bin AS BIGINT) END AS n_bin,
+             CASE WHEN doc_id % 43 <> 0
+                  THEN CAST(CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END AS BIGINT)
+             END AS n_chksum_bad
+      FROM agg ORDER BY doc_id""",
+
+    // q340: title and tallies regenerated closed-form (nav links
+    // m = 1 + doc_id % 5, plus the footer link; 30 fixed element tags +
+    // 2 per nav link); the extracted text must equal the document text
+    // EXACTLY — the oracle just reads the source column, so any trap
+    // leak (script string, style rule, boilerplate heading), entity
+    // miss, or whitespace drift fails the hash.
+    "q340_html_extract" -> """
+      SELECT doc_id,
+             (doc_id % 43 <> 0) AS is_html,
+             CASE WHEN doc_id % 43 <> 0
+                  THEN 'doc ' || doc_id || ' & co' END AS title,
+             CASE WHEN doc_id % 43 <> 0
+                  THEN CAST(2 + doc_id % 5 AS INTEGER) END AS n_links,
+             CASE WHEN doc_id % 43 <> 0
+                  THEN CAST(30 + 2 * (1 + doc_id % 5) AS INTEGER) END AS n_tags,
+             CASE WHEN doc_id % 43 <> 0 THEN coalesce(text, '') END AS text
       FROM documents ORDER BY doc_id""",
 
     // q286: output pixels are the formula sampled at src = 2·dst.

@@ -1361,6 +1361,24 @@ object ScaleSmoke {
           media.select(col("media_id"), col("content")), "content")
         .groupBy(col("n_pages")).agg(sum(col("duration_ms")).as("ms"))
     }
+    time("warc synth + member walk") {
+      val ids = docs.select(col("doc_id").as("media_id"),
+        (lit(1) + pmod(col("doc_id"), lit(4))).cast("int").as("n_rec"),
+        (col("doc_id") % 11 === 0).as("corrupt_crc"))
+      val media = graft.operators.Multimodal.syntheticWarcShards(ids)
+      graft.operators.Multimodal.warcInfo(
+          media.select(col("media_id"), col("content")), "content")
+        .groupBy(col("n_crc_bad")).agg(sum(col("content_total")).as("b"))
+    }
+    time("tar synth + header walk") {
+      val ids = docs.select(col("doc_id").as("media_id"),
+        (lit(1) + pmod(col("doc_id"), lit(3))).cast("int").as("n_samples"),
+        (col("doc_id") % 11 === 0).as("corrupt_chksum"))
+      val media = graft.operators.Multimodal.syntheticTarShards(ids)
+      graft.operators.Multimodal.tarInfo(
+          media.select(col("media_id"), col("content")), "content")
+        .groupBy(col("n_chksum_bad")).agg(sum(col("total_size")).as("b"))
+    }
 
     spark.stop()
   }

@@ -1,0 +1,112 @@
+package graft.operators
+
+import graft.TestSpark
+import graft.functions.{GzipKernel, WarcKernel}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The WARC shard leg (q338): pins the halves the SQL oracle cannot see —
+  * real-consumer parity (the JDK's `GZIPInputStream` natively reads
+  * concatenated members, so it must reproduce the concatenated record
+  * bytes of our shards), the record-frame edge cases (Content-Length
+  * mismatch, missing headers, a member holding a non-record), and the
+  * degrade taxonomy at the member-walk level. */
+class WarcSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def member(payload: Array[Byte]): Array[Byte] =
+    GzipKernel.gzip(payload, mtime = 0L, xfl = 0, os = 255, fname = null)
+
+  private def shard(records: Array[Byte]*): Array[Byte] =
+    records.map(member).reduce(_ ++ _)
+
+  test("walk: three-type shard counts members, records, types, HTTP status, lengths") {
+    val resp = WarcKernel.record("response", "<urn:uuid:1-0>",
+      "2026-08-16T00:00:00Z", "http://example.com/1/0",
+      "HTTP/1.1 200 OK\r\n\r\nbody!".getBytes("US-ASCII"))
+    val req = WarcKernel.record("request", "<urn:uuid:1-1>",
+      "2026-08-16T00:00:00Z", "http://example.com/1/1",
+      "GET / HTTP/1.1".getBytes("US-ASCII"))
+    val meta = WarcKernel.record("metadata", "<urn:uuid:1-2>",
+      "2026-08-16T00:00:00Z", null, "k: v".getBytes("US-ASCII"))
+    // [is_warc, n_members, n_records, n_response, n_request, n_metadata,
+    //  n_http_ok, content_total, n_crc_bad]
+    assert(WarcKernel.info(shard(resp, req, meta)).toSeq ==
+      Seq(1L, 3L, 3L, 1L, 1L, 1L, 1L, (24 + 14 + 4).toLong, 0L))
+    // 404 responses count as records but not http-ok
+    val notFound = WarcKernel.record("response", "<urn:uuid:2-0>",
+      "2026-08-16T00:00:00Z", "http://example.com/2/0",
+      "HTTP/1.1 404 Not Found\r\n\r\n".getBytes("US-ASCII"))
+    assert(WarcKernel.info(shard(notFound)).toSeq ==
+      Seq(1L, 1L, 1L, 1L, 0L, 0L, 0L, 26L, 0L))
+  }
+
+  test("JDK GZIPInputStream parity: the shard is a valid multi-member stream") {
+    val r0 = WarcKernel.record("metadata", "<urn:uuid:3-0>",
+      "2026-08-16T00:00:00Z", null, "aa".getBytes("US-ASCII"))
+    val r1 = WarcKernel.record("metadata", "<urn:uuid:3-1>",
+      "2026-08-16T00:00:00Z", null, "bb".getBytes("US-ASCII"))
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(shard(r0, r1)))
+    // the JDK reader concatenates successive members' payloads
+    assert(in.readAllBytes().toSeq == (r0 ++ r1).toSeq)
+  }
+
+  test("record-frame edges: bad version, bad Content-Length frame, non-record member") {
+    val good = WarcKernel.record("metadata", "<urn:uuid:4-0>",
+      "2026-08-16T00:00:00Z", null, "zz".getBytes("US-ASCII"))
+    // a member that inflates to a non-record counts in n_members only;
+    // is_warc holds because another member carries a valid record
+    val s = shard(good, "just some text, no WARC here\r\n\r\n".getBytes("US-ASCII"))
+    assert(WarcKernel.info(s).toSeq == Seq(1L, 2L, 1L, 0L, 0L, 1L, 0L, 2L, 0L))
+    // a shard with NO valid record is not a WARC shard
+    assert(WarcKernel.info(shard("nope\r\n\r\n".getBytes)).head == 0L)
+    // Content-Length lying about the block size invalidates the record
+    val lying = new String(good, "US-ASCII").replace("Content-Length: 2",
+      "Content-Length: 3").getBytes("US-ASCII")
+    assert(WarcKernel.info(shard(good, lying)).toSeq.take(3) == Seq(1L, 2L, 1L))
+    // WARC/0.9 version line invalidates
+    val oldVer = new String(good, "US-ASCII").replace("WARC/1.0", "WARC/0.9")
+      .getBytes("US-ASCII")
+    assert(WarcKernel.info(shard(oldVer)).head == 0L)
+  }
+
+  test("degrade taxonomy: member CRC tamper ticks n_crc_bad; structural damage fails") {
+    val rec = WarcKernel.record("metadata", "<urn:uuid:5-0>",
+      "2026-08-16T00:00:00Z", null, "payload".getBytes("US-ASCII"))
+    val m0 = member(rec); val m1 = member(rec)
+    // tamper the SECOND member's stored CRC: record still counts, crc ticks
+    m1(m1.length - 8) = (m1(m1.length - 8) ^ 0xff).toByte
+    assert(WarcKernel.info(m0 ++ m1).toSeq ==
+      Seq(1L, 2L, 2L, 0L, 0L, 2L, 0L, 14L, 1L))
+    // truncated second member: the whole row fails (cannot trust counts)
+    assert(WarcKernel.info((m0 ++ m1).dropRight(3)).head == 0L)
+    // garbage between members: fails at the member boundary
+    assert(WarcKernel.info(m0 ++ "XX".getBytes ++ m1).head == 0L)
+    assert(WarcKernel.info("NOTAWARC".getBytes).head == 0L)
+    assert(WarcKernel.info(null).head == 0L)
+  }
+
+  test("DataFrame chain: syntheticWarcShards -> warcInfo round-trips the plants") {
+    val ids = Seq((7L, 4, false), (11L, 3, true))
+      .toDF("media_id", "n_rec", "corrupt_crc")
+    val got = Multimodal.warcInfo(
+        Multimodal.syntheticWarcShards(ids).select(col("media_id"), col("content")),
+        "content")
+      .orderBy("media_id").collect()
+    // media 7: j=0 response(L=10+(49)%90=59, (7+0)%6=1 -> 200, +19),
+    //          j=1 request(L=10+(49+13)%90=72), j=2 metadata(L=10+75%90=85),
+    //          j=3 response(L=10+88%90=98, (7+3)%6=4 -> 200, +19)
+    val r7 = got(0)
+    assert(r7.getBoolean(1) && r7.getLong(2) == 4L && r7.getLong(3) == 4L)
+    assert(r7.getLong(4) == 2L && r7.getLong(5) == 1L && r7.getLong(6) == 1L)
+    assert(r7.getLong(7) == 2L)
+    assert(r7.getLong(8) == (59 + 19 + 72 + 85 + 98 + 19).toLong)
+    assert(r7.getLong(9) == 0L)
+    // media 11: corrupt_crc plants exactly one bad trailer, counts intact
+    val r11 = got(1)
+    assert(r11.getBoolean(1) && r11.getLong(2) == 3L && r11.getLong(3) == 3L &&
+      r11.getLong(9) == 1L)
+  }
+}
