@@ -187,6 +187,81 @@ object WarcKernel {
     if (nRecords < 1) return fail
     Array(1L, nMembers, nRecords, nResp, nReq, nMeta, nHttpOk, contentTotal, nCrcBad)
   }
+
+  /** The PAYLOAD sibling of [[info]] — the extraction step a crawl
+    * pipeline actually runs: walk the members and return the HTTP BODY of
+    * the first `response` record whose status line reads `HTTP/1.1 200`
+    * (the bytes after the HTTP message's first CRLF CRLF, decoded UTF-8),
+    * or null when no such record exists or the walk breaks structurally.
+    * Skipping non-200 responses is the real-pipeline rule — error pages
+    * are well-formed HTML and would otherwise flow straight into the
+    * corpus (q341 plants exactly that trap). Early-exits at the first
+    * hit, so the common case inflates one or two members, not the
+    * shard. */
+  def firstOkHtmlBody(bytes: Array[Byte]): String = {
+    if (bytes == null || bytes.length < 20) return null
+    var pos = 0
+    try {
+      while (pos < bytes.length) {
+        if (pos + 18 > bytes.length) return null
+        if ((bytes(pos) & 0xff) != 0x1f || (bytes(pos + 1) & 0xff) != 0x8b ||
+          (bytes(pos + 2) & 0xff) != 8) return null
+        val flg = bytes(pos + 3) & 0xff
+        var i = pos + 10
+        if ((flg & 0x04) != 0) {
+          if (i + 2 > bytes.length) return null
+          i += 2 + ((bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8))
+        }
+        if ((flg & 0x08) != 0) { while (bytes(i) != 0) i += 1; i += 1 }
+        if ((flg & 0x10) != 0) { while (bytes(i) != 0) i += 1; i += 1 }
+        if ((flg & 0x02) != 0) i += 2
+        if (i + 8 > bytes.length) return null
+        val inflater = new java.util.zip.Inflater(true)
+        val rec =
+          try {
+            inflater.setInput(bytes, i, bytes.length - i)
+            val out = new java.io.ByteArrayOutputStream()
+            val buf = new Array[Byte](4096)
+            while (!inflater.finished()) {
+              val k = inflater.inflate(buf)
+              if (k == 0 && !inflater.finished()) return null
+              out.write(buf, 0, k)
+            }
+            val consumed = (bytes.length - i) - inflater.getRemaining
+            if (i + consumed + 8 > bytes.length) return null
+            pos = i + consumed + 8
+            out.toByteArray
+          } finally inflater.end()
+        val body = okHtmlBodyOf(rec)
+        if (body != null) return body
+      }
+      null
+    } catch {
+      case _: java.util.zip.DataFormatException => null
+      case _: ArrayIndexOutOfBoundsException => null
+    }
+  }
+
+  /** The 200-response body of one record's bytes, or null: a valid
+    * WARC/1.0 `response` record whose Content-Length-framed block opens
+    * with an `HTTP/1.1 200` status line — returns the block bytes after
+    * the HTTP header section's CRLF CRLF. */
+  private def okHtmlBodyOf(b: Array[Byte]): String = {
+    val r = parseRecord(b)
+    if (r(0) != 1L || r(1) != 1L || r(4) != 1L) return null // valid response, 200
+    // re-locate the block: headers end at the first CRLF CRLF of the record
+    var i = 0
+    while (i + 3 < b.length &&
+      !(b(i) == '\r' && b(i + 1) == '\n' && b(i + 2) == '\r' && b(i + 3) == '\n')) i += 1
+    val blockStart = i + 4
+    val blockEnd = b.length - 4 // the record's closing CRLF CRLF
+    // HTTP body: after the message's own header/body separator
+    var j = blockStart
+    while (j + 3 < blockEnd &&
+      !(b(j) == '\r' && b(j + 1) == '\n' && b(j + 2) == '\r' && b(j + 3) == '\n')) j += 1
+    if (j + 3 >= blockEnd) return null // no separator: header-only message
+    new String(b, j + 4, blockEnd - (j + 4), "UTF-8")
+  }
 }
 
 /** Fused WARC shard audit: binary → array<long> `[is_warc, n_members,
@@ -217,10 +292,46 @@ case class WarcInfoExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Fused WARC payload extraction: binary → string — the HTTP body of the
+  * first 200-status `response` record (null when none): the
+  * shard-to-document step of crawl ingestion, one early-exiting member
+  * walk per row inside WholeStageCodegen, zero shuffle. */
+case class WarcBodyExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_warc_body requires a binary argument, got ${t.sql}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_warc_body"
+
+  override def nullSafeEval(b: Any): Any = {
+    val s = WarcKernel.firstOkHtmlBody(b.asInstanceOf[Array[Byte]])
+    if (s == null) null else org.apache.spark.unsafe.types.UTF8String.fromString(s)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b =>
+      s"""java.lang.String ${ev.value}Str = graft.functions.WarcKernel.firstOkHtmlBody($b);
+         |${ev.isNull} = ${ev.value}Str == null;
+         |${ev.value} = ${ev.isNull} ? null
+         |  : org.apache.spark.unsafe.types.UTF8String.fromString(${ev.value}Str);""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object WarcExpressions {
   /** array<long> [is_warc, n_members, n_records, n_response, n_request,
     * n_metadata, n_http_ok, content_total, n_crc_bad] of a binary
     * column holding a record-at-time-gzipped WARC shard. */
   def warcInfo(bin: Column): Column =
     GraftShims.column(WarcInfoExpr(GraftShims.expression(bin)))
+
+  /** string: the HTTP body of the shard's first 200-status response
+    * record; null when the shard has none or cannot be walked. */
+  def warcBody(bin: Column): Column =
+    GraftShims.column(WarcBodyExpr(GraftShims.expression(bin)))
 }

@@ -1070,27 +1070,86 @@ object Multimodal {
           val id = r.getLong(0)
           val text = if (r.isNullAt(1)) "" else r.getString(1)
           val m = r.getInt(2)
-          require(m >= 1, s"n_nav must be >= 1, got $m")
-          val mid = text.length / 2
-          val sp = text.indexOf(' ', mid)
-          val (a, b) =
-            if (sp < 0) (text, "")
-            else (text.substring(0, sp), text.substring(sp + 1))
-          val nav = (0 until m).map(j => s"""<a href="/n/$j">n$j</a>""").mkString
-          val html =
-            s"""<!DOCTYPE html>
-               |<html><head><title>doc $id &amp; co</title>
-               |<style>body { color: #000; }</style>
-               |<script>var x = "<p>trap</p>";</script>
-               |</head>
-               |<body>
-               |<nav>$nav</nav>
-               |<header><h1>site $id</h1></header>
-               |<p>$a</p><div><p>$b</p></div>
-               |<aside>sponsored trap</aside>
-               |<footer>&copy; 2026 <a href="/tos">terms</a></footer>
-               |</body></html>""".stripMargin
-          Row(id, html)
+          Row(id, synthHtml(id, text, m))
+        }
+      }(enc)
+  }
+
+  /** The q340/q341 page builder (see [[syntheticHtmlPages]] for the trap
+    * design): 30 fixed element tags + 2 per nav link, `n_nav` + 1 links,
+    * the text split at the first space past the midpoint so
+    * tag-as-whitespace reassembly is exact. */
+  private[operators] def synthHtml(id: Long, text: String, m: Int): String = {
+    require(m >= 1, s"n_nav must be >= 1, got $m")
+    val mid = text.length / 2
+    val sp = text.indexOf(' ', mid)
+    val (a, b) =
+      if (sp < 0) (text, "")
+      else (text.substring(0, sp), text.substring(sp + 1))
+    val nav = (0 until m).map(j => s"""<a href="/n/$j">n$j</a>""").mkString
+    s"""<!DOCTYPE html>
+       |<html><head><title>doc $id &amp; co</title>
+       |<style>body { color: #000; }</style>
+       |<script>var x = "<p>trap</p>";</script>
+       |</head>
+       |<body>
+       |<nav>$nav</nav>
+       |<header><h1>site $id</h1></header>
+       |<p>$a</p><div><p>$b</p></div>
+       |<aside>sponsored trap</aside>
+       |<footer>&copy; 2026 <a href="/tos">terms</a></footer>
+       |</body></html>""".stripMargin
+  }
+
+  /** (media_id, html nullable) — the HTTP body of each shard's first
+    * 200-status `response` record ([[graft.functions.WarcKernel
+    * .firstOkHtmlBody]]): the shard-to-document extraction step between
+    * [[warcInfo]]'s audit and [[htmlExtract]]'s text (q341 chains all
+    * three). Early-exits at the first hit per shard. */
+  def warcResponseBody(media: DataFrame, binCol: String): DataFrame =
+    media.withColumn("html", graft.functions.WarcExpressions.warcBody(col(binCol)))
+      .drop(binCol)
+
+  /** Synthetic WARC shards whose response bodies are REAL HTML pages —
+    * the q341 end-to-end plant: per shard a `request` record (filler), on
+    * every 7th shard a 404 `response` whose body is a WELL-FORMED error
+    * page (the real-pipeline trap: a kernel that takes the first response
+    * regardless of status extracts "not found" instead of the document —
+    * hash-visible on every 7th row), then the 200 `response` whose body
+    * is [[synthHtml]] over the document text, then a `metadata` record.
+    * Same member form as [[syntheticWarcShards]] (record-at-time gzip,
+    * real trailers). Input columns: (media_id long, text string,
+    * n_nav int). */
+  def syntheticWarcHtmlShards(ids: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(mediaSchema)
+    ids.select(col("media_id"), col("text"), col("n_nav"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val text = if (r.isNullAt(1)) "" else r.getString(1)
+          val m = r.getInt(2)
+          val date = "2026-08-16T00:00:00Z"
+          def member(rec: Array[Byte]): Array[Byte] =
+            graft.functions.GzipKernel.gzip(rec, mtime = 0L, xfl = 0, os = 255, fname = null)
+          val buf = new java.io.ByteArrayOutputStream()
+          buf.write(member(graft.functions.WarcKernel.record(
+            "request", s"<urn:uuid:$id-req>", date, s"http://example.com/$id",
+            s"GET /$id HTTP/1.1\r\nHost: example.com\r\n\r\n".getBytes("US-ASCII"))))
+          if (id % 7 == 0) {
+            val errHtml = "<!DOCTYPE html>\n<html><body><p>not found</p></body></html>"
+            buf.write(member(graft.functions.WarcKernel.record(
+              "response", s"<urn:uuid:$id-404>", date, s"http://example.com/$id",
+              ("HTTP/1.1 404 Not Found\r\nContent-Type: text/html\r\n\r\n" + errHtml)
+                .getBytes("UTF-8"))))
+          }
+          buf.write(member(graft.functions.WarcKernel.record(
+            "response", s"<urn:uuid:$id-ok>", date, s"http://example.com/$id",
+            ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + synthHtml(id, text, m))
+              .getBytes("UTF-8"))))
+          buf.write(member(graft.functions.WarcKernel.record(
+            "metadata", s"<urn:uuid:$id-meta>", date, null,
+            "fetchTimeMs: 12".getBytes("US-ASCII"))))
+          Row(id, "application/warc", buf.toByteArray, Row(null, null, null))
         }
       }(enc)
   }

@@ -659,6 +659,33 @@ object CorpusPack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // The crawl-ingestion CAPSTONE (r17): the full shard-to-text path a
+    // real pipeline runs, end to end through three fused kernels —
+    // record-at-time gzip members (REAL inflate + trailer), WARC record
+    // walk picking the first 200-status response (every 7th shard plants
+    // a WELL-FORMED 404 error page FIRST: a kernel that grabs the first
+    // response regardless of status extracts "not found" and fails the
+    // hash on those rows), HTTP body split, then region-aware HTML
+    // extraction. The recovered text must equal the source document text
+    // EXACTLY — the oracle reads the documents table; every byte
+    // traversed bytes -> gzip -> WARC -> HTTP -> HTML -> text. Every
+    // 43rd doc's shard is corrupted wholesale and must pass flagged.
+    "q341_warc_html_text" -> ((s, d) => {
+      val ids = Tables.documents(s, d).select(
+        col("doc_id").as("media_id"), col("text"),
+        (lit(1) + pmod(col("doc_id"), lit(5))).cast("int").as("n_nav"))
+      val media = Multimodal.syntheticWarcHtmlShards(ids)
+        .withColumn("content",
+          when(col("media_id") % 43 === 0, lit("NOTAWARC".getBytes("US-ASCII")))
+            .otherwise(col("content")))
+      val body = Multimodal.warcResponseBody(
+        media.select(col("media_id"), col("content")), "content")
+      Multimodal.htmlExtract(body.select(col("media_id"), col("html")), "html")
+        .select(col("media_id").as("doc_id"), col("is_html").as("extracted"),
+          col("title"), col("n_links"), col("n_tags"), col("text"))
+        .orderBy(col("doc_id"))
+    }),
+
     // G.711 A-law decode end-to-end (r14) — the q284 gate for the
     // European-trunk codec: XOR-0x55 unpack, segment shift, INVERTED
     // sign convention vs µ-law; the same synthetic code stream decodes
@@ -2556,6 +2583,21 @@ object CorpusPack extends QueryPack {
     "q340_html_extract" -> """
       SELECT doc_id,
              (doc_id % 43 <> 0) AS is_html,
+             CASE WHEN doc_id % 43 <> 0
+                  THEN 'doc ' || doc_id || ' & co' END AS title,
+             CASE WHEN doc_id % 43 <> 0
+                  THEN CAST(2 + doc_id % 5 AS INTEGER) END AS n_links,
+             CASE WHEN doc_id % 43 <> 0
+                  THEN CAST(30 + 2 * (1 + doc_id % 5) AS INTEGER) END AS n_tags,
+             CASE WHEN doc_id % 43 <> 0 THEN coalesce(text, '') END AS text
+      FROM documents ORDER BY doc_id""",
+
+    // q341: q340's closed forms, recovered through the whole shard path
+    // — the oracle reads the source table directly, so the gate is
+    // byte-exact text recovery through gzip -> WARC -> HTTP -> HTML.
+    "q341_warc_html_text" -> """
+      SELECT doc_id,
+             (doc_id % 43 <> 0) AS extracted,
              CASE WHEN doc_id % 43 <> 0
                   THEN 'doc ' || doc_id || ' & co' END AS title,
              CASE WHEN doc_id % 43 <> 0

@@ -88,6 +88,45 @@ class WarcSpec extends AnyFunSuite {
     assert(WarcKernel.info(null).head == 0L)
   }
 
+  test("firstOkHtmlBody: skips non-200 responses, needs a header/body split") {
+    val notFound = WarcKernel.record("response", "<urn:uuid:6-0>",
+      "2026-08-16T00:00:00Z", "http://example.com/6",
+      "HTTP/1.1 404 Not Found\r\nContent-Type: text/html\r\n\r\n<p>nope</p>"
+        .getBytes("US-ASCII"))
+    val ok = WarcKernel.record("response", "<urn:uuid:6-1>",
+      "2026-08-16T00:00:00Z", "http://example.com/6",
+      "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<p>the page</p>"
+        .getBytes("US-ASCII"))
+    val meta = WarcKernel.record("metadata", "<urn:uuid:6-2>",
+      "2026-08-16T00:00:00Z", null, "k: v".getBytes("US-ASCII"))
+    assert(WarcKernel.firstOkHtmlBody(shard(notFound, ok, meta)) == "<p>the page</p>")
+    // no 200 anywhere -> null; header-only 200 message -> null
+    assert(WarcKernel.firstOkHtmlBody(shard(notFound, meta)) == null)
+    val headerOnly = WarcKernel.record("response", "<urn:uuid:6-3>",
+      "2026-08-16T00:00:00Z", "http://example.com/6",
+      "HTTP/1.1 200 OK\r\nContent-Length: 0".getBytes("US-ASCII"))
+    assert(WarcKernel.firstOkHtmlBody(shard(headerOnly)) == null)
+    assert(WarcKernel.firstOkHtmlBody("NOTAWARC".getBytes) == null)
+    assert(WarcKernel.firstOkHtmlBody(null) == null)
+  }
+
+  test("capstone chain: shard -> 200 body -> html extraction recovers the exact text") {
+    val ids = Seq(
+      (7L, "seven is on the error-page plant cycle", 2), // 7 % 7 == 0: 404 first
+      (8L, "eight goes straight to the ok response", 3)
+    ).toDF("media_id", "text", "n_nav")
+    val body = Multimodal.warcResponseBody(
+      Multimodal.syntheticWarcHtmlShards(ids).select(col("media_id"), col("content")),
+      "content")
+    val got = Multimodal.htmlExtract(body.select(col("media_id"), col("html")), "html")
+      .orderBy("media_id").collect()
+    assert(got(0).getBoolean(1) &&
+      got(0).getString(5) == "seven is on the error-page plant cycle")
+    assert(got(1).getBoolean(1) &&
+      got(1).getString(5) == "eight goes straight to the ok response")
+    assert(got(0).getString(2) == "doc 7 & co" && got(1).getInt(3) == 4)
+  }
+
   test("DataFrame chain: syntheticWarcShards -> warcInfo round-trips the plants") {
     val ids = Seq((7L, 4, false), (11L, 3, true))
       .toDF("media_id", "n_rec", "corrupt_crc")
