@@ -1154,6 +1154,52 @@ object Multimodal {
       }(enc)
   }
 
+  /** (media_id, is_zstd, fcs, has_checksum, decode_ok, n_decoded) from
+    * the fused zstd frame audit ([[graft.functions.ZstdKernel]]) — a
+    * hand RFC 8878 header parse plus a REAL native decompress
+    * (checksum-verifying) per row: the format-verification scan of a
+    * zstd-compressed lake object (q342). `single_segment` is parsed but
+    * not surfaced here — it is a library-layout choice, spec-pinned in
+    * `ZstdSpec`, not oracle-gated. */
+  def zstdInfo(media: DataFrame, binCol: String): DataFrame = {
+    val d = graft.functions.ZstdExpressions.zstdInfo(col(binCol))
+    media.withColumn("__d", d)
+      .withColumn("is_zstd", element_at(col("__d"), 1) === 1L)
+      .withColumn("fcs", when(col("is_zstd"), element_at(col("__d"), 2)))
+      .withColumn("has_checksum", when(col("is_zstd"), element_at(col("__d"), 3) === 1L))
+      .withColumn("decode_ok", when(col("is_zstd"), element_at(col("__d"), 5) === 1L))
+      .withColumn("n_decoded",
+        when(col("is_zstd") && col("decode_ok"), element_at(col("__d"), 6)))
+      .drop("__d", binCol)
+  }
+
+  /** REAL zstd frames over a text column — explicit compression level
+    * and checksum choice ([[graft.functions.ZstdKernel.zstd]]).
+    * `corrupt_tail` flips the frame's LAST byte after it is built: when
+    * a content checksum is present (the plant guarantees it on corrupt
+    * rows) the native decompress must reject the frame — `decode_ok`
+    * reads false with the header fields intact (the q337 tamper
+    * discipline on the zstd trailer). Input columns: (media_id long,
+    * text string, level int, with_checksum boolean,
+    * corrupt_tail boolean). One `mapPartitions`, zero shuffle. */
+  def zstdDocuments(ids: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(mediaSchema)
+    ids.select(col("media_id"), col("text"), col("level"),
+        col("with_checksum"), col("corrupt_tail"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val payload = (if (r.isNullAt(1)) "" else r.getString(1)).getBytes("UTF-8")
+          val bytes = graft.functions.ZstdKernel.zstd(
+            payload, r.getInt(2), r.getBoolean(3))
+          if (r.getBoolean(4)) {
+            val at = bytes.length - 1
+            bytes(at) = (bytes(at) ^ 0xff).toByte
+          }
+          Row(r.getLong(0), "application/zstd", bytes, Row(null, null, null))
+        }
+      }(enc)
+  }
+
   /** The closed-form pixel generator behind [[syntheticGrayPngs]] (see its
     * scaladoc for the design): gray level of pixel `k` (row-major) for
     * `seed`, in 1..255. floorMod on the seeding step, not `%`: Java `%`

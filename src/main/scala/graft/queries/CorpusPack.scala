@@ -686,6 +686,33 @@ object CorpusPack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Zstd frame leg (r17, the gzip leg's modern-lake sibling): zstd is
+    // the codec the lake actually runs (parquet compression=zstd), and
+    // Spark ships zstd-jni on its own classpath, so like q337 the gate
+    // covers BOTH halves — real compression at a planted level with an
+    // explicit checksum choice, a hand RFC 8878 header parse (magic,
+    // descriptor bits, FCS width + the 2-byte form's +256 offset), and
+    // a REAL checksum-verifying native decompress. Every 11th doc's
+    // frame gets its LAST byte flipped (the plant guarantees a checksum
+    // there): decode_ok must read false with fcs/has_checksum intact.
+    // Every 43rd doc's bytes are corrupted wholesale and must pass
+    // flagged.
+    "q342_zstd_info" -> ((s, d) => {
+      val ids = Tables.documents(s, d).select(
+        col("doc_id").as("media_id"), col("text"),
+        (lit(1) + pmod(col("doc_id"), lit(5))).cast("int").as("level"),
+        (col("doc_id") % 2 === 0 || col("doc_id") % 11 === 0).as("with_checksum"),
+        (col("doc_id") % 11 === 0).as("corrupt_tail"))
+      val media = Multimodal.zstdDocuments(ids)
+        .withColumn("content",
+          when(col("media_id") % 43 === 0, lit("NOTAZSTD".getBytes("US-ASCII")))
+            .otherwise(col("content")))
+      Multimodal.zstdInfo(media.select(col("media_id"), col("content")), "content")
+        .select(col("media_id").as("doc_id"), col("is_zstd"), col("fcs"),
+          col("has_checksum"), col("decode_ok"), col("n_decoded"))
+        .orderBy(col("doc_id"))
+    }),
+
     // G.711 A-law decode end-to-end (r14) — the q284 gate for the
     // European-trunk codec: XOR-0x55 unpack, segment shift, INVERTED
     // sign convention vs µ-law; the same synthetic code stream decodes
@@ -2605,6 +2632,24 @@ object CorpusPack extends QueryPack {
              CASE WHEN doc_id % 43 <> 0
                   THEN CAST(30 + 2 * (1 + doc_id % 5) AS INTEGER) END AS n_tags,
              CASE WHEN doc_id % 43 <> 0 THEN coalesce(text, '') END AS text
+      FROM documents ORDER BY doc_id""",
+
+    // q342: every field regenerated closed-form; fcs and n_decoded are
+    // the text's UTF-8 byte length (the REAL round trip's size), the
+    // tamper plant (every 11th, checksum guaranteed) surfaces ONLY as
+    // decode_ok = false with a null n_decoded.
+    "q342_zstd_info" -> """
+      SELECT doc_id,
+             (doc_id % 43 <> 0) AS is_zstd,
+             CASE WHEN doc_id % 43 <> 0
+                  THEN CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT)
+             END AS fcs,
+             CASE WHEN doc_id % 43 <> 0
+                  THEN (doc_id % 2 = 0 OR doc_id % 11 = 0) END AS has_checksum,
+             CASE WHEN doc_id % 43 <> 0 THEN doc_id % 11 <> 0 END AS decode_ok,
+             CASE WHEN doc_id % 43 <> 0 AND doc_id % 11 <> 0
+                  THEN CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT)
+             END AS n_decoded
       FROM documents ORDER BY doc_id""",
 
     // q286: output pixels are the formula sampled at src = 2·dst.

@@ -1370,6 +1370,16 @@ object ScaleSmoke {
           media.select(col("media_id"), col("content")), "content")
         .groupBy(col("n_crc_bad")).agg(sum(col("content_total")).as("b"))
     }
+    time("zstd synth + native audit") {
+      val ids = docs.select(col("doc_id").as("media_id"), col("text"),
+        (lit(1) + pmod(col("doc_id"), lit(5))).cast("int").as("level"),
+        (col("doc_id") % 2 === 0 || col("doc_id") % 11 === 0).as("with_checksum"),
+        (col("doc_id") % 11 === 0).as("corrupt_tail"))
+      val media = graft.operators.Multimodal.zstdDocuments(ids)
+      graft.operators.Multimodal.zstdInfo(
+          media.select(col("media_id"), col("content")), "content")
+        .groupBy(col("decode_ok")).agg(sum(col("fcs")).as("b"))
+    }
     time("tar synth + header walk") {
       val ids = docs.select(col("doc_id").as("media_id"),
         (lit(1) + pmod(col("doc_id"), lit(3))).cast("int").as("n_samples"),
