@@ -363,6 +363,35 @@ object CorpusPack extends QueryPack {
       graft.streaming.StreamingAudioMonitor.readout(snaps)
     }),
 
+    // q338's container audit driven CONTINUOUSLY (r17): synthetic WARC
+    // shards (same plants — member-CRC tamper every 11th, wholesale
+    // corruption every 43rd) drained through a real readStream into the
+    // per-group O(1) container-health fold (same fused WarcKernel walk
+    // row for row), max-epoch snapshots merged — the readout must equal
+    // q338's closed-form plants aggregated globally, bit for bit. The
+    // live crawl-intake health card: a fetcher gone bad surfaces within
+    // a micro-batch, not at the nightly audit.
+    "q343_streaming_container" -> ((s, d) => {
+      import s.implicits._
+      val ids = Tables.documents(s, d).select(
+        col("doc_id").as("media_id"),
+        (lit(1) + pmod(col("doc_id"), lit(4))).cast("int").as("n_rec"),
+        (col("doc_id") % 11 === 0).as("corrupt_crc"))
+      val staged = Multimodal.syntheticWarcShards(ids)
+        .withColumn("content",
+          when(col("media_id") % 43 === 0, lit("NOTAWARC".getBytes("US-ASCII")))
+            .otherwise(col("content")))
+        .select(pmod(col("media_id"), lit(4)).cast("int").as("_1"),
+          col("media_id").cast("long").as("_2"), col("content").as("_3"))
+      val snaps = PackShared.drainStaged(s, staged, "q343_sink", "q343-container")(
+        in => graft.streaming.StreamingContainerMonitor
+          .stats(in.as[(Int, Long, Array[Byte])])
+          .toDF("group", "epoch", "n_rows", "bad_rows", "n_members",
+            "n_records", "n_response", "n_http_ok", "content_total",
+            "n_crc_bad"))
+      graft.streaming.StreamingContainerMonitor.readout(snaps)
+    }),
+
     // The WAV container layer end-to-end (r14): synth PCM → canonical
     // RIFF wrap → parse (magic/fmt verification, body extraction) →
     // features off the EXTRACTED body, with every 43rd container
@@ -2651,6 +2680,32 @@ object CorpusPack extends QueryPack {
                   THEN CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT)
              END AS n_decoded
       FROM documents ORDER BY doc_id""",
+
+    // q343: q338's per-doc closed forms aggregated globally — corrupt
+    // shards count only in bad_rows (their per-member counters are the
+    // fail sentinel, not data).
+    "q343_streaming_container" -> """
+      WITH p AS (SELECT doc_id, 1 + doc_id % 4 AS n_rec FROM documents),
+      clean AS (SELECT * FROM p WHERE doc_id % 43 <> 0),
+      r AS (SELECT doc_id, n_rec, unnest(generate_series(0, n_rec - 1)) AS j
+            FROM clean),
+      f AS (SELECT doc_id, j % 3 = 0 AS is_resp,
+                   10 + (doc_id*7 + j*13) % 90
+                     + CASE WHEN j % 3 = 0
+                            THEN CASE WHEN (doc_id + j) % 6 = 0 THEN 26 ELSE 19 END
+                            ELSE 0 END AS clen,
+                   (j % 3 = 0 AND (doc_id + j) % 6 <> 0) AS http_ok
+            FROM r)
+      SELECT (SELECT count(*) FROM p) AS n_rows,
+             (SELECT count(*) FROM p WHERE doc_id % 43 = 0) AS bad_rows,
+             (SELECT CAST(coalesce(sum(n_rec), 0) AS BIGINT) FROM clean) AS n_members,
+             (SELECT CAST(coalesce(sum(n_rec), 0) AS BIGINT) FROM clean) AS n_records,
+             CAST(sum(CASE WHEN is_resp THEN 1 ELSE 0 END) AS BIGINT) AS n_response,
+             CAST(sum(CASE WHEN http_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_http_ok,
+             CAST(sum(clen) AS BIGINT) AS content_total,
+             (SELECT CAST(count(*) AS BIGINT) FROM clean
+              WHERE doc_id % 11 = 0) AS n_crc_bad
+      FROM f""",
 
     // q286: output pixels are the formula sampled at src = 2·dst.
     "q286_image_resize" -> """
