@@ -115,10 +115,30 @@ object Rehearsal {
     // the leakage gate's n-gram probe)
     val bench = Tables.documents(spark, sfDir).select(col("text")).limit(200)
 
-    // ---- text curation: every leg of the composed pipeline ON ----
+    // ---- crawl ingest: shard BYTES -> text through the q341 path ----
+    // (r17 continuation): the rehearsal starts where a deployment starts
+    // — record-at-time-gzipped WARC shards — and the curation chain
+    // consumes the RECOVERED text (byte-exact with the source, the q341
+    // gate's guarantee), so the ingest legs' wall time and pressure
+    // counters are part of the record. Scan-shaped by construction:
+    // synthesis, member walk, HTTP split, and HTML extraction fuse into
+    // one zero-shuffle pipeline; the only exchange is the output write.
+    val shardIds = curationDocs.select(col("doc_id").as("media_id"), col("text"),
+      (lit(1) + pmod(col("doc_id"), lit(5))).cast("int").as("n_nav"))
+    stage("ingest_warc_html")(
+      graft.operators.Multimodal.htmlExtract(
+        graft.operators.Multimodal.warcResponseBody(
+          graft.operators.Multimodal.syntheticWarcHtmlShards(shardIds)
+            .select(col("media_id"), col("content")),
+          "content").select(col("media_id"), col("html")), "html")
+        .select(col("media_id").as("doc_id"), col("text")))
+    val ingested = spark.read.parquet(s"$work/out_ingest_warc_html")
+
+    // ---- text curation: every leg of the composed pipeline ON,
+    // consuming the INGESTED text ----
     stage("curate_full")(
       graft.examples.TrainingDataPipeline.curate(
-        curationDocs, benchmark = Some(bench), lineDedupFirst = true, stripSubstrings = true))
+        ingested, benchmark = Some(bench), lineDedupFirst = true, stripSubstrings = true))
 
     // ---- embedding hygiene at the AUTO knobs (r17 verdict #1) ----
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
