@@ -1200,6 +1200,67 @@ object Multimodal {
       }(enc)
   }
 
+  /** (media_id, encoding, n_chars, n_invalid, n_multibyte, has_bom)
+    * from the fused charset sniff + strict UTF-8 audit
+    * ([[graft.functions.Utf8Kernel]]) — the encoding gate that fronts
+    * every text operator in a crawl pipeline (q344). `encoding` is
+    * 'utf8' / 'utf16le' / 'utf16be'; the UTF-8 counters are null on
+    * UTF-16 rows (the sniff stops at the BOM). */
+  def charsetInfo(media: DataFrame, binCol: String): DataFrame = {
+    val d = graft.functions.Utf8Expressions.utf8Info(col(binCol))
+    media.withColumn("__d", d)
+      .withColumn("encoding",
+        when(element_at(col("__d"), 1) === 1L, lit("utf8"))
+          .when(element_at(col("__d"), 1) === 2L, lit("utf16le"))
+          .when(element_at(col("__d"), 1) === 3L, lit("utf16be")))
+      .withColumn("__u8", element_at(col("__d"), 1) === 1L)
+      .withColumn("n_chars", when(col("__u8"), element_at(col("__d"), 2)))
+      .withColumn("n_invalid", when(col("__u8"), element_at(col("__d"), 3)))
+      .withColumn("n_multibyte", when(col("__u8"), element_at(col("__d"), 4)))
+      .withColumn("has_bom", when(col("__u8"), element_at(col("__d"), 5) === 1L))
+      .drop("__d", "__u8", binCol)
+  }
+
+  /** Deterministic raw-byte documents in planted encodings — the q344
+    * plant: UTF-16LE with BOM on every 9th doc, UTF-16BE with BOM on
+    * every 43rd (the 9-priority mirrors the oracle), otherwise UTF-8
+    * built as text ++ 'é'·(id%4) ++ 'ñ'·(id%3) ++ '中'·(id%2) (2-, 2-,
+    * and 3-byte code points — every count closed-form), a UTF-8 BOM
+    * prefix on every 5th, and 1 + id % 3 raw 0xFF bytes appended on
+    * every 11th (each must count as exactly one invalid byte and
+    * nothing else — the resync-at-next-byte contract). Input columns:
+    * (media_id long, text string). One `mapPartitions`, zero
+    * shuffle. */
+  def encodedDocuments(ids: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(mediaSchema)
+    ids.select(col("media_id"), col("text"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val text = if (r.isNullAt(1)) "" else r.getString(1)
+          val bytes =
+            if (id % 9 == 0)
+              Array[Byte](0xff.toByte, 0xfe.toByte) ++
+                text.getBytes(java.nio.charset.StandardCharsets.UTF_16LE)
+            else if (id % 43 == 0)
+              Array[Byte](0xfe.toByte, 0xff.toByte) ++
+                text.getBytes(java.nio.charset.StandardCharsets.UTF_16BE)
+            else {
+              val suffix = "é" * (id % 4).toInt + "ñ" * (id % 3).toInt +
+                "中" * (id % 2).toInt
+              val body = (text + suffix).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              val bom = if (id % 5 == 0) Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte)
+                        else Array.empty[Byte]
+              val junk = if (id % 11 == 0)
+                Array.fill[Byte]((1L + id % 3).toInt)(0xff.toByte)
+              else Array.empty[Byte]
+              bom ++ body ++ junk
+            }
+          Row(id, "application/octet-stream", bytes, Row(null, null, null))
+        }
+      }(enc)
+  }
+
   /** The closed-form pixel generator behind [[syntheticGrayPngs]] (see its
     * scaladoc for the design): gray level of pixel `k` (row-major) for
     * `seed`, in 1..255. floorMod on the seeding step, not `%`: Java `%`

@@ -2081,4 +2081,21 @@ object TextAnalysis {
         q6(col("n1").cast("double") / col("vocab").cast("double"))
           .as("hapax_share"))
   }
+
+  /** Per-row robots.txt politeness decision for one crawler product
+    * token ([[graft.functions.RobotsKernel]] — RFC 9309 group selection,
+    * longest-match rules, `*`/`$` patterns, permissive failure posture):
+    * adds `<prefix>_allowed` (boolean) and `<prefix>_delay` (long,
+    * null when the selected group names no Crawl-delay). The frontier
+    * gate of a crawl pipeline (q345); zero shuffle. */
+  def robotsDecision(df: DataFrame, robotsCol: String, pathCol: String,
+      agent: String, prefix: String): DataFrame = {
+    val d = graft.functions.RobotsExpressions.robotsAllow(
+      col(robotsCol), col(pathCol), agent)
+    df.withColumn("__r", d)
+      .withColumn(s"${prefix}_allowed", element_at(col("__r"), 1) === 1L)
+      .withColumn(s"${prefix}_delay",
+        when(element_at(col("__r"), 2) >= 0L, element_at(col("__r"), 2)))
+      .drop("__r")
+  }
 }

@@ -392,6 +392,60 @@ object CorpusPack extends QueryPack {
       graft.streaming.StreamingContainerMonitor.readout(snaps)
     }),
 
+    // Charset sniff + STRICT UTF-8 validation (r17): the encoding gate
+    // that fronts every text operator — raw bytes in planted encodings
+    // (UTF-16LE/BE BOMs, UTF-8 with multibyte suffixes of known
+    // code-point counts, a UTF-8 BOM plant, raw 0xFF junk bytes) through
+    // the full RFC 3629 strict table. The oracle regenerates every count
+    // closed-form (DuckDB length() counts code points), so a wrong
+    // continuation range, overlong acceptance, surrogate admission, BOM
+    // step, or resync rule fails the hash.
+    "q344_charset_info" -> ((s, d) => {
+      val ids = Tables.documents(s, d).select(
+        col("doc_id").as("media_id"), col("text"))
+      val media = Multimodal.encodedDocuments(ids)
+      Multimodal.charsetInfo(media.select(col("media_id"), col("content")), "content")
+        .select(col("media_id").as("doc_id"), col("encoding"), col("n_chars"),
+          col("n_invalid"), col("n_multibyte"), col("has_bom"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // robots.txt politeness decisions (r17, RFC 9309): the frontier
+    // gate companion of the q338/q341 ingestion legs. Planted robots
+    // files exercise group selection (a named token must use ONLY its
+    // own group — star rules are not inherited), longest-match rule
+    // resolution with a $-anchored Allow overriding a shorter Disallow,
+    // per-group Crawl-delay, and the protocol's PERMISSIVE failure
+    // posture: every 43rd doc's robots is an HTML error page, which
+    // must decide allow-with-no-delay (the deliberate contrast with the
+    // container walks' fail-loud rule). The oracle regenerates every
+    // decision closed-form from the plant formulas.
+    "q345_robots_decisions" -> ((s, d) => {
+      val k = Tables.documents(s, d).select(col("doc_id"),
+        pmod(col("doc_id"), lit(4)).as("kind"))
+      val robots = when(col("doc_id") % 43 === 0,
+          lit("<html>server error 500</html>"))
+        .otherwise(concat(
+          lit("# synthetic robots\nUser-agent: *\nDisallow: /private/\n"),
+          when(col("doc_id") % 3 === 0, lit("Allow: /private/ok$\n"))
+            .otherwise(lit("")),
+          lit("Crawl-delay: "),
+          (lit(1) + pmod(col("doc_id"), lit(7))).cast("string"),
+          lit("\n\nUser-agent: graftbot\nDisallow: /g"),
+          pmod(col("doc_id"), lit(5)).cast("string"), lit("/\n")))
+      val path = when(col("kind") === 0, lit("/public/x"))
+        .when(col("kind") === 1, lit("/private/x"))
+        .when(col("kind") === 2, lit("/private/ok"))
+        .otherwise(concat(lit("/g"), pmod(col("doc_id"), lit(5)).cast("string"),
+          lit("/y")))
+      val df = k.withColumn("robots", robots).withColumn("path", path)
+      val star = TextAnalysis.robotsDecision(df, "robots", "path", "anybot", "anybot")
+      TextAnalysis.robotsDecision(star, "robots", "path", "graftbot", "bot")
+        .select(col("doc_id"), col("path"), col("anybot_allowed"),
+          col("anybot_delay"), col("bot_allowed"))
+        .orderBy(col("doc_id"))
+    }),
+
     // The WAV container layer end-to-end (r14): synth PCM → canonical
     // RIFF wrap → parse (magic/fmt verification, body extraction) →
     // features off the EXTRACTED body, with every 43rd container
@@ -2706,6 +2760,53 @@ object CorpusPack extends QueryPack {
              (SELECT CAST(count(*) AS BIGINT) FROM clean
               WHERE doc_id % 11 = 0) AS n_crc_bad
       FROM f""",
+
+    // q344: every count closed-form from the plant formulas; n_chars =
+    // the text's code points plus the planted multibyte suffix (DuckDB
+    // length() counts code points), n_invalid = the planted junk-byte
+    // count, encoding priority mirrors the synthesis (9 before 43).
+    "q344_charset_info" -> """
+      SELECT doc_id,
+             CASE WHEN doc_id % 9 = 0 THEN 'utf16le'
+                  WHEN doc_id % 43 = 0 THEN 'utf16be'
+                  ELSE 'utf8' END AS encoding,
+             CASE WHEN doc_id % 9 <> 0 AND doc_id % 43 <> 0
+                  THEN CAST(length(coalesce(text, ''))
+                       + doc_id % 4 + doc_id % 3 + doc_id % 2 AS BIGINT)
+             END AS n_chars,
+             CASE WHEN doc_id % 9 <> 0 AND doc_id % 43 <> 0
+                  THEN CAST(CASE WHEN doc_id % 11 = 0
+                                 THEN 1 + doc_id % 3 ELSE 0 END AS BIGINT)
+             END AS n_invalid,
+             CASE WHEN doc_id % 9 <> 0 AND doc_id % 43 <> 0
+                  THEN CAST(doc_id % 4 + doc_id % 3 + doc_id % 2 AS BIGINT)
+             END AS n_multibyte,
+             CASE WHEN doc_id % 9 <> 0 AND doc_id % 43 <> 0
+                  THEN doc_id % 5 = 0 END AS has_bom
+      FROM documents ORDER BY doc_id""",
+
+    // q345: every decision closed-form — path by kind, the anybot
+    // verdict by the longest matching star-group rule (the $-anchored
+    // Allow plant on every 3rd), the graftbot verdict by its OWN group
+    // only, garbage robots (every 43rd) deciding allow-with-no-delay.
+    "q345_robots_decisions" -> """
+      WITH k AS (SELECT doc_id, doc_id % 4 AS kind, doc_id % 43 = 0 AS garbage
+                 FROM documents)
+      SELECT doc_id,
+             CASE WHEN kind = 0 THEN '/public/x'
+                  WHEN kind = 1 THEN '/private/x'
+                  WHEN kind = 2 THEN '/private/ok'
+                  ELSE '/g' || CAST(doc_id % 5 AS VARCHAR) || '/y' END AS path,
+             CASE WHEN garbage THEN TRUE
+                  WHEN kind = 1 THEN FALSE
+                  WHEN kind = 2 THEN doc_id % 3 = 0
+                  ELSE TRUE END AS anybot_allowed,
+             CASE WHEN garbage THEN NULL
+                  ELSE CAST(1 + doc_id % 7 AS BIGINT) END AS anybot_delay,
+             CASE WHEN garbage THEN TRUE
+                  WHEN kind = 3 THEN FALSE
+                  ELSE TRUE END AS bot_allowed
+      FROM k ORDER BY doc_id""",
 
     // q286: output pixels are the formula sampled at src = 2·dst.
     "q286_image_resize" -> """
