@@ -1,0 +1,216 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftShims}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType}
+
+/** ZIP archive kernel (PKWARE APPNOTE / the format `java.util.zip`
+  * implements) — the DATASET-DISTRIBUTION leg: public corpora and
+  * labeling exports overwhelmingly ship as zip, and the correct audit
+  * walk is central-directory-FIRST (find the end-of-central-directory
+  * record from the tail, walk the directory, then verify each entry's
+  * stream at its recorded local-header offset) — the property that makes
+  * zip seekable object storage: a reader lists a terabyte archive
+  * reading kilobytes. The per-entry verification is REAL: stored entries
+  * byte-compared by length, deflated entries inflated with a raw
+  * `Inflater`, both CRC32-checked against the directory's stored value —
+  * a tampered directory CRC must surface as `n_crc_bad` with every other
+  * tally intact (the q337/q338/q339 discipline on zip's own checksum
+  * channel).
+  */
+object ZipKernel {
+
+  private def w16(out: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    out.write(v & 0xff); out.write((v >> 8) & 0xff)
+  }
+  private def w32(out: java.io.ByteArrayOutputStream, v: Long): Unit = {
+    out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+    out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+  }
+
+  /** One archive over (name, payload, stored?) entries: local headers +
+    * data, then the central directory, then the EOCD record — method 0
+    * (stored) or 8 (raw deflate), real CRC32s, fixed DOS time/date. */
+  def zip(entries: Seq[(String, Array[Byte], Boolean)]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val recorded = entries.map { case (name, payload, storeIt) =>
+      val offset = out.size()
+      val crc = new java.util.zip.CRC32()
+      crc.update(payload)
+      val data =
+        if (storeIt) payload
+        else {
+          val d = new java.util.zip.Deflater(
+            java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+          try {
+            d.setInput(payload); d.finish()
+            val buf = new Array[Byte](4096)
+            val acc = new java.io.ByteArrayOutputStream()
+            while (!d.finished()) { val k = d.deflate(buf); acc.write(buf, 0, k) }
+            acc.toByteArray
+          } finally d.end()
+        }
+      val nameB = name.getBytes("US-ASCII")
+      w32(out, 0x04034b50L) // local file header
+      w16(out, 20); w16(out, 0); w16(out, if (storeIt) 0 else 8)
+      w16(out, 0x6000); w16(out, 0x5b10) // fixed DOS time/date
+      w32(out, crc.getValue); w32(out, data.length.toLong); w32(out, payload.length.toLong)
+      w16(out, nameB.length); w16(out, 0)
+      out.write(nameB); out.write(data)
+      (name, nameB, crc.getValue, data.length.toLong, payload.length.toLong,
+        storeIt, offset)
+    }
+    val cdStart = out.size()
+    recorded.foreach { case (_, nameB, crc, csize, usize, storeIt, offset) =>
+      w32(out, 0x02014b50L) // central directory header
+      w16(out, 20); w16(out, 20); w16(out, 0); w16(out, if (storeIt) 0 else 8)
+      w16(out, 0x6000); w16(out, 0x5b10)
+      w32(out, crc); w32(out, csize); w32(out, usize)
+      w16(out, nameB.length); w16(out, 0); w16(out, 0)
+      w16(out, 0); w16(out, 0); w32(out, 0L); w32(out, offset.toLong)
+      out.write(nameB)
+    }
+    val cdSize = out.size() - cdStart
+    w32(out, 0x06054b50L) // end of central directory
+    w16(out, 0); w16(out, 0); w16(out, recorded.size); w16(out, recorded.size)
+    w32(out, cdSize.toLong); w32(out, cdStart.toLong); w16(out, 0)
+    out.toByteArray
+  }
+
+  /** Flip one byte of the LAST central-directory entry's stored CRC —
+    * the q346 tamper plant (synthesis-only: assumes the comment-free
+    * EOCD the builder writes). The stream itself stays intact, so the
+    * walk must report the entry with `n_crc_bad` ticking. */
+  def tamperLastDirectoryCrc(bytes: Array[Byte]): Array[Byte] = {
+    val e = bytes.length - 22
+    val n = r16(bytes, e + 10)
+    var i = r32(bytes, e + 16).toInt
+    var k = 0
+    while (k < n - 1) {
+      i += 46 + r16(bytes, i + 28) + r16(bytes, i + 30) + r16(bytes, i + 32)
+      k += 1
+    }
+    bytes(i + 16) = (bytes(i + 16) ^ 0xff).toByte
+    bytes
+  }
+
+  private def r16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+  private def r32(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+
+  /** `[is_zip, n_entries, n_stored, total_usize, n_crc_bad,
+    * n_verify_fail]` (longs) — central-directory-first walk with REAL
+    * per-entry verification. A directory CRC that disagrees with the
+    * recomputed stream CRC ticks `n_crc_bad` (the entry still counts —
+    * tamper-visible, not tally-poisoning); an entry whose stream cannot
+    * be read at all (bad local magic, corrupt deflate, size mismatch)
+    * ticks `n_verify_fail` and is excluded from n_stored/total_usize.
+    * No EOCD, a truncated directory, or an out-of-range offset fails the
+    * row to `[0, -1, …]`. */
+  def info(bytes: Array[Byte]): Array[Long] = {
+    val fail = Array(0L, -1L, -1L, -1L, -1L, -1L)
+    if (bytes == null || bytes.length < 22) return fail
+    // EOCD: scan back over the (possibly empty) comment for PK\5\6
+    var e = bytes.length - 22
+    val floor = math.max(0, bytes.length - 22 - 0xffff)
+    while (e >= floor && r32(bytes, e) != 0x06054b50L) e -= 1
+    if (e < floor) return fail
+    val n = r16(bytes, e + 10)
+    val cdOff = r32(bytes, e + 16)
+    if (cdOff < 0 || cdOff > bytes.length) return fail
+    var i = cdOff.toInt
+    var k = 0
+    var nStored = 0L; var usizeTotal = 0L; var crcBad = 0L; var verifyFail = 0L
+    try {
+      while (k < n) {
+        if (i + 46 > bytes.length || r32(bytes, i) != 0x02014b50L) return fail
+        val method = r16(bytes, i + 10)
+        val crcStored = r32(bytes, i + 16)
+        val csize = r32(bytes, i + 20)
+        val usize = r32(bytes, i + 24)
+        val nameLen = r16(bytes, i + 28)
+        val extraLen = r16(bytes, i + 30)
+        val commentLen = r16(bytes, i + 32)
+        val lfhOff = r32(bytes, i + 42)
+        // verify the stream at the local header
+        var ok = true
+        val crc = new java.util.zip.CRC32()
+        if (lfhOff + 30 > bytes.length || r32(bytes, lfhOff.toInt) != 0x04034b50L) ok = false
+        else {
+          val lo = lfhOff.toInt
+          val lNameLen = r16(bytes, lo + 26)
+          val lExtraLen = r16(bytes, lo + 28)
+          val dataAt = lo + 30 + lNameLen + lExtraLen
+          if (dataAt + csize > bytes.length) ok = false
+          else if (method == 0) {
+            if (csize != usize) ok = false
+            else crc.update(bytes, dataAt, usize.toInt)
+          } else if (method == 8) {
+            val inf = new java.util.zip.Inflater(true)
+            try {
+              inf.setInput(bytes, dataAt, csize.toInt)
+              val buf = new Array[Byte](4096)
+              var total = 0L
+              var stuck = false
+              while (!inf.finished() && !stuck) {
+                val m = inf.inflate(buf)
+                if (m == 0 && !inf.finished()) stuck = true
+                else { crc.update(buf, 0, m); total += m }
+              }
+              if (stuck || total != usize) ok = false
+            } catch { case _: java.util.zip.DataFormatException => ok = false }
+            finally inf.end()
+          } else ok = false // unsupported method
+        }
+        if (!ok) verifyFail += 1
+        else {
+          if (method == 0) nStored += 1
+          usizeTotal += usize
+          if (crc.getValue != crcStored) crcBad += 1
+        }
+        i += 46 + nameLen + extraLen + commentLen
+        k += 1
+      }
+    } catch { case _: ArrayIndexOutOfBoundsException => return fail }
+    Array(1L, n.toLong, nStored, usizeTotal, crcBad, verifyFail)
+  }
+}
+
+/** Fused zip archive audit: binary → array<long> `[is_zip, n_entries,
+  * n_stored, total_usize, n_crc_bad, n_verify_fail]` — one
+  * directory-first walk with real inflate + CRC verification per entry,
+  * inside WholeStageCodegen, zero shuffle: the manifest scan of a
+  * dataset-distribution corpus. */
+case class ZipInfoExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_zip_info requires a binary argument, got ${t.sql}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_zip_info"
+
+  override def nullSafeEval(b: Any): Any =
+    new GenericArrayData(ZipKernel.info(b.asInstanceOf[Array[Byte]]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.ZipKernel.info($b));""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ZipExpressions {
+  /** array<long> [is_zip, n_entries, n_stored, total_usize, n_crc_bad,
+    * n_verify_fail] of a binary column holding a zip archive. */
+  def zipInfo(bin: Column): Column =
+    GraftShims.column(ZipInfoExpr(GraftShims.expression(bin)))
+}

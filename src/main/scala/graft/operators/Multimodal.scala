@@ -1261,6 +1261,53 @@ object Multimodal {
       }(enc)
   }
 
+  /** (media_id, is_zip, n_entries, n_stored, total_usize, n_crc_bad,
+    * n_verify_fail) from the fused zip archive audit
+    * ([[graft.functions.ZipKernel]]) — central-directory-first, with a
+    * REAL inflate + CRC32 verification per entry: the manifest scan of
+    * a dataset-distribution corpus (q346). */
+  def zipInfo(media: DataFrame, binCol: String): DataFrame = {
+    val d = graft.functions.ZipExpressions.zipInfo(col(binCol))
+    media.withColumn("__d", d)
+      .withColumn("is_zip", element_at(col("__d"), 1) === 1L)
+      .withColumn("n_entries", when(col("is_zip"), element_at(col("__d"), 2)))
+      .withColumn("n_stored", when(col("is_zip"), element_at(col("__d"), 3)))
+      .withColumn("total_usize", when(col("is_zip"), element_at(col("__d"), 4)))
+      .withColumn("n_crc_bad", when(col("is_zip"), element_at(col("__d"), 5)))
+      .withColumn("n_verify_fail", when(col("is_zip"), element_at(col("__d"), 6)))
+      .drop("__d", binCol)
+  }
+
+  /** Deterministic synthetic zip archives — REAL PKWARE bytes
+    * ([[graft.functions.ZipKernel.zip]]): `n_ent` entries per archive,
+    * names `f{k}.txt`, payloads `'x' * (7 + (media_id*3 + k*5) % 50)`
+    * (closed-form sizes), method STORED when `(media_id + k) % 3 == 0`
+    * else deflate (both verification paths exercised in one archive).
+    * `tamper_crc` flips one byte of the LAST directory entry's stored
+    * CRC after the archive is built: the stream still reads, so the
+    * walk must tick `n_crc_bad` with every other tally intact. Input
+    * columns: (media_id long, n_ent int, tamper_crc boolean). One
+    * `mapPartitions`, zero shuffle. */
+  def zipArchives(ids: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(mediaSchema)
+    ids.select(col("media_id"), col("n_ent"), col("tamper_crc"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val nEnt = r.getInt(1)
+          require(nEnt >= 1, s"n_ent must be >= 1, got $nEnt")
+          val entries = (0 until nEnt).map { k =>
+            val len = (7L + (id * 3L + k * 5L) % 50L).toInt
+            (s"f$k.txt", Array.fill[Byte](len)('x'), (id + k) % 3 == 0)
+          }
+          var bytes = graft.functions.ZipKernel.zip(entries)
+          if (r.getBoolean(2))
+            bytes = graft.functions.ZipKernel.tamperLastDirectoryCrc(bytes)
+          Row(id, "application/zip", bytes, Row(null, null, null))
+        }
+      }(enc)
+  }
+
   /** The closed-form pixel generator behind [[syntheticGrayPngs]] (see its
     * scaladoc for the design): gray level of pixel `k` (row-major) for
     * `seed`, in 1..255. floorMod on the seeding step, not `%`: Java `%`

@@ -446,6 +446,31 @@ object CorpusPack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Zip archive leg (r17, the dataset-distribution container):
+    // central-directory-FIRST walk (EOCD from the tail, directory walk,
+    // per-entry stream verification at the recorded local-header
+    // offset — the seekability property that lets a reader list a
+    // terabyte archive reading kilobytes), with REAL inflate + CRC32
+    // verification per entry and both methods (stored/deflate) planted
+    // in every archive. Every 11th doc's LAST directory CRC is flipped:
+    // n_crc_bad must tick with every other tally intact. Every 43rd
+    // doc's bytes are corrupted wholesale and must pass flagged.
+    "q346_zip_info" -> ((s, d) => {
+      val ids = Tables.documents(s, d).select(
+        col("doc_id").as("media_id"),
+        (lit(1) + pmod(col("doc_id"), lit(3))).cast("int").as("n_ent"),
+        (col("doc_id") % 11 === 0).as("tamper_crc"))
+      val media = Multimodal.zipArchives(ids)
+        .withColumn("content",
+          when(col("media_id") % 43 === 0, lit("NOTAZIP!".getBytes("US-ASCII")))
+            .otherwise(col("content")))
+      Multimodal.zipInfo(media.select(col("media_id"), col("content")), "content")
+        .select(col("media_id").as("doc_id"), col("is_zip"), col("n_entries"),
+          col("n_stored"), col("total_usize"), col("n_crc_bad"),
+          col("n_verify_fail"))
+        .orderBy(col("doc_id"))
+    }),
+
     // The WAV container layer end-to-end (r14): synth PCM → canonical
     // RIFF wrap → parse (magic/fmt verification, body extraction) →
     // features off the EXTRACTED body, with every 43rd container
@@ -2807,6 +2832,32 @@ object CorpusPack extends QueryPack {
                   WHEN kind = 3 THEN FALSE
                   ELSE TRUE END AS bot_allowed
       FROM k ORDER BY doc_id""",
+
+    // q346: every tally closed-form from the plant formulas; the
+    // CRC-tamper plant (every 11th, last directory entry) surfaces ONLY
+    // in n_crc_bad.
+    "q346_zip_info" -> """
+      WITH p AS (SELECT doc_id, 1 + doc_id % 3 AS ne FROM documents),
+      r AS (SELECT doc_id, ne, unnest(generate_series(0, ne - 1)) AS k
+            FROM p),
+      f AS (SELECT doc_id, ne,
+                   7 + (doc_id*3 + k*5) % 50 AS usize,
+                   (doc_id + k) % 3 = 0 AS stored
+            FROM r),
+      agg AS (SELECT doc_id, max(ne) AS ne,
+                     sum(CASE WHEN stored THEN 1 ELSE 0 END) AS n_stored,
+                     sum(usize) AS total_usize
+              FROM f GROUP BY doc_id)
+      SELECT doc_id,
+             (doc_id % 43 <> 0) AS is_zip,
+             CASE WHEN doc_id % 43 <> 0 THEN CAST(ne AS BIGINT) END AS n_entries,
+             CASE WHEN doc_id % 43 <> 0 THEN CAST(n_stored AS BIGINT) END AS n_stored,
+             CASE WHEN doc_id % 43 <> 0 THEN CAST(total_usize AS BIGINT) END AS total_usize,
+             CASE WHEN doc_id % 43 <> 0
+                  THEN CAST(CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END AS BIGINT)
+             END AS n_crc_bad,
+             CASE WHEN doc_id % 43 <> 0 THEN CAST(0 AS BIGINT) END AS n_verify_fail
+      FROM agg ORDER BY doc_id""",
 
     // q286: output pixels are the formula sampled at src = 2·dst.
     "q286_image_resize" -> """
