@@ -1308,6 +1308,52 @@ object Multimodal {
       }(enc)
   }
 
+  /** (media_id, is_tfrecord, n_records, total_bytes, n_crc_bad) from
+    * the fused TFRecord framing walk
+    * ([[graft.functions.TfRecordKernel]]) — masked CRC32C verified on
+    * both channels with their distinct audit semantics (a lying length
+    * CRC fails the row, a lying data CRC ticks): the manifest scan of a
+    * tf.data training-shard corpus (q347). */
+  def tfrecordInfo(media: DataFrame, binCol: String): DataFrame = {
+    val d = graft.functions.TfRecordExpressions.tfrecordInfo(col(binCol))
+    media.withColumn("__d", d)
+      .withColumn("is_tfrecord", element_at(col("__d"), 1) === 1L)
+      .withColumn("n_records", when(col("is_tfrecord"), element_at(col("__d"), 2)))
+      .withColumn("total_bytes", when(col("is_tfrecord"), element_at(col("__d"), 3)))
+      .withColumn("n_crc_bad", when(col("is_tfrecord"), element_at(col("__d"), 4)))
+      .drop("__d", binCol)
+  }
+
+  /** Deterministic synthetic TFRecord shards — REAL masked-CRC32C
+    * framing ([[graft.functions.TfRecordKernel.tfrecord]]): `n_rec`
+    * records of `5 + (media_id*7 + k*11) % 80` bytes (closed-form).
+    * `tamper_crc` flips one byte of the LAST record's DATA crc after
+    * the shard is built — the framing stays walkable, so the record
+    * must still count with `n_crc_bad` ticking (the length-crc channel,
+    * whose lie fails the whole row, is spec-pinned instead). Input
+    * columns: (media_id long, n_rec int, tamper_crc boolean). One
+    * `mapPartitions`, zero shuffle. */
+  def tfrecordShards(ids: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(mediaSchema)
+    ids.select(col("media_id"), col("n_rec"), col("tamper_crc"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val nRec = r.getInt(1)
+          require(nRec >= 1, s"n_rec must be >= 1, got $nRec")
+          val payloads = (0 until nRec).map { k =>
+            Array.fill[Byte]((5L + (id * 7L + k * 11L) % 80L).toInt)('x')
+          }
+          val bytes = graft.functions.TfRecordKernel.tfrecord(payloads)
+          if (r.getBoolean(2)) {
+            val at = bytes.length - 4
+            bytes(at) = (bytes(at) ^ 0xff).toByte
+          }
+          Row(id, "application/tfrecord", bytes, Row(null, null, null))
+        }
+      }(enc)
+  }
+
   /** The closed-form pixel generator behind [[syntheticGrayPngs]] (see its
     * scaladoc for the design): gray level of pixel `k` (row-major) for
     * `seed`, in 1..255. floorMod on the seeding step, not `%`: Java `%`

@@ -471,6 +471,29 @@ object CorpusPack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // TFRecord shard leg (r17, q339's sibling — the OTHER mainstream
+    // training-shard container): real masked-CRC32C framing (the
+    // snappy/LevelDB rotation, JDK CRC32C) through the fused walk with
+    // the two checksum channels' DISTINCT audit semantics — a lying
+    // length CRC fails the row (framing is untrusted), a lying data CRC
+    // counts the record and ticks n_crc_bad. Every 11th doc's LAST
+    // data-CRC byte is flipped; every 43rd doc's bytes are corrupted
+    // wholesale and must pass flagged.
+    "q347_tfrecord_info" -> ((s, d) => {
+      val ids = Tables.documents(s, d).select(
+        col("doc_id").as("media_id"),
+        (lit(1) + pmod(col("doc_id"), lit(4))).cast("int").as("n_rec"),
+        (col("doc_id") % 11 === 0).as("tamper_crc"))
+      val media = Multimodal.tfrecordShards(ids)
+        .withColumn("content",
+          when(col("media_id") % 43 === 0, lit("NOTATFRECORD".getBytes("US-ASCII")))
+            .otherwise(col("content")))
+      Multimodal.tfrecordInfo(media.select(col("media_id"), col("content")), "content")
+        .select(col("media_id").as("doc_id"), col("is_tfrecord"),
+          col("n_records"), col("total_bytes"), col("n_crc_bad"))
+        .orderBy(col("doc_id"))
+    }),
+
     // The WAV container layer end-to-end (r14): synth PCM → canonical
     // RIFF wrap → parse (magic/fmt verification, body extraction) →
     // features off the EXTRACTED body, with every 43rd container
@@ -2857,6 +2880,25 @@ object CorpusPack extends QueryPack {
                   THEN CAST(CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END AS BIGINT)
              END AS n_crc_bad,
              CASE WHEN doc_id % 43 <> 0 THEN CAST(0 AS BIGINT) END AS n_verify_fail
+      FROM agg ORDER BY doc_id""",
+
+    // q347: every tally closed-form from the plant formulas; the
+    // data-CRC tamper (every 11th, last record) surfaces ONLY in
+    // n_crc_bad.
+    "q347_tfrecord_info" -> """
+      WITH p AS (SELECT doc_id, 1 + doc_id % 4 AS nr FROM documents),
+      r AS (SELECT doc_id, nr, unnest(generate_series(0, nr - 1)) AS k
+            FROM p),
+      agg AS (SELECT doc_id, max(nr) AS nr,
+                     sum(5 + (doc_id*7 + k*11) % 80) AS total_bytes
+              FROM r GROUP BY doc_id)
+      SELECT doc_id,
+             (doc_id % 43 <> 0) AS is_tfrecord,
+             CASE WHEN doc_id % 43 <> 0 THEN CAST(nr AS BIGINT) END AS n_records,
+             CASE WHEN doc_id % 43 <> 0 THEN CAST(total_bytes AS BIGINT) END AS total_bytes,
+             CASE WHEN doc_id % 43 <> 0
+                  THEN CAST(CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END AS BIGINT)
+             END AS n_crc_bad
       FROM agg ORDER BY doc_id""",
 
     // q286: output pixels are the formula sampled at src = 2·dst.
