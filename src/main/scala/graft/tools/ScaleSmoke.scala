@@ -1380,6 +1380,38 @@ object ScaleSmoke {
           media.select(col("media_id"), col("content")), "content")
         .groupBy(col("decode_ok")).agg(sum(col("fcs")).as("b"))
     }
+    time("zip synth + directory walk") {
+      val ids = docs.select(col("doc_id").as("media_id"),
+        (lit(1) + pmod(col("doc_id"), lit(3))).cast("int").as("n_ent"),
+        (col("doc_id") % 11 === 0).as("tamper_crc"))
+      val media = graft.operators.Multimodal.zipArchives(ids)
+      graft.operators.Multimodal.zipInfo(
+          media.select(col("media_id"), col("content")), "content")
+        .groupBy(col("n_crc_bad")).agg(sum(col("total_usize")).as("b"))
+    }
+    time("tfrecord synth + crc32c walk") {
+      val ids = docs.select(col("doc_id").as("media_id"),
+        (lit(1) + pmod(col("doc_id"), lit(4))).cast("int").as("n_rec"),
+        (col("doc_id") % 11 === 0).as("tamper_crc"))
+      val media = graft.operators.Multimodal.tfrecordShards(ids)
+      graft.operators.Multimodal.tfrecordInfo(
+          media.select(col("media_id"), col("content")), "content")
+        .groupBy(col("n_crc_bad")).agg(sum(col("total_bytes")).as("b"))
+    }
+    time("html synth + region extract") {
+      val ids = docs.select(col("doc_id").as("media_id"), col("text"),
+        (lit(1) + pmod(col("doc_id"), lit(5))).cast("int").as("n_nav"))
+      val pages = graft.operators.Multimodal.syntheticHtmlPages(ids)
+      graft.operators.Multimodal.htmlExtract(pages, "html")
+        .groupBy(col("n_links")).agg(sum(length(col("text"))).as("b"))
+    }
+    time("charset synth + utf8 audit") {
+      val ids = docs.select(col("doc_id").as("media_id"), col("text"))
+      val media = graft.operators.Multimodal.encodedDocuments(ids)
+      graft.operators.Multimodal.charsetInfo(
+          media.select(col("media_id"), col("content")), "content")
+        .groupBy(col("encoding")).agg(sum(col("n_chars")).as("b"))
+    }
     time("tar synth + header walk") {
       val ids = docs.select(col("doc_id").as("media_id"),
         (lit(1) + pmod(col("doc_id"), lit(3))).cast("int").as("n_samples"),
