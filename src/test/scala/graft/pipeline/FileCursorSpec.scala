@@ -86,4 +86,20 @@ class FileCursorSpec extends AnyFunSuite {
     assert(order.toSeq == Seq(keys(0), keys(2), keys(1)))
     assert(res.visited.size == 3)
   }
+
+  test("s3a and OCI SDK are environment-blocked: neither on any classpath (probed 2026-08-16)") {
+    // The cursor/poller logic above is fully gated over file:// analogs
+    // (q273/q274); the untested halves are the s3a:// FileSystem (needs
+    // hadoop-aws + aws-sdk jars) and the OCI object-storage client —
+    // neither ships in /opt/spark/jars. Pinned as dated probes-in-code
+    // (the Mp3Spec discipline): if either class ever loads, this fails
+    // loudly and the corresponding live path graduates from env-blocked
+    // (SURVEY §8.3 carries the dated environment note).
+    intercept[ClassNotFoundException] {
+      Class.forName("org.apache.hadoop.fs.s3a.S3AFileSystem")
+    }
+    intercept[ClassNotFoundException] {
+      Class.forName("com.oracle.bmc.objectstorage.ObjectStorageClient")
+    }
+  }
 }
