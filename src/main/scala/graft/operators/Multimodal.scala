@@ -1354,6 +1354,74 @@ object Multimodal {
       }(enc)
   }
 
+  /** (media_id, is_safetensors, n_tensors, data_bytes, n_f32, n_f16,
+    * max_rank, has_metadata) from the fused safetensors header audit
+    * ([[graft.functions.SafetensorsKernel]]) — real JSON-header parse +
+    * the format's offset-tiling integrity contract, data bytes never
+    * read (q348). A header that lies fails the WHOLE row — checkpoint
+    * integrity is fail-loud, unlike the tamper-visible container
+    * tallies. */
+  def safetensorsInfo(media: DataFrame, binCol: String): DataFrame = {
+    val d = graft.functions.SafetensorsExpressions.safetensorsInfo(col(binCol))
+    media.withColumn("__d", d)
+      .withColumn("is_safetensors", element_at(col("__d"), 1) === 1L)
+      .withColumn("n_tensors", when(col("is_safetensors"), element_at(col("__d"), 2)))
+      .withColumn("data_bytes", when(col("is_safetensors"), element_at(col("__d"), 3)))
+      .withColumn("n_f32", when(col("is_safetensors"), element_at(col("__d"), 4)))
+      .withColumn("n_f16", when(col("is_safetensors"), element_at(col("__d"), 5)))
+      .withColumn("max_rank", when(col("is_safetensors"), element_at(col("__d"), 6)))
+      .withColumn("has_metadata",
+        when(col("is_safetensors"), element_at(col("__d"), 7) === 1L))
+      .drop("__d", binCol)
+  }
+
+  /** Deterministic synthetic safetensors artifacts — REAL format bytes
+    * (u64 LE header length, JSON header, packed zero data): `n_t`
+    * tensors `t{k}` with rank `1 + (media_id + k) % 3`, dims
+    * `2 + (media_id + k + j) % 4`, dtype F16 when
+    * `(media_id + 2k) % 3 == 0` else F32, contiguous `data_offsets`;
+    * `__metadata__` first when `with_meta`. `truncate_data` drops the
+    * artifact's last byte — the offsets then fail to tile the data
+    * region and the audit must fail the row (checkpoint integrity is
+    * all-or-nothing). Input columns: (media_id long, n_t int,
+    * with_meta boolean, truncate_data boolean). One `mapPartitions`,
+    * zero shuffle. */
+  def safetensorsArtifacts(ids: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(mediaSchema)
+    ids.select(col("media_id"), col("n_t"), col("with_meta"), col("truncate_data"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val nT = r.getInt(1)
+          require(nT >= 1, s"n_t must be >= 1, got $nT")
+          val sb = new StringBuilder("{")
+          if (r.getBoolean(2)) sb.append("""__metadata__":{"src":"graft"},""".prepended('"'))
+          var offset = 0L
+          (0 until nT).foreach { k =>
+            val rank = (1L + (id + k) % 3L).toInt
+            val dims = (0 until rank).map(j => 2L + (id + k + j) % 4L)
+            val f16 = (id + 2L * k) % 3L == 0L
+            val bytes = dims.product * (if (f16) 2L else 4L)
+            if (k > 0) sb.append(',')
+            sb.append(s""""t$k":{"dtype":"${if (f16) "F16" else "F32"}",""")
+            sb.append(s""""shape":[${dims.mkString(",")}],""")
+            sb.append(s""""data_offsets":[$offset,${offset + bytes}]}""")
+            offset += bytes
+          }
+          sb.append('}')
+          val header = sb.toString.getBytes("UTF-8")
+          val out = new java.io.ByteArrayOutputStream()
+          var v = header.length.toLong; var j = 0
+          while (j < 8) { out.write((v & 0xff).toInt); v >>= 8; j += 1 }
+          out.write(header)
+          out.write(new Array[Byte](offset.toInt))
+          val bytes = out.toByteArray
+          val fin = if (r.getBoolean(3)) bytes.dropRight(1) else bytes
+          Row(id, "application/safetensors", fin, Row(null, null, null))
+        }
+      }(enc)
+  }
+
   /** The closed-form pixel generator behind [[syntheticGrayPngs]] (see its
     * scaladoc for the design): gray level of pixel `k` (row-major) for
     * `seed`, in 1..255. floorMod on the seeding step, not `%`: Java `%`

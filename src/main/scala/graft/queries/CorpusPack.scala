@@ -494,6 +494,31 @@ object CorpusPack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // safetensors header audit (r17, the model-artifact leg): real
+    // format bytes (u64 header length, JSON header, packed data)
+    // through a real JSON parse + the format's offset-tiling integrity
+    // contract — spans must equal shape × dtype_size and tile the data
+    // region exactly, data bytes never read. Checkpoint integrity is
+    // fail-loud: every 11th doc's artifact is truncated by ONE byte and
+    // must fail the whole row (unlike the container tallies' tamper
+    // channels); every 43rd doc's bytes are corrupted wholesale.
+    "q348_safetensors_info" -> ((s, d) => {
+      val ids = Tables.documents(s, d).select(
+        col("doc_id").as("media_id"),
+        (lit(1) + pmod(col("doc_id"), lit(4))).cast("int").as("n_t"),
+        (col("doc_id") % 5 === 0).as("with_meta"),
+        (col("doc_id") % 11 === 0).as("truncate_data"))
+      val media = Multimodal.safetensorsArtifacts(ids)
+        .withColumn("content",
+          when(col("media_id") % 43 === 0, lit("NOTASAFET".getBytes("US-ASCII")))
+            .otherwise(col("content")))
+      Multimodal.safetensorsInfo(media.select(col("media_id"), col("content")), "content")
+        .select(col("media_id").as("doc_id"), col("is_safetensors"),
+          col("n_tensors"), col("data_bytes"), col("n_f32"), col("n_f16"),
+          col("max_rank"), col("has_metadata"))
+        .orderBy(col("doc_id"))
+    }),
+
     // The WAV container layer end-to-end (r14): synth PCM → canonical
     // RIFF wrap → parse (magic/fmt verification, body extraction) →
     // features off the EXTRACTED body, with every 43rd container
@@ -2899,6 +2924,44 @@ object CorpusPack extends QueryPack {
              CASE WHEN doc_id % 43 <> 0
                   THEN CAST(CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END AS BIGINT)
              END AS n_crc_bad
+      FROM agg ORDER BY doc_id""",
+
+    // q348: every tally closed-form from the plant formulas — per
+    // tensor k: rank 1 + (doc_id+k)%3, dims 2 + (doc_id+k+j)%4, F16
+    // when (doc_id+2k)%3 = 0; the truncation plant (every 11th) and
+    // wholesale corruption (every 43rd) both fail the row.
+    "q348_safetensors_info" -> """
+      WITH p AS (SELECT doc_id, 1 + doc_id % 4 AS nt,
+                        (doc_id % 43 <> 0 AND doc_id % 11 <> 0) AS ok
+                 FROM documents),
+      r AS (SELECT doc_id, nt, ok, unnest(generate_series(0, nt - 1)) AS k
+            FROM p),
+      f AS (SELECT doc_id, nt, ok, k,
+                   1 + (doc_id + k) % 3 AS rk,
+                   2 + (doc_id + k) % 4 AS d0,
+                   2 + (doc_id + k + 1) % 4 AS d1,
+                   2 + (doc_id + k + 2) % 4 AS d2,
+                   (doc_id + 2*k) % 3 = 0 AS f16
+            FROM r),
+      g AS (SELECT doc_id, nt, ok, k, rk, f16,
+                   (CASE rk WHEN 1 THEN d0 WHEN 2 THEN d0*d1
+                        ELSE d0*d1*d2 END)
+                     * (CASE WHEN f16 THEN 2 ELSE 4 END) AS nbytes
+            FROM f),
+      agg AS (SELECT doc_id, max(nt) AS nt, bool_or(ok) AS ok,
+                     sum(nbytes) AS data_bytes,
+                     sum(CASE WHEN f16 THEN 0 ELSE 1 END) AS n_f32,
+                     sum(CASE WHEN f16 THEN 1 ELSE 0 END) AS n_f16,
+                     max(rk) AS max_rank
+              FROM g GROUP BY doc_id)
+      SELECT doc_id,
+             ok AS is_safetensors,
+             CASE WHEN ok THEN CAST(nt AS BIGINT) END AS n_tensors,
+             CASE WHEN ok THEN CAST(data_bytes AS BIGINT) END AS data_bytes,
+             CASE WHEN ok THEN CAST(n_f32 AS BIGINT) END AS n_f32,
+             CASE WHEN ok THEN CAST(n_f16 AS BIGINT) END AS n_f16,
+             CASE WHEN ok THEN CAST(max_rank AS BIGINT) END AS max_rank,
+             CASE WHEN ok THEN doc_id % 5 = 0 END AS has_metadata
       FROM agg ORDER BY doc_id""",
 
     // q286: output pixels are the formula sampled at src = 2·dst.
