@@ -102,7 +102,13 @@ object HtmlKernel {
         var ch = c
         var adv = 1
         if (c == '&') {
-          val sc = html.indexOf(';', i + 1)
+          // bounded lookahead: the longest supported entity is 6 chars
+          // ("&quot;"), so scan at most that window — an unterminated
+          // '&' run can never turn the pass quadratic
+          val lim = math.min(i + 7, n)
+          var sc = -1
+          var j = i + 1
+          while (j < lim && sc < 0) { if (html.charAt(j) == ';') sc = j; j += 1 }
           if (sc > i && sc - i <= 6) {
             html.substring(i + 1, sc) match {
               case "amp" => ch = '&'; adv = sc - i + 1

@@ -59,27 +59,32 @@ object SafetensorsKernel {
       if (!any) throw Bad
       v
     }
-    def skipValue(): Unit = peek() match {
-      case '{' =>
-        expect('{')
-        if (peek() == '}') { i += 1; return }
-        var more = true
-        while (more) {
-          str(); expect(':'); skipValue()
-          if (peek() == ',') i += 1 else more = false
-        }
-        expect('}')
-      case '[' =>
-        expect('[')
-        if (peek() == ']') { i += 1; return }
-        var more = true
-        while (more) {
-          skipValue()
-          if (peek() == ',') i += 1 else more = false
-        }
-        expect(']')
-      case '"' => str()
-      case _ => num()
+    // depth-capped: a crawl-scale header is attacker-controlled bytes,
+    // and a deeply-nested metadata value must fail the row, not the JVM
+    def skipValue(depth: Int = 0): Unit = {
+      if (depth > 32) throw Bad
+      peek() match {
+        case '{' =>
+          expect('{')
+          if (peek() == '}') { i += 1; return }
+          var more = true
+          while (more) {
+            str(); expect(':'); skipValue(depth + 1)
+            if (peek() == ',') i += 1 else more = false
+          }
+          expect('}')
+        case '[' =>
+          expect('[')
+          if (peek() == ']') { i += 1; return }
+          var more = true
+          while (more) {
+            skipValue(depth + 1)
+            if (peek() == ',') i += 1 else more = false
+          }
+          expect(']')
+        case '"' => str()
+        case _ => num()
+      }
     }
   }
   private object Bad extends Exception { override def fillInStackTrace(): Throwable = this }
