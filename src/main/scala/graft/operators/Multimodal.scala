@@ -1422,6 +1422,57 @@ object Multimodal {
       }(enc)
   }
 
+  /** (media_id, is_proto, n_fields, n_varint, n_len, varint_sum,
+    * len_total) from the fused proto wire walk
+    * ([[graft.functions.ProtoKernel]]) — the schema-free integrity scan
+    * of serialized messages, q347's payload layer (q349). Fail-loud: a
+    * message that cannot be walked to EOF flags the row. */
+  def protoInfo(media: DataFrame, binCol: String): DataFrame = {
+    val d = graft.functions.ProtoExpressions.protoInfo(col(binCol))
+    media.withColumn("__d", d)
+      .withColumn("is_proto", element_at(col("__d"), 1) === 1L)
+      .withColumn("n_fields", when(col("is_proto"), element_at(col("__d"), 2)))
+      .withColumn("n_varint", when(col("is_proto"), element_at(col("__d"), 3)))
+      .withColumn("n_len", when(col("is_proto"), element_at(col("__d"), 4)))
+      .withColumn("varint_sum", when(col("is_proto"), element_at(col("__d"), 5)))
+      .withColumn("len_total", when(col("is_proto"), element_at(col("__d"), 6)))
+      .drop("__d", binCol)
+  }
+
+  /** Deterministic synthetic wire-format messages — REAL proto3
+    * encoding ([[graft.functions.ProtoKernel]] writers): `n_f` fields,
+    * even positions a varint field of value `(media_id*13 + k*7) %
+    * 1000`, odd positions a length-delimited field of `3 + (media_id +
+    * k) % 20` bytes (all closed-form). `truncate_field` appends a tag
+    * whose varint length never terminates — the walk must fail the row
+    * (wire framing is all-or-nothing). Input columns: (media_id long,
+    * n_f int, truncate_field boolean). One `mapPartitions`, zero
+    * shuffle. */
+  def protoMessages(ids: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(mediaSchema)
+    ids.select(col("media_id"), col("n_f"), col("truncate_field"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val nF = r.getInt(1)
+          require(nF >= 1, s"n_f must be >= 1, got $nF")
+          val out = new java.io.ByteArrayOutputStream()
+          var k = 0
+          while (k < nF) {
+            if (k % 2 == 0)
+              graft.functions.ProtoKernel.writeVarintField(
+                out, k + 1, (id * 13L + k * 7L) % 1000L)
+            else
+              graft.functions.ProtoKernel.writeBytesField(
+                out, k + 1, Array.fill[Byte]((3L + (id + k) % 20L).toInt)('x'))
+            k += 1
+          }
+          if (r.getBoolean(2)) { out.write(0x12); out.write(0xff) } // unterminated length
+          Row(id, "application/x-protobuf", out.toByteArray, Row(null, null, null))
+        }
+      }(enc)
+  }
+
   /** The closed-form pixel generator behind [[syntheticGrayPngs]] (see its
     * scaladoc for the design): gray level of pixel `k` (row-major) for
     * `seed`, in 1..255. floorMod on the seeding step, not `%`: Java `%`

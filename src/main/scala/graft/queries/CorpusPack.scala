@@ -519,6 +519,28 @@ object CorpusPack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Proto wire-format walk (r17, q347's payload layer): tf.Example
+    // messages are proto wire format, and the schema-free audit is the
+    // self-delimiting wire walk — varint tags/values, length-delimited
+    // steps, fixed-width steps. Fail-loud framing: every 11th doc's
+    // message gains an unterminated trailing field and must flag; every
+    // 43rd doc's bytes are corrupted wholesale (the first byte decodes
+    // to an invalid wire type).
+    "q349_proto_info" -> ((s, d) => {
+      val ids = Tables.documents(s, d).select(
+        col("doc_id").as("media_id"),
+        (lit(2) + pmod(col("doc_id"), lit(4))).cast("int").as("n_f"),
+        (col("doc_id") % 11 === 0).as("truncate_field"))
+      val media = Multimodal.protoMessages(ids)
+        .withColumn("content",
+          when(col("media_id") % 43 === 0, lit("NOTAPROTO".getBytes("US-ASCII")))
+            .otherwise(col("content")))
+      Multimodal.protoInfo(media.select(col("media_id"), col("content")), "content")
+        .select(col("media_id").as("doc_id"), col("is_proto"), col("n_fields"),
+          col("n_varint"), col("n_len"), col("varint_sum"), col("len_total"))
+        .orderBy(col("doc_id"))
+    }),
+
     // The WAV container layer end-to-end (r14): synth PCM → canonical
     // RIFF wrap → parse (magic/fmt verification, body extraction) →
     // features off the EXTRACTED body, with every 43rd container
@@ -2962,6 +2984,35 @@ object CorpusPack extends QueryPack {
              CASE WHEN ok THEN CAST(n_f16 AS BIGINT) END AS n_f16,
              CASE WHEN ok THEN CAST(max_rank AS BIGINT) END AS max_rank,
              CASE WHEN ok THEN doc_id % 5 = 0 END AS has_metadata
+      FROM agg ORDER BY doc_id""",
+
+    // q349: every tally closed-form from the plant formulas; the
+    // truncation (every 11th) and wholesale corruption (every 43rd)
+    // both fail the row (wire framing is all-or-nothing).
+    "q349_proto_info" -> """
+      WITH p AS (SELECT doc_id, 2 + doc_id % 4 AS nf,
+                        (doc_id % 43 <> 0 AND doc_id % 11 <> 0) AS ok
+                 FROM documents),
+      r AS (SELECT doc_id, nf, ok, unnest(generate_series(0, nf - 1)) AS k
+            FROM p),
+      f AS (SELECT doc_id, nf, ok, k,
+                   k % 2 = 0 AS is_v,
+                   (doc_id*13 + k*7) % 1000 AS vval,
+                   3 + (doc_id + k) % 20 AS blen
+            FROM r),
+      agg AS (SELECT doc_id, max(nf) AS nf, bool_or(ok) AS ok,
+                     sum(CASE WHEN is_v THEN 1 ELSE 0 END) AS n_varint,
+                     sum(CASE WHEN is_v THEN 0 ELSE 1 END) AS n_len,
+                     sum(CASE WHEN is_v THEN vval ELSE 0 END) AS varint_sum,
+                     sum(CASE WHEN is_v THEN 0 ELSE blen END) AS len_total
+              FROM f GROUP BY doc_id)
+      SELECT doc_id,
+             ok AS is_proto,
+             CASE WHEN ok THEN CAST(nf AS BIGINT) END AS n_fields,
+             CASE WHEN ok THEN CAST(n_varint AS BIGINT) END AS n_varint,
+             CASE WHEN ok THEN CAST(n_len AS BIGINT) END AS n_len,
+             CASE WHEN ok THEN CAST(varint_sum AS BIGINT) END AS varint_sum,
+             CASE WHEN ok THEN CAST(len_total AS BIGINT) END AS len_total
       FROM agg ORDER BY doc_id""",
 
     // q286: output pixels are the formula sampled at src = 2·dst.
