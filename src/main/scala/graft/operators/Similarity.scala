@@ -365,6 +365,90 @@ object Similarity {
     if (bandBits != AutoBands) bandBits
     else sizedBandBits(corpus.count(), dim)
 
+  /** Default in-memory sort budget per verify-join task, overridable per
+    * session via `spark.graft.verify.partitionBytes`. Half the fair
+    * execution-memory share of a fully-loaded executor (heap × 0.6 /
+    * concurrent tasks — ~150 MB on the reference 8 GiB / 32-thread
+    * shape): a partition that sorts inside its share never spills, and
+    * the occupancy estimate is an upper bound, so real partitions land at
+    * or under the target. Measured sweep on the ×10 rehearsal corpus
+    * (47.5M candidate pairs, the REHEARSAL_r17 spill stage, clean box):
+    * session-default 32 partitions → 61.5 s with 17 GB disk spill;
+    * 226 partitions (128 MiB) → 43 s / 2.6 GB; **451 (64 MiB) → 38 s /
+    * 0.3 GB**; 902 (32 MiB) → 56 s (shuffle blocks fragment: each
+    * vector's run of pair rows splits across more blocks, and on this
+    * corpus-with-repeats that costs 1.5× in compressed shuffle volume).
+    * 64 MiB is the measured knee — spill ≤ 0.07× the stage shuffle at
+    * the best wall time. */
+  private[graft] val VerifyPartitionBytes: Long = 64L << 20
+
+  /** Session override for [[VerifyPartitionBytes]] — set it to the
+    * cluster's actual per-task execution-memory share when that differs
+    * from the reference shape. */
+  private[graft] val VerifyPartitionBytesConf = "spark.graft.verify.partitionBytes"
+
+  /** Hard ceiling on the derived verify-partition count — at the point the
+    * estimate asks for more than this, per-partition volume is governed by
+    * skew, not count, and AQE's skew-join split is the right tool. */
+  private[graft] val VerifyPartitionsCap: Int = 4096
+
+  /** Shuffle-partition count for the banded-LSH candidate-VERIFY sort-merge
+    * joins, derived from the same occupancy math that sizes the band width
+    * — the r17 rehearsal's one pressure point made code. At `n` rows and
+    * `2^bandBits` buckets per band, uniform expected occupancy is
+    * `c = n / 2^bandBits` and per-band in-bucket pair volume is
+    * `Σ c·(c−1)/2 ≥ n·(c−1)/2` (Jensen: uniform occupancy is the floor for
+    * fixed `n`). Across `bands` bands the DISTINCT candidate set lies
+    * between one band's volume (fully clustered corpus: the same groups
+    * collide in every band) and `bands ×` it (spread corpus: each band
+    * contributes fresh pairs); sizing on the upper bound only makes tasks
+    * smaller, never partitions fewer, so the upper bound is what this uses.
+    * The volume that matters is the WIDE sort — the first join's output
+    * (pair ids + ONE projected double vector, `8·dim + 32` array bytes +
+    * row overhead) shuffled on `id_b`; the second vector only joins in
+    * after that sort — and the count targets `targetBytes`
+    * ([[VerifyPartitionBytes]]) of in-memory sort per task: the knob that
+    * zeroes the 17 GB disk spill REHEARSAL_r17 measured on the same
+    * volume squeezed into the session-default 32 partitions. Never
+    * returns fewer than `default` (small corpora keep the session shape
+    * and gate plans unchanged), never more than [[VerifyPartitionsCap]]. */
+  private[graft] def verifySmjPartitions(
+      n: Long, dim: Int, bandBits: Int, bands: Int, default: Int,
+      targetBytes: Long = VerifyPartitionBytes): Int = {
+    require(n >= 0 && dim >= 1 && bandBits >= 1 && bands >= 1 && default >= 1 &&
+        targetBytes >= (1L << 20),
+      s"verifySmjPartitions needs n >= 0, dim/bandBits/bands/default >= 1, " +
+        s"targetBytes >= 1 MiB; got ($n, $dim, $bandBits, $bands, $default, $targetBytes)")
+    val buckets = 1L << math.min(bandBits, 62)
+    val occ = n.toDouble / buckets.toDouble
+    val estPairs = bands.toDouble * n.toDouble * math.max(occ - 1.0, 0.0) / 2.0
+    val rowBytes = 8.0 * dim + 32.0 + 64.0
+    val p = math.ceil(estPairs * rowBytes / targetBytes.toDouble)
+    math.max(default, math.min(VerifyPartitionsCap.toDouble, p).toInt)
+  }
+
+  /** The session's effective verify-partition target: the
+    * [[VerifyPartitionBytesConf]] override if set, else the default. */
+  private def verifyTargetBytes(df: DataFrame): Long =
+    df.sparkSession.conf.getOption(VerifyPartitionBytesConf)
+      .map(_.toLong).getOrElse(VerifyPartitionBytes)
+
+  /** The session's configured shuffle-partition count — the floor (and the
+    * "leave the plan alone" sentinel) for [[verifySmjPartitions]]. */
+  private def sessionShufflePartitions(df: DataFrame): Int =
+    df.sparkSession.sessionState.conf.numShufflePartitions
+
+  /** Hash-repartition both sides of an equi-join key to `p` partitions when
+    * `p` exceeds the session default (otherwise pass through untouched —
+    * the SMJ then shuffles to the session shape exactly as before). Both
+    * sides carrying `HashPartitioning(key, p)` satisfies the SMJ's
+    * clustered-distribution requirement with NO further exchange, so this
+    * sets the join's parallelism without touching session config; an
+    * explicit user repartition is also exempt from AQE coalescing, so the
+    * count sticks. */
+  private def repartitionForVerify(df: DataFrame, key: String, p: Int, default: Int): DataFrame =
+    if (p <= default) df else df.repartition(p, col(key))
+
   /** Per-band sign-LSH keys for the banded (OR-amplified) pairs operator:
     * band `k`'s key packs `bandBits` sign bits from planes
     * `k*bandBits .. k*bandBits + bandBits - 1` — the SAME deterministic
@@ -535,9 +619,17 @@ object Similarity {
       right.select(col(rightId).as("id_b"), asDouble(col(rightVecCol)).as("__vb")))
       .withColumn("__nb", norm(col("__vb")))
     // auto width sizes on TOTAL rows hashed into the shared bucket space
-    // (both corpora land in the same (band, key) buckets)
-    val bb = resolveBandBits(bandBits,
-      l.select(col("id_a")).unionAll(r.select(col("id_b").as("id_a"))), dim)
+    // (both corpora land in the same (band, key) buckets); the same count
+    // then sizes the verify joins' shuffle-partition count (the r17
+    // rehearsal spill fix — see [[verifySmjPartitions]])
+    val nOpt =
+      if (bandBits == AutoBands)
+        Some(l.select(col("id_a")).unionAll(r.select(col("id_b").as("id_a"))).count())
+      else None
+    val bb = nOpt.map(sizedBandBits(_, dim)).getOrElse(bandBits)
+    val default = sessionShufflePartitions(l)
+    val p = nOpt.map(verifySmjPartitions(_, dim, bb, bands, default, verifyTargetBytes(l)))
+      .getOrElse(default)
     val lKeys = l.select(col("id_a"),
       posexplode(bandKeys(col("__va"), dim, bb, bands)).as(Seq("__band", "__key")))
     val rKeys = r.select(col("id_b"),
@@ -549,9 +641,10 @@ object Similarity {
     val cands = lKeys.hint("shuffle_merge")
       .join(rKeys.hint("shuffle_merge"), Seq("__band", "__key"))
       .select(col("id_a"), col("id_b")).distinct()
-    cands
-      .join(l.hint("shuffle_merge"), Seq("id_a"))
-      .join(r.hint("shuffle_merge"), Seq("id_b"))
+    repartitionForVerify(cands, "id_a", p, default)
+      .join(repartitionForVerify(l, "id_a", p, default).hint("shuffle_merge"), Seq("id_a"))
+      .transform(j => repartitionForVerify(j, "id_b", p, default))
+      .join(repartitionForVerify(r, "id_b", p, default).hint("shuffle_merge"), Seq("id_b"))
       .withColumn("__sim", fastDot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
       .filter(round(col("__sim"), 6) >= threshold)
       .select(col("id_a"), col("id_b"), round(col("__sim"), 4).as("cos_sim"))
@@ -606,7 +699,16 @@ object Similarity {
     val projected = Dedup.withComputeParallelism(
       vectors.select(col(vectorId), asDouble(col(vectorCol)).as("__v")))
     val v = projected.withColumn("__n", norm(col("__v")))
-    val bb = resolveBandBits(bandBits, projected.select(col(vectorId)), dim)
+    // ONE count drives both sizing laws on the auto path: the band width
+    // (occupancy) and the verify join's shuffle-partition count (pair
+    // volume). Explicit-width callers skip the count and keep the session
+    // partitioning — they are expected to have sized both knobs themselves.
+    val nOpt = if (bandBits == AutoBands) Some(projected.count()) else None
+    val bb = nOpt.map(sizedBandBits(_, dim)).getOrElse(bandBits)
+    val default = sessionShufflePartitions(projected)
+    val p = nOpt
+      .map(verifySmjPartitions(_, dim, bb, bands, default, verifyTargetBytes(projected)))
+      .getOrElse(default)
     val cands = candidatePairsFromProjected(projected, vectorId, dim, bb, bands, centerForBuckets)
     // SHUFFLE_MERGE pins the verify joins to sort-merge: the candidate table
     // comes out of an explode->aggregate chain whose STATIC size estimate is
@@ -618,11 +720,19 @@ object Similarity {
     // Both verify sides are corpus-sized at production scale, so the merge
     // join IS the 100 TB shape; at gate SF the forgone broadcast costs
     // milliseconds.
-    cands
-      .join(v.select(col(vectorId).as("id_a"), col("__v").as("__va"), col("__n").as("__na"))
-        .hint("shuffle_merge"), Seq("id_a"))
-      .join(v.select(col(vectorId).as("id_b"), col("__v").as("__vb"), col("__n").as("__nb"))
-        .hint("shuffle_merge"), Seq("id_b"))
+    // Verify joins run at `p` partitions ([[verifySmjPartitions]]): both
+    // sides of each SMJ are hash-repartitioned on the join key, so the
+    // exchanges HERE are the join's exchanges (HashPartitioning(key, p)
+    // satisfies the SMJ requirement — no second shuffle) and the sort that
+    // previously squeezed the whole candidate volume into the session's
+    // default partition count now meets a per-task volume it can sort
+    // in memory (the REHEARSAL_r17 spill fix).
+    val va = v.select(col(vectorId).as("id_a"), col("__v").as("__va"), col("__n").as("__na"))
+    val vb = v.select(col(vectorId).as("id_b"), col("__v").as("__vb"), col("__n").as("__nb"))
+    repartitionForVerify(cands, "id_a", p, default)
+      .join(repartitionForVerify(va, "id_a", p, default).hint("shuffle_merge"), Seq("id_a"))
+      .transform(j => repartitionForVerify(j, "id_b", p, default))
+      .join(repartitionForVerify(vb, "id_b", p, default).hint("shuffle_merge"), Seq("id_b"))
       .withColumn("__sim", fastDot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
       .filter(round(col("__sim"), 6) >= threshold)
       .select(col("id_a"), col("id_b"), round(col("__sim"), 4).as("cos_sim"))

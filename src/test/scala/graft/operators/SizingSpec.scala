@@ -85,4 +85,59 @@ class SizingSpec extends AnyFunSuite {
     assert(auto == sized)
     assert(auto.nonEmpty)
   }
+
+  test("verifySmjPartitions pins the r18 partition rule at the measured configs") {
+    // Correctness-gate corpus (sf0.01: 200 vectors, bb 3): estimate fits
+    // one default partition budget -> the session shape is untouched, so
+    // gate plans are byte-identical to pre-r18.
+    assert(Similarity.verifySmjPartitions(200L, 64, 3, 32, 32) == 32)
+    // Bench corpus (sf0.1: 2000 vectors, bb 3 — the q48 gate shape):
+    // 7.97M estimated pairs x 608 B at the 64 MiB target -> 73.
+    assert(Similarity.verifySmjPartitions(2000L, 64, 3, 32, 32) == 73)
+    // The REHEARSAL_r17 spill stage (x10: 20k vectors, bb 7): estimate
+    // 49.7M pairs -> 451 partitions — the measured knee (38 s / 0.3 GB
+    // disk spill vs 61.5 s / 17 GB at the session default; see the
+    // VerifyPartitionBytes scaladoc sweep).
+    assert(Similarity.verifySmjPartitions(20000L, 64, 7, 32, 32) == 451)
+    // Occupancy <= 1 (corpus smaller than the bucket space): no estimated
+    // in-bucket pairs, default shape.
+    assert(Similarity.verifySmjPartitions(100L, 64, 10, 32, 32) == 32)
+    // Hard cap: a corpus whose estimate wants more than 4096 partitions
+    // is governed by AQE skew handling past that point.
+    assert(Similarity.verifySmjPartitions(10000000L, 64, 7, 32, 32)
+      == Similarity.VerifyPartitionsCap)
+    // The session default is always the floor.
+    assert(Similarity.verifySmjPartitions(0L, 64, 3, 32, 200) == 200)
+    // The target knob scales the count inversely (half the budget, about
+    // twice the partitions).
+    val p64 = Similarity.verifySmjPartitions(20000L, 64, 7, 32, 32, 64L << 20)
+    val p32 = Similarity.verifySmjPartitions(20000L, 64, 7, 32, 32, 32L << 20)
+    assert(p32 == 2 * p64 || p32 == 2 * p64 - 1)
+  }
+
+  test("auto-path verify joins run at the derived partition count end to end") {
+    // 500 symmetric deterministic vectors: auto width resolves to 3 and
+    // the estimate (492k pairs x 608 B) asks for 5 partitions against the
+    // 4-partition test session — the rule must show up in the OUTPUT
+    // partitioning (both verify SMJ sides repartitioned to p, so the join
+    // runs at p, not the session default).
+    val vecs = spark.range(500).select(col("id").as("vec_id"),
+      array((0 until 64).map(i =>
+        (pmod(hash(col("id"), lit(i)).cast("long"), lit(2001)) - 1000)
+          .cast("double") / 1000.0): _*).as("embedding"))
+    val default = spark.sessionState.conf.numShufflePartitions
+    assert(default == 4)
+    val expectedP = Similarity.verifySmjPartitions(500L, 64, 3, 32, default)
+    assert(expectedP == 5)
+    val out = Similarity.cosineNearDupPairsLsh(
+      vecs, "vec_id", "embedding", threshold = 0.9, dim = 64, bands = 32)
+    assert(out.rdd.getNumPartitions == expectedP)
+    // and a corpus under the budget keeps the session shape: no derived
+    // repartition, so AQE is free to coalesce below the default (an
+    // explicit REPARTITION_BY_NUM as in the sized path is exempt from
+    // coalescing — hence the exact == above vs the <= here)
+    val small = Similarity.cosineNearDupPairsLsh(
+      vecs.limit(100), "vec_id", "embedding", threshold = 0.9, dim = 64, bands = 32)
+    assert(small.rdd.getNumPartitions <= default)
+  }
 }
