@@ -80,8 +80,18 @@ object HtmlKernel {
             if (!closing && name == "a") nLinks += 1
             if (!closing && (name == "script" || name == "style")) {
               // raw-text elements: contents are NOT markup — skip to the
-              // real close tag, never lexing inside
-              val e2 = indexOfIgnoreCase(html, "</" + name, e + 1)
+              // real close tag, never lexing inside. A close-tag match
+              // must be a WHOLE-name match (HTML spec: tag name followed
+              // by '>', whitespace, or '/'): '</scriptx>' inside the raw
+              // text is NOT a terminator, and accepting the prefix would
+              // leak the region's remainder into extracted text (r17
+              // advice — the q340-trap class)
+              val probe = "</" + name
+              var e2 = indexOfIgnoreCase(html, probe, e + 1)
+              while (e2 >= 0 && e2 + probe.length < n && {
+                val c = html.charAt(e2 + probe.length)
+                !(c == '>' || c == '/' || Character.isWhitespace(c))
+              }) e2 = indexOfIgnoreCase(html, probe, e2 + 1)
               if (e2 < 0) i = n
               else {
                 val e3 = html.indexOf('>', e2)

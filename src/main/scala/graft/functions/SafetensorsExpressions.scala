@@ -54,7 +54,12 @@ object SafetensorsKernel {
       ws()
       var v = 0L; var any = false
       while (i < s.length && s.charAt(i) >= '0' && s.charAt(i) <= '9') {
-        v = v * 10 + (s.charAt(i) - '0'); i += 1; any = true
+        // overflow-checked: a 20+-digit offset/shape literal must fail the
+        // row, not wrap into a small value that then satisfies the span
+        // arithmetic (these are attacker-controlled bytes)
+        try v = Math.addExact(Math.multiplyExact(v, 10L), (s.charAt(i) - '0').toLong)
+        catch { case _: ArithmeticException => throw Bad }
+        i += 1; any = true
       }
       if (!any) throw Bad
       v
@@ -152,8 +157,17 @@ object SafetensorsKernel {
             if (dtype == null || off == null) return fail
             val sz = DtypeSizes.getOrElse(dtype, -1L)
             if (sz < 0) return fail
-            val elems = shape.foldLeft(1L)(_ * _)
-            if (off._2 < off._1 || off._2 - off._1 != elems * sz) return fail
+            // overflow-checked products: a crafted shape like [2^62, 4]
+            // F32 wraps elems*sz to 0 under plain Long arithmetic and a
+            // zero-length span would then PASS the integrity check — the
+            // exact lying-header class the fail-loud contract exists for
+            val elems =
+              try shape.foldLeft(1L)((a, b) => Math.multiplyExact(a, b))
+              catch { case _: ArithmeticException => return fail }
+            val spanBytes =
+              try Math.multiplyExact(elems, sz)
+              catch { case _: ArithmeticException => return fail }
+            if (off._2 < off._1 || off._2 - off._1 != spanBytes) return fail
             spans = off :: spans
             nTensors += 1
             if (dtype == "F32") nF32 += 1

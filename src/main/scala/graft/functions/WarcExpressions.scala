@@ -53,12 +53,33 @@ object WarcKernel {
     out
   }
 
+  /** RFC 9112 §7.1 chunk framing of a body — the SYNTHESIS sibling of
+    * the kernel's de-chunker (shards planted through this must recover
+    * byte-exactly): `chunkSize`-byte chunks, hex size lines, zero-size
+    * terminator, no trailers. */
+  def chunkEncode(body: Array[Byte], chunkSize: Int): Array[Byte] = {
+    require(chunkSize >= 1, s"chunkSize must be >= 1, got $chunkSize")
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < body.length) {
+      val n = math.min(chunkSize, body.length - i)
+      out.write(java.lang.Integer.toHexString(n).getBytes("US-ASCII"))
+      out.write('\r'); out.write('\n')
+      out.write(body, i, n)
+      out.write('\r'); out.write('\n')
+      i += n
+    }
+    out.write("0\r\n\r\n".getBytes("US-ASCII"))
+    out.toByteArray
+  }
+
   /** Parsed per-record flags: `[valid, isResponse, isRequest, isMetadata,
     * httpOk, contentLength]` — valid = 1 iff the version line reads
     * `WARC/1.0`, the headers carry a parseable `Content-Length` and a
     * `WARC-Type`, and the block is EXACTLY that length followed by the
     * closing CRLF CRLF; httpOk = 1 iff a response block's status line
-    * starts `HTTP/1.1 200`. */
+    * reads `HTTP/1.<minor> <2xx>` (HTTP/1.0 and 1.1 alike, any 2xx —
+    * the breadth real crawl shards need, r17 advice). */
   private def parseRecord(b: Array[Byte]): Array[Long] = {
     val invalid = Array(0L, 0L, 0L, 0L, 0L, 0L)
     // version line
@@ -99,14 +120,20 @@ object WarcKernel {
     val isReq = if (warcType == "request") 1L else 0L
     val isMeta = if (warcType == "metadata") 1L else 0L
     var httpOk = 0L
-    if (isResp == 1L) {
-      val ok = "HTTP/1.1 200".getBytes("US-ASCII")
-      if (contentLength >= ok.length) {
-        var k = 0
-        var m = true
-        while (k < ok.length) { if (b(i + k) != ok(k)) m = false; k += 1 }
-        if (m) httpOk = 1L
-      }
+    if (isResp == 1L && contentLength >= 12) {
+      // status line `HTTP/1.<minor> <2xx>`: real crawl shards carry
+      // HTTP/1.0 alongside 1.1, and any 2xx is a success per RFC 9110
+      // §15.3 — matching only the literal "HTTP/1.1 200" silently
+      // dropped valid documents (r17 advice)
+      val p = "HTTP/1.".getBytes("US-ASCII")
+      var k = 0
+      var m = true
+      while (k < p.length) { if (b(i + k) != p(k)) m = false; k += 1 }
+      def digit(x: Byte): Boolean = x >= '0' && x <= '9'
+      if (m && digit(b(i + 7)) && b(i + 8) == ' ' && b(i + 9) == '2' &&
+        digit(b(i + 10)) && digit(b(i + 11)) &&
+        (contentLength == 12 || b(i + 12) == ' ' || b(i + 12) == '\r'))
+        httpOk = 1L
     }
     Array(1L, isResp, isReq, isMeta, httpOk, contentLength)
   }
@@ -190,10 +217,11 @@ object WarcKernel {
 
   /** The PAYLOAD sibling of [[info]] — the extraction step a crawl
     * pipeline actually runs: walk the members and return the HTTP BODY of
-    * the first `response` record whose status line reads `HTTP/1.1 200`
-    * (the bytes after the HTTP message's first CRLF CRLF, decoded UTF-8),
+    * the first `response` record whose status line reads
+    * `HTTP/1.<minor> <2xx>` (the bytes after the HTTP message's first
+    * CRLF CRLF, de-chunked if the message is chunked, decoded UTF-8),
     * or null when no such record exists or the walk breaks structurally.
-    * Skipping non-200 responses is the real-pipeline rule — error pages
+    * Skipping non-2xx responses is the real-pipeline rule — error pages
     * are well-formed HTML and would otherwise flow straight into the
     * corpus (q341 plants exactly that trap). Early-exits at the first
     * hit, so the common case inflates one or two members, not the
@@ -242,13 +270,16 @@ object WarcKernel {
     }
   }
 
-  /** The 200-response body of one record's bytes, or null: a valid
+  /** The 2xx-response body of one record's bytes, or null: a valid
     * WARC/1.0 `response` record whose Content-Length-framed block opens
-    * with an `HTTP/1.1 200` status line — returns the block bytes after
-    * the HTTP header section's CRLF CRLF. */
+    * with an `HTTP/1.<minor> <2xx>` status line — returns the block
+    * bytes after the HTTP header section's CRLF CRLF, de-chunked first
+    * when the message declares `Transfer-Encoding: chunked` (RFC 9112
+    * §7.1 — common in real Common Crawl responses; a chunked 200 body
+    * used to extract nothing, r17 "what's missing" #3). */
   private def okHtmlBodyOf(b: Array[Byte]): String = {
     val r = parseRecord(b)
-    if (r(0) != 1L || r(1) != 1L || r(4) != 1L) return null // valid response, 200
+    if (r(0) != 1L || r(1) != 1L || r(4) != 1L) return null // valid response, 2xx
     // re-locate the block: headers end at the first CRLF CRLF of the record
     var i = 0
     while (i + 3 < b.length &&
@@ -260,7 +291,43 @@ object WarcKernel {
     while (j + 3 < blockEnd &&
       !(b(j) == '\r' && b(j + 1) == '\n' && b(j + 2) == '\r' && b(j + 3) == '\n')) j += 1
     if (j + 3 >= blockEnd) return null // no separator: header-only message
-    new String(b, j + 4, blockEnd - (j + 4), "UTF-8")
+    val headers = new String(b, blockStart, j - blockStart, "ISO-8859-1")
+    val chunked = headers.linesIterator.exists { line =>
+      val c = line.indexOf(':')
+      c > 0 && line.substring(0, c).trim.equalsIgnoreCase("transfer-encoding") &&
+        line.substring(c + 1).toLowerCase(java.util.Locale.ROOT).contains("chunked")
+    }
+    if (!chunked) return new String(b, j + 4, blockEnd - (j + 4), "UTF-8")
+    val body = dechunk(b, j + 4, blockEnd)
+    if (body == null) null else new String(body, "UTF-8")
+  }
+
+  /** RFC 9112 §7.1 chunked-transfer decoding over `b[from, to)`: hex
+    * chunk-size line (chunk extensions after `;` ignored), CRLF, data,
+    * CRLF, …, terminated by a zero-size chunk (trailer fields, if any,
+    * are ignored). Returns null on any framing violation — a body that
+    * cannot be de-chunked must not leak half-decoded into the corpus. */
+  private def dechunk(b: Array[Byte], from: Int, to: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var i = from
+    while (i < to) {
+      var j = i
+      while (j + 1 < to && !(b(j) == '\r' && b(j + 1) == '\n')) j += 1
+      if (j + 1 >= to) return null // size line without CRLF
+      val line = new String(b, i, j - i, "US-ASCII")
+      val semi = line.indexOf(';')
+      val hex = (if (semi >= 0) line.substring(0, semi) else line).trim
+      val size =
+        try java.lang.Long.parseLong(hex, 16)
+        catch { case _: NumberFormatException => return null }
+      if (size < 0 || size > (to - (j + 2)).toLong) return null
+      if (size == 0) return out.toByteArray // trailers (if any) ignored
+      out.write(b, j + 2, size.toInt)
+      val n = j + 2 + size.toInt
+      if (n + 1 >= to || b(n) != '\r' || b(n + 1) != '\n') return null
+      i = n + 2
+    }
+    null // ran out of input before the zero-size terminator
   }
 }
 
@@ -293,7 +360,8 @@ case class WarcInfoExpr(child: Expression) extends UnaryExpression {
 }
 
 /** Fused WARC payload extraction: binary → string — the HTTP body of the
-  * first 200-status `response` record (null when none): the
+  * first 2xx-status `response` record (null when none; chunked bodies
+  * de-chunked): the
   * shard-to-document step of crawl ingestion, one early-exiting member
   * walk per row inside WholeStageCodegen, zero shuffle. */
 case class WarcBodyExpr(child: Expression) extends UnaryExpression {
@@ -330,7 +398,7 @@ object WarcExpressions {
   def warcInfo(bin: Column): Column =
     GraftShims.column(WarcInfoExpr(GraftShims.expression(bin)))
 
-  /** string: the HTTP body of the shard's first 200-status response
+  /** string: the HTTP body of the shard's first 2xx-status response
     * record; null when the shard has none or cannot be walked. */
   def warcBody(bin: Column): Column =
     GraftShims.column(WarcBodyExpr(GraftShims.expression(bin)))

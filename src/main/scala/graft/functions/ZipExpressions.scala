@@ -115,10 +115,19 @@ object ZipKernel {
   def info(bytes: Array[Byte]): Array[Long] = {
     val fail = Array(0L, -1L, -1L, -1L, -1L, -1L)
     if (bytes == null || bytes.length < 22) return fail
-    // EOCD: scan back over the (possibly empty) comment for PK\5\6
+    // EOCD: scan back over the (possibly empty) comment for PK\5\6 —
+    // and VALIDATE each candidate before trusting it (r17 advice): a
+    // trailing comment or stored payload near the tail can contain the
+    // 4 signature bytes, so the first hit is only the EOCD if its own
+    // comment length lands the record exactly at end-of-file and its
+    // directory (offset + size) ends where the record begins.
     var e = bytes.length - 22
     val floor = math.max(0, bytes.length - 22 - 0xffff)
-    while (e >= floor && r32(bytes, e) != 0x06054b50L) e -= 1
+    def eocdValid(at: Int): Boolean =
+      r32(bytes, at) == 0x06054b50L &&
+        at + 22 + r16(bytes, at + 20) == bytes.length &&
+        r32(bytes, at + 16) + r32(bytes, at + 12) == at.toLong
+    while (e >= floor && !eocdValid(e)) e -= 1
     if (e < floor) return fail
     val n = r16(bytes, e + 10)
     val cdOff = r32(bytes, e + 16)

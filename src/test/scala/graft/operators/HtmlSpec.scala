@@ -28,6 +28,21 @@ class HtmlSpec extends AnyFunSuite {
     val up = HtmlKernel.extract(
       D + """<html><body><script>x = "<i>no</i>";</SCRIPT><p>ok</p></body></html>""")
     assert(up._2 == "ok")
+    // close-tag PREFIX impostors (r17 advice): '</scriptx>' and
+    // '</styles>' are raw text, not terminators — accepting the prefix
+    // would end the region early and leak its remainder into the text
+    val impostor = HtmlKernel.extract(
+      D + """<html><body><script>a = "</scriptx>"; b = "<p>leak</p>";""" +
+        """</script><p>clean</p></body></html>""")
+    assert(impostor._2 == "clean")
+    val styles = HtmlKernel.extract(
+      D + """<html><body><style>.x { content: "</styles>"; }""" +
+        """</style><p>styled</p></body></html>""")
+    assert(styles._2 == "styled")
+    // whitespace/solidus after the name IS a whole-name match per spec
+    val spaced = HtmlKernel.extract(
+      D + """<html><body><script>c = 1;</script ><p>after</p></body></html>""")
+    assert(spaced._2 == "after")
   }
 
   test("entities: the five predefined decode, unknown and numeric stay literal") {

@@ -57,6 +57,24 @@ class SafetensorsSpec extends AnyFunSuite {
     assert(SafetensorsKernel.info(null).head == 0L)
   }
 
+  test("64-bit overflow lies fail loud (r17 advice): wrapped products cannot fake a span") {
+    // shape [2^62, 4] F32: elems*sz wraps to 0 under plain Long
+    // arithmetic, which would satisfy a zero-length span — the checked
+    // multiply must fail the row instead
+    val wrap = """{"a":{"dtype":"F32","shape":[4611686018427387904,4],""" +
+      """"data_offsets":[0,0]}}"""
+    assert(SafetensorsKernel.info(artifact(wrap, 0)).head == 0L)
+    // two dims whose product wraps to a SMALL positive span
+    val wrap2 = """{"a":{"dtype":"U8","shape":[6148914691236517206,3],""" +
+      """"data_offsets":[0,2]}}"""
+    assert(SafetensorsKernel.info(artifact(wrap2, 2)).head == 0L)
+    // a 25-digit offset literal overflows digit accumulation -> Bad row,
+    // never a wrapped offset that happens to tile
+    val bigOff = """{"a":{"dtype":"U8","shape":[2],""" +
+      """"data_offsets":[0,1000000000000000000000000]}}"""
+    assert(SafetensorsKernel.info(artifact(bigOff, 2)).head == 0L)
+  }
+
   test("DataFrame chain: safetensorsArtifacts -> safetensorsInfo round-trips the plants") {
     val ids = Seq(
       (5L, 2, true, false),

@@ -42,6 +42,20 @@ class WarcSpec extends AnyFunSuite {
       Seq(1L, 1L, 1L, 1L, 0L, 0L, 0L, 26L, 0L))
   }
 
+  test("http-ok breadth (r17 advice): HTTP/1.0 and any 2xx count; 3xx/junk do not") {
+    def resp(status: String) = WarcKernel.record("response", "<urn:uuid:2-1>",
+      "2026-08-16T00:00:00Z", "http://example.com/2/1",
+      (status + "\r\n\r\nbody").getBytes("US-ASCII"))
+    def okFlag(status: String): Long = WarcKernel.info(shard(resp(status)))(6)
+    assert(okFlag("HTTP/1.0 200 OK") == 1L)
+    assert(okFlag("HTTP/1.1 206 Partial Content") == 1L)
+    assert(okFlag("HTTP/1.0 204 No Content") == 1L)
+    assert(okFlag("HTTP/1.1 301 Moved Permanently") == 0L)
+    assert(okFlag("HTTP/1.1 404 Not Found") == 0L)
+    assert(okFlag("HTTP/2 200") == 0L) // not a 1.x status line
+    assert(okFlag("HTTP/1.1 2000") == 0L) // 4-digit junk is not a 2xx
+  }
+
   test("JDK GZIPInputStream parity: the shard is a valid multi-member stream") {
     val r0 = WarcKernel.record("metadata", "<urn:uuid:3-0>",
       "2026-08-16T00:00:00Z", null, "aa".getBytes("US-ASCII"))
@@ -110,10 +124,42 @@ class WarcSpec extends AnyFunSuite {
     assert(WarcKernel.firstOkHtmlBody(null) == null)
   }
 
+  test("chunked Transfer-Encoding bodies de-chunk byte-exactly; bad framing yields null") {
+    val page = "<p>chunked page with some length to it</p>" * 5
+    def chunkedResp(body: Array[Byte]) = WarcKernel.record("response",
+      "<urn:uuid:6-4>", "2026-08-16T00:00:00Z", "http://example.com/6",
+      ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+        "Transfer-Encoding: chunked\r\n\r\n").getBytes("US-ASCII") ++ body)
+    // exact recovery across a chunk size that splits mid-tag, incl. a
+    // final short chunk
+    assert(WarcKernel.firstOkHtmlBody(
+      shard(chunkedResp(WarcKernel.chunkEncode(page.getBytes("UTF-8"), 37)))) == page)
+    // chunk extensions after ';' are ignored per RFC 9112
+    val withExt = ("25;ext=1\r\n" + page.take(37) + "\r\n" +
+      java.lang.Integer.toHexString(page.length - 37) + "\r\n" + page.drop(37) +
+      "\r\n0\r\n\r\n").getBytes("UTF-8")
+    assert(WarcKernel.firstOkHtmlBody(shard(chunkedResp(withExt))) == page)
+    // HTTP/1.0 plain bodies extract too (the other r17 breadth gap)
+    val v10 = WarcKernel.record("response", "<urn:uuid:6-5>",
+      "2026-08-16T00:00:00Z", "http://example.com/6",
+      "HTTP/1.0 200 OK\r\nContent-Type: text/html\r\n\r\n<p>ten</p>"
+        .getBytes("US-ASCII"))
+    assert(WarcKernel.firstOkHtmlBody(shard(v10)) == "<p>ten</p>")
+    // framing violations: non-hex size, size overrunning the block,
+    // missing zero-terminator — all null, never a half-decoded body
+    assert(WarcKernel.firstOkHtmlBody(
+      shard(chunkedResp("zz\r\nhello\r\n0\r\n\r\n".getBytes("US-ASCII")))) == null)
+    assert(WarcKernel.firstOkHtmlBody(
+      shard(chunkedResp("fff\r\nhello\r\n0\r\n\r\n".getBytes("US-ASCII")))) == null)
+    assert(WarcKernel.firstOkHtmlBody(
+      shard(chunkedResp("5\r\nhello\r\n".getBytes("US-ASCII")))) == null)
+  }
+
   test("capstone chain: shard -> 200 body -> html extraction recovers the exact text") {
     val ids = Seq(
       (7L, "seven is on the error-page plant cycle", 2), // 7 % 7 == 0: 404 first
-      (8L, "eight goes straight to the ok response", 3)
+      (8L, "eight goes straight to the ok response", 3), // 8 % 3 == 2: plain 1.1
+      (9L, "nine rides the chunked transfer plant", 1) //  9 % 3 == 0: chunked
     ).toDF("media_id", "text", "n_nav")
     val body = Multimodal.warcResponseBody(
       Multimodal.syntheticWarcHtmlShards(ids).select(col("media_id"), col("content")),
@@ -125,6 +171,9 @@ class WarcSpec extends AnyFunSuite {
     assert(got(1).getBoolean(1) &&
       got(1).getString(5) == "eight goes straight to the ok response")
     assert(got(0).getString(2) == "doc 7 & co" && got(1).getInt(3) == 4)
+    // the chunked shard recovers the exact text through the de-chunker
+    assert(got(2).getBoolean(1) &&
+      got(2).getString(5) == "nine rides the chunked transfer plant")
   }
 
   test("DataFrame chain: syntheticWarcShards -> warcInfo round-trips the plants") {

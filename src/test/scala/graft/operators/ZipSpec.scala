@@ -62,6 +62,36 @@ class ZipSpec extends AnyFunSuite {
     assert(ZipKernel.info(null).head == 0L)
   }
 
+  test("EOCD discovery survives a trailing comment containing the signature bytes (r17 advice)") {
+    // real-world zips may carry an archive comment; one whose text
+    // contains PK\5\6 used to win the backward scan (highest offset) and
+    // yield a bogus EOCD — candidates are now validated (comment length
+    // must land the record at EOF, directory offset+size must end at the
+    // record) and the scan continues past impostors
+    val base = ZipKernel.zip(entries)
+    // comment embeds an ADVERSARIAL fake EOCD: real signature bytes with
+    // a zeroed comment-length field, so the fake 22-byte record lands
+    // exactly at EOF and passes the first validation clause -- only the
+    // directory offset+size check unmasks it
+    val comment = "cmt".getBytes("US-ASCII") ++
+      Array[Byte](0x50, 0x4b, 0x05, 0x06) ++ new Array[Byte](18)
+    val withComment = new Array[Byte](base.length + comment.length)
+    System.arraycopy(base, 0, withComment, 0, base.length)
+    System.arraycopy(comment, 0, withComment, base.length, comment.length)
+    // patch the real EOCD's comment-length field (tail of the base bytes)
+    val e = base.length - 22
+    withComment(e + 20) = (comment.length & 0xff).toByte
+    withComment(e + 21) = ((comment.length >> 8) & 0xff).toByte
+    assert(ZipKernel.info(withComment).toSeq ==
+      Seq(1L, 3L, 1L, 202L, 0L, 0L))
+    // and an UNPATCHED comment-length (record does not reach EOF) means
+    // no candidate validates anywhere: fail loud, not wrong-but-plausible
+    val broken = new Array[Byte](base.length + comment.length)
+    System.arraycopy(base, 0, broken, 0, base.length)
+    System.arraycopy(comment, 0, broken, base.length, comment.length)
+    assert(ZipKernel.info(broken).head == 0L)
+  }
+
   test("DataFrame chain: zipArchives -> zipInfo round-trips the plants") {
     val ids = Seq((4L, 3, false), (11L, 2, true))
       .toDF("media_id", "n_ent", "tamper_crc")
