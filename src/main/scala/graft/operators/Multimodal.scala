@@ -939,9 +939,17 @@ object Multimodal {
             val body = "x" * bodyLen
             val (warcType, uri, payload) = (j % 3) match {
               case 0 =>
-                val status =
-                  if ((mediaId + j) % 6 == 0) "HTTP/1.1 404 Not Found\r\n\r\n"
-                  else "HTTP/1.1 200 OK\r\n\r\n"
+                // status variety mirrors real crawl shards: HTTP/1.0
+                // alongside 1.1, and a non-200 success (206) — the
+                // oracle counts ALL of 1.0/200, 1.1/200 and 206 as
+                // http_ok, so a kernel matching only "HTTP/1.1 200"
+                // hash-fails (r17 advice made gate-visible)
+                val status = ((mediaId + j) % 6) match {
+                  case 0 => "HTTP/1.1 404 Not Found\r\n\r\n"
+                  case 1 => "HTTP/1.0 200 OK\r\n\r\n"
+                  case 2 => "HTTP/1.1 206 Partial\r\n\r\n"
+                  case _ => "HTTP/1.1 200 OK\r\n\r\n"
+                }
                 ("response", s"http://example.com/$mediaId/$j", status + body)
               case 1 => ("request", s"http://example.com/$mediaId/$j", body)
               case _ => ("metadata", null, body)
@@ -1116,7 +1124,10 @@ object Multimodal {
     * page (the real-pipeline trap: a kernel that takes the first response
     * regardless of status extracts "not found" instead of the document —
     * hash-visible on every 7th row), then the 200 `response` whose body
-    * is [[synthHtml]] over the document text, then a `metadata` record.
+    * is [[synthHtml]] over the document text (every 3rd shard chunked
+    * HTTP/1.1, every 3rd+1 plain HTTP/1.0, else plain HTTP/1.1 — the
+    * transfer breadth of real crawl shards, each form on the byte-exact
+    * recovery path), then a `metadata` record.
     * Same member form as [[syntheticWarcShards]] (record-at-time gzip,
     * real trailers). Input columns: (media_id long, text string,
     * n_nav int). */
@@ -1142,10 +1153,28 @@ object Multimodal {
               ("HTTP/1.1 404 Not Found\r\nContent-Type: text/html\r\n\r\n" + errHtml)
                 .getBytes("UTF-8"))))
           }
+          // transfer variety on the OK response (r18): every 3rd shard a
+          // chunked HTTP/1.1 message (the de-chunker is on the byte-exact
+          // recovery path — a kernel that cannot de-chunk extracts nothing
+          // and hash-fails), every 3rd+1 a plain HTTP/1.0 — real crawl
+          // shards carry all three forms
+          val html = synthHtml(id, text, m).getBytes("UTF-8")
+          val okPayload = (id % 3) match {
+            case 0 =>
+              val head = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+                "Transfer-Encoding: chunked\r\n\r\n"
+              head.getBytes("US-ASCII") ++
+                graft.functions.WarcKernel.chunkEncode(html, 100)
+            case 1 =>
+              "HTTP/1.0 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                .getBytes("US-ASCII") ++ html
+            case _ =>
+              "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                .getBytes("US-ASCII") ++ html
+          }
           buf.write(member(graft.functions.WarcKernel.record(
             "response", s"<urn:uuid:$id-ok>", date, s"http://example.com/$id",
-            ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + synthHtml(id, text, m))
-              .getBytes("UTF-8"))))
+            okPayload)))
           buf.write(member(graft.functions.WarcKernel.record(
             "metadata", s"<urn:uuid:$id-meta>", date, null,
             "fetchTimeMs: 12".getBytes("US-ASCII"))))
@@ -1171,6 +1200,56 @@ object Multimodal {
       .withColumn("n_decoded",
         when(col("is_zstd") && col("decode_ok"), element_at(col("__d"), 6)))
       .drop("__d", binCol)
+  }
+
+  /** (media_id, is_parquet, n_row_groups, n_columns, n_rows, n_chunks,
+    * tiling_ok) from the fused parquet footer audit
+    * ([[graft.functions.ParquetFooterKernel]]) — magic + thrift-compact
+    * `FileMetaData` walk down to column-chunk regions and the tiling
+    * contract, data pages never read: the manifest-speed integrity scan
+    * of the lake's own storage format (q350). `data_bytes` (declared
+    * compressed chunk bytes) is parsed but spec-pinned rather than
+    * surfaced — page-header byte counts are writer-layout detail, not
+    * oracle-closed-form. */
+  def parquetFooterInfo(media: DataFrame, binCol: String): DataFrame = {
+    val d = graft.functions.ParquetFooterExpressions.parquetFooterInfo(col(binCol))
+    media.withColumn("__d", d)
+      .withColumn("is_parquet", element_at(col("__d"), 1) === 1L)
+      .withColumn("n_row_groups", when(col("is_parquet"), element_at(col("__d"), 2)))
+      .withColumn("n_columns", when(col("is_parquet"), element_at(col("__d"), 3)))
+      .withColumn("n_rows", when(col("is_parquet"), element_at(col("__d"), 4)))
+      .withColumn("n_chunks", when(col("is_parquet"), element_at(col("__d"), 5)))
+      .withColumn("tiling_ok", when(col("is_parquet"), element_at(col("__d"), 7) === 1L))
+      .drop("__d", binCol)
+  }
+
+  /** Deterministic synthetic parquet files — REAL single-column
+    * (required INT64 `v`, PLAIN, uncompressed) files written by
+    * [[graft.functions.ParquetFooterKernel.build]]'s thrift-compact
+    * writer, readable by parquet-mr/Spark (`ParquetFooterSpec` pins
+    * that parity): `1 + media_id % 3` row groups, group `g` holding
+    * `5 + (media_id*3 + g*7) % 20` rows (closed-form for the SQL
+    * oracle), values counting up from `media_id * 1000`. `lie_overlap`
+    * ships an HONEST data section under a LYING footer — the last
+    * chunk's first-page offset shifted so its declared region crosses
+    * the footer boundary or a neighbour chunk: the tiling-contract
+    * tamper channel, `tiling_ok` must read false with tallies intact.
+    * Input columns: (media_id long, lie_overlap boolean). One
+    * `mapPartitions`, zero shuffle. */
+  def syntheticParquetFiles(ids: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(mediaSchema)
+    ids.select(col("media_id"), col("lie_overlap"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val lie = r.getBoolean(1)
+          val nRg = (1 + id % 3).toInt
+          val rowsPerGroup = (0 until nRg).map(g => (5 + (id * 3 + g * 7) % 20).toInt)
+          val bytes = graft.functions.ParquetFooterKernel.build(
+            rowsPerGroup, base = id * 1000L, lieOverlap = lie)
+          Row(id, "application/vnd.apache.parquet", bytes, Row(null, null, null))
+        }
+      }(enc)
   }
 
   /** REAL zstd frames over a text column — explicit compression level

@@ -541,6 +541,32 @@ object CorpusPack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Parquet footer audit (r18, the r17 verdict's #3): the container
+    // family's capstone on the format the lake ITSELF stores. Synthetic
+    // single-column parquet files (REAL thrift-compact footers +
+    // PLAIN INT64 pages, parquet-mr-readable — ParquetFooterSpec pins
+    // the parity) through the fused footer walk: magic both ends,
+    // bounded footer length, FileMetaData parse to row groups and
+    // column chunks, and the chunk-region tiling contract, data pages
+    // never read. Every 11th doc ships an honest data section under a
+    // LYING footer (last chunk's region slid across a boundary):
+    // tiling_ok must read false with tallies intact. Every 43rd doc's
+    // bytes are corrupted wholesale and must fail the row.
+    "q350_parquet_footer" -> ((s, d) => {
+      val ids = Tables.documents(s, d).select(
+        col("doc_id").as("media_id"),
+        (col("doc_id") % 11 === 0).as("lie_overlap"))
+      val media = Multimodal.syntheticParquetFiles(ids)
+        .withColumn("content",
+          when(col("media_id") % 43 === 0, lit("NOTAPARQ".getBytes("US-ASCII")))
+            .otherwise(col("content")))
+      Multimodal.parquetFooterInfo(media.select(col("media_id"), col("content")), "content")
+        .select(col("media_id").as("doc_id"), col("is_parquet"),
+          col("n_row_groups"), col("n_columns"), col("n_rows"),
+          col("n_chunks"), col("tiling_ok"))
+        .orderBy(col("doc_id"))
+    }),
+
     // The WAV container layer end-to-end (r14): synth PCM → canonical
     // RIFF wrap → parse (magic/fmt verification, body extraction) →
     // features off the EXTRACTED body, with every 43rd container
@@ -1390,10 +1416,29 @@ object CorpusPack extends QueryPack {
       import org.apache.spark.sql.expressions.Window
       val ids = Tables.events(s, d).filter(col("event_id") % 97 =!= 0)
         .select(col("event_id"))
-      val w = Window.orderBy(col("event_id"))
-      ids
-        .withColumn("__prev", lag(col("event_id"), 1).over(w))
+      // Two-phase gap scan (r18 — this was the one CORPUS-shaped global
+      // window in the packs): in-bucket lag runs partitioned (parallel,
+      // 2^16 ids per bucket), and only the bucket-BOUNDARY adjacencies
+      // (prev bucket's max -> this bucket's min) go through the
+      // unpartitioned frame, which is bucket-aggregate-sized.
+      val B = 1L << 16
+      val bucketed = ids.withColumn("__bkt", floor(col("event_id") / B).cast("long"))
+      val inBucket = Window.partitionBy(col("__bkt")).orderBy(col("event_id"))
+      val innerGaps = bucketed
+        .withColumn("__prev", lag(col("event_id"), 1).over(inBucket))
         .filter(col("__prev").isNotNull && col("event_id") - col("__prev") > 1)
+        .select(col("__prev"), col("event_id"))
+      // UNPARTITIONED-WINDOW: non-empty-bucket frame (id-span / 2^16
+      // under the dense-id events contract), WindowGuard-ed
+      val wBkt = Window.orderBy(col("__bkt"))
+      val boundaryGaps = bucketed
+        .groupBy(col("__bkt"))
+        .agg(min(col("event_id")).as("__min"), max(col("event_id")).as("__max"))
+        .withColumn("__prevMax", graft.operators.WindowGuard.guarded(
+          lag(col("__max"), 1).over(wBkt), Seq(col("__bkt")), "q200_id_gaps"))
+        .filter(col("__prevMax").isNotNull && col("__min") - col("__prevMax") > 1)
+        .select(col("__prevMax").as("__prev"), col("__min").as("event_id"))
+      innerGaps.unionByName(boundaryGaps)
         .select((col("__prev") + 1).as("gap_start"),
           (col("event_id") - 1).as("gap_end"),
           (col("event_id") - col("__prev") - 1).as("missing"))
@@ -2715,7 +2760,9 @@ object CorpusPack extends QueryPack {
                10 + (doc_id*7 + j*13) % 90 AS body_len,
                (j % 3 = 0 AND (doc_id + j) % 6 <> 0) AS http_ok,
                CASE WHEN j % 3 = 0
-                    THEN CASE WHEN (doc_id + j) % 6 = 0 THEN 26 ELSE 19 END
+                    THEN CASE WHEN (doc_id + j) % 6 = 0 THEN 26
+                              WHEN (doc_id + j) % 6 = 2 THEN 24
+                              ELSE 19 END
                     ELSE 0 END AS prefix_len
         FROM r),
       agg AS (
@@ -2841,7 +2888,9 @@ object CorpusPack extends QueryPack {
       f AS (SELECT doc_id, j % 3 = 0 AS is_resp,
                    10 + (doc_id*7 + j*13) % 90
                      + CASE WHEN j % 3 = 0
-                            THEN CASE WHEN (doc_id + j) % 6 = 0 THEN 26 ELSE 19 END
+                            THEN CASE WHEN (doc_id + j) % 6 = 0 THEN 26
+                                      WHEN (doc_id + j) % 6 = 2 THEN 24
+                                      ELSE 19 END
                             ELSE 0 END AS clen,
                    (j % 3 = 0 AND (doc_id + j) % 6 <> 0) AS http_ok
             FROM r)
@@ -3013,6 +3062,32 @@ object CorpusPack extends QueryPack {
              CASE WHEN ok THEN CAST(n_len AS BIGINT) END AS n_len,
              CASE WHEN ok THEN CAST(varint_sum AS BIGINT) END AS varint_sum,
              CASE WHEN ok THEN CAST(len_total AS BIGINT) END AS len_total
+      FROM agg ORDER BY doc_id""",
+
+    // q350: row-group/row tallies regenerated closed-form from the
+    // plant formulas (1 + doc_id % 3 groups, group g holding
+    // 5 + (doc_id*3 + g*7) % 20 rows, one INT64 column); the footer lie
+    // (every 11th) flips tiling_ok with tallies INTACT, wholesale
+    // corruption (every 43rd) fails the row.
+    "q350_parquet_footer" -> """
+      WITH p AS (SELECT doc_id, 1 + doc_id % 3 AS nrg,
+                        doc_id % 43 <> 0 AS ok,
+                        doc_id % 11 <> 0 AS tile
+                 FROM documents),
+      r AS (SELECT doc_id, nrg, ok, tile,
+                   unnest(generate_series(0, nrg - 1)) AS g
+            FROM p),
+      agg AS (SELECT doc_id, max(nrg) AS nrg, bool_or(ok) AS ok,
+                     bool_or(tile) AS tile,
+                     sum(5 + (doc_id*3 + g*7) % 20) AS n_rows
+              FROM r GROUP BY doc_id)
+      SELECT doc_id,
+             ok AS is_parquet,
+             CASE WHEN ok THEN CAST(nrg AS BIGINT) END AS n_row_groups,
+             CASE WHEN ok THEN CAST(1 AS BIGINT) END AS n_columns,
+             CASE WHEN ok THEN CAST(n_rows AS BIGINT) END AS n_rows,
+             CASE WHEN ok THEN CAST(nrg AS BIGINT) END AS n_chunks,
+             CASE WHEN ok THEN tile END AS tiling_ok
       FROM agg ORDER BY doc_id""",
 
     // q286: output pixels are the formula sampled at src = 2·dst.
