@@ -112,6 +112,9 @@ object Chunking {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val withCum = bucketed
       .withColumn("__cum", sum(col(tokenCol).cast("long")).over(inBucket))
+    // UNPARTITIONED-WINDOW: bounded by the `buckets` knob — the
+    // two-phase prefix-sum offset frame (see the scaladoc above on the
+    // avoided global-window form)
     val acrossBuckets = Window.orderBy(col("__bkt"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = bucketed

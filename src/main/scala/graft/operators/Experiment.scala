@@ -466,6 +466,8 @@ object Experiment {
     val logLambda =
       lit(0.5) * log(se2 / (se2 + lit(tau2))) +
         diff * diff * lit(tau2) / (lit(2.0) * se2 * (se2 + lit(tau2)))
+    // UNPARTITIONED-WINDOW: bounded by the analysis-cut count (a
+    // monitoring-schedule parameter, tens of rows)
     val w = Window.orderBy(col(cutCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     cuts

@@ -429,12 +429,16 @@ object Inference {
     import org.apache.spark.sql.expressions.Window
     require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0, 1), got $alpha")
     require(tieCols.nonEmpty, "tieCols must break equal-p ordering ties")
+    // UNPARTITIONED-WINDOW: hypothesis-count frame (one row per TEST,
+    // not per observation), WindowGuard-ed
     val ord = Window.orderBy(col(pCol) +: tieCols.map(col): _*)
     val sufMin = Window.orderBy(col("rank"))
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     df.filter(col(pCol).isNotNull)
       .withColumn("m", count(lit(1)).over(Window.partitionBy(lit(1))))
-      .withColumn("rank", row_number().over(ord).cast("long"))
+      .withColumn("rank", WindowGuard.guarded(
+        row_number().over(ord).cast("long"),
+        col(pCol) +: tieCols.map(col), "bhFdr"))
       .withColumn("p_adj", q6(least(lit(1.0),
         min(col(pCol) * col("m").cast("double") / col("rank").cast("double"))
           .over(sufMin))))

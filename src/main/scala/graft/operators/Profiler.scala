@@ -599,10 +599,13 @@ object Profiler {
         .groupBy(col("__v")).agg(count(lit(1)).as("__nb")), Seq("__v"), "full_outer")
       .select(col("__v"), coalesce(col("__na"), lit(0L)).as("__na"),
         coalesce(col("__nb"), lit(0L)).as("__nb"))
+    // UNPARTITIONED-WINDOW: distinct-value frame, WindowGuard-ed
     val w = Window.orderBy(col("__v")).rowsBetween(Window.unboundedPreceding, -1)
     val ranked = counts
       .withColumn("__t", col("__na") + col("__nb"))
-      .withColumn("__before", coalesce(sum(col("__t")).over(w), lit(0L)))
+      .withColumn("__before", WindowGuard.guarded(
+        coalesce(sum(col("__t")).over(w), lit(0L)),
+        Seq(col("__v")), "mannWhitney"))
       // doubled midrank 2·mid = 2·before + t + 1 is an exact LONG — the
       // na·mid rank sum then accumulates as decimal(38,0), order-free at
       // ANY n (a double sum of na·mid loses exactness past na·mid ≈ 2^53)
@@ -654,9 +657,12 @@ object Profiler {
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__x"))
+    // UNPARTITIONED-WINDOW: group-cardinality frame, WindowGuard-ed
     val w = Window.orderBy(col("__x"), col(groupCol))
     counts
-      .withColumn("__i", row_number().over(w).cast("long"))
+      .withColumn("__i", WindowGuard.guarded(
+        row_number().over(w).cast("long"),
+        Seq(col("__x"), col(groupCol)), "giniConcentration"))
       .agg(count(lit(1)).as("n_groups"), sum(col("__x")).as("total"),
         sum(col("__i") * col("__x")).as("__ix"))
       .select(col("n_groups"), col("total"),
@@ -892,6 +898,8 @@ object Profiler {
     * one exact-integer division off cumulative prefixes. */
   private def pavMinimax(binned: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // UNPARTITIONED-WINDOW: bounded by the `bins` knob (callers bin
+    // scores into a parameter-sized frame before this core)
     val wCum = Window.orderBy(col("bin"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = binned
@@ -1035,11 +1043,13 @@ object Profiler {
         .groupBy(col("__v")).agg(count(lit(1)).as("__nb")), Seq("__v"), "full_outer")
       .select(col("__v"), coalesce(col("__na"), lit(0L)).as("__na"),
         coalesce(col("__nb"), lit(0L)).as("__nb"))
+    // UNPARTITIONED-WINDOW: distinct-value frame, WindowGuard-ed
     val w = Window.orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val totals = counts.agg(sum(col("__na")).as("__ta"), sum(col("__nb")).as("__tb"))
     counts
-      .withColumn("__ca", sum(col("__na")).over(w))
+      .withColumn("__ca", WindowGuard.guarded(
+        sum(col("__na")).over(w), Seq(col("__v")), "ksTest"))
       .withColumn("__cb", sum(col("__nb")).over(w))
       .crossJoin(broadcast(totals))
       .select(col("__ta"), col("__tb"),
@@ -1308,10 +1318,13 @@ object Profiler {
       .groupBy(col("__v"))
       .agg(count(when(col("__y"), 1)).as("__np"),
         count(when(!col("__y"), 1)).as("__nn"))
+    // UNPARTITIONED-WINDOW: distinct-score frame, WindowGuard-ed
     val w = Window.orderBy(col("__v")).rowsBetween(Window.unboundedPreceding, -1)
     counts
       .withColumn("__t", col("__np") + col("__nn"))
-      .withColumn("__before", coalesce(sum(col("__t")).over(w), lit(0L)))
+      .withColumn("__before", WindowGuard.guarded(
+        coalesce(sum(col("__t")).over(w), lit(0L)),
+        Seq(col("__v")), "rocAuc"))
       // doubled midrank as exact long → np·2mid rank sum as decimal(38,0),
       // order-free at any n (double np·mid sums hit the 2^53 ceiling —
       // the mannWhitney fix applied here too)

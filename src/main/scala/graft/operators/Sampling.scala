@@ -218,6 +218,8 @@ object Sampling {
       .withColumn("__h", keyHash(col(keyCol), salt))
       .withColumn("__bkt", shiftright(col("__h"), 52))
     val inBucket = Window.partitionBy(col("__bkt")).orderBy(col("__h"), col(keyCol))
+    // UNPARTITIONED-WINDOW: bounded at 4096 rows (12-bit __bkt space) —
+    // the two-phase prefix-sum offset frame
     val acrossBuckets = Window.orderBy(col("__bkt"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = withH.groupBy(col("__bkt")).agg(count(lit(1)).as("__c"))

@@ -294,8 +294,9 @@ object TextAnalysis {
     val counts = df.select(explode(split(col(textCol), " ")).as("__t"))
       .groupBy(col("__t")).agg(count(lit(1)).as("__c"))
       .orderBy(col("__c").desc, col("__t")).limit(topRanks)
-    // rank window runs over <= topRanks rows (parameter-bounded, one task
-    // by construction — that IS the contract, not an accident)
+    // UNPARTITIONED-WINDOW: bounded by the `topRanks` knob (limit above)
+    // — <= topRanks rows on one task by construction; that IS the
+    // contract, not an accident
     val ranked = counts.withColumn("__r",
       row_number().over(Window.orderBy(col("__c").desc, col("__t"))))
     val xy = ranked.select(log(col("__r").cast("double")).as("x"),
@@ -2029,6 +2030,8 @@ object TextAnalysis {
     val perBucket = toks.groupBy(col("__b")).agg(count(lit(1)).as("__nt"))
     val firstBucket = toks.groupBy(col("__tok")).agg(min(col("__b")).as("__b"))
       .groupBy(col("__b")).agg(count(lit(1)).as("__nv"))
+    // UNPARTITIONED-WINDOW: bounded by the `buckets` knob (the id span
+    // is quantized into exactly `buckets` cells above)
     val wCum = Window.orderBy(col("__b"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val pts = perBucket.join(firstBucket, Seq("__b"), "left")

@@ -293,11 +293,14 @@ object TimeSeries {
     val perT = base.groupBy(col("__t"))
       .agg(count(when(col("__o"), 1)).as("__d"), count(lit(1)).as("__all"))
     val total = perT.agg(sum(col("__all")).as("__n"))
+    // UNPARTITIONED-WINDOW: distinct-duration frame, WindowGuard-ed
     val wPrior = Window.orderBy(col("__t")).rowsBetween(Window.unboundedPreceding, -1)
     val wCum = Window.orderBy(col("__t"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     perT.crossJoin(broadcast(total))
-      .withColumn("__risk", col("__n") - coalesce(sum(col("__all")).over(wPrior), lit(0L)))
+      .withColumn("__risk", WindowGuard.guarded(
+        col("__n") - coalesce(sum(col("__all")).over(wPrior), lit(0L)),
+        Seq(col("__t")), "kaplanMeier"))
       .withColumn("__ln9",
         when(col("__d") < col("__risk"),
           floor(log(lit(1.0) - col("__d").cast("double") / col("__risk").cast("double"))
@@ -536,10 +539,13 @@ object TimeSeries {
       sum(when(col("__a") && col("__o"), 1L).otherwise(0L)).as("events_a"),
       sum(when(!col("__a") && col("__o"), 1L).otherwise(0L)).as("events_b"))
       .localCheckpoint(true) // 1 row, referenced by risks AND the readout
+    // UNPARTITIONED-WINDOW: distinct-duration frame, WindowGuard-ed
     val wBefore = Window.orderBy(col("__t"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val risks = perT.crossJoin(broadcast(tot))
-      .withColumn("__na", col("n_a") - coalesce(sum(col("__xa")).over(wBefore), lit(0L)))
+      .withColumn("__na", WindowGuard.guarded(
+        col("n_a") - coalesce(sum(col("__xa")).over(wBefore), lit(0L)),
+        Seq(col("__t")), "logRank"))
       .withColumn("__nb", col("n_b") - coalesce(sum(col("__xb")).over(wBefore), lit(0L)))
       .filter(col("__da") + col("__db") >= 1L)
     def d(c: String) = col(c).cast("double")

@@ -140,6 +140,8 @@ object ExperimentPack extends QueryPack {
           count(when(col("split") === "b", 1)).as("__db"),
           count(when(col("split") === "a" && col("conv") === 1, 1)).as("__ca"),
           count(when(col("split") === "b" && col("conv") === 1, 1)).as("__cb"))
+      // UNPARTITIONED-WINDOW: bounded by the analysis-cut count (one
+      // row per monitoring day)
       val w = Window.orderBy(col("cut"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val cuts = perDay.select(col("cut"),
@@ -171,6 +173,8 @@ object ExperimentPack extends QueryPack {
           sum(when(col("split") === "b", dec(col("dollars")))).as("__sb"),
           sum(when(col("split") === "a", dec(col("dollars") * col("dollars")))).as("__qa"),
           sum(when(col("split") === "b", dec(col("dollars") * col("dollars")))).as("__qb"))
+      // UNPARTITIONED-WINDOW: bounded by the analysis-cut count (one
+      // row per monitoring day)
       val w = Window.orderBy(col("cut"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val cuts = perCut.select(col("cut"),
