@@ -206,6 +206,28 @@ object ScaleProbe {
     // so a single noisy cell (the r16 q168 ×4 inversion) self-adjudicates —
     // the fit runs on per-cell minima and the JSON carries every sample
     val samplesPerCell = 3
+
+    // staged protocol (r17 verdict #2): a multi-ladder battery saturates
+    // the box for an hour (SCALEPROBE_r17 ran loadavg 1.0 -> 10.1), so
+    // tail cells of LATER ladders time against the probe's own heat.
+    // Before each cell: wait for the 1-minute loadavg to decay under
+    // `coolLoad` (env GRAFT_PROBE_COOL_LOAD, default 2.5; <= 0 disables),
+    // bounded by GRAFT_PROBE_COOL_MAX_SEC (default 240 s) so a busy
+    // shared box cannot stall the probe forever — and RECORD the load
+    // observed at cell start in the JSON, so a hot cell is visible
+    // instead of argued about.
+    val coolLoad = sys.env.get("GRAFT_PROBE_COOL_LOAD").map(_.toDouble).getOrElse(2.5)
+    val coolMaxSec = sys.env.get("GRAFT_PROBE_COOL_MAX_SEC").map(_.toInt).getOrElse(240)
+    def coolDown(): Double = {
+      val deadline = System.nanoTime() + coolMaxSec * 1000000000L
+      var load = osBean.getSystemLoadAverage
+      while (coolLoad > 0 && load > coolLoad && System.nanoTime() < deadline) {
+        Thread.sleep(10000)
+        load = osBean.getSystemLoadAverage
+      }
+      load
+    }
+
     val results = names.map { name =>
       // untimed per-query warm-up at the smallest mult: JVM/Spark startup,
       // codegen, and (for streaming drains) the first-stream init otherwise
@@ -213,10 +235,12 @@ object ScaleProbe {
       // 2× its warm time when only a foreign query had warmed the session)
       timeOne(name, s"$work/x${mults.head}", mults.head)
       val cells = mults.map { k =>
+        val cellLoad = coolDown()
         val samples = (1 to samplesPerCell).map(_ => timeOne(name, s"$work/x$k", k))
         println(f"[probe] $name%-30s x$k%-3d min=${samples.min}%8.2f s " +
+          f"load0=$cellLoad%.2f " +
           s"samples=${samples.map(t => f"$t%.2f").mkString("[", ",", "]")}")
-        (k, samples.min, samples)
+        (k, samples.min, samples, cellLoad)
       }
       val times = cells.map(c => c._1 -> c._2)
       val expAll = fit(times)
@@ -238,6 +262,8 @@ object ScaleProbe {
       s""""$name":{"times":{${cells.map(c => s""""${c._1}":${f"${c._2}%.3f"}""").mkString(",")}},""" +
         s""""samples":{${cells.map(c =>
           s""""${c._1}":[${c._3.map(t => f"$t%.3f").mkString(",")}]""").mkString(",")}},""" +
+        s""""cell_load0":{${cells.map(c =>
+          s""""${c._1}":${f"${c._4}%.2f"}""").mkString(",")}},""" +
         s""""exponent":${f"$e%.3f"},"exponent_tail":${f"$et%.3f"}}"""
     }.mkString(","))
     json.append("}}")
