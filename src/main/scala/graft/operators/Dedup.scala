@@ -633,15 +633,19 @@ object Dedup {
     require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
       s"need 0 < tauNum/tauDen <= 1, got $tauNum/$tauDen")
     import org.apache.spark.sql.expressions.Window
-    // the element table feeds df-counts, the prefix cut, AND both verify
-    // sides — four plan references; materialize it once (a deployment
-    // reads a persisted element table here) or every reference replays
-    // the tokenize+shingle explode (measured 10.9 s -> the dominant cost)
-    val ex = projectedShingles(df, idCol, textCol, shingleN).select(
+    // the shingle-SET table feeds the element explode (df-counts + the
+    // prefix cut) AND both verify sides — materialize it once (a
+    // deployment reads a persisted table here) or every reference replays
+    // the tokenize+shingle pass (measured 10.9 s -> the dominant cost).
+    // Checkpointing the ARRAY form (one row per doc) instead of the
+    // exploded element form holds |docs| rows instead of |elements|; the
+    // two element-shaped references below re-explode from memory.
+    val sets = projectedShingles(df, idCol, textCol, shingleN).select(
       col(idCol),
       size(col("__shingles")).cast("int").as("__sz"),
-      explode(col("__shingles")).as("__sh"))
+      col("__shingles"))
       .localCheckpoint(true)
+    val ex = sets.select(col(idCol), col("__sz"), explode(col("__shingles")).as("__sh"))
     val dfreq = ex.groupBy(col("__sh")).agg(count(lit(1)).as("__df"))
     // prefix length = sz − ⌈τ·sz⌉ + 1, integer-exact ceil
     val prefLen = col("__sz") -
@@ -650,22 +654,44 @@ object Dedup {
     val prefix = ex.join(dfreq.hint("shuffle_merge"), Seq("__sh"))
       .withColumn("__rn", row_number().over(wDoc))
       .filter(col("__rn") <= prefLen)
-      .select(col(idCol), col("__sh"))
-    val cands = prefix.select(col(idCol).as("id_a"), col("__sh")).hint("shuffle_merge")
-      .join(prefix.select(col(idCol).as("id_b"), col("__sh")).hint("shuffle_merge"), Seq("__sh"))
-      .filter(col("id_a") < col("id_b"))
+      .select(col(idCol), col("__sz"), col("__sh"))
+    // Candidate pairs carry both set sizes through the prefix join, so the
+    // LENGTH filter (Arasu 2006 / the PPJoin size bound) prunes BEFORE the
+    // distinct and the verify joins: J ≥ τ forces τ·max(|A|,|B|) ≤
+    // min(|A|,|B|) (J ≤ min/max), so any pair failing
+    // sza·tauDen ≥ szb·tauNum ∧ szb·tauDen ≥ sza·tauNum cannot pass the
+    // exact verify — dropping it here changes nothing downstream.
+    val cands = prefix.select(col(idCol).as("id_a"), col("__sz").as("__sza"), col("__sh"))
+      .hint("shuffle_merge")
+      .join(prefix.select(col(idCol).as("id_b"), col("__sz").as("__szb"), col("__sh"))
+        .hint("shuffle_merge"), Seq("__sh"))
+      .filter(col("id_a") < col("id_b") &&
+        col("__sza") * tauDen >= col("__szb") * tauNum &&
+        col("__szb") * tauDen >= col("__sza") * tauNum)
       .select(col("id_a"), col("id_b"))
       .distinct()
-    val exA = ex.select(col(idCol).as("id_a"), col("__sz").as("__sza"), col("__sh"))
-    val exB = ex.select(col(idCol).as("id_b"), col("__sz").as("__szb"), col("__sh"))
+    // VERIFY against the per-doc shingle ARRAYS, not the exploded element
+    // table: the element form shuffles |cands| × |shingles/doc| skinny
+    // rows (the r18 profile measured 605 executor-seconds at gate SF on
+    // 409k candidates); attaching the two arrays and counting
+    // array_intersect moves the same bytes in |cands| rows and verifies
+    // each pair in one O(|A|+|B|) row-local pass — same (id_a, id_b,
+    // inter_cnt, union_cnt) rows bit for bit (sets are array_distinct'd,
+    // so |A∩B| is the same count the join-and-group computed). Joins stay
+    // SMJ-pinned: both sides are corpus-shaped derived frames (the §8.1
+    // derived-broadcast class).
+    val setsA = sets.select(col(idCol).as("id_a"), col("__shingles").as("__sha"))
+    val setsB = sets.select(col(idCol).as("id_b"), col("__shingles").as("__shb"))
     cands
-      .join(exA.hint("shuffle_merge"), Seq("id_a"))
-      .join(exB.hint("shuffle_merge"), Seq("id_b", "__sh"))
-      .groupBy(col("id_a"), col("id_b"), col("__sza"), col("__szb"))
-      .agg(count(lit(1)).cast("int").as("inter_cnt"))
+      .join(setsA.hint("shuffle_merge"), Seq("id_a"))
+      .join(setsB.hint("shuffle_merge"), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("__sha"), col("__shb"))).as("inter_cnt"),
+        size(col("__sha")).as("__sza"), size(col("__shb")).as("__szb"))
       .withColumn("union_cnt", (col("__sza") + col("__szb") - col("inter_cnt")).cast("int"))
       .filter(col("inter_cnt") * tauDen >= col("union_cnt") * tauNum)
-      .select("id_a", "id_b", "inter_cnt", "union_cnt")
+      .select(col("id_a"), col("id_b"), col("inter_cnt").cast("int").as("inter_cnt"),
+        col("union_cnt"))
   }
 
   /** Shingle CONTAINMENT pairs (Broder's directional coefficient

@@ -1055,8 +1055,13 @@ object CorpusPack extends QueryPack {
     // hashes per source) and applies the same (k-1)·2^60/h_k estimator,
     // so the ENTIRE sketch is verified, not just the estimate.
     "q108_kmv_distinct" -> ((s, d) => {
+      // tokens PROJECTED before the shingle lambda (the shinglesOfTokens
+      // caveat): the expression-API form re-evaluates split() per
+      // element_at inside the transform — measured 9.5 s vs 0.6 s for the
+      // same 5k-doc explode at sf0.1 (r18, guide §1.2 "per-task work")
       val sh = Tables.documents(s, d)
-        .select(col("source"), explode(Dedup.shingles(col("text"))).as("sh"))
+        .select(col("source"), split(col("text"), " ").as("__toks"))
+        .select(col("source"), explode(Dedup.shinglesOfTokens(col("__toks"), 3)).as("sh"))
       Sketches.kmvSketch(sh, Seq("source"), col("sh"), k = 128, salt = "kmv9")
         .select(col("source"), size(col("kmv")).as("sketch_size"),
           round(Sketches.kmvDistinct(col("kmv"), 128), 4).as("est_distinct"))
@@ -1073,9 +1078,11 @@ object CorpusPack extends QueryPack {
     "q109_kmv_overlap" -> ((s, d) => {
       val k = 128
       val docs = Tables.documents(s, d)
+      // projected-tokens form — see q108's note
       def side(lang: String, out: String) = Sketches.kmvSketch(
         docs.filter(col("lang") === lang)
-          .select(explode(Dedup.shingles(col("text"))).as("sh")),
+          .select(split(col("text"), " ").as("__toks"))
+          .select(explode(Dedup.shinglesOfTokens(col("__toks"), 3)).as("sh")),
         Seq.empty, col("sh"), k, salt = "ov9")
         .select(col("kmv").as(out))
       side("en", "ka").crossJoin(side("de", "kb"))
@@ -1111,8 +1118,10 @@ object CorpusPack extends QueryPack {
     // (exact df desc, shingle) — deterministic, computed in-plan.
     "q111_cms_freq" -> ((s, d) => {
       val d4 = 4; val w = 512
+      // projected-tokens form — see q108's note
       val el = Tables.documents(s, d)
-        .select(col("doc_id"), explode(Dedup.shingles(col("text"))).as("sh"))
+        .select(col("doc_id"), split(col("text"), " ").as("__toks"))
+        .select(col("doc_id"), explode(Dedup.shinglesOfTokens(col("__toks"), 3)).as("sh"))
         .select(col("sh"))
       val exact = el.groupBy("sh").agg(count(lit(1)).as("exact_cnt"))
       // build from the pre-aggregated (elem, count) frame — the weighted
