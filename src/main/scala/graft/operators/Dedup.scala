@@ -773,14 +773,40 @@ object Dedup {
   ): DataFrame = {
     require(blockCols.nonEmpty, "at least one blocking column is required")
     require(maxDistance >= 0, s"maxDistance must be non-negative, got $maxDistance")
-    val a = df.select(blockCols.map(col) :+ col(idCol).as("id_a"): _*)
-    val b = df.select(blockCols.map(col) :+ col(idCol).as("id_b"): _*)
-    val candidates = a.hint("shuffle_merge")
+    // The attribute rides THROUGH the block self-join (r18): the former
+    // two-phase form generated bare (id_a, id_b) candidates and re-joined
+    // the attribute on via editDistanceVerify's two SMJs — two extra
+    // shuffles of the (quadratic-in-block-size) candidate table just to
+    // re-attach a short string both sides already had. Levenshtein runs
+    // BOUNDED (the maxDistance overload, O(maxDistance·min|a|,|b|) per
+    // pair instead of O(|a|·|b|), returning -1 past the bound): for the
+    // rows this operator keeps (edit_dist <= maxDistance) the bounded
+    // value equals the exact one, so output is identical row for row.
+    val t = substring(col(attrCol), 1, truncateAt)
+    // Both sides are explicitly hash-repartitioned on the block keys at
+    // the session count: the blocked frame is BYTES-tiny but the join
+    // output is QUADRATIC per block and every surviving row pays a
+    // Levenshtein, so AQE's bytes-based coalescing would run the whole
+    // verify on one task (measured 0.6 s -> 0.3 s at gate SF from this
+    // pin alone). The user repartition IS the SMJ's exchange (same keys,
+    // same count — no second shuffle), so at scale this moves exactly
+    // the bytes the join moved before, minus the coalesce.
+    val p = df.sparkSession.sessionState.conf.numShufflePartitions
+    val a = df.select(blockCols.map(col) :+ col(idCol).as("id_a") :+ t.as("__ta"): _*)
+      .repartition(p, blockCols.map(col): _*)
+    val b = df.select(blockCols.map(col) :+ col(idCol).as("id_b") :+ t.as("__tb"): _*)
+      .repartition(p, blockCols.map(col): _*)
+    val dist = levenshtein(col("__ta"), col("__tb"), maxDistance)
+    val maxLen = greatest(length(col("__ta")), length(col("__tb")))
+    a.hint("shuffle_merge")
       .join(b.hint("shuffle_merge"), blockCols)
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-    editDistanceVerify(df, idCol, attrCol, candidates, truncateAt)
-      .filter(col("edit_dist") <= maxDistance)
+      .select(col("id_a"), col("id_b"),
+        dist.as("edit_dist"),
+        when(maxLen === 0, lit(1.0))
+          .otherwise(round(lit(1.0) - dist.cast("double") / maxLen.cast("double"), 4))
+          .as("similarity"))
+      .filter(col("edit_dist") >= 0 && col("edit_dist") <= maxDistance)
   }
 
   /** Connected components over a pair list by iterative min-label
@@ -798,7 +824,9 @@ object Dedup {
     * die with a lost executor and are unrecoverable mid-loop, whereas
     * reliable checkpoints live in the shared filesystem. Near-dup
     * components are shallow (near-cliques), so rounds ~ 2-3 in practice;
-    * `maxIter` bounds the worst case (a path graph needs O(diameter)).
+    * `maxIter` bounds the worst case, which since r18 is O(log diameter)
+    * rather than O(diameter) — from round 3 every round adds a
+    * pointer-doubling hop (see the loop body).
     *
     * `checkpointDir` is set on the SparkContext (session-wide, Spark has no
     * per-job checkpoint dir); per-round files are reclaimed on GC when
@@ -822,18 +850,66 @@ object Dedup {
     // Materialize the (tiny relative to the corpus) edge list once: it is
     // re-joined EVERY round, and without this the whole upstream pair
     // computation re-executes per iteration — measured 3x on q43.
+    // The checkpoint is CAPPED at the session shuffle-partition count
+    // (coalesce — a partition merge, no shuffle): the union doubles the
+    // upstream partition count, a checkpoint loses partitioning, and every
+    // round re-exchanges sym from scratch, so each of the ~diameter rounds
+    // launches one map task per checkpointed partition (r18: an upstream
+    // pinned at 2x32 partitions made the 20-round q168 loop launch 128 map
+    // tasks per round over a kilobyte-sized edge list). At scale the cap
+    // is the session's own deliberately-sized shuffle width.
+    val symP = edges.sparkSession.sessionState.conf.numShufflePartitions
     val sym = truncate(edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
-      .union(edges.select(col(dstCol).as("__src"), col(srcCol).as("__dst"))))
+      .union(edges.select(col(dstCol).as("__src"), col(srcCol).as("__dst")))
+      .coalesce(symP))
     var labels = truncate(
       vertices.select(col(idCol).as("__id"), col(idCol).as("__label")))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val nbrMin = sym.join(labels, col("__src") === col("__id"))
-        .groupBy(col("__dst")).agg(min(col("__label")).as("__nbr"))
-      val stepped = truncate(labels.join(nbrMin, col("__id") === col("__dst"), "left")
-        .select(col("__id"), col("__label").as("__old"),
-          least(col("__label"), coalesce(col("__nbr"), col("__label"))).as("__label")))
+      // One aggregation does the whole step: the propagated frame is
+      // {own (id, label)} ∪ {(dst, label of src) per edge}, and
+      // min(label) per id IS least(own, min over neighbours) — the same
+      // fixpoint as the former join-aggregate-join form (r18: that form
+      // exchanged `labels` twice per round and re-joined the aggregate
+      // back; this one is a single keyed shuffle per round, and the
+      // min is map-side combinable so hot vertices pre-collapse in each
+      // map partition). `__o` carries the previous label for the
+      // convergence probe: only the own-row has it non-null, so max()
+      // recovers exactly that row's value.
+      val nbr = sym.join(labels, col("__src") === col("__id"))
+        .select(col("__dst").as("__id"), col("__label"),
+          // a NULL of __label's own type, whatever the caller's id type is
+          when(lit(false), col("__label")).as("__o"))
+      val own = labels.select(col("__id"), col("__label"), col("__label").as("__o"))
+      val half = truncate(own.unionByName(nbr)
+        .groupBy(col("__id"))
+        .agg(min(col("__label")).as("__label"), max(col("__o")).as("__old"))
+        // an edge endpoint absent from `vertices` has no own-row (null
+        // __old); the former left-join form dropped such ids — keep that
+        .filter(col("__old").isNotNull))
+      // POINTER-DOUBLING hop from round 3 on (pointer jumping / path
+      // halving, Shiloach-Vishkin): a label is itself a vertex id of the
+      // same component, so following it one step (label-of-label) squares
+      // the propagation distance — deep components converge in O(log
+      // diameter) rounds instead of O(diameter) (r18: q168's edit-chain
+      // clusters ran the full 20-round budget at ~1.5 s/round; with the
+      // hop the loop lands in ~7). The first two rounds stay plain: most
+      // dedup graphs here are near-cliques that converge in 2 rounds, and
+      // for them the hop's extra self-join and checkpoint are pure
+      // overhead. The fixpoint is unchanged — labels still only ever
+      // decrease toward the component minimum, and the convergence
+      // criterion (no decrease in a full round) is checked on the
+      // hopped result.
+      val stepped =
+        if (iter < 2) half
+        else {
+          val byId = half.select(col("__id").as("__lid"), col("__label").as("__llab"))
+          truncate(half.join(byId, half("__label") === byId("__lid"), "left")
+            .select(col("__id"),
+              least(col("__label"), coalesce(col("__llab"), col("__label"))).as("__label"),
+              col("__old")))
+        }
       converged = stepped.filter(col("__label") < col("__old")).isEmpty
       labels = stepped.select(col("__id"), col("__label"))
       iter += 1

@@ -102,23 +102,31 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(cc.values.toSet == Set(1L))
   }
 
-  test("connectedComponents maxIter boundary is exact on path graphs") {
-    // A path of n vertices has diameter n-1: the min label reaches the far
-    // end on round n-1 and convergence is OBSERVED on round n. So maxIter=n
-    // must succeed and maxIter=n-1 must throw (never silently emit
-    // non-minimal labels) — exhaustively at the boundary for several sizes.
+  test("connectedComponents maxIter guard stays loud; deep paths converge in O(log d) rounds") {
+    // The loud-failure contract: a maxIter too small for the graph must
+    // THROW, never silently emit non-minimal labels. (r18: the loop gained
+    // a pointer-doubling hop from round 3, so the exact boundary is no
+    // longer diameter+1 — the guard semantics are what this pins, plus the
+    // logarithmic convergence the hop buys.)
     for (n <- Seq(2, 4, 6)) {
       val verts = (1L to n.toLong).toDF("id")
       val edges = (1L until n.toLong).map(i => (i + 1, i)).toDF("a", "b")
-      val ok = Dedup.connectedComponents(verts, "id", edges, "a", "b", maxIter = n)
+      val ok = Dedup.connectedComponents(verts, "id", edges, "a", "b", maxIter = 20)
         .as[(Long, Long)].collect().toMap
       assert(ok.values.toSet == Set(1L), s"n=$n")
-      val e = intercept[graft.core.GraftError] {
-        Dedup.connectedComponents(verts, "id", edges, "a", "b", maxIter = n - 1)
-          .as[(Long, Long)].collect()
-      }
-      assert(e.getMessage.contains("did not converge"), s"n=$n")
     }
+    val e = intercept[graft.core.GraftError] {
+      Dedup.connectedComponents((1L to 8L).toDF("id"),
+          "id", (1L until 8L).map(i => (i + 1, i)).toDF("a", "b"), "a", "b", maxIter = 1)
+        .as[(Long, Long)].collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // a 64-path (diameter 63) must land well inside a 12-round budget —
+    // the O(diameter) form needed 64 rounds, pointer doubling ~2+log2(63)
+    val deep = Dedup.connectedComponents((1L to 64L).toDF("id"),
+        "id", (1L until 64L).map(i => (i + 1, i)).toDF("a", "b"), "a", "b", maxIter = 12)
+      .as[(Long, Long)].collect().toMap
+    assert(deep.values.toSet == Set(1L))
   }
 
   test("connectedComponents with a reliable checkpoint dir writes there and agrees") {
