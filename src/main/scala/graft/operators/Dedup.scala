@@ -859,8 +859,17 @@ object Dedup {
     // tasks per round over a kilobyte-sized edge list). At scale the cap
     // is the session's own deliberately-sized shuffle width.
     val symP = edges.sparkSession.sessionState.conf.numShufflePartitions
-    val sym = truncate(edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
-      .union(edges.select(col(dstCol).as("__src"), col(srcCol).as("__dst")))
+    // Symmetrize in ONE pass (explode of the two orientations per edge)
+    // instead of a union of two selects: each union branch re-evaluated
+    // the whole upstream pair-generation DAG inside the checkpoint job —
+    // for the jaccardPairs callers that was the single most expensive
+    // subtree in the query, paid twice (r18: q114 measured ~2x the
+    // pair-stage executor time in exactly this union).
+    val sym = truncate(edges
+      .select(explode(array(
+        struct(col(srcCol).as("__src"), col(dstCol).as("__dst")),
+        struct(col(dstCol).as("__src"), col(srcCol).as("__dst")))).as("__e"))
+      .select(col("__e.__src").as("__src"), col("__e.__dst").as("__dst"))
       .coalesce(symP))
     var labels = truncate(
       vertices.select(col(idCol).as("__id"), col(idCol).as("__label")))

@@ -50,9 +50,16 @@ object Inference {
     val complete = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
       .select(keys :+ col(xCol).cast(s"decimal(18,$decimalScale)").as("__x")
         :+ col(yCol).cast(s"decimal(18,$decimalScale)").as("__y"): _*)
-    def rank2(c: String): Column =
-      lit(2) * rank().over(Window.partitionBy(keys: _*).orderBy(col(c))) +
-        count(lit(1)).over(Window.partitionBy(keys :+ col(c): _*)) - lit(1)
+    // Both terms share ONE window spec: the tie count is the PEER count
+    // of the ordering (RANGE CURRENT ROW..CURRENT ROW), identical to the
+    // former count over partitionBy(keys :+ c) but evaluated inside the
+    // same WindowExec as rank() — one sort per column instead of two
+    // (r18: halved q236's window passes; 600k-row group frames sort once)
+    def rank2(c: String): Column = {
+      val w = Window.partitionBy(keys: _*).orderBy(col(c))
+      lit(2) * rank().over(w) +
+        count(lit(1)).over(w.rangeBetween(Window.currentRow, Window.currentRow)) - lit(1)
+    }
     val ranked = complete
       .withColumn("__rx", rank2("__x").cast("decimal(18,0)"))
       .withColumn("__ry", rank2("__y").cast("decimal(18,0)"))

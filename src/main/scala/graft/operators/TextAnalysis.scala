@@ -322,6 +322,18 @@ object TextAnalysis {
       transform(sequence(lit(1), length(text) - 2), i => lower(text).substr(i, lit(3))))
       .otherwise(array().cast("array<string>"))
 
+  /** [[charTrigrams]] over an ALREADY-LOWERCASED projected column — the
+    * form the operators below use. Higher-order functions do not
+    * whole-stage-codegen, so a `lower(text)` INSIDE the transform lambda
+    * re-evaluates once per trigram position — O(len²) character work per
+    * document (the shinglesOfTokens caveat, r18). Callers project
+    * `lower(text)` into a column first; the lambda then reads a bound
+    * attribute. */
+  private def charTrigramsOfLowered(lowered: Column): Column =
+    when(length(lowered) >= 3,
+      transform(sequence(lit(1), length(lowered) - 2), i => lowered.substr(i, lit(3))))
+      .otherwise(array().cast("array<string>"))
+
   /** Cavnar–Trenkle (1994) language profiles: each language's `topN` most
     * frequent character trigrams with their rank (1 = most frequent; ties
     * break to the lexicographically smaller gram — integer counts and
@@ -338,7 +350,8 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     require(topN > 0, s"topN must be positive, got $topN")
     val w = Window.partitionBy(col("lang")).orderBy(col("__c").desc, col("gram"))
-    df.select(col(langCol).as("lang"), explode(charTrigrams(col(textCol))).as("gram"))
+    df.select(col(langCol).as("lang"), lower(col(textCol)).as("__lt"))
+      .select(col("lang"), explode(charTrigramsOfLowered(col("__lt"))).as("gram"))
       .groupBy(col("lang"), col("gram")).agg(count(lit(1)).as("__c"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topN)
@@ -365,7 +378,8 @@ object TextAnalysis {
     require(topN > 0, s"topN must be positive, got $topN")
     val dw = Window.partitionBy(col(idCol)).orderBy(col("__c").desc, col("gram"))
     val docGrams = df
-      .select(col(idCol), explode(charTrigrams(col(textCol))).as("gram"))
+      .select(col(idCol), lower(col(textCol)).as("__lt"))
+      .select(col(idCol), explode(charTrigramsOfLowered(col("__lt"))).as("gram"))
       .groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("__c"))
       .withColumn("drank", row_number().over(dw))
       .filter(col("drank") <= topN)
@@ -396,7 +410,8 @@ object TextAnalysis {
     require(topN > 0, s"topN must be positive, got $topN")
     val dw = Window.partitionBy(col(idCol)).orderBy(col("__c").desc, col("gram"))
     val docGrams = df
-      .select(col(idCol), explode(charTrigrams(col(textCol))).as("gram"))
+      .select(col(idCol), lower(col(textCol)).as("__lt"))
+      .select(col(idCol), explode(charTrigramsOfLowered(col("__lt"))).as("gram"))
       .groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("__c"))
       .withColumn("drank", row_number().over(dw))
       .filter(col("drank") <= topN)
