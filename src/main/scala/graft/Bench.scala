@@ -145,12 +145,28 @@ object Bench {
       .mkString("{", ",", "}")
     val load = s"""{"start":$loadStart,"end":$loadEnd}"""
     val total = results.map(_._2).filter(_ >= 0).sum
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    // Per-core-count DEFAULT output path (r18 verdict #2): the driver
+    // benches the suite at two core counts back-to-back from one CWD, and
+    // the shared default meant the later (8-core) run overwrote the
+    // 32-core per-query map before the comparator read it —
+    // PERF_r18.per_query came back empty. The full map cannot ride the
+    // driver's 2000-char log-tail capture (~12 KB at 349 queries), so each
+    // core count writes its own file and the tail line's `queries_in`
+    // names it; the legacy `bench_out.json` is still written (when no
+    // explicit path is given) so nothing that read the old location
+    // breaks. Additions only — the one-line full-JSON contract
+    // (metric/value/unit/queries/sf) and every existing field are
+    // unchanged.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val outExplicit = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+    val out = outExplicit.getOrElse(s"bench_out_c$cpus.json")
     // Mechanical cross-round adjudication (r16 verdict #6): the §8.0
     // load-vs-code call as COMPUTED fields instead of a per-round
-    // argument. The previous round's committed bench_out.json (same path,
-    // read BEFORE this run overwrites it, or SPARK_GRAFT_BENCH_PREV)
-    // supplies the shared-query baseline and ITS load averages; the
+    // argument. The previous round's committed per-query snapshot (same
+    // per-cpu path, read BEFORE this run overwrites it, or
+    // SPARK_GRAFT_BENCH_PREV) supplies the shared-query baseline — same
+    // core count, so the ratio compares like with like — and ITS load
+    // averages; the
     // verdict classifies the shared-median movement against the measured
     // load delta: <= 1.10x is in-band (the §8.0 swing window), above that
     // a >= 1.25x mean-load increase points at the box, else at the code.
@@ -181,6 +197,10 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","protocol":"$protocol","loadavg":$load,$adjudication,"queries":$qs,"slowest_samples":$slowSamples,"sf":${jstr(sfDir)}}"""
     Files.writeString(Paths.get(out), json + "\n")
+    // legacy location kept alongside the per-cpu default (only for
+    // default-path runs: an explicit SPARK_GRAFT_BENCH_OUT — probe runs —
+    // must not clobber the committed bench_out.json in the CWD)
+    if (outExplicit.isEmpty) Files.writeString(Paths.get("bench_out.json"), json + "\n")
     println(json)
     // The driver snapshots only the last ~2000 log chars; the full line
     // above (~10 KB at 259 queries) truncates there and parses as null

@@ -857,7 +857,13 @@ object Dedup {
     // launches one map task per checkpointed partition (r18: an upstream
     // pinned at 2x32 partitions made the 20-round q168 loop launch 128 map
     // tasks per round over a kilobyte-sized edge list). At scale the cap
-    // is the session's own deliberately-sized shuffle width.
+    // is the session's own deliberately-sized shuffle width. The coalesce
+    // fuses into (and caps) the terminal upstream stage of the one-time
+    // edge materialization: for every caller here that stage is already
+    // post-exchange at the session width (pair generation ends in an
+    // aggregate/join), so the cap is a no-op there — only scan-shaped
+    // edge inputs wider than the session width get merged, and those are
+    // exactly the cheap-per-row case the cap exists for.
     val symP = edges.sparkSession.sessionState.conf.numShufflePartitions
     // Symmetrize in ONE pass (explode of the two orientations per edge)
     // instead of a union of two selects: each union branch re-evaluated
@@ -895,7 +901,12 @@ object Dedup {
         .groupBy(col("__id"))
         .agg(min(col("__label")).as("__label"), max(col("__o")).as("__old"))
         // an edge endpoint absent from `vertices` has no own-row (null
-        // __old); the former left-join form dropped such ids — keep that
+        // __old); the former left-join form dropped such ids — keep that.
+        // CONTRACT: a NULL vertex id is likewise excluded (its own-row
+        // label — and therefore __old — is null, indistinguishable from
+        // the no-own-row marker); every caller's id is a non-null key by
+        // construction, and a dirty vertex table should be null-filtered
+        // upstream rather than given a null cluster label here.
         .filter(col("__old").isNotNull))
       // POINTER-DOUBLING hop from round 3 on (pointer jumping / path
       // halving, Shiloach-Vishkin): a label is itself a vertex id of the

@@ -316,11 +316,20 @@ object TextAnalysis {
 
   /** Lowercased character trigrams of `text` — the Cavnar–Trenkle feature.
     * Texts shorter than 3 chars yield an empty array (the explicit guard
-    * matters: `sequence(1, len-2)` with len < 3 would COUNT DOWN). */
+    * matters: `sequence(1, len-2)` with len < 3 would COUNT DOWN).
+    *
+    * Positions are computed over the LOWERED text (delegates to
+    * [[charTrigramsOfLowered]]): for characters whose lowercase mapping
+    * changes string length (U+0130 'İ' → "i̇") the former
+    * raw-length form emitted a different trigram set than the operators'
+    * lowered-length form — the two must agree, and the lowered length is
+    * the correct one (the grams are substrings OF the lowered text).
+    * The `lower(text)` argument sits inside the transform lambda here, so
+    * this convenience form re-evaluates it per trigram position — hot
+    * paths should project `lower(text)` first (the [[Dedup.shinglesOfTokens]]
+    * caveat; every operator in this file does). */
   def charTrigrams(text: Column): Column =
-    when(length(text) >= 3,
-      transform(sequence(lit(1), length(text) - 2), i => lower(text).substr(i, lit(3))))
-      .otherwise(array().cast("array<string>"))
+    charTrigramsOfLowered(lower(text))
 
   /** [[charTrigrams]] over an ALREADY-LOWERCASED projected column — the
     * form the operators below use. Higher-order functions do not

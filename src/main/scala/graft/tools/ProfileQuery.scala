@@ -17,9 +17,16 @@ object ProfileQuery {
   def main(args: Array[String]): Unit = {
     val sfDir = args.find(_.startsWith("/")).getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    // an argument that is neither a path nor a known query name is a typo —
+    // fail loudly instead of silently profiling the whole suite
+    val qArgs = args.filterNot(_.startsWith("/"))
+    val unknown = qArgs.filterNot(SparkEntry.queries.contains)
+    if (unknown.nonEmpty) {
+      System.err.println(s"[profile] unknown queries: ${unknown.mkString(", ")}")
+      sys.exit(2)
+    }
     val names =
-      if (args.exists(SparkEntry.queries.contains))
-        args.filter(SparkEntry.queries.contains).toSeq
+      if (qArgs.nonEmpty) qArgs.toSeq
       else SparkEntry.queries.keys.toSeq.sorted
     val spark = GraftSession.local("graft-profile-query")
 
